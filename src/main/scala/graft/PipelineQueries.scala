@@ -1,0 +1,221 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.ops.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operator catalog: deduplication, similarity
+  * search, text analysis, multimodal plumbing (builder-prompt north star;
+  * SURVEY.md §7.2 M4). Backed by graft.ops.* and the custom Catalyst
+  * expressions in graft.functions.
+  */
+object PipelineQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(spark, dir, name)
+
+  import Queries.QDef
+
+  private def q(name: String, oracle: String)(
+      fn: (SparkSession, String) => DataFrame): QDef = QDef(name, fn, Some(oracle))
+  private def qNoOracle(name: String)(
+      fn: (SparkSession, String) => DataFrame): QDef = QDef(name, fn, None)
+
+  // language-marker heuristic shared by the Spark and oracle sides of
+  // q_text_langid: count char-bigram markers, argmax with fixed tie order
+  private val langCase =
+    """CASE WHEN th_n >= er_n AND th_n >= en_n THEN 'en'
+      |     WHEN er_n >= en_n THEN 'de' ELSE 'nl' END""".stripMargin
+
+  val defs: Seq[QDef] = Seq(
+
+    // ------------------------------------------------ deduplication
+    // Exact dedup: hash-groupBy on a 64-bit content fingerprint (narrow
+    // shuffle at 100 TB; full text never shuffles)
+    q("q_dedup_exact",
+      """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin) { (s, dir) =>
+      Dedup.exact(t(s, dir, "documents"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    },
+
+    // Exact pairwise token-set Jaccard (n=1 keeps the oracle expressible;
+    // n>1 path is exercised by q_dedup_minhash + the test suite)
+    q("q_dedup_jaccard",
+      """WITH toks AS (
+        |  SELECT doc_id AS id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS shingle
+        |  FROM documents WHERE doc_id < 150),
+        |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+        |common AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+        |  FROM toks a JOIN toks b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY a.id, b.id)
+        |SELECT id_a, id_b, round(CAST(cnt AS DOUBLE)/(sa.sz + sb.sz - cnt), 4) AS jaccard
+        |FROM common JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+        |WHERE CAST(cnt AS DOUBLE)/(sa.sz + sb.sz - cnt) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents").filter(col("doc_id") < 150),
+          n = 1, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // MinHash+LSH near-dup (trigram shingles) — the 100 TB scale path;
+    // exact-verified candidates only. LSH recall is probabilistic → the
+    // driver's rows-only check; exactness vs brute force is pinned in
+    // DedupSpec.
+    qNoOracle("q_dedup_minhash") { (s, dir) =>
+      Dedup.minhashNearDups(t(s, dir, "documents"),
+          n = 3, k = 32, bands = 16, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // SimHash near-dup via custom Catalyst expression + Hamming banding
+    qNoOracle("q_dedup_simhash") { (s, dir) =>
+      Dedup.simhashNearDups(t(s, dir, "documents"), maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Embedding-cosine near-dup pairs (brute force at test SF; LSH path
+    // covered by q_ann_lsh)
+    q("q_emb_neardup",
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ------------------------------------------------ similarity search
+    // Brute-force cosine top-k: broadcast query set × one base scan
+    q("q_ann_brute",
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |qs AS (SELECT vec_id AS query_id, emb AS qemb FROM base WHERE vec_id < 10),
+        |sims AS (SELECT query_id, vec_id,
+        |    round(list_cosine_similarity(emb, qemb), 6) AS sim
+        |  FROM base CROSS JOIN qs WHERE vec_id <> query_id),
+        |ranked AS (SELECT query_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+        |  FROM sims)
+        |SELECT query_id, vec_id, sim, rk FROM ranked WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), col("vec_id") < 10, k = 5)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // LSH-bucketed ANN (random hyperplanes): approximate → rows-only;
+    // recall vs brute force is pinned in SimilaritySpec
+    qNoOracle("q_ann_lsh") { (s, dir) =>
+      val planes = Similarity.hyperplanes(tables = 16, bits = 4, dim = 64)
+      Similarity.lshTopK(t(s, dir, "embeddings"), col("vec_id") < 10, k = 5, planes)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // ------------------------------------------------ text analysis
+    // Token counting: whitespace + BPE-ish regex tokenizations
+    q("q_text_stats",
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS INT) AS n_distinct,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpe,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |    / len(string_split_regex(text, '\s+')), 4) AS avg_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), "\\s+")
+      t(s, dir, "documents").select(col("doc_id"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe"),
+          round(length(regexp_replace(col("text"), " ", "")).cast("double")
+            / size(toks), 4).as("avg_tok_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality scoring: stopword ratio, repetition, length band
+    q("q_text_quality",
+      """SELECT doc_id,
+        |  round(CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      tk -> tk IN ('the', 'a'))) AS DOUBLE)
+        |    / len(string_split_regex(text, '\s+')), 4) AS stop_ratio,
+        |  round(CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE)
+        |    / len(string_split_regex(text, '\s+')), 4) AS distinct_ratio,
+        |  CASE WHEN len(string_split_regex(text, '\s+')) < 20 THEN 'short'
+        |       WHEN len(string_split_regex(text, '\s+')) < 60 THEN 'mid'
+        |       ELSE 'long' END AS len_band
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), "\\s+")
+      val nTok = size(toks)
+      t(s, dir, "documents").select(col("doc_id"),
+          round(size(filter(toks, tk => tk.isin("the", "a"))).cast("double") / nTok, 4)
+            .as("stop_ratio"),
+          round(size(array_distinct(toks)).cast("double") / nTok, 4).as("distinct_ratio"),
+          when(nTok < 20, "short").when(nTok < 60, "mid").otherwise("long")
+            .as("len_band"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Language ID: char-bigram marker heuristic (same arithmetic both sides)
+    q("q_text_langid",
+      s"""SELECT doc_id, $langCase AS lang_guess
+         |FROM (SELECT doc_id,
+         |  CAST((strlen(text) - strlen(replace(text, 'th', ''))) / 2 AS INT) AS th_n,
+         |  CAST((strlen(text) - strlen(replace(text, 'er', ''))) / 2 AS INT) AS er_n,
+         |  CAST((strlen(text) - strlen(replace(text, 'en', ''))) / 2 AS INT) AS en_n
+         |  FROM documents) m
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      def markers(m: String) =
+        ((length(col("text")) - length(regexp_replace(col("text"), m, ""))) / 2)
+          .cast("int")
+      t(s, dir, "documents")
+        .select(col("doc_id"), markers("th").as("th_n"), markers("er").as("er_n"),
+          markers("en").as("en_n"))
+        .select(col("doc_id"),
+          when(col("th_n") >= col("er_n") && col("th_n") >= col("en_n"), "en")
+            .when(col("er_n") >= col("en_n"), "de").otherwise("nl").as("lang_guess"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Document fingerprinting (rolling hash, custom expression). Oracle
+    // asserts injectivity on this corpus: #fingerprints == #distinct texts.
+    q("q_fingerprint",
+      """SELECT count(DISTINCT text) AS n_fp, count(DISTINCT text) AS n_text,
+        |  count(*) AS n FROM documents""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").agg(
+        countDistinct(GraftFunctions.fingerprint64(col("text"))).as("n_fp"),
+        countDistinct(col("text")).as("n_text"),
+        count(lit(1)).as("n"))
+    },
+
+    // ------------------------------------------------ multimodal
+    // Binary payload → per-partition stub decode → typed metadata
+    q("q_multimodal_decode",
+      """SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes,
+        |  CAST(strlen(text) % 640 AS INT) AS width,
+        |  CAST((strlen(text) // 640) % 480 AS INT) AS height,
+        |  CAST(strlen(text) % 16 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Multimodal.decodedMetadata(s, t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Feature-extraction stub → similarity-ready vectors (rows-only)
+    qNoOracle("q_multimodal_features") { (s, dir) =>
+      import s.implicits._
+      val media = Multimodal.withPayload(t(s, dir, "documents"))
+        .as[Multimodal.MediaRow]
+      Multimodal.featureStub(media).toDF()
+        .select(col("doc_id"), round(element_at(col("feature"), 1), 4).as("f0"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map(d => d.name -> d.fn).toMap
+
+  val oracles: Map[String, String] =
+    defs.flatMap(d => d.oracle.map(d.name -> _)).toMap
+}

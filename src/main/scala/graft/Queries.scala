@@ -1,0 +1,784 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator catalog — one entry per SURVEY.md §2.2 row
+  * (the HiveQL surface the reference delegates to Hive's CliDriver,
+  * `ManifestRunner.java:236`), re-expressed Spark-first.
+  *
+  * Conventions for the driver's DuckDB hash-compare:
+  *   - every aggregate/computed column is aliased identically on both sides;
+  *   - every query ends in a total-order ORDER BY;
+  *   - double aggregates are rounded (ulp-stability across engines);
+  *   - integer sums are CAST(… AS BIGINT) in the oracle (DuckDB sums
+  *     integers into HUGEINT, Spark into LONG).
+  */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(spark, dir, name)
+
+  private def views(spark: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+
+  final case class QDef(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def q(name: String, oracle: String)(
+      fn: (SparkSession, String) => DataFrame): QDef =
+    QDef(name, fn, Some(oracle))
+
+  private def qNoOracle(name: String)(
+      fn: (SparkSession, String) => DataFrame): QDef =
+    QDef(name, fn, None)
+
+  // ---------------------------------------------------------------- defs
+
+  val defs: Seq[QDef] = Seq(
+    // §2.2 Aggregation: hash agg w/ partial+final (TPC-H Q1 shape)
+    q("q_agg_pricing",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // §2.2 Predicates: IN / BETWEEN / LIKE / comparison
+    q("q_filter_pred",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A','R')
+        |  AND l_quantity BETWEEN 10 AND 20
+        |  AND l_linestatus LIKE 'F%'
+        |  AND l_discount >= 0.02 AND NOT (l_tax = 0.0)
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_quantity").between(10, 20) &&
+          col("l_linestatus").like("F%") &&
+          col("l_discount") >= 0.02 && !(col("l_tax") === 0.0))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data:
+        // order by every output column for a cross-engine total order
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+    },
+
+    // §2.2 Projection: computed expressions + CASE
+    q("q_project_expr",
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 2) AS charge,
+        |  CASE WHEN l_quantity < 10 THEN 'low'
+        |       WHEN l_quantity < 35 THEN 'mid'
+        |       ELSE 'high' END AS qty_band
+        |FROM lineitem
+        |WHERE l_orderkey < 500
+        |ORDER BY l_orderkey, l_linenumber, charge, qty_band""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax")), 2).as("charge"),
+          when(col("l_quantity") < 10, "low")
+            .when(col("l_quantity") < 35, "mid")
+            .otherwise("high").as("qty_band"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("charge"),
+          col("qty_band"))
+    },
+
+    // §2.2 Joins: multi-way star join (TPC-H Q5 shape) — at 100 TB the
+    // dims broadcast (they're tiny); facts sort-merge on the join keys.
+    q("q_multi_join_star",
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE s_nationkey = c_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("n_name"))
+    },
+
+    // §2.2 Joins: LEFT OUTER (unmatched → NULL counted)
+    q("q_join_left",
+      """SELECT o_orderpriority,
+        |  count(c.c_custkey) AS matched, count(*) AS total
+        |FROM orders o
+        |LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+        |  ON o.o_custkey = c.c_custkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+      t(s, dir, "orders")
+        .join(rich, col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(col("c_custkey")).as("matched"), count(lit(1)).as("total"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // §2.2 Joins: RIGHT OUTER
+    q("q_join_right",
+      """SELECT p_brand, count(l.l_orderkey) AS n_big_lines
+        |FROM (SELECT * FROM lineitem WHERE l_quantity > 45) l
+        |RIGHT JOIN part ON l.l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      val big = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      big.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"), "right")
+        .groupBy(col("p_brand"))
+        .agg(count(col("l_orderkey")).as("n_big_lines"))
+        .orderBy(col("p_brand"))
+    },
+
+    // §2.2 Joins: FULL OUTER (USING-style coalesced key)
+    q("q_join_full",
+      """SELECT o_custkey, early_n, late_n
+        |FROM (SELECT o_custkey, count(*) AS early_n FROM orders
+        |      WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |      GROUP BY o_custkey) e
+        |FULL JOIN (SELECT o_custkey, count(*) AS late_n FROM orders
+        |      WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+        |      GROUP BY o_custkey) l
+        |USING (o_custkey)
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val cutoff = lit("1997-01-01").cast("timestamp")
+      val late0 = lit("2001-01-01").cast("timestamp")
+      val e = o.filter(col("o_orderdate") < cutoff)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("early_n"))
+      val l = o.filter(col("o_orderdate") >= late0)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("late_n"))
+      e.join(l, Seq("o_custkey"), "full")
+        .select(col("o_custkey"), col("early_n"), col("late_n"))
+        .orderBy(col("o_custkey"))
+    },
+
+    // §2.2 Joins: LEFT SEMI (Hive's IN-rewrite join)
+    q("q_join_semi",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      t(s, dir, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // §2.2 Joins: LEFT ANTI (NOT EXISTS)
+    q("q_join_anti",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // §2.2 Joins: CROSS
+    q("q_join_cross",
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // §2.2 Joins: theta (non-equi) → BroadcastNestedLoopJoin on tiny dims
+    q("q_join_theta",
+      """SELECT s_suppkey, count(*) AS n_richer
+        |FROM supplier JOIN customer ON c_acctbal > s_acctbal
+        |GROUP BY s_suppkey
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "supplier")
+        .join(t(s, dir, "customer"), col("c_acctbal") > col("s_acctbal"))
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_richer"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // §2.2 Aggregation: GROUPING SETS
+    q("q_grouping_sets",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY rf, ls""".stripMargin) { (s, dir) =>
+      views(s, dir, "lineitem")
+      s.sql(
+        """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+          |       COALESCE(l_linestatus, 'ALL') AS ls,
+          |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY rf, ls""".stripMargin)
+    },
+
+    // §2.2 Aggregation: ROLLUP
+    q("q_rollup",
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+        |       COALESCE(o_orderpriority, 'ALL') AS pri,
+        |  round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY st, pri""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(round(sum(col("o_totalprice")), 2).as("sum_price"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          col("sum_price"), col("n"))
+        .orderBy(col("st"), col("pri"))
+    },
+
+    // §2.2 Aggregation: CUBE
+    q("q_cube",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"))
+        .orderBy(col("rf"), col("ls"))
+    },
+
+    // §2.2 UDAFs: variance / stddev / corr / covar family
+    q("q_agg_stats",
+      """SELECT l_returnflag,
+        |  round(var_samp(l_quantity), 4) AS var_s,
+        |  round(var_pop(l_quantity), 4) AS var_p,
+        |  round(stddev_samp(l_extendedprice), 2) AS sd_s,
+        |  round(stddev_pop(l_extendedprice), 2) AS sd_p,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qp_corr,
+        |  round(covar_pop(l_quantity, l_discount), 6) AS qd_covp,
+        |  round(covar_samp(l_quantity, l_discount), 6) AS qd_covs,
+        |  round(min(l_extendedprice), 2) AS min_p,
+        |  round(max(l_extendedprice), 2) AS max_p
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        round(var_samp(col("l_quantity")), 4).as("var_s"),
+        round(var_pop(col("l_quantity")), 4).as("var_p"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("sd_s"),
+        round(stddev_pop(col("l_extendedprice")), 2).as("sd_p"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qp_corr"),
+        round(covar_pop(col("l_quantity"), col("l_discount")), 6).as("qd_covp"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("qd_covs"),
+        round(min(col("l_extendedprice")), 2).as("min_p"),
+        round(max(col("l_extendedprice")), 2).as("max_p"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // §2.2 Aggregation: DISTINCT aggregates (multiple)
+    q("q_distinct_agg",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // §2.2 SELECT DISTINCT
+    q("q_distinct",
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // §2.2 UDAFs: exact percentile + median (interpolated, matches
+    // DuckDB quantile_cont)
+    q("q_percentile",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
+        |  round(median(l_discount), 4) AS med_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75_price"),
+        round(expr("percentile(l_discount, 0.5)"), 4).as("med_disc"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // §2.2 UDAFs: collect_set (order-normalized for compare)
+    q("q_collect",
+      """SELECT l_returnflag, string_agg(ls, ',' ORDER BY ls) AS statuses
+        |FROM (SELECT DISTINCT l_returnflag, l_linestatus AS ls FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",")
+          .as("statuses"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // §2.2 Windows: ranking family (row_number needs total order; rank /
+    // dense_rank keyed on ties-allowed column are engine-stable)
+    q("q_window_rank",
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_quantity) AS rn,
+        |    rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rk,
+        |    dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS drk
+        |  FROM lineitem) x
+        |WHERE rn <= 20
+        |ORDER BY l_returnflag, rn""".stripMargin) { (s, dir) =>
+      val byPrice = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"))
+      val byQty = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          row_number().over(byPrice).as("rn"),
+          rank().over(byQty).as("rk"),
+          dense_rank().over(byQty).as("drk"))
+        .filter(col("rn") <= 20)
+        .orderBy(col("l_returnflag"), col("rn"))
+    },
+
+    // §2.2 Windows: aggregates over frames (running sum, sliding avg)
+    q("q_window_agg",
+      """SELECT user_id, event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS sliding_avg
+        |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2)
+            .as("running_sum"),
+          round(avg(col("value")).over(w.rowsBetween(-2, 0)), 4).as("sliding_avg"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // §2.2 Windows: LEAD / LAG / FIRST_VALUE / LAST_VALUE
+    q("q_window_leadlag",
+      """SELECT user_id, event_id,
+        |  lag(value) OVER w AS prev_v,
+        |  lead(value) OVER w AS next_v,
+        |  first_value(value) OVER w AS first_v,
+        |  last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          lag(col("value"), 1).over(w).as("prev_v"),
+          lead(col("value"), 1).over(w).as("next_v"),
+          first(col("value")).over(w).as("first_v"),
+          last(col("value")).over(full).as("last_v"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // §2.2 Windows: NTILE / PERCENT_RANK / CUME_DIST over total order
+    q("q_window_ntile",
+      """SELECT o_orderkey,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // §2.2 Sort/limit: top-k (planned as TakeOrderedAndProject)
+    q("q_topk",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // §2.2 Set ops: UNION ALL
+    q("q_union_all",
+      """SELECT * FROM (
+        |  SELECT o_orderkey AS k, 'F' AS src FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey AS k, 'P' AS src FROM orders WHERE o_orderstatus = 'P'
+        |) u ORDER BY k, src""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("k"), lit("F").as("src"))
+        .union(o.filter(col("o_orderstatus") === "P")
+          .select(col("o_orderkey").as("k"), lit("P").as("src")))
+        .orderBy(col("k"), col("src"))
+    },
+
+    // §2.2 Set ops: UNION DISTINCT (Hive 1.2+ → emr-5 profile)
+    q("q_union_distinct",
+      """SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |UNION
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+        .union(o.filter(col("o_orderstatus") === "P").select(col("o_custkey").as("k")))
+        .distinct()
+        .orderBy(col("k"))
+    },
+
+    // §2.2 Set ops: INTERSECT (Hive 2.3 → emr-5)
+    q("q_intersect",
+      """SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+        .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k")))
+        .orderBy(col("k"))
+    },
+
+    // §2.2 Set ops: EXCEPT (Hive 2.3 → emr-5)
+    q("q_except",
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey").as("k"))
+        .except(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("k")))
+        .orderBy(col("k"))
+    },
+
+    // §2.2 Subqueries: uncorrelated IN
+    q("q_subquery_in",
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 7500)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      views(s, dir, "orders", "customer")
+      s.sql(
+        """SELECT o_orderkey, o_custkey FROM orders
+          |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 7500)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // §2.2 Subqueries: correlated EXISTS
+    q("q_subquery_exists",
+      """SELECT o_orderkey FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      views(s, dir, "orders", "lineitem")
+      s.sql(
+        """SELECT o_orderkey FROM orders
+          |WHERE EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // §2.2 Subqueries: scalar subquery (Hive 2.3 → emr-5)
+    q("q_subquery_scalar",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+        |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      views(s, dir, "orders")
+      s.sql(
+        """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+          |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // §2.2 CTE (WITH, Hive 0.13+)
+    q("q_cte",
+      """WITH cust_orders AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |         round(sum(o_totalprice), 2) AS spend
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c_mktsegment,
+        |  CAST(sum(n_orders) AS BIGINT) AS orders_n,
+        |  round(sum(spend), 2) AS seg_spend
+        |FROM customer JOIN cust_orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      views(s, dir, "orders", "customer")
+      s.sql(
+        """WITH cust_orders AS (
+          |  SELECT o_custkey, count(*) AS n_orders,
+          |         round(sum(o_totalprice), 2) AS spend
+          |  FROM orders GROUP BY o_custkey)
+          |SELECT c_mktsegment,
+          |  sum(n_orders) AS orders_n,
+          |  round(sum(spend), 2) AS seg_spend
+          |FROM customer JOIN cust_orders ON c_custkey = o_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    },
+
+    // §2.2 Lateral views / UDTFs: LATERAL VIEW explode (HiveQL verbatim)
+    q("q_lateral_explode",
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word
+        |  FROM documents WHERE doc_id < 100) w
+        |GROUP BY word ORDER BY word""".stripMargin) { (s, dir) =>
+      views(s, dir, "documents")
+      s.sql(
+        """SELECT word, count(*) AS n
+          |FROM documents LATERAL VIEW explode(split(text, ' ')) wt AS word
+          |WHERE doc_id < 100
+          |GROUP BY word ORDER BY word""".stripMargin)
+    },
+
+    // §2.2 UDTFs: posexplode (no clean DuckDB twin → rows-only check)
+    qNoOracle("q_posexplode") { (s, dir) =>
+      views(s, dir, "documents")
+      s.sql(
+        """SELECT doc_id, pos, word
+          |FROM documents LATERAL VIEW posexplode(split(text, ' ')) wt AS pos, word
+          |WHERE doc_id < 10 ORDER BY doc_id, pos""".stripMargin)
+    },
+
+    // §2.2 String function family
+    q("q_string_funcs",
+      """SELECT p_partkey,
+        |  upper(p_name) AS up, lower(p_brand) AS lo,
+        |  substring(p_name, 1, 5) AS sub5,
+        |  CAST(length(p_name) AS INT) AS len,
+        |  concat_ws('|', p_brand, p_type) AS bt,
+        |  lpad(CAST(p_size AS VARCHAR), 3, '0') AS size3,
+        |  replace(p_type, ' ', '_') AS type_u,
+        |  reverse(p_brand) AS rev,
+        |  trim(concat('  ', p_brand, ' ')) AS trimmed
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"),
+        upper(col("p_name")).as("up"), lower(col("p_brand")).as("lo"),
+        substring(col("p_name"), 1, 5).as("sub5"),
+        length(col("p_name")).as("len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("bt"),
+        lpad(col("p_size").cast("string"), 3, "0").as("size3"),
+        regexp_replace(col("p_type"), " ", "_").as("type_u"),
+        reverse(col("p_brand")).as("rev"),
+        trim(concat(lit("  "), col("p_brand"), lit(" "))).as("trimmed"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // §2.2 String family: regexp functions (explicit group idx — Spark
+    // defaults to 1, DuckDB to 0)
+    q("q_regex",
+      """SELECT doc_id,
+        |  regexp_extract(text, '([a-z]+)', 1) AS first_word,
+        |  CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS devoweled_len,
+        |  (regexp_matches(text, 'spark')) AS has_spark
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+          length(regexp_replace(col("text"), "[aeiou]", "")).as("devoweled_len"),
+          col("text").rlike("spark").as("has_spark"))
+        .orderBy(col("doc_id"))
+    },
+
+    // §2.2 Math function family
+    q("q_math_funcs",
+      """SELECT l_orderkey, l_linenumber,
+        |  round(sqrt(l_quantity), 6) AS sq,
+        |  round(ln(l_extendedprice), 6) AS lnp,
+        |  round(log10(l_extendedprice), 6) AS lg10,
+        |  round(pow(1.0 + l_discount, 2), 6) AS pw,
+        |  round(exp(l_discount), 6) AS ex,
+        |  CAST(floor(l_quantity / 7.0) AS BIGINT) AS fl,
+        |  CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ce,
+        |  round(abs(l_tax - 0.05), 4) AS ab,
+        |  round(greatest(l_discount, l_tax), 4) AS gr,
+        |  round(least(l_discount, l_tax), 4) AS le
+        |FROM lineitem WHERE l_orderkey < 300
+        |ORDER BY l_orderkey, l_linenumber, sq, lnp, pw, ab""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(sqrt(col("l_quantity")), 6).as("sq"),
+          round(log(col("l_extendedprice")), 6).as("lnp"),
+          round(log10(col("l_extendedprice")), 6).as("lg10"),
+          round(pow(lit(1.0) + col("l_discount"), 2), 6).as("pw"),
+          round(exp(col("l_discount")), 6).as("ex"),
+          floor(col("l_quantity") / 7.0).as("fl"),
+          ceil(col("l_quantity") / 7.0).as("ce"),
+          round(abs(col("l_tax") - 0.05), 4).as("ab"),
+          round(greatest(col("l_discount"), col("l_tax")), 4).as("gr"),
+          round(least(col("l_discount"), col("l_tax")), 4).as("le"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("sq"), col("lnp"),
+          col("pw"), col("ab"))
+    },
+
+    // §2.2 Date/time function family
+    q("q_date_funcs",
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS d,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  o_orderdate + INTERVAL 30 DAY AS plus30,
+        |  CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS INT) AS days_to_y2k
+        |FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          quarter(col("o_orderdate")).as("q"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("plus30"),
+          datediff(lit("2000-01-01").cast("timestamp"), col("o_orderdate"))
+            .as("days_to_y2k"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // §2.2 Conditional family: CASE / COALESCE / NULLIF / IF
+    q("q_conditional",
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'debt'
+        |       WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS band,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+        |  CASE WHEN c_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"),
+        when(col("c_acctbal") < 0, "debt")
+          .when(col("c_acctbal") < 5000, "low").otherwise("high").as("band"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"),
+        when(col("c_nationkey") % 2 === 0, "even").otherwise("odd").as("parity"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // §2.2 String family: get_json_object over events.props
+    q("q_json",
+      """SELECT event_type,
+        |  CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast("bigint")).as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+
+    // §2.2 UDTFs: json_tuple LATERAL VIEW
+    q("q_json_tuple",
+      """SELECT event_id, regexp_extract(props, '([0-9]+)', 1) AS k
+        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      views(s, dir, "events")
+      s.sql(
+        """SELECT event_id, k
+          |FROM events LATERAL VIEW json_tuple(props, 'k') jt AS k
+          |WHERE event_id < 500 ORDER BY event_id""".stripMargin)
+    },
+
+    // §2.2 HAVING
+    q("q_having",
+      """SELECT o_custkey, count(*) AS n
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 3
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 3)
+        .orderBy(col("o_custkey"))
+    },
+
+    // §2.2 Type coercion (Hive-lax casts; ANSI off)
+    q("q_casts",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(trunc(l_quantity) AS BIGINT) AS qty_int,
+        |  CAST(l_orderkey AS VARCHAR) AS key_str,
+        |  CAST(CAST(trunc(l_extendedprice) AS INT) AS DOUBLE) AS price_trunc,
+        |  TRY_CAST('12x' AS INT) AS bad_int
+        |FROM lineitem WHERE l_orderkey < 200
+        |ORDER BY l_orderkey, l_linenumber, qty_int, price_trunc""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("bigint").as("qty_int"),
+          col("l_orderkey").cast("string").as("key_str"),
+          col("l_extendedprice").cast("int").cast("double").as("price_trunc"),
+          lit("12x").cast("int").as("bad_int")) // non-ANSI → NULL, like Hive
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty_int"),
+          col("price_trunc"))
+    },
+
+    // §2.2 DISTRIBUTE BY / SORT BY (per-partition semantics → rows-only)
+    qNoOracle("q_distribute_sort") { (s, dir) =>
+      views(s, dir, "lineitem")
+      s.sql(
+        """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+          |DISTRIBUTE BY l_orderkey SORT BY l_orderkey, l_linenumber""".stripMargin)
+    },
+
+    // §2.2 TABLESAMPLE (sampling is engine-specific → rows-only)
+    qNoOracle("q_tablesample") { (s, dir) =>
+      views(s, dir, "lineitem")
+      s.sql(
+        """SELECT l_orderkey, l_linenumber FROM lineitem
+          |TABLESAMPLE (10 PERCENT) REPEATABLE (42)""".stripMargin)
+    }
+  )
+
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map(d => d.name -> d.fn).toMap
+
+  val oracles: Map[String, String] =
+    defs.flatMap(d => d.oracle.map(d.name -> _)).toMap
+}

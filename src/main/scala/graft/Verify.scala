@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS); read as long (nanos) —
+      // ordering semantics match DuckDB's native TIMESTAMP_NS ordering
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Hive-lax coercion (SURVEY §7.4.2): cast('12x' AS INT) → NULL
+      .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

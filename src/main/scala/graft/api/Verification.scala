@@ -1,0 +1,87 @@
+package graft.api
+
+import java.io.PrintStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.run.{Manifest, ManifestRunner, Task}
+import org.apache.spark.sql.SparkSession
+
+/** Scala builder API mirroring the reference's public Ruby surface
+  * (`lib/bee-proof/verification.rb:12-41`): construct per EMR release,
+  * append tasks, `run()` writes a manifest JSON and executes it.
+  *
+  * Single-process design: the reference shells out Ruby→JVM
+  * (`lib/bee-proof.rb:36-49`); we collapse that boundary (SURVEY.md §3.1)
+  * and keep `release` only as a dialect toggle.
+  */
+final class Verification private (
+    val release: String,
+    enableHadoop: Boolean,
+    verboseOutput: Boolean,
+    debugOutput: Boolean,
+    tasks: Vector[Task],
+    session: Option[SparkSession]) {
+
+  def withHadoop(enabled: Boolean): Verification = copy(enableHadoop = enabled)
+  def withVerbose(v: Boolean): Verification = copy(verboseOutput = v)
+  def withDebug(d: Boolean): Verification = copy(debugOutput = d)
+  def withSession(s: SparkSession): Verification = copy(session = Some(s))
+
+  def addTask(script: String, variables: Map[String, String] = Map.empty): Verification =
+    copy(tasks = tasks :+ Task(script, variables))
+
+  /** Serialize the manifest (same JSON shape the reference's gem writes to
+    * `/tmp/bee-proof-manifest.json`, `verification.rb:28-40`) and run it. */
+  def run(out: PrintStream = System.out,
+      manifestPath: String = defaultManifestPath): Unit = {
+    require(tasks.forall(_.valid), {
+      val bad = tasks.filterNot(_.valid).map(_.script).mkString(", ")
+      s"Task scripts not found: $bad"
+    })
+    Files.createDirectories(Paths.get(manifestPath).getParent)
+    Files.write(Paths.get(manifestPath),
+      manifestJson.getBytes(StandardCharsets.UTF_8))
+    new ManifestRunner(manifestPath, out, session).run()
+  }
+
+  def manifest: Manifest = Manifest(enableHadoop, verboseOutput, debugOutput, tasks)
+
+  def manifestJson: String = {
+    def q(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val taskJson = tasks.map { t =>
+      val vars = t.variables.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ", ", "}")
+      s"""{"script": ${q(t.script)}, "variables": $vars}"""
+    }.mkString("[", ", ", "]")
+    s"""{"enableHadoop": $enableHadoop, "verboseOutput": $verboseOutput, """ +
+      s""""debugOutput": $debugOutput, "tasks": $taskJson}"""
+  }
+
+  private def defaultManifestPath =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/bee-proof-manifest.json"
+
+  private def copy(
+      enableHadoop: Boolean = enableHadoop,
+      verboseOutput: Boolean = verboseOutput,
+      debugOutput: Boolean = debugOutput,
+      tasks: Vector[Task] = tasks,
+      session: Option[SparkSession] = session) =
+    new Verification(release, enableHadoop, verboseOutput, debugOutput, tasks, session)
+}
+
+object Verification {
+  val Releases = Set("emr-3", "emr-4", "emr-5") // lib/bee-proof.rb:59-61
+
+  def forRelease(release: String): Verification = {
+    require(Releases.contains(release), s"Unknown EMR release: $release")
+    new Verification(release, enableHadoop = false, verboseOutput = true,
+      debugOutput = false, Vector.empty, None)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Builds the engine's [[SparkSession]] with the reference's
+  * local-simulation parity defaults.
+  *
+  * The reference (mangohealth/bee-proof) boots an embedded Hive session over
+  * a throwaway working dir `./bee-proof-tmp/` with an in-memory Derby
+  * metastore (`ManifestRunner.java:169-229`): warehouse under
+  * `bee-proof-tmp/warehouse` (`:196`), fail-fast statement errors (`:194`),
+  * map-join auto-conversion off (`:205`), skew-join off (`:206`), stats
+  * autogather off (`:201`). We map those simulation-fidelity choices to
+  * Spark conf; Spark-native speedups (vectorized parquet, codegen, AQE)
+  * stay on because they change speed, not results.
+  */
+object SessionFactory {
+
+  /** Name of the throwaway working directory, mirroring the reference's
+    * `bee-proof-tmp` (`ManifestRunner.java:182-186`). */
+  val WorkDirName = "bee-proof-tmp"
+
+  /** Hive-parity session: non-ANSI coercion (Hive 0.13-like laxity),
+    * broadcast-join auto-conversion off (`ManifestRunner.java:205` parity,
+    * re-enable via `broadcastJoins=true`), dynamic partition overwrite
+    * (Hive INSERT OVERWRITE ... PARTITION semantics).
+    */
+  def local(
+      cores: String = "*",
+      workBaseDir: String = ".",
+      broadcastJoins: Boolean = false,
+      appName: String = "bee-proof-spark"): SparkSession = {
+    val workDir = new java.io.File(workBaseDir, WorkDirName)
+    deleteRecursively(workDir)
+    workDir.mkdirs()
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_CPUS",
+        String.valueOf(Runtime.getRuntime.availableProcessors()))
+    val b = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", "true")
+      // Hive-like implicit casts instead of ANSI errors (SURVEY §7.4.2)
+      .config("spark.sql.ansi.enabled", "false")
+      // Hive INSERT OVERWRITE touches only written partitions
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // Hive's SELECT `(ds)?+.+` regex-column syntax
+      .config("spark.sql.parser.quotedRegexColumnNames", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        new java.io.File(workDir, "warehouse").getAbsolutePath)
+      // fresh in-memory catalog per run = throwaway Derby metastore parity
+      .config("spark.sql.catalogImplementation", "in-memory")
+    val withJoin =
+      if (broadcastJoins) b
+      else b.config("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val spark = withJoin.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+}

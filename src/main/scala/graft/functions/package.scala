@@ -1,0 +1,9 @@
+package graft
+
+/** Public facade for the engine's custom Catalyst expressions (which live
+  * under `org.apache.spark.sql.graft` because `ExpectsInputTypes` exposes
+  * the `private[sql]` type `AbstractDataType`). */
+package object functions {
+  val GraftFunctions: org.apache.spark.sql.graft.GraftFunctions.type =
+    org.apache.spark.sql.graft.GraftFunctions
+}

@@ -1,0 +1,140 @@
+package graft.ops
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale document deduplication operators.
+  *
+  * Five strategies, each a distributed Spark plan with no driver-side
+  * loops, designed for the 100 TB shape of a training-data pipeline:
+  *
+  *  - exact: hash-groupBy on content (one shuffle on a 8-byte key when
+  *    [[graft.functions.Fingerprint64]] pre-hashes the text);
+  *  - n-gram Jaccard: shingle → explode → self-join on shingle →
+  *    count-ratio (exact but quadratic in candidates; use on candidate
+  *    pairs, not the full corpus);
+  *  - MinHash+LSH: shingle → k min-hashes → band → bucket-join — the
+  *    scale path: candidate generation is linear + one shuffle on band
+  *    keys, then exact Jaccard verifies only the candidates;
+  *  - SimHash: 64-bit signature, Hamming-band bucket join;
+  *  - embedding cosine: see [[Similarity]].
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct text with the keeper id and
+    * duplicate count. GroupBy on the 64-bit fingerprint (not the full
+    * text) keeps the shuffle narrow at 100 TB; text equality within a
+    * fingerprint bucket is exact via first(text) comparison downstream
+    * (collision probability ~2^-64). */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(GraftFunctions.fingerprint64(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct (id, shingle) pairs — the exploded set-representation both
+    * Jaccard and MinHash build on. `n = 1` gives token sets. */
+  def shingleSet(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(GraftFunctions.shingles(split(col(textCol), "\\s+"), n)).as("shingle"))
+
+  /** Exact pairwise n-gram Jaccard over the given doc set: self-join on
+    * shingle, count intersections, divide by union. Quadratic — intended
+    * for verification of LSH candidates or small filtered subsets. */
+  def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = shingleSet(docs, n, idCol, textCol).cache()
+    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val common = toks.as("a")
+      .join(toks.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signature: for each of `k` seeded hash functions, the min
+    * hash over the doc's shingle set. One explode + one groupBy with k
+    * partial-mergeable min-aggregates (map-side combine keeps the shuffle
+    * at k longs per doc regardless of doc size). */
+  def minhashSignatures(shingled: DataFrame, k: Int): DataFrame = {
+    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
+    shingled.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: split the k-column signature into `bands` bands of
+    * k/bands rows each, hash each band to a bucket key, explode to
+    * (band, bucket, id). Docs sharing any band-bucket are candidates. */
+  def lshBands(signatures: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val r = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * r until (b + 1) * r).map(i => col(s"mh$i")): _*).as("bucket"))
+    }
+    signatures.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate pairs from LSH buckets (distinct, id_a < id_b). The
+    * groupBy+self-join shape shuffles only (band,bucket,id) triples. */
+  def lshCandidates(bandRows: DataFrame): DataFrame =
+    bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+  /** Full MinHash+LSH near-dup pipeline: candidates from banding, then
+    * exact Jaccard verification restricted to candidate pairs only. */
+  def minhashNearDups(docs: DataFrame, n: Int, k: Int, bands: Int,
+      threshold: Double, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val shingled = shingleSet(docs, n, idCol, textCol).cache()
+    val cands = lshCandidates(lshBands(minhashSignatures(shingled, k), k, bands))
+    val sizes = shingled.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    // verify: join candidate pairs back to shingle sets, count overlap
+    val common = cands
+      .join(shingled.as("sa"), col("id_a") === col("sa.id"))
+      .join(shingled.as("sb"),
+        col("id_b") === col("sb.id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash near-dup: 64-bit signatures, banded into 4×16-bit chunks —
+    * any pair within Hamming distance 3 shares at least one intact chunk
+    * (pigeonhole), so the bucket join finds all such pairs; bit_count
+    * verifies the exact distance. */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"),
+      GraftFunctions.simhash64(split(col(textCol), "\\s+")).as("sig"))
+    val chunks = sigs.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("cb"))
+      .select(col("id"), col("sig"), col("cb.chunk").as("chunk"), col("cb.key").as("key"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, decoded/feature-extracted per partition.
+  *
+  * The Spark-side shape is real and tested — schema, partition-parallel
+  * batch iteration (`mapPartitions` over the typed Dataset, the Scala
+  * analog of `mapInPandas` batches), and downstream relational use of the
+  * extracted metadata. The codec itself is STUBBED with a deterministic
+  * fake (this container ships no image/audio libraries): `decodeStub`
+  * derives plausible metadata purely from the payload bytes, so results
+  * are reproducible and oracle-checkable.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class MediaMeta(
+      doc_id: Long, n_bytes: Int, width: Int, height: Int, n_frames: Int)
+  final case class MediaFeature(doc_id: Long, feature: Array[Float])
+
+  /** Attach an opaque binary payload column (here: the UTF-8 bytes of the
+    * text stand in for an image blob — in production this column comes
+    * straight from the lakehouse). */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  /** STUB decode: where a real pipeline calls an image codec on each
+    * payload, we derive deterministic fake dimensions from the byte
+    * length. Runs per-partition: the iterator shape is exactly where a
+    * real decoder would amortize library init across a batch. */
+  def decodeStub(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real impl: val codec = ImageCodec.open() — once per partition
+      rows.map { r =>
+        val n = r.payload.length
+        MediaMeta(r.doc_id, n, width = n % 640, height = (n / 640) % 480,
+          n_frames = n % 16)
+      }
+    }
+  }
+
+  /** STUB feature extraction: a real pipeline would run a vision encoder
+    * per batch; we emit a deterministic 8-dim byte-histogram sketch so the
+    * downstream similarity plumbing is exercised end-to-end. */
+  def featureStub(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val hist = new Array[Float](8)
+        var i = 0
+        while (i < r.payload.length) {
+          hist((r.payload(i) & 0xff) % 8) += 1f
+          i += 1
+        }
+        val total = math.max(1f, r.payload.length.toFloat)
+        MediaFeature(r.doc_id, hist.map(_ / total))
+      }
+    }
+  }
+
+  /** Full stub pipeline: payload → decode → metadata DataFrame, ready for
+    * relational ops (the driver-checkable query in PipelineQueries). */
+  def decodedMetadata(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    decodeStub(withPayload(docs).as[MediaRow]).toDF()
+  }
+}

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a single scan of the base table
+  * against a broadcast query set (no quadratic shuffle; the only wide
+  * exchange carries skinny (query_id, vec_id, sim) triples into the
+  * per-query top-k).
+  *
+  * Scale path: random-hyperplane LSH — per-row signature computation
+  * (narrow), bucket join on (table, key), cosine re-rank of candidates
+  * only. At 100 TB the bucket join replaces the full cross product with
+  * |buckets| co-partitioned joins.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns via codegen'd higher-order
+    * functions (no UDF): fold over zip_with products. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Brute-force cosine top-k: every query (small, broadcast) against the
+    * full base. Pre-computes norms once per side so the cross join does
+    * one dot per pair. */
+  def bruteForceTopK(embs: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val base = embs.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    val queries = base.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    base.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("emb"), col("qemb")) / (col("nrm") * col("qnrm")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rk"))
+  }
+
+  /** All near-duplicate pairs by cosine ≥ threshold (brute-force; for the
+    * scale path feed [[lshCandidatePairs]] into the same verifier). */
+  def cosineNearDupPairs(embs: DataFrame, threshold: Double): DataFrame = {
+    val base = embs.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    base.as("a").join(base.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")), 6)
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Deterministic random hyperplanes: `tables` signature tables of
+    * `bits` hyperplanes each, components from a seeded Gaussian. Literal
+    * constants — shipped to executors inside the serialized plan, no
+    * broadcast round-trip. */
+  def hyperplanes(tables: Int, bits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(tables)(Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian())))
+  }
+
+  /** (vec_id, table, key) signature rows: key = sign-bit pattern of the
+    * vector against each table's hyperplanes. Pure per-row computation
+    * via higher-order functions — stays inside codegen, no UDF. */
+  def lshSignatures(embs: DataFrame, planes: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val emb = asDouble(col("embedding"))
+    val tableKeys = planes.zipWithIndex.map { case (tablePlanes, ti) =>
+      val bitCols = tablePlanes.zipWithIndex.map { case (plane, bi) =>
+        val planeLit = typedLit(plane)
+        when(aggregate(zip_with(emb, planeLit, (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) > 0, lit(1L).cast("long") * (1L << bi))
+          .otherwise(0L)
+      }
+      struct(lit(ti).as("table"), bitCols.reduce(_ + _).as("key"))
+    }
+    embs.select(col("vec_id"), explode(array(tableKeys: _*)).as("tk"))
+      .select(col("vec_id"), col("tk.table").as("table"), col("tk.key").as("key"))
+  }
+
+  /** Candidate pairs: ids sharing a bucket in any table. */
+  def lshCandidatePairs(embs: DataFrame, planes: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val sigs = lshSignatures(embs, planes)
+    sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.table") === col("b.table") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+  }
+
+  /** LSH-accelerated top-k for a query subset: candidates from bucket
+    * sharing, cosine re-rank, per-query top-k. Recall < 1 by design;
+    * verified against brute force in the test suite. */
+  def lshTopK(embs: DataFrame, queryPred: Column, k: Int,
+      planes: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val base = embs.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    val cands = lshCandidatePairs(embs, planes)
+    // symmetrize so either endpoint can be the query
+    val sym = cands.union(cands.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val queries = base.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    sym.join(queries, col("id_a") === col("query_id"))
+      .join(base, col("id_b") === col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("emb"), col("qemb")) / (col("nrm") * col("qnrm")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rk"))
+  }
+}

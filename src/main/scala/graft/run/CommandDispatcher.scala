@@ -1,0 +1,102 @@
+package graft.run
+
+import java.io.PrintStream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.collection.mutable
+
+/** Handles the non-query command statements an HQL script may contain
+  * (SURVEY.md §2.2 "Commands"): `SET` (with EMR conf aliasing), `ADD/LIST/
+  * DELETE JAR|FILE|ARCHIVE`, `dfs <cmd>`, `!shell`, `source <file>`. In the
+  * reference these flow through Hive's `CliDriver.processCmd` command
+  * processors (`ManifestRunner.java:236`); `SET` is additionally patched so
+  * EMR-only keys don't crash stock Hive (`ManifestRunner.java:28-30,136-153`).
+  */
+final class CommandDispatcher(
+    spark: SparkSession,
+    out: PrintStream,
+    runSource: String => Unit) {
+
+  /** Conf keys Spark refuses to set at runtime still need to be visible to
+    * later `SET key` reads, matching Hive's accept-anything behavior. */
+  private val confOverlay = mutable.Map.empty[String, String]
+  val hiveVars = mutable.Map.empty[String, String]
+
+  def confLookup(key: String): Option[String] =
+    confOverlay.get(key).orElse(spark.conf.getOption(key))
+
+  /** EMR-only conf keys that stock Hive's `SetProcessor` would reject; the
+    * reference renames them `hive.X` -> `emrhive.X`
+    * (`ManifestRunner.java:28-30,144-153`). */
+  private val emrConfigs = Set("hive.optimize.s3.query")
+
+  def emrHiveConfStripper(name: String): String =
+    if (emrConfigs.contains(name.toLowerCase)) "emrhive." + name.substring(5)
+    else name
+
+  private val SetKv = """(?is)^set\s+(.+?)\s*=\s*(.*)$""".r
+  private val SetKey = """(?is)^set\s+([^=\s]+)\s*$""".r
+  private val SetAll = """(?is)^set\s*(-v)?\s*$""".r
+  private val AddRes = """(?is)^(add|list|delete)\s+(jars?|files?|archives?)\b(.*)$""".r
+  private val Dfs = """(?is)^dfs\s+(.+)$""".r
+  private val Shell = """(?s)^!\s*(.+)$""".r
+  private val Source = """(?is)^source\s+(.+)$""".r
+
+  /** Returns Some(df) if the statement was handled as a command (df may be
+    * empty), None if it should go to `spark.sql`. */
+  def dispatch(stmt: String): Option[Unit] = stmt match {
+    case SetAll(v) =>
+      // SET / SET -v: dump conf (Hive prints key=value lines)
+      val all = spark.conf.getAll ++ confOverlay
+      val filtered = if (v == null) all.filter(_._1.startsWith("spark.sql")) else all
+      filtered.toSeq.sortBy(_._1).foreach { case (k, x) => out.println(s"$k=$x") }
+      Some(())
+    case SetKv(k0, v) =>
+      val k = emrHiveConfStripper(k0.trim)
+      if (k.startsWith("hivevar:")) hiveVars(k.stripPrefix("hivevar:")) = v
+      else if (k.startsWith("hiveconf:")) setConf(k.stripPrefix("hiveconf:"), v)
+      else if (k.startsWith("system:")) sys.props(k.stripPrefix("system:")) = v
+      else setConf(k, v)
+      Some(())
+    case SetKey(k0) =>
+      val k = emrHiveConfStripper(k0.trim)
+      val shown = confLookup(k).getOrElse(s"$k is undefined")
+      out.println(s"$k=${confLookup(k).getOrElse("")}")
+      if (shown == s"$k is undefined") () // Hive prints "key is undefined"; keep simple key= echo
+      Some(())
+    case AddRes(_, _, _) =>
+      // Spark SQL natively supports ADD/LIST JAR|FILE|ARCHIVE
+      try spark.sql(stmt).collect()
+      catch { case e: Exception => out.println(s"[WARN] $stmt: ${e.getMessage}") }
+      Some(())
+    case Dfs(cmd) =>
+      runDfs(cmd)
+      Some(())
+    case Shell(cmd) =>
+      val code = scala.sys.process.Process(Seq("bash", "-c", cmd)).!(
+        scala.sys.process.ProcessLogger(out.println, out.println))
+      if (code != 0) throw new RuntimeException(s"Shell command failed ($code): $cmd")
+      Some(())
+    case Source(path) =>
+      runSource(stripQuotes(path.trim))
+      Some(())
+    case _ => None
+  }
+
+  private def setConf(k: String, v: String): Unit =
+    try spark.conf.set(k, v)
+    catch { case _: Exception => confOverlay(k) = v } // static/unknown conf: tolerate like Hive
+
+  private def runDfs(cmd: String): Unit = {
+    val shell = new org.apache.hadoop.fs.FsShell(spark.sparkContext.hadoopConfiguration)
+    val args = cmd.trim.split("\\s+")
+    val code = shell.run(args)
+    if (code != 0) throw new RuntimeException(s"dfs command failed ($code): $cmd")
+  }
+
+  private def stripQuotes(s: String): String =
+    if (s.length >= 2 && ((s.head == '\'' && s.last == '\'') || (s.head == '"' && s.last == '"')))
+      s.substring(1, s.length - 1)
+    else s
+}

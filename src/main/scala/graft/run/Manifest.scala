@@ -1,0 +1,72 @@
+package graft.run
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** A single unit of work: an HQL script plus its Hive variables.
+  * Mirrors the reference's task value object (`FakeEmrManifest.java:17-30`,
+  * `lib/bee-proof/task.rb:1-22`). */
+final case class Task(script: String, variables: Map[String, String]) {
+  def valid: Boolean = new java.io.File(script).isFile
+}
+
+/** Parsed fake-EMR manifest.
+  *
+  * JSON shape (`FakeEmrManifest.java:50-86`, `README.md:37-56`):
+  * `{enableHadoop, verboseOutput, debugOutput, tasks:[{script, variables}]}`.
+  * Defaults: enableHadoop=false, verboseOutput=true, debugOutput=false
+  * (`FakeEmrManifest.java:56-58`). The README documents `quietOutput`
+  * (`README.md:40,53`) but the code reads `verboseOutput` — we accept both,
+  * code key winning, so either vintage of manifest works.
+  */
+final case class Manifest(
+    enableHadoop: Boolean,
+    verboseOutput: Boolean,
+    debugOutput: Boolean,
+    tasks: Seq[Task])
+
+object Manifest {
+  def fromFile(path: String): Manifest =
+    try fromJson(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+    catch {
+      case e: Exception =>
+        throw new RuntimeException("Could not load fake EMR manifest file", e)
+    }
+
+  def fromJson(rawJson: String): Manifest = {
+    val obj = JsonMethods.parse(rawJson)
+    def bool(name: String, default: Boolean): Boolean = obj \ name match {
+      case JBool(b) => b
+      case _        => default
+    }
+    val verbose = obj \ "verboseOutput" match {
+      case JBool(b) => b
+      case _ => obj \ "quietOutput" match { // stale README key, inverted sense
+        case JBool(q) => !q
+        case _        => true
+      }
+    }
+    val tasks = obj \ "tasks" match {
+      case JArray(ts) => ts.map { t =>
+        val script = t \ "script" match {
+          case JString(s) => s
+          case _ => throw new RuntimeException("task missing 'script'")
+        }
+        val vars = t \ "variables" match {
+          case JObject(fields) => fields.collect {
+            case (k, JString(v)) => k -> v
+            case (k, JInt(v))    => k -> v.toString
+            case (k, JBool(v))   => k -> v.toString
+            case (k, JDouble(v)) => k -> v.toString
+          }.toMap
+          case _ => Map.empty[String, String]
+        }
+        Task(script, vars)
+      }
+      case _ => Nil
+    }
+    Manifest(bool("enableHadoop", false), verbose, bool("debugOutput", false), tasks)
+  }
+}

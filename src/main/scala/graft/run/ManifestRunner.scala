@@ -1,0 +1,67 @@
+package graft.run
+
+import java.io.PrintStream
+
+import graft.engine.SessionFactory
+import org.apache.spark.sql.SparkSession
+
+/** Entry point for running fake-EMR task manifests on Spark.
+  *
+  * Mirrors the reference's `ManifestRunner` lifecycle
+  * (`ManifestRunner.java:41-57,231-263`): parse manifest → init throwaway
+  * session → run each task's script sequentially, aborting the run on the
+  * first failure → print `> Total time:  <ms>ms`.
+  */
+final class ManifestRunner(
+    manifestFilePath: String,
+    out: PrintStream,
+    sessionOverride: Option[SparkSession] = None) {
+
+  lazy val manifest: Manifest = Manifest.fromFile(manifestFilePath)
+
+  def run(): Unit = {
+    val m = manifest
+    if (m.debugOutput) {
+      out.println(">>>>>>>> Manifest received:")
+      out.println(m.toString)
+      out.println()
+    }
+    val spark = sessionOverride.getOrElse(SessionFactory.local())
+    if (m.debugOutput) {
+      out.println(">>>>>>>> Current Spark Config:")
+      spark.conf.getAll.toSeq.sortBy(_._1)
+        .foreach { case (k, v) => out.println(s"$k=$v") }
+      out.println()
+    }
+    val runner = new ScriptRunner(spark, validateOnly = !m.enableHadoop,
+      verbose = m.verboseOutput, out)
+    m.tasks.foreach { task =>
+      out.println(s">>>>>>>> Processing:  ${task.script}")
+      try runner.runScriptFile(task.script, task.variables)
+      catch {
+        case e: Exception =>
+          throw new RuntimeException(s"Failed to execute script:  ${task.script}", e)
+      }
+      out.println(); out.println()
+    }
+  }
+}
+
+object ManifestRunner {
+  /** Quiet Spark's startup logging before the session exists, mirroring
+    * the reference's console-FATAL log4j init (`ManifestRunner.java:73-79`). */
+  def initLogging(): Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 1)
+      throw new RuntimeException(
+        "You must provide a CLI param with a path to the manifest file!")
+    initLogging()
+    val startTime = System.currentTimeMillis()
+    new ManifestRunner(args(0), new PrintStream(System.out, true, "UTF-8")).run()
+    println(s"> Total time:  ${System.currentTimeMillis() - startTime}ms")
+  }
+}

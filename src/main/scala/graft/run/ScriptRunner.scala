@@ -1,0 +1,117 @@
+package graft.run
+
+import java.io.PrintStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.script.{HqlScriptParser, VariableSubstitutor}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.graft.GraftBridge
+
+/** Executes one HQL script statement-by-statement on Spark.
+  *
+  * Reference behavior being rebuilt (`ManifestRunner.java:231-246` +
+  * delegated `CliDriver.processFile`): per-task Hive variables, statement
+  * echo when verbose, fail-fast on first error
+  * (`CLIIGNOREERRORS=false`, `ManifestRunner.java:194`), and — when
+  * `enableHadoop=false` — a validation-only mode where DDL and commands
+  * still apply their catalog effects but data-moving work is skipped with a
+  * `> Skipped!` trace (`ManifestRunner.java:85-134`, `README.md:52`).
+  *
+  * Spark-native design (SURVEY.md §3.3): no bytecode patching — validate
+  * mode stops after `queryExecution.analyzed` for queries/DML, runs DDL
+  * normally, and rewrites CTAS to `LIMIT 0` so the table is created empty
+  * (create = DDL, populate = blocked, matching the reference's
+  * MoveTask/MapRedTask block at `ManifestRunner.java:86-106`).
+  */
+final class ScriptRunner(
+    spark: SparkSession,
+    validateOnly: Boolean,
+    verbose: Boolean,
+    out: PrintStream) {
+
+  private val dispatcher = new CommandDispatcher(spark, out, runScriptFile(_, Map.empty))
+
+  def runScriptFile(path: String, variables: Map[String, String]): Unit = {
+    val text = new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8)
+    runScriptText(text, variables, path)
+  }
+
+  def runScriptText(text: String, variables: Map[String, String],
+      label: String = "<inline>"): Unit = {
+    HqlScriptParser.split(text).foreach { raw =>
+      // substitutor rebuilt per statement: SET hivevar:x=… earlier in the
+      // same script must be visible to later statements
+      val subst = new VariableSubstitutor(
+        variables ++ dispatcher.hiveVars, dispatcher.confLookup)
+      val stmt = subst.substitute(raw).trim
+      if (stmt.nonEmpty) {
+        if (verbose) { out.println(); out.println(stmt) }
+        try runStatement(stmt)
+        catch {
+          case e: Exception =>
+            // Hive error text carries line:char positions relative to the
+            // echoed statement (README.md:75); Spark's ParseException does too.
+            out.println(s"FAILED: ${e.getMessage}")
+            throw e
+        }
+      }
+    }
+  }
+
+  /** Execute a single (already-substituted) statement. */
+  def runStatement(stmt: String): Unit = {
+    dispatcher.dispatch(stmt) match {
+      case Some(_) => ()
+      case None if !validateOnly =>
+        val df = spark.sql(stmt)
+        if (returnsRows(df.queryExecution.analyzed))
+          // Hive CLI prints result rows tab-separated; NULL as "NULL"
+          df.collect().foreach { row =>
+            out.println((0 until row.length)
+              .map(i => if (row.isNullAt(i)) "NULL" else row.get(i).toString)
+              .mkString("\t"))
+          }
+        else df.collect(): Unit
+      case None => runValidateOnly(stmt)
+    }
+  }
+
+  /** Validate-only path: parse + analyze always (catalog lookups happen),
+    * execute only catalog-effecting commands; CTAS creates an empty table. */
+  private def runValidateOnly(stmt: String): Unit = {
+    val parsed = GraftBridge.parsePlan(spark, stmt)
+    parsed match {
+      case _: InsertIntoStatement | _: InsertIntoDir =>
+        GraftBridge.analyze(spark, parsed) // full analysis incl. metastore checks
+        out.println("> Skipped!")
+      case ctas: CreateTableAsSelect =>
+        // create = DDL (runs), populate = blocked: rewrite query to LIMIT 0
+        val empty = ctas.copy(query = Limit(
+          org.apache.spark.sql.catalyst.expressions.Literal(0), ctas.query))
+        GraftBridge.ofRows(spark, empty).collect()
+        out.println("> Skipped!")
+      case c if isCommand(c) =>
+        spark.sql(stmt).collect(): Unit
+      case _ =>
+        GraftBridge.analyze(spark, parsed) // plain query: analyze, don't run
+        out.println("> Skipped!")
+    }
+  }
+
+  private def isCommand(plan: LogicalPlan): Boolean = plan match {
+    case _: Command => true
+    // unresolved DDL/command statements analyze into Command nodes; detect by
+    // package to avoid enumerating every statement class
+    case p => p.getClass.getName.contains("Command") ||
+      p.getClass.getName.endsWith("Statement") &&
+        !p.isInstanceOf[InsertIntoStatement]
+  }
+
+  private def returnsRows(analyzed: LogicalPlan): Boolean = analyzed match {
+    case c: Command => c.output.nonEmpty // SHOW/DESCRIBE/EXPLAIN return rows
+    case _: InsertIntoStatement | _: InsertIntoDir => false
+    case _ => analyzed.output.nonEmpty
+  }
+}

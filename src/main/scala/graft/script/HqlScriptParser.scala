@@ -1,0 +1,105 @@
+package graft.script
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Quote-aware HiveQL script statement splitter.
+  *
+  * Re-implements what `CliDriver.processFile`/`processLine` do for the
+  * reference (reached via `ManifestRunner.java:236`): a script file is a
+  * sequence of `;`-separated statements; `;` inside single/double-quoted
+  * strings or backtick identifiers does not split; `--` starts a
+  * line-comment outside quotes; statements are trimmed before dispatch
+  * (the reference patches `processCmd` to trim — `ManifestRunner.java:158-164`).
+  */
+object HqlScriptParser {
+
+  /** Split a script into trimmed, non-empty statements. */
+  def split(script: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    val n = script.length
+    var state: Char = 'N' // N normal, ' single, " double, ` backtick, L line-comment, B block-comment
+    def flush(): Unit = {
+      val s = stripComments(cur.toString).trim
+      if (s.nonEmpty) out += s
+      cur.clear()
+    }
+    while (i < n) {
+      val c = script.charAt(i)
+      state match {
+        case 'N' =>
+          if (c == '\'') { state = '\''; cur += c }
+          else if (c == '"') { state = '"'; cur += c }
+          else if (c == '`') { state = '`'; cur += c }
+          else if (c == '-' && i + 1 < n && script.charAt(i + 1) == '-') {
+            state = 'L'; cur += c
+          } else if (c == '/' && i + 1 < n && script.charAt(i + 1) == '*') {
+            state = 'B'; cur += c
+          } else if (c == ';') flush()
+          else cur += c
+        case '\'' =>
+          cur += c
+          if (c == '\\' && i + 1 < n) { i += 1; cur += script.charAt(i) }
+          else if (c == '\'') state = 'N'
+        case '"' =>
+          cur += c
+          if (c == '\\' && i + 1 < n) { i += 1; cur += script.charAt(i) }
+          else if (c == '"') state = 'N'
+        case '`' =>
+          cur += c
+          if (c == '`') state = 'N'
+        case 'L' =>
+          cur += c
+          if (c == '\n') state = 'N'
+        case 'B' =>
+          cur += c
+          if (c == '*' && i + 1 < n && script.charAt(i + 1) == '/') {
+            i += 1; cur += '/'; state = 'N'
+          }
+      }
+      i += 1
+    }
+    flush()
+    out.toSeq
+  }
+
+  /** Remove `--` line comments and `/* */` block comments that the splitter
+    * kept inside a statement, so comment-only statements become empty and
+    * leading comments don't confuse command dispatch. Quote-aware. */
+  def stripComments(stmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    val n = stmt.length
+    var state: Char = 'N'
+    while (i < n) {
+      val c = stmt.charAt(i)
+      state match {
+        case 'N' =>
+          if (c == '\'') { state = '\''; sb += c }
+          else if (c == '"') { state = '"'; sb += c }
+          else if (c == '`') { state = '`'; sb += c }
+          else if (c == '-' && i + 1 < n && stmt.charAt(i + 1) == '-') state = 'L'
+          else if (c == '/' && i + 1 < n && stmt.charAt(i + 1) == '*') { state = 'B'; i += 1 }
+          else sb += c
+        case '\'' =>
+          sb += c
+          if (c == '\\' && i + 1 < n) { i += 1; sb += stmt.charAt(i) }
+          else if (c == '\'') state = 'N'
+        case '"' =>
+          sb += c
+          if (c == '\\' && i + 1 < n) { i += 1; sb += stmt.charAt(i) }
+          else if (c == '"') state = 'N'
+        case '`' =>
+          sb += c
+          if (c == '`') state = 'N'
+        case 'L' =>
+          if (c == '\n') { sb += c; state = 'N' }
+        case 'B' =>
+          if (c == '*' && i + 1 < n && stmt.charAt(i + 1) == '/') { i += 1; state = 'N' }
+      }
+      i += 1
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,56 @@
+package graft.script
+
+import java.util.regex.{Matcher, Pattern}
+
+/** Hive-variable textual substitution.
+  *
+  * The reference injects manifest `variables` via
+  * `CliDriver.setHiveVariables` (`ManifestRunner.java:234`), with EMR `-d`
+  * semantics: pure textual pre-parse substitution, so values may be SQL
+  * fragments (`README.md:56` — `SELECT ${BANANA}` with
+  * `{"BANANA":"'Delicious'"}` yields `'Delicious'`). Hive's
+  * `VariableSubstitution` supports the namespaces `${name}` /
+  * `${hivevar:name}` / `${hiveconf:key}` / `${env:NAME}` /
+  * `${system:prop}` and iterates nested substitutions up to 40 deep;
+  * unresolved references are left verbatim.
+  */
+final class VariableSubstitutor(
+    hiveVars: Map[String, String],
+    conf: String => Option[String] = _ => None) {
+
+  private val MaxDepth = 40
+  private val Ref = Pattern.compile("""\$\{([^}$\{]+)\}""")
+
+  def substitute(stmt: String): String = {
+    var cur = stmt
+    var depth = 0
+    var changed = true
+    while (changed && depth < MaxDepth) {
+      val next = substituteOnce(cur)
+      changed = next != cur
+      cur = next
+      depth += 1
+    }
+    cur
+  }
+
+  private def substituteOnce(s: String): String = {
+    val m = Ref.matcher(s)
+    val sb = new StringBuffer
+    while (m.find()) {
+      val key = m.group(1)
+      val replacement = resolve(key).getOrElse(m.group(0))
+      m.appendReplacement(sb, Matcher.quoteReplacement(replacement))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
+  private def resolve(key: String): Option[String] = key match {
+    case k if k.startsWith("hivevar:")  => hiveVars.get(k.stripPrefix("hivevar:"))
+    case k if k.startsWith("hiveconf:") => conf(k.stripPrefix("hiveconf:"))
+    case k if k.startsWith("env:")      => sys.env.get(k.stripPrefix("env:"))
+    case k if k.startsWith("system:")   => sys.props.get(k.stripPrefix("system:"))
+    case k                              => hiveVars.get(k).orElse(conf(k))
+  }
+}

@@ -1,0 +1,25 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset => CDataset, ExpressionUtils, SparkSession => CSparkSession}
+
+/** Narrow bridge into `private[sql]`/classic Spark APIs the engine needs:
+  * running a hand-rewritten [[LogicalPlan]] (validate-only CTAS → LIMIT 0
+  * rewrite, SURVEY.md §7.4.4) and lifting custom Catalyst [[Expression]]s
+  * into user-facing [[Column]]s.
+  */
+object GraftBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
+
+  def parsePlan(spark: SparkSession, sql: String): LogicalPlan =
+    spark.sessionState.sqlParser.parsePlan(sql)
+
+  def analyze(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
+    spark.asInstanceOf[CSparkSession].sessionState.executePlan(plan).analyzed
+
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,168 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression, ExpectsInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for text-pipeline operators the built-in
+  * function library lacks (SURVEY.md §7.3): SimHash signatures, word-level
+  * shingles (n-grams), rolling-hash document fingerprints, and Hive's
+  * `sentences` (present in the reference's delegated HiveQL surface —
+  * Hive builtin registry of the pinned versions, `pom.xml:33,46,59` — but
+  * absent from Spark). All are deterministic, null-safe, and evaluated
+  * per-row with no driver involvement, so they distribute cleanly.
+  */
+object hashing {
+  /** 64-bit FNV-1a over UTF-8 bytes — stable across JVMs/platforms,
+    * cheap, and seedable (seed mixes into the offset basis). */
+  def fnv1a64(bytes: Array[Byte], seed: Long = 0L): Long = {
+    var h = 0xcbf29ce484222325L ^ seed
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+}
+
+/** simhash64(tokens: array<string>) → bigint.
+  *
+  * Classic Charikar SimHash: each token hashes to 64 bits; bit i
+  * contributes +1/-1 to counter i; the signature's bit i is set iff
+  * counter i > 0. Near-duplicate docs differ in few bits (small Hamming
+  * distance), so banding the 64 bits gives an exchange-free LSH key —
+  * the 100 TB scale path for near-dedup.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = hashing.fnv1a64(arr.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counters(b) > 0) sig |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+/** shingles(tokens: array<string>, n) → array<string>: sliding word
+  * n-grams joined by a single space; the unit of MinHash/Jaccard dedup.
+  * Returns distinct shingles (set semantics, what Jaccard needs). */
+case class Shingles(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), IntegerType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+  override protected def nullSafeEval(tokens: Any, nAny: Any): Any = {
+    val arr = tokens.asInstanceOf[ArrayData]
+    val n = nAny.asInstanceOf[Int]
+    val m = arr.numElements()
+    if (n <= 0 || m < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + n <= m) {
+      val sb = new StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        if (!arr.isNullAt(i + j)) sb.append(arr.getUTF8String(i + j).toString)
+        j += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString)): Unit
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Shingles =
+    copy(left = l, right = r)
+}
+
+/** fingerprint64(text: string) → bigint: polynomial rolling hash over the
+  * UTF-8 bytes (base-257 Rabin-Karp folded through FNV mixing). A cheap
+  * whole-document content fingerprint for exact-dup detection without
+  * carrying the full text through a shuffle. */
+case class Fingerprint64(child: Expression)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fingerprint64"
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 257L + (bytes(i) & 0xffL)
+      i += 1
+    }
+    // final avalanche (splitmix64) so short docs spread over the space
+    h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
+    h ^= (h >>> 27); h *= 0x94d049bb133111ebL
+    h ^= (h >>> 31)
+    java.lang.Long.valueOf(h)
+  }
+  override protected def withNewChildInternal(c: Expression): Fingerprint64 = copy(c)
+}
+
+/** sentences(text) → array<array<string>>: Hive's `sentences` builtin
+  * (missing in Spark — SURVEY.md §2.2 string-family divergence). Splits
+  * into sentences on [.!?] then words on non-letter boundaries. */
+case class SentencesExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(ArrayType(StringType, containsNull = false), containsNull = false)
+  override def prettyName: String = "sentences"
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val sents = text.split("[.!?]+").toSeq.map(_.trim).filter(_.nonEmpty)
+    new GenericArrayData(sents.map { s =>
+      new GenericArrayData(
+        s.split("[^\\p{L}\\p{N}']+").filter(_.nonEmpty)
+          .map(w => UTF8String.fromString(w)).asInstanceOf[Array[Any]])
+    }.toArray.asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildInternal(c: Expression): SentencesExpr = copy(c)
+}
+
+/** Column helpers + SQL registration for the custom expressions. */
+object GraftFunctions {
+  import org.apache.spark.sql.graft.GraftBridge.{column, expression}
+
+  def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def shingles(tokens: Column, n: Int): Column =
+    column(Shingles(expression(tokens),
+      org.apache.spark.sql.catalyst.expressions.Literal(n)))
+  def fingerprint64(c: Column): Column = column(Fingerprint64(expression(c)))
+  def sentences(c: Column): Column = column(SentencesExpr(expression(c)))
+
+  /** Register for SQL use: `SELECT simhash64(split(text, ' ')) …` */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("shingles", es => Shingles(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("fingerprint64", es => Fingerprint64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("sentences", es => SentencesExpr(es.head), "built-in")
+  }
+}

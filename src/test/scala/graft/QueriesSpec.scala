@@ -1,0 +1,30 @@
+package graft
+
+import graft.TestSpark.{sfDir, spark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every catalog query must run and (where meaningful) return rows at
+  * sf0.001; oracle equivalence is the driver's DuckDB gate. */
+class QueriesSpec extends AnyFunSuite {
+
+  // queries where an empty result at the smallest SF is acceptable
+  private val mayBeEmpty = Set("q_dedup_minhash", "q_dedup_simhash",
+    "q_emb_neardup", "q_subquery_scalar", "q_join_anti")
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, sfDir)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key exists in queries") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+}

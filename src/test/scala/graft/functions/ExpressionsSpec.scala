@@ -1,0 +1,53 @@
+package graft.functions
+
+import graft.TestSpark.spark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExpressionsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("shingles builds distinct word n-grams") {
+    val df = Seq("a b c a b c").toDF("text")
+      .select(GraftFunctions.shingles(split($"text", " "), 2).as("sh"))
+    assert(df.first().getSeq[String](0) === Seq("a b", "b c", "c a"))
+    val short = Seq("a").toDF("text")
+      .select(GraftFunctions.shingles(split($"text", " "), 3).as("sh"))
+    assert(short.first().getSeq[String](0) === Seq())
+  }
+
+  test("simhash64: identical inputs agree; near inputs have small hamming") {
+    val df = Seq(
+      ("x", "the quick brown fox jumps over the lazy dog again and again"),
+      ("y", "the quick brown fox jumps over the lazy dog again and again"),
+      ("z", "completely different words entirely unrelated content here now"))
+      .toDF("id", "text")
+      .select($"id", GraftFunctions.simhash64(split($"text", " ")).as("sig"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("x") === m("y"))
+    assert(java.lang.Long.bitCount(m("x") ^ m("z")) > 8)
+  }
+
+  test("fingerprint64 deterministic and distinct on distinct inputs") {
+    val df = Seq("alpha", "alpha", "beta").toDF("t")
+      .select(GraftFunctions.fingerprint64($"t").as("fp"))
+    val fps = df.collect().map(_.getLong(0))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("sentences splits on punctuation then words (Hive builtin parity)") {
+    val df = Seq("Hello there! How are you? Fine.").toDF("t")
+      .select(GraftFunctions.sentences($"t").as("s"))
+    val s = df.first().getSeq[Seq[String]](0)
+    assert(s === Seq(Seq("Hello", "there"), Seq("How", "are", "you"), Seq("Fine")))
+  }
+
+  test("SQL registration works") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT simhash64(split('a b c', ' ')) AS s, fingerprint64('abc') AS f, " +
+      "size(shingles(split('a b c', ' '), 2)) AS n").first()
+    assert(r.getInt(2) === 2)
+  }
+}

@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.TestSpark.{sfDir, spark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val docs =
+    spark.read.parquet(s"$sfDir/documents.parquet").cache()
+
+  test("exact dedup partitions the corpus") {
+    val total = docs.count()
+    val agg = Dedup.exact(docs).agg(sum("n_copies")).first().getLong(0)
+    assert(agg === total)
+  }
+
+  test("minhash LSH finds the high-jaccard planted near-dups") {
+    // ground truth: exact trigram jaccard >= 0.8 on the full (500-doc) set
+    val exact = Dedup.jaccardPairs(docs, n = 3, threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDups(docs, n = 3, k = 32, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    // banding with b=16,r=2 catches j>=0.8 pairs w.p. ~1-(1-0.64)^16 ≈ 1
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
+    // verification step keeps only true near-dups (threshold 0.5 here)
+    val verified = Dedup.minhashNearDups(docs, 3, 32, 16, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.subsetOf(exact), "verified pairs must be exact-jaccard true")
+  }
+
+  test("simhash near-dups include the strongest planted pairs") {
+    // trigram jaccard ≥0.9 ⇒ near-identical token sequences ⇒ token
+    // multisets agree ⇒ simhash hamming small (n=1 sets would NOT imply
+    // this: the tiny synthetic vocab makes all token sets similar)
+    val strong = Dedup.jaccardPairs(docs, n = 3, threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashNearDups(docs, maxHamming = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // simhash on token multisets: near-identical token sets → tiny hamming
+    val hit = strong.count(sim.contains)
+    assert(strong.isEmpty || hit.toDouble / strong.size >= 0.5,
+      s"simhash caught $hit of ${strong.size} strongest pairs")
+  }
+}

@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.TestSpark.{sfDir, spark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val embs =
+    spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  test("brute-force top-1 matches a driver-side manual computation") {
+    val rows = embs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val q = rows(0L)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = rows.filter(_._1 != 0L)
+      .map { case (id, v) => id -> cos(q, v) }.maxBy(_._2)
+    val got = Similarity.bruteForceTopK(embs, col("vec_id") === 0, k = 1)
+      .filter(col("query_id") === 0).first()
+    assert(got.getLong(1) === expected._1)
+    assert(math.abs(got.getDouble(2) - expected._2) < 1e-4)
+  }
+
+  test("LSH ANN recall@5 vs brute force") {
+    // gaussian data has weak neighbors (top-5 cosine ≈ 0.3): short keys ×
+    // many tables is the right operating point; P(hit) ≈ 1-(1-(1-θ/π)^4)^16
+    val planes = Similarity.hyperplanes(tables = 16, bits = 4, dim = 64)
+    val brute = Similarity.bruteForceTopK(embs, col("vec_id") < 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(embs, col("vec_id") < 10, k = 5, planes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(approx.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"LSH recall@5 = $recall")
+    assert(approx.nonEmpty)
+  }
+}

@@ -1,0 +1,146 @@
+package graft.run
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end engine tests over the manifest → script → statement path
+  * (reference behaviors: README.md:37-56 manifest schema, BANANA golden
+  * test, validate-only mode, EMR conf aliasing). */
+class EngineSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  private def withScript(content: String)(f: String => Unit): Unit = {
+    val p = Files.createTempFile("graft-test", ".hql")
+    Files.write(p, content.getBytes(StandardCharsets.UTF_8))
+    try f(p.toString) finally { Files.delete(p); () }
+  }
+
+  private def runScript(content: String, vars: Map[String, String] = Map.empty,
+      validateOnly: Boolean = false): String = {
+    val bos = new ByteArrayOutputStream()
+    val out = new PrintStream(bos, true, "UTF-8")
+    val runner = new ScriptRunner(spark, validateOnly = validateOnly,
+      verbose = true, out)
+    withScript(content)(p => runner.runScriptFile(p, vars))
+    new String(bos.toByteArray, StandardCharsets.UTF_8)
+  }
+
+  test("BANANA golden test (README.md:56): variable value is a SQL fragment") {
+    val out = runScript("SELECT ${BANANA} AS Banana;",
+      Map("BANANA" -> "'Delicious'"))
+    assert(out.contains("Delicious"))
+  }
+
+  test("multi-statement DDL + insert + select lifecycle") {
+    val out = runScript(
+      """DROP TABLE IF EXISTS t_life;
+        |CREATE TABLE t_life (k INT, v STRING) USING parquet;
+        |INSERT INTO t_life VALUES (1, 'one'), (2, 'two');
+        |SELECT v FROM t_life WHERE k = 2;""".stripMargin)
+    assert(out.contains("two"))
+    spark.sql("DROP TABLE IF EXISTS t_life")
+  }
+
+  test("validate-only: DDL applies, DML and queries are skipped") {
+    val out = runScript(
+      """DROP TABLE IF EXISTS t_val;
+        |CREATE TABLE t_val (k INT, v STRING) USING parquet;
+        |INSERT INTO t_val VALUES (1, 'x');
+        |SELECT * FROM t_val;""".stripMargin, validateOnly = true)
+    assert(out.contains("> Skipped!"))
+    assert(spark.catalog.tableExists("t_val"))
+    assert(spark.table("t_val").count() === 0) // insert was blocked
+    spark.sql("DROP TABLE IF EXISTS t_val")
+  }
+
+  test("validate-only: CTAS creates empty table (create=DDL, populate=blocked)") {
+    val out = runScript(
+      """DROP TABLE IF EXISTS t_ctas;
+        |CREATE TABLE t_ctas USING parquet AS SELECT 1 AS k, 'v' AS v;""".stripMargin,
+      validateOnly = true)
+    assert(out.contains("> Skipped!"))
+    assert(spark.catalog.tableExists("t_ctas"))
+    assert(spark.table("t_ctas").count() === 0)
+    assert(spark.table("t_ctas").columns.toSeq === Seq("k", "v"))
+    spark.sql("DROP TABLE IF EXISTS t_ctas")
+  }
+
+  test("validate-only: analysis errors still surface (fail-fast)") {
+    intercept[Exception] {
+      runScript("SELECT * FROM table_that_does_not_exist_xyz;", validateOnly = true)
+    }
+  }
+
+  test("EMR conf aliasing: hive.optimize.s3.query does not crash (ManifestRunner.java:28-30)") {
+    val out = runScript(
+      """SET hive.optimize.s3.query=true;
+        |SET emrhive.optimize.s3.query;
+        |SELECT 1 AS ok;""".stripMargin)
+    assert(out.contains("emrhive.optimize.s3.query=true"))
+    assert(out.contains("1"))
+  }
+
+  test("SET hivevar flows into substitution") {
+    val out = runScript(
+      """SET hivevar:LIM=1;
+        |SELECT 'lim_${LIM}' AS x;""".stripMargin)
+    assert(out.contains("lim_1"))
+  }
+
+  test("shell command and dfs run; failures abort") {
+    val out = runScript("!echo hello-from-shell;\nSELECT 2 AS y;")
+    assert(out.contains("hello-from-shell"))
+    intercept[Exception] { runScript("!false;") }
+  }
+
+  test("source includes another script") {
+    withScript("SELECT 41 + 1 AS from_include;") { inner =>
+      val out = runScript(s"source $inner;")
+      assert(out.contains("42"))
+    }
+  }
+
+  test("manifest runner: sequential tasks, fail-fast abort, total-time trace") {
+    val bos = new ByteArrayOutputStream()
+    val out = new PrintStream(bos, true, "UTF-8")
+    withScript("CREATE OR REPLACE TEMPORARY VIEW mr_t AS SELECT 7 AS k;") { s1 =>
+      withScript("SELECT k FROM mr_t;") { s2 =>
+        withScript("SELECT * FROM no_such_table_abc;") { bad =>
+          withScript("SELECT 99 AS never_runs;") { s4 =>
+            val manifest = Files.createTempFile("graft-manifest", ".json")
+            Files.write(manifest,
+              s"""{"enableHadoop": true, "tasks": [
+                 |  {"script": "$s1", "variables": {}},
+                 |  {"script": "$s2", "variables": {}},
+                 |  {"script": "$bad", "variables": {}},
+                 |  {"script": "$s4", "variables": {}}
+                 |]}""".stripMargin.getBytes(StandardCharsets.UTF_8))
+            val ex = intercept[RuntimeException] {
+              new ManifestRunner(manifest.toString, out, Some(spark)).run()
+            }
+            assert(ex.getMessage.contains("Failed to execute script"))
+            val log = new String(bos.toByteArray, StandardCharsets.UTF_8)
+            assert(log.contains(">>>>>>>> Processing:"))
+            assert(log.contains("7"))          // task 2 ran
+            assert(!log.contains("never_runs")) // task 4 aborted
+            Files.delete(manifest)
+          }
+        }
+      }
+    }
+  }
+
+  test("Verification builder API round-trips manifest JSON") {
+    val v = graft.api.Verification.forRelease("emr-5")
+      .withHadoop(true).addTask("/tmp/nonexistent.hql", Map("A" -> "1"))
+    val m = Manifest.fromJson(v.manifestJson)
+    assert(m.enableHadoop && m.tasks.head.variables === Map("A" -> "1"))
+    intercept[IllegalArgumentException] {
+      graft.api.Verification.forRelease("emr-9")
+    }
+  }
+}

@@ -1,0 +1,68 @@
+package graft.script
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScriptParserSpec extends AnyFunSuite {
+
+  test("splits on semicolons, trims, drops empties") {
+    assert(HqlScriptParser.split("SELECT 1;  SELECT 2 ; ;") ===
+      Seq("SELECT 1", "SELECT 2"))
+  }
+
+  test("semicolon inside quotes does not split") {
+    assert(HqlScriptParser.split("SELECT 'a;b'; SELECT \"c;d\"") ===
+      Seq("SELECT 'a;b'", "SELECT \"c;d\""))
+    assert(HqlScriptParser.split("SELECT `weird;col` FROM t") ===
+      Seq("SELECT `weird;col` FROM t"))
+  }
+
+  test("escaped quote inside string") {
+    assert(HqlScriptParser.split("SELECT 'a\\';b'; SELECT 2") ===
+      Seq("SELECT 'a\\';b'", "SELECT 2"))
+  }
+
+  test("line comments stripped; semicolon in comment ignored") {
+    val script = "-- header; not a stmt\nSELECT 1 -- trailing; junk\n; SELECT 2"
+    assert(HqlScriptParser.split(script) === Seq("SELECT 1", "SELECT 2"))
+  }
+
+  test("block comments stripped") {
+    assert(HqlScriptParser.split("/* c1; */ SELECT /* mid */ 1; /* tail */") ===
+      Seq("SELECT  1"))
+  }
+
+  test("comment-only script yields nothing") {
+    assert(HqlScriptParser.split("-- nothing here\n/* nor here */") === Nil)
+  }
+
+  test("multi-line statement preserved") {
+    assert(HqlScriptParser.split("SELECT a,\n b\nFROM t;") ===
+      Seq("SELECT a,\n b\nFROM t"))
+  }
+
+  test("variable substitution: plain, hivevar, env, nesting, unresolved") {
+    val sub = new VariableSubstitutor(
+      Map("BANANA" -> "'Delicious'", "T" -> "tbl_${SUFFIX}", "SUFFIX" -> "v1"),
+      conf = k => if (k == "my.conf") Some("42") else None)
+    // golden test from the reference README.md:56
+    assert(sub.substitute("SELECT ${BANANA} AS Banana") ===
+      "SELECT 'Delicious' AS Banana")
+    assert(sub.substitute("SELECT * FROM ${T}") === "SELECT * FROM tbl_v1")
+    assert(sub.substitute("${hivevar:BANANA}") === "'Delicious'")
+    assert(sub.substitute("${hiveconf:my.conf}") === "42")
+    assert(sub.substitute("${missing}") === "${missing}")
+  }
+
+  test("manifest JSON parse with defaults and stale quietOutput key") {
+    val m = graft.run.Manifest.fromJson(
+      """{"tasks": [{"script": "/tmp/a.hql", "variables": {"X": "1"}}]}""")
+    assert(!m.enableHadoop && m.verboseOutput && !m.debugOutput)
+    assert(m.tasks === Seq(graft.run.Task("/tmp/a.hql", Map("X" -> "1"))))
+    val quiet = graft.run.Manifest.fromJson(
+      """{"quietOutput": true, "tasks": []}""")
+    assert(!quiet.verboseOutput)
+    val explicit = graft.run.Manifest.fromJson(
+      """{"verboseOutput": false, "enableHadoop": true, "tasks": []}""")
+    assert(!explicit.verboseOutput && explicit.enableHadoop)
+  }
+}

@@ -1,0 +1,50 @@
+import duckdb, json, glob, os, sys
+import pyarrow.parquet as pq
+import math
+
+out = sys.argv[1] if len(sys.argv) > 1 else '/tmp/verify_out'
+sf = sys.argv[2] if len(sys.argv) > 2 else '/root/testdata/sf0.01'
+con = duckdb.connect()
+for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+oracles = json.load(open(f'{out}/oracle_sql.json'))
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v): return 'NaN'
+        return round(v, 9)
+    return v
+fails = []
+for name, sql in sorted(oracles.items()):
+    d = out + '/' + name
+    files = glob.glob(d + '/*.parquet')
+    if not files:
+        fails.append((name, 'NO SPARK OUTPUT')); continue
+    try:
+        spark_tb = pq.read_table(d)
+    except Exception as e:
+        fails.append((name, f'read fail {e}')); continue
+    try:
+        duck = con.execute(sql)
+        dcols = [c[0] for c in duck.description]
+        drows = duck.fetchall()
+    except Exception as e:
+        fails.append((name, f'ORACLE SQL ERROR: {e}')); continue
+    scols = spark_tb.schema.names
+    if sorted(scols) != sorted(dcols):
+        fails.append((name, f'SCHEMA: spark={sorted(scols)} duck={sorted(dcols)}')); continue
+    # sort columns by name (driver behavior)
+    order = sorted(range(len(scols)), key=lambda i: scols[i])
+    spark_rows = [tuple(norm(r[scols[i]]) for i in order) for r in spark_tb.to_pylist()]
+    dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    duck_rows = [tuple(norm(r[i]) for i in dorder) for r in drows]
+    if len(spark_rows) != len(duck_rows):
+        fails.append((name, f'ROWS: spark={len(spark_rows)} duck={len(duck_rows)}')); continue
+    mismatches = [i for i,(a,b) in enumerate(zip(spark_rows, duck_rows)) if a != b]
+    if mismatches:
+        i = mismatches[0]
+        fails.append((name, f'HASH: {len(mismatches)}/{len(spark_rows)} rows differ; first at {i}: spark={spark_rows[i]} duck={duck_rows[i]}'))
+    else:
+        print(f'OK   {name} ({len(spark_rows)} rows)')
+for name, msg in fails:
+    print(f'FAIL {name}: {msg[:300]}')
+print(f'\n{len(oracles)-len(fails)}/{len(oracles)} oracle-matched')
