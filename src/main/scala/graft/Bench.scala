@@ -28,8 +28,15 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup on the smallest table
-    spark.read.parquet(s"$sfDir/region.parquet").count(): Unit
+    // JIT/codegen warmup: run every headline query once at the smallest SF
+    // so measured times reflect steady-state execution, not JVM warmup
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      headline.foreach { name =>
+        try SparkEntry.queries(name)(spark, warmDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

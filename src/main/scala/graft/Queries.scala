@@ -773,6 +773,41 @@ object Queries {
       s.sql(
         """SELECT l_orderkey, l_linenumber FROM lineitem
           |TABLESAMPLE (10 PERCENT) REPEATABLE (42)""".stripMargin)
+    },
+
+    // §2.2 String family: Hive `sentences` (custom expression — missing
+    // from Spark). Corpus has no sentence punctuation → 1 sentence whose
+    // word count equals the whitespace tokenization.
+    q("q_sentences",
+      """SELECT doc_id,
+        |  1 AS n_sentences,
+        |  CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_words_first
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.functions.GraftFunctions
+      val sents = GraftFunctions.sentences(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+          size(sents).as("n_sentences"),
+          size(element_at(sents, 1)).as("n_words_first"))
+        .orderBy(col("doc_id"))
+    },
+
+    // §2.2 String family: Hive `ngrams` UDAF (custom TypedImperativeAggregate)
+    qNoOracle("q_ngrams") { (s, dir) =>
+      import graft.functions.GraftFunctions
+      t(s, dir, "documents")
+        .select(split(col("text"), "\\s+").as("toks"))
+        .agg(GraftFunctions.ngrams(col("toks"), 2, 5).as("top_bigrams"))
+        .select(explode(col("top_bigrams")).as("g"))
+        .select(concat_ws(" ", col("g.ngram")).as("bigram"),
+          col("g.estfrequency").as("freq"))
+    },
+
+    // §2.2 Misc family: Hive-compatible hash() (Spark's HiveHash expr)
+    qNoOracle("q_hive_hash") { (s, dir) =>
+      import graft.functions.GraftFunctions
+      t(s, dir, "documents")
+        .select(col("doc_id"), GraftFunctions.hiveHash(col("text")).as("h"))
+        .orderBy(col("doc_id"))
     }
   )
 

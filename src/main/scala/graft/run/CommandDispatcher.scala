@@ -35,6 +35,8 @@ final class CommandDispatcher(
     if (emrConfigs.contains(name.toLowerCase)) "emrhive." + name.substring(5)
     else name
 
+  private val LoadData =
+    """(?is)^load\s+data\s+(local\s+)?inpath\s+'([^']+)'\s+(overwrite\s+)?into\s+table\s+([\w.]+)\s*(partition\s*\(([^)]*)\))?\s*$""".r
   private val SetKv = """(?is)^set\s+(.+?)\s*=\s*(.*)$""".r
   private val SetKey = """(?is)^set\s+([^=\s]+)\s*$""".r
   private val SetAll = """(?is)^set\s*(-v)?\s*$""".r
@@ -81,7 +83,57 @@ final class CommandDispatcher(
     case Source(path) =>
       runSource(stripQuotes(path.trim))
       Some(())
+    case LoadData(_, path, overwrite, table, _, partSpec) =>
+      // Spark supports LOAD DATA only for Hive-catalog tables (SURVEY.md
+      // §2.2 scans row): for native tables implement as file copy into the
+      // table/partition dir + partition registration.
+      loadData(path, table, overwrite != null, Option(partSpec))
+      Some(())
     case _ => None
+  }
+
+  private def loadData(srcPath: String, table: String, overwrite: Boolean,
+      partSpec: Option[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val baseDir = new Path(meta.location)
+    val destDir = partSpec match {
+      case Some(spec) =>
+        val sub = spec.split(",").map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          s"${k.trim}=${stripQuotes(v.trim)}"
+        }.mkString("/")
+        new Path(baseDir, sub)
+      case None => baseDir
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val destFs = destDir.getFileSystem(conf)
+    if (overwrite && destFs.exists(destDir)) destFs.delete(destDir, true): Unit
+    destFs.mkdirs(destDir): Unit
+    val src = new Path(srcPath)
+    val srcFs = src.getFileSystem(conf)
+    val files =
+      if (srcFs.getFileStatus(src).isDirectory)
+        srcFs.listStatus(src).filter(_.isFile).map(_.getPath)
+      else Array(src)
+    files.foreach { f =>
+      // Hive uniquifies on name clash (file_copy_1); mirror that so
+      // repeated LOAD DATA appends instead of silently replacing
+      var dest = new Path(destDir, f.getName)
+      var i = 1
+      while (destFs.exists(dest)) {
+        dest = new Path(destDir, s"${f.getName}_copy_$i")
+        i += 1
+      }
+      org.apache.hadoop.fs.FileUtil.copy(
+        srcFs, f, destFs, dest, /* deleteSource = */ false, conf): Unit
+    }
+    partSpec.foreach { spec =>
+      try spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION ($spec)").collect()
+      catch { case e: Exception => out.println(s"[WARN] add partition: ${e.getMessage}") }
+    }
+    spark.sql(s"REFRESH TABLE $table").collect(): Unit
   }
 
   private def setConf(k: String, v: String): Unit =

@@ -1,0 +1,20 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object ExplainCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions","8")
+      .config("spark.ui.enabled","false")
+      .config("spark.sql.legacy.parquet.nanosAsLong","true")
+      .config("spark.sql.ansi.enabled","false")
+      .config("spark.sql.session.timeZone","UTC").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    for (q <- Seq("q_agg_pricing","q_multi_join_star","q_dedup_minhash")) {
+      println(s"########## $q")
+      println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,260 @@
+package org.apache.spark.sql.graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable
+
+/** Hive's `ngrams(tokens, n, k)` UDAF (present in the reference's
+  * delegated HiveQL builtin surface for all pinned Hive versions, absent
+  * from Spark — SURVEY.md §2.2 string-family divergence): estimates the
+  * top-`k` most frequent word n-grams across all rows.
+  *
+  * Implemented as a [[TypedImperativeAggregate]] with a count-map buffer:
+  * partial-mergeable (map-side combine works, the shuffle carries one
+  * trimmed map per partition, not the corpus), trimmed to `k * PF`
+  * entries on serialize like Hive's precision factor, so memory is
+  * bounded regardless of corpus size — the property that matters at
+  * 100 TB.
+  *
+  * Returns array<struct<ngram: array<string>, estfrequency: double>>,
+  * Hive's exact shape.
+  */
+case class NGramsAgg(
+    child: Expression,
+    nExpr: Expression,
+    kExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[Seq[String], Long]]
+  with ExpectsInputTypes {
+
+  private lazy val n: Int = nExpr.eval().asInstanceOf[Number].intValue()
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
+  private val precisionFactor = 16 // Hive default pf
+
+  override def children: Seq[Expression] = Seq(child, nExpr, kExpr)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), IntegerType, IntegerType)
+  override def nullable: Boolean = false
+  override def prettyName: String = "ngrams"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("ngram", ArrayType(StringType, containsNull = false)),
+    StructField("estfrequency", DoubleType))), containsNull = false)
+
+  override def createAggregationBuffer(): mutable.HashMap[Seq[String], Long] =
+    mutable.HashMap.empty
+
+  override def update(buf: mutable.HashMap[Seq[String], Long],
+      input: InternalRow): mutable.HashMap[Seq[String], Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val words = new Array[String](arr.numElements())
+      var i = 0
+      while (i < words.length) {
+        words(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+        i += 1
+      }
+      i = 0
+      while (i + n <= words.length) {
+        val gram = words.slice(i, i + n).toSeq
+        buf.update(gram, buf.getOrElse(gram, 0L) + 1L)
+        i += 1
+      }
+      trim(buf)
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.HashMap[Seq[String], Long],
+      other: mutable.HashMap[Seq[String], Long]): mutable.HashMap[Seq[String], Long] = {
+    other.foreach { case (g, c) => buf.update(g, buf.getOrElse(g, 0L) + c) }
+    trim(buf)
+    buf
+  }
+
+  /** Hive-style precision-factor bound: keep the k*pf heaviest entries.
+    * (Estimates become approximate once trimming kicks in, matching the
+    * "est" in estfrequency.) */
+  private def trim(buf: mutable.HashMap[Seq[String], Long]): Unit =
+    if (buf.size > k * precisionFactor * 2) {
+      val keep = buf.toSeq.sortBy { case (g, c) => (-c, g.mkString(" ")) }
+        .take(k * precisionFactor)
+      buf.clear()
+      buf ++= keep: Unit
+    }
+
+  override def eval(buf: mutable.HashMap[Seq[String], Long]): Any = {
+    val top = buf.toSeq
+      .sortBy { case (g, c) => (-c, g.mkString(" ")) } // deterministic ties
+      .take(k)
+    new GenericArrayData(top.map { case (gram, cnt) =>
+      InternalRow(
+        new GenericArrayData(gram.map(w => UTF8String.fromString(w)).toArray[Any]),
+        cnt.toDouble)
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: mutable.HashMap[Seq[String], Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (gram, cnt) =>
+      out.writeInt(gram.size)
+      gram.foreach(out.writeUTF)
+      out.writeLong(cnt)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Seq[String], Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val size = in.readInt()
+    val buf = mutable.HashMap.empty[Seq[String], Long]
+    var i = 0
+    while (i < size) {
+      val glen = in.readInt()
+      val gram = Seq.fill(glen)(in.readUTF())
+      buf.update(gram, in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): NGramsAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): NGramsAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): NGramsAgg =
+    copy(child = newChildren(0), nExpr = newChildren(1), kExpr = newChildren(2))
+}
+
+/** Hive's `context_ngrams(tokens, context, k)`: like ngrams but the
+  * n-gram shape comes from `context` — non-null positions must match the
+  * token, null positions are the wildcard slots whose fillers are
+  * counted. E.g. context `array('spark', null)` counts words following
+  * "spark". Same bounded count-map machinery as [[NGramsAgg]]. */
+case class ContextNGramsAgg(
+    child: Expression,
+    contextExpr: Expression,
+    kExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[Seq[String], Long]]
+  with ExpectsInputTypes {
+
+  private lazy val context: Seq[Option[String]] = {
+    val arr = contextExpr.eval().asInstanceOf[ArrayData]
+    (0 until arr.numElements()).map { i =>
+      if (arr.isNullAt(i)) None else Some(arr.getUTF8String(i).toString)
+    }
+  }
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
+  private val precisionFactor = 16
+
+  override def children: Seq[Expression] = Seq(child, contextExpr, kExpr)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType), IntegerType)
+  override def nullable: Boolean = false
+  override def prettyName: String = "context_ngrams"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("ngram", ArrayType(StringType, containsNull = false)),
+    StructField("estfrequency", DoubleType))), containsNull = false)
+
+  override def createAggregationBuffer(): mutable.HashMap[Seq[String], Long] =
+    mutable.HashMap.empty
+
+  override def update(buf: mutable.HashMap[Seq[String], Long],
+      input: InternalRow): mutable.HashMap[Seq[String], Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val words = new Array[String](arr.numElements())
+      var i = 0
+      while (i < words.length) {
+        words(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+        i += 1
+      }
+      val m = context.length
+      i = 0
+      while (i + m <= words.length) {
+        var matches = true
+        var j = 0
+        while (matches && j < m) {
+          context(j) match {
+            case Some(w) => if (words(i + j) != w) matches = false
+            case None => ()
+          }
+          j += 1
+        }
+        if (matches) {
+          val fill = (0 until m).collect { case j if context(j).isEmpty => words(i + j) }
+          buf.update(fill, buf.getOrElse(fill, 0L) + 1L)
+        }
+        i += 1
+      }
+      if (buf.size > k * precisionFactor * 2) {
+        val keep = buf.toSeq.sortBy { case (g, c) => (-c, g.mkString(" ")) }
+          .take(k * precisionFactor)
+        buf.clear()
+        buf ++= keep: Unit
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.HashMap[Seq[String], Long],
+      other: mutable.HashMap[Seq[String], Long]): mutable.HashMap[Seq[String], Long] = {
+    other.foreach { case (g, c) => buf.update(g, buf.getOrElse(g, 0L) + c) }
+    buf
+  }
+
+  override def eval(buf: mutable.HashMap[Seq[String], Long]): Any = {
+    val top = buf.toSeq.sortBy { case (g, c) => (-c, g.mkString(" ")) }.take(k)
+    new GenericArrayData(top.map { case (gram, cnt) =>
+      InternalRow(
+        new GenericArrayData(gram.map(w => UTF8String.fromString(w)).toArray[Any]),
+        cnt.toDouble)
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: mutable.HashMap[Seq[String], Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (gram, cnt) =>
+      out.writeInt(gram.size); gram.foreach(out.writeUTF); out.writeLong(cnt)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Seq[String], Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val size = in.readInt()
+    val buf = mutable.HashMap.empty[Seq[String], Long]
+    var i = 0
+    while (i < size) {
+      val glen = in.readInt()
+      val gram = Seq.fill(glen)(in.readUTF())
+      buf.update(gram, in.readLong()); i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): ContextNGramsAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): ContextNGramsAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ContextNGramsAgg =
+    copy(child = newChildren(0), contextExpr = newChildren(1), kExpr = newChildren(2))
+}

@@ -157,6 +157,26 @@ object GraftFunctions {
   def fingerprint64(c: Column): Column = column(Fingerprint64(expression(c)))
   def sentences(c: Column): Column = column(SentencesExpr(expression(c)))
 
+  /** Hive-compatible `hash()` — Spark's builtin `hash` is Murmur3 and
+    * diverges from Hive's Java-hashCode scheme (SURVEY.md §2.2 misc
+    * family); Spark ships the Hive algorithm as the internal HiveHash
+    * expression, exposed here as `hive_hash`. */
+  def hiveHash(cols: Column*): Column =
+    column(org.apache.spark.sql.catalyst.expressions.HiveHash(cols.map(expression)))
+
+  /** Hive `ngrams(tokens, n, k)` UDAF: top-k word n-grams. */
+  def ngrams(tokens: Column, n: Int, k: Int): Column =
+    column(NGramsAgg(expression(tokens),
+      org.apache.spark.sql.catalyst.expressions.Literal(n),
+      org.apache.spark.sql.catalyst.expressions.Literal(k))
+      .toAggregateExpression())
+
+  /** Hive `context_ngrams(tokens, context, k)` UDAF. */
+  def contextNgrams(tokens: Column, context: Column, k: Int): Column =
+    column(ContextNGramsAgg(expression(tokens), expression(context),
+      org.apache.spark.sql.catalyst.expressions.Literal(k))
+      .toAggregateExpression())
+
   /** Register for SQL use: `SELECT simhash64(split(text, ' ')) …` */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -164,5 +184,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("shingles", es => Shingles(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("fingerprint64", es => Fingerprint64(es.head), "built-in")
     reg.createOrReplaceTempFunction("sentences", es => SentencesExpr(es.head), "built-in")
+    reg.createOrReplaceTempFunction("hive_hash",
+      es => org.apache.spark.sql.catalyst.expressions.HiveHash(es), "built-in")
+    reg.createOrReplaceTempFunction("ngrams",
+      es => NGramsAgg(es(0), es(1), es(2)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("context_ngrams",
+      es => ContextNGramsAgg(es(0), es(1), es(2)).toAggregateExpression(), "built-in")
   }
 }

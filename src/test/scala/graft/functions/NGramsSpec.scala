@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.TestSpark.spark
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class NGramsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    "spark is fast and spark is fun",
+    "spark is everywhere",
+    "nothing to see").toDF("text")
+    .select(split($"text", " ").as("toks"))
+
+  test("ngrams returns top-k bigrams with counts (Hive shape)") {
+    val r = docs.select(GraftFunctions.ngrams($"toks", 2, 3).as("g"))
+      .first().getSeq[Row](0)
+    val top = r.map(x => (x.getSeq[String](0).mkString(" "), x.getDouble(1)))
+    assert(top.head === ("spark is", 3.0))
+    assert(top.size === 3)
+  }
+
+  test("ngrams SQL registration and partial merge across partitions") {
+    GraftFunctions.register(spark)
+    val many = spark.range(100).selectExpr(
+      "split('a b a b c', ' ') AS toks").repartition(7)
+    val r = many.selectExpr("ngrams(toks, 2, 2) AS g").first().getSeq[Row](0)
+    val top = r.map(x => (x.getSeq[String](0).mkString(" "), x.getDouble(1)))
+    assert(top.contains(("a b", 200.0))) // 2 per row × 100 rows, merged
+  }
+
+  test("context_ngrams fills wildcard slots") {
+    val r = docs.select(
+      GraftFunctions.contextNgrams($"toks",
+        array(lit("spark"), lit(null).cast("string")), 2).as("g"))
+      .first().getSeq[Row](0)
+    val top = r.map(x => (x.getSeq[String](0).mkString(" "), x.getDouble(1)))
+    assert(top.head === ("is", 3.0)) // "spark is" × 3
+  }
+
+  test("hive_hash matches Hive's Java-hashCode scheme for ints") {
+    GraftFunctions.register(spark)
+    // Hive hash of int is the value itself; of two ints: h*31+v chain
+    val r = spark.sql("SELECT hive_hash(42) AS a, hive_hash(1, 2) AS b").first()
+    assert(r.getInt(0) === 42)
+    assert(r.getInt(1) === 1 * 31 + 2)
+  }
+}

@@ -1,0 +1,192 @@
+package graft.run
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the delegated-HiveQL DDL/DML/command surface of SURVEY.md §2.2
+  * through the script-runner path — the rows whose implementation is
+  * "verify spark.sql handles it + pin a test" (SURVEY.md §7.2 M2). */
+class HqlSurfaceSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  private def run(script: String): String = {
+    val bos = new ByteArrayOutputStream()
+    val runner = new ScriptRunner(spark, validateOnly = false, verbose = false,
+      new PrintStream(bos, true, "UTF-8"))
+    runner.runScriptText(script, Map.empty)
+    new String(bos.toByteArray, StandardCharsets.UTF_8)
+  }
+
+  test("partitioned table: DDL, dynamic-partition INSERT OVERWRITE, pruning, SHOW/ALTER") {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val out = run(
+      """DROP TABLE IF EXISTS ev_part;
+        |CREATE TABLE ev_part (event_id BIGINT, value DOUBLE)
+        |  USING parquet PARTITIONED BY (event_type STRING);
+        |INSERT OVERWRITE TABLE ev_part PARTITION (event_type)
+        |  SELECT event_id, value, event_type
+        |  FROM parquet.`/root/testdata/sf0.001/events.parquet`;
+        |SELECT count(*) FROM ev_part WHERE event_type = 'click';
+        |SHOW PARTITIONS ev_part;""".stripMargin)
+    assert(out.contains("event_type=click"))
+    assert(out.contains("210")) // click count at sf0.001
+    // dynamic overwrite touches only written partitions
+    run(
+      """INSERT OVERWRITE TABLE ev_part PARTITION (event_type)
+        |  SELECT event_id, value, 'click' AS event_type
+        |  FROM parquet.`/root/testdata/sf0.001/events.parquet` LIMIT 5;""".stripMargin)
+    assert(spark.table("ev_part").where("event_type='click'").count() === 5)
+    assert(spark.table("ev_part").where("event_type='view'").count() === 188)
+    val out2 = run(
+      """ALTER TABLE ev_part DROP IF EXISTS PARTITION (event_type='click');
+        |SELECT count(*) AS remaining FROM ev_part WHERE event_type = 'click';""".stripMargin)
+    assert(out2.contains("0"))
+    run("DROP TABLE ev_part;")
+  }
+
+  test("multi-insert: FROM src INSERT OVERWRITE t1 ... INSERT OVERWRITE t2 ...") {
+    val out = run(
+      """DROP TABLE IF EXISTS mi_hi; DROP TABLE IF EXISTS mi_lo;
+        |CREATE TABLE mi_hi (o_orderkey BIGINT, o_totalprice DOUBLE) USING parquet;
+        |CREATE TABLE mi_lo (o_orderkey BIGINT, o_totalprice DOUBLE) USING parquet;
+        |CREATE OR REPLACE TEMPORARY VIEW ord AS
+        |  SELECT * FROM parquet.`/root/testdata/sf0.001/orders.parquet`;
+        |FROM ord
+        |INSERT OVERWRITE TABLE mi_hi SELECT o_orderkey, o_totalprice WHERE o_totalprice > 300000
+        |INSERT OVERWRITE TABLE mi_lo SELECT o_orderkey, o_totalprice WHERE o_totalprice <= 300000;
+        |SELECT (SELECT count(*) FROM mi_hi) + (SELECT count(*) FROM mi_lo) AS total;""".stripMargin)
+    assert(out.contains("1500"))
+    run("DROP TABLE mi_hi; DROP TABLE mi_lo;")
+  }
+
+  test("INSERT OVERWRITE DIRECTORY exports files") {
+    val dir = Files.createTempDirectory("graft-iod").toString
+    run(s"""INSERT OVERWRITE DIRECTORY '$dir' USING parquet
+           |SELECT r_regionkey, r_name
+           |FROM parquet.`/root/testdata/sf0.001/region.parquet`;""".stripMargin)
+    assert(spark.read.parquet(dir).count() === 5)
+  }
+
+  test("views: CREATE VIEW, lazy expansion, DROP") {
+    val out = run(
+      """CREATE OR REPLACE VIEW n_per_region AS
+        |  SELECT n_regionkey, count(*) AS n
+        |  FROM parquet.`/root/testdata/sf0.001/nation.parquet`
+        |  GROUP BY n_regionkey;
+        |SELECT sum(n) FROM n_per_region;""".stripMargin)
+    assert(out.contains("25"))
+    run("DROP VIEW n_per_region;")
+  }
+
+  test("CTAS + CREATE TABLE LIKE + TRUNCATE + DESCRIBE") {
+    val out = run(
+      """DROP TABLE IF EXISTS ct_src; DROP TABLE IF EXISTS ct_like;
+        |CREATE TABLE ct_src USING parquet AS
+        |  SELECT r_regionkey AS k, r_name AS v
+        |  FROM parquet.`/root/testdata/sf0.001/region.parquet`;
+        |CREATE TABLE ct_like LIKE ct_src;
+        |DESCRIBE ct_like;
+        |TRUNCATE TABLE ct_src;
+        |SELECT count(*) AS after_trunc FROM ct_src;""".stripMargin)
+    assert(out.contains("k") && out.contains("int"))
+    assert(out.contains("0"))
+    assert(spark.table("ct_like").columns.toSeq === Seq("k", "v"))
+    run("DROP TABLE ct_src; DROP TABLE ct_like;")
+  }
+
+  test("databases: CREATE DATABASE / USE / SHOW TABLES / DROP") {
+    val out = run(
+      """CREATE DATABASE IF NOT EXISTS verify_db;
+        |USE verify_db;
+        |CREATE TABLE db_t (x INT) USING parquet;
+        |SHOW TABLES;
+        |USE default;
+        |SELECT count(*) FROM verify_db.db_t;""".stripMargin)
+    assert(out.contains("db_t"))
+    run("DROP TABLE verify_db.db_t; DROP DATABASE verify_db;")
+  }
+
+  test("EXPLAIN / EXPLAIN EXTENDED return plan rows") {
+    val out = run(
+      """EXPLAIN SELECT count(*) FROM parquet.`/root/testdata/sf0.001/region.parquet`;""")
+    assert(out.contains("Physical Plan"))
+    val ext = run(
+      """EXPLAIN EXTENDED SELECT 1;""")
+    assert(ext.contains("Parsed Logical Plan") || ext.contains("Physical Plan"))
+  }
+
+  test("LOAD DATA INPATH into native table (custom handler)") {
+    val staging = Files.createTempDirectory("graft-load")
+    run(
+      s"""DROP TABLE IF EXISTS ld_t;
+         |CREATE TABLE ld_t (r_regionkey INT, r_name STRING) USING parquet;
+         |INSERT OVERWRITE DIRECTORY '$staging' USING parquet
+         |  SELECT r_regionkey, r_name FROM parquet.`/root/testdata/sf0.001/region.parquet`;
+         |LOAD DATA INPATH '$staging' INTO TABLE ld_t;""".stripMargin)
+    assert(spark.table("ld_t").count() === 5)
+    // load again: appends
+    run(s"LOAD DATA INPATH '$staging' INTO TABLE ld_t;")
+    assert(spark.table("ld_t").count() === 10)
+    run("DROP TABLE ld_t;")
+  }
+
+  test("LOAD DATA into a partition registers it") {
+    val staging = Files.createTempDirectory("graft-loadp")
+    run(
+      s"""DROP TABLE IF EXISTS ld_p;
+         |CREATE TABLE ld_p (r_regionkey INT, r_name STRING)
+         |  USING parquet PARTITIONED BY (ds STRING);
+         |INSERT OVERWRITE DIRECTORY '$staging' USING parquet
+         |  SELECT r_regionkey, r_name FROM parquet.`/root/testdata/sf0.001/region.parquet`;
+         |LOAD DATA INPATH '$staging' OVERWRITE INTO TABLE ld_p PARTITION (ds='2024-01-01');
+         |""".stripMargin)
+    assert(spark.table("ld_p").where("ds='2024-01-01'").count() === 5)
+    run("DROP TABLE ld_p;")
+  }
+
+  test("MSCK REPAIR TABLE picks up filesystem-added partitions") {
+    val loc = Files.createTempDirectory("graft-msck").toString
+    run(
+      s"""DROP TABLE IF EXISTS msck_t;
+         |CREATE TABLE msck_t (x INT) USING parquet PARTITIONED BY (p STRING)
+         |  LOCATION '$loc';""".stripMargin)
+    // drop files into a new partition dir behind the catalog's back
+    spark.range(3).selectExpr("CAST(id AS INT) AS x")
+      .write.parquet(s"$loc/p=new")
+    run("MSCK REPAIR TABLE msck_t;")
+    assert(spark.table("msck_t").where("p='new'").count() === 3)
+    run("DROP TABLE msck_t;")
+  }
+
+  test("regex column names (Hive SELECT `(ds)?+.+`)") {
+    spark.conf.set("spark.sql.parser.quotedRegexColumnNames", "true")
+    val out = run(
+      """CREATE OR REPLACE TEMPORARY VIEW reg AS
+        |  SELECT * FROM parquet.`/root/testdata/sf0.001/region.parquet`;
+        |SELECT `(r_name)?+.+` FROM reg ORDER BY r_regionkey LIMIT 1;""".stripMargin)
+    assert(out.contains("0") && !out.contains("AFRICA"))
+    spark.conf.set("spark.sql.parser.quotedRegexColumnNames", "false")
+  }
+
+  test("misc scalar builtins Hive scripts rely on: str_to_map, xpath, stack, inline") {
+    val out = run(
+      """SELECT str_to_map('a:1,b:2', ',', ':')['b'] AS m;
+        |SELECT xpath_string('<a><b>x</b></a>', 'a/b') AS xp;
+        |SELECT * FROM (SELECT stack(2, 1, 'a', 2, 'b') AS (n, s)) ORDER BY n;
+        |SELECT inline(array(named_struct('x', 1, 'y', 'one')));""".stripMargin)
+    assert(out.contains("2"))
+    assert(out.contains("x"))
+    assert(out.contains("one"))
+  }
+
+  test("TRANSFORM ... USING streams rows through an external script") {
+    val out = run(
+      """CREATE OR REPLACE TEMPORARY VIEW tr AS SELECT 'hello' AS w;
+        |SELECT TRANSFORM (w) USING 'cat' AS (w2 STRING) FROM tr;""".stripMargin)
+    assert(out.contains("hello"))
+  }
+}
