@@ -82,15 +82,30 @@ object Dedup {
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
-  /** Candidate pairs from LSH buckets (distinct, id_a < id_b). The
-    * groupBy+self-join shape shuffles only (band,bucket,id) triples. */
-  def lshCandidates(bandRows: DataFrame): DataFrame =
-    bandRows.as("a")
-      .join(bandRows.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+  /** Candidate pairs from co-bucketed rows: ONE shuffle (groupBy bucket)
+    * + in-bucket pair expansion via codegen'd higher-order functions,
+    * instead of a self-join that shuffles the bucket table twice.
+    * Buckets larger than `maxBucket` are dropped: at 100 TB a huge bucket
+    * means a degenerate key (boilerplate shingle / all-zero signature)
+    * whose quadratic expansion would dominate the job while contributing
+    * only junk pairs — the standard LSH bucket-cap tradeoff. */
+  def pairsInBuckets(rows: DataFrame, keyCols: Seq[String], idCol: String,
+      maxBucket: Int = 1000): DataFrame = {
+    val ids = rows
+      .groupBy(keyCols.map(col): _*)
+      .agg(collect_set(col(idCol)).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(array_sort(col("ids")).as("ids"))
+    ids.select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
+  }
+
+  /** Candidate pairs from LSH band rows (distinct, id_a < id_b). */
+  def lshCandidates(bandRows: DataFrame): DataFrame =
+    pairsInBuckets(bandRows, Seq("band", "bucket"), "id")
 
   /** Full MinHash+LSH near-dup pipeline: candidates from banding, then
     * exact Jaccard verification restricted to candidate pairs only. */
@@ -123,18 +138,16 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"),
       GraftFunctions.simhash64(split(col(textCol), "\\s+")).as("sig"))
-    val chunks = sigs.select(col("id"), col("sig"),
+    val chunks = sigs.select(col("id"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
           shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("cb"))
-      .select(col("id"), col("sig"), col("cb.chunk").as("chunk"), col("cb.key").as("key"))
-    chunks.as("a")
-      .join(chunks.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-      .distinct()
+      .select(col("id"), col("cb.chunk").as("chunk"), col("cb.key").as("key"))
+    pairsInBuckets(chunks, Seq("chunk", "key"), "id")
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

@@ -88,16 +88,12 @@ object Similarity {
       .select(col("vec_id"), col("tk.table").as("table"), col("tk.key").as("key"))
   }
 
-  /** Candidate pairs: ids sharing a bucket in any table. */
-  def lshCandidatePairs(embs: DataFrame, planes: Seq[Seq[Seq[Double]]]): DataFrame = {
-    val sigs = lshSignatures(embs, planes)
-    sigs.as("a")
-      .join(sigs.as("b"),
-        col("a.table") === col("b.table") && col("a.key") === col("b.key") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
-  }
+  /** Candidate pairs: ids sharing a bucket in any table (single-shuffle
+    * bucket grouping, see [[Dedup.pairsInBuckets]]). */
+  def lshCandidatePairs(embs: DataFrame, planes: Seq[Seq[Seq[Double]]]): DataFrame =
+    Dedup.pairsInBuckets(
+      lshSignatures(embs, planes).withColumnRenamed("vec_id", "id"),
+      Seq("table", "key"), "id", maxBucket = 4096)
 
   /** LSH-accelerated top-k for a query subset: candidates from bucket
     * sharing, cosine re-rank, per-query top-k. Recall < 1 by design;

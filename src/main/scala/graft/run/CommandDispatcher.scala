@@ -42,6 +42,7 @@ final class CommandDispatcher(
   private val SetAll = """(?is)^set\s*(-v)?\s*$""".r
   private val AddRes = """(?is)^(add|list|delete)\s+(jars?|files?|archives?)\b(.*)$""".r
   private val Dfs = """(?is)^dfs\s+(.+)$""".r
+  private val IndexDdl = """(?is)^(create|drop|alter)\s+index\b.*""".r
   private val Shell = """(?s)^!\s*(.+)$""".r
   private val Source = """(?is)^source\s+(.+)$""".r
 
@@ -82,6 +83,12 @@ final class CommandDispatcher(
       Some(())
     case Source(path) =>
       runSource(stripQuotes(path.trim))
+      Some(())
+    case IndexDdl(_) =>
+      // the reference deliberately disables Hive index machinery
+      // (IndexMetadataChangeTask blocked ManifestRunner.java:101,
+      // HIVEOPTINDEXFILTER=false :204): accept-and-warn is faithful
+      out.println("[WARN] Hive indexes are disabled (reference parity); statement ignored")
       Some(())
     case LoadData(_, path, overwrite, table, _, partSpec) =>
       // Spark supports LOAD DATA only for Hive-catalog tables (SURVEY.md

@@ -61,7 +61,11 @@ final class ScriptRunner(
   }
 
   /** Execute a single (already-substituted) statement. */
-  def runStatement(stmt: String): Unit = {
+  def runStatement(rawStmt: String): Unit = {
+    // Hive storage-clause DDL → Spark USING syntax (SURVEY §2.2 formats)
+    val tr = graft.script.HiveDdlTranslator.translate(rawStmt)
+    tr.warnings.foreach(w => out.println(s"[WARN] $w"))
+    val stmt = tr.sql
     dispatcher.dispatch(stmt) match {
       case Some(_) => ()
       case None if !validateOnly =>

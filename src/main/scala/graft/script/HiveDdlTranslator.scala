@@ -1,0 +1,156 @@
+package graft.script
+
+import java.util.regex.Pattern
+
+/** Translates Hive CREATE TABLE storage clauses into Spark datasource
+  * (`USING`) syntax so HiveQL scripts run against Spark's built-in
+  * catalog — no Hive metastore/serde jars required.
+  *
+  * Surface covered (SURVEY.md §2.2 "Storage formats"): `STORED AS
+  * TEXTFILE/SEQUENCEFILE/RCFILE/ORC/PARQUET/AVRO`, `ROW FORMAT DELIMITED
+  * FIELDS TERMINATED BY …` (→ csv options), Hive-style `PARTITIONED BY
+  * (col TYPE)` (partition columns move into the schema, as Spark
+  * datasource tables require), bare `EXTERNAL` without LOCATION.
+  * Columnar maintenance formats the reference explicitly blocks
+  * (RCFile ops, `ManifestRunner.java:102-104`) map to parquet with a
+  * warning — storage fidelity is not observable in a local simulation,
+  * results are.
+  */
+object HiveDdlTranslator {
+
+  private val CreateTable =
+    Pattern.compile("(?is)^\\s*create\\s+(external\\s+)?(temporary\\s+)?table\\b.*")
+  private val RowFormat = Pattern.compile(
+    "(?is)\\s*row\\s+format\\s+delimited" +
+      "(\\s+fields\\s+terminated\\s+by\\s+'((?:[^'\\\\]|\\\\.)*)')?" +
+      "(\\s+collection\\s+items\\s+terminated\\s+by\\s+'(?:[^'\\\\]|\\\\.)*')?" +
+      "(\\s+map\\s+keys\\s+terminated\\s+by\\s+'(?:[^'\\\\]|\\\\.)*')?" +
+      "(\\s+lines\\s+terminated\\s+by\\s+'(?:[^'\\\\]|\\\\.)*')?" +
+      "(\\s+null\\s+defined\\s+as\\s+'(?:[^'\\\\]|\\\\.)*')?")
+  private val StoredAs =
+    Pattern.compile("(?is)\\s*stored\\s+as\\s+(\\w+)")
+  private val HivePartitionedBy = Pattern.compile(
+    "(?is)\\s*partitioned\\s+by\\s*\\(([^)]*)\\)")
+  private val HasLocation = Pattern.compile("(?is)\\blocation\\s+'")
+
+  final case class Translation(sql: String, warnings: Seq[String])
+
+  /** Identity for non-CREATE-TABLE or already-Spark-native statements. */
+  def translate(stmt: String): Translation = {
+    if (!CreateTable.matcher(stmt).matches() ||
+        stmt.toLowerCase.contains(" using ")) return Translation(stmt, Nil)
+
+    var sql = stmt
+    var warnings = Vector.empty[String]
+    var delimiter: Option[String] = None
+
+    // ROW FORMAT DELIMITED [...]: capture the field delimiter, drop clause
+    val rf = RowFormat.matcher(sql)
+    if (rf.find()) {
+      delimiter = Option(rf.group(2)).map(unescape)
+      sql = sql.substring(0, rf.start()) + " " + sql.substring(rf.end())
+    }
+
+    // STORED AS fmt → USING fmt
+    var format: Option[String] = None
+    val sa = StoredAs.matcher(sql)
+    if (sa.find()) {
+      val hiveFmt = sa.group(1).toLowerCase
+      val spark = hiveFmt match {
+        case "textfile" => "csv"
+        case "parquet" => "parquet"
+        case "orc" => "orc"
+        case "avro" => "avro"
+        case "jsonfile" => "json"
+        case other =>
+          warnings :+= s"STORED AS $other has no Spark datasource; using parquet " +
+            "(storage format is not observable in local simulation)"
+          "parquet"
+      }
+      format = Some(spark)
+      sql = sql.substring(0, sa.start()) + " " + sql.substring(sa.end())
+    } else if (delimiter.isDefined) {
+      format = Some("csv") // ROW FORMAT DELIMITED implies text storage
+    }
+
+    if (format.isEmpty) return Translation(stmt, Nil)
+
+    // Hive PARTITIONED BY (col TYPE, …): move col defs into the schema,
+    // keep PARTITIONED BY (col, …) — Spark datasource-table semantics
+    val pb = HivePartitionedBy.matcher(sql)
+    if (pb.find()) {
+      val partDefs = pb.group(1).trim
+      if (partDefs.nonEmpty && partDefs.split(",").head.trim.split("\\s+").length >= 2) {
+        val cols = partDefs.split(",").map(_.trim).filter(_.nonEmpty)
+        val names = cols.map(_.split("\\s+")(0))
+        // append defs to the column list (last ')' before PARTITIONED BY)
+        val head = sql.substring(0, pb.start())
+        val closeIdx = head.lastIndexOf(')')
+        sql =
+          if (closeIdx >= 0)
+            head.substring(0, closeIdx) + ", " + cols.mkString(", ") + ")" +
+              s" PARTITIONED BY (${names.mkString(", ")}) " + sql.substring(pb.end())
+          else head + s" PARTITIONED BY (${names.mkString(", ")}) " + sql.substring(pb.end())
+      }
+    }
+
+    // insert USING after the column list (or table name if no list)
+    val usingClause = format.get match {
+      case "csv" =>
+        val d = delimiter.getOrElse("") // Hive default field delim ^A
+        val dEsc = d.replace("\\", "\\\\").replace("'", "\\'")
+        s" USING csv OPTIONS (delimiter '$dEsc') "
+      case f => s" USING $f "
+    }
+    val insertAt = usingInsertionPoint(sql)
+    sql = sql.substring(0, insertAt) + usingClause + sql.substring(insertAt)
+
+    // bare EXTERNAL without LOCATION: Spark rejects; drop the keyword
+    if (!HasLocation.matcher(sql).find()) {
+      val ext = Pattern.compile("(?is)\\bexternal\\s+").matcher(sql)
+      if (ext.find()) {
+        sql = sql.substring(0, ext.start()) + sql.substring(ext.end())
+        warnings :+= "EXTERNAL without LOCATION: treated as managed table"
+      }
+    }
+    Translation(sql, warnings)
+  }
+
+  /** Position right after the closing paren of the column list, or after
+    * the table name when there is no list (CTAS handled upstream). */
+  private def usingInsertionPoint(sql: String): Int = {
+    var i = 0; var depth = 0; var sawParen = false
+    var state: Char = 'N'
+    var end = -1
+    while (i < sql.length && end < 0) {
+      val c = sql.charAt(i)
+      state match {
+        case 'N' =>
+          c match {
+            case '\'' => state = '\''
+            case '"' => state = '"'
+            case '`' => state = '`'
+            case '(' => depth += 1; sawParen = true
+            case ')' => depth -= 1; if (sawParen && depth == 0) end = i + 1
+            case _ => ()
+          }
+        case q =>
+          if (c == q) state = 'N'
+          else if (c == '\\') i += 1
+      }
+      i += 1
+    }
+    if (end >= 0) end
+    else {
+      // no column list: insert after "CREATE ... TABLE [IF NOT EXISTS] name"
+      val m = Pattern.compile(
+        "(?is)^\\s*create\\s+(?:external\\s+)?(?:temporary\\s+)?table\\s+" +
+          "(?:if\\s+not\\s+exists\\s+)?[\\w.`]+").matcher(sql)
+      if (m.find()) m.end() else sql.length
+    }
+  }
+
+  private def unescape(s: String): String =
+    s.replace("\\t", "\t").replace("\\n", "\n").replace("\\\\", "\\")
+      .replace("\\001", "").replace("\\u0001", "")
+}

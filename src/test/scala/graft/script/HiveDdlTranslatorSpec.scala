@@ -1,0 +1,84 @@
+package graft.script
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class HiveDdlTranslatorSpec extends AnyFunSuite {
+
+  test("STORED AS PARQUET → USING parquet") {
+    val t = HiveDdlTranslator.translate(
+      "CREATE TABLE t (a INT, b STRING) STORED AS PARQUET")
+    assert(t.sql.matches("(?is)CREATE TABLE t \\(a INT, b STRING\\)\\s+USING parquet\\s*"))
+  }
+
+  test("ROW FORMAT DELIMITED FIELDS TERMINATED BY → csv options") {
+    val t = HiveDdlTranslator.translate(
+      "CREATE TABLE t (a INT) ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\t' STORED AS TEXTFILE")
+    assert(t.sql.contains("USING csv"))
+    assert(t.sql.contains("delimiter '\t'"))
+  }
+
+  test("Hive PARTITIONED BY (col TYPE) moves into schema") {
+    val t = HiveDdlTranslator.translate(
+      "CREATE TABLE t (a INT) PARTITIONED BY (ds STRING) STORED AS ORC")
+    assert(t.sql.contains("(a INT, ds STRING)"))
+    assert(t.sql.matches("(?is).*PARTITIONED BY \\(ds\\).*"))
+    assert(t.sql.contains("USING orc"))
+  }
+
+  test("RCFILE falls back to parquet with warning") {
+    val t = HiveDdlTranslator.translate(
+      "CREATE TABLE t (a INT) STORED AS RCFILE")
+    assert(t.sql.contains("USING parquet"))
+    assert(t.warnings.exists(_.contains("RCFILE".toLowerCase.capitalize)
+      || t.warnings.exists(_.contains("rcfile"))))
+  }
+
+  test("bare EXTERNAL without LOCATION dropped; with LOCATION kept") {
+    val t = HiveDdlTranslator.translate(
+      "CREATE EXTERNAL TABLE t (a INT) STORED AS PARQUET")
+    assert(!t.sql.toLowerCase.contains("external"))
+    val t2 = HiveDdlTranslator.translate(
+      "CREATE EXTERNAL TABLE t (a INT) STORED AS PARQUET LOCATION '/tmp/x'")
+    assert(t2.sql.toLowerCase.contains("external"))
+  }
+
+  test("non-DDL and Spark-native statements untouched") {
+    val q = "SELECT stored AS x FROM t"
+    assert(HiveDdlTranslator.translate(q).sql === q)
+    val native = "CREATE TABLE t (a INT) USING parquet"
+    assert(HiveDdlTranslator.translate(native).sql === native)
+  }
+
+  test("end-to-end: Hive-style delimited table works through the runner") {
+    val spark = TestSpark.spark
+    import java.io.{ByteArrayOutputStream, PrintStream}
+    val bos = new ByteArrayOutputStream()
+    val runner = new graft.run.ScriptRunner(spark, validateOnly = false,
+      verbose = false, new PrintStream(bos, true, "UTF-8"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-hive-csv")
+    java.nio.file.Files.write(dir.resolve("data.csv"),
+      "1|one\n2|two\n".getBytes("UTF-8"))
+    runner.runScriptText(
+      s"""DROP TABLE IF EXISTS hv_t;
+         |CREATE EXTERNAL TABLE hv_t (k INT, v STRING)
+         |ROW FORMAT DELIMITED FIELDS TERMINATED BY '|'
+         |STORED AS TEXTFILE
+         |LOCATION '$dir';
+         |SELECT v FROM hv_t WHERE k = 2;""".stripMargin, Map.empty)
+    val out = new String(bos.toByteArray, "UTF-8")
+    assert(out.contains("two"))
+    runner.runScriptText("DROP TABLE hv_t;", Map.empty)
+  }
+
+  test("CREATE INDEX is accepted-and-warned (reference disables indexes)") {
+    val spark = TestSpark.spark
+    import java.io.{ByteArrayOutputStream, PrintStream}
+    val bos = new ByteArrayOutputStream()
+    val runner = new graft.run.ScriptRunner(spark, validateOnly = false,
+      verbose = false, new PrintStream(bos, true, "UTF-8"))
+    runner.runScriptText(
+      "CREATE INDEX idx ON TABLE t (c) AS 'COMPACT';", Map.empty)
+    assert(new String(bos.toByteArray, "UTF-8").contains("indexes are disabled"))
+  }
+}
