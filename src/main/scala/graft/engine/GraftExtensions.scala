@@ -1,0 +1,34 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft._
+
+/** [[SparkSessionExtensions]] wiring for the engine's custom Catalyst
+  * expressions: `spark.sql.extensions=graft.engine.GraftExtensions`
+  * (or `.withExtensions(new GraftExtensions)`) makes `simhash64`,
+  * `shingles`, `fingerprint64`, `sentences`, `hive_hash`, `ngrams`,
+  * `context_ngrams` available to every session SQL-side with no manual
+  * registration — the idiomatic extension point for a Spark-native
+  * library (preferred over per-session registry mutation).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    def inject(name: String, builder: Seq[Expression] => Expression): Unit =
+      e.injectFunction((FunctionIdentifier(name), info(name), builder))
+    inject("simhash64", es => SimHash64(es.head))
+    inject("shingles", es => Shingles(es(0), es(1)))
+    inject("fingerprint64", es => Fingerprint64(es.head))
+    inject("sentences", es => SentencesExpr(es.head))
+    inject("hive_hash",
+      es => org.apache.spark.sql.catalyst.expressions.HiveHash(es))
+    inject("ngrams", es => NGramsAgg(es(0), es(1), es(2)).toAggregateExpression())
+    inject("context_ngrams",
+      es => ContextNGramsAgg(es(0), es(1), es(2)).toAggregateExpression())
+  }
+}

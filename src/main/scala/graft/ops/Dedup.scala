@@ -38,25 +38,40 @@ object Dedup {
     docs.select(col(idCol).as("id"),
         explode(GraftFunctions.shingles(split(col(textCol), "\\s+"), n)).as("shingle"))
 
-  /** Exact pairwise n-gram Jaccard over the given doc set: self-join on
-    * shingle, count intersections, divide by union. Quadratic — intended
-    * for verification of LSH candidates or small filtered subsets. */
-  def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = shingleSet(docs, n, idCol, textCol).cache()
-    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val common = toks.as("a")
-      .join(toks.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+  /** Per-doc distinct shingle ARRAY — the compact set representation the
+    * verify path joins against (one row per doc, no explode). */
+  def shingleArrays(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      GraftFunctions.shingles(split(col(textCol), "\\s+"), n).as("sh"))
+
+  /** Exact Jaccard for a set of candidate (id_a, id_b) pairs: join each
+    * side's shingle array, intersect in one codegen'd pass. Cost is
+    * O(|candidates| × doc size) — no per-shingle shuffle. */
+  def verifyJaccard(cands: DataFrame, arrs: DataFrame, threshold: Double): DataFrame =
+    cands
+      .join(arrs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(arrs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+
+  /** Exact pairwise n-gram Jaccard: docs sharing ≥1 shingle become
+    * candidate pairs (single groupBy over shingle buckets), then the
+    * array-intersect verifier computes the exact score. Output is
+    * identical to the naive quadratic join (a pair with jaccard > 0
+    * shares a shingle by definition); `maxBucket` is set high because
+    * this operator promises exactness — cap-based dropping belongs to
+    * the LSH path. */
+  def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val arrs = shingleArrays(docs, n, idCol, textCol).cache()
+    val cands = pairsInBuckets(
+      arrs.select(col("id"), explode(col("sh")).as("shingle")),
+      Seq("shingle"), "id", maxBucket = 1 << 20)
+    verifyJaccard(cands, arrs, threshold)
   }
 
   /** MinHash signature: for each of `k` seeded hash functions, the min
@@ -108,26 +123,13 @@ object Dedup {
     pairsInBuckets(bandRows, Seq("band", "bucket"), "id")
 
   /** Full MinHash+LSH near-dup pipeline: candidates from banding, then
-    * exact Jaccard verification restricted to candidate pairs only. */
+    * exact Jaccard verification (array-intersect) on candidates only. */
   def minhashNearDups(docs: DataFrame, n: Int, k: Int, bands: Int,
       threshold: Double, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val shingled = shingleSet(docs, n, idCol, textCol).cache()
+    val arrs = shingleArrays(docs, n, idCol, textCol).cache()
+    val shingled = arrs.select(col("id"), explode(col("sh")).as("shingle"))
     val cands = lshCandidates(lshBands(minhashSignatures(shingled, k), k, bands))
-    val sizes = shingled.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    // verify: join candidate pairs back to shingle sets, count overlap
-    val common = cands
-      .join(shingled.as("sa"), col("id_a") === col("sa.id"))
-      .join(shingled.as("sb"),
-        col("id_b") === col("sb.id") && col("sa.shingle") === col("sb.shingle"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    verifyJaccard(cands, arrs, threshold)
   }
 
   /** SimHash near-dup: 64-bit signatures, banded into 4×16-bit chunks —

@@ -43,6 +43,7 @@ final class CommandDispatcher(
   private val AddRes = """(?is)^(add|list|delete)\s+(jars?|files?|archives?)\b(.*)$""".r
   private val Dfs = """(?is)^dfs\s+(.+)$""".r
   private val IndexDdl = """(?is)^(create|drop|alter)\s+index\b.*""".r
+  private val ImportExport = """(?is)^(import|export)\s+table\b.*""".r
   private val Shell = """(?s)^!\s*(.+)$""".r
   private val Source = """(?is)^source\s+(.+)$""".r
 
@@ -89,6 +90,12 @@ final class CommandDispatcher(
       // (IndexMetadataChangeTask blocked ManifestRunner.java:101,
       // HIVEOPTINDEXFILTER=false :204): accept-and-warn is faithful
       out.println("[WARN] Hive indexes are disabled (reference parity); statement ignored")
+      Some(())
+    case ImportExport(kind) =>
+      // archive IMPORT/EXPORT is CopyTask territory, blocked by the
+      // reference in validate mode (ManifestRunner.java:92); out of scope
+      // for the Spark rebuild (SURVEY.md §7.4.3)
+      out.println(s"[WARN] ${kind.toUpperCase} TABLE is not supported; statement ignored")
       Some(())
     case LoadData(_, path, overwrite, table, _, partSpec) =>
       // Spark supports LOAD DATA only for Hive-catalog tables (SURVEY.md
