@@ -202,6 +202,34 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ------------------------------------------------ sessionization
+    // Gap-based session windows (the batch twin of the streaming
+    // flatMapGroupsWithState sessionizer in graft.streaming.EventStreams)
+    q("q_sessionize",
+      """WITH e AS (SELECT user_id, event_id, value,
+        |    CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS epoch_ms FROM events),
+        |s AS (SELECT *, CASE WHEN prev IS NULL OR epoch_ms - prev > 1800000
+        |        THEN 1 ELSE 0 END AS new_s FROM
+        |   (SELECT *, lag(epoch_ms) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_ms, event_id) AS prev FROM e)),
+        |g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |        ORDER BY epoch_ms, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |      FROM s)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(count(*) AS INT) AS n_events, round(sum(value), 2) AS total_value,
+        |  min(epoch_ms) AS start_ms, max(epoch_ms) AS end_ms
+        |FROM g GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          expr("ts div 1000000").as("epoch_ms")) // integral div: no fp rounding
+      graft.streaming.EventStreams.sessionizeBatch(raw, gapMs = 1800000L)
+        .withColumn("session_id", col("session_id").cast("long"))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("total_value"), col("start_ms"), col("end_ms"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
     // Feature-extraction stub → similarity-ready vectors (rows-only)
     qNoOracle("q_multimodal_features") { (s, dir) =>
       import s.implicits._

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the events table shape.
+  *
+  * The reference is strictly batch (sequential scripts,
+  * `ManifestRunner.java:54-56`) — streaming is additive capability for
+  * the training-data-pipeline north star: the same engine that verifies
+  * batch HQL can run the ingest leg. Design follows the builder contract:
+  * `readStream` → transforms → `writeStream`, event-time watermarks +
+  * windowed aggregates, and `flatMapGroupsWithState` for custom session
+  * state. Everything here is an unbounded-safe plan: state is bounded by
+  * the watermark, aggregation is partial-mergeable, no driver-side
+  * collection.
+  */
+object EventStreams {
+
+  /** events.parquet schema with ts as TIMESTAMP (the nanos column arrives
+    * as long under nanosAsLong; streaming sources declare the schema). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos since epoch
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of event parquet files. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+      .withColumn("event_time", timestamp_seconds(col("ts") / lit(1e9)))
+
+  /** Watermarked sliding-window aggregate: events per (window, type) with
+    * revenue sum. Late data beyond 10 minutes is dropped — bounded state
+    * regardless of stream length. */
+  def windowedCounts(events: DataFrame,
+      window: String = "5 minutes", slide: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(functions.window(col("event_time"), window, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  private object functions {
+    def window(c: org.apache.spark.sql.Column, w: String, s: String) =
+      org.apache.spark.sql.functions.window(c, w, s)
+  }
+
+  final case class Event(event_id: Long, user_id: Long, event_type: String,
+      value: Double, epochMs: Long)
+  final case class SessionAgg(user_id: Long, n_events: Int, total_value: Double,
+      start_ms: Long, end_ms: Long)
+  final case class SessionState(n: Int, total: Double, startMs: Long, lastMs: Long)
+
+  /** Session windows via custom state: a user session closes after
+    * `gapMs` of inactivity (processing-time timeout for simplicity;
+    * event-time sessionization would key the timeout off the watermark).
+    * Emits one row per closed session. State per key is O(1). */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAgg](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionAgg(userId, s.n, s.total, s.startMs, s.lastMs))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.epochMs, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionAgg]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.epochMs - s.lastMs <= gapMs =>
+                  cur = Some(s.copy(n = s.n + 1, total = s.total + e.value,
+                    lastMs = e.epochMs))
+                case Some(s) =>
+                  closed += SessionAgg(userId, s.n, s.total, s.startMs, s.lastMs)
+                  cur = Some(SessionState(1, e.value, e.epochMs, e.epochMs))
+                case None =>
+                  cur = Some(SessionState(1, e.value, e.epochMs, e.epochMs))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Batch-equivalent sessionization (same gap semantics) — the oracle
+    * for the streaming path and a useful operator in its own right:
+    * lag-based session boundaries, one window + one aggregate. */
+  def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_ms"), col("event_id"))
+    events
+      .withColumn("prev_ms", lag(col("epoch_ms"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("epoch_ms") - col("prev_ms") > gapMs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).cast("int").as("n_events"),
+        round(sum(col("value")), 2).as("total_value"),
+        min(col("epoch_ms")).as("start_ms"), max(col("epoch_ms")).as("end_ms"))
+  }
+}

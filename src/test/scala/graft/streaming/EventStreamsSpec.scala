@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.TestSpark.{sfDir, spark}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventStreamsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("watermarked windowed aggregate over a file stream matches batch") {
+    // the streaming file source wants a directory: stage the events there
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-win").toString
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .write.mode("overwrite").parquet(stageDir)
+    val events = EventStreams.readEvents(spark, stageDir)
+    val agg = EventStreams.windowedCounts(events, "1 hour", "1 hour", "1 minute")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_counts")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // append mode only emits windows the watermark has passed; with a
+    // bounded file source the final windows stay open, so compare a
+    // prefix against the batch computation
+    val streamed = spark.table("win_counts")
+      .select($"w_start", $"event_type", $"n", $"total_value")
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("event_time", timestamp_seconds(col("ts") / lit(1e9)))
+      .groupBy(window($"event_time", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+      .select($"window.start".as("w_start"), $"event_type", $"n", $"total_value")
+    val streamedSet = streamed.collect().map(_.toSeq).toSet
+    val batchSet = batch.collect().map(_.toSeq).toSet
+    assert(streamedSet.nonEmpty, "stream emitted no closed windows")
+    assert(streamedSet.subsetOf(batchSet),
+      "every emitted streaming window must equal its batch twin")
+  }
+
+  test("flatMapGroupsWithState sessionization matches the batch oracle on closed sessions") {
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      .select($"event_id", $"user_id", $"event_type", $"value",
+        expr("ts div 1000000").as("epochMs"))
+    val gapMs = 30L * 60 * 1000
+    // batch oracle
+    val batch = EventStreams.sessionizeBatch(
+      raw.withColumnRenamed("epochMs", "epoch_ms"), gapMs)
+    val batchSessions = batch
+      .select($"user_id", $"n_events", $"start_ms", $"end_ms")
+      .collect().map(_.toSeq).toSet
+    // streaming: single AvailableNow batch → only inactivity-closed
+    // sessions within the batch emit (the final open session per user
+    // stays in state); every emitted session must match the oracle
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    raw.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(raw.schema)
+      .parquet(dir)
+      .as[EventStreams.Event]
+    val out = EventStreams.sessionize(stream, gapMs)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sessions")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sessions")
+      .select($"user_id", $"n_events", $"start_ms", $"end_ms")
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty, "no sessions closed in stream")
+    assert(streamed.subsetOf(batchSessions),
+      "streaming sessions must match batch-oracle sessions")
+  }
+}
