@@ -1,0 +1,107 @@
+package graft
+
+import graft.TestSpark.spark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the scalar-function families of SURVEY.md §2.2 that the DuckDB
+  * oracle doesn't exercise: each case is `SELECT expr` == expected,
+  * evaluated through the engine's SQL path. These are the Hive builtins
+  * the reference's scripts can call (Hive function registry of the
+  * pinned versions); Spark implements them under identical names. */
+class FunctionParitySpec extends AnyFunSuite {
+
+  private def check(cases: (String, Any)*): Unit = cases.foreach {
+    case (sql, expected) =>
+      val got = spark.sql(s"SELECT $sql").first().get(0)
+      assert(got === expected, s"for SELECT $sql")
+  }
+
+  test("string family") {
+    check(
+      "concat('a', 'b', 'c')" -> "abc",
+      "concat_ws('-', 'a', 'b')" -> "a-b",
+      "find_in_set('b', 'a,b,c')" -> 2,
+      "instr('foobar', 'bar')" -> 4,
+      "locate('o', 'foo')" -> 2,
+      "initcap('hello world')" -> "Hello World",
+      "soundex('Robert')" -> "R163",
+      "levenshtein('kitten', 'sitting')" -> 3,
+      "translate('ababab', 'ab', 'cd')" -> "cdcdcd",
+      "repeat('ab', 3)" -> "ababab",
+      "space(3)" -> "   ",
+      "ascii('A')" -> 65,
+      "base64(encode('spark', 'UTF-8'))" -> "c3Bhcms=",
+      "decode(unbase64('c3Bhcms='), 'UTF-8')" -> "spark",
+      "format_number(1234567.891, 2)" -> "1,234,567.89",
+      "printf('%d-%s', 7, 'x')" -> "7-x",
+      "split('a,b,c', ',')[1]" -> "b",
+      "substring_index('a.b.c', '.', 2)" -> "a.b",
+      "str_to_map('a:1,b:2', ',', ':')['a']" -> "1")
+  }
+
+  test("math family") {
+    check(
+      "pmod(-7, 3)" -> 2,
+      "conv('ff', 16, 10)" -> "255",
+      "hex(255)" -> "FF",
+      "unhex('4D')" -> Array(0x4d.toByte),
+      "bin(7)" -> "111",
+      "factorial(5)" -> 120L,
+      "cbrt(27.0)" -> 3.0,
+      "degrees(pi())" -> 180.0,
+      "radians(180) = pi()" -> true,
+      "shiftleft(1, 4)" -> 16,
+      "shiftright(16, 4)" -> 1,
+      "sign(-5.0)" -> -1.0,
+      "e() > 2.71 AND e() < 2.72" -> true,
+      "round(rand(42), 10) = round(rand(42), 10)" -> true)
+  }
+
+  test("date family") {
+    check(
+      "datediff('2000-01-03', '2000-01-01')" -> 2,
+      "date_add('2000-01-01', 31)" -> java.sql.Date.valueOf("2000-02-01"),
+      "date_sub('2000-01-01', 1)" -> java.sql.Date.valueOf("1999-12-31"),
+      "add_months('2000-01-31', 1)" -> java.sql.Date.valueOf("2000-02-29"),
+      "last_day('2000-02-01')" -> java.sql.Date.valueOf("2000-02-29"),
+      "next_day('2015-01-14', 'TU')" -> java.sql.Date.valueOf("2015-01-20"),
+      "months_between('1997-02-28 10:30:00', '1996-10-30')" -> 3.94959677,
+      "trunc('2009-02-12', 'MM')" -> java.sql.Date.valueOf("2009-02-01"),
+      "date_format('2024-03-05', 'yyyy/MM')" -> "2024/03",
+      "weekofyear('2008-02-20')" -> 8,
+      "from_unixtime(0, 'yyyy-MM-dd')" -> "1970-01-01",
+      "unix_timestamp('1970-01-02 00:00:00')" -> 86400L)
+  }
+
+  test("conditional + misc family") {
+    check(
+      "if(1 < 2, 'y', 'n')" -> "y",
+      "nvl(NULL, 'd')" -> "d",
+      "nullif(1, 1)" -> null,
+      "isnull(NULL)" -> true,
+      "isnotnull(1)" -> true,
+      "assert_true(true)" -> null,
+      "md5('spark')" -> "98f11b7a7880169c3bd62a5a507b3965",
+      "sha1('abc')" -> "a9993e364706816aba3e25717850c26c9cd0d89d",
+      "sha2('abc', 256)" ->
+        "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad",
+      "crc32(encode('ABC', 'UTF-8'))" -> 2743272264L,
+      "xpath_string('<a><b>bb</b></a>', 'a/b')" -> "bb",
+      "xpath('<a><b>1</b><b>2</b></a>', 'a/b/text()')" -> Seq("1", "2"),
+      "current_database()" -> "default",
+      "size(map_keys(map('a', 1)))" -> 1,
+      "sort_array(array(3, 1, 2))" -> Seq(1, 2, 3),
+      "array_contains(array(1, 2), 2)" -> true,
+      "element_at(map('k', 'v'), 'k')" -> "v",
+      "named_struct('a', 1).a" -> 1,
+      "get_json_object('{\"a\": {\"b\": 7}}', '$.a.b')" -> "7")
+  }
+
+  test("hive-lax coercion (ANSI off): implicit casts like Hive 0.13") {
+    check(
+      "CAST('12x' AS INT)" -> null,      // Hive: NULL, ANSI: error
+      "'7' + 1" -> 8.0,                  // string+int coerces via double
+      "CAST(1.9 AS INT)" -> 1,           // truncation not rounding
+      "CAST(TRUE AS INT)" -> 1)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.script
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+/** Property tests for the splitter/substitutor (SURVEY.md §5.2.4). */
+object ParserPropertySpec extends Properties("HqlScriptParser") {
+
+  private val ident: Gen[String] = for {
+    h <- Gen.alphaChar
+    t <- Gen.listOfN(5, Gen.alphaNumChar)
+  } yield (h :: t).mkString
+
+  private val simpleStmt: Gen[String] = for {
+    cols <- Gen.nonEmptyListOf(ident).map(_.take(4))
+    tbl <- ident
+  } yield s"SELECT ${cols.mkString(", ")} FROM $tbl"
+
+  property("joining split statements with ';' re-splits identically") =
+    forAll(Gen.nonEmptyListOf(simpleStmt).map(_.take(8))) { stmts =>
+      val script = stmts.mkString(";\n")
+      HqlScriptParser.split(script) == stmts
+    }
+
+  property("quoted semicolons never split") =
+    forAll(ident, ident) { (a, b) =>
+      val stmt = s"SELECT '$a;$b' FROM t"
+      HqlScriptParser.split(stmt + "; SELECT 1") == Seq(stmt, "SELECT 1")
+    }
+
+  property("line comments are transparent to splitting") =
+    forAll(simpleStmt, Gen.alphaStr) { (stmt, noise) =>
+      HqlScriptParser.split(s"-- $noise ;;; \n$stmt;") == Seq(stmt)
+    }
+
+  property("substitution is identity without references") =
+    forAll(simpleStmt) { stmt =>
+      new VariableSubstitutor(Map.empty).substitute(stmt) == stmt
+    }
+
+  property("every defined reference is substituted") =
+    forAll(ident, ident) { (name, value) =>
+      val sub = new VariableSubstitutor(Map(name -> value))
+      sub.substitute(s"SELECT $${$name}") == s"SELECT $value"
+    }
+
+  property("nested references resolve to fixpoint") =
+    forAll(ident, ident, ident) { (a, b, v) =>
+      (a != b) ==> {
+        val sub = new VariableSubstitutor(Map(a -> s"$${$b}", b -> v))
+        sub.substitute(s"$${$a}") == v
+      }
+    }
+}
