@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.GraftFunctions
-import graft.ops.{Dedup, Multimodal, Similarity}
+import graft.ops.{Dedup, IvfIndex, Multimodal, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -111,6 +111,14 @@ object PipelineQueries {
     qNoOracle("q_ann_lsh") { (s, dir) =>
       val planes = Similarity.hyperplanes(tables = 16, bits = 4, dim = 64)
       Similarity.lshTopK(t(s, dir, "embeddings"), col("vec_id") < 10, k = 5, planes)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // IVF (KMeans inverted-file) ANN — probe-limited search; approximate
+    // → rows-only, recall + exactness-at-full-probe pinned in SimilaritySpec
+    qNoOracle("q_ann_ivf") { (s, dir) =>
+      val index = IvfIndex.build(t(s, dir, "embeddings"), nlist = 8)
+      IvfIndex.search(index, col("vec_id") < 10, k = 5, nprobe = 4)
         .orderBy(col("query_id"), col("rk"))
     },
 

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor: a KMeans coarse
+  * quantizer partitions the base vectors into `nlist` cells; a query
+  * probes only its `nprobe` nearest cells.
+  *
+  * Scale shape: the index build is one ML fit (sampled at large SF) plus
+  * one narrow assignment pass; the search joins queries to candidate
+  * cells (a broadcast of `nprobe` cell ids per query — centroids are
+  * model-sized, never data-sized) and re-ranks with exact cosine inside
+  * those cells only. At 100 TB, cells are the partition key: a probe
+  * touches `nprobe/nlist` of the data instead of all of it. Complements
+  * the hyperplane-LSH path in [[Similarity]].
+  */
+object IvfIndex {
+
+  final case class Index(assignments: DataFrame, centroids: Array[Array[Double]])
+
+  /** Build: fit KMeans (seeded, deterministic) on the embeddings and
+    * assign every vector to its cell. */
+  def build(embs: DataFrame, nlist: Int, seed: Long = 42L): Index = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val vecs = embs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .map(r => (r.getLong(0), Vectors.dense(r.getSeq[Double](1).toArray)))
+      .toDF("vec_id", "features")
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .fit(vecs)
+    val assigned = model.transform(vecs)
+      .select(col("vec_id"), col("prediction").as("cell"))
+    Index(
+      embs.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .join(assigned, "vec_id"),
+      model.clusterCenters.map(_.toArray))
+  }
+
+  /** Top-k cosine for the query subset, probing nprobe cells per query. */
+  def search(index: Index, queryPred: Column, k: Int, nprobe: Int): DataFrame = {
+    val spark = index.assignments.sparkSession
+    // centroid table is model-sized: ship as a literal-backed DataFrame
+    import spark.implicits._
+    val cents = index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+    val base = index.assignments.withColumn("nrm", Similarity.norm(col("emb")))
+    val queries = base.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+        col("nrm").as("qnrm"))
+    // per query: rank centroids by distance, keep nprobe cells
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("cdist"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qemb"), col("qnrm"), col("cell"),
+        aggregate(zip_with(col("qemb"), col("centroid"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x).as("cdist"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qemb"), col("qnrm"), col("cell"))
+    // search only the probed cells
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    probes.join(base, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(Similarity.dot(col("emb"), col("qemb")) / (col("nrm") * col("qnrm")), 6)
+          .as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rk"))
+  }
+}

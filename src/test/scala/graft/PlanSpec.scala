@@ -1,0 +1,64 @@
+package graft
+
+import graft.TestSpark.{sfDir, spark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the efficiency properties claimed for 100 TB
+  * (pushdown, pruning, broadcast, partial aggregation, top-k) must be
+  * visible in the physical plan, not just hoped for. */
+class PlanSpec extends AnyFunSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q_agg_pricing: filter pushed to parquet scan, schema pruned") {
+    val p = plan("q_agg_pricing")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(p.contains("ReadSchema") &&
+      !p.contains("l_orderkey"), "unused columns must be pruned from the scan")
+  }
+
+  test("q_agg_pricing: partial + final hash aggregation (map-side combine)") {
+    val p = plan("q_agg_pricing")
+    assert(p.contains("partial_sum"), "partial aggregation must run before the shuffle")
+    assert("(?s)HashAggregate.*Exchange.*HashAggregate".r
+      .findFirstIn(p).isDefined)
+  }
+
+  test("q_multi_join_star: small dims broadcast, fact scanned once") {
+    val p = plan("q_multi_join_star")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      "dimension joins must be broadcast, not shuffled")
+    assert("(?i)sortmergejoin".r.findAllIn(p).isEmpty,
+      "no sort-merge exchange needed when dims broadcast")
+  }
+
+  test("q_topk plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_filter_pred: predicates reach the scan") {
+    val p = plan("q_filter_pred")
+    // plan toString truncates long filter lists; match the stable prefix
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"))
+  }
+
+  test("brute-force ANN broadcasts the query side (no cartesian shuffle)") {
+    val p = plan("q_ann_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "query vectors must broadcast against the base scan")
+    assert(!p.contains("CartesianProduct"),
+      "cross join must not fall back to a shuffled cartesian product")
+  }
+
+  test("whole-stage codegen covers the scan→agg hot path") {
+    // AQE reveals codegen spans only in the final (post-execution) plan
+    val df = SparkEntry.queries("q_agg_pricing")(spark, sfDir)
+    df.collect()
+    // codegen'd operators print as "*(n) Op" in the simple plan string
+    assert("""\*\(\d+\)""".r.findFirstIn(
+      df.queryExecution.executedPlan.toString).isDefined)
+  }
+}

@@ -38,4 +38,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall@5 = $recall")
     assert(approx.nonEmpty)
   }
+
+  test("IVF ANN recall@5 vs brute force") {
+    val brute = Similarity.bruteForceTopK(embs, col("vec_id") < 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val index = IvfIndex.build(embs, nlist = 8)
+    val ivf = IvfIndex.search(index, col("vec_id") < 10, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    // probing half the cells on weakly-clustered gaussian data
+    assert(recall >= 0.4, s"IVF recall@5 = $recall")
+    // full probe = exact: nprobe == nlist must reproduce brute force
+    val full = IvfIndex.search(index, col("vec_id") < 10, k = 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === brute, "nprobe=nlist must equal brute force")
+  }
 }
