@@ -35,13 +35,34 @@ object HiveDdlTranslator {
 
   final case class Translation(sql: String, warnings: Seq[String])
 
+  private val BucketSample = Pattern.compile( // tolerates ON rand(): one
+    "(?is)tablesample\\s*\\(\\s*bucket\\s+(\\d+)\\s+out\\s+of\\s+(\\d+)" +
+      "(?:[^()]|\\([^()]*\\))*\\)") // nesting level inside the clause
+  private val UnionType = Pattern.compile("(?is)\\buniontype\\s*<")
+
   /** Identity for non-CREATE-TABLE or already-Spark-native statements. */
-  def translate(stmt: String): Translation = {
+  def translate(stmt0: String): Translation = {
+    // UNIONTYPE has no Spark equivalent (SURVEY §7.4.3): reject clearly
+    if (UnionType.matcher(stmt0).find())
+      throw new IllegalArgumentException(
+        "UNIONTYPE columns are not supported by the Spark engine " +
+          "(no Spark type equivalent; SURVEY.md §7.4.3) — model as a " +
+          "struct with a tag field instead")
+    // Hive bucket sampling → percent sampling (SURVEY §2.2 TABLESAMPLE:
+    // bucket-hash semantics approximate to the same expected fraction)
+    var bucketWarn = Vector.empty[String]
+    val bs = BucketSample.matcher(stmt0)
+    val stmt = if (bs.find()) {
+      val pct = 100.0 * bs.group(1).toInt / bs.group(2).toInt
+      bucketWarn :+= s"TABLESAMPLE(BUCKET ...) approximated as $pct PERCENT sampling"
+      bs.replaceAll(s"TABLESAMPLE ($pct PERCENT)")
+    } else stmt0
     if (!CreateTable.matcher(stmt).matches() ||
-        stmt.toLowerCase.contains(" using ")) return Translation(stmt, Nil)
+        stmt.toLowerCase.contains(" using "))
+      return Translation(stmt, bucketWarn)
 
     var sql = stmt
-    var warnings = Vector.empty[String]
+    var warnings = bucketWarn
     var delimiter: Option[String] = None
 
     // ROW FORMAT DELIMITED [...]: capture the field delimiter, drop clause
@@ -117,12 +138,15 @@ object HiveDdlTranslator {
   }
 
   /** Position right after the closing paren of the column list, or after
-    * the table name when there is no list (CTAS handled upstream). */
+    * the table name when there is no list (e.g. CTAS — whose parens
+    * belong to the SELECT and must not be mistaken for a column list). */
   private def usingInsertionPoint(sql: String): Int = {
+    val selectM = Pattern.compile("(?is)\\b(as\\s+)?select\\b").matcher(sql)
+    val selectAt = if (selectM.find()) selectM.start() else sql.length
     var i = 0; var depth = 0; var sawParen = false
     var state: Char = 'N'
     var end = -1
-    while (i < sql.length && end < 0) {
+    while (i < selectAt && end < 0) {
       val c = sql.charAt(i)
       state match {
         case 'N' =>
@@ -140,6 +164,7 @@ object HiveDdlTranslator {
       }
       i += 1
     }
+    if (end > selectAt) end = -1
     if (end >= 0) end
     else {
       // no column list: insert after "CREATE ... TABLE [IF NOT EXISTS] name"

@@ -183,6 +183,43 @@ class HqlSurfaceSpec extends AnyFunSuite {
     assert(out.contains("one"))
   }
 
+  test("bucketed tables: co-located join plans without a shuffle") {
+    run(
+      """DROP TABLE IF EXISTS bk_a; DROP TABLE IF EXISTS bk_b;
+        |CREATE TABLE bk_a (k BIGINT, v DOUBLE) USING parquet
+        |  CLUSTERED BY (k) SORTED BY (k) INTO 4 BUCKETS;
+        |CREATE TABLE bk_b (k BIGINT, w DOUBLE) USING parquet
+        |  CLUSTERED BY (k) SORTED BY (k) INTO 4 BUCKETS;
+        |INSERT INTO bk_a SELECT o_orderkey, o_totalprice
+        |  FROM parquet.`/root/testdata/sf0.001/orders.parquet`;
+        |INSERT INTO bk_b SELECT o_orderkey, o_totalprice * 2
+        |  FROM parquet.`/root/testdata/sf0.001/orders.parquet`;""".stripMargin)
+    val joined = spark.sql(
+      "SELECT a.k, a.v, b.w FROM bk_a a JOIN bk_b b ON a.k = b.k")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() === 1500)
+    run("DROP TABLE bk_a; DROP TABLE bk_b;")
+  }
+
+  test("named WINDOW clause (WINDOW w AS ...) through SQL") {
+    val out = run(
+      """SELECT r_regionkey, sum(r_regionkey) OVER w AS rsum
+        |FROM parquet.`/root/testdata/sf0.001/region.parquet`
+        |WINDOW w AS (ORDER BY r_regionkey ROWS UNBOUNDED PRECEDING)
+        |ORDER BY r_regionkey;""".stripMargin)
+    assert(out.contains("10")) // 0+1+2+3+4
+  }
+
+  test("histogram_numeric produces requested bin count") {
+    val out = run(
+      """SELECT size(histogram_numeric(o_totalprice, 5)) AS bins
+        |FROM parquet.`/root/testdata/sf0.001/orders.parquet`;""".stripMargin)
+    assert(out.contains("5"))
+  }
+
   test("TRANSFORM ... USING streams rows through an external script") {
     val out = run(
       """CREATE OR REPLACE TEMPORARY VIEW tr AS SELECT 'hello' AS w;

@@ -43,6 +43,28 @@ class HiveDdlTranslatorSpec extends AnyFunSuite {
     assert(t2.sql.toLowerCase.contains("external"))
   }
 
+  test("CTAS with STORED AS: USING inserted after table name, not inside SELECT") {
+    val t = HiveDdlTranslator.translate(
+      "CREATE TABLE agg STORED AS PARQUET AS SELECT k, count(*) AS n FROM src GROUP BY k")
+    assert(t.sql.matches(
+      "(?is)CREATE TABLE agg\\s+USING parquet\\s+AS SELECT k, count\\(\\*\\) AS n FROM src GROUP BY k"))
+  }
+
+  test("TABLESAMPLE(BUCKET x OUT OF y) approximated as percent") {
+    val t = HiveDdlTranslator.translate(
+      "SELECT * FROM t TABLESAMPLE(BUCKET 1 OUT OF 4 ON rand()) s")
+    assert(t.sql.contains("TABLESAMPLE (25.0 PERCENT)"))
+    assert(t.warnings.nonEmpty)
+  }
+
+  test("UNIONTYPE rejected with a clear message") {
+    val e = intercept[IllegalArgumentException] {
+      HiveDdlTranslator.translate(
+        "CREATE TABLE u (x UNIONTYPE<INT, STRING>) STORED AS PARQUET")
+    }
+    assert(e.getMessage.contains("UNIONTYPE"))
+  }
+
   test("non-DDL and Spark-native statements untouched") {
     val q = "SELECT stored AS x FROM t"
     assert(HiveDdlTranslator.translate(q).sql === q)
