@@ -30,5 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("ngrams", es => NGramsAgg(es(0), es(1), es(2)).toAggregateExpression())
     inject("context_ngrams",
       es => ContextNGramsAgg(es(0), es(1), es(2)).toAggregateExpression())
+    inject("parse_url_tuple", es => ParseUrlTuple(es))
   }
 }

@@ -1,0 +1,22 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object FnCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (sql <- Seq(
+      "SELECT parse_url('http://a.com/p?q=1', 'HOST')",
+      "SELECT java_method('java.lang.Math', 'max', 2, 3)",
+      "SELECT reflect('java.lang.String', 'valueOf', 7)",
+      "SELECT current_user()",
+      "SELECT version()",
+      "SELECT from_utc_timestamp('2016-08-31', 'Asia/Seoul')",
+      "SELECT parse_url_tuple('http://a.com/p', 'HOST')"
+    )) {
+      try println(s"OK   $sql => " + spark.sql(sql).first().get(0))
+      catch { case e: Exception => println(s"MISS $sql => ${e.getMessage.take(80)}") }
+    }
+    spark.stop()
+  }
+}

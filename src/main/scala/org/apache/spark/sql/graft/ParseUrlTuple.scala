@@ -1,0 +1,70 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hive's `parse_url_tuple(url, part1, part2, …)` UDTF — the one
+  * table-generating builtin of the reference's delegated surface
+  * (SURVEY.md §2.2 lateral-view row) that Spark lacks (`parse_url` exists
+  * only as a scalar). Emits one row with one string column per requested
+  * part; used via `LATERAL VIEW parse_url_tuple(u, 'HOST', 'PATH') t AS
+  * host, path`. Part names follow Hive: HOST PATH QUERY REF PROTOCOL
+  * FILE AUTHORITY USERINFO and QUERY:<key>. */
+case class ParseUrlTuple(children: Seq[Expression])
+    extends Generator with CodegenFallback {
+
+  override def elementSchema: StructType = StructType(
+    children.tail.zipWithIndex.map { case (_, i) =>
+      StructField(s"c$i", StringType, nullable = true)
+    })
+
+  override def prettyName: String = "parse_url_tuple"
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val urlAny = children.head.eval(input)
+    val parts = children.tail.map(_.eval(input))
+    val values: Seq[Any] =
+      if (urlAny == null) Seq.fill(parts.size)(null)
+      else {
+        val url = try Some(new java.net.URI(urlAny.toString))
+        catch { case _: Exception => None }
+        parts.map {
+          case null => null
+          case p =>
+            val part = p.toString
+            url.flatMap(u => extract(u, part)).map(UTF8String.fromString).orNull
+        }
+      }
+    Iterator.single(InternalRow.fromSeq(values))
+  }
+
+  private def extract(u: java.net.URI, part: String): Option[String] =
+    part.toUpperCase match {
+      case "HOST" => Option(u.getHost)
+      case "PATH" => Option(u.getRawPath)
+      case "QUERY" => Option(u.getRawQuery)
+      case "REF" => Option(u.getRawFragment)
+      case "PROTOCOL" => Option(u.getScheme)
+      case "AUTHORITY" => Option(u.getRawAuthority)
+      case "USERINFO" => Option(u.getRawUserInfo)
+      case "FILE" =>
+        Option(u.getRawPath).map(p =>
+          Option(u.getRawQuery).map(q => s"$p?$q").getOrElse(p))
+      case q if q.startsWith("QUERY:") =>
+        val key = part.substring(6) // preserve key case like Hive
+        Option(u.getRawQuery).flatMap { qs =>
+          qs.split("&").collectFirst {
+            case kv if kv.takeWhile(_ != '=') == key =>
+              kv.dropWhile(_ != '=').drop(1)
+          }
+        }
+      case _ => None
+    }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ParseUrlTuple =
+    copy(children = newChildren)
+}

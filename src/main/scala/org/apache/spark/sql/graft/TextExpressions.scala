@@ -190,5 +190,7 @@ object GraftFunctions {
       es => NGramsAgg(es(0), es(1), es(2)).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("context_ngrams",
       es => ContextNGramsAgg(es(0), es(1), es(2)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("parse_url_tuple",
+      es => ParseUrlTuple(es), "built-in")
   }
 }

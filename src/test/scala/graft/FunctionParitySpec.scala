@@ -97,6 +97,20 @@ class FunctionParitySpec extends AnyFunSuite {
       "get_json_object('{\"a\": {\"b\": 7}}', '$.a.b')" -> "7")
   }
 
+  test("url / reflection / tz family") {
+    check(
+      "parse_url('http://u.com/a?k=v', 'HOST')" -> "u.com",
+      "parse_url('http://u.com/a?k=v', 'QUERY', 'k')" -> "v",
+      "java_method('java.lang.Math', 'max', 2, 3)" -> "3", // reflect returns string
+      "reflect('java.lang.String', 'valueOf', 7)" -> "7",
+      "CAST(from_utc_timestamp('2016-08-31 00:00:00', 'Asia/Seoul') AS STRING)"
+        -> "2016-08-31 09:00:00",
+      "CAST(to_utc_timestamp('2016-08-31 09:00:00', 'Asia/Seoul') AS STRING)"
+        -> "2016-08-31 00:00:00",
+      "length(version()) > 0" -> true,
+      "length(current_user()) > 0" -> true)
+  }
+
   test("hive-lax coercion (ANSI off): implicit casts like Hive 0.13") {
     check(
       "CAST('12x' AS INT)" -> null,      // Hive: NULL, ANSI: error

@@ -220,6 +220,34 @@ class HqlSurfaceSpec extends AnyFunSuite {
     assert(out.contains("5"))
   }
 
+  test("storage formats round-trip: ORC and JSON tables") {
+    val out = run(
+      """DROP TABLE IF EXISTS fmt_orc; DROP TABLE IF EXISTS fmt_json;
+        |CREATE TABLE fmt_orc (k INT, v STRING) STORED AS ORC;
+        |INSERT INTO fmt_orc VALUES (1, 'orc-row');
+        |CREATE TABLE fmt_json (k INT, v STRING) STORED AS JSONFILE;
+        |INSERT INTO fmt_json VALUES (2, 'json-row');
+        |SELECT v FROM fmt_orc; SELECT v FROM fmt_json;""".stripMargin)
+    assert(out.contains("orc-row") && out.contains("json-row"))
+    // the files really are the declared formats
+    val orcLoc = spark.sql("DESCRIBE FORMATTED fmt_orc")
+      .filter("col_name = 'Provider'").first().getString(1)
+    assert(orcLoc.toLowerCase === "orc")
+    run("DROP TABLE fmt_orc; DROP TABLE fmt_json;")
+  }
+
+  test("parse_url_tuple UDTF via LATERAL VIEW (custom Generator)") {
+    graft.functions.GraftFunctions.register(spark)
+    val out = run(
+      """CREATE OR REPLACE TEMPORARY VIEW urls AS
+        |  SELECT 'https://u:p@example.com:8443/a/b?x=1&y=2#frag' AS u;
+        |SELECT host, path, q_y, proto
+        |FROM urls LATERAL VIEW
+        |  parse_url_tuple(u, 'HOST', 'PATH', 'QUERY:y', 'PROTOCOL')
+        |  t AS host, path, q_y, proto;""".stripMargin)
+    assert(out.contains("example.com\t/a/b\t2\thttps"))
+  }
+
   test("TRANSFORM ... USING streams rows through an external script") {
     val out = run(
       """CREATE OR REPLACE TEMPORARY VIEW tr AS SELECT 'hello' AS w;
