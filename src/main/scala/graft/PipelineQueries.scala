@@ -77,6 +77,16 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Near-dup clusters → keep/drop decision (connected components over
+    // minhash pairs; approximate input → rows-only, CC exactness pinned
+    // in DedupSpec)
+    qNoOracle("q_dedup_clusters") { (s, dir) =>
+      val pairs = Dedup.minhashNearDups(t(s, dir, "documents"),
+        n = 3, k = 32, bands = 16, threshold = 0.5).select(col("id_a"), col("id_b"))
+      Dedup.duplicateClusters(pairs)
+        .orderBy(col("id"))
+    },
+
     // Embedding-cosine near-dup pairs (brute force at test SF; LSH path
     // covered by q_ann_lsh)
     q("q_emb_neardup",

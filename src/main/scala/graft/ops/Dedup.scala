@@ -74,24 +74,25 @@ object Dedup {
     verifyJaccard(cands, arrs, threshold)
   }
 
-  /** MinHash signature: for each of `k` seeded hash functions, the min
-    * hash over the doc's shingle set. One explode + one groupBy with k
-    * partial-mergeable min-aggregates (map-side combine keeps the shuffle
-    * at k longs per doc regardless of doc size). */
-  def minhashSignatures(shingled: DataFrame, k: Int): DataFrame = {
-    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
-    shingled.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-  }
+  /** MinHash signature as an array column, computed entirely inside the
+    * scan pipeline with codegen'd higher-order functions — NO shuffle:
+    * sig[i] = min over shingles of xxhash64(i, shingle). At 100 TB this
+    * is the difference between a narrow map stage and an exchange of the
+    * exploded shingle set. */
+  def minhashSignatureArray(arrs: DataFrame, k: Int): DataFrame =
+    arrs.select(col("id"),
+      transform(sequence(lit(0), lit(k - 1)),
+        i => array_min(transform(col("sh"), s => xxhash64(i, s)))).as("sig"))
 
-  /** LSH banding: split the k-column signature into `bands` bands of
-    * k/bands rows each, hash each band to a bucket key, explode to
-    * (band, bucket, id). Docs sharing any band-bucket are candidates. */
+  /** LSH banding over the signature array: band b's bucket key hashes
+    * sig[b*r … b*r+r-1]. Explodes to (band, bucket, id) — the only wide
+    * rows the candidate stage shuffles. */
   def lshBands(signatures: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val r = k / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((b * r until (b + 1) * r).map(i => col(s"mh$i")): _*).as("bucket"))
+        xxhash64(lit(b), slice(col("sig"), b * r + 1, r)).as("bucket"))
     }
     signatures.select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -127,9 +128,43 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, n: Int, k: Int, bands: Int,
       threshold: Double, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val arrs = shingleArrays(docs, n, idCol, textCol).cache()
-    val shingled = arrs.select(col("id"), explode(col("sh")).as("shingle"))
-    val cands = lshCandidates(lshBands(minhashSignatures(shingled, k), k, bands))
+    val cands = lshCandidates(lshBands(minhashSignatureArray(arrs, k), k, bands))
     verifyJaccard(cands, arrs, threshold)
+  }
+
+  /** Duplicate clusters from near-dup pairs: distributed connected
+    * components by iterative min-label propagation (each vertex adopts
+    * the smallest label in its neighborhood; converges in O(diameter)
+    * rounds — near-dup graphs are shallow, so a handful). Returns
+    * (id, component) where component = min id of the cluster; rows with
+    * id != component are the drop set. Data never leaves the cluster;
+    * per-round caching bounds lineage like checkpointing would at scale. */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    val vertices = edges.select(col("src").as("id")).distinct()
+    var labels = vertices.select(col("id"), col("id").as("component")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("id2"))
+        .agg(min(col("component")).as("ncomp"))
+      val next = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("ncomp"), col("component")))
+            .as("component"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
   }
 
   /** SimHash near-dup: 64-bit signatures, banded into 4×16-bit chunks —

@@ -30,6 +30,21 @@ class DedupSpec extends AnyFunSuite {
     assert(verified.subsetOf(exact), "verified pairs must be exact-jaccard true")
   }
 
+  test("duplicate clusters: min-label connected components") {
+    import spark.implicits._
+    // two components: {1,2,3,9} (chain) and {5,6}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+    // end-to-end: clusters over the planted near-dups
+    val nd = Dedup.minhashNearDups(docs, 3, 32, 16, 0.8)
+    val cl = Dedup.duplicateClusters(nd.select("id_a", "id_b"))
+    val dropCount = cl.filter(col("id") =!= col("component")).count()
+    assert(dropCount > 0 && dropCount < docs.count())
+  }
+
   test("simhash near-dups include the strongest planted pairs") {
     // trigram jaccard ≥0.9 ⇒ near-identical token sequences ⇒ token
     // multisets agree ⇒ simhash hamming small (n=1 sets would NOT imply
