@@ -1,0 +1,32 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities (builder contract: "salting for skew, AQE
+  * for runtime re-plan").
+  *
+  * Division of labor at 100 TB: hash aggregations are already two-phase
+  * (Catalyst partial/final — PlanSpec pins it), and AQE splits skewed
+  * sort-merge partitions automatically. Salting is the remaining tool
+  * for the case AQE can't fix: one hot join key whose matching rows
+  * exceed a single task even after splitting, joined against a side
+  * small enough to replicate.
+  */
+object Skew {
+
+  /** Salted inner equi-join, result-identical to
+    * `large.join(small, keys)`: the large side gets a uniform random
+    * salt (seeded → deterministic), the small side is replicated once
+    * per salt bucket, and the join key becomes (keys, salt) — spreading
+    * each hot key over `buckets` tasks. */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+      buckets: Int, seed: Long = 42L): DataFrame = {
+    require(buckets > 0)
+    val salted = large.withColumn("_salt",
+      floor(rand(seed) * buckets).cast("int"))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, keys :+ "_salt").drop("_salt")
+  }
+}

@@ -45,6 +45,18 @@ class DedupSpec extends AnyFunSuite {
     assert(dropCount > 0 && dropCount < docs.count())
   }
 
+  test("salted join equals the plain join (skew mitigation)") {
+    val sf = graft.TestSpark.sfDir
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(cust, Seq("o_custkey"))
+      .select("o_orderkey", "c_name").collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(orders, cust, Seq("o_custkey"), buckets = 8)
+      .select("o_orderkey", "c_name").collect().map(_.toSeq).toSet
+    assert(salted === plain)
+  }
+
   test("simhash near-dups include the strongest planted pairs") {
     // trigram jaccard ≥0.9 ⇒ near-identical token sequences ⇒ token
     // multisets agree ⇒ simhash hamming small (n=1 sets would NOT imply
