@@ -775,6 +775,57 @@ object Queries {
           |TABLESAMPLE (10 PERCENT) REPEATABLE (42)""".stripMargin)
     },
 
+    // §2.2 String family part 2: edit distance, translate, hashing, affixes
+    q("q_string_funcs2",
+      """SELECT p_partkey,
+        |  CAST(levenshtein(p_name, p_brand) AS INT) AS lev,
+        |  translate(p_type, 'aeiou', '12345') AS tr,
+        |  repeat(p_brand, 2) AS rep,
+        |  ascii(p_name) AS asc_c,
+        |  CAST(instr(p_name, 'a') AS INT) AS ins,
+        |  left(p_name, 3) AS lft, right(p_name, 3) AS rgt,
+        |  md5(p_name) AS m5,
+        |  sha256(p_name) AS sh,
+        |  to_base64(encode(p_name)) AS b64,
+        |  contains(p_name, 'ar') AS ct,
+        |  starts_with(p_type, 'S') AS sw
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"),
+          levenshtein(col("p_name"), col("p_brand")).as("lev"),
+          translate(col("p_type"), "aeiou", "12345").as("tr"),
+          repeat(col("p_brand"), 2).as("rep"),
+          ascii(col("p_name")).as("asc_c"),
+          instr(col("p_name"), "a").as("ins"),
+          expr("left(p_name, 3)").as("lft"), expr("right(p_name, 3)").as("rgt"),
+          md5(col("p_name")).as("m5"),
+          sha2(col("p_name"), 256).as("sh"),
+          base64(encode(col("p_name"), "UTF-8")).as("b64"),
+          col("p_name").contains("ar").as("ct"),
+          col("p_type").startsWith("S").as("sw"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // §2.2 Date family part 2: last_day, dayofweek, day names, arithmetic
+    q("q_date_funcs2",
+      """SELECT o_orderkey,
+        |  last_day(o_orderdate) AS ld,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dw,
+        |  dayname(o_orderdate) AS dn,
+        |  CAST(o_orderdate - INTERVAL 7 DAY AS DATE) AS minus7,
+        |  CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |  CAST(weekofyear(o_orderdate) AS INT) AS wk
+        |FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 400)
+        .select(col("o_orderkey"),
+          last_day(col("o_orderdate")).as("ld"),
+          dayofweek(col("o_orderdate")).as("dw"),
+          date_format(col("o_orderdate"), "EEEE").as("dn"),
+          date_sub(col("o_orderdate"), 7).as("minus7"),
+          add_months(col("o_orderdate"), 2).as("plus2m"),
+          weekofyear(col("o_orderdate")).as("wk"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // §2.2 String family: Hive `sentences` (custom expression — missing
     // from Spark). Corpus has no sentence punctuation → 1 sentence whose
     // word count equals the whitespace tokenization.

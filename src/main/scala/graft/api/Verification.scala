@@ -42,7 +42,7 @@ final class Verification private (
     Files.createDirectories(Paths.get(manifestPath).getParent)
     Files.write(Paths.get(manifestPath),
       manifestJson.getBytes(StandardCharsets.UTF_8))
-    new ManifestRunner(manifestPath, out, session).run()
+    new ManifestRunner(manifestPath, out, session, Some(release)).run()
   }
 
   def manifest: Manifest = Manifest(enableHadoop, verboseOutput, debugOutput, tasks)

@@ -15,7 +15,8 @@ import org.apache.spark.sql.SparkSession
 final class ManifestRunner(
     manifestFilePath: String,
     out: PrintStream,
-    sessionOverride: Option[SparkSession] = None) {
+    sessionOverride: Option[SparkSession] = None,
+    release: Option[String] = None) {
 
   lazy val manifest: Manifest = Manifest.fromFile(manifestFilePath)
 
@@ -34,7 +35,7 @@ final class ManifestRunner(
       out.println()
     }
     val runner = new ScriptRunner(spark, validateOnly = !m.enableHadoop,
-      verbose = m.verboseOutput, out)
+      verbose = m.verboseOutput, out, release)
     m.tasks.foreach { task =>
       out.println(s">>>>>>>> Processing:  ${task.script}")
       try runner.runScriptFile(task.script, task.variables)

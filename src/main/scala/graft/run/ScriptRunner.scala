@@ -29,7 +29,8 @@ final class ScriptRunner(
     spark: SparkSession,
     validateOnly: Boolean,
     verbose: Boolean,
-    out: PrintStream) {
+    out: PrintStream,
+    release: Option[String] = None) {
 
   private val dispatcher = new CommandDispatcher(spark, out, runScriptFile(_, Map.empty))
 
@@ -62,6 +63,10 @@ final class ScriptRunner(
 
   /** Execute a single (already-substituted) statement. */
   def runStatement(rawStmt: String): Unit = {
+    // release-profile dialect strictness (SURVEY §2.2 version gates)
+    graft.script.DialectGate.check(rawStmt, release).foreach { msg =>
+      throw new IllegalArgumentException(msg)
+    }
     // Hive storage-clause DDL → Spark USING syntax (SURVEY §2.2 formats)
     val tr = graft.script.HiveDdlTranslator.translate(rawStmt)
     tr.warnings.foreach(w => out.println(s"[WARN] $w"))

@@ -1,0 +1,40 @@
+package graft.script
+
+/** Release-profile dialect strictness (SURVEY.md §2.2 version gates,
+  * §2.1 A18): the reference ships one jar per EMR release with Hive
+  * pinned (`pom.xml:27-67` — emr-3→0.13.1, emr-4→1.0.0, emr-5→2.3.3),
+  * so a script using Hive-2.3 syntax fails on an emr-3 cluster. We
+  * mirror the gates that differ across the pinned versions so
+  * verification against a release catches them locally — the tool's
+  * whole purpose.
+  */
+object DialectGate {
+
+  private val UnionDistinct =
+    """(?is).*\bunion\s+(?!all\b)(distinct\b|select\b|\().*""".r.pattern
+  private val IntersectExcept =
+    """(?is).*\b(intersect|except|minus)\b.*""".r.pattern
+
+  /** Returns an error message when `stmt` uses syntax newer than the
+    * release's pinned Hive; None when permitted (or release unknown). */
+  def check(stmt: String, release: Option[String]): Option[String] = {
+    val cleaned = HqlScriptParser.stripComments(stmt)
+    release match {
+      case Some(r @ ("emr-3" | "emr-4")) =>
+        if (IntersectExcept.matcher(cleaned).matches())
+          Some(s"INTERSECT/EXCEPT/MINUS require Hive 2.3 (emr-5); " +
+            s"$r pins Hive ${hive(r)}")
+        else if (UnionDistinct.matcher(cleaned).matches())
+          Some(s"UNION [DISTINCT] requires Hive 1.2+ (emr-5); " +
+            s"$r pins Hive ${hive(r)} — use UNION ALL")
+        else None
+      case _ => None
+    }
+  }
+
+  private def hive(release: String): String = release match {
+    case "emr-3" => "0.13.1"
+    case "emr-4" => "1.0.0"
+    case _ => "2.3.3"
+  }
+}

@@ -1,0 +1,55 @@
+package graft.script
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class DialectGateSpec extends AnyFunSuite {
+
+  test("INTERSECT/EXCEPT rejected below emr-5") {
+    assert(DialectGate.check("SELECT a FROM t INTERSECT SELECT a FROM u",
+      Some("emr-3")).exists(_.contains("Hive 2.3")))
+    assert(DialectGate.check("SELECT a FROM t EXCEPT SELECT a FROM u",
+      Some("emr-4")).isDefined)
+    assert(DialectGate.check("SELECT a FROM t INTERSECT SELECT a FROM u",
+      Some("emr-5")).isEmpty)
+  }
+
+  test("UNION DISTINCT rejected below emr-5; UNION ALL allowed everywhere") {
+    assert(DialectGate.check("SELECT a FROM t UNION SELECT a FROM u",
+      Some("emr-3")).exists(_.contains("UNION ALL")))
+    assert(DialectGate.check("SELECT a FROM t UNION DISTINCT SELECT a FROM u",
+      Some("emr-4")).isDefined)
+    assert(DialectGate.check("SELECT a FROM t UNION ALL SELECT a FROM u",
+      Some("emr-3")).isEmpty)
+    assert(DialectGate.check("SELECT a FROM t UNION SELECT a FROM u",
+      Some("emr-5")).isEmpty)
+  }
+
+  test("keywords inside comments don't trip the gate") {
+    assert(DialectGate.check(
+      "SELECT a FROM t -- intersect with nothing\n", Some("emr-3")).isEmpty)
+  }
+
+  test("no release → permissive") {
+    assert(DialectGate.check("SELECT 1 INTERSECT SELECT 1", None).isEmpty)
+  }
+
+  test("end-to-end: Verification(emr-3) fails on INTERSECT, emr-5 passes") {
+    import java.io.{ByteArrayOutputStream, PrintStream}
+    import java.nio.file.Files
+    val spark = graft.TestSpark.spark
+    val script = Files.createTempFile("gate", ".hql")
+    Files.write(script,
+      "SELECT 1 AS x INTERSECT SELECT 1 AS x;".getBytes("UTF-8"))
+    def runWith(release: String): Either[Throwable, Unit] =
+      try Right {
+        graft.api.Verification.forRelease(release)
+          .withHadoop(true).withSession(spark)
+          .addTask(script.toString)
+          .run(new PrintStream(new ByteArrayOutputStream(), true, "UTF-8"),
+            Files.createTempFile("gate-man", ".json").toString)
+      } catch { case e: Throwable => Left(e) }
+    assert(runWith("emr-3").isLeft)
+    assert(runWith("emr-5").isRight)
+    Files.delete(script)
+  }
+}
