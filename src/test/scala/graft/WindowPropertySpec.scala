@@ -1,0 +1,69 @@
+package graft
+
+import graft.TestSpark.spark
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property tests: window/aggregate results vs brute-force Scala
+  * computation on generated frames (SURVEY.md §5.2.4). */
+object WindowPropertySpec extends Properties("WindowOps") {
+  import spark.implicits._
+
+  private val rows: Gen[List[(Int, Int)]] = // (key, value)
+    Gen.listOfN(40, Gen.zip(Gen.choose(0, 3), Gen.choose(-100, 100)))
+
+  property("running sum over window == scanLeft per key") = forAll(rows) { data =>
+    if (data.isEmpty) true
+    else {
+      val df = data.zipWithIndex
+        .map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("k", "v", "seq")
+      val w = Window.partitionBy($"k").orderBy($"seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val got = df.withColumn("rs", sum($"v").over(w))
+        .select($"k", $"seq", $"rs")
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val expected = data.zipWithIndex
+        .groupBy(_._1._1)
+        .flatMap { case (k, grp) =>
+          val sorted = grp.sortBy(_._2)
+          sorted.zip(sorted.scanLeft(0L)((a, x) => a + x._1._2).tail)
+            .map { case ((_, i), rs) => (k, i.toLong) -> rs }
+        }
+      got == expected
+    }
+  }
+
+  property("groupBy sum/count/min/max == brute force") = forAll(rows) { data =>
+    if (data.isEmpty) true
+    else {
+      val df = data.toDF("k", "v")
+      val got = df.groupBy($"k")
+        .agg(sum($"v").as("s"), count(lit(1)).as("c"),
+          min($"v").as("mn"), max($"v").as("mx"))
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4))))
+        .toMap
+      val expected = data.groupBy(_._1).map { case (k, grp) =>
+        val vs = grp.map(_._2)
+        k -> ((vs.map(_.toLong).sum, vs.size.toLong, vs.min, vs.max))
+      }
+      got == expected
+    }
+  }
+
+  property("rank is 1 + count of strictly-smaller keys") = forAll(rows) { data =>
+    if (data.isEmpty) true
+    else {
+      val df = data.toDF("k", "v")
+      val w = Window.partitionBy($"k").orderBy($"v")
+      val got = df.withColumn("r", rank().over(w))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+      got.forall { case (k, v, r) =>
+        r == 1 + data.count(x => x._1 == k && x._2 < v)
+      }
+    }
+  }
+}

@@ -75,6 +75,19 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("syntax errors carry line/position like Hive CLI (README.md:75)") {
+    val bos = new ByteArrayOutputStream()
+    val runner = new ScriptRunner(spark, validateOnly = false, verbose = true,
+      new PrintStream(bos, true, "UTF-8"))
+    intercept[Exception] {
+      runner.runScriptText("SELECT 1\nFROM WHERE;", Map.empty)
+    }
+    val out = new String(bos.toByteArray, StandardCharsets.UTF_8)
+    assert(out.contains("FAILED:"))
+    assert(out.contains("line") || out.contains("pos"),
+      s"error should carry a position: $out")
+  }
+
   test("EMR conf aliasing: hive.optimize.s3.query does not crash (ManifestRunner.java:28-30)") {
     val out = runScript(
       """SET hive.optimize.s3.query=true;
