@@ -31,5 +31,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("context_ngrams",
       es => ContextNGramsAgg(es(0), es(1), es(2)).toAggregateExpression())
     inject("parse_url_tuple", es => ParseUrlTuple(es))
+    inject("minhash_signature", es => MinHashSignature(es(0), es(1)))
   }
 }

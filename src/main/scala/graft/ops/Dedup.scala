@@ -75,14 +75,12 @@ object Dedup {
   }
 
   /** MinHash signature as an array column, computed entirely inside the
-    * scan pipeline with codegen'd higher-order functions — NO shuffle:
-    * sig[i] = min over shingles of xxhash64(i, shingle). At 100 TB this
-    * is the difference between a narrow map stage and an exchange of the
-    * exploded shingle set. */
+    * scan pipeline — NO shuffle, and one hash per shingle regardless of k
+    * (the custom [[org.apache.spark.sql.graft.MinHashSignature]]
+    * expression seed-mixes the k lanes from a single base hash; nested
+    * HOF lambdas would be interpreted per element × per lane). */
   def minhashSignatureArray(arrs: DataFrame, k: Int): DataFrame =
-    arrs.select(col("id"),
-      transform(sequence(lit(0), lit(k - 1)),
-        i => array_min(transform(col("sh"), s => xxhash64(i, s)))).as("sig"))
+    arrs.select(col("id"), GraftFunctions.minhashSignature(col("sh"), k).as("sig"))
 
   /** LSH banding over the signature array: band b's bucket key hashes
     * sig[b*r … b*r+r-1]. Explodes to (band, bucket, id) — the only wide

@@ -99,6 +99,47 @@ case class Shingles(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** minhash_signature(shingles: array<string>, k) → array<bigint>:
+  * sig[i] = min over shingles of hash_i(shingle), all k lanes computed in
+  * one pass over the shingle bytes per row. A dedicated expression rather
+  * than nested `transform`/`array_min` higher-order functions because
+  * Catalyst evaluates HOF lambdas interpreted (outside whole-stage
+  * codegen) — per-element×per-lane lambda dispatch dominates at scale,
+  * while this loop hashes each shingle once and derives the k lanes by
+  * seed-mixing the one 64-bit base hash. */
+case class MinHashSignature(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+  override protected def nullSafeEval(shingles: Any, kAny: Any): Any = {
+    val arr = shingles.asInstanceOf[ArrayData]
+    val k = kAny.asInstanceOf[Int]
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val base = hashing.fnv1a64(arr.getUTF8String(i).getBytes)
+        var lane = 0
+        while (lane < k) {
+          // splitmix64 of (base + lane) = an independent-enough lane hash
+          var h = base + 0x9e3779b97f4a7c15L * lane
+          h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
+          h ^= (h >>> 27); h *= 0x94d049bb133111ebL
+          h ^= (h >>> 31)
+          if (h < mins(lane)) mins(lane) = h
+          lane += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(java.lang.Long.valueOf).asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashSignature =
+    copy(left = l, right = r)
+}
+
 /** fingerprint64(text: string) → bigint: polynomial rolling hash over the
   * UTF-8 bytes (base-257 Rabin-Karp folded through FNV mixing). A cheap
   * whole-document content fingerprint for exact-dup detection without
@@ -156,6 +197,9 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.Literal(n)))
   def fingerprint64(c: Column): Column = column(Fingerprint64(expression(c)))
   def sentences(c: Column): Column = column(SentencesExpr(expression(c)))
+  def minhashSignature(shingles: Column, k: Int): Column =
+    column(MinHashSignature(expression(shingles),
+      org.apache.spark.sql.catalyst.expressions.Literal(k)))
 
   /** Hive-compatible `hash()` — Spark's builtin `hash` is Murmur3 and
     * diverges from Hive's Java-hashCode scheme (SURVEY.md §2.2 misc
@@ -192,5 +236,7 @@ object GraftFunctions {
       es => ContextNGramsAgg(es(0), es(1), es(2)).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("parse_url_tuple",
       es => ParseUrlTuple(es), "built-in")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      es => MinHashSignature(es(0), es(1)), "built-in")
   }
 }
