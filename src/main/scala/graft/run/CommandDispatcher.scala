@@ -44,6 +44,10 @@ final class CommandDispatcher(
   private val Dfs = """(?is)^dfs\s+(.+)$""".r
   private val IndexDdl = """(?is)^(create|drop|alter)\s+index\b.*""".r
   private val ImportExport = """(?is)^(import|export)\s+table\b.*""".r
+  private val CreateMacro =
+    """(?is)^create\s+temporary\s+macro\s+(\w+)\s*\(([^)]*)\)\s*(.+)$""".r
+  private val DropMacro =
+    """(?is)^drop\s+temporary\s+macro\s+(?:if\s+exists\s+)?(\w+)\s*$""".r
   private val Shell = """(?s)^!\s*(.+)$""".r
   private val Source = """(?is)^source\s+(.+)$""".r
 
@@ -65,9 +69,10 @@ final class CommandDispatcher(
       Some(())
     case SetKey(k0) =>
       val k = emrHiveConfStripper(k0.trim)
-      val shown = confLookup(k).getOrElse(s"$k is undefined")
-      out.println(s"$k=${confLookup(k).getOrElse("")}")
-      if (shown == s"$k is undefined") () // Hive prints "key is undefined"; keep simple key= echo
+      val value = confLookup(k)
+        .orElse(hiveVars.get(k.stripPrefix("hivevar:")))
+      // Hive prints "key is undefined" for unknown keys
+      out.println(value.map(v => s"$k=$v").getOrElse(s"$k is undefined"))
       Some(())
     case AddRes(_, _, _) =>
       // Spark SQL natively supports ADD/LIST JAR|FILE|ARCHIVE
@@ -96,6 +101,17 @@ final class CommandDispatcher(
       // reference in validate mode (ManifestRunner.java:92); out of scope
       // for the Spark rebuild (SURVEY.md §7.4.3)
       out.println(s"[WARN] ${kind.toUpperCase} TABLE is not supported; statement ignored")
+      Some(())
+    case CreateMacro(name, params, body) =>
+      // Hive 0.12+ CREATE TEMPORARY MACRO (in every pinned profile):
+      // registered as a real Catalyst function — the body expression with
+      // parameter attributes replaced by the (type-cast) call arguments,
+      // so resolution/optimization treat it like any builtin
+      registerMacro(name.trim, params.trim, body.trim)
+      Some(())
+    case DropMacro(name) =>
+      spark.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name.trim)): Unit
       Some(())
     case LoadData(_, path, overwrite, table, _, partSpec) =>
       // Spark supports LOAD DATA only for Hive-catalog tables (SURVEY.md
@@ -148,6 +164,33 @@ final class CommandDispatcher(
       catch { case e: Exception => out.println(s"[WARN] add partition: ${e.getMessage}") }
     }
     spark.sql(s"REFRESH TABLE $table").collect(): Unit
+  }
+
+  private def registerMacro(name: String, paramList: String, body: String): Unit = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+    val params: Seq[(String, Option[org.apache.spark.sql.types.DataType])] =
+      if (paramList.isEmpty) Nil
+      else paramList.split(",").toSeq.map { p =>
+        val parts = p.trim.split("\\s+", 2)
+        val dt = parts.lift(1).flatMap(t =>
+          try Some(CatalystSqlParser.parseDataType(t)) catch { case _: Exception => None })
+        (parts(0).toLowerCase, dt)
+      }
+    val bodyExpr = spark.sessionState.sqlParser.parseExpression(body)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+      args => {
+        require(args.length == params.length,
+          s"macro $name expects ${params.length} arguments, got ${args.length}")
+        bodyExpr.transformUp {
+          case a: UnresolvedAttribute if params.exists(_._1 == a.name.toLowerCase) =>
+            val (pname, dt) = params.find(_._1 == a.name.toLowerCase).get
+            val arg = args(params.indexWhere(_._1 == pname))
+            dt.map(t => Cast(arg, t)).getOrElse(arg)
+        }
+      }, "sql_udf") // ExpressionInfo 'source' must be a known kind; a
+                     // Hive macro is closest to a SQL-defined function
   }
 
   private def setConf(k: String, v: String): Unit =

@@ -236,6 +236,19 @@ class HqlSurfaceSpec extends AnyFunSuite {
     run("DROP TABLE fmt_orc; DROP TABLE fmt_json;")
   }
 
+  test("CREATE TEMPORARY MACRO registers a real function; DROP removes it") {
+    val out = run(
+      """CREATE TEMPORARY MACRO sigmoid(x DOUBLE) 1.0 / (1.0 + exp(-x));
+        |SELECT round(sigmoid(0), 2) AS half, round(sigmoid(100), 2) AS one;
+        |CREATE TEMPORARY MACRO doubled(s STRING) concat(s, s);
+        |SELECT doubled('ab') AS d;
+        |DROP TEMPORARY MACRO sigmoid;""".stripMargin)
+    assert(out.contains("0.5\t1.0"))
+    assert(out.contains("abab"))
+    intercept[Exception] { run("SELECT sigmoid(1);") } // dropped
+    run("DROP TEMPORARY MACRO IF EXISTS doubled;")
+  }
+
   test("parse_url_tuple UDTF via LATERAL VIEW (custom Generator)") {
     graft.functions.GraftFunctions.register(spark)
     val out = run(
