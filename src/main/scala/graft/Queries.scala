@@ -586,8 +586,14 @@ object Queries {
           |GROUP BY word ORDER BY word""".stripMargin)
     },
 
-    // §2.2 UDTFs: posexplode (no clean DuckDB twin → rows-only check)
-    qNoOracle("q_posexplode") { (s, dir) =>
+    // §2.2 UDTFs: posexplode (DuckDB twin: zipped parallel unnests)
+    q("q_posexplode",
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(generate_series(0, len(string_split_regex(text, '\s+')) - 1)) AS pos,
+        |    unnest(string_split_regex(text, '\s+')) AS word
+        |  FROM documents WHERE doc_id < 10)
+        |SELECT doc_id, CAST(pos AS INT) AS pos, word FROM toks
+        |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
       views(s, dir, "documents")
       s.sql(
         """SELECT doc_id, pos, word
@@ -842,8 +848,19 @@ object Queries {
         .orderBy(col("doc_id"))
     },
 
-    // §2.2 String family: Hive `ngrams` UDAF (custom TypedImperativeAggregate)
-    qNoOracle("q_ngrams") { (s, dir) =>
+    // §2.2 String family: Hive `ngrams` UDAF (custom
+    // TypedImperativeAggregate) — oracle: lead()-built bigrams, same
+    // deterministic tie order (freq desc, then lexicographic)
+    q("q_ngrams",
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(generate_series(0, len(string_split_regex(text, '\s+')) - 1)) AS pos,
+        |    unnest(string_split_regex(text, '\s+')) AS word
+        |  FROM documents),
+        |bi AS (SELECT word || ' ' || lead(word)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS bigram FROM toks)
+        |SELECT bigram, CAST(count(*) AS DOUBLE) AS freq FROM bi
+        |WHERE bigram IS NOT NULL
+        |GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 5""".stripMargin) { (s, dir) =>
       import graft.functions.GraftFunctions
       t(s, dir, "documents")
         .select(split(col("text"), "\\s+").as("toks"))
@@ -851,6 +868,7 @@ object Queries {
         .select(explode(col("top_bigrams")).as("g"))
         .select(concat_ws(" ", col("g.ngram")).as("bigram"),
           col("g.estfrequency").as("freq"))
+        .orderBy(col("freq").desc, col("bigram"))
     },
 
     // §2.2 Misc family: Hive-compatible hash() (Spark's HiveHash expr)

@@ -80,13 +80,17 @@ case class NGramsAgg(
     buf
   }
 
-  /** Hive-style precision-factor bound: keep the k*pf heaviest entries.
-    * (Estimates become approximate once trimming kicks in, matching the
-    * "est" in estfrequency.) */
+  /** Bounded-buffer trim: keep the heaviest entries once the map exceeds
+    * twice the cap. The cap is max(k*pf, 64k) — k*pf is Hive's precision
+    * factor, the 64k floor keeps counts EXACT for realistic n-gram
+    * vocabularies (trimming only engages on adversarially wide streams,
+    * where results become estimates — the "est" in estfrequency). ~2 MB
+    * per partition buffer worst case. */
+  private val trimCap = math.max(k * precisionFactor, 1 << 16)
   private def trim(buf: mutable.HashMap[Seq[String], Long]): Unit =
-    if (buf.size > k * precisionFactor * 2) {
+    if (buf.size > trimCap * 2) {
       val keep = buf.toSeq.sortBy { case (g, c) => (-c, g.mkString(" ")) }
-        .take(k * precisionFactor)
+        .take(trimCap)
       buf.clear()
       buf ++= keep: Unit
     }
@@ -202,9 +206,10 @@ case class ContextNGramsAgg(
         }
         i += 1
       }
-      if (buf.size > k * precisionFactor * 2) {
+      val cap = math.max(k * precisionFactor, 1 << 16) // see NGramsAgg.trim
+      if (buf.size > cap * 2) {
         val keep = buf.toSeq.sortBy { case (g, c) => (-c, g.mkString(" ")) }
-          .take(k * precisionFactor)
+          .take(cap)
         buf.clear()
         buf ++= keep: Unit
       }
