@@ -16,7 +16,8 @@ import scala.collection.mutable
 final class CommandDispatcher(
     spark: SparkSession,
     out: PrintStream,
-    runSource: String => Unit) {
+    runSource: String => Unit,
+    validateOnly: Boolean = false) {
 
   /** Conf keys Spark refuses to set at runtime still need to be visible to
     * later `SET key` reads, matching Hive's accept-anything behavior. */
@@ -116,8 +117,15 @@ final class CommandDispatcher(
     case LoadData(_, path, overwrite, table, _, partSpec) =>
       // Spark supports LOAD DATA only for Hive-catalog tables (SURVEY.md
       // §2.2 scans row): for native tables implement as file copy into the
-      // table/partition dir + partition registration.
-      loadData(path, table, overwrite != null, Option(partSpec))
+      // table/partition dir + partition registration. In validate-only
+      // mode the reference blocks the underlying MoveTask/CopyTask
+      // (ManifestRunner.java:90,92): resolve the table (catalog check
+      // still happens) but move no data.
+      if (validateOnly) {
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table)): Unit
+        out.println("> Skipped!")
+      } else loadData(path, table, overwrite != null, Option(partSpec))
       Some(())
     case _ => None
   }

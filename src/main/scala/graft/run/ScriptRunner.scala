@@ -32,7 +32,8 @@ final class ScriptRunner(
     out: PrintStream,
     release: Option[String] = None) {
 
-  private val dispatcher = new CommandDispatcher(spark, out, runScriptFile(_, Map.empty))
+  private val dispatcher =
+    new CommandDispatcher(spark, out, runScriptFile(_, Map.empty), validateOnly)
 
   def runScriptFile(path: String, variables: Map[String, String]): Unit = {
     val text = new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8)

@@ -69,6 +69,24 @@ class EngineSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS t_ctas")
   }
 
+  test("validate-only: LOAD DATA moves no data but still checks the table") {
+    val staging = java.nio.file.Files.createTempDirectory("graft-vload")
+    runScript(
+      s"""DROP TABLE IF EXISTS vload_t;
+         |CREATE TABLE vload_t (r_regionkey INT, r_name STRING) USING parquet;
+         |INSERT OVERWRITE DIRECTORY '$staging' USING parquet
+         |  SELECT r_regionkey, r_name FROM parquet.`/root/testdata/sf0.001/region.parquet`;""".stripMargin)
+    val out = runScript(
+      s"LOAD DATA INPATH '$staging' INTO TABLE vload_t;", validateOnly = true)
+    assert(out.contains("> Skipped!"))
+    assert(spark.table("vload_t").count() === 0) // no file was copied
+    intercept[Exception] { // unknown table still fails analysis in validate mode
+      runScript(s"LOAD DATA INPATH '$staging' INTO TABLE no_such_tbl;",
+        validateOnly = true)
+    }
+    spark.sql("DROP TABLE IF EXISTS vload_t")
+  }
+
   test("validate-only: analysis errors still surface (fail-fast)") {
     intercept[Exception] {
       runScript("SELECT * FROM table_that_does_not_exist_xyz;", validateOnly = true)
