@@ -1,0 +1,20 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object FinalPlanCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions","32")
+      .config("spark.ui.enabled","false")
+      .config("spark.sql.adaptive.enabled","true")
+      .config("spark.sql.legacy.parquet.nanosAsLong","true")
+      .config("spark.sql.ansi.enabled","false")
+      .config("spark.sql.session.timeZone","UTC").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = graft.SparkEntry.queries("q_multi_join_star")(spark, "/root/testdata/sf0.1")
+    df.collect()
+    println(df.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Join") || l.contains("Exchange") || l.contains("Scan") || l.contains("Aggregate"))
+      .mkString("\n"))
+    spark.stop()
+  }
+}
