@@ -64,7 +64,13 @@ object Dedup {
     * identical to the naive quadratic join (a pair with jaccard > 0
     * shares a shingle by definition); `maxBucket` is set high because
     * this operator promises exactness — cap-based dropping belongs to
-    * the LSH path. */
+    * the LSH path.
+    *
+    * Note on caching: the per-doc shingle arrays are `.cache()`d because
+    * the plan consumes them twice (candidates + verify). The blocks stay
+    * pinned until the session evicts them; a long-lived pipeline calling
+    * this repeatedly should `spark.catalog.clearCache()` or persist/
+    * unpersist around consumption. Same applies to [[minhashNearDups]]. */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val arrs = shingleArrays(docs, n, idCol, textCol).cache()

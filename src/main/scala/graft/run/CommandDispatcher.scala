@@ -45,8 +45,8 @@ final class CommandDispatcher(
   private val Dfs = """(?is)^dfs\s+(.+)$""".r
   private val IndexDdl = """(?is)^(create|drop|alter)\s+index\b.*""".r
   private val ImportExport = """(?is)^(import|export)\s+table\b.*""".r
-  private val CreateMacro =
-    """(?is)^create\s+temporary\s+macro\s+(\w+)\s*\(([^)]*)\)\s*(.+)$""".r
+  private val CreateMacroPrefix =
+    """(?is)^create\s+temporary\s+macro\s+(\w+)\s*\(""".r
   private val DropMacro =
     """(?is)^drop\s+temporary\s+macro\s+(?:if\s+exists\s+)?(\w+)\s*$""".r
   private val Shell = """(?s)^!\s*(.+)$""".r
@@ -103,12 +103,16 @@ final class CommandDispatcher(
       // for the Spark rebuild (SURVEY.md §7.4.3)
       out.println(s"[WARN] ${kind.toUpperCase} TABLE is not supported; statement ignored")
       Some(())
-    case CreateMacro(name, params, body) =>
+    case _ if CreateMacroPrefix.findPrefixMatchOf(stmt).isDefined =>
       // Hive 0.12+ CREATE TEMPORARY MACRO (in every pinned profile):
       // registered as a real Catalyst function — the body expression with
       // parameter attributes replaced by the (type-cast) call arguments,
-      // so resolution/optimization treat it like any builtin
-      registerMacro(name.trim, params.trim, body.trim)
+      // so resolution/optimization treat it like any builtin. The param
+      // list is scanned with balanced parens (DECIMAL(10,2) etc.), not a
+      // [^)]* regex.
+      val m = CreateMacroPrefix.findPrefixMatchOf(stmt).get
+      val (params, body) = balancedParen(stmt, m.end - 1)
+      registerMacro(m.group(1).trim, params.trim, body.trim)
       Some(())
     case DropMacro(name) =>
       spark.sessionState.functionRegistry.dropFunction(
@@ -174,13 +178,46 @@ final class CommandDispatcher(
     spark.sql(s"REFRESH TABLE $table").collect(): Unit
   }
 
+  /** Content of the paren group opening at `openIdx` and the text after
+    * its balanced close. */
+  private def balancedParen(s: String, openIdx: Int): (String, String) = {
+    var i = openIdx + 1
+    var depth = 1
+    while (i < s.length && depth > 0) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ => ()
+      }
+      i += 1
+    }
+    if (depth != 0) throw new IllegalArgumentException(
+      s"Unbalanced parentheses in macro definition: $s")
+    (s.substring(openIdx + 1, i - 1), s.substring(i))
+  }
+
+  /** Split on commas at paren/angle-bracket depth 0 (so DECIMAL(10,2)
+    * and MAP<STRING,INT> stay whole). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case c @ ('(' | '<') => depth += 1; cur += c
+      case c @ (')' | '>') => depth -= 1; cur += c
+      case ',' if depth == 0 => parts += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) parts += cur.toString
+    parts.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
   private def registerMacro(name: String, paramList: String, body: String): Unit = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.Cast
     import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
     val params: Seq[(String, Option[org.apache.spark.sql.types.DataType])] =
-      if (paramList.isEmpty) Nil
-      else paramList.split(",").toSeq.map { p =>
+      splitTopLevel(paramList).map { p =>
         val parts = p.trim.split("\\s+", 2)
         val dt = parts.lift(1).flatMap(t =>
           try Some(CatalystSqlParser.parseDataType(t)) catch { case _: Exception => None })

@@ -32,8 +32,13 @@ final class ScriptRunner(
     out: PrintStream,
     release: Option[String] = None) {
 
+  /** Variables of the script currently executing — `source`d scripts
+    * inherit them (the reference sets them on the CLI session, so every
+    * file processed in that session sees them). */
+  private var currentVars: Map[String, String] = Map.empty
+
   private val dispatcher =
-    new CommandDispatcher(spark, out, runScriptFile(_, Map.empty), validateOnly)
+    new CommandDispatcher(spark, out, runScriptFile(_, currentVars), validateOnly)
 
   def runScriptFile(path: String, variables: Map[String, String]): Unit = {
     val text = new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8)
@@ -42,6 +47,13 @@ final class ScriptRunner(
 
   def runScriptText(text: String, variables: Map[String, String],
       label: String = "<inline>"): Unit = {
+    val savedVars = currentVars
+    currentVars = variables
+    try runStatements(text, variables)
+    finally currentVars = savedVars
+  }
+
+  private def runStatements(text: String, variables: Map[String, String]): Unit = {
     HqlScriptParser.split(text).foreach { raw =>
       // substitutor rebuilt per statement: SET hivevar:x=… earlier in the
       // same script must be visible to later statements

@@ -15,10 +15,32 @@ object DialectGate {
   private val IntersectExcept =
     """(?is).*\b(intersect|except|minus)\b.*""".r.pattern
 
+  /** Blank out quoted strings/identifiers so keywords inside literals
+    * ('profit minus cost') can't trip the gates. */
+  private def maskQuoted(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var state: Char = 'N'
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      state match {
+        case 'N' =>
+          if (c == '\'' || c == '"' || c == '`') state = c
+          sb += (if (state == 'N') c else ' ')
+        case q =>
+          if (c == q) state = 'N'
+          else if (c == '\\') { i += 1; if (i < s.length) sb += ' ' }
+          sb += ' '
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Returns an error message when `stmt` uses syntax newer than the
     * release's pinned Hive; None when permitted (or release unknown). */
   def check(stmt: String, release: Option[String]): Option[String] = {
-    val cleaned = HqlScriptParser.stripComments(stmt)
+    val cleaned = maskQuoted(HqlScriptParser.stripComments(stmt))
     release match {
       case Some(r @ ("emr-3" | "emr-4")) =>
         if (IntersectExcept.matcher(cleaned).matches())

@@ -52,11 +52,14 @@ object HiveDdlTranslator {
     // bucket-hash semantics approximate to the same expected fraction)
     var bucketWarn = Vector.empty[String]
     val bs = BucketSample.matcher(stmt0)
-    val stmt = if (bs.find()) {
+    val sb = new StringBuffer
+    while (bs.find()) { // each clause keeps its own x/y ratio
       val pct = 100.0 * bs.group(1).toInt / bs.group(2).toInt
       bucketWarn :+= s"TABLESAMPLE(BUCKET ...) approximated as $pct PERCENT sampling"
-      bs.replaceAll(s"TABLESAMPLE ($pct PERCENT)")
-    } else stmt0
+      bs.appendReplacement(sb, s"TABLESAMPLE ($pct PERCENT)")
+    }
+    bs.appendTail(sb)
+    val stmt = sb.toString
     if (!CreateTable.matcher(stmt).matches() ||
         stmt.toLowerCase.contains(" using "))
       return Translation(stmt, bucketWarn)
@@ -104,12 +107,14 @@ object HiveDdlTranslator {
       if (partDefs.nonEmpty && partDefs.split(",").head.trim.split("\\s+").length >= 2) {
         val cols = partDefs.split(",").map(_.trim).filter(_.nonEmpty)
         val names = cols.map(_.split("\\s+")(0))
-        // append defs to the column list (last ')' before PARTITIONED BY)
+        // append defs inside the column list — located by a quote-aware
+        // scan (lastIndexOf(')') could land inside a COMMENT literal)
         val head = sql.substring(0, pb.start())
-        val closeIdx = head.lastIndexOf(')')
+        val closeIdx = columnListEnd(head).map(_ - 1).getOrElse(-1)
         sql =
           if (closeIdx >= 0)
             head.substring(0, closeIdx) + ", " + cols.mkString(", ") + ")" +
+              head.substring(closeIdx + 1) +
               s" PARTITIONED BY (${names.mkString(", ")}) " + sql.substring(pb.end())
           else head + s" PARTITIONED BY (${names.mkString(", ")}) " + sql.substring(pb.end())
       }
@@ -118,7 +123,7 @@ object HiveDdlTranslator {
     // insert USING after the column list (or table name if no list)
     val usingClause = format.get match {
       case "csv" =>
-        val d = delimiter.getOrElse("") // Hive default field delim ^A
+        val d = delimiter.getOrElse("\u0001") // Hive default field delim ^A
         val dEsc = d.replace("\\", "\\\\").replace("'", "\\'")
         s" USING csv OPTIONS (delimiter '$dEsc') "
       case f => s" USING $f "
@@ -135,6 +140,33 @@ object HiveDdlTranslator {
       }
     }
     Translation(sql, warnings)
+  }
+
+  /** End index (exclusive) of the first balanced paren group outside
+    * quoted strings/identifiers — the column list, skipping parens inside
+    * COMMENT literals. */
+  private def columnListEnd(s: String): Option[Int] = {
+    var i = 0; var depth = 0; var sawParen = false
+    var state: Char = 'N'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      state match {
+        case 'N' =>
+          c match {
+            case '\'' => state = '\''
+            case '"' => state = '"'
+            case '`' => state = '`'
+            case '(' => depth += 1; sawParen = true
+            case ')' => depth -= 1; if (sawParen && depth == 0) return Some(i + 1)
+            case _ => ()
+          }
+        case q =>
+          if (c == q) state = 'N'
+          else if (c == '\\') i += 1
+      }
+      i += 1
+    }
+    None
   }
 
   /** Position right after the closing paren of the column list, or after
@@ -176,6 +208,6 @@ object HiveDdlTranslator {
   }
 
   private def unescape(s: String): String =
-    s.replace("\\t", "\t").replace("\\n", "\n").replace("\\\\", "\\")
-      .replace("\\001", "").replace("\\u0001", "")
+    s.replace("\\001", "\u0001").replace("\\u0001", "\u0001")
+      .replace("\\t", "\t").replace("\\n", "\n").replace("\\\\", "\\")
 }

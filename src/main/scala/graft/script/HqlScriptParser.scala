@@ -21,9 +21,22 @@ object HqlScriptParser {
     val n = script.length
     var state: Char = 'N' // N normal, ' single, " double, ` backtick, L line-comment, B block-comment
     def flush(): Unit = {
-      val s = stripComments(cur.toString).trim
-      if (s.nonEmpty) out += s
+      // strip only LEADING comments (so command dispatch sees the head);
+      // interior `--` stays — it may be live text in `!shell`/SET/dfs
+      // statements, and Spark's SQL lexer handles comments itself. A
+      // statement that is all comment must still vanish.
+      val s = stripLeadingComments(cur.toString).trim
+      if (s.nonEmpty && stripComments(s).trim.nonEmpty) out += s
       cur.clear()
+    }
+    // `--` only starts a comment in SQL-lexed statements; in shell-ish
+    // commands (!, dfs, SET, ADD/DELETE) it is live text (`!tar
+    // --exclude`, `SET name=a--b`) and must not eat the terminating ';'
+    def inShellishStmt: Boolean = {
+      val t = cur.toString.dropWhile(ch => ch == ' ' || ch == '\t' ||
+        ch == '\n' || ch == '\r').toLowerCase
+      t.startsWith("!") || t.startsWith("dfs ") || t.startsWith("set ") ||
+        t.startsWith("add ") || t.startsWith("delete ")
     }
     while (i < n) {
       val c = script.charAt(i)
@@ -32,9 +45,11 @@ object HqlScriptParser {
           if (c == '\'') { state = '\''; cur += c }
           else if (c == '"') { state = '"'; cur += c }
           else if (c == '`') { state = '`'; cur += c }
-          else if (c == '-' && i + 1 < n && script.charAt(i + 1) == '-') {
+          else if (c == '-' && i + 1 < n && script.charAt(i + 1) == '-' &&
+              !inShellishStmt) {
             state = 'L'; cur += c
-          } else if (c == '/' && i + 1 < n && script.charAt(i + 1) == '*') {
+          } else if (c == '/' && i + 1 < n && script.charAt(i + 1) == '*' &&
+              !inShellishStmt) {
             state = 'B'; cur += c
           } else if (c == ';') flush()
           else cur += c
@@ -62,6 +77,24 @@ object HqlScriptParser {
     }
     flush()
     out.toSeq
+  }
+
+  /** Remove leading whitespace, `--` comment lines, and `/* */` blocks
+    * from the front of a statement only. */
+  def stripLeadingComments(s0: String): String = {
+    var t = s0
+    var done = false
+    while (!done) {
+      val trimmed = t.dropWhile(c => c == ' ' || c == '\t' || c == '\n' || c == '\r')
+      if (trimmed.startsWith("--")) {
+        val nl = trimmed.indexOf('\n')
+        t = if (nl < 0) "" else trimmed.substring(nl + 1)
+      } else if (trimmed.startsWith("/*")) {
+        val e = trimmed.indexOf("*/")
+        t = if (e < 0) "" else trimmed.substring(e + 2)
+      } else { t = trimmed; done = true }
+    }
+    t
   }
 
   /** Remove `--` line comments and `/* */` block comments that the splitter

@@ -249,6 +249,17 @@ class HqlSurfaceSpec extends AnyFunSuite {
     run("DROP TEMPORARY MACRO IF EXISTS doubled;")
   }
 
+  test("macros with parameterized types (DECIMAL(10,2), MAP<...>) parse") {
+    val out = run(
+      """CREATE TEMPORARY MACRO twice(x DECIMAL(10,2)) x * 2;
+        |SELECT twice(1.25) AS t;
+        |CREATE TEMPORARY MACRO getk(m MAP<STRING,INT>, k STRING) m[k];
+        |SELECT getk(map('a', 7), 'a') AS v;
+        |DROP TEMPORARY MACRO twice; DROP TEMPORARY MACRO getk;""".stripMargin)
+    assert(out.contains("2.5"))
+    assert(out.contains("7"))
+  }
+
   test("parse_url_tuple UDTF via LATERAL VIEW (custom Generator)") {
     graft.functions.GraftFunctions.register(spark)
     val out = run(

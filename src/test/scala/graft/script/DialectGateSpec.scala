@@ -29,6 +29,15 @@ class DialectGateSpec extends AnyFunSuite {
       "SELECT a FROM t -- intersect with nothing\n", Some("emr-3")).isEmpty)
   }
 
+  test("keywords inside string literals don't trip the gate") {
+    assert(DialectGate.check(
+      "SELECT 'profit minus cost' FROM t", Some("emr-3")).isEmpty)
+    assert(DialectGate.check(
+      "SELECT \"a union select b\" AS s FROM t", Some("emr-4")).isEmpty)
+    assert(DialectGate.check(
+      "SELECT `weird except col` FROM t", Some("emr-3")).isEmpty)
+  }
+
   test("no release → permissive") {
     assert(DialectGate.check("SELECT 1 INTERSECT SELECT 1", None).isEmpty)
   }

@@ -57,6 +57,22 @@ class HiveDdlTranslatorSpec extends AnyFunSuite {
     assert(t.warnings.nonEmpty)
   }
 
+  test("multiple TABLESAMPLE(BUCKET) clauses each keep their own ratio") {
+    val t = HiveDdlTranslator.translate(
+      "SELECT * FROM a TABLESAMPLE(BUCKET 1 OUT OF 2 ON x) ta " +
+        "JOIN b TABLESAMPLE(BUCKET 1 OUT OF 100 ON y) tb ON ta.k = tb.k")
+    assert(t.sql.contains("TABLESAMPLE (50.0 PERCENT)"))
+    assert(t.sql.contains("TABLESAMPLE (1.0 PERCENT)"))
+  }
+
+  test("partition splice skips parens inside COMMENT literals") {
+    val t = HiveDdlTranslator.translate(
+      "CREATE TABLE t (a INT) COMMENT 'share (pct)' " +
+        "PARTITIONED BY (dt STRING) STORED AS ORC")
+    assert(t.sql.contains("(a INT, dt STRING)"))
+    assert(t.sql.contains("'share (pct)'"))
+  }
+
   test("UNIONTYPE rejected with a clear message") {
     val e = intercept[IllegalArgumentException] {
       HiveDdlTranslator.translate(

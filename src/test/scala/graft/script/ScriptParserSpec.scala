@@ -21,14 +21,22 @@ class ScriptParserSpec extends AnyFunSuite {
       Seq("SELECT 'a\\';b'", "SELECT 2"))
   }
 
-  test("line comments stripped; semicolon in comment ignored") {
+  test("leading comments stripped; semicolon in comment never splits") {
     val script = "-- header; not a stmt\nSELECT 1 -- trailing; junk\n; SELECT 2"
-    assert(HqlScriptParser.split(script) === Seq("SELECT 1", "SELECT 2"))
+    assert(HqlScriptParser.split(script) ===
+      Seq("SELECT 1 -- trailing; junk", "SELECT 2"))
   }
 
-  test("block comments stripped") {
+  test("block comments: leading stripped, interior preserved for the SQL lexer") {
     assert(HqlScriptParser.split("/* c1; */ SELECT /* mid */ 1; /* tail */") ===
-      Seq("SELECT  1"))
+      Seq("SELECT /* mid */ 1"))
+  }
+
+  test("interior '--' in shell/SET statements is NOT treated as a comment") {
+    assert(HqlScriptParser.split("!tar --exclude=tmp -cf out.tar data;") ===
+      Seq("!tar --exclude=tmp -cf out.tar data"))
+    assert(HqlScriptParser.split("SET spark.app.name=nightly--full;") ===
+      Seq("SET spark.app.name=nightly--full"))
   }
 
   test("comment-only script yields nothing") {
