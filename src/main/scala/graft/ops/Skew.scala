@@ -23,6 +23,8 @@ object Skew {
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
       buckets: Int, seed: Long = 42L): DataFrame = {
     require(buckets > 0)
+    require(!large.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "inputs already carry a _salt column")
     val salted = large.withColumn("_salt",
       floor(rand(seed) * buckets).cast("int"))
     val replicated = small.withColumn("_salt",

@@ -57,7 +57,8 @@ final class CommandDispatcher(
   def dispatch(stmt: String): Option[Unit] = stmt match {
     case SetAll(v) =>
       // SET / SET -v: dump conf (Hive prints key=value lines)
-      val all = spark.conf.getAll ++ confOverlay
+      val all = spark.conf.getAll ++ confOverlay ++
+        hiveVars.map { case (k, x) => s"hivevar:$k" -> x } // Hive SET lists vars too
       val filtered = if (v == null) all.filter(_._1.startsWith("spark.sql")) else all
       filtered.toSeq.sortBy(_._1).foreach { case (k, x) => out.println(s"$k=$x") }
       Some(())

@@ -172,6 +172,14 @@ class HqlSurfaceSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.parser.quotedRegexColumnNames", "false")
   }
 
+  test("SHOW FUNCTIONS / DESCRIBE FUNCTION commands") {
+    val out = run(
+      """SHOW FUNCTIONS LIKE 'concat*';
+        |DESCRIBE FUNCTION upper;""".stripMargin)
+    assert(out.contains("concat_ws"))
+    assert(out.contains("upper"))
+  }
+
   test("misc scalar builtins Hive scripts rely on: str_to_map, xpath, stack, inline") {
     val out = run(
       """SELECT str_to_map('a:1,b:2', ',', ':')['b'] AS m;
