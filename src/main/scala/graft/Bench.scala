@@ -13,7 +13,8 @@ object Bench {
     * (exact + minhash), ANN, text analysis. */
   val headline: Seq[String] = Seq(
     "q_agg_pricing", "q_multi_join_star", "q_window_agg", "q_topk",
-    "q_dedup_exact", "q_dedup_minhash", "q_ann_brute", "q_text_stats")
+    "q_dedup_exact", "q_dedup_minhash", "q_ann_brute", "q_text_stats",
+    "q_sessionize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -52,6 +52,14 @@ object EventStreams {
       org.apache.spark.sql.functions.window(c, w, s)
   }
 
+  /** Streaming exact dedup: drop events whose id was already seen within
+    * the watermark horizon — state is bounded by the watermark, the
+    * streaming twin of [[graft.ops.Dedup.exact]]. */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   final case class Event(event_id: Long, user_id: Long, event_type: String,
       value: Double, epochMs: Long)
   final case class SessionAgg(user_id: Long, n_events: Int, total_value: Double,
@@ -91,6 +99,52 @@ object EventStreams {
             cur.foreach { s =>
               state.update(s)
               state.setTimeoutDuration(gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  final case class TimedEvent(event_id: Long, user_id: Long, value: Double,
+      epochMs: Long, event_time: java.sql.Timestamp)
+
+  /** Event-time sessionization: like [[sessionize]] but the session
+    * closes when the WATERMARK (not the wall clock) passes last-event +
+    * gap — the production-correct semantics: replaying history yields
+    * identical sessions regardless of processing speed. Input must carry
+    * an `event_time` watermark column. */
+  def sessionizeEventTime(events: Dataset[TimedEvent], gapMs: Long): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAgg](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[TimedEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionAgg(userId, s.n, s.total, s.startMs, s.lastMs))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.epochMs, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionAgg]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.epochMs - s.lastMs <= gapMs =>
+                  cur = Some(s.copy(n = s.n + 1, total = s.total + e.value,
+                    lastMs = e.epochMs))
+                case Some(s) =>
+                  closed += SessionAgg(userId, s.n, s.total, s.startMs, s.lastMs)
+                  cur = Some(SessionState(1, e.value, e.epochMs, e.epochMs))
+                case None =>
+                  cur = Some(SessionState(1, e.value, e.epochMs, e.epochMs))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the watermark passes the gap; timeouts must sit
+              // strictly above the current watermark
+              state.setTimeoutTimestamp(
+                math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.result().iterator
           }

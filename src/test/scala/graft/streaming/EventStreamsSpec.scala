@@ -36,6 +36,63 @@ class EventStreamsSpec extends AnyFunSuite {
       "every emitted streaming window must equal its batch twin")
   }
 
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    val events = spark.read.parquet(s"$sfDir/events.parquet").limit(200)
+    events.union(events) // plant exact duplicates
+      .write.mode("overwrite").parquet(stageDir)
+    val stream = EventStreams.readEvents(spark, stageDir)
+    val q = EventStreams.dedupStream(stream, Seq("event_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("dedup_out")
+    assert(got.count() === 200)
+    assert(got.select("event_id").distinct().count() === 200)
+  }
+
+  test("event-time sessionization: watermark-closed sessions match the batch oracle") {
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("event_id", "user_id", "value", "ts div 1000000 AS epochMs")
+      .withColumn("event_time", timestamp_millis(col("epochMs")))
+    val gapMs = 30L * 60 * 1000
+    val batchSessions = EventStreams.sessionizeBatch(
+        raw.withColumnRenamed("epochMs", "epoch_ms"), gapMs)
+      .select($"user_id", $"n_events", $"start_ms", $"end_ms")
+      .collect().map(_.toSeq).toSet
+    // stage as 4 time-ordered files; one file per micro-batch advances the
+    // watermark so earlier sessions close inside the run
+    val dir = java.nio.file.Files.createTempDirectory("graft-etsess")
+    val quart = raw.selectExpr("*", "ntile(4) OVER (ORDER BY epochMs) AS q").cache()
+    (1 to 4).foreach { i =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-et$i")
+      quart.filter(col("q") === i).drop("q").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        dir.resolve(f"batch$i%02d.parquet")): Unit
+    }
+    val stream = spark.readStream
+      .schema(quart.drop("q").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withWatermark("event_time", "1 minute")
+      .as[EventStreams.TimedEvent]
+    val out = EventStreams.sessionizeEventTime(stream, gapMs)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("et_sessions")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = spark.table("et_sessions")
+      .select($"user_id", $"n_events", $"start_ms", $"end_ms")
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty, "watermark advancement should close sessions")
+    assert(streamed.subsetOf(batchSessions),
+      "event-time sessions must match batch-oracle sessions")
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch oracle on closed sessions") {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
       .select($"event_id", $"user_id", $"event_type", $"value",
