@@ -39,7 +39,10 @@ object Dedup {
         explode(GraftFunctions.shingles(split(col(textCol), "\\s+"), n)).as("shingle"))
 
   /** Per-doc distinct shingle ARRAY — the compact set representation the
-    * verify path joins against (one row per doc, no explode). */
+    * verify path joins against (one row per doc, no explode). Partitioning
+    * follows the input scan: at scale the corpus arrives in many splits
+    * (`spark.sql.files.maxPartitionBytes` governs); forcing a repartition
+    * here costs a shuffle that measures slower even at bench scale. */
   def shingleArrays(docs: DataFrame, n: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("id"),

@@ -14,6 +14,9 @@ class QueriesSpec extends AnyFunSuite {
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
       val df = fn(spark, sfDir)
+      // full materialization: count() would prune projections and hide
+      // broken expressions (see .claude/skills/verify gotchas)
+      df.write.format("noop").mode("overwrite").save()
       val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
     }
