@@ -220,6 +220,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Skew-mitigated join: salt-and-replicate must be result-identical to
+    // the plain join the oracle computes
+    q("q_salted_join",
+      """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS spend
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val cust = t(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+      graft.ops.Skew.saltedJoin(orders, cust, Seq("o_custkey"), buckets = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("spend"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // ------------------------------------------------ sessionization
     // Gap-based session windows (the batch twin of the streaming
     // flatMapGroupsWithState sessionizer in graft.streaming.EventStreams)

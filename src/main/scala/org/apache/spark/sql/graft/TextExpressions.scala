@@ -30,21 +30,14 @@ object hashing {
   }
 }
 
-/** simhash64(tokens: array<string>) → bigint.
-  *
-  * Classic Charikar SimHash: each token hashes to 64 bits; bit i
-  * contributes +1/-1 to counter i; the signature's bit i is set iff
-  * counter i > 0. Near-duplicate docs differ in few bits (small Hamming
-  * distance), so banding the 64 bits gives an exchange-free LSH key —
-  * the 100 TB scale path for near-dedup.
-  */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
-  override def dataType: DataType = LongType
-  override def prettyName: String = "simhash64"
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+/** Static evaluation kernels shared by interpreted eval and generated
+  * code: the expressions emit a single static call from whole-stage
+  * codegen (via defineCodeGen), so the scan→project pipeline stays one
+  * codegen'd function instead of breaking at a CodegenFallback row
+  * boundary. */
+object kernels {
+
+  def simhash64(arr: ArrayData): Long = {
     val counters = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
@@ -61,23 +54,24 @@ case class SimHash64(child: Expression)
     var sig = 0L
     var b = 0
     while (b < 64) { if (counters(b) > 0) sig |= (1L << b); b += 1 }
-    java.lang.Long.valueOf(sig)
+    sig
   }
-  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
-}
 
-/** shingles(tokens: array<string>, n) → array<string>: sliding word
-  * n-grams joined by a single space; the unit of MinHash/Jaccard dedup.
-  * Returns distinct shingles (set semantics, what Jaccard needs). */
-case class Shingles(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(StringType), IntegerType)
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "shingles"
-  override protected def nullSafeEval(tokens: Any, nAny: Any): Any = {
-    val arr = tokens.asInstanceOf[ArrayData]
-    val n = nAny.asInstanceOf[Int]
+  def fingerprint64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 257L + (bytes(i) & 0xffL)
+      i += 1
+    }
+    h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
+    h ^= (h >>> 27); h *= 0x94d049bb133111ebL
+    h ^= (h >>> 31)
+    h
+  }
+
+  def shingles(arr: ArrayData, n: Int): ArrayData = {
     val m = arr.numElements()
     if (n <= 0 || m < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String]()
@@ -95,6 +89,67 @@ case class Shingles(left: Expression, right: Expression)
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
+
+  def minhashSignature(arr: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val base = hashing.fnv1a64(arr.getUTF8String(i).getBytes)
+        var lane = 0
+        while (lane < k) {
+          var h = base + 0x9e3779b97f4a7c15L * lane
+          h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
+          h ^= (h >>> 27); h *= 0x94d049bb133111ebL
+          h ^= (h >>> 31)
+          if (h < mins(lane)) mins(lane) = h
+          lane += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(java.lang.Long.valueOf).asInstanceOf[Array[Any]])
+  }
+}
+
+/** simhash64(tokens: array<string>) → bigint.
+  *
+  * Classic Charikar SimHash: each token hashes to 64 bits; bit i
+  * contributes +1/-1 to counter i; the signature's bit i is set iff
+  * counter i > 0. Near-duplicate docs differ in few bits (small Hamming
+  * distance), so banding the 64 bits gives an exchange-free LSH key —
+  * the 100 TB scale path for near-dedup.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(kernels.simhash64(input.asInstanceOf[ArrayData]))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.kernels.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+/** shingles(tokens: array<string>, n) → array<string>: sliding word
+  * n-grams joined by a single space; the unit of MinHash/Jaccard dedup.
+  * Returns distinct shingles (set semantics, what Jaccard needs). */
+case class Shingles(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), IntegerType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+  override protected def nullSafeEval(tokens: Any, nAny: Any): Any =
+    kernels.shingles(tokens.asInstanceOf[ArrayData], nAny.asInstanceOf[Int])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev,
+      (a, n) => s"org.apache.spark.sql.graft.kernels.shingles($a, $n)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Shingles =
     copy(left = l, right = r)
 }
@@ -108,34 +163,18 @@ case class Shingles(left: Expression, right: Expression)
   * while this loop hashes each shingle once and derives the k lanes by
   * seed-mixing the one 64-bit base hash. */
 case class MinHashSignature(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+    extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(StringType), IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
-  override protected def nullSafeEval(shingles: Any, kAny: Any): Any = {
-    val arr = shingles.asInstanceOf[ArrayData]
-    val k = kAny.asInstanceOf[Int]
-    val mins = Array.fill(k)(Long.MaxValue)
-    var i = 0
-    while (i < arr.numElements()) {
-      if (!arr.isNullAt(i)) {
-        val base = hashing.fnv1a64(arr.getUTF8String(i).getBytes)
-        var lane = 0
-        while (lane < k) {
-          // splitmix64 of (base + lane) = an independent-enough lane hash
-          var h = base + 0x9e3779b97f4a7c15L * lane
-          h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
-          h ^= (h >>> 27); h *= 0x94d049bb133111ebL
-          h ^= (h >>> 31)
-          if (h < mins(lane)) mins(lane) = h
-          lane += 1
-        }
-      }
-      i += 1
-    }
-    new GenericArrayData(mins.map(java.lang.Long.valueOf).asInstanceOf[Array[Any]])
-  }
+  override protected def nullSafeEval(shingles: Any, kAny: Any): Any =
+    kernels.minhashSignature(shingles.asInstanceOf[ArrayData], kAny.asInstanceOf[Int])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev,
+      (a, k) => s"org.apache.spark.sql.graft.kernels.minhashSignature($a, $k)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashSignature =
     copy(left = l, right = r)
 }
@@ -145,24 +184,16 @@ case class MinHashSignature(left: Expression, right: Expression)
   * whole-document content fingerprint for exact-dup detection without
   * carrying the full text through a shuffle. */
 case class Fingerprint64(child: Expression)
-    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "fingerprint64"
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    var h = 0L
-    var i = 0
-    while (i < bytes.length) {
-      h = h * 257L + (bytes(i) & 0xffL)
-      i += 1
-    }
-    // final avalanche (splitmix64) so short docs spread over the space
-    h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
-    h ^= (h >>> 27); h *= 0x94d049bb133111ebL
-    h ^= (h >>> 31)
-    java.lang.Long.valueOf(h)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(kernels.fingerprint64(input.asInstanceOf[UTF8String]))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.kernels.fingerprint64($c)")
   override protected def withNewChildInternal(c: Expression): Fingerprint64 = copy(c)
 }
 
