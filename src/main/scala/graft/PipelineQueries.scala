@@ -262,14 +262,33 @@ object PipelineQueries {
         .orderBy(col("user_id"), col("session_id"))
     },
 
-    // Feature-extraction stub → similarity-ready vectors (rows-only)
-    qNoOracle("q_multimodal_features") { (s, dir) =>
+    // Feature-extraction stub → similarity-ready vectors. Oracle: bucket 0
+    // of the byte histogram counts ASCII codes ≡ 0 (mod 8) — for this
+    // lowercase corpus exactly {space, h, p, x} — over the byte length.
+    q("q_multimodal_features",
+      """SELECT doc_id,
+        |  round(CAST(strlen(text) - strlen(translate(text, 'hpx ', '')) AS DOUBLE)
+        |    / strlen(text), 4) AS f0
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val media = Multimodal.withPayload(t(s, dir, "documents"))
         .as[Multimodal.MediaRow]
       Multimodal.featureStub(media).toDF()
-        .select(col("doc_id"), round(element_at(col("feature"), 1), 4).as("f0"))
+        .select(col("doc_id"),
+          round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
         .orderBy(col("doc_id"))
+    },
+
+    // Resize + frame-sample stubs: binary-out plumbing (rows-only)
+    qNoOracle("q_multimodal_frames") { (s, dir) =>
+      import s.implicits._
+      val media = Multimodal.withPayload(t(s, dir, "documents"))
+        .as[Multimodal.MediaRow]
+      val thumbs = Multimodal.resizeStub(media).toDF()
+        .select(col("doc_id"), length(col("thumb")).as("thumb_bytes"))
+      val frames = Multimodal.frameSampleStub(media).toDF()
+        .select(col("doc_id"), size(col("frames")).as("n_frames"))
+      thumbs.join(frames, "doc_id").orderBy(col("doc_id"))
     }
   )
 

@@ -871,6 +871,30 @@ object Queries {
         .orderBy(col("freq").desc, col("bigram"))
     },
 
+    // §2.2 Collection family: array functions (scalar-ified outputs so
+    // the compare avoids nested-type representation differences)
+    q("q_array_funcs",
+      """SELECT doc_id,
+        |  CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS INT) AS n_dist,
+        |  array_to_string(list_sort(list_distinct(string_split_regex(text, '\s+')))[1:5], ',') AS first5,
+        |  list_contains(string_split_regex(text, '\s+'), 'spark') AS has_spark,
+        |  string_split_regex(text, '\s+')[1] AS head_tok,
+        |  string_split_regex(text, '\s+')[-1] AS last_tok,
+        |  CAST(len(list_concat(string_split_regex(text, '\s+'),
+        |    ['x', 'y'])) AS INT) AS n_plus2
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), "\\s+")
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          size(array_distinct(toks)).as("n_dist"),
+          array_join(slice(array_sort(array_distinct(toks)), 1, 5), ",").as("first5"),
+          array_contains(toks, "spark").as("has_spark"),
+          element_at(toks, 1).as("head_tok"),
+          element_at(toks, -1).as("last_tok"),
+          size(concat(toks, array(lit("x"), lit("y")))).as("n_plus2"))
+        .orderBy(col("doc_id"))
+    },
+
     // §2.2 Misc family: Hive-compatible hash() (Spark's HiveHash expr)
     qNoOracle("q_hive_hash") { (s, dir) =>
       import graft.functions.GraftFunctions

@@ -62,6 +62,31 @@ object Multimodal {
     }
   }
 
+  final case class MediaResized(doc_id: Long, thumb: Array[Byte])
+  final case class MediaFrames(doc_id: Long, frames: Array[Array[Byte]])
+
+  /** STUB resize: a real pipeline re-encodes pixels; we take a
+    * deterministic prefix "thumbnail" of the payload so the binary-out
+    * plumbing (per-partition batching, binary schema) is exercised. */
+  def resizeStub(media: Dataset[MediaRow], thumbBytes: Int = 64): Dataset[MediaResized] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r =>
+      MediaResized(r.doc_id, r.payload.take(thumbBytes))))
+  }
+
+  /** STUB frame sampling: every `stride`-th fixed-size chunk of the
+    * payload stands in for a decoded video frame. */
+  def frameSampleStub(media: Dataset[MediaRow], frameBytes: Int = 32,
+      stride: Int = 4): Dataset[MediaFrames] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val frames = r.payload.grouped(frameBytes).toArray
+      MediaFrames(r.doc_id, frames.indices.collect {
+        case i if i % stride == 0 => frames(i)
+      }.toArray)
+    })
+  }
+
   /** Full stub pipeline: payload → decode → metadata DataFrame, ready for
     * relational ops (the driver-checkable query in PipelineQueries). */
   def decodedMetadata(spark: SparkSession, docs: DataFrame): DataFrame = {

@@ -172,6 +172,18 @@ class HqlSurfaceSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.parser.quotedRegexColumnNames", "false")
   }
 
+  test("ANALYZE TABLE COMPUTE STATISTICS (incl. FOR COLUMNS)") {
+    val out = run(
+      """DROP TABLE IF EXISTS an_t;
+        |CREATE TABLE an_t USING parquet AS
+        |  SELECT r_regionkey, r_name FROM parquet.`/root/testdata/sf0.001/region.parquet`;
+        |ANALYZE TABLE an_t COMPUTE STATISTICS;
+        |ANALYZE TABLE an_t COMPUTE STATISTICS FOR COLUMNS r_regionkey;
+        |DESCRIBE EXTENDED an_t;""".stripMargin)
+    assert(out.contains("5 rows") || out.contains("rowCount"))
+    run("DROP TABLE an_t;")
+  }
+
   test("SHOW FUNCTIONS / DESCRIBE FUNCTION commands") {
     val out = run(
       """SHOW FUNCTIONS LIKE 'concat*';
