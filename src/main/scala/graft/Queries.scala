@@ -448,6 +448,41 @@ object Queries {
         .orderBy(col("o_orderkey"))
     },
 
+    // §2.2 Windows: RANGE frames (value-based, vs the ROWS frames above)
+    q("q_window_range",
+      """SELECT o_orderkey,
+        |  CAST(count(*) OVER (ORDER BY o_totalprice
+        |    RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_cheaper,
+        |  round(sum(o_totalprice) OVER (ORDER BY o_totalprice
+        |    RANGE BETWEEN 10000.0 PRECEDING AND 10000.0 FOLLOWING), 2) AS band_sum
+        |FROM orders WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val byPrice = Window.orderBy(col("o_totalprice"))
+      t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          count(lit(1)).over(byPrice.rangeBetween(-10000L, 0)).as("near_cheaper"),
+          round(sum(col("o_totalprice"))
+            .over(byPrice.rangeBetween(-10000L, 10000L)), 2).as("band_sum"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // §2.2 Date family: unix-epoch conversions (events.ts arrives as
+    // nanos-since-epoch long under nanosAsLong)
+    q("q_unixtime",
+      """SELECT event_id,
+        |  CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS epoch_s,
+        |  CAST(to_timestamp(epoch_ns(ts) // 1000000000) AS TIMESTAMP) AS ts_s,
+        |  strftime(to_timestamp(epoch_ns(ts) // 1000000000), '%Y-%m-%d %H') AS fmt
+        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val epochS = expr("ts div 1000000000")
+      t(s, dir, "events").filter(col("event_id") < 500)
+        .select(col("event_id"),
+          epochS.as("epoch_s"),
+          timestamp_seconds(epochS).as("ts_s"),
+          from_unixtime(epochS, "yyyy-MM-dd HH").as("fmt"))
+        .orderBy(col("event_id"))
+    },
+
     // §2.2 Sort/limit: top-k (planned as TakeOrderedAndProject)
     q("q_topk",
       """SELECT o_orderkey, o_totalprice FROM orders
