@@ -220,6 +220,16 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Deterministic key-hash sampling (stable under repartitioning): the
+    // oracle can't reproduce xxhash64, but the SELECTED SET is a pure
+    // function of doc_id — verified structurally in SamplingSpec;
+    // rows-only here
+    qNoOracle("q_sample_by_key") { (s, dir) =>
+      graft.ops.Sampling.byKeyHash(t(s, dir, "documents"), "doc_id", 0.25)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
     // Skew-mitigated join: salt-and-replicate must be result-identical to
     // the plain join the oracle computes
     q("q_salted_join",

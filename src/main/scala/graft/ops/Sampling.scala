@@ -1,0 +1,31 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation sampling for training-data pipelines.
+  *
+  * Stratified (per-class) sampling is the standard rebalancing step
+  * before training: downsample over-represented languages/sources to a
+  * target fraction each. Implemented as seeded per-row Bernoulli keyed
+  * by the stratum (one scan, no shuffle, deterministic under a fixed
+  * seed — reruns of the pipeline select identical rows). */
+object Sampling {
+
+  /** Keep each row of stratum `s` with probability `fractions(s)`
+    * (absent strata are dropped). Deterministic per (seed, row order
+    * within partition) like Spark's own sampleBy. */
+  def stratified(df: DataFrame, stratumCol: String,
+      fractions: Map[String, Double], seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** Deterministic hash-based sampling: keeps a row iff
+    * xxhash64(key, salt) mod 10000 < fraction·10000. Unlike Bernoulli
+    * sampling this is stable under repartitioning AND reproducible from
+    * the key alone — the right tool when two pipeline stages must agree
+    * on the sample without coordinating. */
+  def byKeyHash(df: DataFrame, keyCol: String, fraction: Double,
+      salt: Long = 42L): DataFrame =
+    df.filter(pmod(xxhash64(lit(salt), col(keyCol)), lit(10000)) <
+      lit((fraction * 10000).toInt))
+}

@@ -111,6 +111,17 @@ class FunctionParitySpec extends AnyFunSuite {
       "length(current_user()) > 0" -> true)
   }
 
+  test("selector aggregates: max_by / min_by / any_value / mode") {
+    val r = spark.sql(
+      """SELECT max_by(n, v) AS mx, min_by(n, v) AS mn,
+        |       any_value(n) AS av, mode(v) AS md
+        |FROM VALUES ('a', 1), ('b', 3), ('c', 2), ('d', 3) t(n, v)""".stripMargin)
+      .first()
+    assert(r.getString(0) == "b" || r.getString(0) == "d") // ties: either
+    assert(r.getString(1) === "a")
+    assert(r.getInt(3) === 3)
+  }
+
   test("hive-lax coercion (ANSI off): implicit casts like Hive 0.13") {
     check(
       "CAST('12x' AS INT)" -> null,      // Hive: NULL, ANSI: error

@@ -1,0 +1,30 @@
+package graft.ops
+
+import graft.TestSpark.{sfDir, spark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("key-hash sampling is deterministic and repartition-stable") {
+    val a = Sampling.byKeyHash(docs, "doc_id", 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.byKeyHash(docs.repartition(13), "doc_id", 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b, "sample must not depend on partitioning")
+    val frac = a.size.toDouble / docs.count()
+    assert(frac > 0.15 && frac < 0.35, s"fraction $frac far from 0.25")
+  }
+
+  test("stratified sampling respects per-stratum fractions") {
+    val fractions = Map("es" -> 1.0, "de" -> 0.0)
+    val sampled = Sampling.stratified(docs, "lang", fractions)
+    val langs = sampled.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val esTotal = docs.filter(col("lang") === "es").count()
+    assert(langs.getOrElse("es", 0L) === esTotal) // fraction 1.0 keeps all
+    assert(langs.getOrElse("de", 0L) === 0L)      // fraction 0.0 drops all
+    assert(!langs.contains("zh"))                 // absent strata dropped
+  }
+}
