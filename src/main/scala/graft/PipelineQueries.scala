@@ -132,6 +132,18 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // Text normalization: the standard pre-dedup cleanup pass
+    q("q_text_normalize",
+      """SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+        |  CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS INT) AS norm_len
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), norm.as("norm"), length(norm).as("norm_len"))
+        .orderBy(col("doc_id"))
+    },
+
     // ------------------------------------------------ text analysis
     // Token counting: whitespace + BPE-ish regex tokenizations
     q("q_text_stats",

@@ -28,4 +28,19 @@ object Sampling {
       salt: Long = 42L): DataFrame =
     df.filter(pmod(xxhash64(lit(salt), col(keyCol)), lit(10000)) <
       lit((fraction * 10000).toInt))
+
+  /** Disjoint train/validation/test split by key hash: each row lands in
+    * exactly one bucket, membership is a pure function of the key (new
+    * data appended later falls consistently into the same splits; no row
+    * ever migrates between train and test across reruns). */
+  def splitByKeyHash(df: DataFrame, keyCol: String, weights: Seq[Double],
+      salt: Long = 42L): Seq[DataFrame] = {
+    require(weights.nonEmpty && weights.forall(_ >= 0) && weights.sum > 0)
+    val cum = weights.map(_ / weights.sum).scanLeft(0.0)(_ + _)
+    val bucket = pmod(xxhash64(lit(salt), col(keyCol)), lit(10000))
+    cum.sliding(2).map { case Seq(lo, hi) =>
+      df.filter(bucket >= lit((lo * 10000).toInt) &&
+        bucket < lit((hi * 10000).toInt))
+    }.toSeq
+  }
 }

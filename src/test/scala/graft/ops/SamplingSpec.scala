@@ -17,6 +17,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(frac > 0.15 && frac < 0.35, s"fraction $frac far from 0.25")
   }
 
+  test("train/val/test split: disjoint, exhaustive, key-stable") {
+    val Seq(train, valid, test) =
+      Sampling.splitByKeyHash(docs, "doc_id", Seq(0.8, 0.1, 0.1))
+    val t = train.select("doc_id").collect().map(_.getLong(0)).toSet
+    val v = valid.select("doc_id").collect().map(_.getLong(0)).toSet
+    val te = test.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((t & v).isEmpty && (t & te).isEmpty && (v & te).isEmpty)
+    assert(t.size + v.size + te.size === docs.count())
+    assert(t.size > v.size && t.size > te.size)
+    // stability: recomputing on reshuffled input yields identical splits
+    val Seq(train2, _, _) =
+      Sampling.splitByKeyHash(docs.repartition(7), "doc_id", Seq(0.8, 0.1, 0.1))
+    assert(train2.select("doc_id").collect().map(_.getLong(0)).toSet === t)
+  }
+
   test("stratified sampling respects per-stratum fractions") {
     val fractions = Map("es" -> 1.0, "de" -> 0.0)
     val sampled = Sampling.stratified(docs, "lang", fractions)
