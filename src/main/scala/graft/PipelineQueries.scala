@@ -165,6 +165,34 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Repetition score: 1 - distinct/total bigrams — the standard
+    // low-quality-generation signal (loops repeat n-grams)
+    q("q_text_repetition",
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(generate_series(0, len(string_split_regex(text, '\s+')) - 1)) AS pos,
+        |    unnest(string_split_regex(text, '\s+')) AS word
+        |  FROM documents),
+        |bi AS (SELECT doc_id, word || ' ' || lead(word)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS bigram FROM toks)
+        |SELECT doc_id,
+        |  round(1.0 - CAST(count(DISTINCT bigram) AS DOUBLE) / count(*), 4)
+        |    AS repetition
+        |FROM bi WHERE bigram IS NOT NULL
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.functions.GraftFunctions
+      val toks = split(col("text"), "\\s+")
+      // bigram multiset size = n_tokens - 1; distinct set via shingles()
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(GraftFunctions.shingles(toks, 2)).as("n_distinct"),
+          (size(toks) - 1).as("n_total"))
+        .filter(col("n_total") >= 1)
+        .select(col("doc_id"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_total"), 4)
+            .as("repetition"))
+        .orderBy(col("doc_id"))
+    },
+
     // Quality scoring: stopword ratio, repetition, length band
     q("q_text_quality",
       """SELECT doc_id,
