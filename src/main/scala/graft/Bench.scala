@@ -41,14 +41,20 @@ object Bench {
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Locale.ROOT: comma-decimal default locales would emit invalid JSON
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) num(v) else "null")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val total = results.collect { case (_, v, true) => v }.sum
+    val errors = if (failed.isEmpty) "" else s""","errors":[${failed.mkString(",")}]"""
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

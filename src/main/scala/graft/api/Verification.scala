@@ -48,13 +48,7 @@ final class Verification private (
   def manifest: Manifest = Manifest(enableHadoop, verboseOutput, debugOutput, tasks)
 
   def manifestJson: String = {
-    def q(s: String) = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def q(s: String) = graft.JsonUtil.quote(s)
     val taskJson = tasks.map { t =>
       val vars = t.variables.map { case (k, v) => s"${q(k)}: ${q(v)}" }
         .mkString("{", ", ", "}")

@@ -174,18 +174,29 @@ object Dedup {
     labels
   }
 
-  /** SimHash near-dup: 64-bit signatures, banded into 4×16-bit chunks —
-    * any pair within Hamming distance 3 shares at least one intact chunk
-    * (pigeonhole), so the bucket join finds all such pairs; bit_count
-    * verifies the exact distance. */
+  /** SimHash near-dup: 64-bit signatures banded into `maxHamming + 1`
+    * chunks — a pair within the Hamming budget has fewer differing bits
+    * than chunks, so at least one chunk is intact (pigeonhole) and the
+    * bucket join is guaranteed to surface the pair; bit_count then
+    * verifies the exact distance. More chunks = shorter keys = bigger
+    * buckets: the recall guarantee costs selectivity as the budget grows. */
   def simhashNearDups(docs: DataFrame, maxHamming: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming=$maxHamming")
+    val numChunks = maxHamming + 1
+    val base = 64 / numChunks
+    val extra = 64 % numChunks // first `extra` chunks get one more bit
+    val bounds = (0 until numChunks).scanLeft(0) { (acc, c) =>
+      acc + base + (if (c < extra) 1 else 0)
+    }
     val sigs = docs.select(col(idCol).as("id"),
       GraftFunctions.simhash64(split(col(textCol), "\\s+")).as("sig"))
-    val chunks = sigs.select(col("id"),
-      explode(array((0 until 4).map(c =>
-        struct(lit(c).as("chunk"),
-          shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("cb"))
+    val chunkCols = (0 until numChunks).map { c =>
+      val lo = bounds(c); val width = bounds(c + 1) - lo
+      struct(lit(c).as("chunk"),
+        shiftright(col("sig"), lo).bitwiseAND(lit((1L << width) - 1)).as("key"))
+    }
+    val chunks = sigs.select(col("id"), explode(array(chunkCols: _*)).as("cb"))
       .select(col("id"), col("cb.chunk").as("chunk"), col("cb.key").as("key"))
     pairsInBuckets(chunks, Seq("chunk", "key"), "id")
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")

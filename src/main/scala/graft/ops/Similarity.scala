@@ -56,9 +56,12 @@ object Similarity {
       .withColumn("nrm", norm(col("emb")))
     base.as("a").join(base.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")), 6)
-          .as("sim"))
-      .filter(col("sim") >= threshold)
+        (dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")))
+          .as("sim_raw"))
+      // threshold on the UNROUNDED value (like the oracle); round only
+      // the output — otherwise boundary pairs diverge from the oracle
+      .filter(col("sim_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim_raw"), 6).as("sim"))
   }
 
   /** Deterministic random hyperplanes: `tables` signature tables of

@@ -66,9 +66,47 @@ object EventStreams {
       start_ms: Long, end_ms: Long)
   final case class SessionState(n: Int, total: Double, startMs: Long, lastMs: Long)
 
+  /** Shared session fold: merge a batch of (epochMs, value, id) events
+    * into the per-key session state, emitting closed sessions. Late
+    * (out-of-order) events within the gap EXTEND the session in both
+    * directions — lastMs = max, startMs = min — so a straggler can't
+    * rewind lastMs and cause a following on-time event to spuriously
+    * close the session. */
+  private[streaming] def foldSessions(userId: Long,
+      sorted: Seq[(Long, Double, Long)],
+      state: GroupState[SessionState],
+      setTimeout: SessionState => Unit)(gapMs: Long): Iterator[SessionAgg] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator.single(SessionAgg(userId, s.n, s.total, s.startMs, s.lastMs))
+    } else {
+      var cur = state.getOption
+      val closed = Seq.newBuilder[SessionAgg]
+      sorted.foreach { case (ms, v, _) =>
+        cur match {
+          // merges when within gap after the session end OR late (before
+          // it — a straggler extends the open session rather than
+          // rewinding lastMs and splitting it)
+          case Some(s) if ms <= s.lastMs + gapMs =>
+            cur = Some(s.copy(n = s.n + 1, total = s.total + v,
+              startMs = math.min(s.startMs, ms),
+              lastMs = math.max(s.lastMs, ms)))
+          case Some(s) =>
+            closed += SessionAgg(userId, s.n, s.total, s.startMs, s.lastMs)
+            cur = Some(SessionState(1, v, ms, ms))
+          case None =>
+            cur = Some(SessionState(1, v, ms, ms))
+        }
+      }
+      cur.foreach { s => state.update(s); setTimeout(s) }
+      closed.result().iterator
+    }
+  }
+
   /** Session windows via custom state: a user session closes after
     * `gapMs` of inactivity (processing-time timeout for simplicity;
-    * event-time sessionization would key the timeout off the watermark).
+    * [[sessionizeEventTime]] keys the timeout off the watermark).
     * Emits one row per closed session. State per key is O(1). */
   def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionAgg] = {
     import events.sparkSession.implicits._
@@ -76,32 +114,10 @@ object EventStreams {
       .flatMapGroupsWithState[SessionState, SessionAgg](
         OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(SessionAgg(userId, s.n, s.total, s.startMs, s.lastMs))
-          } else {
-            val sorted = rows.toSeq.sortBy(e => (e.epochMs, e.event_id))
-            var cur = state.getOption
-            val closed = Seq.newBuilder[SessionAgg]
-            sorted.foreach { e =>
-              cur match {
-                case Some(s) if e.epochMs - s.lastMs <= gapMs =>
-                  cur = Some(s.copy(n = s.n + 1, total = s.total + e.value,
-                    lastMs = e.epochMs))
-                case Some(s) =>
-                  closed += SessionAgg(userId, s.n, s.total, s.startMs, s.lastMs)
-                  cur = Some(SessionState(1, e.value, e.epochMs, e.epochMs))
-                case None =>
-                  cur = Some(SessionState(1, e.value, e.epochMs, e.epochMs))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutDuration(gapMs)
-            }
-            closed.result().iterator
-          }
+          val sorted = rows.toSeq.sortBy(e => (e.epochMs, e.event_id))
+            .map(e => (e.epochMs, e.value, e.event_id))
+          foldSessions(userId, sorted, state,
+            _ => state.setTimeoutDuration(gapMs))(gapMs)
       }
   }
 
@@ -119,35 +135,13 @@ object EventStreams {
       .flatMapGroupsWithState[SessionState, SessionAgg](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[TimedEvent], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(SessionAgg(userId, s.n, s.total, s.startMs, s.lastMs))
-          } else {
-            val sorted = rows.toSeq.sortBy(e => (e.epochMs, e.event_id))
-            var cur = state.getOption
-            val closed = Seq.newBuilder[SessionAgg]
-            sorted.foreach { e =>
-              cur match {
-                case Some(s) if e.epochMs - s.lastMs <= gapMs =>
-                  cur = Some(s.copy(n = s.n + 1, total = s.total + e.value,
-                    lastMs = e.epochMs))
-                case Some(s) =>
-                  closed += SessionAgg(userId, s.n, s.total, s.startMs, s.lastMs)
-                  cur = Some(SessionState(1, e.value, e.epochMs, e.epochMs))
-                case None =>
-                  cur = Some(SessionState(1, e.value, e.epochMs, e.epochMs))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              // close when the watermark passes the gap; timeouts must sit
-              // strictly above the current watermark
-              state.setTimeoutTimestamp(
-                math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
-            }
-            closed.result().iterator
-          }
+          val sorted = rows.toSeq.sortBy(e => (e.epochMs, e.event_id))
+            .map(e => (e.epochMs, e.value, e.event_id))
+          foldSessions(userId, sorted, state,
+            // close when the watermark passes the gap; timeouts must sit
+            // strictly above the current watermark
+            s => state.setTimeoutTimestamp(
+              math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1)))(gapMs)
       }
   }
 

@@ -36,6 +36,34 @@ class EventStreamsSpec extends AnyFunSuite {
       "every emitted streaming window must equal its batch twin")
   }
 
+  test("session fold: late events extend the session instead of splitting it") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    // batch 1: events at t=0s and t=100s (gap 120s → one open session)
+    val s1 = TestGroupState.create[EventStreams.SessionState](
+      optionalState = Optional.empty(), timeoutConf =
+        org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.empty(),
+      hasTimedOut = false)
+    val out1 = EventStreams.foldSessions(1L,
+      Seq((0L, 1.0, 1L), (100000L, 1.0, 2L)), s1, _ => ())(120000L)
+    assert(out1.isEmpty && s1.get.n == 2 && s1.get.lastMs == 100000L)
+    // batch 2: a LATE event at t=50s, then an on-time event at t=130s.
+    // Without min/max extension the straggler would rewind lastMs to 50s
+    // and the 130s event (80s gap from 50s, but only 30s from 100s)
+    // could spuriously split once gaps shrink; state must keep
+    // startMs=0, lastMs=max.
+    val s2 = TestGroupState.create[EventStreams.SessionState](
+      optionalState = Optional.of(s1.get), timeoutConf =
+        org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.empty(),
+      hasTimedOut = false)
+    val out2 = EventStreams.foldSessions(1L,
+      Seq((50000L, 1.0, 3L), (130000L, 1.0, 4L)), s2, _ => ())(120000L)
+    assert(out2.isEmpty, "no spurious session close")
+    assert(s2.get.n == 4 && s2.get.startMs == 0L && s2.get.lastMs == 130000L)
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     val stageDir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
     val events = spark.read.parquet(s"$sfDir/events.parquet").limit(200)
