@@ -18,19 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, name)
 
-  override def apply(e: SparkSessionExtensions): Unit = {
-    def inject(name: String, builder: Seq[Expression] => Expression): Unit =
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.sqlBuilders.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name), info(name), builder))
-    inject("simhash64", es => SimHash64(es.head))
-    inject("shingles", es => Shingles(es(0), es(1)))
-    inject("fingerprint64", es => Fingerprint64(es.head))
-    inject("sentences", es => SentencesExpr(es.head))
-    inject("hive_hash",
-      es => org.apache.spark.sql.catalyst.expressions.HiveHash(es))
-    inject("ngrams", es => NGramsAgg(es(0), es(1), es(2)).toAggregateExpression())
-    inject("context_ngrams",
-      es => ContextNGramsAgg(es(0), es(1), es(2)).toAggregateExpression())
-    inject("parse_url_tuple", es => ParseUrlTuple(es))
-    inject("minhash_signature", es => MinHashSignature(es(0), es(1)))
-  }
+    }
 }

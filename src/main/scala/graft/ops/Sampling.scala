@@ -27,7 +27,8 @@ object Sampling {
   def byKeyHash(df: DataFrame, keyCol: String, fraction: Double,
       salt: Long = 42L): DataFrame =
     df.filter(pmod(xxhash64(lit(salt), col(keyCol)), lit(10000)) <
-      lit((fraction * 10000).toInt))
+      lit(math.round(fraction * 10000).toInt)) // round, not truncate:
+      // 0.29*10000 = 2899.9999... must select the 0.29 grid point
 
   /** Disjoint train/validation/test split by key hash: each row lands in
     * exactly one bucket, membership is a pure function of the key (new
@@ -37,10 +38,13 @@ object Sampling {
       salt: Long = 42L): Seq[DataFrame] = {
     require(weights.nonEmpty && weights.forall(_ >= 0) && weights.sum > 0)
     val cum = weights.map(_ / weights.sum).scanLeft(0.0)(_ + _)
+    val boundaries = cum.map(c => math.round(c * 10000).toInt)
+      // the last boundary MUST be 10000: fp truncation of the cumulative
+      // sum would otherwise silently drop bucket 9999 from every split
+      .updated(cum.length - 1, 10000)
     val bucket = pmod(xxhash64(lit(salt), col(keyCol)), lit(10000))
-    cum.sliding(2).map { case Seq(lo, hi) =>
-      df.filter(bucket >= lit((lo * 10000).toInt) &&
-        bucket < lit((hi * 10000).toInt))
+    boundaries.sliding(2).map { case Seq(lo, hi) =>
+      df.filter(bucket >= lit(lo) && bucket < lit(hi))
     }.toSeq
   }
 }

@@ -11,6 +11,68 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import scala.collection.mutable
 
+/** Shared bounded-count-map machinery for the two n-gram aggregates: ONE
+  * trim policy (applied in update AND merge — a merge without trim would
+  * accumulate the disjoint vocabulary tails of every partition buffer and
+  * unbound the final task) and ONE serialization format (length-prefixed
+  * raw UTF-8; `writeUTF` would throw on degenerate >64 KB tokens). */
+private[graft] object NGramBuffers {
+  type Buf = mutable.HashMap[Seq[String], Long]
+
+  def cap(k: Int, precisionFactor: Int): Int =
+    math.max(k * precisionFactor, 1 << 16)
+
+  def trim(buf: Buf, cap: Int): Unit =
+    if (buf.size > cap * 2) {
+      val keep = buf.toSeq.sortBy { case (g, c) => (-c, g.mkString(" ")) }
+        .take(cap)
+      buf.clear()
+      buf ++= keep: Unit
+    }
+
+  def merge(buf: Buf, other: Buf, cap: Int): Buf = {
+    other.foreach { case (g, c) => buf.update(g, buf.getOrElse(g, 0L) + c) }
+    trim(buf, cap)
+    buf
+  }
+
+  def serialize(buf: Buf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (gram, cnt) =>
+      out.writeInt(gram.size)
+      gram.foreach { w =>
+        val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.writeInt(bytes.length)
+        out.write(bytes)
+      }
+      out.writeLong(cnt)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def deserialize(bytes: Array[Byte]): Buf = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val size = in.readInt()
+    val buf = mutable.HashMap.empty[Seq[String], Long]
+    var i = 0
+    while (i < size) {
+      val glen = in.readInt()
+      val gram = Seq.fill(glen) {
+        val blen = in.readInt()
+        val b = new Array[Byte](blen)
+        in.readFully(b)
+        new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      }
+      buf.update(gram, in.readLong())
+      i += 1
+    }
+    buf
+  }
+}
+
 /** Hive's `ngrams(tokens, n, k)` UDAF (present in the reference's
   * delegated HiveQL builtin surface for all pinned Hive versions, absent
   * from Spark — SURVEY.md §2.2 string-family divergence): estimates the
@@ -68,32 +130,21 @@ case class NGramsAgg(
         buf.update(gram, buf.getOrElse(gram, 0L) + 1L)
         i += 1
       }
-      trim(buf)
+      NGramBuffers.trim(buf, trimCap)
     }
     buf
   }
 
   override def merge(buf: mutable.HashMap[Seq[String], Long],
-      other: mutable.HashMap[Seq[String], Long]): mutable.HashMap[Seq[String], Long] = {
-    other.foreach { case (g, c) => buf.update(g, buf.getOrElse(g, 0L) + c) }
-    trim(buf)
-    buf
-  }
+      other: mutable.HashMap[Seq[String], Long]): mutable.HashMap[Seq[String], Long] =
+    NGramBuffers.merge(buf, other, trimCap)
 
-  /** Bounded-buffer trim: keep the heaviest entries once the map exceeds
-    * twice the cap. The cap is max(k*pf, 64k) — k*pf is Hive's precision
+  /** Bounded-buffer cap: max(k*pf, 64k) — k*pf is Hive's precision
     * factor, the 64k floor keeps counts EXACT for realistic n-gram
     * vocabularies (trimming only engages on adversarially wide streams,
     * where results become estimates — the "est" in estfrequency). ~2 MB
     * per partition buffer worst case. */
-  private val trimCap = math.max(k * precisionFactor, 1 << 16)
-  private def trim(buf: mutable.HashMap[Seq[String], Long]): Unit =
-    if (buf.size > trimCap * 2) {
-      val keep = buf.toSeq.sortBy { case (g, c) => (-c, g.mkString(" ")) }
-        .take(trimCap)
-      buf.clear()
-      buf ++= keep: Unit
-    }
+  private lazy val trimCap = NGramBuffers.cap(k, precisionFactor)
 
   override def eval(buf: mutable.HashMap[Seq[String], Long]): Any = {
     val top = buf.toSeq
@@ -106,32 +157,11 @@ case class NGramsAgg(
     }.toArray[Any])
   }
 
-  override def serialize(buf: mutable.HashMap[Seq[String], Long]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    buf.foreach { case (gram, cnt) =>
-      out.writeInt(gram.size)
-      gram.foreach(out.writeUTF)
-      out.writeLong(cnt)
-    }
-    out.flush()
-    bos.toByteArray
-  }
+  override def serialize(buf: mutable.HashMap[Seq[String], Long]): Array[Byte] =
+    NGramBuffers.serialize(buf)
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Seq[String], Long] = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val size = in.readInt()
-    val buf = mutable.HashMap.empty[Seq[String], Long]
-    var i = 0
-    while (i < size) {
-      val glen = in.readInt()
-      val gram = Seq.fill(glen)(in.readUTF())
-      buf.update(gram, in.readLong())
-      i += 1
-    }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Seq[String], Long] =
+    NGramBuffers.deserialize(bytes)
 
   override def withNewMutableAggBufferOffset(offset: Int): NGramsAgg =
     copy(mutableAggBufferOffset = offset)
@@ -206,22 +236,16 @@ case class ContextNGramsAgg(
         }
         i += 1
       }
-      val cap = math.max(k * precisionFactor, 1 << 16) // see NGramsAgg.trim
-      if (buf.size > cap * 2) {
-        val keep = buf.toSeq.sortBy { case (g, c) => (-c, g.mkString(" ")) }
-          .take(cap)
-        buf.clear()
-        buf ++= keep: Unit
-      }
+      NGramBuffers.trim(buf, trimCap)
     }
     buf
   }
 
+  private lazy val trimCap = NGramBuffers.cap(k, precisionFactor)
+
   override def merge(buf: mutable.HashMap[Seq[String], Long],
-      other: mutable.HashMap[Seq[String], Long]): mutable.HashMap[Seq[String], Long] = {
-    other.foreach { case (g, c) => buf.update(g, buf.getOrElse(g, 0L) + c) }
-    buf
-  }
+      other: mutable.HashMap[Seq[String], Long]): mutable.HashMap[Seq[String], Long] =
+    NGramBuffers.merge(buf, other, trimCap)
 
   override def eval(buf: mutable.HashMap[Seq[String], Long]): Any = {
     val top = buf.toSeq.sortBy { case (g, c) => (-c, g.mkString(" ")) }.take(k)
@@ -232,28 +256,11 @@ case class ContextNGramsAgg(
     }.toArray[Any])
   }
 
-  override def serialize(buf: mutable.HashMap[Seq[String], Long]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    buf.foreach { case (gram, cnt) =>
-      out.writeInt(gram.size); gram.foreach(out.writeUTF); out.writeLong(cnt)
-    }
-    out.flush(); bos.toByteArray
-  }
+  override def serialize(buf: mutable.HashMap[Seq[String], Long]): Array[Byte] =
+    NGramBuffers.serialize(buf)
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Seq[String], Long] = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val size = in.readInt()
-    val buf = mutable.HashMap.empty[Seq[String], Long]
-    var i = 0
-    while (i < size) {
-      val glen = in.readInt()
-      val gram = Seq.fill(glen)(in.readUTF())
-      buf.update(gram, in.readLong()); i += 1
-    }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Seq[String], Long] =
+    NGramBuffers.deserialize(bytes)
 
   override def withNewMutableAggBufferOffset(offset: Int): ContextNGramsAgg =
     copy(mutableAggBufferOffset = offset)

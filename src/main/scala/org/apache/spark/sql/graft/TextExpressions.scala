@@ -252,22 +252,40 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.Literal(k))
       .toAggregateExpression())
 
+  /** Wrap a builder with an arity check — wrong-arity calls must fail
+    * analysis loudly, not silently drop arguments (Hive's
+    * sentences(text, lang, country) form would otherwise run with the
+    * locale ignored). */
+  private def arity(name: String, n: Int)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      if (es.length != n) throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${es.length}" +
+          (if (name == "sentences" && es.length == 3)
+            " (locale arguments are not supported by this engine)" else ""))
+      b(es)
+    }
+
+  val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash64" -> arity("simhash64", 1)(es => SimHash64(es.head)),
+    "shingles" -> arity("shingles", 2)(es => Shingles(es(0), es(1))),
+    "fingerprint64" -> arity("fingerprint64", 1)(es => Fingerprint64(es.head)),
+    "sentences" -> arity("sentences", 1)(es => SentencesExpr(es.head)),
+    "hive_hash" ->
+      ((es: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions.HiveHash(es)),
+    "ngrams" -> arity("ngrams", 3)(es =>
+      NGramsAgg(es(0), es(1), es(2)).toAggregateExpression()),
+    "context_ngrams" -> arity("context_ngrams", 3)(es =>
+      ContextNGramsAgg(es(0), es(1), es(2)).toAggregateExpression()),
+    "parse_url_tuple" -> ((es: Seq[Expression]) => ParseUrlTuple(es)),
+    "minhash_signature" -> arity("minhash_signature", 2)(es =>
+      MinHashSignature(es(0), es(1))))
+
   /** Register for SQL use: `SELECT simhash64(split(text, ' ')) …` */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
-    reg.createOrReplaceTempFunction("shingles", es => Shingles(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("fingerprint64", es => Fingerprint64(es.head), "built-in")
-    reg.createOrReplaceTempFunction("sentences", es => SentencesExpr(es.head), "built-in")
-    reg.createOrReplaceTempFunction("hive_hash",
-      es => org.apache.spark.sql.catalyst.expressions.HiveHash(es), "built-in")
-    reg.createOrReplaceTempFunction("ngrams",
-      es => NGramsAgg(es(0), es(1), es(2)).toAggregateExpression(), "built-in")
-    reg.createOrReplaceTempFunction("context_ngrams",
-      es => ContextNGramsAgg(es(0), es(1), es(2)).toAggregateExpression(), "built-in")
-    reg.createOrReplaceTempFunction("parse_url_tuple",
-      es => ParseUrlTuple(es), "built-in")
-    reg.createOrReplaceTempFunction("minhash_signature",
-      es => MinHashSignature(es(0), es(1)), "built-in")
+    sqlBuilders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
 }
