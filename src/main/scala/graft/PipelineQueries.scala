@@ -41,6 +41,30 @@ object PipelineQueries {
         .orderBy(col("keep_id"))
     },
 
+    // Deduplicated corpus materialization (keep-one-per-text semi-join)
+    q("q_dedup_keep",
+      """SELECT doc_id, lang FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.dropExactDuplicates(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Hive context_ngrams through the custom UDAF: top fillers of the
+    // wildcard slot after a context word (top-k estimate → rows-only)
+    qNoOracle("q_context_ngrams") { (s, dir) =>
+      import graft.functions.GraftFunctions
+      t(s, dir, "documents")
+        .select(split(col("text"), "\\s+").as("toks"))
+        .agg(GraftFunctions.contextNgrams(col("toks"),
+          array(lit("spark"), lit(null).cast("string")), 5).as("top"))
+        .select(explode(col("top")).as("g"))
+        .select(concat_ws(" ", col("g.ngram")).as("follower"),
+          col("g.estfrequency").as("freq"))
+        .orderBy(col("freq").desc, col("follower"))
+    },
+
     // Exact pairwise token-set Jaccard (n=1 keeps the oracle expressible;
     // n>1 path is exercised by q_dedup_minhash + the test suite)
     q("q_dedup_jaccard",

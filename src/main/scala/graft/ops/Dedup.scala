@@ -31,6 +31,14 @@ object Dedup {
     docs.groupBy(GraftFunctions.fingerprint64(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** The deduplicated corpus itself: one surviving row per distinct text
+    * (the min-id keeper), via a semi-join against [[exact]]'s keep set —
+    * the materialization step a training pipeline runs after the stats. */
+  def dropExactDuplicates(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.join(exact(docs, idCol, textCol).select(col("keep_id")),
+      docs(idCol) === col("keep_id"), "left_semi")
+
   /** Distinct (id, shingle) pairs — the exploded set-representation both
     * Jaccard and MinHash build on. `n = 1` gives token sets. */
   def shingleSet(docs: DataFrame, n: Int,
