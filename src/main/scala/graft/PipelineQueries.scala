@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.GraftFunctions
-import graft.ops.{Dedup, IvfIndex, Multimodal, Similarity}
+import graft.ops.{Dedup, IvfIndex, Multimodal, Pipelines, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -39,6 +39,14 @@ object PipelineQueries {
       Dedup.exact(t(s, dir, "documents"))
         .select(col("keep_id"), col("n_copies"))
         .orderBy(col("keep_id"))
+    },
+
+    // Full curation pipeline (normalize → dedup → quality → split):
+    // composed operators, train-split row set (rows-only — the composed
+    // stages are each oracle/property-tested individually)
+    qNoOracle("q_curate_train") { (s, dir) =>
+      Pipelines.curate(t(s, dir, "documents"), jaccardThreshold = 0.8)
+        .train.select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
     },
 
     // Deduplicated corpus materialization (keep-one-per-text semi-join)

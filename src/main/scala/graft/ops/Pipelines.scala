@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the composed pipeline a training-data
+  * run executes, built entirely from the engine's operators. Every stage
+  * is a declarative plan — the whole pipeline optimizes as one Catalyst
+  * tree per action, and each stage is individually oracle- or
+  * property-tested elsewhere.
+  */
+object Pipelines {
+
+  final case class CurationResult(
+      train: DataFrame, validation: DataFrame, test: DataFrame)
+
+  /** normalize → exact-dedup → near-dedup (MinHash) → quality filter →
+    * leakage-safe split.
+    *
+    * @param minDistinctRatio drop boilerplate/repetitive docs
+    * @param jaccardThreshold near-dup threshold for the MinHash drop set
+    */
+  def curate(docs: DataFrame,
+      minDistinctRatio: Double = 0.2,
+      jaccardThreshold: Double = 0.9,
+      splitWeights: Seq[Double] = Seq(0.9, 0.05, 0.05)): CurationResult = {
+    // 1. normalize text (lowercase, whitespace collapse)
+    val normalized = docs.withColumn("text",
+      trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+    // 2. exact dedup (keep min doc_id per distinct text)
+    val exactKept = Dedup.dropExactDuplicates(normalized)
+    // 3. near-dedup: MinHash candidates → verified pairs → drop the
+    //    non-keeper side of every cluster
+    val nearPairs = Dedup.minhashNearDups(exactKept,
+      n = 3, k = 32, bands = 16, threshold = jaccardThreshold)
+    val dropIds = Dedup.duplicateClusters(nearPairs.select(col("id_a"), col("id_b")))
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    val nearKept = exactKept.join(dropIds, Seq("doc_id"), "left_anti")
+    // 4. quality filter: repetitive/boilerplate docs out
+    val toks = split(col("text"), "\\s+")
+    val quality = nearKept.filter(
+      size(array_distinct(toks)).cast("double") / size(toks) >= minDistinctRatio)
+    // 5. leakage-safe split (pure function of doc_id)
+    val Seq(tr, va, te) = Sampling.splitByKeyHash(quality, "doc_id", splitWeights)
+    CurationResult(tr, va, te)
+  }
+
+  /** Materialize a curated corpus as a partitioned (+ optionally
+    * bucketed) table — the lakehouse layout downstream trainers read:
+    * partition pruning on the partition column, shuffle-free joins on
+    * the bucket column. */
+  def materialize(df: DataFrame, table: String,
+      partitionCol: String, bucketCol: Option[String] = None,
+      nBuckets: Int = 8): Unit = {
+    val writer = df.write.mode("overwrite").format("parquet")
+      .partitionBy(partitionCol)
+    bucketCol.fold(writer)(c => writer.bucketBy(nBuckets, c).sortBy(c))
+      .saveAsTable(table)
+  }
+}

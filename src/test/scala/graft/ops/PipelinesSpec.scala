@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.TestSpark.{sfDir, spark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelinesSpec extends AnyFunSuite {
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("curate: monotone shrinking, disjoint exhaustive splits, near-dups gone") {
+    val total = docs.count()
+    val r = Pipelines.curate(docs, jaccardThreshold = 0.8)
+    val (t, v, te) = (r.train.count(), r.validation.count(), r.test.count())
+    val kept = t + v + te
+    assert(kept > 0 && kept < total, s"curation must drop something: $kept/$total")
+    // split disjointness on ids
+    val ids = r.train.select("doc_id").union(r.validation.select("doc_id"))
+      .union(r.test.select("doc_id"))
+    assert(ids.distinct().count() === kept)
+    // no near-dup pair survives within the kept corpus
+    val surviving = r.train.unionByName(r.validation).unionByName(r.test)
+    val residual = Dedup.jaccardPairs(surviving, n = 3, threshold = 0.8).count()
+    assert(residual === 0, s"$residual near-dup pairs survived curation")
+  }
+
+  test("materialize writes a partitioned bucketed table") {
+    spark.sql("DROP TABLE IF EXISTS curated_docs")
+    Pipelines.materialize(docs.limit(100), "curated_docs",
+      partitionCol = "lang", bucketCol = Some("doc_id"), nBuckets = 4)
+    assert(spark.table("curated_docs").count() === 100)
+    val desc = spark.sql("DESCRIBE FORMATTED curated_docs")
+      .collect().map(r => r.getString(0) + " " + r.getString(1)).mkString("\n")
+    assert(desc.contains("lang"))
+    assert(desc.toLowerCase.contains("bucket"))
+    // partition pruning works on the partitioned layout
+    val one = spark.table("curated_docs").where("lang = 'es'")
+    assert(one.count() > 0)
+    spark.sql("DROP TABLE curated_docs")
+  }
+}
