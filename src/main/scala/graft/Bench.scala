@@ -54,7 +54,14 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val total = results.collect { case (_, v, true) => v }.sum
     val errors = if (failed.isEmpty) "" else s""","errors":[${failed.mkString(",")}]"""
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$errors,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$errors,"sf":"$sfDir"}"""
+    println(json)
+    // Stdout reaches the driver wrapped in sbt's "[info] " prefix, which can
+    // defeat line-oriented JSON parsing — persist a clean copy to a file too.
+    val outFile = new java.io.File("bee-proof-tmp/bench.json")
+    outFile.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(outFile)
+    try w.println(json) finally w.close()
     spark.stop()
   }
 }

@@ -60,8 +60,21 @@ object PipelineQueries {
     },
 
     // Hive context_ngrams through the custom UDAF: top fillers of the
-    // wildcard slot after a context word (top-k estimate → rows-only)
-    qNoOracle("q_context_ngrams") { (s, dir) =>
+    // wildcard slot after a context word. Oracle: the same lead()-built
+    // bigram construction as q_ngrams' oracle, filtered to bigrams whose
+    // first token is the context word — exact because the corpus is far
+    // below the aggregate's top-k buffer bound and the tie order (freq
+    // desc, then lexicographic) matches on both sides.
+    q("q_context_ngrams",
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(generate_series(0, len(string_split_regex(text, '\s+')) - 1)) AS pos,
+        |    unnest(string_split_regex(text, '\s+')) AS word
+        |  FROM documents),
+        |bi AS (SELECT word AS w1, lead(word)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM toks)
+        |SELECT w2 AS follower, CAST(count(*) AS DOUBLE) AS freq FROM bi
+        |WHERE w1 = 'spark' AND w2 IS NOT NULL
+        |GROUP BY w2 ORDER BY freq DESC, follower LIMIT 5""".stripMargin) { (s, dir) =>
       import graft.functions.GraftFunctions
       t(s, dir, "documents")
         .select(split(col("text"), "\\s+").as("toks"))
@@ -128,6 +141,16 @@ object PipelineQueries {
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // The 100 TB path for the same operation: LSH bucket candidates +
+    // exact cosine verify of candidates only (no all-pairs join).
+    // Approximate recall → rows-only; recall ≥0.95 vs cosineNearDupPairs
+    // is pinned in SimilaritySpec.
+    qNoOracle("q_emb_neardup_lsh") { (s, dir) =>
+      val planes = Similarity.hyperplanes(tables = 16, bits = 4, dim = 64)
+      Similarity.lshNearDupPairs(t(s, dir, "embeddings"), 0.4, planes)
         .orderBy(col("id_a"), col("id_b"))
     },
 

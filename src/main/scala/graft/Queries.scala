@@ -800,12 +800,21 @@ object Queries {
           col("price_trunc"))
     },
 
-    // §2.2 DISTRIBUTE BY / SORT BY (per-partition semantics → rows-only)
-    qNoOracle("q_distribute_sort") { (s, dir) =>
+    // §2.2 DISTRIBUTE BY / SORT BY — partition-local order is
+    // engine-specific, so the oracle checks the MULTISET of rows: both
+    // sides get a total outer ORDER BY, while the inner
+    // DISTRIBUTE BY/SORT BY still parses and plans (RepartitionByExpression
+    // + partition-local Sort). Per-partition ordering itself is asserted in
+    // HqlSurfaceSpec.
+    q("q_distribute_sort",
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin) { (s, dir) =>
       views(s, dir, "lineitem")
       s.sql(
-        """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-          |DISTRIBUTE BY l_orderkey SORT BY l_orderkey, l_linenumber""".stripMargin)
+        """SELECT * FROM (
+          |  SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+          |  DISTRIBUTE BY l_orderkey SORT BY l_orderkey, l_linenumber)
+          |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin)
     },
 
     // §2.2 TABLESAMPLE (sampling is engine-specific → rows-only)
@@ -930,12 +939,34 @@ object Queries {
         .orderBy(col("doc_id"))
     },
 
-    // §2.2 Misc family: Hive-compatible hash() (Spark's HiveHash expr)
-    qNoOracle("q_hive_hash") { (s, dir) =>
+    // §2.2 Misc family: Hive-compatible hash() (Spark's HiveHash expr).
+    // Golden-literal oracle: Hive's string hash is public knowledge
+    // (h = 31*h + signed_utf8_byte, int32 wrap; int hashes to itself), so
+    // the DuckDB side pins precomputed values in a VALUES table. Coverage
+    // of the hash over real table data stays in FunctionParitySpec.
+    q("q_hive_hash",
+      """SELECT * FROM (VALUES
+        |  (1, '', 0), (2, 'a', 97), (3, 'ab', 3105), (4, 'abc', 96354),
+        |  (5, 'spark', 109638365), (6, 'hive', 3202928),
+        |  (7, 'The quick brown fox', -1739336029),
+        |  (8, '  leading spaces', -15868281), (9, 'trailing  ', -2067296996),
+        |  (10, 'UPPER lower 123', 581064309),
+        |  (11, 'punctuation!@#$%', -1682020821),
+        |  (12, '0', 48), (13, '-42', 44907), (14, '3.14159', -618161129),
+        |  (15, 'unicode: café', 2110204203), (16, '中文测试', -793140368),
+        |  (17, 'long long long long long long long long long long ', -2102972288)
+        |) AS t(idx, s, h) ORDER BY idx""".stripMargin) { (s, dir) =>
       import graft.functions.GraftFunctions
-      t(s, dir, "documents")
-        .select(col("doc_id"), GraftFunctions.hiveHash(col("text")).as("h"))
-        .orderBy(col("doc_id"))
+      import s.implicits._
+      Seq((1, ""), (2, "a"), (3, "ab"), (4, "abc"), (5, "spark"), (6, "hive"),
+          (7, "The quick brown fox"), (8, "  leading spaces"),
+          (9, "trailing  "), (10, "UPPER lower 123"),
+          (11, "punctuation!@#$%"), (12, "0"), (13, "-42"), (14, "3.14159"),
+          (15, "unicode: café"), (16, "中文测试"),
+          (17, "long long long long long long long long long long "))
+        .toDF("idx", "s")
+        .select(col("idx"), col("s"), GraftFunctions.hiveHash(col("s")).as("h"))
+        .orderBy(col("idx"))
     }
   )
 

@@ -152,14 +152,22 @@ object Dedup {
     * the smallest label in its neighborhood; converges in O(diameter)
     * rounds — near-dup graphs are shallow, so a handful). Returns
     * (id, component) where component = min id of the cluster; rows with
-    * id != component are the drop set. Data never leaves the cluster;
-    * per-round caching bounds lineage like checkpointing would at scale. */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    * id != component are the drop set. Data never leaves the cluster.
+    *
+    * Lineage: cache alone bounds recompute but NOT the logical plan, which
+    * grows by one join per round — so every `checkpointInterval` rounds the
+    * labels are `localCheckpoint()`ed, truncating the plan. Checkpointed
+    * rounds stay pinned (never unpersisted): an evicted downstream cache
+    * block recomputes from the nearest checkpoint, ≤ checkpointInterval
+    * rounds back, instead of replaying the whole chain. */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10,
+      checkpointInterval: Int = 4): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
     val vertices = edges.select(col("src").as("id")).distinct()
     var labels = vertices.select(col("id"), col("id").as("component")).cache()
+    var labelsCheckpointed = false
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -167,15 +175,18 @@ object Dedup {
         .join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("id2"))
         .agg(min(col("component")).as("ncomp"))
-      val next = labels.join(neighborMin, labels("id") === col("id2"), "left")
+      val nextPlan = labels.join(neighborMin, labels("id") === col("id2"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("ncomp"), col("component")))
             .as("component"))
-        .cache()
+      val checkpointRound = (iter + 1) % checkpointInterval == 0
+      val next =
+        if (checkpointRound) nextPlan.localCheckpoint() else nextPlan.cache()
       val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .filter(col("component") =!= col("old")).limit(1).count()
-      labels.unpersist()
+      if (!labelsCheckpointed) labels.unpersist()
       labels = next
+      labelsCheckpointed = checkpointRound
       converged = changed == 0
       iter += 1
     }
@@ -201,8 +212,12 @@ object Dedup {
       GraftFunctions.simhash64(split(col(textCol), "\\s+")).as("sig"))
     val chunkCols = (0 until numChunks).map { c =>
       val lo = bounds(c); val width = bounds(c + 1) - lo
+      // width == 64 (the maxHamming=0 single-chunk case): (1L << 64) - 1
+      // is 0 under JVM shift-mod-64, which would key every signature to
+      // bucket 0 — the full-width mask is -1L.
+      val mask = if (width == 64) -1L else (1L << width) - 1
       struct(lit(c).as("chunk"),
-        shiftright(col("sig"), lo).bitwiseAND(lit((1L << width) - 1)).as("key"))
+        shiftright(col("sig"), lo).bitwiseAND(lit(mask)).as("key"))
     }
     val chunks = sigs.select(col("id"), explode(array(chunkCols: _*)).as("cb"))
       .select(col("id"), col("cb.chunk").as("chunk"), col("cb.key").as("key"))

@@ -23,16 +23,27 @@ object IvfIndex {
   final case class Index(assignments: DataFrame, centroids: Array[Array[Double]])
 
   /** Build: fit KMeans (seeded, deterministic) on the embeddings and
-    * assign every vector to its cell. */
-  def build(embs: DataFrame, nlist: Int, seed: Long = 42L): Index = {
+    * assign every vector to its cell. The fit input is capped at
+    * `maxFitRows` via a seeded sample — a coarse quantizer needs only a
+    * representative sample, and an unsampled fit at 100 TB would be a
+    * full-data iterative ML job × maxIter; the assignment pass that
+    * follows is full-data but single-pass and narrow. */
+  def build(embs: DataFrame, nlist: Int, seed: Long = 42L,
+      maxFitRows: Long = 100000L): Index = {
     val spark = embs.sparkSession
     import spark.implicits._
     val vecs = embs.select(col("vec_id"),
         col("embedding").cast("array<double>").as("emb"))
       .map(r => (r.getLong(0), Vectors.dense(r.getSeq[Double](1).toArray)))
       .toDF("vec_id", "features")
+      .cache() // consumed twice: sampled fit + full assignment
+    val n = vecs.count()
+    val fitInput =
+      if (n > maxFitRows) vecs.sample(withReplacement = false,
+        maxFitRows.toDouble / n, seed)
+      else vecs
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .fit(vecs)
+      .fit(fitInput)
     val assigned = model.transform(vecs)
       .select(col("vec_id"), col("prediction").as("cell"))
     Index(

@@ -64,6 +64,28 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim_raw"), 6).as("sim"))
   }
 
+  /** Near-duplicate pairs at scale: LSH bucket candidates, then exact
+    * cosine verification of candidates only — same output shape and
+    * threshold semantics as [[cosineNearDupPairs]], but the all-pairs
+    * join is replaced by |buckets| co-partitioned grouplets. Recall < 1
+    * by design (pinned vs brute force in SimilaritySpec); misses are
+    * pairs no hash table co-buckets. */
+  def lshNearDupPairs(embs: DataFrame, threshold: Double,
+      planes: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val base = embs.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    lshCandidatePairs(embs, planes)
+      .join(base.select(col("vec_id").as("id_a"), col("emb").as("emb_a"),
+        col("nrm").as("nrm_a")), "id_a")
+      .join(base.select(col("vec_id").as("id_b"), col("emb").as("emb_b"),
+        col("nrm").as("nrm_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+          .as("sim_raw"))
+      .filter(col("sim_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim_raw"), 6).as("sim"))
+  }
+
   /** Deterministic random hyperplanes: `tables` signature tables of
     * `bits` hyperplanes each, components from a seeded Gaussian. Literal
     * constants — shipped to executors inside the serialized plan, no

@@ -44,6 +44,10 @@ final class CommandDispatcher(
   private val AddRes = """(?is)^(add|list|delete)\s+(jars?|files?|archives?)\b(.*)$""".r
   private val Dfs = """(?is)^dfs\s+(.+)$""".r
   private val IndexDdl = """(?is)^(create|drop|alter)\s+index\b.*""".r
+  private val ExportTable =
+    """(?is)^export\s+table\s+([\w.]+)\s+to\s+'([^']+)'\s*$""".r
+  private val ImportTable =
+    """(?is)^import\s+(?:table\s+([\w.]+)\s+)?from\s+'([^']+)'\s*$""".r
   private val ImportExport = """(?is)^(import|export)\s+table\b.*""".r
   private val CreateMacroPrefix =
     """(?is)^create\s+temporary\s+macro\s+(\w+)\s*\(""".r
@@ -98,11 +102,24 @@ final class CommandDispatcher(
       // HIVEOPTINDEXFILTER=false :204): accept-and-warn is faithful
       out.println("[WARN] Hive indexes are disabled (reference parity); statement ignored")
       Some(())
+    case ExportTable(table, dest) =>
+      // EXPORT TABLE = CopyTask in the reference, blocked in validate mode
+      // (ManifestRunner.java:92) and executed otherwise: table location →
+      // <dest>/data plus a JSON metadata file for the reverse trip.
+      if (validateOnly) {
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table)): Unit
+        out.println("> Skipped!")
+      } else exportTable(table, dest)
+      Some(())
+    case ImportTable(tableOpt, src) =>
+      if (validateOnly) out.println("> Skipped!")
+      else importTable(Option(tableOpt), src)
+      Some(())
     case ImportExport(kind) =>
-      // archive IMPORT/EXPORT is CopyTask territory, blocked by the
-      // reference in validate mode (ManifestRunner.java:92); out of scope
-      // for the Spark rebuild (SURVEY.md §7.4.3)
-      out.println(s"[WARN] ${kind.toUpperCase} TABLE is not supported; statement ignored")
+      // partition-level IMPORT/EXPORT and other exotic forms remain out of
+      // scope (SURVEY.md §7.4.3); full-table form is handled above
+      out.println(s"[WARN] ${kind.toUpperCase} TABLE form not supported; statement ignored")
       Some(())
     case _ if CreateMacroPrefix.findPrefixMatchOf(stmt).isDefined =>
       // Hive 0.12+ CREATE TEMPORARY MACRO (in every pinned profile):
@@ -119,24 +136,26 @@ final class CommandDispatcher(
       spark.sessionState.functionRegistry.dropFunction(
         org.apache.spark.sql.catalyst.FunctionIdentifier(name.trim)): Unit
       Some(())
-    case LoadData(_, path, overwrite, table, _, partSpec) =>
+    case LoadData(local, path, overwrite, table, _, partSpec) =>
       // Spark supports LOAD DATA only for Hive-catalog tables (SURVEY.md
-      // §2.2 scans row): for native tables implement as file copy into the
-      // table/partition dir + partition registration. In validate-only
-      // mode the reference blocks the underlying MoveTask/CopyTask
-      // (ManifestRunner.java:90,92): resolve the table (catalog check
-      // still happens) but move no data.
+      // §2.2 scans row): for native tables implement with Hive's file
+      // semantics — LOCAL resolves against the local FS and COPIES;
+      // non-LOCAL resolves against the default FS and MOVES (Hive's
+      // MoveTask deletes the source). In validate-only mode the reference
+      // blocks the underlying MoveTask/CopyTask (ManifestRunner.java:90,92):
+      // resolve the table (catalog check still happens) but move no data.
       if (validateOnly) {
         spark.sessionState.catalog.getTableMetadata(
           spark.sessionState.sqlParser.parseTableIdentifier(table)): Unit
         out.println("> Skipped!")
-      } else loadData(path, table, overwrite != null, Option(partSpec))
+      } else loadData(path, table, overwrite != null, Option(partSpec),
+        isLocal = local != null)
       Some(())
     case _ => None
   }
 
   private def loadData(srcPath: String, table: String, overwrite: Boolean,
-      partSpec: Option[String]): Unit = {
+      partSpec: Option[String], isLocal: Boolean): Unit = {
     import org.apache.hadoop.fs.Path
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
@@ -154,8 +173,14 @@ final class CommandDispatcher(
     val destFs = destDir.getFileSystem(conf)
     if (overwrite && destFs.exists(destDir)) destFs.delete(destDir, true): Unit
     destFs.mkdirs(destDir): Unit
-    val src = new Path(srcPath)
-    val srcFs = src.getFileSystem(conf)
+    // Hive semantics: LOCAL resolves against the client's local FS and
+    // copies; non-LOCAL resolves against the default FS and MOVES the
+    // files (MoveTask deletes the source) — scripts rely on the source
+    // dir being empty after a non-LOCAL LOAD.
+    val srcFs =
+      if (isLocal) org.apache.hadoop.fs.FileSystem.getLocal(conf)
+      else new Path(srcPath).getFileSystem(conf)
+    val src = srcFs.makeQualified(new Path(srcPath))
     val files =
       if (srcFs.getFileStatus(src).isDirectory)
         srcFs.listStatus(src).filter(_.isFile).map(_.getPath)
@@ -170,13 +195,98 @@ final class CommandDispatcher(
         i += 1
       }
       org.apache.hadoop.fs.FileUtil.copy(
-        srcFs, f, destFs, dest, /* deleteSource = */ false, conf): Unit
+        srcFs, f, destFs, dest, /* deleteSource = */ !isLocal, conf): Unit
     }
     partSpec.foreach { spec =>
       try spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION ($spec)").collect()
       catch { case e: Exception => out.println(s"[WARN] add partition: ${e.getMessage}") }
     }
     spark.sql(s"REFRESH TABLE $table").collect(): Unit
+  }
+
+  /** EXPORT TABLE t TO 'dir': table data files → dir/data plus
+    * dir/_graft_metadata.json (name, provider, schema, partition columns)
+    * — the minimal faithful analog of Hive's CopyTask-based EXPORT
+    * (`ManifestRunner.java:92`). */
+  private def exportTable(table: String, destPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dest = new Path(destPath)
+    val destFs = dest.getFileSystem(conf)
+    if (destFs.exists(dest) && destFs.listStatus(dest).nonEmpty)
+      throw new RuntimeException(s"EXPORT target is not empty: $destPath")
+    destFs.mkdirs(dest): Unit
+    import graft.JsonUtil.quote
+    val partCols = meta.partitionColumnNames
+    val json =
+      s"""{"table":${quote(table)},""" +
+        s""""provider":${quote(meta.provider.getOrElse("parquet"))},""" +
+        s""""schema":${quote(meta.schema.json)},""" +
+        s""""partitionColumns":[${partCols.map(quote).mkString(",")}]}"""
+    val outStream = destFs.create(new Path(dest, "_graft_metadata.json"), true)
+    try outStream.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally outStream.close()
+    val srcDir = new Path(meta.location)
+    val srcFs = srcDir.getFileSystem(conf)
+    if (srcFs.exists(srcDir))
+      org.apache.hadoop.fs.FileUtil.copy(
+        srcFs, srcDir, destFs, new Path(dest, "data"),
+        /* deleteSource = */ false, conf): Unit
+  }
+
+  /** IMPORT [TABLE t] FROM 'dir': reverse of [[exportTable]] — recreate
+    * the table from the stored schema/provider, copy dir/data contents
+    * into its location, recover partitions. */
+  private def importTable(tableOpt: Option[String], srcPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new Path(srcPath)
+    val srcFs = src.getFileSystem(conf)
+    val metaPath = new Path(src, "_graft_metadata.json")
+    if (!srcFs.exists(metaPath))
+      throw new RuntimeException(s"IMPORT source has no _graft_metadata.json: $srcPath")
+    val metaJson = {
+      val in = srcFs.open(metaPath)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    // json4s ships on the Spark classpath (public dependency)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
+    val parsed = JsonMethods.parse(metaJson)
+    val name = tableOpt.getOrElse((parsed \ "table").extract[String])
+    val provider = (parsed \ "provider").extract[String]
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson((parsed \ "schema").extract[String])
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val partCols = (parsed \ "partitionColumns").extract[Seq[String]]
+    if (spark.sessionState.catalog.tableExists(
+        spark.sessionState.sqlParser.parseTableIdentifier(name)))
+      throw new RuntimeException(s"IMPORT target table already exists: $name")
+    val partClause =
+      if (partCols.isEmpty) ""
+      else s" PARTITIONED BY (${partCols.map(c => s"`$c`").mkString(", ")})"
+    spark.sql(
+      s"CREATE TABLE $name (${schema.toDDL}) USING $provider$partClause")
+      .collect(): Unit
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(name))
+    val destDir = new Path(meta.location)
+    val destFs = destDir.getFileSystem(conf)
+    val dataDir = new Path(src, "data")
+    if (srcFs.exists(dataDir))
+      srcFs.listStatus(dataDir).foreach { st =>
+        org.apache.hadoop.fs.FileUtil.copy(
+          srcFs, st.getPath, destFs, new Path(destDir, st.getPath.getName),
+          /* deleteSource = */ false, conf): Unit
+      }
+    if (partCols.nonEmpty)
+      spark.sql(s"MSCK REPAIR TABLE $name").collect(): Unit
+    spark.sql(s"REFRESH TABLE $name").collect(): Unit
   }
 
   /** Content of the paren group opening at `openIdx` and the text after

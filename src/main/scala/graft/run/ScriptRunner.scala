@@ -81,7 +81,9 @@ final class ScriptRunner(
       throw new IllegalArgumentException(msg)
     }
     // Hive storage-clause DDL → Spark USING syntax (SURVEY §2.2 formats)
-    val tr = graft.script.HiveDdlTranslator.translate(rawStmt)
+    val emulateUnion = dispatcher.confLookup("graft.uniontype.emulate")
+      .exists(_.equalsIgnoreCase("true"))
+    val tr = graft.script.HiveDdlTranslator.translate(rawStmt, emulateUnion)
     tr.warnings.foreach(w => out.println(s"[WARN] $w"))
     val stmt = tr.sql
     dispatcher.dispatch(stmt) match {

@@ -38,24 +38,56 @@ object HiveDdlTranslator {
   private val BucketSample = Pattern.compile( // tolerates ON rand(): one
     "(?is)tablesample\\s*\\(\\s*bucket\\s+(\\d+)\\s+out\\s+of\\s+(\\d+)" +
       "(?:[^()]|\\([^()]*\\))*\\)") // nesting level inside the clause
+  // Deterministic form: table TABLESAMPLE(BUCKET x OUT OF y ON col) —
+  // exact Hive semantics ((hash & MAX_INT) % y == x-1), not an approximation
+  private val BucketSampleOnCol = Pattern.compile(
+    "(?is)([\\w.`]+)\\s+tablesample\\s*\\(\\s*bucket\\s+(\\d+)\\s+out\\s+of\\s+(\\d+)" +
+      "\\s+on\\s+([\\w.`]+)\\s*\\)")
   private val UnionType = Pattern.compile("(?is)\\buniontype\\s*<")
 
-  /** Identity for non-CREATE-TABLE or already-Spark-native statements. */
-  def translate(stmt0: String): Translation = {
-    // UNIONTYPE has no Spark equivalent (SURVEY §7.4.3): reject clearly
-    if (UnionType.matcher(stmt0).find())
-      throw new IllegalArgumentException(
-        "UNIONTYPE columns are not supported by the Spark engine " +
-          "(no Spark type equivalent; SURVEY.md §7.4.3) — model as a " +
-          "struct with a tag field instead")
-    // Hive bucket sampling → percent sampling (SURVEY §2.2 TABLESAMPLE:
-    // bucket-hash semantics approximate to the same expected fraction)
-    var bucketWarn = Vector.empty[String]
-    val bs = BucketSample.matcher(stmt0)
+  /** Identity for non-CREATE-TABLE or already-Spark-native statements.
+    * `emulateUnionType` (conf `graft.uniontype.emulate=true`) rewrites
+    * `UNIONTYPE<a,b,…>` to `STRUCT<tag:INT, f0:a, f1:b, …>` — the
+    * standard tagged-struct emulation — instead of rejecting. */
+  def translate(stmt00: String, emulateUnionType: Boolean = false): Translation = {
+    var unionWarn = Vector.empty[String]
+    val stmt0 =
+      if (!UnionType.matcher(stmt00).find()) stmt00
+      else if (!emulateUnionType)
+        // UNIONTYPE has no Spark type equivalent (SURVEY §7.4.3)
+        throw new IllegalArgumentException(
+          "UNIONTYPE columns are not supported by the Spark engine " +
+            "(no Spark type equivalent; SURVEY.md §7.4.3) — model as a " +
+            "struct with a tag field, or SET graft.uniontype.emulate=true " +
+            "to translate to STRUCT<tag:INT, f0:…, f1:…>")
+      else {
+        unionWarn :+= "UNIONTYPE emulated as STRUCT<tag:INT, f0:…, …> " +
+          "(graft.uniontype.emulate=true); create_union()/extract semantics " +
+          "are the caller's responsibility"
+        rewriteUnionTypes(stmt00)
+      }
+    var bucketWarn = unionWarn
+    // BUCKET x OUT OF y ON col: EXACT Hive semantics — the row set where
+    // (hive_hash(col) & Integer.MAX_VALUE) % y == x-1 (Hive's
+    // ObjectInspectorUtils bucketing rule: deterministic, disjoint across
+    // x, union of all x = the table). Rewritten as an inline filtered
+    // subquery so it composes anywhere a table reference can appear.
+    val bc = BucketSampleOnCol.matcher(stmt0)
+    val sbc = new StringBuffer
+    while (bc.find()) {
+      val (tbl, x, y, c) = (bc.group(1), bc.group(2).toInt, bc.group(3).toInt,
+        bc.group(4))
+      bc.appendReplacement(sbc, java.util.regex.Matcher.quoteReplacement(
+        s"(SELECT * FROM $tbl WHERE (hive_hash($c) & 2147483647) % $y = ${x - 1})"))
+    }
+    bc.appendTail(sbc)
+    // BUCKET x OUT OF y [ON rand()]: non-deterministic bucketing → percent
+    // sampling with the same expected fraction (SURVEY §2.2 TABLESAMPLE)
+    val bs = BucketSample.matcher(sbc.toString)
     val sb = new StringBuffer
     while (bs.find()) { // each clause keeps its own x/y ratio
       val pct = 100.0 * bs.group(1).toInt / bs.group(2).toInt
-      bucketWarn :+= s"TABLESAMPLE(BUCKET ...) approximated as $pct PERCENT sampling"
+      bucketWarn :+= s"TABLESAMPLE(BUCKET ... ON rand()) approximated as $pct PERCENT sampling"
       bs.appendReplacement(sb, s"TABLESAMPLE ($pct PERCENT)")
     }
     bs.appendTail(sb)
@@ -97,7 +129,7 @@ object HiveDdlTranslator {
       format = Some("csv") // ROW FORMAT DELIMITED implies text storage
     }
 
-    if (format.isEmpty) return Translation(stmt, Nil)
+    if (format.isEmpty) return Translation(stmt, bucketWarn)
 
     // Hive PARTITIONED BY (col TYPE, …): move col defs into the schema,
     // keep PARTITIONED BY (col, …) — Spark datasource-table semantics
@@ -205,6 +237,51 @@ object HiveDdlTranslator {
           "(?:if\\s+not\\s+exists\\s+)?[\\w.`]+").matcher(sql)
       if (m.find()) m.end() else sql.length
     }
+  }
+
+  /** Rewrite every `UNIONTYPE<…>` (including nested occurrences) to
+    * `STRUCT<tag:INT, f0:…, f1:…>`. Balanced-angle scan so member types
+    * like `MAP<STRING,INT>` stay whole. */
+  private def rewriteUnionTypes(s0: String): String = {
+    var s = s0
+    var m = UnionType.matcher(s)
+    while (m.find()) {
+      val open = s.indexOf('<', m.start())
+      var i = open + 1
+      var depth = 1
+      while (i < s.length && depth > 0) {
+        s.charAt(i) match {
+          case '<' => depth += 1
+          case '>' => depth -= 1
+          case _ => ()
+        }
+        i += 1
+      }
+      if (depth != 0) throw new IllegalArgumentException(
+        s"Unbalanced UNIONTYPE<...> in: $s0")
+      val members = splitTopLevelAngles(s.substring(open + 1, i - 1))
+      val struct = members.zipWithIndex
+        .map { case (t, idx) => s"f$idx:${t.trim}" }
+        .mkString("STRUCT<tag:INT, ", ", ", ">")
+      s = s.substring(0, m.start()) + struct + s.substring(i)
+      m = UnionType.matcher(s) // restart: offsets shifted, nested forms remain
+    }
+    s
+  }
+
+  /** Split on commas at angle/paren depth 0. */
+  private def splitTopLevelAngles(s: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case c @ ('<' | '(') => depth += 1; cur += c
+      case c @ ('>' | ')') => depth -= 1; cur += c
+      case ',' if depth == 0 => parts += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) parts += cur.toString
+    parts.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
   private def unescape(s: String): String =

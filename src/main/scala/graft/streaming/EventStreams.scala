@@ -67,11 +67,18 @@ object EventStreams {
   final case class SessionState(n: Int, total: Double, startMs: Long, lastMs: Long)
 
   /** Shared session fold: merge a batch of (epochMs, value, id) events
-    * into the per-key session state, emitting closed sessions. Late
-    * (out-of-order) events within the gap EXTEND the session in both
-    * directions — lastMs = max, startMs = min — so a straggler can't
-    * rewind lastMs and cause a following on-time event to spuriously
-    * close the session. */
+    * into the per-key session state, emitting closed sessions.
+    *
+    * Implemented as an INTERVAL merge: the carried-over open session is
+    * treated as one interval among the batch's single-event intervals,
+    * all merged in start-time order with the batch-oracle's gap rule
+    * (adjacent intervals ≤ gap apart coalesce). This gives uniform
+    * semantics for every out-of-order shape: a straggler within the gap
+    * extends the open session in both directions; a straggler MORE than
+    * a gap older than the session start forms its own session (emitted
+    * closed, matching [[sessionizeBatch]]) instead of back-extending the
+    * open one; and a chain of stragglers that reaches back within the
+    * gap of the open session merges with it transitively. */
   private[streaming] def foldSessions(userId: Long,
       sorted: Seq[(Long, Double, Long)],
       state: GroupState[SessionState],
@@ -81,25 +88,24 @@ object EventStreams {
       state.remove()
       Iterator.single(SessionAgg(userId, s.n, s.total, s.startMs, s.lastMs))
     } else {
-      var cur = state.getOption
       val closed = Seq.newBuilder[SessionAgg]
-      sorted.foreach { case (ms, v, _) =>
-        cur match {
-          // merges when within gap after the session end OR late (before
-          // it — a straggler extends the open session rather than
-          // rewinding lastMs and splitting it)
-          case Some(s) if ms <= s.lastMs + gapMs =>
-            cur = Some(s.copy(n = s.n + 1, total = s.total + v,
-              startMs = math.min(s.startMs, ms),
-              lastMs = math.max(s.lastMs, ms)))
-          case Some(s) =>
-            closed += SessionAgg(userId, s.n, s.total, s.startMs, s.lastMs)
-            cur = Some(SessionState(1, v, ms, ms))
+      val intervals =
+        (sorted.map { case (ms, v, _) => SessionState(1, v, ms, ms) } ++
+          state.getOption.toSeq).sortBy(i => (i.startMs, i.lastMs))
+      var open: Option[SessionState] = None
+      intervals.foreach { it =>
+        open match {
+          case Some(o) if it.startMs <= o.lastMs + gapMs =>
+            open = Some(SessionState(o.n + it.n, o.total + it.total,
+              math.min(o.startMs, it.startMs), math.max(o.lastMs, it.lastMs)))
+          case Some(o) =>
+            closed += SessionAgg(userId, o.n, o.total, o.startMs, o.lastMs)
+            open = Some(it)
           case None =>
-            cur = Some(SessionState(1, v, ms, ms))
+            open = Some(it)
         }
       }
-      cur.foreach { s => state.update(s); setTimeout(s) }
+      open.foreach { s => state.update(s); setTimeout(s) }
       closed.result().iterator
     }
   }

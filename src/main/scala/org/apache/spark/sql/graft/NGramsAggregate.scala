@@ -3,6 +3,7 @@ package org.apache.spark.sql.graft
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -106,6 +107,19 @@ case class NGramsAgg(
     Seq(ArrayType(StringType), IntegerType, IntegerType)
   override def nullable: Boolean = false
   override def prettyName: String = "ngrams"
+
+  // n/k are eval()'d with no input row (Hive semantics: constants) — a
+  // non-foldable argument must fail at analysis, not with a binding error
+  // on an executor.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val defaultCheck = super.checkInputDataTypes()
+    if (defaultCheck.isFailure) defaultCheck
+    else if (!nExpr.foldable || !kExpr.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires literal n and k arguments, " +
+          s"got n=${nExpr.sql}, k=${kExpr.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("ngram", ArrayType(StringType, containsNull = false)),
     StructField("estfrequency", DoubleType))), containsNull = false)
@@ -200,6 +214,18 @@ case class ContextNGramsAgg(
     Seq(ArrayType(StringType), ArrayType(StringType), IntegerType)
   override def nullable: Boolean = false
   override def prettyName: String = "context_ngrams"
+
+  // context/k are eval()'d with no input row — reject non-foldable
+  // arguments at analysis time (see NGramsAgg.checkInputDataTypes).
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val defaultCheck = super.checkInputDataTypes()
+    if (defaultCheck.isFailure) defaultCheck
+    else if (!contextExpr.foldable || !kExpr.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires literal context and k arguments, " +
+          s"got context=${contextExpr.sql}, k=${kExpr.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("ngram", ArrayType(StringType, containsNull = false)),
     StructField("estfrequency", DoubleType))), containsNull = false)

@@ -40,6 +40,22 @@ class NGramsSpec extends AnyFunSuite {
     assert(top.head === ("is", 3.0)) // "spark is" × 3
   }
 
+  test("non-literal n/k/context arguments fail at analysis, not on executors") {
+    GraftFunctions.register(spark)
+    val df = spark.range(3).selectExpr(
+      "split('a b c', ' ') AS toks", "CAST(id AS INT) AS n")
+    df.createOrReplaceTempView("ng_fold")
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT ngrams(toks, n, 5) FROM ng_fold").collect()
+    }
+    assert(e1.getMessage.contains("literal"), s"got: ${e1.getMessage}")
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT context_ngrams(toks, array(CAST(n AS STRING)), 5) FROM ng_fold")
+        .collect()
+    }
+    assert(e2.getMessage.contains("literal"), s"got: ${e2.getMessage}")
+  }
+
   test("hive_hash matches Hive's Java-hashCode scheme for ints") {
     GraftFunctions.register(spark)
     // Hive hash of int is the value itself; of two ints: h*31+v chain

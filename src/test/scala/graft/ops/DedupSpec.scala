@@ -57,6 +57,30 @@ class DedupSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("duplicate clusters: 50-round chain completes with bounded lineage") {
+    import spark.implicits._
+    // a 51-vertex path graph needs ~50 label-propagation rounds to
+    // converge on min-label 0 — exercises the localCheckpoint cadence
+    // (every 4 rounds) well past one checkpoint cycle
+    val chain = (0L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.duplicateClusters(chain, maxIter = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size === 51)
+    assert(comps.values.forall(_ === 0L), "all 51 vertices collapse to component 0")
+  }
+
+  test("simhash maxHamming=0 finds exact-signature duplicates (64-bit mask edge)") {
+    // regression: numChunks=1 → width 64 → (1L<<64)-1 == 0 under JVM
+    // shift-mod-64 used to key EVERY doc to bucket 0
+    val zero = Dedup.simhashNearDups(docs, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(zero.forall(_._3 === 0))
+    // identical texts exist in the planted corpus → identical signatures
+    val exactDups = Dedup.exact(docs).filter(col("n_copies") > 1).count()
+    if (exactDups > 0)
+      assert(zero.nonEmpty, "exact text dups must surface at hamming 0")
+  }
+
   test("simhash near-dups include the strongest planted pairs") {
     // trigram jaccard ≥0.9 ⇒ near-identical token sequences ⇒ token
     // multisets agree ⇒ simhash hamming small (n=1 sets would NOT imply

@@ -39,6 +39,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.nonEmpty)
   }
 
+  test("LSH near-dup pairs: recall >= 0.95 vs brute-force cosine at sf0.01") {
+    val embs01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val truth = Similarity.cosineNearDupPairs(embs01, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 32 tables x 4 bits: P(miss a cos=0.4 pair) = (1-(1-acos(.4)/pi)^4)^32 ≈ 0.4%
+    val planes = Similarity.hyperplanes(tables = 32, bits = 4, dim = 64)
+    val lsh = Similarity.lshNearDupPairs(embs01, 0.4, planes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "sf0.01 should contain cosine near-dups")
+    val recall = truth.count(lsh.contains).toDouble / truth.size
+    assert(recall >= 0.95, s"LSH near-dup recall $recall over ${truth.size} pairs")
+    // verification step guarantees precision 1.0 (candidates re-scored exactly)
+    assert(lsh.subsetOf(truth), "every LSH pair must be a true near-dup")
+  }
+
   test("IVF ANN recall@5 vs brute force") {
     val brute = Similarity.bruteForceTopK(embs, col("vec_id") < 10, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -52,5 +67,19 @@ class SimilaritySpec extends AnyFunSuite {
     val full = IvfIndex.search(index, col("vec_id") < 10, k = 5, nprobe = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full === brute, "nprobe=nlist must equal brute force")
+  }
+
+  test("IVF build samples the KMeans fit but assigns every vector") {
+    val n = embs.count()
+    // maxFitRows < n forces the sampled-fit path; the assignment pass and
+    // full-probe search must remain exact regardless
+    val index = IvfIndex.build(embs, nlist = 8, maxFitRows = n / 4)
+    assert(index.assignments.count() === n)
+    assert(index.centroids.length === 8)
+    val brute = Similarity.bruteForceTopK(embs, col("vec_id") < 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = IvfIndex.search(index, col("vec_id") < 10, k = 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === brute, "sampled fit + full probe must still equal brute force")
   }
 }

@@ -128,8 +128,12 @@ class HqlSurfaceSpec extends AnyFunSuite {
          |  SELECT r_regionkey, r_name FROM parquet.`/root/testdata/sf0.001/region.parquet`;
          |LOAD DATA INPATH '$staging' INTO TABLE ld_t;""".stripMargin)
     assert(spark.table("ld_t").count() === 5)
-    // load again: appends
-    run(s"LOAD DATA INPATH '$staging' INTO TABLE ld_t;")
+    // non-LOCAL LOAD moves the files (Hive MoveTask) — re-stage, then a
+    // second load appends
+    run(
+      s"""INSERT OVERWRITE DIRECTORY '$staging' USING parquet
+         |  SELECT r_regionkey, r_name FROM parquet.`/root/testdata/sf0.001/region.parquet`;
+         |LOAD DATA INPATH '$staging' INTO TABLE ld_t;""".stripMargin)
     assert(spark.table("ld_t").count() === 10)
     run("DROP TABLE ld_t;")
   }
@@ -297,5 +301,111 @@ class HqlSurfaceSpec extends AnyFunSuite {
       """CREATE OR REPLACE TEMPORARY VIEW tr AS SELECT 'hello' AS w;
         |SELECT TRANSFORM (w) USING 'cat' AS (w2 STRING) FROM tr;""".stripMargin)
     assert(out.contains("hello"))
+  }
+
+  test("TABLESAMPLE(BUCKET x OUT OF y ON col): deterministic, disjoint, complete") {
+    graft.functions.GraftFunctions.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .createOrReplaceTempView("ts_orders")
+    def bucket(x: Int): Set[Long] = {
+      val tr = graft.script.HiveDdlTranslator.translate(
+        s"SELECT o_orderkey FROM ts_orders TABLESAMPLE (BUCKET $x OUT OF 4 ON o_orderkey)")
+      spark.sql(tr.sql).collect().map(_.getLong(0)).toSet
+    }
+    val buckets = (1 to 4).map(bucket)
+    // deterministic: re-evaluation returns the identical row set
+    assert(bucket(1) === buckets(0))
+    // disjoint across x, and the union is the whole table
+    for (i <- buckets.indices; j <- buckets.indices if i < j)
+      assert(buckets(i).intersect(buckets(j)).isEmpty, s"buckets $i/$j overlap")
+    assert(buckets.map(_.size).sum === 1500)
+    assert(buckets.reduce(_ union _).size === 1500)
+  }
+
+  test("EXPORT -> DROP -> IMPORT round-trips a table (and IMPORT TABLE renames)") {
+    val dir = Files.createTempDirectory("graft-exp").toString + "/exp1"
+    run(
+      s"""DROP TABLE IF EXISTS exp_t;
+         |CREATE TABLE exp_t USING parquet AS
+         |  SELECT r_regionkey, r_name FROM parquet.`/root/testdata/sf0.001/region.parquet`;
+         |EXPORT TABLE exp_t TO '$dir';
+         |DROP TABLE exp_t;
+         |IMPORT FROM '$dir';""".stripMargin)
+    assert(spark.table("exp_t").count() === 5)
+    assert(spark.table("exp_t").columns.toSeq === Seq("r_regionkey", "r_name"))
+    run(s"IMPORT TABLE exp_t2 FROM '$dir';")
+    assert(spark.table("exp_t2").count() === 5)
+    run("DROP TABLE exp_t; DROP TABLE exp_t2;")
+  }
+
+  test("EXPORT/IMPORT round-trips a partitioned table with partition recovery") {
+    val dir = Files.createTempDirectory("graft-expp").toString + "/expp"
+    run(
+      s"""DROP TABLE IF EXISTS expp_t;
+         |CREATE TABLE expp_t (event_id BIGINT, value DOUBLE)
+         |  USING parquet PARTITIONED BY (event_type STRING);
+         |INSERT OVERWRITE TABLE expp_t PARTITION (event_type)
+         |  SELECT event_id, value, event_type
+         |  FROM parquet.`/root/testdata/sf0.001/events.parquet`;""".stripMargin)
+    val before = spark.table("expp_t").count()
+    val clicksBefore = spark.table("expp_t").where("event_type='click'").count()
+    run(
+      s"""EXPORT TABLE expp_t TO '$dir';
+         |DROP TABLE expp_t;
+         |IMPORT FROM '$dir';""".stripMargin)
+    assert(spark.table("expp_t").count() === before)
+    assert(spark.table("expp_t").where("event_type='click'").count() === clicksBefore)
+    run("DROP TABLE expp_t;")
+  }
+
+  test("validate mode blocks EXPORT/IMPORT data movement with > Skipped!") {
+    run(
+      """DROP TABLE IF EXISTS vexp_t;
+        |CREATE TABLE vexp_t USING parquet AS SELECT 1 AS x;""".stripMargin)
+    val dir = Files.createTempDirectory("graft-vexp").toString + "/vexp"
+    val bos = new ByteArrayOutputStream()
+    val validator = new ScriptRunner(spark, validateOnly = true, verbose = false,
+      new PrintStream(bos, true, "UTF-8"))
+    validator.runScriptText(s"EXPORT TABLE vexp_t TO '$dir';", Map.empty)
+    validator.runScriptText(s"IMPORT TABLE vexp_t3 FROM '$dir';", Map.empty)
+    val out = new String(bos.toByteArray, StandardCharsets.UTF_8)
+    assert(out.split("> Skipped!", -1).length === 3) // both statements blocked
+    assert(!new java.io.File(dir).exists()) // no data moved
+    run("DROP TABLE vexp_t;")
+  }
+
+  test("non-LOCAL LOAD DATA moves files (Hive MoveTask); LOCAL copies") {
+    val stagingMove = Files.createTempDirectory("graft-mv")
+    val stagingLocal = Files.createTempDirectory("graft-cp")
+    run(
+      s"""DROP TABLE IF EXISTS ld_mv;
+         |CREATE TABLE ld_mv (r_regionkey INT, r_name STRING) USING parquet;
+         |INSERT OVERWRITE DIRECTORY '$stagingMove' USING parquet
+         |  SELECT r_regionkey, r_name FROM parquet.`/root/testdata/sf0.001/region.parquet`;
+         |INSERT OVERWRITE DIRECTORY '$stagingLocal' USING parquet
+         |  SELECT r_regionkey, r_name FROM parquet.`/root/testdata/sf0.001/region.parquet`;
+         |LOAD DATA INPATH '$stagingMove' INTO TABLE ld_mv;
+         |LOAD DATA LOCAL INPATH '$stagingLocal' INTO TABLE ld_mv;""".stripMargin)
+    assert(spark.table("ld_mv").count() === 10)
+    def files(p: java.nio.file.Path): Seq[String] =
+      new java.io.File(p.toString).listFiles().toSeq.map(_.getName)
+        .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+    assert(files(stagingMove).isEmpty, "non-LOCAL LOAD must move (delete source)")
+    assert(files(stagingLocal).nonEmpty, "LOCAL LOAD must copy (keep source)")
+    run("DROP TABLE ld_mv;")
+  }
+
+  test("UNIONTYPE DDL emulated as tagged struct when graft.uniontype.emulate=true") {
+    val out = run(
+      """SET graft.uniontype.emulate=true;
+        |DROP TABLE IF EXISTS ut_t;
+        |CREATE TABLE ut_t (id INT, u UNIONTYPE<INT, STRING>) STORED AS PARQUET;
+        |INSERT INTO ut_t SELECT 1, named_struct('tag', 0, 'f0', 42, 'f1', CAST(NULL AS STRING));
+        |INSERT INTO ut_t SELECT 2, named_struct('tag', 1, 'f0', CAST(NULL AS INT), 'f1', 'str');
+        |SELECT id, u.tag, u.f0, u.f1 FROM ut_t ORDER BY id;
+        |SET graft.uniontype.emulate=false;""".stripMargin)
+    assert(out.contains("1\t0\t42\tNULL"))
+    assert(out.contains("2\t1\tNULL\tstr"))
+    run("DROP TABLE ut_t;")
   }
 }

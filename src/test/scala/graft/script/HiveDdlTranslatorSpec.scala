@@ -57,12 +57,20 @@ class HiveDdlTranslatorSpec extends AnyFunSuite {
     assert(t.warnings.nonEmpty)
   }
 
-  test("multiple TABLESAMPLE(BUCKET) clauses each keep their own ratio") {
+  test("multiple TABLESAMPLE(BUCKET ... ON col) clauses each rewrite exactly") {
     val t = HiveDdlTranslator.translate(
       "SELECT * FROM a TABLESAMPLE(BUCKET 1 OUT OF 2 ON x) ta " +
-        "JOIN b TABLESAMPLE(BUCKET 1 OUT OF 100 ON y) tb ON ta.k = tb.k")
-    assert(t.sql.contains("TABLESAMPLE (50.0 PERCENT)"))
-    assert(t.sql.contains("TABLESAMPLE (1.0 PERCENT)"))
+        "JOIN b TABLESAMPLE(BUCKET 3 OUT OF 100 ON y) tb ON ta.k = tb.k")
+    assert(t.sql.contains("(SELECT * FROM a WHERE (hive_hash(x) & 2147483647) % 2 = 0) ta"))
+    assert(t.sql.contains("(SELECT * FROM b WHERE (hive_hash(y) & 2147483647) % 100 = 2) tb"))
+  }
+
+  test("TABLESAMPLE(BUCKET x OUT OF y ON col) uses exact Hive hash-mod semantics") {
+    val t = HiveDdlTranslator.translate(
+      "SELECT k FROM src TABLESAMPLE (BUCKET 2 OUT OF 4 ON k)")
+    assert(t.sql ===
+      "SELECT k FROM (SELECT * FROM src WHERE (hive_hash(k) & 2147483647) % 4 = 1)")
+    assert(t.warnings.isEmpty) // exact, not an approximation
   }
 
   test("partition splice skips parens inside COMMENT literals") {
@@ -73,12 +81,28 @@ class HiveDdlTranslatorSpec extends AnyFunSuite {
     assert(t.sql.contains("'share (pct)'"))
   }
 
-  test("UNIONTYPE rejected with a clear message") {
+  test("UNIONTYPE rejected with a clear message by default") {
     val e = intercept[IllegalArgumentException] {
       HiveDdlTranslator.translate(
         "CREATE TABLE u (x UNIONTYPE<INT, STRING>) STORED AS PARQUET")
     }
     assert(e.getMessage.contains("UNIONTYPE"))
+    assert(e.getMessage.contains("graft.uniontype.emulate"))
+  }
+
+  test("UNIONTYPE emulated as tagged struct when flag set (incl. nested generics)") {
+    val t = HiveDdlTranslator.translate(
+      "CREATE TABLE u (x UNIONTYPE<INT, MAP<STRING,INT>>, y STRING) STORED AS PARQUET",
+      emulateUnionType = true)
+    assert(t.sql.contains("STRUCT<tag:INT, f0:INT, f1:MAP<STRING,INT>>"))
+    assert(t.sql.contains("USING parquet"))
+    assert(t.warnings.exists(_.contains("UNIONTYPE emulated")))
+    // nested uniontype inside a member type
+    val t2 = HiveDdlTranslator.translate(
+      "CREATE TABLE u2 (x UNIONTYPE<INT, UNIONTYPE<STRING, DOUBLE>>) STORED AS ORC",
+      emulateUnionType = true)
+    assert(t2.sql.contains(
+      "STRUCT<tag:INT, f0:INT, f1:STRUCT<tag:INT, f0:STRING, f1:DOUBLE>>"))
   }
 
   test("non-DDL and Spark-native statements untouched") {

@@ -64,6 +64,37 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(s2.get.n == 4 && s2.get.startMs == 0L && s2.get.lastMs == 130000L)
   }
 
+  test("session fold: a straggler older than start-gap forms its own emitted session") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    // open session [1000s, 1100s], gap 120s
+    val s1 = TestGroupState.create[EventStreams.SessionState](
+      optionalState = Optional.of(EventStreams.SessionState(2, 2.0, 1000000L, 1100000L)),
+      timeoutConf =
+        org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.empty(),
+      hasTimedOut = false)
+    // stragglers at t=0s and t=60s: far below startMs-gap → their own
+    // session (they chain: 60s within gap of 0s), emitted closed; the
+    // open session must NOT back-extend
+    val out = EventStreams.foldSessions(1L,
+      Seq((0L, 1.0, 1L), (60000L, 1.0, 2L)), s1, _ => ())(120000L).toSeq
+    assert(out === Seq(EventStreams.SessionAgg(1L, 2, 2.0, 0L, 60000L)))
+    assert(s1.get.startMs == 1000000L && s1.get.lastMs == 1100000L && s1.get.n == 2)
+    // a straggler chain that reaches back within gap of the open session
+    // merges with it transitively
+    val s2 = TestGroupState.create[EventStreams.SessionState](
+      optionalState = Optional.of(EventStreams.SessionState(2, 2.0, 1000000L, 1100000L)),
+      timeoutConf =
+        org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.empty(),
+      hasTimedOut = false)
+    val out2 = EventStreams.foldSessions(1L,
+      Seq((800000L, 1.0, 3L), (900000L, 1.0, 4L)), s2, _ => ())(120000L).toSeq
+    assert(out2.isEmpty)
+    assert(s2.get.n == 4 && s2.get.startMs == 800000L && s2.get.lastMs == 1100000L)
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     val stageDir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
     val events = spark.read.parquet(s"$sfDir/events.parquet").limit(200)
