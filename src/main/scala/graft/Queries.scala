@@ -817,8 +817,26 @@ object Queries {
           |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin)
     },
 
-    // §2.2 TABLESAMPLE (sampling is engine-specific → rows-only)
-    qNoOracle("q_tablesample") { (s, dir) =>
+    // §2.2 TABLESAMPLE — deterministic Hive bucket form, exercised through
+    // the DDL translator's exact rewrite ((hive_hash & MAX_INT) % y = x-1).
+    // On an INT column Hive's hash is the identity, so the DuckDB oracle
+    // states the same rule directly.
+    q("q_tablesample",
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE (l_linenumber & 2147483647) % 3 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      views(s, dir, "lineitem")
+      val tr = graft.script.HiveDdlTranslator.translate(
+        """SELECT l_orderkey, l_linenumber FROM lineitem
+          |TABLESAMPLE (BUCKET 1 OUT OF 3 ON l_linenumber)
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+      s.sql(tr.sql)
+    },
+
+    // §2.2 TABLESAMPLE percent form (rand()-derived row set is
+    // engine-specific → rows-only)
+    qNoOracle("q_tablesample_pct") { (s, dir) =>
       views(s, dir, "lineitem")
       s.sql(
         """SELECT l_orderkey, l_linenumber FROM lineitem

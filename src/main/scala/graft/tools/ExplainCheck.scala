@@ -10,7 +10,8 @@ object ExplainCheck {
       .config("spark.sql.session.timeZone","UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q_agg_pricing","q_multi_join_star","q_dedup_minhash")) {
+    for (q <- Seq("q_agg_pricing","q_multi_join_star","q_dedup_minhash",
+        "q_emb_neardup_lsh","q_sessionize","q_ann_brute")) {
       println(s"########## $q")
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

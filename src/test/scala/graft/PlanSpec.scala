@@ -53,6 +53,23 @@ class PlanSpec extends AnyFunSuite {
       "cross join must not fall back to a shuffled cartesian product")
   }
 
+  test("LSH near-dup path has no quadratic join (the 100 TB scale claim)") {
+    val p = plan("q_emb_neardup_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"LSH candidates must come from bucket grouping, not an all-pairs join:\n$p")
+    // candidate verify joins are equi-joins on ids
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("q_tablesample: bucket filter reaches the parquet scan") {
+    val df = SparkEntry.queries("q_tablesample")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // hive_hash(l_linenumber) & MAX % 3 is not a parquet-pushable filter,
+    // but the scan must still prune to the two projected columns
+    assert(p.contains("ReadSchema") && !p.contains("l_quantity"))
+    assert(df.count() > 0)
+  }
+
   test("whole-stage codegen covers the scan→agg hot path") {
     // AQE reveals codegen spans only in the final (post-execution) plan
     val df = SparkEntry.queries("q_agg_pricing")(spark, sfDir)
