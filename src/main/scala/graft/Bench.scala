@@ -10,7 +10,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Representative spread: scan+agg, star join, window, top-k, dedup
-    * (exact + minhash), ANN, text analysis. */
+    * (exact + minhash), ANN, text analysis. Kept identical to round 1 for
+    * cross-round comparability. (q_emb_neardup_lsh is NOT here: the
+    * synthetic embeddings are pure gaussians whose max pairwise cosine is
+    * ~0.5, so at the 0.4 demo threshold LSH degenerates to near-all-pairs
+    * by construction — the scale behavior it exists for is pinned in
+    * SimilaritySpec's planted-near-dup pruning test instead.) */
   val headline: Seq[String] = Seq(
     "q_agg_pricing", "q_multi_join_star", "q_window_agg", "q_topk",
     "q_dedup_exact", "q_dedup_minhash", "q_ann_brute", "q_text_stats",

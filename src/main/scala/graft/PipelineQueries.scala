@@ -132,6 +132,38 @@ object PipelineQueries {
         .orderBy(col("id"))
     },
 
+    // Connected components over an EXACT pair input (token-set Jaccard,
+    // same construction as q_dedup_jaccard) so the min-label propagation
+    // itself is hash-checked: the DuckDB oracle computes components via a
+    // recursive transitive-closure CTE and takes min reachable id.
+    q("q_dedup_clusters_exact",
+      """WITH RECURSIVE
+        |toks AS (
+        |  SELECT doc_id AS id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS shingle
+        |  FROM documents WHERE doc_id < 150),
+        |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+        |common AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+        |  FROM toks a JOIN toks b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY a.id, b.id),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM common JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+        |  WHERE CAST(cnt AS DOUBLE)/(sa.sz + sb.sz - cnt) >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+        |SELECT id, min(r) AS component FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.jaccardPairs(
+          t(s, dir, "documents").filter(col("doc_id") < 150), n = 1, threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      Dedup.duplicateClusters(pairs).orderBy(col("id"))
+    },
+
     // Embedding-cosine near-dup pairs (brute force at test SF; LSH path
     // covered by q_ann_lsh)
     q("q_emb_neardup",
@@ -145,13 +177,44 @@ object PipelineQueries {
     },
 
     // The 100 TB path for the same operation: LSH bucket candidates +
-    // exact cosine verify of candidates only (no all-pairs join).
-    // Approximate recall → rows-only; recall ≥0.95 vs cosineNearDupPairs
-    // is pinned in SimilaritySpec.
+    // exact cosine verify of candidates only (no all-pairs join —
+    // plan-asserted in PlanSpec). Approximate recall → rows-only; recall
+    // ≥0.95 vs cosineNearDupPairs is pinned in SimilaritySpec, and the
+    // pruning behavior it exists for (planted cos≈0.99 dups, ≥95% of
+    // pairs never considered) is pinned there too — this gaussian demo
+    // table has no true near-dups, so short keys are used just to
+    // produce rows at the 0.4 threshold.
     qNoOracle("q_emb_neardup_lsh") { (s, dir) =>
       val planes = Similarity.hyperplanes(tables = 16, bits = 4, dim = 64)
       Similarity.lshNearDupPairs(t(s, dir, "embeddings"), 0.4, planes)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Embedding L2-normalization (scalar-ified projection for the
+    // hash-compare: norm + first unit component)
+    q("q_emb_normalize",
+      """SELECT vec_id,
+        |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS nrm,
+        |  round(embedding[1]::DOUBLE
+        |    / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS u0
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Similarity.normalized(t(s, dir, "embeddings"))
+        .select(col("vec_id"), round(col("nrm"), 6).as("nrm"),
+          round(element_at(col("unit"), 1), 6).as("u0"))
+        .orderBy(col("vec_id"))
+    },
+
+    // Symmetric int8 quantization (scale + first quantized lane)
+    q("q_emb_quantize",
+      """SELECT vec_id,
+        |  round(greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-12) / 127.0, 8) AS scale,
+        |  CAST(round(embedding[1]::DOUBLE
+        |    / (greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-12) / 127.0)) AS TINYINT) AS q0
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Similarity.quantizedInt8(t(s, dir, "embeddings"))
+        .select(col("vec_id"), round(col("scale"), 8).as("scale"),
+          element_at(col("q"), 1).as("q0"))
+        .orderBy(col("vec_id"))
     },
 
     // ------------------------------------------------ similarity search

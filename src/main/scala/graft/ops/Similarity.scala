@@ -64,6 +64,30 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim_raw"), 6).as("sim"))
   }
 
+  /** L2-normalization of the embedding column — the one-time preprocessing
+    * step cosine pipelines run so every downstream similarity is a plain
+    * dot product. Pure per-row codegen'd HOFs (narrow, no shuffle): at
+    * 100 TB this runs inside the scan pipeline of whatever consumes it. */
+  def normalized(embs: DataFrame): DataFrame = {
+    val base = embs.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    base.select(col("vec_id"), col("nrm"),
+      transform(col("emb"), x => x / col("nrm")).as("unit"))
+  }
+
+  /** Symmetric per-vector int8 quantization (scale = max|x| / 127): 4×
+    * smaller vectors for ANN candidate generation, with the scale kept for
+    * dequantized re-ranking. Narrow per-row computation, codegen'd. */
+  def quantizedInt8(embs: DataFrame): DataFrame = {
+    val base = embs.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("scale",
+        greatest(aggregate(col("emb"), lit(0.0), (a, x) => greatest(a, abs(x))),
+          lit(1e-12)) / lit(127.0))
+    base.select(col("vec_id"), col("scale"),
+      transform(col("emb"), x => round(x / col("scale"), 0).cast("tinyint"))
+        .as("q"))
+  }
+
   /** Near-duplicate pairs at scale: LSH bucket candidates, then exact
     * cosine verification of candidates only — same output shape and
     * threshold semantics as [[cosineNearDupPairs]], but the all-pairs

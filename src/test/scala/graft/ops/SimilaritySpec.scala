@@ -69,6 +69,59 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full === brute, "nprobe=nlist must equal brute force")
   }
 
+  test("LSH near-dup on planted high-sim dups: full recall with heavy candidate pruning") {
+    // The REAL operating point of the LSH path: near-DUPLICATES (cos≥0.9),
+    // where long keys prune almost everything. The driver's gaussian
+    // embeddings have max pairwise cos ≈ 0.5, so this test plants its own:
+    // 2000 base vectors + 100 noisy copies (cos ≈ 0.99).
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val base = (0 until 2000).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat))
+    }
+    val dups = base.take(100).map { case (i, v) =>
+      (10000L + i, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    // 16-bit keys x 32 tables: P(find cos=0.99 pair) ≈ 1; random pair
+    // co-bucket rate ≈ 32 * 0.5^16 ≈ 0.05%
+    val planes = Similarity.hyperplanes(tables = 32, bits = 16, dim = dim, seed = 11)
+    val nCands = Similarity.lshCandidatePairs(df, planes).count()
+    val allPairs = 2100L * 2099L / 2L
+    assert(nCands < allPairs / 20,
+      s"candidates $nCands must prune ≥95% of $allPairs all-pairs")
+    val found = Similarity.lshNearDupPairs(df, 0.9, planes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Similarity.cosineNearDupPairs(df, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size >= 100, s"planting failed: ${truth.size} true pairs")
+    val recall = truth.count(found.contains).toDouble / truth.size
+    assert(recall >= 0.95, s"planted near-dup recall $recall")
+    assert(found.subsetOf(truth))
+  }
+
+  test("normalized embeddings are unit length; int8 quantization bounded and invertible-ish") {
+    val unit = Similarity.normalized(embs)
+    import org.apache.spark.sql.Row
+    val norms = unit.select(Similarity.norm(col("unit")).as("n")).collect()
+    assert(norms.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+    val q = Similarity.quantizedInt8(embs)
+    val lanes = q.select(col("scale"), col("q")).collect()
+    assert(lanes.forall { r =>
+      r.getSeq[Byte](1).forall(b => b >= -127 && b <= 127)
+    })
+    // dequantization error bounded by scale/2 per lane
+    val err = q.join(embs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb")), "vec_id")
+      .select(aggregate(
+        zip_with(col("q"), col("emb"),
+          (qq, x) => abs(qq.cast("double") * col("scale") - x)),
+        lit(0.0), (a, x) => greatest(a, x)).as("maxerr"), col("scale"))
+      .collect()
+    assert(err.forall(r => r.getDouble(0) <= r.getDouble(1) * 0.5 + 1e-12))
+  }
+
   test("IVF build samples the KMeans fit but assigns every vector") {
     val n = embs.count()
     // maxFitRows < n forces the sampled-fit path; the assignment pass and
