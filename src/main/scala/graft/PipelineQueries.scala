@@ -448,7 +448,14 @@ object PipelineQueries {
     },
 
     // Resize + frame-sample stubs: binary-out plumbing (rows-only)
-    qNoOracle("q_multimodal_frames") { (s, dir) =>
+    // The stubs are deterministic functions of the payload byte length
+    // (thumbnail = 64-byte prefix; frames = every 4th 32-byte chunk), so
+    // the oracle can state the same arithmetic directly.
+    q("q_multimodal_frames",
+      """SELECT doc_id,
+        |  CAST(least(64, octet_length(encode(text))) AS INT) AS thumb_bytes,
+        |  CAST(ceil(ceil(octet_length(encode(text)) / 32.0) / 4.0) AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val media = Multimodal.withPayload(t(s, dir, "documents"))
         .as[Multimodal.MediaRow]
