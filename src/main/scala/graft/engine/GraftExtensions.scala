@@ -9,9 +9,10 @@ import org.apache.spark.sql.graft._
   * expressions: `spark.sql.extensions=graft.engine.GraftExtensions`
   * (or `.withExtensions(new GraftExtensions)`) makes `simhash64`,
   * `shingles`, `fingerprint64`, `sentences`, `hive_hash`, `ngrams`,
-  * `context_ngrams` available to every session SQL-side with no manual
-  * registration — the idiomatic extension point for a Spark-native
-  * library (preferred over per-session registry mutation).
+  * `context_ngrams`, `parse_url_tuple`, `minhash_signature`, `field`
+  * available to every session SQL-side with no manual registration — the
+  * idiomatic extension point for a Spark-native library (preferred over
+  * per-session registry mutation).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 

@@ -278,6 +278,18 @@ object GraftFunctions {
     "context_ngrams" -> arity("context_ngrams", 3)(es =>
       ContextNGramsAgg(es(0), es(1), es(2)).toAggregateExpression()),
     "parse_url_tuple" -> ((es: Seq[Expression]) => ParseUrlTuple(es)),
+    // Hive `field(needle, v1, v2, …)`: 1-based index of the first match,
+    // 0 when absent/null — absent from Spark; expanded to CASE WHEN so
+    // type coercion and codegen are the analyzer's problem, not ours
+    "field" -> ((es: Seq[Expression]) => {
+      if (es.length < 2) throw new IllegalArgumentException(
+        s"field expects at least 2 arguments, got ${es.length}")
+      import org.apache.spark.sql.catalyst.expressions.{CaseWhen, EqualTo, Literal}
+      val branches = es.tail.zipWithIndex.map { case (v, i) =>
+        (EqualTo(es.head, v): Expression, Literal(i + 1): Expression)
+      }
+      CaseWhen(branches, Some(Literal(0)))
+    }),
     "minhash_signature" -> arity("minhash_signature", 2)(es =>
       MinHashSignature(es(0), es(1))))
 

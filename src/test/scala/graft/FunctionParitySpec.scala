@@ -97,6 +97,41 @@ class FunctionParitySpec extends AnyFunSuite {
       "get_json_object('{\"a\": {\"b\": 7}}', '$.a.b')" -> "7")
   }
 
+  test("string/selector family part 2: elt, field, pads, regexp, case aliases") {
+    graft.functions.GraftFunctions.register(spark) // field() is graft-provided
+    check(
+      "elt(2, 'a', 'b', 'c')" -> "b",
+      "field('b', 'a', 'b', 'c')" -> 2,
+      "field('zz', 'a', 'b')" -> 0,
+      "field(7, 5, 6, 7)" -> 3,
+      "lpad('7', 3, '0')" -> "007",
+      "rpad('ab', 4, 'x')" -> "abxx",
+      "regexp_extract('foo123bar', '([0-9]+)', 1)" -> "123",
+      "regexp_replace('a1b2', '[0-9]', '#')" -> "a#b#",
+      "ucase('ab')" -> "AB",
+      "lcase('AB')" -> "ab",
+      "substr('spark', 2, 3)" -> "par",
+      "reverse('abc')" -> "cba",
+      "trim('  x  ')" -> "x",
+      "ltrim('  x')" -> "x",
+      "rtrim('x  ')" -> "x")
+  }
+
+  test("conditional/collection family part 2: nvl2, bround, greatest, maps") {
+    check(
+      "nvl2(NULL, 'a', 'b')" -> "b",
+      "nvl2(1, 'a', 'b')" -> "a",
+      "bround(2.5D)" -> 2.0, // banker's rounding (Hive bround)
+      "bround(3.5D)" -> 4.0,
+      "greatest(1, 7, 3)" -> 7,
+      "least(1, 7, 3)" -> 1,
+      "map_keys(map('a', 1))[0]" -> "a",
+      "map_values(map('a', 1))[0]" -> 1,
+      "array_max(array(1, 9, 3))" -> 9,
+      "array_min(array(1, 9, 3))" -> 1,
+      "coalesce(NULL, NULL, 5)" -> 5)
+  }
+
   test("url / reflection / tz family") {
     check(
       "parse_url('http://u.com/a?k=v', 'HOST')" -> "u.com",
