@@ -40,6 +40,16 @@ final class ScriptRunner(
   private val dispatcher =
     new CommandDispatcher(spark, out, runScriptFile(_, currentVars), validateOnly)
 
+  // Hive-dialect builtins for the script surface: the graft registry
+  // (sentences/ngrams/parse_url_tuple/field/create_union/…, plus the
+  // hive_hash the TABLESAMPLE bucket rewrite references), and a parity
+  // override of `hash` — a Hive script's hash() must produce Hive hash
+  // values, not Spark's Murmur3. Registry is per-session, so attaching
+  // the engine gives the session Hive script semantics by design.
+  graft.functions.GraftFunctions.register(spark)
+  spark.sessionState.functionRegistry.createOrReplaceTempFunction("hash",
+    es => org.apache.spark.sql.catalyst.expressions.HiveHash(es), "built-in")
+
   def runScriptFile(path: String, variables: Map[String, String]): Unit = {
     val text = new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8)
     runScriptText(text, variables, path)

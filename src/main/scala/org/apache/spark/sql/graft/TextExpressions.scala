@@ -278,6 +278,28 @@ object GraftFunctions {
     "context_ngrams" -> arity("context_ngrams", 3)(es =>
       ContextNGramsAgg(es(0), es(1), es(2)).toAggregateExpression()),
     "parse_url_tuple" -> ((es: Seq[Expression]) => ParseUrlTuple(es)),
+    // Hive UNIONTYPE helpers, matching the translator's tagged-struct
+    // emulation (STRUCT<tag:INT, f0:…, f1:…>): create_union builds the
+    // struct, extract_union reads it back (whole struct, or one member
+    // by literal tag)
+    "create_union" -> ((es: Seq[Expression]) => {
+      if (es.length < 2) throw new IllegalArgumentException(
+        s"create_union expects (tag, v1, …), got ${es.length} argument(s)")
+      import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct, Literal}
+      CreateNamedStruct(
+        Seq(Literal("tag"), es.head) ++
+          es.tail.zipWithIndex.flatMap { case (v, i) => Seq(Literal(s"f$i"), v) })
+    }),
+    "extract_union" -> ((es: Seq[Expression]) => es match {
+      case Seq(u) => u
+      case Seq(u, tag) if tag.foldable =>
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val i = tag.eval().asInstanceOf[Number].intValue()
+        org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+          u, Literal(s"f$i"))
+      case _ => throw new IllegalArgumentException(
+        "extract_union expects (union) or (union, literal tag)")
+    }),
     // Hive `field(needle, v1, v2, …)`: 1-based index of the first match,
     // 0 when absent/null — absent from Spark; expanded to CASE WHEN so
     // type coercion and codegen are the analyzer's problem, not ours

@@ -400,12 +400,19 @@ class HqlSurfaceSpec extends AnyFunSuite {
       """SET graft.uniontype.emulate=true;
         |DROP TABLE IF EXISTS ut_t;
         |CREATE TABLE ut_t (id INT, u UNIONTYPE<INT, STRING>) STORED AS PARQUET;
-        |INSERT INTO ut_t SELECT 1, named_struct('tag', 0, 'f0', 42, 'f1', CAST(NULL AS STRING));
-        |INSERT INTO ut_t SELECT 2, named_struct('tag', 1, 'f0', CAST(NULL AS INT), 'f1', 'str');
-        |SELECT id, u.tag, u.f0, u.f1 FROM ut_t ORDER BY id;
+        |INSERT INTO ut_t SELECT 1, create_union(0, 42, CAST(NULL AS STRING));
+        |INSERT INTO ut_t SELECT 2, create_union(1, CAST(NULL AS INT), 'str');
+        |SELECT id, u.tag, extract_union(u, 0) AS v0, extract_union(u, 1) AS v1 FROM ut_t ORDER BY id;
         |SET graft.uniontype.emulate=false;""".stripMargin)
     assert(out.contains("1\t0\t42\tNULL"))
     assert(out.contains("2\t1\tNULL\tstr"))
     run("DROP TABLE ut_t;")
+  }
+
+  test("hash() follows Hive semantics in the script surface (not Murmur3)") {
+    val out = run("SELECT hash(42) AS a, hash('abc') AS b, hash(1, 2) AS c;")
+    // Hive: int hashes to itself; string = 31-chain over UTF-8 bytes;
+    // multi-arg = 31-chain over member hashes
+    assert(out.contains("42\t96354\t33"))
   }
 }
