@@ -151,6 +151,23 @@ object EventStreams {
       }
   }
 
+  /** Streaming lakehouse sink: append the stream to a partitioned parquet
+    * table with the file sink's exactly-once semantics (checkpointed
+    * offsets + output file manifest — a restart with the same checkpoint
+    * reprocesses nothing). The write side of the ingest leg; at scale the
+    * partition columns are the pruning key of every downstream scan. */
+  def toLakehouse(df: DataFrame, path: String, checkpointDir: String,
+      partitionCols: Seq[String] = Nil,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = df.writeStream.outputMode("append").format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).start()
+  }
+
   /** Batch-equivalent sessionization (same gap semantics) — the oracle
     * for the streaming path and a useful operator in its own right:
     * lag-based session boundaries, one window + one aggregate. */

@@ -111,6 +111,29 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.select("event_id").distinct().count() === 200)
   }
 
+  test("lakehouse sink: partitioned parquet append with exactly-once restart") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-lh-src").toString
+    spark.read.parquet(s"$sfDir/events.parquet").limit(300)
+      .write.mode("overwrite").parquet(stageDir)
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft-lh-sink").toString + "/tbl"
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-lh-ck").toString
+    def runOnce(): Unit = {
+      val q = EventStreams.toLakehouse(
+        EventStreams.readEvents(spark, stageDir),
+        sinkDir, ckDir, partitionCols = Seq("event_type"))
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val got = spark.read.parquet(sinkDir)
+    assert(got.count() === 300)
+    // partition layout on disk → downstream partition pruning works
+    assert(new java.io.File(sinkDir).listFiles()
+      .exists(_.getName.startsWith("event_type=")))
+    // restart with the same checkpoint: nothing reprocessed (exactly-once)
+    runOnce()
+    assert(spark.read.parquet(sinkDir).count() === 300)
+  }
+
   test("event-time sessionization: watermark-closed sessions match the batch oracle") {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
       .selectExpr("event_id", "user_id", "value", "ts div 1000000 AS epochMs")
