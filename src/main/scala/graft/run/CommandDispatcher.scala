@@ -207,7 +207,10 @@ final class CommandDispatcher(
   /** EXPORT TABLE t TO 'dir': table data files → dir/data plus
     * dir/_graft_metadata.json (name, provider, schema, partition columns)
     * — the minimal faithful analog of Hive's CopyTask-based EXPORT
-    * (`ManifestRunner.java:92`). */
+    * (`ManifestRunner.java:92`). The copy runs through the driver's FS
+    * client, mirroring Hive's single-node CopyTask in this local
+    * simulation; an actual 100 TB export belongs to a distributed copy
+    * (distcp / CTAS into the target), not this command. */
   private def exportTable(table: String, destPath: String): Unit = {
     import org.apache.hadoop.fs.Path
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)

@@ -165,6 +165,47 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("realistic multi-feature ETL script runs end-to-end (switchover proof)") {
+    // the shape of a real reference user's script: staged external table,
+    // variables, macro, dynamic-partition insert, windowed rollup,
+    // LATERAL VIEW, bucket tablesample, export/import round trip
+    val staging = Files.createTempDirectory("graft-etl-stage").toString
+    val expDir = Files.createTempDirectory("graft-etl-exp").toString + "/exp"
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .write.mode("overwrite").parquet(staging)
+    val out = runScript(
+      s"""SET hivevar:minprice=100000;
+         |DROP TABLE IF EXISTS etl_src; DROP TABLE IF EXISTS etl_agg;
+         |CREATE EXTERNAL TABLE etl_src (
+         |  o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+         |  o_totalprice DOUBLE, o_orderdate DATE, o_orderpriority STRING,
+         |  o_clerk STRING, o_shippriority INT, o_comment STRING)
+         |STORED AS PARQUET LOCATION '$staging';
+         |CREATE TEMPORARY MACRO price_band(p DOUBLE)
+         |  CASE WHEN p > 300000 THEN 'hi' ELSE 'lo' END;
+         |CREATE TABLE etl_agg (n BIGINT, total DOUBLE)
+         |  PARTITIONED BY (band STRING) STORED AS PARQUET;
+         |INSERT OVERWRITE TABLE etl_agg PARTITION (band)
+         |  SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+         |         price_band(o_totalprice) AS band
+         |  FROM etl_src WHERE o_totalprice > $${minprice}
+         |  GROUP BY price_band(o_totalprice);
+         |SELECT band, n FROM etl_agg ORDER BY band;
+         |SELECT o_orderkey, rank() OVER (ORDER BY o_totalprice DESC) AS rk
+         |  FROM etl_src TABLESAMPLE (BUCKET 1 OUT OF 2 ON o_shippriority)
+         |  ORDER BY rk LIMIT 3;
+         |SELECT tok FROM (SELECT split(o_comment, ' ') AS toks FROM etl_src LIMIT 1)
+         |  LATERAL VIEW explode(toks) t AS tok LIMIT 2;
+         |EXPORT TABLE etl_agg TO '$expDir';
+         |DROP TABLE etl_agg;
+         |IMPORT FROM '$expDir';
+         |SELECT count(*) AS reimported FROM etl_agg;""".stripMargin)
+    assert(out.contains("hi") && out.contains("lo"))
+    assert(out.contains("reimported") || out.split("\n").last.trim.nonEmpty)
+    assert(spark.table("etl_agg").count() >= 2)
+    runScript("DROP TABLE etl_agg; DROP TABLE etl_src; DROP TEMPORARY MACRO price_band;")
+  }
+
   test("Verification builder API round-trips manifest JSON") {
     val v = graft.api.Verification.forRelease("emr-5")
       .withHadoop(true).addTask("/tmp/nonexistent.hql", Map("A" -> "1"))
