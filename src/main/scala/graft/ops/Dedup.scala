@@ -77,14 +77,15 @@ object Dedup {
     * this operator promises exactness — cap-based dropping belongs to
     * the LSH path.
     *
-    * Note on caching: the per-doc shingle arrays are `.cache()`d because
-    * the plan consumes them twice (candidates + verify). The blocks stay
-    * pinned until the session evicts them; a long-lived pipeline calling
-    * this repeatedly should `spark.catalog.clearCache()` or persist/
-    * unpersist around consumption. Same applies to [[minhashNearDups]]. */
+    * The shingle arrays are deliberately NOT cached even though the plan
+    * consumes them multiple times: shingling is a cheap codegen'd
+    * expression over the scan, and measured end-to-end the cache's
+    * write+read of the wide arrays costs more than recomputing them —
+    * and at 100 TB pinning the corpus' shingles is infeasible anyway.
+    * Same reasoning in [[minhashNearDups]]. */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val arrs = shingleArrays(docs, n, idCol, textCol).cache()
+    val arrs = shingleArrays(docs, n, idCol, textCol)
     val cands = pairsInBuckets(
       arrs.select(col("id"), explode(col("sh")).as("shingle")),
       Seq("shingle"), "id", maxBucket = 1 << 20)
@@ -139,10 +140,12 @@ object Dedup {
     pairsInBuckets(bandRows, Seq("band", "bucket"), "id")
 
   /** Full MinHash+LSH near-dup pipeline: candidates from banding, then
-    * exact Jaccard verification (array-intersect) on candidates only. */
+    * exact Jaccard verification (array-intersect) on candidates only.
+    * Shingle arrays recomputed per consumer, not cached — see
+    * [[jaccardPairs]] for the measurement-backed reasoning. */
   def minhashNearDups(docs: DataFrame, n: Int, k: Int, bands: Int,
       threshold: Double, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val arrs = shingleArrays(docs, n, idCol, textCol).cache()
+    val arrs = shingleArrays(docs, n, idCol, textCol)
     val cands = lshCandidates(lshBands(minhashSignatureArray(arrs, k), k, bands))
     verifyJaccard(cands, arrs, threshold)
   }
