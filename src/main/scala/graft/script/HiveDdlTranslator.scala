@@ -11,10 +11,12 @@ import java.util.regex.Pattern
   * FIELDS TERMINATED BY …` (→ csv options), Hive-style `PARTITIONED BY
   * (col TYPE)` (partition columns move into the schema, as Spark
   * datasource tables require), bare `EXTERNAL` without LOCATION.
-  * Columnar maintenance formats the reference explicitly blocks
-  * (RCFile ops, `ManifestRunner.java:102-104`) map to parquet with a
-  * warning — storage fidelity is not observable in a local simulation,
-  * results are.
+  * SEQUENCEFILE is real storage via [[graft.sources.SequenceFileSource]]
+  * (Hive-compatible BytesWritable/Text layout); RCFILE — a columnar
+  * maintenance format the reference explicitly blocks (RCFile ops,
+  * `ManifestRunner.java:102-104`) — maps to parquet with a warning, as
+  * does partitioned SEQUENCEFILE (DSv1 relations can't back partitioned
+  * catalog tables).
   */
 object HiveDdlTranslator {
 
@@ -112,14 +114,19 @@ object HiveDdlTranslator {
     val sa = StoredAs.matcher(sql)
     if (sa.find()) {
       val hiveFmt = sa.group(1).toLowerCase
+      // partitioned catalog tables need a FileFormat source; the DSv1
+      // sequencefile relation can't provide one, so partitioned
+      // SEQUENCEFILE falls back to parquet like RCFILE
+      val isPartitioned = HivePartitionedBy.matcher(sql).find()
       val spark = hiveFmt match {
         case "textfile" => "csv"
         case "parquet" => "parquet"
         case "orc" => "orc"
         case "avro" => "avro"
         case "jsonfile" => "json"
+        case "sequencefile" if !isPartitioned => "sequencefile"
         case other =>
-          warnings :+= s"STORED AS $other has no Spark datasource; using parquet " +
+          warnings :+= s"STORED AS $other has no Spark datasource here; using parquet " +
             "(storage format is not observable in local simulation)"
           "parquet"
       }
@@ -154,10 +161,10 @@ object HiveDdlTranslator {
 
     // insert USING after the column list (or table name if no list)
     val usingClause = format.get match {
-      case "csv" =>
+      case f @ ("csv" | "sequencefile") =>
         val d = delimiter.getOrElse("\u0001") // Hive default field delim ^A
         val dEsc = d.replace("\\", "\\\\").replace("'", "\\'")
-        s" USING csv OPTIONS (delimiter '$dEsc') "
+        s" USING $f OPTIONS (delimiter '$dEsc') "
       case f => s" USING $f "
     }
     val insertAt = usingInsertionPoint(sql)
