@@ -433,17 +433,27 @@ object PipelineQueries {
     // Feature-extraction stub → similarity-ready vectors. Oracle: bucket 0
     // of the byte histogram counts ASCII codes ≡ 0 (mod 8) — for this
     // lowercase corpus exactly {space, h, p, x} — over the byte length.
+    // compared as the exact integer histogram count (ratio × length,
+    // rounded to int — float ratios flip round(x,4) boundaries at larger
+    // SFs; the recovered count is exact because float error ≪ 0.5).
+    // The 'hpx ' trick: those chars' UTF-8 codes are all ≡ 0 (mod 8), so
+    // DuckDB can count bucket 0 of the byte histogram with translate().
     q("q_multimodal_features",
       """SELECT doc_id,
-        |  round(CAST(strlen(text) - strlen(translate(text, 'hpx ', '')) AS DOUBLE)
-        |    / strlen(text), 4) AS f0
+        |  CAST(strlen(text) - strlen(translate(text, 'hpx ', '')) AS INT) AS c0,
+        |  CAST(strlen(text) AS INT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val media = Multimodal.withPayload(t(s, dir, "documents"))
         .as[Multimodal.MediaRow]
+      val lens = t(s, dir, "documents").select(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).as("n_bytes"))
       Multimodal.featureStub(media).toDF()
+        .join(lens, "doc_id")
         .select(col("doc_id"),
-          round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
+          round(element_at(col("feature"), 1).cast("double") * col("n_bytes"))
+            .cast("int").as("c0"),
+          col("n_bytes"))
         .orderBy(col("doc_id"))
     },
 

@@ -89,9 +89,15 @@ object Queries {
     },
 
     // §2.2 Projection: computed expressions + CASE
+    // charge computed in DECIMAL on both sides: double products differ by
+    // an ulp across engines depending on evaluation order, which flips
+    // round(x, 2) on .005 boundaries at larger SFs — decimal arithmetic
+    // is exact, so rounding is engine-independent
     q("q_project_expr",
       """SELECT l_orderkey, l_linenumber,
-        |  round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 2) AS charge,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |    * (1 + CAST(l_tax AS DECIMAL(18,2))), 2) AS DOUBLE) AS charge,
         |  CASE WHEN l_quantity < 10 THEN 'low'
         |       WHEN l_quantity < 35 THEN 'mid'
         |       ELSE 'high' END AS qty_band
@@ -101,8 +107,10 @@ object Queries {
       t(s, dir, "lineitem")
         .filter(col("l_orderkey") < 500)
         .select(col("l_orderkey"), col("l_linenumber"),
-          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
-            (lit(1.0) + col("l_tax")), 2).as("charge"),
+          round(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")) *
+            (lit(1).cast("decimal(18,2)") + col("l_tax").cast("decimal(18,2)")), 2)
+            .cast("double").as("charge"),
           when(col("l_quantity") < 10, "low")
             .when(col("l_quantity") < 35, "mid")
             .otherwise("high").as("qty_band"))
