@@ -441,6 +441,33 @@ class HqlSurfaceSpec extends AnyFunSuite {
     run("DROP TABLE sq_t;")
   }
 
+  test("GROUPING__ID virtual column and WITH ROLLUP (Hive syntax) work") {
+    val out = run(
+      """CREATE OR REPLACE TEMPORARY VIEW gid_t AS
+        |  SELECT * FROM VALUES (1,'a'),(2,'b') AS t(k, v);
+        |SELECT k, v, GROUPING__ID FROM gid_t GROUP BY k, v WITH ROLLUP
+        |ORDER BY GROUPING__ID, k;""".stripMargin)
+    assert(out.contains("1\ta\t0"))
+    assert(out.contains("NULL\tNULL\t3")) // grand-total row
+  }
+
+  test("MAPJOIN hint forces broadcast despite the parity auto-convert-off default") {
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .createOrReplaceTempView("mj_nation")
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+      .createOrReplaceTempView("mj_region")
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = spark.sql(
+        """SELECT /*+ MAPJOIN(r) */ n.n_name, r.r_name
+          |FROM mj_nation n JOIN mj_region r ON n.n_regionkey = r.r_regionkey""".stripMargin)
+      assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "MAPJOIN hint must map to a broadcast join like Hive's map-join")
+      assert(df.count() === 25)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("hash() follows Hive semantics in the script surface (not Murmur3)") {
     val out = run("SELECT hash(42) AS a, hash('abc') AS b, hash(1, 2) AS c;")
     // Hive: int hashes to itself; string = 31-chain over UTF-8 bytes;
