@@ -46,6 +46,9 @@ object SessionFactory {
       .config("spark.sql.adaptive.enabled", "true")
       // Hive-like implicit casts instead of ANSI errors (SURVEY §7.4.2)
       .config("spark.sql.ansi.enabled", "false")
+      // Hive-lax INSERT coercion: a script inserting '12x' into an INT
+      // column gets NULL, not CANNOT_SAFELY_CAST (SURVEY §2.2 type row)
+      .config("spark.sql.storeAssignmentPolicy", "LEGACY")
       // Hive INSERT OVERWRITE touches only written partitions
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       // Hive's SELECT `(ds)?+.+` regex-column syntax

@@ -468,6 +468,23 @@ class HqlSurfaceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("Hive-lax INSERT coercion: string into INT column coerces (bad cell -> NULL)") {
+    // SessionFactory sets storeAssignmentPolicy=LEGACY; mirror it on the
+    // shared test session for this check
+    val old = spark.conf.get("spark.sql.storeAssignmentPolicy")
+    spark.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
+    try {
+      val out = run(
+        """DROP TABLE IF EXISTS lax_t;
+          |CREATE TABLE lax_t (k INT) USING parquet;
+          |INSERT INTO lax_t VALUES ('12'), ('12x');
+          |SELECT k FROM lax_t ORDER BY k NULLS LAST;""".stripMargin)
+      assert(out.contains("12"))
+      assert(out.contains("NULL"), s"bad cell must coerce to NULL like Hive:\n$out")
+      run("DROP TABLE lax_t;")
+    } finally spark.conf.set("spark.sql.storeAssignmentPolicy", old)
+  }
+
   test("hash() follows Hive semantics in the script surface (not Murmur3)") {
     val out = run("SELECT hash(42) AS a, hash('abc') AS b, hash(1, 2) AS c;")
     // Hive: int hashes to itself; string = 31-chain over UTF-8 bytes;
