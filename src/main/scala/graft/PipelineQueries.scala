@@ -262,6 +262,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Denylist redaction: the scrub pass a curation pipeline runs before
+    // training (PII/denylist terms → mask token). Pure codegen'd regex —
+    // narrow, no shuffle, scale-trivial.
+    q("q_text_redact",
+      """SELECT doc_id,
+        |  substr(regexp_replace(text, '\b(spark|hash)\b', '[X]', 'g'), 1, 40) AS red40,
+        |  CAST(len(regexp_extract_all(text, '\b(spark|hash)\b')) AS INT) AS n_red
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          substring(regexp_replace(col("text"), "\\b(spark|hash)\\b", "[X]"), 1, 40)
+            .as("red40"),
+          size(regexp_extract_all(col("text"), lit("\\b(spark|hash)\\b"), lit(0)))
+            .as("n_red"))
+        .orderBy(col("doc_id"))
+    },
+
     // ------------------------------------------------ text analysis
     // Token counting: whitespace + BPE-ish regex tokenizations
     q("q_text_stats",
