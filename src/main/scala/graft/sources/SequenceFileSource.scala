@@ -100,7 +100,15 @@ case class SequenceFileRelation(
 object SequenceFileRelation {
   private val NullToken = "\\N" // Hive LazySimpleSerDe null marker
 
-  private[sources] def parse(s: String, dt: DataType): Any =
+  private[sources] def parse(s: String, dt: DataType): Any = {
+    val supported = dt match {
+      case StringType | IntegerType | LongType | DoubleType | FloatType |
+           ShortType | ByteType | BooleanType | DateType | TimestampType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    if (!supported) throw new IllegalArgumentException(
+      s"sequencefile source does not support column type $dt")
     if (s == NullToken) null
     else try dt match {
       case StringType => s
@@ -111,16 +119,15 @@ object SequenceFileRelation {
       case ShortType => s.trim.toShort
       case ByteType => s.trim.toByte
       case BooleanType => s.trim.toBoolean
-      case d: DecimalType => new java.math.BigDecimal(s.trim)
+      case _: DecimalType => new java.math.BigDecimal(s.trim)
       case DateType => java.sql.Date.valueOf(s.trim)
       case TimestampType => java.sql.Timestamp.valueOf(s.trim)
-      case other => throw new IllegalArgumentException(
-        s"sequencefile source does not support column type $other")
     } catch {
-      case _: NumberFormatException => null // Hive-lax: bad cells read NULL
-      case _: IllegalArgumentException
-          if dt == DateType || dt == TimestampType => null
+      // Hive-lax (LazySimpleSerDe): any malformed cell reads as NULL —
+      // covers numbers, booleans, dates and timestamps alike
+      case _: NumberFormatException | _: IllegalArgumentException => null
     }
+  }
 
   private def format(v: Any): String =
     if (v == null) NullToken else v.toString
