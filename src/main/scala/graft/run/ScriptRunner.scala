@@ -95,7 +95,7 @@ final class ScriptRunner(
       .exists(_.equalsIgnoreCase("true"))
     val tr = graft.script.HiveDdlTranslator.translate(rawStmt, emulateUnion)
     tr.warnings.foreach(w => out.println(s"[WARN] $w"))
-    val stmt = locateSequenceFileTable(tr.sql)
+    val stmt = tr.sql
     dispatcher.dispatch(stmt) match {
       case Some(_) => ()
       case None if !validateOnly =>
@@ -131,33 +131,6 @@ final class ScriptRunner(
       case _ =>
         GraftBridge.analyze(spark, parsed) // plain query: analyze, don't run
         out.println("> Skipped!")
-    }
-  }
-
-  /** The sequencefile datasource is a DSv1 relation (not a FileFormat),
-    * so Spark never hands it the managed-table location — a
-    * `CREATE TABLE … USING sequencefile` without LOCATION would fail at
-    * first read. Fill in the catalog's default table path, anchored right
-    * after the USING/OPTIONS clause the translator emitted (safe for both
-    * plain CREATE and CTAS). */
-  private def locateSequenceFileTable(stmt: String): String = {
-    import java.util.regex.Pattern
-    val create = Pattern.compile(
-      "(?is)^\\s*create\\s+(?:external\\s+)?(?:temporary\\s+)?table\\s+" +
-        "(?:if\\s+not\\s+exists\\s+)?([\\w.`]+)").matcher(stmt)
-    val lower = stmt.toLowerCase
-    if (!create.find() || !lower.contains("using sequencefile") ||
-        Pattern.compile("(?is)\\blocation\\s+'").matcher(stmt).find()) stmt
-    else {
-      val ident = spark.sessionState.sqlParser.parseTableIdentifier(
-        create.group(1).replace("`", ""))
-      val loc = spark.sessionState.catalog.defaultTablePath(ident)
-      val anchor = Pattern.compile(
-        "(?is)(using\\s+sequencefile\\s*(?:options\\s*\\([^)]*\\))?)")
-        .matcher(stmt)
-      anchor.find()
-      stmt.substring(0, anchor.end) + s" LOCATION '$loc' " +
-        stmt.substring(anchor.end)
     }
   }
 

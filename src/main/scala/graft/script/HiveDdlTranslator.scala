@@ -11,12 +11,11 @@ import java.util.regex.Pattern
   * FIELDS TERMINATED BY …` (→ csv options), Hive-style `PARTITIONED BY
   * (col TYPE)` (partition columns move into the schema, as Spark
   * datasource tables require), bare `EXTERNAL` without LOCATION.
-  * SEQUENCEFILE is real storage via [[graft.sources.SequenceFileSource]]
-  * (Hive-compatible BytesWritable/Text layout); RCFILE — a columnar
-  * maintenance format the reference explicitly blocks (RCFile ops,
-  * `ManifestRunner.java:102-104`) — maps to parquet with a warning, as
-  * does partitioned SEQUENCEFILE (DSv1 relations can't back partitioned
-  * catalog tables).
+  * SEQUENCEFILE is real storage via [[graft.sources.SequenceFileFormat]]
+  * (Hive-compatible BytesWritable/Text layout, partitioned tables
+  * included); RCFILE — a columnar maintenance format the reference
+  * explicitly blocks (RCFile ops, `ManifestRunner.java:102-104`) — maps
+  * to parquet with a warning.
   */
 object HiveDdlTranslator {
 
@@ -114,17 +113,13 @@ object HiveDdlTranslator {
     val sa = StoredAs.matcher(sql)
     if (sa.find()) {
       val hiveFmt = sa.group(1).toLowerCase
-      // partitioned catalog tables need a FileFormat source; the DSv1
-      // sequencefile relation can't provide one, so partitioned
-      // SEQUENCEFILE falls back to parquet like RCFILE
-      val isPartitioned = HivePartitionedBy.matcher(sql).find()
       val spark = hiveFmt match {
         case "textfile" => "csv"
         case "parquet" => "parquet"
         case "orc" => "orc"
         case "avro" => "avro"
         case "jsonfile" => "json"
-        case "sequencefile" if !isPartitioned => "sequencefile"
+        case "sequencefile" => "sequencefile" // graft.sources.SequenceFileFormat
         case other =>
           warnings :+= s"STORED AS $other has no Spark datasource here; using parquet " +
             "(storage format is not observable in local simulation)"

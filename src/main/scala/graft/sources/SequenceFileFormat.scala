@@ -1,0 +1,209 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.io.{BytesWritable, SequenceFile, Text, Writable}
+import org.apache.hadoop.mapreduce.{Job, TaskAttemptContext, TaskAttemptID}
+import org.apache.hadoop.mapreduce.lib.input.{FileSplit, SequenceFileRecordReader}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.execution.datasources.{FileFormat, OutputWriter, OutputWriterFactory, PartitionedFile}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hadoop-config holder that survives task serialization (the stock
+  * Spark wrapper is `private[spark]`). */
+private[sources] class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+/** Real SEQUENCEFILE storage for Hive DDL parity (`STORED AS
+  * SEQUENCEFILE`, SURVEY.md §2.2 storage formats). Hive's layout
+  * (`LazySimpleSerDe` over `Text`): each record is one (key, value) pair
+  * where the KEY IS IGNORED and the value is the delimited row text,
+  * nulls as `\N` — so files interoperate with actual Hive in both
+  * directions.
+  *
+  * Implemented as a [[FileFormat]] (not a DSv1 relation) so the full
+  * HadoopFsRelation machinery applies: partitioned catalog tables with
+  * partition pruning, LOAD DATA, managed-table locations, split-parallel
+  * reads (sequence files split on sync marks — `isSplitable = true`, the
+  * property that matters at 100 TB), and column pruning down to the
+  * parse step.
+  */
+class SequenceFileFormat extends FileFormat with DataSourceRegister
+    with Serializable {
+
+  override def shortName(): String = "sequencefile"
+  override def toString: String = "SequenceFile"
+  override def hashCode(): Int = getClass.hashCode()
+  override def equals(other: Any): Boolean =
+    other.isInstanceOf[SequenceFileFormat]
+
+  /** Schema-on-read default when no DDL schema exists: the whole value
+    * line as one string column (Hive's single-column default table). */
+  override def inferSchema(spark: SparkSession, options: Map[String, String],
+      files: Seq[FileStatus]): Option[StructType] =
+    Some(StructType(Seq(StructField("value", StringType))))
+
+  override def isSplitable(spark: SparkSession, options: Map[String, String],
+      path: Path): Boolean = true
+
+  override def supportDataType(dataType: DataType): Boolean = dataType match {
+    case StringType | IntegerType | LongType | DoubleType | FloatType |
+         ShortType | ByteType | BooleanType | DateType | TimestampType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  override def prepareWrite(spark: SparkSession, job: Job,
+      options: Map[String, String], dataSchema: StructType): OutputWriterFactory = {
+    val delim = options.getOrElse("delimiter", "")
+    new OutputWriterFactory {
+      override def getFileExtension(context: TaskAttemptContext): String = ""
+      override def newInstance(path: String, schema: StructType,
+          context: TaskAttemptContext): OutputWriter =
+        new SequenceFileRowWriter(path, schema, delim,
+          context.getConfiguration)
+    }
+  }
+
+  override def buildReader(spark: SparkSession, dataSchema: StructType,
+      partitionSchema: StructType, requiredSchema: StructType,
+      filters: Seq[Filter], options: Map[String, String],
+      hadoopConf: Configuration): PartitionedFile => Iterator[InternalRow] = {
+    val delim = options.getOrElse("delimiter", "")
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(hadoopConf))
+    // column pruning: map each required column to its position in the line
+    val fieldPos = requiredSchema.fields.map(f => dataSchema.fieldIndex(f.name))
+    val fieldTypes = requiredSchema.fields.map(_.dataType)
+
+    (file: PartitionedFile) => {
+      val split = new FileSplit(file.filePath.toPath, file.start, file.length,
+        Array.empty[String])
+      val reader = new SequenceFileRecordReader[Writable, Text]()
+      reader.initialize(split,
+        new TaskAttemptContextImpl(confBc.value.value, new TaskAttemptID()))
+      val quotedDelim = java.util.regex.Pattern.quote(delim)
+      new Iterator[InternalRow] {
+        private var ready = false
+        private var done = false
+        private def advance(): Unit =
+          if (!ready && !done) {
+            if (reader.nextKeyValue()) ready = true
+            else { done = true; reader.close() }
+          }
+        override def hasNext: Boolean = { advance(); ready }
+        override def next(): InternalRow = {
+          advance()
+          if (!ready) throw new NoSuchElementException
+          ready = false
+          val parts = reader.getCurrentValue.toString.split(quotedDelim, -1)
+          val values = new Array[Any](fieldPos.length)
+          var i = 0
+          while (i < fieldPos.length) {
+            val p = fieldPos(i)
+            values(i) =
+              if (p >= parts.length) null
+              else SequenceFileFormat.toInternal(parts(p), fieldTypes(i))
+            i += 1
+          }
+          new GenericInternalRow(values)
+        }
+      }
+    }
+  }
+}
+
+object SequenceFileFormat {
+  private val NullToken = "\\N" // Hive LazySimpleSerDe null marker
+
+  /** Parse one delimited cell to Catalyst's internal representation;
+    * Hive-lax: malformed cells read as NULL. */
+  private[sources] def toInternal(s: String, dt: DataType): Any =
+    if (s == NullToken) null
+    else try dt match {
+      case StringType => UTF8String.fromString(s)
+      case IntegerType => s.trim.toInt
+      case LongType => s.trim.toLong
+      case DoubleType => s.trim.toDouble
+      case FloatType => s.trim.toFloat
+      case ShortType => s.trim.toShort
+      case ByteType => s.trim.toByte
+      case BooleanType => s.trim.toBoolean
+      case d: DecimalType =>
+        Decimal(new java.math.BigDecimal(s.trim), d.precision, d.scale)
+      case DateType => DateTimeUtils.fromJavaDate(java.sql.Date.valueOf(s.trim))
+      case TimestampType =>
+        DateTimeUtils.fromJavaTimestamp(java.sql.Timestamp.valueOf(s.trim))
+      case other => throw new IllegalStateException(
+        s"unsupported sequencefile column type $other") // blocked by supportDataType
+    } catch {
+      case _: NumberFormatException | _: IllegalArgumentException => null
+    }
+
+  /** Render one internal value back to Hive's text form. */
+  private[sources] def toText(row: InternalRow, i: Int, dt: DataType): String =
+    if (row.isNullAt(i)) NullToken
+    else dt match {
+      case StringType => row.getUTF8String(i).toString
+      case IntegerType => row.getInt(i).toString
+      case LongType => row.getLong(i).toString
+      case DoubleType => row.getDouble(i).toString
+      case FloatType => row.getFloat(i).toString
+      case ShortType => row.getShort(i).toString
+      case ByteType => row.getByte(i).toString
+      case BooleanType => row.getBoolean(i).toString
+      case d: DecimalType =>
+        row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.toPlainString
+      case DateType => DateTimeUtils.toJavaDate(row.getInt(i)).toString
+      case TimestampType => DateTimeUtils.toJavaTimestamp(row.getLong(i)).toString
+      case other => throw new IllegalStateException(
+        s"unsupported sequencefile column type $other")
+    }
+}
+
+/** Per-task writer: one Hadoop sequence file in Hive's layout (empty
+  * BytesWritable key, delimited Text value). */
+private[sources] class SequenceFileRowWriter(
+    val path: String,
+    schema: StructType,
+    delimiter: String,
+    conf: Configuration) extends OutputWriter {
+
+  private val writer = SequenceFile.createWriter(conf,
+    SequenceFile.Writer.file(new Path(path)),
+    SequenceFile.Writer.keyClass(classOf[BytesWritable]),
+    SequenceFile.Writer.valueClass(classOf[Text]))
+  private val emptyKey = new BytesWritable(Array.emptyByteArray)
+  private val text = new Text()
+  private val types = schema.fields.map(_.dataType)
+
+  override def write(row: InternalRow): Unit = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < types.length) {
+      if (i > 0) sb.append(delimiter)
+      sb.append(SequenceFileFormat.toText(row, i, types(i)))
+      i += 1
+    }
+    text.set(sb.toString)
+    writer.append(emptyKey, text)
+  }
+
+  override def close(): Unit = writer.close()
+}

@@ -441,6 +441,25 @@ class HqlSurfaceSpec extends AnyFunSuite {
     run("DROP TABLE sq_t;")
   }
 
+  test("partitioned SEQUENCEFILE table: dynamic insert + partition pruning") {
+    val out = run(
+      """DROP TABLE IF EXISTS sqp_t;
+        |CREATE TABLE sqp_t (event_id BIGINT, value DOUBLE)
+        |ROW FORMAT DELIMITED FIELDS TERMINATED BY ','
+        |STORED AS SEQUENCEFILE
+        |PARTITIONED BY (event_type STRING);
+        |INSERT OVERWRITE TABLE sqp_t PARTITION (event_type)
+        |  SELECT event_id, value, event_type
+        |  FROM parquet.`/root/testdata/sf0.001/events.parquet`;
+        |SELECT count(*) AS n_click FROM sqp_t WHERE event_type = 'click';""".stripMargin)
+    assert(out.contains("210")) // click count at sf0.001 (parity with ev_part test)
+    // pruning: the filtered scan reads only the one partition directory
+    val plan = spark.table("sqp_t").where("event_type='click'")
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("event_type=view"))
+    run("DROP TABLE sqp_t;")
+  }
+
   test("GROUPING__ID virtual column and WITH ROLLUP (Hive syntax) work") {
     val out = run(
       """CREATE OR REPLACE TEMPORARY VIEW gid_t AS
