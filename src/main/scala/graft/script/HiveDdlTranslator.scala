@@ -156,10 +156,17 @@ object HiveDdlTranslator {
 
     // insert USING after the column list (or table name if no list)
     val usingClause = format.get match {
-      case f @ ("csv" | "sequencefile") =>
+      case "csv" =>
         val d = delimiter.getOrElse("\u0001") // Hive default field delim ^A
         val dEsc = d.replace("\\", "\\\\").replace("'", "\\'")
-        s" USING $f OPTIONS (delimiter '$dEsc') "
+        // LazySimpleSerDe parity: no quote interpretation (quote = NUL),
+        // \N null marker — values with embedded quotes/backslashes
+        // round-trip byte-identically to Hive text tables
+        s" USING csv OPTIONS (delimiter '$dEsc', quote '\\u0000', nullValue '\\\\N') "
+      case "sequencefile" =>
+        val d = delimiter.getOrElse("\u0001")
+        val dEsc = d.replace("\\", "\\\\").replace("'", "\\'")
+        s" USING sequencefile OPTIONS (delimiter '$dEsc') "
       case f => s" USING $f "
     }
     val insertAt = usingInsertionPoint(sql)

@@ -133,6 +133,33 @@ class HiveDdlTranslatorSpec extends AnyFunSuite {
     runner.runScriptText("DROP TABLE hv_t;", Map.empty)
   }
 
+  test("TEXTFILE tables use Hive LazySimpleSerDe semantics: raw quotes, \\N nulls") {
+    val spark = TestSpark.spark
+    import java.io.{ByteArrayOutputStream, PrintStream}
+    val bos = new ByteArrayOutputStream()
+    val runner = new graft.run.ScriptRunner(spark, validateOnly = false,
+      verbose = false, new PrintStream(bos, true, "UTF-8"))
+    val loc = java.nio.file.Files.createTempDirectory("graft-hive-txt")
+    runner.runScriptText(
+      s"""DROP TABLE IF EXISTS txt_t;
+         |CREATE EXTERNAL TABLE txt_t (k INT, v STRING)
+         |ROW FORMAT DELIMITED FIELDS TERMINATED BY '|'
+         |STORED AS TEXTFILE LOCATION '$loc';
+         |INSERT INTO txt_t VALUES (1, 'he said "hi"'), (2, NULL), (3, 'back\\\\slash');
+         |SELECT k, v FROM txt_t ORDER BY k;""".stripMargin, Map.empty)
+    val out = new String(bos.toByteArray, "UTF-8")
+    assert(out.contains("1\the said \"hi\""), s"quotes must not be interpreted:\n$out")
+    assert(out.contains("2\tNULL"))
+    // on-disk layout is Hive's: raw value, \N for null
+    val raw = java.nio.file.Files.list(loc).toArray.map(_.toString)
+      .filter(_.contains("part-")).filterNot(_.endsWith(".crc"))
+      .map(p => new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8")).mkString
+    assert(raw.contains("""1|he said "hi""""))
+    assert(raw.contains("""2|\N"""))
+    runner.runScriptText("DROP TABLE txt_t;", Map.empty)
+  }
+
   test("CREATE INDEX is accepted-and-warned (reference disables indexes)") {
     val spark = TestSpark.spark
     import java.io.{ByteArrayOutputStream, PrintStream}
