@@ -162,6 +162,14 @@ class FunctionParitySpec extends AnyFunSuite {
       "CAST('12x' AS INT)" -> null,      // Hive: NULL, ANSI: error
       "'7' + 1" -> 8.0,                  // string+int coerces via double
       "CAST(1.9 AS INT)" -> 1,           // truncation not rounding
-      "CAST(TRUE AS INT)" -> 1)
+      "CAST(TRUE AS INT)" -> 1,
+      "1 / 0" -> null,                   // Hive: NULL, ANSI: error
+      "1 % 0" -> null,
+      "CAST(10 AS DOUBLE) / 4" -> 2.5,   // int/int promotes to double
+      "1 / 2" -> 0.5,
+      "5 DIV 2" -> 2L,                   // integer division keyword
+      "'10' > 9" -> true,                // numeric-context string compare
+      "element_at(array(1, 2), 5)" -> null, // out-of-bounds: NULL not error
+      "substr('ab', 5)" -> "")
   }
 }
