@@ -14,6 +14,8 @@ object DialectGate {
     """(?is).*\bunion\s+(?!all\b)(distinct\b|select\b|\().*""".r.pattern
   private val IntersectExcept =
     """(?is).*\b(intersect|except|minus)\b.*""".r.pattern
+  private val DistinctAgg =
+    """(?is)\w+\s*\(\s*distinct\b\s*([^)]*)\)""".r
 
   /** Blank out quoted strings/identifiers so keywords inside literals
     * ('profit minus cost') can't trip the gates. */
@@ -43,12 +45,21 @@ object DialectGate {
     val cleaned = maskQuoted(HqlScriptParser.stripComments(stmt))
     release match {
       case Some(r @ ("emr-3" | "emr-4")) =>
+        // distinct aggregates over DIFFERENT expressions in one statement:
+        // pre-2.3 Hive rejects them ("DISTINCT on different columns not
+        // supported") — the exact script-breaks-on-cluster case this tool
+        // exists to catch locally
+        val distinctArgs = DistinctAgg.findAllMatchIn(cleaned)
+          .map(_.group(1).replaceAll("\\s+", "")).toSet
         if (IntersectExcept.matcher(cleaned).matches())
           Some(s"INTERSECT/EXCEPT/MINUS require Hive 2.3 (emr-5); " +
             s"$r pins Hive ${hive(r)}")
         else if (UnionDistinct.matcher(cleaned).matches())
           Some(s"UNION [DISTINCT] requires Hive 1.2+ (emr-5); " +
             s"$r pins Hive ${hive(r)} — use UNION ALL")
+        else if (distinctArgs.size > 1)
+          Some(s"multiple DISTINCT aggregates over different expressions " +
+            s"require Hive 2.3 (emr-5); $r pins Hive ${hive(r)}")
         else None
       case _ => None
     }

@@ -24,6 +24,19 @@ class DialectGateSpec extends AnyFunSuite {
       Some("emr-5")).isEmpty)
   }
 
+  test("multiple DISTINCT aggregates over different columns rejected below emr-5") {
+    val multi = "SELECT count(DISTINCT a), count(DISTINCT b) FROM t"
+    assert(DialectGate.check(multi, Some("emr-3"))
+      .exists(_.contains("DISTINCT aggregates")))
+    assert(DialectGate.check(multi, Some("emr-5")).isEmpty)
+    // same expression twice is fine on any release (pre-2.3 Hive allows it)
+    assert(DialectGate.check(
+      "SELECT count(DISTINCT a), sum(DISTINCT a) FROM t", Some("emr-3")).isEmpty)
+    // single distinct agg fine
+    assert(DialectGate.check(
+      "SELECT count(DISTINCT a), sum(b) FROM t", Some("emr-4")).isEmpty)
+  }
+
   test("keywords inside comments don't trip the gate") {
     assert(DialectGate.check(
       "SELECT a FROM t -- intersect with nothing\n", Some("emr-3")).isEmpty)
