@@ -965,6 +965,30 @@ object Queries {
         .orderBy(col("doc_id"))
     },
 
+    // §2.2 Storage formats: SEQUENCEFILE write→read round-trip through
+    // the custom FileFormat, hash-verified against DuckDB over the
+    // original parquet — storage fidelity inside the driver's gate.
+    // (l_quantity is integral-valued, so the double sum is
+    // order-independent and exact on both sides.)
+    q("q_seqfile_roundtrip",
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS qty
+        |FROM lineitem WHERE l_orderkey < 1000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-seqrt").toString + "/t"
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        .write.format("sequencefile").option("delimiter", "|").save(tmp)
+      s.read.format("sequencefile").option("delimiter", "|")
+        .schema("l_orderkey BIGINT, l_returnflag STRING, l_quantity DOUBLE")
+        .load(tmp)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("double").as("qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // §2.2 Misc family: Hive-compatible hash() (Spark's HiveHash expr).
     // Golden-literal oracle: Hive's string hash is public knowledge
     // (h = 31*h + signed_utf8_byte, int32 wrap; int hashes to itself), so
