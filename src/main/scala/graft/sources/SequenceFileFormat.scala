@@ -98,6 +98,12 @@ class SequenceFileFormat extends FileFormat with DataSourceRegister
       val reader = new SequenceFileRecordReader[Writable, Text]()
       reader.initialize(split,
         new TaskAttemptContextImpl(confBc.value.value, new TaskAttemptID()))
+      var closed = false
+      def closeOnce(): Unit = if (!closed) { closed = true; reader.close() }
+      // a task can end before the iterator drains (LIMIT, failure) — close
+      // with the task, like Spark's own file sources
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
       val quotedDelim = java.util.regex.Pattern.quote(delim)
       new Iterator[InternalRow] {
         private var ready = false
@@ -105,7 +111,7 @@ class SequenceFileFormat extends FileFormat with DataSourceRegister
         private def advance(): Unit =
           if (!ready && !done) {
             if (reader.nextKeyValue()) ready = true
-            else { done = true; reader.close() }
+            else { done = true; closeOnce() }
           }
         override def hasNext: Boolean = { advance(); ready }
         override def next(): InternalRow = {
