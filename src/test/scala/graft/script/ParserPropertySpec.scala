@@ -105,4 +105,20 @@ object ParserPropertySpec extends Properties("HqlScriptParser") {
         sub.substitute(s"$${$a}") == v
       }
     }
+
+  property("cyclic references terminate (Hive's 40-deep iteration bound)") =
+    forAll(ident, ident) { (a, b) =>
+      (a != b) ==> {
+        val sub = new VariableSubstitutor(
+          Map(a -> s"$${$b}", b -> s"$${$a}"))
+        // must not hang; the cycle survives as an unresolved reference
+        sub.substitute(s"SELECT $${$a}").startsWith("SELECT ")
+      }
+    }
+
+  property("self-reference terminates") =
+    forAll(ident) { a =>
+      new VariableSubstitutor(Map(a -> s"$${$a}"))
+        .substitute(s"$${$a}").contains(a)
+    }
 }
