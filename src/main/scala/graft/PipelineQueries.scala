@@ -491,6 +491,141 @@ object PipelineQueries {
       val frames = Multimodal.frameSampleStub(media).toDF()
         .select(col("doc_id"), size(col("frames")).as("n_frames"))
       thumbs.join(frames, "doc_id").orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------ temporal joins
+    // Backward as-of join (union-and-carry window, ops/AsOf.scala): each
+    // click is enriched with the most recent purchase value at-or-before
+    // it per user. DuckDB's native ASOF LEFT JOIN is the oracle — an
+    // independent implementation of the same semantics, including
+    // left-outer nulls and the <= tie rule.
+    q("q_asof_join",
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |    CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS ms FROM events),
+        |clicks AS (SELECT event_id, user_id, ms FROM e WHERE event_type = 'click'),
+        |purch AS (SELECT user_id, ms, max(value) AS pval FROM e
+        |          WHERE event_type = 'purchase' GROUP BY user_id, ms)
+        |SELECT c.event_id, c.user_id, c.ms, p.pval AS asof_pval
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND p.ms <= c.ms
+        |ORDER BY c.event_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          expr("ts div 1000000").as("ms"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ms"))
+      // right side pre-aggregated to one row per (user, ts): as-of choice
+      // among equal timestamps is undefined otherwise (same rule as DuckDB)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ms").as("pms"))
+        .agg(max(col("value")).as("pval"))
+      graft.ops.AsOf.asOfJoin(clicks, purchases, Seq("user_id"), "ms", "pms")
+        .orderBy(col("event_id"))
+    },
+
+    // ------------------------------------------------ decontamination
+    // Benchmark-overlap flagging: distinct shared trigrams per corpus doc
+    // vs a (broadcast) benchmark set — the pretraining leakage guard.
+    q("q_decontaminate",
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(generate_series(0, len(string_split_regex(text, '\s+')) - 1)) AS pos,
+        |    unnest(string_split_regex(text, '\s+')) AS word FROM documents),
+        |tri AS (SELECT doc_id,
+        |    word || ' ' || lead(word) OVER w || ' ' || lead(word, 2) OVER w AS g
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |corpus AS (SELECT DISTINCT doc_id, g FROM tri
+        |           WHERE doc_id % 20 <> 0 AND g IS NOT NULL),
+        |bench AS (SELECT DISTINCT g FROM tri
+        |          WHERE doc_id % 20 = 0 AND g IS NOT NULL)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_overlap
+        |FROM corpus JOIN bench USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontam.overlapCounts(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0), n = 3)
+        .orderBy(col("doc_id"))
+    },
+
+    // The cleaned-corpus side of the same operator: anti-join away docs
+    // with >= 5 distinct shared trigrams.
+    q("q_decontam_clean",
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(generate_series(0, len(string_split_regex(text, '\s+')) - 1)) AS pos,
+        |    unnest(string_split_regex(text, '\s+')) AS word FROM documents),
+        |tri AS (SELECT doc_id,
+        |    word || ' ' || lead(word) OVER w || ' ' || lead(word, 2) OVER w AS g
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |corpus AS (SELECT DISTINCT doc_id, g FROM tri
+        |           WHERE doc_id % 20 <> 0 AND g IS NOT NULL),
+        |bench AS (SELECT DISTINCT g FROM tri
+        |          WHERE doc_id % 20 = 0 AND g IS NOT NULL),
+        |flagged AS (SELECT doc_id FROM corpus JOIN bench USING (g)
+        |            GROUP BY doc_id HAVING count(*) >= 5)
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontam.decontaminate(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0), n = 3, minOverlap = 5)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------ sequence packing
+    // Concat-and-chunk packing into 512-token training sequences, 8
+    // parallel shards; pack-level fill report.
+    q("q_pack_sequences",
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+        |    len(string_split_regex(text, '\s+')) AS n_tokens FROM documents),
+        |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |        ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before FROM d)
+        |SELECT shard, CAST(cum_before // 512 AS BIGINT) AS pack_id,
+        |  CAST(count(*) AS INT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        |FROM c GROUP BY shard, pack_id
+        |ORDER BY shard, pack_id""".stripMargin) { (s, dir) =>
+      graft.ops.Packing.packStats(t(s, dir, "documents"),
+          tokens = size(split(col("text"), "\\s+")).cast("long"),
+          budget = 512, shards = 8)
+        .orderBy(col("shard"), col("pack_id"))
+    },
+
+    // ------------------------------------------------ corpus mixing
+    // Weighted source mixing with md5-derived (engine-independent)
+    // membership: curated sources (src0–src9, the length-4 names) kept at
+    // 75%, the rest at 25%. The oracle recomputes the EXACT row set.
+    q("q_sample_weighted",
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 6)) AS INTEGER)
+        |      / 16777216.0
+        |    < CASE WHEN length(source) = 4 THEN 0.75 ELSE 0.25 END
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val weights = (0 to 9).map(i => s"src$i" -> 0.75) ++
+        (10 to 19).map(i => s"src$i" -> 0.25)
+      graft.ops.Sampling.weightedByStratum(t(s, dir, "documents"),
+          "source", "doc_id", weights.toMap)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Train/val/test assignment by the same md5 unit interval — split
+    // membership auditable from the key alone in any engine. Weights
+    // 0.75/0.125/0.125: the cumulative boundaries are exact binary
+    // fractions, so both engines compare against identical doubles.
+    q("q_split_md5",
+      """SELECT doc_id,
+        |  CASE WHEN CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 6)) AS INTEGER)
+        |            / 16777216.0 < 0.75 THEN 'train'
+        |       WHEN CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 6)) AS INTEGER)
+        |            / 16777216.0 < 0.875 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Sampling.splitLabelByMd5(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
     }
   )
 

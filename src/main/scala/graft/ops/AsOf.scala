@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of (temporal) join: for every left row, attach the most
+  * recent right row with `rightTs <= leftTs` (or `<` in strict mode) for
+  * the same key — the standard enrichment of an event stream with the
+  * last-known value of a slowly-changing feed (prices, model versions,
+  * user attributes).
+  *
+  * Spark has no native as-of join, and the naive encodings both fail at
+  * scale: a range-condition join degenerates to a per-key cross product,
+  * and "max(rightTs) per left row then re-join" scans the right side
+  * twice. This implementation uses the union-and-carry formulation
+  * instead: tag both sides, union them, and run ONE window (partitioned
+  * by key, ordered by time with right rows sorting before left rows at
+  * equal timestamps) carrying the last non-null right payload forward.
+  * Cost at any scale = one shuffle of |L|+|R| rows on the join key and a
+  * per-key sort — no row multiplication, no second scan, and the window
+  * state is O(1) per key (`last` over an unbounded-preceding frame is
+  * computed incrementally, never buffering the frame).
+  *
+  * The right payload is carried as a single struct, so the attached
+  * columns always come from ONE right row (per-column carry would mix
+  * rows when right columns contain nulls).
+  *
+  * Right rows must be unique per (key, rightTs): like DuckDB's ASOF JOIN
+  * (the oracle used by q_asof_join), the choice among equal-timestamp
+  * right rows is otherwise undefined — pre-aggregate the right side.
+  */
+object AsOf {
+
+  /** Left as-of join. Right columns other than `keys` and `rightTs` are
+    * attached with `prefix`; left rows with no matching right row get
+    * nulls (left-outer semantics).
+    *
+    * @param inclusive true = match `rightTs <= leftTs` (DuckDB ASOF
+    *                  semantics); false = strictly earlier only.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, prefix: String = "asof_",
+      inclusive: Boolean = true): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one equality key")
+    val rightVals = right.columns.filterNot(c => keys.contains(c) || c == rightTs)
+    require(rightVals.nonEmpty, "right side has no payload columns")
+    val payload = "__asof_payload"
+
+    // Left rows: original columns + sort tag + null payload placeholder.
+    val rightStruct = struct(rightVals.map(col): _*)
+    val nullPayload = lit(null).cast(
+      org.apache.spark.sql.types.StructType(rightVals.map(right.schema(_))))
+    val l2 = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn(payload, nullPayload)
+
+    // Right rows: keys + timestamp + payload struct, null-filled to the
+    // left schema so unionByName lines up.
+    val leftOnly = left.columns.filterNot(keys.contains)
+    val r2 = leftOnly.foldLeft(
+      right
+        .withColumn("__ts", col(rightTs))
+        .withColumn("__side", lit(0))
+        .withColumn(payload, rightStruct)
+        .select((keys.map(col) :+ col("__ts") :+ col("__side") :+ col(payload)): _*)
+    ) { (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)) }
+
+    // At equal timestamps: inclusive puts the right row first (so the left
+    // row sees it); strict puts the left row first (so it doesn't).
+    val sideOrder = if (inclusive) col("__side").asc else col("__side").desc
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, sideOrder)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = l2.unionByName(r2.select(l2.columns.map(col): _*))
+      .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    rightVals.foldLeft(carried) { (df, c) =>
+      df.withColumn(prefix + c, col(payload).getField(c))
+    }.drop("__ts", "__side", payload)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: remove training documents that share
+  * n-gram overlap with an evaluation/benchmark set — the standard
+  * leakage guard run before every pretraining job (e.g. the 13-gram
+  * filters described for GPT-3/PaLM-style pipelines).
+  *
+  * Shape at 100 TB: the corpus side is huge, the benchmark side is tiny
+  * (eval suites are at most millions of n-grams). So the benchmark's
+  * distinct n-gram set is BROADCAST and the corpus side stays narrow:
+  * tokenize → distinct shingles (one custom codegen'd expression, no
+  * shuffle) → explode → broadcast-hash semi join. The only shuffle in
+  * the whole operator is the final tiny aggregation of matched doc ids.
+  * Overlap counting joins on the shingle STRING here for oracle
+  * exactness; at petabyte scale hash the shingles first
+  * ([[GraftFunctions.fingerprint64]]) so only 8-byte keys flow.
+  */
+object Decontam {
+
+  private def docGrams(docs: DataFrame, n: Int, idCol: String, textCol: String) =
+    docs.select(col(idCol),
+        explode(GraftFunctions.shingles(split(col(textCol), "\\s+"), n)).as("gram"))
+
+  /** Per-document count of distinct n-grams shared with the benchmark
+    * set. Documents with zero overlap are absent from the result. */
+  def overlapCounts(corpus: DataFrame, benchmark: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // shingles() already dedups per document, so count(*) after the join
+    // (against the distinct benchmark grams) counts distinct shared grams
+    val benchGrams = docGrams(benchmark, n, idCol, textCol)
+      .select(col("gram")).distinct()
+    docGrams(corpus, n, idCol, textCol)
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_overlap"))
+  }
+
+  /** The corpus minus documents whose benchmark overlap reaches
+    * `minOverlap` distinct n-grams (broadcast anti join — no shuffle on
+    * the corpus side). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int,
+      minOverlap: Int = 1, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val flagged = overlapCounts(corpus, benchmark, n, idCol, textCol)
+      .filter(col("n_overlap") >= minOverlap)
+      .select(col(idCol))
+    corpus.join(broadcast(flagged), Seq(idCol), "left_anti")
+  }
+}

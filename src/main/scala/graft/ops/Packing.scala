@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: assign documents to fixed-token-budget training
+  * sequences ("packs"). Training jobs consume fixed-length token blocks;
+  * the pipeline step that turns a curated corpus into those blocks has
+  * to be deterministic (resumable, re-runnable) and distributed.
+  *
+  * This implements concat-and-chunk packing — documents are laid out in
+  * a deterministic order and cut into packs at token-budget boundaries —
+  * the scheme used by most LLM data loaders (sometimes called "packed
+  * sequences"). A document starting in pack p belongs to p even if it
+  * crosses the boundary; the consumer truncates or overflows, so packs
+  * fill to >= budget except each shard's last.
+  *
+  * Scale shape: a single global running sum would force a one-partition
+  * window. Instead the corpus is split into `shards` independent streams
+  * (deterministic function of the id), and the running sum is windowed
+  * PER SHARD — every shard packs in parallel, and adding shards is how
+  * the operator scales out (at 100 TB run thousands of shards; each
+  * shard's window sorts only |corpus|/shards rows). One shuffle total.
+  */
+object Packing {
+
+  /** Doc-level pack assignment: adds `shard`, `pack_id`, and
+    * `pack_offset` (token offset of this document within its pack).
+    *
+    * @param tokens    per-document token count expression
+    * @param budget    tokens per pack
+    * @param shards    independent packing streams (parallelism unit)
+    * @param idCol     unique numeric id — deterministic order + sharding
+    */
+  def packConcat(docs: DataFrame, tokens: Column, budget: Int, shards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0 && shards > 0)
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    docs
+      .withColumn("n_tokens", tokens)
+      .withColumn("shard", pmod(col(idCol), lit(shards)).cast("int"))
+      // running token count BEFORE this doc, within its shard
+      .withColumn("__cum_before",
+        coalesce(sum(col("n_tokens"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // integral div/mod: double division would lose exactness once the
+      // running count exceeds 2^53 tokens (reachable at corpus scale)
+      .withColumn("pack_id", expr(s"__cum_before div $budget"))
+      .withColumn("pack_offset", pmod(col("__cum_before"), lit(budget)).cast("long"))
+      .drop("__cum_before")
+  }
+
+  /** Pack-level summary (docs per pack, token fill) — the fill-ratio
+    * report a pipeline emits to validate budget utilization. */
+  def packStats(docs: DataFrame, tokens: Column, budget: Int, shards: Int,
+      idCol: String = "doc_id"): DataFrame =
+    packConcat(docs, tokens, budget, shards, idCol)
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"))
+}

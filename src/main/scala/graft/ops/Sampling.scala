@@ -30,6 +30,51 @@ object Sampling {
       lit(math.round(fraction * 10000).toInt)) // round, not truncate:
       // 0.29*10000 = 2899.9999... must select the 0.29 grid point
 
+  /** Uniform in [0, 1) as a pure function of the key, computed from the
+    * first 24 bits of md5(key-as-string). Unlike [[byKeyHash]]'s
+    * xxhash64 (Spark-specific), md5 is identical in every engine — a
+    * downstream system (DuckDB, Trino, Python) can recompute EXACTLY
+    * which rows the pipeline kept from the key alone, which makes
+    * hash-sampling auditable end-to-end (and oracle-checkable here:
+    * q_sample_weighted / q_split_md5 hash-match against DuckDB).
+    * Codegen'd expression chain, no shuffle, stable under repartition. */
+  def md5Unit(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 6), 16, 10)
+      .cast("long") / lit(1 << 24)
+
+  /** Keep each row with probability `fractions(stratum)` (absent strata
+    * drop), deterministically by md5 of the key: the cross-engine-
+    * reproducible version of [[stratified]]. The per-stratum rate is the
+    * corpus-mixing knob of a training pipeline (upweight curated
+    * sources, downweight crawl). */
+  def weightedByStratum(df: DataFrame, stratumCol: String, keyCol: String,
+      fractions: Map[String, Double]): DataFrame = {
+    require(fractions.nonEmpty && fractions.values.forall(f => f >= 0 && f <= 1))
+    val rate = fractions.foldLeft(lit(0.0)) { case (acc, (s, f)) =>
+      when(col(stratumCol) === s, lit(f)).otherwise(acc)
+    }
+    df.filter(md5Unit(col(keyCol)) < rate)
+  }
+
+  /** Disjoint split with md5-derived membership (cross-engine twin of
+    * [[splitByKeyHash]]): returns the split label per row rather than N
+    * frames, so the assignment itself can be audited/materialized. */
+  def splitLabelByMd5(df: DataFrame, keyCol: String,
+      weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0) && weights.map(_._2).sum > 0)
+    val total = weights.map(_._2).sum
+    val uppers = weights.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+    val u = md5Unit(col(keyCol))
+    // chain: u < upper_0 → w0, else u < upper_1 → w1, …; the LAST bucket
+    // is the open-ended fallback so fp accumulation error in the final
+    // cumulative boundary can never orphan u ≈ 1.0
+    val label = weights.init.zip(uppers.init).foldRight(
+      lit(weights.last._1): org.apache.spark.sql.Column) {
+      case (((name, _), hi), acc) => when(u < lit(hi), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Disjoint train/validation/test split by key hash: each row lands in
     * exactly one bucket, membership is a pure function of the key (new
     * data appended later falls consistently into the same splits; no row

@@ -1,0 +1,90 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  // left: (key, ts, tag) — right: (key, ts, price, note)
+  private lazy val left = Seq(
+    ("a", 10L, "l1"), ("a", 20L, "l2"), ("a", 30L, "l3"),
+    ("b", 15L, "l4"), ("c", 5L, "l5")
+  ).toDF("k", "ts", "tag")
+
+  private lazy val right = Seq(
+    ("a", 10L, 1.0, "r1"), ("a", 25L, 2.0, "r2"),
+    ("b", 15L, 3.0, "r3"), ("b", 99L, 4.0, "r4")
+  ).toDF("k", "rts", "price", "note")
+
+  test("backward as-of matches the most recent right row at-or-before") {
+    val out = AsOf.asOfJoin(left, right, Seq("k"), "ts", "rts")
+      .select("k", "ts", "tag", "asof_price", "asof_note")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(out(("a", 10L)) === (Some(1.0), Some("r1"))) // equal ts matches
+    assert(out(("a", 20L)) === (Some(1.0), Some("r1")))
+    assert(out(("a", 30L)) === (Some(2.0), Some("r2")))
+    assert(out(("b", 15L)) === (Some(3.0), Some("r3"))) // not the later r4
+    assert(out(("c", 5L)) === (None, None)) // no right rows for key c
+  }
+
+  test("strict mode excludes equal-timestamp right rows") {
+    val out = AsOf.asOfJoin(left, right, Seq("k"), "ts", "rts",
+        inclusive = false)
+      .select("k", "ts", "asof_note").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(2))).toMap
+    assert(out(("a", 10L)) === None) // r1 is AT ts=10, strict skips it
+    assert(out(("b", 15L)) === None)
+    assert(out(("a", 30L)) === Some("r2"))
+  }
+
+  test("payload is row-atomic: null fields do not reach further back") {
+    // latest right row for the left row has a NULL note; per-column carry
+    // would wrongly surface the older row's note
+    val r = Seq(("a", 1L, Some("old"), 1.0), ("a", 5L, None, 2.0))
+      .toDF("k", "rts", "note", "price")
+    val l = Seq(("a", 9L)).toDF("k", "ts")
+    val row = AsOf.asOfJoin(l, r, Seq("k"), "ts", "rts").collect().head
+    assert(row.getAs[Double]("asof_price") === 2.0)
+    assert(row.getAs[String]("asof_note") === null,
+      "note must come from the ts=5 row (null), not ts=1")
+  }
+
+  test("agrees with a brute-force reference on the events table") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), expr("ts div 1000000").as("ms"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ms")
+    val purch = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ms").as("pms"))
+      .agg(max("value").as("pval"))
+    val got = AsOf.asOfJoin(clicks, purch, Seq("user_id"), "ms", "pms")
+      .select("event_id", "asof_pval").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // reference: per-key scan over the collected (small) right side
+    val byUser = purch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val expected = clicks.collect().map { case Row(eid: Long, u: Long, ms: Long) =>
+      val cand = byUser.getOrElse(u, Array.empty).filter(_._2 <= ms)
+      eid -> (if (cand.isEmpty) None else Some(cand.maxBy(_._2)._3))
+    }.toMap
+    assert(got.size === expected.size)
+    expected.foreach { case (eid, exp) =>
+      assert(got(eid) === exp, s"event $eid")
+    }
+  }
+
+  test("result is stable under input repartitioning") {
+    val a = AsOf.asOfJoin(left, right, Seq("k"), "ts", "rts")
+      .orderBy("k", "ts").collect().toSeq
+    val b = AsOf.asOfJoin(left.repartition(7), right.repartition(3),
+        Seq("k"), "ts", "rts")
+      .orderBy("k", "ts").collect().toSeq
+    assert(a === b)
+  }
+}

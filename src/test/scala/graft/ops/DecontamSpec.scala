@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DecontamSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  // benchmark doc: trigrams {a b c, b c d, c d e}
+  private lazy val bench = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+
+  private lazy val corpus = Seq(
+    (1L, "a b c d e"),         // identical → 3 shared trigrams
+    (2L, "x a b c y"),         // one shared trigram (a b c)
+    (3L, "e d c b a"),         // reversed → no shared trigram
+    (4L, "a b"),               // too short for a trigram
+    (5L, "q w e r t y u")      // disjoint vocabulary
+  ).toDF("doc_id", "text")
+
+  test("overlap counts are exact distinct shared n-grams") {
+    val got = Decontam.overlapCounts(corpus, bench, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 3, 2L -> 1))
+  }
+
+  test("decontaminate drops exactly the docs at/over the threshold") {
+    val kept1 = Decontam.decontaminate(corpus, bench, n = 3, minOverlap = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept1 === Set(3L, 4L, 5L))
+    val kept2 = Decontam.decontaminate(corpus, bench, n = 3, minOverlap = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 === Set(2L, 3L, 4L, 5L)) // one shared trigram survives
+  }
+
+  test("repeated n-grams in a document count once") {
+    val c = Seq((1L, "a b c a b c a b c")).toDF("doc_id", "text")
+    // trigrams of the doc: {a b c, b c a, c a b} (distinct) — only
+    // 'a b c' is in the benchmark
+    val got = Decontam.overlapCounts(c, bench, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 1))
+  }
+
+  test("empty benchmark flags nothing") {
+    val none = bench.filter(lit(false))
+    assert(Decontam.overlapCounts(corpus, none, n = 3).count() === 0)
+    assert(Decontam.decontaminate(corpus, none, n = 3).count() ===
+      corpus.count())
+  }
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.TestSpark.{sfDir, spark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PackingSpec extends AnyFunSuite {
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private val tokens = size(split(col("text"), "\\s+")).cast("long")
+  private val budget = 128
+
+  test("every document lands in exactly one pack, offsets under budget") {
+    val packed = Packing.packConcat(docs, tokens, budget, shards = 4)
+    assert(packed.count() === docs.count())
+    assert(packed.filter(col("pack_offset") < 0 ||
+      col("pack_offset") >= budget).count() === 0)
+    // a doc's pack is where it STARTS: offset + its own tokens may cross
+    // the boundary, but the start offset never does
+  }
+
+  test("non-final packs cover their budget boundary") {
+    // concat-and-chunk invariant: in every pack except each shard's
+    // last, the final document crosses the pack's budget boundary
+    // (offset + tokens >= budget) — i.e. the token stream is contiguous
+    // with no under-filled cut. Pack token sums may still be BELOW the
+    // budget when the previous pack's overflow ate into this pack's
+    // span, so the boundary-coverage form is the correct assertion.
+    val packed = Packing.packConcat(docs, tokens, budget, shards = 4)
+    val perPack = packed.groupBy("shard", "pack_id")
+      .agg(max(col("pack_offset") + col("n_tokens")).as("end_reach"),
+        sum("n_tokens").as("pack_tokens"))
+    val lastPack = perPack.groupBy("shard").agg(max("pack_id").as("pack_id"))
+    val nonLast = perPack.join(lastPack, Seq("shard", "pack_id"), "left_anti")
+    assert(nonLast.filter(col("end_reach") < budget).count() === 0)
+    // and no pack holds more than one boundary-crossing document's excess
+    val maxDoc = docs.select(max(tokens)).head.getLong(0)
+    assert(nonLast.filter(col("pack_tokens") >= budget + maxDoc).count() === 0)
+  }
+
+  test("assignment is deterministic and repartition-stable") {
+    val a = Packing.packConcat(docs, tokens, budget, shards = 4)
+      .select("doc_id", "shard", "pack_id", "pack_offset")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3))).toMap
+    val b = Packing.packConcat(docs.repartition(17), tokens, budget, shards = 4)
+      .select("doc_id", "shard", "pack_id", "pack_offset")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3))).toMap
+    assert(a === b)
+  }
+
+  test("token mass is conserved through packing") {
+    val total = docs.select(sum(tokens)).head.getLong(0)
+    val packedTotal = Packing.packStats(docs, tokens, budget, shards = 4)
+      .select(sum("pack_tokens")).head.getLong(0)
+    assert(total === packedTotal)
+  }
+
+  test("more shards = same per-shard semantics, disjoint coverage") {
+    val packed = Packing.packConcat(docs, tokens, budget, shards = 16)
+    val shardCount = packed.select(countDistinct("shard")).head.getLong(0)
+    assert(shardCount === 16)
+    // every shard packs independently: doc_id mod 16 defines membership
+    assert(packed.filter(pmod(col("doc_id"), lit(16)) =!= col("shard"))
+      .count() === 0)
+  }
+}

@@ -42,4 +42,58 @@ class SamplingSpec extends AnyFunSuite {
     assert(langs.getOrElse("de", 0L) === 0L)      // fraction 0.0 drops all
     assert(!langs.contains("zh"))                 // absent strata dropped
   }
+
+  test("md5 unit interval: bounded, deterministic, repartition-stable") {
+    val u = docs.select(col("doc_id"),
+      Sampling.md5Unit(col("doc_id")).as("u"))
+    assert(u.filter(col("u") < 0 || col("u") >= 1).count() === 0)
+    val a = u.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = docs.repartition(11)
+      .select(col("doc_id"), Sampling.md5Unit(col("doc_id")).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a === b)
+  }
+
+  test("md5 threshold samples are NESTED: raising a rate only adds rows") {
+    def kept(rate: Double) = Sampling.weightedByStratum(docs, "lang",
+        "doc_id", docs.select("lang").distinct().collect()
+          .map(_.getString(0) -> rate).toMap)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val k25 = kept(0.25)
+    val k75 = kept(0.75)
+    assert(k25.subsetOf(k75),
+      "threshold sampling must grow monotonically with the rate")
+    val n = docs.count().toDouble
+    assert(math.abs(k25.size / n - 0.25) < 0.1)
+    assert(math.abs(k75.size / n - 0.75) < 0.1)
+  }
+
+  test("weightedByStratum applies per-stratum rates") {
+    val fr = Map("en" -> 1.0, "de" -> 0.0)
+    val out = Sampling.weightedByStratum(docs, "lang", "doc_id", fr)
+    val langs = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(langs.getOrElse("en", 0L) === docs.filter(col("lang") === "en").count())
+    assert(langs.getOrElse("de", 0L) === 0L)
+    assert(langs.keySet.subsetOf(Set("en"))) // unlisted strata drop (rate 0)
+  }
+
+  test("splitLabelByMd5: exhaustive, proportional, key-stable") {
+    val labeled = Sampling.splitLabelByMd5(docs, "doc_id",
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+    assert(labeled.count() === docs.count())
+    val byLabel = labeled.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet === Set("train", "val", "test"))
+    val n = docs.count().toDouble
+    assert(math.abs(byLabel("train") / n - 0.75) < 0.1)
+    // stability under repartition
+    val a = labeled.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[String]("split")).toMap
+    val b = Sampling.splitLabelByMd5(docs.repartition(5), "doc_id",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("split")).toMap
+    assert(a === b)
+  }
 }
