@@ -523,6 +523,34 @@ object PipelineQueries {
         .orderBy(col("event_id"))
     },
 
+    // Point-in-interval range join (binned equi-join, ops/RangeJoin.scala):
+    // clicks attributed to 90-minute incident windows opened at the first
+    // error of each hour. Intervals span 2–3 one-hour bins, so the
+    // interval-replication path is exercised; the oracle is the plain
+    // non-equi join DuckDB can afford at this scale.
+    q("q_range_join",
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS ms FROM events),
+        |iv AS (SELECT min(ms) AS lo, min(ms) + 5400000 AS hi FROM e
+        |       WHERE event_type = 'error' GROUP BY ms // 3600000),
+        |clicks AS (SELECT event_id, ms FROM e WHERE event_type = 'click')
+        |SELECT c.event_id, c.ms, i.lo
+        |FROM clicks c JOIN iv i ON c.ms >= i.lo AND c.ms < i.hi
+        |ORDER BY c.event_id, i.lo""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), expr("ts div 1000000").as("ms"))
+      val intervals = e.filter(col("event_type") === "error")
+        .groupBy(expr("ms div 3600000").as("hr"))
+        .agg(min(col("ms")).as("lo"))
+        .select(col("lo"), (col("lo") + 5400000L).as("hi"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("ms"))
+      graft.ops.RangeJoin.pointInInterval(clicks, "ms", intervals,
+          "lo", "hi", binWidth = 3600000L)
+        .select(col("event_id"), col("ms"), col("lo"))
+        .orderBy(col("event_id"), col("lo"))
+    },
+
     // ------------------------------------------------ decontamination
     // Benchmark-overlap flagging: distinct shared trigrams per corpus doc
     // vs a (broadcast) benchmark set — the pretraining leakage guard.

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval (range) join: match left rows carrying a point
+  * value to right rows carrying `[lo, hi)` intervals — IP→geo lookups,
+  * event→maintenance-window attribution, timestamp→calendar joins.
+  *
+  * Spark plans a bare non-equi join as BroadcastNestedLoopJoin (or a
+  * cartesian product when neither side fits in memory): O(|L|·|R|)
+  * comparisons, the classic 100 TB cliff. The standard fix is binning:
+  * quantize the number line into width-`binWidth` buckets, replicate
+  * each interval once per bucket it covers, equi-join point buckets to
+  * interval buckets (hash join, shuffles only on an 8-byte key), then
+  * apply the exact `lo <= p < hi` filter to the candidates. Cost is
+  * O(|L| + |R|·avgSpan/binWidth) rows through one hash join — pick
+  * `binWidth` near the typical interval length so the replication
+  * factor stays small (1–3).
+  */
+object RangeJoin {
+
+  /** Join left (point `pointCol`) to right (interval `[loCol, hiCol)`).
+    * Output has all columns of both sides; a point matching k intervals
+    * yields k rows. Values may be negative (floor semantics, not
+    * truncate-toward-zero); magnitudes must stay below 2^53 for the
+    * bucket arithmetic to be exact.
+    */
+  def pointInInterval(left: DataFrame, pointCol: String, right: DataFrame,
+      loCol: String, hiCol: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth=$binWidth")
+    def bin(c: org.apache.spark.sql.Column) =
+      floor(c / binWidth).cast("long")
+    // hi is exclusive: an interval ending exactly on a bucket boundary
+    // does not reach into the next bucket
+    val r = right.withColumn("__bin",
+      explode(sequence(bin(col(loCol)), bin(col(hiCol) - 1))))
+    val l = left.withColumn("__bin", bin(col(pointCol)))
+    l.join(r, "__bin")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bin")
+  }
+}

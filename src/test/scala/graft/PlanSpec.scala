@@ -70,6 +70,43 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("q_asof_join: one window pass, no self-join of the event scan") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "as-of must be the union-and-carry window, not a range join")
+    assert("(?i)\\bwindow\\b".r.findFirstIn(p).isDefined)
+    // no equi-join either: the only join-like op is the unionByName
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+  }
+
+  test("q_decontaminate: benchmark gram set broadcasts; corpus never shuffles full text") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the benchmark n-gram set must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_range_join: binned equi-join, not a nested-loop range join") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must bin, not nested-loop:\n$p")
+  }
+
+  test("q_pack_sequences: sharded window, no single-partition sort") {
+    val p = plan("q_pack_sequences")
+    // a global (non-partitioned) window would plan Exchange SinglePartition
+    assert(!p.contains("SinglePartition"),
+      "packing must window per shard, never globally")
+  }
+
+  test("md5 sampling is a pure scan-side filter (no shuffle, no join)") {
+    val df = graft.ops.Sampling.weightedByStratum(
+      spark.read.parquet(s"$sfDir/documents.parquet"),
+      "source", "doc_id", Map("src0" -> 0.5))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "threshold sampling must not shuffle")
+  }
+
   test("whole-stage codegen covers the scan→agg hot path") {
     // AQE reveals codegen spans only in the final (post-execution) plan
     val df = SparkEntry.queries("q_agg_pricing")(spark, sfDir)

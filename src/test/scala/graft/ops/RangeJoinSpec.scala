@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RangeJoinSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private lazy val points = Seq(
+    (1L, 0L), (2L, 5L), (3L, 10L), (4L, 99L), (5L, 100L), (6L, -7L)
+  ).toDF("pid", "p")
+
+  private lazy val intervals = Seq(
+    ("a", 0L, 10L),     // [0, 10)
+    ("b", 5L, 100L),    // [5, 100) — spans many bins
+    ("c", -10L, 0L),    // negative range
+    ("d", 200L, 210L)   // matches nothing
+  ).toDF("iv", "lo", "hi")
+
+  private def run(binWidth: Long) =
+    RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", binWidth)
+      .select("pid", "iv").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  private val expected = Set(
+    (1L, "a"),            // 0 in [0,10)
+    (2L, "a"), (2L, "b"), // 5 in both
+    (3L, "b"),            // 10 excluded from [0,10), in [5,100)
+    (4L, "b"),            // 99 in [5,100)
+    (6L, "c")             // -7 in [-10,0); 100 not in [5,100) (hi exclusive)
+  )
+
+  test("matches the exact non-equi semantics (incl. exclusive hi, negatives)") {
+    assert(run(binWidth = 8) === expected)
+  }
+
+  test("result is independent of the bin width") {
+    for (w <- Seq(1L, 3L, 10L, 64L, 1000L)) {
+      assert(run(w) === expected, s"binWidth=$w")
+    }
+  }
+
+  test("interval ending on a bucket boundary does not leak into the next bucket") {
+    val iv = Seq(("x", 0L, 8L)).toDF("iv", "lo", "hi") // hi == binWidth
+    val pts = Seq((1L, 8L), (2L, 7L)).toDF("pid", "p")
+    val got = RangeJoin.pointInInterval(pts, "p", iv, "lo", "hi", 8L)
+      .select("pid").as[Long].collect().toSet
+    assert(got === Set(2L))
+  }
+
+  test("plans as a hash equi-join on the bin, not a nested-loop join") {
+    val df = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", 8L)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must bin, not nested-loop:\n$p")
+  }
+}
