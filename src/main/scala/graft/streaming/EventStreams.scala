@@ -168,6 +168,33 @@ object EventStreams {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).start()
   }
 
+  /** Watermarked stream-stream interval join: attach to each left event
+    * every right event with the same key inside the lookback window
+    * `[left - lookbackMs, left]` — e.g. purchases joined to the clicks
+    * of the preceding half hour (attribution), or requests to their
+    * retries. Right columns come back `r_`-prefixed.
+    *
+    * Both sides carry event-time watermarks AND the join has a two-sided
+    * time-range condition, which is exactly what Structured Streaming
+    * needs to bound the buffered state: each side can discard rows once
+    * the other side's watermark passes the range (state is
+    * O(rate × (watermark + lookback)) per key, independent of stream
+    * length). Without the range condition the right buffer would grow
+    * forever — that shape is rejected here rather than deployed. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      lookbackMs: Long, watermark: String = "10 minutes"): DataFrame = {
+    require(lookbackMs > 0, s"lookbackMs=$lookbackMs")
+    val renamed = right.columns.foldLeft(right) { (df, c) =>
+      df.withColumnRenamed(c, s"r_$c")
+    }
+    val lookbackSec = math.ceil(lookbackMs / 1000.0).toLong
+    left.withWatermark("event_time", watermark)
+      .join(renamed.withWatermark("r_event_time", watermark),
+        col(key) === col(s"r_$key") &&
+          col("r_event_time") >= col("event_time") - expr(s"INTERVAL $lookbackSec SECOND") &&
+          col("r_event_time") <= col("event_time"))
+  }
+
   /** Batch-equivalent sessionization (same gap semantics) — the oracle
     * for the streaming path and a useful operator in its own right:
     * lag-based session boundaries, one window + one aggregate. */

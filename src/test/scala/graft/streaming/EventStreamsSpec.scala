@@ -36,6 +36,44 @@ class EventStreamsSpec extends AnyFunSuite {
       "every emitted streaming window must equal its batch twin")
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .write.mode("overwrite").parquet(stageDir)
+    val clicks = EventStreams.readEvents(spark, stageDir)
+      .filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"event_time")
+    val purchases = EventStreams.readEvents(spark, stageDir)
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"value", $"event_time")
+    val joined = EventStreams.intervalJoin(clicks, purchases,
+        "user_id", lookbackMs = 3600000L, watermark = "1 minute")
+      .select($"event_id", $"r_event_id", $"r_value")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ssj").collect().map(_.toSeq).toSet
+
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("event_time", timestamp_seconds(col("ts") / lit(1e9)))
+    val bc = batch.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"event_time")
+    val bp = batch.filter($"event_type" === "purchase")
+      .select($"event_id".as("r_event_id"), $"user_id".as("p_user"),
+        $"value".as("r_value"), $"event_time".as("r_event_time"))
+    val expected = bc.join(bp, $"user_id" === $"p_user" &&
+        $"r_event_time" >= $"event_time" - expr("INTERVAL 3600 SECOND") &&
+        $"r_event_time" <= $"event_time")
+      .select($"event_id", $"r_event_id", $"r_value")
+      .collect().map(_.toSeq).toSet
+
+    assert(streamed.nonEmpty, "stream join emitted nothing")
+    // inner interval join with AvailableNow processes the whole bounded
+    // input; every pair must match the batch join exactly
+    assert(streamed === expected)
+  }
+
   test("session fold: late events extend the session instead of splitting it") {
     import org.apache.spark.sql.streaming.TestGroupState
     import org.apache.spark.api.java.Optional
