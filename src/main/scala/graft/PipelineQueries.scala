@@ -654,6 +654,97 @@ object PipelineQueries {
           Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
         .select(col("doc_id"), col("split"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------ lexical relevance
+    // Corpus TF-IDF table: tokenize → (df, tf) per token → tf·ln(N/df).
+    // One token-keyed shuffle; N is a broadcast 1-row aggregate, never a
+    // driver-side count.
+    q("q_tfidf",
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+        |  FROM documents),
+        |tok AS (SELECT doc_id, token FROM tk WHERE token <> ''),
+        |st AS (SELECT token, count(DISTINCT doc_id) AS df, count(*) AS tf
+        |       FROM tok GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT token, df, tf,
+        |  round(CAST(tf AS DOUBLE) *
+        |    ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 4) AS score
+        |FROM st, n WHERE df >= 5 ORDER BY token""".stripMargin) { (s, dir) =>
+      graft.ops.Relevance.tfidfTerms(t(s, dir, "documents"), minDf = 5L)
+        .select(col("token"), col("df"), col("tf"),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("token"))
+    },
+
+    // BM25 keyword scoring (Lucene idf variant, k1=1.2, b=0.75): per-doc
+    // relevance against a fixed query bag — per-term df broadcast,
+    // doc-length join on the 8-byte id.
+    q("q_bm25",
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+        |  FROM documents),
+        |tok AS (SELECT doc_id, token FROM tk WHERE token <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |ad AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |qt AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |       WHERE token IN ('spark', 'vector') GROUP BY doc_id, token),
+        |dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
+        |        WHERE token IN ('spark', 'vector') GROUP BY token)
+        |SELECT qt.doc_id,
+        |  round(sum(
+        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |    tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        |FROM qt, dfq, dl, n, ad
+        |WHERE qt.token = dfq.token AND qt.doc_id = dl.doc_id
+        |GROUP BY qt.doc_id ORDER BY qt.doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Relevance.bm25(t(s, dir, "documents"),
+          Seq("spark", "vector"), k1 = 1.2, b = 0.75)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------ curation sampling
+    // Domain quota: keep the 10 md5-smallest doc_ids per source — the
+    // "cap every domain at K documents" curation step; prefilter +
+    // windowed rank, exact via the residual fallback (Sampling.scala).
+    q("q_quota_sample",
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 10 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Sampling.quotaByStratum(
+          t(s, dir, "documents"), "source", "doc_id", quota = 10)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------ embedding pooling
+    // Per-label centroid through the custom partial-mergeable VectorAvg
+    // aggregate: the shuffle carries one dim-length buffer per
+    // (task, label) — the posexplode alternative would shuffle dim× the
+    // corpus. Oracle recomputes element-wise means by position.
+    q("q_emb_centroid",
+      """WITH ex AS (SELECT label,
+        |    unnest(generate_series(1, len(embedding))) AS pos,
+        |    unnest(embedding) AS val
+        |  FROM embeddings),
+        |ag AS (SELECT label, pos, round(avg(CAST(val AS DOUBLE)), 4) AS m
+        |       FROM ex GROUP BY label, pos),
+        |cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+        |SELECT cnt.label, cnt.n, list(ag.m ORDER BY ag.pos) AS centroid
+        |FROM cnt JOIN ag ON ag.label = cnt.label
+        |GROUP BY cnt.label, cnt.n ORDER BY cnt.label""".stripMargin) { (s, dir) =>
+      t(s, dir, "embeddings")
+        .groupBy(col("label"))
+        .agg(GraftFunctions.vectorAvg(col("embedding")).as("raw"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("n"),
+          transform(col("raw"), x => round(x, 4)).as("centroid"))
+        .orderBy(col("label"))
     }
   )
 

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical relevance over a document corpus: TF-IDF term statistics and
+  * BM25 keyword scoring — the retrieval half of a curation pipeline
+  * (keyword-targeted subcorpus extraction, quality-by-query ranking)
+  * next to the embedding-based search in [[Similarity]].
+  *
+  * Scale shape: tokenization is a narrow codegen'd projection
+  * (split + explode); the only wide operations are the per-token and
+  * per-document aggregates (shuffled on a short string / an 8-byte id,
+  * map-side partial applies). Query-side statistics (per-term df, corpus
+  * N, avgdl) are tiny and broadcast — the corpus never shuffles twice
+  * and is never collected to the driver.
+  */
+object Relevance {
+
+  /** ASCII word tokenization shared by every relevance operator AND the
+    * DuckDB oracles (both engines interpret this char-class regex
+    * identically — keep it in sync with the oracle SQL strings). */
+  val TokenPattern = "[^a-z0-9]+"
+
+  /** One row per (doc, token occurrence), lower-cased, empties dropped. */
+  def tokens(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), TokenPattern)).as("token"))
+      .filter(col("token") =!= "")
+
+  /** Corpus term statistics: per-token document frequency `df` and total
+    * term frequency `tf`. One shuffle on the token. */
+  def termStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    tokens(docs, idCol, textCol).groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+
+  /** Corpus-level TF-IDF table: `score = tf · ln(N / df)` for every token
+    * with `df >= minDf`. N comes from a broadcast 1-row aggregate, not a
+    * driver-side count — the whole computation is one Catalyst tree. */
+  def tfidfTerms(docs: DataFrame, minDf: Long = 1L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    termStats(docs, idCol, textCol)
+      .crossJoin(broadcast(n))
+      .filter(col("df") >= minDf)
+      .select(col("token"), col("df"), col("tf"),
+        (col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+          .as("score"))
+  }
+
+  /** BM25 score of each document against a bag of query terms
+    * (Robertson/Sparck-Jones idf, the Lucene variant):
+    *
+    *   idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    *   s(d, t) = idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+    *
+    * Returns (doc_id, score) for documents matching ≥1 term. Per-term df
+    * is a ≤|terms|-row broadcast; dl joins on doc_id (the tokens are
+    * already keyed by it); N and avgdl are broadcast 1-row aggregates.
+    */
+  def bm25(docs: DataFrame, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val tk = tokens(docs, idCol, textCol)
+    val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val qtf = tk.filter(col("token").isin(queryTerms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df_ = tk.filter(col("token").isin(queryTerms: _*))
+      .groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    qtf.join(broadcast(df_), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(avgdl))
+      .groupBy(col("doc_id"))
+      .agg(sum(idf * norm).as("score"))
+  }
+}

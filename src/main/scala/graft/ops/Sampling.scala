@@ -75,6 +75,53 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** Per-stratum quota: keep the `quota` rows whose md5(key) sorts
+    * smallest within each stratum — the "cap every domain at K
+    * documents" curation step, deterministic and recomputable by any
+    * engine from the key alone (like [[md5Unit]]; oracle-checked as
+    * q_quota_sample).
+    *
+    * Scale shape: a bare `row_number` window sorts each stratum in ONE
+    * task, so a hot domain with 10⁹ rows is a straggler/OOM at 100 TB.
+    * Phase 1 computes per-stratum counts (|strata| rows, broadcast) and
+    * prefilters to the smallest `oversample·quota/n` md5 fraction,
+    * shrinking every stratum to ~`oversample·quota` rows BEFORE the
+    * window sort. The prefilter keeps the true quota-smallest keys
+    * unless the uniform md5 order statistics undershoot — probability
+    * exp(−Θ(quota)) — so a residual check reruns (unfiltered) exactly
+    * the strata where the prefilter returned fewer than
+    * min(quota, n) rows, keeping the operator EXACT, not approximate.
+    */
+  def quotaByStratum(df: DataFrame, stratumCol: String, keyCol: String,
+      quota: Int, oversample: Double = 4.0): DataFrame = {
+    require(quota >= 1, s"quota=$quota")
+    require(oversample > 1.0, s"oversample=$oversample")
+    import org.apache.spark.sql.expressions.Window
+    val rank = md5(col(keyCol).cast("string").cast("binary"))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(rank.asc, col(keyCol).asc)
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_stratum_n"))
+    // md5Unit ∈ [0,1), so frac=1.0 (n ≤ oversample·quota) disables the
+    // prefilter for small strata automatically
+    val frac = least(lit(1.0), lit(oversample * quota) / col("_stratum_n"))
+    val picked = df.join(broadcast(counts), Seq(stratumCol))
+      .filter(md5Unit(col(keyCol)) < frac)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= quota)
+      .drop("_rk", "_stratum_n")
+    val keptCounts = picked.groupBy(col(stratumCol)).agg(count(lit(1)).as("_kept"))
+    val short = counts.join(keptCounts, Seq(stratumCol), "left")
+      .filter(coalesce(col("_kept"), lit(0L)) <
+        least(lit(quota.toLong), col("_stratum_n")))
+      .select(col(stratumCol))
+    val fixed = df.join(broadcast(short), Seq(stratumCol))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= quota)
+      .drop("_rk")
+    picked.join(broadcast(short), Seq(stratumCol), "left_anti")
+      .unionByName(fixed)
+      .select(df.columns.map(col): _*) // restore the caller's column order
+  }
+
   /** Disjoint train/validation/test split by key hash: each row lands in
     * exactly one bucket, membership is a pure function of the key (new
     * data appended later falls consistently into the same splits; no row

@@ -252,6 +252,11 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.Literal(k))
       .toAggregateExpression())
 
+  /** Element-wise mean of an embedding column (centroid / mean-pooling);
+    * partial-mergeable, shuffles one dim-length buffer per group. */
+  def vectorAvg(c: Column): Column =
+    column(VectorAvg(expression(c)).toAggregateExpression())
+
   /** Wrap a builder with an arity check — wrong-arity calls must fail
     * analysis loudly, not silently drop arguments (Hive's
     * sentences(text, lang, country) form would otherwise run with the
@@ -313,7 +318,9 @@ object GraftFunctions {
       CaseWhen(branches, Some(Literal(0)))
     }),
     "minhash_signature" -> arity("minhash_signature", 2)(es =>
-      MinHashSignature(es(0), es(1))))
+      MinHashSignature(es(0), es(1))),
+    "vector_avg" -> arity("vector_avg", 1)(es =>
+      VectorAvg(es.head).toAggregateExpression()))
 
   /** Register for SQL use: `SELECT simhash64(split(text, ' ')) …` */
   def register(spark: SparkSession): Unit = {

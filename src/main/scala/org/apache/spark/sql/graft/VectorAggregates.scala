@@ -1,0 +1,138 @@
+package org.apache.spark.sql.graft
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Mutable element-wise accumulator for vector aggregates: dimension is
+  * fixed by the first vector seen; `sums == null` means "no input yet"
+  * (distinct from a zero vector). */
+private[graft] final class VecBuf(var sums: Array[Double], var count: Long)
+
+/** Element-wise mean of an embedding column (`array<float>` or
+  * `array<double>`) — the centroid/mean-pooling aggregate of an
+  * embedding pipeline (per-class centroids, cluster centers, pooled
+  * features).
+  *
+  * A [[TypedImperativeAggregate]] so Spark runs it with map-side partial
+  * aggregation: each task folds its rows into ONE dim-length double
+  * array, and the shuffle carries one small buffer per (task, group) —
+  * never the vectors themselves. The posexplode-then-groupBy alternative
+  * shuffles dim× the corpus; at 100 TB that is the difference between a
+  * vocabulary-sized exchange and a corpus-sized one.
+  *
+  * Null vectors are skipped (SQL avg semantics); an empty group yields
+  * NULL; a dimension mismatch fails the task with a clear message
+  * rather than silently truncating.
+  */
+case class VectorAvg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VecBuf] with ExpectsInputTypes {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vector_avg"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private lazy val elementType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val defaultCheck = super.checkInputDataTypes()
+    if (defaultCheck.isFailure) defaultCheck
+    else child.dataType match {
+      case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array of numeric elements, got ${other.sql}")
+    }
+  }
+
+  override def createAggregationBuffer(): VecBuf = new VecBuf(null, 0L)
+
+  override def update(buf: VecBuf, input: InternalRow): VecBuf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = arr.numElements()
+      if (buf.sums == null) buf.sums = new Array[Double](n)
+      else require(buf.sums.length == n,
+        s"$prettyName: dimension mismatch — saw vectors of length " +
+          s"${buf.sums.length} and $n in the same group")
+      val get: Int => Double = elementType match {
+        case FloatType => i => arr.getFloat(i).toDouble
+        case DoubleType => i => arr.getDouble(i)
+        case IntegerType => i => arr.getInt(i).toDouble
+        case LongType => i => arr.getLong(i).toDouble
+        case ShortType => i => arr.getShort(i).toDouble
+        case ByteType => i => arr.getByte(i).toDouble
+        case dt => throw new IllegalStateException(s"unreachable: $dt")
+      }
+      var i = 0
+      while (i < n) {
+        // null elements count as 0 toward the mean of their slot — the
+        // dimension semantics of a vector, not of a scalar avg
+        if (!arr.isNullAt(i)) buf.sums(i) += get(i)
+        i += 1
+      }
+      buf.count += 1
+    }
+    buf
+  }
+
+  override def merge(buf: VecBuf, other: VecBuf): VecBuf = {
+    if (other.sums != null) {
+      if (buf.sums == null) { buf.sums = other.sums.clone(); buf.count = other.count }
+      else {
+        require(buf.sums.length == other.sums.length,
+          s"$prettyName: dimension mismatch across partitions — " +
+            s"${buf.sums.length} vs ${other.sums.length}")
+        var i = 0
+        while (i < buf.sums.length) { buf.sums(i) += other.sums(i); i += 1 }
+        buf.count += other.count
+      }
+    }
+    buf
+  }
+
+  override def eval(buf: VecBuf): Any =
+    if (buf.sums == null) null
+    else new GenericArrayData(buf.sums.map(_ / buf.count))
+
+  override def serialize(buf: VecBuf): Array[Byte] = {
+    val dim = if (buf.sums == null) -1 else buf.sums.length
+    val bb = ByteBuffer.allocate(8 + 4 + math.max(dim, 0) * 8)
+    bb.putLong(buf.count)
+    bb.putInt(dim)
+    if (dim > 0) buf.sums.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): VecBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val count = bb.getLong
+    val dim = bb.getInt
+    if (dim < 0) new VecBuf(null, count)
+    else {
+      val sums = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { sums(i) = bb.getDouble; i += 1 }
+      new VecBuf(sums, count)
+    }
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorAvg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorAvg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): VectorAvg =
+    copy(child = newChildren.head)
+}

@@ -1,0 +1,77 @@
+package graft.functions
+
+import graft.TestSpark.spark
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftFunctions
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorAvgSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("vector_avg equals the posexplode-based mean, across partitions") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map { i =>
+      (i.toLong, i % 5, Array.fill(16)(rnd.nextFloat()))
+    }
+    // repartition(7) forces real partial-buffer merges across tasks
+    val df = rows.toDF("id", "grp", "vec").repartition(7)
+    val got = df.groupBy("grp")
+      .agg(GraftFunctions.vectorAvg(col("vec")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val expected = df.select(col("grp"), posexplode(col("vec")))
+      .groupBy("grp", "pos").agg(avg(col("col").cast("double")).as("m"))
+      .collect().groupBy(_.getInt(0))
+      .map { case (g, rs) =>
+        g -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (g, c) =>
+      val e = expected(g)
+      assert(c.length === e.length)
+      c.zip(e).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"group $g: $a vs $b")
+      }
+    }
+  }
+
+  test("null vectors are skipped; an all-null group yields NULL") {
+    val df = Seq(
+      (1, Some(Array(1.0f, 3.0f))),
+      (1, None),
+      (2, None)).toDF("grp", "vec")
+    val out = df.groupBy("grp")
+      .agg(GraftFunctions.vectorAvg(col("vec")).as("c"))
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Double](1))).toMap
+    assert(out(1) === Seq(1.0, 3.0))
+    assert(out(2) === null)
+  }
+
+  test("dimension mismatch within a group fails loudly") {
+    val df = Seq((1, Array(1.0f)), (1, Array(1.0f, 2.0f))).toDF("grp", "vec")
+    val e = intercept[Exception] {
+      df.groupBy("grp")
+        .agg(GraftFunctions.vectorAvg(col("vec")).as("c")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("dimension mismatch")))
+  }
+
+  test("registered SQL function and non-float element types work") {
+    GraftFunctions.register(spark)
+    Seq((1, Seq(1, 3)), (1, Seq(3, 5))).toDF("grp", "vec")
+      .createOrReplaceTempView("va_in")
+    val out = spark.sql(
+        "SELECT grp, vector_avg(vec) AS c FROM va_in GROUP BY grp")
+      .collect()
+    assert(out.head.getSeq[Double](1) === Seq(2.0, 4.0))
+    // non-array input must fail analysis, not at runtime
+    val err = intercept[Exception] {
+      spark.sql("SELECT vector_avg(grp) FROM va_in GROUP BY grp").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array") ||
+      err.getMessage.contains("vector_avg"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RelevanceSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the dog sat"),
+    (3L, "cat cat cat"),
+    (4L, "bird")).toDF("doc_id", "text")
+
+  test("termStats: df counts documents, tf counts occurrences") {
+    val st = Relevance.termStats(corpus)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(st("the") === (2L, 3L))
+    assert(st("cat") === (2L, 4L))
+    assert(st("sat") === (2L, 2L))
+    assert(st("bird") === (1L, 1L))
+    assert(!st.contains("")) // empty tokens dropped
+  }
+
+  test("tfidf: score = tf * ln(N/df), minDf filters") {
+    val rows = Relevance.tfidfTerms(corpus, minDf = 2L)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(!rows.contains("bird")) // df=1 < minDf
+    assert(math.abs(rows("cat") - 4.0 * math.log(4.0 / 2.0)) < 1e-12)
+    assert(math.abs(rows("the") - 3.0 * math.log(4.0 / 2.0)) < 1e-12)
+  }
+
+  test("bm25 matches a hand-computed score and skips non-matching docs") {
+    val out = Relevance.bm25(corpus, Seq("cat"), k1 = 1.2, b = 0.75)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet === Set(1L, 3L)) // only docs containing "cat"
+    // N=4, df=2 → idf = ln(1 + 2.5/2.5) = ln 2; avgdl = (6+3+3+1)/4
+    val idf = math.log(2.0)
+    val avgdl = 13.0 / 4.0
+    def s(tf: Double, dl: Double): Double =
+      idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    assert(math.abs(out(1L) - s(1, 6)) < 1e-12)
+    assert(math.abs(out(3L) - s(3, 3)) < 1e-12)
+    // doc 3 repeats the term and is shorter — must outrank doc 1
+    assert(out(3L) > out(1L))
+  }
+
+  test("bm25 sums per-term contributions for multi-term queries") {
+    val single = Relevance.bm25(corpus, Seq("dog"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val multi = Relevance.bm25(corpus, Seq("dog", "bird"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(multi.keySet === Set(2L, 4L))
+    assert(math.abs(multi(2L) - single(2L)) < 1e-12) // doc 2 has no "bird"
+    assert(multi(4L) > 0)
+  }
+
+  test("rarer terms carry higher idf weight at equal tf and dl") {
+    // "on" and "mat" both appear once in doc 1 only; "sat" in two docs —
+    // same tf within doc 2 vs doc 1 would mix dl effects, so compare
+    // within ONE doc via two single-term queries
+    val rare = Relevance.bm25(corpus, Seq("mat"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val common = Relevance.bm25(corpus, Seq("sat"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rare(1L) > common(1L))
+  }
+}

@@ -96,4 +96,41 @@ class SamplingSpec extends AnyFunSuite {
         r.getAs[String]("split")).toMap
     assert(a === b)
   }
+
+  /** Ground truth for quotaByStratum: a bare window rank (fine on test
+    * data; the operator exists because this shape doesn't scale). */
+  private def bruteQuota(df: org.apache.spark.sql.DataFrame,
+      quota: Int): Set[Long] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= quota)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+  }
+
+  test("quotaByStratum matches the brute-force windowed rank exactly") {
+    val got = Sampling.quotaByStratum(docs, "source", "doc_id", quota = 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === bruteQuota(docs, 7))
+    // repartition-stable (membership is a pure function of the key)
+    val again = Sampling.quotaByStratum(docs.repartition(11), "source",
+        "doc_id", quota = 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === got)
+  }
+
+  test("quotaByStratum keeps whole strata when quota exceeds their size") {
+    val got = Sampling.quotaByStratum(docs, "source", "doc_id", quota = 100000)
+    assert(got.count() === docs.count())
+  }
+
+  test("quotaByStratum stays exact when the prefilter undershoots") {
+    // oversample barely >1 makes the md5 prefilter routinely keep fewer
+    // than `quota` rows per stratum — the residual fallback must repair
+    // every such stratum to the exact brute-force answer
+    val got = Sampling.quotaByStratum(docs, "source", "doc_id",
+        quota = 20, oversample = 1.01)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === bruteQuota(docs, 20))
+  }
 }
