@@ -49,6 +49,25 @@ object PipelineQueries {
         .train.select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
     },
 
+    // Incremental dedup: dedup an incoming batch (odd doc_ids) against
+    // an existing corpus (even doc_ids) — corpus side reduces to
+    // distinct 8-byte fingerprints before the anti-join
+    q("q_dedup_incremental",
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        |inc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+        |fresh AS (SELECT * FROM inc
+        |          WHERE text NOT IN (SELECT text FROM corpus))
+        |SELECT doc_id, lang FROM fresh
+        |WHERE doc_id IN (SELECT min(doc_id) FROM fresh GROUP BY text)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.dropAgainstCorpus(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
     // Deduplicated corpus materialization (keep-one-per-text semi-join)
     q("q_dedup_keep",
       """SELECT doc_id, lang FROM documents

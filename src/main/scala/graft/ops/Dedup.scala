@@ -39,6 +39,26 @@ object Dedup {
     docs.join(exact(docs, idCol, textCol).select(col("keep_id")),
       docs(idCol) === col("keep_id"), "left_semi")
 
+  /** Incremental exact dedup: the rows of `incoming` that survive
+    * against an already-curated `corpus` — drop anything whose content
+    * fingerprint exists in the corpus, then keep one row per duplicate
+    * group WITHIN the batch (min-id). The daily shape of a crawl
+    * pipeline: the corpus side reduces to distinct 8-byte fingerprints
+    * (no text, no ids) before the anti-join, so the big historical side
+    * shuffles one long per distinct document ever seen. */
+  def dropAgainstCorpus(incoming: DataFrame, corpus: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val seen = corpus
+      .select(GraftFunctions.fingerprint64(col(textCol)).as("_fp")).distinct()
+    val fresh = incoming
+      .withColumn("_fp", GraftFunctions.fingerprint64(col(textCol)))
+      .join(seen, Seq("_fp"), "left_anti")
+    fresh.join(
+        fresh.groupBy(col("_fp")).agg(min(col(idCol)).as("_keep")),
+        fresh(idCol) === col("_keep"), "left_semi")
+      .drop("_fp")
+  }
+
   /** Distinct (id, shingle) pairs — the exploded set-representation both
     * Jaccard and MinHash build on. `n = 1` gives token sets. */
   def shingleSet(docs: DataFrame, n: Int,

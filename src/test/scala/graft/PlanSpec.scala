@@ -107,6 +107,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), "threshold sampling must not shuffle")
   }
 
+  test("q_emb_centroid: vector_avg partial-aggregates before the shuffle") {
+    val p = plan("q_emb_centroid")
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial_vector_avg phase — the shuffle carries dim-length buffers,
+    // never the embedding rows themselves
+    assert(p.contains("partial_vector_avg"),
+      s"vector_avg must map-side combine:\n$p")
+    assert("(?s)ObjectHashAggregate.*Exchange.*ObjectHashAggregate".r
+      .findFirstIn(p).isDefined)
+  }
+
+  test("q_bm25: query-side statistics broadcast, no cartesian") {
+    val p = plan("q_bm25")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 3,
+      "per-term df, N, and avgdl must each broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "1-row statistic joins must broadcast, not cartesian")
+  }
+
+  test("q_quota_sample: window partitioned by stratum, no global sort") {
+    val p = plan("q_quota_sample")
+    assert(!p.contains("SinglePartition"),
+      "quota ranking must partition by stratum, never globally")
+  }
+
   test("whole-stage codegen covers the scan→agg hot path") {
     // AQE reveals codegen spans only in the final (post-execution) plan
     val df = SparkEntry.queries("q_agg_pricing")(spark, sfDir)

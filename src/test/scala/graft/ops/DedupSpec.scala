@@ -14,6 +14,22 @@ class DedupSpec extends AnyFunSuite {
     assert(agg === total)
   }
 
+  test("incremental dedup: batch survivors are new to the corpus and unique") {
+    val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val out = Dedup.dropAgainstCorpus(batch, corpus)
+    val survivors = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // brute-force ground truth on the text itself
+    val corpusTexts = corpus.select("text").collect().map(_.getString(0)).toSet
+    val batchRows = batch.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = batchRows.filterNot { case (_, t) => corpusTexts(t) }
+      .groupBy(_._2).map { case (_, rs) => rs.map(_._1).min }.toSet
+    assert(survivors === expected)
+    // schema passes through unchanged (no helper columns leak)
+    assert(out.columns.toSeq === batch.columns.toSeq)
+  }
+
   test("minhash LSH finds the high-jaccard planted near-dups") {
     // ground truth: exact trigram jaccard >= 0.8 on the full (500-doc) set
     val exact = Dedup.jaccardPairs(docs, n = 3, threshold = 0.8)
