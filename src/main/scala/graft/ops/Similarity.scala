@@ -19,10 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<double> columns via codegen'd higher-order
-    * functions (no UDF): fold over zip_with products. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two array<double> columns: a fused native codegen'd
+    * expression (one loop, no intermediate array — bitwise-equal to the
+    * HOF `aggregate(zip_with(…))` pipeline it replaced, see
+    * [[org.apache.spark.sql.graft.DotProduct]]). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.GraftBridge.{column, expression}
+    column(org.apache.spark.sql.graft.DotProduct(expression(a), expression(b)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -320,7 +320,9 @@ object GraftFunctions {
     "minhash_signature" -> arity("minhash_signature", 2)(es =>
       MinHashSignature(es(0), es(1))),
     "vector_avg" -> arity("vector_avg", 1)(es =>
-      VectorAvg(es.head).toAggregateExpression()))
+      VectorAvg(es.head).toAggregateExpression()),
+    "dot_product" -> arity("dot_product", 2)(es =>
+      DotProduct(es(0), es(1))))
 
   /** Register for SQL use: `SELECT simhash64(split(text, ' ')) …` */
   def register(spark: SparkSession): Unit = {

@@ -43,6 +43,32 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(s === Seq(Seq("Hello", "there"), Seq("How", "are", "you"), Seq("Fine")))
   }
 
+  test("dot_product: bitwise-equal to the HOF fold, HOF null semantics") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 200).map(_ =>
+      (Array.fill(32)(rnd.nextDouble()), Array.fill(32)(rnd.nextDouble())))
+    val df = rows.toDF("a", "b")
+    val hof = aggregate(zip_with($"a", $"b", (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val mismatch = df.select(
+        (graft.ops.Similarity.dot($"a", $"b") =!= hof).as("ne"))
+      .filter($"ne").count()
+    assert(mismatch === 0, "fused dot must be bitwise-equal to the HOF fold")
+    // null array → null; length mismatch → null; null element → null
+    val edge = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0, 5.0))),
+      (None, Some(Seq(1.0)))).toDF("a", "b")
+      .select(graft.ops.Similarity.dot($"a", $"b").as("d")).collect()
+    assert(edge.forall(_.isNullAt(0)))
+    GraftFunctions.register(spark)
+    assert(spark.sql(
+        "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .first().getDouble(0) === 11.0)
+    assert(spark.sql(
+        "SELECT dot_product(array(1.0d, NULL), array(2.0d, 3.0d)) AS d")
+      .first().isNullAt(0))
+  }
+
   test("SQL registration works") {
     GraftFunctions.register(spark)
     val r = spark.sql(
