@@ -195,6 +195,28 @@ object EventStreams {
           col("r_event_time") <= col("event_time"))
   }
 
+  /** Streaming twin of [[graft.ops.Dedup.dropAgainstCorpus]]: drop
+    * arriving documents whose content fingerprint exists in a static,
+    * already-curated corpus, then drop repeats WITHIN the stream by the
+    * same fingerprint. The corpus side is a bounded batch frame: Spark
+    * plans a stream-static anti-join (re-broadcast/lookup per
+    * micro-batch, no stream-side state), and the within-stream repeat
+    * filter is `dropDuplicatesWithinWatermark` — state bounded by the
+    * watermark, not by corpus size. The shape of a streaming crawl
+    * ingest leg: curate once in batch, admit deltas continuously. */
+  def dedupAgainstCorpus(docs: DataFrame, corpus: DataFrame,
+      textCol: String = "text", eventTimeCol: String = "event_time",
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.GraftFunctions
+    val seen = corpus
+      .select(GraftFunctions.fingerprint64(col(textCol)).as("_fp")).distinct()
+    docs.withColumn("_fp", GraftFunctions.fingerprint64(col(textCol)))
+      .join(seen, Seq("_fp"), "left_anti")
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+  }
+
   /** Batch-equivalent sessionization (same gap semantics) — the oracle
     * for the streaming path and a useful operator in its own right:
     * lag-based session boundaries, one window + one aggregate. */

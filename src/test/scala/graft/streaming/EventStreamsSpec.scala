@@ -74,6 +74,43 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed === expected)
   }
 
+  test("stream-static corpus dedup admits exactly the new unique texts") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-sdd").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.mode("overwrite").parquet(stageDir)
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType)))
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus = batchDocs.filter(pmod($"doc_id", lit(2)) === 0)
+    val incoming = spark.readStream.schema(docSchema).parquet(stageDir)
+      .filter(pmod($"doc_id", lit(2)) === 1)
+      .withColumn("event_time", timestamp_seconds($"doc_id"))
+    val out = EventStreams.dedupAgainstCorpus(incoming, corpus)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sdd")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamedTexts = spark.table("sdd")
+      .select("text").collect().map(_.getString(0)).toSet
+    // within-stream winner is first-arrival (not min-id), so compare the
+    // surviving TEXT set against the batch twin, which is id-agnostic
+    val expectedTexts = graft.ops.Dedup.dropAgainstCorpus(
+        batchDocs.filter(pmod($"doc_id", lit(2)) === 1), corpus)
+      .select("text").collect().map(_.getString(0)).toSet
+    assert(streamedTexts === expectedTexts)
+    // one survivor per admitted text (the within-stream dedup held)
+    assert(spark.table("sdd").count() === expectedTexts.size)
+  }
+
   test("session fold: late events extend the session instead of splitting it") {
     import org.apache.spark.sql.streaming.TestGroupState
     import org.apache.spark.api.java.Optional
