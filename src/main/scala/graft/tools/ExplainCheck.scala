@@ -11,7 +11,9 @@ object ExplainCheck {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
     for (q <- Seq("q_agg_pricing","q_multi_join_star","q_dedup_minhash",
-        "q_emb_neardup_lsh","q_sessionize","q_ann_brute")) {
+        "q_emb_neardup_lsh","q_sessionize","q_ann_brute",
+        "q_emb_centroid","q_bm25","q_quota_sample","q_dedup_incremental",
+        "q_asof_join","q_range_join","q_pack_sequences")) {
       println(s"########## $q")
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
