@@ -741,6 +741,35 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ------------------------------------------------ lakehouse layout
+    // Z-order clustering key: equi-width integer bucketization (exact
+    // DIV arithmetic off a broadcast min/max aggregate) + Morton bit
+    // interleave composed from builtin bitwise ops. The value a
+    // zorderWrite sorts by — oracled bit-for-bit in DuckDB.
+    q("q_zorder",
+      """WITH mm AS (SELECT min(l_orderkey) AS min_o, max(l_orderkey) AS max_o,
+        |    min(l_partkey) AS min_p, max(l_partkey) AS max_p FROM lineitem),
+        |b AS (SELECT l_orderkey, l_partkey,
+        |    ((l_orderkey - min_o) * 256) // (max_o - min_o + 1) AS bo,
+        |    ((l_partkey - min_p) * 256) // (max_p - min_p + 1) AS bp
+        |  FROM lineitem, mm)
+        |SELECT l_orderkey, l_partkey, CAST(
+        |    (((bo >> 0) & 1) << 0) | (((bp >> 0) & 1) << 1) |
+        |    (((bo >> 1) & 1) << 2) | (((bp >> 1) & 1) << 3) |
+        |    (((bo >> 2) & 1) << 4) | (((bp >> 2) & 1) << 5) |
+        |    (((bo >> 3) & 1) << 6) | (((bp >> 3) & 1) << 7) |
+        |    (((bo >> 4) & 1) << 8) | (((bp >> 4) & 1) << 9) |
+        |    (((bo >> 5) & 1) << 10) | (((bp >> 5) & 1) << 11) |
+        |    (((bo >> 6) & 1) << 12) | (((bp >> 6) & 1) << 13) |
+        |    (((bo >> 7) & 1) << 14) | (((bp >> 7) & 1) << 15) AS BIGINT) AS zval
+        |FROM b ORDER BY l_orderkey, l_partkey""".stripMargin) { (s, dir) =>
+      graft.ops.Layout.withZValue(
+          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          Seq("l_orderkey", "l_partkey"), bits = 8)
+        .select(col("l_orderkey"), col("l_partkey"), col("zval"))
+        .orderBy(col("l_orderkey"), col("l_partkey"))
+    },
+
     // ------------------------------------------------ embedding pooling
     // Per-label centroid through the custom partial-mergeable VectorAvg
     // aggregate: the shuffle carries one dim-length buffer per

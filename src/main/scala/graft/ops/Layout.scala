@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional lakehouse layout: Z-order (Morton) clustering.
+  *
+  * Sorting by a single column makes parquet min-max stats prune scans
+  * filtered on THAT column only; interleaving the bits of several
+  * bucketized dimensions co-locates rows close in EVERY dimension, so
+  * files/row-groups stay skippable for filters on any subset of them —
+  * the standard layout optimization for a 100 TB table queried along
+  * more than one axis.
+  *
+  * Everything here is composed from builtin codegen'd expressions
+  * (shifts, masks, integral division) — no UDF, no custom Expression,
+  * no driver-side stats pass: per-column min/max come from ONE broadcast
+  * 1-row aggregate, and bucketization is exact integer arithmetic
+  * (`(v−min)·2^bits DIV (span+1)`), reproducible bit-for-bit by any
+  * engine (oracle-checked as q_zorder).
+  */
+object Layout {
+
+  /** Morton interleave of pre-bucketized long columns (each in
+    * [0, 2^bits)): output bit `i·n + j` = bit `i` of column `j`. A fold
+    * over builtin bitwise ops — Catalyst constant-folds the shift
+    * distances and whole-stage codegen fuses the ~bits·n ops into
+    * straight-line long arithmetic. */
+  def interleave(buckets: Seq[Column], bits: Int): Column = {
+    val n = buckets.size
+    require(n >= 1 && bits >= 1 && bits * n <= 63,
+      s"zorder: $n dims × $bits bits must fit in 63 bits")
+    (for {
+      i <- 0 until bits
+      (c, j) <- buckets.zipWithIndex
+    } yield shiftleft(shiftrightunsigned(c, i).bitwiseAND(lit(1L)), i * n + j))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** Equi-width bucket id in [0, 2^bits) for each dimension column, from
+    * a broadcast min/max aggregate. Integer-exact: `(v−min)·2^bits DIV
+    * (max−min+1)` — no floating point, so boundary rows never migrate
+    * between engines or reruns. Appends `zval` and drops the helper
+    * columns. */
+  def withZValue(df: DataFrame, dims: Seq[String], bits: Int = 8): DataFrame = {
+    require(dims.nonEmpty, "zorder needs at least one dimension")
+    val n = 1L << bits
+    val mmCols = dims.flatMap(d => Seq(
+      min(col(d).cast("long")).as(s"_min_$d"),
+      max(col(d).cast("long")).as(s"_max_$d")))
+    val mm = df.agg(mmCols.head, mmCols.tail: _*)
+    val withMm = df.crossJoin(broadcast(mm))
+    import org.apache.spark.sql.graft.GraftBridge.{column, expression}
+    def intDiv(a: Column, b: Column): Column = column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        expression(a), expression(b)))
+    val buckets = dims.map { d =>
+      val lo = col(s"_min_$d")
+      val span = col(s"_max_$d") - lo + lit(1L)
+      // SQL DIV semantics: exact long division, no floating point
+      intDiv((col(d).cast("long") - lo) * lit(n), span)
+    }
+    withMm.withColumn("zval", interleave(buckets, bits))
+      .drop(dims.flatMap(d => Seq(s"_min_$d", s"_max_$d")): _*)
+  }
+
+  /** Z-ordered materialization: range-partition by zval (balanced output
+    * files), sort within each partition, write. Filters on any dim
+    * subset then prune files via parquet min-max stats. */
+  def zorderWrite(df: DataFrame, dims: Seq[String], path: String,
+      numFiles: Int, bits: Int = 8): Unit =
+    withZValue(df, dims, bits)
+      .repartitionByRange(numFiles, col("zval"))
+      .sortWithinPartitions("zval")
+      .drop("zval")
+      .write.mode("overwrite").parquet(path)
+}

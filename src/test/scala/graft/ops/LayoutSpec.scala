@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.TestSpark.{sfDir, spark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LayoutSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("interleave matches a bit-twiddling reference implementation") {
+    def ref(xs: Seq[Long], bits: Int): Long = {
+      var out = 0L
+      for (i <- 0 until bits; (x, j) <- xs.zipWithIndex)
+        out |= ((x >>> i) & 1L) << (i * xs.size + j)
+      out
+    }
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 500).map(_ =>
+      (rnd.nextInt(256).toLong, rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    val got = rows.toDF("a", "b", "c")
+      .select(Layout.interleave(Seq($"a", $"b", $"c"), 8).as("z"))
+      .collect().map(_.getLong(0))
+    val expected = rows.map(t => ref(Seq(t._1, t._2, t._3), 8))
+    assert(got.toSeq === expected)
+  }
+
+  test("zval is monotone in each dimension when the others are fixed") {
+    val df = Seq((0L, 5L), (10L, 5L), (20L, 5L), (200L, 5L)).toDF("x", "y")
+    val zs = Layout.withZValue(df, Seq("x", "y"), bits = 8)
+      .orderBy("x").select("zval").collect().map(_.getLong(0))
+    assert(zs.toSeq === zs.sorted.toSeq)
+  }
+
+  test("z-order layout bounds BOTH dims per file; 1-column sort does not") {
+    val data = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey")
+    def fileSpans(path: String): (Double, Double) = {
+      val spans = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max($"l_orderkey") - min($"l_orderkey")).as("so"),
+          (max($"l_partkey") - min($"l_partkey")).as("sp"))
+        .agg(avg($"so"), avg($"sp")).first()
+      (spans.getDouble(0), spans.getDouble(1))
+    }
+    val zDir = java.nio.file.Files.createTempDirectory("graft-z").toString
+    Layout.zorderWrite(data, Seq("l_orderkey", "l_partkey"), zDir,
+      numFiles = 16, bits = 8)
+    val sDir = java.nio.file.Files.createTempDirectory("graft-s").toString
+    data.repartitionByRange(16, $"l_orderkey")
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(sDir)
+    val Seq(oSpan, pSpan) = Seq(
+      data.agg(max($"l_orderkey") - min($"l_orderkey")).first().getLong(0),
+      data.agg(max($"l_partkey") - min($"l_partkey")).first().getLong(0))
+      .map(_.toDouble)
+    val (zo, zp) = fileSpans(zDir)
+    val (so, sp) = fileSpans(sDir)
+    // single-column sort: its own column is tightly bounded, the other
+    // is essentially unconstrained per file
+    assert(so < 0.2 * oSpan, s"sorted layout should bound l_orderkey: $so/$oSpan")
+    assert(sp > 0.8 * pSpan, s"sorted layout leaves l_partkey unbounded: $sp/$pSpan")
+    // z-order: BOTH dims materially bounded per file → min-max skipping
+    // works for filters on either column
+    assert(zo < 0.6 * oSpan, s"zorder should bound l_orderkey: $zo/$oSpan")
+    assert(zp < 0.6 * pSpan, s"zorder should bound l_partkey: $zp/$pSpan")
+  }
+}
