@@ -741,6 +741,26 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Group-wise top-k through the bounded-state TopKBy aggregate (k-entry
+    // heap per group, partial-mergeable — not a windowed sort): the 3
+    // longest documents per source, ties by doc_id
+    q("q_topk_group",
+      """SELECT source, CAST(rank AS INTEGER) AS rank, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars, row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents) t
+        |WHERE rank <= 3 ORDER BY source, rank""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(GraftFunctions.topKBy(
+          col("doc_id"), col("n_chars").cast("double"), 3).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), (col("pos") + 1).as("rank"),
+          col("col.id").as("doc_id"),
+          col("col.score").cast("long").as("n_chars"))
+        .orderBy(col("source"), col("rank"))
+    },
+
     // ------------------------------------------------ lakehouse layout
     // Z-order clustering key: equi-width integer bucketization (exact
     // DIV arithmetic off a broadcast min/max aggregate) + Morton bit

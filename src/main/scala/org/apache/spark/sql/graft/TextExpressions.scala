@@ -257,6 +257,13 @@ object GraftFunctions {
   def vectorAvg(c: Column): Column =
     column(VectorAvg(expression(c)).toAggregateExpression())
 
+  /** Group-wise top-k with bounded state: k best (score desc, id asc)
+    * per group — the scale-safe alternative to a windowed row_number. */
+  def topKBy(id: Column, score: Column, k: Int): Column =
+    column(TopKBy(expression(id), expression(score),
+      org.apache.spark.sql.catalyst.expressions.Literal(k))
+      .toAggregateExpression())
+
   /** Wrap a builder with an arity check — wrong-arity calls must fail
     * analysis loudly, not silently drop arguments (Hive's
     * sentences(text, lang, country) form would otherwise run with the
@@ -322,7 +329,9 @@ object GraftFunctions {
     "vector_avg" -> arity("vector_avg", 1)(es =>
       VectorAvg(es.head).toAggregateExpression()),
     "dot_product" -> arity("dot_product", 2)(es =>
-      DotProduct(es(0), es(1))))
+      DotProduct(es(0), es(1))),
+    "topk_by" -> arity("topk_by", 3)(es =>
+      TopKBy(es(0), es(1), es(2)).toAggregateExpression()))
 
   /** Register for SQL use: `SELECT simhash64(split(text, ' ')) …` */
   def register(spark: SparkSession): Unit = {

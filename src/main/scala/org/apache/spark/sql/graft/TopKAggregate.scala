@@ -1,0 +1,126 @@
+package org.apache.spark.sql.graft
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Group-wise top-k as a bounded-state aggregate: `topk_by(id, score, k)`
+  * keeps the k best (score desc, id asc) rows per group in a size-k heap.
+  *
+  * The window-function alternative (`row_number() OVER (PARTITION BY g
+  * ORDER BY score DESC)` then `rk <= k`) SORTS every group in one task —
+  * at 100 TB a hot group is a straggler and the sort shuffles the whole
+  * table. This aggregate is partial-mergeable: each map task folds its
+  * rows into a k-entry heap, the shuffle carries k pairs per
+  * (task, group), and the final merge is O(k log k) — state bounded by
+  * k regardless of group size.
+  *
+  * Returns array<struct<id: bigint, score: double>> ordered best-first;
+  * ties break deterministically by id asc. Null ids/scores are skipped.
+  */
+case class TopKBy(
+    idExpr: Expression,
+    scoreExpr: Expression,
+    kExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]]
+  with ExpectsInputTypes {
+
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
+
+  // dequeue() must return the WORST element (for eviction): "less than"
+  // means better — higher score, then smaller id
+  private val worstFirst: Ordering[(Double, Long)] =
+    Ordering.fromLessThan[(Double, Long)]((a, b) =>
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+
+  override def children: Seq[Expression] = Seq(idExpr, scoreExpr, kExpr)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(LongType, DoubleType, IntegerType)
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk_by"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val defaultCheck = super.checkInputDataTypes()
+    if (defaultCheck.isFailure) defaultCheck
+    else if (!kExpr.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a literal k, got ${kExpr.sql}")
+    else if (kExpr.eval().asInstanceOf[Number].intValue() < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires k >= 1")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
+    mutable.PriorityQueue.empty(worstFirst)
+
+  private def push(buf: mutable.PriorityQueue[(Double, Long)],
+      score: Double, id: Long): Unit = {
+    if (buf.size < k) buf.enqueue((score, id))
+    else if (worstFirst.lt((score, id), buf.head)) {
+      // strictly better than the current worst: replace it
+      buf.dequeue()
+      buf.enqueue((score, id)): Unit
+    }
+  }
+
+  override def update(buf: mutable.PriorityQueue[(Double, Long)],
+      input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
+    val id = idExpr.eval(input)
+    val score = scoreExpr.eval(input)
+    if (id != null && score != null)
+      push(buf, score.asInstanceOf[Double], id.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: mutable.PriorityQueue[(Double, Long)],
+      other: mutable.PriorityQueue[(Double, Long)]): mutable.PriorityQueue[(Double, Long)] = {
+    other.foreach { case (s, i) => push(buf, s, i) }
+    buf
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
+    val sorted = buf.toArray.sorted(worstFirst) // best first ("less" = better)
+    new GenericArrayData(sorted.map { case (s, i) =>
+      InternalRow(i, s): Any
+    })
+  }
+
+  override def serialize(buf: mutable.PriorityQueue[(Double, Long)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    buf.foreach { case (s, i) => bb.putDouble(s); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.enqueue((bb.getDouble, bb.getLong)); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKBy =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKBy =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKBy =
+    copy(idExpr = newChildren(0), scoreExpr = newChildren(1),
+      kExpr = newChildren(2))
+}

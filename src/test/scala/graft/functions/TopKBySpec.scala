@@ -1,0 +1,60 @@
+package graft.functions
+
+import graft.TestSpark.{sfDir, spark}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftFunctions
+import org.scalatest.funsuite.AnyFunSuite
+
+class TopKBySpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("topk_by equals the windowed row_number on real data, any partitioning") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(9) // force partial-buffer merges
+    val got = docs.groupBy($"source")
+      .agg(GraftFunctions.topKBy($"doc_id", $"n_chars".cast("double"), 5).as("top"))
+      .select($"source", posexplode($"top"))
+      .select($"source", $"pos", $"col.id".as("doc_id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val w = Window.partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")
+    val expected = docs.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"source", ($"rk" - 1).as("pos"), $"doc_id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
+
+  test("ties break by id ascending, deterministically") {
+    val df = Seq((1L, 10.0), (2L, 10.0), (3L, 10.0), (4L, 5.0))
+      .toDF("id", "score").repartition(3)
+    val top = df.agg(GraftFunctions.topKBy($"id", $"score", 2).as("t"))
+      .select(explode($"t").as("e")).select($"e.id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(top === Seq(1L, 2L))
+  }
+
+  test("groups smaller than k return all rows, best first") {
+    val df = Seq((1L, 1.0), (2L, 9.0)).toDF("id", "score")
+    val top = df.agg(GraftFunctions.topKBy($"id", $"score", 10).as("t"))
+      .select(explode($"t").as("e")).select($"e.id", $"e.score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top === Seq((2L, 9.0), (1L, 1.0)))
+  }
+
+  test("SQL registration works and non-literal k fails analysis") {
+    GraftFunctions.register(spark)
+    Seq((1L, 2.0, 1), (2L, 3.0, 1)).toDF("id", "score", "g")
+      .createOrReplaceTempView("tk_in")
+    val out = spark.sql(
+        "SELECT topk_by(id, score, 1) AS t FROM tk_in GROUP BY g")
+      .select(explode($"t").as("e")).select($"e.id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(out === Seq(2L))
+    val err = intercept[Exception] {
+      spark.sql("SELECT topk_by(id, score, g) FROM tk_in GROUP BY g").collect()
+    }
+    assert(err.getMessage.contains("literal") ||
+      err.getMessage.contains("topk_by"))
+  }
+}
