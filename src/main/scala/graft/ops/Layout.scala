@@ -74,4 +74,41 @@ object Layout {
       .sortWithinPartitions("zval")
       .drop("zval")
       .write.mode("overwrite").parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetFileBytes` files, sized from the directory's actual bytes
+    * (one driver-side FS metadata call — no data to the driver). The
+    * maintenance half of a lakehouse sink: high-frequency appends (e.g.
+    * [[graft.streaming.EventStreams.toLakehouse]] micro-batches) leave
+    * thousands of tiny files whose per-file open/footer cost dominates
+    * scans at 100 TB; periodic compaction restores scan bandwidth.
+    *
+    * The rewrite stages to a sibling directory and swaps via two
+    * renames, so a concurrent reader sees the old OR the new layout,
+    * never a partial mix (the swap window itself is not atomic — run
+    * from the table's maintenance job, not concurrently with writers).
+    * Intended for batch-written directories; for streaming file-sink
+    * output compact to a NEW path (the sink's _spark_metadata log still
+    * references the old files).
+    *
+    * Returns the number of files written. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): Int = {
+    require(targetFileBytes > 0)
+    val hconf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val totalBytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compacting")
+    fs.delete(tmp, true): Unit
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(path + "._precompact")
+    fs.delete(bak, true): Unit
+    require(fs.rename(p, bak), s"compact: could not move $path aside")
+    require(fs.rename(tmp, p), s"compact: could not install $tmp at $path")
+    fs.delete(bak, true): Unit
+    nFiles
+  }
 }

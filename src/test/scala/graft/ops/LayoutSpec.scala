@@ -31,6 +31,25 @@ class LayoutSpec extends AnyFunSuite {
     assert(zs.toSeq === zs.sorted.toSeq)
   }
 
+  test("compaction collapses small files and preserves every row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cmp").toString
+    val data = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+    data.repartition(64).write.mode("overwrite").parquet(dir)
+    def parquetFiles(d: String): Int =
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(dir) === 64)
+    val before = data.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val written = Layout.compact(spark, dir, targetFileBytes = 8L << 20)
+    assert(written < 8 && parquetFiles(dir) === written,
+      s"64 tiny files should compact to a handful, got $written")
+    val after = spark.read.parquet(dir).collect().map(_.toSeq)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(after === before, "compaction must preserve the exact multiset of rows")
+    assert(!new java.io.File(dir + "._compacting").exists)
+    assert(!new java.io.File(dir + "._precompact").exists)
+  }
+
   test("z-order layout bounds BOTH dims per file; 1-column sort does not") {
     val data = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select($"l_orderkey", $"l_partkey")
