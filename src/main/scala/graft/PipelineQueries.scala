@@ -741,6 +741,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // RAG chunking: 50-token windows advancing by 40 (10-token overlap),
+    // one row per chunk — pure narrow per-row work, zero shuffle
+    q("q_chunk_docs",
+      """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |           FROM documents WHERE len(text) > 0),
+        |c AS (SELECT doc_id, toks, unnest(generate_series(0,
+        |        CAST(ceil(greatest(len(toks) - 50, 0) / 40.0) AS INTEGER))) AS chunk_id
+        |      FROM d)
+        |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+        |  array_to_string(toks[chunk_id*40+1 : chunk_id*40+50], ' ') AS chunk_text,
+        |  CAST(len(toks[chunk_id*40+1 : chunk_id*40+50]) AS INTEGER) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      graft.ops.Chunking.chunkTokens(t(s, dir, "documents"), size = 50, stride = 40)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
     // Group-wise top-k through the bounded-state TopKBy aggregate (k-entry
     // heap per group, partial-mergeable — not a windowed sort): the 3
     // longest documents per source, ties by doc_id

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document chunking for retrieval/RAG ingestion: split each document
+  * into fixed-size token windows with a configurable stride (overlap =
+  * size − stride). The dual of [[Packing]] (which concatenates short
+  * docs up to a budget; this splits long docs down to one).
+  *
+  * Entirely narrow, codegen'd per-row work: tokenize → generate chunk
+  * start offsets (`sequence` + `explode`) → `slice` + `concat_ws`. No
+  * shuffle at all — at 100 TB this runs inside the scan pipeline of
+  * whatever consumes the chunks (embedding, indexing, dedup).
+  */
+object Chunking {
+
+  /** One row per (doc, chunk): `chunk_id` (0-based), `chunk_text`, and
+    * `n_tokens` (= `size` except possibly the last chunk). Starts are
+    * 0, stride, 2·stride, …; the window count is
+    * `1 + ceil(max(len − size, 0) / stride)` — just enough for the last
+    * window to reach the end of the document, with no redundant
+    * tail-only window. Empty documents yield no rows; `stride < size`
+    * gives overlapping windows. */
+  def chunkTokens(docs: DataFrame, size: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(size >= 1, s"size=$size")
+    require(stride >= 1, s"stride=$stride")
+    val toks = split(col(textCol), "\\s+")
+    val len = org.apache.spark.sql.functions.size(col("_toks"))
+    val nChunks = (lit(1) +
+      floor((greatest(len - lit(size), lit(0)) + lit(stride) - 1) / lit(stride)))
+      .cast("int")
+    docs
+      .filter(length(col(textCol)) > 0)
+      .select(col(idCol), toks.as("_toks"))
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        slice(col("_toks"), col("chunk_id") * stride + 1, lit(size)).as("_chunk"))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ", col("_chunk")).as("chunk_text"),
+        org.apache.spark.sql.functions.size(col("_chunk")).as("n_tokens"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.TestSpark.{sfDir, spark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ChunkingSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("chunks cover the document exactly, in order, with the set overlap") {
+    val doc = (1 to 23).map(i => s"w$i").mkString(" ")
+    val out = Chunking.chunkTokens(Seq((1L, doc)).toDF("doc_id", "text"),
+        size = 10, stride = 8)
+      .orderBy("chunk_id").collect()
+    // len 23: starts 0, 8, 16 — 1 + ceil(13/8) = 3 chunks
+    assert(out.length === 3)
+    assert(out.map(_.getAs[String]("chunk_text")).toSeq === Seq(
+      (1 to 10).map(i => s"w$i").mkString(" "),
+      (9 to 18).map(i => s"w$i").mkString(" "),
+      (17 to 23).map(i => s"w$i").mkString(" ")))
+    assert(out.map(_.getAs[Int]("n_tokens")).toSeq === Seq(10, 10, 7))
+  }
+
+  test("short documents yield one whole-document chunk") {
+    val out = Chunking.chunkTokens(Seq((7L, "a b c")).toDF("doc_id", "text"),
+        size = 50, stride = 40).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("chunk_text") === "a b c")
+    assert(out.head.getAs[Int]("n_tokens") === 3)
+    assert(out.head.getAs[Int]("chunk_id") === 0)
+  }
+
+  test("non-overlapping stride tiles the corpus without token loss") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val chunked = Chunking.chunkTokens(docs, size = 20, stride = 20)
+    val chunkTokens = chunked.agg(sum($"n_tokens")).first().getLong(0)
+    val docTokens = docs
+      .select(size(split($"text", "\\s+")).as("n"))
+      .agg(sum($"n")).first().getLong(0)
+    assert(chunkTokens === docTokens,
+      "stride == size must partition every token into exactly one chunk")
+    // reconstruction: joining chunks back in order reproduces the text
+    val rebuilt = chunked.groupBy($"doc_id")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct($"chunk_id", $"chunk_text"))),
+        x => x.getField("chunk_text"))).as("r"))
+    val joined = docs.join(rebuilt, "doc_id")
+      .filter($"text" =!= $"r").count()
+    assert(joined === 0, "concatenated chunks must rebuild each document")
+  }
+
+  test("chunking plans with no shuffle") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = Chunking.chunkTokens(docs, 50, 40)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking must stay narrow:\n$p")
+  }
+}
