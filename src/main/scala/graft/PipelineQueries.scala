@@ -741,6 +741,34 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Typed PII extraction/redaction: the corpus is synthetic and clean,
+    // so the query plants deterministic PII (from doc_id) on BOTH the
+    // Spark and oracle sides, then audits counts and redacts. Patterns
+    // restricted to java.regex ∩ RE2 common semantics.
+    q("q_pii_redact",
+      """WITH w AS (SELECT doc_id,
+        |    concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+        |           '@mail.example.com or 555-867-5309 at 10.0.0.',
+        |           CAST(doc_id % 256 AS VARCHAR)) AS t FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS INTEGER) AS n_phones,
+        |  CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INTEGER) AS n_ipv4,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g') AS redacted
+        |FROM w ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com or 555-867-5309 at 10.0.0."),
+          pmod(col("doc_id"), lit(256))).as("text"))
+      graft.ops.Pii.annotate(planted)
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          col("n_ipv4"), col("redacted"))
+        .orderBy(col("doc_id"))
+    },
+
     // RAG chunking: 50-token windows advancing by 40 (10-token overlap),
     // one row per chunk — pure narrow per-row work, zero shuffle
     q("q_chunk_docs",

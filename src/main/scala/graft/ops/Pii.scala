@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Typed PII detection and redaction for corpus curation — the
+  * structured sibling of the denylist masking in the text-analysis
+  * catalog: per-type match counts (audit metrics) plus a redacted copy.
+  *
+  * Patterns are deliberately restricted to syntax with identical
+  * semantics in java.util.regex AND RE2 (character classes,
+  * non-capturing groups, `\b`) so the operator is cross-engine
+  * reproducible and DuckDB-oracle-checkable. All narrow, codegen'd
+  * regexp work — no shuffle, no UDF; at 100 TB this runs inside the
+  * scan pipeline.
+  */
+object Pii {
+
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** Appends per-type counts (`n_emails`, `n_phones`, `n_ipv4`) and the
+    * fully-redacted text (`redacted`, emails → [EMAIL], phones →
+    * [PHONE], IPv4 → [IP]). Counts come from the pre-redaction text. */
+  def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def count(re: String): Column =
+      size(regexp_extract_all(t, lit(re), lit(0)))
+    docs
+      .withColumn("n_emails", count(EmailRe))
+      .withColumn("n_phones", count(PhoneRe))
+      .withColumn("n_ipv4", count(Ipv4Re))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "[EMAIL]"),
+            PhoneRe, "[PHONE]"),
+          Ipv4Re, "[IP]"))
+  }
+}

@@ -1,0 +1,37 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.scalatest.funsuite.AnyFunSuite
+
+class PiiSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("annotate counts and redacts each PII type") {
+    val df = Seq(
+      (1L, "mail a@b.com and c.d+x@e.org, call 555-123-4567, host 10.1.2.3"),
+      (2L, "clean text with a version 1.2 and the number 123-45"),
+      (3L, "ips 192.168.0.1 8.8.8.8 and phone 555-000-1111")
+    ).toDF("doc_id", "text")
+    val out = Pii.annotate(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_emails"), r.getAs[Int]("n_phones"),
+          r.getAs[Int]("n_ipv4")), r.getAs[String]("redacted"))).toMap
+    assert(out(1L)._1 === ((2, 1, 1)))
+    assert(out(1L)._2 ===
+      "mail [EMAIL] and [EMAIL], call [PHONE], host [IP]")
+    assert(out(2L)._1 === ((0, 0, 0)))
+    assert(out(2L)._2 === "clean text with a version 1.2 and the number 123-45")
+    assert(out(3L)._1 === ((0, 1, 2)))
+    assert(out(3L)._2 === "ips [IP] [IP] and phone [PHONE]")
+  }
+
+  test("redacted text contains no residual matches") {
+    val df = Seq((1L, "x@y.io 10.0.0.1 555-222-3333 again x@y.io")).toDF("doc_id", "text")
+    val again = Pii.annotate(Pii.annotate(df)
+        .select($"doc_id", $"redacted".as("text")))
+      .collect().head
+    assert(again.getAs[Int]("n_emails") === 0)
+    assert(again.getAs[Int]("n_phones") === 0)
+    assert(again.getAs[Int]("n_ipv4") === 0)
+  }
+}
