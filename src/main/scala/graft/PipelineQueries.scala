@@ -675,6 +675,26 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Temperature-tempered corpus mixing (α=0.5, target 40% of N):
+    // per-stratum rates from one broadcast count aggregate, membership
+    // by cross-engine md5 — formula written identically on both sides
+    // so the doubles (and hence every boundary comparison) agree
+    q("q_sample_temperature",
+      """WITH n AS (SELECT source, count(*) AS ns FROM documents GROUP BY source),
+        |z AS (SELECT sum(pow(ns, 0.5)) AS z, sum(ns) AS n FROM n),
+        |r AS (SELECT source,
+        |        least(1.0, 0.4 * n * (pow(ns, 0.5) / z) / ns) AS rate
+        |      FROM n, z)
+        |SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source
+        |WHERE CAST(concat('0x', substr(md5(d.doc_id::VARCHAR), 1, 6)) AS INTEGER)
+        |      / 16777216.0 < rate
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Sampling.temperatureMix(t(s, dir, "documents"),
+          "source", "doc_id", alpha = 0.5, targetFraction = 0.4)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     // ------------------------------------------------ lexical relevance
     // Corpus TF-IDF table: tokenize → (df, tf) per token → tf·ln(N/df).
     // One token-keyed shuffle; N is a broadcast 1-row aggregate, never a

@@ -75,6 +75,36 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** Temperature-weighted corpus mixing: sample stratum `s` at a rate
+    * that realizes the α-tempered distribution `p_s ∝ n_s^α` over a
+    * target total of `targetFraction·N` rows — α = 1 reproduces the
+    * natural mix, α → 0 flattens it (upweights small curated sources
+    * against a large crawl), the standard multi-source rebalance before
+    * training. Per-row keep probability is
+    * `min(1, targetFraction·N·p_s / n_s)`, decided by the cross-engine
+    * md5 unit ([[md5Unit]]) so the selection is deterministic,
+    * repartition-stable, and auditable from the key alone.
+    * One tiny count aggregate (|strata| rows, broadcast twice for the
+    * normalizer) — the corpus itself stays a single narrow filtered
+    * scan. */
+  def temperatureMix(df: DataFrame, stratumCol: String, keyCol: String,
+      alpha: Double, targetFraction: Double): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha=$alpha")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction=$targetFraction")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_ns"))
+    val z = counts.agg(sum(pow(col("_ns"), alpha)).as("_z"),
+      sum(col("_ns")).as("_n"))
+    val rates = counts.crossJoin(broadcast(z))
+      .select(col(stratumCol),
+        least(lit(1.0), lit(targetFraction) * col("_n") *
+          (pow(col("_ns"), alpha) / col("_z")) / col("_ns")).as("_rate"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(md5Unit(col(keyCol)) < col("_rate"))
+      .drop("_rate")
+      .select(df.columns.map(col): _*)
+  }
+
   /** Per-stratum quota: keep the `quota` rows whose md5(key) sorts
     * smallest within each stratum — the "cap every domain at K
     * documents" curation step, deterministic and recomputable by any

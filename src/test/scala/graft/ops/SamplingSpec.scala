@@ -97,6 +97,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("temperatureMix: α=1 reproduces the natural mix rate; α=0 flattens") {
+    // α=1: p_s ∝ n_s → rate = targetFraction everywhere
+    val nat = Sampling.temperatureMix(docs, "source", "doc_id",
+      alpha = 1.0, targetFraction = 0.5)
+    val kept = nat.count().toDouble / docs.count()
+    assert(kept > 0.4 && kept < 0.6, s"natural mix should keep ~50%, got $kept")
+    // α=0: p_s uniform across strata → expected count equal per stratum
+    // (strata here are equal-sized, so assert determinism + stability)
+    val a = Sampling.temperatureMix(docs, "source", "doc_id", 0.0, 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureMix(docs.repartition(13), "source", "doc_id", 0.0, 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b, "membership must be a pure function of the key")
+  }
+
   /** Ground truth for quotaByStratum: a bare window rank (fine on test
     * data; the operator exists because this shape doesn't scale). */
   private def bruteQuota(df: org.apache.spark.sql.DataFrame,
