@@ -761,6 +761,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // REAL image decode through the JRE's ImageIO: encode a uniform-color
+    // PNG per doc (color a closed-form function of doc_id), decode it
+    // back with the actual codec, and check dims + mean RGB against the
+    // formula the oracle computes directly
+    q("q_image_decode",
+      """SELECT doc_id, CAST(1 AS BOOLEAN) AS decode_ok,
+        |  CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+        |  CAST(doc_id % 256 AS INTEGER) AS mean_r,
+        |  CAST((doc_id // 256) % 256 AS INTEGER) AS mean_g,
+        |  CAST((doc_id * 7) % 256 AS INTEGER) AS mean_b
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Multimodal.decodeImages(
+          Multimodal.syntheticPngs(t(s, dir, "documents")))
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // Typed PII extraction/redaction: the corpus is synthetic and clean,
     // so the query plants deterministic PII (from doc_id) on BOTH the
     // Spark and oracle sides, then audits counts and redacts. Patterns

@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
   * The Spark-side shape is real and tested — schema, partition-parallel
   * batch iteration (`mapPartitions` over the typed Dataset, the Scala
   * analog of `mapInPandas` batches), and downstream relational use of the
-  * extracted metadata. The codec itself is STUBBED with a deterministic
-  * fake (this container ships no image/audio libraries): `decodeStub`
-  * derives plausible metadata purely from the payload bytes, so results
-  * are reproducible and oracle-checkable.
+  * extracted metadata. The IMAGE path decodes for real through the JRE's
+  * built-in javax.imageio codecs (PNG/JPEG/BMP/GIF — see
+  * [[decodeImages]]/[[resizeImages]]); video/audio remain deterministic
+  * STUBS (`decodeStub` et al.) because no such codec ships with the JDK
+  * or this container — honest stubs with real plumbing around them.
   */
 object Multimodal {
 
@@ -92,5 +93,101 @@ object Multimodal {
   def decodedMetadata(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     decodeStub(withPayload(docs).as[MediaRow]).toDF()
+  }
+
+  // ------------------------------------------------------------------
+  // REAL image path — javax.imageio ships with every JRE (PNG/JPEG/BMP/
+  // GIF), so unlike the video/audio stubs above, images decode for real
+  // with zero external dependencies. Same per-partition batch shape.
+  // ------------------------------------------------------------------
+
+  locally { // BufferedImage off-screen work must never touch a display
+    System.setProperty("java.awt.headless", "true")
+  }
+
+  final case class ImageMeta(doc_id: Long, decode_ok: Boolean, width: Int,
+      height: Int, mean_r: Int, mean_g: Int, mean_b: Int)
+
+  /** Deterministic REAL PNGs: a `side`×`side` image uniformly filled
+    * with a color derived from the id — an actual codec-encoded payload
+    * whose decoded statistics have a closed form (the oracle for
+    * q_image_decode). Encoding runs per partition like any codec. */
+  def syntheticPngs(docs: DataFrame, side: Int = 16): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (((id % 256) << 16) | (((id / 256) % 256) << 8) | ((id * 7) % 256)).toInt
+        var y = 0
+        while (y < side) {
+          var x = 0
+          while (x < side) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos): Unit
+        MediaRow(id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL decode via ImageIO: dimensions + truncated mean RGB. Malformed
+    * payloads surface as `decode_ok = false` rows (never task failures —
+    * at 100 TB a crawl batch always contains corrupt blobs). */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[ImageMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: Exception => null }
+        if (img == null) ImageMeta(r.doc_id, decode_ok = false, -1, -1, -1, -1, -1)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = math.max(1L, w.toLong * h)
+          ImageMeta(r.doc_id, decode_ok = true, w, h,
+            (sr / n).toInt, (sg / n).toInt, (sb / n).toInt)
+        }
+      }
+    }
+  }
+
+  /** REAL resize: decode → Graphics2D bilinear scale → re-encode PNG.
+    * The actual thumbnailing kernel of an image curation pipeline. */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaResized] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: Exception => null }
+        if (img == null) MediaResized(r.doc_id, Array.emptyByteArray)
+        else {
+          val out = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null): Unit
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos): Unit
+          MediaResized(r.doc_id, bos.toByteArray)
+        }
+      }
+    }
   }
 }

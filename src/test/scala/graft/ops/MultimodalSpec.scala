@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def pngs(ids: Seq[Long]) =
+    Multimodal.syntheticPngs(ids.toDF("doc_id"))
+
+  test("real ImageIO round-trip: decoded dims and mean RGB match the formula") {
+    val ids = Seq(0L, 1L, 255L, 256L, 300L, 4999L)
+    val out = Multimodal.decodeImages(pngs(ids)).collect()
+      .map(m => m.doc_id -> m).toMap
+    ids.foreach { id =>
+      val m = out(id)
+      assert(m.decode_ok && m.width === 16 && m.height === 16)
+      assert(m.mean_r === (id % 256).toInt, s"id=$id")
+      assert(m.mean_g === ((id / 256) % 256).toInt)
+      assert(m.mean_b === ((id * 7) % 256).toInt)
+    }
+    // the payloads really are PNGs (magic bytes), not fakes
+    val magic = pngs(Seq(42L)).collect().head.payload.take(4)
+    assert(magic.toSeq === Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+  }
+
+  test("corrupt payloads surface as decode_ok=false rows, not task failures") {
+    val bad = Seq(
+      Multimodal.MediaRow(1L, Array[Byte](1, 2, 3)),
+      Multimodal.MediaRow(2L, Array.emptyByteArray)).toDS()
+    val out = Multimodal.decodeImages(bad).collect()
+    assert(out.length === 2)
+    assert(out.forall(!_.decode_ok))
+  }
+
+  test("real resize: a uniform image thumbnails to the same color at 4x4") {
+    val small = Multimodal.resizeImages(pngs(Seq(300L)), 4, 4)
+    val meta = Multimodal.decodeImages(
+      small.map(r => Multimodal.MediaRow(r.doc_id, r.thumb))).collect().head
+    assert(meta.decode_ok && meta.width === 4 && meta.height === 4)
+    assert(meta.mean_r === (300 % 256) && meta.mean_g === (300 / 256) % 256 &&
+      meta.mean_b === (300 * 7) % 256)
+  }
+}
