@@ -778,6 +778,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // REAL audio decode through the JRE's AudioSystem: mono PCM16 square
+    // wave per doc (amplitude closed-form in doc_id, so peak and
+    // mean|x| are exactly the amplitude), decoded back with the actual
+    // WAV reader
+    q("q_audio_decode",
+      """SELECT doc_id, CAST(1 AS BOOLEAN) AS decode_ok,
+        |  CAST(8000 AS INTEGER) AS sample_rate, CAST(1 AS INTEGER) AS channels,
+        |  CAST(800 AS INTEGER) AS n_samples,
+        |  CAST(1000 + (doc_id % 100) * 10 AS INTEGER) AS peak,
+        |  CAST(1000 + (doc_id % 100) * 10 AS INTEGER) AS mean_abs
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Multimodal.decodeAudio(
+          Multimodal.syntheticWavs(t(s, dir, "documents")))
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // Typed PII extraction/redaction: the corpus is synthetic and clean,
     // so the query plants deterministic PII (from doc_id) on BOTH the
     // Spark and oracle sides, then audits counts and redacts. Patterns

@@ -34,6 +34,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.forall(!_.decode_ok))
   }
 
+  test("real AudioSystem round-trip: WAV stats match the closed form") {
+    val ids = Seq(0L, 7L, 99L, 100L, 4999L)
+    val out = Multimodal.decodeAudio(
+        Multimodal.syntheticWavs(ids.toDF("doc_id")))
+      .collect().map(m => m.doc_id -> m).toMap
+    ids.foreach { id =>
+      val m = out(id)
+      val amp = (1000 + (id % 100) * 10).toInt
+      assert(m.decode_ok && m.sample_rate === 8000 && m.channels === 1)
+      assert(m.n_samples === 800)
+      assert(m.peak === amp, s"id=$id")
+      assert(m.mean_abs === amp)
+    }
+    // the payloads are standards-conforming RIFF/WAVE, not fakes
+    val hdr = Multimodal.syntheticWavs(Seq(1L).toDF("doc_id"))
+      .collect().head.payload
+    assert(new String(hdr.take(4), "US-ASCII") === "RIFF")
+    assert(new String(hdr.slice(8, 12), "US-ASCII") === "WAVE")
+  }
+
+  test("corrupt audio payloads surface as decode_ok=false rows") {
+    val bad = Seq(Multimodal.MediaRow(1L, Array[Byte](9, 9, 9))).toDS()
+    val out = Multimodal.decodeAudio(bad).collect().head
+    assert(!out.decode_ok)
+  }
+
   test("real resize: a uniform image thumbnails to the same color at 4x4") {
     val small = Multimodal.resizeImages(pngs(Seq(300L)), 4, 4)
     val meta = Multimodal.decodeImages(
