@@ -826,7 +826,9 @@ object PipelineQueries {
     // RAG chunking: 50-token windows advancing by 40 (10-token overlap),
     // one row per chunk — pure narrow per-row work, zero shuffle
     q("q_chunk_docs",
-      """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      """WITH d AS (SELECT doc_id,
+        |             list_filter(string_split_regex(text, '\s+'),
+        |                         x -> x <> '') AS toks
         |           FROM documents WHERE len(text) > 0),
         |c AS (SELECT doc_id, toks, unnest(generate_series(0,
         |        CAST(ceil(greatest(len(toks) - 50, 0) / 40.0) AS INTEGER))) AS chunk_id

@@ -25,8 +25,12 @@ object Chunking {
   def chunkTokens(docs: DataFrame, size: Int, stride: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(size >= 1, s"size=$size")
-    require(stride >= 1, s"stride=$stride")
-    val toks = split(col(textCol), "\\s+")
+    require(stride >= 1 && stride <= size,
+      s"stride=$stride must be in [1, size=$size] — a larger stride would " +
+        "silently skip token ranges between consecutive windows")
+    // drop empty tokens (leading/trailing whitespace artifacts) so
+    // n_tokens counts real words and chunks never carry "" entries
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
     val len = org.apache.spark.sql.functions.size(col("_toks"))
     val nChunks = (lit(1) +
       floor((greatest(len - lit(size), lit(0)) + lit(stride) - 1) / lit(stride)))

@@ -57,8 +57,15 @@ object Layout {
     val buckets = dims.map { d =>
       val lo = col(s"_min_$d")
       val span = col(s"_max_$d") - lo + lit(1L)
+      // (v−min)·2^bits must fit a long or the bucket silently wraps —
+      // fail loudly instead (a span that wide needs fewer bits or a
+      // pre-scaled dimension; e.g. nano-epoch timestamps over >1 year)
+      val guarded = when(span > lit(Long.MaxValue / n),
+        raise_error(concat(lit(s"zorder: span of '$d' ("), span.cast("string"),
+          lit(s") overflows $bits-bit bucketization — reduce bits or " +
+            "pre-scale the dimension")))).otherwise(lo)
       // SQL DIV semantics: exact long division, no floating point
-      intDiv((col(d).cast("long") - lo) * lit(n), span)
+      intDiv((col(d).cast("long") - guarded) * lit(n), span)
     }
     withMm.withColumn("zval", interleave(buckets, bits))
       .drop(dims.flatMap(d => Seq(s"_min_$d", s"_max_$d")): _*)
@@ -107,7 +114,13 @@ object Layout {
     val bak = new org.apache.hadoop.fs.Path(path + "._precompact")
     fs.delete(bak, true): Unit
     require(fs.rename(p, bak), s"compact: could not move $path aside")
-    require(fs.rename(tmp, p), s"compact: could not install $tmp at $path")
+    if (!fs.rename(tmp, p)) {
+      // the table path must never be left nonexistent: restore the
+      // original layout before surfacing the failure
+      fs.rename(bak, p): Unit
+      throw new IllegalStateException(
+        s"compact: could not install $tmp at $path (original restored)")
+    }
     fs.delete(bak, true): Unit
     nFiles
   }

@@ -219,6 +219,11 @@ object Multimodal {
           val fmt = in.getFormat
           val bytes = in.readAllBytes()
           in.close()
+          // the stats loop below reads 16-bit samples — any other width
+          // would pair unrelated bytes into garbage shorts while still
+          // claiming decode_ok, so reject it explicitly
+          require(fmt.getSampleSizeInBits == 16,
+            s"unsupported sample width ${fmt.getSampleSizeInBits}")
           val le = !fmt.isBigEndian
           val n = bytes.length / 2
           var (peak, sumAbs) = (0L, 0L)

@@ -69,8 +69,10 @@ object Relevance {
     val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val qtf = tk.filter(col("token").isin(queryTerms: _*))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df_ = tk.filter(col("token").isin(queryTerms: _*))
-      .groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    // df falls out of qtf (one row per (doc, term)) — deriving it there
+    // avoids a second tokenization pass over the corpus AND the
+    // countDistinct machinery
+    val df_ = qtf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
     val idf = log(lit(1.0) +

@@ -182,17 +182,25 @@ object EventStreams {
     * length). Without the range condition the right buffer would grow
     * forever — that shape is rejected here rather than deployed. */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
-      lookbackMs: Long, watermark: String = "10 minutes"): DataFrame = {
+      lookbackMs: Long, watermark: String = "10 minutes",
+      timeCol: String = "event_time"): DataFrame = {
     require(lookbackMs > 0, s"lookbackMs=$lookbackMs")
+    require(left.columns.contains(timeCol) && right.columns.contains(timeCol),
+      s"both sides need an event-time column named '$timeCol' " +
+        "(pass timeCol to override)")
+    require(!left.columns.exists(_.startsWith("r_")),
+      "left side must not already carry r_-prefixed columns " +
+        "(they would collide with the renamed right side)")
     val renamed = right.columns.foldLeft(right) { (df, c) =>
       df.withColumnRenamed(c, s"r_$c")
     }
-    val lookbackSec = math.ceil(lookbackMs / 1000.0).toLong
-    left.withWatermark("event_time", watermark)
-      .join(renamed.withWatermark("r_event_time", watermark),
+    // millisecond-exact bound — rounding to seconds would widen the
+    // documented [left - lookbackMs, left] window by up to 999 ms
+    left.withWatermark(timeCol, watermark)
+      .join(renamed.withWatermark(s"r_$timeCol", watermark),
         col(key) === col(s"r_$key") &&
-          col("r_event_time") >= col("event_time") - expr(s"INTERVAL $lookbackSec SECOND") &&
-          col("r_event_time") <= col("event_time"))
+          col(s"r_$timeCol") >= col(timeCol) - expr(s"INTERVAL $lookbackMs MILLISECOND") &&
+          col(s"r_$timeCol") <= col(timeCol))
   }
 
   /** Streaming twin of [[graft.ops.Dedup.dropAgainstCorpus]]: drop

@@ -23,7 +23,8 @@ import org.apache.spark.sql.types._
   * k regardless of group size.
   *
   * Returns array<struct<id: bigint, score: double>> ordered best-first;
-  * ties break deterministically by id asc. Null ids/scores are skipped.
+  * ties break deterministically by id asc. Null ids and null/NaN scores
+  * are skipped.
   */
 case class TopKBy(
     idExpr: Expression,
@@ -54,9 +55,13 @@ case class TopKBy(
     else if (!kExpr.foldable)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a literal k, got ${kExpr.sql}")
-    else if (kExpr.eval().asInstanceOf[Number].intValue() < 1)
-      TypeCheckResult.TypeCheckFailure(s"$prettyName requires k >= 1")
-    else TypeCheckResult.TypeCheckSuccess
+    else kExpr.eval() match {
+      case null => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a non-null k")
+      case n: Number if n.intValue() < 1 =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName requires k >= 1")
+      case _ => TypeCheckResult.TypeCheckSuccess
+    }
   }
 
   override def dataType: DataType = ArrayType(StructType(Seq(
@@ -81,7 +86,11 @@ case class TopKBy(
       input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
     val id = idExpr.eval(input)
     val score = scoreExpr.eval(input)
-    if (id != null && score != null)
+    // NaN scores are skipped like nulls: NaN breaks the strict-weak
+    // ordering of the heap (NaN > x and NaN == NaN are both false), so
+    // admitting one would make results partitioning-dependent
+    if (id != null && score != null &&
+        !java.lang.Double.isNaN(score.asInstanceOf[Double]))
       push(buf, score.asInstanceOf[Double], id.asInstanceOf[Long])
     buf
   }

@@ -42,6 +42,15 @@ class TopKBySpec extends AnyFunSuite {
     assert(top === Seq((2L, 9.0), (1L, 1.0)))
   }
 
+  test("NaN scores are skipped like nulls (ordering stays strict-weak)") {
+    val df = Seq((1L, Double.NaN), (2L, 1.0), (3L, Double.NaN), (4L, 2.0))
+      .toDF("id", "score").repartition(2)
+    val top = df.agg(GraftFunctions.topKBy($"id", $"score", 3).as("t"))
+      .select(explode($"t").as("e")).select($"e.id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(top === Seq(4L, 2L), "finite scores only, best first")
+  }
+
   test("SQL registration works and non-literal k fails analysis") {
     GraftFunctions.register(spark)
     Seq((1L, 2.0, 1), (2L, 3.0, 1)).toDF("id", "score", "g")

@@ -49,6 +49,22 @@ class ChunkingSpec extends AnyFunSuite {
     assert(joined === 0, "concatenated chunks must rebuild each document")
   }
 
+  test("surrounding whitespace does not create empty tokens or inflate counts") {
+    val out = Chunking.chunkTokens(
+        Seq((1L, "  hello   world ")).toDF("doc_id", "text"), 10, 10)
+      .collect().head
+    assert(out.getAs[String]("chunk_text") === "hello world")
+    assert(out.getAs[Int]("n_tokens") === 2)
+  }
+
+  test("stride larger than size is rejected (would skip token ranges)") {
+    val e = intercept[IllegalArgumentException] {
+      Chunking.chunkTokens(Seq((1L, "a b")).toDF("doc_id", "text"),
+        size = 10, stride = 50)
+    }
+    assert(e.getMessage.contains("stride"))
+  }
+
   test("chunking plans with no shuffle") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val p = Chunking.chunkTokens(docs, 50, 40)

@@ -31,6 +31,18 @@ class LayoutSpec extends AnyFunSuite {
     assert(zs.toSeq === zs.sorted.toSeq)
   }
 
+  test("a dimension span too wide for the bit budget fails loudly") {
+    val df = Seq((0L, 1L), (Long.MaxValue - 1, 2L)).toDF("x", "y")
+    val e = intercept[Exception] {
+      Layout.withZValue(df, Seq("x", "y"), bits = 8).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("overflows")),
+      "wide spans must raise, not silently wrap the bucket arithmetic")
+  }
+
   test("compaction collapses small files and preserves every row") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cmp").toString
     val data = spark.read.parquet(s"$sfDir/lineitem.parquet")

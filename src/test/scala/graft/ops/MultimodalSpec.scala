@@ -60,6 +60,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!out.decode_ok)
   }
 
+  test("non-16-bit WAVs are rejected, not silently mis-parsed") {
+    // valid 8-bit PCM mono WAV: header says 8 bits, 4 samples
+    val bb = java.nio.ByteBuffer.allocate(44 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 4)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000)
+      .putShort(1).putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(4)
+      .put(Array[Byte](10, 20, 30, 40))
+    val out = Multimodal.decodeAudio(
+      Seq(Multimodal.MediaRow(5L, bb.array())).toDS()).collect().head
+    assert(!out.decode_ok,
+      "8-bit PCM must be rejected instead of pairing bytes into shorts")
+  }
+
   test("real resize: a uniform image thumbnails to the same color at 4x4") {
     val small = Multimodal.resizeImages(pngs(Seq(300L)), 4, 4)
     val meta = Multimodal.decodeImages(
