@@ -13,7 +13,8 @@ object ExplainCheck {
     for (q <- Seq("q_agg_pricing","q_multi_join_star","q_dedup_minhash",
         "q_emb_neardup_lsh","q_sessionize","q_ann_brute",
         "q_emb_centroid","q_bm25","q_quota_sample","q_dedup_incremental",
-        "q_asof_join","q_range_join","q_pack_sequences")) {
+        "q_asof_join","q_range_join","q_pack_sequences","q_chunk_docs",
+        "q_topk_group","q_zorder")) {
       println(s"########## $q")
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

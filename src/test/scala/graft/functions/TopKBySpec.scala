@@ -51,6 +51,30 @@ class TopKBySpec extends AnyFunSuite {
     assert(top === Seq(4L, 2L), "finite scores only, best first")
   }
 
+  test("topk_by aggregates in Structured Streaming (complete mode)") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-tks").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.write.mode("overwrite").parquet(stageDir)
+    val streamed = spark.readStream.schema(docs.schema).parquet(stageDir)
+      .groupBy($"source")
+      .agg(GraftFunctions.topKBy($"doc_id", $"n_chars".cast("double"), 3).as("top"))
+    val q = streamed.writeStream.outputMode("complete")
+      .format("memory").queryName("tks")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("tks")
+      .select($"source", explode($"top").as("e"))
+      .select($"source", $"e.id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val expected = docs.groupBy($"source")
+      .agg(GraftFunctions.topKBy($"doc_id", $"n_chars".cast("double"), 3).as("top"))
+      .select($"source", explode($"top").as("e"))
+      .select($"source", $"e.id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === expected,
+      "streaming state must round-trip the aggregate's serialized buffers")
+  }
+
   test("SQL registration works and non-literal k fails analysis") {
     GraftFunctions.register(spark)
     Seq((1L, 2.0, 1), (2L, 3.0, 1)).toDF("id", "score", "g")
