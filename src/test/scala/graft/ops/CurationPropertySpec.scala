@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftFunctions
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.scalacheck.Test.Parameters
+
+/** Property tests for the round-3 curation operators: randomized inputs
+  * (skewed strata, duplicate-heavy scores, adversarial quotas/k) against
+  * brute-force ground truths. The properties are about SEMANTICS; the
+  * scale shapes are pinned separately in PlanSpec. */
+object CurationPropertySpec extends Properties("CurationOps") {
+  import spark.implicits._
+
+  override def overrideParameters(p: Parameters): Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private val rowsGen: Gen[List[(Long, String, Double)]] = for {
+    n <- Gen.choose(1, 120)
+    rows <- Gen.listOfN(n, for {
+      // few strata + small score range = maximal tie pressure
+      s <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(0, 5).map(_.toDouble)
+    } yield (s, v))
+  } yield rows.zipWithIndex.map { case ((s, v), i) => (i.toLong, s, v) }
+  // ^ ids are the index so they are unique (both operators key on the id)
+
+  property("topk_by == brute-force sort on any input, any k") =
+    forAll(rowsGen, Gen.choose(1, 8)) { (rows, k) =>
+      val df = rows.toDF("id", "grp", "score").repartition(3)
+      val got = df.groupBy($"grp")
+        .agg(GraftFunctions.topKBy($"id", $"score", k).as("t"))
+        .select($"grp", explode($"t").as("e"))
+        .select($"grp", $"e.id")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+      // .toSeq before flatMap: flatMapping a Map with pair results would
+      // collapse to one entry per group key
+      val expected = rows.groupBy(_._2).toSeq.flatMap { case (g, rs) =>
+        rs.sortBy(r => (-r._3, r._1)).take(k).map(g -> _._1)
+      }.toSet
+      got == expected
+    }
+
+  private def md5Hex(id: Long): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  property("quotaByStratum == brute rank for any quota/oversample") =
+    forAll(rowsGen, Gen.choose(1, 20), Gen.oneOf(1.1, 2.0, 4.0)) {
+      (rows, quota, oversample) =>
+        val df = rows.toDF("id", "grp", "score")
+        val got = Sampling.quotaByStratum(df, "grp", "id", quota, oversample)
+          .select("id").collect().map(_.getLong(0)).toSet
+        val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
+          rs.map(_._1).sortBy(id => (md5Hex(id), id)).take(quota)
+        }.toSet
+        got == expected
+    }
+}
