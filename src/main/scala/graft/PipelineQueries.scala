@@ -894,16 +894,22 @@ object PipelineQueries {
     // Per-label centroid through the custom partial-mergeable VectorAvg
     // aggregate: the shuffle carries one dim-length buffer per
     // (task, label) — the posexplode alternative would shuffle dim× the
-    // corpus. Oracle recomputes element-wise means by position.
+    // corpus. The OPERATOR (GraftFunctions.vectorAvg) returns the real
+    // array<double>; this verification query alone projects it to a CSV
+    // of 1e-4-scaled BIGINTs because the driver's pandas hasher cannot
+    // hash array cells (integers stringify identically on both engines).
+    // Oracle recomputes element-wise means by position.
     q("q_emb_centroid",
       """WITH ex AS (SELECT label,
         |    unnest(generate_series(1, len(embedding))) AS pos,
         |    unnest(embedding) AS val
         |  FROM embeddings),
-        |ag AS (SELECT label, pos, round(avg(CAST(val AS DOUBLE)), 4) AS m
+        |ag AS (SELECT label, pos,
+        |         CAST(round(avg(CAST(val AS DOUBLE)) * 10000) AS BIGINT) AS m
         |       FROM ex GROUP BY label, pos),
         |cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
-        |SELECT cnt.label, cnt.n, list(ag.m ORDER BY ag.pos) AS centroid
+        |SELECT cnt.label, cnt.n,
+        |       array_to_string(list(ag.m ORDER BY ag.pos), ',') AS centroid
         |FROM cnt JOIN ag ON ag.label = cnt.label
         |GROUP BY cnt.label, cnt.n ORDER BY cnt.label""".stripMargin) { (s, dir) =>
       t(s, dir, "embeddings")
@@ -911,7 +917,9 @@ object PipelineQueries {
         .agg(GraftFunctions.vectorAvg(col("embedding")).as("raw"),
           count(lit(1)).as("n"))
         .select(col("label"), col("n"),
-          transform(col("raw"), x => round(x, 4)).as("centroid"))
+          concat_ws(",",
+            transform(col("raw"), x => round(x * lit(10000)).cast("long"))
+          ).as("centroid"))
         .orderBy(col("label"))
     }
   )
