@@ -414,12 +414,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
-    // Deterministic key-hash sampling (stable under repartitioning): the
-    // oracle can't reproduce xxhash64, but the SELECTED SET is a pure
-    // function of doc_id — verified structurally in SamplingSpec;
-    // rows-only here
-    qNoOracle("q_sample_by_key") { (s, dir) =>
-      graft.ops.Sampling.byKeyHash(t(s, dir, "documents"), "doc_id", 0.25)
+    // Deterministic key-hash sampling (stable under repartitioning) via
+    // the cross-engine md5 route — the oracle recomputes the EXACT
+    // selected set from doc_id alone. The xxhash64 fast path
+    // (Sampling.byKeyHash) has identical structure and is
+    // property-verified in SamplingSpec.
+    q("q_sample_by_key",
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 6)) AS INTEGER)
+        |      / 16777216.0 < 0.25
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Sampling.byKeyMd5(t(s, dir, "documents"), "doc_id", 0.25)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     },

@@ -842,13 +842,24 @@ object Queries {
       s.sql(tr.sql)
     },
 
-    // §2.2 TABLESAMPLE percent form (rand()-derived row set is
-    // engine-specific → rows-only)
-    qNoOracle("q_tablesample_pct") { (s, dir) =>
-      views(s, dir, "lineitem")
-      s.sql(
-        """SELECT l_orderkey, l_linenumber FROM lineitem
-          |TABLESAMPLE (10 PERCENT) REPEATABLE (42)""".stripMargin)
+    // §2.2 TABLESAMPLE percent + REPEATABLE: the translator implements the
+    // repeatability contract as a content-hash sample (md5 over the row
+    // with the seed mixed in) — deterministic across runs, partitionings,
+    // AND engines, so the oracle restates the same rule. Sampled relation
+    // is a 2-int-column view so both engines stringify rows identically.
+    q("q_tablesample_pct",
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE CAST(concat('0x', substr(md5(
+        |        concat_ws(chr(1), '42', l_orderkey::VARCHAR, l_linenumber::VARCHAR)
+        |      ), 1, 6)) AS INTEGER) / 16777216.0 < 10 / 100.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"))
+        .createOrReplaceTempView("lineitem_keys")
+      val tr = graft.script.HiveDdlTranslator.translate(
+        """SELECT l_orderkey, l_linenumber FROM lineitem_keys
+          |TABLESAMPLE (10 PERCENT) REPEATABLE (42)
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+      s.sql(tr.sql)
     },
 
     // §2.2 String family part 2: edit distance, translate, hashing, affixes

@@ -42,6 +42,16 @@ object Sampling {
     conv(substring(md5(key.cast("string").cast("binary")), 1, 6), 16, 10)
       .cast("long") / lit(1 << 24)
 
+  /** Cross-engine twin of [[byKeyHash]]: keep a row iff
+    * md5Unit(key) < fraction. Same stability guarantees, plus any engine
+    * can recompute the exact selected set from the key alone (oracle-
+    * checked as q_sample_by_key). Prefer [[byKeyHash]] when only Spark
+    * stages must agree — xxhash64 is cheaper than md5. */
+  def byKeyMd5(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction=$fraction")
+    df.filter(md5Unit(col(keyCol)) < lit(fraction))
+  }
+
   /** Keep each row with probability `fractions(stratum)` (absent strata
     * drop), deterministically by md5 of the key: the cross-engine-
     * reproducible version of [[stratified]]. The per-stratum rate is the

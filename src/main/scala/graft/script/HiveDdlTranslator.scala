@@ -44,6 +44,16 @@ object HiveDdlTranslator {
   private val BucketSampleOnCol = Pattern.compile(
     "(?is)([\\w.`]+)\\s+tablesample\\s*\\(\\s*bucket\\s+(\\d+)\\s+out\\s+of\\s+(\\d+)" +
       "\\s+on\\s+([\\w.`]+)\\s*\\)")
+  // Percent form WITH an explicit seed: the REPEATABLE contract is "same
+  // rows every run", which rand()-derived sampling only honors within one
+  // engine+partitioning. We implement it as a content-hash sample (md5 of
+  // the whole row with the seed mixed in, first 24 bits as a unit uniform)
+  // — deterministic, repartition-stable, and recomputable by any engine
+  // from the data alone (same auditability contract as Sampling.md5Unit).
+  // Percent WITHOUT repeatable keeps Spark's native block sampling.
+  private val PercentRepeatable = Pattern.compile(
+    "(?is)([\\w.`]+)\\s+tablesample\\s*\\(\\s*([0-9]+(?:\\.[0-9]+)?)\\s+" +
+      "percent\\s*\\)\\s*repeatable\\s*\\(\\s*(\\d+)\\s*\\)")
   private val UnionType = Pattern.compile("(?is)\\buniontype\\s*<")
 
   /** Identity for non-CREATE-TABLE or already-Spark-native statements.
@@ -82,6 +92,20 @@ object HiveDdlTranslator {
         s"(SELECT * FROM $tbl WHERE (hive_hash($c) & 2147483647) % $y = ${x - 1})"))
     }
     bc.appendTail(sbc)
+    // x PERCENT REPEATABLE (s): deterministic content-hash sample (see
+    // PercentRepeatable doc). chr(1) separates fields; the seed is the
+    // first concat element so different seeds select independent row sets.
+    val pr = PercentRepeatable.matcher(sbc.toString)
+    val spr = new StringBuffer
+    while (pr.find()) {
+      val (tbl, pct, seed) = (pr.group(1), pr.group(2), pr.group(3))
+      pr.appendReplacement(spr, java.util.regex.Matcher.quoteReplacement(
+        s"(SELECT * FROM $tbl WHERE CAST(conv(substring(md5(cast(" +
+          s"concat_ws(chr(1), '$seed', *) as binary)), 1, 6), 16, 10) " +
+          s"AS BIGINT) / 16777216.0 < $pct / 100.0)"))
+    }
+    pr.appendTail(spr)
+    sbc.setLength(0); sbc.append(spr)
     // BUCKET x OUT OF y [ON rand()]: non-deterministic bucketing → percent
     // sampling with the same expected fraction (SURVEY §2.2 TABLESAMPLE)
     val bs = BucketSample.matcher(sbc.toString)

@@ -65,6 +65,20 @@ class HiveDdlTranslatorSpec extends AnyFunSuite {
     assert(t.sql.contains("(SELECT * FROM b WHERE (hive_hash(y) & 2147483647) % 100 = 2) tb"))
   }
 
+  test("TABLESAMPLE percent REPEATABLE rewrites to seeded content-hash filter") {
+    val t = HiveDdlTranslator.translate(
+      "SELECT a FROM src TABLESAMPLE (10 PERCENT) REPEATABLE (42)")
+    assert(t.sql.contains("(SELECT * FROM src WHERE CAST(conv(substring(md5("))
+    assert(t.sql.contains("concat_ws(chr(1), '42', *)"))
+    assert(t.sql.contains("< 10 / 100.0)"))
+  }
+
+  test("TABLESAMPLE percent without REPEATABLE passes through to native sampling") {
+    val t = HiveDdlTranslator.translate(
+      "SELECT a FROM src TABLESAMPLE (10 PERCENT)")
+    assert(t.sql === "SELECT a FROM src TABLESAMPLE (10 PERCENT)")
+  }
+
   test("TABLESAMPLE(BUCKET x OUT OF y ON col) uses exact Hive hash-mod semantics") {
     val t = HiveDdlTranslator.translate(
       "SELECT k FROM src TABLESAMPLE (BUCKET 2 OUT OF 4 ON k)")
