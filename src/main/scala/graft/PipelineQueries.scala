@@ -41,11 +41,50 @@ object PipelineQueries {
         .orderBy(col("keep_id"))
     },
 
-    // Full curation pipeline (normalize → dedup → quality → split):
-    // composed operators, train-split row set (rows-only — the composed
-    // stages are each oracle/property-tested individually)
-    qNoOracle("q_curate_train") { (s, dir) =>
-      Pipelines.curate(t(s, dir, "documents"), jaccardThreshold = 0.8)
+    // Full curation pipeline (normalize → exact dedup → near-dedup →
+    // quality → split) in exact mode: the DuckDB oracle recomputes every
+    // stage — including transitive-closure duplicate clusters — so the
+    // composed pipeline is hash-checked end-to-end. Bounded slice
+    // (doc_id < 400) keeps the oracle's recursive CTE tractable; the
+    // MinHash production path (Pipelines.curate) shares this exact shape
+    // and is covered in PipelinesSpec.
+    q("q_curate_train",
+      """WITH RECURSIVE
+        |base AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text, lang
+        |  FROM documents WHERE doc_id < 400),
+        |keepers AS (SELECT min(doc_id) AS keep_id FROM base GROUP BY text),
+        |kept AS (SELECT b.* FROM base b JOIN keepers e ON b.doc_id = e.keep_id),
+        |toks AS (SELECT doc_id AS id,
+        |           unnest(list_distinct(string_split_regex(text, '\s+'))) AS tok
+        |         FROM kept),
+        |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+        |common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+        |           FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+        |           GROUP BY a.id, b.id),
+        |pairs AS (SELECT id_a, id_b
+        |          FROM common JOIN sizes sa ON id_a = sa.id
+        |                      JOIN sizes sb ON id_b = sb.id
+        |          WHERE CAST(cnt AS DOUBLE)/(sa.sz + sb.sz - cnt) >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |neark AS (SELECT k.* FROM kept k
+        |          WHERE k.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)),
+        |qual AS (SELECT * FROM neark
+        |  WHERE CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE)
+        |        / len(string_split_regex(text, '\s+')) >= 0.2)
+        |SELECT doc_id, lang FROM qual
+        |WHERE CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 6)) AS INTEGER)
+        |      / 16777216.0 < 0.9
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Pipelines.curateExact(
+          t(s, dir, "documents").filter(col("doc_id") < 400),
+          jaccardThreshold = 0.8)
         .train.select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
     },
 

@@ -46,6 +46,38 @@ object Pipelines {
     CurationResult(tr, va, te)
   }
 
+  /** Exact-mode twin of [[curate]]: every approximate or Spark-only stage
+    * swapped for its exact, cross-engine-reproducible counterpart —
+    * token-set Jaccard pairs instead of MinHash candidates, md5-derived
+    * split membership instead of xxhash64 — so an external engine can
+    * recompute the output row set bit-for-bit from the data alone
+    * (oracle-checked end-to-end as q_curate_train). The near-dup stage
+    * generates candidates from a shared-token inverted index (quadratic
+    * in the hottest token's posting list): use on bounded slices or
+    * audit samples; [[curate]] is the 100 TB path. */
+  def curateExact(docs: DataFrame,
+      minDistinctRatio: Double = 0.2,
+      jaccardThreshold: Double = 0.8,
+      splitWeights: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): CurationResult = {
+    val normalized = docs.withColumn("text",
+      trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+    val exactKept = Dedup.dropExactDuplicates(normalized)
+    val nearPairs = Dedup.jaccardPairs(exactKept, n = 1,
+      threshold = jaccardThreshold).select(col("id_a"), col("id_b"))
+    val dropIds = Dedup.duplicateClusters(nearPairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    val nearKept = exactKept.join(dropIds, Seq("doc_id"), "left_anti")
+    val toks = split(col("text"), "\\s+")
+    val quality = nearKept.filter(
+      size(array_distinct(toks)).cast("double") / size(toks) >= minDistinctRatio)
+    val labeled = Sampling.splitLabelByMd5(quality, "doc_id", splitWeights)
+    def part(name: String) =
+      labeled.filter(col("split") === name).drop("split")
+    CurationResult(part("train"), part("val"), part("test"))
+  }
+
   /** Materialize a curated corpus as a partitioned (+ optionally
     * bucketed) table — the lakehouse layout downstream trainers read:
     * partition pruning on the partition column, shuffle-free joins on

@@ -23,6 +23,22 @@ class PipelinesSpec extends AnyFunSuite {
     assert(residual === 0, s"$residual near-dup pairs survived curation")
   }
 
+  test("curateExact: exact twin drops all near-dups, md5 split is key-recomputable") {
+    val slice = docs.filter(col("doc_id") < 300)
+    val r = Pipelines.curateExact(slice, jaccardThreshold = 0.8)
+    val surviving = r.train.unionByName(r.validation).unionByName(r.test)
+    val kept = surviving.count()
+    assert(kept > 0 && kept < slice.count())
+    // exactness: zero surviving token-set near-dup pairs
+    assert(Dedup.jaccardPairs(surviving, n = 1, threshold = 0.8).count() === 0)
+    // split membership is a pure function of doc_id via md5Unit
+    val trainIds = r.train.select("doc_id")
+    val recomputed = surviving
+      .filter(Sampling.md5Unit(col("doc_id")) < 0.9).select("doc_id")
+    assert(trainIds.exceptAll(recomputed).count() === 0)
+    assert(recomputed.exceptAll(trainIds).count() === 0)
+  }
+
   test("materialize writes a partitioned bucketed table") {
     spark.sql("DROP TABLE IF EXISTS curated_docs")
     Pipelines.materialize(docs.limit(100), "curated_docs",
