@@ -93,9 +93,10 @@ object Dedup {
     * candidate pairs (single groupBy over shingle buckets), then the
     * array-intersect verifier computes the exact score. Output is
     * identical to the naive quadratic join (a pair with jaccard > 0
-    * shares a shingle by definition); `maxBucket` is set high because
-    * this operator promises exactness — cap-based dropping belongs to
-    * the LSH path.
+    * shares a shingle by definition); candidates come from
+    * [[pairsInBucketsExact]], which keeps that completeness promise
+    * without a bucket cap AND without single-task quadratic expansion on
+    * degenerate shingles — cap-based dropping belongs to the LSH path.
     *
     * The shingle arrays are deliberately NOT cached even though the plan
     * consumes them multiple times: shingling is a cheap codegen'd
@@ -106,9 +107,9 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val arrs = shingleArrays(docs, n, idCol, textCol)
-    val cands = pairsInBuckets(
+    val cands = pairsInBucketsExact(
       arrs.select(col("id"), explode(col("sh")).as("shingle")),
-      Seq("shingle"), "id", maxBucket = 1 << 20)
+      Seq("shingle"), "id")
     verifyJaccard(cands, arrs, threshold)
   }
 
@@ -153,6 +154,49 @@ object Dedup {
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
+  }
+
+  /** EXACT candidate pairs with no bucket cap and no single-task blowup:
+    * the completeness contract of [[jaccardPairs]] (every co-bucketed
+    * pair emitted) without [[pairsInBuckets]]'s in-task quadratic
+    * expansion, which on a degenerate bucket — a boilerplate shingle
+    * shared by 10⁶ docs — would materialize ~5·10¹¹ pairs inside ONE
+    * task. Buckets are routed by size with one cheap partial-combined
+    * count:
+    *
+    *  - ≤ `inTaskCap` ids (the overwhelmingly common case): the
+    *    single-shuffle collect_set expansion, bounded at cap²/2 ≈ 5·10⁵
+    *    in-task pairs;
+    *  - larger (degenerate keys — by definition at most
+    *    corpus/inTaskCap of them, so the key set broadcasts): a
+    *    block-salted self-join. Each id lands in a deterministic block
+    *    of `blocks`; the left side replicates to blocks ≥ its own, the
+    *    right side keeps its block, and the join key (bucket, block)
+    *    spreads the bucket's quadratic output over `blocks` tasks whose
+    *    pairs STREAM through the join iterator — nothing collects, and
+    *    ids never materialize as an array. least/greatest + distinct
+    *    canonicalizes the one-or-two join hits per unordered pair. */
+  def pairsInBucketsExact(rows: DataFrame, keyCols: Seq[String],
+      idCol: String, inTaskCap: Int = 1000, blocks: Int = 64): DataFrame = {
+    val key = keyCols.map(col)
+    val bigKeys = rows.groupBy(key: _*).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > inTaskCap).select(key: _*)
+    val smallPairs = pairsInBuckets(
+      rows.join(broadcast(bigKeys), keyCols, "left_anti"),
+      keyCols, idCol, maxBucket = inTaskCap)
+    val bigRows = rows.join(broadcast(bigKeys), keyCols, "left_semi")
+      .select(struct(key: _*).as("k"), col(idCol).as("id"),
+        pmod(xxhash64(col(idCol)), lit(blocks)).cast("int").as("blk"))
+    val left = bigRows
+      .select(col("k"), col("id").as("id_a"),
+        explode(sequence(col("blk"), lit(blocks - 1))).as("bb"))
+    val right = bigRows.select(col("k"), col("id").as("id_b"),
+      col("blk").as("bb"))
+    val bigPairs = left.join(right, Seq("k", "bb"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+    smallPairs.union(bigPairs).distinct()
   }
 
   /** Candidate pairs from LSH band rows (distinct, id_a < id_b). */

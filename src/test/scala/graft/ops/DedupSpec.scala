@@ -61,6 +61,27 @@ class DedupSpec extends AnyFunSuite {
     assert(dropCount > 0 && dropCount < docs.count())
   }
 
+  test("pairsInBucketsExact: big-bucket streaming path equals in-task expansion") {
+    import spark.implicits._
+    // 60 ids share one degenerate bucket (> cap 8) + small buckets with
+    // overlapping membership; the streamed path must emit the identical
+    // unordered pair set the unbounded in-task expansion does
+    val rows = ((1L to 60L).map(i => ("hot", i)) ++
+        Seq(("s1", 1L), ("s1", 2L), ("s1", 3L), ("s2", 2L), ("s2", 61L)))
+      .toDF("shingle", "id")
+    val exact = Dedup.pairsInBucketsExact(rows, Seq("shingle"), "id",
+      inTaskCap = 8, blocks = 4)
+    val naive = Dedup.pairsInBuckets(rows, Seq("shingle"), "id",
+      maxBucket = Int.MaxValue)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (e, n) = (pairs(exact), pairs(naive))
+    assert(e === n)
+    // hot-bucket pairs (1770) subsume s1's three; s2 adds one new pair
+    assert(e.size === 60 * 59 / 2 + 1)
+    assert(e.forall { case (a, b) => a < b })
+  }
+
   test("salted join equals the plain join (skew mitigation)") {
     val sf = graft.TestSpark.sfDir
     val orders = spark.read.parquet(s"$sf/orders.parquet")
