@@ -52,8 +52,18 @@ object IvfIndex {
       model.clusterCenters.map(_.toArray))
   }
 
-  /** Top-k cosine for the query subset, probing nprobe cells per query. */
-  def search(index: Index, queryPred: Column, k: Int, nprobe: Int): DataFrame = {
+  /** Top-k cosine for the query subset, probing nprobe cells per query.
+    *
+    * The candidate join is salted: a bare join on `cell` would cap
+    * shuffle parallelism at `nlist` and send a hot cell (skewed
+    * cluster) to a single task. The base side instead carries a
+    * deterministic block id in [0, `blocks`), each probe replicates to
+    * every block, and the (cell, blk) key spreads each cell's
+    * candidates over `blocks` tasks. Probe replication is cheap — the
+    * probe side is queries × nprobe rows, model-of-the-query-set-sized,
+    * not data-sized. */
+  def search(index: Index, queryPred: Column, k: Int, nprobe: Int,
+      blocks: Int = 32): DataFrame = {
     val spark = index.assignments.sparkSession
     // centroid table is model-sized: ship as a literal-backed DataFrame
     import spark.implicits._
@@ -73,9 +83,13 @@ object IvfIndex {
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("qemb"), col("qnrm"), col("cell"))
-    // search only the probed cells
+    // search only the probed cells, salted on (cell, blk) — see Scaladoc
+    val saltedBase = base.withColumn("blk",
+      pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int"))
+    val saltedProbes = probes.withColumn("blk",
+      explode(sequence(lit(0), lit(blocks - 1))))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
-    probes.join(base, Seq("cell"))
+    saltedProbes.join(saltedBase, Seq("cell", "blk"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(Similarity.dot(col("emb"), col("qemb")) / (col("nrm") * col("qnrm")), 6)

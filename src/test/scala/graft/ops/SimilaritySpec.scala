@@ -67,6 +67,11 @@ class SimilaritySpec extends AnyFunSuite {
     val full = IvfIndex.search(index, col("vec_id") < 10, k = 5, nprobe = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full === brute, "nprobe=nlist must equal brute force")
+    // candidate join is salted: (cell, blk) key, not bare cell — a hot
+    // cell spreads over `blocks` tasks instead of one
+    val plan = IvfIndex.search(index, col("vec_id") < 10, k = 5, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("blk"), "expected salted (cell, blk) join key")
   }
 
   test("LSH near-dup on planted high-sim dups: full recall with heavy candidate pruning") {
