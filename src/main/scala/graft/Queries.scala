@@ -32,10 +32,6 @@ object Queries {
       fn: (SparkSession, String) => DataFrame): QDef =
     QDef(name, fn, Some(oracle))
 
-  private def qNoOracle(name: String)(
-      fn: (SparkSession, String) => DataFrame): QDef =
-    QDef(name, fn, None)
-
   // ---------------------------------------------------------------- defs
 
   val defs: Seq[QDef] = Seq(

@@ -1,0 +1,52 @@
+package graft.tools
+
+import graft.ops.{Dedup, IvfIndex, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Diagnostic: measured recall of every approximate operator against its
+  * exact twin at the test SFs — the numbers that pin the bound-style
+  * oracle floors in PipelineQueries. Run:
+  * `sbt "runMain graft.tools.ApproxRecall"` */
+object ApproxRecall {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val m = Dedup.minhashNearDups(docs, n = 3, k = 32, bands = 16,
+        threshold = 0.5).select("id_a", "id_b")
+      val e = Dedup.jaccardPairs(docs, n = 3, threshold = 0.5)
+        .select("id_a", "id_b")
+      println(s"[$sf] minhash=${m.count} exact=${e.count} " +
+        s"missed=${e.exceptAll(m).count} extra=${m.exceptAll(e).count}")
+      val sigs = docs.select(col("doc_id").as("id"),
+        graft.functions.GraftFunctions.simhash64(split(col("text"), "\\s+")).as("sig"))
+      val bruteSim = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+        .filter(col("hamming") <= 8).select("id_a", "id_b")
+      val banded = Dedup.simhashNearDups(docs, maxHamming = 8).select("id_a", "id_b")
+      println(s"[$sf] simhash_banded=${banded.count} brute=${bruteSim.count} " +
+        s"missed=${bruteSim.exceptAll(banded).count} extra=${banded.exceptAll(bruteSim).count}")
+      val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      val planes = Similarity.hyperplanes(tables = 16, bits = 4, dim = 64)
+      val l = Similarity.lshNearDupPairs(embs, 0.4, planes).select("id_a", "id_b")
+      val ex = Similarity.cosineNearDupPairs(embs, 0.4).select("id_a", "id_b")
+      println(s"[$sf] emb_lsh=${l.count} exact=${ex.count} " +
+        s"missed=${ex.exceptAll(l).count} extra=${l.exceptAll(ex).count}")
+      val brute = Similarity.bruteForceTopK(embs, col("vec_id") < 10, k = 5)
+        .select("query_id", "vec_id")
+      val alsh = Similarity.lshTopK(embs, col("vec_id") < 10, k = 5, planes)
+        .select("query_id", "vec_id")
+      val ivf = IvfIndex.search(IvfIndex.build(embs, nlist = 8),
+        col("vec_id") < 10, k = 5, nprobe = 4).select("query_id", "vec_id")
+      println(s"[$sf] ann_lsh_overlap=${alsh.intersect(brute).count}/" +
+        s"${brute.count} ivf_overlap=${ivf.intersect(brute).count}/${brute.count}")
+    }
+    spark.stop()
+  }
+}

@@ -54,7 +54,15 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("LSH near-dup path has no quadratic join (the 100 TB scale claim)") {
-    val p = plan("q_emb_neardup_lsh")
+    // assert on the operator itself: the q_emb_neardup_lsh catalog entry
+    // is now a verification certificate that deliberately includes the
+    // brute-force exact twin (which cross-joins by design)
+    import org.apache.spark.sql.functions.col
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val planes = graft.ops.Similarity.hyperplanes(tables = 16, bits = 4, dim = 64)
+    val p = graft.ops.Similarity.lshNearDupPairs(embs, 0.4, planes)
+      .orderBy(col("id_a"), col("id_b"))
+      .queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"LSH candidates must come from bucket grouping, not an all-pairs join:\n$p")
     // candidate verify joins are equi-joins on ids
