@@ -671,23 +671,28 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
-    // Resize + frame-sample stubs: binary-out plumbing (rows-only)
-    // The stubs are deterministic functions of the payload byte length
-    // (thumbnail = 64-byte prefix; frames = every 4th 32-byte chunk), so
-    // the oracle can state the same arithmetic directly.
+    // REAL multi-frame video-frame sampling over animated GIF (the JDK's
+    // built-in multi-frame container): each doc becomes a real
+    // codec-encoded animated GIF of 2 + doc_id % 4 solid-color frames,
+    // and decodeFrames reads back every 2nd frame by index through
+    // ImageIO's frame-addressable ImageReader — skipped frames are never
+    // pixel-decoded. The oracle is the generative closed form (frame
+    // count, sampled indices, per-frame mean RGB), NOT a mirror of the
+    // decode path: a codec bug on either leg breaks the hash.
     q("q_multimodal_frames",
-      """SELECT doc_id,
-        |  CAST(least(64, octet_length(encode(text))) AS INT) AS thumb_bytes,
-        |  CAST(ceil(ceil(octet_length(encode(text)) / 32.0) / 4.0) AS INT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      """SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(2 + doc_id % 4 AS INT) AS n_frames,
+        |  16 AS width, 16 AS height,
+        |  CAST((doc_id + 37 * i) % 256 AS INT) AS mean_r,
+        |  CAST((3 * doc_id + 11 * i) % 256 AS INT) AS mean_g,
+        |  CAST((7 * doc_id + 5 * i) % 256 AS INT) AS mean_b
+        |FROM (SELECT doc_id, unnest(generate_series(0, 1 + doc_id % 4)) AS i
+        |      FROM documents)
+        |WHERE i % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val media = Multimodal.withPayload(t(s, dir, "documents"))
-        .as[Multimodal.MediaRow]
-      val thumbs = Multimodal.resizeStub(media).toDF()
-        .select(col("doc_id"), length(col("thumb")).as("thumb_bytes"))
-      val frames = Multimodal.frameSampleStub(media).toDF()
-        .select(col("doc_id"), size(col("frames")).as("n_frames"))
-      thumbs.join(frames, "doc_id").orderBy(col("doc_id"))
+      val gifs = Multimodal.syntheticGifs(t(s, dir, "documents"))
+      Multimodal.decodeFrames(gifs, stride = 2).toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))
     },
 
     // ------------------------------------------------ temporal joins

@@ -9,11 +9,16 @@ import org.apache.spark.sql.functions._
   * The Spark-side shape is real and tested — schema, partition-parallel
   * batch iteration (`mapPartitions` over the typed Dataset, the Scala
   * analog of `mapInPandas` batches), and downstream relational use of the
-  * extracted metadata. The IMAGE path decodes for real through the JRE's
-  * built-in javax.imageio codecs (PNG/JPEG/BMP/GIF — see
-  * [[decodeImages]]/[[resizeImages]]); video/audio remain deterministic
-  * STUBS (`decodeStub` et al.) because no such codec ships with the JDK
-  * or this container — honest stubs with real plumbing around them.
+  * extracted metadata. Three media families decode for REAL through
+  * JRE-built-in codecs: images via javax.imageio (PNG/JPEG/BMP/GIF —
+  * [[decodeImages]]/[[resizeImages]]), audio via javax.sound.sampled
+  * (WAV/AIFF/AU PCM — [[decodeAudio]]), and multi-frame video via
+  * animated GIF ([[decodeFrames]] — frame-indexed ImageReader access,
+  * the JDK's only multi-frame container). Only the ML-model stages
+  * (vision-encoder features, `featureStub`; generic codec-free metadata,
+  * `decodeStub`) remain deterministic stand-ins, because no model
+  * runtime ships with this container — honest stubs with real plumbing
+  * around them.
   */
 object Multimodal {
 
@@ -64,28 +69,101 @@ object Multimodal {
   }
 
   final case class MediaResized(doc_id: Long, thumb: Array[Byte])
-  final case class MediaFrames(doc_id: Long, frames: Array[Array[Byte]])
 
-  /** STUB resize: a real pipeline re-encodes pixels; we take a
-    * deterministic prefix "thumbnail" of the payload so the binary-out
-    * plumbing (per-partition batching, binary schema) is exercised. */
-  def resizeStub(media: Dataset[MediaRow], thumbBytes: Int = 64): Dataset[MediaResized] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions(_.map(r =>
-      MediaResized(r.doc_id, r.payload.take(thumbBytes))))
+  final case class FrameMeta(doc_id: Long, frame_idx: Int, n_frames: Int,
+      width: Int, height: Int, mean_r: Int, mean_g: Int, mean_b: Int)
+
+  /** Deterministic REAL animated GIFs: `2 + id % 4` solid-color frames
+    * per doc, frame i's color a closed-form function of (id, i) — the
+    * integer-exact oracle for q_multimodal_frames. Frames are written as
+    * TYPE_BYTE_INDEXED with an explicit two-entry palette so the GIF
+    * round-trip is bit-exact (GIF is palette-based; feeding the writer
+    * arbitrary RGB risks quantization). Encoding runs per partition like
+    * any codec. */
+  def syntheticGifs(docs: DataFrame, side: Int = 16): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val nFrames = (2 + id % 4).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val writer =
+          javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var i = 0
+        while (i < nFrames) {
+          val rgb = frameColor(id, i)
+          val cmap = Array(rgb | 0xff000000, 0xff000000)
+          val icm = new java.awt.image.IndexColorModel(
+            8, 2, cmap, 0, false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+          val img = new java.awt.image.BufferedImage(
+            side, side, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+          // raster default-initializes to index 0 = the frame color
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+          i += 1
+        }
+        writer.endWriteSequence()
+        writer.dispose()
+        ios.close()
+        MediaRow(id, bos.toByteArray)
+      }
+    }
   }
 
-  /** STUB frame sampling: every `stride`-th fixed-size chunk of the
-    * payload stands in for a decoded video frame. */
-  def frameSampleStub(media: Dataset[MediaRow], frameBytes: Int = 32,
-      stride: Int = 4): Dataset[MediaFrames] = {
+  /** Closed-form solid color of frame `i` of doc `id` (shared by the GIF
+    * generator and the q_multimodal_frames oracle SQL). */
+  private def frameColor(id: Long, i: Int): Int = {
+    val r = ((id + 37L * i) % 256).toInt
+    val g = ((3L * id + 11L * i) % 256).toInt
+    val b = ((7L * id + 5L * i) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** REAL frame sampling: open the multi-frame container once per
+    * payload, read ONLY every `stride`-th frame by index (the point of
+    * frame sampling — skipped frames are never pixel-decoded), and emit
+    * per-frame metadata rows: original frame index, container frame
+    * count, dimensions, mean RGB. Malformed payloads → a single
+    * `frame_idx = -1` row, never task failures. */
+  def decodeFrames(media: Dataset[MediaRow], stride: Int): Dataset[FrameMeta] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map { r =>
-      val frames = r.payload.grouped(frameBytes).toArray
-      MediaFrames(r.doc_id, frames.indices.collect {
-        case i if i % stride == 0 => frames(i)
-      }.toArray)
-    })
+    media.flatMap { r =>
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "no codec for payload")
+        val reader = readers.next()
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        val out = (0 until n by stride).map { i =>
+          val img = reader.read(i)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val px = math.max(1L, w.toLong * h)
+          FrameMeta(r.doc_id, i, n, w, h,
+            (sr / px).toInt, (sg / px).toInt, (sb / px).toInt)
+        }
+        reader.dispose()
+        iis.close()
+        out
+      } catch {
+        case _: Exception =>
+          Seq(FrameMeta(r.doc_id, -1, -1, -1, -1, -1, -1, -1))
+      }
+    }
   }
 
   /** Full stub pipeline: payload → decode → metadata DataFrame, ready for
@@ -166,8 +244,9 @@ object Multimodal {
 
   // ------------------------------------------------------------------
   // REAL audio path — javax.sound.sampled ships with every JRE (WAV/
-  // AIFF/AU PCM), so audio decodes for real too; only VIDEO remains a
-  // stub (no codec in the JDK or this container).
+  // AIFF/AU PCM), so audio decodes for real too. With images, audio,
+  // and multi-frame GIF video all on real codecs, the only remaining
+  // stand-ins are the ML-model stages up top.
   // ------------------------------------------------------------------
 
   final case class AudioMeta(doc_id: Long, decode_ok: Boolean,

@@ -85,4 +85,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta.mean_r === (300 % 256) && meta.mean_g === (300 / 256) % 256 &&
       meta.mean_b === (300 * 7) % 256)
   }
+
+  test("real GIF frames: multi-frame round-trip matches the closed form") {
+    val ids = Seq(0L, 1L, 2L, 3L, 255L, 4999L) // covers n_frames 2..5
+    val gifs = Multimodal.syntheticGifs(ids.toDF("doc_id"))
+    // the payloads really are GIFs (magic bytes)
+    val magic = gifs.filter(_.doc_id == 0L).collect().head.payload.take(6)
+    assert(new String(magic, "US-ASCII") === "GIF89a")
+    val out = Multimodal.decodeFrames(gifs, stride = 2).collect()
+      .groupBy(_.doc_id)
+    ids.foreach { id =>
+      val expN = (2 + id % 4).toInt
+      val frames = out(id).sortBy(_.frame_idx)
+      assert(frames.map(_.frame_idx).toSeq === (0 until expN by 2),
+        s"id=$id: every 2nd original index must be sampled")
+      frames.foreach { f =>
+        assert(f.n_frames === expN && f.width === 16 && f.height === 16)
+        assert(f.mean_r === ((id + 37L * f.frame_idx) % 256).toInt, s"id=$id")
+        assert(f.mean_g === ((3L * id + 11L * f.frame_idx) % 256).toInt)
+        assert(f.mean_b === ((7L * id + 5L * f.frame_idx) % 256).toInt)
+      }
+    }
+  }
+
+  test("stride=1 decodes every frame; corrupt payloads give frame_idx=-1") {
+    val gifs = Multimodal.syntheticGifs(Seq(7L).toDF("doc_id")) // 5 frames
+    assert(Multimodal.decodeFrames(gifs, stride = 1).collect().length === 5)
+    val bad = Seq(Multimodal.MediaRow(1L, Array[Byte](9, 9, 9))).toDS()
+    val out = Multimodal.decodeFrames(bad, stride = 2).collect()
+    assert(out.length === 1 && out.head.frame_idx === -1)
+  }
 }
