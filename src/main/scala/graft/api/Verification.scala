@@ -78,4 +78,12 @@ object Verification {
     new Verification(release, enableHadoop = false, verboseOutput = true,
       debugOutput = false, Vector.empty, None)
   }
+
+  /** The reference gem's documented convenience spelling
+    * (`BeeProof::Verification.for_emr_XXX`, README.md:28) where XXX is
+    * the EMR major version. */
+  def forEmr(version: Int): Verification = forRelease(s"emr-$version")
+  def forEmr3: Verification = forEmr(3)
+  def forEmr4: Verification = forEmr(4)
+  def forEmr5: Verification = forEmr(5)
 }

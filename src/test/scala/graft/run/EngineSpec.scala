@@ -214,5 +214,10 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.api.Verification.forRelease("emr-9")
     }
+    // README.md:28 convenience spellings map to the same releases
+    assert(graft.api.Verification.forEmr3.release === "emr-3")
+    assert(graft.api.Verification.forEmr4.release === "emr-4")
+    assert(graft.api.Verification.forEmr5.release === "emr-5")
+    intercept[IllegalArgumentException] { graft.api.Verification.forEmr(9) }
   }
 }
