@@ -11,7 +11,7 @@ object ExplainCheck {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
     for (q <- Seq("q_agg_pricing","q_multi_join_star","q_dedup_minhash",
-        "q_emb_neardup_lsh","q_sessionize","q_ann_brute",
+        "q_sessionize","q_ann_brute",
         "q_emb_centroid","q_bm25","q_quota_sample","q_dedup_incremental",
         "q_asof_join","q_range_join","q_pack_sequences","q_chunk_docs",
         "q_topk_group","q_zorder")) {
@@ -19,6 +19,24 @@ object ExplainCheck {
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
+    // operator-level plans: the catalog entries for these are one-row
+    // verification certificates (they deliberately contain a brute-force
+    // twin), so the scale claims are asserted on the operators directly
+    import org.apache.spark.sql.functions.col
+    val fmt = org.apache.spark.sql.execution.FormattedMode
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    println("########## op:lshNearDupPairs (q_emb_neardup_lsh scale path)")
+    val planes = graft.ops.Similarity.hyperplanes(tables = 16, bits = 4, dim = 64)
+    println(graft.ops.Similarity.lshNearDupPairs(embs, 0.4, planes)
+      .queryExecution.explainString(fmt))
+    println("########## op:jaccardPairs (size-routed exact candidates)")
+    println(graft.ops.Dedup.jaccardPairs(docs, n = 1, threshold = 0.8)
+      .queryExecution.explainString(fmt))
+    println("########## op:IvfIndex.search (block-salted probe join)")
+    val idx = graft.ops.IvfIndex.build(embs, nlist = 8)
+    println(graft.ops.IvfIndex.search(idx, col("vec_id") < 10, k = 5, nprobe = 4)
+      .queryExecution.explainString(fmt))
     spark.stop()
   }
 }
