@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.GraftFunctions
 import graft.ops.{Dedup, IvfIndex, Multimodal, Pipelines, Similarity}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operator catalog: deduplication, similarity
@@ -20,24 +20,43 @@ object PipelineQueries {
   private def q(name: String, oracle: String)(
       fn: (SparkSession, String) => DataFrame): QDef = QDef(name, fn, Some(oracle))
 
+  /** One-row set-vs-set verdict, the shared algebra of every bound-style
+    * certificate oracle: count of the exact rows (keyed by `keyCols`),
+    * count of approx rows NOT in the exact set (false positives), and a
+    * recall-vs-exact floor with the empty-set escape. Columns:
+    * (`_exact_n`, fpName, recallName) — callers rename/drop `_exact_n`
+    * to shape their certificate. */
+  private def setVerdict(exact: DataFrame, approx: DataFrame,
+      keyCols: Seq[String], floor: Double,
+      fpName: String, recallName: String): DataFrame = {
+    val fp = approx.join(exact, keyCols, "left_anti")
+      .agg(count(lit(1)).as(fpName))
+    val stats = exact.join(approx.withColumn("_hit", lit(1)), keyCols, "left")
+      .agg(count(lit(1)).as("_exact_n"),
+        sum(coalesce(col("_hit"), lit(0))).as("_hits"))
+    stats.crossJoin(fp).select(col("_exact_n"), col(fpName),
+      (col("_exact_n") === 0 ||
+        col("_hits").cast("double") / col("_exact_n") >= floor)
+        .as(recallName))
+  }
+
   /** One-row ANN verdict vs the brute-force twin: query/base cardinality
     * anchors (recomputed independently by the DuckDB oracle), full-k
-    * coverage, and a recall@k floor. Shared by q_ann_lsh / q_ann_ivf. */
-  private def annCertificate(embs: DataFrame, brute: DataFrame,
-      approx: DataFrame, recallFloor: Double, recallCol: String): DataFrame = {
-    val nq = embs.filter(col("vec_id") < 10).agg(count(lit(1)).as("n_queries"))
+    * coverage, and a recall@k floor. `queryPred` and `k` are the SAME
+    * values passed to the operator — the anchors derive from them rather
+    * than re-stating constants. Shared by q_ann_lsh / q_ann_ivf. */
+  private def annCertificate(embs: DataFrame, queryPred: Column, k: Int,
+      brute: DataFrame, approx: DataFrame, recallFloor: Double,
+      recallCol: String): DataFrame = {
+    val nq = embs.filter(queryPred).agg(count(lit(1)).as("n_queries"))
     val nb = embs.agg(count(lit(1)).as("n_base"))
     val approxN = approx.agg(count(lit(1)).as("approx_rows"))
-    val stats = brute.join(approx.withColumn("_hit", lit(1)),
-        Seq("query_id", "vec_id"), "left")
-      .agg(count(lit(1)).as("brute_rows"),
-        sum(coalesce(col("_hit"), lit(0))).as("hits"))
-    nq.crossJoin(nb).crossJoin(approxN).crossJoin(stats)
+    val verdict = setVerdict(brute, approx, Seq("query_id", "vec_id"),
+      recallFloor, "_fp", recallCol)
+    nq.crossJoin(nb).crossJoin(approxN).crossJoin(verdict)
       .select(col("n_queries"), col("n_base"),
-        (col("approx_rows") === col("n_queries") * 5).as("full_k"),
-        (col("brute_rows") === 0 ||
-          col("hits").cast("double") / col("brute_rows") >= recallFloor)
-          .as(recallCol))
+        (col("approx_rows") === col("n_queries") * k).as("full_k"),
+        col(recallCol))
   }
 
   // language-marker heuristic shared by the Spark and oracle sides of
@@ -225,24 +244,12 @@ object PipelineQueries {
       val docs = t(s, dir, "documents")
       val banded = Dedup.simhashNearDups(docs, maxHamming = 8)
         .select(col("id_a"), col("id_b"))
-      val sigs = docs.select(col("doc_id").as("id"),
-        GraftFunctions.simhash64(split(col("text"), "\\s+")).as("sig"))
-      val brute = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-        .filter(col("hamming") <= 8).select(col("id_a"), col("id_b"))
+      val brute = Dedup.simhashAllPairs(docs, maxHamming = 8)
+        .select(col("id_a"), col("id_b"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      val extra = banded.join(brute, Seq("id_a", "id_b"), "left_anti")
-        .agg(count(lit(1)).as("extra_pairs"))
-      val stats = brute.join(banded.withColumn("_hit", lit(1)),
-          Seq("id_a", "id_b"), "left")
-        .agg(count(lit(1)).as("brute_n"),
-          sum(coalesce(col("_hit"), lit(0))).as("hits"))
-      nDocs.crossJoin(extra).crossJoin(stats)
-        .select(col("n_docs"), col("extra_pairs"),
-          (col("brute_n") === 0 ||
-            col("hits").cast("double") / col("brute_n") >= 0.9)
-            .as("recall_ge_090"))
+      nDocs.crossJoin(
+        setVerdict(brute, banded, Seq("id_a", "id_b"), floor = 0.9,
+          "extra_pairs", "recall_ge_090").drop("_exact_n"))
     },
 
     // Near-dup clusters over the MinHash pair graph. Because the MinHash
@@ -342,19 +349,16 @@ object PipelineQueries {
       val planes = Similarity.hyperplanes(tables = 16, bits = 4, dim = 64)
       val lsh = Similarity.lshNearDupPairs(embs, 0.4, planes)
         .select(col("id_a"), col("id_b"))
+      // the exact_pairs anchor is a tolerance-free count of threshold
+      // crossings on BOTH engines, but boundary-ulp divergence is already
+      // excluded by q_emb_neardup: its green per-pair twin applies the
+      // same unrounded >= 0.4 cut in Spark and DuckDB, so any pair that
+      // could flip the count would break that query first
       val exact = Similarity.cosineNearDupPairs(embs, 0.4)
         .select(col("id_a"), col("id_b"))
-      val fp = lsh.join(exact, Seq("id_a", "id_b"), "left_anti")
-        .agg(count(lit(1)).as("false_pos"))
-      val stats = exact.join(lsh.withColumn("_hit", lit(1)),
-          Seq("id_a", "id_b"), "left")
-        .agg(count(lit(1)).as("exact_pairs"),
-          sum(coalesce(col("_hit"), lit(0))).as("hits"))
-      stats.crossJoin(fp)
-        .select(col("exact_pairs"), col("false_pos"),
-          (col("exact_pairs") === 0 ||
-            col("hits").cast("double") / col("exact_pairs") >= 0.9)
-            .as("recall_ge_090"))
+      setVerdict(exact, lsh, Seq("id_a", "id_b"), floor = 0.9,
+          "false_pos", "recall_ge_090")
+        .withColumnRenamed("_exact_n", "exact_pairs")
     },
 
     // Embedding L2-normalization (scalar-ified projection for the
@@ -414,11 +418,12 @@ object PipelineQueries {
         |FROM embeddings WHERE vec_id < 10""".stripMargin) { (s, dir) =>
       val embs = t(s, dir, "embeddings")
       val planes = Similarity.hyperplanes(tables = 16, bits = 4, dim = 64)
-      val brute = Similarity.bruteForceTopK(embs, col("vec_id") < 10, k = 5)
+      val (queryPred, k) = (col("vec_id") < 10, 5)
+      val brute = Similarity.bruteForceTopK(embs, queryPred, k)
         .select(col("query_id"), col("vec_id"))
-      val alsh = Similarity.lshTopK(embs, col("vec_id") < 10, k = 5, planes)
+      val alsh = Similarity.lshTopK(embs, queryPred, k, planes)
         .select(col("query_id"), col("vec_id"))
-      annCertificate(embs, brute, alsh, recallFloor = 0.8,
+      annCertificate(embs, queryPred, k, brute, alsh, recallFloor = 0.8,
         recallCol = "recall_at_k_ge_080")
     },
 
@@ -433,12 +438,13 @@ object PipelineQueries {
         |  TRUE AS full_k, TRUE AS recall_at_k_ge_075
         |FROM embeddings WHERE vec_id < 10""".stripMargin) { (s, dir) =>
       val embs = t(s, dir, "embeddings")
-      val brute = Similarity.bruteForceTopK(embs, col("vec_id") < 10, k = 5)
+      val (queryPred, k) = (col("vec_id") < 10, 5)
+      val brute = Similarity.bruteForceTopK(embs, queryPred, k)
         .select(col("query_id"), col("vec_id"))
       val index = IvfIndex.build(embs, nlist = 8)
-      val ivf = IvfIndex.search(index, col("vec_id") < 10, k = 5, nprobe = 4)
+      val ivf = IvfIndex.search(index, queryPred, k, nprobe = 4)
         .select(col("query_id"), col("vec_id"))
-      annCertificate(embs, brute, ivf, recallFloor = 0.75,
+      annCertificate(embs, queryPred, k, brute, ivf, recallFloor = 0.75,
         recallCol = "recall_at_k_ge_075")
     },
 

@@ -23,6 +23,15 @@ object Verify {
       .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // wipe stale state: a filtered re-run into a dir holding a previous
+    // full dump would otherwise leave old parquet next to a now-filtered
+    // oracle_sql.json, and a checker pass over it would silently skip
+    // every query outside the filter
+    val outPath = Paths.get(outDir)
+    if (Files.exists(outPath)) {
+      Files.walk(outPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name)) {

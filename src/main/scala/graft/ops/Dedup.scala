@@ -226,8 +226,15 @@ object Dedup {
     * labels are `localCheckpoint()`ed, truncating the plan. Checkpointed
     * rounds stay pinned (never unpersisted): an evicted downstream cache
     * block recomputes from the nearest checkpoint, ≤ checkpointInterval
-    * rounds back, instead of replaying the whole chain. */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10,
+    * rounds back, instead of replaying the whole chain.
+    *
+    * `maxIter` is a runaway guard, not a tuning knob: the loop exits the
+    * round after labels stop changing, so headroom above the true
+    * diameter costs nothing — and the catalog oracles assert the exact
+    * fixpoint (recursive-CTE closure), which a capped exit would break.
+    * Exhausting the cap therefore logs a warning instead of passing
+    * silently. */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 50,
       checkpointInterval: Int = 4): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -257,7 +264,31 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"duplicateClusters exhausted maxIter=$maxIter before convergence; " +
+          "labels are NOT the exact transitive closure (raise maxIter)")
     labels
+  }
+
+  /** (id, sig) 64-bit SimHash signatures — shared by the banded path,
+    * its brute-force exact twin, and the ApproxRecall diagnostic. */
+  def simhashSignatures(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      GraftFunctions.simhash64(split(col(textCol), "\\s+")).as("sig"))
+
+  /** Brute-force all-pairs SimHash twin: every (id_a < id_b) pair within
+    * the Hamming budget. Quadratic — the exact reference the banded path
+    * is certified against (q_dedup_simhash, DedupSpec, ApproxRecall),
+    * not a production path. */
+  def simhashAllPairs(docs: DataFrame, maxHamming: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sigs = simhashSignatures(docs, idCol, textCol)
+    sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** SimHash near-dup: 64-bit signatures banded into `maxHamming + 1`
@@ -275,8 +306,7 @@ object Dedup {
     val bounds = (0 until numChunks).scanLeft(0) { (acc, c) =>
       acc + base + (if (c < extra) 1 else 0)
     }
-    val sigs = docs.select(col(idCol).as("id"),
-      GraftFunctions.simhash64(split(col(textCol), "\\s+")).as("sig"))
+    val sigs = simhashSignatures(docs, idCol, textCol)
     val chunkCols = (0 until numChunks).map { c =>
       val lo = bounds(c); val width = bounds(c + 1) - lo
       // width == 64 (the maxHamming=0 single-chunk case): (1L << 64) - 1

@@ -130,15 +130,21 @@ object Multimodal {
   def decodeFrames(media: Dataset[MediaRow], stride: Int): Dataset[FrameMeta] = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
+      // close/dispose in finally: a malformed payload mid-read must not
+      // leak the reader or the (possibly file-backed) input stream — at
+      // crawl scale corrupt blobs are routine, and leaked fds/temp files
+      // would eventually fail the very tasks the catch protects
+      var iis: javax.imageio.stream.ImageInputStream = null
+      var reader: javax.imageio.ImageReader = null
       try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
+        iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(r.payload))
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         require(readers.hasNext, "no codec for payload")
-        val reader = readers.next()
+        reader = readers.next()
         reader.setInput(iis)
         val n = reader.getNumImages(true)
-        val out = (0 until n by stride).map { i =>
+        (0 until n by stride).map { i =>
           val img = reader.read(i)
           val (w, h) = (img.getWidth, img.getHeight)
           var (sr, sg, sb) = (0L, 0L, 0L)
@@ -156,12 +162,14 @@ object Multimodal {
           FrameMeta(r.doc_id, i, n, w, h,
             (sr / px).toInt, (sg / px).toInt, (sb / px).toInt)
         }
-        reader.dispose()
-        iis.close()
-        out
       } catch {
         case _: Exception =>
           Seq(FrameMeta(r.doc_id, -1, -1, -1, -1, -1, -1, -1))
+      } finally {
+        if (reader != null) reader.dispose()
+        if (iis != null) {
+          try iis.close() catch { case _: Exception => () }
+        }
       }
     }
   }

@@ -23,12 +23,8 @@ object ApproxRecall {
         .select("id_a", "id_b")
       println(s"[$sf] minhash=${m.count} exact=${e.count} " +
         s"missed=${e.exceptAll(m).count} extra=${m.exceptAll(e).count}")
-      val sigs = docs.select(col("doc_id").as("id"),
-        graft.functions.GraftFunctions.simhash64(split(col("text"), "\\s+")).as("sig"))
-      val bruteSim = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-        .filter(col("hamming") <= 8).select("id_a", "id_b")
+      val bruteSim = Dedup.simhashAllPairs(docs, maxHamming = 8)
+        .select("id_a", "id_b")
       val banded = Dedup.simhashNearDups(docs, maxHamming = 8).select("id_a", "id_b")
       println(s"[$sf] simhash_banded=${banded.count} brute=${bruteSim.count} " +
         s"missed=${bruteSim.exceptAll(banded).count} extra=${banded.exceptAll(bruteSim).count}")
