@@ -448,6 +448,49 @@ object PipelineQueries {
         recallCol = "recall_at_k_ge_075")
     },
 
+    // ------------------------------------------------ sketches
+    // HLL distinct-count sketch (Apache DataSketches via Spark builtins):
+    // the 100 TB path for distinct counts — partial-mergeable sketches
+    // aggregate map-side, and only fixed-size sketch buffers shuffle.
+    // Certificate oracle: DuckDB anchors the per-group EXACT distinct
+    // count; the verdict column pins the estimate within ±5% of it
+    // (default lgConfigK=12 → ~1.6% relative standard error, so the
+    // bound has 3σ headroom; the sketch is deterministic for fixed
+    // input, so the driver row is stable).
+    q("q_hll_distinct",
+      """SELECT lang, count(DISTINCT text) AS exact_distinct,
+        |  TRUE AS within_5pct
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").groupBy(col("lang"))
+        .agg(count_distinct(col("text")).as("exact_distinct"),
+          hll_sketch_estimate(hll_sketch_agg(col("text"))).as("est"))
+        .select(col("lang"), col("exact_distinct"),
+          (abs(col("est") - col("exact_distinct")) <=
+            col("exact_distinct") * 0.05).as("within_5pct"))
+        .orderBy(col("lang"))
+    },
+
+    // Sketch UNION — the reason sketches exist at 100 TB: per-source
+    // (think per-day / per-partition) sketches are built independently,
+    // then merged WITHOUT re-reading the data, and the merged estimate
+    // still tracks the global exact distinct count. An exact distinct
+    // over a union requires re-shuffling all raw values; the sketch
+    // union shuffles one ~4 KB buffer per source.
+    q("q_hll_union",
+      """SELECT count(DISTINCT text) AS exact_distinct, TRUE AS within_5pct
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val perSource = docs.groupBy(col("source"))
+        .agg(hll_sketch_agg(col("text")).as("sk"))
+      val merged = perSource
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = docs.agg(count_distinct(col("text")).as("exact_distinct"))
+      exact.crossJoin(merged)
+        .select(col("exact_distinct"),
+          (abs(col("est") - col("exact_distinct")) <=
+            col("exact_distinct") * 0.05).as("within_5pct"))
+    },
+
     // Text normalization: the standard pre-dedup cleanup pass
     q("q_text_normalize",
       """SELECT doc_id,
