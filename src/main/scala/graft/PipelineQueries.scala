@@ -144,6 +144,30 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Bloom-accelerated incremental dedup: same semantics as
+    // q_dedup_incremental (and the SAME DuckDB oracle — the Bloom path
+    // is exactly output-equivalent: no false negatives, and false
+    // positives die in the exact verify), but the corpus side is
+    // scan-only. The broadcast Bloom filter splits incoming into
+    // definitely-new (kept joinlessly) and maybe-seen (verified through
+    // two broadcast joins); the only shuffle is the within-batch keeper.
+    q("q_dedup_incremental_bloom",
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        |inc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+        |fresh AS (SELECT * FROM inc
+        |          WHERE text NOT IN (SELECT text FROM corpus))
+        |SELECT doc_id, lang FROM fresh
+        |WHERE doc_id IN (SELECT min(doc_id) FROM fresh GROUP BY text)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.dropAgainstCorpusBloom(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          expectedItems = 100000L, fpp = 0.03)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
     // Deduplicated corpus materialization (keep-one-per-text semi-join)
     q("q_dedup_keep",
       """SELECT doc_id, lang FROM documents

@@ -53,10 +53,65 @@ object Dedup {
     val fresh = incoming
       .withColumn("_fp", GraftFunctions.fingerprint64(col(textCol)))
       .join(seen, Seq("_fp"), "left_anti")
+    keepMinPerFp(fresh, idCol)
+  }
+
+  /** Within-batch keeper: one surviving row (min id) per `_fp` group. */
+  private def keepMinPerFp(fresh: DataFrame, idCol: String): DataFrame =
     fresh.join(
         fresh.groupBy(col("_fp")).agg(min(col(idCol)).as("_keep")),
         fresh(idCol) === col("_keep"), "left_semi")
       .drop("_fp")
+
+  /** Bloom-accelerated incremental dedup — identical output to
+    * [[dropAgainstCorpus]] (oracle-checked), different 100 TB shape: the
+    * corpus is SCAN-ONLY, never shuffled. A Bloom filter over the
+    * corpus' 64-bit content fingerprints is built once (distributed
+    * aggregation, driver merge — an index-build step, like
+    * [[IvfIndex.build]]'s KMeans fit) and broadcast inside the plan as a
+    * literal. It splits incoming rows three ways:
+    *
+    *  - NOT in the filter → definitely new (no false negatives), kept
+    *    with zero join work — the overwhelming majority of a crawl batch;
+    *  - in the filter → maybe seen (true dups + ~fpp false positives), a
+    *    small slice whose distinct fingerprints broadcast BACK against
+    *    the corpus scan (left_semi) to recover the truly-seen set, which
+    *    then broadcasts into the exact anti-join.
+    *
+    * Both verification joins broadcast the small side, so the only
+    * shuffle in the whole plan is the within-batch keeper groupBy. The
+    * exactness argument: false positives are eliminated by the exact
+    * verify; false negatives don't exist; hence output ==
+    * [[dropAgainstCorpus]]. `expectedItems`/`fpp` size the filter
+    * (~1.2 GB per 10⁹ items at 1% — at larger corpora raise fpp: every
+    * false positive only costs verify work, never correctness). */
+  def dropAgainstCorpusBloom(incoming: DataFrame, corpus: DataFrame,
+      expectedItems: Long = 1000000L, fpp: Double = 0.03,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graft.GraftBridge
+    val corpusFps = corpus
+      .select(GraftFunctions.fingerprint64(col(textCol)).as("_fp"))
+    val bloom = corpusFps.stat.bloomFilter("_fp", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val fpIn = incoming
+      .withColumn("_fp", GraftFunctions.fingerprint64(col(textCol)))
+    val mightContain = GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        GraftBridge.expression(lit(bos.toByteArray)),
+        GraftBridge.expression(col("_fp"))))
+    val definiteNew = fpIn.filter(!mightContain)
+    val maybeSeen = fpIn.filter(mightContain)
+    val seenFps = corpusFps
+      .join(broadcast(maybeSeen.select(col("_fp")).distinct()),
+        Seq("_fp"), "left_semi")
+      .distinct()
+    val verifiedNew = maybeSeen.join(broadcast(seenFps), Seq("_fp"), "left_anti")
+    // align explicitly: the USING anti-join hoists `_fp` to the front of
+    // verifiedNew's schema, and union is positional
+    val cols = fpIn.columns.map(col).toSeq
+    keepMinPerFp(definiteNew.select(cols: _*).union(verifiedNew.select(cols: _*)),
+      idCol)
   }
 
   /** Distinct (id, shingle) pairs — the exploded set-representation both

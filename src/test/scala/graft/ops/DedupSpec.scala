@@ -118,6 +118,23 @@ class DedupSpec extends AnyFunSuite {
       assert(zero.nonEmpty, "exact text dups must surface at hamming 0")
   }
 
+  test("bloom incremental dedup equals the exact path, corpus never shuffles") {
+    val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val exact = Dedup.dropAgainstCorpus(batch, corpus)
+    // high fpp forces real false positives through the verify stage
+    val bloom = Dedup.dropAgainstCorpusBloom(batch, corpus,
+      expectedItems = 1000L, fpp = 0.2)
+    assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty,
+      "bloom-accelerated output must equal the exact anti-join path")
+    assert(bloom.columns.toSeq === batch.columns.toSeq)
+    // the scale claim: every join broadcasts its small side — no
+    // sort-merge (i.e. no corpus-side shuffle) anywhere in the plan
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must stay scan-only (broadcast joins expected):\n$plan")
+  }
+
   test("simhash near-dups include the strongest planted pairs") {
     // trigram jaccard ≥0.9 ⇒ near-identical token sequences ⇒ token
     // multisets agree ⇒ simhash hamming small (n=1 sets would NOT imply
