@@ -225,6 +225,43 @@ object EventStreams {
       .drop("_fp")
   }
 
+  /** Bloom-accelerated streaming ingest dedup — the streaming twin of
+    * [[graft.ops.Dedup.dropAgainstCorpusBloom]] and an output-equivalent
+    * drop-in for [[dedupAgainstCorpus]]: the corpus' fingerprint Bloom
+    * filter is built once at plan time (the corpus is static) and
+    * embedded as a literal, so each micro-batch sends only the
+    * maybe-seen slice (true dups + ~fpp) through the stream-static
+    * anti-join; definitely-new rows pass with zero join work. The Bloom
+    * probe is a stateless scalar predicate — streaming-safe — and the
+    * within-stream repeat filter stays `dropDuplicatesWithinWatermark`
+    * (state bounded by the watermark). */
+  def dedupAgainstCorpusBloom(docs: DataFrame, corpus: DataFrame,
+      expectedItems: Long = 1000000L, fpp: Double = 0.03,
+      textCol: String = "text", eventTimeCol: String = "event_time",
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.GraftFunctions
+    import org.apache.spark.sql.graft.GraftBridge
+    val corpusFps = corpus
+      .select(GraftFunctions.fingerprint64(col(textCol)).as("_fp"))
+    val bloom = corpusFps.stat.bloomFilter("_fp", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val fpIn = docs.withColumn("_fp", GraftFunctions.fingerprint64(col(textCol)))
+    val mightContain = GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        GraftBridge.expression(lit(bos.toByteArray)),
+        GraftBridge.expression(col("_fp"))))
+    val verifiedNew = fpIn.filter(mightContain)
+      .join(corpusFps.distinct(), Seq("_fp"), "left_anti")
+    // align explicitly: the USING anti-join hoists `_fp`, union is positional
+    val cols = fpIn.columns.map(col).toSeq
+    fpIn.filter(!mightContain).select(cols: _*)
+      .union(verifiedNew.select(cols: _*))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+  }
+
   /** Batch-equivalent sessionization (same gap semantics) — the oracle
     * for the streaming path and a useful operator in its own right:
     * lag-based session boundaries, one window + one aggregate. */

@@ -111,6 +111,32 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(spark.table("sdd").count() === expectedTexts.size)
   }
 
+  test("bloom streaming corpus dedup matches the exact stream-static twin") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-sbd").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.mode("overwrite").parquet(stageDir)
+    val docSchema = spark.read.parquet(stageDir).schema
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus = batchDocs.filter(pmod($"doc_id", lit(2)) === 0)
+    val incoming = spark.readStream.schema(docSchema).parquet(stageDir)
+      .filter(pmod($"doc_id", lit(2)) === 1)
+      .withColumn("event_time", timestamp_seconds($"doc_id"))
+    // high fpp forces real false positives through the verify join
+    val out = EventStreams.dedupAgainstCorpusBloom(incoming, corpus,
+      expectedItems = 1000L, fpp = 0.2)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sbd")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamedTexts = spark.table("sbd")
+      .select("text").collect().map(_.getString(0)).toSet
+    val expectedTexts = graft.ops.Dedup.dropAgainstCorpus(
+        batchDocs.filter(pmod($"doc_id", lit(2)) === 1), corpus)
+      .select("text").collect().map(_.getString(0)).toSet
+    assert(streamedTexts === expectedTexts)
+    assert(spark.table("sbd").count() === expectedTexts.size)
+  }
+
   test("session fold: late events extend the session instead of splitting it") {
     import org.apache.spark.sql.streaming.TestGroupState
     import org.apache.spark.api.java.Optional
