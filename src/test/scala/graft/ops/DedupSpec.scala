@@ -118,6 +118,28 @@ class DedupSpec extends AnyFunSuite {
       assert(zero.nonEmpty, "exact text dups must surface at hamming 0")
   }
 
+  test("cross-corpus minhash near-dup equals the exact cross join") {
+    val inc = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val corp = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val lsh = Dedup.minhashNearDupsAgainstCorpus(inc, corp,
+        n = 3, k = 32, bands = 16, threshold = 0.5)
+      .select("inc_id", "corp_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ia = Dedup.shingleArrays(inc, 3)
+      .select(col("id").as("inc_id"), col("sh").as("sh_i"))
+    val ca = Dedup.shingleArrays(corp, 3)
+      .select(col("id").as("corp_id"), col("sh").as("sh_c"))
+    val exact = ia.crossJoin(ca)
+      .withColumn("common", size(array_intersect(col("sh_i"), col("sh_c"))))
+      .withColumn("j", col("common").cast("double") /
+        (size(col("sh_i")) + size(col("sh_c")) - col("common")))
+      .filter(col("j") >= 0.5).select("inc_id", "corp_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact,
+      s"missed=${(exact -- lsh).size} extra=${(lsh -- exact).size}")
+    assert(exact.nonEmpty, "fixture must contain cross-set near-dups")
+  }
+
   test("bloom incremental dedup equals the exact path, corpus never shuffles") {
     val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
     val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
