@@ -544,6 +544,50 @@ object PipelineQueries {
             col("exact_distinct") * 0.05).as("within_5pct"))
     },
 
+    // Heavy-hitter tokens via the DataSketches frequent-items sketch
+    // (approx_top_k): the partial aggregate runs map-side, so at scale
+    // only fixed-size sketch buffers shuffle — never the token stream.
+    // maxItemsTracked (1024) exceeds this corpus' vocabulary, making the
+    // sketch provably exact here, so the oracle is DIRECT equality with
+    // DuckDB's exact counts (beyond that size the DataSketches guarantee
+    // degrades gracefully to ±εN on counts, never false negatives for
+    // true heavy hitters).
+    q("q_heavy_hitters",
+      """WITH tok AS (SELECT
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS cnt FROM tok WHERE token <> ''
+        |GROUP BY token ORDER BY cnt DESC, token""".stripMargin) { (s, dir) =>
+      graft.ops.Relevance.tokens(t(s, dir, "documents"))
+        .agg(expr("approx_top_k(token, 100, 1024)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("token"), col("e.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+    },
+
+    // Sketch UNION for frequent items — the 100 TB property: per-source
+    // sketches built independently (think per-day partitions), merged
+    // with approx_top_k_combine WITHOUT re-reading the data; the merged
+    // estimate still matches the global exact counts.
+    q("q_heavy_hitters_union",
+      """WITH tok AS (SELECT
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS cnt FROM tok WHERE token <> ''
+        |GROUP BY token ORDER BY cnt DESC, token""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("source"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("token"))
+        .filter(col("token") =!= "")
+      toks.groupBy(col("source"))
+        .agg(expr("approx_top_k_accumulate(token, 1024)").as("sk"))
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk, 1024), 100)")
+          .as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("token"), col("e.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+    },
+
     // Text normalization: the standard pre-dedup cleanup pass
     q("q_text_normalize",
       """SELECT doc_id,
@@ -1046,6 +1090,49 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Deterministic epoch-weighting: src0 ×2.5 (floor 2 copies + one
+    // more for the md5-smaller half), src1 ×0.5 (downsample), everything
+    // else natural ×1. Narrow scan — multiplier is a CASE literal, the
+    // repeat an explode(sequence); membership recomputable from the key
+    // by any engine.
+    q("q_upsample",
+      """WITH d AS (SELECT doc_id, source,
+        |    CASE WHEN source = 'src0' THEN 2.5
+        |         WHEN source = 'src1' THEN 0.5 ELSE 1.0 END AS m,
+        |    CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 6)) AS INTEGER)
+        |      / 16777216.0 AS u
+        |  FROM documents),
+        |n AS (SELECT doc_id, source,
+        |    CAST(floor(m) AS INT) +
+        |    CASE WHEN u < m - floor(m) THEN 1 ELSE 0 END AS n FROM d)
+        |SELECT doc_id, source,
+        |  CAST(unnest(generate_series(0, n - 1)) AS INT) AS copy
+        |FROM n WHERE n > 0 ORDER BY doc_id, copy""".stripMargin) { (s, dir) =>
+      graft.ops.Sampling.upsampleByStratum(t(s, dir, "documents"),
+          "source", "doc_id", Map("src0" -> 2.5, "src1" -> 0.5))
+        .select(col("doc_id"), col("source"), col("copy"))
+        .orderBy(col("doc_id"), col("copy"))
+    },
+
+    // Per-source token budget (here: chars via the n_chars column): walk
+    // each stratum in md5(key) order, keep rows while the cumulative
+    // count BEFORE the row is under budget — the crossing row is kept,
+    // so every stratum saturates. Prefilter + residual keeps it exact
+    // without sorting a hot stratum in one task (Sampling.scala).
+    q("q_token_budget",
+      """WITH c AS (SELECT doc_id, source, n_chars,
+        |    coalesce(sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars FROM c WHERE cb < 500
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Sampling.tokenBudgetPerStratum(t(s, dir, "documents"),
+          "source", "doc_id", "n_chars", budget = 500)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // REAL image decode through the JRE's ImageIO: encode a uniform-color
     // PNG per doc (color a closed-form function of doc_id), decode it
     // back with the actual codec, and check dims + mean RGB against the
@@ -1173,6 +1260,99 @@ object PipelineQueries {
           Seq("l_orderkey", "l_partkey"), bits = 8)
         .select(col("l_orderkey"), col("l_partkey"), col("zval"))
         .orderBy(col("l_orderkey"), col("l_partkey"))
+    },
+
+    // ------------------------------------------------ boilerplate removal
+    // CCNet/RefinedWeb-style line-level dedup: lines recurring in >= 4
+    // distinct docs (here: a per-source header planted deterministically,
+    // so both engines synthesize the same multi-line corpus) are stripped
+    // everywhere. The corpus text never shuffles — candidates travel as
+    // 8-byte fingerprints and come back as one broadcast bucket-map.
+    q("q_boilerplate_strip",
+      """WITH w AS (SELECT doc_id, source,
+        |    string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |toks AS (SELECT doc_id, unnest(generate_series(0, len(ws)-1)) AS pos,
+        |    unnest(ws) AS word FROM w),
+        |body AS (SELECT doc_id, pos // 8 AS lno,
+        |    string_agg(word, ' ' ORDER BY pos) AS line
+        |  FROM toks GROUP BY doc_id, pos // 8),
+        |lines AS (SELECT doc_id, -1 AS lno, 'HDR ' || source AS line FROM w
+        |          UNION ALL SELECT doc_id, lno, line FROM body),
+        |freq AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines)
+        |         GROUP BY line HAVING count(*) >= 4),
+        |kept AS (SELECT doc_id, lno, line FROM lines
+        |         WHERE line NOT IN (SELECT line FROM freq)),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |          string_agg(line, chr(10) ORDER BY lno) AS cleaned
+        |        FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(t.n_lines - coalesce(a.n_kept, 0) AS INT) AS n_removed,
+        |  coalesce(a.cleaned, '') AS cleaned
+        |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val words = split(trim(col("text")), "\\s+")
+      val nLines = ceil(size(words).cast("double") / 8.0).cast("int")
+      val body = transform(sequence(lit(0), nLines - 1),
+        i => array_join(slice(words, i * 8 + 1, lit(8)), " "))
+      val ml = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("HDR "), col("source")),
+          array_join(body, "\n")).as("ml"))
+      graft.ops.Boilerplate.stripFrequentLines(ml, minDocs = 4, textCol = "ml")
+        .select(col("doc_id"), col("n_removed"), col("ml").as("cleaned"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------ LM quality scoring
+    // Per-doc mean negative log-likelihood under the corpus' own unigram
+    // model (the CCNet perplexity-filter signal). Model = one wordcount;
+    // scoring re-joins on the token key (a web-scale vocab is NOT
+    // broadcastable), then one (doc_id, double) aggregate.
+    q("q_lm_perplexity",
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+        |  FROM documents),
+        |tok AS (SELECT doc_id, token FROM tk WHERE token <> ''),
+        |total AS (SELECT count(*) AS total FROM tok),
+        |model AS (SELECT token, count(*) AS cnt FROM tok
+        |          GROUP BY token HAVING count(*) >= 5)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  round(avg(-ln(CAST(coalesce(m.cnt, 1) AS DOUBLE)
+        |                / CAST(total.total AS DOUBLE))), 4) AS nll
+        |FROM tok t LEFT JOIN model m ON t.token = m.token CROSS JOIN total
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.LangModel.perplexityScore(t(s, dir, "documents"), minCount = 5)
+        .select(col("doc_id"), col("n_tokens"), round(col("nll"), 4).as("nll"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------ dim reduction
+    // Johnson–Lindenstrauss random-sign projection 64 -> 8 dims before
+    // ANN indexing. The ±1 matrix derives from MD5 so DuckDB recomputes
+    // it bit-for-bit; output scaled to 1e-4 BIGINT CSV (same
+    // hashability projection as q_emb_centroid — the operator itself
+    // returns the real array<double>).
+    q("q_emb_project",
+      """WITH ex AS (SELECT vec_id,
+        |    unnest(generate_series(0, len(embedding)-1)) AS i,
+        |    unnest(embedding) AS v FROM embeddings),
+        |js AS (SELECT unnest(generate_series(0, 7)) AS j),
+        |p AS (SELECT vec_id, j,
+        |    sum(CAST(v AS DOUBLE) *
+        |        CASE WHEN substr(md5('rp:' || i || ':' || j), 1, 1) < '8'
+        |             THEN 1.0 ELSE -1.0 END) / sqrt(8.0) AS pv
+        |  FROM ex CROSS JOIN js GROUP BY vec_id, j)
+        |SELECT vec_id,
+        |  array_to_string(list(CAST(round(pv * 10000) AS BIGINT) ORDER BY j),
+        |    ',') AS proj
+        |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Similarity.randomProject(t(s, dir, "embeddings"), dIn = 64, dOut = 8)
+        .select(col("vec_id"),
+          concat_ws(",",
+            transform(col("proj"), x => round(x * lit(10000)).cast("long")))
+            .as("proj"))
+        .orderBy(col("vec_id"))
     },
 
     // ------------------------------------------------ embedding pooling

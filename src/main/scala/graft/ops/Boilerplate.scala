@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-frequency boilerplate removal (the CCNet / RefinedWeb line-dedup
+  * stage): lines that recur across many documents — headers, footers, nav
+  * bars, cookie banners — are detected corpus-wide and stripped from every
+  * document, leaving the unique prose.
+  *
+  * Scale shape (the whole point of the operator): the corpus text NEVER
+  * shuffles. Candidate detection shuffles only 8-byte line fingerprints
+  * (map-side partial count applies), and the resulting frequent-line set —
+  * small by construction, because a line must recur in `minDocs` distinct
+  * documents to qualify, bounding the set at totalLines/minDocs and in
+  * practice at the corpus' boilerplate vocabulary — is broadcast back as a
+  * one-row bucketed hash index. The strip itself is then a narrow
+  * codegen'd higher-order-function pass over each document's own lines:
+  * probe `element_at(bucketMap, fp % nBuckets)` (constant-time map of
+  * ~set/nBuckets-long arrays), `array_contains` within the bucket. No
+  * join, no repartition, no driver collect.
+  */
+object Boilerplate {
+
+  /** Per-line corpus stats: one row per distinct line with the number of
+    * distinct documents containing it (within-doc repeats counted once).
+    * One shuffle, keyed by the line. The reporting/threshold-tuning
+    * companion of [[stripFrequentLines]]. */
+  def lineDocCounts(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(split(col(textCol), "\n"))).as("line"))
+      .groupBy("line").agg(count(lit(1)).as("n_docs"))
+
+  /** Strip every line that occurs in >= `minDocs` distinct documents.
+    * Returns the input row with `textCol` rewritten (surviving lines
+    * re-joined with '\n', order preserved) plus an `n_removed` count.
+    *
+    * `nBuckets` sizes the broadcast hash index: membership per line costs
+    * O(|frequent set| / nBuckets) inside whole-stage codegen. The default
+    * (1024) keeps a 1M-line boilerplate set at ~1k comparisons per line;
+    * raise it for pathological corpora. */
+  def stripFrequentLines(docs: DataFrame, minDocs: Long,
+      idCol: String = "doc_id", textCol: String = "text",
+      nBuckets: Int = 1024): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val fp = (c: Column) => GraftFunctions.fingerprint64(c)
+    val bucketOf = (c: Column) => pmod(fp(c), lit(nBuckets.toLong))
+
+    // distinct-doc counting without countDistinct machinery: lines are
+    // first deduped WITHIN each document (narrow array_distinct), so a
+    // plain count per fingerprint is the distinct-document count
+    val frequent = docs
+      .select(explode(array_distinct(split(col(textCol), "\n"))).as("_line"))
+      .groupBy(fp(col("_line")).as("_lfp"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= minDocs)
+
+    // one-row bucketed index: Map[bucket -> Array[fingerprint]]
+    val index = frequent
+      .groupBy(pmod(col("_lfp"), lit(nBuckets.toLong)).as("_b"))
+      .agg(collect_list(col("_lfp")).as("_fps"))
+      .agg(map_from_entries(collect_list(struct(col("_b"), col("_fps"))))
+        .as("_idx"))
+
+    val isBoiler = (l: Column) =>
+      coalesce(array_contains(element_at(col("_idx"), bucketOf(l)), fp(l)),
+        lit(false))
+
+    docs.crossJoin(broadcast(index))
+      .withColumn("_lines", split(col(textCol), "\n"))
+      .withColumn("_kept", filter(col("_lines"), l => !isBoiler(l)))
+      .withColumn("n_removed",
+        (size(col("_lines")) - size(col("_kept"))).cast("int"))
+      .withColumn(textCol, array_join(col("_kept"), "\n"))
+      .drop("_idx", "_lines", "_kept")
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-self-trained unigram language model and the perplexity-style
+  * quality score built on it — the classic CCNet-style filter signal:
+  * documents whose tokens are improbable under the corpus' own unigram
+  * distribution (gibberish, encoding damage, exotic boilerplate) score
+  * high mean negative-log-likelihood and can be thresholded away.
+  *
+  * Scale shape: the model is one wordcount (shuffle keyed by token,
+  * map-side partial). Scoring joins token occurrences to the model on the
+  * token key — the same shuffle a wordcount already pays, NOT a broadcast,
+  * because a web-scale vocabulary (even floored at `minCount`) is far too
+  * large to ship to every executor. The final per-document average
+  * shuffles (doc_id, double) pairs with partial aggregation. Corpus text
+  * itself never shuffles; only tokens do.
+  */
+object LangModel {
+
+  /** The unigram model: per-token corpus count, floored at `minCount`
+    * (rarer tokens fall back to the out-of-vocabulary probability at
+    * scoring time). One shuffle. */
+  def unigramCounts(docs: DataFrame, minCount: Long = 2L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    Relevance.tokens(docs, idCol, textCol)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+
+  /** Per-document mean negative log-likelihood under the corpus unigram
+    * model:
+    *
+    *   p(t)  = cnt(t) / total_tokens   (cnt floored at minCount;
+    *                                    OOV tokens use 1 / total_tokens)
+    *   nll(d) = avg over tokens of -ln p(t)
+    *
+    * Returns (doc_id, n_tokens, nll). Lower = more typical of the corpus.
+    */
+  def perplexityScore(docs: DataFrame, minCount: Long = 2L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tk = Relevance.tokens(docs, idCol, textCol)
+    val total = tk.agg(count(lit(1)).as("_total"))
+    val model = unigramCounts(docs, minCount, idCol, textCol)
+    tk.join(model, Seq("token"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (-log(coalesce(col("cnt"), lit(1L)).cast("double") /
+          col("_total").cast("double"))).as("_nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), avg(col("_nll")).as("nll"))
+  }
+}

@@ -162,6 +162,80 @@ object Sampling {
       .select(df.columns.map(col): _*) // restore the caller's column order
   }
 
+  /** Deterministic per-stratum upsampling — the epoch-weighting step of a
+    * training mix ("Wikipedia ×2.5, crawl ×0.5"): each row of stratum `s`
+    * is emitted floor(copies(s)) times, plus one extra copy iff
+    * md5Unit(key) < frac(copies(s)) — so fractional multipliers realize
+    * exactly in expectation AND the decision is recomputable by any
+    * engine from the key alone. Multipliers < 1 downsample (0 copies for
+    * rows above the fraction); absent strata keep their natural weight
+    * (×1). Output adds a 0-based `copy` index so downstream packing can
+    * treat repeats as distinct rows.
+    *
+    * Scale shape: one narrow scan — the multiplier is a literal CASE
+    * chain, the repeat an explode(sequence(...)); no shuffle, no join. */
+  def upsampleByStratum(df: DataFrame, stratumCol: String, keyCol: String,
+      copies: Map[String, Double]): DataFrame = {
+    require(copies.nonEmpty && copies.values.forall(_ >= 0),
+      "copy multipliers must be >= 0")
+    val mult = copies.foldLeft(lit(1.0)) { case (acc, (s, m)) =>
+      when(col(stratumCol) === s, lit(m)).otherwise(acc)
+    }
+    val n = (floor(mult) +
+      (md5Unit(col(keyCol)) < (mult - floor(mult))).cast("int")).cast("int")
+    df.withColumn("_n", n)
+      .filter(col("_n") > 0)
+      .withColumn("copy", explode(sequence(lit(0), col("_n") - 1)))
+      .drop("_n")
+  }
+
+  /** Per-stratum token-budget trimming — "at most B tokens per source":
+    * walk each stratum in md5(key) order and keep rows while the
+    * cumulative token count BEFORE the row is < `budget` (so the row
+    * that crosses the boundary is kept, the budget saturates, and a
+    * non-empty stratum always contributes ≥ 1 row). Deterministic and
+    * auditable from the key alone, like [[quotaByStratum]].
+    *
+    * Scale shape mirrors [[quotaByStratum]]: a bare per-stratum window
+    * would sort a hot stratum in ONE task, so phase 1 broadcasts
+    * per-stratum token totals and prefilters to the md5-smallest
+    * ~oversample·budget/T_s fraction (a PREFIX of the md5 order — the
+    * first-24-bit unit and the full-digest sort agree) before the
+    * window. A residual pass reruns (unfiltered) exactly the strata
+    * whose prefilter undershot the budget — probability exp(−Θ(·)) —
+    * keeping the operator EXACT, not approximate. */
+  def tokenBudgetPerStratum(df: DataFrame, stratumCol: String,
+      keyCol: String, tokensCol: String, budget: Long,
+      oversample: Double = 4.0): DataFrame = {
+    require(budget >= 1, s"budget=$budget")
+    require(oversample > 1.0, s"oversample=$oversample")
+    import org.apache.spark.sql.expressions.Window
+    val rank = md5(col(keyCol).cast("string").cast("binary"))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(rank.asc, col(keyCol).asc)
+    val cumBefore = coalesce(
+      sum(col(tokensCol)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    def fill(d: DataFrame): DataFrame =
+      d.withColumn("_cb", cumBefore).filter(col("_cb") < budget).drop("_cb")
+
+    val totals = df.groupBy(col(stratumCol)).agg(sum(col(tokensCol)).as("_tok"))
+    val frac = least(lit(1.0), lit(oversample * budget) / col("_tok"))
+    val pre = df.join(broadcast(totals), Seq(stratumCol))
+      .filter(md5Unit(col(keyCol)) < frac)
+    val picked = fill(pre).drop("_tok")
+    // residual: a truncated prefilter (frac < 1) that still failed to
+    // reach the budget might have cut the true kept prefix short
+    val preTotals = pre.groupBy(col(stratumCol)).agg(sum(col(tokensCol)).as("_pt"))
+    val short = totals.join(preTotals, Seq(stratumCol), "left")
+      .filter(col("_tok") > lit(oversample * budget) &&
+        coalesce(col("_pt"), lit(0L)) < budget)
+      .select(col(stratumCol))
+    val fixed = fill(df.join(broadcast(short), Seq(stratumCol)))
+    picked.join(broadcast(short), Seq(stratumCol), "left_anti")
+      .unionByName(fixed)
+      .select(df.columns.map(col): _*)
+  }
+
   /** Disjoint train/validation/test split by key hash: each row lands in
     * exactly one bucket, membership is a pure function of the key (new
     * data appended later falls consistently into the same splits; no row

@@ -148,6 +148,37 @@ object Similarity {
       lshSignatures(embs, planes).withColumnRenamed("vec_id", "id"),
       Seq("table", "key"), "id", maxBucket = 4096)
 
+  /** Deterministic ±1 sign matrix for [[randomProject]], derived from MD5
+    * so ANY engine (not just a JVM with our seed stream) can recompute it
+    * bit-for-bit: sign(j, i) = +1 iff the first nibble of
+    * md5("seed:i:j") < 8, i.e. the hex digest's first char < '8'. */
+  def signMatrix(dIn: Int, dOut: Int, seed: String = "rp"): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq.tabulate(dOut)(j => Seq.tabulate(dIn) { i =>
+      val d = md.digest(s"$seed:$i:$j".getBytes("UTF-8"))
+      if ((d(0) & 0xFF) < 0x80) 1.0 else -1.0
+    })
+  }
+
+  /** Johnson–Lindenstrauss random-sign projection (Achlioptas-style
+    * dense ±1 matrix) to `dOut` dimensions:
+    *
+    *   out[j] = Σ_i emb[i] · sign(j, i) / sqrt(dOut)
+    *
+    * The dimensionality-reduction step an ANN pipeline runs before
+    * indexing when the source embeddings are wide. Pure per-row codegen
+    * (native [[org.apache.spark.sql.graft.DotProduct]] against literal
+    * sign rows baked into the plan): narrow, no shuffle, no UDF — at
+    * 100 TB it fuses into the scan pipeline of whatever consumes it. */
+  def randomProject(embs: DataFrame, dIn: Int, dOut: Int,
+      seed: String = "rp"): DataFrame = {
+    val rows = signMatrix(dIn, dOut, seed)
+    val emb = asDouble(col("embedding"))
+    val scale = lit(math.sqrt(dOut.toDouble))
+    val outs = rows.map(r => dot(emb, typedLit(r)) / scale)
+    embs.select(col("vec_id"), array(outs: _*).as("proj"))
+  }
+
   /** LSH-accelerated top-k for a query subset: candidates from bucket
     * sharing, cosine re-rank, per-query top-k. Recall < 1 by design;
     * verified against brute force in the test suite. */

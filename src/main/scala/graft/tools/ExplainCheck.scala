@@ -14,7 +14,8 @@ object ExplainCheck {
         "q_sessionize","q_ann_brute",
         "q_emb_centroid","q_bm25","q_quota_sample","q_dedup_incremental",
         "q_asof_join","q_range_join","q_pack_sequences","q_chunk_docs",
-        "q_topk_group","q_zorder")) {
+        "q_topk_group","q_zorder",
+        "q_boilerplate_strip","q_lm_perplexity","q_emb_project")) {
       println(s"########## $q")
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

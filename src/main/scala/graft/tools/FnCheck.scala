@@ -12,7 +12,10 @@ object FnCheck {
       "SELECT current_user()",
       "SELECT version()",
       "SELECT from_utc_timestamp('2016-08-31', 'Asia/Seoul')",
-      "SELECT parse_url_tuple('http://a.com/p', 'HOST')"
+      "SELECT parse_url_tuple('http://a.com/p', 'HOST')",
+      "SELECT approx_top_k(t, 2, 16) FROM VALUES ('a'),('a'),('b'),('c'),('a'),('b') AS v(t)",
+      "SELECT approx_top_k(t, 10, 16) FROM VALUES ('a'),('a'),('b') AS v(t)",
+      "SELECT approx_top_k_estimate(approx_top_k_combine(sk, 16), 3) FROM (SELECT approx_top_k_accumulate(t, 16) AS sk FROM VALUES ('a'),('a'),('b') AS v(t) GROUP BY t)"
     )) {
       try println(s"OK   $sql => " + spark.sql(sql).first().get(0))
       catch { case e: Exception => println(s"MISS $sql => ${e.getMessage.take(80)}") }

@@ -140,6 +140,38 @@ class PlanSpec extends AnyFunSuite {
       "quota ranking must partition by stratum, never globally")
   }
 
+  test("boilerplate strip: corpus side never shuffles; index comes back as one broadcast row") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = graft.ops.Boilerplate.stripFrequentLines(docs, minDocs = 4)
+      .queryExecution.executedPlan.toString
+    // the frequent-line index joins back as a 1-row broadcast (BNLJ cross);
+    // the document text itself must never hit a wide join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"bucket index must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "corpus text must not shuffle through a wide join")
+  }
+
+  test("q_lm_perplexity: map-side partial aggregation on both shuffles") {
+    val p = plan("q_lm_perplexity")
+    assert("(?s)HashAggregate.*Exchange.*HashAggregate".r.findFirstIn(p).isDefined,
+      "wordcount and per-doc avg must partial-aggregate before their exchanges")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("randomProject is a pure narrow projection (zero Exchange)") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p = graft.ops.Similarity.randomProject(embs, 64, 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"JL projection must not shuffle:\n$p")
+  }
+
+  test("q_heavy_hitters: frequent-items sketch partial-aggregates map-side") {
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("partial_approx_top_k"),
+      s"sketch must accumulate before the exchange (only buffers shuffle):\n$p")
+  }
+
   test("whole-stage codegen covers the scan→agg hot path") {
     // AQE reveals codegen spans only in the final (post-execution) plan
     val df = SparkEntry.queries("q_agg_pricing")(spark, sfDir)

@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.scalatest.funsuite.AnyFunSuite
+
+class BoilerplateSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  // three docs share a header+footer, each has unique prose; doc 4 is
+  // all-boilerplate; doc 5 shares nothing
+  private lazy val corpus = Seq(
+    (1L, "COOKIE BANNER\nalpha prose one\nfooter inc"),
+    (2L, "COOKIE BANNER\nbeta prose two\nfooter inc"),
+    (3L, "COOKIE BANNER\ngamma prose three\nfooter inc"),
+    (4L, "COOKIE BANNER\nfooter inc"),
+    (5L, "totally unique text")).toDF("doc_id", "text")
+
+  test("stripFrequentLines removes corpus-frequent lines, keeps unique prose") {
+    val out = Boilerplate.stripFrequentLines(corpus, minDocs = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Int]("n_removed"))).toMap
+    assert(out(1L) === ("alpha prose one", 2))
+    assert(out(2L) === ("beta prose two", 2))
+    assert(out(3L) === ("gamma prose three", 2))
+    assert(out(4L) === ("", 2)) // all-boilerplate doc survives as empty
+    assert(out(5L) === ("totally unique text", 0))
+  }
+
+  test("threshold above any line's document frequency strips nothing") {
+    val out = Boilerplate.stripFrequentLines(corpus, minDocs = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Int]("n_removed"))).toMap
+    assert(out.values.forall(_._2 === 0))
+    assert(out(1L)._1 === "COOKIE BANNER\nalpha prose one\nfooter inc")
+  }
+
+  test("within-doc repeats count once toward the document frequency") {
+    // "dup line" appears twice in doc 1 but only in 2 distinct docs
+    val c = Seq(
+      (1L, "dup line\ndup line\nkeep a"),
+      (2L, "dup line\nkeep b"),
+      (3L, "keep c")).toDF("doc_id", "text")
+    val at3 = Boilerplate.stripFrequentLines(c, minDocs = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_removed")).toMap
+    assert(at3.values.forall(_ === 0)) // 2 distinct docs < 3
+    val at2 = Boilerplate.stripFrequentLines(c, minDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Int]("n_removed"))).toMap
+    assert(at2(1L) === (("keep a", 2))) // both occurrences stripped
+    assert(at2(2L) === (("keep b", 1)))
+    assert(at2(3L) === (("keep c", 0)))
+  }
+
+  test("bucketed index agrees across bucket counts (hash-index invariance)") {
+    val a = Boilerplate.stripFrequentLines(corpus, minDocs = 3, nBuckets = 1)
+      .select("doc_id", "text", "n_removed").collect().toSet
+    val b = Boilerplate.stripFrequentLines(corpus, minDocs = 3, nBuckets = 4096)
+      .select("doc_id", "text", "n_removed").collect().toSet
+    assert(a === b)
+  }
+
+  test("lineDocCounts reports distinct-doc frequency per line") {
+    val m = Boilerplate.lineDocCounts(corpus)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("COOKIE BANNER") === 4L)
+    assert(m("footer inc") === 4L)
+    assert(m("alpha prose one") === 1L)
+  }
+}

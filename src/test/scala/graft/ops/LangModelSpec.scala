@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.scalatest.funsuite.AnyFunSuite
+
+class LangModelSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the dog sat"),
+    (3L, "cat cat cat"),
+    (4L, "zyzzyva")).toDF("doc_id", "text")
+
+  // corpus token counts: the=3, cat=4, sat=2, on=1, mat=1, dog=1, zyzzyva=1
+  // total = 13
+  private val total = 13.0
+
+  test("unigramCounts floors the vocabulary at minCount") {
+    val m = LangModel.unigramCounts(corpus, minCount = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === Map("the" -> 3L, "cat" -> 4L, "sat" -> 2L))
+  }
+
+  test("perplexityScore matches the hand-computed mean NLL") {
+    val out = LangModel.perplexityScore(corpus, minCount = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def nll(c: Double) = -math.log(c / total)
+    // doc 2: the(3) dog(OOV→1) sat(2)
+    val d2 = (nll(3) + nll(1) + nll(2)) / 3
+    assert(out(2L)._1 === 3L)
+    assert(math.abs(out(2L)._2 - d2) < 1e-12)
+    // doc 3: three in-vocab cats, uniform
+    assert(math.abs(out(3L)._2 - nll(4)) < 1e-12)
+    // doc 4: single OOV token gets the 1/total floor
+    assert(math.abs(out(4L)._2 - nll(1)) < 1e-12)
+    // gibberish scores strictly worse than typical prose
+    assert(out(4L)._2 > out(3L)._2)
+  }
+
+  test("every document is scored exactly once with its token count") {
+    val out = LangModel.perplexityScore(corpus).collect()
+    assert(out.map(_.getLong(0)).sorted === Array(1L, 2L, 3L, 4L))
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 6L, 2L -> 3L, 3L -> 3L, 4L -> 1L))
+  }
+}

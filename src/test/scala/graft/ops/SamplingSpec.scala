@@ -148,4 +148,98 @@ class SamplingSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got === bruteQuota(docs, 20))
   }
+
+  /** Scala-side md5 unit: must agree with Sampling.md5Unit bit-for-bit. */
+  private def md5UnitOf(key: Long): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.toString.getBytes("UTF-8"))
+    val hex = d.take(3).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16).toDouble / (1 << 24)
+  }
+
+  test("upsampleByStratum realizes floor + md5-fraction copies per row") {
+    val copies = Map("src0" -> 2.5, "src1" -> 0.5)
+    val out = Sampling.upsampleByStratum(docs, "source", "doc_id", copies)
+      .groupBy("doc_id", "source").agg(count(lit(1)).as("n"),
+        max(col("copy")).as("maxc"), min(col("copy")).as("minc"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getInt(3), r.getInt(4))).toMap
+    val all = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    for ((id, src) <- all) {
+      val m = copies.getOrElse(src, 1.0)
+      val want = math.floor(m).toInt +
+        (if (md5UnitOf(id) < m - math.floor(m)) 1 else 0)
+      if (want == 0) assert(!out.contains(id), s"doc $id should be dropped")
+      else {
+        val (_, n, maxc, minc) = out(id)
+        assert(n === want.toLong, s"doc $id of $src: $n copies, want $want")
+        assert(minc === 0 && maxc === want - 1, "copy index must be 0-based dense")
+      }
+    }
+    // the fractional strata actually exercised both directions
+    assert(all.collect { case (id, "src0") => id }
+      .exists(id => md5UnitOf(id) < 0.5))
+    assert(all.collect { case (id, "src1") => id }
+      .exists(id => md5UnitOf(id) >= 0.5))
+  }
+
+  test("upsampleByStratum is repartition-stable") {
+    val copies = Map("src2" -> 3.25)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.upsampleByStratum(d, "source", "doc_id", copies)
+        .select("doc_id", "copy").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(run(docs) === run(docs.repartition(17)))
+  }
+
+  /** Ground truth for tokenBudgetPerStratum: bare windowed cumsum. */
+  private def bruteBudget(df: org.apache.spark.sql.DataFrame,
+      budget: Long): Set[Long] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    df.withColumn("cb", coalesce(sum(col("n_chars"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cb") < budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+  }
+
+  test("tokenBudgetPerStratum matches the brute-force cumsum exactly") {
+    val got = Sampling.tokenBudgetPerStratum(docs, "source", "doc_id",
+        "n_chars", budget = 300)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === bruteBudget(docs, 300))
+    assert(got.nonEmpty)
+    // repartition-stable
+    val again = Sampling.tokenBudgetPerStratum(docs.repartition(13),
+        "source", "doc_id", "n_chars", budget = 300)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === got)
+  }
+
+  test("tokenBudgetPerStratum keeps whole strata under a huge budget") {
+    val got = Sampling.tokenBudgetPerStratum(docs, "source", "doc_id",
+      "n_chars", budget = 100000000L)
+    assert(got.count() === docs.count())
+  }
+
+  test("tokenBudgetPerStratum stays exact when the prefilter undershoots") {
+    val got = Sampling.tokenBudgetPerStratum(docs, "source", "doc_id",
+        "n_chars", budget = 2000, oversample = 1.01)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === bruteBudget(docs, 2000))
+  }
+
+  test("tokenBudget crossing row is kept: every stratum saturates its budget") {
+    val perStratum = Sampling.tokenBudgetPerStratum(docs, "source", "doc_id",
+        "n_chars", budget = 300)
+      .groupBy("source").agg(sum(col("n_chars")).as("tok")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").agg(sum(col("n_chars")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((s, kept) <- perStratum)
+      assert(kept >= math.min(300L, totals(s)),
+        s"stratum $s kept only $kept chars of budget 300")
+  }
 }

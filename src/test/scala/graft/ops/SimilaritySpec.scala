@@ -140,4 +140,49 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full === brute, "sampled fit + full probe must still equal brute force")
   }
+
+  test("randomProject equals the driver-side matrix product; matrix is ±1 and stable") {
+    val dIn = 64; val dOut = 8
+    val m = Similarity.signMatrix(dIn, dOut)
+    assert(m.length === dOut && m.forall(_.length === dIn))
+    assert(m.flatten.forall(x => x == 1.0 || x == -1.0))
+    assert(m === Similarity.signMatrix(dIn, dOut)) // deterministic
+    assert(m !== Similarity.signMatrix(dIn, dOut, seed = "other"))
+
+    val raw = embs.limit(20).collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val got = Similarity.randomProject(embs.limit(20), dIn, dOut)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(got.keySet === raw.keySet)
+    for ((id, v) <- raw; j <- 0 until dOut) {
+      val want = (0 until dIn).map(i => v(i) * m(j)(i)).sum / math.sqrt(dOut.toDouble)
+      assert(math.abs(got(id)(j) - want) < 1e-9, s"vec $id dim $j")
+    }
+  }
+
+  test("randomProject keeps planted near-duplicates far above unrelated pairs") {
+    // JL guarantees only ±ε distortion with ε ~ sqrt(ln n / dOut), so weak
+    // gaussian neighbors (cos ≈ 0.3) don't survive 64→16d — but planted
+    // near-dups (cos ≈ 1) must. Fully deterministic: fixed vectors, md5
+    // sign matrix.
+    import graft.TestSpark.spark
+    import spark.implicits._
+    val v0 = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val v1 = Array.tabulate(64)(i => (math.sin(i + 1) + 0.01 * math.cos(i)).toFloat)
+    val v2 = Array.tabulate(64)(i => (if (i % 2 == 0) 1f else -1f) * math.cos(3 * i).toFloat)
+    val df = Seq((0L, v0.toSeq), (1L, v1.toSeq), (2L, v2.toSeq))
+      .toDF("vec_id", "embedding")
+    val p = Similarity.randomProject(df, 64, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val dupSim = cos(p(0L), p(1L))
+    val unrelSim = cos(p(0L), p(2L))
+    assert(dupSim > 0.98, s"planted dup degraded to $dupSim")
+    assert(dupSim > unrelSim + 0.3,
+      s"dup ($dupSim) not separated from unrelated ($unrelSim)")
+  }
 }
