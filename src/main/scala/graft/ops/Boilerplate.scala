@@ -33,6 +33,50 @@ object Boilerplate {
         explode(array_distinct(split(col(textCol), "\n"))).as("line"))
       .groupBy("line").agg(count(lit(1)).as("n_docs"))
 
+  /** A materialized frequent-line index (bucket → fingerprints), the
+    * index-build artifact of the STREAMING strip path — like the Bloom
+    * filter in [[Dedup.dropAgainstCorpusBloom]], it is built once from
+    * the static corpus and embedded as a plan literal, making the strip
+    * itself a stateless narrow projection (streaming-safe, zero joins).
+    * Size is bounded by the same totalLines/minDocs argument as the
+    * broadcast path. */
+  final case class LineIndex(nBuckets: Int, buckets: Map[Long, Seq[Long]]) {
+    def nLines: Int = buckets.valuesIterator.map(_.size).sum
+  }
+
+  /** The frequent-line fingerprints: one row per line occurring in >=
+    * `minDocs` distinct documents. Lines are deduped WITHIN each document
+    * first (narrow array_distinct), so a plain count per fingerprint is
+    * the distinct-document count — no countDistinct machinery. */
+  private def frequentFps(docs: DataFrame, minDocs: Long,
+      textCol: String): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    docs
+      .select(explode(array_distinct(split(col(textCol), "\n"))).as("_line"))
+      .groupBy(GraftFunctions.fingerprint64(col("_line")).as("_lfp"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= minDocs)
+      .select(col("_lfp"))
+  }
+
+  /** The strip itself, shared by both index transports: rewrite `textCol`
+    * keeping only lines whose fingerprint is absent from the bucketed
+    * index column `idx`, plus an `n_removed` count. Pure codegen'd HOFs. */
+  private def stripAgainst(docs: DataFrame, idx: Column, textCol: String,
+      nBuckets: Int): DataFrame = {
+    val fp = (c: Column) => GraftFunctions.fingerprint64(c)
+    val isBoiler = (l: Column) =>
+      coalesce(array_contains(element_at(idx, pmod(fp(l), lit(nBuckets.toLong))),
+        fp(l)), lit(false))
+    docs
+      .withColumn("_lines", split(col(textCol), "\n"))
+      .withColumn("_kept", filter(col("_lines"), l => !isBoiler(l)))
+      .withColumn("n_removed",
+        (size(col("_lines")) - size(col("_kept"))).cast("int"))
+      .withColumn(textCol, array_join(col("_kept"), "\n"))
+      .drop("_lines", "_kept")
+  }
+
   /** Strip every line that occurs in >= `minDocs` distinct documents.
     * Returns the input row with `textCol` rewritten (surviving lines
     * re-joined with '\n', order preserved) plus an `n_removed` count.
@@ -44,36 +88,38 @@ object Boilerplate {
   def stripFrequentLines(docs: DataFrame, minDocs: Long,
       idCol: String = "doc_id", textCol: String = "text",
       nBuckets: Int = 1024): DataFrame = {
-    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val fp = (c: Column) => GraftFunctions.fingerprint64(c)
-    val bucketOf = (c: Column) => pmod(fp(c), lit(nBuckets.toLong))
-
-    // distinct-doc counting without countDistinct machinery: lines are
-    // first deduped WITHIN each document (narrow array_distinct), so a
-    // plain count per fingerprint is the distinct-document count
-    val frequent = docs
-      .select(explode(array_distinct(split(col(textCol), "\n"))).as("_line"))
-      .groupBy(fp(col("_line")).as("_lfp"))
-      .agg(count(lit(1)).as("_n"))
-      .filter(col("_n") >= minDocs)
-
-    // one-row bucketed index: Map[bucket -> Array[fingerprint]]
-    val index = frequent
+    // one-row bucketed index: Map[bucket -> Array[fingerprint]],
+    // broadcast back against the corpus without ever collecting it
+    val index = frequentFps(docs, minDocs, textCol)
       .groupBy(pmod(col("_lfp"), lit(nBuckets.toLong)).as("_b"))
       .agg(collect_list(col("_lfp")).as("_fps"))
       .agg(map_from_entries(collect_list(struct(col("_b"), col("_fps"))))
         .as("_idx"))
-
-    val isBoiler = (l: Column) =>
-      coalesce(array_contains(element_at(col("_idx"), bucketOf(l)), fp(l)),
-        lit(false))
-
-    docs.crossJoin(broadcast(index))
-      .withColumn("_lines", split(col(textCol), "\n"))
-      .withColumn("_kept", filter(col("_lines"), l => !isBoiler(l)))
-      .withColumn("n_removed",
-        (size(col("_lines")) - size(col("_kept"))).cast("int"))
-      .withColumn(textCol, array_join(col("_kept"), "\n"))
-      .drop("_idx", "_lines", "_kept")
+    stripAgainst(docs.crossJoin(broadcast(index)), col("_idx"),
+      textCol, nBuckets).drop("_idx")
   }
+
+  /** Index-build step for [[stripWithIndex]]: collect the frequent-line
+    * fingerprints of a STATIC corpus into a [[LineIndex]]. The collect is
+    * of the aggregated frequent set (bounded by totalLines/minDocs),
+    * never the corpus — the same driver-side index build as a Bloom
+    * filter. */
+  def buildLineIndex(corpus: DataFrame, minDocs: Long,
+      textCol: String = "text", nBuckets: Int = 1024): LineIndex = {
+    val fps = frequentFps(corpus, minDocs, textCol)
+      .collect().map(_.getLong(0))
+    LineIndex(nBuckets,
+      fps.groupBy(f => java.lang.Math.floorMod(f, nBuckets.toLong))
+        .map { case (b, arr) => b -> arr.toSeq })
+  }
+
+  /** Strip against a pre-built [[LineIndex]] embedded as a plan literal:
+    * a stateless narrow projection with no join at all — safe on batch
+    * AND streaming frames (the streaming twin of [[stripFrequentLines]]:
+    * build the index once from the curated corpus, strip arriving
+    * documents continuously). */
+  def stripWithIndex(docs: DataFrame, index: LineIndex,
+      textCol: String = "text"): DataFrame =
+    stripAgainst(docs,
+      typedLit(index.buckets), textCol, index.nBuckets)
 }

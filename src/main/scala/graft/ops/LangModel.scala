@@ -28,6 +28,13 @@ object LangModel {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
 
+  /** -ln p(token): count floored at 1 (the OOV floor) over the model
+    * corpus' total token count. Shared by the self-scoring, serving, and
+    * streaming paths so all three agree bit-for-bit. */
+  private[graft] def nllOf(cnt: org.apache.spark.sql.Column,
+      total: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    -log(coalesce(cnt, lit(1L)).cast("double") / total.cast("double"))
+
   /** Per-document mean negative log-likelihood under the corpus unigram
     * model:
     *
@@ -44,9 +51,22 @@ object LangModel {
     val model = unigramCounts(docs, minCount, idCol, textCol)
     tk.join(model, Seq("token"), "left")
       .crossJoin(broadcast(total))
-      .select(col("doc_id"),
-        (-log(coalesce(col("cnt"), lit(1L)).cast("double") /
-          col("_total").cast("double"))).as("_nll"))
+      .select(col("doc_id"), nllOf(col("cnt"), col("_total")).as("_nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), avg(col("_nll")).as("nll"))
+  }
+
+  /** The serving shape: score any document set against an EXTERNALLY
+    * built model — train on the curated corpus once ([[unigramCounts]]
+    * plus its token total), apply to new batches without touching the
+    * corpus again. Same join/aggregate shape as [[perplexityScore]];
+    * identical numbers when given that function's own model and total. */
+  def scoreAgainstModel(docs: DataFrame, model: DataFrame, totalTokens: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(totalTokens > 0, s"totalTokens=$totalTokens")
+    Relevance.tokens(docs, idCol, textCol)
+      .join(model, Seq("token"), "left")
+      .select(col("doc_id"), nllOf(col("cnt"), lit(totalTokens)).as("_nll"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), avg(col("_nll")).as("nll"))
   }

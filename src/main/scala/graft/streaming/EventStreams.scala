@@ -262,6 +262,34 @@ object EventStreams {
       .drop("_fp")
   }
 
+  /** Streaming twin of [[graft.ops.LangModel.scoreAgainstModel]]: score
+    * arriving documents against a STATIC unigram model (built once from
+    * the curated corpus). The token explode is a stateless generator,
+    * the model attach is a stream-static left join (no stream-side
+    * state; the static side is planned per micro-batch and a web-scale
+    * vocab stays a join, never a broadcast literal), and the per-doc
+    * mean is a watermarked aggregate keyed on (doc_id, event-time
+    * window) — all tokens of a document carry its timestamp, so the
+    * window key is constant within a doc and append mode emits each
+    * score exactly once when the watermark passes. */
+  def perplexityAgainstModel(docs: DataFrame, model: DataFrame,
+      totalTokens: Long, idCol: String = "doc_id", textCol: String = "text",
+      eventTimeCol: String = "event_time", watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    require(totalTokens > 0, s"totalTokens=$totalTokens")
+    docs.withWatermark(eventTimeCol, watermark)
+      .select(col(idCol), col(eventTimeCol),
+        explode(split(lower(col(textCol)), graft.ops.Relevance.TokenPattern))
+          .as("token"))
+      .filter(col("token") =!= "")
+      .join(model, Seq("token"), "left")
+      .groupBy(col(idCol), window(col(eventTimeCol), windowDur))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(graft.ops.LangModel.nllOf(col("cnt"), lit(totalTokens)))
+          .as("nll"))
+      .drop("window")
+  }
+
   /** Batch-equivalent sessionization (same gap semantics) — the oracle
     * for the streaming path and a useful operator in its own right:
     * lag-based session boundaries, one window + one aggregate. */

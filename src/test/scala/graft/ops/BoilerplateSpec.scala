@@ -66,4 +66,33 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(m("footer inc") === 4L)
     assert(m("alpha prose one") === 1L)
   }
+
+  test("stripWithIndex (literal-index path) equals the broadcast path") {
+    val idx = Boilerplate.buildLineIndex(corpus, minDocs = 3)
+    assert(idx.nLines === 2) // COOKIE BANNER + footer inc
+    val viaIndex = Boilerplate.stripWithIndex(corpus, idx)
+      .select("doc_id", "text", "n_removed").collect().toSet
+    val viaBroadcast = Boilerplate.stripFrequentLines(corpus, minDocs = 3)
+      .select("doc_id", "text", "n_removed").collect().toSet
+    assert(viaIndex === viaBroadcast)
+  }
+
+  test("stripWithIndex is streaming-safe: file stream equals the batch strip") {
+    import org.apache.spark.sql.streaming.Trigger
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-bp").toString
+    corpus.write.mode("overwrite").parquet(stageDir)
+    val idx = Boilerplate.buildLineIndex(corpus, minDocs = 3)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(stageDir).schema).parquet(stageDir)
+    val q = Boilerplate.stripWithIndex(stream, idx)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bp_strip")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("bp_strip")
+      .select("doc_id", "text", "n_removed").collect().toSet
+    val batch = Boilerplate.stripFrequentLines(corpus, minDocs = 3)
+      .select("doc_id", "text", "n_removed").collect().toSet
+    assert(streamed === batch)
+  }
 }

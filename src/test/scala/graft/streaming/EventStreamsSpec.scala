@@ -111,6 +111,44 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(spark.table("sdd").count() === expectedTexts.size)
   }
 
+  test("streaming perplexity against a static model matches the batch twin") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-ppl").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.mode("overwrite").parquet(stageDir)
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // model trained on the even half, the odd half arrives as a stream
+    val corpus = batchDocs.filter(pmod($"doc_id", lit(2)) === 0)
+    val model = graft.ops.LangModel.unigramCounts(corpus, minCount = 2)
+    val total = graft.ops.Relevance.tokens(corpus).count()
+    // spread arrivals over ~8 hours so the 10-minute watermark closes
+    // all but the trailing windows inside the bounded run
+    val incoming = spark.readStream
+      .schema(batchDocs.schema).parquet(stageDir)
+      .filter(pmod($"doc_id", lit(2)) === 1)
+      .withColumn("event_time", timestamp_seconds($"doc_id" * 60))
+    val q = EventStreams.perplexityAgainstModel(incoming, model, total)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sppl")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sppl")
+      .select($"doc_id", $"n_tokens", round($"nll", 9))
+      .collect().map(_.toSeq).toSet
+    val expected = graft.ops.LangModel.scoreAgainstModel(
+        batchDocs.filter(pmod($"doc_id", lit(2)) === 1), model, total)
+      .select($"doc_id", $"n_tokens", round($"nll", 9))
+      .collect().map(_.toSeq).toSet
+    // append mode withholds docs the watermark never passed; a bounded
+    // file source closes all-but-the-latest windows
+    assert(streamed.nonEmpty, "stream emitted no scores")
+    assert(streamed.subsetOf(expected),
+      "every emitted streaming score must equal its batch twin")
+    val expectedIds = expected.map(_.head)
+    val streamedIds = streamed.map(_.head)
+    assert(streamedIds.size >= expectedIds.size - 50,
+      s"only ${streamedIds.size} of ${expectedIds.size} docs emitted")
+  }
+
   test("bloom streaming corpus dedup matches the exact stream-static twin") {
     val stageDir = java.nio.file.Files.createTempDirectory("graft-sbd").toString
     spark.read.parquet(s"$sfDir/documents.parquet")
