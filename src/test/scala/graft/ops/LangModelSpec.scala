@@ -38,6 +38,27 @@ class LangModelSpec extends AnyFunSuite {
     assert(out(4L)._2 > out(3L)._2)
   }
 
+  test("scoreAgainstModel with the self-model equals perplexityScore") {
+    val model = LangModel.unigramCounts(corpus, minCount = 2)
+    val served = LangModel.scoreAgainstModel(corpus, model, total.toLong)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val self = LangModel.perplexityScore(corpus, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served === self)
+  }
+
+  test("scoreAgainstModel scores unseen documents without touching the corpus") {
+    val model = LangModel.unigramCounts(corpus, minCount = 2)
+    val fresh = Seq((10L, "the cat"), (11L, "qwertyuiop")).toDF("doc_id", "text")
+    val out = LangModel.scoreAgainstModel(fresh, model, total.toLong)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def nll(c: Double) = -math.log(c / total)
+    assert(out(10L)._1 === 2L)
+    assert(math.abs(out(10L)._2 - (nll(3) + nll(4)) / 2) < 1e-12)
+    // all-OOV doc lands exactly on the floor
+    assert(math.abs(out(11L)._2 - nll(1)) < 1e-12)
+  }
+
   test("every document is scored exactly once with its token count") {
     val out = LangModel.perplexityScore(corpus).collect()
     assert(out.map(_.getLong(0)).sorted === Array(1L, 2L, 3L, 4L))
