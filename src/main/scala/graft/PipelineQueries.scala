@@ -1004,6 +1004,51 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Leakage-safe split: split membership decided by md5 of the
+    // duplicate-cluster representative (min reachable id over the exact
+    // token-Jaccard pair graph, same construction as
+    // q_dedup_clusters_exact) so near-duplicates can never straddle
+    // train/eval. The oracle recomputes clusters via the recursive
+    // transitive-closure CTE and the split from md5 of the
+    // representative — the whole composition is hash-checked.
+    q("q_split_leakage_safe",
+      """WITH RECURSIVE
+        |toks AS (
+        |  SELECT doc_id AS id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS shingle
+        |  FROM documents WHERE doc_id < 150),
+        |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+        |common AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+        |  FROM toks a JOIN toks b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY a.id, b.id),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM common JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+        |  WHERE CAST(cnt AS DOUBLE)/(sa.sz + sb.sz - cnt) >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS split_key,
+        |  CASE WHEN CAST(concat('0x',
+        |           substr(md5(coalesce(c.component, d.doc_id)::VARCHAR), 1, 6))
+        |           AS INTEGER) / 16777216.0 < 0.8
+        |       THEN 'train' ELSE 'test' END AS split
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        |WHERE d.doc_id < 150
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 150)
+      val pairs = Dedup.jaccardPairs(docs, n = 1, threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      graft.ops.Sampling.splitByClusterMd5(docs, pairs, "doc_id",
+          Seq("train" -> 0.8, "test" -> 0.2))
+        .select(col("doc_id"), col("split_key"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+
     // Temperature-tempered corpus mixing (α=0.5, target 40% of N):
     // per-stratum rates from one broadcast count aggregate, membership
     // by cross-engine md5 — formula written identically on both sides
@@ -1352,6 +1397,42 @@ object PipelineQueries {
           concat_ws(",",
             transform(col("proj"), x => round(x * lit(10000)).cast("long")))
             .as("proj"))
+        .orderBy(col("vec_id"))
+    },
+
+    // ------------------------------------------------ semantic dedup
+    // SemDeDup-style: hyperplane sign-buckets from the md5-derived JL
+    // projection (deterministic — DuckDB recomputes bucket assignment
+    // bit-for-bit), exact cosine on co-bucketed pairs, greedy
+    // min-id-keeper. An APPROXIMATE operator with an EXACT oracle: the
+    // bucketing is a pure function of the data, so the oracle
+    // reconstructs the identical surviving set, not a bound.
+    q("q_semantic_dedup",
+      """WITH ex AS (SELECT vec_id,
+        |    unnest(generate_series(0, len(embedding)-1)) AS i,
+        |    unnest(embedding) AS v FROM embeddings),
+        |js AS (SELECT unnest(generate_series(0, 5)) AS j),
+        |p AS (SELECT vec_id, j,
+        |    sum(CAST(v AS DOUBLE) *
+        |        CASE WHEN substr(md5('rp:' || i || ':' || j), 1, 1) < '8'
+        |             THEN 1.0 ELSE -1.0 END) / sqrt(6.0) AS pv
+        |  FROM ex CROSS JOIN js GROUP BY vec_id, j),
+        |b AS (SELECT vec_id,
+        |        sum(CASE WHEN pv >= 0 THEN CAST(pow(2, j) AS BIGINT)
+        |            ELSE 0 END) AS bucket
+        |      FROM p GROUP BY vec_id),
+        |drops AS (SELECT DISTINCT b2.vec_id
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  JOIN embeddings eb ON eb.vec_id = b2.vec_id
+        |  WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+        |                               eb.embedding::DOUBLE[]) >= 0.3)
+        |SELECT e.vec_id, e.label FROM embeddings e
+        |WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)
+        |ORDER BY e.vec_id""".stripMargin) { (s, dir) =>
+      Similarity.semanticDedup(t(s, dir, "embeddings"),
+          dIn = 64, bits = 6, threshold = 0.3)
+        .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id"))
     },
 

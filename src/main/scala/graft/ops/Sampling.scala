@@ -253,4 +253,31 @@ object Sampling {
       df.filter(bucket >= lit(lo) && bucket < lit(hi))
     }.toSeq
   }
+
+  /** Leakage-safe split: every member of a duplicate cluster lands in
+    * the SAME split, so a near-duplicate of a training document can
+    * never leak into the eval set — the contamination a key-hash split
+    * cannot prevent when duplicates are retained (deliberately, e.g.
+    * for upsampling) or when the dedup threshold is looser than the
+    * leakage bar.
+    *
+    * `pairs` is any (id_a, id_b) duplicate-pair frame ([[Dedup.jaccardPairs]],
+    * [[Dedup.minhashNearDups]], [[Similarity.cosineNearDupPairs]]…);
+    * membership is decided by md5 of the cluster representative (min id
+    * reachable via [[Dedup.duplicateClusters]]), exposed as `split_key`
+    * so the assignment is auditable from the output alone.
+    *
+    * Scale: the label propagation runs over the pair set only (≪
+    * corpus); the corpus-side work is one join on the 8-byte key — rows
+    * outside any cluster (the overwhelming majority) keep themselves as
+    * representative via coalesce and never enter the propagation. */
+  def splitByClusterMd5(df: DataFrame, pairs: DataFrame, keyCol: String,
+      weights: Seq[(String, Double)]): DataFrame = {
+    val comps = Dedup.duplicateClusters(pairs)
+      .select(col("id").as(keyCol), col("component").as("_rep"))
+    val withRep = df.join(comps, Seq(keyCol), "left")
+      .withColumn("split_key", coalesce(col("_rep"), col(keyCol)))
+      .drop("_rep")
+    splitLabelByMd5(withRep, "split_key", weights)
+  }
 }

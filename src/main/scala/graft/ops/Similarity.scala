@@ -179,6 +179,63 @@ object Similarity {
     embs.select(col("vec_id"), array(outs: _*).as("proj"))
   }
 
+  /** Deterministic semantic bucket per vector: the sign bits of the
+    * md5-derived [[randomProject]] projection packed into a long
+    * (bucket = Σ_j [proj_j ≥ 0]·2^j — one hyperplane cut per bit).
+    * Because the projection matrix derives from md5 rather than a JVM
+    * seed stream, ANY engine recomputes the same bucket for the same
+    * vector — which makes the whole semantic-dedup pipeline built on it
+    * hash-checkable end-to-end (q_semantic_dedup). Narrow codegen, no
+    * shuffle. */
+  def signBuckets(embs: DataFrame, dIn: Int, bits: Int,
+      seed: String = "rp"): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"bits=$bits")
+    randomProject(embs, dIn, bits, seed)
+      .select(col("vec_id"),
+        (0 until bits).map(j =>
+          when(element_at(col("proj"), j + 1) >= 0, lit(1L << j))
+            .otherwise(lit(0L))).reduce(_ + _).as("bucket"))
+  }
+
+  /** Within-bucket over-threshold cosine pairs (id_a < id_b): the
+    * SemDeDup candidate structure — hyperplane buckets prune the
+    * quadratic all-pairs join to co-bucketed vectors, exact cosine
+    * verifies candidates only. Recall < 1 by design (a near-dup pair
+    * split by a hyperplane is missed; more bits trade recall for
+    * pruning), but the output is a pure function of the data:
+    * deterministic buckets + exact verification mean an external engine
+    * recomputes the identical pair set. Scale: bucket expansion via
+    * [[Dedup.pairsInBucketsExact]] — degenerate buckets stream through
+    * a block-salted self-join instead of materializing in one task; at
+    * web scale raise `bits` so expected bucket size stays bounded. */
+  def semanticDedupPairs(embs: DataFrame, dIn: Int, bits: Int,
+      threshold: Double, seed: String = "rp"): DataFrame = {
+    val cands = graft.ops.Dedup.pairsInBucketsExact(
+      signBuckets(embs, dIn, bits, seed), Seq("bucket"), "vec_id")
+    val base = embs.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    cands
+      .join(base.select(col("vec_id").as("id_a"), col("emb").as("ea"),
+        col("nrm").as("na")), "id_a")
+      .join(base.select(col("vec_id").as("id_b"), col("emb").as("eb"),
+        col("nrm").as("nb")), "id_b")
+      .withColumn("sim", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** SemDeDup-style semantic deduplication: drop every vector that has
+    * a smaller-id over-threshold neighbor in its semantic bucket (the
+    * greedy min-id-keeper over [[semanticDedupPairs]]). The embedding
+    * twin of MinHash near-dup removal — catches paraphrases and
+    * re-encodings exact text dedup cannot see. */
+  def semanticDedup(embs: DataFrame, dIn: Int, bits: Int,
+      threshold: Double, seed: String = "rp"): DataFrame = {
+    val drops = semanticDedupPairs(embs, dIn, bits, threshold, seed)
+      .select(col("id_b").as("vec_id")).distinct()
+    embs.join(drops, Seq("vec_id"), "left_anti")
+  }
+
   /** LSH-accelerated top-k for a query subset: candidates from bucket
     * sharing, cosine re-rank, per-query top-k. Recall < 1 by design;
     * verified against brute force in the test suite. */

@@ -34,6 +34,10 @@ object ExplainCheck {
     println("########## op:jaccardPairs (size-routed exact candidates)")
     println(graft.ops.Dedup.jaccardPairs(docs, n = 1, threshold = 0.8)
       .queryExecution.explainString(fmt))
+    println("########## op:semanticDedup (sign-bucket prune + candidate verify)")
+    println(graft.ops.Similarity.semanticDedup(embs, dIn = 64, bits = 6,
+        threshold = 0.3)
+      .queryExecution.explainString(fmt))
     println("########## op:IvfIndex.search (block-salted probe join)")
     val idx = graft.ops.IvfIndex.build(embs, nlist = 8)
     println(graft.ops.IvfIndex.search(idx, col("vec_id") < 10, k = 5, nprobe = 4)

@@ -242,4 +242,41 @@ class SamplingSpec extends AnyFunSuite {
       assert(kept >= math.min(300L, totals(s)),
         s"stratum $s kept only $kept chars of budget 300")
   }
+
+  test("splitByClusterMd5: no duplicate pair ever straddles two splits") {
+    import spark.implicits._
+    val slice = docs.filter(col("doc_id") < 150)
+    val pairs = Dedup.jaccardPairs(slice, n = 1, threshold = 0.8)
+      .select("id_a", "id_b")
+    assert(pairs.count() > 0, "test slice must contain near-dup pairs")
+    val labeled = Sampling.splitByClusterMd5(slice, pairs, "doc_id",
+      Seq("train" -> 0.8, "test" -> 0.2))
+    val splitOf = labeled.select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    pairs.collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(splitOf(a) === splitOf(b),
+        s"pair ($a,$b) split across ${splitOf(a)}/${splitOf(b)}")
+    }
+    // every row is labeled; rows outside any cluster keep themselves as key
+    assert(labeled.count() === slice.count())
+    val inCluster = pairs.select($"id_a".as("id"))
+      .union(pairs.select($"id_b".as("id"))).distinct()
+      .collect().map(_.getLong(0)).toSet
+    labeled.select("doc_id", "split_key").collect().foreach { r =>
+      if (!inCluster(r.getLong(0)))
+        assert(r.getLong(1) === r.getLong(0), s"singleton ${r.getLong(0)}")
+    }
+    // a plain key split WOULD leak on this data (sanity: the operator is
+    // not vacuous) — at least one pair gets different labels under md5
+    // of the member id instead of the representative
+    val plain = Sampling.splitLabelByMd5(slice, "doc_id",
+        Seq("train" -> 0.8, "test" -> 0.2))
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val leaks = pairs.collect().count { r =>
+      plain(r.getLong(0)) != plain(r.getLong(1))
+    }
+    assert(leaks > 0, "slice shows no leakage under plain split; weaken seed")
+  }
 }

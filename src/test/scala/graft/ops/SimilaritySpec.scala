@@ -185,4 +185,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(dupSim > unrelSim + 0.3,
       s"dup ($dupSim) not separated from unrelated ($unrelSim)")
   }
+
+  test("semanticDedupPairs: subset of exact pairs, repartition-stable buckets") {
+    val pairs = Similarity.semanticDedupPairs(embs, dIn = 64, bits = 6,
+      threshold = 0.3).select("id_a", "id_b")
+    assert(pairs.count() > 0, "no in-bucket over-threshold pairs at sf")
+    // zero false positives: the verify step recomputes exact cosine
+    val exact = Similarity.cosineNearDupPairs(embs, 0.3)
+      .select("id_a", "id_b")
+    assert(pairs.join(exact, Seq("id_a", "id_b"), "left_anti").count() === 0)
+    // deterministic bucketing: identical under repartition
+    val a = Similarity.signBuckets(embs, 64, 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Similarity.signBuckets(embs.repartition(13), 64, 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
+  test("semanticDedup survivors = brute-force greedy min-id keeper") {
+    val pairs = Similarity.semanticDedupPairs(embs, 64, 6, 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dropped = pairs.map(_._2).toSet
+    val all = embs.select("vec_id").collect().map(_.getLong(0)).toSet
+    val kept = Similarity.semanticDedup(embs, 64, 6, 0.3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === all -- dropped)
+    // every survivor with an in-bucket over-threshold neighbor is the
+    // min of that relation (no survivor should have been dropped)
+    assert(kept.intersect(dropped).isEmpty)
+  }
 }
