@@ -125,6 +125,72 @@ object PipelineQueries {
         .train.select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
     },
 
+    // The composed continuous-curation ingest leg, end-to-end: line-
+    // preserving normalize → within-batch exact dedup (min keeper) →
+    // drop-against-corpus → frequent-line boilerplate strip (index built
+    // from the corpus half) → distinct-token-ratio quality filter. The
+    // input plants a shared footer line (stripped by the index), ten
+    // corpus duplicates re-keyed to +10000 (killed by the anti-join) and
+    // one in-batch duplicate at 20001 (killed by the min keeper) so
+    // every stage does real work. Streaming twin: EventStreams
+    // .curateStream, parity-tested in EventStreamsSpec.
+    q("q_curate_ingest",
+      """WITH staged AS (SELECT doc_id,
+        |    text || chr(10) || 'Shared Footer Line' AS text FROM documents),
+        |inc0 AS (
+        |  SELECT doc_id, text FROM staged WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM staged
+        |  WHERE doc_id < 20 AND doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 20001, text FROM staged WHERE doc_id = 1),
+        |norm AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '[ \t]+', ' ', 'g')) AS text
+        |  FROM inc0),
+        |kept AS (SELECT doc_id, text FROM norm
+        |         WHERE doc_id IN (SELECT min(doc_id) FROM norm GROUP BY text)),
+        |corp AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '[ \t]+', ' ', 'g')) AS text
+        |  FROM staged WHERE doc_id % 2 = 0),
+        |fresh AS (SELECT doc_id, text FROM kept
+        |          WHERE text NOT IN (SELECT text FROM corp)),
+        |clines AS (SELECT DISTINCT doc_id, unnest(string_split(text, chr(10))) AS line
+        |           FROM corp),
+        |freq AS (SELECT line FROM clines GROUP BY line HAVING count(*) >= 2),
+        |ex AS (SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        |  FROM fresh),
+        |kl AS (SELECT doc_id, line, pos FROM ex
+        |       WHERE line NOT IN (SELECT line FROM freq)),
+        |tot AS (SELECT doc_id, count(*) AS n_lines FROM ex GROUP BY doc_id),
+        |ka AS (SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(line, chr(10) ORDER BY pos) AS text
+        |       FROM kl GROUP BY doc_id),
+        |strip AS (SELECT t.doc_id, coalesce(ka.text, '') AS text,
+        |    CAST(t.n_lines - coalesce(ka.n_kept, 0) AS INT) AS n_removed
+        |  FROM tot t LEFT JOIN ka ON t.doc_id = ka.doc_id)
+        |SELECT doc_id, text, n_removed FROM strip
+        |WHERE len(list_distinct(string_split_regex(text, '\s+'))) * 1.0
+        |      / len(string_split_regex(text, '\s+')) >= 0.2
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val staged = t(s, dir, "documents")
+        .withColumn("text", concat(col("text"), lit("\nShared Footer Line")))
+      val corpus = staged.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .withColumn("text",
+          trim(regexp_replace(lower(col("text")), "[ \\t]+", " ")))
+      val idx = graft.ops.Boilerplate.buildLineIndex(corpus, minDocs = 2)
+      val incoming = staged.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .unionByName(staged
+          .filter(col("doc_id") < 20 && pmod(col("doc_id"), lit(2)) === 0)
+          .withColumn("doc_id", col("doc_id") + 10000))
+        .unionByName(staged.filter(col("doc_id") === 1)
+          .withColumn("doc_id", lit(20001L)))
+      Pipelines.curateIngest(incoming, corpus, idx)
+        .select(col("doc_id"), col("text"), col("n_removed"))
+        .orderBy(col("doc_id"))
+    },
+
     // Incremental dedup: dedup an incoming batch (odd doc_ids) against
     // an existing corpus (even doc_ids) — corpus side reduces to
     // distinct 8-byte fingerprints before the anti-join

@@ -78,6 +78,30 @@ object Pipelines {
     CurationResult(part("train"), part("val"), part("test"))
   }
 
+  /** The ingest leg of a continuous curation pipeline, batch form:
+    * normalize → drop docs already in the curated corpus (+ exact dedup
+    * within the batch) → strip frequent-line boilerplate against a
+    * pre-built [[Boilerplate.LineIndex]] → distinct-token-ratio quality
+    * filter. Every stage is corpus-side-free at apply time (the corpus
+    * enters only as distinct 8-byte fingerprints and the line index), so
+    * the same composition runs unchanged on a stream —
+    * [[graft.streaming.EventStreams.curateStream]] is the twin, and the
+    * suite asserts output parity. */
+  def curateIngest(docs: DataFrame, corpus: DataFrame,
+      lineIndex: Boilerplate.LineIndex,
+      minDistinctRatio: Double = 0.2): DataFrame = {
+    // line-PRESERVING normalization (horizontal whitespace only), unlike
+    // [[curate]]'s: the boilerplate strip needs the line structure
+    val normalized = docs.withColumn("text",
+      trim(regexp_replace(lower(col("text")), "[ \\t]+", " ")))
+    val fresh = Dedup.dropAgainstCorpus(
+      Dedup.dropExactDuplicates(normalized), corpus)
+    val stripped = Boilerplate.stripWithIndex(fresh, lineIndex)
+    val toks = split(col("text"), "\\s+")
+    stripped.filter(
+      size(array_distinct(toks)).cast("double") / size(toks) >= minDistinctRatio)
+  }
+
   /** Materialize a curated corpus as a partitioned (+ optionally
     * bucketed) table — the lakehouse layout downstream trainers read:
     * partition pruning on the partition column, shuffle-free joins on

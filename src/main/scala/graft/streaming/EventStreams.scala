@@ -290,6 +290,32 @@ object EventStreams {
       .drop("window")
   }
 
+  /** Streaming twin of [[graft.ops.Pipelines.curateIngest]] — the
+    * composed continuous-curation ingest leg: normalize (stateless) →
+    * Bloom-accelerated corpus dedup + watermark-bounded within-stream
+    * dedup → frequent-line boilerplate strip against a plan-literal
+    * [[graft.ops.Boilerplate.LineIndex]] (stateless, zero joins) →
+    * distinct-token-ratio quality filter (stateless). The only stateful
+    * stage is the watermark-bounded repeat filter inside the dedup —
+    * state never grows with corpus size — and no stage aggregates, so
+    * admitted documents flow through in their arrival micro-batch. */
+  def curateStream(docs: DataFrame, corpus: DataFrame,
+      lineIndex: graft.ops.Boilerplate.LineIndex,
+      minDistinctRatio: Double = 0.2,
+      expectedItems: Long = 1000000L, fpp: Double = 0.03,
+      eventTimeCol: String = "event_time",
+      watermark: String = "10 minutes"): DataFrame = {
+    // line-preserving normalization — must match curateIngest exactly
+    val normalized = docs.withColumn("text",
+      trim(regexp_replace(lower(col("text")), "[ \\t]+", " ")))
+    val deduped = dedupAgainstCorpusBloom(normalized, corpus,
+      expectedItems, fpp, "text", eventTimeCol, watermark)
+    val stripped = graft.ops.Boilerplate.stripWithIndex(deduped, lineIndex)
+    val toks = split(col("text"), "\\s+")
+    stripped.filter(
+      size(array_distinct(toks)).cast("double") / size(toks) >= minDistinctRatio)
+  }
+
   /** Batch-equivalent sessionization (same gap semantics) — the oracle
     * for the streaming path and a useful operator in its own right:
     * lag-based session boundaries, one window + one aggregate. */

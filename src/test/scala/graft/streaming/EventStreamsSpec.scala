@@ -175,6 +175,42 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(spark.table("sbd").count() === expectedTexts.size)
   }
 
+  test("composed streaming curation ingest matches the batch twin") {
+    // plant a shared footer line so the boilerplate-strip stage has real
+    // work: it is frequent across the corpus half, so the index strips
+    // it from every arriving document
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-sci").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("text", concat($"text", lit("\nShared Footer  Line")))
+      .write.mode("overwrite").parquet(stageDir)
+    val staged = spark.read.parquet(stageDir)
+    val corpus = staged.filter(pmod($"doc_id", lit(2)) === 0)
+    val corpusNormalized = corpus.withColumn("text",
+      trim(regexp_replace(lower($"text"), "[ \\t]+", " ")))
+    val idx = graft.ops.Boilerplate.buildLineIndex(corpusNormalized, minDocs = 3)
+    assert(idx.nLines >= 1, "footer line must be frequent in the corpus")
+    val incoming = spark.readStream.schema(staged.schema).parquet(stageDir)
+      .filter(pmod($"doc_id", lit(2)) === 1)
+      .withColumn("event_time", timestamp_seconds($"doc_id"))
+    val out = EventStreams.curateStream(incoming, corpus, idx,
+      expectedItems = 1000L, fpp = 0.2)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sci")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sci")
+    val expected = graft.ops.Pipelines.curateIngest(
+      staged.filter(pmod($"doc_id", lit(2)) === 1), corpus, idx)
+    val sTexts = streamed.select("text").collect().map(_.getString(0)).toSet
+    val eTexts = expected.select("text").collect().map(_.getString(0)).toSet
+    assert(sTexts.nonEmpty, "stream admitted no documents")
+    assert(sTexts === eTexts)
+    // the footer was stripped from every admitted document
+    assert(!sTexts.exists(_.contains("shared footer line")))
+    assert(streamed.filter($"n_removed" =!= 1).count() === 0,
+      "every doc should lose exactly its planted footer line")
+  }
+
   test("session fold: late events extend the session instead of splitting it") {
     import org.apache.spark.sql.streaming.TestGroupState
     import org.apache.spark.api.java.Optional
