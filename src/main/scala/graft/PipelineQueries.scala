@@ -965,6 +965,29 @@ object PipelineQueries {
         .orderBy(col("event_id"), col("lo"))
     },
 
+    // ------------------------------------------------ cross-doc repetition
+    // The Gopher/Dolma "duplicated text fraction" quality signal: per
+    // document, the share of 5-token windows occurring in >= 2 distinct
+    // documents corpus-wide. Spark reduces windows to 8-byte
+    // fingerprints in the scan pipeline; the oracle recomputes the same
+    // counts from the gram strings (collision-free at test SF).
+    q("q_crossdoc_repetition",
+      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+        |           FROM documents),
+        |ng AS (SELECT doc_id, array_to_string(ws[pos:pos+4], ' ') AS g
+        |       FROM w, unnest(generate_series(1, len(ws)-4)) AS t(pos)),
+        |rep AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM ng)
+        |        GROUP BY g HAVING count(*) >= 2)
+        |SELECT doc_id, count(*) AS n_windows,
+        |  CAST(sum(CASE WHEN g IN (SELECT g FROM rep) THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_repeated,
+        |  round(sum(CASE WHEN g IN (SELECT g FROM rep) THEN 1 ELSE 0 END)
+        |        * 1.0 / count(*), 6) AS dup_ratio
+        |FROM ng GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.crossDocRepetition(t(s, dir, "documents"), n = 5)
+        .orderBy(col("doc_id"))
+    },
+
     // ------------------------------------------------ decontamination
     // Benchmark-overlap flagging: distinct shared trigrams per corpus doc
     // vs a (broadcast) benchmark set — the pretraining leakage guard.

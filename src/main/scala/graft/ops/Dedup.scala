@@ -418,4 +418,45 @@ object Dedup {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Cross-document repeated n-gram fraction — the "duplicated text
+    * fraction" quality signal of Gopher/Dolma-style filtering: for each
+    * document, the share of its n-token windows occurring in at least
+    * `minDocs` DISTINCT documents corpus-wide. Catches templated spam
+    * and paragraph-level boilerplate that survives exact and near dedup
+    * because the surrounding text differs; a window repeated only
+    * WITHIN one document does not count (that is
+    * [[graft.PipelineQueries]]' q_text_repetition signal instead).
+    *
+    * Scale: windows reduce to 8-byte fingerprints inside the scan
+    * pipeline — gram text never shuffles. Two aggregations (distinct-doc
+    * count per gram, per-doc rollup) and one fingerprint-keyed
+    * membership join, all partial-aggregated. Fingerprints make the
+    * membership test collision-approximate above ~2³² distinct grams —
+    * immaterial for a ratio signal. Documents shorter than `n` tokens
+    * have no windows and are absent from the result. */
+  def crossDocRepetition(docs: DataFrame, n: Int, minDocs: Long = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n=$n")
+    import graft.functions.GraftFunctions
+    val ws = split(col(textCol), "\\s+")
+    val nWin = size(ws) - (n - 1)
+    val grams = docs.select(col(idCol),
+      when(nWin >= 1,
+        transform(sequence(lit(1), nWin),
+          i => GraftFunctions.fingerprint64(array_join(slice(ws, i, lit(n)), " "))))
+        .otherwise(array().cast("array<bigint>")).as("_gs"))
+    val repeated = grams
+      .select(col(idCol), explode(array_distinct(col("_gs"))).as("_g"))
+      .groupBy(col("_g")).agg(count(lit(1)).as("_d"))
+      .filter(col("_d") >= minDocs)
+      .select(col("_g"), lit(1).as("_hit"))
+    grams.select(col(idCol), explode(col("_gs")).as("_g"))
+      .join(repeated, Seq("_g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_repeated"))
+      .withColumn("dup_ratio",
+        round(col("n_repeated").cast("double") / col("n_windows"), 6))
+  }
 }

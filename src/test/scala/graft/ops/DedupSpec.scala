@@ -170,4 +170,25 @@ class DedupSpec extends AnyFunSuite {
     assert(strong.isEmpty || hit.toDouble / strong.size >= 0.5,
       s"simhash caught $hit of ${strong.size} strongest pairs")
   }
+
+  test("crossDocRepetition counts only windows shared across distinct docs") {
+    import graft.TestSpark.spark
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "a b c d"),     // windows: "a b c", "b c d"
+      (2L, "b c d e"),     // windows: "b c d", "c d e"
+      (3L, "x y z w"),     // no shared windows
+      (4L, "p q p q p"),   // "p q p","q p q","p q p": within-doc repeat ONLY
+      (5L, "zz")           // shorter than n → absent from output
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossDocRepetition(tiny, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    assert(out(1L) === ((2L, 1L, 0.5)))   // "b c d" shared with doc 2
+    assert(out(2L) === ((2L, 1L, 0.5)))    // "b c d" shared with doc 1
+    assert(out(3L) === ((2L, 0L, 0.0)))
+    // doc-internal repetition does not count: "p q p" twice in doc 4 only
+    assert(out(4L) === ((3L, 0L, 0.0)))
+  }
 }
