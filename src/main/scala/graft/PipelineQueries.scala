@@ -524,6 +524,29 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // Hard-negative mining for contrastive training: per query, top-k
+    // most-similar DIFFERENT-label vectors under a near-dup ceiling
+    // (unlabeled-positive guard). Same broadcast shape as q_ann_brute.
+    q("q_hard_negatives",
+      """WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+        |             FROM embeddings),
+        |qs AS (SELECT vec_id AS query_id, label AS qlbl, emb AS qemb
+        |       FROM base WHERE vec_id < 10),
+        |sims AS (SELECT query_id, vec_id,
+        |    list_cosine_similarity(emb, qemb) AS sim_raw
+        |  FROM base CROSS JOIN qs WHERE label <> qlbl),
+        |cut AS (SELECT query_id, vec_id, round(sim_raw, 6) AS sim
+        |        FROM sims WHERE sim_raw < 0.95),
+        |ranked AS (SELECT query_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+        |  FROM cut)
+        |SELECT query_id, vec_id, sim, rk FROM ranked WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+      Similarity.hardNegatives(t(s, dir, "embeddings"), col("vec_id") < 10,
+          k = 5, maxSim = 0.95)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // LSH-bucketed ANN (random hyperplanes). Bound-style oracle: DuckDB
     // anchors the query/base cardinalities; the verdict row certifies
     // every query got a full k results (the buckets aren't starved) and

@@ -53,6 +53,39 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("sim"), col("rk"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the `k` most-similar vectors with a DIFFERENT label, below
+    * a near-duplicate ceiling (`maxSim` excludes probable unlabeled
+    * positives/duplicates — the standard guard against false negatives
+    * in the mined set). Same broadcast shape as [[bruteForceTopK]]: the
+    * query set broadcasts, the base scans once, one skinny
+    * (query, id, double) shuffle into the per-query top-k. For
+    * web-scale query sets run the same filters over
+    * [[lshCandidatePairs]] candidates instead. */
+  def hardNegatives(embs: DataFrame, queryPred: Column, k: Int,
+      maxSim: Double = 0.95, labelCol: String = "label"): DataFrame = {
+    val base = embs.select(col("vec_id"), col(labelCol).as("_lbl"),
+        asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    val queries = base.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("_lbl").as("_qlbl"),
+        col("emb").as("qemb"), col("nrm").as("qnrm"))
+    // rank on the ROUNDED similarity (ties broken by vec_id), matching
+    // q_ann_brute's convention so the oracle ranking is reproducible
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    base.crossJoin(broadcast(queries))
+      .filter(col("_lbl") =!= col("_qlbl"))
+      .withColumn("sim_raw",
+        dot(col("emb"), col("qemb")) / (col("nrm") * col("qnrm")))
+      // ceiling on the UNROUNDED value, like every oracle-shared cut
+      .filter(col("sim_raw") < maxSim)
+      .withColumn("sim", round(col("sim_raw"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rk"))
+  }
+
   /** All near-duplicate pairs by cosine ≥ threshold (brute-force; for the
     * scale path feed [[lshCandidatePairs]] into the same verifier). */
   def cosineNearDupPairs(embs: DataFrame, threshold: Double): DataFrame = {

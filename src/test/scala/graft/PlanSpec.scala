@@ -172,6 +172,20 @@ class PlanSpec extends AnyFunSuite {
       s"sketch must accumulate before the exchange (only buffers shuffle):\n$p")
   }
 
+  test("semanticDedup has no quadratic join (sign-bucket pruning claim)") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p = graft.ops.Similarity.semanticDedup(embs, dIn = 64, bits = 6,
+        threshold = 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"semantic dedup must never cross-join the corpus:\n$p")
+    // candidate generation must route through the bucket equi-join, and
+    // the only BNLJ tolerable would be a broadcast of the tiny big-key
+    // set — the corpus side must not appear twice unbucketed
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from bucket equi-joins:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→agg hot path") {
     // AQE reveals codegen spans only in the final (post-execution) plan
     val df = SparkEntry.queries("q_agg_pricing")(spark, sfDir)

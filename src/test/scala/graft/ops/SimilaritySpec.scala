@@ -186,6 +186,33 @@ class SimilaritySpec extends AnyFunSuite {
       s"dup ($dupSim) not separated from unrelated ($unrelSim)")
   }
 
+  test("hardNegatives: different label only, under ceiling, true top-k") {
+    val k = 5
+    val got = Similarity.hardNegatives(embs, col("vec_id") === 0, k)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.length === k)
+    // driver-side recompute
+    val rows = embs.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val q = rows.find(_._1 == 0L).get
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = rows.filter(_._3 != q._3)
+      .map { case (id, v, _) => (id, cos(q._2, v)) }
+      .filter(_._2 < 0.95)
+      .map { case (id, s) => (id, math.rint(s * 1e6) / 1e6) }
+      .sortBy { case (id, s) => (-s, id) }.take(k)
+    assert(got.map(_._1).toSeq === expected.map(_._1).toSeq)
+    got.zip(expected).foreach { case ((_, s, _), (_, e)) =>
+      assert(math.abs(s - e) < 1e-9) }
+    // no same-label vec and no over-ceiling sim leaked through
+    val labels = rows.map(r => r._1 -> r._3).toMap
+    assert(got.forall { case (id, s, _) => labels(id) != q._3 && s < 0.95 })
+  }
+
   test("semanticDedupPairs: subset of exact pairs, repartition-stable buckets") {
     val pairs = Similarity.semanticDedupPairs(embs, dIn = 64, bits = 6,
       threshold = 0.3).select("id_a", "id_b")
