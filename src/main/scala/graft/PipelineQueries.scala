@@ -1484,6 +1484,33 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Bigram (conditional) perplexity — the word-in-context upgrade of
+    // q_lm_perplexity: nll = -ln(floored c(prev,cur) / c(prev,·)),
+    // bigrams below minCount floored to 1. Model joins stay keyed on the
+    // bigram (never broadcast); per-doc mean partial-aggregates.
+    q("q_lm_bigram",
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks FROM documents),
+        |bg AS (SELECT doc_id, toks[pos] AS prev, toks[pos+1] AS cur
+        |       FROM d, unnest(generate_series(1, len(toks)-1)) AS t(pos)),
+        |c2 AS (SELECT prev, cur, count(*) AS n2 FROM bg
+        |       GROUP BY prev, cur HAVING count(*) >= 5),
+        |c1 AS (SELECT prev, count(*) AS n1 FROM bg GROUP BY prev),
+        |tot AS (SELECT count(*) AS total FROM bg)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  round(avg(-ln(CAST(coalesce(c2.n2, 1) AS DOUBLE)
+        |                / CAST(coalesce(c1.n1, tot.total) AS DOUBLE))), 4) AS nll
+        |FROM bg b
+        |LEFT JOIN c2 ON b.prev = c2.prev AND b.cur = c2.cur
+        |LEFT JOIN c1 ON b.prev = c1.prev
+        |CROSS JOIN tot
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.LangModel.bigramPerplexity(t(s, dir, "documents"), minCount = 5)
+        .select(col("doc_id"), col("n_bigrams"), round(col("nll"), 4).as("nll"))
+        .orderBy(col("doc_id"))
+    },
+
     // ------------------------------------------------ dim reduction
     // Johnson–Lindenstrauss random-sign projection 64 -> 8 dims before
     // ANN indexing. The ±1 matrix derives from MD5 so DuckDB recomputes

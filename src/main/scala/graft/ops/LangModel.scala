@@ -70,4 +70,57 @@ object LangModel {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), avg(col("_nll")).as("nll"))
   }
+
+  /** (doc_id, prev, cur) bigram occurrences over the shared ASCII
+    * tokenization — WITH multiplicity (unlike shingles' set semantics);
+    * documents shorter than two tokens contribute nothing. */
+  private def bigramOccurrences(docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val ts = filter(split(lower(col(textCol)), Relevance.TokenPattern),
+      t => t =!= "")
+    docs.select(col(idCol).as("doc_id"), ts.as("_ts"))
+      .select(col("doc_id"), explode(
+        when(size(col("_ts")) >= 2,
+          transform(sequence(lit(1), size(col("_ts")) - 1),
+            i => struct(element_at(col("_ts"), i).as("prev"),
+              element_at(col("_ts"), i + 1).as("cur"))))
+          .otherwise(array().cast("array<struct<prev:string,cur:string>>")))
+        .as("_b"))
+      .select(col("doc_id"), col("_b.prev"), col("_b.cur"))
+  }
+
+  /** Per-document mean negative log-likelihood under the corpus' own
+    * bigram model — the conditional upgrade of [[perplexityScore]]
+    * (word-in-context probability, the closer analog of the KenLM-style
+    * filter signal):
+    *
+    *   nll(prev, cur) = -ln( max-floored c(prev,cur) / c(prev,·) )
+    *
+    * with c(prev,cur) floored at 1 when the bigram is unseen or below
+    * `minCount` (the OOV floor), and the context count falling back to
+    * the corpus bigram total for unseen contexts (self-scoring never
+    * hits that branch; it exists for external-corpus use). Documents
+    * with fewer than two tokens are absent from the result.
+    *
+    * Scale: the model is one (prev,cur)-keyed wordcount; scoring
+    * re-joins on the bigram key — a web-scale bigram vocabulary is
+    * never broadcast — and the per-doc mean shuffles (doc_id, double)
+    * pairs with partial aggregation. Three token-keyed shuffles total:
+    * the conditional-model lower bound. */
+  def bigramPerplexity(docs: DataFrame, minCount: Long = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bg = bigramOccurrences(docs, idCol, textCol)
+    val c2 = bg.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("_n2")).filter(col("_n2") >= minCount)
+    val c1 = bg.groupBy(col("prev")).agg(count(lit(1)).as("_n1"))
+    val tot = bg.agg(count(lit(1)).as("_total"))
+    bg.join(c2, Seq("prev", "cur"), "left")
+      .join(c1, Seq("prev"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        (-log(coalesce(col("_n2"), lit(1L)).cast("double") /
+          coalesce(col("_n1"), col("_total")).cast("double"))).as("_nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("_nll")).as("nll"))
+  }
 }

@@ -59,6 +59,24 @@ class LangModelSpec extends AnyFunSuite {
     assert(math.abs(out(11L)._2 - nll(1)) < 1e-12)
   }
 
+  test("bigramPerplexity matches the hand-computed conditional NLL") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // bigrams: doc1 (a,b),(b,a),(a,b); doc2 (a,b),(b,c)
+    // c2 at minCount=2: only (a,b)=3. c1: a=3, b=2.
+    // nll: (a,b) = -ln(3/3) = 0; (b,a) and (b,c) floor to -ln(1/2) = ln 2
+    val out = LangModel.bigramPerplexity(tiny, minCount = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 === 3L)
+    assert(math.abs(out(1L)._2 - math.log(2) / 3) < 1e-12)
+    assert(out(2L)._1 === 2L)
+    assert(math.abs(out(2L)._2 - math.log(2) / 2) < 1e-12)
+    // a sub-two-token document is absent, not zero-scored
+    val short = Seq((9L, "solo")).toDF("doc_id", "text")
+    assert(LangModel.bigramPerplexity(tiny.union(short), minCount = 2)
+      .filter($"doc_id" === 9L).count() === 0)
+  }
+
   test("every document is scored exactly once with its token count") {
     val out = LangModel.perplexityScore(corpus).collect()
     assert(out.map(_.getLong(0)).sorted === Array(1L, 2L, 3L, 4L))
