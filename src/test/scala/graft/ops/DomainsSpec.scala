@@ -1,0 +1,39 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DomainsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private lazy val urls = Seq(
+    (1L, "https://www.News.Example.com/a/b?x=1"),
+    (2L, "http://cdn.assets.news.example.com/img.png"),
+    (3L, "https://blog.other.org/post"),
+    (4L, "https://other.org/"),
+    (5L, "https://spam.bad-actor.com/lp")).toDF("doc_id", "url")
+
+  test("hostOf + registeredDomain: case, subdomain depth, bare domain") {
+    val got = urls.select($"doc_id",
+        Domains.registeredDomain(Domains.hostOf($"url")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      1L -> "example.com", 2L -> "example.com",
+      3L -> "other.org", 4L -> "other.org", 5L -> "bad-actor.com"))
+  }
+
+  test("domainStats counts docs and distinct hosts per registered domain") {
+    val m = Domains.domainStats(urls)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m("example.com") === ((2L, 2L)))
+    assert(m("other.org") === ((2L, 2L)))
+    assert(m("bad-actor.com") === ((1L, 1L)))
+  }
+
+  test("filterBlockedDomains drops all hosts of the domain, any case") {
+    val kept = Domains.filterBlockedDomains(urls, Seq("Example.COM"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L, 4L, 5L))
+  }
+}
