@@ -15,7 +15,9 @@ object ExplainCheck {
         "q_emb_centroid","q_bm25","q_quota_sample","q_dedup_incremental",
         "q_asof_join","q_range_join","q_pack_sequences","q_chunk_docs",
         "q_topk_group","q_zorder",
-        "q_boilerplate_strip","q_lm_perplexity","q_emb_project")) {
+        "q_boilerplate_strip","q_lm_perplexity","q_emb_project",
+        "q_lm_bigram","q_crossdoc_repetition","q_domain_curation",
+        "q_hard_negatives","q_split_leakage_safe","q_curate_ingest")) {
       println(s"########## $q")
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -172,6 +172,26 @@ class PlanSpec extends AnyFunSuite {
       s"sketch must accumulate before the exchange (only buffers shuffle):\n$p")
   }
 
+  test("q_lm_bigram: partial aggregation on the model and per-doc shuffles") {
+    val p = plan("q_lm_bigram")
+    assert("(?s)HashAggregate.*Exchange.*HashAggregate".r.findFirstIn(p).isDefined,
+      "bigram counts and per-doc avg must partial-aggregate before exchanges")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_crossdoc_repetition: grams shuffle as fingerprints, not text") {
+    val p = plan("q_crossdoc_repetition")
+    assert(p.contains("fingerprint64"),
+      s"windows must reduce to fingerprints inside the scan pipeline:\n$p")
+    assert("(?s)HashAggregate.*Exchange.*HashAggregate".r.findFirstIn(p).isDefined)
+  }
+
+  test("q_domain_curation: blocklist filter is scan-side, one aggregate") {
+    val p = plan("q_domain_curation")
+    assert(!p.contains("Join"), s"blocklist must be a literal filter:\n$p")
+    assert("(?s)HashAggregate.*Exchange.*HashAggregate".r.findFirstIn(p).isDefined)
+  }
+
   test("semanticDedup has no quadratic join (sign-bucket pruning claim)") {
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val p = graft.ops.Similarity.semanticDedup(embs, dIn = 64, bits = 6,
