@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SnapshotsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def freshDir() =
+    java.nio.file.Files.createTempDirectory("graft-snap").toString
+
+  test("commit/read round-trip; replace creates an independent snapshot") {
+    val dir = freshDir()
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val id1 = Snapshots.commit(spark, v1, dir)
+    assert(id1 === 1L)
+    assert(Snapshots.read(spark, dir).collect().length === 2)
+    val v2 = Seq((3L, "c")).toDF("id", "v")
+    val id2 = Snapshots.commit(spark, v2, dir) // copy-on-write replace
+    assert(id2 === 2L)
+    assert(Snapshots.read(spark, dir).select("id")
+      .collect().map(_.getLong(0)).toSet === Set(3L))
+    // time travel: snapshot 1 still reads its full original content
+    assert(Snapshots.read(spark, dir, asOf = Some(1L)).select("id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
+  test("append commit carries previous files forward without rewriting") {
+    val dir = freshDir()
+    Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    val before = spark.read.parquet(s"$dir/data/commit-1")
+      .inputFiles.toSet
+    Snapshots.commit(spark, Seq((2L, "b")).toDF("id", "v"), dir, append = true)
+    assert(Snapshots.read(spark, dir).select("id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // commit-1 files are referenced, not copied
+    val after = Snapshots.read(spark, dir).inputFiles.toSet
+    assert(before.subsetOf(after), "append must reference v1 files in place")
+  }
+
+  test("rollback repoints LATEST; data of both snapshots is untouched") {
+    val dir = freshDir()
+    Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    Snapshots.commit(spark, Seq((9L, "z")).toDF("id", "v"), dir)
+    Snapshots.rollback(spark, dir, to = 1L)
+    assert(Snapshots.latestId(spark, dir) === Some(1L))
+    assert(Snapshots.read(spark, dir).select("id")
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+    // forward again
+    Snapshots.rollback(spark, dir, to = 2L)
+    assert(Snapshots.read(spark, dir).select("id")
+      .collect().map(_.getLong(0)).toSet === Set(9L))
+    intercept[IllegalArgumentException] {
+      Snapshots.rollback(spark, dir, to = 99L)
+    }
+  }
+
+  test("a reader holding an old snapshot survives a concurrent commit") {
+    val dir = freshDir()
+    Snapshots.commit(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    val held = Snapshots.read(spark, dir) // plan pinned to v1's file list
+    Snapshots.commit(spark, Seq((3L, "c")).toDF("id", "v"), dir)
+    // the held plan still materializes v1 exactly (no GC has run)
+    assert(held.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
+  test("expire drops unreferenced data files but keeps live snapshots") {
+    val dir = freshDir()
+    Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir)          // 1
+    Snapshots.commit(spark, Seq((2L, "b")).toDF("id", "v"), dir, append = true) // 2
+    Snapshots.commit(spark, Seq((3L, "c")).toDF("id", "v"), dir)          // 3: replace
+    Snapshots.commit(spark, Seq((4L, "d")).toDF("id", "v"), dir, append = true) // 4
+    val deleted = Snapshots.expire(spark, dir, keep = 2)
+    // snapshots 3 and 4 survive; snapshot 1+2's files (commit-1, commit-2)
+    // are unreferenced by them and must be gone
+    assert(deleted > 0)
+    assert(Snapshots.read(spark, dir).select("id")
+      .collect().map(_.getLong(0)).toSet === Set(3L, 4L))
+    assert(Snapshots.read(spark, dir, asOf = Some(3L)).select("id")
+      .collect().map(_.getLong(0)).toSet === Set(3L))
+    intercept[Exception] { // expired manifest is gone
+      Snapshots.read(spark, dir, asOf = Some(1L)).collect()
+    }
+  }
+}
