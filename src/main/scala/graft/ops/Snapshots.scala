@@ -56,11 +56,50 @@ object Snapshots {
     require(f.rename(tmp, p), s"could not install $p")
   }
 
-  /** Current snapshot id, or None for an empty table dir. */
-  def latestId(spark: SparkSession, tableDir: String): Option[Long] = {
+  /** Pointer content: `(snapshotId, lastStreamBatchId)` — the two ride
+    * in ONE atomically-installed file, which is what makes the streaming
+    * sink exactly-once (no separate marker file, so there is no crash
+    * window between "data visible" and "batch recorded"). Non-streaming
+    * tables carry -1. */
+  def latestPointer(spark: SparkSession,
+      tableDir: String): Option[(Long, Long)] = {
     val (f, _) = fs(spark, tableDir)
     val ptr = pointerPath(tableDir)
-    if (f.exists(ptr)) Some(readSmall(f, ptr).trim.toLong) else None
+    if (!f.exists(ptr)) None
+    else readSmall(f, ptr).trim.split("\\s+") match {
+      case Array(s) => Some((s.toLong, -1L))
+      case Array(s, b, _*) => Some((s.toLong, b.toLong))
+    }
+  }
+
+  /** Current snapshot id, or None for an empty table dir. */
+  def latestId(spark: SparkSession, tableDir: String): Option[Long] =
+    latestPointer(spark, tableDir).map(_._1)
+
+  private def doCommit(spark: SparkSession, df: DataFrame, tableDir: String,
+      append: Boolean, batchId: Option[Long]): Long = {
+    val (f, root) = fs(spark, tableDir)
+    f.mkdirs(root): Unit
+    val prev = latestPointer(spark, tableDir)
+    val id = prev.map(_._1).getOrElse(0L) + 1L
+    val dataDir = new org.apache.hadoop.fs.Path(root, s"data/commit-$id")
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val fresh = f.listStatus(dataDir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    val carried =
+      if (append) prev
+        .map { case (p, _) => readSmall(f, manifestPath(tableDir, p))
+          .split("\n").filter(_.nonEmpty).toSeq }
+        .getOrElse(Seq.empty)
+      else Seq.empty
+    writeSmallAtomic(f, manifestPath(tableDir, id),
+      (carried ++ fresh).mkString("\n"))
+    // a manual commit preserves the stream high-water mark instead of
+    // resetting it — a restart after a mixed manual commit must not
+    // re-apply already-committed stream batches
+    val hwm = batchId.orElse(prev.map(_._2)).getOrElse(-1L)
+    writeSmallAtomic(f, pointerPath(tableDir), s"$id $hwm")
+    id
   }
 
   /** Commit `df` as the next snapshot. `append = true` carries the
@@ -69,24 +108,21 @@ object Snapshots {
     * snapshot exactly `df` (copy-on-write replace). Returns the new
     * snapshot id. Readers of older snapshots are unaffected. */
   def commit(spark: SparkSession, df: DataFrame, tableDir: String,
-      append: Boolean = false): Long = {
-    val (f, root) = fs(spark, tableDir)
-    f.mkdirs(root): Unit
-    val id = latestId(spark, tableDir).getOrElse(0L) + 1L
-    val dataDir = new org.apache.hadoop.fs.Path(root, s"data/commit-$id")
-    df.write.mode("overwrite").parquet(dataDir.toString)
-    val fresh = f.listStatus(dataDir).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
-    val carried =
-      if (append) latestId(spark, tableDir)
-        .map(prev => readSmall(f, manifestPath(tableDir, prev))
-          .split("\n").filter(_.nonEmpty).toSeq)
-        .getOrElse(Seq.empty)
-      else Seq.empty
-    writeSmallAtomic(f, manifestPath(tableDir, id),
-      (carried ++ fresh).mkString("\n"))
-    writeSmallAtomic(f, pointerPath(tableDir), id.toString)
-    id
+      append: Boolean = false): Long =
+    doCommit(spark, df, tableDir, append, None)
+
+  /** Exactly-once streaming commit: apply micro-batch `batchId` as an
+    * append snapshot UNLESS the pointer already records a batch at or
+    * beyond it (the foreachBatch replay after a restart) — then skip and
+    * return None. Correct because foreachBatch delivers batch ids
+    * monotonically within a query and the pointer install is atomic:
+    * either the batch's data AND its id became visible together, or
+    * neither did. */
+  def commitBatch(spark: SparkSession, df: DataFrame, tableDir: String,
+      batchId: Long): Option[Long] = {
+    val already = latestPointer(spark, tableDir).exists(_._2 >= batchId)
+    if (already) None
+    else Some(doCommit(spark, df, tableDir, append = true, Some(batchId)))
   }
 
   /** Read a snapshot: the LATEST one, or `asOf = Some(id)` for time

@@ -168,6 +168,25 @@ object EventStreams {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).start()
   }
 
+  /** Stream into a [[graft.ops.Snapshots]] table: every micro-batch
+    * lands as one atomic append snapshot, so downstream batch readers
+    * get snapshot isolation and time travel over the stream's history —
+    * and the commit is exactly-once across restarts because the batch
+    * high-water mark rides in the same atomically-installed pointer as
+    * the snapshot id ([[graft.ops.Snapshots.commitBatch]]). */
+  def toSnapshots(df: DataFrame, tableDir: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        graft.ops.Snapshots.commitBatch(
+          batch.sparkSession, batch.toDF(), tableDir, id): Unit
+      }.start()
+
   /** Watermarked stream-stream interval join: attach to each left event
     * every right event with the same key inside the lookback window
     * `[left - lookbackMs, left]` — e.g. purchases joined to the clicks

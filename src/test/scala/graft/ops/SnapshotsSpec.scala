@@ -65,6 +65,24 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(held.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
   }
 
+  test("commitBatch is idempotent per batch id; manual commits keep the mark") {
+    val dir = freshDir()
+    assert(Snapshots.commitBatch(spark, Seq((1L, "a")).toDF("id", "v"),
+      dir, batchId = 0L).isDefined)
+    // replay of the same batch (restart) is a no-op
+    assert(Snapshots.commitBatch(spark, Seq((1L, "a")).toDF("id", "v"),
+      dir, batchId = 0L).isEmpty)
+    assert(Snapshots.read(spark, dir).count() === 1)
+    assert(Snapshots.commitBatch(spark, Seq((2L, "b")).toDF("id", "v"),
+      dir, batchId = 1L).isDefined)
+    // a manual commit between stream batches must not reset the mark
+    Snapshots.commit(spark, Seq((9L, "z")).toDF("id", "v"), dir, append = true)
+    assert(Snapshots.commitBatch(spark, Seq((2L, "b")).toDF("id", "v"),
+      dir, batchId = 1L).isEmpty, "replayed batch must stay skipped")
+    assert(Snapshots.read(spark, dir).select("id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 9L))
+  }
+
   test("expire drops unreferenced data files but keeps live snapshots") {
     val dir = freshDir()
     Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir)          // 1

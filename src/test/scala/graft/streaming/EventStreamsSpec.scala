@@ -309,6 +309,27 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(spark.read.parquet(sinkDir).count() === 300)
   }
 
+  test("snapshot sink: atomic per-batch commits, exactly-once restart") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-ss-src").toString
+    spark.read.parquet(s"$sfDir/events.parquet").limit(200)
+      .write.mode("overwrite").parquet(stageDir)
+    val tblDir = java.nio.file.Files.createTempDirectory("graft-ss-tbl").toString + "/tbl"
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ss-ck").toString
+    def runOnce(): Unit = {
+      val q = EventStreams.toSnapshots(
+        EventStreams.readEvents(spark, stageDir), tblDir, ckDir)
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    assert(graft.ops.Snapshots.read(spark, tblDir).count() === 200)
+    // restart with the same checkpoint: batches replay into commitBatch,
+    // which must skip them — no duplicate rows, no new snapshot
+    val snapBefore = graft.ops.Snapshots.latestId(spark, tblDir)
+    runOnce()
+    assert(graft.ops.Snapshots.read(spark, tblDir).count() === 200)
+    assert(graft.ops.Snapshots.latestId(spark, tblDir) === snapBefore)
+  }
+
   test("event-time sessionization: watermark-closed sessions match the batch oracle") {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
       .selectExpr("event_id", "user_id", "value", "ts div 1000000 AS epochMs")
