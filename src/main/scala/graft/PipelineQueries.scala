@@ -988,6 +988,25 @@ object PipelineQueries {
         .orderBy(col("event_id"), col("lo"))
     },
 
+    // ------------------------------------------------ corpus data card
+    // Per-source audit rollup (doc/token counts, length profile, lang
+    // spread, dup + short-doc rates). Spark counts distinct docs by the
+    // 8-byte content fingerprint (text never shuffles); the oracle
+    // counts distinct text directly — equal barring fp collisions.
+    q("q_corpus_report",
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+        |    AS n_tokens,
+        |  round(avg(len(string_split_regex(text, '\s+'))), 4) AS avg_tokens,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_exact_dups,
+        |  CAST(sum(CASE WHEN len(string_split_regex(text, '\s+')) < 50
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.ops.Reports.corpusReport(t(s, dir, "documents"))
+        .orderBy(col("source"))
+    },
+
     // ------------------------------------------------ URL/domain curation
     // C4-style provenance controls: host extraction (parse_url),
     // registered-domain rollup, blocklist removal, per-domain stats.

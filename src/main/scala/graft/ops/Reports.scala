@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus data-card reporting: the per-source audit rollup a curation
+  * run publishes next to the dataset (doc/token counts, length profile,
+  * language spread, duplicate and short-doc rates). One partial-
+  * aggregated shuffle keyed by the stratum; document text contributes
+  * only scan-side expression results — the distinct-doc count travels
+  * as an 8-byte fingerprint, never the text itself. */
+object Reports {
+
+  /** Per-stratum corpus statistics. `shortTokens` bounds the "too short
+    * to train on" bucket. Exact-duplicate counting uses the 64-bit
+    * content fingerprint (collision odds are negligible against report
+    * granularity; the DuckDB oracle counts distinct text directly and
+    * hash-matches at test SFs). */
+  def corpusReport(docs: DataFrame, stratumCol: String = "source",
+      textCol: String = "text", langCol: String = "lang",
+      shortTokens: Int = 50): DataFrame = {
+    val nTok = size(split(col(textCol), "\\s+"))
+    docs.select(col(stratumCol), col(langCol),
+        nTok.as("_nt"),
+        GraftFunctions.fingerprint64(col(textCol)).as("_fp"))
+      .groupBy(col(stratumCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_nt")).cast("long").as("n_tokens"),
+        round(avg(col("_nt")), 4).as("avg_tokens"),
+        countDistinct(col(langCol)).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("_fp"))).cast("long")
+          .as("n_exact_dups"),
+        sum(when(col("_nt") < shortTokens, 1).otherwise(0)).cast("long")
+          .as("n_short"))
+  }
+}

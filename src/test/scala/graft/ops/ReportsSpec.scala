@@ -1,0 +1,24 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.scalatest.funsuite.AnyFunSuite
+
+class ReportsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("corpusReport matches a hand-computed rollup") {
+    val docs = Seq(
+      ("s1", "en", "one two three"),
+      ("s1", "en", "one two three"),          // exact dup of the first
+      ("s1", "de", "a b c d e"),
+      ("s2", "en", "lone")).toDF("source", "lang", "text")
+    val m = Reports.corpusReport(docs, shortTokens = 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    // s1: 3 docs, 3+3+5 tokens, avg 11/3, 2 langs, 1 dup, 2 short (<4)
+    assert(m("s1") === ((3L, 11L, math.rint(11.0 / 3 * 1e4) / 1e4, 2L, 1L, 2L)))
+    // s2: single one-token doc
+    assert(m("s2") === ((1L, 1L, 1.0, 1L, 0L, 1L)))
+  }
+}
