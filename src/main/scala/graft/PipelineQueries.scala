@@ -1068,6 +1068,37 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The action form of the above: REMOVE every token covered by a
+    // cross-doc repeated 5-gram and re-join the survivors — repeated-
+    // passage dedup. The full rewritten text hash-matches the DuckDB
+    // recompute (token coverage, overlap merging, empty-doc edge).
+    q("q_strip_repeated_spans",
+      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+        |           FROM documents),
+        |ng AS (SELECT doc_id, pos, array_to_string(ws[pos:pos+4], ' ') AS g
+        |       FROM w, unnest(generate_series(1, len(ws)-4)) AS t(pos)),
+        |rep AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM ng)
+        |        GROUP BY g HAVING count(*) >= 2),
+        |rs AS (SELECT doc_id, list(pos) AS starts FROM ng
+        |       WHERE g IN (SELECT g FROM rep) GROUP BY doc_id),
+        |tok AS (SELECT w.doc_id, t.pos AS p, ws[t.pos] AS tk,
+        |          coalesce(rs.starts, []) AS starts
+        |        FROM w LEFT JOIN rs USING (doc_id),
+        |             unnest(generate_series(1, len(ws))) AS t(pos)),
+        |kept AS (SELECT doc_id, p, tk FROM tok
+        |         WHERE len(list_filter(starts, s -> s BETWEEN p-4 AND p)) = 0),
+        |agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS text,
+        |               count(*) AS n_kept FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, len(ws) AS n FROM w)
+        |SELECT t.doc_id, coalesce(a.text, '') AS text,
+        |       CAST(t.n - coalesce(a.n_kept, 0) AS INT) AS n_tokens_removed
+        |FROM tot t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      Dedup.stripRepeatedSpans(t(s, dir, "documents"), n = 5)
+        .select(col("doc_id"), col("text"), col("n_tokens_removed"))
+        .orderBy(col("doc_id"))
+    },
+
     // ------------------------------------------------ decontamination
     // Benchmark-overlap flagging: distinct shared trigrams per corpus doc
     // vs a (broadcast) benchmark set — the pretraining leakage guard.

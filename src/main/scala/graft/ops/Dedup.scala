@@ -435,6 +435,55 @@ object Dedup {
     * membership test collision-approximate above ~2³² distinct grams —
     * immaterial for a ratio signal. Documents shorter than `n` tokens
     * have no windows and are absent from the result. */
+  /** Remove cross-document repeated spans from the text: every token
+    * covered by an n-token window that occurs in >= `minDocs` distinct
+    * documents is dropped, and the survivors re-join with single
+    * spaces — the action form of [[crossDocRepetition]] (strip the
+    * templated boilerplate instead of scoring it). Overlapping and
+    * adjacent repeated spans merge naturally through token coverage.
+    * Returns the input row with `textCol` rewritten plus
+    * `n_tokens_removed`.
+    *
+    * Scale: same fingerprint discipline as the ratio — gram text never
+    * shuffles; the per-doc repeated-start list is bounded by document
+    * length and comes back through one join on the 8-byte doc key; the
+    * rewrite is a narrow HOF pass (coverage test is
+    * O(tokens × |repeated starts|) per doc, with |starts| ≪ tokens in
+    * the non-degenerate regime). */
+  def stripRepeatedSpans(docs: DataFrame, n: Int, minDocs: Long = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n=$n")
+    import graft.functions.GraftFunctions
+    val ws = split(col(textCol), "\\s+")
+    val nWin = size(ws) - (n - 1)
+    val grams = docs.select(col(idCol),
+      explode(when(nWin >= 1,
+        transform(sequence(lit(1), nWin),
+          i => struct(i.as("s"),
+            GraftFunctions.fingerprint64(array_join(slice(ws, i, lit(n)), " "))
+              .as("g"))))
+        .otherwise(array().cast("array<struct<s:int,g:bigint>>"))).as("_w"))
+      .select(col(idCol), col("_w.s").as("_s"), col("_w.g").as("_g"))
+    val repFps = grams
+      .select(col(idCol), col("_g")).distinct()
+      .groupBy(col("_g")).agg(count(lit(1)).as("_d"))
+      .filter(col("_d") >= minDocs).select(col("_g"))
+    val startsPerDoc = grams.join(repFps, "_g")
+      .groupBy(col(idCol)).agg(collect_list(col("_s")).as("_rs"))
+    docs.join(startsPerDoc, Seq(idCol), "left")
+      .withColumn("_rs", coalesce(col("_rs"), array().cast("array<int>")))
+      .withColumn("_ws", ws)
+      .withColumn("_kept", filter(col("_ws"), (_, j) =>
+        // 1-based token position p = j+1 is covered iff some repeated
+        // window start s satisfies p-n+1 <= s <= p
+        !exists(col("_rs"), s =>
+          s.between(j + lit(2) - lit(n), j + lit(1)))))
+      .withColumn("n_tokens_removed",
+        (size(col("_ws")) - size(col("_kept"))).cast("int"))
+      .withColumn(textCol, array_join(col("_kept"), " "))
+      .drop("_rs", "_ws", "_kept")
+  }
+
   def crossDocRepetition(docs: DataFrame, n: Int, minDocs: Long = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n >= 1, s"n=$n")

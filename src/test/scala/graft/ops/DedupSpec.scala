@@ -171,6 +171,31 @@ class DedupSpec extends AnyFunSuite {
       s"simhash caught $hit of ${strong.size} strongest pairs")
   }
 
+  test("stripRepeatedSpans removes exactly the cross-doc covered tokens") {
+    import graft.TestSpark.spark
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "x COMMON SPAN HERE y"),
+      (2L, "COMMON SPAN HERE z w"),
+      (3L, "all original words only")).toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedSpans(tiny, n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    // the shared 3-gram "COMMON SPAN HERE" covers its three tokens in
+    // both docs; surrounding tokens survive
+    assert(out(1L) === (("x y", 3)))
+    assert(out(2L) === (("z w", 3)))
+    assert(out(3L) === (("all original words only", 0)))
+    // overlapping repeated windows merge: two docs sharing a 4-token run
+    // with n=3 yield two overlapping windows covering all 4 tokens
+    val overlap = Seq(
+      (1L, "a b c d tail1"),
+      (2L, "a b c d tail2")).toDF("doc_id", "text")
+    val o = Dedup.stripRepeatedSpans(overlap, n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(o(1L) === (("tail1", 4)))
+    assert(o(2L) === (("tail2", 4)))
+  }
+
   test("crossDocRepetition counts only windows shared across distinct docs") {
     import graft.TestSpark.spark
     import spark.implicits._
