@@ -1,62 +1,75 @@
 package graft.ops
 
 import graft.TestSpark.spark
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.GraftFunctions
 import org.scalacheck.{Gen, Properties}
 import org.scalacheck.Prop.forAll
-import org.scalacheck.Test.Parameters
 
-/** Property tests for the round-3 curation operators: randomized inputs
-  * (skewed strata, duplicate-heavy scores, adversarial quotas/k) against
-  * brute-force ground truths. The properties are about SEMANTICS; the
-  * scale shapes are pinned separately in PlanSpec. */
+/** Property tests for the round's curation operators: invariants that
+  * must hold on ANY corpus, not just the fixtures — subsequence
+  * preservation for the span strip, ratio bounds for the repetition
+  * signal, partition totality for the leakage-safe split. Corpora are
+  * kept tiny (Spark jobs per case). */
 object CurationPropertySpec extends Properties("CurationOps") {
   import spark.implicits._
 
-  override def overrideParameters(p: Parameters): Parameters =
-    p.withMinSuccessfulTests(10)
+  // each case runs Spark jobs (the cluster property a whole label-
+  // propagation loop) — 20 cases keeps the suite's wall-clock sane
+  // while still exercising varied corpora
+  override def overrideParameters(p: org.scalacheck.Test.Parameters) =
+    p.withMinSuccessfulTests(20)
 
-  private val rowsGen: Gen[List[(Long, String, Double)]] = for {
-    n <- Gen.choose(1, 120)
-    rows <- Gen.listOfN(n, for {
-      // few strata + small score range = maximal tie pressure
-      s <- Gen.oneOf("a", "b", "c")
-      v <- Gen.choose(0, 5).map(_.toDouble)
-    } yield (s, v))
-  } yield rows.zipWithIndex.map { case ((s, v), i) => (i.toLong, s, v) }
-  // ^ ids are the index so they are unique (both operators key on the id)
+  private val word: Gen[String] = Gen.oneOf(
+    "alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
 
-  property("topk_by == brute-force sort on any input, any k") =
-    forAll(rowsGen, Gen.choose(1, 8)) { (rows, k) =>
-      val df = rows.toDF("id", "grp", "score").repartition(3)
-      val got = df.groupBy($"grp")
-        .agg(GraftFunctions.topKBy($"id", $"score", k).as("t"))
-        .select($"grp", explode($"t").as("e"))
-        .select($"grp", $"e.id")
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
-      // .toSeq before flatMap: flatMapping a Map with pair results would
-      // collapse to one entry per group key
-      val expected = rows.groupBy(_._2).toSeq.flatMap { case (g, rs) =>
-        rs.sortBy(r => (-r._3, r._1)).take(k).map(g -> _._1)
-      }.toSet
-      got == expected
+  private val doc: Gen[String] =
+    Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+
+  private val corpus: Gen[Seq[(Long, String)]] =
+    Gen.choose(2, 6).flatMap(k => Gen.listOfN(k, doc))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  property("stripRepeatedSpans output is an ordered subsequence; counts add up") =
+    forAll(corpus) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      val out = Dedup.stripRepeatedSpans(df, n = 2)
+        .select("doc_id", "text", "n_tokens_removed")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+      rows.forall { case (id, orig) =>
+        val in = orig.split(" ").toSeq
+        val (stripped, removed) = out(id)
+        val kept = if (stripped.isEmpty) Seq.empty else stripped.split(" ").toSeq
+        // ordered subsequence of the input tokens
+        def isSubseq(a: Seq[String], b: Seq[String]): Boolean =
+          if (a.isEmpty) true
+          else b.indexOf(a.head) match {
+            case -1 => false
+            case i => isSubseq(a.tail, b.drop(i + 1))
+          }
+        isSubseq(kept, in) && kept.size + removed == in.size
+      }
     }
 
-  private def md5Hex(id: Long): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(id.toString.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+  property("crossDocRepetition ratio is in [0,1] and consistent with counts") =
+    forAll(corpus) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      Dedup.crossDocRepetition(df, n = 2)
+        .collect().forall { r =>
+          val (w, rep, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+          w >= 1 && rep >= 0 && rep <= w &&
+            math.abs(ratio - math.rint(rep.toDouble / w * 1e6) / 1e6) < 1e-9
+        }
+    }
 
-  property("quotaByStratum == brute rank for any quota/oversample") =
-    forAll(rowsGen, Gen.choose(1, 20), Gen.oneOf(1.1, 2.0, 4.0)) {
-      (rows, quota, oversample) =>
-        val df = rows.toDF("id", "grp", "score")
-        val got = Sampling.quotaByStratum(df, "grp", "id", quota, oversample)
-          .select("id").collect().map(_.getLong(0)).toSet
-        val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
-          rs.map(_._1).sortBy(id => (md5Hex(id), id)).take(quota)
-        }.toSet
-        got == expected
+  property("splitByClusterMd5 labels every row and never splits a pair") =
+    forAll(corpus) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      val pairs = Dedup.jaccardPairs(df, n = 1, threshold = 0.6)
+        .select("id_a", "id_b")
+      val labeled = Sampling.splitByClusterMd5(df, pairs, "doc_id",
+        Seq("train" -> 0.5, "test" -> 0.5))
+      val m = labeled.select("doc_id", "split")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      m.size == rows.size &&
+        pairs.collect().forall(r => m(r.getLong(0)) == m(r.getLong(1)))
     }
 }
