@@ -168,6 +168,45 @@ object EventStreams {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).start()
   }
 
+  /** Streaming ANN lookup: a stream of query vectors against a STATIC
+    * embedding base — the serving shape of similarity search (index the
+    * curated corpus once, answer arriving queries continuously). The
+    * base attaches through a stream-static equi-join on a constant key
+    * (planned per micro-batch; the base is never collected), cosine is
+    * the same codegen'd dot as the batch path, and the per-query top-k
+    * is the bounded-state [[org.apache.spark.sql.graft.TopKBy]]
+    * aggregate under a (query, event-time window) watermark key — k-entry
+    * heaps in the state store, never a windowed sort. Self-matches
+    * (same id in stream and base) are excluded, mirroring
+    * [[graft.ops.Similarity.bruteForceTopK]]. Emits
+    * (query_id, rank, base_id, sim) once per query when its window
+    * closes. */
+  def annLookupStream(queries: DataFrame, base: DataFrame, k: Int,
+      eventTimeCol: String = "event_time", watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    import graft.ops.Similarity.{dot, norm}
+    val b = base.select(col("vec_id").as("base_id"),
+        col("embedding").cast("array<double>").as("bemb"))
+      .withColumn("bnrm", norm(col("bemb")))
+      .withColumn("_k", lit(1))
+    queries.withWatermark(eventTimeCol, watermark)
+      .select(col("vec_id").as("query_id"), col(eventTimeCol),
+        col("embedding").cast("array<double>").as("qemb"))
+      .withColumn("qnrm", norm(col("qemb")))
+      .withColumn("_k", lit(1))
+      .join(b, Seq("_k"))
+      .filter(col("base_id") =!= col("query_id"))
+      .withColumn("sim",
+        dot(col("qemb"), col("bemb")) / (col("qnrm") * col("bnrm")))
+      .groupBy(col("query_id"), window(col(eventTimeCol), windowDur))
+      .agg(graft.functions.GraftFunctions.topKBy(
+        col("base_id"), col("sim"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("base_id"),
+        round(col("col.score"), 6).as("sim"))
+  }
+
   /** Stream into a [[graft.ops.Snapshots]] table: every micro-batch
     * lands as one atomic append snapshot, so downstream batch readers
     * get snapshot isolation and time travel over the stream's history —

@@ -309,6 +309,37 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(spark.read.parquet(sinkDir).count() === 300)
   }
 
+  test("streaming ANN lookup matches brute-force top-k per emitted query") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-sann").toString
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    embs.write.mode("overwrite").parquet(stageDir)
+    val k = 5
+    val incoming = spark.readStream.schema(embs.schema).parquet(stageDir)
+      .filter($"vec_id" < 30)
+      .withColumn("event_time", timestamp_seconds($"vec_id" * 120))
+    val q = EventStreams.annLookupStream(incoming, embs, k)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sann")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sann").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).map { case (qid, rs) =>
+        qid -> rs.map(t => (t._2, t._3)).toSet }
+    val expected = graft.ops.Similarity.bruteForceTopK(embs, $"vec_id" < 30, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (qid, rs) =>
+        qid -> rs.map(t => (t._2, t._3)).toSet }
+    assert(streamed.nonEmpty, "no query window closed")
+    streamed.foreach { case (qid, got) =>
+      assert(got === expected(qid), s"query $qid top-$k differs")
+    }
+    // append mode withholds only the trailing windows the watermark
+    // never passed
+    assert(streamed.size >= expected.size - 10,
+      s"only ${streamed.size} of ${expected.size} queries emitted")
+  }
+
   test("snapshot sink: atomic per-batch commits, exactly-once restart") {
     val stageDir = java.nio.file.Files.createTempDirectory("graft-ss-src").toString
     spark.read.parquet(s"$sfDir/events.parquet").limit(200)
