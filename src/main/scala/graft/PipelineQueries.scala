@@ -1204,6 +1204,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Curriculum/quality bucketing: quartile labels from ONE exact-
+    // percentile aggregate (boundaries broadcast), scan-side strict-`>`
+    // crossing count — no global sort. Both engines interpolate
+    // percentiles with the standard rank = p·(N-1) linear rule.
+    q("q_score_buckets",
+      """WITH b AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS bs
+        |           FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CAST(1 + len(list_filter(b.bs, x -> n_chars > x)) AS INT) AS bucket
+        |FROM documents, b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Sampling.scoreBuckets(t(s, dir, "documents"),
+          "n_chars", nBuckets = 4)
+        .select(col("doc_id"), col("n_chars"), col("bucket"))
+        .orderBy(col("doc_id"))
+    },
+
     // Leakage-safe split: split membership decided by md5 of the
     // duplicate-cluster representative (min reachable id over the exact
     // token-Jaccard pair graph, same construction as

@@ -254,6 +254,27 @@ object Sampling {
     }.toSeq
   }
 
+  /** Curriculum/quality bucketing: assign each row a 1..nBuckets label
+    * by exact score percentiles — the binning step of quality-ordered
+    * training (feed high-quality buckets late, or mix by bucket quota).
+    * The boundaries come from ONE percentile aggregate (nBuckets-1
+    * doubles, broadcast); assignment is a narrow scan-side comparison —
+    * no global sort, no window. Ties on a boundary go to the lower
+    * bucket (strict `>` crossing count), the same rule the DuckDB
+    * oracle applies. */
+  def scoreBuckets(df: DataFrame, scoreCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets=$nBuckets")
+    val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val bounds = df.agg(
+      expr(s"percentile($scoreCol, array(${ps.mkString(",")}))").as("_bs"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        (lit(1) + size(filter(col("_bs"),
+          b => col(scoreCol).cast("double") > b))).cast("int"))
+      .drop("_bs")
+  }
+
   /** Leakage-safe split: every member of a duplicate cluster lands in
     * the SAME split, so a near-duplicate of a training document can
     * never leak into the eval set — the contamination a key-hash split

@@ -243,6 +243,26 @@ class SamplingSpec extends AnyFunSuite {
         s"stratum $s kept only $kept chars of budget 300")
   }
 
+  test("scoreBuckets: balanced quartiles, boundary ties go low, order-free") {
+    val out = Sampling.scoreBuckets(docs, "n_chars", nBuckets = 4)
+      .select("doc_id", "n_chars", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val n = out.length
+    assert(out.map(_._3).forall(b => b >= 1 && b <= 4))
+    // quartiles are approximately balanced (ties distort at most a bit)
+    val sizes = out.groupBy(_._3).view.mapValues(_.length)
+    assert(sizes.values.forall(s => s > n / 8 && s < 3 * n / 8), sizes.toMap)
+    // monotone: a higher score never lands in a lower bucket
+    val sorted = out.sortBy(_._2)
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._3, s"$a vs $b") }
+    // stable under repartition
+    val again = Sampling.scoreBuckets(docs.repartition(13), "n_chars", 4)
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.forall { case (id, _, b) => again(id) == b })
+  }
+
   test("splitByClusterMd5: no duplicate pair ever straddles two splits") {
     import spark.implicits._
     val slice = docs.filter(col("doc_id") < 150)
