@@ -50,10 +50,31 @@ object Snapshots {
     val out = f.create(tmp, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    // rename-over is atomic on POSIX local FS; on object stores swap in
-    // a conditional-put here — the commit protocol is unchanged
-    f.delete(p, false): Unit
-    require(f.rename(tmp, p), s"could not install $p")
+    // rename-over-destination first: POSIX rename(2) replaces atomically,
+    // so there is NO window with no pointer installed. Only a filesystem
+    // with HDFS-style no-overwrite rename takes the delete+rename branch
+    // (accepting its crash window); on object stores swap in a
+    // conditional-put — the commit protocol is unchanged. Either way,
+    // snapshot ids come from the manifests on disk (not this pointer),
+    // so a lost pointer can never cause a committed id to be reused.
+    if (!f.rename(tmp, p)) {
+      f.delete(p, false): Unit
+      require(f.rename(tmp, p), s"could not install $p")
+    }
+  }
+
+  /** Highest manifest id present on disk (0 for an empty dir). The id
+    * authority for [[doCommit]]: manifests are immutable once written, so
+    * the max on disk can only grow — unlike the pointer, whose loss or
+    * rollback must never cause a committed id to be REUSED (a reused id
+    * would overwrite data files that surviving manifests reference). */
+  private def maxManifestId(f: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Long = {
+    if (!f.exists(root)) 0L
+    else f.listStatus(root).map(_.getPath.getName)
+      .collect { case s if s.startsWith("manifest-") && s.endsWith(".txt") =>
+        s.stripPrefix("manifest-").stripSuffix(".txt").toLong }
+      .foldLeft(0L)(math.max)
   }
 
   /** Pointer content: `(snapshotId, lastStreamBatchId)` — the two ride
@@ -81,7 +102,11 @@ object Snapshots {
     val (f, root) = fs(spark, tableDir)
     f.mkdirs(root): Unit
     val prev = latestPointer(spark, tableDir)
-    val id = prev.map(_._1).getOrElse(0L) + 1L
+    // next id = max manifest on disk + 1, NOT pointer + 1: after a rollback
+    // (pointer < max id) or a lost pointer, pointer-derived ids would reuse
+    // a committed id and overwrite data/commit-<id> while older manifests
+    // still reference those files — silent time-travel corruption
+    val id = maxManifestId(f, root) + 1L
     val dataDir = new org.apache.hadoop.fs.Path(root, s"data/commit-$id")
     df.write.mode("overwrite").parquet(dataDir.toString)
     val fresh = f.listStatus(dataDir).map(_.getPath)
@@ -139,26 +164,43 @@ object Snapshots {
   }
 
   /** Point LATEST back at an existing snapshot. Data is untouched —
-    * rolling forward again is another [[rollback]]. */
+    * rolling forward again is another [[rollback]]. The stream high-water
+    * mark is carried over from the current pointer: rolling the TABLE back
+    * must not roll back the exactly-once replay guard, or a restarted
+    * streaming query would re-append batches it already committed. */
   def rollback(spark: SparkSession, tableDir: String, to: Long): Unit = {
     val (f, _) = fs(spark, tableDir)
     require(f.exists(manifestPath(tableDir, to)),
       s"snapshot $to does not exist in $tableDir")
-    writeSmallAtomic(f, pointerPath(tableDir), to.toString)
+    val hwm = latestPointer(spark, tableDir).map(_._2).getOrElse(-1L)
+    writeSmallAtomic(f, pointerPath(tableDir), s"$to $hwm")
   }
 
-  /** Drop every data file not referenced by the latest `keep` snapshot
-    * manifests (older manifests are removed too). The GC that bounds
-    * storage growth; run it only after readers of expired snapshots are
-    * gone. Returns the number of deleted data files. */
-  def expire(spark: SparkSession, tableDir: String, keep: Int = 2): Int = {
+  /** Drop every data file not referenced by a retained snapshot manifest
+    * (expired manifests are removed too). Retained = the newest `keep`
+    * manifests, PLUS the snapshot LATEST points to (after a [[rollback]]
+    * the current table state may be an OLD id — expiring it would make
+    * the table unreadable), PLUS any manifest younger than `minAgeMs`
+    * (the retention guard: a concurrent time-traveling reader pins a
+    * manifest only for the duration of its job, so "never expire
+    * snapshots younger than the longest-running reader" makes the GC
+    * safe to run while readers are live). Returns the number of deleted
+    * data files. */
+  def expire(spark: SparkSession, tableDir: String, keep: Int = 2,
+      minAgeMs: Long = 0L): Int = {
     require(keep >= 1, s"keep=$keep")
+    require(minAgeMs >= 0, s"minAgeMs=$minAgeMs")
     val (f, root) = fs(spark, tableDir)
     val ids = f.listStatus(root).map(_.getPath.getName)
-      .collect { case s if s.startsWith("manifest-") =>
+      .collect { case s if s.startsWith("manifest-") && s.endsWith(".txt") =>
         s.stripPrefix("manifest-").stripSuffix(".txt").toLong }
       .sorted
-    val (drop, retain) = ids.splitAt(math.max(0, ids.length - keep))
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val pointed = latestPointer(spark, tableDir).map(_._1)
+    val retainIds = ids.takeRight(keep).toSet ++ pointed ++
+      ids.filter(id => f.getFileStatus(manifestPath(tableDir, id))
+        .getModificationTime > cutoff)
+    val (retain, drop) = ids.partition(retainIds)
     val live = retain.flatMap(id =>
       readSmall(f, manifestPath(tableDir, id)).split("\n").filter(_.nonEmpty)).toSet
     var deleted = 0

@@ -83,6 +83,84 @@ class SnapshotsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 9L))
   }
 
+  test("a lost pointer never causes a committed snapshot id to be reused") {
+    val dir = freshDir()
+    Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir) // 1
+    Snapshots.commit(spark, Seq((2L, "b")).toDF("id", "v"), dir) // 2
+    // simulate the crash window: the pointer vanishes, manifests survive
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "LATEST"))
+    val id3 = Snapshots.commit(spark, Seq((3L, "c")).toDF("id", "v"), dir)
+    assert(id3 === 3L, "id must come from manifests on disk, not the pointer")
+    // snapshot 1's and 2's data is untouched — time travel still works
+    assert(Snapshots.read(spark, dir, asOf = Some(1L)).select("id")
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+    assert(Snapshots.read(spark, dir, asOf = Some(2L)).select("id")
+      .collect().map(_.getLong(0)).toSet === Set(2L))
+  }
+
+  test("a commit after rollback does not overwrite the rolled-past snapshot") {
+    val dir = freshDir()
+    Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir) // 1
+    Snapshots.commit(spark, Seq((2L, "b")).toDF("id", "v"), dir) // 2
+    Snapshots.rollback(spark, dir, to = 1L)
+    val id3 = Snapshots.commit(spark, Seq((3L, "c")).toDF("id", "v"), dir,
+      append = true)
+    assert(id3 === 3L, "rollback must not make the next commit reuse id 2")
+    // the new commit builds on the rolled-back-to state…
+    assert(Snapshots.read(spark, dir).select("id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    // …and the rolled-past snapshot remains intact for time travel
+    assert(Snapshots.read(spark, dir, asOf = Some(2L)).select("id")
+      .collect().map(_.getLong(0)).toSet === Set(2L))
+  }
+
+  test("expire never drops the snapshot LATEST points to (post-rollback)") {
+    val dir = freshDir()
+    Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir) // 1
+    Snapshots.commit(spark, Seq((2L, "b")).toDF("id", "v"), dir) // 2
+    Snapshots.commit(spark, Seq((3L, "c")).toDF("id", "v"), dir) // 3
+    Snapshots.rollback(spark, dir, to = 1L)
+    Snapshots.expire(spark, dir, keep = 1)
+    // the current table state (snapshot 1) must still be readable
+    assert(Snapshots.read(spark, dir).select("id")
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+    // snapshot 3 (newest `keep`) survives too; snapshot 2 is gone
+    assert(Snapshots.read(spark, dir, asOf = Some(3L)).select("id")
+      .collect().map(_.getLong(0)).toSet === Set(3L))
+    intercept[Exception] {
+      Snapshots.read(spark, dir, asOf = Some(2L)).collect()
+    }
+  }
+
+  test("min-age retention guard shields young snapshots from expire") {
+    val dir = freshDir()
+    Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    Snapshots.commit(spark, Seq((2L, "b")).toDF("id", "v"), dir)
+    Snapshots.commit(spark, Seq((3L, "c")).toDF("id", "v"), dir)
+    // everything was just written: a 1-hour floor must expire nothing,
+    // so a reader that resolved any manifest within the last hour is safe
+    assert(Snapshots.expire(spark, dir, keep = 1, minAgeMs = 3600000L) === 0)
+    (1L to 3L).foreach { id =>
+      assert(Snapshots.read(spark, dir, asOf = Some(id)).select("id")
+        .collect().map(_.getLong(0)).toSet === Set(id))
+    }
+  }
+
+  test("rollback preserves the stream high-water mark (exactly-once)") {
+    val dir = freshDir()
+    assert(Snapshots.commitBatch(spark, Seq((1L, "a")).toDF("id", "v"),
+      dir, batchId = 0L).isDefined) // snapshot 1
+    assert(Snapshots.commitBatch(spark, Seq((2L, "b")).toDF("id", "v"),
+      dir, batchId = 1L).isDefined) // snapshot 2
+    Snapshots.rollback(spark, dir, to = 1L)
+    // a restarted stream replaying batch 1 must STILL be skipped: the
+    // table rolled back, the replay guard did not
+    assert(Snapshots.commitBatch(spark, Seq((2L, "b")).toDF("id", "v"),
+      dir, batchId = 1L).isEmpty)
+    assert(Snapshots.read(spark, dir).select("id")
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+  }
+
   test("expire drops unreferenced data files but keeps live snapshots") {
     val dir = freshDir()
     Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir)          // 1
