@@ -230,6 +230,23 @@ object Similarity {
             .otherwise(lit(0L))).reduce(_ + _).as("bucket"))
   }
 
+  /** Column form of [[signBuckets]]: the semantic bucket of a single
+    * embedding column, usable where the frame must keep its other columns
+    * (e.g. a streaming query side carrying its event-time). Sign-
+    * equivalent to [[signBuckets]]: the bucket tests `dot ≥ 0` directly —
+    * [[randomProject]]'s positive `1/sqrt(dOut)` scale cannot change the
+    * sign — so batch index and streaming probe always agree. Narrow
+    * codegen, no shuffle. */
+  def signBucketCol(emb: Column, dIn: Int, bits: Int,
+      seed: String = "rp"): Column = {
+    require(bits >= 1 && bits <= 62, s"bits=$bits")
+    val rows = signMatrix(dIn, bits, seed)
+    val e = asDouble(emb)
+    (0 until bits).map(j =>
+      when(dot(e, typedLit(rows(j))) >= 0, lit(1L << j))
+        .otherwise(lit(0L))).reduce(_ + _)
+  }
+
   /** Within-bucket over-threshold cosine pairs (id_a < id_b): the
     * SemDeDup candidate structure — hyperplane buckets prune the
     * quadratic all-pairs join to co-bucketed vectors, exact cosine

@@ -168,33 +168,88 @@ object EventStreams {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).start()
   }
 
-  /** Streaming ANN lookup: a stream of query vectors against a STATIC
-    * embedding base — the serving shape of similarity search (index the
-    * curated corpus once, answer arriving queries continuously). The
-    * base attaches through a stream-static equi-join on a constant key
-    * (planned per micro-batch; the base is never collected), cosine is
-    * the same codegen'd dot as the batch path, and the per-query top-k
-    * is the bounded-state [[org.apache.spark.sql.graft.TopKBy]]
-    * aggregate under a (query, event-time window) watermark key — k-entry
-    * heaps in the state store, never a windowed sort. Self-matches
+  /** Streaming ANN lookup (exact): a stream of query vectors against a
+    * STATIC embedding base — the serving shape of similarity search
+    * (index the curated corpus once, answer arriving queries
+    * continuously). The base attaches through a BLOCK-SALTED
+    * stream-static equi-join, the same pattern as
+    * [[graft.ops.IvfIndex.search]]: the base carries a deterministic
+    * block id in [0, `blocks`), each query replicates to every block,
+    * and the join keys on `blk` — so each micro-batch × base product
+    * spreads over `blocks` tasks instead of hash-partitioning BOTH
+    * sides to the single partition a constant key would produce (and
+    * with broadcast enabled, a constant key would broadcast the BASE —
+    * the big side). Query replication is cheap: the stream side is
+    * micro-batch-sized, never data-sized. Cosine is the same codegen'd
+    * dot as the batch path, and the per-query top-k is the
+    * bounded-state [[org.apache.spark.sql.graft.TopKBy]] aggregate
+    * under a (query, event-time window) watermark key — k-entry heaps
+    * in the state store, never a windowed sort; the partial heaps merge
+    * across blocks, so the salt never changes the result. Self-matches
     * (same id in stream and base) are excluded, mirroring
     * [[graft.ops.Similarity.bruteForceTopK]]. Emits
     * (query_id, rank, base_id, sim) once per query when its window
-    * closes. */
+    * closes. Exact but O(|base|) per query — for an index-probed
+    * serving path see [[annLookupStreamIndexed]]. */
   def annLookupStream(queries: DataFrame, base: DataFrame, k: Int,
       eventTimeCol: String = "event_time", watermark: String = "10 minutes",
-      windowDur: String = "10 minutes"): DataFrame = {
+      windowDur: String = "10 minutes", blocks: Int = 32): DataFrame = {
     import graft.ops.Similarity.{dot, norm}
+    require(blocks >= 1, s"blocks=$blocks")
     val b = base.select(col("vec_id").as("base_id"),
         col("embedding").cast("array<double>").as("bemb"))
       .withColumn("bnrm", norm(col("bemb")))
-      .withColumn("_k", lit(1))
+      .withColumn("blk", pmod(xxhash64(col("base_id")), lit(blocks)).cast("int"))
     queries.withWatermark(eventTimeCol, watermark)
       .select(col("vec_id").as("query_id"), col(eventTimeCol),
         col("embedding").cast("array<double>").as("qemb"))
       .withColumn("qnrm", norm(col("qemb")))
-      .withColumn("_k", lit(1))
-      .join(b, Seq("_k"))
+      .withColumn("blk", explode(sequence(lit(0), lit(blocks - 1))))
+      .join(b, Seq("blk"))
+      .filter(col("base_id") =!= col("query_id"))
+      .withColumn("sim",
+        dot(col("qemb"), col("bemb")) / (col("qnrm") * col("bnrm")))
+      .groupBy(col("query_id"), window(col(eventTimeCol), windowDur))
+      .agg(graft.functions.GraftFunctions.topKBy(
+        col("base_id"), col("sim"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("base_id"),
+        round(col("col.score"), 6).as("sim"))
+  }
+
+  /** Index-probed streaming ANN: the serving path a user actually runs
+    * at scale. The static base is bucketed ONCE by the md5-derived
+    * semantic hyperplane index ([[graft.ops.Similarity.signBuckets]] —
+    * the same index the batch SemDeDup pipeline builds), each arriving
+    * query computes its own bucket with the identical plan-literal
+    * matrix ([[graft.ops.Similarity.signBucketCol]]), and the
+    * stream-static join keys on (bucket, blk) — a true index probe
+    * touching ~|base|/2^bits candidates per query instead of the full
+    * base, block-salted like [[graft.ops.IvfIndex.search]] so a hot
+    * bucket spreads over `blocks` tasks. Candidate cosine + windowed
+    * TopKBy are identical to [[annLookupStream]]; recall < 1 by design
+    * (a neighbor across a hyperplane cut is missed — raise `bits` for
+    * pruning, lower it for recall), verified against the batch twin of
+    * the same probe in EventStreamsSpec. */
+  def annLookupStreamIndexed(queries: DataFrame, base: DataFrame, k: Int,
+      dIn: Int, bits: Int, seed: String = "rp",
+      eventTimeCol: String = "event_time", watermark: String = "10 minutes",
+      windowDur: String = "10 minutes", blocks: Int = 32): DataFrame = {
+    import graft.ops.Similarity.{dot, norm, signBucketCol}
+    require(blocks >= 1, s"blocks=$blocks")
+    val b = base.select(col("vec_id").as("base_id"),
+        col("embedding").cast("array<double>").as("bemb"))
+      .withColumn("bnrm", norm(col("bemb")))
+      .withColumn("bucket", signBucketCol(col("bemb"), dIn, bits, seed))
+      .withColumn("blk", pmod(xxhash64(col("base_id")), lit(blocks)).cast("int"))
+    queries.withWatermark(eventTimeCol, watermark)
+      .select(col("vec_id").as("query_id"), col(eventTimeCol),
+        col("embedding").cast("array<double>").as("qemb"))
+      .withColumn("qnrm", norm(col("qemb")))
+      .withColumn("bucket", signBucketCol(col("qemb"), dIn, bits, seed))
+      .withColumn("blk", explode(sequence(lit(0), lit(blocks - 1))))
+      .join(b, Seq("bucket", "blk"))
       .filter(col("base_id") =!= col("query_id"))
       .withColumn("sim",
         dot(col("qemb"), col("bemb")) / (col("qnrm") * col("bnrm")))

@@ -317,7 +317,14 @@ class EventStreamsSpec extends AnyFunSuite {
     val incoming = spark.readStream.schema(embs.schema).parquet(stageDir)
       .filter($"vec_id" < 30)
       .withColumn("event_time", timestamp_seconds($"vec_id" * 120))
-    val q = EventStreams.annLookupStream(incoming, embs, k)
+    val out = EventStreams.annLookupStream(incoming, embs, k)
+    // the stream-static join must key on the block salt, not a constant:
+    // an equi-join on a literal would hash-partition the whole
+    // micro-batch × base product into ONE task
+    assert("blk#\\d+ = blk#\\d+".r
+        .findFirstIn(out.queryExecution.analyzed.toString).isDefined,
+      "streaming ANN join must be keyed on the non-constant block id")
+    val q = out
       .writeStream.outputMode("append")
       .format("memory").queryName("sann")
       .trigger(Trigger.AvailableNow()).start()
@@ -338,6 +345,59 @@ class EventStreamsSpec extends AnyFunSuite {
     // never passed
     assert(streamed.size >= expected.size - 10,
       s"only ${streamed.size} of ${expected.size} queries emitted")
+  }
+
+  test("indexed streaming ANN matches the batch twin of the same bucket probe") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-sanni").toString
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    embs.write.mode("overwrite").parquet(stageDir)
+    val (k, bits) = (5, 4)
+    val incoming = spark.readStream.schema(embs.schema).parquet(stageDir)
+      .filter($"vec_id" < 30)
+      .withColumn("event_time", timestamp_seconds($"vec_id" * 120))
+    val out = EventStreams.annLookupStreamIndexed(
+      incoming, embs, k, dIn = 64, bits = bits)
+    // probe join keys on (bucket, blk) — an index probe, not a constant
+    val planStr = out.queryExecution.analyzed.toString
+    assert("bucket#\\d+L? = bucket#\\d+L?".r.findFirstIn(planStr).isDefined &&
+      "blk#\\d+ = blk#\\d+".r.findFirstIn(planStr).isDefined,
+      "indexed streaming ANN must join on the (bucket, blk) index key")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sanni")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sanni").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).map { case (qid, rs) =>
+        qid -> rs.map(t => (t._2, t._3)).toSet }
+    // batch twin of the SAME probe: bucket the base with signBuckets (the
+    // batch-side index), join queries on bucket, exact cosine + top-k
+    val bucketed = graft.ops.Similarity.signBuckets(embs, dIn = 64, bits = bits)
+    val base = embs.select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+      .withColumn("nrm", graft.ops.Similarity.norm($"emb"))
+      .join(bucketed, "vec_id")
+    val queries = base.filter($"vec_id" < 30)
+      .select($"vec_id".as("query_id"), $"emb".as("qemb"),
+        $"nrm".as("qnrm"), $"bucket")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
+    val expected = queries.join(base, Seq("bucket"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        round(graft.ops.Similarity.dot($"emb", $"qemb")
+          / ($"nrm" * $"qnrm"), 6).as("sim"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (qid, rs) =>
+        qid -> rs.map(t => (t._2, t._3)).toSet }
+    assert(streamed.nonEmpty, "no query window closed")
+    streamed.foreach { case (qid, got) =>
+      assert(got === expected(qid), s"query $qid indexed top-$k differs")
+    }
+    // the index really pruned: candidates ≪ the full stream × base product
+    val nCand = queries.join(base, Seq("bucket")).count()
+    assert(nCand < 30L * embs.count() / 2,
+      s"bucket probe should prune the candidate set, saw $nCand")
   }
 
   test("snapshot sink: atomic per-batch commits, exactly-once restart") {
