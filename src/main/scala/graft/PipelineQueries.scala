@@ -811,7 +811,15 @@ object PipelineQueries {
     },
 
     // ------------------------------------------------ multimodal
-    // Binary payload → per-partition stub decode → typed metadata
+    // Binary payload → per-partition stub decode → typed metadata.
+    // EXPLICITLY A STUB-CONTRACT CHECK: decodeStub stands in for an ML
+    // metadata model (no model runtime ships in this container), so the
+    // oracle restates the stub's documented formula — it verifies the
+    // Spark-side plumbing (payload encode, mapPartitions batch shape,
+    // typed schema), NOT a real decode. The REAL decode paths have
+    // independent generative oracles: q_image_decode (ImageIO),
+    // q_audio_decode (AudioSystem), q_multimodal_frames (multi-frame
+    // GIF), q_multimodal_features (decoded-pixel histograms).
     q("q_multimodal_decode",
       """SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes,
         |  CAST(strlen(text) % 640 AS INT) AS width,
@@ -879,30 +887,37 @@ object PipelineQueries {
         .orderBy(col("user_id"), col("session_id"))
     },
 
-    // Feature-extraction stub → similarity-ready vectors. Oracle: bucket 0
-    // of the byte histogram counts ASCII codes ≡ 0 (mod 8) — for this
-    // lowercase corpus exactly {space, h, p, x} — over the byte length.
-    // compared as the exact integer histogram count (ratio × length,
-    // rounded to int — float ratios flip round(x,4) boundaries at larger
-    // SFs; the recovered count is exact because float error ≪ 0.5).
-    // The 'hpx ' trick: those chars' UTF-8 codes are all ≡ 0 (mod 8), so
-    // DuckDB can count bucket 0 of the byte histogram with translate().
+    // REAL feature extraction over DECODED pixels: each doc becomes a
+    // real codec-encoded 16×16 solid-color PNG (color a closed-form
+    // function of doc_id), ImageIO decodes it back, and the feature is
+    // the 8-bucket byte%8 histogram of the decoded raster. The oracle
+    // recomputes every bucket count from the GENERATIVE closed form
+    // (256 pixels × one of r/g/b per matching bucket) — NOT from the
+    // extractor's arithmetic — so a codec bug on either the encode or
+    // the decode leg breaks the hash. Integer-exact: counts recovered
+    // from the float ratios by ×768 + round (float error ≪ 0.5).
     q("q_multimodal_features",
       """SELECT doc_id,
-        |  CAST(strlen(text) - strlen(translate(text, 'hpx ', '')) AS INT) AS c0,
-        |  CAST(strlen(text) AS INT) AS n_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      import s.implicits._
-      val media = Multimodal.withPayload(t(s, dir, "documents"))
-        .as[Multimodal.MediaRow]
-      val lens = t(s, dir, "documents").select(col("doc_id"),
-        octet_length(encode(col("text"), "UTF-8")).as("n_bytes"))
-      Multimodal.featureStub(media).toDF()
-        .join(lens, "doc_id")
+        |  concat_ws(',',
+        |    256*((r%8=0)::INT + (g%8=0)::INT + (b%8=0)::INT),
+        |    256*((r%8=1)::INT + (g%8=1)::INT + (b%8=1)::INT),
+        |    256*((r%8=2)::INT + (g%8=2)::INT + (b%8=2)::INT),
+        |    256*((r%8=3)::INT + (g%8=3)::INT + (b%8=3)::INT),
+        |    256*((r%8=4)::INT + (g%8=4)::INT + (b%8=4)::INT),
+        |    256*((r%8=5)::INT + (g%8=5)::INT + (b%8=5)::INT),
+        |    256*((r%8=6)::INT + (g%8=6)::INT + (b%8=6)::INT),
+        |    256*((r%8=7)::INT + (g%8=7)::INT + (b%8=7)::INT)) AS hist,
+        |  768 AS n_bytes
+        |FROM (SELECT doc_id, doc_id % 256 AS r, (doc_id // 256) % 256 AS g,
+        |        (doc_id * 7) % 256 AS b FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pngs = Multimodal.syntheticPngs(t(s, dir, "documents"))
+      Multimodal.featuresFromPixels(pngs).toDF()
         .select(col("doc_id"),
-          round(element_at(col("feature"), 1).cast("double") * col("n_bytes"))
-            .cast("int").as("c0"),
-          col("n_bytes"))
+          concat_ws(",", transform(col("feature"),
+            x => round(x.cast("double") * 768).cast("int").cast("string")))
+            .as("hist"),
+          lit(768).as("n_bytes"))
         .orderBy(col("doc_id"))
     },
 
@@ -1204,10 +1219,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
-    // Curriculum/quality bucketing: quartile labels from ONE exact-
-    // percentile aggregate (boundaries broadcast), scan-side strict-`>`
-    // crossing count — no global sort. Both engines interpolate
-    // percentiles with the standard rank = p·(N-1) linear rule.
+    // Curriculum/quality bucketing: quartile labels from ONE percentile
+    // aggregate (boundaries broadcast), scan-side strict-`>` crossing
+    // count — no global sort. exact = true here so both engines
+    // interpolate with the standard rank = p·(N-1) linear rule and the
+    // oracle hash-matches; the production default is approx_percentile
+    // (bounded sketch buffers — exact percentile's distinct-value map
+    // merges into ONE task, an O(corpus) buffer at 100 TB), tolerance-
+    // tested against exact in SamplingSpec.
     q("q_score_buckets",
       """WITH b AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS bs
         |           FROM documents)
@@ -1215,7 +1234,7 @@ object PipelineQueries {
         |  CAST(1 + len(list_filter(b.bs, x -> n_chars > x)) AS INT) AS bucket
         |FROM documents, b ORDER BY doc_id""".stripMargin) { (s, dir) =>
       graft.ops.Sampling.scoreBuckets(t(s, dir, "documents"),
-          "n_chars", nBuckets = 4)
+          "n_chars", nBuckets = 4, exact = true)
         .select(col("doc_id"), col("n_chars"), col("bucket"))
         .orderBy(col("doc_id"))
     },

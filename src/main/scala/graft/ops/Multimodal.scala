@@ -336,6 +336,44 @@ object Multimodal {
     }
   }
 
+  /** REAL feature extraction over DECODED pixels: decode via ImageIO,
+    * then histogram the raster's RGB byte values into 8 buckets
+    * (byte % 8), normalized by the pixel-byte count. The same sketch
+    * shape as [[featureStub]], but computed from actual decoded content:
+    * a codec bug on either the encode or the decode leg changes the
+    * histogram, so a test against the generative closed form verifies
+    * the REAL pipeline, not the stub's arithmetic. Malformed payloads →
+    * an all-(-1) feature row, never task failures. */
+  def featuresFromPixels(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: Exception => null }
+        if (img == null) MediaFeature(r.doc_id, Array.fill(8)(-1f))
+        else {
+          val hist = new Array[Float](8)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              hist(((p >> 16) & 0xff) % 8) += 1f
+              hist(((p >> 8) & 0xff) % 8) += 1f
+              hist((p & 0xff) % 8) += 1f
+              x += 1
+            }
+            y += 1
+          }
+          val total = math.max(1f, 3f * w * h)
+          MediaFeature(r.doc_id, hist.map(_ / total))
+        }
+      }
+    }
+  }
+
   /** REAL resize: decode → Graphics2D bilinear scale → re-encode PNG.
     * The actual thumbnailing kernel of an image curation pipeline. */
   def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaResized] = {

@@ -255,19 +255,31 @@ object Sampling {
   }
 
   /** Curriculum/quality bucketing: assign each row a 1..nBuckets label
-    * by exact score percentiles — the binning step of quality-ordered
+    * by score percentiles — the binning step of quality-ordered
     * training (feed high-quality buckets late, or mix by bucket quota).
     * The boundaries come from ONE percentile aggregate (nBuckets-1
     * doubles, broadcast); assignment is a narrow scan-side comparison —
     * no global sort, no window. Ties on a boundary go to the lower
     * bucket (strict `>` crossing count), the same rule the DuckDB
-    * oracle applies. */
+    * oracle applies.
+    *
+    * The DEFAULT boundary estimator is `approx_percentile` (ε = 1/10⁴):
+    * Spark's exact `Percentile` buffers a count-map of DISTINCT values
+    * and merges it into one final task — for a continuous quality score
+    * at 100 TB that is an O(corpus) single-task buffer. The sketch
+    * buffer is bounded (~O(1/ε)) and partial-mergeable, and only rows
+    * within ε·N ranks of a boundary can land one bucket off the exact
+    * assignment. `exact = true` keeps the exact boundaries for
+    * small/oracle runs (q_score_buckets hash-matches DuckDB with it);
+    * the assignment path is IDENTICAL either way. */
   def scoreBuckets(df: DataFrame, scoreCol: String,
-      nBuckets: Int): DataFrame = {
+      nBuckets: Int, exact: Boolean = false): DataFrame = {
     require(nBuckets >= 2, s"nBuckets=$nBuckets")
     val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
-    val bounds = df.agg(
-      expr(s"percentile($scoreCol, array(${ps.mkString(",")}))").as("_bs"))
+    val pctExpr =
+      if (exact) s"percentile($scoreCol, array(${ps.mkString(",")}))"
+      else s"approx_percentile($scoreCol, array(${ps.mkString(",")}), 10000)"
+    val bounds = df.agg(expr(pctExpr).cast("array<double>").as("_bs"))
     df.crossJoin(broadcast(bounds))
       .withColumn("bucket",
         (lit(1) + size(filter(col("_bs"),

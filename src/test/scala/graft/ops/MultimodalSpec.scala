@@ -77,6 +77,24 @@ class MultimodalSpec extends AnyFunSuite {
       "8-bit PCM must be rejected instead of pairing bytes into shorts")
   }
 
+  test("decoded-pixel features match the generative closed form") {
+    val ids = Seq(0L, 1L, 8L, 255L, 256L, 300L, 4999L)
+    val out = Multimodal.featuresFromPixels(pngs(ids)).collect()
+      .map(m => m.doc_id -> m.feature).toMap
+    ids.foreach { id =>
+      val (r, g, b) = ((id % 256).toInt, ((id / 256) % 256).toInt,
+        ((id * 7) % 256).toInt)
+      val expected = Array.tabulate(8) { j =>
+        256f * (Seq(r, g, b).count(_ % 8 == j)) / 768f
+      }
+      assert(out(id).toSeq === expected.toSeq, s"id=$id")
+    }
+    // corrupt payloads → sentinel feature, not task failure
+    val bad = Seq(Multimodal.MediaRow(1L, Array[Byte](3, 1, 4))).toDS()
+    val sent = Multimodal.featuresFromPixels(bad).collect().head
+    assert(sent.feature.forall(_ === -1f))
+  }
+
   test("real resize: a uniform image thumbnails to the same color at 4x4") {
     val small = Multimodal.resizeImages(pngs(Seq(300L)), 4, 4)
     val meta = Multimodal.decodeImages(

@@ -243,6 +243,23 @@ class SamplingSpec extends AnyFunSuite {
         s"stratum $s kept only $kept chars of budget 300")
   }
 
+  test("scoreBuckets default (approx) tracks the exact assignment") {
+    val exact = Sampling.scoreBuckets(docs, "n_chars", 4, exact = true)
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val approx = Sampling.scoreBuckets(docs, "n_chars", 4)
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    // the sketch can shift a boundary by ≤ ε·N ranks: an assignment may
+    // differ only by one adjacent bucket, and only for a small fraction
+    val diffs = exact.count { case (id, b) => approx(id) != b }
+    assert(exact.forall { case (id, b) => math.abs(approx(id) - b) <= 1 },
+      "approx boundaries must never shift a row by more than one bucket")
+    assert(diffs <= exact.size / 20,
+      s"$diffs of ${exact.size} rows moved buckets — sketch far off exact")
+  }
+
   test("scoreBuckets: balanced quartiles, boundary ties go low, order-free") {
     val out = Sampling.scoreBuckets(docs, "n_chars", nBuckets = 4)
       .select("doc_id", "n_chars", "bucket").collect()
