@@ -636,44 +636,62 @@ object PipelineQueries {
     // Heavy-hitter tokens via the DataSketches frequent-items sketch
     // (approx_top_k): the partial aggregate runs map-side, so at scale
     // only fixed-size sketch buffers shuffle — never the token stream.
-    // maxItemsTracked (1024) exceeds this corpus' vocabulary, making the
-    // sketch provably exact here, so the oracle is DIRECT equality with
-    // DuckDB's exact counts (beyond that size the DataSketches guarantee
-    // degrades gracefully to ±εN on counts, never false negatives for
-    // true heavy hitters).
+    // The direct-equality oracle is only sound while the vocabulary fits
+    // the sketch's exactness capacity (~0.75 × maxItemsTracked), so the
+    // query CHECKS that precondition instead of assuming it: exact_ok
+    // asserts the (HLL-estimated, ×1.1 margin) distinct-token count is
+    // under 768 — at a scale factor where the vocab outgrows the sketch,
+    // the row goes false and the oracle mismatch is a diagnosis, not a
+    // flake. Beyond capacity the DataSketches guarantee degrades
+    // gracefully to ±εN counts, never false negatives for true heavy
+    // hitters.
     q("q_heavy_hitters",
       """WITH tok AS (SELECT
         |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
         |  FROM documents)
-        |SELECT token, count(*) AS cnt FROM tok WHERE token <> ''
+        |SELECT token, count(*) AS cnt, TRUE AS exact_ok FROM tok
+        |WHERE token <> ''
         |GROUP BY token ORDER BY cnt DESC, token""".stripMargin) { (s, dir) =>
-      graft.ops.Relevance.tokens(t(s, dir, "documents"))
-        .agg(expr("approx_top_k(token, 100, 1024)").as("tk"))
-        .select(explode(col("tk")).as("e"))
-        .select(col("e.item").as("token"), col("e.count").as("cnt"))
+      val toks = graft.ops.Relevance.tokens(t(s, dir, "documents"))
+      val vocabOk = toks.agg(
+        (approx_count_distinct(col("token"), 0.02) * 1.1 <= lit(768.0))
+          .as("exact_ok"))
+      toks.agg(expr("approx_top_k(token, 100, 1024)").as("tk"))
+        .crossJoin(broadcast(vocabOk))
+        .select(explode(col("tk")).as("e"), col("exact_ok"))
+        .select(col("e.item").as("token"), col("e.count").as("cnt"),
+          col("exact_ok"))
         .orderBy(col("cnt").desc, col("token"))
     },
 
     // Sketch UNION for frequent items — the 100 TB property: per-source
     // sketches built independently (think per-day partitions), merged
     // with approx_top_k_combine WITHOUT re-reading the data; the merged
-    // estimate still matches the global exact counts.
+    // estimate still matches the global exact counts. Same checked
+    // exactness precondition as q_heavy_hitters (the merged sketch is
+    // exact only while the GLOBAL vocab fits the per-sketch capacity).
     q("q_heavy_hitters_union",
       """WITH tok AS (SELECT
         |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
         |  FROM documents)
-        |SELECT token, count(*) AS cnt FROM tok WHERE token <> ''
+        |SELECT token, count(*) AS cnt, TRUE AS exact_ok FROM tok
+        |WHERE token <> ''
         |GROUP BY token ORDER BY cnt DESC, token""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
       val toks = docs.select(col("source"),
           explode(split(lower(col("text")), "[^a-z0-9]+")).as("token"))
         .filter(col("token") =!= "")
+      val vocabOk = toks.agg(
+        (approx_count_distinct(col("token"), 0.02) * 1.1 <= lit(768.0))
+          .as("exact_ok"))
       toks.groupBy(col("source"))
         .agg(expr("approx_top_k_accumulate(token, 1024)").as("sk"))
         .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk, 1024), 100)")
           .as("tk"))
-        .select(explode(col("tk")).as("e"))
-        .select(col("e.item").as("token"), col("e.count").as("cnt"))
+        .crossJoin(broadcast(vocabOk))
+        .select(explode(col("tk")).as("e"), col("exact_ok"))
+        .select(col("e.item").as("token"), col("e.count").as("cnt"),
+          col("exact_ok"))
         .orderBy(col("cnt").desc, col("token"))
     },
 
@@ -1024,24 +1042,34 @@ object PipelineQueries {
 
     // ------------------------------------------------ URL/domain curation
     // C4-style provenance controls: host extraction (parse_url),
-    // registered-domain rollup, blocklist removal, per-domain stats.
-    // URLs are synthesized deterministically from (doc_id, source) with
-    // the SAME expression in both engines, so the extraction chain —
-    // not the synthesis — is what the hash comparison checks.
+    // PSL-backed registered-domain rollup, blocklist removal,
+    // per-domain stats. URLs are synthesized deterministically from
+    // (doc_id, source) with the SAME expression in both engines, so the
+    // extraction chain — not the synthesis — is what the hash
+    // comparison checks. Half the planted TLDs are public suffixes
+    // (co.uk / org.au), so the oracle restates the PSL rule: suffix + 1
+    // label when the last two labels are a listed public suffix, else
+    // last two labels — `cdn.srcN-site.co.uk` must roll up to
+    // `srcN-site.co.uk`, never `co.uk`.
     q("q_domain_curation",
       """WITH u AS (SELECT doc_id,
         |    'https://' ||
         |    CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.'
         |         ELSE '' END ||
         |    source || '-site.' ||
-        |    CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END ||
+        |    CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+        |         WHEN 2 THEN 'co.uk' ELSE 'org.au' END ||
         |    '/d/' || doc_id AS url FROM documents),
         |h AS (SELECT lower(regexp_extract(url, '://([^/]+)', 1)) AS host
         |      FROM u),
         |d AS (SELECT host,
-        |        regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain FROM h),
+        |        CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+        |               IN ('co.uk', 'org.au')
+        |             THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+        |             ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+        |        END AS domain FROM h),
         |f AS (SELECT * FROM d WHERE domain NOT IN
-        |      ('src1-site.org', 'src7-site.org', 'src4-site.com'))
+        |      ('src1-site.org', 'src7-site.co.uk', 'src4-site.com'))
         |SELECT domain, count(*) AS n_docs,
         |       count(DISTINCT host) AS n_hosts
         |FROM f GROUP BY domain ORDER BY domain""".stripMargin) { (s, dir) =>
@@ -1051,12 +1079,14 @@ object PipelineQueries {
             .when(pmod(col("doc_id"), lit(3)) === 1, lit("cdn."))
             .otherwise(lit("")),
           col("source"), lit("-site."),
-          when(pmod(col("doc_id"), lit(2)) === 0, lit("com"))
-            .otherwise(lit("org")),
+          when(pmod(col("doc_id"), lit(4)) === 0, lit("com"))
+            .when(pmod(col("doc_id"), lit(4)) === 1, lit("org"))
+            .when(pmod(col("doc_id"), lit(4)) === 2, lit("co.uk"))
+            .otherwise(lit("org.au")),
           lit("/d/"), col("doc_id").cast("string")).as("url"))
       graft.ops.Domains.domainStats(
           graft.ops.Domains.filterBlockedDomains(urls,
-            Seq("src1-site.org", "src7-site.org", "src4-site.com")))
+            Seq("src1-site.org", "src7-site.co.uk", "src4-site.com")))
         .orderBy(col("domain"))
     },
 

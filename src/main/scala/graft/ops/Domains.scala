@@ -18,14 +18,67 @@ object Domains {
   /** Lower-cased URL host via the engine's URL parser (codegen'd). */
   def hostOf(url: Column): Column = lower(parse_url(url, lit("HOST")))
 
-  /** Registered-domain heuristic: the last two dot-labels of the host
-    * (`a.b.c.example.com` → `example.com`). A public-suffix-list lookup
-    * is the production upgrade (the list is small — ship it as a
-    * broadcast map); the two-label heuristic is exact for generic TLDs,
-    * which is what the catalog oracle exercises. */
+  /** Pruned public-suffix set: the two-label public suffixes of the
+    * high-traffic ccTLD registries, from the public Mozilla Public
+    * Suffix List (publicsuffix.org). Under these, registrations happen
+    * one label deeper — `bbc.co.uk` is the registered domain, not
+    * `co.uk`. Deliberately a SUBSET (the full list also carries rare
+    * 3-label and wildcard rules): unlisted suffixes fall back to the
+    * 2-label rule, which is exact for generic TLDs. Small enough to
+    * embed as a codegen'd literal IN — no join, no broadcast. */
+  val PublicSuffixes: Seq[String] = Seq(
+    // uk / ie
+    "co.uk", "org.uk", "me.uk", "net.uk", "ac.uk", "gov.uk", "sch.uk",
+    "nhs.uk", "police.uk", "plc.uk", "ltd.uk",
+    // jp
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp", "gr.jp",
+    "lg.jp",
+    // au / nz
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "ac.nz", "govt.nz", "school.nz", "gen.nz",
+    // br / ar / mx
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br", "art.br",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    // in / cn / tw / hk / sg / my / id / th / kr
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "ac.in",
+    "edu.in", "res.in", "gov.in", "nic.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my", "name.my",
+    "co.id", "or.id", "net.id", "web.id", "ac.id", "sch.id", "go.id", "my.id",
+    "co.th", "or.th", "net.th", "ac.th", "go.th", "in.th",
+    "co.kr", "or.kr", "ne.kr", "re.kr", "pe.kr", "go.kr", "ac.kr", "hs.kr",
+    // za / il / tr
+    "co.za", "net.za", "org.za", "gov.za", "edu.za", "ac.za", "web.za",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il", "k12.il",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "bel.tr", "web.tr",
+    // eu ccTLDs with registry second levels
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru")
+
+  /** Registered domain of a host: public suffix + one label, using the
+    * pruned [[PublicSuffixes]] set with a last-two-labels fallback for
+    * generic/unlisted TLDs (`a.b.example.com` → `example.com`,
+    * `news.bbc.co.uk` → `bbc.co.uk`). Single-label hosts (`localhost`,
+    * intranet names) pass through unchanged — lookups use
+    * `try_element_at`, so a malformed or bare host can never throw
+    * under ANSI mode (Spark 4's default) and fail the whole job on one
+    * bad URL. Narrow codegen'd expression chain: split + literal IN,
+    * no join, no shuffle. */
   def registeredDomain(host: Column): Column = {
     val parts = split(host, "\\.")
-    concat_ws(".", element_at(parts, -2), element_at(parts, -1))
+    val n = size(parts)
+    // try_element_at → null out of bounds; concat_ws skips nulls, and
+    // the size guards below keep short hosts off the suffix branches
+    def lastLabels(k: Int): Column =
+      concat_ws(".", (k to 1 by -1).map(i => try_element_at(parts, lit(-i))): _*)
+    when(n >= 3 && lastLabels(2).isin(PublicSuffixes: _*), lastLabels(3))
+      .when(n >= 2, lastLabels(2))
+      .otherwise(host)
   }
 
   /** Per-registered-domain corpus statistics: document count and

@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the MEASURED recalls backing the bound-style oracle certificates
+  * (q_ann_lsh ≥ 0.80, q_ann_ivf ≥ 0.75, q_dedup_minhash exact equality)
+  * at sf0.01 with the EXACT configurations those catalog queries use.
+  * The certificates only assert the floor; these tests assert the
+  * measured headroom above it, so a hyperplane/seed/config change that
+  * erodes recall toward the floor fails `sbt test` loudly instead of
+  * silently sailing just over (or under) the oracle bound at verify
+  * time. Floors here sit between the certificate bound and the measured
+  * value (0.96 LSH / 0.84 IVF / 1.0 MinHash — graft.tools.ApproxRecall).
+  */
+class ApproxRecallSpec extends AnyFunSuite {
+
+  private lazy val embs01 =
+    spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+  private lazy val docs01 =
+    spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+  test("LSH top-k recall at sf0.01 keeps headroom over the 0.80 certificate") {
+    // identical config to q_ann_lsh
+    val planes = Similarity.hyperplanes(tables = 16, bits = 4, dim = 64)
+    val brute = Similarity.bruteForceTopK(embs01, col("vec_id") < 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val alsh = Similarity.lshTopK(embs01, col("vec_id") < 10, k = 5, planes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(alsh.contains).toDouble / brute.size
+    assert(recall >= 0.90, s"LSH recall@5 = $recall (measured 0.96, " +
+      "certificate floor 0.80) — a seed/plane change eroded recall")
+  }
+
+  test("IVF recall at sf0.01 keeps headroom over the 0.75 certificate") {
+    // identical config to q_ann_ivf (seeded KMeans → deterministic)
+    val brute = Similarity.bruteForceTopK(embs01, col("vec_id") < 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = IvfIndex.search(IvfIndex.build(embs01, nlist = 8),
+        col("vec_id") < 10, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.80, s"IVF recall@5 = $recall (measured 0.84, " +
+      "certificate floor 0.75) — a seed/nlist change eroded recall")
+  }
+
+  test("MinHash near-dup recall at sf0.01 is exactly 1.0 (exact-equality oracle)") {
+    // identical config to q_dedup_minhash, whose oracle is DIRECT
+    // equality with DuckDB's exact Jaccard pairs — any miss breaks it
+    val minhash = Dedup.minhashNearDups(docs01, n = 3, k = 32, bands = 16,
+        threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.jaccardPairs(docs01, n = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "sf0.01 must contain true near-dup pairs")
+    assert(minhash === exact,
+      s"missed=${(exact -- minhash).size} extra=${(minhash -- exact).size} " +
+        "— the exact-equality oracle of q_dedup_minhash would break")
+  }
+}

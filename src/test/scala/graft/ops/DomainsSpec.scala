@@ -23,6 +23,34 @@ class DomainsSpec extends AnyFunSuite {
       3L -> "other.org", 4L -> "other.org", 5L -> "bad-actor.com"))
   }
 
+  test("public-suffix domains roll up one label deeper, not to the suffix") {
+    val psl = Seq(
+      (1L, "bbc.co.uk"), (2L, "news.bbc.co.uk"), (3L, "www.nhk.or.jp"),
+      (4L, "shop.example.com.au"), (5L, "deep.a.b.example.co.uk"),
+      // the bare suffix itself has no registration label: 2-label fallback
+      (6L, "co.uk"),
+      // unlisted ccTLD second level: generic 2-label rule applies
+      (7L, "www.site.example.fr")).toDF("doc_id", "host")
+    val got = psl.select($"doc_id", Domains.registeredDomain($"host").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      1L -> "bbc.co.uk", 2L -> "bbc.co.uk", 3L -> "nhk.or.jp",
+      4L -> "example.com.au", 5L -> "example.co.uk",
+      6L -> "co.uk", 7L -> "example.fr"))
+  }
+
+  test("single-label hosts pass through — even under ANSI mode") {
+    val prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val got = Seq((1L, "localhost"), (2L, "intranet"), (3L, "a.b"))
+        .toDF("doc_id", "host")
+        .select($"doc_id", Domains.registeredDomain($"host").as("d"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === Map(1L -> "localhost", 2L -> "intranet", 3L -> "a.b"))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("domainStats counts docs and distinct hosts per registered domain") {
     val m = Domains.domainStats(urls)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
