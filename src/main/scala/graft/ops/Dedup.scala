@@ -419,22 +419,6 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Cross-document repeated n-gram fraction — the "duplicated text
-    * fraction" quality signal of Gopher/Dolma-style filtering: for each
-    * document, the share of its n-token windows occurring in at least
-    * `minDocs` DISTINCT documents corpus-wide. Catches templated spam
-    * and paragraph-level boilerplate that survives exact and near dedup
-    * because the surrounding text differs; a window repeated only
-    * WITHIN one document does not count (that is
-    * [[graft.PipelineQueries]]' q_text_repetition signal instead).
-    *
-    * Scale: windows reduce to 8-byte fingerprints inside the scan
-    * pipeline — gram text never shuffles. Two aggregations (distinct-doc
-    * count per gram, per-doc rollup) and one fingerprint-keyed
-    * membership join, all partial-aggregated. Fingerprints make the
-    * membership test collision-approximate above ~2³² distinct grams —
-    * immaterial for a ratio signal. Documents shorter than `n` tokens
-    * have no windows and are absent from the result. */
   /** Remove cross-document repeated spans from the text: every token
     * covered by an n-token window that occurs in >= `minDocs` distinct
     * documents is dropped, and the survivors re-join with single
@@ -444,31 +428,35 @@ object Dedup {
     * Returns the input row with `textCol` rewritten plus
     * `n_tokens_removed`.
     *
-    * Scale: same fingerprint discipline as the ratio — gram text never
-    * shuffles; the per-doc repeated-start list is bounded by document
-    * length and comes back through one join on the 8-byte doc key; the
-    * rewrite is a narrow HOF pass (coverage test is
-    * O(tokens × |repeated starts|) per doc, with |starts| ≪ tokens in
-    * the non-degenerate regime). */
+    * Scale: same fingerprint discipline as the ratio — windows reduce
+    * to 8-byte fingerprints inside the scan via the one-pass
+    * `window_fingerprints` kernel, computed ONCE (the (gram, doc)
+    * rollup and the distinct-doc count share one exploded pass; the
+    * per-gram document count attaches through a window over the 8-byte
+    * gram key instead of a second gram-generation pass + join). The
+    * per-doc repeated-start list is bounded by document length and
+    * comes back through one join on the 8-byte doc key; the rewrite is
+    * a narrow HOF pass (coverage test is O(tokens × |repeated starts|)
+    * per doc, with |starts| ≪ tokens in the non-degenerate regime). */
   def stripRepeatedSpans(docs: DataFrame, n: Int, minDocs: Long = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n >= 1, s"n=$n")
     import graft.functions.GraftFunctions
+    import org.apache.spark.sql.expressions.Window
     val ws = split(col(textCol), "\\s+")
-    val nWin = size(ws) - (n - 1)
-    val grams = docs.select(col(idCol),
-      explode(when(nWin >= 1,
-        transform(sequence(lit(1), nWin),
-          i => struct(i.as("s"),
-            GraftFunctions.fingerprint64(array_join(slice(ws, i, lit(n)), " "))
-              .as("g"))))
-        .otherwise(array().cast("array<struct<s:int,g:bigint>>"))).as("_w"))
-      .select(col(idCol), col("_w.s").as("_s"), col("_w.g").as("_g"))
-    val repFps = grams
-      .select(col(idCol), col("_g")).distinct()
-      .groupBy(col("_g")).agg(count(lit(1)).as("_d"))
-      .filter(col("_d") >= minDocs).select(col("_g"))
-    val startsPerDoc = grams.join(repFps, "_g")
+    // one gram-generation pass: (doc, 1-based start, window fingerprint)
+    val occ = docs.select(col(idCol),
+        posexplode(GraftFunctions.windowFingerprints(ws, n)))
+      .select(col(idCol), (col("pos") + 1).cast("int").as("_s"),
+        col("col").as("_g"))
+    // starts per (gram, doc), then distinct-doc count per gram via ONE
+    // window over the skinny (g, id, starts) rows — no second pass
+    val perDocGram = occ.groupBy(col("_g"), col(idCol))
+      .agg(collect_list(col("_s")).as("_ss"))
+    val startsPerDoc = perDocGram
+      .withColumn("_d", count(lit(1)).over(Window.partitionBy(col("_g"))))
+      .filter(col("_d") >= minDocs)
+      .select(col(idCol), explode(col("_ss")).as("_s"))
       .groupBy(col(idCol)).agg(collect_list(col("_s")).as("_rs"))
     docs.join(startsPerDoc, Seq(idCol), "left")
       .withColumn("_rs", coalesce(col("_rs"), array().cast("array<int>")))
@@ -484,27 +472,39 @@ object Dedup {
       .drop("_rs", "_ws", "_kept")
   }
 
+  /** Cross-document repeated n-gram fraction — the "duplicated text
+    * fraction" quality signal of Gopher/Dolma-style filtering: for each
+    * document, the share of its n-token windows occurring in at least
+    * `minDocs` DISTINCT documents corpus-wide. Catches templated spam
+    * and paragraph-level boilerplate that survives exact and near dedup
+    * because the surrounding text differs; a window repeated only
+    * WITHIN one document does not count (that is
+    * [[graft.PipelineQueries]]' q_text_repetition signal instead).
+    *
+    * Scale: windows reduce to 8-byte fingerprints inside the scan
+    * pipeline via the one-pass `window_fingerprints` kernel — gram text
+    * never shuffles, and gram generation runs ONCE (the per-(doc, gram)
+    * occurrence rollup feeds both the distinct-doc count — a window
+    * over the 8-byte gram key — and the per-doc ratio, replacing the
+    * former second generation pass + membership join). Three skinny
+    * partial-aggregated shuffles total. Fingerprints make the
+    * membership test collision-approximate above ~2³² distinct grams —
+    * immaterial for a ratio signal. Documents shorter than `n` tokens
+    * have no windows and are absent from the result. */
   def crossDocRepetition(docs: DataFrame, n: Int, minDocs: Long = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n >= 1, s"n=$n")
     import graft.functions.GraftFunctions
+    import org.apache.spark.sql.expressions.Window
     val ws = split(col(textCol), "\\s+")
-    val nWin = size(ws) - (n - 1)
-    val grams = docs.select(col(idCol),
-      when(nWin >= 1,
-        transform(sequence(lit(1), nWin),
-          i => GraftFunctions.fingerprint64(array_join(slice(ws, i, lit(n)), " "))))
-        .otherwise(array().cast("array<bigint>")).as("_gs"))
-    val repeated = grams
-      .select(col(idCol), explode(array_distinct(col("_gs"))).as("_g"))
-      .groupBy(col("_g")).agg(count(lit(1)).as("_d"))
-      .filter(col("_d") >= minDocs)
-      .select(col("_g"), lit(1).as("_hit"))
-    grams.select(col(idCol), explode(col("_gs")).as("_g"))
-      .join(repeated, Seq("_g"), "left")
+    val occ = docs.select(col(idCol),
+      explode(GraftFunctions.windowFingerprints(ws, n)).as("_g"))
+    occ.groupBy(col(idCol), col("_g")).agg(count(lit(1)).as("_c"))
+      .withColumn("_d", count(lit(1)).over(Window.partitionBy(col("_g"))))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_windows"),
-        sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_repeated"))
+      .agg(sum(col("_c")).as("n_windows"),
+        sum(when(col("_d") >= minDocs, col("_c")).otherwise(lit(0L)))
+          .cast("long").as("n_repeated"))
       .withColumn("dup_ratio",
         round(col("n_repeated").cast("double") / col("n_windows"), 6))
   }

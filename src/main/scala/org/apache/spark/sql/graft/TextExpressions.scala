@@ -90,6 +90,59 @@ object kernels {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** All n-token sliding-window fingerprints of a token array in ONE
+    * pass: out[i] = fingerprint64(tokens[i..i+n-1] joined by ' '), for
+    * i in 0..m-n. Byte-for-byte equal to the composed
+    * `fingerprint64(array_join(slice(ws, i+1, n), " "))` it replaces:
+    * the base-257 polynomial composes over concatenation
+    * (poly(a ⧺ b) = poly(a)·257^|b| + poly(b)), so each token's
+    * polynomial and 257^len are computed ONCE and every window is n-1
+    * long multiply-adds plus the final avalanche — no per-window array
+    * slice, no per-window string materialization, no per-window UTF-8
+    * re-hash. Null tokens hash as empty strings (split() never
+    * produces nulls). */
+  def windowFingerprints(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    if (n <= 0 || m < n)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    val poly = new Array[Long](m)
+    val pw = new Array[Long](m)
+    var t = 0
+    while (t < m) {
+      var p = 0L
+      var w = 1L
+      if (!arr.isNullAt(t)) {
+        val bytes = arr.getUTF8String(t).getBytes
+        var i = 0
+        while (i < bytes.length) {
+          p = p * 257L + (bytes(i) & 0xffL)
+          w *= 257L
+          i += 1
+        }
+      }
+      poly(t) = p; pw(t) = w
+      t += 1
+    }
+    val out = new Array[Long](m - n + 1)
+    var s = 0
+    while (s <= m - n) {
+      var h = poly(s)
+      var j = s + 1
+      while (j < s + n) {
+        h = (h * 257L + 0x20L) * pw(j) + poly(j) // append ' ' + token j
+        j += 1
+      }
+      h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
+      h ^= (h >>> 27); h *= 0x94d049bb133111ebL
+      h ^= (h >>> 31)
+      out(s) = h
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
   def minhashSignature(arr: ArrayData, k: Int): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
@@ -179,6 +232,33 @@ case class MinHashSignature(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** window_fingerprints(tokens: array<string>, n) → array<bigint>: the
+  * fingerprint64 of every n-token sliding window (space-joined), one per
+  * start position. A dedicated expression because the composed
+  * `transform(sequence(…), i -> fingerprint64(array_join(slice(…))))`
+  * pipeline materializes an array slice AND a joined string per window
+  * and re-hashes every byte n times — while the polynomial fingerprint
+  * composes over concatenation, so one pass over the token bytes plus
+  * n-1 multiply-adds per window produces identical values
+  * ([[kernels.windowFingerprints]]). The gram-generation kernel of the
+  * cross-document repetition operators. */
+case class WindowFingerprints(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "window_fingerprints"
+  override protected def nullSafeEval(tokens: Any, nAny: Any): Any =
+    kernels.windowFingerprints(tokens.asInstanceOf[ArrayData], nAny.asInstanceOf[Int])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev,
+      (a, n) => s"org.apache.spark.sql.graft.kernels.windowFingerprints($a, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): WindowFingerprints =
+    copy(left = l, right = r)
+}
+
 /** fingerprint64(text: string) → bigint: polynomial rolling hash over the
   * UTF-8 bytes (base-257 Rabin-Karp folded through FNV mixing). A cheap
   * whole-document content fingerprint for exact-dup detection without
@@ -227,6 +307,9 @@ object GraftFunctions {
     column(Shingles(expression(tokens),
       org.apache.spark.sql.catalyst.expressions.Literal(n)))
   def fingerprint64(c: Column): Column = column(Fingerprint64(expression(c)))
+  def windowFingerprints(tokens: Column, n: Int): Column =
+    column(WindowFingerprints(expression(tokens),
+      org.apache.spark.sql.catalyst.expressions.Literal(n)))
   def sentences(c: Column): Column = column(SentencesExpr(expression(c)))
   def minhashSignature(shingles: Column, k: Int): Column =
     column(MinHashSignature(expression(shingles),
@@ -326,6 +409,8 @@ object GraftFunctions {
     }),
     "minhash_signature" -> arity("minhash_signature", 2)(es =>
       MinHashSignature(es(0), es(1))),
+    "window_fingerprints" -> arity("window_fingerprints", 2)(es =>
+      WindowFingerprints(es(0), es(1))),
     "vector_avg" -> arity("vector_avg", 1)(es =>
       VectorAvg(es.head).toAggregateExpression()),
     "dot_product" -> arity("dot_product", 2)(es =>

@@ -36,6 +36,31 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(fps(0) !== fps(2))
   }
 
+  test("window_fingerprints: bitwise-equal to the composed slice/join/hash") {
+    // real corpus texts + adversarial edges: exact-length, short, empty
+    // tokens from double spaces, unicode bytes
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text").limit(200)
+      .union(Seq("a b c d e", "a b", "", "x  y é世 z w", "one")
+        .toDF("text"))
+    for (n <- Seq(1, 2, 5)) {
+      val ws = split($"text", "\\s+")
+      val nWin = size(ws) - (n - 1)
+      val composed = docs.select(
+        when(nWin >= 1, transform(sequence(lit(1), nWin),
+          i => GraftFunctions.fingerprint64(array_join(slice(ws, i, lit(n)), " "))))
+          .otherwise(array().cast("array<bigint>")).as("gs"))
+        .collect().map(_.getSeq[Long](0))
+      val fused = docs.select(
+          GraftFunctions.windowFingerprints(ws, n).as("gs"))
+        .collect().map(_.getSeq[Long](0))
+      composed.zip(fused).foreach { case (c, f) =>
+        assert(c === f, s"n=$n: fused kernel diverged from composed chain")
+      }
+    }
+  }
+
   test("sentences splits on punctuation then words (Hive builtin parity)") {
     val df = Seq("Hello there! How are you? Fine.").toDF("t")
       .select(GraftFunctions.sentences($"t").as("s"))
