@@ -14,12 +14,13 @@ import org.apache.spark.sql.functions._
   * (map-side partial count applies), and the resulting frequent-line set —
   * small by construction, because a line must recur in `minDocs` distinct
   * documents to qualify, bounding the set at totalLines/minDocs and in
-  * practice at the corpus' boilerplate vocabulary — is broadcast back as a
-  * one-row bucketed hash index. The strip itself is then a narrow
-  * codegen'd higher-order-function pass over each document's own lines:
-  * probe `element_at(bucketMap, fp % nBuckets)` (constant-time map of
-  * ~set/nBuckets-long arrays), `array_contains` within the bucket. No
-  * join, no repartition, no driver collect.
+  * practice at the corpus' boilerplate vocabulary — comes back as ONE
+  * sorted fingerprint array (a one-row broadcast, or a plan literal on
+  * the streaming path). The strip itself is the native codegen'd
+  * `lines_not_in` expression: one fingerprint eval + an O(log set)
+  * binary search per line, inside whole-stage codegen — no join, no
+  * repartition, no driver collect of the corpus, no interpreted
+  * higher-order-function lambda in the hot path.
   */
 object Boilerplate {
 
@@ -33,15 +34,15 @@ object Boilerplate {
         explode(array_distinct(split(col(textCol), "\n"))).as("line"))
       .groupBy("line").agg(count(lit(1)).as("n_docs"))
 
-  /** A materialized frequent-line index (bucket → fingerprints), the
+  /** A materialized frequent-line index (sorted fingerprints), the
     * index-build artifact of the STREAMING strip path — like the Bloom
     * filter in [[Dedup.dropAgainstCorpusBloom]], it is built once from
     * the static corpus and embedded as a plan literal, making the strip
     * itself a stateless narrow projection (streaming-safe, zero joins).
     * Size is bounded by the same totalLines/minDocs argument as the
     * broadcast path. */
-  final case class LineIndex(nBuckets: Int, buckets: Map[Long, Seq[Long]]) {
-    def nLines: Int = buckets.valuesIterator.map(_.size).sum
+  final case class LineIndex(sortedFps: Seq[Long]) {
+    def nLines: Int = sortedFps.size
   }
 
   /** The frequent-line fingerprints: one row per line occurring in >=
@@ -60,58 +61,43 @@ object Boilerplate {
   }
 
   /** The strip itself, shared by both index transports: rewrite `textCol`
-    * keeping only lines whose fingerprint is absent from the bucketed
-    * index column `idx`, plus an `n_removed` count. Pure codegen'd HOFs. */
-  private def stripAgainst(docs: DataFrame, idx: Column, textCol: String,
-      nBuckets: Int): DataFrame = {
-    val fp = (c: Column) => GraftFunctions.fingerprint64(c)
-    val isBoiler = (l: Column) =>
-      coalesce(array_contains(element_at(idx, pmod(fp(l), lit(nBuckets.toLong))),
-        fp(l)), lit(false))
+    * keeping only lines whose fingerprint is absent from the SORTED
+    * fingerprint array `idx`, plus an `n_removed` count. One native
+    * codegen'd binary-search pass. */
+  private def stripAgainst(docs: DataFrame, idx: Column,
+      textCol: String): DataFrame =
     docs
       .withColumn("_lines", split(col(textCol), "\n"))
-      .withColumn("_kept", filter(col("_lines"), l => !isBoiler(l)))
+      .withColumn("_kept", GraftFunctions.linesNotIn(col("_lines"), idx))
       .withColumn("n_removed",
         (size(col("_lines")) - size(col("_kept"))).cast("int"))
       .withColumn(textCol, array_join(col("_kept"), "\n"))
       .drop("_lines", "_kept")
-  }
 
   /** Strip every line that occurs in >= `minDocs` distinct documents.
     * Returns the input row with `textCol` rewritten (surviving lines
     * re-joined with '\n', order preserved) plus an `n_removed` count.
-    *
-    * `nBuckets` sizes the broadcast hash index: membership per line costs
-    * O(|frequent set| / nBuckets) inside whole-stage codegen. The default
-    * (1024) keeps a 1M-line boilerplate set at ~1k comparisons per line;
-    * raise it for pathological corpora. */
+    * Membership per line is a codegen'd binary search over the sorted
+    * broadcast fingerprint set — O(log |frequent set|). */
   def stripFrequentLines(docs: DataFrame, minDocs: Long,
-      idCol: String = "doc_id", textCol: String = "text",
-      nBuckets: Int = 1024): DataFrame = {
-    // one-row bucketed index: Map[bucket -> Array[fingerprint]],
-    // broadcast back against the corpus without ever collecting it
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // one-row sorted index, broadcast back against the corpus without
+    // ever collecting it
     val index = frequentFps(docs, minDocs, textCol)
-      .groupBy(pmod(col("_lfp"), lit(nBuckets.toLong)).as("_b"))
-      .agg(collect_list(col("_lfp")).as("_fps"))
-      .agg(map_from_entries(collect_list(struct(col("_b"), col("_fps"))))
-        .as("_idx"))
-    stripAgainst(docs.crossJoin(broadcast(index)), col("_idx"),
-      textCol, nBuckets).drop("_idx")
+      .agg(sort_array(collect_list(col("_lfp"))).as("_idx"))
+    stripAgainst(docs.crossJoin(broadcast(index)), col("_idx"), textCol)
+      .drop("_idx")
   }
 
   /** Index-build step for [[stripWithIndex]]: collect the frequent-line
-    * fingerprints of a STATIC corpus into a [[LineIndex]]. The collect is
-    * of the aggregated frequent set (bounded by totalLines/minDocs),
-    * never the corpus — the same driver-side index build as a Bloom
-    * filter. */
+    * fingerprints of a STATIC corpus into a sorted [[LineIndex]]. The
+    * collect is of the aggregated frequent set (bounded by
+    * totalLines/minDocs), never the corpus — the same driver-side index
+    * build as a Bloom filter. */
   def buildLineIndex(corpus: DataFrame, minDocs: Long,
-      textCol: String = "text", nBuckets: Int = 1024): LineIndex = {
-    val fps = frequentFps(corpus, minDocs, textCol)
-      .collect().map(_.getLong(0))
-    LineIndex(nBuckets,
-      fps.groupBy(f => java.lang.Math.floorMod(f, nBuckets.toLong))
-        .map { case (b, arr) => b -> arr.toSeq })
-  }
+      textCol: String = "text"): LineIndex =
+    LineIndex(frequentFps(corpus, minDocs, textCol)
+      .collect().map(_.getLong(0)).sorted.toSeq)
 
   /** Strip against a pre-built [[LineIndex]] embedded as a plan literal:
     * a stateless narrow projection with no join at all — safe on batch
@@ -120,6 +106,5 @@ object Boilerplate {
     * documents continuously). */
   def stripWithIndex(docs: DataFrame, index: LineIndex,
       textCol: String = "text"): DataFrame =
-    stripAgainst(docs,
-      typedLit(index.buckets), textCol, index.nBuckets)
+    stripAgainst(docs, typedLit(index.sortedFps), textCol)
 }

@@ -143,6 +143,41 @@ object kernels {
       .fromPrimitiveArray(out)
   }
 
+  /** Keep the lines whose [[fingerprint64]] is NOT in `fps` (a SORTED
+    * ascending array of fingerprints): one fingerprint eval + a binary
+    * search per line, all inside whole-stage codegen. Replaces the
+    * bucketed-map probe (`element_at` on Catalyst MapData is a LINEAR
+    * key scan, and higher-order-function lambdas evaluate interpreted),
+    * which made the boilerplate strip pay O(nBuckets) interpreted work
+    * plus two fingerprint evals per line. Null lines are kept (they
+    * have no fingerprint), matching the old coalesce(…, false) rule. */
+  def linesNotIn(lines: ArrayData, fps: ArrayData): ArrayData = {
+    val m = lines.numElements()
+    val k = fps.numElements()
+    val kept = new java.util.ArrayList[Any](m)
+    var i = 0
+    while (i < m) {
+      if (lines.isNullAt(i)) kept.add(null): Unit
+      else {
+        val s = lines.getUTF8String(i)
+        val h = fingerprint64(s)
+        var lo = 0
+        var hi = k - 1
+        var found = false
+        while (lo <= hi && !found) {
+          val mid = (lo + hi) >>> 1
+          val v = fps.getLong(mid)
+          if (v == h) found = true
+          else if (v < h) lo = mid + 1
+          else hi = mid - 1
+        }
+        if (!found) kept.add(s): Unit
+      }
+      i += 1
+    }
+    new GenericArrayData(kept.toArray)
+  }
+
   def minhashSignature(arr: ArrayData, k: Int): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
@@ -259,6 +294,29 @@ case class WindowFingerprints(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** lines_not_in(lines: array<string>, fps: array<bigint>) →
+  * array<string>: the surviving lines of a frequent-line strip — every
+  * line whose fingerprint64 is absent from the SORTED fingerprint set.
+  * The caller guarantees `fps` is sorted ascending (sort_array / a
+  * sorted literal); membership is a codegen'd binary search
+  * ([[kernels.linesNotIn]]). */
+case class LinesNotIn(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(LongType))
+  override def dataType: DataType = left.dataType
+  override def prettyName: String = "lines_not_in"
+  override protected def nullSafeEval(lines: Any, fps: Any): Any =
+    kernels.linesNotIn(lines.asInstanceOf[ArrayData], fps.asInstanceOf[ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev,
+      (a, f) => s"org.apache.spark.sql.graft.kernels.linesNotIn($a, $f)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LinesNotIn =
+    copy(left = l, right = r)
+}
+
 /** fingerprint64(text: string) → bigint: polynomial rolling hash over the
   * UTF-8 bytes (base-257 Rabin-Karp folded through FNV mixing). A cheap
   * whole-document content fingerprint for exact-dup detection without
@@ -310,6 +368,8 @@ object GraftFunctions {
   def windowFingerprints(tokens: Column, n: Int): Column =
     column(WindowFingerprints(expression(tokens),
       org.apache.spark.sql.catalyst.expressions.Literal(n)))
+  def linesNotIn(lines: Column, sortedFps: Column): Column =
+    column(LinesNotIn(expression(lines), expression(sortedFps)))
   def sentences(c: Column): Column = column(SentencesExpr(expression(c)))
   def minhashSignature(shingles: Column, k: Int): Column =
     column(MinHashSignature(expression(shingles),
@@ -411,6 +471,8 @@ object GraftFunctions {
       MinHashSignature(es(0), es(1))),
     "window_fingerprints" -> arity("window_fingerprints", 2)(es =>
       WindowFingerprints(es(0), es(1))),
+    "lines_not_in" -> arity("lines_not_in", 2)(es =>
+      LinesNotIn(es(0), es(1))),
     "vector_avg" -> arity("vector_avg", 1)(es =>
       VectorAvg(es.head).toAggregateExpression()),
     "dot_product" -> arity("dot_product", 2)(es =>

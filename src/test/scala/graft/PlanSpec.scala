@@ -181,8 +181,9 @@ class PlanSpec extends AnyFunSuite {
 
   test("q_crossdoc_repetition: grams shuffle as fingerprints, not text") {
     val p = plan("q_crossdoc_repetition")
-    assert(p.contains("fingerprint64"),
-      s"windows must reduce to fingerprints inside the scan pipeline:\n$p")
+    assert(p.contains("window_fingerprints"),
+      s"windows must reduce to fingerprints inside the scan pipeline " +
+        s"(fused one-pass kernel):\n$p")
     assert("(?s)HashAggregate.*Exchange.*HashAggregate".r.findFirstIn(p).isDefined)
   }
 

@@ -51,12 +51,24 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(at2(3L) === (("keep c", 0)))
   }
 
-  test("bucketed index agrees across bucket counts (hash-index invariance)") {
-    val a = Boilerplate.stripFrequentLines(corpus, minDocs = 3, nBuckets = 1)
-      .select("doc_id", "text", "n_removed").collect().toSet
-    val b = Boilerplate.stripFrequentLines(corpus, minDocs = 3, nBuckets = 4096)
-      .select("doc_id", "text", "n_removed").collect().toSet
-    assert(a === b)
+  test("binary-search strip agrees with a naive NOT IN over a large planted set") {
+    // ~120 frequent lines exercise the sorted-set search at every
+    // position (first, last, interior, absent on both sides)
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 40L).map { i =>
+      val boiler = (0 until 120).map(b => s"boiler line $b").mkString("\n")
+      (i, s"unique prose $i\n$boiler\ntail $i")
+    }.toDF("doc_id", "text")
+    val got = Boilerplate.stripFrequentLines(docs, minDocs = 30)
+      .select("doc_id", "text", "n_removed").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val expected = (1L to 40L)
+      .map(i => (i, s"unique prose $i\ntail $i", 120)).toSet
+    assert(got === expected)
+    val idx = Boilerplate.buildLineIndex(docs, minDocs = 30)
+    assert(idx.nLines === 120)
+    assert(idx.sortedFps === idx.sortedFps.sorted,
+      "index must be sorted for the binary search")
   }
 
   test("lineDocCounts reports distinct-doc frequency per line") {
