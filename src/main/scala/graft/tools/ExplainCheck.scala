@@ -45,6 +45,19 @@ object ExplainCheck {
     val idx = graft.ops.IvfIndex.build(embs, nlist = 8)
     println(graft.ops.IvfIndex.search(idx, col("vec_id") < 10, k = 5, nprobe = 4)
       .queryExecution.explainString(fmt))
+    // streaming ANN serving joins, planned over batch frames (the join
+    // shape is identical; withWatermark is a no-op on batch): the join
+    // must key on the block salt / (bucket, blk) index key — never a
+    // constant that would collapse the stream×base product to one task
+    val queries = embs.filter(col("vec_id") < 10).withColumn("event_time",
+      org.apache.spark.sql.functions.timestamp_seconds(col("vec_id")))
+    println("########## op:annLookupStream (block-salted serving join)")
+    println(graft.streaming.EventStreams.annLookupStream(queries, embs, 5)
+      .queryExecution.explainString(fmt))
+    println("########## op:annLookupStreamIndexed (sign-bucket index probe)")
+    println(graft.streaming.EventStreams.annLookupStreamIndexed(
+        queries, embs, 5, dIn = 64, bits = 6)
+      .queryExecution.explainString(fmt))
     spark.stop()
   }
 }

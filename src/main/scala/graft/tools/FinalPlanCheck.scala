@@ -11,6 +11,9 @@ object FinalPlanCheck {
       .config("spark.sql.session.timeZone","UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.SparkEntry.queries("q_multi_join_star")(spark, "/root/testdata/sf0.1")
+    // collect() is deliberate: this is a driver-side DIAGNOSTIC (forces
+    // the AQE final plan of a 25-row result so it can be printed) — not
+    // an engine path; no operator ships data to the driver this way
     df.collect()
     println(df.queryExecution.executedPlan.toString.linesIterator
       .filter(l => l.contains("Join") || l.contains("Exchange") || l.contains("Scan") || l.contains("Aggregate"))
