@@ -176,6 +176,24 @@ object Snapshots {
     writeSmallAtomic(f, pointerPath(tableDir), s"$to $hwm")
   }
 
+  /** Compact the CURRENT snapshot into ~`targetFiles` files, committed
+    * as a copy-on-write replace snapshot — the maintenance companion of
+    * the streaming sink ([[commitBatch]] appends one file set per
+    * micro-batch, so an always-on stream grows the manifest without
+    * bound until compaction folds it). Readers are never disturbed:
+    * time travel to pre-compaction snapshots keeps working until
+    * [[expire]] reclaims them, and the stream high-water mark rides
+    * through untouched (a restart after compaction must still skip
+    * replayed batches). The rewrite itself is a normal distributed
+    * read → repartition → write; only manifest/pointer metadata is
+    * driver-side. Returns the new snapshot id. */
+  def compact(spark: SparkSession, tableDir: String,
+      targetFiles: Int = 32): Long = {
+    require(targetFiles >= 1, s"targetFiles=$targetFiles")
+    doCommit(spark, read(spark, tableDir).repartition(targetFiles),
+      tableDir, append = false, batchId = None)
+  }
+
   /** Drop every data file not referenced by a retained snapshot manifest
     * (expired manifests are removed too). Retained = the newest `keep`
     * manifests, PLUS the snapshot LATEST points to (after a [[rollback]]

@@ -161,6 +161,36 @@ class SnapshotsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet === Set(1L))
   }
 
+  test("compact folds stream appends into few files; history and hwm survive") {
+    val dir = freshDir()
+    // simulate a stream: 5 micro-batch appends, several files each
+    (0L to 4L).foreach { b =>
+      assert(Snapshots.commitBatch(spark,
+        Seq((b * 10, "x"), (b * 10 + 1, "y")).toDF("id", "v")
+          .repartition(4), dir, batchId = b).isDefined)
+    }
+    val before = Snapshots.read(spark, dir)
+    val filesBefore = before.inputFiles.length
+    val rows = before.collect().map(_.getLong(0)).toSet
+    val id = Snapshots.compact(spark, dir, targetFiles = 2)
+    assert(id === 6L)
+    val after = Snapshots.read(spark, dir)
+    // same content, far fewer files
+    assert(after.collect().map(_.getLong(0)).toSet === rows)
+    assert(after.inputFiles.length <= 2 &&
+      after.inputFiles.length < filesBefore)
+    // pre-compaction snapshots still time-travel until expire
+    assert(Snapshots.read(spark, dir, asOf = Some(3L)).count() === 6)
+    // the stream high-water mark survived: replaying batch 4 is a no-op
+    assert(Snapshots.commitBatch(spark, Seq((99L, "z")).toDF("id", "v"),
+      dir, batchId = 4L).isEmpty)
+    // ... while batch 5 (genuinely new) commits on top of the compacted state
+    assert(Snapshots.commitBatch(spark, Seq((50L, "w")).toDF("id", "v"),
+      dir, batchId = 5L).isDefined)
+    assert(Snapshots.read(spark, dir).collect().map(_.getLong(0)).toSet
+      === rows + 50L)
+  }
+
   test("expire drops unreferenced data files but keeps live snapshots") {
     val dir = freshDir()
     Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir)          // 1
