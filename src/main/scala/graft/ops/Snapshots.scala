@@ -176,6 +176,42 @@ object Snapshots {
     writeSmallAtomic(f, pointerPath(tableDir), s"$to $hwm")
   }
 
+  /** Incremental change feed: the rows ADDED after snapshot `from`
+    * (exclusive), up to `to` (inclusive; default LATEST), read as the
+    * manifest file-set difference — the at-scale consumption pattern
+    * for a snapshot table fed by the streaming sink: a downstream
+    * pipeline checkpoints the snapshot id it last processed and reads
+    * only the delta, never rescanning 100 TB of history. `from = 0`
+    * means "from the beginning" (the full snapshot `to`).
+    *
+    * Only valid over an APPEND-ONLY range: a copy-on-write replace
+    * ([[commit]] with append=false, [[compact]]) rewrites the file
+    * set, so "files new in `to`" would silently contain rewritten OLD
+    * rows — that case is detected (a `from` file missing from `to`)
+    * and rejected loudly; resume the feed from the rewriting snapshot
+    * instead. */
+  def changes(spark: SparkSession, tableDir: String, from: Long,
+      to: Option[Long] = None): DataFrame = {
+    val (f, _) = fs(spark, tableDir)
+    val toId = to.orElse(latestId(spark, tableDir)).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots in $tableDir"))
+    require(from >= 0 && from <= toId, s"from=$from out of range (to=$toId)")
+    def files(id: Long): Seq[String] =
+      readSmall(f, manifestPath(tableDir, id)).split("\n")
+        .filter(_.nonEmpty).toIndexedSeq
+    val base = if (from == 0) Set.empty[String] else files(from).toSet
+    val target = files(toId)
+    val missing = base -- target.toSet
+    require(missing.isEmpty,
+      s"snapshots ($from, $toId] are not append-only: ${missing.size} " +
+        s"file(s) of snapshot $from were rewritten (replace/compact in " +
+        "range) — resume the change feed from the rewriting snapshot")
+    val fresh = target.filterNot(base)
+    if (fresh.isEmpty)
+      spark.read.parquet(target.toIndexedSeq: _*).limit(0)
+    else spark.read.parquet(fresh: _*)
+  }
+
   /** Compact the CURRENT snapshot into ~`targetFiles` files, committed
     * as a copy-on-write replace snapshot — the maintenance companion of
     * the streaming sink ([[commitBatch]] appends one file set per

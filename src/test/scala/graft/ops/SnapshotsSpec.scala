@@ -191,6 +191,34 @@ class SnapshotsSpec extends AnyFunSuite {
       === rows + 50L)
   }
 
+  test("change feed reads exactly the appended delta; replace in range rejected") {
+    val dir = freshDir()
+    (0L to 2L).foreach { b =>
+      Snapshots.commitBatch(spark,
+        Seq((b * 10, "v")).toDF("id", "v"), dir, batchId = b): Unit
+    } // snapshots 1..3, rows {0}, {0,10}, {0,10,20}
+    // delta after snapshot 1 = rows of batches 1..2
+    assert(Snapshots.changes(spark, dir, from = 1L)
+      .collect().map(_.getLong(0)).toSet === Set(10L, 20L))
+    // bounded range (1, 2]
+    assert(Snapshots.changes(spark, dir, from = 1L, to = Some(2L))
+      .collect().map(_.getLong(0)).toSet === Set(10L))
+    // from = 0 is the full snapshot; an empty range is an empty frame
+    assert(Snapshots.changes(spark, dir, from = 0L)
+      .collect().map(_.getLong(0)).toSet === Set(0L, 10L, 20L))
+    assert(Snapshots.changes(spark, dir, from = 3L).count() === 0)
+    // a compact (replace) inside the range invalidates the file diff
+    val cid = Snapshots.compact(spark, dir, targetFiles = 1)
+    intercept[IllegalArgumentException] {
+      Snapshots.changes(spark, dir, from = 1L)
+    }
+    // resuming from the rewriting snapshot works for later appends
+    Snapshots.commit(spark, Seq((30L, "w")).toDF("id", "v"), dir,
+      append = true): Unit
+    assert(Snapshots.changes(spark, dir, from = cid)
+      .collect().map(_.getLong(0)).toSet === Set(30L))
+  }
+
   test("expire drops unreferenced data files but keeps live snapshots") {
     val dir = freshDir()
     Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir)          // 1
