@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
 
 /** Manifest-based snapshot layout: atomic multi-file commits, snapshot
   * reads, time travel, and rollback over plain parquet — the guarantees
@@ -174,6 +175,53 @@ object Snapshots {
       s"snapshot $to does not exist in $tableDir")
     val hwm = latestPointer(spark, tableDir).map(_._2).getOrElse(-1L)
     writeSmallAtomic(f, pointerPath(tableDir), s"$to $hwm")
+  }
+
+  /** Copy-on-write MERGE (upsert by key): rows of `updates` replace
+    * same-key rows of the current snapshot, new keys append — and only
+    * the data files that actually CONTAIN a matching key are rewritten;
+    * every untouched file carries into the new manifest BY REFERENCE
+    * (the table-format CoW merge shape): at 100 TB a merge touching
+    * 0.1% of keys rewrites ~0.1% of the files, not the table, and the
+    * win compounds when ingest clusters keys into files (e.g. the
+    * streaming sink's per-batch files, or [[compact]] after a
+    * key-ordered write). The touched-file list is a driver-side collect
+    * bounded by the FILE count — the same metadata class as the
+    * manifest itself; all row work is distributed. `updates` must be
+    * key-unique (checked). Readers of older snapshots are unaffected;
+    * the stream high-water mark rides through. Returns the new
+    * snapshot id. */
+  def merge(spark: SparkSession, tableDir: String, updates: DataFrame,
+      keyCol: String): Long = {
+    val prev = latestPointer(spark, tableDir)
+    if (prev.isEmpty) return commit(spark, updates, tableDir)
+    val dups = updates.groupBy(col(keyCol)).count().filter(col("count") > 1).count()
+    require(dups == 0, s"updates carry $dups duplicated merge key(s)")
+    val (f, root) = fs(spark, tableDir)
+    val id = maxManifestId(f, root) + 1L
+    val norm = (s: String) => new org.apache.hadoop.fs.Path(s).toString
+    val curFiles = readSmall(f, manifestPath(tableDir, prev.get._1))
+      .split("\n").filter(_.nonEmpty).toIndexedSeq
+    val cur = spark.read.parquet(curFiles: _*)
+    val keys = updates.select(col(keyCol)).distinct()
+    val touched = cur.select(col(keyCol), input_file_name().as("_file"))
+      .join(broadcast(keys), Seq(keyCol), "left_semi")
+      .select(col("_file")).distinct()
+      .collect().map(r => norm(r.getString(0))).toSet
+    val dataDir = new org.apache.hadoop.fs.Path(root, s"data/commit-$id")
+    val survivors =
+      if (touched.isEmpty) updates.select(cur.columns.map(col): _*)
+      else spark.read.parquet(touched.toIndexedSeq: _*)
+        .join(broadcast(keys), Seq(keyCol), "left_anti")
+        .unionByName(updates.select(cur.columns.map(col): _*))
+    survivors.write.mode("overwrite").parquet(dataDir.toString)
+    val fresh = f.listStatus(dataDir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    val carried = curFiles.filterNot(p => touched(norm(p)))
+    writeSmallAtomic(f, manifestPath(tableDir, id),
+      (carried ++ fresh).mkString("\n"))
+    writeSmallAtomic(f, pointerPath(tableDir), s"$id ${prev.get._2}")
+    id
   }
 
   /** Incremental change feed: the rows ADDED after snapshot `from`

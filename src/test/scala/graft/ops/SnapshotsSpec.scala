@@ -219,6 +219,43 @@ class SnapshotsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet === Set(30L))
   }
 
+  test("merge rewrites only the files containing matched keys") {
+    val dir = freshDir()
+    // 30 rows range-clustered into 3 files: keys 0-9 / 10-19 / 20-29
+    val base = (0L until 30L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(3, $"id")
+    Snapshots.commit(spark, base, dir)
+    val filesBefore = Snapshots.read(spark, dir).inputFiles.toSet
+    assert(filesBefore.size === 3)
+    // update two keys in ONE cluster + insert a brand-new key
+    val updates = Seq((3L, "V3"), (7L, "V7"), (99L, "V99")).toDF("id", "v")
+    val id = Snapshots.merge(spark, dir, updates, "id")
+    assert(id === 2L)
+    val after = Snapshots.read(spark, dir)
+    val got = after.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size === 31)
+    assert(got(3L) === "V3" && got(7L) === "V7" && got(99L) === "V99")
+    assert(got(1L) === "v1" && got(15L) === "v15" && got(25L) === "v25")
+    // exactly the one touched file was rewritten; the other two carry
+    // into the new manifest by reference
+    val filesAfter = after.inputFiles.toSet
+    assert((filesBefore & filesAfter).size === 2,
+      "untouched files must be referenced, not rewritten")
+    // time travel to the pre-merge snapshot is intact
+    val old = Snapshots.read(spark, dir, asOf = Some(1L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(old.size === 30 && old(3L) === "v3")
+    // key-duplicated updates are rejected
+    intercept[IllegalArgumentException] {
+      Snapshots.merge(spark, dir,
+        Seq((1L, "a"), (1L, "b")).toDF("id", "v"), "id")
+    }
+    // merge into an empty table is a plain first commit
+    val dir2 = freshDir()
+    assert(Snapshots.merge(spark, dir2, updates, "id") === 1L)
+    assert(Snapshots.read(spark, dir2).count() === 3)
+  }
+
   test("expire drops unreferenced data files but keeps live snapshots") {
     val dir = freshDir()
     Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir)          // 1
