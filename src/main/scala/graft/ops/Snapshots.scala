@@ -197,30 +197,63 @@ object Snapshots {
     if (prev.isEmpty) return commit(spark, updates, tableDir)
     val dups = updates.groupBy(col(keyCol)).count().filter(col("count") > 1).count()
     require(dups == 0, s"updates carry $dups duplicated merge key(s)")
+    rewriteTouched(spark, tableDir, prev.get, updates.select(col(keyCol)),
+      keyCol, appended = Some(updates))
+  }
+
+  /** Targeted deletion (the right-to-be-forgotten / takedown op a
+    * training-data pipeline must support): remove every row whose key
+    * is in `keys`, with the same file-granular copy-on-write shape as
+    * [[merge]] — only files containing a matched key rewrite, the rest
+    * carry by reference. Note the deleted rows remain readable through
+    * OLDER snapshots until [[expire]] reclaims them: a complete purge
+    * is `delete` followed by `expire` of the pre-deletion history.
+    * Returns the new snapshot id. */
+  def delete(spark: SparkSession, tableDir: String, keys: DataFrame,
+      keyCol: String): Long = {
+    val prev = latestPointer(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots in $tableDir"))
+    rewriteTouched(spark, tableDir, prev, keys.select(col(keyCol)),
+      keyCol, appended = None)
+  }
+
+  /** Shared CoW core of [[merge]] and [[delete]]: drop `keys`-matching
+    * rows from exactly the files that contain them, append `appended`
+    * (if any), carry every untouched file by reference, install the
+    * new (manifest, pointer) with the stream hwm preserved. */
+  private def rewriteTouched(spark: SparkSession, tableDir: String,
+      prev: (Long, Long), keys: DataFrame, keyCol: String,
+      appended: Option[DataFrame]): Long = {
     val (f, root) = fs(spark, tableDir)
     val id = maxManifestId(f, root) + 1L
     val norm = (s: String) => new org.apache.hadoop.fs.Path(s).toString
-    val curFiles = readSmall(f, manifestPath(tableDir, prev.get._1))
+    val curFiles = readSmall(f, manifestPath(tableDir, prev._1))
       .split("\n").filter(_.nonEmpty).toIndexedSeq
     val cur = spark.read.parquet(curFiles: _*)
-    val keys = updates.select(col(keyCol)).distinct()
+    val keySet = keys.distinct()
     val touched = cur.select(col(keyCol), input_file_name().as("_file"))
-      .join(broadcast(keys), Seq(keyCol), "left_semi")
+      .join(broadcast(keySet), Seq(keyCol), "left_semi")
       .select(col("_file")).distinct()
       .collect().map(r => norm(r.getString(0))).toSet
-    val dataDir = new org.apache.hadoop.fs.Path(root, s"data/commit-$id")
-    val survivors =
-      if (touched.isEmpty) updates.select(cur.columns.map(col): _*)
-      else spark.read.parquet(touched.toIndexedSeq: _*)
-        .join(broadcast(keys), Seq(keyCol), "left_anti")
-        .unionByName(updates.select(cur.columns.map(col): _*))
-    survivors.write.mode("overwrite").parquet(dataDir.toString)
-    val fresh = f.listStatus(dataDir).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    val colsInOrder = cur.columns.map(col).toSeq
+    val rewritten =
+      if (touched.isEmpty) None
+      else Some(spark.read.parquet(touched.toIndexedSeq: _*)
+        .join(broadcast(keySet), Seq(keyCol), "left_anti")
+        .select(colsInOrder: _*))
+    val fresh = (rewritten, appended.map(_.select(colsInOrder: _*))) match {
+      case (None, None) => Seq.empty[String]
+      case (r, a) =>
+        val out = (r.toSeq ++ a.toSeq).reduce(_ unionByName _)
+        val dataDir = new org.apache.hadoop.fs.Path(root, s"data/commit-$id")
+        out.write.mode("overwrite").parquet(dataDir.toString)
+        f.listStatus(dataDir).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted.toSeq
+    }
     val carried = curFiles.filterNot(p => touched(norm(p)))
     writeSmallAtomic(f, manifestPath(tableDir, id),
       (carried ++ fresh).mkString("\n"))
-    writeSmallAtomic(f, pointerPath(tableDir), s"$id ${prev.get._2}")
+    writeSmallAtomic(f, pointerPath(tableDir), s"$id ${prev._2}")
     id
   }
 

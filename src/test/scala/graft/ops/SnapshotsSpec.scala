@@ -256,6 +256,33 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir2).count() === 3)
   }
 
+  test("delete removes keyed rows file-granularly; purge completes via expire") {
+    val dir = freshDir()
+    val base = (0L until 30L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(3, $"id")
+    Snapshots.commit(spark, base, dir)
+    val filesBefore = Snapshots.read(spark, dir).inputFiles.toSet
+    val id = Snapshots.delete(spark, dir,
+      Seq(4L, 8L).toDF("id"), "id")
+    assert(id === 2L)
+    val after = Snapshots.read(spark, dir)
+    assert(after.collect().map(_.getLong(0)).toSet ===
+      (0L until 30L).toSet -- Set(4L, 8L))
+    // both deleted keys live in the first range file: two files carry
+    assert((filesBefore & after.inputFiles.toSet).size === 2)
+    // the rows are still in pre-deletion history (documented) ...
+    assert(Snapshots.read(spark, dir, asOf = Some(1L)).count() === 30)
+    // ... and a full purge = delete + expire of that history
+    Snapshots.expire(spark, dir, keep = 1)
+    intercept[Exception] {
+      Snapshots.read(spark, dir, asOf = Some(1L)).collect()
+    }
+    assert(Snapshots.read(spark, dir).count() === 28)
+    // deleting keys absent from the table is a no-op commit
+    val id3 = Snapshots.delete(spark, dir, Seq(999L).toDF("id"), "id")
+    assert(Snapshots.read(spark, dir, asOf = Some(id3)).count() === 28)
+  }
+
   test("expire drops unreferenced data files but keeps live snapshots") {
     val dir = freshDir()
     Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir)          // 1
