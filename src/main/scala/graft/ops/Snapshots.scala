@@ -23,6 +23,14 @@ import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
   * their data dirs. All metadata work is a handful of driver-side
   * filesystem calls; the data write itself is a normal distributed
   * parquet write — nothing here scales with row count.
+  *
+  * Concurrency contract: SINGLE WRITER, any number of readers.
+  * Readers are always safe (they pin an immutable file list); two
+  * concurrent committers could race the id derivation and the
+  * last pointer install would win silently. Serialize writers
+  * externally, or on an object store replace the pointer rename with
+  * a conditional put (if-match) to turn the race into a retryable
+  * commit conflict — the protocol is otherwise unchanged.
   */
 object Snapshots {
 
