@@ -1,0 +1,241 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-file column statistics for [[Snapshots]] tables — the data-
+  * skipping layer of the snapshot format (the role min/max manifests
+  * play in the public table formats: prune entire files from a scan
+  * when their value range cannot satisfy a predicate). At 100 TB this
+  * is the difference between "scan the table" and "scan the 0.3% of
+  * files whose range overlaps the query": a time-range query over a
+  * stream-ingested table (naturally time-clustered files) or an id
+  * probe over a [[Layout.zorderWrite]]-clustered table touches a
+  * handful of files, and the pruning decision itself is metadata-only
+  * (driver reads one small sidecar, never a data file).
+  *
+  * Sidecar layout: `stats-<id>.txt` next to `manifest-<id>.txt`, one
+  * header line (`#cols c1,c2`) and one line per (file, column):
+  * {{{
+  *   <path> TAB <col> TAB <kind> TAB <nonNullCount> TAB <min> TAB <max> TAB <maxUnbounded>
+  * }}}
+  * Values are exact for integral/floating/date/timestamp columns
+  * (integral stats stay integral — never rounded through a double);
+  * string stats are truncated at [[StringCap]] code units, the min
+  * truncated down (a prefix is a valid lower bound) and the max
+  * rounded UP by incrementing the last code point (the standard
+  * truncate-and-increment upper bound); a max that cannot be rounded
+  * up is recorded unbounded. String comparisons — both Spark's min/max
+  * aggregate and the prune check here — use CODE POINT order (what
+  * UTF-8 byte order gives Spark's UTF8String), not Java's UTF-16
+  * code-unit order.
+  *
+  * Pruning is always CONSERVATIVE: a file with no stats line, an
+  * unsupported column type, or an unbounded max is kept; a file whose
+  * recorded range cannot overlap the predicate — including an
+  * all-null column, which no range predicate matches — is skipped.
+  * NaN doubles follow Spark's ordering (NaN greater than everything),
+  * which `java.lang.Double.compare` reproduces exactly; -0.0 is
+  * normalized to 0.0 on both the stats and the bound side, mirroring
+  * Spark's comparison semantics.
+  */
+private[ops] object SnapshotStats {
+
+  /** Max stored string-stat length, in UTF-16 code units. */
+  val StringCap = 96
+
+  final case class Line(path: String, column: String, kind: String,
+      nonNull: Long, min: Option[String], max: Option[String],
+      maxUnbounded: Boolean) {
+    def encode: String = {
+      def enc(v: Option[String]) = v match {
+        case None => "-"
+        case Some(s) if kind == "str" =>
+          java.util.Base64.getEncoder.encodeToString(
+            s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        case Some(s) => s
+      }
+      s"$path\t$column\t$kind\t$nonNull\t${enc(min)}\t${enc(max)}\t${if (maxUnbounded) 1 else 0}"
+    }
+  }
+
+  def decodeLine(s: String): Line = {
+    val p = s.split("\t", -1)
+    def dec(v: String, kind: String): Option[String] =
+      if (v == "-") None
+      else if (kind == "str") Some(new String(
+        java.util.Base64.getDecoder.decode(v),
+        java.nio.charset.StandardCharsets.UTF_8))
+      else Some(v)
+    Line(p(0), p(1), p(2), p(3).toLong, dec(p(4), p(2)), dec(p(5), p(2)),
+      p(6) == "1")
+  }
+
+  /** Code-point-order string comparison — the order Spark's UTF8String
+    * (UTF-8 byte order) sorts strings in, which Java's UTF-16
+    * `compareTo` does NOT reproduce for supplementary characters. */
+  def cmpUtf8(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Truncated lower bound: a prefix sorts at or below every string it
+    * prefixes. A split surrogate pair at the cut drops its high half. */
+  def lowerBound(s: String): String =
+    if (s.length <= StringCap) s
+    else {
+      val cut = s.substring(0, StringCap)
+      if (Character.isHighSurrogate(cut.charAt(cut.length - 1)))
+        cut.substring(0, cut.length - 1)
+      else cut
+    }
+
+  /** Truncate-and-increment upper bound: the smallest prefix-length
+    * string strictly above every string sharing the prefix. None when
+    * every code point in the prefix is already at the maximum. */
+  def upperBound(s: String): Option[String] = {
+    if (s.length <= StringCap) return Some(s)
+    var p = s.substring(0, StringCap)
+    if (Character.isHighSurrogate(p.charAt(p.length - 1)))
+      p = p.substring(0, p.length - 1)
+    var i = p.length
+    while (i > 0) {
+      val cpStart =
+        if (i >= 2 && Character.isLowSurrogate(p.charAt(i - 1)) &&
+            Character.isHighSurrogate(p.charAt(i - 2))) i - 2
+        else i - 1
+      val cp = p.codePointAt(cpStart)
+      // skip the surrogate block: those values are not valid code points
+      val next = if (cp + 1 == 0xD800) 0xE000 else cp + 1
+      if (next <= 0x10FFFF && (next < 0xD800 || next > 0xDFFF))
+        return Some(p.substring(0, cpStart) + new String(Character.toChars(next)))
+      i = cpStart
+    }
+    None
+  }
+
+  /** (kind, projected column) for a supported type; None → no stats
+    * (the column is then never pruned on — conservative). Integral,
+    * date and timestamp stats travel as exact longs; float widens to
+    * double exactly; decimals are deliberately unsupported (a double
+    * round could shrink the range and cause a WRONG prune). */
+  def projection(dt: DataType, c: Column): Option[(String, Column)] = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      Some(("int", c.cast("long")))
+    case FloatType | DoubleType => Some(("num", c.cast("double")))
+    case StringType => Some(("str", c))
+    case DateType => Some(("int", unix_date(c)))
+    case TimestampType => Some(("int", unix_micros(c)))
+    case _ => None
+  }
+
+  private def norm(s: String): String =
+    new org.apache.hadoop.fs.Path(s).toString
+
+  private def render(kind: String, v: Any): String = kind match {
+    case "num" =>
+      val d = v.asInstanceOf[Double]
+      java.lang.Double.toString(if (d == 0.0) 0.0 else d)
+    case _ => v.toString
+  }
+
+  /** Compute stats lines for `files` (a fresh commit's output) over
+    * `cols`. One distributed aggregate grouped by file; the collect is
+    * bounded by file count × column count — the same metadata class as
+    * the manifest itself. Unsupported/absent columns are skipped. */
+  def compute(spark: SparkSession, files: Seq[String],
+      cols: Seq[String]): Seq[Line] = {
+    if (files.isEmpty || cols.isEmpty) return Nil
+    val df = spark.read.parquet(files: _*)
+    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val supported = cols.flatMap(c =>
+      fields.get(c).flatMap(dt => projection(dt, col(c)).map {
+        case (kind, proj) => (c, kind, proj) }))
+    if (supported.isEmpty) return Nil
+    val aggs = supported.flatMap { case (c, _, proj) => Seq(
+      min(proj).as(s"_min_$c"), max(proj).as(s"_max_$c"),
+      count(proj).as(s"_nn_$c")) }
+    val rows = df.groupBy(input_file_name().as("_f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    rows.toIndexedSeq.flatMap { r =>
+      val path = norm(r.getAs[String]("_f"))
+      supported.map { case (c, kind, _) =>
+        val nn = r.getAs[Long](s"_nn_$c")
+        val rawMin = Option(r.getAs[Any](s"_min_$c"))
+        val rawMax = Option(r.getAs[Any](s"_max_$c"))
+        if (nn == 0 || rawMin.isEmpty)
+          Line(path, c, kind, 0L, None, None, maxUnbounded = false)
+        else if (kind == "str") {
+          val up = upperBound(rawMax.get.asInstanceOf[String])
+          Line(path, c, kind, nn,
+            Some(lowerBound(rawMin.get.asInstanceOf[String])),
+            up, maxUnbounded = up.isEmpty)
+        } else Line(path, c, kind, nn,
+          Some(render(kind, rawMin.get)), Some(render(kind, rawMax.get)),
+          maxUnbounded = false)
+      }
+    }
+  }
+
+  /** Parse a stats sidecar: (columns, lines). */
+  def read(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[(Seq[String], Seq[Line])] = {
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val content =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val lines = content.split("\n").filter(_.nonEmpty)
+    val cols = lines.headOption.filter(_.startsWith("#cols "))
+      .map(_.stripPrefix("#cols ").split(",").filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    Some((cols, lines.drop(1).map(decodeLine).toIndexedSeq))
+  }
+
+  def renderFile(cols: Seq[String], lines: Seq[Line]): String =
+    (s"#cols ${cols.mkString(",")}" +: lines.map(_.encode)).mkString("\n")
+
+  /** Convert a user-supplied bound to the stats comparison domain of
+    * `dt`. Unconvertible bounds disable pruning on that column (the
+    * row-level filter still applies — correctness never depends on the
+    * conversion). */
+  def toBound(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+    case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
+      Some(n.longValue())
+    case (FloatType | DoubleType, n: Number) =>
+      val d = n.doubleValue(); Some(if (d == 0.0) 0.0 else d)
+    case (StringType, s: String) => Some(s)
+    case (DateType, d: java.sql.Date) => Some(d.toLocalDate.toEpochDay)
+    case (DateType, d: java.time.LocalDate) => Some(d.toEpochDay)
+    case (TimestampType, t: java.sql.Timestamp) =>
+      Some(t.getTime / 1000 * 1000000L + t.getNanos / 1000)
+    case (TimestampType, t: java.time.Instant) =>
+      Some(t.getEpochSecond * 1000000L + t.getNano / 1000)
+    case _ => None
+  }
+
+  private def cmp(kind: String, a: String, b: Any): Int = kind match {
+    case "int" => java.lang.Long.compare(a.toLong, b.asInstanceOf[Long])
+    case "num" =>
+      java.lang.Double.compare(a.toDouble, b.asInstanceOf[Double])
+    case "str" => cmpUtf8(a, b.asInstanceOf[String])
+  }
+
+  /** May `line`'s file contain a value in [lo, hi]? (Either bound
+    * optional.) All-null columns match no range predicate. */
+  def mayContain(line: Line, lo: Option[Any], hi: Option[Any]): Boolean = {
+    if (line.nonNull == 0) return false
+    val aboveLo = lo.forall(l =>
+      line.maxUnbounded || line.max.forall(m => cmp(line.kind, m, l) >= 0))
+    val belowHi = hi.forall(h =>
+      line.min.forall(m => cmp(line.kind, m, h) <= 0))
+    aboveLo && belowHi
+  }
+}

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
+import org.apache.spark.sql.functions.{broadcast, col, input_file_name, lit}
 
 /** Manifest-based snapshot layout: atomic multi-file commits, snapshot
   * reads, time travel, and rollback over plain parquet — the guarantees
@@ -44,6 +44,9 @@ object Snapshots {
 
   private def manifestPath(dir: String, id: Long) =
     new org.apache.hadoop.fs.Path(dir, s"manifest-$id.txt")
+
+  private def statsPath(dir: String, id: Long) =
+    new org.apache.hadoop.fs.Path(dir, s"stats-$id.txt")
 
   private def readSmall(f: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): String = {
@@ -106,8 +109,33 @@ object Snapshots {
   def latestId(spark: SparkSession, tableDir: String): Option[Long] =
     latestPointer(spark, tableDir).map(_._1)
 
+  /** Write the `stats-<id>.txt` sidecar for a new snapshot: fresh files
+    * get one distributed min/max/count aggregate over the stat columns
+    * ([[SnapshotStats.compute]]); carried files re-use their existing
+    * lines verbatim (immutable files, immutable stats). `statsCols`
+    * empty inherits the previous snapshot's stat columns, so the
+    * streaming sink and maintenance ops keep a table's data-skipping
+    * alive without re-stating the column list on every commit. */
+  private def writeStats(spark: SparkSession,
+      f: org.apache.hadoop.fs.FileSystem, tableDir: String, id: Long,
+      prevId: Option[Long], statsCols: Seq[String],
+      carried: Seq[String], fresh: Seq[String]): Unit = {
+    val prevStats = prevId.flatMap(p => SnapshotStats.read(f, statsPath(tableDir, p)))
+    val effCols =
+      if (statsCols.nonEmpty) statsCols
+      else prevStats.map(_._1).getOrElse(Seq.empty)
+    if (effCols.isEmpty) return
+    val carriedSet = carried.toSet
+    val carriedLines = prevStats.toSeq.flatMap(_._2)
+      .filter(l => carriedSet(l.path))
+    val freshLines = SnapshotStats.compute(spark, fresh, effCols)
+    writeSmallAtomic(f, statsPath(tableDir, id),
+      SnapshotStats.renderFile(effCols, carriedLines ++ freshLines))
+  }
+
   private def doCommit(spark: SparkSession, df: DataFrame, tableDir: String,
-      append: Boolean, batchId: Option[Long]): Long = {
+      append: Boolean, batchId: Option[Long],
+      statsCols: Seq[String] = Nil): Long = {
     val (f, root) = fs(spark, tableDir)
     f.mkdirs(root): Unit
     val prev = latestPointer(spark, tableDir)
@@ -126,6 +154,8 @@ object Snapshots {
           .split("\n").filter(_.nonEmpty).toSeq }
         .getOrElse(Seq.empty)
       else Seq.empty
+    writeStats(spark, f, tableDir, id, prev.map(_._1), statsCols,
+      carried, fresh.toIndexedSeq)
     writeSmallAtomic(f, manifestPath(tableDir, id),
       (carried ++ fresh).mkString("\n"))
     // a manual commit preserves the stream high-water mark instead of
@@ -139,11 +169,14 @@ object Snapshots {
   /** Commit `df` as the next snapshot. `append = true` carries the
     * previous snapshot's files forward (delta commit — the new files are
     * written, old data is NOT rewritten); `append = false` makes the new
-    * snapshot exactly `df` (copy-on-write replace). Returns the new
-    * snapshot id. Readers of older snapshots are unaffected. */
+    * snapshot exactly `df` (copy-on-write replace). `statsCols` turns on
+    * per-file min/max stats ([[SnapshotStats]]) for those columns —
+    * subsequent commits inherit the column list automatically, and
+    * [[readRange]] prunes files with it. Returns the new snapshot id.
+    * Readers of older snapshots are unaffected. */
   def commit(spark: SparkSession, df: DataFrame, tableDir: String,
-      append: Boolean = false): Long =
-    doCommit(spark, df, tableDir, append, None)
+      append: Boolean = false, statsCols: Seq[String] = Nil): Long =
+    doCommit(spark, df, tableDir, append, None, statsCols)
 
   /** Exactly-once streaming commit: apply micro-batch `batchId` as an
     * append snapshot UNLESS the pointer already records a batch at or
@@ -170,6 +203,68 @@ object Snapshots {
     val files = readSmall(f, manifestPath(tableDir, id))
       .split("\n").filter(_.nonEmpty)
     spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
+  /** A conjunct of column range predicates for [[readRange]]: keep rows
+    * with `lo <= column <= hi` (either bound optional). */
+  final case class ColRange(column: String, lo: Option[Any] = None,
+      hi: Option[Any] = None)
+
+  /** The file-skipping decision of [[readRange]], exposed so callers
+    * (and the spec) can audit it: (surviving files, total manifest
+    * files). Files are pruned only when the snapshot's stats sidecar
+    * PROVES their range cannot overlap every `ranges` conjunct; no
+    * sidecar, no stats line, or an unsupported bound keeps the file —
+    * pruning is an optimization, never a semantics change. */
+  def selectRangeFiles(spark: SparkSession, tableDir: String,
+      ranges: Seq[ColRange], asOf: Option[Long] = None)
+      : (Seq[String], Int) = {
+    val (f, _) = fs(spark, tableDir)
+    val id = asOf.orElse(latestId(spark, tableDir)).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots in $tableDir"))
+    val files = readSmall(f, manifestPath(tableDir, id))
+      .split("\n").filter(_.nonEmpty).toIndexedSeq
+    val stats = SnapshotStats.read(f, statsPath(tableDir, id))
+    if (stats.isEmpty || ranges.isEmpty) return (files, files.size)
+    val byFileCol = stats.get._2.map(l => (l.path, l.column) -> l).toMap
+    // bound conversion needs the column types: one footer-only read
+    val schema = spark.read.parquet(files: _*).schema
+    val fields = schema.fields.map(fl => fl.name -> fl.dataType).toMap
+    val checks = ranges.flatMap { r =>
+      fields.get(r.column).map { dt =>
+        (r.column, r.lo.flatMap(SnapshotStats.toBound(dt, _)),
+          r.hi.flatMap(SnapshotStats.toBound(dt, _)))
+      }
+    }
+    val kept = files.filter { path =>
+      checks.forall { case (c, lo, hi) =>
+        byFileCol.get((path, c))
+          .forall(l => SnapshotStats.mayContain(l, lo, hi))
+      }
+    }
+    (kept, files.size)
+  }
+
+  /** Range-predicate snapshot read with file skipping: semantically
+    * identical to `read(...).filter(lo <= c && c <= hi ...)`, but files
+    * whose recorded min/max range ([[SnapshotStats]]) cannot overlap the
+    * predicate are never opened — on a time-clustered (stream-ingested)
+    * or [[Layout.zorderWrite]]-clustered table the scan touches only the
+    * overlapping sliver of a 100 TB file set, and decides so from one
+    * driver-side sidecar read. The row-level filter is applied on top,
+    * so the result is exact whether or not any stats exist. */
+  def readRange(spark: SparkSession, tableDir: String,
+      ranges: Seq[ColRange], asOf: Option[Long] = None): DataFrame = {
+    val (kept, _) = selectRangeFiles(spark, tableDir, ranges, asOf)
+    val base =
+      if (kept.nonEmpty) spark.read.parquet(kept: _*)
+      else read(spark, tableDir, asOf).limit(0)
+    val schema = base.schema.fields.map(fl => fl.name -> fl.dataType).toMap
+    val pred = ranges.filter(r => schema.contains(r.column)).flatMap { r =>
+      r.lo.map(v => col(r.column) >= lit(v)).toSeq ++
+        r.hi.map(v => col(r.column) <= lit(v)).toSeq
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    base.filter(pred)
   }
 
   /** Point LATEST back at an existing snapshot. Data is untouched —
@@ -259,6 +354,7 @@ object Snapshots {
           .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted.toSeq
     }
     val carried = curFiles.filterNot(p => touched(norm(p)))
+    writeStats(spark, f, tableDir, id, Some(prev._1), Nil, carried, fresh)
     writeSmallAtomic(f, manifestPath(tableDir, id),
       (carried ++ fresh).mkString("\n"))
     writeSmallAtomic(f, pointerPath(tableDir), s"$id ${prev._2}")
@@ -354,6 +450,7 @@ object Snapshots {
               f.delete(new org.apache.hadoop.fs.Path(file), false)) deleted += 1
         }
       f.delete(manifestPath(tableDir, id), false): Unit
+      f.delete(statsPath(tableDir, id), false): Unit
     }
     deleted
   }

@@ -1,0 +1,161 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SnapshotStatsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def freshDir() =
+    java.nio.file.Files.createTempDirectory("graft-snapstats").toString
+
+  // three append commits with disjoint id ranges -> naturally clustered
+  // files, the shape a streaming sink or z-ordered write produces
+  private def clusteredTable(dir: String): Unit = {
+    def batch(lo: Long, hi: Long) =
+      spark.range(lo, hi).select(col("id"),
+        (col("id").cast("double") * 1.5).as("score"),
+        concat(lit("doc-"), format_string("%05d", col("id"))).as("name"))
+    Snapshots.commit(spark, batch(0, 100).repartition(1), dir,
+      statsCols = Seq("id", "score", "name"))
+    Snapshots.commit(spark, batch(100, 200).repartition(1), dir, append = true)
+    Snapshots.commit(spark, batch(200, 300).repartition(1), dir, append = true)
+  }
+
+  test("readRange equals read+filter, and actually skips files") {
+    val dir = freshDir()
+    clusteredTable(dir)
+    val ranges = Seq(Snapshots.ColRange("id", Some(120L), Some(150L)))
+    val pruned = Snapshots.readRange(spark, dir, ranges)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val full = Snapshots.read(spark, dir)
+      .filter(col("id") >= 120 && col("id") <= 150)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(pruned === full)
+    assert(pruned === (120L to 150L).toSet)
+    val (kept, total) = Snapshots.selectRangeFiles(spark, dir, ranges)
+    assert(total === 3)
+    assert(kept.size === 1, s"expected 1 surviving file, got ${kept.size}")
+  }
+
+  test("string and double ranges prune and stay exact") {
+    val dir = freshDir()
+    clusteredTable(dir)
+    val sRange = Seq(Snapshots.ColRange("name",
+      Some("doc-00210"), Some("doc-00220")))
+    assert(Snapshots.selectRangeFiles(spark, dir, sRange)._1.size === 1)
+    assert(Snapshots.readRange(spark, dir, sRange).count() === 11)
+    val dRange = Seq(Snapshots.ColRange("score", Some(30.0), Some(45.0)))
+    val got = Snapshots.readRange(spark, dir, dRange)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === (20L to 30L).toSet) // 1.5*id in [30,45]
+    assert(Snapshots.selectRangeFiles(spark, dir, dRange)._1.size === 1)
+  }
+
+  test("conjunct ranges intersect the per-column decisions") {
+    val dir = freshDir()
+    clusteredTable(dir)
+    // id says file 2, name says file 1 -> no file satisfies both
+    val ranges = Seq(
+      Snapshots.ColRange("id", Some(120L), Some(150L)),
+      Snapshots.ColRange("name", Some("doc-00000"), Some("doc-00050")))
+    val (kept, _) = Snapshots.selectRangeFiles(spark, dir, ranges)
+    assert(kept.isEmpty)
+    val df = Snapshots.readRange(spark, dir, ranges)
+    assert(df.count() === 0)
+    assert(df.columns.toSeq === Seq("id", "score", "name")) // schema kept
+  }
+
+  test("stats columns are inherited by append, merge, delete, compact") {
+    val dir = freshDir()
+    clusteredTable(dir) // appends 2 and 3 already inherited
+    // merge rewrites only the touched file; fresh file gets stats
+    Snapshots.merge(spark,
+      dir, Seq((250L, 999.0, "doc-00250")).toDF("id", "score", "name"), "id")
+    val r1 = Seq(Snapshots.ColRange("id", Some(250L), Some(250L)))
+    val m = Snapshots.readRange(spark, dir, r1).collect()
+    assert(m.length === 1 && m.head.getDouble(1) === 999.0)
+    // the two untouched early files prune; the rewritten 200-block
+    // file's range still spans 250, so it legitimately survives
+    // alongside the fresh file carrying the merged row
+    val (kept1, total1) = Snapshots.selectRangeFiles(spark, dir, r1)
+    assert(kept1.size <= total1 - 2,
+      s"files 0-99/100-199 must prune (kept ${kept1.size} of $total1)")
+    // delete keeps pruning alive
+    Snapshots.delete(spark, dir, Seq(Tuple1(10L)).toDF("id"), "id")
+    assert(Snapshots.readRange(spark, dir,
+      Seq(Snapshots.ColRange("id", Some(10L), Some(10L)))).count() === 0)
+    // compact rewrites everything; stats regenerate for the new files
+    Snapshots.compact(spark, dir, targetFiles = 2)
+    val (kept, total) = Snapshots.selectRangeFiles(spark, dir,
+      Seq(Snapshots.ColRange("id", Some(-5L), Some(-1L))))
+    assert(total === 2)
+    assert(kept.isEmpty, "no file can contain negative ids")
+  }
+
+  test("all-null stat columns prune; files without stats are kept") {
+    val dir = freshDir()
+    Snapshots.commit(spark,
+      Seq((1L, Option.empty[String])).toDF("id", "tag").repartition(1),
+      dir, statsCols = Seq("tag"))
+    // every tag is null -> no range predicate can match the file
+    val (kept, total) = Snapshots.selectRangeFiles(spark, dir,
+      Seq(Snapshots.ColRange("tag", Some("a"), Some("z"))))
+    assert(total === 1 && kept.isEmpty)
+    // a table without stats keeps everything and stays correct
+    val dir2 = freshDir()
+    Snapshots.commit(spark, Seq((1L, "x")).toDF("id", "tag"), dir2)
+    val (k2, t2) = Snapshots.selectRangeFiles(spark, dir2,
+      Seq(Snapshots.ColRange("id", Some(0L), Some(9L))))
+    assert(k2.size === t2)
+    assert(Snapshots.readRange(spark, dir2,
+      Seq(Snapshots.ColRange("id", Some(0L), Some(9L)))).count() === 1)
+  }
+
+  test("long strings: truncated bounds never cause a wrong prune") {
+    val dir = freshDir()
+    val long1 = "a" * 200 + "early"
+    val long2 = "z" * 200 + "late"
+    Snapshots.commit(spark,
+      Seq((1L, long1)).toDF("id", "txt").repartition(1), dir,
+      statsCols = Seq("txt"))
+    Snapshots.commit(spark,
+      Seq((2L, long2)).toDF("id", "txt").repartition(1), dir, append = true)
+    // exact-match range on the full long string must still find its row
+    val hit = Snapshots.readRange(spark, dir,
+      Seq(Snapshots.ColRange("txt", Some(long1), Some(long1))))
+    assert(hit.select("id").collect().map(_.getLong(0)).toSet === Set(1L))
+    // and the other file is prunable despite truncation
+    val (kept, total) = Snapshots.selectRangeFiles(spark, dir,
+      Seq(Snapshots.ColRange("txt", Some(long1), Some(long1))))
+    assert(total === 2 && kept.size === 1)
+  }
+
+  test("expire removes the stats sidecars of expired manifests") {
+    val dir = freshDir()
+    clusteredTable(dir)
+    Snapshots.compact(spark, dir) // id 4 replaces; 1-3 now expirable
+    Snapshots.expire(spark, dir, keep = 1)
+    val left = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("stats-")).toSet
+    assert(left === Set("stats-4.txt"))
+  }
+
+  test("upperBound/lowerBound/cmpUtf8 honor code-point order") {
+    assert(SnapshotStats.cmpUtf8("a", "b") < 0)
+    assert(SnapshotStats.cmpUtf8("ab", "a") > 0)
+    // supplementary char (U+10000) sorts above U+FFFF in code-point
+    // order — Java's compareTo gets this backwards
+    val supp = new String(Character.toChars(0x10000))
+    assert(SnapshotStats.cmpUtf8(supp, "￿") > 0)
+    assert(supp.compareTo("￿") < 0) // the trap we avoid
+    val long = "x" * 200
+    assert(SnapshotStats.lowerBound(long).length === SnapshotStats.StringCap)
+    val ub = SnapshotStats.upperBound(long).get
+    assert(SnapshotStats.cmpUtf8(ub, long) > 0, "upper bound must exceed value")
+    // all-max prefix -> unbounded
+    val maxed = new String(Character.toChars(0x10FFFF)) * 100
+    assert(SnapshotStats.upperBound(maxed).isEmpty)
+  }
+}
