@@ -1759,6 +1759,106 @@ object PipelineQueries {
             transform(col("raw"), x => round(x * lit(10000)).cast("long"))
           ).as("centroid"))
         .orderBy(col("label"))
+    },
+
+    // ------------------------------------------------ trained classifier
+    // Multinomial Naive Bayes over the shared tokenization: train on
+    // even doc_ids (labels = lang), predict odd doc_ids. The model is a
+    // (label, token)-keyed wordcount JOINED at scoring time (never
+    // broadcast — web-scale vocab); Laplace's ln(0+1)=0 identity keeps
+    // the join inner and folds the per-label unseen default into
+    // prior - n_tokens * ln(T_l + V). Oracle recomputes the full
+    // train/score/argmax pipeline in SQL.
+    q("q_nb_classifier",
+      """WITH tk AS (SELECT doc_id, lang,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+        |  FROM documents),
+        |tok AS (SELECT doc_id, lang, token FROM tk WHERE token <> ''),
+        |trn AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+        |tst AS (SELECT doc_id, token FROM tok WHERE doc_id % 2 = 1),
+        |counts AS (SELECT lang, token, count(*) AS c FROM trn GROUP BY 1, 2),
+        |vocab AS (SELECT count(DISTINCT token) AS v FROM counts),
+        |totals AS (SELECT lang, count(*) AS t FROM trn GROUP BY 1),
+        |tdocs AS (SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 0),
+        |n AS (SELECT count(*) AS n FROM tdocs),
+        |priors AS (SELECT lang, count(*) AS nl FROM tdocs GROUP BY 1),
+        |lstats AS (SELECT p.lang,
+        |    ln(CAST(nl AS DOUBLE) / n.n) AS prior,
+        |    ln(CAST(t + v AS DOUBLE)) AS ln_denom
+        |  FROM priors p JOIN totals USING (lang) CROSS JOIN vocab CROSS JOIN n),
+        |ntok AS (SELECT doc_id, count(*) AS ntok FROM tst GROUP BY 1),
+        |matched AS (SELECT s.doc_id, c.lang,
+        |    sum(ln(CAST(c.c AS DOUBLE) + 1)) AS ssum
+        |  FROM tst s JOIN counts c ON s.token = c.token GROUP BY 1, 2),
+        |scores AS (SELECT d.doc_id, l.lang,
+        |    l.prior - coalesce(nt.ntok, 0) * l.ln_denom
+        |            + coalesce(m.ssum, 0) AS score
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        |  CROSS JOIN lstats l
+        |  LEFT JOIN ntok nt ON d.doc_id = nt.doc_id
+        |  LEFT JOIN matched m ON d.doc_id = m.doc_id AND l.lang = m.lang),
+        |ranked AS (SELECT doc_id, lang, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, lang) AS rk
+        |  FROM scores)
+        |SELECT doc_id, lang AS pred, round(score, 4) AS score
+        |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Classifier.trainPredictSplit(t(s, dir, "documents"),
+          labelCol = "lang")
+        .select(col("doc_id"), col("pred"), round(col("score"), 4).as("score"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------ retrieval evaluation
+    // IR metrics (precision/recall@k, MRR, nDCG@k) for the exact-search
+    // results under label-match relevance — the evaluation harness an
+    // ANN index is graded against. Metric work ∝ |results|, never
+    // ∝ |base|: labels attach via two skinny vec_id joins, per-label
+    // counts broadcast, IDCG is a closed-form fold. Oracle recomputes
+    // the ranked list quadratically and every metric in SQL (the IDCG
+    // lookup joins on min(k, R)).
+    q("q_retrieval_eval",
+      """WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+        |              FROM embeddings),
+        |qs AS (SELECT vec_id AS query_id, label AS qlabel, emb AS qemb
+        |       FROM base WHERE vec_id < 50),
+        |sims AS (SELECT query_id, vec_id,
+        |    round(list_cosine_similarity(emb, qemb), 6) AS sim
+        |  FROM base CROSS JOIN qs WHERE vec_id <> query_id),
+        |res AS (SELECT query_id, vec_id, rk FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY sim DESC, vec_id) AS rk
+        |    FROM sims) WHERE rk <= 10),
+        |lc AS (SELECT label, count(*) AS n_label FROM base GROUP BY 1),
+        |rel AS (SELECT r.query_id, r.rk,
+        |    CASE WHEN b.label = q.qlabel THEN 1 ELSE 0 END AS rel
+        |  FROM res r JOIN base b ON r.vec_id = b.vec_id
+        |  JOIN qs q ON r.query_id = q.query_id),
+        |pq AS (SELECT query_id, sum(rel) AS hits,
+        |    min(CASE WHEN rel = 1 THEN rk END) AS first_rel,
+        |    sum(CASE WHEN rel = 1 THEN 1.0 / log2(rk + 1.0) ELSE 0 END) AS dcg
+        |  FROM rel GROUP BY 1),
+        |icg AS (SELECT m, sum(1.0 / log2(i + 1.0)) AS idcg
+        |  FROM generate_series(1, 10) AS g(m), generate_series(1, 10) AS h(i)
+        |  WHERE i <= m GROUP BY m),
+        |wr AS (SELECT p.query_id, p.hits, p.first_rel, p.dcg,
+        |    lc.n_label - 1 AS r
+        |  FROM pq p JOIN qs q ON p.query_id = q.query_id
+        |  JOIN lc ON q.qlabel = lc.label)
+        |SELECT wr.query_id, CAST(wr.r AS BIGINT) AS n_rel,
+        |  round(CAST(wr.hits AS DOUBLE) / 10, 4) AS precision_k,
+        |  round(CASE WHEN least(10, wr.r) > 0
+        |        THEN CAST(wr.hits AS DOUBLE) / least(10, wr.r)
+        |        ELSE 0 END, 4) AS recall_k,
+        |  round(coalesce(1.0 / wr.first_rel, 0), 4) AS mrr,
+        |  round(CASE WHEN icg.idcg > 0 THEN wr.dcg / icg.idcg
+        |        ELSE 0 END, 4) AS ndcg_k
+        |FROM wr LEFT JOIN icg ON least(10, wr.r) = icg.m
+        |ORDER BY wr.query_id""".stripMargin) { (s, dir) =>
+      graft.ops.RetrievalEval.evaluateBruteForce(t(s, dir, "embeddings"),
+          col("vec_id") < 50, k = 10)
+        .orderBy(col("query_id"))
     }
   )
 

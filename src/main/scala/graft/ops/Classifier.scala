@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trained text classification — the learned counterpart of the
+  * heuristic signals in `PipelineQueries` (langid markers, perplexity):
+  * a multinomial Naive Bayes classifier over the shared word
+  * tokenization ([[Relevance.tokens]]), with Laplace smoothing. This is
+  * the classic corpus-curation classifier shape: train on a labeled
+  * reference set (curated-vs-crawl for a GPT-3/CCNet-style quality
+  * filter, or language/domain labels), then score an unlabeled corpus
+  * and keep/weight documents by the prediction. Reference scope: the
+  * reference engine delegates all analytics to its embedded SQL layer
+  * and ships no ML surface; this operator is part of the
+  * training-data-pipeline catalog built on top of the same engine.
+  *
+  * The math (natural log throughout):
+  * {{{
+  *   prior(l)     = ln( N_l / N )                        over training docs
+  *   logp(t | l)  = ln( (c_tl + 1) / (T_l + V) )         Laplace smoothed
+  *   score(d, l)  = prior(l) + sum over token OCCURRENCES t in d of logp(t|l)
+  *   predict(d)   = argmax_l score(d, l)   (ties -> lexicographically
+  *                                          smallest label)
+  * }}}
+  * where `c_tl` = occurrences of token t in class l's training text,
+  * `T_l` = total training token occurrences in class l, and `V` = the
+  * training vocabulary size (distinct tokens across ALL classes).
+  * Tokens unseen in class l — including tokens outside the training
+  * vocabulary entirely — contribute `ln(1/(T_l+V))`.
+  *
+  * Scale shape: the model is one (label, token)-keyed wordcount — the
+  * same single shuffle a wordcount pays; a web-scale vocabulary is far
+  * too large to broadcast, so scoring JOINS test tokens to the model on
+  * the token key, exactly like [[LangModel.scoreAgainstModel]]. The
+  * Laplace identity `ln(0 + 1) = 0` means absent (token, label) pairs
+  * contribute zero to the smoothed sum, so the join can be INNER (only
+  * matched pairs shuffle) and the per-label default folds in afterwards
+  * as `prior(l) - n_d * ln(T_l + V)` — no per-label fan-out of unseen
+  * tokens ever materializes. The label table (priors + totals) is
+  * class-cardinality-sized (tiny, broadcast); per-document work after
+  * the token join is |labels| rows per doc. Corpus text never shuffles;
+  * only tokens do.
+  */
+object Classifier {
+
+  /** A trained model: `tokenLogCounts` is (label, token, ln1p_cnt =
+    * ln(c_tl + 1)) — vocabulary-sized, token-keyed, NEVER collected;
+    * `labelStats` is (label, prior, ln_denom = ln(T_l + V)) — one row
+    * per class, broadcast at scoring time. */
+  final case class NbModel(tokenLogCounts: DataFrame, labelStats: DataFrame)
+
+  /** Train on `docs(labelCol, textCol)`. Two shuffles total: the
+    * (label, token) wordcount and the per-label doc/token totals. */
+  def trainNaiveBayes(docs: DataFrame, labelCol: String = "lang",
+      idCol: String = "doc_id", textCol: String = "text"): NbModel = {
+    val tk = docs.select(col(idCol).as("doc_id"),
+        col(labelCol).cast("string").as("_label"),
+        explode(split(lower(col(textCol)), Relevance.TokenPattern)).as("token"))
+      .filter(col("token") =!= "")
+    val counts = tk.groupBy("_label", "token").agg(count(lit(1)).as("_c"))
+    // V = distinct tokens across classes; T_l = token occurrences per class
+    val vocab = counts.select(countDistinct(col("token")).as("_v"))
+    val totals = tk.groupBy("_label").agg(count(lit(1)).as("_t"))
+    val nDocs = docs.agg(count(lit(1)).as("_n"))
+    val priors = docs.groupBy(col(labelCol).cast("string").as("_label"))
+      .agg(count(lit(1)).as("_nl"))
+    val labelStats = priors.join(totals, "_label")
+      .crossJoin(broadcast(vocab)).crossJoin(broadcast(nDocs))
+      .select(col("_label"),
+        log(col("_nl").cast("double") / col("_n")).as("prior"),
+        log((col("_t") + col("_v")).cast("double")).as("ln_denom"))
+    val tokenLogCounts = counts.select(col("_label"), col("token"),
+      log(col("_c").cast("double") + 1.0).as("ln1p_cnt"))
+    NbModel(tokenLogCounts, labelStats)
+  }
+
+  /** Score `docs` against a trained model: returns one row per
+    * (doc, label) with the full log-posterior `score` — the serving
+    * shape ([[LangModel.scoreAgainstModel]] parity: train once on the
+    * labeled set, score any later batch). Empty-token documents score
+    * `prior(l)` exactly (zero occurrences, empty sum). */
+  def scoreNaiveBayes(docs: DataFrame, model: NbModel,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tk = Relevance.tokens(docs, idCol, textCol)
+    // inner join: absent (token, label) pairs contribute ln(1)=0
+    val matched = tk.join(model.tokenLogCounts, Seq("token"))
+      .groupBy(col("doc_id"), col("_label"))
+      .agg(sum(col("ln1p_cnt")).as("_s"))
+    val nTok = tk.groupBy("doc_id").agg(count(lit(1)).as("_ntok"))
+    val docIds = docs.select(col(idCol).as("doc_id"))
+    docIds
+      .join(nTok, Seq("doc_id"), "left")
+      .crossJoin(broadcast(model.labelStats))
+      .join(matched, Seq("doc_id", "_label"), "left")
+      .select(col("doc_id"), col("_label").as("label"),
+        (col("prior")
+          - coalesce(col("_ntok"), lit(0L)).cast("double") * col("ln_denom")
+          + coalesce(col("_s"), lit(0.0))).as("score"))
+  }
+
+  /** Argmax over [[scoreNaiveBayes]]: (doc_id, pred, score), ties to
+    * the lexicographically smallest label — deterministic under any
+    * partitioning, and the rule the DuckDB oracle re-states. */
+  def predictNaiveBayes(docs: DataFrame, model: NbModel,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("label").asc)
+    scoreNaiveBayes(docs, model, idCol, textCol)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("doc_id"), col("label").as("pred"), col("score"))
+  }
+
+  /** Train-on-half / predict-other-half convenience used by the catalog
+    * query: even `idCol` trains, odd scores — a deterministic split any
+    * engine reproduces, mirroring the leakage-aware splits in
+    * [[Sampling]]. */
+  def trainPredictSplit(docs: DataFrame, labelCol: String = "lang",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val train = docs.filter(pmod(col(idCol), lit(2)) === 0)
+    val test = docs.filter(pmod(col(idCol), lit(2)) === 1)
+    predictNaiveBayes(test, trainNaiveBayes(train, labelCol, idCol, textCol),
+      idCol, textCol)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Retrieval quality evaluation — the measurement half of the
+  * similarity-search stack ([[Similarity]], [[IvfIndex]]): given a
+  * ranked result list and per-item relevance labels, compute the
+  * standard IR metrics (precision@k, recall@k, MRR, nDCG@k) per query.
+  * This is how a pipeline validates an ANN index or an embedding model
+  * before trusting it for curation (semantic dedup, hard-negative
+  * mining, RAG retrieval) — the continuous-integration twin of the
+  * one-shot recall certificates in `q_ann_lsh`/`q_ann_ivf`.
+  *
+  * Relevance here is label-match: a retrieved item is relevant iff its
+  * label equals the query's label (the standard proxy when no graded
+  * judgments exist). All metrics use binary gains:
+  * {{{
+  *   precision@k = hits / k
+  *   recall@k    = hits / min(k, R)          R = |relevant in base \ query|
+  *   MRR         = 1 / first relevant rank   (0 if none retrieved)
+  *   nDCG@k      = DCG@k / IDCG@k,  DCG = sum over relevant of 1/log2(rank+1),
+  *                 IDCG = sum_{i=1..min(k,R)} 1/log2(i+1)   (0 if R = 0)
+  * }}}
+  * `recall`'s denominator is capped at k (a top-k list cannot retrieve
+  * more than k items), so a perfect index scores 1.0 even when R > k.
+  *
+  * Scale shape: two skinny joins on the 8-byte `vec_id` key attach item
+  * and query labels (embeddings themselves are NOT read — only the
+  * result triples and the label column move); per-label base counts are
+  * one tiny aggregate (class-cardinality rows, broadcast); the metric
+  * rollup is a per-query partial aggregate. Work ∝ |results|, never
+  * ∝ |base| — evaluating a 10⁹-item index with 10⁴ queries moves
+  * 10⁴·k rows.
+  */
+object RetrievalEval {
+
+  private def log2(c: Column): Column = log(c) / log(lit(2.0))
+
+  /** Per-query metrics for `results(query_id, vec_id, rk)` ranked 1..k,
+    * against `labeled(vec_id, label)`. Returns one row per query_id:
+    * (query_id, n_rel, precision_k, recall_k, mrr, ndcg_k). Queries in
+    * `results` must exist in `labeled`; self-matches are assumed
+    * excluded from both the results and R (the [[Similarity]] search
+    * convention). */
+  def metricsAtK(results: DataFrame, labeled: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val lab = labeled.select(col("vec_id"), col("label"))
+    // per-label base counts: class-cardinality-sized, broadcast
+    val labelCounts = lab.groupBy("label").agg(count(lit(1)).as("_n_label"))
+    val qlab = lab.select(col("vec_id").as("query_id"),
+      col("label").as("_qlabel"))
+    val rel = results
+      .join(lab, Seq("vec_id"))
+      .join(qlab, Seq("query_id"))
+      .withColumn("_rel", (col("label") === col("_qlabel")).cast("int"))
+    val perQuery = rel.groupBy("query_id")
+      .agg(sum(col("_rel")).as("_hits"),
+        min(when(col("_rel") === 1, col("rk"))).as("_first_rel"),
+        sum(when(col("_rel") === 1,
+          lit(1.0) / log2(col("rk").cast("double") + 1.0))
+          .otherwise(lit(0.0))).as("_dcg"))
+    // R = same-label items in the base minus the query itself
+    val withR = perQuery
+      .join(qlab, Seq("query_id"))
+      .join(broadcast(labelCounts), col("_qlabel") === labelCounts("label"))
+      .withColumn("_r", col("_n_label") - 1)
+    val m = least(lit(k), col("_r")).cast("int")
+    // IDCG@k = sum_{i=1..min(k,R)} 1/log2(i+1), a closed-form HOF fold
+    val idcg = when(m > 0,
+      aggregate(sequence(lit(1), m), lit(0.0),
+        (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1.0)))
+      .otherwise(lit(0.0))
+    withR.select(col("query_id"), col("_r").cast("bigint").as("n_rel"),
+      round(col("_hits").cast("double") / k, 4).as("precision_k"),
+      round(when(m > 0, col("_hits").cast("double") / m)
+        .otherwise(lit(0.0)), 4).as("recall_k"),
+      round(coalesce(lit(1.0) / col("_first_rel"), lit(0.0)), 4).as("mrr"),
+      round(when(idcg > 0, col("_dcg") / idcg).otherwise(lit(0.0)), 4)
+        .as("ndcg_k"))
+  }
+
+  /** End-to-end: run [[Similarity.bruteForceTopK]] for `queryPred` and
+    * evaluate it against the frame's own labels — the exact-search
+    * ceiling an approximate index is then measured against. */
+  def evaluateBruteForce(embs: DataFrame, queryPred: Column, k: Int): DataFrame =
+    metricsAtK(Similarity.bruteForceTopK(embs, queryPred, k),
+      embs.select(col("vec_id"), col("label")), k)
+}

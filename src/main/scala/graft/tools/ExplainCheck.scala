@@ -18,7 +18,8 @@ object ExplainCheck {
         "q_boilerplate_strip","q_lm_perplexity","q_emb_project",
         "q_lm_bigram","q_crossdoc_repetition","q_domain_curation",
         "q_hard_negatives","q_split_leakage_safe","q_curate_ingest",
-        "q_corpus_report","q_strip_repeated_spans")) {
+        "q_corpus_report","q_strip_repeated_spans",
+        "q_nb_classifier","q_retrieval_eval")) {
       println(s"########## $q")
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -207,6 +207,25 @@ class PlanSpec extends AnyFunSuite {
       s"candidates must come from bucket equi-joins:\n$p")
   }
 
+  test("q_nb_classifier: model shuffles partial-aggregated, no cartesian") {
+    val p = plan("q_nb_classifier")
+    // the (label, token) wordcount and the per-(doc, label) sum must
+    // both combine map-side before their Exchange
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"NB model/score shuffles must partial-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "the docs × labels expansion must broadcast the tiny label table")
+  }
+
+  test("q_retrieval_eval: metric rollup partial-aggregates, labels broadcast") {
+    val p = plan("q_retrieval_eval")
+    assert(p.contains("partial_sum"),
+      s"per-query metric rollup must combine map-side:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      "per-label base counts must broadcast, never shuffle the results side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("whole-stage codegen covers the scan→agg hot path") {
     // AQE reveals codegen spans only in the final (post-execution) plan
     val df = SparkEntry.queries("q_agg_pricing")(spark, sfDir)

@@ -1,0 +1,105 @@
+package graft.ops
+
+import graft.TestSpark.{sfDir, spark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ClassifierSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  // Tiny hand-checkable corpus: two classes with disjoint salient words.
+  private lazy val tiny = Seq(
+    (0L, "cat", "cat purrs and cat meows"),
+    (2L, "cat", "the cat naps"),
+    (4L, "dog", "dog barks and dog runs"),
+    (6L, "dog", "the dog digs"),
+    (1L, "cat", "a cat meows"),
+    (3L, "dog", "a dog barks")
+  ).toDF("doc_id", "lang", "text")
+
+  test("hand-computed posterior on a 2-class corpus") {
+    val train = tiny.filter($"doc_id" % 2 === 0)
+    val model = Classifier.trainNaiveBayes(train, "lang")
+    val scores = Classifier.scoreNaiveBayes(
+        tiny.filter($"doc_id" === 1), model)
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    // training: cat-class tokens = [cat purrs and cat meows the cat naps]
+    //   T_cat = 8, counts: cat=3, purrs=1, and=1, meows=1, the=1, naps=1
+    // dog-class tokens = [dog barks and dog runs the dog digs]
+    //   T_dog = 8, counts: dog=3, barks=1, and=1, runs=1, the=1, digs=1
+    // vocab V = 10 distinct tokens; priors = ln(2/4) each
+    // doc 1 = "a cat meows": tokens a (unseen), cat, meows
+    val lnDenom = math.log(8 + 10.0)
+    val cat = math.log(0.5) - 3 * lnDenom + math.log(3 + 1.0) + math.log(1 + 1.0)
+    val dog = math.log(0.5) - 3 * lnDenom // all three tokens unseen in dog
+    assert(math.abs(scores("cat") - cat) < 1e-12)
+    assert(math.abs(scores("dog") - dog) < 1e-12)
+  }
+
+  test("argmax prediction, tie broken to smallest label") {
+    val model = Classifier.trainNaiveBayes(tiny.filter($"doc_id" % 2 === 0), "lang")
+    val preds = Classifier.predictNaiveBayes(tiny.filter($"doc_id" % 2 === 1), model)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(1L) === "cat")
+    assert(preds(3L) === "dog")
+    // a doc with only unseen tokens scores prior - n*ln_denom for both
+    // classes; equal T_l and priors tie -> lexicographically smallest
+    val blank = Seq((9L, "zzz qqq")).toDF("doc_id", "text")
+    val p = Classifier.predictNaiveBayes(blank, model).collect()
+    assert(p.head.getString(1) === "cat")
+  }
+
+  test("empty-token documents score exactly the prior") {
+    val model = Classifier.trainNaiveBayes(tiny, "lang")
+    val empty = Seq((7L, "!!! ???")).toDF("doc_id", "text")
+    val s = Classifier.scoreNaiveBayes(empty, model)
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(math.abs(s("cat") - math.log(3.0 / 6)) < 1e-12)
+    assert(math.abs(s("dog") - math.log(3.0 / 6)) < 1e-12)
+  }
+
+  test("repartition-stable predictions on the real corpus") {
+    val a = Classifier.trainPredictSplit(docs, "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Classifier.trainPredictSplit(docs.repartition(13), "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("learns class-specific vocabulary (high accuracy on a signal corpus)") {
+    // deterministic corpus where the text actually carries the label
+    // (the sf testdata's text is label-uncorrelated by construction)
+    val vocabs = Map("aa" -> Seq("alpha", "beta", "gamma"),
+      "bb" -> Seq("delta", "epsilon", "zeta"),
+      "cc" -> Seq("eta", "theta", "iota"))
+    val filler = Seq("the", "of", "and", "to")
+    val rows = (0 until 240).map { i =>
+      val lang = Seq("aa", "bb", "cc")(i % 3)
+      val v = vocabs(lang)
+      val words = (0 until 12).map(j =>
+        if (j % 3 == 0) filler((i + j) % filler.size)
+        else v((i * 7 + j) % v.size))
+      (i.toLong, lang, words.mkString(" "))
+    }
+    val corpus = rows.toDF("doc_id", "lang", "text")
+    val preds = Classifier.trainPredictSplit(corpus, "lang")
+    val joined = preds.join(corpus.select($"doc_id", $"lang"), "doc_id")
+    val acc = joined.filter($"pred" === $"lang").count().toDouble /
+      joined.count()
+    assert(acc === 1.0, s"disjoint-vocab corpus should classify perfectly, got $acc")
+  }
+
+  test("serving parity: scoring a batch equals scoring it inside the corpus") {
+    val model = Classifier.trainNaiveBayes(docs.filter($"doc_id" % 2 === 0), "lang")
+    val batch = docs.filter($"doc_id" % 2 === 1).limit(20)
+    val s1 = Classifier.scoreNaiveBayes(batch, model)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val s2 = Classifier.scoreNaiveBayes(batch.repartition(5), model)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(s1.keySet === s2.keySet)
+    s1.foreach { case (k, v) => assert(math.abs(v - s2(k)) < 1e-9) }
+  }
+}

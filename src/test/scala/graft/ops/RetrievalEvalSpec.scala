@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.TestSpark.{sfDir, spark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RetrievalEvalSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private lazy val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  // results for one query (q=100) ranked 1..4, labels chosen so that
+  // relevant items sit at ranks 1 and 3; base holds R=3 relevant items.
+  private lazy val labeled = Seq(
+    (100L, 7), (1L, 7), (2L, 5), (3L, 7), (4L, 5), (5L, 7)
+  ).toDF("vec_id", "label")
+  private lazy val results = Seq(
+    (100L, 1L, 1), (100L, 2L, 2), (100L, 3L, 3), (100L, 4L, 4)
+  ).toDF("query_id", "vec_id", "rk")
+
+  test("hand-computed metrics for a single query") {
+    val r = RetrievalEval.metricsAtK(results, labeled, k = 4).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_rel") === 3)          // 1, 3, 5 share label 7
+    assert(row.getAs[Double]("precision_k") === 0.5) // 2 hits of 4
+    // recall = hits / min(k, R) = 2 / 3
+    assert(math.abs(row.getAs[Double]("recall_k") - 0.6667) < 1e-9)
+    assert(row.getAs[Double]("mrr") === 1.0)         // first hit at rank 1
+    // DCG = 1/log2(2) + 1/log2(4) = 1.5; IDCG(3) = 1 + 1/log2(3) + 1/log2(4)
+    val idcg = 1.0 + 1.0 / (math.log(3) / math.log(2)) + 0.5
+    val expected = BigDecimal(1.5 / idcg)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("ndcg_k") === expected)
+  }
+
+  test("no relevant retrieved -> mrr and ndcg are 0, not null") {
+    val res = Seq((200L, 2L, 1), (200L, 4L, 2)).toDF("query_id", "vec_id", "rk")
+    val lab = labeled.union(Seq((200L, 9)).toDF("vec_id", "label"))
+    val row = RetrievalEval.metricsAtK(res, lab, k = 2).collect().head
+    assert(row.getAs[Long]("n_rel") === 0)
+    assert(row.getAs[Double]("recall_k") === 0.0)
+    assert(row.getAs[Double]("mrr") === 0.0)
+    assert(row.getAs[Double]("ndcg_k") === 0.0)
+  }
+
+  test("perfect retrieval scores 1.0 across the board") {
+    val res = Seq((100L, 1L, 1), (100L, 3L, 2)).toDF("query_id", "vec_id", "rk")
+    val row = RetrievalEval.metricsAtK(res, labeled, k = 2).collect().head
+    // R=3 but k=2 caps the denominator: recall = 2/min(2,3) = 1
+    assert(row.getAs[Double]("precision_k") === 1.0)
+    assert(row.getAs[Double]("recall_k") === 1.0)
+    assert(row.getAs[Double]("mrr") === 1.0)
+    assert(row.getAs[Double]("ndcg_k") === 1.0)
+  }
+
+  test("brute-force evaluation on the real corpus is sane and stable") {
+    val m = RetrievalEval.evaluateBruteForce(embs, col("vec_id") < 20, k = 5)
+    val rows = m.collect()
+    assert(rows.length === embs.filter(col("vec_id") < 20).count())
+    rows.foreach { r =>
+      Seq("precision_k", "recall_k", "mrr", "ndcg_k").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c = $v out of [0,1]")
+      }
+    }
+    val again = RetrievalEval.evaluateBruteForce(
+      embs.repartition(7), col("vec_id") < 20, k = 5).collect()
+    assert(rows.map(_.toSeq).toSet === again.map(_.toSeq).toSet)
+  }
+}
