@@ -1859,6 +1859,183 @@ object PipelineQueries {
       graft.ops.RetrievalEval.evaluateBruteForce(t(s, dir, "embeddings"),
           col("vec_id") < 50, k = 10)
         .orderBy(col("query_id"))
+    },
+
+    // ------------------------------------------------ hybrid retrieval
+    // Reciprocal-rank fusion of a BM25 top-50 and a cosine top-50 for
+    // one probe (doc/vec 7) — the standard hybrid-search merge (no
+    // score calibration, ranks only). Both legs rank on 6-decimal
+    // rounded scores (the cross-engine rank-stability convention);
+    // fusion ranks on the 6-decimal rounded rrf sum, ties to the
+    // smaller doc_id. The oracle recomputes BM25, the cosine ranking,
+    // and the fusion end-to-end in SQL.
+    q("q_hybrid_retrieval",
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+        |  FROM documents),
+        |tok AS (SELECT doc_id, token FROM tk WHERE token <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |ad AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |qt AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |       WHERE token IN ('spark', 'vector') GROUP BY doc_id, token),
+        |dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
+        |        WHERE token IN ('spark', 'vector') GROUP BY token),
+        |bm AS (SELECT qt.doc_id,
+        |    round(sum(
+        |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |      tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6)
+        |      AS score
+        |  FROM qt, dfq, dl, n, ad
+        |  WHERE qt.token = dfq.token AND qt.doc_id = dl.doc_id
+        |    AND qt.doc_id <> 7
+        |  GROUP BY qt.doc_id),
+        |lex AS (SELECT doc_id, rk FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+        |      AS rk FROM bm) WHERE rk <= 50),
+        |base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |qv AS (SELECT emb AS qemb FROM base WHERE vec_id = 7),
+        |dense AS (SELECT doc_id, rk FROM (
+        |    SELECT vec_id AS doc_id,
+        |      row_number() OVER (
+        |        ORDER BY round(list_cosine_similarity(emb, qemb), 6) DESC,
+        |                 vec_id) AS rk
+        |    FROM base, qv WHERE vec_id <> 7) WHERE rk <= 50),
+        |u AS (SELECT * FROM lex UNION ALL SELECT * FROM dense),
+        |f AS (SELECT doc_id, count(*) AS n_lists,
+        |    round(sum(1.0 / (60 + rk)), 6) AS rrf FROM u GROUP BY 1)
+        |SELECT CAST(7 AS BIGINT) AS query_id, doc_id, n_lists, rrf, rank
+        |FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id)
+        |      AS rank FROM f)
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin) { (s, dir) =>
+      graft.ops.Fusion.hybridSearch(t(s, dir, "documents"),
+          t(s, dir, "embeddings"), Seq("spark", "vector"),
+          queryVecId = 7L, perList = 50, topK = 20)
+        .orderBy(col("rank"))
+    },
+
+    // ------------------------------------------------ DSIR selection
+    // Importance resampling (DSIR): hashed-bigram bucket distributions
+    // of the TARGET (lang = 'en') vs the RAW corpus, Laplace-smoothed
+    // log ratios, per-doc log importance weights, deterministic
+    // Gumbel-top-50 resample keyed by the cross-engine md5 route. The
+    // oracle recomputes the whole estimate→weight→resample chain in
+    // SQL with the identical 24-bit md5 hash and smoothing.
+    q("q_dsir_select",
+      """WITH arr AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS a
+        |  FROM documents),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(a)),
+        |                          i -> a[i] || ' ' || a[i + 1])) AS b
+        |  FROM arr),
+        |bk AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(b), 1, 6)) AS INTEGER) % 4096
+        |      AS bucket
+        |  FROM bg),
+        |tgt AS (SELECT bucket, count(*) AS ct FROM bk
+        |        WHERE doc_id IN (SELECT doc_id FROM documents
+        |                         WHERE lang = 'en')
+        |        GROUP BY 1),
+        |raw AS (SELECT bucket, count(*) AS cr FROM bk GROUP BY 1),
+        |tt AS (SELECT sum(ct) AS tt FROM tgt),
+        |tr AS (SELECT sum(cr) AS tr FROM raw),
+        |ratio AS (SELECT g.bucket,
+        |    ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / (tt + 4096))
+        |      - ln(CAST(coalesce(cr, 0) + 1 AS DOUBLE) / (tr + 4096))
+        |      AS log_ratio
+        |  FROM (SELECT unnest(range(0, 4096)) AS bucket) g
+        |  LEFT JOIN tgt ON g.bucket = tgt.bucket
+        |  LEFT JOIN raw ON g.bucket = raw.bucket
+        |  CROSS JOIN tt CROSS JOIN tr),
+        |w AS (SELECT d.doc_id,
+        |    coalesce(s.nb, 0) AS n_bigrams,
+        |    round(coalesce(s.w, 0), 6) AS log_w
+        |  FROM documents d LEFT JOIN (
+        |    SELECT bk.doc_id, count(*) AS nb, sum(log_ratio) AS w
+        |    FROM bk JOIN ratio ON bk.bucket = ratio.bucket
+        |    GROUP BY bk.doc_id) s ON d.doc_id = s.doc_id),
+        |keyed AS (SELECT doc_id, n_bigrams, log_w,
+        |    round(log_w - ln(-ln(
+        |      (CAST(concat('0x', substr(md5('dsir:' || doc_id), 1, 6))
+        |            AS INTEGER) + 0.5) / 16777216.0)), 6) AS key
+        |  FROM w)
+        |SELECT rank, doc_id, key, log_w, n_bigrams FROM (
+        |  SELECT doc_id, n_bigrams, log_w, key,
+        |    CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT)
+        |      AS rank
+        |  FROM keyed)
+        |WHERE rank <= 50 ORDER BY rank""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ops.Importance.select(
+        docs.filter(col("lang") === "en"), docs, n = 50, buckets = 4096)
+        .orderBy(col("rank"))
+    },
+
+    // ------------------------------------------------ URL canonicalization
+    // Canonical URL keys for crawl dedup: synthesized URLs carry every
+    // normalization hazard (uppercase scheme/host, default and explicit
+    // ports, tracking params, unsorted params, fragments); Spark
+    // canonicalizes with parse_url + HOFs (Domains.canonicalizeUrl),
+    // the oracle re-derives the same contract with regexes — both
+    // sides state steps 1-7 of the Scaladoc independently.
+    q("q_url_canonicalize",
+      """WITH u AS (SELECT doc_id,
+        |    'HTTPS://' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+        |    source || '-Site.' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'com' ELSE 'org' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ':443'
+        |         WHEN doc_id % 5 = 1 THEN ':8443' ELSE '' END ||
+        |    '/Dir/' || doc_id ||
+        |    '?utm_source=feed&z=' || doc_id % 7 || '&a=1&fbclid=XYZ' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |parts AS (SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) AS hostport,
+        |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path0,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query
+        |  FROM u),
+        |norm AS (SELECT doc_id,
+        |    scheme,
+        |    lower(regexp_extract(hostport, '^([^:]+)', 1)) AS host,
+        |    regexp_extract(hostport, ':(\d+)$', 1) AS port,
+        |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+        |    array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |      p -> p <> '' AND NOT regexp_matches(
+        |        regexp_extract(p, '^([^=]*)', 1),
+        |        '^(utm_.*|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid|ref)$'))),
+        |      '&') AS q
+        |  FROM parts)
+        |SELECT doc_id,
+        |  scheme || '://' || host ||
+        |  CASE WHEN port <> ''
+        |        AND NOT (scheme = 'http' AND port = '80')
+        |        AND NOT (scheme = 'https' AND port = '443')
+        |       THEN ':' || port ELSE '' END ||
+        |  path ||
+        |  CASE WHEN q <> '' THEN '?' || q ELSE '' END AS url_canon
+        |FROM norm ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("HTTPS://"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("WWW."))
+            .otherwise(lit("")),
+          col("source"), lit("-Site."),
+          when(pmod(col("doc_id"), lit(4)) === 0, lit("com"))
+            .otherwise(lit("org")),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit(":443"))
+            .when(pmod(col("doc_id"), lit(5)) === 1, lit(":8443"))
+            .otherwise(lit("")),
+          lit("/Dir/"), col("doc_id").cast("string"),
+          lit("?utm_source=feed&z="), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit("&a=1&fbclid=XYZ"),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("#frag"))
+            .otherwise(lit(""))).as("url"))
+      urls.select(col("doc_id"),
+          graft.ops.Domains.canonicalizeUrl(col("url")).as("url_canon"))
+        .orderBy(col("doc_id"))
     }
   )
 

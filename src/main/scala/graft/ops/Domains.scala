@@ -103,4 +103,58 @@ object Domains {
     val dom = registeredDomain(hostOf(col(urlCol)))
     docs.filter(!dom.isin(blocklist.map(_.toLowerCase): _*))
   }
+
+  /** Query-parameter names dropped by [[canonicalizeUrl]] — session/
+    * campaign trackers that vary per click without changing the
+    * document (the C4/CommonCrawl-style URL-dedup hygiene set). Kept as
+    * one anchored regex so the Spark expression and the DuckDB oracle
+    * state the policy identically. */
+  val TrackingParamPattern: String =
+    "^(utm_.*|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid|ref)$"
+
+  /** Canonical form of a URL for dedup/provenance keys — two crawls of
+    * the same page must map to the same string before URL-level dedup
+    * means anything. The normalization (each step a plain public
+    * convention, stated here as the contract):
+    *
+    *   1. scheme and host lower-cased (case-insensitive by RFC 3986);
+    *   2. default ports dropped (`:80` http, `:443` https), any other
+    *      explicit port kept;
+    *   3. the fragment dropped (client-side only, never reaches the
+    *      server);
+    *   4. tracking query parameters removed
+    *      ([[TrackingParamPattern]] matched against the name before the
+    *      first `=`);
+    *   5. surviving parameters sorted lexicographically (param order is
+    *      server-insignificant in practice and crawlers see both
+    *      orders);
+    *   6. an empty path becomes `/` (so `http://a.com` ≡
+    *      `http://a.com/`); path CASE is preserved (paths are
+    *      case-sensitive by spec);
+    *   7. an empty surviving query drops its `?`.
+    *
+    * Entirely narrow codegen'd expressions (`parse_url`, split/filter/
+    * sort HOFs) — no UDF, no shuffle; canonicalize-then-dedup is a
+    * scan-side projection feeding the usual exact-dedup shuffle on the
+    * canonical key. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(parse_url(url, lit("PROTOCOL")))
+    val host = lower(parse_url(url, lit("HOST")))
+    // parse_url HOST strips the port; recover it from AUTHORITY
+    val port = regexp_extract(parse_url(url, lit("AUTHORITY")), ":(\\d+)$", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val path0 = coalesce(parse_url(url, lit("PATH")), lit(""))
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = coalesce(parse_url(url, lit("QUERY")), lit(""))
+    val kept = array_sort(filter(split(query, "&"), p =>
+      p =!= "" && !regexp_extract(p, "^([^=]*)", 1)
+        .rlike(TrackingParamPattern)))
+    val q = concat_ws("&", kept)
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(q =!= "", concat(lit("?"), q)).otherwise(lit("")))
+  }
 }

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval fusion: combine independently-produced rankings of
+  * the same item set into one consensus ranking by Reciprocal Rank
+  * Fusion (Cormack/Clarke/Buettcher, SIGIR'09):
+  * {{{
+  *   rrf(d) = Σ over rankings r containing d of  1 / (c + rank_r(d))
+  * }}}
+  * RRF is the standard way to merge a lexical ranking ([[Relevance.bm25]])
+  * with a dense one ([[Similarity.bruteForceTopK]] / an ANN probe): it
+  * needs no score calibration — only ranks — so a BM25 score on an
+  * unbounded scale and a cosine in [-1, 1] fuse without tuning, which is
+  * why hybrid search engines default to it. Reference scope: the
+  * reference delegates retrieval to its engine's SQL surface; this
+  * operator is part of the training-data/RAG catalog built beside it
+  * ([[Relevance]], [[Similarity]]).
+  *
+  * Scale shape: inputs are RESULT sets (per query at most the union of
+  * the source top-Ns — queries × N rows, never corpus-sized). The fusion
+  * itself is one union + one (query_id, doc_id)-keyed partial-mergeable
+  * aggregate + one per-query top-k window over ≤ |rankings|·N rows per
+  * query — cost ∝ result rows, exactly like [[RetrievalEval]]. The
+  * expensive work (the retrievals) stays in the source operators, which
+  * carry their own scale designs.
+  */
+object Fusion {
+
+  /** Fuse `rankings` — each (query_id, doc_id, rk) with rk starting at
+    * 1 — into (query_id, doc_id, n_lists, rrf, rank), keeping `topK`
+    * fused results per query. Ties on the fused score break to the
+    * smaller doc_id (deterministic under any partitioning, and the rule
+    * the DuckDB oracle re-states). `c` is the standard dampening
+    * constant (60 in the RRF paper): higher c flattens the rank
+    * discount, weighting deep results more evenly. */
+  def reciprocalRankFusion(rankings: Seq[DataFrame], topK: Int,
+      c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(topK >= 1, s"topK=$topK")
+    require(c >= 0, s"c=$c")
+    val slim = rankings.map(_.select(col("query_id"), col("doc_id"),
+      col("rk").cast("long").as("rk")))
+    val unioned = slim.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    unioned
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_lists"),
+        sum(lit(1.0) / (lit(c.toDouble) + col("rk"))).as("_rrf"))
+      .withColumn("rrf", round(col("_rrf"), 6))
+      .drop("_rrf")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
+  /** End-to-end single-query hybrid search over an aligned corpus
+    * (documents and embeddings sharing an id): BM25 for `queryTerms`
+    * fused with cosine-to-`queryVecId`'s-embedding, both truncated to
+    * `perList` before fusion (fusing full rankings would defeat the
+    * point — the sources each return their top-N, exactly as a serving
+    * system would). BM25 rank ties break to the smaller doc_id. The
+    * query vector's own row is excluded from BOTH lists so the fused
+    * ranking never contains the probe itself. */
+  def hybridSearch(docs: DataFrame, embs: DataFrame,
+      queryTerms: Seq[String], queryVecId: Long, perList: Int, topK: Int,
+      c: Int = 60): DataFrame = {
+    require(perList >= 1, s"perList=$perList")
+    // lexical top-N via the bounded-heap TopKBy aggregate (k-entry
+    // partial heaps, ties score-desc then id-asc) — a global rank window
+    // here would funnel the whole BM25 match set through one task. The
+    // score is rounded to 6 decimals BEFORE ranking, the same
+    // cross-engine rank-stability convention as
+    // [[Similarity.bruteForceTopK]]'s rounded cosine.
+    val lexical = Relevance.bm25(docs, queryTerms)
+      .filter(col("doc_id") =!= queryVecId)
+      .agg(graft.functions.GraftFunctions.topKBy(
+        col("doc_id"), round(col("score"), 6), perList).as("top"))
+      .select(posexplode(col("top")))
+      .select(lit(queryVecId).as("query_id"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rk"))
+    val dense = Similarity.bruteForceTopK(embs,
+        col("vec_id") === queryVecId, k = perList)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rk"))
+    reciprocalRankFusion(Seq(lexical, dense), topK, c)
+  }
+}

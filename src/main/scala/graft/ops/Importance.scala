@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data selection by importance resampling (the DSIR recipe, Xie et al.
+  * 2023, arXiv:2302.03169): score every raw document by how much more
+  * likely its hashed-bigram features are under a TARGET distribution
+  * (a trusted corpus — curated text, a chosen language/domain) than
+  * under the RAW distribution, then resample the raw corpus by those
+  * importance weights with deterministic Gumbel-top-k. This is the
+  * published, principled version of "keep what looks like the good
+  * data" — the selection step a pretraining pipeline runs between
+  * dedup and mixing.
+  *
+  * The math (natural log; B = bucket count, Laplace-smoothed):
+  * {{{
+  *   feature(d)  = multiset of hash(bigram) mod B over d's token bigrams
+  *   p_b         = (ct_b + 1) / (Tt + B)      target bucket distribution
+  *   q_b         = (cr_b + 1) / (Tr + B)      raw bucket distribution
+  *   log w(d)    = Σ over d's feature occurrences of ln(p_b / q_b)
+  *   select      = top-n by  log w(d) + Gumbel(d)            (resample)
+  *   Gumbel(d)   = -ln(-ln(u_d)),  u_d = md5-unit(salt:doc_id) ∈ (0,1)
+  * }}}
+  * The md5-derived Gumbel noise makes the resample DETERMINISTIC and
+  * engine-independent (the same cross-engine md5 route as
+  * [[Sampling.md5Unit]]) while keeping DSIR's sampling-without-
+  * replacement semantics: adding independent Gumbel noise to log
+  * weights and taking the top n IS a weighted sample without
+  * replacement (the Gumbel-top-k trick).
+  *
+  * Scale shape: bigrams reduce to bounded bucket ids at the scan (text
+  * never shuffles); both distributions are ONE B-bounded aggregate; the
+  * ratio table is B rows — broadcast by construction; scoring is one
+  * scan-side join to that broadcast plus a per-doc partial aggregate;
+  * selection is the bounded-heap TopKBy, never a global sort. Raising B
+  * (10⁵–10⁶ at web scale) only grows the broadcast table, nothing else.
+  */
+object Importance {
+
+  /** 24-bit cross-engine bucket of a string: md5 hex prefix mod
+    * `buckets` — DuckDB spells it
+    * `CAST(concat('0x', substr(md5(s), 1, 6)) AS INTEGER) % buckets`. */
+  def md5Bucket(s: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(s.cast("binary")), 1, 6), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** One row per token-bigram occurrence: (doc_id, bucket). Narrow —
+    * split/zip/explode/hash all run scan-side; only the bounded bucket
+    * id ever leaves the projection. Docs with < 2 tokens emit nothing. */
+  def hashedBigrams(docs: DataFrame, buckets: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val arr = filter(split(lower(col(textCol)), Relevance.TokenPattern),
+      x => x =!= "")
+    val len = greatest(size(arr) - 1, lit(0))
+    val bigrams = zip_with(
+      slice(arr, lit(1), len), slice(arr, lit(2), len),
+      (a, b) => concat(a, lit(" "), b))
+    docs.select(col(idCol).as("doc_id"), explode(bigrams).as("_bg"))
+      .select(col("doc_id"), md5Bucket(col("_bg"), buckets).as("bucket"))
+  }
+
+  /** The B-row importance table: (bucket, log_ratio) for EVERY bucket in
+    * [0, B) — Laplace smoothing gives absent buckets their nonzero
+    * default, so scoring never needs an outer join. Both corpus passes
+    * are single bounded aggregates; the result is broadcast-sized by
+    * construction. */
+  def bucketLogRatios(target: DataFrame, raw: DataFrame, buckets: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = raw.sparkSession
+    def cnt(df: DataFrame, name: String) =
+      hashedBigrams(df, buckets, idCol, textCol)
+        .groupBy("bucket").agg(count(lit(1)).as(name))
+    val t = cnt(target, "_ct")
+    val r = cnt(raw, "_cr")
+    val tTot = t.agg(sum(col("_ct")).as("_tt"))
+    val rTot = r.agg(sum(col("_cr")).as("_tr"))
+    spark.range(buckets).toDF("bucket")
+      .join(broadcast(t), Seq("bucket"), "left")
+      .join(broadcast(r), Seq("bucket"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("bucket"),
+        (log((coalesce(col("_ct"), lit(0L)) + 1).cast("double") /
+            (col("_tt") + buckets).cast("double"))
+          - log((coalesce(col("_cr"), lit(0L)) + 1).cast("double") /
+            (col("_tr") + buckets).cast("double"))).as("log_ratio"))
+  }
+
+  /** Per-document log importance weight: Σ log_ratio over the doc's
+    * bigram occurrences (0.0 for docs with no bigrams — an empty
+    * product of ratios). `ratios` joins as a broadcast (B rows). */
+  def logWeights(docs: DataFrame, ratios: DataFrame, buckets: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val summed = hashedBigrams(docs, buckets, idCol, textCol)
+      .join(broadcast(ratios), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("log_ratio")).as("_w"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(summed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("_w"), lit(0.0)).as("log_w"))
+  }
+
+  /** Deterministic Gumbel-top-`n` resample over (doc_id, log_w):
+    * returns the selected (doc_id, log_w, key) with `key = log_w +
+    * Gumbel(md5-unit(salt:doc_id))`, ranked by the bounded-heap TopKBy
+    * (key desc, doc_id asc) — a weighted sample without replacement
+    * that any engine reproduces from the table alone. */
+  def gumbelTopK(weighted: DataFrame, n: Int,
+      salt: String = "dsir"): DataFrame = {
+    require(n >= 1, s"n=$n")
+    // u in (0, 1): 24-bit md5 value shifted by 0.5 so ln(u) and
+    // ln(-ln(u)) are always finite
+    val u = (conv(substring(md5(concat(lit(salt + ":"),
+        col("doc_id").cast("string")).cast("binary")), 1, 6), 16, 10)
+      .cast("double") + 0.5) / lit((1 << 24).toDouble)
+    val key = round(col("log_w") - log(-log(u)), 6)
+    weighted
+      .select(col("doc_id"), col("log_w"), key.as("key"))
+      .agg(graft.functions.GraftFunctions.topKBy(col("doc_id"), col("key"), n)
+        .as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).as("rank"), col("col.id").as("doc_id"),
+        col("col.score").as("key"))
+  }
+
+  /** End-to-end DSIR selection: estimate the ratio table from
+    * `target` vs `raw`, weight every raw doc, Gumbel-top-`n` resample.
+    * Returns (rank, doc_id, key, log_w, n_bigrams). */
+  def select(target: DataFrame, raw: DataFrame, n: Int,
+      buckets: Int = 4096, salt: String = "dsir",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ratios = bucketLogRatios(target, raw, buckets, idCol, textCol)
+    val weighted = logWeights(raw, ratios, buckets, idCol, textCol)
+      .withColumn("log_w", round(col("log_w"), 6))
+    gumbelTopK(weighted, n, salt)
+      .join(weighted, Seq("doc_id"))
+      .select(col("rank"), col("doc_id"), col("key"), col("log_w"),
+        col("n_bigrams"))
+  }
+}

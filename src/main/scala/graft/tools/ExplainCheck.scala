@@ -19,7 +19,8 @@ object ExplainCheck {
         "q_lm_bigram","q_crossdoc_repetition","q_domain_curation",
         "q_hard_negatives","q_split_leakage_safe","q_curate_ingest",
         "q_corpus_report","q_strip_repeated_spans",
-        "q_nb_classifier","q_retrieval_eval")) {
+        "q_nb_classifier","q_retrieval_eval",
+        "q_hybrid_retrieval","q_dsir_select","q_url_canonicalize")) {
       println(s"########## $q")
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -226,6 +226,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_hybrid_retrieval: heap top-N legs, partial fusion rollup, no cartesian") {
+    val p = plan("q_hybrid_retrieval")
+    // the lexical leg's TopKBy heap must partial-aggregate before its
+    // Exchange (k-entry buffers, never a global rank window)
+    assert("(?s)ObjectHashAggregate.*Exchange.*ObjectHashAggregate".r
+      .findFirstIn(p).isDefined,
+      s"lexical top-N must be a partial+final heap aggregate:\n$p")
+    assert(p.contains("partial_sum"),
+      "the RRF rollup must combine map-side")
+    assert(!p.contains("CartesianProduct"),
+      "probe/stat attachments must broadcast")
+  }
+
+  test("q_dsir_select: ratio table broadcasts, distributions partial-aggregate") {
+    val p = plan("q_dsir_select")
+    assert(p.contains("BroadcastExchange"),
+      "the B-row log-ratio table must broadcast to the scoring join")
+    assert("(?s)HashAggregate.*Exchange.*HashAggregate".r
+      .findFirstIn(p).isDefined,
+      s"bucket counts must partial-aggregate before their Exchange:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row totals must attach as broadcasts, not cartesians")
+  }
+
+  test("q_url_canonicalize: canonicalization is pure scan-side work") {
+    val p = plan("q_url_canonicalize")
+    // the only Exchange permitted is the catalog entry's ORDER BY
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"canonicalizeUrl must not shuffle:\n$p")
+    assert(!p.contains("Join"), "no join anywhere in the projection")
+  }
+
   test("whole-stage codegen covers the scan→agg hot path") {
     // AQE reveals codegen spans only in the final (post-execution) plan
     val df = SparkEntry.queries("q_agg_pricing")(spark, sfDir)

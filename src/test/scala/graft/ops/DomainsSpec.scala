@@ -64,4 +64,43 @@ class DomainsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(3L, 4L, 5L))
   }
+
+  private def canon(url: String): String =
+    Seq(url).toDF("url")
+      .select(Domains.canonicalizeUrl($"url").as("c"))
+      .collect().head.getString(0)
+
+  test("canonicalizeUrl: case, ports, fragments, tracking params, order") {
+    // scheme + host lower-cased, path case preserved
+    assert(canon("HTTPS://WWW.Example.COM/Some/Path") ===
+      "https://www.example.com/Some/Path")
+    // default ports dropped, explicit non-default ports kept
+    assert(canon("https://a.com:443/x") === "https://a.com/x")
+    assert(canon("http://a.com:80/x") === "http://a.com/x")
+    assert(canon("https://a.com:8443/x") === "https://a.com:8443/x")
+    assert(canon("http://a.com:443/x") === "http://a.com:443/x")
+    // fragment dropped
+    assert(canon("https://a.com/x#section-2") === "https://a.com/x")
+    // tracking params removed, survivors sorted, '?' dropped when empty
+    assert(canon("https://a.com/x?utm_source=t&b=2&a=1&fbclid=F") ===
+      "https://a.com/x?a=1&b=2")
+    assert(canon("https://a.com/x?utm_campaign=c&gclid=g") ===
+      "https://a.com/x")
+    // empty path becomes /
+    assert(canon("https://a.com") === "https://a.com/")
+    assert(canon("https://a.com?b=1") === "https://a.com/?b=1")
+  }
+
+  test("canonicalizeUrl: two crawls of the same page share one key") {
+    val variants = Seq(
+      "https://News.Example.com/article/42?id=9&utm_medium=social#top",
+      "HTTP://news.example.com:8080/article/42",          // differs: port
+      "https://news.example.com/article/42?id=9",
+      "https://news.example.com/article/42?utm_source=x&id=9")
+      .toDF("url").select(Domains.canonicalizeUrl($"url").as("c"))
+      .collect().map(_.getString(0))
+    assert(variants(0) === variants(2))
+    assert(variants(2) === variants(3))
+    assert(variants(1) === "http://news.example.com:8080/article/42")
+  }
 }

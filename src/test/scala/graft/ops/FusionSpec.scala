@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.TestSpark.{sfDir, spark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FusionSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("hand-computed RRF over two small rankings") {
+    // list A ranks docs 1,2,3; list B ranks 3,2,4
+    val a = Seq((9L, 1L, 1L), (9L, 2L, 2L), (9L, 3L, 3L))
+      .toDF("query_id", "doc_id", "rk")
+    val b = Seq((9L, 3L, 1L), (9L, 2L, 2L), (9L, 4L, 3L))
+      .toDF("query_id", "doc_id", "rk")
+    val out = Fusion.reciprocalRankFusion(Seq(a, b), topK = 10, c = 60)
+      .orderBy(col("rank")).collect()
+    // doc 3: 1/61 + 1/63 ≈ 0.0322663 edges out doc 2: 2/62 ≈ 0.0322580
+    // (RRF's convexity: an extreme rank pair beats the balanced one);
+    // then doc 1: 1/61, doc 4: 1/63
+    val s2 = 2.0 / 62
+    val s3 = 1.0 / 63 + 1.0 / 61
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(3L, 2L, 1L, 4L))
+    assert(out(0).getAs[Double]("rrf") === math.rint(s3 * 1e6) / 1e6)
+    assert(out(1).getAs[Double]("rrf") === math.rint(s2 * 1e6) / 1e6)
+    assert(out(0).getAs[Long]("n_lists") === 2)
+    assert(out(2).getAs[Long]("n_lists") === 1)
+  }
+
+  test("rrf ties break to the smaller doc_id") {
+    // both docs appear at the same single rank → identical scores
+    val a = Seq((1L, 20L, 1L), (1L, 10L, 2L)).toDF("query_id", "doc_id", "rk")
+    val b = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("query_id", "doc_id", "rk")
+    val out = Fusion.reciprocalRankFusion(Seq(a, b), topK = 2)
+      .orderBy(col("rank")).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(10L, 20L))
+    assert(out(0).getAs[Double]("rrf") === out(1).getAs[Double]("rrf"))
+  }
+
+  test("fusion is per-query: queries never mix") {
+    val a = Seq((1L, 5L, 1L), (2L, 6L, 1L)).toDF("query_id", "doc_id", "rk")
+    val out = Fusion.reciprocalRankFusion(Seq(a), topK = 5).collect()
+    assert(out.length === 2)
+    assert(out.forall(_.getAs[Int]("rank") === 1))
+  }
+
+  test("hybridSearch: fused list contains both legs, never the probe") {
+    val out = Fusion.hybridSearch(docs, embs, Seq("spark", "vector"),
+      queryVecId = 7L, perList = 50, topK = 20).collect()
+    assert(out.length === 20)
+    assert(!out.exists(_.getAs[Long]("doc_id") === 7L))
+    // at least one fused result was found by BOTH retrievers only if the
+    // lists overlap; always true that every n_lists is 1 or 2
+    assert(out.forall(r => { val n = r.getAs[Long]("n_lists"); n == 1 || n == 2 }))
+    // determinism under repartitioning
+    val again = Fusion.hybridSearch(docs.repartition(13), embs,
+      Seq("spark", "vector"), 7L, 50, 20).collect()
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank"))).toSeq
+      === again.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank"))).toSeq)
+  }
+
+  test("a doc ranked well by both lists beats single-list docs at equal depth") {
+    val a = Seq((1L, 100L, 2L), (1L, 200L, 1L)).toDF("query_id", "doc_id", "rk")
+    val b = Seq((1L, 100L, 2L), (1L, 300L, 1L)).toDF("query_id", "doc_id", "rk")
+    val top = Fusion.reciprocalRankFusion(Seq(a, b), topK = 1).collect().head
+    // 100: 2/62 ≈ 0.0323 beats 200/300: 1/61 ≈ 0.0164
+    assert(top.getAs[Long]("doc_id") === 100L)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.TestSpark.{sfDir, spark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ImportanceSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("hashedBigrams emits one bucket per adjacent token pair") {
+    val d = Seq((1L, "a b c d"), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    val out = Importance.hashedBigrams(d, buckets = 64).collect()
+    // doc 1: "a b", "b c", "c d" → 3 rows; docs 2, 3: no bigrams
+    assert(out.count(_.getAs[Long]("doc_id") == 1L) === 3)
+    assert(!out.exists(r => r.getAs[Long]("doc_id") != 1L))
+    assert(out.forall { r =>
+      val b = r.getAs[Long]("bucket"); b >= 0 && b < 64 })
+  }
+
+  test("hand-computed log ratios with Laplace smoothing") {
+    // one-bucket world (buckets = 1): every bigram lands in bucket 0
+    val target = Seq((1L, "x y")).toDF("doc_id", "text")       // 1 occurrence
+    val raw = Seq((1L, "x y z")).toDF("doc_id", "text")        // 2 occurrences
+    val r = Importance.bucketLogRatios(target, raw, buckets = 1).collect()
+    assert(r.length === 1)
+    // ln((1+1)/(1+1)) - ln((2+1)/(2+1)) = 0
+    assert(math.abs(r.head.getAs[Double]("log_ratio")) < 1e-12)
+  }
+
+  test("weights favor docs resembling the target distribution") {
+    val target = docs.filter(col("lang") === "en")
+    val ratios = Importance.bucketLogRatios(target, docs, buckets = 4096)
+    val w = Importance.logWeights(docs, ratios, buckets = 4096)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val byLang = w.groupBy("lang").agg(avg(col("log_w")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the target language must average a higher importance weight than
+    // every other language — the whole point of the estimator
+    val others = byLang.filter(_._1 != "en").values
+    assert(others.forall(_ < byLang("en")),
+      s"en=${byLang("en")} vs $byLang")
+  }
+
+  test("empty and one-token docs weigh exactly zero") {
+    val target = Seq((1L, "x y")).toDF("doc_id", "text")
+    val d = Seq((10L, ""), (11L, "word"), (12L, "x y")).toDF("doc_id", "text")
+    val ratios = Importance.bucketLogRatios(target, d, buckets = 16)
+    val w = Importance.logWeights(d, ratios, buckets = 16)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("log_w"))).toMap
+    assert(w(10L) === ((0L, 0.0)))
+    assert(w(11L) === ((0L, 0.0)))
+    assert(w(12L)._1 === 1L)
+  }
+
+  test("gumbel resample is deterministic and partitioning-independent") {
+    val sel = Importance.select(docs.filter(col("lang") === "en"), docs,
+      n = 50, buckets = 4096).orderBy(col("rank")).collect()
+    assert(sel.length === 50)
+    val again = Importance.select(
+      docs.filter(col("lang") === "en").repartition(7),
+      docs.repartition(13), n = 50, buckets = 4096)
+      .orderBy(col("rank")).collect()
+    assert(sel.map(_.getAs[Long]("doc_id")).toSeq ===
+      again.map(_.getAs[Long]("doc_id")).toSeq)
+    // ranks are 1..50 by key desc
+    assert(sel.map(_.getAs[Int]("rank")).toSeq === (1 to 50))
+    val keys = sel.map(_.getAs[Double]("key"))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("selection enriches the target language") {
+    val sel = Importance.select(docs.filter(col("lang") === "en"), docs,
+        n = 50, buckets = 4096)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val enFrac = sel.filter(col("lang") === "en").count().toDouble / 50
+    val baseFrac = docs.filter(col("lang") === "en").count().toDouble /
+      docs.count()
+    assert(enFrac > baseFrac,
+      s"selected en fraction $enFrac must beat corpus fraction $baseFrac")
+  }
+}
