@@ -34,7 +34,8 @@ object Bench {
     * headline number stays comparable with earlier rounds. */
   val extended: Seq[String] = Seq(
     "q_semantic_dedup", "q_boilerplate_strip", "q_crossdoc_repetition",
-    "q_curate_ingest")
+    "q_curate_ingest", "q_nb_classifier", "q_dsir_select",
+    "q_hybrid_retrieval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

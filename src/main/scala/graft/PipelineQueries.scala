@@ -2036,6 +2036,32 @@ object PipelineQueries {
       urls.select(col("doc_id"),
           graft.ops.Domains.canonicalizeUrl(col("url")).as("url_canon"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------ snapshot range read
+    // End-to-end proof that stats-based file skipping is semantics-
+    // preserving: commit documents into a snapshot table (range-
+    // clustered so doc_id stats are tight), readRange a doc_id slice,
+    // and let the driver hash-match it against a plain SQL BETWEEN.
+    // The pruning itself (files actually skipped) is asserted in
+    // SnapshotStatsSpec; THIS query pins the contract that pruning can
+    // never change results.
+    q("q_snapshot_range",
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id BETWEEN 100 AND 199 ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+      import graft.ops.Snapshots
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_snap_range_${math.abs(dir.hashCode)}").toString
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      val f = p.getFileSystem(s.sessionState.newHadoopConf())
+      f.delete(p, true): Unit
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      Snapshots.commit(s, docs.repartitionByRange(8, col("doc_id")), tmp,
+        statsCols = Seq("doc_id")): Unit
+      Snapshots.readRange(s, tmp,
+          Seq(Snapshots.ColRange("doc_id", Some(100L), Some(199L))))
+        .orderBy(col("doc_id"))
     }
   )
 
