@@ -2062,6 +2062,39 @@ object PipelineQueries {
       Snapshots.readRange(s, tmp,
           Seq(Snapshots.ColRange("doc_id", Some(100L), Some(199L))))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------ global order stats
+    // Contiguous 0-based example ids in doc_id order — computed with
+    // the bucketed two-pass cumsum (no single-task sort; plan-asserted
+    // in ShardingSpec), hash-matched against the oracle's global
+    // row_number.
+    q("q_contiguous_ids",
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY doc_id) - 1 AS row_id
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Sharding.contiguousIds(t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("row_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Order-preserving token-budget shards over n_chars: shard = full
+    // budgets of weight strictly before the doc in doc_id order (a doc
+    // starting in shard s belongs to s even when it crosses the
+    // boundary). The oracle is the exclusive windowed cumsum.
+    q("q_ordered_shards",
+      """SELECT doc_id,
+        |  coalesce(sum(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    // 10000 AS shard,
+        |  coalesce(sum(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    % 10000 AS shard_offset
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Sharding.orderedShards(t(s, dir, "documents"), "doc_id",
+          col("n_chars"), budget = 10000L)
+        .select(col("doc_id"), col("shard"), col("shard_offset"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Global order statistics without a global window: contiguous row
+  * numbers and exclusive running sums in a total `orderCol` order, the
+  * primitives behind order-preserving corpus layout — contiguous
+  * example ids for a training run, and token-budget shard files that
+  * keep the corpus's curriculum/time order (where [[Packing]]'s
+  * hash-sharded streams deliberately do not).
+  *
+  * A naive `row_number() OVER (ORDER BY id)` plans an Exchange
+  * SinglePartition — one task sorts the corpus. Here the corpus is
+  * range-bucketed by `orderCol` instead (monotone bucketing: every row
+  * of bucket b precedes every row of bucket b+1), each bucket windows
+  * in parallel, and per-bucket totals — `buckets` rows, metadata-class
+  * — collect to the driver once to become exclusive bucket offsets
+  * that broadcast back. Global = bucket offset + within-bucket window.
+  *
+  * Two corpus passes total (the totals pass and the window pass — the
+  * same class as the Bloom/boilerplate index builds), one shuffle each,
+  * both keyed on the bucket: parallelism is `buckets`-wide, each window
+  * sorts |corpus|/buckets rows, and no single task ever sees the whole
+  * frame. Bucket boundaries come from `approxQuantile` (one pass,
+  * sketch-based, driver gets `buckets-1` doubles) so buckets stay even
+  * under any `orderCol` distribution.
+  *
+  * `orderCol` must be UNIQUE (use the doc id): ties across a bucket
+  * boundary would make "global position" ill-defined.
+  */
+object Sharding {
+
+  /** Bucket index of `orderCol` against broadcast literal `bounds`
+    * (count of boundaries at or below the value — monotone in the
+    * value, so bucket order IS value order). */
+  private def bucketOf(c: Column, bounds: Array[Double]): Column =
+    if (bounds.isEmpty) lit(0)
+    else size(filter(lit(bounds), b => b <= c.cast("double"))).cast("int")
+
+  /** Adds `_bkt`, `_row_before` (rows strictly before, global) and
+    * `_w_before` (weight sum strictly before, global) in `orderCol`
+    * order. Shared core of [[contiguousIds]] and [[orderedShards]]. */
+  private def globalOrder(df: DataFrame, orderCol: String, weight: Column,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets=$buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds =
+      if (buckets == 1) Array.empty[Double]
+      else df.stat.approxQuantile(orderCol, probs, 0.001)
+    val bucketed = df.withColumn("_bkt", bucketOf(col(orderCol), bounds))
+      .withColumn("_w", weight.cast("long"))
+    // pass 1: per-bucket totals — `buckets` rows to the driver
+    val totals = bucketed.groupBy("_bkt")
+      .agg(count(lit(1)).as("_n"), sum(col("_w")).as("_ws"))
+      .collect().map(r => (r.getAs[Int]("_bkt"), r.getAs[Long]("_n"),
+        r.getAs[Long]("_ws"))).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L, 0L)) { case ((_, rAcc, wAcc), t) =>
+      (t._1, rAcc + t._2, wAcc + t._3)
+    }.init.zip(totals).map { case ((_, rOff, wOff), (bkt, _, _)) =>
+      (bkt, rOff, wOff) }
+    // pass 2: within-bucket exclusive window + broadcast bucket offsets
+    val w = Window.partitionBy(col("_bkt")).orderBy(col(orderCol))
+    val off = spark.createDataset(offsets.toIndexedSeq)
+      .toDF("_bkt", "_row_off", "_w_off")
+    bucketed
+      .withColumn("_rk", row_number().over(w).cast("long") - 1)
+      .withColumn("_wb", coalesce(sum(col("_w"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(off), Seq("_bkt"))
+      .withColumn("_row_before", col("_row_off") + col("_rk"))
+      .withColumn("_w_before", col("_w_off") + col("_wb"))
+      .drop("_rk", "_wb", "_row_off", "_w_off", "_w")
+  }
+
+  /** Contiguous 0-based `row_id` in `orderCol` order — what
+    * `row_number() OVER (ORDER BY orderCol) - 1` means, minus its
+    * single-task sort (and unlike `monotonically_increasing_id`, the
+    * ids are dense and order-faithful). */
+  def contiguousIds(df: DataFrame, orderCol: String,
+      buckets: Int = 64): DataFrame =
+    globalOrder(df, orderCol, lit(1L), buckets)
+      .withColumn("row_id", col("_row_before"))
+      .drop("_bkt", "_w_before")
+
+  /** Order-preserving token-budget shards: `shard` = how many full
+    * `budget`s of weight precede this row in `orderCol` order, and
+    * `shard_offset` = the weight offset within that shard. A row
+    * STARTING in shard s belongs to s even when it crosses the budget
+    * boundary ([[Packing]]'s convention). Consecutive rows get the same
+    * or adjacent shards — shard files preserve corpus order, which is
+    * the point: time-ordered eval slices, curriculum phases, resumable
+    * order-stable loaders. */
+  def orderedShards(df: DataFrame, orderCol: String, weight: Column,
+      budget: Long, buckets: Int = 64): DataFrame = {
+    require(budget >= 1, s"budget=$budget")
+    globalOrder(df, orderCol, weight, buckets)
+      .withColumn("shard", expr(s"_w_before div ${budget}L").cast("long"))
+      .withColumn("shard_offset", pmod(col("_w_before"), lit(budget)))
+      .drop("_bkt", "_row_before", "_w_before")
+  }
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.TestSpark.{sfDir, spark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ShardingSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("contiguousIds equals the single-task row_number, at any bucket count") {
+    val expected = docs.orderBy("doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (d, i) => d -> i.toLong }.toMap
+    for (b <- Seq(1, 7, 64)) {
+      val got = Sharding.contiguousIds(docs, "doc_id", buckets = b)
+        .select("doc_id", "row_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"buckets=$b")
+    }
+  }
+
+  test("contiguousIds is dense 0..N-1 and partitioning-independent") {
+    val ids = Sharding.contiguousIds(docs.repartition(13), "doc_id")
+      .select("row_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (0L until docs.count()))
+  }
+
+  test("orderedShards: hand-computed boundaries, crossing doc stays in its shard") {
+    val d = Seq((1L, 40L), (2L, 50L), (3L, 30L), (4L, 100L), (5L, 10L))
+      .toDF("doc_id", "w")
+    val got = Sharding.orderedShards(d, "doc_id", col("w"), budget = 100L,
+        buckets = 2)
+      .select("doc_id", "shard", "shard_offset")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // cum-before: 0, 40, 90, 120, 220
+    assert(got === Map(
+      1L -> ((0L, 0L)),   // starts shard 0
+      2L -> ((0L, 40L)),
+      3L -> ((0L, 90L)),  // crosses the boundary but STARTS in shard 0
+      4L -> ((1L, 20L)),
+      5L -> ((2L, 20L))))
+  }
+
+  test("orderedShards preserves corpus order: shard ids are monotone in doc_id") {
+    val rows = Sharding.orderedShards(docs, "doc_id", col("n_chars"),
+        budget = 10000L)
+      .select("doc_id", "shard").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.zip(rows.tail).forall { case ((_, s1), (_, s2)) => s1 <= s2 })
+    assert(rows.last._2 > 0, "budget should produce multiple shards at this SF")
+  }
+
+  test("no single-task exchange in the plan (the primitive's whole point)") {
+    val p = Sharding.contiguousIds(docs, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global order must never plan a single-partition exchange:\n$p")
+  }
+}
