@@ -13,6 +13,8 @@ import org.apache.spark.sql.functions.{broadcast, col, input_file_name, lit}
   * {{{
   *   data/commit-<id>/part-*.parquet   immutable once the commit lands
   *   manifest-<id>.txt                 one data-file path per line
+  *   schema-<id>.txt                   the snapshot's schema (JSON)
+  *   stats-<id>.txt                    optional per-file column stats
   *   LATEST                            current manifest id (atomic move)
   * }}}
   *
@@ -47,6 +49,51 @@ object Snapshots {
 
   private def statsPath(dir: String, id: Long) =
     new org.apache.hadoop.fs.Path(dir, s"stats-$id.txt")
+
+  private def schemaPath(dir: String, id: Long) =
+    new org.apache.hadoop.fs.Path(dir, s"schema-$id.txt")
+
+  /** The committed schema of snapshot `id` (None for pre-sidecar
+    * tables). Readers resolve the schema from this one tiny sidecar —
+    * never by merging footers across the file set, which at 100 TB
+    * would read every footer on every query. */
+  def tableSchema(spark: SparkSession, tableDir: String,
+      asOf: Option[Long] = None): Option[org.apache.spark.sql.types.StructType] = {
+    val (f, _) = fs(spark, tableDir)
+    asOf.orElse(latestId(spark, tableDir)).flatMap { id =>
+      val p = schemaPath(tableDir, id)
+      if (!f.exists(p)) None
+      else Some(org.apache.spark.sql.types.DataType.fromJson(readSmall(f, p))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
+  /** Additive schema merge for append commits: new columns append to
+    * the end; a column present in both MUST keep its exact type (type
+    * changes would make old files unreadable under the new schema —
+    * rejected loudly at commit time, not at some later read). */
+  private def mergeSchemas(prev: org.apache.spark.sql.types.StructType,
+      next: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val prevByName = prev.fields.map(fl => fl.name -> fl).toMap
+    next.fields.foreach { fl =>
+      prevByName.get(fl.name).foreach { p =>
+        require(p.dataType == fl.dataType,
+          s"schema evolution cannot change column '${fl.name}' from " +
+            s"${p.dataType.simpleString} to ${fl.dataType.simpleString}")
+      }
+    }
+    org.apache.spark.sql.types.StructType(
+      prev.fields ++ next.fields.filterNot(fl => prevByName.contains(fl.name)))
+  }
+
+  /** Parquet reader pinned to `schema` when a sidecar exists (files
+    * that predate a column surface it as null — schema evolution), and
+    * falling back to a merged-footer read for pre-sidecar tables. */
+  private def readerFor(spark: SparkSession,
+      schema: Option[org.apache.spark.sql.types.StructType]) =
+    schema.map(spark.read.schema)
+      .getOrElse(spark.read.option("mergeSchema", "true"))
 
   private def readSmall(f: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): String = {
@@ -144,6 +191,16 @@ object Snapshots {
     // a committed id and overwrite data/commit-<id> while older manifests
     // still reference those files — silent time-travel corruption
     val id = maxManifestId(f, root) + 1L
+    // schema sidecar content: append commits evolve additively (prev
+    // columns keep their order and type, new columns append); replace
+    // commits define the schema outright. Resolved BEFORE the data
+    // write so an illegal evolution fails fast, not after a
+    // table-sized distributed write
+    val schema =
+      if (append)
+        prev.flatMap(p => tableSchema(spark, tableDir, Some(p._1)))
+          .map(ps => mergeSchemas(ps, df.schema)).getOrElse(df.schema)
+      else df.schema
     val dataDir = new org.apache.hadoop.fs.Path(root, s"data/commit-$id")
     df.write.mode("overwrite").parquet(dataDir.toString)
     val fresh = f.listStatus(dataDir).map(_.getPath)
@@ -154,6 +211,7 @@ object Snapshots {
           .split("\n").filter(_.nonEmpty).toSeq }
         .getOrElse(Seq.empty)
       else Seq.empty
+    writeSmallAtomic(f, schemaPath(tableDir, id), schema.json)
     writeStats(spark, f, tableDir, id, prev.map(_._1), statsCols,
       carried, fresh.toIndexedSeq)
     writeSmallAtomic(f, manifestPath(tableDir, id),
@@ -194,7 +252,11 @@ object Snapshots {
 
   /** Read a snapshot: the LATEST one, or `asOf = Some(id)` for time
     * travel. The exact committed file list is read — concurrent commits
-    * can never tear the view. */
+    * can never tear the view. Schemas are MERGED across the snapshot's
+    * files (schema evolution: an append commit may carry new columns —
+    * rows from files that predate a column read it as null), and time
+    * travel sees only the columns that existed in that snapshot's
+    * files, so evolution is itself time-travelable. */
   def read(spark: SparkSession, tableDir: String,
       asOf: Option[Long] = None): DataFrame = {
     val (f, _) = fs(spark, tableDir)
@@ -202,7 +264,8 @@ object Snapshots {
       throw new IllegalArgumentException(s"no snapshots in $tableDir"))
     val files = readSmall(f, manifestPath(tableDir, id))
       .split("\n").filter(_.nonEmpty)
-    spark.read.parquet(files.toIndexedSeq: _*)
+    readerFor(spark, tableSchema(spark, tableDir, Some(id)))
+      .parquet(files.toIndexedSeq: _*)
   }
 
   /** A conjunct of column range predicates for [[readRange]]: keep rows
@@ -227,8 +290,11 @@ object Snapshots {
     val stats = SnapshotStats.read(f, statsPath(tableDir, id))
     if (stats.isEmpty || ranges.isEmpty) return (files, files.size)
     val byFileCol = stats.get._2.map(l => (l.path, l.column) -> l).toMap
-    // bound conversion needs the column types: one footer-only read
-    val schema = spark.read.parquet(files: _*).schema
+    // bound conversion needs the column types: the schema sidecar (one
+    // driver read; footer fallback for pre-sidecar tables). Files that
+    // predate an evolved column have no stats line for it → kept.
+    val schema = tableSchema(spark, tableDir, Some(id)).getOrElse(
+      spark.read.option("mergeSchema", "true").parquet(files: _*).schema)
     val fields = schema.fields.map(fl => fl.name -> fl.dataType).toMap
     val checks = ranges.flatMap { r =>
       fields.get(r.column).map { dt =>
@@ -257,7 +323,9 @@ object Snapshots {
       ranges: Seq[ColRange], asOf: Option[Long] = None): DataFrame = {
     val (kept, _) = selectRangeFiles(spark, tableDir, ranges, asOf)
     val base =
-      if (kept.nonEmpty) spark.read.parquet(kept: _*)
+      if (kept.nonEmpty)
+        readerFor(spark, tableSchema(spark, tableDir,
+          asOf.orElse(latestId(spark, tableDir)))).parquet(kept: _*)
       else read(spark, tableDir, asOf).limit(0)
     val schema = base.schema.fields.map(fl => fl.name -> fl.dataType).toMap
     val pred = ranges.filter(r => schema.contains(r.column)).flatMap { r =>
@@ -332,7 +400,8 @@ object Snapshots {
     val norm = (s: String) => new org.apache.hadoop.fs.Path(s).toString
     val curFiles = readSmall(f, manifestPath(tableDir, prev._1))
       .split("\n").filter(_.nonEmpty).toIndexedSeq
-    val cur = spark.read.parquet(curFiles: _*)
+    val curSchema = tableSchema(spark, tableDir, Some(prev._1))
+    val cur = readerFor(spark, curSchema).parquet(curFiles: _*)
     val keySet = keys.distinct()
     val touched = cur.select(col(keyCol), input_file_name().as("_file"))
       .join(broadcast(keySet), Seq(keyCol), "left_semi")
@@ -341,7 +410,7 @@ object Snapshots {
     val colsInOrder = cur.columns.map(col).toSeq
     val rewritten =
       if (touched.isEmpty) None
-      else Some(spark.read.parquet(touched.toIndexedSeq: _*)
+      else Some(readerFor(spark, curSchema).parquet(touched.toIndexedSeq: _*)
         .join(broadcast(keySet), Seq(keyCol), "left_anti")
         .select(colsInOrder: _*))
     val fresh = (rewritten, appended.map(_.select(colsInOrder: _*))) match {
@@ -354,6 +423,10 @@ object Snapshots {
           .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted.toSeq
     }
     val carried = curFiles.filterNot(p => touched(norm(p)))
+    // merge/delete never evolve the schema — the new snapshot re-states
+    // the previous one's (falling back to the rewrite frame's own)
+    writeSmallAtomic(f, schemaPath(tableDir, id),
+      curSchema.getOrElse(cur.schema).json)
     writeStats(spark, f, tableDir, id, Some(prev._1), Nil, carried, fresh)
     writeSmallAtomic(f, manifestPath(tableDir, id),
       (carried ++ fresh).mkString("\n"))
@@ -392,9 +465,9 @@ object Snapshots {
         s"file(s) of snapshot $from were rewritten (replace/compact in " +
         "range) — resume the change feed from the rewriting snapshot")
     val fresh = target.filterNot(base)
-    if (fresh.isEmpty)
-      spark.read.parquet(target.toIndexedSeq: _*).limit(0)
-    else spark.read.parquet(fresh: _*)
+    val rdr = readerFor(spark, tableSchema(spark, tableDir, Some(toId)))
+    if (fresh.isEmpty) rdr.parquet(target.toIndexedSeq: _*).limit(0)
+    else rdr.parquet(fresh: _*)
   }
 
   /** Compact the CURRENT snapshot into ~`targetFiles` files, committed
@@ -451,6 +524,7 @@ object Snapshots {
         }
       f.delete(manifestPath(tableDir, id), false): Unit
       f.delete(statsPath(tableDir, id), false): Unit
+      f.delete(schemaPath(tableDir, id), false): Unit
     }
     deleted
   }

@@ -283,6 +283,63 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir, asOf = Some(id3)).count() === 28)
   }
 
+
+  test("schema evolution: append adds a column; old rows read null; time travel sees the old schema") {
+    val dir = freshDir()
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val s1 = Snapshots.commit(spark, v1, dir)
+    val v2 = Seq((3L, "c", 0.5)).toDF("id", "v", "score")
+    val s2 = Snapshots.commit(spark, v2, dir, append = true)
+    // evolved read: superset schema, pre-evolution rows surface null
+    val cur = Snapshots.read(spark, dir)
+    assert(cur.columns.toSeq === Seq("id", "v", "score"))
+    val byId = cur.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(byId === Map(1L -> None, 2L -> None, 3L -> Some(0.5)))
+    // time travel: the old snapshot keeps its committed schema
+    assert(Snapshots.read(spark, dir, asOf = Some(s1)).columns.toSeq ===
+      Seq("id", "v"))
+    assert(Snapshots.tableSchema(spark, dir, Some(s2)).get.fieldNames.toSeq
+      === Seq("id", "v", "score"))
+  }
+
+  test("schema evolution: a type change is rejected at commit time") {
+    val dir = freshDir()
+    Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir): Unit
+    val bad = Seq((2L, 7)).toDF("id", "v") // v: string -> int
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commit(spark, bad, dir, append = true)
+    }
+    assert(e.getMessage.contains("cannot change column 'v'"))
+    // the failed commit must not have become visible
+    assert(Snapshots.read(spark, dir).count() === 1)
+  }
+
+  test("schema evolution survives merge, delete, and the change feed") {
+    val dir = freshDir()
+    Snapshots.commit(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir): Unit
+    val s2 = Snapshots.commit(spark,
+      Seq((3L, "c", 9L)).toDF("id", "v", "extra"), dir, append = true)
+    // merge on the evolved table: updates carry the full merged schema
+    Snapshots.merge(spark, dir,
+      Seq((2L, "B", 5L)).toDF("id", "v", "extra"), "id"): Unit
+    val afterMerge = Snapshots.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(afterMerge === Map(1L -> (("a", -1L)), 2L -> (("B", 5L)),
+      3L -> (("c", 9L))))
+    assert(Snapshots.read(spark, dir).columns.toSeq ===
+      Seq("id", "v", "extra"))
+    // delete keeps the schema too
+    Snapshots.delete(spark, dir, Seq(Tuple1(1L)).toDF("id"), "id"): Unit
+    assert(Snapshots.read(spark, dir).columns.toSeq ===
+      Seq("id", "v", "extra"))
+    // change feed across the evolution boundary reads the merged schema
+    val delta = Snapshots.changes(spark, dir, from = 0, to = Some(s2))
+    assert(delta.columns.toSeq === Seq("id", "v", "extra"))
+  }
+
   test("expire drops unreferenced data files but keeps live snapshots") {
     val dir = freshDir()
     Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"), dir)          // 1
