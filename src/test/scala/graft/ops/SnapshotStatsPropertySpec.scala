@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property tests for the trickiest pure code in the stats layer: the
+  * truncate-and-increment string bounds and the code-point comparator.
+  * A wrong bound silently causes WRONG file pruning (missing rows), so
+  * the invariants get generator coverage beyond the hand-picked spec
+  * cases — including supplementary (surrogate-pair) code points, which
+  * is exactly where UTF-16 intuition breaks.
+  */
+object SnapshotStatsPropertySpec extends Properties("SnapshotStats") {
+
+  // strings over a hazardous alphabet: ASCII, 0xFFFF (max BMP),
+  // supplementary planes (surrogate pairs in UTF-16), U+10FFFF (max)
+  private val hazardousChar: Gen[String] = Gen.oneOf(
+    Gen.alphaNumChar.map(_.toString),
+    Gen.const("￿"),
+    Gen.const(new String(Character.toChars(0x10000))),
+    Gen.const(new String(Character.toChars(0x10FFFF))),
+    Gen.const(new String(Character.toChars(0x1F600))),
+    Gen.const("é"))
+
+  private val str: Gen[String] =
+    Gen.choose(0, 140).flatMap(n =>
+      Gen.listOfN(n, hazardousChar).map(_.mkString))
+
+  property("lowerBound(s) <= s in code-point order") = forAll(str) { s =>
+    SnapshotStats.cmpUtf8(SnapshotStats.lowerBound(s), s) <= 0
+  }
+
+  property("s <= upperBound(s) when it exists") = forAll(str) { s =>
+    SnapshotStats.upperBound(s) match {
+      case Some(u) => SnapshotStats.cmpUtf8(s, u) <= 0
+      case None => true // unbounded: recorded as maxUnbounded, never prunes
+    }
+  }
+
+  property("bounds never exceed the cap (+1 code point for the round-up)") =
+    forAll(str) { s =>
+      SnapshotStats.lowerBound(s).length <= SnapshotStats.StringCap &&
+      SnapshotStats.upperBound(s).forall(_.length <= SnapshotStats.StringCap + 1)
+    }
+
+  property("every string sharing the truncated prefix stays inside the bounds") =
+    forAll(str, str) { (s, suffix) =>
+      // s' = any extension of s must satisfy lower <= s' (< upper when bounded)
+      val ext = s + suffix
+      val lowOk = SnapshotStats.cmpUtf8(SnapshotStats.lowerBound(s), ext) <= 0 ||
+        // a truncated lower bound only bounds extensions of the TRUNCATED
+        // prefix; for short s the bound IS s and s <= s+suffix always
+        s.length > SnapshotStats.StringCap
+      val hiOk = SnapshotStats.upperBound(s).forall { u =>
+        if (s.length <= SnapshotStats.StringCap)
+          // untruncated: the bound is s itself; only s itself must satisfy it
+          SnapshotStats.cmpUtf8(s, u) <= 0
+        else SnapshotStats.cmpUtf8(ext, u) < 0
+      }
+      lowOk && hiOk
+    }
+
+  property("cmpUtf8 agrees with UTF-8 byte order") = forAll(str, str) { (a, b) =>
+    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val byteCmp = {
+      val n = math.min(ab.length, bb.length)
+      var i = 0
+      var r = 0
+      while (i < n && r == 0) {
+        r = java.lang.Integer.compare(ab(i) & 0xff, bb(i) & 0xff); i += 1 }
+      if (r != 0) r else Integer.compare(ab.length, bb.length)
+    }
+    Integer.signum(SnapshotStats.cmpUtf8(a, b)) == Integer.signum(byteCmp)
+  }
+}
