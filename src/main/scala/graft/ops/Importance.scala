@@ -45,20 +45,27 @@ object Importance {
     pmod(conv(substring(md5(s.cast("binary")), 1, 6), 16, 10).cast("long"),
       lit(buckets.toLong))
 
+  /** Array of hashed-bigram bucket ids for one text value — the shared
+    * feature expression of the batch estimator/scorer AND the streaming
+    * serving twin ([[graft.streaming.EventStreams.importanceWeightStream]]).
+    * Pure narrow column work; a < 2-token text yields an empty array. */
+  def bigramBucketsCol(text: Column, buckets: Int): Column = {
+    val arr = filter(split(lower(text), Relevance.TokenPattern),
+      x => x =!= "")
+    val len = greatest(size(arr) - 1, lit(0))
+    transform(
+      zip_with(slice(arr, lit(1), len), slice(arr, lit(2), len),
+        (a, b) => concat(a, lit(" "), b)),
+      bg => md5Bucket(bg, buckets))
+  }
+
   /** One row per token-bigram occurrence: (doc_id, bucket). Narrow —
     * split/zip/explode/hash all run scan-side; only the bounded bucket
     * id ever leaves the projection. Docs with < 2 tokens emit nothing. */
   def hashedBigrams(docs: DataFrame, buckets: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val arr = filter(split(lower(col(textCol)), Relevance.TokenPattern),
-      x => x =!= "")
-    val len = greatest(size(arr) - 1, lit(0))
-    val bigrams = zip_with(
-      slice(arr, lit(1), len), slice(arr, lit(2), len),
-      (a, b) => concat(a, lit(" "), b))
-    docs.select(col(idCol).as("doc_id"), explode(bigrams).as("_bg"))
-      .select(col("doc_id"), md5Bucket(col("_bg"), buckets).as("bucket"))
-  }
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(bigramBucketsCol(col(textCol), buckets)).as("bucket"))
 
   /** The B-row importance table: (bucket, log_ratio) for EVERY bucket in
     * [0, B) — Laplace smoothing gives absent buckets their nonzero

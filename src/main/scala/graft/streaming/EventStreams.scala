@@ -403,6 +403,35 @@ object EventStreams {
       .drop("window")
   }
 
+  /** Streaming twin of [[graft.ops.Importance.logWeights]] — DSIR
+    * serving: weight arriving documents against a STATIC B-row
+    * log-ratio table ([[graft.ops.Importance.bucketLogRatios]], built
+    * once from the target/raw corpora). The bigram→bucket feature
+    * explode is the stateless shared expression
+    * ([[graft.ops.Importance.bigramBucketsCol]]); the ratio attach is a
+    * stream-static INNER join on the bucket key — lossless because the
+    * ratio table covers every bucket in [0, B) by construction; the
+    * per-doc sum is a watermarked aggregate keyed (doc_id, event-time
+    * window), emitted exactly once when the watermark passes. One
+    * batch-parity difference, stated: a document with NO bigrams
+    * (< 2 tokens) emits nothing here, where the batch twin reports it
+    * with log_w = 0 — append-mode streaming cannot left-join rows that
+    * never produced a feature. */
+  def importanceWeightStream(docs: DataFrame, ratios: DataFrame,
+      buckets: Int, idCol: String = "doc_id", textCol: String = "text",
+      eventTimeCol: String = "event_time", watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    docs.withWatermark(eventTimeCol, watermark)
+      .select(col(idCol), col(eventTimeCol),
+        explode(graft.ops.Importance.bigramBucketsCol(col(textCol), buckets))
+          .as("bucket"))
+      .join(ratios, Seq("bucket"))
+      .groupBy(col(idCol), window(col(eventTimeCol), windowDur))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("log_ratio")), 6).as("log_w"))
+      .drop("window")
+  }
+
   /** Streaming twin of [[graft.ops.Pipelines.curateIngest]] — the
     * composed continuous-curation ingest leg: normalize (stateless) →
     * Bloom-accelerated corpus dedup + watermark-bounded within-stream

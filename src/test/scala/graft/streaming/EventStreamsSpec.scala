@@ -149,6 +149,42 @@ class EventStreamsSpec extends AnyFunSuite {
       s"only ${streamedIds.size} of ${expectedIds.size} docs emitted")
   }
 
+  test("streaming DSIR weights against a static ratio table match the batch twin") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.mode("overwrite").parquet(stageDir)
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // ratio table estimated once: target = en half of the even docs,
+    // raw = the even docs; the odd docs arrive as the stream
+    val raw = batchDocs.filter(pmod($"doc_id", lit(2)) === 0)
+    val ratios = graft.ops.Importance.bucketLogRatios(
+      raw.filter($"lang" === "en"), raw, buckets = 1024)
+    val incoming = spark.readStream
+      .schema(batchDocs.schema).parquet(stageDir)
+      .filter(pmod($"doc_id", lit(2)) === 1)
+      .withColumn("event_time", timestamp_seconds($"doc_id" * 60))
+    val q = EventStreams.importanceWeightStream(incoming, ratios,
+        buckets = 1024)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdsir")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sdsir")
+      .select($"doc_id", $"n_bigrams", $"log_w")
+      .collect().map(_.toSeq).toSet
+    val expected = graft.ops.Importance.logWeights(
+        batchDocs.filter(pmod($"doc_id", lit(2)) === 1), ratios,
+        buckets = 1024)
+      .filter($"n_bigrams" > 0) // zero-feature docs never emit on a stream
+      .select($"doc_id", $"n_bigrams", round($"log_w", 6))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty, "stream emitted no weights")
+    assert(streamed.subsetOf(expected),
+      "every emitted streaming weight must equal its batch twin")
+    assert(streamed.size >= expected.size - 50,
+      s"only ${streamed.size} of ${expected.size} docs emitted")
+  }
+
   test("bloom streaming corpus dedup matches the exact stream-static twin") {
     val stageDir = java.nio.file.Files.createTempDirectory("graft-sbd").toString
     spark.read.parquet(s"$sfDir/documents.parquet")
