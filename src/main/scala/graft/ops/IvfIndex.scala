@@ -98,4 +98,64 @@ object IvfIndex {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id"), col("sim"), col("rk"))
   }
+
+  /** Persist an index as a pair of [[Snapshots]] tables under `dir`
+    * (`assignments/`: one row per vector, cell-clustered so the
+    * per-file cell stats are tight; `centroids/`: nlist rows) — the
+    * index lifecycle a serving system needs: build once, load many,
+    * append deltas, time-travel to any indexed state, [[Snapshots.expire]]
+    * old states. The assignments write range-partitions on `cell` and
+    * records cell min/max per file, so a future cell-targeted read can
+    * prune files exactly like any stats-backed snapshot scan. Returns
+    * the assignments snapshot id. */
+  def save(spark: SparkSession, index: Index, dir: String): Long = {
+    import spark.implicits._
+    val cents = index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+    Snapshots.commit(spark, cents, s"$dir/centroids"): Unit
+    Snapshots.commit(spark,
+      index.assignments.select(col("vec_id"), col("emb"), col("cell"))
+        .repartitionByRange(math.max(1, index.centroids.length / 4),
+          col("cell")),
+      s"$dir/assignments", statsCols = Seq("cell"))
+  }
+
+  /** Load a saved index — the LATEST state, or `asOf = Some(assignments
+    * snapshot id)` for the index as it stood before later [[append]]s.
+    * Centroids are nlist rows: one bounded driver collect. */
+  def load(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None): Index = {
+    val cents = Snapshots.read(spark, s"$dir/centroids")
+      .collect().map(r => (r.getInt(0),
+        r.getSeq[Double](1).toArray)).sortBy(_._1).map(_._2)
+    Index(Snapshots.read(spark, s"$dir/assignments", asOf), cents)
+  }
+
+  /** Incrementally index `newVecs` (vec_id, embedding) into a saved
+    * index: assign each new vector to its nearest centroid — a narrow
+    * pass against the broadcast-literal centroid table, the same
+    * quantizer [[search]] probes with, so an appended vector lands
+    * exactly where a query for it will look — and append-commit the
+    * assignments (old files untouched; readers of earlier index states
+    * unaffected; the centroids themselves never move — re-[[build]] when
+    * drift warrants a new quantizer). Returns the new snapshot id. */
+  def append(spark: SparkSession, dir: String, newVecs: DataFrame): Long = {
+    import spark.implicits._
+    val saved = load(spark, dir)
+    val cents = saved.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cdist"), col("cell"))
+    val assigned = newVecs
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("emb"), col("cell"),
+        aggregate(zip_with(col("emb"), col("centroid"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x).as("cdist"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("emb"), col("cell"))
+    Snapshots.commit(spark, assigned, s"$dir/assignments", append = true)
+  }
 }

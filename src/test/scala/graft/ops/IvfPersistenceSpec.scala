@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.TestSpark.{sfDir, spark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IvfPersistenceSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private lazy val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private def freshDir() =
+    java.nio.file.Files.createTempDirectory("graft-ivf").toString
+
+  test("save/load round-trip: the loaded index searches identically") {
+    val dir = freshDir()
+    val built = IvfIndex.build(embs, nlist = 8)
+    IvfIndex.save(spark, built, dir): Unit
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.centroids.length === built.centroids.length)
+    assert(loaded.centroids.zip(built.centroids)
+      .forall { case (a, b) => a.sameElements(b) })
+    def results(ix: IvfIndex.Index) =
+      IvfIndex.search(ix, col("vec_id") < 10, k = 5, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    assert(results(loaded) === results(built))
+  }
+
+  test("append indexes new vectors where a query will find them; time travel excludes them") {
+    val dir = freshDir()
+    val s1 = IvfIndex.save(spark, IvfIndex.build(embs, nlist = 8), dir)
+    // a new vector = an existing vector nudged slightly: it must join
+    // that vector's cell and show up as its near-exact neighbor
+    val donor = embs.filter(col("vec_id") === 3L)
+      .select(col("embedding").cast("array<double>").as("e"))
+      .collect().head.getSeq[Double](0).toArray
+    val nudged = donor.map(_ * 1.001)
+    val newVecs = Seq((100003L, nudged.toSeq)).toDF("vec_id", "embedding")
+    IvfIndex.append(spark, dir, newVecs): Unit
+    val after = IvfIndex.load(spark, dir)
+    assert(after.assignments.count() === embs.count() + 1)
+    // the appended vector's cell equals its donor's cell
+    val cells = after.assignments
+      .filter(col("vec_id").isin(3L, 100003L))
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(100003L) === cells(3L))
+    // a probe for the donor now surfaces the appended near-duplicate first
+    val top = IvfIndex.search(after, col("vec_id") === 3L, k = 1, nprobe = 2)
+      .collect().head
+    assert(top.getLong(1) === 100003L)
+    assert(top.getDouble(2) > 0.9999)
+    // time travel: the pre-append index state is intact
+    val before = IvfIndex.load(spark, dir, asOf = Some(s1))
+    assert(before.assignments.count() === embs.count())
+  }
+}
