@@ -20,7 +20,8 @@ object ExplainCheck {
         "q_hard_negatives","q_split_leakage_safe","q_curate_ingest",
         "q_corpus_report","q_strip_repeated_spans",
         "q_nb_classifier","q_retrieval_eval",
-        "q_hybrid_retrieval","q_dsir_select","q_url_canonicalize")) {
+        "q_hybrid_retrieval","q_dsir_select","q_url_canonicalize",
+        "q_contiguous_ids","q_ordered_shards")) {
       println(s"########## $q")
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -258,6 +258,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "no join anywhere in the projection")
   }
 
+  test("global order stats: never an Exchange SinglePartition") {
+    for (q <- Seq("q_contiguous_ids", "q_ordered_shards")) {
+      val p = plan(q)
+      // the naive row_number-over-everything alternative plans exactly
+      // this; the bucketed two-pass must not (the catalog ORDER BY is a
+      // rangepartitioning exchange, which is fine)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q must not funnel the corpus through one task:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the scan→agg hot path") {
     // AQE reveals codegen spans only in the final (post-execution) plan
     val df = SparkEntry.queries("q_agg_pricing")(spark, sfDir)
