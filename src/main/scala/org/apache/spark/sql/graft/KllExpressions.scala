@@ -1,0 +1,171 @@
+package org.apache.spark.sql.graft
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+
+/** Mergeable quantile sketches (Apache DataSketches KLL, on Spark's own
+  * classpath) — the re-aggregatable percentile the builtin
+  * `approx_percentile` is NOT: its buffers exist only inside one
+  * aggregation, so per-day / per-source percentile rollups must re-read
+  * raw data. A KLL sketch is a first-class VALUE here — build per
+  * group ([[KllSketchAgg]]), store it, union sketches across groups or
+  * days without touching raw rows ([[KllMergeAgg]]), extract any
+  * quantile at any time ([[KllQuantile]]). Completes the sketch family
+  * next to HLL (distinct counts) and frequent-items (heavy hitters).
+  *
+  * Accuracy: KLL's guarantee is on RANK error (±ε(k) of the true rank,
+  * ~1.65% at k=200 with 99% confidence), not value error; compaction
+  * is randomized, so estimates may vary run to run WITHIN the bound —
+  * which is why the catalog oracle is a rank-error certificate, not an
+  * exact hash match. State is O(k log(n/k)) doubles per group,
+  * partial-mergeable — the shuffle carries sketch bytes, never values.
+  */
+object KllOps {
+  def empty(k: Int): KllDoublesSketch = KllDoublesSketch.newHeapInstance(k)
+  def fromBytes(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  def checkK(prettyName: String, kExpr: Expression): TypeCheckResult =
+    kExpr.eval() match {
+      case null => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a non-null literal k")
+      case n: Number if n.intValue() < 8 =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName requires k >= 8")
+      case _ => TypeCheckResult.TypeCheckSuccess
+    }
+}
+
+/** `kll_agg(value, k)` → serialized KLL doubles sketch (binary). Null
+  * and NaN values are skipped (NaN has no rank). */
+case class KllSketchAgg(
+    child: Expression,
+    kExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllDoublesSketch] with ExpectsInputTypes {
+
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
+
+  override def children: Seq[Expression] = Seq(child, kExpr)
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, IntegerType)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kll_agg"
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val defaultCheck = super.checkInputDataTypes()
+    if (defaultCheck.isFailure) defaultCheck
+    else if (!kExpr.foldable)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a literal k")
+    else KllOps.checkK(prettyName, kExpr)
+  }
+
+  override def createAggregationBuffer(): KllDoublesSketch = KllOps.empty(k)
+
+  override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null && !java.lang.Double.isNaN(v.asInstanceOf[Double]))
+      buf.update(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+
+  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllOps.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllSketchAgg =
+    copy(child = newChildren(0), kExpr = newChildren(1))
+}
+
+/** `kll_merge(sketch, k)` → serialized union of serialized sketches —
+  * the cross-group / cross-day rollup that never re-reads raw data.
+  * Null inputs (e.g. an empty group's sketch column) are skipped. */
+case class KllMergeAgg(
+    child: Expression,
+    kExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllDoublesSketch] with ExpectsInputTypes {
+
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
+
+  override def children: Seq[Expression] = Seq(child, kExpr)
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kll_merge"
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val defaultCheck = super.checkInputDataTypes()
+    if (defaultCheck.isFailure) defaultCheck
+    else if (!kExpr.foldable)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a literal k")
+    else KllOps.checkK(prettyName, kExpr)
+  }
+
+  override def createAggregationBuffer(): KllDoublesSketch = KllOps.empty(k)
+
+  override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.merge(KllOps.fromBytes(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(buf: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+
+  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllOps.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllMergeAgg =
+    copy(child = newChildren(0), kExpr = newChildren(1))
+}
+
+/** `kll_quantile(sketch, rank)` → the estimated quantile value at
+  * normalized rank `rank` ∈ [0, 1] (inclusive search criteria, the
+  * DataSketches default). Null/empty sketches → null. A final-stage
+  * scalar over a handful of sketch rows — CodegenFallback is fine. */
+case class KllQuantile(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "kll_quantile"
+
+  override def nullSafeEval(sketch: Any, rank: Any): Any = {
+    val sk = KllOps.fromBytes(sketch.asInstanceOf[Array[Byte]])
+    if (sk.isEmpty) null
+    else sk.getQuantile(rank.asInstanceOf[Double])
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllQuantile =
+    copy(left = newLeft, right = newRight)
+}

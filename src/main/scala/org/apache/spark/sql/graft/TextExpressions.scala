@@ -400,6 +400,24 @@ object GraftFunctions {
   def vectorAvg(c: Column): Column =
     column(VectorAvg(expression(c)).toAggregateExpression())
 
+  /** Mergeable KLL quantile sketch of a double column (serialized). */
+  def kllAgg(c: Column, k: Int = 200): Column =
+    column(KllSketchAgg(expression(c),
+      org.apache.spark.sql.catalyst.expressions.Literal(k))
+      .toAggregateExpression())
+
+  /** Union of serialized KLL sketches — cross-group/day quantile rollup
+    * without re-reading raw data. */
+  def kllMerge(c: Column, k: Int = 200): Column =
+    column(KllMergeAgg(expression(c),
+      org.apache.spark.sql.catalyst.expressions.Literal(k))
+      .toAggregateExpression())
+
+  /** Estimated quantile at normalized rank in [0, 1] from a serialized
+    * KLL sketch. */
+  def kllQuantile(sketch: Column, rank: Column): Column =
+    column(KllQuantile(expression(sketch), expression(rank)))
+
   /** Group-wise top-k with bounded state: k best (score desc, id asc)
     * per group — the scale-safe alternative to a windowed row_number. */
   def topKBy(id: Column, score: Column, k: Int): Column =

@@ -1,0 +1,74 @@
+package graft.functions
+
+import graft.TestSpark.{sfDir, spark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class KllSketchSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("below k the sketch is exact: median of 1..101 is 51, any partitioning") {
+    for (parts <- Seq(1, 7)) {
+      val d = (1 to 101).map(_.toDouble).toDF("v").repartition(parts)
+      val q = d.agg(GraftFunctions.kllQuantile(
+          GraftFunctions.kllAgg(col("v")), lit(0.5)).as("m"))
+        .collect().head.getDouble(0)
+      assert(q === 51.0, s"parts=$parts")
+    }
+  }
+
+  test("merge of partial sketches equals the single sketch below capacity") {
+    val a = (1 to 40).map(_.toDouble).toDF("v")
+      .agg(GraftFunctions.kllAgg(col("v")).as("sk"))
+    val b = (41 to 101).map(_.toDouble).toDF("v")
+      .agg(GraftFunctions.kllAgg(col("v")).as("sk"))
+    val merged = a.unionByName(b)
+      .agg(GraftFunctions.kllQuantile(GraftFunctions.kllMerge(col("sk")),
+        lit(0.5)).as("m"))
+      .collect().head.getDouble(0)
+    assert(merged === 51.0)
+  }
+
+  test("null and NaN values are skipped") {
+    val d = Seq(Some(1.0), None, Some(Double.NaN), Some(3.0), Some(2.0))
+      .toDF("v")
+    val q = d.agg(GraftFunctions.kllQuantile(
+        GraftFunctions.kllAgg(col("v")), lit(0.5)).as("m"))
+      .collect().head.getDouble(0)
+    assert(q === 2.0)
+  }
+
+  test("an empty input yields a null quantile, not a crash") {
+    val d = Seq.empty[Double].toDF("v")
+    val r = d.agg(GraftFunctions.kllQuantile(
+        GraftFunctions.kllAgg(col("v")), lit(0.5)).as("m"))
+      .collect().head
+    assert(r.isNullAt(0))
+  }
+
+  test("rank certificate over real data: estimates stay within the KLL bound") {
+    val sk = docs.agg(GraftFunctions.kllAgg(col("n_chars").cast("double"))
+      .as("sk"))
+    for (q <- Seq(0.1, 0.25, 0.5, 0.75, 0.9)) {
+      val est = sk.select(GraftFunctions.kllQuantile(col("sk"), lit(q)))
+        .collect().head.getDouble(0)
+      val Array(lo, hi) = docs
+        .agg(avg((col("n_chars") < est).cast("double")),
+          avg((col("n_chars") <= est).cast("double")))
+        .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+      assert(lo - 0.04 <= q && q <= hi + 0.04,
+        s"rank of est($q)=$est is [$lo, $hi] — outside the ±0.04 bound")
+    }
+  }
+
+  test("the shuffle carries sketch bytes with a partial merge phase") {
+    val p = docs.groupBy(col("lang"))
+      .agg(GraftFunctions.kllAgg(col("n_chars").cast("double")).as("sk"))
+      .queryExecution.executedPlan.toString
+    assert("(?s)ObjectHashAggregate.*Exchange.*ObjectHashAggregate".r
+      .findFirstIn(p).isDefined,
+      s"kll_agg must partial-aggregate before the Exchange:\n$p")
+  }
+}
