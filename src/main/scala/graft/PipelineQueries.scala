@@ -2162,6 +2162,61 @@ object PipelineQueries {
           col("exact_q75"),
           (col("_rk_lo") - 0.04 <= 0.5 && lit(0.5) <= col("_rk_hi") + 0.04)
             .as("rank_within_bound"))
+    },
+
+    // ------------------------------------------------ theta set sketches
+    // Corpus overlap via theta sketches — the measurement HLL cannot
+    // make: |A ∩ B| and |A \ B| of two crawls' distinct texts,
+    // estimated from two stored sketches with no raw re-read (dedup
+    // planning before the expensive join). A = docs with doc_id%3>0,
+    // B = docs with doc_id%2=0, keyed by text. Certificate oracle:
+    // exact counts hash-match DuckDB; estimates must land within ±5%
+    // (A, B — theta RSE at lgK=12 is ~1.6%) and ±10% (intersection /
+    // difference — set-op error amplifies against the smaller operand).
+    q("q_theta_overlap",
+      """WITH a AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 > 0),
+        |b AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0)
+        |SELECT
+        |  (SELECT count(*) FROM a) AS exact_a,
+        |  (SELECT count(*) FROM b) AS exact_b,
+        |  (SELECT count(*) FROM a WHERE text IN (SELECT text FROM b))
+        |    AS exact_ab,
+        |  (SELECT count(*) FROM a WHERE text NOT IN (SELECT text FROM b))
+        |    AS exact_anotb,
+        |  TRUE AS ok_a, TRUE AS ok_b, TRUE AS ok_ab,
+        |  TRUE AS ok_anotb""".stripMargin) { (s, dir) =>
+      import graft.functions.GraftFunctions._
+      val docs = t(s, dir, "documents")
+      val ska = docs.filter(pmod(col("doc_id"), lit(3)) > 0)
+        .agg(thetaAgg(col("text")).as("ska"))
+      val skb = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .agg(thetaAgg(col("text")).as("skb"))
+      val exact = docs.agg(
+        count_distinct(when(pmod(col("doc_id"), lit(3)) > 0, col("text")))
+          .as("exact_a"),
+        count_distinct(when(pmod(col("doc_id"), lit(2)) === 0, col("text")))
+          .as("exact_b"))
+      // exact intersection/difference of the DISTINCT-TEXT sets
+      val aTexts = docs.filter(pmod(col("doc_id"), lit(3)) > 0)
+        .select(col("text")).distinct()
+      val bTexts = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("text")).distinct()
+      val exactAb = aTexts.join(bTexts, Seq("text"), "left_semi")
+        .agg(count(lit(1)).as("exact_ab"))
+      val exactAnotb = aTexts.join(bTexts, Seq("text"), "left_anti")
+        .agg(count(lit(1)).as("exact_anotb"))
+      def within(est: Column, exact: Column, tol: Double): Column =
+        abs(est - exact) <= exact * tol
+      ska.crossJoin(skb).crossJoin(broadcast(exact))
+        .crossJoin(broadcast(exactAb)).crossJoin(broadcast(exactAnotb))
+        .select(col("exact_a"), col("exact_b"), col("exact_ab"),
+          col("exact_anotb"),
+          within(thetaEstimate(col("ska")), col("exact_a"), 0.05).as("ok_a"),
+          within(thetaEstimate(col("skb")), col("exact_b"), 0.05).as("ok_b"),
+          within(thetaEstimate(thetaIntersect(col("ska"), col("skb"))),
+            col("exact_ab"), 0.10).as("ok_ab"),
+          within(thetaEstimate(thetaAnotB(col("ska"), col("skb"))),
+            col("exact_anotb"), 0.10).as("ok_anotb"))
     }
   )
 

@@ -418,6 +418,31 @@ object GraftFunctions {
   def kllQuantile(sketch: Column, rank: Column): Column =
     column(KllQuantile(expression(sketch), expression(rank)))
 
+  /** Theta sketch of distinct string keys (serialized, mergeable,
+    * intersectable). */
+  def thetaAgg(c: Column, lgK: Int = ThetaOps.DefaultLgK): Column =
+    column(ThetaSketchAgg(expression(c),
+      org.apache.spark.sql.catalyst.expressions.Literal(lgK))
+      .toAggregateExpression())
+
+  /** Union of serialized theta sketches. */
+  def thetaUnion(c: Column, lgK: Int = ThetaOps.DefaultLgK): Column =
+    column(ThetaUnionAgg(expression(c),
+      org.apache.spark.sql.catalyst.expressions.Literal(lgK))
+      .toAggregateExpression())
+
+  /** Intersection sketch of two serialized theta sketches. */
+  def thetaIntersect(a: Column, b: Column): Column =
+    column(ThetaIntersection(expression(a), expression(b)))
+
+  /** Difference sketch: keys of `a` absent from `b`. */
+  def thetaAnotB(a: Column, b: Column): Column =
+    column(ThetaAnotB(expression(a), expression(b)))
+
+  /** Distinct-count estimate of a serialized theta sketch. */
+  def thetaEstimate(c: Column): Column =
+    column(ThetaEstimate(expression(c)))
+
   /** Group-wise top-k with bounded state: k best (score desc, id asc)
     * per group — the scale-safe alternative to a windowed row_number. */
   def topKBy(id: Column, score: Column, k: Int): Column =

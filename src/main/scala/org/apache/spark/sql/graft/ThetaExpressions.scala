@@ -1,0 +1,191 @@
+package org.apache.spark.sql.graft
+
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketch, Sketches, UpdateSketch}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Theta sketches (Apache DataSketches, on Spark's classpath): distinct
+  * counting with SET OPERATIONS — the measurement HLL cannot make.
+  * `hll_sketch_agg` unions, but corpus work needs intersections and
+  * differences: how many documents do two crawls share (dedup planning
+  * before the expensive join)? how many of yesterday's urls are gone
+  * today (churn)? A theta sketch keeps a uniform sample of hashed keys,
+  * so |A ∩ B| and |A \ B| estimate directly from two stored sketches —
+  * no raw-data re-read, no exact-distinct shuffle of either side.
+  *
+  * [[ThetaSketchAgg]] builds a sketch per group (string keys);
+  * [[ThetaUnionAgg]] merges stored sketches; [[ThetaIntersection]] /
+  * [[ThetaAnotB]] are scalar set ops over two serialized sketches;
+  * [[ThetaEstimate]] extracts the distinct estimate. All sketches
+  * travel as compact immutable bytes. Relative error ~1/√(2^lgK)
+  * (±2.2% at the lgK=12 default, before intersection amplification —
+  * an intersection's error scales with the SMALLER of the operands, so
+  * tiny overlaps estimate loosely; the oracle certificates state the
+  * bound they assert).
+  */
+object ThetaOps {
+  val DefaultLgK = 12
+  def emptyUpdate(lgK: Int): UpdateSketch =
+    UpdateSketch.builder().setLogNominalEntries(lgK).build()
+  def fromBytes(bytes: Array[Byte]): Sketch =
+    Sketches.wrapSketch(Memory.wrap(bytes))
+}
+
+/** `theta_agg(key, lgK)` → serialized compact theta sketch of the
+  * distinct string keys. Nulls are skipped. The buffer is a theta
+  * Union, which accepts both raw keys (map-side update) and sketches
+  * (merge side) — the idiomatic DataSketches aggregation shape. */
+case class ThetaSketchAgg(
+    child: Expression,
+    lgKExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.datasketches.theta.Union]
+  with ExpectsInputTypes {
+
+  private lazy val lgK: Int = lgKExpr.eval().asInstanceOf[Number].intValue()
+
+  override def children: Seq[Expression] = Seq(child, lgKExpr)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
+  override def nullable: Boolean = false
+  override def prettyName: String = "theta_agg"
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): org.apache.datasketches.theta.Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+
+  override def update(buf: org.apache.datasketches.theta.Union,
+      input: InternalRow): org.apache.datasketches.theta.Union = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[UTF8String].getBytes)
+    buf
+  }
+
+  override def merge(buf: org.apache.datasketches.theta.Union,
+      other: org.apache.datasketches.theta.Union): org.apache.datasketches.theta.Union = {
+    buf.union(other.getResult); buf
+  }
+
+  override def eval(buf: org.apache.datasketches.theta.Union): Any =
+    buf.getResult.toByteArray
+
+  override def serialize(buf: org.apache.datasketches.theta.Union): Array[Byte] =
+    buf.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): org.apache.datasketches.theta.Union = {
+    val u = createAggregationBuffer()
+    u.union(ThetaOps.fromBytes(bytes))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ThetaSketchAgg =
+    copy(child = newChildren(0), lgKExpr = newChildren(1))
+}
+
+/** `theta_union(sketch, lgK)` → serialized union of stored sketches. */
+case class ThetaUnionAgg(
+    child: Expression,
+    lgKExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.datasketches.theta.Union]
+  with ExpectsInputTypes {
+
+  private lazy val lgK: Int = lgKExpr.eval().asInstanceOf[Number].intValue()
+
+  override def children: Seq[Expression] = Seq(child, lgKExpr)
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def nullable: Boolean = false
+  override def prettyName: String = "theta_union"
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): org.apache.datasketches.theta.Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+
+  override def update(buf: org.apache.datasketches.theta.Union,
+      input: InternalRow): org.apache.datasketches.theta.Union = {
+    val v = child.eval(input)
+    if (v != null) buf.union(ThetaOps.fromBytes(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(buf: org.apache.datasketches.theta.Union,
+      other: org.apache.datasketches.theta.Union): org.apache.datasketches.theta.Union = {
+    buf.union(other.getResult); buf
+  }
+
+  override def eval(buf: org.apache.datasketches.theta.Union): Any =
+    buf.getResult.toByteArray
+
+  override def serialize(buf: org.apache.datasketches.theta.Union): Array[Byte] =
+    buf.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): org.apache.datasketches.theta.Union = {
+    val u = createAggregationBuffer()
+    u.union(ThetaOps.fromBytes(bytes))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ThetaUnionAgg =
+    copy(child = newChildren(0), lgKExpr = newChildren(1))
+}
+
+/** `theta_intersect(a, b)` → serialized intersection sketch. */
+case class ThetaIntersection(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "theta_intersect"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val ix = SetOperation.builder().buildIntersection()
+    ix.intersect(ThetaOps.fromBytes(a.asInstanceOf[Array[Byte]]))
+    ix.intersect(ThetaOps.fromBytes(b.asInstanceOf[Array[Byte]]))
+    ix.getResult.toByteArray
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ThetaIntersection =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `theta_a_not_b(a, b)` → serialized difference sketch (keys of a
+  * absent from b). */
+case class ThetaAnotB(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "theta_a_not_b"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val op = SetOperation.builder().buildANotB()
+    op.setA(ThetaOps.fromBytes(a.asInstanceOf[Array[Byte]]))
+    op.notB(ThetaOps.fromBytes(b.asInstanceOf[Array[Byte]]))
+    op.getResult(false).toByteArray
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ThetaAnotB =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `theta_estimate(sketch)` → the distinct-count estimate. */
+case class ThetaEstimate(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "theta_estimate"
+  override def nullSafeEval(sketch: Any): Any =
+    ThetaOps.fromBytes(sketch.asInstanceOf[Array[Byte]]).getEstimate
+  override protected def withNewChildInternal(c: Expression): ThetaEstimate =
+    copy(child = c)
+}

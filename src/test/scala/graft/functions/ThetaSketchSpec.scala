@@ -1,0 +1,80 @@
+package graft.functions
+
+import graft.TestSpark.{sfDir, spark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ThetaSketchSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  private def est(c: org.apache.spark.sql.DataFrame): Double =
+    c.collect().head.getDouble(0)
+
+  test("below nominal entries the sketch is exact, any partitioning") {
+    for (parts <- Seq(1, 7)) {
+      val d = (1 to 1000).map(i => s"key-$i").toDF("k").repartition(parts)
+      val e = est(d.agg(GraftFunctions.thetaEstimate(
+        GraftFunctions.thetaAgg(col("k")))))
+      assert(e === 1000.0, s"parts=$parts")
+    }
+  }
+
+  test("duplicates collapse: distinct counting, not row counting") {
+    val d = (1 to 900).map(i => s"key-${i % 30}").toDF("k")
+    val e = est(d.agg(GraftFunctions.thetaEstimate(
+      GraftFunctions.thetaAgg(col("k")))))
+    assert(e === 30.0)
+  }
+
+  test("hand-computed set algebra on exact-mode sketches") {
+    // A = 1..60, B = 41..100  →  |A∩B| = 20, |A\B| = 40, |A∪B| = 100
+    val a = (1 to 60).map(i => s"k$i").toDF("k")
+      .agg(GraftFunctions.thetaAgg(col("k")).as("sk"))
+    val b = (41 to 100).map(i => s"k$i").toDF("k")
+      .agg(GraftFunctions.thetaAgg(col("k")).as("sk"))
+    val both = a.select(col("sk").as("ska"))
+      .crossJoin(b.select(col("sk").as("skb")))
+    assert(est(both.select(GraftFunctions.thetaEstimate(
+      GraftFunctions.thetaIntersect(col("ska"), col("skb"))))) === 20.0)
+    assert(est(both.select(GraftFunctions.thetaEstimate(
+      GraftFunctions.thetaAnotB(col("ska"), col("skb"))))) === 40.0)
+    assert(est(a.unionByName(b)
+      .agg(GraftFunctions.thetaEstimate(
+        GraftFunctions.thetaUnion(col("sk"))))) === 100.0)
+  }
+
+  test("nulls are skipped") {
+    val d = Seq(Some("a"), None, Some("b"), Some("a")).toDF("k")
+    val e = est(d.agg(GraftFunctions.thetaEstimate(
+      GraftFunctions.thetaAgg(col("k")))))
+    assert(e === 2.0)
+  }
+
+  test("real-data overlap estimates stay within the certificate bounds") {
+    val aDocs = docs.filter(pmod(col("doc_id"), lit(3)) > 0)
+    val bDocs = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val ska = aDocs.agg(GraftFunctions.thetaAgg(col("text")).as("ska"))
+    val skb = bDocs.agg(GraftFunctions.thetaAgg(col("text")).as("skb"))
+    val both = ska.crossJoin(skb)
+    val exactA = aDocs.select("text").distinct().count().toDouble
+    val exactAb = aDocs.select("text").distinct()
+      .join(bDocs.select("text").distinct(), Seq("text"), "left_semi")
+      .count().toDouble
+    val eA = est(both.select(GraftFunctions.thetaEstimate(col("ska"))))
+    val eAb = est(both.select(GraftFunctions.thetaEstimate(
+      GraftFunctions.thetaIntersect(col("ska"), col("skb")))))
+    assert(math.abs(eA - exactA) <= exactA * 0.05, s"$eA vs $exactA")
+    assert(math.abs(eAb - exactAb) <= exactAb * 0.10, s"$eAb vs $exactAb")
+  }
+
+  test("the shuffle carries sketch bytes with a partial merge phase") {
+    val p = docs.groupBy(col("lang"))
+      .agg(GraftFunctions.thetaAgg(col("text")).as("sk"))
+      .queryExecution.executedPlan.toString
+    assert("(?s)ObjectHashAggregate.*Exchange.*ObjectHashAggregate".r
+      .findFirstIn(p).isDefined,
+      s"theta_agg must partial-aggregate before the Exchange:\n$p")
+  }
+}
