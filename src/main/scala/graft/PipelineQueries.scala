@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.GraftFunctions
-import graft.ops.{Dedup, IvfIndex, Multimodal, Pipelines, Similarity}
+import graft.ops.{Dedup, Graph, IvfIndex, Multimodal, Pipelines, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -2217,6 +2217,86 @@ object PipelineQueries {
             col("exact_ab"), 0.10).as("ok_ab"),
           within(thetaEstimate(thetaAnotB(col("ska"), col("skb"))),
             col("exact_anotb"), 0.10).as("ok_anotb"))
+    },
+
+    // ------------------------------------------------ link-graph authority
+    // PageRank over the host link graph — the crawl-curation authority
+    // signal (CommonCrawl publishes exactly this ranking for domain
+    // curation). The link graph is synthesized deterministically on
+    // BOTH engines: each doc links its host to the hosts of docs
+    // (id*31+7)%N and (id*17+3)%N, parallel edges aggregate to weights.
+    // The oracle unrolls the SAME 5 damped iterations in chained CTEs —
+    // exact cross-engine agreement at 6 decimals (the iteration is
+    // closed-form double arithmetic, no sampling anywhere).
+    q("q_pagerank",
+      """WITH u AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.'
+        |         ELSE '' END ||
+        |    source || '-site.' ||
+        |    CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+        |         WHEN 2 THEN 'co.uk' ELSE 'org.au' END AS host
+        |  FROM documents),
+        |nn AS (SELECT count(*) AS nd FROM documents),
+        |raw AS (
+        |  SELECT a.host AS src, b.host AS dst FROM u a, nn, u b
+        |  WHERE b.doc_id = (a.doc_id*31+7) % nd
+        |  UNION ALL
+        |  SELECT a.host, b.host FROM u a, nn, u b
+        |  WHERE b.doc_id = (a.doc_id*17+3) % nd),
+        |edges AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+        |          FROM raw GROUP BY 1, 2),
+        |outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+        |nrm AS (SELECT e.src, e.dst, e.w/o.ow AS p
+        |        FROM edges e JOIN outw o USING (src)),
+        |nodes AS (SELECT src AS node FROM edges
+        |          UNION SELECT dst FROM edges),
+        |nv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM nodes),
+        |p0 AS (SELECT node, 1.0/v AS rank FROM nodes, nv),
+        |c1 AS (SELECT nrm.dst AS node, sum(p0.rank*nrm.p) AS c
+        |       FROM p0 JOIN nrm ON nrm.src = p0.node GROUP BY 1),
+        |p1 AS (SELECT n.node, 0.15/v + 0.85*COALESCE(c1.c, 0) AS rank
+        |       FROM nodes n CROSS JOIN nv LEFT JOIN c1 ON c1.node = n.node),
+        |c2 AS (SELECT nrm.dst AS node, sum(p1.rank*nrm.p) AS c
+        |       FROM p1 JOIN nrm ON nrm.src = p1.node GROUP BY 1),
+        |p2 AS (SELECT n.node, 0.15/v + 0.85*COALESCE(c2.c, 0) AS rank
+        |       FROM nodes n CROSS JOIN nv LEFT JOIN c2 ON c2.node = n.node),
+        |c3 AS (SELECT nrm.dst AS node, sum(p2.rank*nrm.p) AS c
+        |       FROM p2 JOIN nrm ON nrm.src = p2.node GROUP BY 1),
+        |p3 AS (SELECT n.node, 0.15/v + 0.85*COALESCE(c3.c, 0) AS rank
+        |       FROM nodes n CROSS JOIN nv LEFT JOIN c3 ON c3.node = n.node),
+        |c4 AS (SELECT nrm.dst AS node, sum(p3.rank*nrm.p) AS c
+        |       FROM p3 JOIN nrm ON nrm.src = p3.node GROUP BY 1),
+        |p4 AS (SELECT n.node, 0.15/v + 0.85*COALESCE(c4.c, 0) AS rank
+        |       FROM nodes n CROSS JOIN nv LEFT JOIN c4 ON c4.node = n.node),
+        |c5 AS (SELECT nrm.dst AS node, sum(p4.rank*nrm.p) AS c
+        |       FROM p4 JOIN nrm ON nrm.src = p4.node GROUP BY 1),
+        |p5 AS (SELECT n.node, 0.15/v + 0.85*COALESCE(c5.c, 0) AS rank
+        |       FROM nodes n CROSS JOIN nv LEFT JOIN c5 ON c5.node = n.node)
+        |SELECT node, round(rank, 6) AS rank FROM p5
+        |ORDER BY node""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val host = concat(
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("www."))
+          .when(pmod(col("doc_id"), lit(3)) === 1, lit("cdn."))
+          .otherwise(lit("")),
+        col("source"), lit("-site."),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("com"))
+          .when(pmod(col("doc_id"), lit(4)) === 1, lit("org"))
+          .when(pmod(col("doc_id"), lit(4)) === 2, lit("co.uk"))
+          .otherwise(lit("org.au")))
+      val u = docs.select(col("doc_id"), host.as("host"))
+      val nn = docs.agg(count(lit(1)).as("nd"))
+      val a = u.crossJoin(broadcast(nn))
+      def leg(mul: Int, add: Int) = a.as("a")
+        .join(u.as("b"), col("b.doc_id") ===
+          pmod(col("a.doc_id") * mul + add, col("nd")))
+        .select(col("a.host").as("src"), col("b.host").as("dst"))
+      val edges = leg(31, 7).unionAll(leg(17, 3))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).cast("double").as("weight"))
+      Graph.pageRank(edges, iterations = 5)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("node"))
     }
   )
 

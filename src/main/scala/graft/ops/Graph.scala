@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge lists — the crawl-curation companion of
+  * [[Domains]]: a web corpus is a LINK GRAPH before it is a document
+  * set, and the standard curation signal derived from that graph is
+  * link-based authority (CommonCrawl publishes harmonic centrality and
+  * PageRank for exactly this purpose; quality-weighted domain mixing
+  * reads it). This module computes weighted PageRank with the same
+  * DataFrame-iteration discipline as [[Dedup.duplicateClusters]]:
+  * per-iteration work is two key-partitioned shuffles (rank
+  * contribution join on `src`, contribution sum on `dst`), state is one
+  * (node, rank) frame — never adjacency in driver memory — and lineage
+  * is truncated with `localCheckpoint` on a fixed cadence so 20
+  * iterations do not build a 20-deep plan.
+  *
+  * Scale shape at 100 TB: the edge frame dominates (host-graph edges
+  * for a full crawl are billions of rows) and is normalized ONCE, then
+  * reused every iteration from cache/checkpoint; the rank frame is
+  * node-sized (~100M hosts), so each iteration shuffles |V| + |E| rows
+  * on stable keys. Nothing is ever collected to the driver except the
+  * two scalar aggregates a PageRank step needs anyway (node count once,
+  * dangling mass per iteration — each a one-row agg, the same metadata
+  * class as a Bloom-filter build).
+  */
+object Graph {
+
+  /** Weighted PageRank over directed `edges` (`srcCol`, `dstCol`,
+    * `weightCol`). Returns (node, rank) with ranks summing to 1.
+    *
+    * Semantics (the classical formulation, deterministic — no sampling):
+    *   - out-probabilities: an edge's transition probability is
+    *     `weight / sum(out-weights of src)`; parallel edges should be
+    *     pre-aggregated (weights add).
+    *   - per iteration: `rank'(n) = (1-d)/V + d * (Σ_{m→n} rank(m)·p(m→n)
+    *     + danglingMass/V)` where danglingMass is the summed rank of
+    *     nodes with no out-edges (their mass redistributes uniformly —
+    *     the standard dangling-node treatment, keeping Σrank = 1).
+    *   - `iterations` is FIXED, not convergence-tested: a fixed count is
+    *     deterministic and cross-engine reproducible (the oracle query
+    *     unrolls the same count), and in practice 10–20 iterations are
+    *     within oracle-rounding of the fixed point on link graphs.
+    *
+    * Each iteration: one join of the node-sized rank frame against the
+    * cached normalized edges on `src`, one partial+final aggregation on
+    * `dst`, one broadcast of the one-row dangling-mass aggregate. The
+    * rank frame is `localCheckpoint`ed every `checkpointInterval`
+    * iterations (and cached otherwise) — same lineage discipline as
+    * [[Dedup.duplicateClusters]].
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 10,
+      damping: Double = 0.85, srcCol: String = "src", dstCol: String = "dst",
+      weightCol: String = "weight", checkpointInterval: Int = 4): DataFrame = {
+    require(iterations >= 1, s"iterations=$iterations")
+    require(damping > 0 && damping < 1, s"damping=$damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("double").as("w"))
+    // normalize once: p(src→dst) = w / Σw(src). Cached — every iteration
+    // rereads this frame, never the raw edges.
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("_ow"))
+    val norm = e.join(outW, "src")
+      .select(col("src"), col("dst"), (col("w") / col("_ow")).as("p"))
+      .cache()
+    val nodes = norm.select(col("src").as("node"))
+      .union(norm.select(col("dst").as("node"))).distinct().cache()
+    val v = nodes.count().toDouble // one scalar; V = |nodes|
+    // nodes that never appear as src hold dangling mass
+    val srcs = norm.select(col("src").as("node")).distinct()
+    val dangling = nodes.join(srcs, Seq("node"), "left_anti").cache()
+    var ranks = nodes.select(col("node"), lit(1.0 / v).as("rank")).cache()
+    var ranksCheckpointed = false
+    for (iter <- 1 to iterations) {
+      val contribs = ranks.join(norm, ranks("node") === norm("src"))
+        .groupBy(col("dst").as("cnode"))
+        .agg(sum(col("rank") * col("p")).as("contrib"))
+      val dMass = ranks.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
+      val nextPlan = nodes
+        .join(contribs, nodes("node") === col("cnode"), "left")
+        .crossJoin(broadcast(dMass))
+        .select(col("node"),
+          (lit((1.0 - damping) / v) + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) + col("dmass") / lit(v)))
+            .as("rank"))
+      val checkpointRound = iter % checkpointInterval == 0
+      val next =
+        if (checkpointRound) nextPlan.localCheckpoint() else nextPlan.cache()
+      if (!ranksCheckpointed) ranks.unpersist()
+      ranks = next
+      ranksCheckpointed = checkpointRound
+    }
+    ranks
+  }
+
+  /** In-degree / out-degree / weighted variants in one pass — the cheap
+    * graph profile a crawl audit starts from (a host with enormous
+    * in-degree and no out-links is a link sink; the reverse is a link
+    * farm). One partial+final aggregation per direction, unioned on the
+    * node key. */
+  def degrees(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", weightCol: String = "weight"): DataFrame = {
+    val outs = edges.groupBy(col(srcCol).as("node"))
+      .agg(count(lit(1)).as("out_deg"),
+        sum(col(weightCol).cast("double")).as("out_w"))
+    val ins = edges.groupBy(col(dstCol).as("node"))
+      .agg(count(lit(1)).as("in_deg"),
+        sum(col(weightCol).cast("double")).as("in_w"))
+    outs.join(ins, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("out_w"), lit(0.0)).as("out_w"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("in_w"), lit(0.0)).as("in_w"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  /** Driver-side reference PageRank — the same math as Graph.pageRank,
+    * written as a plain Scala loop over in-memory maps so the
+    * distributed result has an independently-computed twin. */
+  private def refPageRank(edges: Seq[(String, String, Double)],
+      iterations: Int, d: Double = 0.85): Map[String, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val v = nodes.size.toDouble
+    val outW = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val p = edges.groupBy(identity).view.mapValues(_.map(_._3).sum).toMap
+      .map { case ((s, t, _), w) => (s, t) -> w / outW(s) }
+    var rank = nodes.map(_ -> 1.0 / v).toMap
+    for (_ <- 1 to iterations) {
+      val dangling = nodes.filterNot(outW.contains).map(rank).sum
+      rank = nodes.map { n =>
+        val contrib = p.collect { case ((s, t), pr) if t == n => rank(s) * pr }.sum
+        n -> ((1 - d) / v + d * (contrib + dangling / v))
+      }.toMap
+    }
+    rank
+  }
+
+  private def run(edges: Seq[(String, String, Double)], iterations: Int)
+      : Map[String, Double] =
+    Graph.pageRank(edges.toDF("src", "dst", "weight"), iterations)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("hand-computable triangle: one iteration from uniform") {
+    // a→b, b→c, c→a, all weight 1: the cycle is rank-preserving, so
+    // every iteration keeps the uniform fixed point exactly
+    val edges = Seq(("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0))
+    val got = run(edges, 3)
+    got.values.foreach(r => assert(math.abs(r - 1.0 / 3) < 1e-12))
+  }
+
+  test("matches the driver-side reference on an asymmetric weighted graph") {
+    val edges = Seq(
+      ("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0),
+      ("c", "a", 1.0), ("d", "c", 3.0), ("a", "d", 1.0))
+    val want = refPageRank(edges, 7)
+    val got = run(edges, 7)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (n, r) => assert(math.abs(r - want(n)) < 1e-9, n) }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "ranks must sum to 1")
+  }
+
+  test("dangling node: mass redistributes, ranks still sum to 1") {
+    // d has NO out-edges — its rank must spread uniformly, not vanish
+    val edges = Seq(("a", "b", 1.0), ("b", "d", 1.0), ("a", "d", 1.0))
+    val want = refPageRank(edges, 6)
+    val got = run(edges, 6)
+    got.foreach { case (n, r) => assert(math.abs(r - want(n)) < 1e-9, n) }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // the sink still accumulates the most rank (everything points at it)
+    assert(got("d") > got("a") && got("d") > got("b"))
+  }
+
+  test("authority ordering: a hub pointed at by everyone outranks the rest") {
+    val spokes = ('a' to 'f').map(_.toString)
+    val edges = spokes.map(s => (s, "hub", 1.0)) ++
+      spokes.map(s => ("hub", s, 1.0)) // hub links back: no dangling
+    val got = run(edges, 10)
+    spokes.foreach(s => assert(got("hub") > got(s)))
+  }
+
+  test("partitioning-invariant: repartitioned edges give identical ranks") {
+    val edges = Seq(
+      ("a", "b", 2.0), ("b", "c", 1.0), ("c", "a", 5.0), ("a", "c", 1.0))
+    val base = run(edges, 5)
+    val re = Graph.pageRank(edges.toDF("src", "dst", "weight")
+        .repartition(13), 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    base.foreach { case (n, r) => assert(math.abs(r - re(n)) < 1e-12, n) }
+  }
+
+  test("degrees: one-pass in/out profile with weights") {
+    val edges = Seq(
+      ("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 4.0))
+    val got = Graph.degrees(edges.toDF("src", "dst", "weight"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("a") === ((2L, 3.0, 0L, 0.0)))
+    assert(got("b") === ((1L, 4.0, 1L, 2.0)))
+    assert(got("c") === ((0L, 0.0, 2L, 5.0)))
+  }
+}
