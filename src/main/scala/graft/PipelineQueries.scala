@@ -2297,6 +2297,60 @@ object PipelineQueries {
       Graph.pageRank(edges, iterations = 5)
         .select(col("node"), round(col("rank"), 6).as("rank"))
         .orderBy(col("node"))
+    },
+
+    // ------------------------------------------------ deterministic k-means
+    // Embedding clustering with the REPLAYABLE Lloyd's twin (closed-form
+    // lowest-id seeding, 2 fixed iterations) — the oracle re-runs the
+    // identical algorithm in unrolled SQL (assign → mean → assign →
+    // mean → final assign) and certifies the ASSIGNMENTS with
+    // integer-exact per-cell statistics (count, id sum, id min); the
+    // within-cluster scatter rides along rounded. An assignment could
+    // differ only for a point within FP roundoff of a cell boundary —
+    // measure-zero on these continuous embeddings.
+    q("q_kmeans",
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |           AS cell, emb
+        |         FROM v ORDER BY vec_id LIMIT 8),
+        |a1 AS (SELECT v.vec_id, v.emb,
+        |         (SELECT s.cell FROM seed s
+        |          ORDER BY list_distance(v.emb, s.emb) ASC, s.cell ASC
+        |          LIMIT 1) AS cell FROM v),
+        |m1 AS (SELECT cell, list(a ORDER BY i) AS emb FROM (
+        |         SELECT cell, i, avg(emb[i]) AS a
+        |         FROM a1 CROSS JOIN range(1, 65) AS t(i)
+        |         GROUP BY cell, i) GROUP BY cell),
+        |c1 AS (SELECT s.cell, COALESCE(m1.emb, s.emb) AS emb
+        |       FROM seed s LEFT JOIN m1 USING (cell)),
+        |a2 AS (SELECT v.vec_id, v.emb,
+        |         (SELECT c.cell FROM c1 c
+        |          ORDER BY list_distance(v.emb, c.emb) ASC, c.cell ASC
+        |          LIMIT 1) AS cell FROM v),
+        |m2 AS (SELECT cell, list(a ORDER BY i) AS emb FROM (
+        |         SELECT cell, i, avg(emb[i]) AS a
+        |         FROM a2 CROSS JOIN range(1, 65) AS t(i)
+        |         GROUP BY cell, i) GROUP BY cell),
+        |c2 AS (SELECT s.cell, COALESCE(m2.emb, s.emb) AS emb
+        |       FROM seed s LEFT JOIN m2 USING (cell)),
+        |fin AS (SELECT v.vec_id,
+        |         (SELECT c.cell FROM c2 c
+        |          ORDER BY list_distance(v.emb, c.emb) ASC, c.cell ASC
+        |          LIMIT 1) AS cell,
+        |         (SELECT min(list_distance(v.emb, c.emb)**2) FROM c2 c) AS sq
+        |       FROM v)
+        |SELECT cell, count(*) AS n, sum(vec_id) AS id_sum,
+        |       min(vec_id) AS id_min, round(sum(sq), 4) AS wcss_part
+        |FROM fin GROUP BY cell ORDER BY cell""".stripMargin) { (s, dir) =>
+      val embs = t(s, dir, "embeddings")
+      val model = graft.ops.Kmeans.fit(embs, k = 8, iterations = 2)
+      graft.ops.Kmeans.assign(embs, model)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("id_sum"),
+          min(col("vec_id")).as("id_min"),
+          round(sum(col("sq_dist")), 4).as("wcss_part"))
+        .orderBy(col("cell"))
     }
   )
 

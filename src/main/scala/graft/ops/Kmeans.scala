@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftFunctions
+
+/** Deterministic Lloyd's k-means over an embedding column — the
+  * clustering primitive of embedding-driven curation (SemDeDup prunes
+  * within clusters, DataComp curates per cluster, IVF quantizes by
+  * one). MLlib's `KMeans` (used by [[IvfIndex.build]], where quality
+  * matters more than replay) is NOT reproducible across engines or
+  * releases; this twin is: closed-form seeding (the `k` smallest-id
+  * vectors), a FIXED iteration count, and pure double arithmetic make
+  * every assignment recomputable by any engine up to FP roundoff (the
+  * mean's partial buffers merge in partition order, so centroid
+  * coordinates are roundoff-stable, not bit-stable; an assignment can
+  * flip only for a point within that roundoff of a cell boundary — a
+  * measure-zero event on continuous data). That replay property is
+  * what an ablation-style pipeline needs (rerun, get the same
+  * clusters, diff the downstream change) and what the oracle
+  * certifies with integer-exact per-cell assignment statistics.
+  *
+  * Scale shape: centroids are model-sized (k × dim doubles) and ride
+  * the PLAN as literals — assignment is a narrow zero-shuffle scan, the
+  * same broadcast-literal quantizer shape as [[IvfIndex.search]]. Each
+  * iteration's update is ONE partial-mergeable vector-average aggregate
+  * ([[org.apache.spark.sql.graft.VectorAvg]] — dim-length buffers
+  * shuffle, never vectors) producing k rows, collected to the driver
+  * (k × dim — the Bloom-build metadata class, NOT data-sized). Total:
+  * `iterations` narrow scans, `iterations` k-row aggregates, zero
+  * data-sized shuffles or driver transfers.
+  */
+object Kmeans {
+
+  final case class Model(centroids: Array[Array[Double]], wcss: Double)
+
+  /** Squared Euclidean distance between an array column and a literal
+    * centroid, computed in dimension order (cross-engine-stable FP). */
+  private def sqDist(emb: Column, centroid: Array[Double]): Column =
+    aggregate(
+      zip_with(emb, lit(centroid),
+        (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Nearest-centroid cell id for `emb` (ties break to the LOWEST cell
+    * id — the rule any re-implementation can copy). One nested
+    * conditional chain over k literal distances: narrow, codegen'd,
+    * zero shuffle — the broadcast-literal quantizer shape. */
+  def assignCol(emb: Column, centroids: Array[Array[Double]]): Column = {
+    val dists = centroids.map(c => sqDist(emb, c))
+    val best = dists.reduce((a, b) => least(a, b))
+    // first index attaining the minimum = lowest-id tie-break
+    dists.zipWithIndex.reverse.foldLeft(lit(-1)) { case (acc, (d, i)) =>
+      when(d === best, lit(i)).otherwise(acc)
+    }
+  }
+
+  /** Fit `iterations` of Lloyd's algorithm. `vecs` must carry `idCol`
+    * (orderable, unique) and `embCol` (numeric array). Seeding: the
+    * `k` vectors with the smallest ids — deterministic and engine-free
+    * by construction (kmeans|| seeding clusters better; THIS seeding
+    * replays anywhere, and quality-sensitive callers can pass more
+    * iterations). Empty cells keep their previous centroid (the
+    * standard Lloyd's degeneracy rule, and the one an unrolled SQL twin
+    * reproduces naturally with a left join). */
+  def fit(vecs: DataFrame, k: Int, iterations: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): Model = {
+    require(k >= 1, s"k=$k")
+    require(iterations >= 1, s"iterations=$iterations")
+    val v = vecs.select(col(idCol).as("_id"),
+      col(embCol).cast("array<double>").as("_emb"))
+    // seed: k smallest-id vectors, in id order → cell = rank. k rows.
+    var centroids: Array[Array[Double]] = v.orderBy(col("_id")).limit(k)
+      .select(col("_emb")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(centroids.length == k,
+      s"need at least $k vectors, found ${centroids.length}")
+    for (_ <- 1 to iterations) {
+      val updated = v
+        .select(assignCol(col("_emb"), centroids).as("_cell"), col("_emb"))
+        .groupBy(col("_cell"))
+        .agg(GraftFunctions.vectorAvg(col("_emb")).as("_mean"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      centroids = centroids.indices
+        .map(i => updated.getOrElse(i, centroids(i))).toArray
+    }
+    val wcssCol = centroids.map(c => sqDist(col("_emb"), c))
+      .reduce((a, b) => least(a, b))
+    val wcss = v.agg(sum(wcssCol)).collect()(0).getDouble(0)
+    Model(centroids, wcss)
+  }
+
+  /** Assign every vector of `vecs` to its nearest model centroid:
+    * (id, cell, sq_dist) — one narrow zero-shuffle scan against the
+    * plan-literal centroids. */
+  def assign(vecs: DataFrame, model: Model,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val emb = col(embCol).cast("array<double>")
+    val cell = assignCol(emb, model.centroids)
+    val minDist = model.centroids.map(c => sqDist(emb, c))
+      .reduce((a, b) => least(a, b))
+    vecs.select(col(idCol), cell.as("cell"), minDist.as("sq_dist"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import graft.TestSpark.{sfDir, spark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class KmeansSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private lazy val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("hand-computed 2D example: two obvious clusters, exact centroids") {
+    // ids 0,1 seed the two cells; points cluster at (0,0)-ish and (10,10)-ish
+    val pts = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 10.0)),
+      (2L, Seq(1.0, 0.0)), (3L, Seq(0.0, 1.0)),
+      (4L, Seq(10.0, 9.0)), (5L, Seq(9.0, 10.0))).toDF("vec_id", "embedding")
+    val m = Kmeans.fit(pts, k = 2, iterations = 2)
+    // cluster 0 = {0,2,3} → mean (1/3, 1/3); cluster 1 = {1,4,5} → (29/3, 29/3)
+    assert(m.centroids(0).zip(Array(1.0 / 3, 1.0 / 3))
+      .forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(m.centroids(1).zip(Array(29.0 / 3, 29.0 / 3))
+      .forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    val cells = Kmeans.assign(pts, m).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells === Map(0L -> 0, 1L -> 1, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1))
+  }
+
+  test("deterministic under repartitioning (to FP roundoff)") {
+    // the vector-average partial buffers merge in partition order, so
+    // centroid coordinates can differ in the last ulps across
+    // partitionings — the contract is roundoff-stable, not bit-stable
+    val m1 = Kmeans.fit(embs, k = 4, iterations = 2)
+    val m2 = Kmeans.fit(embs.repartition(13), k = 4, iterations = 2)
+    m1.centroids.zip(m2.centroids).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-12) }
+    }
+    assert(math.abs(m1.wcss - m2.wcss) < 1e-9 * (1 + m1.wcss.abs))
+  }
+
+  test("empty cell keeps its previous centroid") {
+    // seed ids 0,1; every point (including 1's own position after the
+    // first update) is nearer cell 0's centroid region — cell 1 can go
+    // empty and must retain its last centroid rather than crash or NaN
+    val pts = Seq(
+      (0L, Seq(0.0)), (1L, Seq(0.2)),
+      (2L, Seq(0.1)), (3L, Seq(0.05))).toDF("vec_id", "embedding")
+    val m = Kmeans.fit(pts, k = 2, iterations = 3)
+    assert(m.centroids.forall(_.forall(v => !v.isNaN)))
+    assert(m.centroids.length === 2)
+  }
+
+  test("assignment is nearest-centroid-consistent (self-check on real data)") {
+    val m = Kmeans.fit(embs, k = 8, iterations = 2)
+    val assigned = Kmeans.assign(embs, m)
+    // recompute every distance on the driver and verify argmin == cell
+    val rows = embs.select(col("vec_id"),
+        col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cells = assigned.collect().map(r => r.getLong(0) -> r.getInt(1))
+    cells.foreach { case (id, cell) =>
+      val emb = rows(id)
+      val dists = m.centroids.map(c =>
+        c.zip(emb).map { case (a, b) => (a - b) * (a - b) }.sum)
+      assert(dists.indexOf(dists.min) === cell, s"vec $id")
+    }
+  }
+
+  test("WCSS is non-increasing in the iteration count") {
+    val w = (1 to 4).map(i => Kmeans.fit(embs, k = 8, iterations = i).wcss)
+    w.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"wcss rose: $w")
+    }
+  }
+
+  test("tie-break: equidistant point goes to the lowest cell id") {
+    val pts = Seq(
+      (0L, Seq(0.0)), (1L, Seq(2.0)), (2L, Seq(1.0))).toDF("vec_id", "embedding")
+    // point 2 is exactly between the two seeds
+    val m = Kmeans.Model(Array(Array(0.0), Array(2.0)), 0.0)
+    val cells = Kmeans.assign(pts, m).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(2L) === 0)
+  }
+}
