@@ -2351,6 +2351,75 @@ object PipelineQueries {
           min(col("vec_id")).as("id_min"),
           round(sum(col("sq_dist")), 4).as("wcss_part"))
         .orderBy(col("cell"))
+    },
+
+    // ------------------------------------------------ html extraction
+    // HTML → visible text (the WET-file step): each doc is wrapped in a
+    // deterministic page template exercising every clause of the
+    // Html.extractText contract (script/style/noscript with content,
+    // comments, tag boundaries, the entity set with &amp;-last
+    // ordering, whitespace collapse), then extracted. The oracle
+    // re-derives the SAME contract with DuckDB regexes over the SAME
+    // synthesized page — full-text exact match, so any divergence in
+    // any transform breaks the hash.
+    q("q_html_extract",
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || doc_id || ' &amp; ' || source ||
+        |  '</title><style>p { color: red }</style></head><body>' ||
+        |  '<!-- doc ' || doc_id || ' hidden -->' ||
+        |  '<h1>' || upper(source) || '</h1>' ||
+        |  '<script type="text/js">if (1 < 2) track(' || doc_id ||
+        |  ');</script>' ||
+        |  '<p>' || substr(text, 1, 150) || '</p><br/>' ||
+        |  '<p>&quot;' || lang || '&#39;s&nbsp;corpus&lt;&amp;lt;</p>' ||
+        |  '</body></html>' AS html FROM documents),
+        |x AS (SELECT doc_id, html,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |    '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+        |    '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+        |    '(?is)<noscript\b[^>]*>.*?</noscript\s*>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g') AS noblk FROM h),
+        |y AS (SELECT doc_id, html,
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(noblk, '<[^>]*>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&') AS dec FROM x),
+        |z AS (SELECT doc_id, html,
+        |  trim(regexp_replace(dec, '\s+', ' ', 'g')) AS body_text FROM y),
+        |ttl AS (SELECT doc_id,
+        |  regexp_extract(html, '(?is)<title[^>]*>(.*?)</title\s*>', 1) AS t0
+        |  FROM h)
+        |SELECT z.doc_id,
+        |  trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+        |    ttl.t0, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS title,
+        |  z.body_text,
+        |  round(CAST(length(z.body_text) AS DOUBLE) / length(z.html), 6)
+        |    AS text_ratio
+        |FROM z JOIN ttl USING (doc_id) ORDER BY z.doc_id""".stripMargin) {
+      (s, dir) =>
+      import graft.ops.Html
+      val docs = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit(" &amp; "), col("source"),
+        lit("</title><style>p { color: red }</style></head><body>"),
+        lit("<!-- doc "), col("doc_id").cast("string"), lit(" hidden -->"),
+        lit("<h1>"), upper(col("source")), lit("</h1>"),
+        lit("<script type=\"text/js\">if (1 < 2) track("),
+        col("doc_id").cast("string"), lit(");</script>"),
+        lit("<p>"), substring(col("text"), 1, 150), lit("</p><br/>"),
+        lit("<p>&quot;"), col("lang"),
+        lit("&#39;s&nbsp;corpus&lt;&amp;lt;</p>"),
+        lit("</body></html>"))
+      docs.select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"),
+          Html.title(col("html")).as("title"),
+          Html.extractText(col("html")).as("body_text"),
+          round(length(Html.extractText(col("html"))).cast("double") /
+            length(col("html")), 6).as("text_ratio"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML → visible text extraction — the first transform of every web
+  * corpus (the WET-file step of a crawl pipeline): markup in, token
+  * stream out. A browser-grade DOM parse is a per-document library
+  * call; at 100 TB the extraction must instead be a NARROW, codegen'd
+  * expression chain the optimizer can fuse into the scan — no UDF, no
+  * shuffle, no driver involvement. This module states a small exact
+  * contract (the transforms below, in order) and implements it with
+  * `regexp_replace`/`replace` chains that any engine reproduces —
+  * which is what makes the extraction oracle-able cross-engine, and
+  * what a reproducible curation pipeline actually wants from this
+  * stage (trafilatura-style readability heuristics are a quality
+  * upgrade, not a different shape: still per-row narrow work).
+  *
+  * Contract of [[extractText]], applied in order:
+  *   1. `<script>`/`<style>`/`<noscript>` elements are removed WITH
+  *      their content (case-insensitive, multiline, non-greedy).
+  *   2. HTML comments `<!-- … -->` are removed with their content.
+  *   3. Every remaining tag `<…>` becomes a single space (tags are
+  *      token boundaries; block/inline distinction is deliberately not
+  *      modeled — downstream tokenization collapses whitespace anyway).
+  *   4. The common entities decode: `&lt; &gt; &quot; &#39; &nbsp;`
+  *      then `&amp;` LAST (so `&amp;lt;` yields the TEXT `&lt;`, the
+  *      HTML-correct reading). Other numeric/named entities pass
+  *      through verbatim — stated, not silently mangled.
+  *   5. Whitespace collapses to single spaces and the ends trim.
+  */
+object Html {
+
+  private val blockElems = Seq("script", "style", "noscript")
+
+  /** Visible text of an HTML column per the module contract. Pure
+    * narrow expression chain — fuses into the scan. */
+  def extractText(html: Column): Column = {
+    val noBlocks = blockElems.foldLeft(html)((c, el) =>
+      regexp_replace(c, s"(?is)<$el\\b[^>]*>.*?</$el\\s*>", " "))
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "<[^>]*>", " ")
+    val decoded = regexp_replace(
+      foldEntities(noTags), "&amp;", "&") // & decodes LAST
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  private def foldEntities(c: Column): Column =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(c) { case (acc, (e, ch)) =>
+        regexp_replace(acc, e, java.util.regex.Matcher.quoteReplacement(ch))
+      }
+
+  /** `<title>` content (entity-decoded, whitespace-collapsed), or NULL
+    * when absent — the metadata column a crawl index keys on. */
+  def title(html: Column): Column = {
+    val raw = regexp_extract(html, "(?is)<title[^>]*>(.*?)</title\\s*>", 1)
+    val t = trim(regexp_replace(
+      regexp_replace(foldEntities(raw), "&amp;", "&"), "\\s+", " "))
+    when(length(t) > 0, t)
+  }
+
+  /** Visible-text density: extracted length / raw length — the
+    * boilerplate-heaviness quality signal (markup-dominated pages score
+    * near 0). NULL-safe: empty raw HTML scores 0. */
+  def textRatio(html: Column): Column =
+    when(length(html) > 0,
+      length(extractText(html)).cast("double") / length(html))
+      .otherwise(lit(0.0))
+}

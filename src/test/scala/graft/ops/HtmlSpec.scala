@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class HtmlSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def extract(html: String): String =
+    Seq(html).toDF("h").select(Html.extractText(col("h"))).first().getString(0)
+
+  test("scripts and styles vanish with their content") {
+    assert(extract(
+      "<p>keep</p><script>var x = 1 < 2; drop()</script><p>also</p>") ===
+      "keep also")
+    assert(extract("<style type='text/css'>p { color: red }</style>hi") ===
+      "hi")
+    assert(extract("<NOSCRIPT>fallback junk</noscript>text") === "text")
+  }
+
+  test("script tag survives across newlines and attribute noise") {
+    assert(extract(
+      "a<script src=\"x.js\" async>\nline1\nline2()\n</script  >b") === "a b")
+  }
+
+  test("comments are removed with content") {
+    assert(extract("x<!-- secret <b>bold</b> -->y") === "x y")
+  }
+
+  test("tags become token boundaries") {
+    assert(extract("<h1>Title</h1><p>one<br/>two</p>") === "Title one two")
+    // unclosed/malformed tag still consumes to the next '>'
+    assert(extract("a<div class='x'b") === "a<div class='x'b")
+  }
+
+  test("common entities decode; &amp; decodes last; unknown pass through") {
+    assert(extract("1 &lt; 2 &amp;&amp; x &gt; 0") === "1 < 2 && x > 0")
+    assert(extract("&quot;q&quot; &#39;a&#39;&nbsp;end") === "\"q\" 'a' end")
+    // &amp;lt; is the TEXT "&lt;", not "<"
+    assert(extract("&amp;lt;tag&amp;gt;") === "&lt;tag&gt;")
+    // entities outside the contract are stated pass-throughs
+    assert(extract("&copy; &#x1F600;") === "&copy; &#x1F600;")
+  }
+
+  test("whitespace collapses and trims; plain text passes through") {
+    assert(extract("  a \n\t b  ") === "a b")
+    assert(extract("no markup at all") === "no markup at all")
+    assert(extract("") === "")
+  }
+
+  test("title extraction decodes and collapses; absent title is null") {
+    val got = Seq(
+      "<html><head><title> A &amp; B\n2 </title></head></html>",
+      "<p>no title</p>").toDF("h")
+      .select(Html.title(col("h"))).collect().map(r =>
+        if (r.isNullAt(0)) null else r.getString(0))
+    assert(got(0) === "A & B 2")
+    assert(got(1) === null)
+  }
+
+  test("text ratio: markup-heavy pages score low, plain text scores 1") {
+    val rows = Seq(
+      "plain text",
+      "<div><script>x()</script><span></span>hi</div>",
+      "").toDF("h")
+      .select(Html.textRatio(col("h"))).collect().map(_.getDouble(0))
+    assert(rows(0) === 1.0)
+    assert(rows(1) < 0.1)
+    assert(rows(2) === 0.0)
+  }
+}
