@@ -2420,6 +2420,44 @@ object PipelineQueries {
           round(length(Html.extractText(col("html"))).cast("double") /
             length(col("html")), 6).as("text_ratio"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------ trainable BPE
+    // Tokenizer fitting + distributed apply. SQL cannot re-run a BPE
+    // fit, so this is a certificate oracle in the q_theta_overlap
+    // style: the exact corpus accounting (docs, whitespace words,
+    // non-whitespace chars) hash-matches DuckDB, and the Spark side
+    // proves the tokenizer's contractual properties as booleans —
+    // lossless round-trip on EVERY doc (concat of a doc's tokens ==
+    // its whitespace-stripped text), genuine compression (tokens <
+    // chars), and the word floor (tokens ≥ words: merges never cross
+    // whitespace). Training determinism is spec-pinned (BpeSpec).
+    q("q_bpe_tokenize",
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+        |    AS total_words,
+        |  CAST(sum(length(regexp_replace(text, '\s+', '', 'g'))) AS BIGINT)
+        |    AS total_chars,
+        |  TRUE AS ok_lossless, TRUE AS ok_compress, TRUE AS ok_word_floor
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val merges = graft.ops.Bpe.train(docs, numMerges = 200)
+      val toks = graft.ops.Bpe.tokens(col("text"), merges)
+      docs.select(col("text"), toks.as("toks"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), "\\s+"))).as("total_words"),
+          sum(length(regexp_replace(col("text"), "\\s+", "")))
+            .cast("long").as("total_chars"),
+          (count(lit(1)) === sum(
+            (array_join(col("toks"), "") ===
+              regexp_replace(col("text"), "\\s+", "")).cast("int")))
+            .as("ok_lossless"),
+          (sum(size(col("toks"))) <
+            sum(length(regexp_replace(col("text"), "\\s+", ""))))
+            .as("ok_compress"),
+          (sum(size(col("toks"))) >=
+            sum(size(split(col("text"), "\\s+")))).as("ok_word_floor"))
     }
   )
 

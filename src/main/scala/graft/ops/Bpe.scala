@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{BpeEncode, BpeOps}
+
+/** Trainable byte-pair encoding (Sennrich et al., ACL 2016) — the
+  * tokenizer-fitting step of an LM data pipeline, as a Spark job with
+  * the right split of work:
+  *
+  *   - The CORPUS-SIZED part is one distributed word-count aggregate
+  *     (text reduces to (word, count) inside the scan; the corpus is
+  *     touched exactly once and never again).
+  *   - The TRAINING LOOP runs on the driver over a frequency-truncated
+  *     word table (`maxVocabRows`, default 50k) — BPE merge selection
+  *     is driven by frequent words, and the classical trainer is an
+  *     in-memory algorithm over exactly this table (what
+  *     sentencepiece/HF tokenizers do too: corpus → counts → one-node
+  *     fit). The collect is BOUNDED and stated, not a data-sized pull.
+  *   - APPLY is distributed and narrow: the learned merge list rides
+  *     the plan as a literal ([[BpeEncode]]) and every row tokenizes
+  *     independently — no shuffle, no model service, no UDF registry.
+  *
+  * Determinism: merge selection breaks count ties by lexicographically
+  * smallest pair, word truncation breaks count ties by word — the
+  * whole fit is a pure function of the corpus, so a re-run (any
+  * partitioning, any engine) yields the identical tokenizer. That is
+  * the property the oracle certifies (round-trip identity + exact
+  * corpus accounting) and a reproducible-data-pipeline needs.
+  */
+object Bpe {
+
+  /** Distributed (word, count) table — whitespace pre-tokenization
+    * (the classical word-internal BPE; punctuation stays attached). */
+  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(split(col(textCol), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** Pure in-memory trainer over a (word, count) table: `numMerges`
+    * rounds of "count adjacent symbol pairs weighted by word frequency,
+    * merge the most frequent" (ties → lexicographically smallest pair).
+    * Exposed for the spec's hand-computed cases. */
+  def trainFromCounts(counts: Seq[(String, Long)],
+      numMerges: Int): Seq[(String, String)] = {
+    var seqs: Seq[(Vector[String], Long)] =
+      counts.map { case (w, n) => w.map(_.toString).toVector -> n }
+    val merges = Seq.newBuilder[(String, String)]
+    var rounds = 0
+    var exhausted = false
+    while (rounds < numMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      seqs.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + n)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val best = pairCounts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += best
+        // positional left-to-right merge — the SAME application rule as
+        // BpeOps.encodeWord's per-round step, so train-time segmentation
+        // and encode-time segmentation agree by construction
+        seqs = seqs.map { case (syms, n) => (mergeOnce(syms, best), n) }
+      }
+      rounds += 1
+    }
+    merges.result()
+  }
+
+  private def mergeOnce(syms: Vector[String],
+      pair: (String, String)): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == pair._1 && syms(j + 1) == pair._2) {
+        out += pair._1 + pair._2; j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.result()
+  }
+
+  /** Fit a merge table on a corpus: one distributed word-count pass,
+    * then the in-memory trainer over the `maxVocabRows` most frequent
+    * words (count desc, word asc — deterministic truncation). */
+  def train(docs: DataFrame, numMerges: Int, textCol: String = "text",
+      maxVocabRows: Int = 50000): Seq[(String, String)] = {
+    val top = wordCounts(docs, textCol)
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(maxVocabRows)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    trainFromCounts(top, numMerges)
+  }
+
+  /** Tokenize a text column against a fixed merge table — narrow,
+    * plan-literal, zero shuffle. */
+  def tokens(text: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.graft.GraftBridge.{column, expression}
+    column(BpeEncode(expression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(BpeOps.render(merges))))
+  }
+}

@@ -1,0 +1,114 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding apply kernel (Sennrich et al., ACL 2016 — the
+  * subword tokenization every modern LM trains on). Training lives in
+  * [[graft.ops.Bpe]]; this file is the DISTRIBUTED side: a scalar
+  * expression that turns a text column into its subword token array
+  * against a fixed, plan-carried merge table.
+  *
+  * Shape: the merge list rides the plan as one string literal (rank =
+  * line order), parsed once per expression instance into a rank map —
+  * the broadcast-literal model shape ([[graft.ops.IvfIndex.search]]'s
+  * centroids, [[graft.ops.Similarity]]'s projection matrices). Encoding
+  * is pure per-row work: narrow, no shuffle, no UDF registry.
+  * CodegenFallback: the per-word merge loop dominates the row cost, so
+  * codegen'd glue would not move throughput.
+  */
+object BpeOps {
+
+  /** Serialize merges: one `left right` pair per line, rank = order. */
+  def render(merges: Seq[(String, String)]): String =
+    merges.map { case (a, b) => s"$a $b" }.mkString("\n")
+
+  /** Parse [[render]]'s format into a rank map. */
+  def parse(s: String): Map[(String, String), Int] =
+    if (s.isEmpty) Map.empty
+    else s.split("\n").iterator.zipWithIndex.map { case (line, i) =>
+      val sp = line.indexOf(' ')
+      (line.substring(0, sp), line.substring(sp + 1)) -> i
+    }.toMap
+
+  /** Encode ONE word (whitespace-free) against the rank map: start from
+    * single characters; repeatedly pick the ADJACENT PAIR WITH THE
+    * LOWEST RANK and merge all its non-overlapping occurrences
+    * left-to-right; stop when no adjacent pair has a rank. The same
+    * routine applies merges during training, so training segmentation
+    * and apply segmentation agree by construction. */
+  def encodeWord(word: String, rank: Map[(String, String), Int]): Seq[String] = {
+    if (word.isEmpty) return Seq.empty
+    var syms: Vector[String] = word.map(_.toString).toVector
+    var done = syms.length < 2 || rank.isEmpty
+    while (!done) {
+      var best = Int.MaxValue
+      var bestA: String = null
+      var bestB: String = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; bestA = syms(i); bestB = syms(i + 1) }
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (a, b) = (bestA, bestB)
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+            out += a + b; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  /** Encode a whole text: split on whitespace, encode each word. Word
+    * boundaries never fuse (the classical word-internal BPE). */
+  def encodeText(text: String, rank: Map[(String, String), Int]): Seq[String] =
+    text.split("\\s+").iterator.filter(_.nonEmpty)
+      .flatMap(w => encodeWord(w, rank)).toSeq
+}
+
+/** `bpe_encode(text, merges)` → array of subword tokens. `merges` must
+  * be a foldable string literal in [[BpeOps.render]] format; the rank
+  * map is built once per expression instance. Null text → null. */
+case class BpeEncode(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base
+    else if (!right.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("bpe_encode merges must be a literal")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val rank: Map[(String, String), Int] = {
+    val v = right.eval(null)
+    if (v == null) Map.empty else BpeOps.parse(v.toString)
+  }
+
+  override def nullSafeEval(text: Any, merges: Any): Any = {
+    val toks = BpeOps.encodeText(text.toString, rank)
+    new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpeEncode =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,98 @@
+package graft.ops
+
+import graft.TestSpark.{sfDir, spark}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.BpeOps
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("hand-computed Sennrich-style corpus: first merges in count order") {
+    // counts: low×5, lower×2, newest×6, widest×3
+    val counts = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = Bpe.trainFromCounts(counts, 4)
+    // pair counts round 1: (e,s)=9, (s,t)=9, (w,e)=8(2 in lower? no:
+    // lower has (w,e)? l-o-w-e-r yes)... the top tie (e,s)/(s,t) at 9
+    // breaks lexicographically → (e,s) first, then (es,t)=9
+    assert(merges.head === ("e", "s"))
+    assert(merges(1) === ("es", "t"))
+    // after est: newest→n,e,w,est; widest→w,i,d,est; (l,o)=7 vs
+    // (w,est)=9 → (w,est)? widest has (d,est) not (w,est)...
+    // newest: (w,est)=6; (l,o)=7 wins
+    assert(merges(2) === ("l", "o"))
+    assert(merges(3) === ("lo", "w"))
+  }
+
+  test("encode reproduces the training segmentation on every trained word") {
+    val counts = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L, "newer" -> 4L, "wider" -> 1L)
+    val merges = Bpe.trainFromCounts(counts, 8)
+    val rank = BpeOps.parse(BpeOps.render(merges))
+    // re-derive training's final segmentation by replaying merges in order
+    def replay(w: String): Seq[String] = {
+      var syms = w.map(_.toString).toVector
+      merges.foreach { m =>
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == m._1 && syms(j + 1) == m._2) {
+            out += m._1 + m._2; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    counts.map(_._1).foreach { w =>
+      assert(BpeOps.encodeWord(w, rank) === replay(w), w)
+    }
+  }
+
+  test("round-trip: concatenating a word's tokens restores the word") {
+    val merges = Bpe.train(docs.limit(200), numMerges = 50)
+    val got = docs.limit(200)
+      .select(col("text"), Bpe.tokens(col("text"), merges).as("toks"))
+      .select(
+        array_join(split(col("text"), "\\s+"), "").as("orig"),
+        array_join(col("toks"), "").as("back"))
+      .filter(col("orig") =!= col("back")).count()
+    assert(got === 0L, "tokenization must be lossless modulo whitespace")
+  }
+
+  test("training is deterministic under repartitioning") {
+    val m1 = Bpe.train(docs, numMerges = 30)
+    val m2 = Bpe.train(docs.repartition(13), numMerges = 30)
+    assert(m1 === m2)
+  }
+
+  test("merges compress: token count strictly below char count on real text") {
+    val merges = Bpe.train(docs, numMerges = 100)
+    val row = docs
+      .select(Bpe.tokens(col("text"), merges).as("toks"), col("text"))
+      .agg(sum(size(col("toks"))).as("n_tok"),
+        sum(length(regexp_replace(col("text"), "\\s+", ""))).as("n_chr"))
+      .first()
+    val (nTok, nChr) = (row.getLong(0), row.getLong(1))
+    assert(nTok < nChr, s"no compression: $nTok tokens vs $nChr chars")
+    assert(nTok > 0)
+  }
+
+  test("unknown characters fall back to single-char tokens; empty ok") {
+    val merges = Seq(("a", "b"))
+    val got = Seq("abxq", "", "  ", "ab ab")
+      .toDF("t").select(Bpe.tokens(col("t"), merges))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) === Seq("ab", "x", "q"))
+    assert(got(1) === Seq.empty)
+    assert(got(2) === Seq.empty)
+    assert(got(3) === Seq("ab", "ab"))
+  }
+
+  test("exhausted pair space stops early without padding merges") {
+    val merges = Bpe.trainFromCounts(Seq("ab" -> 3L), 10)
+    assert(merges === Seq(("a", "b")))
+  }
+}
