@@ -2458,6 +2458,68 @@ object PipelineQueries {
             .as("ok_compress"),
           (sum(size(col("toks"))) >=
             sum(size(split(col("text"), "\\s+")))).as("ok_word_floor"))
+    },
+
+    // ------------------------------------------------ curation audit log
+    // Per-stage retention accounting of the exact-mode curation
+    // pipeline — the removal-rate report every published pipeline
+    // ships. The oracle recomputes EVERY stage of q_curate_train's SQL
+    // (including the recursive-CTE duplicate clusters) and counts the
+    // survivors per stage, so a drift in any stage's semantics breaks
+    // the audit, not just the final row set. Same bounded slice as
+    // q_curate_train keeps the oracle CTE tractable.
+    q("q_curate_audit",
+      """WITH RECURSIVE
+        |base AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text, lang
+        |  FROM documents WHERE doc_id < 400),
+        |keepers AS (SELECT min(doc_id) AS keep_id FROM base GROUP BY text),
+        |kept AS (SELECT b.* FROM base b JOIN keepers e ON b.doc_id = e.keep_id),
+        |toks AS (SELECT doc_id AS id,
+        |           unnest(list_distinct(string_split_regex(text, '\s+'))) AS tok
+        |         FROM kept),
+        |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+        |common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+        |           FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+        |           GROUP BY a.id, b.id),
+        |pairs AS (SELECT id_a, id_b
+        |          FROM common JOIN sizes sa ON id_a = sa.id
+        |                      JOIN sizes sb ON id_b = sb.id
+        |          WHERE CAST(cnt AS DOUBLE)/(sa.sz + sb.sz - cnt) >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |neark AS (SELECT k.* FROM kept k
+        |          WHERE k.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)),
+        |qual AS (SELECT * FROM neark
+        |  WHERE CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE)
+        |        / len(string_split_regex(text, '\s+')) >= 0.2),
+        |spl AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 6)) AS INTEGER)
+        |    / 16777216.0 AS u FROM qual),
+        |stages AS (
+        |  SELECT 1 AS ord, 'input' AS stage,
+        |    (SELECT count(*) FROM base) AS n
+        |  UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM kept)
+        |  UNION ALL SELECT 3, 'near_dedup', (SELECT count(*) FROM neark)
+        |  UNION ALL SELECT 4, 'quality', (SELECT count(*) FROM qual)
+        |  UNION ALL SELECT 5, 'split_train',
+        |    (SELECT count(*) FROM spl WHERE u < 0.9)
+        |  UNION ALL SELECT 6, 'split_val',
+        |    (SELECT count(*) FROM spl WHERE u >= 0.9 AND u < 0.95)
+        |  UNION ALL SELECT 7, 'split_test',
+        |    (SELECT count(*) FROM spl WHERE u >= 0.95))
+        |SELECT ord, stage, n,
+        |  round(CAST(n AS DOUBLE) / (SELECT count(*) FROM base), 6)
+        |    AS retained
+        |FROM stages ORDER BY ord""".stripMargin) { (s, dir) =>
+      Pipelines.auditExact(
+        t(s, dir, "documents").filter(col("doc_id") < 400),
+        jaccardThreshold = 0.8)
     }
   )
 

@@ -60,6 +60,21 @@ object Pipelines {
       jaccardThreshold: Double = 0.8,
       splitWeights: Seq[(String, Double)] =
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): CurationResult = {
+    val st = exactStages(docs, minDistinctRatio, jaccardThreshold)
+    val labeled = Sampling.splitLabelByMd5(st.quality, "doc_id", splitWeights)
+    def part(name: String) =
+      labeled.filter(col("split") === name).drop("split")
+    CurationResult(part("train"), part("val"), part("test"))
+  }
+
+  /** The intermediate frames of [[curateExact]], shared with
+    * [[auditExact]] so the audit counts EXACTLY the pipeline's stages
+    * rather than a parallel reimplementation. */
+  private final case class ExactStages(normalized: DataFrame,
+      exactKept: DataFrame, nearKept: DataFrame, quality: DataFrame)
+
+  private def exactStages(docs: DataFrame, minDistinctRatio: Double,
+      jaccardThreshold: Double): ExactStages = {
     val normalized = docs.withColumn("text",
       trim(regexp_replace(lower(col("text")), "\\s+", " ")))
     val exactKept = Dedup.dropExactDuplicates(normalized)
@@ -72,10 +87,43 @@ object Pipelines {
     val toks = split(col("text"), "\\s+")
     val quality = nearKept.filter(
       size(array_distinct(toks)).cast("double") / size(toks) >= minDistinctRatio)
-    val labeled = Sampling.splitLabelByMd5(quality, "doc_id", splitWeights)
-    def part(name: String) =
-      labeled.filter(col("split") === name).drop("split")
-    CurationResult(part("train"), part("val"), part("test"))
+    ExactStages(normalized, exactKept, nearKept, quality)
+  }
+
+  /** Per-stage retention audit of [[curateExact]] — the removal-rate
+    * report every published curation pipeline ships (what fraction did
+    * dedup remove? quality? where did the corpus go?): one row per
+    * stage with its surviving count and retention vs the input. The
+    * counts come from the SAME stage frames the pipeline executes, so
+    * the audit can never drift from the pipeline. Each stage count is
+    * a one-row aggregate; the stage prefixes recompute per count — for
+    * production-sized audits, `cache()` the input or snapshot the
+    * stages ([[materialize]]); counts themselves add no shuffle beyond
+    * each stage's own plan. */
+  def auditExact(docs: DataFrame,
+      minDistinctRatio: Double = 0.2,
+      jaccardThreshold: Double = 0.8,
+      splitWeights: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): DataFrame = {
+    val st = exactStages(docs, minDistinctRatio, jaccardThreshold)
+    val labeled = Sampling.splitLabelByMd5(st.quality, "doc_id", splitWeights)
+    val stages: Seq[(Int, String, DataFrame)] = Seq(
+      (1, "input", st.normalized),
+      (2, "exact_dedup", st.exactKept),
+      (3, "near_dedup", st.nearKept),
+      (4, "quality", st.quality)) ++
+      splitWeights.zipWithIndex.map { case ((name, _), i) =>
+        (5 + i, s"split_$name", labeled.filter(col("split") === name))
+      }
+    val counts = stages.map { case (ord, name, df) =>
+      df.agg(count(lit(1)).as("n"))
+        .select(lit(ord).as("ord"), lit(name).as("stage"), col("n"))
+    }.reduce(_ unionAll _)
+    val total = st.normalized.agg(count(lit(1)).as("_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("ord"), col("stage"), col("n"),
+        round(col("n").cast("double") / col("_total"), 6).as("retained"))
+      .orderBy(col("ord"))
   }
 
   /** The ingest leg of a continuous curation pipeline, batch form:

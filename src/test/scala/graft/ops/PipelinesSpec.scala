@@ -39,6 +39,26 @@ class PipelinesSpec extends AnyFunSuite {
     assert(recomputed.exceptAll(trainIds).count() === 0)
   }
 
+  test("auditExact: stage counts track the pipeline, splits partition quality") {
+    val audit = Pipelines.auditExact(docs.limit(300)).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    // funnel is monotone through the filtering stages
+    assert(audit("input")._1 >= audit("exact_dedup")._1)
+    assert(audit("exact_dedup")._1 >= audit("near_dedup")._1)
+    assert(audit("near_dedup")._1 >= audit("quality")._1)
+    // the three splits partition the quality survivors exactly
+    assert(audit("split_train")._1 + audit("split_val")._1 +
+      audit("split_test")._1 === audit("quality")._1)
+    // retention is n / input, exactly 1 on the first row
+    assert(audit("input")._2 === 1.0)
+    assert(audit("quality")._2 <= 1.0 && audit("quality")._2 > 0.0)
+    // audit counts agree with what curateExact actually emits
+    val res = Pipelines.curateExact(docs.limit(300))
+    assert(res.train.count() === audit("split_train")._1)
+    assert(res.validation.count() === audit("split_val")._1)
+    assert(res.test.count() === audit("split_test")._1)
+  }
+
   test("materialize writes a partitioned bucketed table") {
     spark.sql("DROP TABLE IF EXISTS curated_docs")
     Pipelines.materialize(docs.limit(100), "curated_docs",
