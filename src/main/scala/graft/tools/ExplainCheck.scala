@@ -61,6 +61,22 @@ object ExplainCheck {
     println(graft.streaming.EventStreams.annLookupStreamIndexed(
         queries, embs, 5, dIn = 64, bits = 6)
       .queryExecution.explainString(fmt))
+    println("########## op:Kmeans.assign (plan-literal centroid quantizer)")
+    val km = graft.ops.Kmeans.fit(embs.limit(64), k = 4, iterations = 1)
+    println(graft.ops.Kmeans.assign(embs, km)
+      .queryExecution.explainString(fmt))
+    println("########## op:Html.extractText (narrow scan-fused extraction)")
+    println(docs.select(graft.ops.Html.extractText(col("text")).as("t"))
+      .queryExecution.explainString(fmt))
+    println("########## op:Bpe.tokens (plan-literal merge table apply)")
+    println(docs.select(graft.ops.Bpe.tokens(col("text"),
+        Seq(("t", "h"), ("th", "e"))).as("toks"))
+      .queryExecution.explainString(fmt))
+    println("########## op:Graph.pageRank (per-iteration join+agg, 1 iter)")
+    val edges = docs.selectExpr("cast(doc_id % 10 as string) as src",
+      "cast(doc_id % 7 as string) as dst", "cast(1.0 as double) as weight")
+    println(graft.ops.Graph.pageRank(edges, iterations = 1)
+      .queryExecution.explainString(fmt))
     spark.stop()
   }
 }

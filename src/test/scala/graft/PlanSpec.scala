@@ -269,6 +269,42 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("Kmeans.assign: plan-literal quantizer, zero Exchange") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val m = graft.ops.Kmeans.Model(
+      Array(Array.fill(64)(0.0), Array.fill(64)(1.0)), 0.0)
+    val p = graft.ops.Kmeans.assign(embs, m)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"assignment must be a narrow scan against literal centroids:\n$p")
+  }
+
+  test("Html.extractText and Bpe.tokens are narrow scan transforms") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    import org.apache.spark.sql.functions.col
+    val ph = docs.select(graft.ops.Html.extractText(col("text")).as("t"))
+      .queryExecution.executedPlan.toString
+    assert(!ph.contains("Exchange"), s"html extraction must not shuffle:\n$ph")
+    val pb = docs.select(graft.ops.Bpe.tokens(col("text"),
+        Seq(("t", "h"))).as("toks"))
+      .queryExecution.executedPlan.toString
+    assert(!pb.contains("Exchange"), s"bpe apply must not shuffle:\n$pb")
+  }
+
+  test("pageRank iteration: contribution agg partial-aggregates, no constant key") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val edges = docs.selectExpr("cast(doc_id % 10 as string) as src",
+      "cast(doc_id % 7 as string) as dst", "cast(1.0 as double) as weight")
+    val p = graft.ops.Graph.pageRank(edges, iterations = 1)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum"),
+      s"rank contributions must map-side combine:\n$p")
+    assert(!p.contains("Exchange SinglePartition") ||
+      p.contains("dmass"), // the one-row dangling-mass agg is the only
+                           // legitimate single-partition exchange
+      s"rank flow must shuffle on node keys:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→agg hot path") {
     // AQE reveals codegen spans only in the final (post-execution) plan
     val df = SparkEntry.queries("q_agg_pricing")(spark, sfDir)
