@@ -2520,6 +2520,94 @@ object PipelineQueries {
       Pipelines.auditExact(
         t(s, dir, "documents").filter(col("doc_id") < 400),
         jaccardThreshold = 0.8)
+    },
+
+    // ------------------------------------------------ link-graph ingest
+    // The web-curation front half end-to-end: HTML pages → href
+    // extraction (Html.links: both quote styles, &amp;-decode,
+    // fragment/relative drop at the host rollup) → host→host edge
+    // aggregation → degree profile (Graph.degrees — the link-farm /
+    // link-sink audit). Pages are synthesized deterministically with
+    // two absolute links (the q_pagerank host scheme), one relative
+    // link and one fragment link per doc; the oracle re-derives the
+    // same extraction with DuckDB regexes and recomputes the profile.
+    q("q_link_graph",
+      """WITH u AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.'
+        |         ELSE '' END ||
+        |    source || '-site.' ||
+        |    CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+        |         WHEN 2 THEN 'co.uk' ELSE 'org.au' END AS host
+        |  FROM documents),
+        |nn AS (SELECT count(*) AS nd FROM documents),
+        |pg AS (SELECT a.doc_id, a.host,
+        |    '<html><body><p>body</p>' ||
+        |    '<a href="https://' || b1.host || '/d/' || b1.doc_id ||
+        |    '?x=1&amp;y=2">l1</a>' ||
+        |    '<a class=''nav'' href=''/local/nav''>nav</a>' ||
+        |    '<a href="#top">top</a>' ||
+        |    '<a href=''https://' || b2.host || '/p/' || b2.doc_id ||
+        |    '''>l2</a></body></html>' AS html
+        |  FROM u a, nn, u b1, u b2
+        |  WHERE b1.doc_id = (a.doc_id*13+1) % nd
+        |    AND b2.doc_id = (a.doc_id*7+3) % nd),
+        |lnk AS (SELECT doc_id, host AS src,
+        |    unnest(list_transform(
+        |      regexp_extract_all(html,
+        |        '(?is)<a\b[^>]*?\bhref\s*=\s*["'']([^"''#][^"'']*)["'']', 1),
+        |      x -> regexp_replace(x, '&amp;', '&', 'g'))) AS url
+        |  FROM pg),
+        |ed AS (SELECT src, lower(regexp_extract(url, '://([^/]+)', 1)) AS dst
+        |       FROM lnk
+        |       WHERE regexp_extract(url, '://([^/]+)', 1) <> ''),
+        |edges AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+        |          FROM ed GROUP BY 1, 2),
+        |outs AS (SELECT src AS node, count(*) AS out_deg, sum(w) AS out_w
+        |         FROM edges GROUP BY 1),
+        |ins AS (SELECT dst AS node, count(*) AS in_deg, sum(w) AS in_w
+        |        FROM edges GROUP BY 1)
+        |SELECT COALESCE(o.node, i.node) AS node,
+        |  COALESCE(out_deg, 0) AS out_deg, COALESCE(out_w, 0.0) AS out_w,
+        |  COALESCE(in_deg, 0) AS in_deg, COALESCE(in_w, 0.0) AS in_w
+        |FROM outs o FULL OUTER JOIN ins i ON o.node = i.node
+        |ORDER BY node""".stripMargin) { (s, dir) =>
+      import graft.ops.{Domains, Html}
+      val docs = t(s, dir, "documents")
+      val host = concat(
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("www."))
+          .when(pmod(col("doc_id"), lit(3)) === 1, lit("cdn."))
+          .otherwise(lit("")),
+        col("source"), lit("-site."),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("com"))
+          .when(pmod(col("doc_id"), lit(4)) === 1, lit("org"))
+          .when(pmod(col("doc_id"), lit(4)) === 2, lit("co.uk"))
+          .otherwise(lit("org.au")))
+      val u = docs.select(col("doc_id"), host.as("host"))
+      val nn = docs.agg(count(lit(1)).as("nd"))
+      val a = u.crossJoin(broadcast(nn))
+      def tgt(mul: Int, add: Int, alias: String) = a.as("a")
+        .join(u.as(alias), col(s"$alias.doc_id") ===
+          pmod(col("a.doc_id") * mul + add, col("nd")))
+      val pages = tgt(13, 1, "b1")
+        .join(u.as("b2"), col("b2.doc_id") ===
+          pmod(col("a.doc_id") * 7 + 3, col("nd")))
+        .select(col("a.doc_id").as("doc_id"), col("a.host").as("src"),
+          concat(lit("<html><body><p>body</p><a href=\"https://"),
+            col("b1.host"), lit("/d/"), col("b1.doc_id").cast("string"),
+            lit("?x=1&amp;y=2\">l1</a>"),
+            lit("<a class='nav' href='/local/nav'>nav</a>"),
+            lit("<a href=\"#top\">top</a>"),
+            lit("<a href='https://"), col("b2.host"), lit("/p/"),
+            col("b2.doc_id").cast("string"), lit("'>l2</a></body></html>"))
+            .as("html"))
+      val links = pages
+        .select(col("src"), explode(Html.links(col("html"))).as("url"))
+      val edges = links
+        .select(col("src"), Domains.hostOf(col("url")).as("dst"))
+        .filter(col("dst").isNotNull && length(col("dst")) > 0)
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).cast("double").as("weight"))
+      graft.ops.Graph.degrees(edges).orderBy(col("node"))
     }
   )
 

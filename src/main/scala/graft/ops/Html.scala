@@ -68,4 +68,18 @@ object Html {
     when(length(html) > 0,
       length(extractText(html)).cast("double") / length(html))
       .otherwise(lit(0.0))
+
+  /** All `<a href="…">` targets of a page, in document order — the raw
+    * material of the link graph ([[Graph.pageRank]] consumes the
+    * host-rollup of exactly this column via [[Domains.hostOf]]). Both
+    * quote styles; the regex captures the URL only, entity-decodes the
+    * `&amp;` that attribute values legally carry, and drops
+    * fragment-only (`#…`) self-references. Narrow `regexp_extract_all`
+    * — fuses into the scan like [[extractText]]. */
+  def links(html: Column): Column = {
+    val raw = regexp_extract_all(html,
+      lit("(?is)<a\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"'#][^\"']*)[\"']"),
+      lit(1))
+    transform(raw, u => regexp_replace(u, "&amp;", "&"))
+  }
 }

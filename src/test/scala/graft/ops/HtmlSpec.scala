@@ -59,6 +59,17 @@ class HtmlSpec extends AnyFunSuite {
     assert(got(1) === null)
   }
 
+  test("links: hrefs in order, both quote styles, &amp; decoded, #frag dropped") {
+    val got = Seq(
+      """<a href="http://a.com/x?p=1&amp;q=2">one</a>
+        |<A HREF='https://b.org/y'>two</A>
+        |<a class="nav" href="/rel/path">three</a>
+        |<a href="#section">skip</a>
+        |<a name="anchor-no-href">skip too</a>""".stripMargin)
+      .toDF("h").select(Html.links(col("h"))).first().getSeq[String](0)
+    assert(got === Seq("http://a.com/x?p=1&q=2", "https://b.org/y", "/rel/path"))
+  }
+
   test("text ratio: markup-heavy pages score low, plain text scores 1") {
     val rows = Seq(
       "plain text",
