@@ -2608,6 +2608,80 @@ object PipelineQueries {
         .groupBy(col("src"), col("dst"))
         .agg(count(lit(1)).cast("double").as("weight"))
       graft.ops.Graph.degrees(edges).orderBy(col("node"))
+    },
+
+    // ------------------------------------------------ unicode normalization
+    // NFC normalization before fingerprinting: 'é' as U+00E9 and as
+    // e + U+0301 are one string to a reader and two strings to every
+    // hash in the engine. The corpus text is salted with combining
+    // sequences (e+acute, i+diaeresis) on both engines identically;
+    // Spark normalizes with the JRE Normalizer expression, DuckDB with
+    // its native nfc_normalize — full-text exact agreement, plus the
+    // changed-length accounting.
+    q("q_unicode_nfc",
+      """WITH s AS (SELECT doc_id,
+        |    substr(text, 1, 60) || ' cafe' || chr(101) || chr(769) ||
+        |    ' naive' || chr(105) || chr(776) AS raw FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS norm,
+        |  CAST(length(raw) - length(nfc_normalize(raw)) AS INT)
+        |    AS folded_points,
+        |  raw <> nfc_normalize(raw) AS changed
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.functions.GraftFunctions.unicodeNormalize
+      val raw = concat(substring(col("text"), 1, 60),
+        lit(" cafe"), lit("é"), lit(" naive"), lit("ï"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          unicodeNormalize(col("raw"), "NFC").as("norm"),
+          (length(col("raw")) - length(unicodeNormalize(col("raw"), "NFC")))
+            .cast("int").as("folded_points"),
+          (col("raw") =!= unicodeNormalize(col("raw"), "NFC")).as("changed"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------ jsonl quarantine
+    // Schema-validated JSONL ingest: every line routes to parsed or
+    // quarantine (malformed syntax AND mistyped fields both quarantine
+    // — the replay-the-line contract). Lines are synthesized with two
+    // deterministic corruption classes (doc_id%7==3 truncated,
+    // doc_id%7==5 mistyped id); the oracle does NOT restate the
+    // synthesis arithmetic — it re-validates every line with DuckDB's
+    // OWN json parser (json_valid + object check + field typecheck),
+    // so the two engines must agree line-by-line on what counts as
+    // corrupt.
+    q("q_jsonl_ingest",
+      """WITH l AS (SELECT doc_id,
+        |  CASE doc_id % 7
+        |    WHEN 3 THEN '{"id": ' || doc_id || ', "lang": '
+        |    WHEN 5 THEN '{"id": "x' || doc_id || '", "lang": "' || lang || '"}'
+        |    ELSE '{"id": ' || doc_id || ', "lang": "' || lang || '"}'
+        |  END AS line FROM documents),
+        |v AS (SELECT line,
+        |  CASE WHEN NOT json_valid(line) THEN FALSE
+        |       WHEN json_type(line) <> 'OBJECT' THEN FALSE
+        |       WHEN json_extract_string(line, '$.id') IS NOT NULL AND
+        |            try_cast(json_extract_string(line, '$.id') AS BIGINT)
+        |              IS NULL THEN FALSE
+        |       ELSE TRUE END AS ok FROM l)
+        |SELECT count(*) AS n_lines,
+        |  CAST(sum(ok::INT) AS BIGINT) AS n_parsed,
+        |  CAST(count(*) - sum(ok::INT) AS BIGINT) AS n_quarantined,
+        |  round(avg(ok::INT), 6) AS parse_rate
+        |FROM v""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val line = when(pmod(col("doc_id"), lit(7)) === 3,
+          concat(lit("{\"id\": "), col("doc_id").cast("string"),
+            lit(", \"lang\": ")))
+        .when(pmod(col("doc_id"), lit(7)) === 5,
+          concat(lit("{\"id\": \"x"), col("doc_id").cast("string"),
+            lit("\", \"lang\": \""), col("lang"), lit("\"}")))
+        .otherwise(concat(lit("{\"id\": "), col("doc_id").cast("string"),
+          lit(", \"lang\": \""), col("lang"), lit("\"}")))
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("lang", StringType)))
+      graft.ops.Jsonl.report(
+        t(s, dir, "documents").select(line.as("line")), schema)
     }
   )
 

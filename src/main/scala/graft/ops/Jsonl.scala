@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Schema-validated JSONL ingest with corrupt-record quarantine — the
+  * front door of a crawl/API-dump pipeline. The failure mode this
+  * guards against: one malformed line in a billion either kills the
+  * job (FAILFAST) or silently nulls through the pipeline (naive
+  * PERMISSIVE). The quarantine shape instead routes every line to
+  * exactly one of two outputs — parsed rows, or a quarantine table
+  * carrying the RAW line for replay after the producer is fixed — and
+  * ships a one-row audit of the split. All narrow: `from_json` is a
+  * scan-fused expression, the routing is a filter, nothing shuffles.
+  *
+  * A line quarantines when it is not a JSON object conforming to
+  * `schema`: malformed syntax, or a present-but-mistyped field (both
+  * surface through PERMISSIVE's corrupt-record column — the parser
+  * treats an uncastable field as a corrupt RECORD, which is exactly
+  * the replay-the-line contract). Fields ABSENT from a valid object
+  * parse as null (additive schema tolerance — the JSONL norm). */
+object Jsonl {
+
+  final case class Ingest(parsed: DataFrame, quarantine: DataFrame)
+
+  private val CorruptCol = "_graft_corrupt"
+
+  private def parsed(lineCol: String, schema: StructType) = {
+    require(!schema.fieldNames.contains(CorruptCol))
+    val withCorrupt = StructType(
+      schema.fields :+ StructField(CorruptCol, StringType))
+    from_json(col(lineCol), withCorrupt,
+      Map("mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> CorruptCol))
+  }
+
+  /** Split `raw` (one JSON line per row in `lineCol`) into parsed rows
+    * (schema columns only) and quarantined raw lines. */
+  def ingest(raw: DataFrame, schema: StructType,
+      lineCol: String = "line"): Ingest = {
+    val tagged = raw.withColumn("_p", parsed(lineCol, schema))
+    val bad = tagged.filter(col("_p").isNull ||
+      col(s"_p.$CorruptCol").isNotNull)
+      .select(col(lineCol).as("raw_line"))
+    val good = tagged.filter(col("_p").isNotNull &&
+      col(s"_p.$CorruptCol").isNull)
+      .select(schema.fieldNames.map(f => col(s"_p.$f")).toIndexedSeq: _*)
+    Ingest(good, bad)
+  }
+
+  /** One-row ingest audit: total lines, parsed, quarantined, rate. */
+  def report(raw: DataFrame, schema: StructType,
+      lineCol: String = "line"): DataFrame = {
+    val p = parsed(lineCol, schema)
+    raw.select((p.isNotNull && p.getField(CorruptCol).isNull)
+        .cast("int").as("_ok"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("_ok")).cast("long").as("n_parsed"),
+        (count(lit(1)) - sum(col("_ok"))).cast("long").as("n_quarantined"),
+        round(avg(col("_ok")), 6).as("parse_rate"))
+  }
+}

@@ -443,6 +443,13 @@ object GraftFunctions {
   def thetaEstimate(c: Column): Column =
     column(ThetaEstimate(expression(c)))
 
+  /** Unicode-normalize a string column (form: NFC/NFD/NFKC/NFKD) — the
+    * pre-fingerprinting transform that makes visually-identical text
+    * byte-identical. */
+  def unicodeNormalize(c: Column, form: String = "NFC"): Column =
+    column(UnicodeNormalize(expression(c),
+      org.apache.spark.sql.catalyst.expressions.Literal(form)))
+
   /** Group-wise top-k with bounded state: k best (score desc, id asc)
     * per group — the scale-safe alternative to a windowed row_number. */
   def topKBy(id: Column, score: Column, k: Int): Column =

@@ -1,0 +1,56 @@
+package org.apache.spark.sql.graft
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode normalization — the dedup-robustness transform a multilingual
+  * corpus needs BEFORE any fingerprinting: `é` as one code point
+  * (U+00E9) and `é` as `e` + combining acute (U+0065 U+0301) are the
+  * same text to a reader and different bytes to every hash in the
+  * engine. Normalizing to NFC (or NFKC for compatibility folding —
+  * fullwidth forms, ligatures) makes visually-identical strings
+  * byte-identical, so exact dedup, MinHash shingles and n-gram
+  * fingerprints all stop splitting on encoding accidents.
+  *
+  * Thin wrapper over `java.text.Normalizer` (the JRE's ICU-derived
+  * implementation — public platform API) as a scalar expression:
+  * narrow, scan-fused, no UDF registry. CodegenFallback — the
+  * normalization call dominates the row cost. */
+case class UnicodeNormalize(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_normalize"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base
+    else if (!right.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("unicode_normalize form must be a literal")
+    else {
+      val f = right.eval(null)
+      if (f == null ||
+          !Set("NFC", "NFD", "NFKC", "NFKD").contains(f.toString))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"unicode_normalize form must be one of NFC/NFD/NFKC/NFKD, got $f")
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
+  @transient private lazy val form: Normalizer.Form =
+    Normalizer.Form.valueOf(right.eval(null).toString)
+
+  override def nullSafeEval(s: Any, f: Any): Any =
+    UTF8String.fromString(Normalizer.normalize(s.toString, form))
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): UnicodeNormalize =
+    copy(left = newLeft, right = newRight)
+}

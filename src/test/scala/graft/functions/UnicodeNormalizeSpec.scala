@@ -1,0 +1,47 @@
+package graft.functions
+
+import graft.TestSpark.spark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class UnicodeNormalizeSpec extends AnyFunSuite {
+  import spark.implicits._
+  import GraftFunctions.unicodeNormalize
+
+  private def norm(s: String, form: String = "NFC"): String =
+    Seq(s).toDF("t").select(unicodeNormalize(col("t"), form))
+      .first().getString(0)
+
+  test("NFC composes combining sequences to precomposed points") {
+    assert(norm("é") === "é")      // e + acute → é
+    assert(norm("ï") === "ï")      // i + diaeresis → ï
+    assert(norm("café ok") === "café ok")
+  }
+
+  test("NFC is idempotent and leaves ASCII untouched") {
+    assert(norm("plain ascii 123") === "plain ascii 123")
+    assert(norm(norm("é")) === "é")
+  }
+
+  test("NFKC also folds compatibility forms (fullwidth, ligature)") {
+    assert(norm("Ａ", "NFKC") === "A")    // fullwidth A
+    assert(norm("ﬁ", "NFKC") === "fi")   // fi ligature
+    // …which plain NFC deliberately does NOT
+    assert(norm("Ａ", "NFC") === "Ａ")
+  }
+
+  test("normalized twins fingerprint identically (the dedup motivation)") {
+    val df = Seq("café", "café").toDF("t")
+      .select(unicodeNormalize(col("t"), "NFC").as("n"))
+    assert(df.distinct().count() === 1)
+  }
+
+  test("null passes through; bad form is rejected at analysis") {
+    val r = Seq[Option[String]](None).toDF("t")
+      .select(unicodeNormalize(col("t"))).first()
+    assert(r.isNullAt(0))
+    intercept[Exception] {
+      Seq("x").toDF("t").select(unicodeNormalize(col("t"), "NFX")).collect()
+    }
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class JsonlSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("lang", StringType)))
+
+  private val lines = Seq(
+    """{"id": 1, "lang": "en"}""",            // good
+    """{"id": 2, "lang": "de", "extra": 9}""", // good: extras ignored
+    """{"id": 3}""",                           // good: absent field → null
+    """{"id": "notanumber", "lang": "fr"}""",  // mistyped field → quarantine
+    """{"id": 5, "lang":""",                   // truncated → quarantine
+    """not json at all""",                     // garbage → quarantine
+    """[1, 2, 3]""")                           // non-object → quarantine
+
+  test("every line routes to exactly one side; parsed values survive") {
+    val raw = lines.toDF("line")
+    val ing = Jsonl.ingest(raw, schema)
+    val good = ing.parsed.collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1))).toSet
+    assert(good === Set((1L, "en"), (2L, "de"), (3L, null)))
+    val bad = ing.quarantine.collect().map(_.getString(0)).toSet
+    assert(bad === lines.drop(3).toSet)
+    assert(ing.parsed.count() + ing.quarantine.count() === lines.size.toLong)
+  }
+
+  test("report: counts and rate match the split") {
+    val r = Jsonl.report(lines.toDF("line"), schema).first()
+    assert(r.getLong(0) === 7L)
+    assert(r.getLong(1) === 3L)
+    assert(r.getLong(2) === 4L)
+    assert(math.abs(r.getDouble(3) - 3.0 / 7) < 1e-6)
+  }
+
+  test("quarantined lines replay cleanly after the producer fix") {
+    val raw = Seq("""{"id": "7", "lang": "es"}""").toDF("line") // mistyped
+    val ing = Jsonl.ingest(raw, schema)
+    assert(ing.parsed.count() === 0 && ing.quarantine.count() === 1)
+    // replay: fix = cast-through-string schema
+    val lax = StructType(Seq(
+      StructField("id", StringType), StructField("lang", StringType)))
+    val replayed = Jsonl.ingest(
+      ing.quarantine.withColumnRenamed("raw_line", "line"), lax)
+    assert(replayed.parsed.collect().map(r =>
+      (r.getString(0), r.getString(1))).toSeq === Seq(("7", "es")))
+  }
+
+  test("corrupt-column name collision is rejected loudly") {
+    val clash = StructType(Seq(StructField("_graft_corrupt", StringType)))
+    intercept[IllegalArgumentException] {
+      Jsonl.ingest(Seq("{}").toDF("line"), clash)
+    }
+  }
+}
