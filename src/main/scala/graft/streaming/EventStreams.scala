@@ -52,6 +52,31 @@ object EventStreams {
       org.apache.spark.sql.functions.window(c, w, s)
   }
 
+  /** Streaming data-quality monitor: per event-time window, a THETA
+    * SKETCH of the distinct keys plus its cardinality estimate — the
+    * continuous twin of the batch sketch family. Emitting the sketch
+    * BYTES (not just the number) is the point: downstream, windows
+    * union into days and days into months with
+    * [[graft.functions.GraftFunctions.thetaUnion]], and any two stored
+    * windows answer overlap/churn via intersection/difference —
+    * measurements a per-window count can never compose into. State per
+    * open window = one ≤2^lgK-entry sketch buffer
+    * (TypedImperativeAggregate buffers are partial-mergeable, so the
+    * state store holds serialized sketches, never raw keys), closed
+    * exactly-once when the watermark passes. */
+  def distinctSketchPerWindow(events: DataFrame, keyCol: String,
+      window: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(functions.window(col("event_time"), window, window))
+      .agg(graft.functions.GraftFunctions
+        .thetaAgg(col(keyCol).cast("string")).as("sketch"))
+      .select(col("window.start").as("w_start"),
+        col("window.end").as("w_end"), col("sketch"),
+        org.apache.spark.sql.graft.GraftFunctions
+          .thetaEstimate(col("sketch")).as("distinct_est"))
+
   /** Streaming exact dedup: drop events whose id was already seen within
     * the watermark horizon — state is bounded by the watermark, the
     * streaming twin of [[graft.ops.Dedup.exact]]. */

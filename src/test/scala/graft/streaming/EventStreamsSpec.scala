@@ -530,4 +530,46 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.subsetOf(batchSessions),
       "streaming sessions must match batch-oracle sessions")
   }
+
+  test("theta sketch per window: streaming sketches equal the batch twin " +
+      "and union across windows") {
+    import graft.functions.GraftFunctions.{thetaAgg, thetaEstimate, thetaUnion}
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-theta").toString
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .write.mode("overwrite").parquet(stageDir)
+    val out = EventStreams.distinctSketchPerWindow(
+      EventStreams.readEvents(spark, stageDir), "user_id",
+      window = "1 hour", watermark = "1 minute")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("theta_win")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("theta_win")
+    assert(streamed.count() > 0, "no windows closed")
+    // below-capacity sketches are EXACT: each window's estimate equals
+    // the batch distinct count for that window
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("event_time", timestamp_seconds(col("ts") / lit(1e9)))
+      .groupBy(window($"event_time", "1 hour"))
+      .agg(countDistinct($"user_id").as("exact"))
+      .select($"window.start".as("w_start"), $"exact")
+    val joined = streamed.join(batch, "w_start")
+      .select($"distinct_est".cast("long").as("est"), $"exact")
+    assert(joined.count() > 0)
+    assert(joined.filter($"est" =!= $"exact").count() === 0,
+      "below-capacity window sketches must be exact")
+    // the emitted sketch BYTES compose: union of all windows == the
+    // distinct count over the union of those windows' rows
+    val unioned = streamed.agg(
+      thetaEstimate(thetaUnion($"sketch")).cast("long")).first().getLong(0)
+    val emittedStarts = streamed.select($"w_start").collect()
+      .map(_.getTimestamp(0)).toSet
+    val exactUnion = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("event_time", timestamp_seconds(col("ts") / lit(1e9)))
+      .withColumn("w", window($"event_time", "1 hour"))
+      .filter($"w.start".isin(emittedStarts.toSeq: _*))
+      .select(countDistinct($"user_id")).first().getLong(0)
+    assert(unioned === exactUnion,
+      "stored window sketches must union to the exact distinct count")
+  }
 }
