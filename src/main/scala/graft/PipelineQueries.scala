@@ -2682,6 +2682,67 @@ object PipelineQueries {
         StructField("id", LongType), StructField("lang", StringType)))
       graft.ops.Jsonl.report(
         t(s, dir, "documents").select(line.as("line")), schema)
+    },
+
+    // ------------------------------------------------ gopher quality rules
+    // The published Gopher/MassiveWeb rule set (Rae et al. 2021 App. A)
+    // with per-rule attribution columns. The corpus is salted with
+    // three deterministic degenerate classes (gibberish, all-bullet
+    // lists, ellipsis spam) so every rule fires on real rows; the
+    // oracle recomputes all seven rules in DuckDB over the same salted
+    // text — exact boolean agreement per doc per rule (thresholds are
+    // rational comparisons of integer counts, cross-engine exact).
+    q("q_gopher_quality",
+      """WITH s AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 0 THEN 'zzz 123 !!! ###'
+        |       WHEN doc_id % 5 = 0 THEN
+        |         '- a' || chr(10) || '- b' || chr(10) || '- c' || chr(10) ||
+        |         '- d' || chr(10) || '- e'
+        |       WHEN doc_id % 7 = 0 THEN
+        |         text || chr(10) || 'more...' || chr(10) || 'more...' ||
+        |         chr(10) || 'more...'
+        |       ELSE text END AS text FROM documents),
+        |f AS (SELECT doc_id, text,
+        |  string_split_regex(text, '\s+') AS w,
+        |  string_split_regex(text, '\n') AS l FROM s),
+        |g AS (SELECT doc_id,
+        |  CAST(len(w) AS DOUBLE) AS nw, CAST(len(l) AS DOUBLE) AS nl,
+        |  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) AS wc,
+        |  CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS nh,
+        |  (length(text) - length(replace(text, '...', ''))) / 3 AS ne,
+        |  CAST(len(list_filter(l, x -> regexp_matches(x, '^\s*[-*•]')))
+        |    AS DOUBLE) AS bl,
+        |  CAST(len(list_filter(l, x -> regexp_matches(x, '\.\.\.\s*$')))
+        |    AS DOUBLE) AS el,
+        |  CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+        |    AS DOUBLE) AS aw,
+        |  len(list_intersect(list_transform(w, x -> lower(x)),
+        |    ['the','be','to','of','and','that','have','with'])) AS sh
+        |  FROM f)
+        |SELECT doc_id,
+        |  nw >= 50 AND nw <= 100000 AS ok_word_count,
+        |  wc/nw >= 3 AND wc/nw <= 10 AS ok_word_length,
+        |  (nh + ne)/nw <= 0.1 AS ok_symbol_ratio,
+        |  bl/nl < 0.9 AS ok_bullets,
+        |  el/nl < 0.3 AS ok_ellipsis,
+        |  aw/nw >= 0.8 AS ok_alpha,
+        |  sh >= 2 AS ok_stopwords,
+        |  (nw >= 50 AND nw <= 100000) AND (wc/nw >= 3 AND wc/nw <= 10)
+        |    AND ((nh + ne)/nw <= 0.1) AND (bl/nl < 0.9) AND (el/nl < 0.3)
+        |    AND (aw/nw >= 0.8) AND (sh >= 2) AS gopher_pass
+        |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val salted = t(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(11)) === 0, lit("zzz 123 !!! ###"))
+          .when(pmod(col("doc_id"), lit(5)) === 0,
+            lit("- a\n- b\n- c\n- d\n- e"))
+          .when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit("\nmore...\nmore...\nmore...")))
+          .otherwise(col("text")).as("text"))
+      graft.ops.Quality.gopherFlags(salted)
+        .select(col("doc_id"), col("ok_word_count"), col("ok_word_length"),
+          col("ok_symbol_ratio"), col("ok_bullets"), col("ok_ellipsis"),
+          col("ok_alpha"), col("ok_stopwords"), col("gopher_pass"))
+        .orderBy(col("doc_id"))
     }
   )
 

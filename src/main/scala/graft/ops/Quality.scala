@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The Gopher quality-filter rule set (Rae et al. 2021, "Scaling
+  * Language Models: Methods, Analysis & Insights from Training
+  * Gopher", App. A — the MassiveWeb heuristics), the published
+  * rule family most curation pipelines start from. Every rule is a
+  * pure per-document predicate over word/line structure, implemented
+  * as narrow codegen'd HOFs (split + filter + aggregate) that fuse
+  * into the scan — no UDF, no shuffle, and each rule surfaced as its
+  * OWN boolean column so an audit can read removal rates per rule
+  * (the [[Pipelines.auditExact]] companion), not just the conjunction.
+  *
+  * Rules (keep when ALL hold):
+  *   1. 50 ≤ word count ≤ 100 000
+  *   2. 3 ≤ mean word length ≤ 10
+  *   3. symbol-to-word ratio ≤ 0.1 (`#` and `...`)
+  *   4. < 90% of lines start with a bullet (`-`, `*`, `•`)
+  *   5. < 30% of lines end with an ellipsis
+  *   6. ≥ 80% of words contain at least one alphabetic character
+  *   7. ≥ 2 distinct members of the stop-word probe set
+  *      {the, be, to, of, and, that, have, with}
+  */
+object Quality {
+
+  private val StopProbes =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Per-document rule booleans + the overall `gopher_pass`
+    * conjunction. Thresholds are exact rational comparisons of integer
+    * counts — cross-engine deterministic. */
+  def gopherFlags(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = split(col(textCol), "\\s+")
+    val lines = split(col(textCol), "\\n")
+    val nWords = size(words).cast("double")
+    val nLines = size(lines).cast("double")
+    val wordChars = aggregate(transform(words, w => length(w)),
+      lit(0), (acc, v) => acc + v).cast("double")
+    val hashCount =
+      (length(col(textCol)) - length(regexp_replace(col(textCol), "#", "")))
+        .cast("double")
+    val ellipsisCount =
+      ((length(col(textCol)) -
+        length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3)
+        .cast("double")
+    val bulletLines = size(filter(lines,
+      l => l.rlike("^\\s*[-*•]"))).cast("double")
+    val ellipsisLines = size(filter(lines,
+      l => l.rlike("\\.\\.\\.\\s*$"))).cast("double")
+    val alphaWords = size(filter(words,
+      w => w.rlike("[A-Za-z]"))).cast("double")
+    val stopHits = size(array_intersect(
+      transform(words, w => lower(w)),
+      array(StopProbes.map(lit): _*)))
+    val r1 = nWords >= 50 && nWords <= 100000
+    val r2 = wordChars / nWords >= 3 && wordChars / nWords <= 10
+    val r3 = (hashCount + ellipsisCount) / nWords <= 0.1
+    val r4 = bulletLines / nLines < 0.9
+    val r5 = ellipsisLines / nLines < 0.3
+    val r6 = alphaWords / nWords >= 0.8
+    val r7 = stopHits >= 2
+    docs.withColumns(Map(
+      "ok_word_count" -> r1, "ok_word_length" -> r2,
+      "ok_symbol_ratio" -> r3, "ok_bullets" -> r4,
+      "ok_ellipsis" -> r5, "ok_alpha" -> r6, "ok_stopwords" -> r7,
+      "gopher_pass" -> (r1 && r2 && r3 && r4 && r5 && r6 && r7)))
+  }
+
+  /** Keep only documents passing every Gopher rule. */
+  def gopherFilter(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val flagged = gopherFlags(docs, textCol)
+    flagged.filter(col("gopher_pass")).drop(
+      "ok_word_count", "ok_word_length", "ok_symbol_ratio", "ok_bullets",
+      "ok_ellipsis", "ok_alpha", "ok_stopwords", "gopher_pass")
+  }
+
+  /** Per-rule removal rates over a corpus — one aggregate row: the
+    * rule-attribution audit (which rule is doing the cutting?). */
+  def gopherReport(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val flagged = gopherFlags(docs, textCol)
+    def failRate(c: String): Column =
+      round(avg((!col(c)).cast("int")), 6).as(s"fail_${c.stripPrefix("ok_")}")
+    flagged.agg(count(lit(1)).as("n_docs"),
+      failRate("ok_word_count"), failRate("ok_word_length"),
+      failRate("ok_symbol_ratio"), failRate("ok_bullets"),
+      failRate("ok_ellipsis"), failRate("ok_alpha"),
+      failRate("ok_stopwords"),
+      round(avg(col("gopher_pass").cast("int")), 6).as("pass_rate"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.TestSpark.{sfDir, spark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class QualitySpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def flagsOf(text: String): Map[String, Boolean] = {
+    val r = Quality.gopherFlags(Seq((1L, text)).toDF("doc_id", "text")).first()
+    r.schema.fieldNames.filter(f => f.startsWith("ok_") || f == "gopher_pass")
+      .map(f => f -> r.getAs[Boolean](f)).toMap
+  }
+
+  private val goodText = (1 to 60).map(i => s"word$i").mkString(" ") +
+    " the to of and" // 64 words, all alpha, 4 stop probes
+
+  test("a clean document passes every rule") {
+    val f = flagsOf(goodText)
+    assert(f.values.forall(identity), f.toString)
+  }
+
+  test("word-count bounds: short and absurd-long both fail rule 1 only way") {
+    assert(!flagsOf("too short the to")("ok_word_count"))
+    val f = flagsOf(goodText)
+    assert(f("ok_word_count"))
+  }
+
+  test("mean word length: gibberish long tokens fail rule 2") {
+    val longTokens = (1 to 60).map(_ => "x" * 25).mkString(" ") + " the to"
+    assert(!flagsOf(longTokens)("ok_word_length"))
+  }
+
+  test("symbol ratio: hash/ellipsis spam fails rule 3") {
+    val hashy = goodText + " " + (1 to 20).map(_ => "#").mkString(" ")
+    assert(!flagsOf(hashy)("ok_symbol_ratio"))
+    val dots = goodText + " " + (1 to 20).map(_ => "see...").mkString(" ")
+    assert(!flagsOf(dots)("ok_symbol_ratio"))
+  }
+
+  test("bullet-dominated and ellipsis-ended lines fail rules 4/5") {
+    val bullets = (1 to 10).map(i => s"- item $i").mkString("\n")
+    assert(!flagsOf(bullets)("ok_bullets"))
+    val ell = goodText + "\n" + (1 to 5).map(_ => "to be continued...").mkString("\n")
+    assert(!flagsOf(ell)("ok_ellipsis"))
+  }
+
+  test("non-alphabetic corpora fail rule 6; stopword probe fails rule 7") {
+    val nums = (1 to 60).map(_.toString).mkString(" ") + " the to"
+    assert(!flagsOf(nums)("ok_alpha"))
+    val noStops = (1 to 60).map(i => s"w$i").mkString(" ")
+    assert(!flagsOf(noStops)("ok_stopwords"))
+  }
+
+  test("filter keeps exactly the pass rows; report rates sum consistently") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val flagged = Quality.gopherFlags(docs)
+    val kept = Quality.gopherFilter(docs).count()
+    assert(kept === flagged.filter(col("gopher_pass")).count())
+    val rep = Quality.gopherReport(docs).first()
+    assert(rep.getLong(0) === docs.count())
+    val passRate = rep.getDouble(rep.length - 1)
+    assert(math.abs(passRate - kept.toDouble / docs.count()) < 1e-4)
+  }
+}
