@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** URL/domain curation — the C4/RefinedWeb-style provenance controls a
   * web-crawl pipeline runs before text-level filtering: host extraction,
   * registered-domain rollup, per-domain statistics, and blocklist
-  * removal. All narrow scan-side expressions (codegen'd `parse_url` /
+  * removal. All narrow scan-side expressions (codegen'd `try_parse_url` /
   * string ops); the only shuffle is the per-domain aggregate.
   *
   * Reference behavior: the reference delegates URL work to its engine's
@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object Domains {
 
   /** Lower-cased URL host via the engine's URL parser (codegen'd). */
-  def hostOf(url: Column): Column = lower(parse_url(url, lit("HOST")))
+  def hostOf(url: Column): Column = lower(try_parse_url(url, lit("HOST")))
 
   /** Pruned public-suffix set: the two-label public suffixes of the
     * high-traffic ccTLD registries, from the public Mozilla Public
@@ -133,21 +133,23 @@ object Domains {
     *      case-sensitive by spec);
     *   7. an empty surviving query drops its `?`.
     *
-    * Entirely narrow codegen'd expressions (`parse_url`, split/filter/
+    * Entirely narrow codegen'd expressions (`try_parse_url` — the
+    * ANSI-safe variant: a malformed URL yields NULL instead of killing
+    * the job under Spark 4's default ANSI mode — split/filter/
     * sort HOFs) — no UDF, no shuffle; canonicalize-then-dedup is a
     * scan-side projection feeding the usual exact-dedup shuffle on the
     * canonical key. */
   def canonicalizeUrl(url: Column): Column = {
-    val scheme = lower(parse_url(url, lit("PROTOCOL")))
-    val host = lower(parse_url(url, lit("HOST")))
+    val scheme = lower(try_parse_url(url, lit("PROTOCOL")))
+    val host = lower(try_parse_url(url, lit("HOST")))
     // parse_url HOST strips the port; recover it from AUTHORITY
-    val port = regexp_extract(parse_url(url, lit("AUTHORITY")), ":(\\d+)$", 1)
+    val port = regexp_extract(try_parse_url(url, lit("AUTHORITY")), ":(\\d+)$", 1)
     val keepPort = port =!= "" &&
       !(scheme === "http" && port === "80") &&
       !(scheme === "https" && port === "443")
-    val path0 = coalesce(parse_url(url, lit("PATH")), lit(""))
+    val path0 = coalesce(try_parse_url(url, lit("PATH")), lit(""))
     val path = when(path0 === "", lit("/")).otherwise(path0)
-    val query = coalesce(parse_url(url, lit("QUERY")), lit(""))
+    val query = coalesce(try_parse_url(url, lit("QUERY")), lit(""))
     val kept = array_sort(filter(split(query, "&"), p =>
       p =!= "" && !regexp_extract(p, "^([^=]*)", 1)
         .rlike(TrackingParamPattern)))

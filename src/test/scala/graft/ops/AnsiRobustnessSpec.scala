@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spark 4 defaults to ANSI mode; this repo's own sessions disable it
+  * for Hive-lax parity, but LIBRARY operators must also survive a
+  * caller's default-config session — one malformed row must never
+  * throw-and-kill a 1000-executor job where a filter was intended.
+  * These tests flip ANSI ON around the operators whose expression
+  * shapes are the known crash classes (element_at, casts, division)
+  * and feed them adversarial rows. */
+class AnsiRobustnessSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def withAnsi[T](f: => T): T = {
+    val old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try f finally spark.conf.set("spark.sql.ansi.enabled", old)
+  }
+
+  test("registeredDomain: single-label and malformed hosts never throw") {
+    withAnsi {
+      val urls = Seq(
+        "http://localhost/x", "http://intranet/y", "https://bbc.co.uk/z",
+        "http://a.example.com/w", "not a url at all", "").toDF("url")
+      val got = urls.select(
+        Domains.registeredDomain(Domains.hostOf(col("url"))).as("d"))
+        .collect().map(r => Option(r.getString(0)))
+      assert(got.length === 6)
+      assert(got.contains(Some("localhost")))
+      assert(got.contains(Some("bbc.co.uk")))
+      assert(got.contains(Some("example.com")))
+    }
+  }
+
+  test("gopherFlags: empty text and whitespace-only rows never throw") {
+    withAnsi {
+      val rows = Seq((1L, ""), (2L, "   "), (3L, "ok the to of and " * 20))
+        .toDF("doc_id", "text")
+      val got = Quality.gopherFlags(rows).collect()
+      assert(got.length === 3)
+    }
+  }
+
+  test("html extraction, links, canonicalization survive garbage input") {
+    withAnsi {
+      val rows = Seq("<a href=", "<<<>>>", "", "<script>unclosed")
+        .toDF("h")
+      assert(rows.select(Html.extractText(col("h")),
+        Html.links(col("h")), Html.title(col("h"))).collect().length === 4)
+      val urls = Seq("http://x.com/../a?b=#c", "::::", "").toDF("url")
+      assert(urls.select(Domains.canonicalizeUrl(col("url")))
+        .collect().length === 3)
+    }
+  }
+
+  test("jsonl ingest quarantines garbage under ANSI instead of throwing") {
+    withAnsi {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("id", LongType)))
+      val ing = Jsonl.ingest(
+        Seq("""{"id": "NaN"}""", """{"id": 1}""", "{{{").toDF("line"), schema)
+      assert(ing.parsed.count() === 1)
+      assert(ing.quarantine.count() === 2)
+    }
+  }
+}
