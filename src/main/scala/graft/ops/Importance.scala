@@ -45,27 +45,39 @@ object Importance {
     pmod(conv(substring(md5(s.cast("binary")), 1, 6), 16, 10).cast("long"),
       lit(buckets.toLong))
 
+  /** Fast-path bucket: one codegen'd xxhash64 per bigram instead of a
+    * full md5 digest + hex + base conversion. Deterministic and
+    * repartition-stable within Spark (xxhash64 is a fixed spec), but
+    * NOT recomputable by an external SQL engine — the catalog entry
+    * therefore keeps [[md5Bucket]]; a 100 TB production run wants THIS
+    * one (the estimator and scorer hash every bigram occurrence twice
+    * across the two passes — the digest is the dominant per-row cost). */
+  def xxBucket(s: Column, buckets: Int): Column =
+    pmod(xxhash64(s), lit(buckets.toLong))
+
   /** Array of hashed-bigram bucket ids for one text value — the shared
     * feature expression of the batch estimator/scorer AND the streaming
     * serving twin ([[graft.streaming.EventStreams.importanceWeightStream]]).
     * Pure narrow column work; a < 2-token text yields an empty array. */
-  def bigramBucketsCol(text: Column, buckets: Int): Column = {
+  def bigramBucketsCol(text: Column, buckets: Int,
+      hash: (Column, Int) => Column = md5Bucket): Column = {
     val arr = filter(split(lower(text), Relevance.TokenPattern),
       x => x =!= "")
     val len = greatest(size(arr) - 1, lit(0))
     transform(
       zip_with(slice(arr, lit(1), len), slice(arr, lit(2), len),
         (a, b) => concat(a, lit(" "), b)),
-      bg => md5Bucket(bg, buckets))
+      bg => hash(bg, buckets))
   }
 
   /** One row per token-bigram occurrence: (doc_id, bucket). Narrow —
     * split/zip/explode/hash all run scan-side; only the bounded bucket
     * id ever leaves the projection. Docs with < 2 tokens emit nothing. */
   def hashedBigrams(docs: DataFrame, buckets: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+      idCol: String = "doc_id", textCol: String = "text",
+      hash: (Column, Int) => Column = md5Bucket): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      explode(bigramBucketsCol(col(textCol), buckets)).as("bucket"))
+      explode(bigramBucketsCol(col(textCol), buckets, hash)).as("bucket"))
 
   /** The B-row importance table: (bucket, log_ratio) for EVERY bucket in
     * [0, B) — Laplace smoothing gives absent buckets their nonzero
@@ -73,10 +85,11 @@ object Importance {
     * are single bounded aggregates; the result is broadcast-sized by
     * construction. */
   def bucketLogRatios(target: DataFrame, raw: DataFrame, buckets: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      hash: (Column, Int) => Column = md5Bucket): DataFrame = {
     val spark = raw.sparkSession
     def cnt(df: DataFrame, name: String) =
-      hashedBigrams(df, buckets, idCol, textCol)
+      hashedBigrams(df, buckets, idCol, textCol, hash)
         .groupBy("bucket").agg(count(lit(1)).as(name))
     val t = cnt(target, "_ct")
     val r = cnt(raw, "_cr")
@@ -97,8 +110,9 @@ object Importance {
     * bigram occurrences (0.0 for docs with no bigrams — an empty
     * product of ratios). `ratios` joins as a broadcast (B rows). */
   def logWeights(docs: DataFrame, ratios: DataFrame, buckets: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val summed = hashedBigrams(docs, buckets, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text",
+      hash: (Column, Int) => Column = md5Bucket): DataFrame = {
+    val summed = hashedBigrams(docs, buckets, idCol, textCol, hash)
       .join(broadcast(ratios), Seq("bucket"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("log_ratio")).as("_w"))
@@ -137,9 +151,10 @@ object Importance {
     * Returns (rank, doc_id, key, log_w, n_bigrams). */
   def select(target: DataFrame, raw: DataFrame, n: Int,
       buckets: Int = 4096, salt: String = "dsir",
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val ratios = bucketLogRatios(target, raw, buckets, idCol, textCol)
-    val weighted = logWeights(raw, ratios, buckets, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text",
+      hash: (Column, Int) => Column = md5Bucket): DataFrame = {
+    val ratios = bucketLogRatios(target, raw, buckets, idCol, textCol, hash)
+    val weighted = logWeights(raw, ratios, buckets, idCol, textCol, hash)
       .withColumn("log_w", round(col("log_w"), 6))
     gumbelTopK(weighted, n, salt)
       .join(weighted, Seq("doc_id"))

@@ -81,4 +81,25 @@ class ImportanceSpec extends AnyFunSuite {
     assert(enFrac > baseFrac,
       s"selected en fraction $enFrac must beat corpus fraction $baseFrac")
   }
+
+  test("xxhash64 fast path: same shape, deterministic, still enriches") {
+    val fast = Importance.xxBucket _
+    // determinism + partition independence (the Sampling dual-path contract)
+    val a = Importance.select(docs.filter(col("lang") === "en"), docs,
+      n = 50, buckets = 4096, hash = fast).collect().map(_.getLong(1)).toSet
+    val b = Importance.select(
+      docs.filter(col("lang") === "en").repartition(7),
+      docs.repartition(13), n = 50, buckets = 4096, hash = fast)
+      .collect().map(_.getLong(1)).toSet
+    assert(a === b, "fast-path selection must be repartition-stable")
+    // the fast hash changes WHICH docs tie-break in, not the physics:
+    // target enrichment must survive the hash swap
+    val sel = Importance.select(docs.filter(col("lang") === "en"), docs,
+        n = 50, buckets = 4096, hash = fast)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val enFrac = sel.filter(col("lang") === "en").count().toDouble / 50
+    val baseFrac = docs.filter(col("lang") === "en").count().toDouble /
+      docs.count()
+    assert(enFrac > baseFrac)
+  }
 }
