@@ -2743,6 +2743,69 @@ object PipelineQueries {
           col("ok_symbol_ratio"), col("ok_bullets"), col("ok_ellipsis"),
           col("ok_alpha"), col("ok_stopwords"), col("gopher_pass"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------ c4 cleaning rules
+    // The C4 filter family (Raffel et al. 2020 §2.2) — LINE-level
+    // cleaning (terminal punctuation, ≥3 words, no javascript) then
+    // page-level drops (<5 sentences, lorem ipsum, curly brace). Pages
+    // are synthesized with kept/dropped line classes and three
+    // deterministic page-kill classes; the oracle recomputes the
+    // entire cleaning in DuckDB and compares the CLEANED TEXT exactly,
+    // not just the flags.
+    q("q_c4_clean",
+      """WITH pg AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 2 THEN 'One. Two. Three.'
+        |  ELSE
+        |    'Alpha beta gamma delta.' || chr(10) ||
+        |    substr(text, 1, 60) || '.' || chr(10) ||
+        |    'short one' || chr(10) ||
+        |    'Enable javascript to proceed.' || chr(10) ||
+        |    substr(text, 61, 60) || '?' || chr(10) ||
+        |    'Final thought number four!' || chr(10) ||
+        |    'And sentence number five, right?' ||
+        |    CASE WHEN doc_id % 4 = 0
+        |         THEN chr(10) || 'css { margin: 0 }' ELSE '' END ||
+        |    CASE WHEN doc_id % 6 = 1
+        |         THEN chr(10) || 'Generated with Lorem Ipsum text.'
+        |         ELSE '' END
+        |  END AS page FROM documents),
+        |c AS (SELECT doc_id, page,
+        |  array_to_string(list_filter(string_split_regex(page, '\n'),
+        |    l -> regexp_matches(trim(l), '[.!?"]$') AND
+        |         len(string_split_regex(trim(l), '\s+')) >= 3 AND
+        |         NOT contains(lower(l), 'javascript')), chr(10)) AS clean
+        |  FROM pg),
+        |f AS (SELECT doc_id, page, clean,
+        |  len(regexp_extract_all(clean, '[.!?]')) AS n_sent FROM c)
+        |SELECT doc_id, clean AS clean_text,
+        |  CAST(n_sent AS INT) AS n_sentences,
+        |  n_sent >= 5 AS ok_sentences,
+        |  NOT contains(lower(page), 'lorem ipsum') AS ok_lorem,
+        |  NOT contains(page, '{') AS ok_brace,
+        |  (n_sent >= 5 AND NOT contains(lower(page), 'lorem ipsum')
+        |    AND NOT contains(page, '{')) AS c4_keep
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val page = when(pmod(col("doc_id"), lit(9)) === 2,
+          lit("One. Two. Three."))
+        .otherwise(concat(
+          lit("Alpha beta gamma delta.\n"),
+          substring(col("text"), 1, 60), lit(".\n"),
+          lit("short one\n"),
+          lit("Enable javascript to proceed.\n"),
+          substring(col("text"), 61, 60), lit("?\n"),
+          lit("Final thought number four!\n"),
+          lit("And sentence number five, right?"),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            lit("\ncss { margin: 0 }")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(6)) === 1,
+            lit("\nGenerated with Lorem Ipsum text.")).otherwise(lit(""))))
+      graft.ops.Quality.c4Clean(
+          t(s, dir, "documents").select(col("doc_id"), page.as("text")))
+        .select(col("doc_id"), col("clean_text"), col("n_sentences"),
+          col("ok_sentences"), col("ok_lorem"), col("ok_brace"),
+          col("c4_keep"))
+        .orderBy(col("doc_id"))
     }
   )
 

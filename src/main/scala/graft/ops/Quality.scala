@@ -76,6 +76,43 @@ object Quality {
       "ok_ellipsis", "ok_alpha", "ok_stopwords", "gopher_pass")
   }
 
+  /** The C4 cleaning rules (Raffel et al. 2020 §2.2 — the other
+    * canonical published filter family, LINE-level where Gopher is
+    * document-level): keep only lines that end in terminal punctuation
+    * AND carry ≥ 3 words AND do not mention javascript; then drop the
+    * PAGE when the surviving text has < 5 sentences, contains
+    * `lorem ipsum` (case-insensitive), a curly brace, or any
+    * `blocklist` term. Returns the cleaned text, the per-rule page
+    * booleans, and the kept-line/sentence accounting — all narrow
+    * split/filter HOFs, scan-fused, cross-engine exact.
+    *
+    * The paper's word blocklist is pluggable (`blocklist`) and empty
+    * by default — shipping a slur list is a caller decision, not a
+    * library default. */
+  def c4Clean(docs: DataFrame, textCol: String = "text",
+      blocklist: Seq[String] = Nil): DataFrame = {
+    val lines = split(col(textCol), "\\n")
+    val kept = filter(lines, l =>
+      trim(l).rlike("[.!?\"]$") &&
+        size(split(trim(l), "\\s+")) >= 3 &&
+        !lower(l).contains("javascript"))
+    val cleaned = array_join(kept, "\n")
+    val nSentences = size(regexp_extract_all(cleaned, lit("[.!?]"), lit(0)))
+    val lower0 = lower(col(textCol))
+    val okSentences = nSentences >= 5
+    val okLorem = !lower0.contains("lorem ipsum")
+    val okBrace = !col(textCol).contains("{")
+    val okBlock = blocklist.map(w => !lower0.contains(w.toLowerCase))
+      .foldLeft(lit(true))(_ && _)
+    docs.withColumns(Map(
+      "clean_text" -> cleaned,
+      "n_kept_lines" -> size(kept),
+      "n_sentences" -> nSentences,
+      "ok_sentences" -> okSentences, "ok_lorem" -> okLorem,
+      "ok_brace" -> okBrace, "ok_blocklist" -> okBlock,
+      "c4_keep" -> (okSentences && okLorem && okBrace && okBlock)))
+  }
+
   /** Per-rule removal rates over a corpus — one aggregate row: the
     * rule-attribution audit (which rule is doing the cutting?). */
   def gopherReport(docs: DataFrame, textCol: String = "text"): DataFrame = {

@@ -53,6 +53,37 @@ class QualitySpec extends AnyFunSuite {
     assert(!flagsOf(noStops)("ok_stopwords"))
   }
 
+  test("c4: line rules keep terminal+3-word+non-js lines only") {
+    val page = Seq(
+      "This is a proper sentence one.",  // kept
+      "no terminal punctuation here",    // dropped: no terminal
+      "Too few.",                        // dropped: < 3 words
+      "Enable javascript to continue.",  // dropped: javascript
+      "Another good line stays here!",   // kept
+      "And a third one, yes?",           // kept
+      "Quoted line ends well.\"",        // kept (end quote)
+      "Final sentence number five.").mkString("\n")
+    val r = Quality.c4Clean(Seq((1L, page)).toDF("doc_id", "text")).first()
+    val clean = r.getAs[String]("clean_text")
+    assert(clean.split("\n").length === 5)
+    assert(!clean.contains("javascript") && !clean.contains("no terminal"))
+    assert(r.getAs[Int]("n_sentences") === 5)
+    assert(r.getAs[Boolean]("c4_keep"))
+  }
+
+  test("c4: page rules — sentences floor, lorem ipsum, brace, blocklist") {
+    def keepOf(t: String, block: Seq[String] = Nil) =
+      Quality.c4Clean(Seq((1L, t)).toDF("doc_id", "text"), blocklist = block)
+        .first().getAs[Boolean]("c4_keep")
+    val five = (1 to 5).map(i => s"Good sentence number $i here.").mkString("\n")
+    assert(keepOf(five))
+    assert(!keepOf(five.split("\n").take(4).mkString("\n")), "4 sentences")
+    assert(!keepOf(five + "\nWe use Lorem Ipsum filler."), "lorem")
+    assert(!keepOf(five + "\nif (x) { y(); }"), "brace")
+    assert(!keepOf(five + "\nBuy cheap badword now.", Seq("badword")))
+    assert(keepOf(five + "\nBuy cheap goodword now.", Seq("badword")))
+  }
+
   test("filter keeps exactly the pass rows; report rates sum consistently") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val flagged = Quality.gopherFlags(docs)
