@@ -35,7 +35,10 @@ object Bench {
   val extended: Seq[String] = Seq(
     "q_semantic_dedup", "q_boilerplate_strip", "q_crossdoc_repetition",
     "q_curate_ingest", "q_nb_classifier", "q_dsir_select",
-    "q_hybrid_retrieval")
+    "q_hybrid_retrieval",
+    // round-6 additions
+    "q_pagerank", "q_kmeans", "q_bpe_tokenize", "q_gopher_quality",
+    "q_c4_clean", "q_html_extract", "q_theta_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

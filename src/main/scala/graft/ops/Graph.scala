@@ -66,20 +66,29 @@ object Graph {
     val nodes = norm.select(col("src").as("node"))
       .union(norm.select(col("dst").as("node"))).distinct().cache()
     val v = nodes.count().toDouble // one scalar; V = |nodes|
-    // nodes that never appear as src hold dangling mass
+    // nodes that never appear as src hold dangling mass. Most link
+    // graphs have SOME dangling hosts, but when there are none (one
+    // boolean head-check on a cached node-sized frame, paid once) the
+    // per-iteration dangling-mass scalar aggregate — a separate
+    // broadcast job each round — is skipped entirely.
     val srcs = norm.select(col("src").as("node")).distinct()
     val dangling = nodes.join(srcs, Seq("node"), "left_anti").cache()
+    val hasDangling = !dangling.isEmpty
     var ranks = nodes.select(col("node"), lit(1.0 / v).as("rank")).cache()
     var ranksCheckpointed = false
     for (iter <- 1 to iterations) {
       val contribs = ranks.join(norm, ranks("node") === norm("src"))
         .groupBy(col("dst").as("cnode"))
         .agg(sum(col("rank") * col("p")).as("contrib"))
-      val dMass = ranks.join(dangling, Seq("node"), "left_semi")
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
-      val nextPlan = nodes
+      val joined = nodes
         .join(contribs, nodes("node") === col("cnode"), "left")
-        .crossJoin(broadcast(dMass))
+      val withMass =
+        if (hasDangling) {
+          val dMass = ranks.join(dangling, Seq("node"), "left_semi")
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
+          joined.crossJoin(broadcast(dMass))
+        } else joined.withColumn("dmass", lit(0.0))
+      val nextPlan = withMass
         .select(col("node"),
           (lit((1.0 - damping) / v) + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) + col("dmass") / lit(v)))
