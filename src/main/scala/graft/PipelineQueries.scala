@@ -2806,6 +2806,135 @@ object PipelineQueries {
           col("ok_sentences"), col("ok_lorem"), col("ok_brace"),
           col("c4_keep"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------ web pipeline e2e
+    // The web-curation front half COMPOSED: raw HTML → line-preserving
+    // extraction (Html.extractTextLines — block tags become newlines,
+    // which is what lets the line-oriented C4 cleaner work at all) →
+    // C4 line+page cleaning → Gopher document filter → BPE tokenize.
+    // The oracle recomputes extraction, C4, and Gopher end-to-end in
+    // DuckDB (one hash covers the three stages' agreement THROUGH each
+    // other, not just individually); the BPE stage contributes
+    // certificate booleans (lossless round-trip, compression) over the
+    // surviving cleaned text.
+    q("q_web_pipeline",
+      """WITH pg AS (SELECT doc_id,
+        |  '<html><head><title>' || source ||
+        |  '</title><style>p { c: red }</style></head><body>' ||
+        |  '<h1>Corpus page heading!</h1>' ||
+        |  '<p>Alpha beta gamma delta epsilon zeta eta theta.</p>' ||
+        |  '<p>' || substr(text, 1, 120) || '.</p>' ||
+        |  '<p>short one</p>' ||
+        |  '<p>Enable javascript to proceed.</p>' ||
+        |  '<p>' || substr(text, 121, 120) || '?</p>' ||
+        |  '<p>Final thought number four!</p>' ||
+        |  '<p>And sentence number five, right?</p>' ||
+        |  CASE WHEN doc_id % 4 = 0
+        |       THEN '<p>css { margin: 0 }</p>' ELSE '' END ||
+        |  CASE WHEN doc_id % 6 = 1
+        |       THEN '<p>Generated with Lorem Ipsum text.</p>' ELSE '' END ||
+        |  '</body></html>' AS html FROM documents),
+        |ex AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(
+        |    regexp_replace(
+        |    regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+        |      '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+        |      '(?is)<noscript\b[^>]*>.*?</noscript\s*>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|tr|table|section|article|header|footer|blockquote)\b[^>]*/?>',
+        |      chr(10), 'g'),
+        |      '<[^>]*>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&'),
+        |    '[ \t]+', ' ', 'g'),
+        |    ' *\n *', chr(10), 'g'),
+        |    '\n+', chr(10), 'g'), chr(10) || ' ') AS txt FROM pg),
+        |c AS (SELECT doc_id,
+        |  array_to_string(list_filter(string_split_regex(txt, '\n'),
+        |    l -> regexp_matches(trim(l), '[.!?"]$') AND
+        |         len(string_split_regex(trim(l), '\s+')) >= 3 AND
+        |         NOT contains(lower(l), 'javascript')), chr(10)) AS clean,
+        |  txt FROM ex),
+        |k AS (SELECT doc_id, clean FROM c
+        |  WHERE len(regexp_extract_all(clean, '[.!?]')) >= 5
+        |    AND NOT contains(lower(txt), 'lorem ipsum')
+        |    AND NOT contains(txt, '{')),
+        |g AS (SELECT doc_id, clean,
+        |  CAST(len(string_split_regex(clean, '\s+')) AS DOUBLE) AS nw,
+        |  CAST(len(string_split_regex(clean, '\n')) AS DOUBLE) AS nl,
+        |  CAST(list_sum(list_transform(string_split_regex(clean, '\s+'),
+        |    x -> length(x))) AS DOUBLE) AS wc,
+        |  CAST(length(clean) - length(replace(clean, '#', '')) AS DOUBLE)
+        |    AS nh,
+        |  (length(clean) - length(replace(clean, '...', ''))) / 3 AS ne,
+        |  CAST(len(list_filter(string_split_regex(clean, '\n'),
+        |    x -> regexp_matches(x, '^\s*[-*•]'))) AS DOUBLE) AS bl,
+        |  CAST(len(list_filter(string_split_regex(clean, '\n'),
+        |    x -> regexp_matches(x, '\.\.\.\s*$'))) AS DOUBLE) AS el,
+        |  CAST(len(list_filter(string_split_regex(clean, '\s+'),
+        |    x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) AS aw,
+        |  len(list_intersect(list_transform(
+        |    string_split_regex(clean, '\s+'), x -> lower(x)),
+        |    ['the','be','to','of','and','that','have','with'])) AS sh
+        |  FROM k),
+        |q AS (SELECT doc_id FROM g
+        |  WHERE nw >= 50 AND nw <= 100000 AND wc/nw >= 3 AND wc/nw <= 10
+        |    AND (nh + ne)/nw <= 0.1 AND bl/nl < 0.9 AND el/nl < 0.3
+        |    AND aw/nw >= 0.8 AND sh >= 2)
+        |SELECT (SELECT count(*) FROM pg) AS n_pages,
+        |  (SELECT count(*) FROM k) AS n_c4_kept,
+        |  (SELECT count(*) FROM q) AS n_gopher_pass,
+        |  TRUE AS ok_bpe_lossless, TRUE AS ok_bpe_compress""".stripMargin) {
+      (s, dir) =>
+      import graft.ops.{Bpe, Html, Quality}
+      val html = concat(
+        lit("<html><head><title>"), col("source"),
+        lit("</title><style>p { c: red }</style></head><body>"),
+        lit("<h1>Corpus page heading!</h1>"),
+        lit("<p>Alpha beta gamma delta epsilon zeta eta theta.</p>"),
+        lit("<p>"), substring(col("text"), 1, 120), lit(".</p>"),
+        lit("<p>short one</p>"),
+        lit("<p>Enable javascript to proceed.</p>"),
+        lit("<p>"), substring(col("text"), 121, 120), lit("?</p>"),
+        lit("<p>Final thought number four!</p>"),
+        lit("<p>And sentence number five, right?</p>"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit("<p>css { margin: 0 }</p>")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(6)) === 1,
+          lit("<p>Generated with Lorem Ipsum text.</p>")).otherwise(lit("")),
+        lit("</body></html>"))
+      val pages = t(s, dir, "documents")
+        .select(col("doc_id"), html.as("html"))
+      val extracted = pages.select(col("doc_id"),
+        Html.extractTextLines(col("html")).as("text"))
+      val cleaned = Quality.c4Clean(extracted)
+        .filter(col("c4_keep"))
+        .select(col("doc_id"), col("clean_text"))
+      val survivors = Quality.gopherFlags(
+        cleaned.select(col("doc_id"), col("clean_text").as("text")))
+        .filter(col("gopher_pass"))
+      val merges = Bpe.train(survivors, numMerges = 100)
+      val toks = survivors
+        .select(col("text"), Bpe.tokens(col("text"), merges).as("toks"))
+      val bpeCert = toks.agg(
+        (count(lit(1)) === sum((array_join(col("toks"), "") ===
+          regexp_replace(col("text"), "\\s+", "")).cast("int")))
+          .as("ok_bpe_lossless"),
+        (sum(size(col("toks"))) <
+          sum(length(regexp_replace(col("text"), "\\s+", ""))))
+          .as("ok_bpe_compress"))
+      pages.agg(count(lit(1)).as("n_pages"))
+        .crossJoin(broadcast(cleaned.agg(count(lit(1)).as("n_c4_kept"))))
+        .crossJoin(broadcast(
+          survivors.agg(count(lit(1)).as("n_gopher_pass"))))
+        .crossJoin(broadcast(bpeCert))
+        .select(col("n_pages"), col("n_c4_kept"), col("n_gopher_pass"),
+          col("ok_bpe_lossless"), col("ok_bpe_compress"))
     }
   )
 

@@ -69,6 +69,31 @@ object Html {
       length(extractText(html)).cast("double") / length(html))
       .otherwise(lit(0.0))
 
+  /** Block-level elements whose boundaries become NEWLINES in
+    * [[extractTextLines]] — the line-structure-preserving variant. */
+  private val blockTagPattern =
+    "(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|tr|table|section|article|header|footer|blockquote)\\b[^>]*/?>"
+
+  /** Visible text with LINE STRUCTURE: same contract as [[extractText]]
+    * except block-level tag boundaries (`p div br h1-6 li ul ol tr
+    * table section article header footer blockquote`) become newlines
+    * instead of spaces, horizontal whitespace collapses per line, and
+    * blank lines drop. THIS is the extraction to feed line-oriented
+    * cleaners ([[Quality.c4Clean]], [[Boilerplate]]) — [[extractText]]
+    * collapses newlines and would erase the structure those operators
+    * filter on. Still a pure narrow regexp chain. */
+  def extractTextLines(html: Column): Column = {
+    val noBlocks = blockElems.foldLeft(html)((c, el) =>
+      regexp_replace(c, s"(?is)<$el\\b[^>]*>.*?</$el\\s*>", " "))
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val blocksToNewlines = regexp_replace(noComments, blockTagPattern, "\n")
+    val noTags = regexp_replace(blocksToNewlines, "<[^>]*>", " ")
+    val decoded = regexp_replace(foldEntities(noTags), "&amp;", "&")
+    val horiz = regexp_replace(decoded, "[ \\t]+", " ")
+    val tidyLines = regexp_replace(horiz, " *\\n *", "\n")
+    trim(regexp_replace(tidyLines, "\\n+", "\n"), "\n ")
+  }
+
   /** All `<a href="…">` targets of a page, in document order — the raw
     * material of the link graph ([[Graph.pageRank]] consumes the
     * host-rollup of exactly this column via [[Domains.hostOf]]). Both

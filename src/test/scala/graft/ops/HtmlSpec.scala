@@ -70,6 +70,23 @@ class HtmlSpec extends AnyFunSuite {
     assert(got === Seq("http://a.com/x?p=1&q=2", "https://b.org/y", "/rel/path"))
   }
 
+  test("extractTextLines: block tags become newlines, inline tags spaces") {
+    val got = Seq(
+      """<html><body><h1>Title!</h1><p>First <b>line</b> here.</p>
+        |<p>Second line.</p><br/>Third line?<div>Fourth.</div>
+        |<script>drop()</script></body></html>""".stripMargin)
+      .toDF("h").select(Html.extractTextLines(col("h")))
+      .first().getString(0)
+    assert(got === "Title!\nFirst line here.\nSecond line.\nThird line?\nFourth.")
+  }
+
+  test("extractTextLines: blank lines collapse, entities decode per line") {
+    val got = Seq("<p></p><p>a &amp; b</p><p>  </p><p>c.</p>")
+      .toDF("h").select(Html.extractTextLines(col("h")))
+      .first().getString(0)
+    assert(got === "a & b\nc.")
+  }
+
   test("text ratio: markup-heavy pages score low, plain text scores 1") {
     val rows = Seq(
       "plain text",
