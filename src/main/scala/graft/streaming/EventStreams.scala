@@ -176,6 +176,24 @@ object EventStreams {
       }
   }
 
+  /** Streaming heavy hitters per event-time window — the second leg of
+    * the continuous monitor beside [[distinctSketchPerWindow]]: the
+    * approx-top-k (DataSketches frequent-items) of a key column per
+    * window, closed exactly-once by the watermark. Exact while the
+    * window's distinct keys fit the sketch map (~0.75 × maxItems —
+    * the same stated precondition as the batch q_heavy_hitters);
+    * beyond it, estimates with the sketch's error guarantee. State per
+    * open window = one bounded frequent-items buffer, never raw keys. */
+  def heavyHittersPerWindow(events: DataFrame, keyCol: String, k: Int,
+      maxItemsTracked: Int = 1024, window: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(functions.window(col("event_time"), window, window))
+      .agg(expr(s"approx_top_k($keyCol, $k, $maxItemsTracked)").as("top"))
+      .select(col("window.start").as("w_start"),
+        col("window.end").as("w_end"), col("top"))
+
   /** Streaming lakehouse sink: append the stream to a partitioned parquet
     * table with the file sink's exactly-once semantics (checkpointed
     * offsets + output file manifest — a restart with the same checkpoint

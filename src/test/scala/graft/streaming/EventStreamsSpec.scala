@@ -572,4 +572,43 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(unioned === exactUnion,
       "stored window sketches must union to the exact distinct count")
   }
+
+  test("heavy hitters per window match the batch exact counts") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-hh").toString
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .write.mode("overwrite").parquet(stageDir)
+    val out = EventStreams.heavyHittersPerWindow(
+      EventStreams.readEvents(spark, stageDir), "event_type", k = 3,
+      window = "1 hour", watermark = "1 minute")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("hh_win")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("hh_win")
+    assert(streamed.count() > 0, "no windows closed")
+    // event_type cardinality is far below the sketch map: counts exact.
+    // Compare each window's top-3 (item, count) set against batch.
+    val got = streamed.select($"w_start", explode($"top").as("e"))
+      .select($"w_start", $"e.item", $"e.count")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("event_time", timestamp_seconds(col("ts") / lit(1e9)))
+      .groupBy(window($"event_time", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"window").orderBy($"n".desc, $"event_type")))
+      .filter($"rk" <= 3)
+      .select($"window.start", $"event_type", $"n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // every streamed (window, item, count) triple must carry the exact
+    // batch count; top-3 membership can differ only on count ties
+    got.foreach { case (w, item, n) =>
+      assert(batch.exists(b => b._1 == w && b._2 == item && b._3 == n) ||
+        batch.exists(b => b._1 == w && b._3 == n),
+        s"($w, $item, $n) not consistent with batch top-3")
+    }
+  }
 }
