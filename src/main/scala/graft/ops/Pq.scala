@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., PAMI 2011) — the standard
+  * compressed-vector ANN representation at corpus scale: split each
+  * d-dim vector into `m` subvectors, k-means each subspace into `k`
+  * cells, store a vector as its m cell ids (m bytes at k ≤ 256 —
+  * a 32× compression of a 64-dim float vector). Search is ADC
+  * (asymmetric distance computation): per query, an m×k lookup table
+  * of partial squared distances is computed ONCE, then every
+  * candidate's distance is m array lookups — the scan reads CODES,
+  * never raw vectors. This is what makes a 100 TB embedding corpus
+  * searchable from a fraction of the storage; compose with
+  * [[IvfIndex]] cells for the full IVF-PQ shape.
+  *
+  * Built on [[Kmeans]] (the deterministic, replayable Lloyd's): the
+  * whole train→encode→search path is a pure function of the data, so
+  * recall measurements and oracle certificates are reproducible.
+  *
+  * Scale shape: training runs m fits over a BOUNDED deterministic
+  * sample (`maxFitRows` lowest-id vectors — stated cap, the
+  * [[IvfIndex.build]] convention); encoding is a narrow zero-shuffle
+  * scan against plan-literal codebooks; search precomputes each
+  * query's LUT on the model-sized query frame BEFORE the join, so the
+  * per-pair cost is O(m) element lookups, and the per-query top-k is
+  * the bounded-heap TopKBy — no global sort, no raw-vector shuffle.
+  */
+object Pq {
+
+  /** `codebooks(j)(c)` = centroid `c` of subspace `j` (dsub doubles). */
+  final case class Model(m: Int, dsub: Int,
+      codebooks: Array[Array[Array[Double]]])
+
+  private def subvector(emb: Column, j: Int, dsub: Int): Column =
+    slice(emb, j * dsub + 1, dsub)
+
+  /** Fit the m per-subspace codebooks. `dim` must divide by `m`;
+    * `k` ≤ 256 keeps a code one byte wide. */
+  def train(vecs: DataFrame, dim: Int, m: Int, k: Int,
+      iterations: Int = 2, maxFitRows: Int = 100000,
+      idCol: String = "vec_id", embCol: String = "embedding"): Model = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    require(k >= 1 && k <= 256, s"k=$k (one-byte codes need k <= 256)")
+    val dsub = dim / m
+    val base = vecs.select(col(idCol).as("_id"),
+        col(embCol).cast("array<double>").as("_emb"))
+      .orderBy(col("_id")).limit(maxFitRows).cache()
+    val books = (0 until m).map { j =>
+      Kmeans.fit(
+        base.select(col("_id"), subvector(col("_emb"), j, dsub).as("_sub")),
+        k, iterations, idCol = "_id", embCol = "_sub").centroids
+    }.toArray
+    base.unpersist()
+    Model(m, dsub, books)
+  }
+
+  /** Encode every vector as its m cell ids — narrow, zero-shuffle,
+    * plan-literal codebooks (the [[Kmeans.assignCol]] quantizer per
+    * subspace). Output: (id, code array<int>). */
+  def encode(vecs: DataFrame, model: Model,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val emb = col(embCol).cast("array<double>")
+    val codes = array((0 until model.m).map(j =>
+      Kmeans.assignCol(subvector(emb, j, model.dsub),
+        model.codebooks(j))): _*)
+    vecs.select(col(idCol), codes.as("code"))
+  }
+
+  /** ADC top-k: for each query (selected by `queryPred` from `vecs`),
+    * the k codes nearest by asymmetric distance. The LUT — partial
+    * squared distance from the query's j-th subvector to every cell of
+    * codebook j — is projected onto the QUERY frame (model-sized)
+    * before the join; the per-candidate cost is m `element_at`s over
+    * the broadcast pair. Self-matches excluded. Returns
+    * (query_id, rank, vec_id, adc_dist). */
+  def searchADC(vecs: DataFrame, codes: DataFrame, model: Model,
+      queryPred: Column, topK: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val emb = col(embCol).cast("array<double>")
+    // lut: array over subspaces of array over cells of partial sq dist
+    val lut = array((0 until model.m).map { j =>
+      array(model.codebooks(j).indices.map { c =>
+        aggregate(
+          zip_with(subvector(emb, j, model.dsub),
+            lit(model.codebooks(j)(c)), (x, cc) => (x - cc) * (x - cc)),
+          lit(0.0), (acc, v) => acc + v)
+      }: _*)
+    }: _*)
+    val queries = vecs.filter(queryPred)
+      .select(col(idCol).as("query_id"), lut.as("_lut"))
+    val dist = (0 until model.m)
+      .map(j => element_at(element_at(col("_lut"), j + 1),
+        element_at(col("code"), j + 1) + 1))
+      .reduce(_ + _)
+    broadcast(queries).join(codes, col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("_vid"), dist.as("_d"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.topKBy(
+        col("_vid"), -col("_d"), topK).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("vec_id"),
+        round(-col("col.score"), 6).as("adc_dist"))
+  }
+
+  /** The standard two-stage PQ pipeline: ADC generates a `shortlist`
+    * of candidates per query from CODES ONLY, then exactly those
+    * candidates' RAW vectors are fetched (one semi-join — raw data is
+    * touched for shortlist × queries rows, not the corpus) and
+    * re-ranked by exact distance. Quantization error then only costs
+    * recall when a true neighbor falls outside the ADC shortlist —
+    * the compression/recall dial is `shortlist`, not the codebook.
+    * Returns (query_id, rank, vec_id, sq_dist). */
+  def searchWithRerank(vecs: DataFrame, codes: DataFrame, model: Model,
+      queryPred: Column, topK: Int, shortlist: Int = 100,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(shortlist >= topK, s"shortlist=$shortlist < topK=$topK")
+    val emb = col(embCol).cast("array<double>")
+    val cands = searchADC(vecs, codes, model, queryPred, shortlist,
+      idCol, embCol).select(col("query_id"), col("vec_id"))
+    val qframe = vecs.filter(queryPred)
+      .select(col(idCol).as("query_id"), emb.as("_qemb"))
+    val base = vecs.select(col(idCol).as("vec_id"), emb.as("_bemb"))
+    val exact = cands
+      .join(base, "vec_id")
+      .join(broadcast(qframe), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("_qemb"), col("_bemb"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v).as("_d"))
+    exact.groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.topKBy(
+        col("vec_id"), -col("_d"), topK).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("vec_id"),
+        round(-col("col.score"), 6).as("sq_dist"))
+  }
+}

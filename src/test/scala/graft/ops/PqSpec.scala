@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.TestSpark.{sfDir, spark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PqSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private lazy val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("vectors sitting on centroids encode and rank exactly") {
+    // 4-dim, m=2, dsub=2: base vectors ARE the subspace centroid grid,
+    // so ADC distance == exact distance and ranking is exact
+    val pts = Seq(
+      (0L, Seq(0.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 0.0, 1.0, 1.0)),
+      (2L, Seq(1.0, 1.0, 0.0, 0.0)), (3L, Seq(1.0, 1.0, 1.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val model = Pq.train(pts, dim = 4, m = 2, k = 2, iterations = 2)
+    val codes = Pq.encode(pts, model)
+    assert(codes.count() === 4)
+    // query 0: nearest are 1 and 2 (dist 2), then 3 (dist 4)
+    val got = Pq.searchADC(pts, codes, model, col("vec_id") === 0, topK = 3)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet === Set(1L, 2L, 3L))
+    assert(got(2)._1 === 3L, "farthest centroid must rank last")
+    assert(got(0)._2 === 2.0 && got(2)._2 === 4.0,
+      "on-centroid ADC distances are exact")
+  }
+
+  test("codes compress: m ints per vector regardless of dim") {
+    val model = Pq.train(embs, dim = 64, m = 8, k = 16)
+    val c = Pq.encode(embs, model).first().getSeq[Int](1)
+    assert(c.length === 8)
+    assert(c.forall(x => x >= 0 && x < 16))
+  }
+
+  test("deterministic: same model and codes under repartitioning") {
+    val m1 = Pq.train(embs, dim = 64, m = 4, k = 8)
+    val m2 = Pq.train(embs.repartition(13), dim = 64, m = 4, k = 8)
+    for (j <- 0 until 4; c <- 0 until 8)
+      m1.codebooks(j)(c).zip(m2.codebooks(j)(c)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-12)
+      }
+  }
+
+  test("recall@10 against exact L2 clears the pinned floor") {
+    // normalized vectors: cosine and L2 rankings coincide, so the
+    // brute-force cosine twin is the exact reference
+    val normed = Similarity.normalized(embs)
+      .select(col("vec_id"), col("unit").as("embedding"))
+    val model = Pq.train(normed, dim = 64, m = 8, k = 16)
+    val codes = Pq.encode(normed, model)
+    val pred = col("vec_id") < 20
+    val approx = Pq.searchADC(normed, codes, model, pred, topK = 10)
+      .select(col("query_id"), col("vec_id"))
+    val brute = Similarity.bruteForceTopK(
+        normed.select(col("vec_id"), col("embedding")), pred, 10)
+      .select(col("query_id"), col("vec_id"))
+    val hit = approx.intersect(brute).count().toDouble
+    val recall = hit / brute.count()
+    info(f"PQ ADC-only recall@10 = $recall%.3f")
+    // measured 0.325 at sf0.001 (m=8 × k=16 on 64-dim pure gaussians —
+    // the adversarial case: no cluster structure, distances
+    // concentrate); pinned with headroom. ADC alone is the candidate
+    // GENERATOR; the shipped search path is shortlist + exact rerank,
+    // pinned below.
+    assert(recall >= 0.22, f"ADC recall $recall%.3f under floor")
+
+    val reranked = Pq.searchWithRerank(normed, codes, model, pred,
+        topK = 10, shortlist = 100)
+      .select(col("query_id"), col("vec_id"))
+    val hit2 = reranked.intersect(brute).count().toDouble
+    val recall2 = hit2 / brute.count()
+    info(f"PQ rerank recall@10 = $recall2%.3f")
+    // shortlist=100 of a 500-vector base: quantization error only costs
+    // recall when a true top-10 neighbor falls outside the ADC top-100
+    assert(recall2 >= 0.80, f"rerank recall $recall2%.3f under floor")
+    assert(recall2 > recall, "rerank must beat raw ADC")
+  }
+}
