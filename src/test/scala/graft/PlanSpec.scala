@@ -305,6 +305,26 @@ class PlanSpec extends AnyFunSuite {
       s"rank flow must shuffle on node keys:\n$p")
   }
 
+  test("Pq.encode is a narrow plan-literal quantizer; ADC joins broadcast queries") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val model = graft.ops.Pq.Model(2, 32,
+      Array.fill(2)(Array(Array.fill(32)(0.0), Array.fill(32)(1.0))))
+    val pe = graft.ops.Pq.encode(embs, model)
+      .queryExecution.executedPlan.toString
+    assert(!pe.contains("Exchange"),
+      s"PQ encode must be a narrow scan against literal codebooks:\n$pe")
+    import org.apache.spark.sql.functions.col
+    val codes = graft.ops.Pq.encode(embs, model)
+    val ps = graft.ops.Pq.searchADC(embs, codes, model,
+        col("vec_id") < 5, topK = 3)
+      .queryExecution.executedPlan.toString
+    assert(ps.contains("BroadcastNestedLoopJoin") ||
+      ps.contains("BroadcastHashJoin"),
+      s"ADC must broadcast the model-sized query side:\n$ps")
+    assert(ps.contains("partial_topk_by"),
+      s"per-query top-k must be the bounded-heap aggregate:\n$ps")
+  }
+
   test("whole-stage codegen covers the scan→agg hot path") {
     // AQE reveals codegen spans only in the final (post-execution) plan
     val df = SparkEntry.queries("q_agg_pricing")(spark, sfDir)
