@@ -137,4 +137,77 @@ object Pq {
         col("col.id").as("vec_id"),
         round(-col("col.score"), 6).as("sq_dist"))
   }
+
+  /** IVF-PQ — THE standard billion-scale index shape: the
+    * [[IvfIndex]] coarse quantizer prunes the scan to `nprobe` cells,
+    * ADC over one-byte codes ranks the surviving candidates without
+    * touching raw vectors, and the exact rerank reads raw data for
+    * shortlist × queries rows only. At 100 TB the probe touches
+    * ~nprobe/nlist of the CODE table (itself 32× smaller than the
+    * vectors) — the two prunings compose multiplicatively. The
+    * candidate join is salted on (cell, blk) exactly like
+    * [[IvfIndex.search]] so a hot cell spreads over `blocks` tasks.
+    * Returns (query_id, rank, vec_id, sq_dist). */
+  def searchIvfPq(vecs: DataFrame, index: IvfIndex.Index, codes: DataFrame,
+      model: Model, queryPred: Column, topK: Int, nprobe: Int,
+      shortlist: Int = 100, blocks: Int = 32,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(shortlist >= topK, s"shortlist=$shortlist < topK=$topK")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val emb = col(embCol).cast("array<double>")
+    val cents = index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
+    // query frame: probe cells (nprobe nearest coarse centroids) + LUT
+    val lut = array((0 until model.m).map { j =>
+      array(model.codebooks(j).indices.map { c =>
+        aggregate(
+          zip_with(subvector(emb, j, model.dsub),
+            lit(model.codebooks(j)(c)), (x, cc) => (x - cc) * (x - cc)),
+          lit(0.0), (acc, v) => acc + v)
+      }: _*)
+    }: _*)
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cdist"))
+    val probes = vecs.filter(queryPred)
+      .select(col(idCol).as("query_id"), lut.as("_lut"), emb.as("_qemb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist", aggregate(zip_with(col("_qemb"), col("centroid"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("_lut"), col("cell"))
+    // candidates: codes of the probed cells only, (cell, blk)-salted
+    val coded = index.assignments.select(col("vec_id"), col("cell"))
+      .join(codes.select(col(idCol).as("vec_id"), col("code")), "vec_id")
+      .withColumn("blk", pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int"))
+    val saltedProbes = probes.withColumn("blk",
+      explode(sequence(lit(0), lit(blocks - 1))))
+    val dist = (0 until model.m)
+      .map(j => element_at(element_at(col("_lut"), j + 1),
+        element_at(col("code"), j + 1) + 1))
+      .reduce(_ + _)
+    val cands = saltedProbes.join(coded, Seq("cell", "blk"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), dist.as("_d"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.topKBy(
+        col("vec_id"), -col("_d"), shortlist).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("vec_id"))
+    // exact rerank over the shortlist's raw vectors
+    val qframe = vecs.filter(queryPred)
+      .select(col(idCol).as("query_id"), emb.as("_qemb"))
+    val base = vecs.select(col(idCol).as("vec_id"), emb.as("_bemb"))
+    cands.join(base, "vec_id").join(broadcast(qframe), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("_qemb"), col("_bemb"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v).as("_d"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.topKBy(
+        col("vec_id"), -col("_d"), topK).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("vec_id"),
+        round(-col("col.score"), 6).as("sq_dist"))
+  }
 }

@@ -79,4 +79,33 @@ class PqSpec extends AnyFunSuite {
     assert(recall2 >= 0.80, f"rerank recall $recall2%.3f under floor")
     assert(recall2 > recall, "rerank must beat raw ADC")
   }
+
+  test("IVF-PQ: probing all cells equals flat PQ rerank; fewer cells trade recall") {
+    val normed = Similarity.normalized(embs)
+      .select(col("vec_id"), col("unit").as("embedding"))
+    val model = Pq.train(normed, dim = 64, m = 8, k = 16)
+    val codes = Pq.encode(normed, model)
+    val ivf = IvfIndex.build(
+      normed.select(col("vec_id"), col("embedding")), nlist = 8)
+    val pred = col("vec_id") < 15
+    // nprobe = nlist: the coarse stage prunes nothing, so the result
+    // must equal the flat two-stage PQ search exactly
+    val full = Pq.searchIvfPq(normed, ivf, codes, model, pred,
+        topK = 5, nprobe = 8, shortlist = 100)
+      .select(col("query_id"), col("vec_id")).collect().toSet
+    val flat = Pq.searchWithRerank(normed, codes, model, pred,
+        topK = 5, shortlist = 100)
+      .select(col("query_id"), col("vec_id")).collect().toSet
+    assert(full === flat, "nprobe=nlist IVF-PQ must equal flat PQ")
+    // probing half the cells still clears a recall floor vs brute
+    val pruned = Pq.searchIvfPq(normed, ivf, codes, model, pred,
+        topK = 5, nprobe = 4, shortlist = 100)
+      .select(col("query_id"), col("vec_id"))
+    val brute = Similarity.bruteForceTopK(
+        normed.select(col("vec_id"), col("embedding")), pred, 5)
+      .select(col("query_id"), col("vec_id"))
+    val recall = pruned.intersect(brute).count().toDouble / brute.count()
+    info(f"IVF-PQ nprobe=4/8 recall@5 = $recall%.3f")
+    assert(recall >= 0.55, f"IVF-PQ recall $recall%.3f under floor")
+  }
 }
