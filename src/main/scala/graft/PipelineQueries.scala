@@ -2112,14 +2112,18 @@ object PipelineQueries {
     // budgets of weight strictly before the doc in doc_id order (a doc
     // starting in shard s belongs to s even when it crosses the
     // boundary). The oracle is the exclusive windowed cumsum.
+    // CAST ... AS BIGINT: DuckDB's sum(INTEGER) yields HUGEINT (int128),
+    // which the driver's comparer serializes differently from int64 —
+    // r6 proved a HUGEINT column hash-mismatches even when every value
+    // is equal. Every oracle must stay in BIGINT/DOUBLE land.
     q("q_ordered_shards",
       """SELECT doc_id,
-        |  coalesce(sum(n_chars) OVER (ORDER BY doc_id
+        |  CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    // 10000 AS shard,
-        |  coalesce(sum(n_chars) OVER (ORDER BY doc_id
+        |    // 10000 AS BIGINT) AS shard,
+        |  CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    % 10000 AS shard_offset
+        |    % 10000 AS BIGINT) AS shard_offset
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       graft.ops.Sharding.orderedShards(t(s, dir, "documents"), "doc_id",
           col("n_chars"), budget = 10000L)
@@ -2370,7 +2374,8 @@ object PipelineQueries {
         |          LIMIT 1) AS cell,
         |         (SELECT min(list_distance(v.emb, c.emb)**2) FROM c2 c) AS sq
         |       FROM v)
-        |SELECT cell, count(*) AS n, sum(vec_id) AS id_sum,
+        |SELECT cell, count(*) AS n,
+        |       CAST(sum(vec_id) AS BIGINT) AS id_sum,
         |       min(vec_id) AS id_min, round(sum(sq), 4) AS wcss_part
         |FROM fin GROUP BY cell ORDER BY cell""".stripMargin) { (s, dir) =>
       val embs = t(s, dir, "embeddings")

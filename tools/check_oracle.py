@@ -24,6 +24,15 @@ for name, sql in sorted(oracles.items()):
     except Exception as e:
         fails.append((name, f'read fail {e}')); continue
     try:
+        # HUGEINT guard: the driver's comparer serializes int128 columns
+        # differently from int64, so a HUGEINT oracle column hash-mismatches
+        # even when every value is equal (proved by q_kmeans/q_ordered_shards
+        # in round 6). sum(INTEGER)/sum(BIGINT) in DuckDB yield HUGEINT —
+        # every oracle must CAST such columns to BIGINT.
+        desc = con.execute(f'DESCRIBE ({sql})').fetchall()
+        hug = [c[0] for c in desc if c[1] == 'HUGEINT']
+        if hug:
+            fails.append((name, f'HUGEINT oracle columns {hug}: CAST to BIGINT')); continue
         duck = con.execute(sql)
         dcols = [c[0] for c in duck.description]
         drows = duck.fetchall()
