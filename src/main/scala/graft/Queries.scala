@@ -470,15 +470,18 @@ object Queries {
         .orderBy(col("o_orderkey"))
     },
 
-    // §2.2 Date family: unix-epoch conversions (events.ts arrives as
-    // nanos-since-epoch long under nanosAsLong)
+    // §2.2 Date family: unix-epoch conversions. events.ts is parquet
+    // TIMESTAMP(µs, no-tz) → Spark TIMESTAMP_NTZ / DuckDB TIMESTAMP;
+    // the UTC session cast makes unix_seconds the exact twin of
+    // DuckDB's epoch_ns // 1e9 (both floor for the positive epochs the
+    // testdata carries).
     q("q_unixtime",
       """SELECT event_id,
         |  CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS epoch_s,
         |  CAST(to_timestamp(epoch_ns(ts) // 1000000000) AS TIMESTAMP) AS ts_s,
         |  strftime(to_timestamp(epoch_ns(ts) // 1000000000), '%Y-%m-%d %H') AS fmt
         |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin) { (s, dir) =>
-      val epochS = expr("ts div 1000000000")
+      val epochS = unix_seconds(col("ts").cast("timestamp"))
       t(s, dir, "events").filter(col("event_id") < 500)
         .select(col("event_id"),
           epochS.as("epoch_s"),

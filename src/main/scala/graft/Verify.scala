@@ -16,8 +16,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); read as long (nanos) —
-      // ordering semantics match DuckDB's native TIMESTAMP_NS ordering
+      // events.ts is TIMESTAMP(µs, no-tz) → TIMESTAMP_NTZ since the
+      // round-7 testdata regen; nanosAsLong is kept for older NANOS
+      // fixtures (it is a no-op on µs columns)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Hive-lax coercion (SURVEY §7.4.2): cast('12x' AS INT) → NULL
       .config("spark.sql.ansi.enabled", "false")

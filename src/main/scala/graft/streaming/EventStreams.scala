@@ -19,20 +19,24 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events.parquet schema with ts as TIMESTAMP (the nanos column arrives
-    * as long under nanosAsLong; streaming sources declare the schema). */
+  /** events.parquet schema. `ts` is parquet TIMESTAMP(µs, no-tz) → Spark
+    * TIMESTAMP_NTZ (the driver's testdata regenerated to µs in round 7;
+    * it was TIMESTAMP(NANOS)-as-long before — every epoch computation
+    * now routes through the UTC session cast, see the catalog queries). */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos since epoch
+    StructField("ts", TimestampNTZType), // µs wall clock, UTC by convention
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over a directory of event parquet files. */
+  /** File-source stream over a directory of event parquet files. The
+    * UTC-session cast turns the no-tz wall clock into the TIMESTAMP
+    * event time the watermark machinery keys on. */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
-      .withColumn("event_time", timestamp_seconds(col("ts") / lit(1e9)))
+      .withColumn("event_time", col("ts").cast("timestamp"))
 
   /** Watermarked sliding-window aggregate: events per (window, type) with
     * revenue sum. Late data beyond 10 minutes is dropped — bounded state

@@ -56,7 +56,7 @@ class AsOfSpec extends AnyFunSuite {
   test("agrees with a brute-force reference on the events table") {
     val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select(col("event_id"), col("user_id"), col("event_type"),
-        col("value"), expr("ts div 1000000").as("ms"))
+        col("value"), unix_millis(col("ts").cast("timestamp")).as("ms"))
     val clicks = e.filter(col("event_type") === "click")
       .select("event_id", "user_id", "ms")
     val purch = e.filter(col("event_type") === "purchase")

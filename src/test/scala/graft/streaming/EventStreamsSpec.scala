@@ -25,7 +25,7 @@ class EventStreamsSpec extends AnyFunSuite {
     val streamed = spark.table("win_counts")
       .select($"w_start", $"event_type", $"n", $"total_value")
     val batch = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("event_time", timestamp_seconds(col("ts") / lit(1e9)))
+      .withColumn("event_time", col("ts").cast("timestamp"))
       .groupBy(window($"event_time", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
       .select($"window.start".as("w_start"), $"event_type", $"n", $"total_value")
@@ -56,7 +56,7 @@ class EventStreamsSpec extends AnyFunSuite {
     val streamed = spark.table("ssj").collect().map(_.toSeq).toSet
 
     val batch = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("event_time", timestamp_seconds(col("ts") / lit(1e9)))
+      .withColumn("event_time", col("ts").cast("timestamp"))
     val bc = batch.filter($"event_type" === "click")
       .select($"event_id", $"user_id", $"event_time")
     val bp = batch.filter($"event_type" === "purchase")
@@ -459,7 +459,8 @@ class EventStreamsSpec extends AnyFunSuite {
 
   test("event-time sessionization: watermark-closed sessions match the batch oracle") {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-      .selectExpr("event_id", "user_id", "value", "ts div 1000000 AS epochMs")
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_millis(col("ts").cast("timestamp")).as("epochMs"))
       .withColumn("event_time", timestamp_millis(col("epochMs")))
     val gapMs = 30L * 60 * 1000
     val batchSessions = EventStreams.sessionizeBatch(
@@ -501,7 +502,7 @@ class EventStreamsSpec extends AnyFunSuite {
   test("flatMapGroupsWithState sessionization matches the batch oracle on closed sessions") {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
       .select($"event_id", $"user_id", $"event_type", $"value",
-        expr("ts div 1000000").as("epochMs"))
+        unix_millis(col("ts").cast("timestamp")).as("epochMs"))
     val gapMs = 30L * 60 * 1000
     // batch oracle
     val batch = EventStreams.sessionizeBatch(
@@ -549,7 +550,7 @@ class EventStreamsSpec extends AnyFunSuite {
     // below-capacity sketches are EXACT: each window's estimate equals
     // the batch distinct count for that window
     val batch = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("event_time", timestamp_seconds(col("ts") / lit(1e9)))
+      .withColumn("event_time", col("ts").cast("timestamp"))
       .groupBy(window($"event_time", "1 hour"))
       .agg(countDistinct($"user_id").as("exact"))
       .select($"window.start".as("w_start"), $"exact")
@@ -565,7 +566,7 @@ class EventStreamsSpec extends AnyFunSuite {
     val emittedStarts = streamed.select($"w_start").collect()
       .map(_.getTimestamp(0)).toSet
     val exactUnion = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("event_time", timestamp_seconds(col("ts") / lit(1e9)))
+      .withColumn("event_time", col("ts").cast("timestamp"))
       .withColumn("w", window($"event_time", "1 hour"))
       .filter($"w.start".isin(emittedStarts.toSeq: _*))
       .select(countDistinct($"user_id")).first().getLong(0)
@@ -593,7 +594,7 @@ class EventStreamsSpec extends AnyFunSuite {
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
       .toSet
     val batch = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("event_time", timestamp_seconds(col("ts") / lit(1e9)))
+      .withColumn("event_time", col("ts").cast("timestamp"))
       .groupBy(window($"event_time", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n"))
       .withColumn("rk", row_number().over(

@@ -4,6 +4,11 @@ import math
 
 out = sys.argv[1] if len(sys.argv) > 1 else '/tmp/verify_out'
 sf = sys.argv[2] if len(sys.argv) > 2 else '/root/testdata/sf0.01'
+# optional 3rd arg: comma-separated queries to skip. The page-synthesis
+# oracles (q_link_graph, q_anchor_text) join three 5000-row derived
+# tables on computed keys — DuckDB's plan for that is cubic at sf0.1
+# (fine at the sf0.01 driver gate). Skip them for local sf0.1 sweeps.
+skip = set(sys.argv[3].split(',')) if len(sys.argv) > 3 else set()
 con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
@@ -15,6 +20,8 @@ def norm(v):
     return v
 fails = []
 for name, sql in sorted(oracles.items()):
+    if name in skip:
+        print(f'SKIP {name}'); continue
     d = out + '/' + name
     files = glob.glob(d + '/*.parquet')
     if not files:
