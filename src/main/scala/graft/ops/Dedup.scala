@@ -310,7 +310,10 @@ object Dedup {
   /** Duplicate clusters from near-dup pairs: distributed connected
     * components by iterative min-label propagation (each vertex adopts
     * the smallest label in its neighborhood; converges in O(diameter)
-    * rounds — near-dup graphs are shallow, so a handful). Returns
+    * rounds — near-dup graphs are USUALLY shallow, so a handful; for
+    * deep chained-near-dup graphs use [[duplicateClustersFast]], the
+    * O(log n)-round alternating-star twin with the same contract).
+    * Returns
     * (id, component) where component = min id of the cluster; rows with
     * id != component are the drop set. Data never leaves the cluster.
     *
@@ -362,6 +365,106 @@ object Dedup {
         s"duplicateClusters exhausted maxIter=$maxIter before convergence; " +
           "labels are NOT the exact transitive closure (raise maxIter)")
     labels
+  }
+
+  /** Duplicate clusters in O(log n) ROUNDS: the alternating large-star /
+    * small-star algorithm (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14 — the algorithm behind GraphFrames'
+    * connectedComponents). Same output contract as
+    * [[duplicateClusters]]: (id, component) with component = min id of
+    * the connected component.
+    *
+    * Why a second implementation: min-label propagation converges in
+    * O(diameter) rounds. Near-dup graphs are USUALLY shallow, but the
+    * pathological inputs are real at web scale — chained near-dups
+    * (v1≈v2≈...≈vk of an evolving page) build paths whose diameter grows
+    * with the crawl, and each extra round is a full |V|+|E| shuffle.
+    * The alternating algorithm contracts star subtrees directly onto
+    * local minima, halving effective depth per round pair, so a
+    * 10k-deep chain resolves in ~15 rounds instead of 10k.
+    *
+    * Round shape (both phases): one min aggregation keyed on the star
+    * center + one join of the edge frame against the center-min table +
+    * one distinct — all keyed shuffles of the CURRENT edge frame, which
+    * only shrinks (toward one star per component). No driver state
+    * beyond the per-round one-row convergence checksum; lineage is
+    * truncated on the [[duplicateClusters]] cadence.
+    *
+    * Phase semantics over the oriented edge set (u > v invariant):
+    *   - large-star (computed on the symmetric view): every neighbor
+    *     v > u re-attaches to m(u) = min(Γ(u) ∪ {u}); edges from u to
+    *     smaller neighbors are re-emitted from the smaller center's own
+    *     star, so connectivity is preserved.
+    *   - small-star: all neighbors v ≤ u re-attach to m(u), PLUS the
+    *     (u, m(u)) edge itself — an exact star rewrite around the local
+    *     min.
+    * Fixpoint = every component is a star rooted at its min id; detected
+    * when a full round leaves the edge multiset unchanged (count +
+    * sum/xor of xxhash64 over the sorted pair — two independent 64-bit
+    * checks on top of an exact count, so a silent false-convergence
+    * needs a simultaneous collision in both).
+    */
+  def duplicateClustersFast(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    fastCC(pairs, maxIter)._1
+
+  /** [[duplicateClustersFast]] plus the number of rounds actually used —
+    * exposed so the spec can assert the O(log n) bound on deep graphs.
+    *
+    * Lineage: each round references the edge frame ~12× (the symmetric
+    * view twice, each star join twice more), so an un-truncated plan
+    * grows 12^k between checkpoints — at k=4 the plan STRING alone
+    * (stringified per action by the SQL listener) is gigabytes. Unlike
+    * [[duplicateClusters]]'s 2×/round growth, this algorithm must
+    * `localCheckpoint` EVERY round; the eager checkpoint doubles as the
+    * materialization the convergence checksum needs anyway. */
+  private[graft] def fastCC(pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
+    val verts = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct().cache()
+    var e = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    def checksum(df: DataFrame): (Long, Long, Long) = {
+      val r = df.select(xxhash64(col("u"), col("v")).as("h"))
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("h")), lit(0L)).as("s"),
+          coalesce(expr("bit_xor(h)"), lit(0L)).as("x")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    var sig = checksum(e)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star: Γ comes from the symmetric view; output re-orients
+      // itself (new u = old v > old u ≥ m = new v)
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+      // small-star over the oriented frame: exact star rewrite around m
+      val mins2 = large.groupBy("u").agg(min(col("v")).as("m"))
+      val next = large.join(mins2, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins2.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint()
+      val nextSig = checksum(next)
+      e.unpersist()
+      e = next
+      converged = nextSig == sig
+      sig = nextSig
+      iter += 1
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"duplicateClustersFast exhausted maxIter=$maxIter before " +
+          "convergence; labels are NOT the exact transitive closure")
+    // at the fixpoint every component is a star (u, root): non-roots
+    // appear exactly once on the u side, roots only on the v side
+    val labels = e.select(col("u").as("id"), col("v").as("component"))
+      .union(verts.join(e.select(col("u").as("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component")))
+    (labels, iter)
   }
 
   /** (id, sig) 64-bit SimHash signatures — shared by the banded path,

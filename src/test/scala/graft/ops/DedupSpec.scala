@@ -106,6 +106,37 @@ class DedupSpec extends AnyFunSuite {
     assert(comps.values.forall(_ === 0L), "all 51 vertices collapse to component 0")
   }
 
+  test("alternating CC equals min-label CC on structured and random graphs") {
+    import spark.implicits._
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // structured: two components + a self-loop singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L), (7L, 7L))
+      .toDF("id_a", "id_b")
+    assert(asMap(Dedup.duplicateClustersFast(pairs)) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // random: 300 edges over 120 vertices from a fixed seed — exact
+    // equality with the independently-implemented min-label propagation
+    val rnd = new scala.util.Random(42)
+    val randomPairs = Seq.fill(300)(
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)).toDF("id_a", "id_b")
+    assert(asMap(Dedup.duplicateClustersFast(randomPairs)) ===
+      asMap(Dedup.duplicateClusters(randomPairs, maxIter = 200)))
+  }
+
+  test("alternating CC resolves a 200-deep chain in O(log n) rounds") {
+    import spark.implicits._
+    // a 201-vertex path: min-label propagation needs ~200 rounds; the
+    // alternating algorithm must converge within 12 (≈ 2·log2(200) —
+    // THE reason this implementation exists)
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.fastCC(chain, maxIter = 12)
+    val comps = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size === 201)
+    assert(comps.values.forall(_ === 0L), "all 201 vertices collapse to 0")
+    assert(rounds <= 12, s"took $rounds rounds on a 200-deep chain")
+  }
+
   test("simhash maxHamming=0 finds exact-signature duplicates (64-bit mask edge)") {
     // regression: numChunks=1 → width 64 → (1L<<64)-1 == 0 under JVM
     // shift-mod-64 used to key EVERY doc to bucket 0
