@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-run materialization: the LAST stage of a data pipeline,
+  * where a curated corpus becomes the fixed-length example stream a
+  * trainer actually consumes — every doc tokenized, docs concatenated
+  * in corpus order, the stream cut into `windowLen`-token context
+  * windows, and (per epoch) windows dealt into pseudorandomly shuffled
+  * shard files.
+  *
+  * Scale design (100 TB): the naive formulation — explode every token
+  * with a global `row_number()` position, shuffle tokens into windows —
+  * moves one shuffle row PER TOKEN (tens of trillions). Here the
+  * token-level bookkeeping never leaves the scan: each doc's global
+  * start offset comes from [[Sharding.orderedShards]]'s bucketed
+  * two-pass cumsum (no single-task sort), and the only wide exchange
+  * moves per-(doc, window) FRAGMENTS — `slice`s of the doc's token
+  * array — so shuffle rows ≈ docs + windows, each bounded by
+  * `windowLen` tokens. Per-window reassembly state is ≤ `windowLen`
+  * tokens plus a fragment count.
+  */
+object Export {
+
+  /** Cut the corpus's concatenated token stream (docs in `orderCol`
+    * order) into consecutive `windowLen`-token windows. Returns
+    * (window_id, tokens, n_tokens, n_docs); every window except
+    * possibly the last has exactly `windowLen` tokens, and a window
+    * spanning a doc boundary carries the tail of one doc followed by
+    * the head of the next — the standard packed-context export
+    * (a trainer masks or resets attention at boundaries via n_docs /
+    * fragment structure; dropping the short final window is the
+    * caller's choice).
+    *
+    * `orderCol` must be unique (the doc id). Empty token arrays are
+    * skipped (they occupy zero stream positions).
+    */
+  def contextWindows(docs: DataFrame, orderCol: String, tokens: Column,
+      windowLen: Int, buckets: Int = 64): DataFrame = {
+    require(windowLen >= 1, s"windowLen=$windowLen")
+    val L = windowLen.toLong
+    val toks = docs.select(col(orderCol), tokens.as("_toks"))
+      .withColumn("_n", size(col("_toks")).cast("long"))
+      .filter(col("_n") > 0)
+    // shard = first window this doc touches, shard_offset = position
+    // within it: orderedShards(budget = windowLen) IS the window
+    // arithmetic (start = shard·L + offset), reusing the bucketed
+    // cumsum instead of a second global-order implementation
+    val placed = Sharding.orderedShards(toks, orderCol, col("_n"),
+        budget = L, buckets = buckets)
+      .withColumn("_start", col("shard") * L + col("shard_offset"))
+      .withColumn("_wlast", expr(s"(_start + _n - 1) div ${L}L"))
+    val frags = placed
+      .select(col("_start"), col("_toks"),
+        explode(sequence(col("shard"), col("_wlast"))).as("window_id"))
+      .withColumn("_from", greatest(col("window_id") * L - col("_start"), lit(0L)))
+      .withColumn("_to",
+        least((col("window_id") + 1) * L, col("_start") + size(col("_toks"))) - col("_start"))
+      .select(col("window_id"), col("_start"),
+        slice(col("_toks"), (col("_from") + 1).cast("int"),
+          (col("_to") - col("_from")).cast("int")).as("_frag"))
+    frags.groupBy("window_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_list(struct(col("_start").as("s"),
+          col("_frag").as("f")))).as("_fr"))
+      .select(col("window_id"),
+        flatten(expr("transform(_fr, x -> x.f)")).as("tokens"),
+        col("n_docs"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+      .select(col("window_id"), col("tokens"), col("n_tokens"), col("n_docs"))
+  }
+
+  /** Deterministic per-epoch shuffle: every row gets a `shard` in
+    * [0, nShards) and a dense 0-based `pos` within its shard, both pure
+    * functions of (`epoch`, key) via the cross-engine md5 unit
+    * ([[Sampling.md5Unit]]'s convention) — a new epoch is a new
+    * pseudorandom deal with ZERO new corpus state, any engine can
+    * recompute which shard/slot a row landed in, and a resumed run
+    * re-derives the identical order. The only wide ops are the shard
+    * hash-partition and a per-shard window (corpus/nShards rows each —
+    * at 100 TB pick nShards in the 10⁴–10⁵ range so a shard is one
+    * loader file). */
+  def epochShards(df: DataFrame, keyCol: String, epoch: Int,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards=$nShards")
+    val h = md5(concat(lit(s"$epoch:"), col(keyCol).cast("string"))
+      .cast("binary"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_h"), col(keyCol))
+    df.withColumn("_h", h)
+      .withColumn("shard",
+        pmod(conv(substring(col("_h"), 1, 6), 16, 10).cast("long"),
+          lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .drop("_h")
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.TestSpark.{sfDir, spark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExportSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("contextWindows: hand-computed boundary split across docs") {
+    // stream: a b c | d e | f g h i  → L=4 windows:
+    //   w0 = a b c d (2 docs), w1 = e f g h (2 docs), w2 = i (1 doc)
+    val d = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("d", "e")),
+      (3L, Seq("f", "g", "h", "i"))).toDF("doc_id", "tk")
+    val got = Export.contextWindows(d, "doc_id", col("tk"), windowLen = 4)
+      .orderBy("window_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1),
+        r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (0L, Seq("a", "b", "c", "d"), 4L, 2L),
+      (1L, Seq("e", "f", "g", "h"), 4L, 2L),
+      (2L, Seq("i"), 1L, 1L)))
+  }
+
+  test("contextWindows: empty docs occupy no positions; exact doc-boundary window") {
+    val d = Seq(
+      (1L, Seq("a", "b")),
+      (2L, Seq.empty[String]),
+      (3L, Seq("c", "d"))).toDF("doc_id", "tk")
+    val got = Export.contextWindows(d, "doc_id", col("tk"), windowLen = 2)
+      .orderBy("window_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (0L, Seq("a", "b"), 1L), (1L, Seq("c", "d"), 1L)))
+  }
+
+  test("contextWindows reconstruct the corpus stream on real data") {
+    val sub = docs.filter(col("doc_id") < 100)
+    val windows = Export.contextWindows(sub, "doc_id",
+        split(col("text"), "\\s+"), windowLen = 128)
+      .orderBy("window_id").collect()
+    // every window but the last is exactly full
+    val sizes = windows.map(_.getLong(2))
+    assert(sizes.init.forall(_ === 128L))
+    assert(sizes.last >= 1L && sizes.last <= 128L)
+    // flattening the windows in order replays the concatenated corpus
+    val replayed = windows.flatMap(_.getSeq[String](1)).toSeq
+    val expected = sub.orderBy("doc_id").select("text").collect()
+      .flatMap(r => r.getString(0).split("\\s+", -1)).toSeq
+    assert(replayed === expected)
+    // window ids are dense from 0
+    assert(windows.map(_.getLong(0)).toSeq ===
+      (0L until windows.length.toLong))
+  }
+
+  test("contextWindows plans no single-partition exchange and no token shuffle") {
+    val plan = Export.contextWindows(docs, "doc_id",
+        split(col("text"), "\\s+"), windowLen = 128)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      "global windowing must not funnel the corpus into one task")
+  }
+
+  test("epochShards: deterministic, dense per shard, epoch-sensitive") {
+    val e3a = Export.epochShards(docs, "doc_id", epoch = 3, nShards = 8)
+      .select("doc_id", "shard", "pos")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val e3b = Export.epochShards(docs.repartition(17), "doc_id",
+        epoch = 3, nShards = 8)
+      .select("doc_id", "shard", "pos")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(e3a === e3b, "epoch deal is a pure function of (epoch, key)")
+    // dense 0..n_s-1 positions within every shard
+    e3a.values.groupBy(_._1).foreach { case (s, rows) =>
+      assert(rows.map(_._2).toSeq.sorted === (0L until rows.size.toLong),
+        s"shard $s positions not dense")
+    }
+    // all shards populated, roughly balanced (md5 is uniform)
+    val bySize = e3a.values.groupBy(_._1).view.mapValues(_.size)
+    assert(bySize.size === 8)
+    val n = docs.count().toDouble
+    bySize.foreach { case (s, c) =>
+      assert(c > n / 8 * 0.5 && c < n / 8 * 1.5, s"shard $s size $c") }
+    // a different epoch is a genuinely different deal
+    val e4 = Export.epochShards(docs, "doc_id", epoch = 4, nShards = 8)
+      .select("doc_id", "shard", "pos")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(e3a !== e4, "epochs must permute differently")
+  }
+}
