@@ -107,4 +107,34 @@ object Html {
       lit(1))
     transform(raw, u => regexp_replace(u, "&amp;", "&"))
   }
+
+  /** One regex, two capture groups: href and the element's inner text —
+    * the SAME match sequence backs both `regexp_extract_all` calls in
+    * [[anchors]], so the positional zip is exact. Unlike [[links]] this
+    * requires the closing `</a>` (no inner text without one). */
+  private val anchorPattern =
+    "(?is)<a\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"'#][^\"']*)[\"'][^>]*>(.*?)</a\\s*>"
+
+  /** (url, text) of every closed `<a href>…</a>` element, in document
+    * order — anchor text is the web's free labeling signal: what OTHER
+    * pages call a target is a classic relevance/quality feature
+    * (aggregated per target host it approximates a human-written
+    * description of the site). URL handling matches [[links]]
+    * (both quote styles, `&amp;` decode, fragment links dropped);
+    * anchor TEXT goes through the [[extractText]] contract steps 3–5
+    * (inner tags → spaces, common entities with `&amp;` last,
+    * whitespace collapse + trim). Returns `array<struct<url, text>>`;
+    * still a narrow scan-fused expression chain. */
+  def anchors(html: Column): Column = {
+    val urls = transform(
+      regexp_extract_all(html, lit(anchorPattern), lit(1)),
+      u => regexp_replace(u, "&amp;", "&"))
+    val texts = transform(
+      regexp_extract_all(html, lit(anchorPattern), lit(2)),
+      tx => trim(regexp_replace(
+        regexp_replace(foldEntities(regexp_replace(tx, "<[^>]*>", " ")),
+          "&amp;", "&"),
+        "\\s+", " ")))
+    zip_with(urls, texts, (u, tx) => struct(u.as("url"), tx.as("text")))
+  }
 }

@@ -87,6 +87,35 @@ class HtmlSpec extends AnyFunSuite {
     assert(got === "a & b\nc.")
   }
 
+  test("anchors: (url, text) pairs with cleaned inner text, in document order") {
+    val html =
+      """<a href="https://x.com/a?p=1&amp;q=2">Visit  <b>X</b> now</a>
+        |<a href='/rel'>R&amp;D &lt;lab&gt;</a>
+        |<a href="#frag">skipped</a>
+        |<a href="https://y.org/b">unterminated""".stripMargin
+    val got = Seq(html).toDF("h")
+      .select(explode(Html.anchors(col("h"))).as("a"))
+      .select("a.url", "a.text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // fragment link excluded by the regex; unterminated <a> has no
+    // inner text to capture and is excluded by contract
+    assert(got.toSeq === Seq(
+      ("https://x.com/a?p=1&q=2", "Visit X now"),
+      ("/rel", "R&D <lab>")))
+  }
+
+  test("anchors zip is positionally exact when earlier anchors are skipped") {
+    // the fragment link sits BETWEEN two captured anchors: both arrays
+    // must skip it in the same positions
+    val html = "<a href='#t'>no</a><a href='u1'>t1</a>" +
+      "<a href='#z'>no</a><a href='u2'>t2</a>"
+    val got = Seq(html).toDF("h")
+      .select(explode(Html.anchors(col("h"))).as("a"))
+      .select("a.url", "a.text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq === Seq(("u1", "t1"), ("u2", "t2")))
+  }
+
   test("text ratio: markup-heavy pages score low, plain text scores 1") {
     val rows = Seq(
       "plain text",
