@@ -103,6 +103,113 @@ object Graph {
     ranks
   }
 
+  /** Truncated harmonic centrality via HyperBall (Boldi & Vigna,
+    * "In-Core Computation of Geometric Centralities with HyperBall",
+    * 2013) — the OTHER authority signal CommonCrawl publishes beside
+    * PageRank, and the published way to compute it at web scale:
+    * H(v) = Σ_{u≠v, d(u→v) ≤ maxT} 1/d(u→v), with each node's
+    * "who-reaches-me" ball tracked as an HLL SKETCH instead of a set.
+    *
+    * Exact harmonic centrality needs all-pairs BFS — Θ(V·E), dead at
+    * 10⁸ hosts. HyperBall replaces every ball with a fixed-size HLL
+    * counter and uses the recurrence
+    * `B_t(v) = {v} ∪ ⋃_{(u,v)∈E} B_{t-1}(u)` (a u→v edge extends any
+    * path reaching u by one hop), which is exactly one sketch-union
+    * aggregation keyed on `dst` per round — the [[pageRank]] iteration
+    * shape with sketches in place of doubles. The harmonic sum
+    * accumulates `(|B_t| − |B_{t-1}|)/t` per round from the sketch
+    * estimates (clamped monotone: a union can never shrink, so estimate
+    * wobble is floored at 0).
+    *
+    * Scale: per round one |E| join + one |V|-keyed union aggregate +
+    * one |V| carry join; state = one ≤(1.5·2^lgK)-byte sketch per node
+    * (lgK=12 → ~2.5 KB; 10⁸ hosts → ~250 GB round state, HyperBall's
+    * stated cost — tune lgK down for bigger graphs). Rounds stop early
+    * when no ball grows (one-row agg check); lineage truncates every
+    * round ([[graft.ops.Dedup.duplicateClustersFast]]'s discipline —
+    * the round plan re-references the state frame).
+    *
+    * Estimates are DataSketches-HLL deterministic: same input set →
+    * same registers → same estimate, on any partitioning (union is
+    * register-max, fully order-insensitive) — so results are
+    * reproducible and certificate-oracle-able. Error is the HLL bound
+    * (~1.04/√2^lgK ≈ 1.6% at lgK=12); below sketch capacity the
+    * estimates are near-exact.
+    *
+    * Returns (node, reachable_est, harmonic): truncated-at-maxT
+    * reachable-set size estimate and harmonic centrality. */
+  def harmonicCentrality(edges: DataFrame, maxT: Int = 10,
+      srcCol: String = "src", dstCol: String = "dst",
+      lgK: Int = 12): DataFrame = {
+    require(maxT >= 1, s"maxT=$maxT")
+    val e = edges.select(col(srcCol).as("w"), col(dstCol).as("node"))
+      .filter(col("w") =!= col("node")).distinct().cache()
+    val nodes = e.select(col("w").as("node"))
+      .union(e.select(col("node"))).distinct()
+    var state = nodes.groupBy("node")
+      .agg(hll_sketch_agg(col("node").cast("string"), lit(lgK)).as("sk"))
+      .withColumn("ball", lit(1.0))
+      .withColumn("harmonic", lit(0.0))
+      .localCheckpoint()
+    var t = 1
+    var grown = true
+    while (grown && t <= maxT) {
+      // in-neighbor balls flow along u→v edges; own sketch unions in
+      // via the plain union branch (no self-edges needed)
+      val nbr = e.join(state.select(col("node").as("w"), col("sk")), "w")
+        .select(col("node"), col("sk"))
+      val unioned = state.select(col("node"), col("sk")).union(nbr)
+        .groupBy("node")
+        .agg(hll_union_agg(col("sk")).as("sk")) // all sketches share lgK
+      val next = unioned
+        .join(state.select(col("node"), col("ball"), col("harmonic")), "node")
+        .withColumn("_est",
+          greatest(hll_sketch_estimate(col("sk")), col("ball")))
+        .withColumn("harmonic",
+          col("harmonic") + (col("_est") - col("ball")) / lit(t.toDouble))
+        .select(col("node"), col("sk"), col("_est").as("ball"),
+          col("harmonic"))
+        .localCheckpoint()
+      val growth = next.join(
+          state.select(col("node"), col("ball").as("_pb")), "node")
+        .agg(coalesce(sum(col("ball") - col("_pb")), lit(0.0))).head().getDouble(0)
+      state.unpersist()
+      state = next
+      grown = growth > 0.0
+      t += 1
+    }
+    state.select(col("node"), col("ball").as("reachable_est"),
+      col("harmonic"))
+  }
+
+  /** EXACT truncated pairwise distances: (s, v, d) with
+    * d = min-hops(s→v) ≤ maxT — the brute twin of
+    * [[harmonicCentrality]], Θ(V²) state, for host-level graphs,
+    * certificates and specs (the HyperBall sketches are the 10⁸-node
+    * path). Iterative min-distance relaxation, one join + one min-agg
+    * per round, lineage truncated on the [[Dedup.duplicateClusters]]
+    * cadence. */
+  def truncatedDistances(edges: DataFrame, maxT: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("_es"), col(dstCol).as("_ed"))
+      .filter(col("_es") =!= col("_ed")).distinct().cache()
+    val nodes = e.select(col("_es").as("node"))
+      .union(e.select(col("_ed"))).distinct()
+    var dist = nodes.select(col("node").as("s"), col("node").as("v"),
+      lit(0).as("d")).localCheckpoint()
+    for (_ <- 1 to maxT) {
+      val ext = dist.join(e, dist("v") === e("_es"))
+        .select(col("s"), col("_ed").as("v"), (col("d") + 1).as("d"))
+      // eager checkpoint per round: the plan references dist twice and
+      // there is no other per-round action to amortize materialization
+      val next = dist.union(ext).groupBy("s", "v")
+        .agg(min(col("d")).as("d")).localCheckpoint()
+      dist.unpersist()
+      dist = next
+    }
+    dist
+  }
+
   /** In-degree / out-degree / weighted variants in one pass — the cheap
     * graph profile a crawl audit starts from (a host with enormous
     * in-degree and no out-links is a link sink; the reverse is a link

@@ -81,6 +81,60 @@ class GraphSpec extends AnyFunSuite {
     base.foreach { case (n, r) => assert(math.abs(r - re(n)) < 1e-12, n) }
   }
 
+  test("truncatedDistances: exact bounded-hop shortest paths") {
+    // a→b→c→d plus shortcut a→c
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"))
+      .toDF("src", "dst")
+    val got = Graph.truncatedDistances(edges, maxT = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    assert(got(("a", "c")) === 1, "shortcut beats the 2-hop path")
+    assert(got(("a", "d")) === 2)
+    assert(got(("b", "d")) === 2)
+    assert(got(("a", "a")) === 0)
+    assert(!got.contains(("d", "a")), "no reverse path")
+    // truncation: maxT=1 sees direct edges only
+    val t1 = Graph.truncatedDistances(edges, maxT = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    assert(!t1.contains(("a", "d")))
+    assert(t1(("a", "c")) === 1)
+  }
+
+  test("harmonicCentrality: HyperBall estimates match exact on a hand graph") {
+    // path a→b→c: H(c) = 1/d(b→c) + 1/d(a→c) = 1 + 0.5; H(b) = 1; H(a) = 0
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val got = Graph.harmonicCentrality(edges, maxT = 10)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(math.abs(got("a")._2 - 0.0) < 0.01)
+    assert(math.abs(got("b")._2 - 1.0) < 0.01)
+    assert(math.abs(got("c")._2 - 1.5) < 0.01)
+    assert(math.abs(got("c")._1 - 3.0) < 0.05, "c's ball = {a,b,c}")
+    // 4-cycle: symmetric — every node sees the same centrality
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    val hc = Graph.harmonicCentrality(cyc, maxT = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(2))
+    val expect = 1.0 + 0.5 + 1.0 / 3 // three predecessors at d = 1, 2, 3
+    hc.foreach { case (n, h) =>
+      assert(math.abs(h - expect) < 0.02, s"$n: $h") }
+  }
+
+  test("harmonicCentrality agrees with truncatedDistances on the real host graph") {
+    val docs = spark.read.parquet(s"${graft.TestSpark.sfDir}/documents.parquet")
+    val edges = docs.selectExpr("cast(doc_id % 23 as string) as src",
+        "cast((doc_id * 7 + 3) % 23 as string) as dst")
+      .filter(col("src") =!= col("dst")).distinct()
+    val est = Graph.harmonicCentrality(edges, maxT = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val exact = Graph.truncatedDistances(edges, maxT = 8)
+      .filter(col("d") >= 1)
+      .groupBy(col("v")).agg(sum(lit(1.0) / col("d")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (n, h) =>
+      assert(math.abs(est(n) - h) <= math.max(0.05 * h, 0.05),
+        s"$n: est ${est(n)} vs exact $h") }
+  }
+
   test("degrees: one-pass in/out profile with weights") {
     val edges = Seq(
       ("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 4.0))
