@@ -436,6 +436,42 @@ object PipelineQueries {
       Dedup.duplicateClusters(pairs).orderBy(col("id"))
     },
 
+    // The same exact-pair clustering through the O(log n)-round
+    // alternating large-star/small-star algorithm (the 100 TB path for
+    // deep dup graphs — chained near-dups of an evolving page give the
+    // min-label propagation O(chain) rounds; this one contracts the
+    // chain in O(log n)). Identical recursive-CTE oracle: BOTH
+    // implementations must land on the exact transitive closure, so the
+    // two queries together pin impl-equivalence through an independent
+    // engine.
+    q("q_dedup_clusters_fast",
+      """WITH RECURSIVE
+        |toks AS (
+        |  SELECT doc_id AS id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS shingle
+        |  FROM documents WHERE doc_id < 150),
+        |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+        |common AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+        |  FROM toks a JOIN toks b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY a.id, b.id),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM common JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+        |  WHERE CAST(cnt AS DOUBLE)/(sa.sz + sb.sz - cnt) >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+        |SELECT id, min(r) AS component FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.jaccardPairs(
+          t(s, dir, "documents").filter(col("doc_id") < 150), n = 1, threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      Dedup.duplicateClustersFast(pairs).orderBy(col("id"))
+    },
+
     // Embedding-cosine near-dup pairs (brute force at test SF; LSH path
     // covered by q_ann_lsh)
     q("q_emb_neardup",
@@ -927,7 +963,9 @@ object PipelineQueries {
         |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
       val raw = t(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("value"),
-          expr("ts div 1000000").as("epoch_ms")) // integral div: no fp rounding
+          // µs-NTZ → epoch ms through the UTC session cast; unix_millis
+          // floors, matching the oracle's epoch_ns // 1e6
+          unix_millis(col("ts").cast("timestamp")).as("epoch_ms"))
       graft.streaming.EventStreams.sessionizeBatch(raw, gapMs = 1800000L)
         .withColumn("session_id", col("session_id").cast("long"))
         .select(col("user_id"), col("session_id"), col("n_events"),
@@ -1011,7 +1049,7 @@ object PipelineQueries {
         |ORDER BY c.event_id""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
-          expr("ts div 1000000").as("ms"))
+          unix_millis(col("ts").cast("timestamp")).as("ms"))
       val clicks = e.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ms"))
       // right side pre-aggregated to one row per (user, ts): as-of choice
@@ -1038,7 +1076,8 @@ object PipelineQueries {
         |FROM clicks c JOIN iv i ON c.ms >= i.lo AND c.ms < i.hi
         |ORDER BY c.event_id, i.lo""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "events")
-        .select(col("event_id"), col("event_type"), expr("ts div 1000000").as("ms"))
+        .select(col("event_id"), col("event_type"),
+          unix_millis(col("ts").cast("timestamp")).as("ms"))
       val intervals = e.filter(col("event_type") === "error")
         .groupBy(expr("ms div 3600000").as("hr"))
         .agg(min(col("ms")).as("lo"))
@@ -2131,6 +2170,55 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ------------------------------------------------ training export
+    // The final materialization stage: every doc's whitespace tokens,
+    // docs concatenated in doc_id order, the stream cut into 128-token
+    // context windows. The Spark side never shuffles tokens — only
+    // (doc, window) array fragments (see ops/Export.scala) — while the
+    // oracle recomputes the SAME windows the expensive way: one global
+    // token position via row_number, grouped by position div 128. Full
+    // token-array equality per window, so fragment slicing, ordering
+    // and reassembly are all hash-checked.
+    q("q_train_export",
+      """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS tk
+        |  FROM documents),
+        |pos AS (SELECT doc_id, unnest(tk) AS word,
+        |    unnest(generate_series(1, len(tk))) AS i FROM toks),
+        |g AS (SELECT doc_id, word,
+        |    row_number() OVER (ORDER BY doc_id, i) - 1 AS p FROM pos)
+        |SELECT p // 128 AS window_id,
+        |  list(word ORDER BY p) AS tokens,
+        |  count(*) AS n_tokens,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM g GROUP BY 1 ORDER BY window_id""".stripMargin) { (s, dir) =>
+      graft.ops.Export.contextWindows(t(s, dir, "documents"), "doc_id",
+          split(col("text"), "\\s+"), windowLen = 128)
+        .orderBy(col("window_id"))
+        .select(col("window_id"), col("tokens"), col("n_tokens"),
+          col("n_docs"))
+    },
+
+    // Deterministic per-epoch shuffle: shard and dense in-shard slot
+    // for every doc, pure functions of (epoch, doc_id) through the
+    // cross-engine md5 unit — DuckDB re-deals the identical epoch from
+    // scratch, proving a loader (or a resumed run) on ANY engine
+    // re-derives the exact order. Epoch 3, 8 shards.
+    q("q_epoch_shuffle",
+      """WITH h AS (SELECT doc_id,
+        |    md5('3:' || doc_id::VARCHAR) AS hx FROM documents),
+        |s AS (SELECT doc_id, hx,
+        |    CAST(CAST(concat('0x', substr(hx, 1, 6)) AS BIGINT) % 8
+        |      AS INTEGER) AS shard FROM h)
+        |SELECT doc_id, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) - 1
+        |    AS pos
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Export.epochShards(t(s, dir, "documents"), "doc_id",
+          epoch = 3, nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("doc_id"))
+    },
+
     // ------------------------------------------------ KLL quantile sketch
     // Mergeable percentiles (DataSketches KLL) — certificate oracle in
     // the HLL style: exact quantiles hash-match DuckDB, and the
@@ -2330,6 +2418,83 @@ object PipelineQueries {
         .agg(count(lit(1)).cast("double").as("weight"))
       Graph.pageRank(edges, iterations = 5)
         .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("node"))
+    },
+
+    // Harmonic centrality via HyperBall (Boldi & Vigna 2013) — the
+    // second authority signal CommonCrawl publishes. Certificate
+    // oracle in the theta/KLL style: the exact truncated values come
+    // from an independent all-pairs BFS on BOTH engines (DuckDB: a
+    // depth-bounded recursive CTE; Spark: Graph.truncatedDistances) and
+    // must hash-match; the HyperBall sketch estimates must land within
+    // the HLL bound of them (±3% / 1.5 absolute on reach, ±5% / 0.1 on
+    // harmonic — at the test graph's ~60 nodes the sketches are
+    // effectively exact, so the flags certify with wide margin).
+    q("q_harmonic",
+      """WITH RECURSIVE u AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.'
+        |         ELSE '' END ||
+        |    source || '-site.' ||
+        |    CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+        |         WHEN 2 THEN 'co.uk' ELSE 'org.au' END AS host
+        |  FROM documents),
+        |nn AS (SELECT count(*) AS nd FROM documents),
+        |raw AS (
+        |  SELECT a.host AS src, b.host AS dst FROM u a, nn, u b
+        |  WHERE b.doc_id = (a.doc_id*31+7) % nd
+        |  UNION ALL
+        |  SELECT a.host, b.host FROM u a, nn, u b
+        |  WHERE b.doc_id = (a.doc_id*17+3) % nd),
+        |edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        |nodes AS (SELECT src AS node FROM edges
+        |          UNION SELECT dst FROM edges),
+        |bfs(s, v, d) AS (
+        |  SELECT node, node, 0 FROM nodes
+        |  UNION
+        |  SELECT b.s, e.dst, b.d + 1 FROM bfs b
+        |  JOIN edges e ON e.src = b.v WHERE b.d < 10),
+        |dist AS (SELECT s, v, min(d) AS d FROM bfs GROUP BY s, v),
+        |ex AS (SELECT v AS node,
+        |    CAST(1 + count(*) FILTER (WHERE d >= 1) AS BIGINT)
+        |      AS reach_exact,
+        |    round(coalesce(sum(1.0::DOUBLE / d) FILTER (WHERE d >= 1),
+        |      0), 6) AS h_exact
+        |  FROM dist GROUP BY v)
+        |SELECT node, reach_exact, h_exact,
+        |  TRUE AS ok_reach, TRUE AS ok_h
+        |FROM ex ORDER BY node""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val host = concat(
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("www."))
+          .when(pmod(col("doc_id"), lit(3)) === 1, lit("cdn."))
+          .otherwise(lit("")),
+        col("source"), lit("-site."),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("com"))
+          .when(pmod(col("doc_id"), lit(4)) === 1, lit("org"))
+          .when(pmod(col("doc_id"), lit(4)) === 2, lit("co.uk"))
+          .otherwise(lit("org.au")))
+      val u = docs.select(col("doc_id"), host.as("host"))
+      val nn = docs.agg(count(lit(1)).as("nd"))
+      val a = u.crossJoin(broadcast(nn))
+      def leg(mul: Int, add: Int) = a.as("a")
+        .join(u.as("b"), col("b.doc_id") ===
+          pmod(col("a.doc_id") * mul + add, col("nd")))
+        .select(col("a.host").as("src"), col("b.host").as("dst"))
+      val edges = leg(31, 7).unionAll(leg(17, 3))
+        .filter(col("src") =!= col("dst")).distinct()
+      val est = Graph.harmonicCentrality(edges, maxT = 10)
+      val ex = Graph.truncatedDistances(edges, maxT = 10)
+        .groupBy(col("v").as("node"))
+        .agg((count(when(col("d") >= 1, lit(1))) + lit(1)).cast("long")
+          .as("reach_exact"),
+          round(coalesce(sum(when(col("d") >= 1, lit(1.0) / col("d"))),
+            lit(0.0)), 6).as("h_exact"))
+      ex.join(est, "node")
+        .select(col("node"), col("reach_exact"), col("h_exact"),
+          (abs(col("reachable_est") - col("reach_exact")) <=
+            greatest(col("reach_exact") * 0.03, lit(1.5))).as("ok_reach"),
+          (abs(col("harmonic") - col("h_exact")) <=
+            greatest(col("h_exact") * 0.05, lit(0.1))).as("ok_h"))
         .orderBy(col("node"))
     },
 
@@ -2643,6 +2808,98 @@ object PipelineQueries {
         .groupBy(col("src"), col("dst"))
         .agg(count(lit(1)).cast("double").as("weight"))
       graft.ops.Graph.degrees(edges).orderBy(col("node"))
+    },
+
+    // Anchor-text aggregation — what OTHER pages call a target host is
+    // the web's free human-written label for it (a classic relevance /
+    // curation feature beside PageRank). Pages are synthesized with
+    // anchor texts that exercise the whole cleaning contract: nested
+    // inline tags, double-escaped entities, a fragment link (dropped by
+    // the regex) and a relative link (dropped at the host rollup). The
+    // oracle re-derives the two-group extraction with DuckDB's regex
+    // engine (parallel unnests zip positionally — same match sequence,
+    // same zip) and recomputes the per-(host, anchor) rollup.
+    q("q_anchor_text",
+      """WITH u AS (SELECT doc_id, source,
+        |    CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.'
+        |         ELSE '' END ||
+        |    source || '-site.' ||
+        |    CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+        |         WHEN 2 THEN 'co.uk' ELSE 'org.au' END AS host
+        |  FROM documents),
+        |nn AS (SELECT count(*) AS nd FROM documents),
+        |pg AS (SELECT a.doc_id, a.source,
+        |    '<html><body>' ||
+        |    '<a href="https://' || b1.host || '/d/' || b1.doc_id ||
+        |    '">Visit  <b>' || a.source || '</b> now</a>' ||
+        |    '<a href=''https://' || b2.host || '/p/' || b2.doc_id ||
+        |    '''>R&amp;D &lt;lab&gt;</a>' ||
+        |    '<a href="#top">skip</a>' ||
+        |    '<a href="/rel/path">rel</a>' ||
+        |    '</body></html>' AS html
+        |  FROM u a, nn, u b1, u b2
+        |  WHERE b1.doc_id = (a.doc_id*13+1) % nd
+        |    AND b2.doc_id = (a.doc_id*7+3) % nd),
+        |an AS (SELECT doc_id,
+        |    unnest(list_transform(regexp_extract_all(html,
+        |      '(?is)<a\b[^>]*?\bhref\s*=\s*["'']([^"''#][^"'']*)["''][^>]*>(.*?)</a\s*>',
+        |      1), x -> regexp_replace(x, '&amp;', '&', 'g'))) AS url,
+        |    unnest(list_transform(regexp_extract_all(html,
+        |      '(?is)<a\b[^>]*?\bhref\s*=\s*["'']([^"''#][^"'']*)["''][^>]*>(.*?)</a\s*>',
+        |      2), x -> trim(regexp_replace(regexp_replace(
+        |        replace(replace(replace(replace(replace(
+        |          regexp_replace(x, '<[^>]*>', ' ', 'g'),
+        |          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |          '&#39;', ''''), '&nbsp;', ' '),
+        |        '&amp;', '&', 'g'), '\s+', ' ', 'g'))))
+        |      AS atext
+        |  FROM pg),
+        |cleaned AS (SELECT
+        |    lower(regexp_extract(url, '://([^/]+)', 1)) AS dst,
+        |    atext AS anchor
+        |  FROM an
+        |  WHERE regexp_extract(url, '://([^/]+)', 1) <> '')
+        |SELECT dst, anchor, count(*) AS cnt
+        |FROM cleaned GROUP BY 1, 2
+        |ORDER BY dst, anchor""".stripMargin) { (s, dir) =>
+      import graft.ops.{Domains, Html}
+      val docs = t(s, dir, "documents")
+      val host = concat(
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("www."))
+          .when(pmod(col("doc_id"), lit(3)) === 1, lit("cdn."))
+          .otherwise(lit("")),
+        col("source"), lit("-site."),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("com"))
+          .when(pmod(col("doc_id"), lit(4)) === 1, lit("org"))
+          .when(pmod(col("doc_id"), lit(4)) === 2, lit("co.uk"))
+          .otherwise(lit("org.au")))
+      val u = docs.select(col("doc_id"), col("source"), host.as("host"))
+      val nn = docs.agg(count(lit(1)).as("nd"))
+      val a = u.crossJoin(broadcast(nn))
+      val pages = a.as("a")
+        .join(u.as("b1"), col("b1.doc_id") ===
+          pmod(col("a.doc_id") * 13 + 1, col("nd")))
+        .join(u.as("b2"), col("b2.doc_id") ===
+          pmod(col("a.doc_id") * 7 + 3, col("nd")))
+        .select(col("a.doc_id").as("doc_id"),
+          concat(lit("<html><body><a href=\"https://"),
+            col("b1.host"), lit("/d/"), col("b1.doc_id").cast("string"),
+            lit("\">Visit  <b>"), col("a.source"),
+            lit("</b> now</a>"),
+            lit("<a href='https://"), col("b2.host"), lit("/p/"),
+            col("b2.doc_id").cast("string"),
+            lit("'>R&amp;D &lt;lab&gt;</a>"),
+            lit("<a href=\"#top\">skip</a>"),
+            lit("<a href=\"/rel/path\">rel</a></body></html>"))
+            .as("html"))
+      pages
+        .select(explode(Html.anchors(col("html"))).as("an"))
+        .select(Domains.hostOf(col("an.url")).as("dst"),
+          col("an.text").as("anchor"))
+        .filter(col("dst").isNotNull && length(col("dst")) > 0)
+        .groupBy(col("dst"), col("anchor"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("dst"), col("anchor"))
     },
 
     // ------------------------------------------------ unicode normalization

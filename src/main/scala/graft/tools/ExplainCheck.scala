@@ -77,6 +77,17 @@ object ExplainCheck {
       "cast(doc_id % 7 as string) as dst", "cast(1.0 as double) as weight")
     println(graft.ops.Graph.pageRank(edges, iterations = 1)
       .queryExecution.explainString(fmt))
+    println("########## op:Export.contextWindows (fragment shuffle, no token explode)")
+    println(graft.ops.Export.contextWindows(docs, "doc_id",
+        org.apache.spark.sql.functions.split(col("text"), "\\s+"), 128)
+      .queryExecution.explainString(fmt))
+    println("########## op:Export.epochShards (md5 deal + per-shard window)")
+    println(graft.ops.Export.epochShards(docs, "doc_id", 3, 8)
+      .queryExecution.explainString(fmt))
+    println("########## op:Html.anchors (scan-fused two-group extraction)")
+    println(docs.select(org.apache.spark.sql.functions.explode(
+        graft.ops.Html.anchors(col("text"))).as("a"))
+      .queryExecution.explainString(fmt))
     spark.stop()
   }
 }

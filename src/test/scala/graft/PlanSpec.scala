@@ -269,6 +269,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("training export: fragment shuffle, no single-partition funnel") {
+    for (q <- Seq("q_train_export", "q_epoch_shuffle")) {
+      val p = plan(q)
+      // contextWindows inherits the bucketed cumsum (no global window);
+      // epochShards windows per shard — neither may collapse to one task
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q must not funnel the corpus through one task:\n$p")
+    }
+    // the window reassembly must group FRAGMENT structs, not exploded
+    // tokens: the explode in the plan is over the window-id sequence
+    // (drops _toks to a slice per window), so no Generate node may feed
+    // an Exchange with the raw token array still un-sliced
+    val p = plan("q_train_export")
+    assert(p.contains("Generate explode"),
+      s"window fan-out must be an explode over window ids:\n$p")
+  }
+
   test("Kmeans.assign: plan-literal quantizer, zero Exchange") {
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val m = graft.ops.Kmeans.Model(
