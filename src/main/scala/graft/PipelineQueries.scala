@@ -347,6 +347,43 @@ object PipelineQueries {
         .orderBy(col("inc_id"), col("corp_id"))
     },
 
+    // The PERSISTED twin of the incremental probe: the even-doc corpus
+    // is indexed once (MinhashIndex.build → snapshot tables of
+    // signatures + band buckets), then the odd-doc batch probes the
+    // STORED index — corpus text is never re-read. Candidate
+    // verification is the lane-agreement MinHash estimate; the oracle
+    // is the exact trigram-Jaccard cross-pair set, so the entry proves
+    // est-verified banded probing lands on the exact pair set at both
+    // SFs (every true cross pair has J ≥ 0.9, far from the 0.5
+    // threshold; banding recall 1.0 as in q_dedup_minhash).
+    q("q_minhash_index_probe",
+      """WITH toks AS (SELECT doc_id AS id, string_split_regex(text, '\s+') AS tk
+        |  FROM documents),
+        |tri AS (SELECT DISTINCT id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+        |  FROM (SELECT id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks)),
+        |sizes AS (SELECT id, count(*) AS sz FROM tri GROUP BY id),
+        |common AS (SELECT a.id AS inc_id, b.id AS corp_id, count(*) AS cnt
+        |  FROM tri a JOIN tri b ON a.shingle = b.shingle
+        |  WHERE a.id % 2 = 1 AND b.id % 2 = 0
+        |  GROUP BY a.id, b.id)
+        |SELECT inc_id, corp_id
+        |FROM common JOIN sizes sa ON inc_id = sa.id JOIN sizes sb ON corp_id = sb.id
+        |WHERE CAST(cnt AS DOUBLE)/(sa.sz + sb.sz - cnt) >= 0.5
+        |ORDER BY inc_id, corp_id""".stripMargin) { (s, dir) =>
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_mh_idx_${math.abs(dir.hashCode)}").toString
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true): Unit
+      val docs = t(s, dir, "documents")
+      graft.ops.MinhashIndex.build(s,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), tmp)
+      graft.ops.MinhashIndex.probe(s,
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1), tmp,
+          threshold = 0.5)
+        .select(col("inc_id"), col("corp_id"))
+        .orderBy(col("inc_id"), col("corp_id"))
+    },
+
     // SimHash near-dup via custom Catalyst expression + Hamming banding.
     // No cross-engine twin exists (the 64-bit FNV-based signature isn't
     // expressible in SQL), so the oracle is a bound-style certificate:

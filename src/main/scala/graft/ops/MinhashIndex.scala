@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent MinHash-LSH index — the near-dup lifecycle companion of
+  * [[IvfIndex]]: signatures and band buckets live as snapshot tables
+  * ([[Snapshots]]), so INCREMENTAL near-dup dedup probes the stored
+  * index instead of re-shingling the historical corpus.
+  *
+  * Why this exists: [[Dedup.minhashNearDupsAgainstCorpus]] recomputes
+  * corpus signatures on every batch — a full corpus text scan per
+  * ingest round, which at 100 TB dwarfs the batch itself. Here the
+  * corpus-sized work happens ONCE at [[build]] (and per-batch at
+  * [[append]] for the batch only); a probe touches k longs per corpus
+  * doc (the signature table) plus the band rows its buckets hit —
+  * never corpus text.
+  *
+  * Verification contract: the probe verifies candidates by the MinHash
+  * ESTIMATE — the fraction of agreeing signature lanes, the standard
+  * unbiased Jaccard estimator (σ = √(J(1−J)/k) ≈ 0.09 at k=32; raise k
+  * for tighter bands, the index stores whatever k it was built with).
+  * Exact verification needs shingle sets, i.e. the corpus text the
+  * index exists to avoid re-reading; callers that need the exact score
+  * re-join the emitted pairs against the corpus by id. Banding,
+  * signatures and the estimator are all deterministic (FNV-1a lanes),
+  * so any engine re-derives the identical pair set.
+  *
+  * Index layout under `dir/` (each an atomic, time-travelable snapshot
+  * table): `sigs` (id, sig: array<long> of k lanes), `bands`
+  * (band, bucket, id), `meta` (n, k, bands — one row; [[append]] and
+  * [[probe]] read it so an index can never be probed with mismatched
+  * parameters). Appends are delta commits: old files carry by
+  * reference, GC/rollback/time travel come free from the snapshot
+  * layer. */
+object MinhashIndex {
+
+  final case class Params(n: Int, k: Int, bands: Int)
+
+  /** Build the index from scratch (replace commit on all three
+    * tables). The one corpus-text pass. */
+  def build(spark: SparkSession, docs: DataFrame, dir: String,
+      n: Int = 3, k: Int = 32, bands: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    import spark.implicits._
+    val sigs = Dedup.minhashSignatureArray(
+      Dedup.shingleArrays(docs, n, idCol, textCol), k)
+    Snapshots.commit(spark, sigs, s"$dir/sigs"): Unit
+    Snapshots.commit(spark, Dedup.lshBands(sigs, k, bands),
+      s"$dir/bands"): Unit
+    Snapshots.commit(spark, Seq((n, k, bands)).toDF("n", "k", "bands"),
+      s"$dir/meta"): Unit
+  }
+
+  /** Stored build parameters. */
+  def params(spark: SparkSession, dir: String): Params = {
+    val r = Snapshots.read(spark, s"$dir/meta").head()
+    Params(r.getAs[Int]("n"), r.getAs[Int]("k"), r.getAs[Int]("bands"))
+  }
+
+  /** Index a new batch: signature + band work for the BATCH only,
+    * append-committed (historical files untouched). The batch should
+    * already be deduplicated against the index ([[probe]] + drop) if
+    * the corpus contract is unique texts. */
+  def append(spark: SparkSession, docs: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val p = params(spark, dir)
+    val sigs = Dedup.minhashSignatureArray(
+      Dedup.shingleArrays(docs, p.n, idCol, textCol), p.k)
+    Snapshots.commit(spark, sigs, s"$dir/sigs", append = true): Unit
+    Snapshots.commit(spark, Dedup.lshBands(sigs, p.k, p.bands),
+      s"$dir/bands", append = true): Unit
+  }
+
+  /** Near-dup pairs of `incoming` against the STORED corpus index:
+    * (inc_id, corp_id) where estimated Jaccard ≥ `threshold`. Shape
+    * mirrors [[Dedup.minhashNearDupsAgainstCorpus]] — both sides band
+    * narrow, one cross-side bucket equi-join, degenerate stored buckets
+    * (> maxBucket members, boilerplate shingles) anti-joined away — but
+    * the corpus side reads ONLY the index tables. Candidate
+    * verification is the lane-agreement estimate over the two signature
+    * arrays (see the module contract). */
+  def probe(spark: SparkSession, incoming: DataFrame, dir: String,
+      threshold: Double, idCol: String = "doc_id",
+      textCol: String = "text", maxBucket: Int = 4096): DataFrame = {
+    val p = params(spark, dir)
+    val incSigs = Dedup.minhashSignatureArray(
+        Dedup.shingleArrays(incoming, p.n, idCol, textCol), p.k)
+      .select(col("id").as("inc_id"), col("sig").as("sig_i"))
+    val incBands = Dedup.lshBands(
+        incSigs.select(col("inc_id").as("id"), col("sig_i").as("sig")),
+        p.k, p.bands)
+      .select(col("id").as("inc_id"), col("band"), col("bucket"))
+    val corpBands = Snapshots.read(spark, s"$dir/bands")
+      .select(col("id").as("corp_id"), col("band"), col("bucket"))
+    val corpSigs = Snapshots.read(spark, s"$dir/sigs")
+      .select(col("id").as("corp_id"), col("sig").as("sig_c"))
+    val bigKeys = corpBands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
+      .select(col("band"), col("bucket"))
+    val cands = incBands
+      .join(broadcast(bigKeys), Seq("band", "bucket"), "left_anti")
+      .join(corpBands, Seq("band", "bucket"))
+      .select(col("inc_id"), col("corp_id")).distinct()
+    cands.join(incSigs, "inc_id").join(corpSigs, "corp_id")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_i"), col("sig_c"),
+          (a, b) => when(a === b, 1.0).otherwise(0.0)),
+          lit(0.0), (acc, x) => acc + x) / lit(p.k.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("inc_id"), col("corp_id"),
+        round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.TestSpark.{sfDir, spark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MinhashIndexSpec extends AnyFunSuite {
+
+  private lazy val docs =
+    spark.read.parquet(s"$sfDir/documents.parquet").cache()
+  private def freshDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-mhidx-$tag")
+    d.toFile.delete()
+    d.toString
+  }
+  private def pairs(df: org.apache.spark.sql.DataFrame) =
+    df.select("inc_id", "corp_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("probe of the stored index equals the recompute-everything path") {
+    val dir = freshDir("eq")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    MinhashIndex.build(spark, corpus, dir)
+    val probed = pairs(MinhashIndex.probe(spark, batch, dir, threshold = 0.5))
+    val recomputed = pairs(Dedup.minhashNearDupsAgainstCorpus(
+      batch, corpus, n = 3, k = 32, bands = 16, threshold = 0.5))
+    // every true pair has J >= 0.9 (planted dups), so the estimate
+    // verify and the exact verify agree at threshold 0.5
+    assert(probed === recomputed)
+    assert(probed.nonEmpty, "planted cross-corpus dups must surface")
+    // determinism: a second probe is identical
+    assert(pairs(MinhashIndex.probe(spark, batch, dir, 0.5)) === probed)
+  }
+
+  test("append indexes only the new batch; probes see it; time travel does not") {
+    val dir = freshDir("append")
+    val half1 = docs.filter(col("doc_id") < 250)
+    val half2 = docs.filter(col("doc_id") >= 250)
+    MinhashIndex.build(spark, half1, dir)
+    val sigsBefore = Snapshots.latestId(spark, s"$dir/sigs").get
+    val nBefore = Snapshots.read(spark, s"$dir/sigs").count()
+    MinhashIndex.append(spark, half2, dir)
+    assert(Snapshots.read(spark, s"$dir/sigs").count() ===
+      docs.count(), "append grows the signature table by the batch")
+    // time travel: the pre-append snapshot still has only half1
+    assert(Snapshots.read(spark, s"$dir/sigs", asOf = Some(sigsBefore))
+      .count() === nBefore)
+    // a probe that duplicates a half2 doc must now hit it
+    val dup = docs.filter(col("doc_id") >= 250).limit(1)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    val hits = pairs(MinhashIndex.probe(spark, dup, dir, threshold = 0.9))
+    assert(hits.exists(_._2 >= 250),
+      s"appended doc must be probe-visible, got $hits")
+  }
+
+  test("params round-trip and estimate matches exact on identical docs") {
+    val dir = freshDir("params")
+    MinhashIndex.build(spark, docs.limit(50), dir, n = 2, k = 16, bands = 8)
+    assert(MinhashIndex.params(spark, dir) ===
+      MinhashIndex.Params(2, 16, 8))
+    // an exact copy of an indexed doc estimates J = 1.0
+    val copy = docs.limit(1).withColumn("doc_id", lit(999999L))
+    val est = MinhashIndex.probe(spark, copy, dir, threshold = 0.5)
+      .select("est_jaccard").collect().map(_.getDouble(0))
+    assert(est.contains(1.0), s"identical text must estimate 1.0: ${est.toSeq}")
+  }
+}
