@@ -505,6 +505,63 @@ object EventStreams {
       size(array_distinct(toks)).cast("double") / size(toks) >= minDistinctRatio)
   }
 
+  /** Streaming NEAR-dup probe of arriving docs against a persisted
+    * [[graft.ops.MinhashIndex]] — completes the streaming dedup family:
+    * [[dedupAgainstCorpusBloom]] catches exact repeats of the corpus,
+    * this catches near-repeats, both without ever re-reading corpus
+    * text on the hot path. Per micro-batch: signatures + band keys are
+    * narrow per-row work on the stream; candidates come from a
+    * stream-static equi-join on (band, bucket) against the STORED band
+    * table (degenerate stored buckets broadcast-anti-joined away, the
+    * batch probe's shape); verification is the lane-agreement estimate
+    * against the stored signature table. A pair matching in m bands is
+    * verified m times and collapsed by the watermark-bounded
+    * deduplicate (bounded by `bands`, stated trade for keeping the
+    * stateful op count at one). Emits (inc_id, corp_id, est_jaccard,
+    * event_time). */
+  def nearDupProbeStream(docs: DataFrame, indexDir: String,
+      threshold: Double, idCol: String = "doc_id",
+      textCol: String = "text", maxBucket: Int = 4096,
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.GraftFunctions
+    val spark = docs.sparkSession
+    val p = graft.ops.MinhashIndex.params(spark, indexDir)
+    val r = p.k / p.bands
+    val sig = docs.select(col(idCol).as("inc_id"), col("event_time"),
+      GraftFunctions.minhashSignature(
+        GraftFunctions.shingles(split(col(textCol), "\\s+"), p.n), p.k)
+        .as("sig_i"))
+    val bandCols = (0 until p.bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b), slice(col("sig_i"), b * r + 1, r)).as("bucket"))
+    }
+    val bands = sig
+      .select(col("inc_id"), col("event_time"), col("sig_i"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("inc_id"), col("event_time"), col("sig_i"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val corpBands = graft.ops.Snapshots.read(spark, s"$indexDir/bands")
+      .select(col("id").as("corp_id"), col("band"), col("bucket"))
+    val corpSigs = graft.ops.Snapshots.read(spark, s"$indexDir/sigs")
+      .select(col("id").as("corp_id"), col("sig").as("sig_c"))
+    val bigKeys = corpBands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
+      .select(col("band"), col("bucket"))
+    bands
+      .join(broadcast(bigKeys), Seq("band", "bucket"), "left_anti")
+      .join(corpBands, Seq("band", "bucket"))
+      .join(corpSigs, "corp_id")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_i"), col("sig_c"),
+          (a, b) => when(a === b, 1.0).otherwise(0.0)),
+          lit(0.0), (acc, x) => acc + x) / lit(p.k.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(Seq("inc_id", "corp_id"))
+      .select(col("inc_id"), col("corp_id"),
+        round(col("est_jaccard"), 4).as("est_jaccard"), col("event_time"))
+  }
+
   /** Batch-equivalent sessionization (same gap semantics) — the oracle
     * for the streaming path and a useful operator in its own right:
     * lag-based session boundaries, one window + one aggregate. */

@@ -185,6 +185,38 @@ class EventStreamsSpec extends AnyFunSuite {
       s"only ${streamed.size} of ${expected.size} docs emitted")
   }
 
+  test("streaming near-dup probe matches the batch index probe") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-snd").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.mode("overwrite").parquet(stageDir)
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-snd-idx")
+    idxDir.toFile.delete()
+    graft.ops.MinhashIndex.build(spark,
+      batchDocs.filter(pmod($"doc_id", lit(2)) === 0), idxDir.toString)
+    val incoming = spark.readStream
+      .schema(batchDocs.schema).parquet(stageDir)
+      .filter(pmod($"doc_id", lit(2)) === 1)
+      .withColumn("event_time", timestamp_seconds($"doc_id"))
+    val q = EventStreams.nearDupProbeStream(incoming, idxDir.toString,
+        threshold = 0.5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("snd")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("snd")
+      .select($"inc_id", $"corp_id", $"est_jaccard")
+      .collect().map(_.toSeq).toSet
+    val expected = graft.ops.MinhashIndex.probe(spark,
+        batchDocs.filter(pmod($"doc_id", lit(2)) === 1),
+        idxDir.toString, threshold = 0.5)
+      .select($"inc_id", $"corp_id", $"est_jaccard")
+      .collect().map(_.toSeq).toSet
+    assert(expected.nonEmpty, "planted cross-corpus near-dups must exist")
+    assert(streamed === expected,
+      "streaming probe must emit exactly the batch probe's pairs")
+  }
+
   test("bloom streaming corpus dedup matches the exact stream-static twin") {
     val stageDir = java.nio.file.Files.createTempDirectory("graft-sbd").toString
     spark.read.parquet(s"$sfDir/documents.parquet")
