@@ -1300,6 +1300,81 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // FUZZY decontamination — the near-dup complement of the exact
+    // n-gram rule (a paraphrased eval item shares few exact windows but
+    // scores high whole-doc Jaccard; published pipelines run both).
+    // Candidates via cross-corpus MinHash banding with exact-Jaccard
+    // verify; oracle recomputes the exact trigram-Jaccard cross set.
+    q("q_decontam_fuzzy",
+      """WITH toks AS (SELECT doc_id AS id, string_split_regex(text, '\s+') AS tk
+        |  FROM documents),
+        |tri AS (SELECT DISTINCT id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+        |  FROM (SELECT id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks)),
+        |sizes AS (SELECT id, count(*) AS sz FROM tri GROUP BY id),
+        |common AS (SELECT a.id AS inc_id, b.id AS bench_id, count(*) AS cnt
+        |  FROM tri a JOIN tri b ON a.shingle = b.shingle
+        |  WHERE a.id % 20 <> 0 AND b.id % 20 = 0
+        |  GROUP BY a.id, b.id),
+        |flagged AS (SELECT DISTINCT inc_id
+        |  FROM common JOIN sizes sa ON inc_id = sa.id
+        |              JOIN sizes sb ON bench_id = sb.id
+        |  WHERE CAST(cnt AS DOUBLE)/(sa.sz + sb.sz - cnt) >= 0.8)
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id % 20 <> 0
+        |  AND doc_id NOT IN (SELECT inc_id FROM flagged)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontam.decontaminateFuzzy(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          n = 3, k = 32, bands = 16, threshold = 0.8)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // SOFT dedup: keep each row w.p. 1/|cluster| by the cross-engine
+    // md5 unit — expected one survivor per duplicate cluster without
+    // the hard keep-one rule. Clusters via the O(log n) alternating CC
+    // (this is its composed-pipeline use); the oracle recomputes
+    // clusters by recursive closure, sizes them, and re-derives the
+    // md5 decision per row.
+    q("q_sample_dedup_weighted",
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id AS id, string_split_regex(text, '\s+') AS tk
+        |  FROM documents),
+        |tri AS (SELECT DISTINCT id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+        |  FROM (SELECT id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks)),
+        |sizes AS (SELECT id, count(*) AS sz FROM tri GROUP BY id),
+        |common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+        |  FROM tri a JOIN tri b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY a.id, b.id),
+        |pairs AS (SELECT id_a, id_b
+        |  FROM common JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+        |  WHERE CAST(cnt AS DOUBLE)/(sa.sz + sb.sz - cnt) >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |csz AS (SELECT component, count(*) AS sz FROM comp GROUP BY component),
+        |docsz AS (SELECT d.doc_id, coalesce(z.sz, 1) AS sz
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        |  LEFT JOIN csz z ON c.component = z.component)
+        |SELECT doc_id FROM docsz
+        |WHERE CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 6)) AS INTEGER)
+        |      / 16777216.0 < 1.0 / sz
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, n = 3, threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      graft.ops.Sampling.dedupWeightedSample(docs, pairs, "doc_id",
+          baseRate = 1.0)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // ------------------------------------------------ sequence packing
     // Concat-and-chunk packing into 512-token training sequences, 8
     // parallel shards; pack-level fill report.

@@ -50,4 +50,24 @@ object Decontam {
       .select(col(idCol))
     corpus.join(broadcast(flagged), Seq(idCol), "left_anti")
   }
+
+  /** FUZZY decontamination: drop corpus docs that are near-duplicates
+    * of any benchmark doc at n-gram Jaccard ≥ `threshold` — the
+    * published complement of the exact-overlap rule (a paraphrased or
+    * reformatted eval item shares few exact n-gram windows but scores
+    * high whole-document Jaccard; GPT-3/PaLM-style decontamination runs
+    * both). Candidates come from the cross-corpus MinHash banding
+    * ([[Dedup.minhashNearDupsAgainstCorpus]] with the corpus as the
+    * incoming side — both sides band narrow, one bucket equi-join,
+    * exact-Jaccard verify on candidates only), so the corpus is never
+    * all-pairs joined against the benchmark; flagged ids broadcast
+    * back as an anti-join. */
+  def decontaminateFuzzy(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 3, k: Int = 32, bands: Int = 16, threshold: Double = 0.8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val flagged = Dedup.minhashNearDupsAgainstCorpus(
+        corpus, benchmark, n, k, bands, threshold, idCol, textCol)
+      .select(col("inc_id").as(idCol)).distinct()
+    corpus.join(broadcast(flagged), Seq(idCol), "left_anti")
+  }
 }

@@ -313,4 +313,33 @@ object Sampling {
       .drop("_rep")
     splitLabelByMd5(withRep, "split_key", weights)
   }
+
+  /** SOFT dedup by cluster-weighted sampling: keep each row with
+    * probability `baseRate / |its duplicate cluster|` (singletons:
+    * `baseRate`), deterministically by the cross-engine md5 unit — so
+    * the expected number of survivors per cluster is `baseRate`
+    * regardless of how many copies the crawl collected, without the
+    * hard keep-exactly-one rule. This is the published middle ground
+    * ("Deduplicating Training Data…" discusses both): hard dedup can
+    * delete naturally-repeated high-quality text entirely; weighting by
+    * 1/cluster-size keeps the DISTRIBUTION right while still crushing
+    * the 10 000-copy boilerplate cluster to ~baseRate examples.
+    *
+    * Clusters come from [[Dedup.duplicateClustersFast]] (the O(log n)
+    * path — this operator runs over full-crawl pair sets); cluster
+    * sizes join back on the 8-byte key; rows outside any cluster never
+    * enter the propagation. Membership is auditable from the key alone
+    * (same contract as [[byKeyMd5]]). */
+  def dedupWeightedSample(df: DataFrame, pairs: DataFrame, keyCol: String,
+      baseRate: Double = 1.0): DataFrame = {
+    require(baseRate > 0 && baseRate <= 1.0, s"baseRate=$baseRate")
+    val comps = Dedup.duplicateClustersFast(pairs)
+    val sizes = comps.groupBy(col("component")).agg(count(lit(1)).as("_csz"))
+    val keyed = comps.join(sizes, "component")
+      .select(col("id").as(keyCol), col("_csz"))
+    df.join(keyed, Seq(keyCol), "left")
+      .withColumn("_csz", coalesce(col("_csz"), lit(1L)))
+      .filter(md5Unit(col(keyCol)) < lit(baseRate) / col("_csz"))
+      .drop("_csz")
+  }
 }

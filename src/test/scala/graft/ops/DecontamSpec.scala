@@ -48,4 +48,29 @@ class DecontamSpec extends AnyFunSuite {
     assert(Decontam.decontaminate(corpus, none, n = 3).count() ===
       corpus.count())
   }
+
+  test("fuzzy decontamination: ratio rule vs the exact absolute-overlap rule") {
+    import graft.TestSpark.spark.implicits._
+    // 60 distinct words → 58 distinct trigrams; a one-word edit changes
+    // 3 of them → J = 55/61 ≈ 0.90 (a 12-word doc would drop to 0.54 —
+    // whole-doc Jaccard needs length for a single edit to stay "near")
+    val benchDoc = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val b = Seq((100L, benchDoc)).toDF("doc_id", "text")
+    val nearCopy = benchDoc.replace("tok30", "other")
+    val longQuoter = ("alpha beta gamma delta " * 20) +
+      "tok10 tok11 tok12 tok13 tok14 tok15 " + ("epsilon zeta eta theta " * 20)
+    val unrelated = "completely different text about training data pipelines"
+    val c = Seq((1L, nearCopy), (2L, longQuoter), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val fuzzy = Decontam.decontaminateFuzzy(c, b, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the near-copy is caught by the ratio rule; the long doc quoting a
+    // 6-word span is NOT (tiny whole-doc Jaccard)...
+    assert(fuzzy === Set(2L, 3L))
+    // ...but IS caught by the exact absolute-overlap rule — the two
+    // rules are complements, which is why pipelines run both
+    val exact = Decontam.decontaminate(c, b, n = 3, minOverlap = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!exact.contains(2L), "absolute rule flags the quoted span")
+  }
 }

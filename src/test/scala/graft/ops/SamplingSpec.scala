@@ -316,4 +316,46 @@ class SamplingSpec extends AnyFunSuite {
     }
     assert(leaks > 0, "slice shows no leakage under plain split; weaken seed")
   }
+
+  test("dedupWeightedSample: md5 rule with 1/cluster-size rates, hand graph") {
+    import spark.implicits._
+    val d = (1L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "payload")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Sampling.dedupWeightedSample(d, pairs, "doc_id",
+        baseRate = 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // expected: md5Unit(id) < 1/size, size = 3 for {1,2,3}, 2 for {4,5}
+    val units = d.select(col("doc_id"),
+        Sampling.md5Unit(col("doc_id")).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val size = Map(1L -> 3.0, 2L -> 3.0, 3L -> 3.0, 4L -> 2.0, 5L -> 2.0,
+      6L -> 1.0)
+    val expected = units.filter { case (id, u) => u < 1.0 / size(id) }.keySet
+    assert(kept === expected)
+    assert(kept(6L), "singletons are always kept at baseRate 1.0")
+    // repartition-stable
+    val kept13 = Sampling.dedupWeightedSample(d.repartition(13), pairs,
+        "doc_id", baseRate = 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept13 === kept)
+  }
+
+  test("dedupWeightedSample keeps ~1 expected survivor per cluster on real data") {
+    val pairs = Dedup.jaccardPairs(docs, n = 3, threshold = 0.8)
+      .select("id_a", "id_b")
+    val clusters = Dedup.duplicateClustersFast(pairs)
+    val nClusters = clusters.select("component").distinct().count()
+    assert(nClusters > 0)
+    val clustered = clusters.select("id").collect().map(_.getLong(0)).toSet
+    val kept = Sampling.dedupWeightedSample(docs, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptClustered = kept.count(clustered)
+    // E[survivors per cluster] = 1; loose 3-sigma-ish band
+    assert(keptClustered <= 3 * nClusters,
+      s"$keptClustered survivors over $nClusters clusters")
+    // unclustered rows all survive at baseRate 1.0
+    val unclustered = docs.select("doc_id").collect().map(_.getLong(0))
+      .toSet -- clustered
+    assert(unclustered.subsetOf(kept))
+  }
 }
