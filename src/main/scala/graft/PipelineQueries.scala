@@ -1990,6 +1990,62 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Deterministic logistic regression (the GPT-3-style linear quality
+    // filter): 3 full-batch GD iterations over dense features, each ONE
+    // partial+final aggregate; weights round to 9 decimals per update
+    // (the cross-engine reproducibility contract — sum-order and libm
+    // drift is ~1 ulp, the quantization absorbs it), so DuckDB
+    // re-running the ENTIRE descent in unrolled CTEs lands on
+    // bit-identical weights and 6-decimal-exact scores. Train on even
+    // docs, score the odd half.
+    q("q_lr_quality",
+      """WITH f AS (SELECT doc_id,
+        |    n_chars / 1000.0 AS x1,
+        |    len(list_distinct(string_split_regex(text, '\s+'))) * 1.0
+        |      / len(string_split_regex(text, '\s+')) AS x2,
+        |    CASE WHEN len(list_distinct(string_split_regex(text, '\s+'))) * 1.0
+        |      / len(string_split_regex(text, '\s+')) >= 0.2
+        |      THEN 1.0 ELSE 0.0 END AS y
+        |  FROM documents),
+        |tr AS (SELECT * FROM f WHERE doc_id % 2 = 0),
+        |g1 AS (SELECT avg((0.5 - y) * x1) AS gx1,
+        |    avg((0.5 - y) * x2) AS gx2, avg(0.5 - y) AS gb FROM tr),
+        |w1 AS (SELECT round(-gx1, 9) AS w1, round(-gx2, 9) AS w2,
+        |    round(-gb, 9) AS b FROM g1),
+        |g2 AS (SELECT
+        |    avg((1/(1+exp(-(w1.w1*x1 + w1.w2*x2 + w1.b))) - y) * x1) AS gx1,
+        |    avg((1/(1+exp(-(w1.w1*x1 + w1.w2*x2 + w1.b))) - y) * x2) AS gx2,
+        |    avg(1/(1+exp(-(w1.w1*x1 + w1.w2*x2 + w1.b))) - y) AS gb
+        |  FROM tr, w1),
+        |w2t AS (SELECT round(w1.w1 - g2.gx1, 9) AS w1,
+        |    round(w1.w2 - g2.gx2, 9) AS w2, round(w1.b - g2.gb, 9) AS b
+        |  FROM w1, g2),
+        |g3 AS (SELECT
+        |    avg((1/(1+exp(-(w2t.w1*x1 + w2t.w2*x2 + w2t.b))) - y) * x1) AS gx1,
+        |    avg((1/(1+exp(-(w2t.w1*x1 + w2t.w2*x2 + w2t.b))) - y) * x2) AS gx2,
+        |    avg(1/(1+exp(-(w2t.w1*x1 + w2t.w2*x2 + w2t.b))) - y) AS gb
+        |  FROM tr, w2t),
+        |w3 AS (SELECT round(w2t.w1 - g3.gx1, 9) AS w1,
+        |    round(w2t.w2 - g3.gx2, 9) AS w2, round(w2t.b - g3.gb, 9) AS b
+        |  FROM w2t, g3)
+        |SELECT doc_id,
+        |  round(1/(1+exp(-(w3.w1*x1 + w3.w2*x2 + w3.b))), 6) AS score, y
+        |FROM f, w3 WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.ops.Classifier
+      val toks = split(col("text"), "\\s+")
+      val ratio = size(array_distinct(toks)).cast("double") / size(toks)
+      val f = t(s, dir, "documents").select(col("doc_id"),
+        (col("n_chars") / 1000.0).as("x1"), ratio.as("x2"),
+        when(ratio >= 0.2, 1.0).otherwise(0.0).as("y"))
+      val model = Classifier.trainLogistic(
+        f.filter(pmod(col("doc_id"), lit(2)) === 0), Seq("x1", "x2"), "y",
+        iterations = 3, lr = 1.0)
+      Classifier.scoreLogistic(
+          f.filter(pmod(col("doc_id"), lit(2)) === 1), model, Seq("x1", "x2"))
+        .select(col("doc_id"), round(col("score"), 6).as("score"), col("y"))
+        .orderBy(col("doc_id"))
+    },
+
     // ------------------------------------------------ retrieval evaluation
     // IR metrics (precision/recall@k, MRR, nDCG@k) for the exact-search
     // results under label-match relevance — the evaluation harness an

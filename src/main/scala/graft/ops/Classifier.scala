@@ -124,4 +124,64 @@ object Classifier {
     predictNaiveBayes(test, trainNaiveBayes(train, labelCol, idCol, textCol),
       idCol, textCol)
   }
+
+  /** Logistic-regression weights: `weights(i)` pairs with
+    * `featureCols(i)`, `bias` is the intercept. */
+  final case class LrModel(weights: Array[Double], bias: Double)
+
+  /** Deterministic full-batch logistic regression over DENSE feature
+    * columns — the linear quality/domain filter beside the NB
+    * token-count model (GPT-3-style corpus curation trains exactly
+    * this shape: a handful of engineered signals → binary keep score).
+    *
+    * Training as AGGREGATION: each of the `iterations` full-batch
+    * gradient-descent steps is ONE partial+final aggregation — per row
+    * the codegen'd expression computes `(σ(w·x) − y) · x_j` for every
+    * feature (weights ride the plan as literals), and the aggregate
+    * averages them; the driver receives p+1 doubles (the same
+    * metadata class as a Bloom build or the KMeans centroid fold),
+    * updates, and re-broadcasts by building the next plan. Nothing
+    * corpus-sized ever leaves the executors, and iteration count is
+    * FIXED (no convergence test) for determinism.
+    *
+    * Cross-engine reproducibility contract: weights are rounded to 9
+    * decimals after every update. A double sum over differently-
+    * partitioned data (or another engine's libm exp) drifts by ~1 ulp;
+    * the per-iteration quantization absorbs it, so any engine
+    * re-deriving the same averages lands on bit-identical weights —
+    * which is what makes the trained model oracle-able (q_lr_quality
+    * re-runs the whole descent in DuckDB CTEs). Callers should feed
+    * comparably-scaled features (the usual GD caveat, not a
+    * determinism one). */
+  def trainLogistic(df: DataFrame, featureCols: Seq[String],
+      labelCol: String, iterations: Int = 3, lr: Double = 1.0): LrModel = {
+    require(featureCols.nonEmpty && iterations >= 1)
+    def round9(x: Double): Double = BigDecimal(x)
+      .setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    var w = Array.fill(featureCols.size)(0.0)
+    var b = 0.0
+    for (_ <- 1 to iterations) {
+      val z = featureCols.zip(w).foldLeft(lit(b)) { case (acc, (c, wi)) =>
+        acc + col(c) * lit(wi)
+      }
+      val err = lit(1.0) / (lit(1.0) + exp(-z)) - col(labelCol)
+      val aggs = featureCols.map(c => avg(err * col(c))) :+ avg(err)
+      val g = df.agg(aggs.head, aggs.tail: _*).head()
+      w = w.indices.map(i => round9(w(i) - lr * g.getDouble(i))).toArray
+      b = round9(b - lr * g.getDouble(featureCols.size))
+    }
+    LrModel(w, b)
+  }
+
+  /** Score rows with a trained [[LrModel]]: adds `score` = σ(w·x + b)
+    * — weights are plan literals, the whole scorer is one narrow
+    * codegen'd expression that fuses into the scan (the
+    * [[graft.ops.Kmeans]] assignment shape). */
+  def scoreLogistic(df: DataFrame, model: LrModel,
+      featureCols: Seq[String]): DataFrame = {
+    val z = featureCols.zip(model.weights).foldLeft(lit(model.bias)) {
+      case (acc, (c, wi)) => acc + col(c) * lit(wi)
+    }
+    df.withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
+  }
 }

@@ -102,4 +102,52 @@ class ClassifierSpec extends AnyFunSuite {
     assert(s1.keySet === s2.keySet)
     s1.foreach { case (k, v) => assert(math.abs(v - s2(k)) < 1e-9) }
   }
+
+  test("logistic regression: GD equals the driver-side reference, exactly") {
+    val d = Seq(
+      (1L, 0.1, 0.9, 1.0), (2L, 0.8, 0.2, 0.0), (3L, 0.3, 0.7, 1.0),
+      (4L, 0.9, 0.1, 0.0), (5L, 0.5, 0.6, 1.0), (6L, 0.7, 0.3, 0.0))
+      .toDF("id", "x1", "x2", "y")
+    val model = Classifier.trainLogistic(d, Seq("x1", "x2"), "y",
+      iterations = 3, lr = 1.0)
+    // reference: same math in plain Scala, same per-step quantization
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = d.select("x1", "x2", "y").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    var (w1, w2, b) = (0.0, 0.0, 0.0)
+    for (_ <- 1 to 3) {
+      val errs = rows.map { case (x1, x2, y) =>
+        (1.0 / (1.0 + math.exp(-(w1 * x1 + w2 * x2 + b))) - y, x1, x2) }
+      val n = rows.length
+      w1 = r9(w1 - errs.map(e => e._1 * e._2).sum / n)
+      w2 = r9(w2 - errs.map(e => e._1 * e._3).sum / n)
+      b = r9(b - errs.map(_._1).sum / n)
+    }
+    assert(model.weights.toSeq === Seq(w1, w2))
+    assert(model.bias === b)
+    // the separable toy problem is learned: x2 > x1 ⇒ score > 0.5
+    val scored = Classifier.scoreLogistic(d, model, Seq("x1", "x2"))
+      .select("y", "score").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(scored.forall { case (y, s) => (s >= 0.5) == (y == 1.0) })
+  }
+
+  test("logistic regression: repartition-deterministic weights, learns real signal") {
+    val toks = split($"text", "\\s+")
+    val ratio = size(array_distinct(toks)).cast("double") / size(toks)
+    val f = docs.select($"doc_id", ($"n_chars" / 1000.0).as("x1"),
+      ratio.as("x2"), when(ratio >= 0.2, 1.0).otherwise(0.0).as("y"))
+    val train = f.filter($"doc_id" % 2 === 0)
+    val m1 = Classifier.trainLogistic(train, Seq("x1", "x2"), "y")
+    val m2 = Classifier.trainLogistic(train.repartition(17), Seq("x1", "x2"), "y")
+    assert(m1.weights.toSeq === m2.weights.toSeq, "9-dp quantization must " +
+      "absorb partition-order float drift")
+    assert(m1.bias === m2.bias)
+    val test = f.filter($"doc_id" % 2 === 1)
+    val acc = Classifier.scoreLogistic(test, m1, Seq("x1", "x2"))
+      .select(avg(when(($"score" >= 0.5) === ($"y" === 1.0), 1.0)
+        .otherwise(0.0))).head().getDouble(0)
+    assert(acc >= 0.85, s"separable quality label should be learned: $acc")
+  }
 }
