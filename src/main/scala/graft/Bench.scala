@@ -40,7 +40,8 @@ object Bench {
     "q_pagerank", "q_kmeans", "q_bpe_tokenize", "q_gopher_quality",
     "q_c4_clean", "q_html_extract", "q_theta_overlap",
     // round-7 additions
-    "q_train_export", "q_dedup_clusters_fast", "q_anchor_text")
+    "q_train_export", "q_dedup_clusters_fast", "q_anchor_text",
+    "q_minhash_index_probe", "q_lr_quality")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

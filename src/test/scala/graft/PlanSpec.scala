@@ -322,6 +322,19 @@ class PlanSpec extends AnyFunSuite {
       s"rank flow must shuffle on node keys:\n$p")
   }
 
+  test("LR scorer is a narrow plan-literal expression, zero Exchange") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    import org.apache.spark.sql.functions.col
+    val m = graft.ops.Classifier.LrModel(Array(0.5, -1.2), 0.1)
+    val p = graft.ops.Classifier.scoreLogistic(
+        docs.select(col("doc_id"), (col("n_chars") / 1000.0).as("x1"),
+          (col("n_chars") / 500.0).as("x2")),
+        m, Seq("x1", "x2"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"scoring must fuse into the scan with literal weights:\n$p")
+  }
+
   test("Pq.encode is a narrow plan-literal quantizer; ADC joins broadcast queries") {
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val model = graft.ops.Pq.Model(2, 32,
