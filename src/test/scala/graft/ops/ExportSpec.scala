@@ -65,6 +65,29 @@ class ExportSpec extends AnyFunSuite {
       "global windowing must not funnel the corpus into one task")
   }
 
+  test("contextWindows: replay property over random corpora and window sizes") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val nDocs = 1 + rnd.nextInt(40)
+      val windowLen = 1 + rnd.nextInt(9)
+      val corpus = (1 to nDocs).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(12))(s"w${rnd.nextInt(30)}"))
+      }
+      val df = corpus.toDF("doc_id", "tk")
+      val windows = Export.contextWindows(df, "doc_id", col("tk"), windowLen)
+        .orderBy("window_id").collect()
+      val replayed = windows.flatMap(_.getSeq[String](1)).toSeq
+      val expected = corpus.sortBy(_._1).flatMap(_._2)
+      assert(replayed === expected, s"trial $trial (L=$windowLen)")
+      if (windows.nonEmpty) {
+        val sizes = windows.map(_.getLong(2))
+        assert(sizes.init.forall(_ === windowLen.toLong), s"trial $trial")
+        assert(windows.map(_.getLong(0)).toSeq ===
+          (0L until windows.length.toLong), s"trial $trial ids not dense")
+      }
+    }
+  }
+
   test("epochShards: deterministic, dense per shard, epoch-sensitive") {
     val e3a = Export.epochShards(docs, "doc_id", epoch = 3, nShards = 8)
       .select("doc_id", "shard", "pos")

@@ -135,6 +135,20 @@ class GraphSpec extends AnyFunSuite {
         s"$n: est ${est(n)} vs exact $h") }
   }
 
+  test("harmonicCentrality is deterministic under repartitioning") {
+    // HLL union is register-max (order-insensitive) and the clamp keeps
+    // the ball monotone — estimates must be bit-identical on any layout
+    val docs = spark.read.parquet(s"${graft.TestSpark.sfDir}/documents.parquet")
+    val edges = docs.selectExpr("cast(doc_id % 19 as string) as src",
+        "cast((doc_id * 11 + 5) % 19 as string) as dst")
+      .filter(col("src") =!= col("dst")).distinct()
+    def run(e: org.apache.spark.sql.DataFrame) =
+      Graph.harmonicCentrality(e, maxT = 6)
+        .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+        .toMap
+    assert(run(edges) === run(edges.repartition(13)))
+  }
+
   test("degrees: one-pass in/out profile with weights") {
     val edges = Seq(
       ("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 4.0))
