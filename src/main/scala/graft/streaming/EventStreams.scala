@@ -540,13 +540,17 @@ object EventStreams {
         explode(array(bandCols: _*)).as("bb"))
       .select(col("inc_id"), col("event_time"), col("sig_i"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // cache the static side: a stream-static join re-evaluates the
+    // static plan EVERY micro-batch — without the cache each batch
+    // would re-scan the index and re-run the degenerate-bucket
+    // aggregate
     val corpBands = graft.ops.Snapshots.read(spark, s"$indexDir/bands")
-      .select(col("id").as("corp_id"), col("band"), col("bucket"))
+      .select(col("id").as("corp_id"), col("band"), col("bucket")).cache()
     val corpSigs = graft.ops.Snapshots.read(spark, s"$indexDir/sigs")
-      .select(col("id").as("corp_id"), col("sig").as("sig_c"))
+      .select(col("id").as("corp_id"), col("sig").as("sig_c")).cache()
     val bigKeys = corpBands.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
-      .select(col("band"), col("bucket"))
+      .select(col("band"), col("bucket")).cache()
     bands
       .join(broadcast(bigKeys), Seq("band", "bucket"), "left_anti")
       .join(corpBands, Seq("band", "bucket"))
