@@ -95,4 +95,17 @@ object Export {
       .withColumn("pos", row_number().over(w).cast("long") - 1)
       .drop("_h")
   }
+
+  /** Materialize an epoch as loader files: `outDir/shard=<s>/` holds
+    * ONE parquet file whose row order IS the epoch order ([[epochShards]]'
+    * `pos` — parquet preserves within-file row order, so a sequential
+    * reader replays the shuffle with no sort at load time). One task
+    * per shard (the repartition keys on `shard`), so file count =
+    * shard count by construction. */
+  def writeEpochShards(df: DataFrame, keyCol: String, epoch: Int,
+      nShards: Int, outDir: String): Unit =
+    epochShards(df, keyCol, epoch, nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
 }

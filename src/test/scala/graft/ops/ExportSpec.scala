@@ -88,6 +88,26 @@ class ExportSpec extends AnyFunSuite {
     }
   }
 
+  test("writeEpochShards: one file per shard, row order replays the epoch") {
+    val out = java.nio.file.Files.createTempDirectory("graft-epoch").toString
+    Export.writeEpochShards(docs.select("doc_id", "text"), "doc_id",
+      epoch = 2, nShards = 4, outDir = out)
+    val expected = Export.epochShards(docs.select("doc_id", "text"),
+        "doc_id", epoch = 2, nShards = 4)
+      .select("shard", "pos", "doc_id").collect()
+      .groupBy(_.getInt(0))
+      .view.mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq).toMap
+    for (s <- 0 until 4) {
+      val dir = new java.io.File(s"$out/shard=$s")
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"shard $s must be one loader file")
+      // single file → parquet preserves row order → read order IS pos order
+      val readOrder = spark.read.parquet(files.head.toString)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(readOrder === expected(s), s"shard $s order")
+    }
+  }
+
   test("epochShards: deterministic, dense per shard, epoch-sensitive") {
     val e3a = Export.epochShards(docs, "doc_id", epoch = 3, nShards = 8)
       .select("doc_id", "shard", "pos")
