@@ -88,6 +88,19 @@ object ExplainCheck {
     println(docs.select(org.apache.spark.sql.functions.explode(
         graft.ops.Html.anchors(col("text"))).as("a"))
       .queryExecution.explainString(fmt))
+    println("########## op:MinhashIndex.probe (stored-index bucket join, est verify)")
+    val mhDir = java.nio.file.Files.createTempDirectory("graft-plans-mh").toString
+    graft.ops.MinhashIndex.build(spark,
+      docs.filter(col("doc_id") % 2 === 0), mhDir)
+    println(graft.ops.MinhashIndex.probe(spark,
+        docs.filter(col("doc_id") % 2 === 1), mhDir, threshold = 0.5)
+      .queryExecution.explainString(fmt))
+    println("########## op:Classifier.scoreLogistic (plan-literal weights, narrow)")
+    val lrm = graft.ops.Classifier.LrModel(Array(0.5, -1.2), 0.1)
+    println(graft.ops.Classifier.scoreLogistic(
+        docs.select(col("doc_id"), (col("n_chars") / 1000.0).as("x1"),
+          (col("n_chars") / 500.0).as("x2")), lrm, Seq("x1", "x2"))
+      .queryExecution.explainString(fmt))
     spark.stop()
   }
 }
