@@ -384,6 +384,41 @@ object PipelineQueries {
         .orderBy(col("inc_id"), col("corp_id"))
     },
 
+    // EXACT-verification mode of the stored-index probe: candidates
+    // still come from the banded index (corpus text never rescanned —
+    // the verify re-join is left-semi narrowed to candidate corpus ids
+    // only), but the verdict is exact trigram-set Jaccard instead of
+    // the lane-agreement estimate. The oracle therefore hash-checks the
+    // SCORES too (round-4 exact Jaccard), the strongest check this
+    // operator family has: pair set AND per-pair values must match the
+    // independent trigram recompute end-to-end.
+    q("q_minhash_index_probe_exact",
+      """WITH toks AS (SELECT doc_id AS id, string_split_regex(text, '\s+') AS tk
+        |  FROM documents),
+        |tri AS (SELECT DISTINCT id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+        |  FROM (SELECT id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks)),
+        |sizes AS (SELECT id, count(*) AS sz FROM tri GROUP BY id),
+        |common AS (SELECT a.id AS inc_id, b.id AS corp_id, count(*) AS cnt
+        |  FROM tri a JOIN tri b ON a.shingle = b.shingle
+        |  WHERE a.id % 2 = 1 AND b.id % 2 = 0
+        |  GROUP BY a.id, b.id)
+        |SELECT inc_id, corp_id, round(CAST(cnt AS DOUBLE)/(sa.sz + sb.sz - cnt), 4) AS jaccard
+        |FROM common JOIN sizes sa ON inc_id = sa.id JOIN sizes sb ON corp_id = sb.id
+        |WHERE CAST(cnt AS DOUBLE)/(sa.sz + sb.sz - cnt) >= 0.5
+        |ORDER BY inc_id, corp_id""".stripMargin) { (s, dir) =>
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_mh_idxx_${math.abs(dir.hashCode)}").toString
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true): Unit
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      graft.ops.MinhashIndex.build(s, corpus, tmp)
+      graft.ops.MinhashIndex.probeExact(s,
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1), tmp, corpus,
+          threshold = 0.5)
+        .orderBy(col("inc_id"), col("corp_id"))
+    },
+
     // SimHash near-dup via custom Catalyst expression + Hamming banding.
     // No cross-engine twin exists (the 64-bit FNV-based signature isn't
     // expressible in SQL), so the oracle is a bound-style certificate:
@@ -2346,7 +2381,12 @@ object PipelineQueries {
     // oracle recomputes the SAME windows the expensive way: one global
     // token position via row_number, grouped by position div 128. Full
     // token-array equality per window, so fragment slicing, ordering
-    // and reassembly are all hash-checked.
+    // and reassembly are all hash-checked. The token sequence is
+    // serialized to a space-joined string on BOTH sides: the driver's
+    // pandas comparer cannot sort/hash an array-typed column (r7's one
+    // red row — "unhashable type: numpy.ndarray"), and the join is
+    // lossless here because the tokens come from a \s+ split, so
+    // ' '-joining preserves token-sequence equality exactly.
     q("q_train_export",
       """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS tk
         |  FROM documents),
@@ -2355,15 +2395,16 @@ object PipelineQueries {
         |g AS (SELECT doc_id, word,
         |    row_number() OVER (ORDER BY doc_id, i) - 1 AS p FROM pos)
         |SELECT p // 128 AS window_id,
-        |  list(word ORDER BY p) AS tokens,
+        |  array_to_string(list(word ORDER BY p), ' ') AS tokens,
         |  count(*) AS n_tokens,
         |  count(DISTINCT doc_id) AS n_docs
         |FROM g GROUP BY 1 ORDER BY window_id""".stripMargin) { (s, dir) =>
       graft.ops.Export.contextWindows(t(s, dir, "documents"), "doc_id",
           split(col("text"), "\\s+"), windowLen = 128)
         .orderBy(col("window_id"))
-        .select(col("window_id"), col("tokens"), col("n_tokens"),
-          col("n_docs"))
+        .select(col("window_id"),
+          array_join(col("tokens"), " ").as("tokens"),
+          col("n_tokens"), col("n_docs"))
     },
 
     // Deterministic per-epoch shuffle: shard and dense in-shard slot

@@ -21,8 +21,8 @@ import org.apache.spark.sql.functions._
   * unbiased Jaccard estimator (σ = √(J(1−J)/k) ≈ 0.09 at k=32; raise k
   * for tighter bands, the index stores whatever k it was built with).
   * Exact verification needs shingle sets, i.e. the corpus text the
-  * index exists to avoid re-reading; callers that need the exact score
-  * re-join the emitted pairs against the corpus by id. Banding,
+  * index exists to avoid re-reading; [[probeExact]] does that
+  * candidates-only re-join for threshold-sensitive callers. Banding,
   * signatures and the estimator are all deterministic (FNV-1a lanes),
   * so any engine re-derives the identical pair set.
   *
@@ -72,17 +72,16 @@ object MinhashIndex {
       s"$dir/bands", append = true): Unit
   }
 
-  /** Near-dup pairs of `incoming` against the STORED corpus index:
-    * (inc_id, corp_id) where estimated Jaccard ≥ `threshold`. Shape
-    * mirrors [[Dedup.minhashNearDupsAgainstCorpus]] — both sides band
-    * narrow, one cross-side bucket equi-join, degenerate stored buckets
-    * (> maxBucket members, boilerplate shingles) anti-joined away — but
-    * the corpus side reads ONLY the index tables. Candidate
-    * verification is the lane-agreement estimate over the two signature
-    * arrays (see the module contract). */
-  def probe(spark: SparkSession, incoming: DataFrame, dir: String,
-      threshold: Double, idCol: String = "doc_id",
-      textCol: String = "text", maxBucket: Int = 4096): DataFrame = {
+  /** Banded candidate generation shared by the estimate and exact
+    * probes: incoming signatures + bands computed batch-side, stored
+    * bands read from the index, degenerate stored buckets anti-joined
+    * away, one cross-side bucket equi-join. */
+  private final case class Candidates(p: Params, incSigs: DataFrame,
+      corpSigs: DataFrame, cands: DataFrame)
+
+  private def candidates(spark: SparkSession, incoming: DataFrame,
+      dir: String, idCol: String, textCol: String,
+      maxBucket: Int): Candidates = {
     val p = params(spark, dir)
     val incSigs = Dedup.minhashSignatureArray(
         Dedup.shingleArrays(incoming, p.n, idCol, textCol), p.k)
@@ -102,13 +101,67 @@ object MinhashIndex {
       .join(broadcast(bigKeys), Seq("band", "bucket"), "left_anti")
       .join(corpBands, Seq("band", "bucket"))
       .select(col("inc_id"), col("corp_id")).distinct()
-    cands.join(incSigs, "inc_id").join(corpSigs, "corp_id")
+    Candidates(p, incSigs, corpSigs, cands)
+  }
+
+  /** Near-dup pairs of `incoming` against the STORED corpus index:
+    * (inc_id, corp_id) where estimated Jaccard ≥ `threshold`. Shape
+    * mirrors [[Dedup.minhashNearDupsAgainstCorpus]] — both sides band
+    * narrow, one cross-side bucket equi-join, degenerate stored buckets
+    * (> maxBucket members, boilerplate shingles) anti-joined away — but
+    * the corpus side reads ONLY the index tables. Candidate
+    * verification is the lane-agreement estimate over the two signature
+    * arrays (see the module contract); for exact thresholds use
+    * [[probeExact]]. */
+  def probe(spark: SparkSession, incoming: DataFrame, dir: String,
+      threshold: Double, idCol: String = "doc_id",
+      textCol: String = "text", maxBucket: Int = 4096): DataFrame = {
+    val c = candidates(spark, incoming, dir, idCol, textCol, maxBucket)
+    c.cands.join(c.incSigs, "inc_id").join(c.corpSigs, "corp_id")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_i"), col("sig_c"),
           (a, b) => when(a === b, 1.0).otherwise(0.0)),
-          lit(0.0), (acc, x) => acc + x) / lit(p.k.toDouble))
+          lit(0.0), (acc, x) => acc + x) / lit(c.p.k.toDouble))
       .filter(col("est_jaccard") >= threshold)
       .select(col("inc_id"), col("corp_id"),
         round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** EXACT-verified probe for threshold-sensitive dedup: candidates
+    * come from the same banded index probe as [[probe]], but
+    * verification re-joins the CANDIDATE corpus docs (and only those —
+    * a left-semi narrow against the pair set) back to `corpus` text by
+    * id and computes exact shingle-set Jaccard via
+    * [[Dedup.verifyJaccard]]'s array-intersect kernel. The index's
+    * no-corpus-rescan contract survives: corpus text I/O is
+    * O(|candidate docs|), not O(|corpus|) — parquet row-group skipping
+    * plus the semi-join filter keep the scan candidate-sized, and the
+    * shingling cost is per-candidate, not per-corpus-doc.
+    *
+    * Relation to estimate mode at the same threshold: the candidate set
+    * is identical (same bands), so the two outputs differ only in the
+    * verify decision — exact-mode pairs with J well above threshold ⊆
+    * estimate-mode output and vice versa within the estimator's σ band
+    * (spec-asserted in MinhashIndexSpec). Output: (inc_id, corp_id,
+    * jaccard) with the EXACT score. */
+  def probeExact(spark: SparkSession, incoming: DataFrame,
+      dir: String, corpus: DataFrame, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBucket: Int = 4096): DataFrame = {
+    val c = candidates(spark, incoming, dir, idCol, textCol, maxBucket)
+    val candCorpus = corpus.join(
+      c.cands.select(col("corp_id").as(idCol)).distinct(),
+      Seq(idCol), "left_semi")
+    val incArrs = Dedup.shingleArrays(incoming, c.p.n, idCol, textCol)
+      .select(col("id").as("inc_id"), col("sh").as("sh_a"))
+    val corpArrs = Dedup.shingleArrays(candCorpus, c.p.n, idCol, textCol)
+      .select(col("id").as("corp_id"), col("sh").as("sh_b"))
+    c.cands.join(incArrs, "inc_id").join(corpArrs, "corp_id")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("inc_id"), col("corp_id"),
+        round(col("jaccard"), 4).as("jaccard"))
   }
 }

@@ -54,6 +54,44 @@ class MinhashIndexSpec extends AnyFunSuite {
       s"appended doc must be probe-visible, got $hits")
   }
 
+  test("probeExact matches brute-force exact cross-Jaccard; estimate brackets it") {
+    val dir = freshDir("exact")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    MinhashIndex.build(spark, corpus, dir) // n=3, k=32, bands=16
+    val t = 0.5
+    val exact = MinhashIndex.probeExact(spark, batch, dir, corpus, t)
+    val exactPairs = pairs(exact)
+    // ground truth: brute-force exact trigram Jaccard on ALL cross
+    // pairs (no banding, no index) — scores and pair set must agree
+    val incArrs = Dedup.shingleArrays(batch, 3)
+      .select(col("id").as("inc_id"), col("sh").as("sh_a"))
+    val corpArrs = Dedup.shingleArrays(corpus, 3)
+      .select(col("id").as("corp_id"), col("sh").as("sh_b"))
+    val brute = incArrs.crossJoin(corpArrs)
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= t)
+      .select(col("inc_id"), col("corp_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+    def scored(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(scored(exact) === scored(brute),
+      "exact probe must equal the no-index brute-force recompute, scores included")
+    assert(exactPairs.nonEmpty, "planted cross-corpus dups must surface")
+    // estimate-mode bracketing at the same candidate set: with k=32 the
+    // estimator's sigma is ~0.088, so exact-at-t pairs all estimate
+    // >= t - 3*sigma, and anything estimating >= t + 3*sigma is exact-at-t.
+    val sigma3 = 3 * 0.0884
+    val estLoose = pairs(MinhashIndex.probe(spark, batch, dir, t - sigma3))
+    val estTight = pairs(MinhashIndex.probe(spark, batch, dir, t + sigma3))
+    assert(exactPairs.subsetOf(estLoose),
+      "exact output must be contained in estimate mode at threshold - 3 sigma")
+    assert(estTight.subsetOf(exactPairs),
+      "estimate mode at threshold + 3 sigma must be contained in exact output")
+  }
+
   test("params round-trip and estimate matches exact on identical docs") {
     val dir = freshDir("params")
     MinhashIndex.build(spark, docs.limit(50), dir, n = 2, k = 16, bands = 8)
