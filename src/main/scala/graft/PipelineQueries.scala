@@ -976,7 +976,7 @@ object PipelineQueries {
     // independent generative oracles: q_image_decode (ImageIO),
     // q_audio_decode (AudioSystem), q_multimodal_frames (multi-frame
     // GIF), q_multimodal_features (decoded-pixel histograms).
-    q("q_multimodal_decode",
+    q("q_multimodal_stub_contract",
       """SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes,
         |  CAST(strlen(text) % 640 AS INT) AS width,
         |  CAST((strlen(text) // 640) % 480 AS INT) AS height,

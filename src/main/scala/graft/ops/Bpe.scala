@@ -89,6 +89,9 @@ object Bpe {
     * words (count desc, word asc — deterministic truncation). */
   def train(docs: DataFrame, numMerges: Int, textCol: String = "text",
       maxVocabRows: Int = 50000): Seq[(String, String)] = {
+    require(numMerges <= MaxPlanLiteralMerges,
+      s"numMerges=$numMerges exceeds the plan-literal bound " +
+        s"$MaxPlanLiteralMerges — see Bpe.MaxPlanLiteralMerges")
     val top = wordCounts(docs, textCol)
       .orderBy(col("n").desc, col("word").asc)
       .limit(maxVocabRows)
@@ -96,9 +99,26 @@ object Bpe {
     trainFromCounts(top, numMerges)
   }
 
+  /** Hard ceiling on the plan-literal merge table. The literal rides
+    * the serialized plan to EVERY task and is embedded in generated
+    * code paths, so it must stay driver/codegen-sized: 65 536 merges
+    * (the largest real-world BPE vocabularies — GPT-2 50k, typical
+    * sentencepiece 32–64k — fit under it at well under ~1 MB rendered).
+    * A table beyond this bound should ship as a broadcast variable
+    * consulted by a map-side structure instead of a literal; no such
+    * vocab exists in practice, hence `require` rather than a second
+    * code path. */
+  val MaxPlanLiteralMerges: Int = 65536
+
   /** Tokenize a text column against a fixed merge table — narrow,
-    * plan-literal, zero shuffle. */
+    * plan-literal, zero shuffle. `merges.size` is bounded by
+    * [[MaxPlanLiteralMerges]] (see its doc for the broadcast switch
+    * point). */
   def tokens(text: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.size <= MaxPlanLiteralMerges,
+      s"merge table has ${merges.size} entries, above the plan-literal " +
+        s"bound $MaxPlanLiteralMerges; a vocab this size must be " +
+        "broadcast, not embedded in the plan")
     import org.apache.spark.sql.graft.GraftBridge.{column, expression}
     column(BpeEncode(expression(text),
       org.apache.spark.sql.catalyst.expressions.Literal(BpeOps.render(merges))))

@@ -403,9 +403,15 @@ object Dedup {
     * sum/xor of xxhash64 over the sorted pair — two independent 64-bit
     * checks on top of an exact count, so a silent false-convergence
     * needs a simultaneous collision in both).
+    *
+    * `maxIter` exhaustion THROWS by default (`strict = true`): partial
+    * labels can map one node to several components, duplicating rows in
+    * downstream joins. `strict = false` restores warn-and-return for
+    * exploratory use.
     */
-  def duplicateClustersFast(pairs: DataFrame, maxIter: Int = 25): DataFrame =
-    fastCC(pairs, maxIter)._1
+  def duplicateClustersFast(pairs: DataFrame, maxIter: Int = 25,
+      strict: Boolean = true): DataFrame =
+    fastCC(pairs, maxIter, strict)._1
 
   /** [[duplicateClustersFast]] plus the number of rounds actually used —
     * exposed so the spec can assert the O(log n) bound on deep graphs.
@@ -417,9 +423,12 @@ object Dedup {
     * [[duplicateClusters]]'s 2×/round growth, this algorithm must
     * `localCheckpoint` EVERY round; the eager checkpoint doubles as the
     * materialization the convergence checksum needs anyway. */
-  private[graft] def fastCC(pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
+  private[graft] def fastCC(pairs: DataFrame, maxIter: Int,
+      strict: Boolean = true): (DataFrame, Int) = {
+    // NOT cached: consumed exactly once (the final anti-join), so a
+    // cache would only pay its write cost
     val verts = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id"))).distinct().cache()
+      .union(pairs.select(col("id_b").as("id"))).distinct()
     var e = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
@@ -455,10 +464,19 @@ object Dedup {
       sig = nextSig
       iter += 1
     }
-    if (!converged)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"duplicateClustersFast exhausted maxIter=$maxIter before " +
-          "convergence; labels are NOT the exact transitive closure")
+    if (!converged) {
+      // un-converged labels can assign one node to several components
+      // (non-star residual edges), which silently DUPLICATES rows in
+      // downstream joins (e.g. Sampling.dedupWeightedSample) — a wrong
+      // answer, not a degraded one. Fail loudly unless the caller
+      // explicitly opted into partial labels.
+      val msg = s"duplicateClustersFast exhausted maxIter=$maxIter " +
+        "before convergence; labels are NOT the exact transitive closure"
+      if (strict) throw new IllegalStateException(
+        msg + " (raise maxIter, or pass strict = false to accept " +
+          "partial labels)")
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
     // at the fixpoint every component is a star (u, root): non-roots
     // appear exactly once on the u side, roots only on the v side
     val labels = e.select(col("u").as("id"), col("v").as("component"))

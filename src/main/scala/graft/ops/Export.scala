@@ -101,11 +101,32 @@ object Export {
     * `pos` — parquet preserves within-file row order, so a sequential
     * reader replays the shuffle with no sort at load time). One task
     * per shard (the repartition keys on `shard`), so file count =
-    * shard count by construction. */
+    * shard count by construction — PROVIDED a single task writes a
+    * single file: a session-level `spark.sql.files.maxRecordsPerFile`
+    * > 0 would silently roll a shard into several files and break the
+    * sequential-read-replays-epoch contract, so this writer forces the
+    * option to 0 for this write regardless of session conf, then
+    * asserts the invariant against the filesystem. */
   def writeEpochShards(df: DataFrame, keyCol: String, epoch: Int,
-      nShards: Int, outDir: String): Unit =
+      nShards: Int, outDir: String): Unit = {
     epochShards(df, keyCol, epoch, nShards)
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
-      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+      .write.partitionBy("shard")
+      .option("maxRecordsPerFile", 0)
+      .mode("overwrite").parquet(outDir)
+    // cheap driver-side FS sweep (nShards dirs): fail loudly rather
+    // than hand a multi-file shard to a loader that assumes one
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    fs.listStatus(root).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("shard=")).foreach { d =>
+      val n = fs.listStatus(d.getPath)
+        .count(f => f.getPath.getName.endsWith(".parquet"))
+      require(n == 1,
+        s"epoch shard ${d.getPath} has $n parquet files; the loader " +
+          "contract requires exactly one (maxRecordsPerFile must be 0)")
+    }
+  }
 }

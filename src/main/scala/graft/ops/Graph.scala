@@ -52,7 +52,8 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iterations: Int = 10,
       damping: Double = 0.85, srcCol: String = "src", dstCol: String = "dst",
-      weightCol: String = "weight", checkpointInterval: Int = 4): DataFrame = {
+      weightCol: String = "weight", checkpointInterval: Int = 4,
+      truncateFinal: Boolean = true): DataFrame = {
     require(iterations >= 1, s"iterations=$iterations")
     require(damping > 0 && damping < 1, s"damping=$damping")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
@@ -100,7 +101,19 @@ object Graph {
       ranks = next
       ranksCheckpointed = checkpointRound
     }
-    ranks
+    // cut lineage on the final frame (no-op if the last round already
+    // checkpointed), then release every helper cache — otherwise norm/
+    // nodes/dangling blocks accumulate across calls in one session.
+    // truncateFinal=false keeps the final round's plan inspectable
+    // (PlanSpec pins the iteration shape through it) and leaves the
+    // helper frames cached — the caller owns their release.
+    if (!truncateFinal) ranks
+    else {
+      val out = if (ranksCheckpointed) ranks else ranks.localCheckpoint()
+      if (!ranksCheckpointed) ranks.unpersist()
+      norm.unpersist(); nodes.unpersist(); dangling.unpersist()
+      out
+    }
   }
 
   /** Truncated harmonic centrality via HyperBall (Boldi & Vigna,
@@ -178,6 +191,10 @@ object Graph {
       grown = growth > 0.0
       t += 1
     }
+    // state is localCheckpoint-ed (lineage cut), so the returned frame
+    // no longer references e — drop its cache instead of leaking it
+    // across repeated calls in one session
+    e.unpersist()
     state.select(col("node"), col("ball").as("reachable_est"),
       col("harmonic"))
   }
@@ -207,6 +224,7 @@ object Graph {
       dist.unpersist()
       dist = next
     }
+    e.unpersist() // dist is checkpointed; see harmonicCentrality
     dist
   }
 

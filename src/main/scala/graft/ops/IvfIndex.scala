@@ -20,7 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  final case class Index(assignments: DataFrame, centroids: Array[Array[Double]])
+  /** The built index. `assignments`' plan references the cached vector
+    * frame from [[build]] — that cache IS the index's working set
+    * (every [[search]] reuses it), so it stays pinned for the index's
+    * lifetime; call [[Index.release]] when done with the index to drop
+    * the blocks instead of leaking them for the session. */
+  final case class Index(assignments: DataFrame, centroids: Array[Array[Double]],
+      private[IvfIndex] val pinned: Option[DataFrame] = None) {
+    def release(): Unit = pinned.foreach(_.unpersist(): Unit)
+  }
 
   /** Build: fit KMeans (seeded, deterministic) on the embeddings and
     * assign every vector to its cell. The fit input is capped at
@@ -49,7 +57,8 @@ object IvfIndex {
     Index(
       embs.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
         .join(assigned, "vec_id"),
-      model.clusterCenters.map(_.toArray))
+      model.clusterCenters.map(_.toArray),
+      pinned = Some(vecs))
   }
 
   /** Top-k cosine for the query subset, probing nprobe cells per query.

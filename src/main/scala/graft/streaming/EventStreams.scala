@@ -518,11 +518,40 @@ object EventStreams {
     * verified m times and collapsed by the watermark-bounded
     * deduplicate (bounded by `bands`, stated trade for keeping the
     * stateful op count at one). Emits (inc_id, corp_id, est_jaccard,
-    * event_time). */
+    * event_time).
+    *
+    * STALENESS CONTRACT — the probe is pinned to the index snapshot
+    * visible at stream-CONSTRUCTION time: the band/signature frames are
+    * read and cached once here, so [[graft.ops.MinhashIndex.append]]s
+    * committed while the query runs are invisible to it (the batch
+    * [[graft.ops.MinhashIndex.probe]], by contrast, reads the latest
+    * snapshot on every call). To pick up appends, stop the query,
+    * release the pinned frames, and rebuild the stream — which is what
+    * [[nearDupProbeStreamPinned]]'s handle exists for; this overload
+    * keeps the frames pinned for the session (acceptable for the
+    * one-stream-per-session serving shape, a leak if you rebuild
+    * repeatedly). */
   def nearDupProbeStream(docs: DataFrame, indexDir: String,
       threshold: Double, idCol: String = "doc_id",
       textCol: String = "text", maxBucket: Int = 4096,
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes"): DataFrame =
+    nearDupProbeStreamPinned(docs, indexDir, threshold, idCol, textCol,
+      maxBucket, watermark).stream
+
+  /** [[nearDupProbeStream]]'s stream plus a handle over the pinned
+    * static index frames: `close()` unpersists them (call after
+    * stopping the query; a still-running query keeps working but
+    * re-scans the index per micro-batch). Rebuild-and-close is the
+    * refresh path for picking up index appends. */
+  final case class PinnedProbe(stream: DataFrame,
+      private val pinned: Seq[DataFrame]) {
+    def close(): Unit = pinned.foreach(_.unpersist(): Unit)
+  }
+
+  def nearDupProbeStreamPinned(docs: DataFrame, indexDir: String,
+      threshold: Double, idCol: String = "doc_id",
+      textCol: String = "text", maxBucket: Int = 4096,
+      watermark: String = "10 minutes"): PinnedProbe = {
     import graft.functions.GraftFunctions
     val spark = docs.sparkSession
     val p = graft.ops.MinhashIndex.params(spark, indexDir)
@@ -551,7 +580,7 @@ object EventStreams {
     val bigKeys = corpBands.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
       .select(col("band"), col("bucket")).cache()
-    bands
+    val out = bands
       .join(broadcast(bigKeys), Seq("band", "bucket"), "left_anti")
       .join(corpBands, Seq("band", "bucket"))
       .join(corpSigs, "corp_id")
@@ -564,6 +593,7 @@ object EventStreams {
       .dropDuplicatesWithinWatermark(Seq("inc_id", "corp_id"))
       .select(col("inc_id"), col("corp_id"),
         round(col("est_jaccard"), 4).as("est_jaccard"), col("event_time"))
+    PinnedProbe(out, Seq(corpBands, corpSigs, bigKeys))
   }
 
   /** Batch-equivalent sessionization (same gap semantics) — the oracle

@@ -95,6 +95,11 @@ object ExplainCheck {
     println(graft.ops.MinhashIndex.probe(spark,
         docs.filter(col("doc_id") % 2 === 1), mhDir, threshold = 0.5)
       .queryExecution.explainString(fmt))
+    println("########## op:MinhashIndex.probeExact (candidates-only corpus re-join)")
+    println(graft.ops.MinhashIndex.probeExact(spark,
+        docs.filter(col("doc_id") % 2 === 1), mhDir,
+        docs.filter(col("doc_id") % 2 === 0), threshold = 0.5)
+      .queryExecution.explainString(fmt))
     println("########## op:Classifier.scoreLogistic (plan-literal weights, narrow)")
     val lrm = graft.ops.Classifier.LrModel(Array(0.5, -1.2), 0.1)
     println(graft.ops.Classifier.scoreLogistic(

@@ -312,7 +312,11 @@ class PlanSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val edges = docs.selectExpr("cast(doc_id % 10 as string) as src",
       "cast(doc_id % 7 as string) as dst", "cast(1.0 as double) as weight")
-    val p = graft.ops.Graph.pageRank(edges, iterations = 1)
+    // truncateFinal=false: the production default checkpoint-truncates
+    // the returned lineage (cache hygiene), which would hide the
+    // iteration plan this test pins
+    val p = graft.ops.Graph.pageRank(edges, iterations = 1,
+        truncateFinal = false)
       .queryExecution.executedPlan.toString
     assert(p.contains("partial_sum"),
       s"rank contributions must map-side combine:\n$p")
@@ -353,6 +357,22 @@ class PlanSpec extends AnyFunSuite {
       s"ADC must broadcast the model-sized query side:\n$ps")
     assert(ps.contains("partial_topk_by"),
       s"per-query top-k must be the bounded-heap aggregate:\n$ps")
+  }
+
+  test("MinhashIndex.probeExact: corpus re-join is candidates-only, no cartesian") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-mhx").toString
+    graft.ops.MinhashIndex.build(spark,
+      docs.filter(col("doc_id") % 2 === 0), dir)
+    val p = graft.ops.MinhashIndex.probeExact(spark,
+        docs.filter(col("doc_id") % 2 === 1), dir,
+        docs.filter(col("doc_id") % 2 === 0), threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"),
+      s"corpus text must be narrowed to candidate ids via a semi-join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"exact verify must never cross-join:\n$p")
   }
 
   test("whole-stage codegen covers the scan→agg hot path") {

@@ -95,4 +95,19 @@ class BpeSpec extends AnyFunSuite {
     val merges = Bpe.trainFromCounts(Seq("ab" -> 3L), 10)
     assert(merges === Seq(("a", "b")))
   }
+
+  test("plan-literal merge table is bounded; oversized vocab is rejected") {
+    val over = (0 to Bpe.MaxPlanLiteralMerges)
+      .map(i => (s"a$i", s"b$i"))
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.tokens(col("t"), over)
+    }
+    assert(ex.getMessage.contains("broadcast"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Bpe.train(docs, numMerges = Bpe.MaxPlanLiteralMerges + 1)
+    }
+    assert(ex2.getMessage.contains("plan-literal"))
+    // at the bound itself, the column constructs fine
+    Bpe.tokens(col("t"), over.take(Bpe.MaxPlanLiteralMerges)): Unit
+  }
 }

@@ -137,6 +137,39 @@ class DedupSpec extends AnyFunSuite {
     assert(rounds <= 12, s"took $rounds rounds on a 200-deep chain")
   }
 
+  test("alternating CC resolves a 10k-deep chain within 2·log2(n) rounds") {
+    import spark.implicits._
+    // pressure fixture for the published bound: a 10_001-vertex path is
+    // the worst diameter a 10k-edge graph can have. Min-label
+    // propagation needs ~10k rounds (each a full shuffle); the
+    // alternating algorithm must stay within 2·log2(10_000) ≈ 27.
+    val n = 10000L
+    val bound = 2 * (math.log(n.toDouble) / math.log(2.0)).ceil.toInt // 28
+    val chain = (0L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.fastCC(chain, maxIter = bound + 5)
+    assert(rounds <= bound,
+      s"took $rounds rounds on a ${n}-deep chain; bound is $bound")
+    val comps = labels.groupBy("component").count().collect()
+    assert(comps.length === 1 && comps.head.getLong(1) === n + 1,
+      "all vertices collapse to one component")
+    assert(labels.select(min(col("component"))).head().getLong(0) === 0L)
+  }
+
+  test("fastCC maxIter exhaustion throws under strict, warns under strict=false") {
+    import spark.implicits._
+    // 2 rounds cannot resolve a 200-deep chain
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.duplicateClustersFast(chain, maxIter = 2).collect()
+    }
+    assert(ex.getMessage.contains("maxIter"))
+    // non-strict returns partial labels without throwing
+    val partial = Dedup.duplicateClustersFast(chain, maxIter = 2,
+      strict = false)
+    assert(partial.count() >= 201,
+      "partial labels cover every vertex (possibly with duplicates)")
+  }
+
   test("simhash maxHamming=0 finds exact-signature duplicates (64-bit mask edge)") {
     // regression: numChunks=1 → width 64 → (1L<<64)-1 == 0 under JVM
     // shift-mod-64 used to key EVERY doc to bucket 0

@@ -108,6 +108,24 @@ class ExportSpec extends AnyFunSuite {
     }
   }
 
+  test("writeEpochShards overrides a session-level maxRecordsPerFile") {
+    // a session conf that rolls files would silently break the
+    // one-file-per-shard replay contract; the writer must force it off
+    val out = java.nio.file.Files.createTempDirectory("graft-epochm").toString
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "7")
+    try {
+      Export.writeEpochShards(docs.select("doc_id", "text"), "doc_id",
+        epoch = 1, nShards = 4, outDir = out)
+      for (s <- 0 until 4) {
+        val files = new java.io.File(s"$out/shard=$s")
+          .listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length === 1,
+          s"shard $s rolled into ${files.length} files under " +
+            "session maxRecordsPerFile")
+      }
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
   test("epochShards: deterministic, dense per shard, epoch-sensitive") {
     val e3a = Export.epochShards(docs, "doc_id", epoch = 3, nShards = 8)
       .select("doc_id", "shard", "pos")

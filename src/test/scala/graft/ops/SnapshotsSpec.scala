@@ -65,6 +65,31 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(held.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
   }
 
+  test("expire while a reader pins an old snapshot: guards keep it readable") {
+    val dir = freshDir()
+    Snapshots.commit(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    Snapshots.commit(spark, Seq((3L, "c")).toDF("id", "v"), dir) // replace
+    Snapshots.commit(spark, Seq((4L, "d")).toDF("id", "v"), dir) // replace
+    // a long-running reader pins snapshot 1 (plan holds v1's file list)
+    val pinned = Snapshots.read(spark, dir, asOf = Some(1L))
+    // GC races the reader. minAgeMs guard: every manifest was written
+    // milliseconds ago, so a 1-hour floor retains all of them — the
+    // pinned plan must materialize v1 EXACTLY, mid-flight
+    assert(Snapshots.expire(spark, dir, keep = 1, minAgeMs = 3600000L) === 0)
+    assert(pinned.select("id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L))
+    // keep guard alone (no age floor): keep=3 retains snapshot 1 too
+    assert(Snapshots.expire(spark, dir, keep = 3) === 0)
+    assert(pinned.select("id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L))
+    // and the converse — with BOTH guards below the pinned snapshot the
+    // GC is allowed to reclaim it: this is exactly the misconfiguration
+    // the guards exist to prevent, so the reader now fails loudly
+    // rather than silently returning partial data
+    assert(Snapshots.expire(spark, dir, keep = 1, minAgeMs = 0L) > 0)
+    intercept[Exception] { pinned.select("id").collect() }
+  }
+
   test("commitBatch is idempotent per batch id; manual commits keep the mark") {
     val dir = freshDir()
     assert(Snapshots.commitBatch(spark, Seq((1L, "a")).toDF("id", "v"),
