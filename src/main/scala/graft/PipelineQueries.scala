@@ -3413,12 +3413,18 @@ object PipelineQueries {
         .select(col("doc_id"), html.as("html"))
       val extracted = pages.select(col("doc_id"),
         Html.extractTextLines(col("html")).as("text"))
+      // cache the post-extraction funnel stages: the regex extraction
+      // chain is the dominant cost and the funnel's four consumers
+      // (c4 count, gopher count, BPE fit collect, BPE certificate)
+      // would otherwise each recompute it from the raw pages
       val cleaned = Quality.c4Clean(extracted)
         .filter(col("c4_keep"))
         .select(col("doc_id"), col("clean_text"))
+        .cache()
       val survivors = Quality.gopherFlags(
         cleaned.select(col("doc_id"), col("clean_text").as("text")))
         .filter(col("gopher_pass"))
+        .cache()
       val merges = Bpe.train(survivors, numMerges = 100)
       val toks = survivors
         .select(col("text"), Bpe.tokens(col("text"), merges).as("toks"))

@@ -364,7 +364,13 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"duplicateClusters exhausted maxIter=$maxIter before convergence; " +
           "labels are NOT the exact transitive closure (raise maxIter)")
-    labels
+    // cut lineage on the result (cheap: the convergence count already
+    // materialized it) so the per-round edge cache can be released
+    // instead of leaking for the session
+    val out = if (labelsCheckpointed) labels else labels.localCheckpoint()
+    if (!labelsCheckpointed) labels.unpersist()
+    edges.unpersist()
+    out
   }
 
   /** Duplicate clusters in O(log n) ROUNDS: the alternating large-star /
@@ -425,14 +431,20 @@ object Dedup {
     * materialization the convergence checksum needs anyway. */
   private[graft] def fastCC(pairs: DataFrame, maxIter: Int,
       strict: Boolean = true): (DataFrame, Int) = {
-    // NOT cached: consumed exactly once (the final anti-join), so a
-    // cache would only pay its write cost
-    val verts = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id"))).distinct()
-    var e = pairs
+    // pin the input pair frame for the TWO derivations that read it
+    // (edge frame + vertex set): `pairs` is typically the output of the
+    // LSH candidate+verify pipeline, and without the pin the verts
+    // branch recomputes that whole upstream a second time. The pin is
+    // pair-count-sized (two longs/row); both derivations materialize
+    // eagerly below, so the cache is released before iteration starts.
+    val pin = pairs.cache()
+    var e = pin
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    val verts = pin.select(col("id_a").as("id"))
+      .union(pin.select(col("id_b").as("id"))).distinct().localCheckpoint()
+    pin.unpersist()
     def checksum(df: DataFrame): (Long, Long, Long) = {
       val r = df.select(xxhash64(col("u"), col("v")).as("h"))
         .agg(count(lit(1)).as("n"), coalesce(sum(col("h")), lit(0L)).as("s"),
