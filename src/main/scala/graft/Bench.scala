@@ -42,9 +42,10 @@ object Bench {
     // round-7 additions
     "q_train_export", "q_dedup_clusters_fast", "q_anchor_text",
     "q_minhash_index_probe", "q_lr_quality",
-    // round-8 additions: the graph + export heavies and the composed
-    // web front half
-    "q_harmonic", "q_epoch_shuffle", "q_web_pipeline")
+    // round-8 additions: the graph + export heavies, the composed
+    // web front half, and the Gopher repetition rules
+    "q_harmonic", "q_epoch_shuffle", "q_web_pipeline",
+    "q_gopher_repetition")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

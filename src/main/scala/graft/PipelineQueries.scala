@@ -3246,6 +3246,130 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The Gopher REPETITION rules (Rae et al. App. A1, second half of
+    // the MassiveWeb set): thirteen per-doc repetition fractions from
+    // ONE codegen'd expression (RepetitionStats — definitions in its
+    // Scaladoc), each against its published threshold. The corpus is
+    // salted with planted repeated lines / duplicate 12-word sentences
+    // / repeated paragraphs so pass AND fail rows exist; DuckDB
+    // recomputes every fraction from scratch (unnest + group-by per
+    // gram size, deterministic (count, len, gram) tie-break for the
+    // top gram) — every division is int/int in double, so the
+    // thirteen doubles hash-match bit-exactly.
+    q("q_gopher_repetition", {
+      val salt =
+        """CASE WHEN doc_id % 13 = 0
+          |       THEN text || repeat(chr(10) || 'Repeat line here.', 4)
+          |     WHEN doc_id % 9 = 0
+          |       THEN text || repeat(chr(10) ||
+          |         'alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu', 2)
+          |     WHEN doc_id % 17 = 0
+          |       THEN text || repeat(chr(10) || chr(10) ||
+          |         'Same paragraph body.', 2)
+          |     ELSE text END""".stripMargin
+      val gramCtes = (2 to 10).map { n =>
+        s"""g$n AS (SELECT doc_id, array_to_string(tk[i:i+${n - 1}], ' ') AS gram
+           |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - ${n - 1})) AS i
+           |        FROM toks))""".stripMargin
+      }.mkString(",\n")
+      val topCtes = Seq(2, 3, 4).map { n =>
+        s"""t$n AS (SELECT doc_id, cnt * length(gram) AS cov FROM (
+           |  SELECT doc_id, gram, count(*) AS cnt,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY count(*) DESC, length(gram) DESC, gram ASC) AS rn
+           |  FROM g$n GROUP BY doc_id, gram) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val dupCtes = (5 to 10).map { n =>
+        s"""d$n AS (SELECT doc_id,
+           |  CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS BIGINT) AS cov
+           |  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g$n GROUP BY 1, 2)
+           |  GROUP BY doc_id)""".stripMargin
+      }.mkString(",\n")
+      def dupSeq(src: String) =
+        s"""(SELECT a.doc_id,
+           |  CAST(a.n - d.nd AS DOUBLE) / a.n AS item_frac,
+           |  CASE WHEN a.c = 0 THEN 0.0
+           |       ELSE CAST(a.c - d.dc AS DOUBLE) / a.c END AS char_frac
+           |FROM (SELECT doc_id, count(*) AS n,
+           |        CAST(sum(length(it)) AS BIGINT) AS c FROM $src GROUP BY 1) a
+           |JOIN (SELECT doc_id, count(*) AS nd,
+           |        CAST(sum(length(it)) AS BIGINT) AS dc
+           |      FROM (SELECT DISTINCT doc_id, it FROM $src) GROUP BY 1) d
+           |  USING (doc_id))""".stripMargin
+      s"""WITH base AS (SELECT doc_id, $salt AS text FROM documents),
+         |b2 AS (SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS tc FROM base),
+         |lns AS (SELECT doc_id, trim(x) AS it
+         |  FROM b2, unnest(string_split(text, chr(10))) AS s(x)
+         |  WHERE trim(x) <> ''),
+         |prs AS (SELECT doc_id, trim(x) AS it
+         |  FROM b2, unnest(string_split_regex(text, '\\n{2,}')) AS s(x)
+         |  WHERE trim(x) <> ''),
+         |lstat AS ${dupSeq("lns")},
+         |pstat AS ${dupSeq("prs")},
+         |toks AS (SELECT doc_id,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+         |  FROM b2),
+         |$gramCtes,
+         |$topCtes,
+         |$dupCtes
+         |SELECT b2.doc_id,
+         |  coalesce(lstat.item_frac, 0.0) AS dup_line_frac,
+         |  coalesce(lstat.char_frac, 0.0) AS dup_line_char_frac,
+         |  coalesce(pstat.item_frac, 0.0) AS dup_para_frac,
+         |  coalesce(pstat.char_frac, 0.0) AS dup_para_char_frac,
+         |  coalesce(t2.cov / tc, 0.0) AS top_gram_frac_2,
+         |  coalesce(t3.cov / tc, 0.0) AS top_gram_frac_3,
+         |  coalesce(t4.cov / tc, 0.0) AS top_gram_frac_4,
+         |  coalesce(d5.cov / tc, 0.0) AS dup_gram_frac_5,
+         |  coalesce(d6.cov / tc, 0.0) AS dup_gram_frac_6,
+         |  coalesce(d7.cov / tc, 0.0) AS dup_gram_frac_7,
+         |  coalesce(d8.cov / tc, 0.0) AS dup_gram_frac_8,
+         |  coalesce(d9.cov / tc, 0.0) AS dup_gram_frac_9,
+         |  coalesce(d10.cov / tc, 0.0) AS dup_gram_frac_10,
+         |  coalesce(lstat.item_frac, 0.0) <= 0.30 AND
+         |  coalesce(lstat.char_frac, 0.0) <= 0.20 AND
+         |  coalesce(pstat.item_frac, 0.0) <= 0.30 AND
+         |  coalesce(pstat.char_frac, 0.0) <= 0.20 AND
+         |  coalesce(t2.cov / tc, 0.0) <= 0.20 AND
+         |  coalesce(t3.cov / tc, 0.0) <= 0.18 AND
+         |  coalesce(t4.cov / tc, 0.0) <= 0.16 AND
+         |  coalesce(d5.cov / tc, 0.0) <= 0.15 AND
+         |  coalesce(d6.cov / tc, 0.0) <= 0.14 AND
+         |  coalesce(d7.cov / tc, 0.0) <= 0.13 AND
+         |  coalesce(d8.cov / tc, 0.0) <= 0.12 AND
+         |  coalesce(d9.cov / tc, 0.0) <= 0.11 AND
+         |  coalesce(d10.cov / tc, 0.0) <= 0.10 AS rep_pass
+         |FROM b2
+         |LEFT JOIN lstat USING (doc_id) LEFT JOIN pstat USING (doc_id)
+         |LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+         |LEFT JOIN t4 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+         |LEFT JOIN d6 USING (doc_id) LEFT JOIN d7 USING (doc_id)
+         |LEFT JOIN d8 USING (doc_id) LEFT JOIN d9 USING (doc_id)
+         |LEFT JOIN d10 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val rep4 = (1 to 4).map(_ => "\nRepeat line here.").mkString
+      val sent = "\nalpha beta gamma delta epsilon zeta eta theta iota " +
+        "kappa lambda mu"
+      val para = "\n\nSame paragraph body."
+      val salted = t(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+            concat(col("text"), lit(rep4)))
+          .when(pmod(col("doc_id"), lit(9)) === 0,
+            concat(col("text"), lit(sent + sent)))
+          .when(pmod(col("doc_id"), lit(17)) === 0,
+            concat(col("text"), lit(para + para)))
+          .otherwise(col("text")).as("text"))
+      graft.ops.Quality.repetitionFlags(salted)
+        .select(col("doc_id") +: (Seq(
+          "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+          "dup_para_char_frac", "top_gram_frac_2", "top_gram_frac_3",
+          "top_gram_frac_4", "dup_gram_frac_5", "dup_gram_frac_6",
+          "dup_gram_frac_7", "dup_gram_frac_8", "dup_gram_frac_9",
+          "dup_gram_frac_10", "rep_pass").map(col)): _*)
+        .orderBy(col("doc_id"))
+    },
+
     // ------------------------------------------------ c4 cleaning rules
     // The C4 filter family (Raffel et al. 2020 §2.2) — LINE-level
     // cleaning (terminal punctuation, ≥3 words, no javascript) then

@@ -9,7 +9,8 @@ import org.apache.spark.sql.graft._
   * expressions: `spark.sql.extensions=graft.engine.GraftExtensions`
   * (or `.withExtensions(new GraftExtensions)`) makes `simhash64`,
   * `shingles`, `fingerprint64`, `sentences`, `hive_hash`, `ngrams`,
-  * `context_ngrams`, `parse_url_tuple`, `minhash_signature`, `field`
+  * `context_ngrams`, `parse_url_tuple`, `minhash_signature`,
+  * `repetition_stats`, `field`
   * available to every session SQL-side with no manual registration — the
   * idiomatic extension point for a Spark-native library (preferred over
   * per-session registry mutation).

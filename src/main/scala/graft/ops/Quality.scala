@@ -113,6 +113,52 @@ object Quality {
       "c4_keep" -> (okSentences && okLorem && okBrace && okBlock)))
   }
 
+  /** The Gopher REPETITION rules (Rae et al. 2021, App. A1 "repetitious
+    * text" — the second half of the MassiveWeb rule set, applied by
+    * FineWeb/Dolma-class pipelines after the structural rules above):
+    * thirteen per-document repetition fractions, each against its
+    * published threshold, plus the `rep_pass` conjunction. All thirteen
+    * come from ONE codegen'd expression
+    * ([[org.apache.spark.sql.graft.RepetitionStats]] — a single pass
+    * over the document; see its Scaladoc for the exact cross-engine
+    * definitions), so the operator is a narrow scan-fused projection:
+    * no shuffle, no UDF, and the per-rule booleans surface individually
+    * for rule-attribution audits (the [[gopherFlags]] contract).
+    *
+    * Thresholds (keep when ALL hold — Table A1):
+    *   dup line / paragraph fraction ≤ 0.30; dup line / paragraph
+    *   CHAR fraction ≤ 0.20; top 2/3/4-gram char fraction ≤
+    *   0.20/0.18/0.16; dup 5…10-gram char fraction ≤
+    *   0.15/0.14/0.13/0.12/0.11/0.10. */
+  def repetitionFlags(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val st = org.apache.spark.sql.graft.GraftFunctions
+      .repetitionStats(col(textCol))
+    val fields = Seq(
+      "dup_line_frac" -> 0.30, "dup_line_char_frac" -> 0.20,
+      "dup_para_frac" -> 0.30, "dup_para_char_frac" -> 0.20,
+      "top_gram_frac_2" -> 0.20, "top_gram_frac_3" -> 0.18,
+      "top_gram_frac_4" -> 0.16,
+      "dup_gram_frac_5" -> 0.15, "dup_gram_frac_6" -> 0.14,
+      "dup_gram_frac_7" -> 0.13, "dup_gram_frac_8" -> 0.12,
+      "dup_gram_frac_9" -> 0.11, "dup_gram_frac_10" -> 0.10)
+    val withStats = docs.withColumn("_rep", st)
+      .withColumns(fields.map { case (f, _) =>
+        f -> col("_rep").getField(f) }.toMap)
+      .drop("_rep")
+    withStats
+      .withColumns(fields.map { case (f, t) =>
+        s"ok_$f" -> (col(f) <= t) }.toMap)
+      .withColumn("rep_pass",
+        fields.map { case (f, t) => col(f) <= t }.reduce(_ && _))
+  }
+
+  /** Keep only documents passing every repetition rule. */
+  def repetitionFilter(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val cols = repetitionFlags(docs, textCol).columns
+      .diff(docs.columns)
+    repetitionFlags(docs, textCol).filter(col("rep_pass")).drop(cols: _*)
+  }
+
   /** Per-rule removal rates over a corpus — one aggregate row: the
     * rule-attribution audit (which rule is doing the cutting?). */
   def gopherReport(docs: DataFrame, textCol: String = "text"): DataFrame = {

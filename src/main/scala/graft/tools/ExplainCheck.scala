@@ -100,6 +100,9 @@ object ExplainCheck {
         docs.filter(col("doc_id") % 2 === 1), mhDir,
         docs.filter(col("doc_id") % 2 === 0), threshold = 0.5)
       .queryExecution.explainString(fmt))
+    println("########## op:Quality.repetitionFlags (one-pass repetition kernel, narrow)")
+    println(graft.ops.Quality.repetitionFlags(docs)
+      .queryExecution.explainString(fmt))
     println("########## op:Classifier.scoreLogistic (plan-literal weights, narrow)")
     val lrm = graft.ops.Classifier.LrModel(Array(0.5, -1.2), 0.1)
     println(graft.ops.Classifier.scoreLogistic(

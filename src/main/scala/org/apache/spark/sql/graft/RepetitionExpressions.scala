@@ -1,0 +1,170 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Intra-document repetition metrics — the SECOND half of the Gopher /
+  * MassiveWeb rule set (Rae et al. 2021, App. A1 "repetitious text"),
+  * applied by every major curation pipeline after the structural rules
+  * in [[graft.ops.Quality.gopherFlags]]: documents dominated by
+  * repeated lines, paragraphs, or n-grams are boilerplate/spam even
+  * when they pass the length and symbol heuristics.
+  *
+  * One expression computes ALL thirteen fractions in a single pass
+  * over the document (one split into lines/paragraphs/words, one
+  * hash-counting sweep per gram size), instead of thirteen nested
+  * higher-order-function chains — HOF lambdas evaluate interpreted,
+  * per element × per metric, while this kernel is one static call
+  * inside whole-stage codegen (same rationale as
+  * [[MinHashSignature]]).
+  *
+  * Definitions (documented here because published implementations vary
+  * in the overlap/double-count details; the DuckDB oracle recomputes
+  * EXACTLY these):
+  *   - lines = '\n'-split, trimmed, empties dropped; paragraphs =
+  *     '\n{2,}'-split, trimmed, empties dropped; words = '\s+'-split,
+  *     empties dropped; an n-gram is n consecutive words joined by a
+  *     single space.
+  *   - dup fraction of a sequence = items beyond their first
+  *     occurrence / total items.
+  *   - dup CHAR fraction = code points of items beyond first
+  *     occurrence / code points of all items.
+  *   - top n-gram char fraction (n = 2, 3, 4) = count(top gram) ×
+  *     len(top gram) / len(text); the top gram maximizes (count, gram
+  *     length, lexicographically-smallest) in that order — a total
+  *     deterministic tie-break any engine reproduces.
+  *   - dup n-gram char fraction (n = 5…10) = Σ over grams occurring
+  *     ≥ 2× of count × len(gram) / len(text). (Variant note: the
+  *     Gopher paper marks covered character POSITIONS; position
+  *     marking is not expressible as one aggregation, and this
+  *     count×len form preserves the metric's monotonicity while
+  *     staying exactly recomputable cross-engine.)
+  * All lengths are Unicode code points (DuckDB's `length`). Every
+  * fraction is one integer÷integer double division, so the bits match
+  * across engines. Empty denominators yield 0.0.
+  */
+object RepetitionKernel {
+
+  val schema: StructType = StructType(Seq(
+    StructField("dup_line_frac", DoubleType, nullable = false),
+    StructField("dup_line_char_frac", DoubleType, nullable = false),
+    StructField("dup_para_frac", DoubleType, nullable = false),
+    StructField("dup_para_char_frac", DoubleType, nullable = false),
+    StructField("top_gram_frac_2", DoubleType, nullable = false),
+    StructField("top_gram_frac_3", DoubleType, nullable = false),
+    StructField("top_gram_frac_4", DoubleType, nullable = false),
+    StructField("dup_gram_frac_5", DoubleType, nullable = false),
+    StructField("dup_gram_frac_6", DoubleType, nullable = false),
+    StructField("dup_gram_frac_7", DoubleType, nullable = false),
+    StructField("dup_gram_frac_8", DoubleType, nullable = false),
+    StructField("dup_gram_frac_9", DoubleType, nullable = false),
+    StructField("dup_gram_frac_10", DoubleType, nullable = false)))
+
+  private def codePoints(s: String): Long =
+    s.codePointCount(0, s.length).toLong
+
+  /** (dup item fraction, dup char fraction) over one sequence. */
+  private def dupStats(items: Array[String]): (Double, Double) = {
+    if (items.length == 0) return (0.0, 0.0)
+    val seen = new java.util.HashSet[String](items.length * 2)
+    var dupN = 0L
+    var chars = 0L
+    var dupChars = 0L
+    var i = 0
+    while (i < items.length) {
+      val cp = codePoints(items(i))
+      chars += cp
+      if (!seen.add(items(i))) { dupN += 1; dupChars += cp }
+      i += 1
+    }
+    (dupN.toDouble / items.length,
+      if (chars == 0L) 0.0 else dupChars.toDouble / chars)
+  }
+
+  /** Per-gram-size count map in one sweep; grams are space-joined. */
+  private def gramCounts(words: Array[String], n: Int): java.util.HashMap[String, Long] = {
+    val m = new java.util.HashMap[String, Long]()
+    if (words.length >= n) {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= words.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        val g = sb.toString
+        m.merge(g, 1L, (a, b) => a + b)
+        i += 1
+      }
+    }
+    m
+  }
+
+  def repetitionStats(text: UTF8String): InternalRow = {
+    val s = text.toString
+    val totalChars = codePoints(s)
+    val lines = s.split("\n").map(_.trim).filter(_.nonEmpty)
+    val paras = s.split("\n{2,}").map(_.trim).filter(_.nonEmpty)
+    val words = s.split("\\s+").filter(_.nonEmpty)
+    val (dlf, dlcf) = dupStats(lines)
+    val (dpf, dpcf) = dupStats(paras)
+
+    def topFrac(n: Int): Double = {
+      if (totalChars == 0L) return 0.0
+      val m = gramCounts(words, n)
+      if (m.isEmpty) return 0.0
+      var bestCnt = -1L
+      var bestLen = -1L
+      var bestGram: String = null
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val len = codePoints(e.getKey)
+        val better = e.getValue > bestCnt ||
+          (e.getValue == bestCnt && (len > bestLen ||
+            (len == bestLen && e.getKey.compareTo(bestGram) < 0)))
+        if (better) { bestCnt = e.getValue; bestLen = len; bestGram = e.getKey }
+      }
+      (bestCnt * bestLen).toDouble / totalChars
+    }
+
+    def dupFrac(n: Int): Double = {
+      if (totalChars == 0L) return 0.0
+      val m = gramCounts(words, n)
+      var cov = 0L
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue >= 2L) cov += e.getValue * codePoints(e.getKey)
+      }
+      cov.toDouble / totalChars
+    }
+
+    InternalRow(dlf, dlcf, dpf, dpcf,
+      topFrac(2), topFrac(3), topFrac(4),
+      dupFrac(5), dupFrac(6), dupFrac(7), dupFrac(8), dupFrac(9),
+      dupFrac(10))
+  }
+}
+
+/** repetition_stats(text) → struct of the thirteen Gopher repetition
+  * fractions (see [[RepetitionKernel]] for exact definitions). */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = RepetitionKernel.schema
+  override def prettyName: String = "repetition_stats"
+  override protected def nullSafeEval(input: Any): Any =
+    RepetitionKernel.repetitionStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.RepetitionKernel.repetitionStats($c)")
+  override protected def withNewChildInternal(c: Expression): RepetitionStats =
+    copy(child = c)
+}

@@ -371,6 +371,8 @@ object GraftFunctions {
   def linesNotIn(lines: Column, sortedFps: Column): Column =
     column(LinesNotIn(expression(lines), expression(sortedFps)))
   def sentences(c: Column): Column = column(SentencesExpr(expression(c)))
+  def repetitionStats(c: Column): Column =
+    column(RepetitionStats(expression(c)))
   def minhashSignature(shingles: Column, k: Int): Column =
     column(MinHashSignature(expression(shingles),
       org.apache.spark.sql.catalyst.expressions.Literal(k)))
@@ -476,6 +478,8 @@ object GraftFunctions {
     "shingles" -> arity("shingles", 2)(es => Shingles(es(0), es(1))),
     "fingerprint64" -> arity("fingerprint64", 1)(es => Fingerprint64(es.head)),
     "sentences" -> arity("sentences", 1)(es => SentencesExpr(es.head)),
+    "repetition_stats" ->
+      arity("repetition_stats", 1)(es => RepetitionStats(es.head)),
     "hive_hash" ->
       ((es: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions.HiveHash(es)),
     "ngrams" -> arity("ngrams", 3)(es =>

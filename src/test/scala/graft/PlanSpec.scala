@@ -306,6 +306,10 @@ class PlanSpec extends AnyFunSuite {
         Seq(("t", "h"))).as("toks"))
       .queryExecution.executedPlan.toString
     assert(!pb.contains("Exchange"), s"bpe apply must not shuffle:\n$pb")
+    val pr = graft.ops.Quality.repetitionFlags(docs)
+      .queryExecution.executedPlan.toString
+    assert(!pr.contains("Exchange"),
+      s"repetition rules must be a narrow scan projection:\n$pr")
   }
 
   test("pageRank iteration: contribution agg partial-aggregates, no constant key") {

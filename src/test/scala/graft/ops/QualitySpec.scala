@@ -94,4 +94,54 @@ class QualitySpec extends AnyFunSuite {
     val passRate = rep.getDouble(rep.length - 1)
     assert(math.abs(passRate - kept.toDouble / docs.count()) < 1e-4)
   }
+
+  private def repRow(text: String) =
+    Quality.repetitionFlags(Seq((1L, text)).toDF("doc_id", "text")).first()
+  private def f(r: org.apache.spark.sql.Row, name: String): Double =
+    r.getDouble(r.fieldIndex(name))
+
+  test("repetition stats: hand-computed line and gram fixtures") {
+    // "a b\na b\nc d": 3 lines, one dup (3 of 9 chars); words a b a b c d
+    val r1 = repRow("a b\na b\nc d")
+    assert(f(r1, "dup_line_frac") === 1.0 / 3)
+    assert(f(r1, "dup_line_char_frac") === 3.0 / 9)
+    assert(f(r1, "dup_para_frac") === 0.0)
+    // top 2-gram is "a b" (count 2, len 3); text len 11
+    assert(f(r1, "top_gram_frac_2") === 2.0 * 3 / 11)
+    // all 3-grams unique -> best count 1, longest-then-smallest wins (len 5)
+    assert(f(r1, "top_gram_frac_3") === 5.0 / 11)
+    assert(f(r1, "dup_gram_frac_5") === 0.0)
+    assert(r1.getAs[Boolean]("rep_pass") === false) // line dup 0.33 > 0.30
+
+    // repeated paragraph
+    val r2 = repRow("para one\n\npara one\n\npara two")
+    assert(f(r2, "dup_para_frac") === 1.0 / 3)
+    assert(f(r2, "dup_para_char_frac") === 8.0 / 24)
+    assert(f(r2, "dup_line_frac") === 1.0 / 3)
+
+    // duplicated 5-gram: "x y z w v" twice (len 9), text len 21
+    val r3 = repRow("x y z w v x y z w v u")
+    assert(f(r3, "dup_gram_frac_5") === 2.0 * 9 / 21)
+    assert(f(r3, "dup_gram_frac_6") === 0.0)
+
+    // empty text: all fractions 0, pass
+    val r4 = repRow("")
+    assert(f(r4, "dup_line_frac") === 0.0 &&
+      f(r4, "top_gram_frac_2") === 0.0 && r4.getAs[Boolean]("rep_pass"))
+  }
+
+  test("repetition filter equals pass rows; stats stable under repartition") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val flagged = Quality.repetitionFlags(docs)
+    assert(Quality.repetitionFilter(docs).count() ===
+      flagged.filter(col("rep_pass")).count())
+    // output schema of the filter matches the input (flags dropped)
+    assert(Quality.repetitionFilter(docs).columns === docs.columns)
+    val a = flagged.select("doc_id", "dup_line_frac", "top_gram_frac_2",
+      "dup_gram_frac_5").collect().map(_.toSeq).toSet
+    val b = Quality.repetitionFlags(docs.repartition(17))
+      .select("doc_id", "dup_line_frac", "top_gram_frac_2",
+        "dup_gram_frac_5").collect().map(_.toSeq).toSet
+    assert(a === b, "per-doc stats must not depend on partitioning")
+  }
 }
