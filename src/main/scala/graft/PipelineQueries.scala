@@ -2407,6 +2407,51 @@ object PipelineQueries {
           col("n_tokens"), col("n_docs"))
     },
 
+    // SFT/chat export: per-conversation turn reassembly with
+    // role-masked loss spans (events stand in for chat turns:
+    // conversation = user, role from event-id parity, order =
+    // (ts, event_id)). DuckDB recomputes the assembly the classical
+    // way — row_number ordering + a windowed prefix sum for the
+    // offsets — while the Spark side does ONE keyed aggregation with
+    // an in-array fold; the span table is serialized
+    // "start:end:role:train;…" on both sides so the driver's comparer
+    // can hash it (array-of-struct columns are unsortable in pandas,
+    // the q_train_export lesson).
+    q("q_sft_export",
+      """WITH t AS (SELECT user_id AS conv, event_id, ts,
+        |  CASE WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |  event_type || ' ' || props AS txt FROM events),
+        |o AS (SELECT conv, role, txt,
+        |  row_number() OVER (PARTITION BY conv ORDER BY ts, event_id) AS rn
+        |  FROM t),
+        |w AS (SELECT conv, role, txt, rn,
+        |  CAST(coalesce(sum(length(txt) + 1) OVER (PARTITION BY conv
+        |    ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS BIGINT) AS st
+        |  FROM o)
+        |SELECT conv, string_agg(txt, chr(10) ORDER BY rn) AS text,
+        |  count(*) AS n_turns,
+        |  CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_train_turns,
+        |  string_agg(st || ':' || (st + length(txt)) || ':' || role ||
+        |    ':' || (role = 'assistant'), ';' ORDER BY rn) AS spans
+        |FROM w GROUP BY conv ORDER BY conv""".stripMargin) { (s, dir) =>
+      val turns = t(s, dir, "events").select(
+        col("user_id").as("conv_id"),
+        struct(col("ts"), col("event_id")).as("ord"),
+        when(pmod(col("event_id"), lit(2)) === 0, lit("user"))
+          .otherwise(lit("assistant")).as("role"),
+        concat(col("event_type"), lit(" "), col("props")).as("txt"))
+      graft.ops.Export.sftExamples(turns, col("conv_id"), col("ord"),
+          col("role"), col("txt"))
+        .select(col("conv"), col("text"), col("n_turns"),
+          col("n_train_turns"),
+          array_join(transform(col("spans"), sp => concat_ws(":",
+            sp.getField("start"), sp.getField("end"),
+            sp.getField("role"), sp.getField("train"))), ";").as("spans"))
+        .orderBy(col("conv"))
+    },
+
     // Deterministic per-epoch shuffle: shard and dense in-shard slot
     // for every doc, pure functions of (epoch, doc_id) through the
     // cross-engine md5 unit — DuckDB re-deals the identical epoch from

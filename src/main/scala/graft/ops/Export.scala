@@ -72,6 +72,64 @@ object Export {
       .select(col("window_id"), col("tokens"), col("n_tokens"), col("n_docs"))
   }
 
+  /** SFT/chat-example export — the fine-tuning counterpart of
+    * [[contextWindows]]: per-conversation turn sequences reassembled
+    * into ONE training example per conversation, i.e. the turns joined
+    * into a single text plus a span table (start/end character offsets
+    * per turn, the turn's role, and a `train` mask that is true for
+    * `trainRole` turns only) — the standard "loss on assistant tokens
+    * only" SFT data shape, with the offsets precomputed so the trainer
+    * masks by span instead of re-tokenizing roles.
+    *
+    * Scale shape: ONE keyed shuffle (groupBy conversation — exactly
+    * the aggregation any per-conversation assembly needs); turn
+    * ordering and offset arithmetic happen inside the aggregated array
+    * via a single O(turns) fold (sort_array + aggregate HOF), so no
+    * window function, no second shuffle, no per-turn output rows.
+    * Offsets count characters (Spark `length` semantics) and assume
+    * `sep` joins consecutive turns.
+    *
+    * `ordCol` must order turns totally within a conversation (pass a
+    * struct like `struct(ts, event_id)` to break timestamp ties —
+    * a non-total order would make offsets nondeterministic).
+    *
+    * Output: (conv, text, n_turns, n_train_turns,
+    * spans: array<struct<start, end, role, train>>). */
+  def sftExamples(turns: DataFrame, convCol: Column, ordCol: Column,
+      roleCol: Column, textCol: Column, trainRole: String = "assistant",
+      sep: String = "\n"): DataFrame = {
+    val sepLen = sep.codePointCount(0, sep.length).toLong
+    val sorted = sort_array(collect_list(
+      struct(ordCol.as("o"), roleCol.as("r"), textCol.as("t"))))
+    val emptySpans = expr(
+      "CAST(array() AS array<struct<start:bigint,end:bigint," +
+        "role:string,train:boolean>>)")
+    val spans = aggregate(
+      col("_ts"),
+      struct(lit(0L).as("off"), emptySpans.as("spans")),
+      (acc, x) => {
+        val start = acc.getField("off")
+        val end = start + length(x.getField("t")).cast("long")
+        struct(
+          (end + lit(sepLen)).as("off"),
+          concat(acc.getField("spans"), array(struct(
+            start.as("start"), end.as("end"),
+            x.getField("r").as("role"),
+            (x.getField("r") === lit(trainRole)).as("train"))))
+            .as("spans"))
+      },
+      acc => acc.getField("spans"))
+    turns
+      .groupBy(convCol.as("conv"))
+      .agg(sorted.as("_ts"))
+      .select(col("conv"),
+        array_join(expr("transform(_ts, x -> x.t)"), sep).as("text"),
+        size(col("_ts")).cast("long").as("n_turns"),
+        size(filter(col("_ts"), x => x.getField("r") === lit(trainRole)))
+          .cast("long").as("n_train_turns"),
+        spans.as("spans"))
+  }
+
   /** Deterministic per-epoch shuffle: every row gets a `shard` in
     * [0, nShards) and a dense 0-based `pos` within its shard, both pure
     * functions of (`epoch`, key) via the cross-engine md5 unit

@@ -100,6 +100,12 @@ object ExplainCheck {
         docs.filter(col("doc_id") % 2 === 1), mhDir,
         docs.filter(col("doc_id") % 2 === 0), threshold = 0.5)
       .queryExecution.explainString(fmt))
+    println("########## op:Export.sftExamples (one keyed agg, in-array offset fold)")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    println(graft.ops.Export.sftExamples(ev, col("user_id"),
+        org.apache.spark.sql.functions.struct(col("ts"), col("event_id")),
+        col("event_type"), col("props"))
+      .queryExecution.explainString(fmt))
     println("########## op:Quality.repetitionFlags (one-pass repetition kernel, narrow)")
     println(graft.ops.Quality.repetitionFlags(docs)
       .queryExecution.explainString(fmt))

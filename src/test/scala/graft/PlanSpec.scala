@@ -363,6 +363,19 @@ class PlanSpec extends AnyFunSuite {
       s"per-query top-k must be the bounded-heap aggregate:\n$ps")
   }
 
+  test("sftExamples: one keyed aggregation, no window, no second exchange") {
+    import org.apache.spark.sql.functions.{col, struct}
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val p = graft.ops.Export.sftExamples(ev, col("user_id"),
+        struct(col("ts"), col("event_id")), col("event_type"),
+        col("props"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"conversation assembly must shuffle exactly once:\n$p")
+    assert(!p.contains("Window"),
+      s"offsets must come from the in-array fold, not a window pass:\n$p")
+  }
+
   test("MinhashIndex.probeExact: corpus re-join is candidates-only, no cartesian") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -126,6 +126,40 @@ class ExportSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
   }
 
+  test("sftExamples: hand-computed spans, mask, and join; repartition-stable") {
+    import spark.implicits._
+    val turns = Seq(
+      (1L, 2, "assistant", "hi there"),
+      (1L, 1, "user", "hello"),
+      (1L, 3, "user", "bye"),
+      (2L, 1, "system", "be brief"),
+      (2L, 2, "assistant", "ok")
+    ).toDF("conv_id", "turn", "role", "txt")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Export.sftExamples(df, col("conv_id"), col("turn"), col("role"),
+        col("txt")).orderBy("conv")
+    val rows = run(turns).collect()
+    val r1 = rows(0)
+    assert(r1.getAs[String]("text") === "hello\nhi there\nbye")
+    assert(r1.getAs[Long]("n_turns") === 3L)
+    assert(r1.getAs[Long]("n_train_turns") === 1L)
+    val spans1 = r1.getSeq[org.apache.spark.sql.Row](r1.fieldIndex("spans"))
+      .map(s => (s.getLong(0), s.getLong(1), s.getString(2), s.getBoolean(3)))
+    // "hello"(0..5) sep "hi there"(6..14) sep "bye"(15..18)
+    assert(spans1 === Seq((0L, 5L, "user", false),
+      (6L, 14L, "assistant", true), (15L, 18L, "user", false)))
+    // spans tile the text: each span slices back to its turn
+    val text1 = r1.getAs[String]("text")
+    assert(spans1.map { case (s, e, _, _) =>
+      text1.substring(s.toInt, e.toInt) } === Seq("hello", "hi there", "bye"))
+    val r2 = rows(1)
+    assert(r2.getAs[String]("text") === "be brief\nok")
+    assert(r2.getAs[Long]("n_train_turns") === 1L)
+    // partitioning must not affect assembly
+    assert(run(turns.repartition(7)).collect().map(_.toString).toSeq ===
+      rows.map(_.toString).toSeq)
+  }
+
   test("epochShards: deterministic, dense per shard, epoch-sensitive") {
     val e3a = Export.epochShards(docs, "doc_id", epoch = 3, nShards = 8)
       .select("doc_id", "shard", "pos")
