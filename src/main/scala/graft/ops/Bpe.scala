@@ -99,6 +99,40 @@ object Bpe {
     trainFromCounts(top, numMerges)
   }
 
+  /** Persist a trained merge table as a snapshot table ([[Snapshots]]):
+    * one (rank, left, right) row per merge, rank = application order.
+    * A tokenizer is pipeline STATE — the fit must outlive the session,
+    * ship to other jobs, and stay bit-identical across reloads, or
+    * every downstream token count silently shifts. Snapshot commits
+    * give that for free: atomic replace (a half-written vocab is
+    * unobservable), time travel back to the vocab any historical run
+    * used, and rollback. Driver-side I/O only — the table is
+    * vocab-sized (bounded by [[MaxPlanLiteralMerges]]). */
+  def save(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)], dir: String): Long = {
+    import spark.implicits._
+    require(merges.size <= MaxPlanLiteralMerges,
+      s"merge table has ${merges.size} entries, above " +
+        s"$MaxPlanLiteralMerges — not a plan-literal-sized vocab")
+    Snapshots.commit(spark,
+      merges.zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }
+        .toDF("rank", "left", "right"),
+      dir)
+  }
+
+  /** Reload a persisted merge table in training order; `asOf` time-
+    * travels to the vocab a historical run used. Round-trips [[save]]
+    * exactly (rank ordering, not file ordering, restores the merge
+    * sequence). */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String,
+      asOf: Option[Long] = None): Seq[(String, String)] =
+    Snapshots.read(spark, dir, asOf)
+      .orderBy(col("rank"))
+      .collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+      .toSeq
+
   /** Hard ceiling on the plan-literal merge table. The literal rides
     * the serialized plan to EVERY task and is embedded in generated
     * code paths, so it must stay driver/codegen-sized: 65 536 merges

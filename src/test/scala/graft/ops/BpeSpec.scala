@@ -96,6 +96,27 @@ class BpeSpec extends AnyFunSuite {
     assert(merges === Seq(("a", "b")))
   }
 
+  test("save/load round-trips the merge table; time travel restores old vocab") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString + "/m"
+    val m1 = Bpe.train(docs.limit(100), numMerges = 30)
+    val id1 = Bpe.save(spark, m1, dir)
+    assert(Bpe.load(spark, dir) === m1, "reload must be bit-identical")
+    // retrain on more data, replace-commit; current load sees the new fit
+    val m2 = Bpe.train(docs.limit(300), numMerges = 30)
+    Bpe.save(spark, m2, dir)
+    assert(Bpe.load(spark, dir) === m2)
+    // time travel: the vocab a historical run used is still exact
+    assert(Bpe.load(spark, dir, asOf = Some(id1)) === m1)
+    // tokenization through a reloaded table is identical to in-memory
+    val viaLoad = docs.limit(50)
+      .select(Bpe.tokens(col("text"), Bpe.load(spark, dir)).as("t"))
+      .collect().map(_.getSeq[String](0))
+    val viaMem = docs.limit(50)
+      .select(Bpe.tokens(col("text"), m2).as("t"))
+      .collect().map(_.getSeq[String](0))
+    assert(viaLoad.toSeq === viaMem.toSeq)
+  }
+
   test("plan-literal merge table is bounded; oversized vocab is rejected") {
     val over = (0 to Bpe.MaxPlanLiteralMerges)
       .map(i => (s"a$i", s"b$i"))
