@@ -214,15 +214,30 @@ object Graph {
       .union(e.select(col("_ed"))).distinct()
     var dist = nodes.select(col("node").as("s"), col("node").as("v"),
       lit(0).as("d")).localCheckpoint()
-    for (_ <- 1 to maxT) {
+    // early-stop on the BFS fixpoint: the relaxation discovers a pair
+    // (s, v) at EXACTLY round min-hops(s→v) with its final distance
+    // (d(s,v) is exact once round ≥ hops), so a round adding zero new
+    // pairs can never improve an existing one — when the pair count is
+    // stable the answer is final even with rounds left (a small-
+    // diameter graph finishes in diameter+1 rounds, not maxT). The
+    // count is one scalar per round off the frame the checkpoint
+    // materializes anyway.
+    var n = dist.count()
+    var round = 1
+    var grown = true
+    while (grown && round <= maxT) {
       val ext = dist.join(e, dist("v") === e("_es"))
         .select(col("s"), col("_ed").as("v"), (col("d") + 1).as("d"))
       // eager checkpoint per round: the plan references dist twice and
       // there is no other per-round action to amortize materialization
       val next = dist.union(ext).groupBy("s", "v")
         .agg(min(col("d")).as("d")).localCheckpoint()
+      val nNext = next.count()
       dist.unpersist()
       dist = next
+      grown = nNext > n
+      n = nNext
+      round += 1
     }
     e.unpersist() // dist is checkpointed; see harmonicCentrality
     dist
