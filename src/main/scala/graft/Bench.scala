@@ -45,7 +45,7 @@ object Bench {
     // round-8 additions: the graph + export heavies, the composed
     // web front half, and the Gopher repetition rules
     "q_harmonic", "q_epoch_shuffle", "q_web_pipeline",
-    "q_gopher_repetition", "q_sft_export")
+    "q_gopher_repetition", "q_sft_export", "q_strip_corpus_lines")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

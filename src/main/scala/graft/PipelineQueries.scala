@@ -1830,6 +1830,55 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // INCREMENTAL line-level dedup (the Dolma dedupe granularity): odd
+    // docs are the arriving batch, even docs the curated corpus — every
+    // batch line already present anywhere in the corpus is stripped,
+    // the document survives with its novel lines. Same synthesized
+    // multi-line docs as q_boilerplate_strip (HDR + 8-word body lines),
+    // so HDR lines and near-dup shared chunks produce real strips. The
+    // oracle recomputes membership by LINE STRING against the even-doc
+    // line set; the Spark side goes through fingerprints + the
+    // broadcast sorted-index binary search — full rewritten-text
+    // equality proves the fp path exact.
+    q("q_strip_corpus_lines",
+      """WITH w AS (SELECT doc_id, source,
+        |    string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |toks AS (SELECT doc_id, unnest(generate_series(0, len(ws)-1)) AS pos,
+        |    unnest(ws) AS word FROM w),
+        |body AS (SELECT doc_id, pos // 8 AS lno,
+        |    string_agg(word, ' ' ORDER BY pos) AS line
+        |  FROM toks GROUP BY doc_id, pos // 8),
+        |lines AS (SELECT doc_id, -1 AS lno, 'HDR ' || source AS line FROM w
+        |          UNION ALL SELECT doc_id, lno, line FROM body),
+        |corp AS (SELECT DISTINCT line FROM lines
+        |         WHERE doc_id % 2 = 0 AND trim(line) <> ''),
+        |b AS (SELECT doc_id, lno, line FROM lines WHERE doc_id % 2 = 1),
+        |kept AS (SELECT doc_id, lno, line FROM b
+        |         WHERE trim(line) = '' OR line NOT IN (SELECT line FROM corp)),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |          string_agg(line, chr(10) ORDER BY lno) AS cleaned
+        |        FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_lines FROM b GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(t.n_lines - coalesce(a.n_kept, 0) AS INT) AS n_removed,
+        |  coalesce(a.cleaned, '') AS cleaned
+        |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val words = split(trim(col("text")), "\\s+")
+      val nLines = ceil(size(words).cast("double") / 8.0).cast("int")
+      val body = transform(sequence(lit(0), nLines - 1),
+        i => array_join(slice(words, i * 8 + 1, lit(8)), " "))
+      val ml = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("HDR "), col("source")),
+          array_join(body, "\n")).as("ml"))
+      graft.ops.Boilerplate.stripCorpusLines(
+          ml.filter(pmod(col("doc_id"), lit(2)) === 1),
+          ml.filter(pmod(col("doc_id"), lit(2)) === 0), textCol = "ml")
+        .select(col("doc_id"), col("n_removed"), col("ml").as("cleaned"))
+        .orderBy(col("doc_id"))
+    },
+
     // ------------------------------------------------ LM quality scoring
     // Per-doc mean negative log-likelihood under the corpus' own unigram
     // model (the CCNet perplexity-filter signal). Model = one wordcount;

@@ -99,6 +99,40 @@ object Boilerplate {
     LineIndex(frequentFps(corpus, minDocs, textCol)
       .collect().map(_.getLong(0)).sorted.toSeq)
 
+  /** INCREMENTAL line-level dedup against a curated corpus — the Dolma
+    * dedupe granularity, completing the incremental family:
+    * [[Dedup.dropAgainstCorpus]] decides per DOCUMENT, this decides per
+    * LINE, the right unit when crawls re-serve partial content (a page
+    * re-fetched with one new comment should contribute the comment, not
+    * be dropped whole or kept whole). Every line of `incoming` already
+    * present anywhere in `corpus` is stripped; the document survives
+    * with its novel lines (order preserved, `n_removed` accounted).
+    * Blank/whitespace lines are never treated as duplicates — they are
+    * formatting, not content, and stripping them would merge unrelated
+    * lines.
+    *
+    * Scale shape: the corpus never shuffles — its line fingerprints are
+    * filtered scan-side by a broadcast of the BATCH's distinct line
+    * fingerprints (bounded by the batch, the small side by
+    * construction), so the only aggregations run over matched
+    * fingerprints (≤ batch line count). The matched set returns as ONE
+    * sorted fingerprint array and the strip is the same codegen'd
+    * binary-search expression as the frequent-line path. */
+  def stripCorpusLines(incoming: DataFrame, corpus: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    def lineFps(df: DataFrame) = df
+      .select(explode(array_distinct(split(col(textCol), "\n"))).as("_l"))
+      .filter(length(trim(col("_l"))) > 0)
+      .select(GraftFunctions.fingerprint64(col("_l")).as("_fp"))
+    val batchFps = lineFps(incoming).distinct()
+    val seen = lineFps(corpus)
+      .join(broadcast(batchFps), Seq("_fp"), "left_semi")
+      .distinct()
+    val index = seen.agg(sort_array(collect_list(col("_fp"))).as("_idx"))
+    stripAgainst(incoming.crossJoin(broadcast(index)), col("_idx"), textCol)
+      .drop("_idx")
+  }
+
   /** Strip against a pre-built [[LineIndex]] embedded as a plan literal:
     * a stateless narrow projection with no join at all — safe on batch
     * AND streaming frames (the streaming twin of [[stripFrequentLines]]:

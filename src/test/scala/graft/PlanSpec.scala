@@ -363,6 +363,19 @@ class PlanSpec extends AnyFunSuite {
       s"per-query top-k must be the bounded-heap aggregate:\n$ps")
   }
 
+  test("stripCorpusLines: corpus side never sort-merge-joins; strip is broadcast") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = graft.ops.Boilerplate.stripCorpusLines(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      s"all joins must broadcast (batch-fp semi-join + one-row index):\n$p")
+    assert(p.contains("lines_not_in"),
+      s"the strip must be the codegen'd binary-search expression:\n$p")
+  }
+
   test("sftExamples: one keyed aggregation, no window, no second exchange") {
     import org.apache.spark.sql.functions.{col, struct}
     val ev = spark.read.parquet(s"$sfDir/events.parquet")

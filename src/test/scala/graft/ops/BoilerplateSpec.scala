@@ -79,6 +79,34 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(m("alpha prose one") === 1L)
   }
 
+  test("stripCorpusLines: corpus-seen lines stripped, novel and blank kept") {
+    val batch = Seq(
+      // shares the banner + one corpus prose line; keeps its own
+      (10L, "COOKIE BANNER\nnew comment here\nalpha prose one"),
+      // blank line is formatting, never a duplicate even though the
+      // corpus could contain blanks
+      (11L, "fresh start\n\nfresh end"),
+      // fully corpus-covered doc survives as empty text
+      (12L, "COOKIE BANNER\nfooter inc"),
+      // a line repeated WITHIN the batch but absent from the corpus
+      // is kept in both docs (membership is vs corpus, not frequency)
+      (13L, "batch only line"),
+      (14L, "batch only line")).toDF("doc_id", "text")
+    val out = Boilerplate.stripCorpusLines(batch, corpus)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Int]("n_removed"))).toMap
+    assert(out(10L) === ("new comment here", 2))
+    assert(out(11L) === ("fresh start\n\nfresh end", 0))
+    assert(out(12L) === ("", 2))
+    assert(out(13L) === ("batch only line", 0))
+    assert(out(14L) === ("batch only line", 0))
+    // repartition stability
+    val out2 = Boilerplate.stripCorpusLines(batch.repartition(5), corpus)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Int]("n_removed"))).toMap
+    assert(out2 === out)
+  }
+
   test("stripWithIndex (literal-index path) equals the broadcast path") {
     val idx = Boilerplate.buildLineIndex(corpus, minDocs = 3)
     assert(idx.nLines === 2) // COOKIE BANNER + footer inc
