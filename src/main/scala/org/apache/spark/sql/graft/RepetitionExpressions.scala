@@ -63,6 +63,11 @@ object RepetitionKernel {
     StructField("dup_gram_frac_9", DoubleType, nullable = false),
     StructField("dup_gram_frac_10", DoubleType, nullable = false)))
 
+  // precompiled: String.split(regex) recompiles the pattern per call,
+  // and this kernel runs once per document in the scan hot path
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+  private val ParaBreak = java.util.regex.Pattern.compile("\n{2,}")
+
   private def codePoints(s: String): Long =
     s.codePointCount(0, s.length).toLong
 
@@ -110,8 +115,8 @@ object RepetitionKernel {
     val s = text.toString
     val totalChars = codePoints(s)
     val lines = s.split("\n").map(_.trim).filter(_.nonEmpty)
-    val paras = s.split("\n{2,}").map(_.trim).filter(_.nonEmpty)
-    val words = s.split("\\s+").filter(_.nonEmpty)
+    val paras = ParaBreak.split(s).map(_.trim).filter(_.nonEmpty)
+    val words = Ws.split(s).filter(_.nonEmpty)
     val (dlf, dlcf) = dupStats(lines)
     val (dpf, dpcf) = dupStats(paras)
 
