@@ -160,6 +160,36 @@ class ExportSpec extends AnyFunSuite {
       rows.map(_.toString).toSeq)
   }
 
+  test("sftExamples: spans tile every conversation on real event data") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val out = Export.sftExamples(ev, col("user_id"),
+      struct(col("ts"), col("event_id")),
+      when(pmod(col("event_id"), lit(2)) === 0, lit("user"))
+        .otherwise(lit("assistant")),
+      concat(col("event_type"), lit(" "), col("props"))).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val text = r.getAs[String]("text")
+      val spans = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("spans"))
+      assert(spans.size.toLong === r.getAs[Long]("n_turns"))
+      assert(spans.count(_.getBoolean(3)).toLong ===
+        r.getAs[Long]("n_train_turns"))
+      // spans tile [0, len] with exactly one separator char between
+      var expectStart = 0L
+      spans.foreach { sp =>
+        assert(sp.getLong(0) === expectStart, s"gap at ${sp.getLong(0)}")
+        assert(sp.getLong(1) >= sp.getLong(0))
+        expectStart = sp.getLong(1) + 1
+      }
+      assert(spans.last.getLong(1) === text.length.toLong)
+      // every train span slices to a full turn with no separator inside
+      spans.foreach { sp =>
+        val slice = text.substring(sp.getLong(0).toInt, sp.getLong(1).toInt)
+        assert(!slice.contains("\n"), "a span must never cross a separator")
+      }
+    }
+  }
+
   test("epochShards: deterministic, dense per shard, epoch-sensitive") {
     val e3a = Export.epochShards(docs, "doc_id", epoch = 3, nShards = 8)
       .select("doc_id", "shard", "pos")
