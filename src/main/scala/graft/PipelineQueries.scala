@@ -419,6 +419,47 @@ object PipelineQueries {
         .orderBy(col("inc_id"), col("corp_id"))
     },
 
+    // Persistent BM25 inverted index: build on the even-id half,
+    // APPEND the odd-id half (exercising the delta commit and the meta
+    // totals fold), then probe two terms. The oracle recomputes BM25
+    // over the FULL corpus directly — so one hash-match pins build,
+    // append, df-from-postings, meta folding, and the scoring formula
+    // end-to-end: any drift in any stage shifts a score. Same formula
+    // and rounding as q_bm25; N counts docs with ≥1 token (the index's
+    // contract — it can only ever return docs that tokenize non-empty).
+    q("q_bm25_index_probe",
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+        |  FROM documents),
+        |tok AS (SELECT doc_id, token FROM tk WHERE token <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+        |ad AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |qt AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |       WHERE token IN ('spark', 'vector') GROUP BY doc_id, token),
+        |dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
+        |        WHERE token IN ('spark', 'vector') GROUP BY token)
+        |SELECT qt.doc_id,
+        |  round(sum(
+        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |    tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        |FROM qt, dfq, dl, n, ad
+        |WHERE qt.token = dfq.token AND qt.doc_id = dl.doc_id
+        |GROUP BY qt.doc_id ORDER BY qt.doc_id""".stripMargin) { (s, dir) =>
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_bm25_idx_${math.abs(dir.hashCode)}").toString
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true): Unit
+      val docs = t(s, dir, "documents")
+      graft.ops.Bm25Index.build(s,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), tmp)
+      graft.ops.Bm25Index.append(s,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), tmp)
+      graft.ops.Bm25Index.probe(s, tmp, Seq("spark", "vector"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("doc_id"))
+    },
+
     // SimHash near-dup via custom Catalyst expression + Hamming banding.
     // No cross-engine twin exists (the 64-bit FNV-based signature isn't
     // expressible in SQL), so the oracle is a bound-style certificate:
@@ -1600,6 +1641,45 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Vocabulary coverage curve (tokenizer sizing): minimal vocab size
+    // covering 50/90/99/100% of token occurrences, via count-class
+    // rollup — the oracle recomputes the same class arithmetic, so the
+    // count aggregation, class cumsum and the ceil band arithmetic all
+    // hash-check. Thresholds are exact-binary-or-shared literals; every
+    // arithmetic step is mirrored double-for-double (see
+    // Relevance.vocabCoverage).
+    q("q_vocab_coverage",
+      """WITH tk AS (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+        |  FROM documents),
+        |tok AS (SELECT token FROM tk WHERE token <> ''),
+        |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |cl AS (SELECT cnt, count(*) AS n_tokens, cnt * count(*) AS mass
+        |       FROM c GROUP BY cnt),
+        |cum AS (SELECT cnt, n_tokens, mass,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY cnt DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before,
+        |  CAST(coalesce(sum(mass) OVER (ORDER BY cnt DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS freq_before
+        |  FROM cl),
+        |tot AS (SELECT CAST(sum(mass) AS BIGINT) AS total FROM cl),
+        |thr AS (SELECT CAST(t AS DOUBLE) AS threshold
+        |        FROM (VALUES (0.5), (0.9), (0.99), (1.0)) v(t))
+        |SELECT threshold,
+        |  CAST(tok_before + ceil((threshold * total - freq_before) / cnt)
+        |    AS BIGINT) AS vocab_size,
+        |  round((freq_before + ceil((threshold * total - freq_before) / cnt)
+        |    * cnt) / CAST(total AS DOUBLE), 6) AS coverage
+        |FROM thr, tot, cum
+        |WHERE threshold * total > freq_before
+        |  AND threshold * total <= freq_before + mass
+        |ORDER BY threshold""".stripMargin) { (s, dir) =>
+      graft.ops.Relevance.vocabCoverage(t(s, dir, "documents"),
+          Seq(0.5, 0.9, 0.99, 1.0))
+        .select(col("threshold"), col("vocab_size"),
+          round(col("coverage"), 6).as("coverage"))
+        .orderBy(col("threshold"))
+    },
+
     // ------------------------------------------------ curation sampling
     // Domain quota: keep the 10 md5-smallest doc_ids per source — the
     // "cap every domain at K documents" curation step; prefilter +
@@ -1636,6 +1716,77 @@ object PipelineQueries {
         |FROM n WHERE n > 0 ORDER BY doc_id, copy""".stripMargin) { (s, dir) =>
       graft.ops.Sampling.upsampleByStratum(t(s, dir, "documents"),
           "source", "doc_id", Map("src0" -> 2.5, "src1" -> 0.5))
+        .select(col("doc_id"), col("source"), col("copy"))
+        .orderBy(col("doc_id"), col("copy"))
+    },
+
+    // Training-mixture planner: weight spec + token budget → per-source
+    // epoch multipliers. Weights are exact-binary doubles (0.5/0.25/
+    // 0.125) so Σw is bit-identical across engines regardless of
+    // summation order; 'src_absent' exercises the listed-but-missing
+    // path (avail 0, NULL epochs — a misconfigured mix must surface in
+    // the plan, not silently renormalize). n_chars stands in for the
+    // token count.
+    q("q_mixture_plan",
+      """WITH w AS (SELECT * FROM (VALUES
+        |    ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.25 AS DOUBLE)),
+        |    ('src2', CAST(0.125 AS DOUBLE)),
+        |    ('src_absent', CAST(0.125 AS DOUBLE))) AS t(source, weight)),
+        |a AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail_tokens
+        |      FROM documents GROUP BY source),
+        |p AS (SELECT w.source, w.weight,
+        |    coalesce(a.avail_tokens, 0) AS avail_tokens,
+        |    CAST(100000 AS DOUBLE) * w.weight / 1.0 AS target_tokens,
+        |    CASE WHEN coalesce(a.avail_tokens, 0) > 0
+        |      THEN CAST(100000 AS DOUBLE) * w.weight / 1.0 / a.avail_tokens
+        |    END AS epochs
+        |  FROM w LEFT JOIN a ON w.source = a.source)
+        |SELECT source, weight, avail_tokens,
+        |  round(target_tokens, 6) AS target_tokens,
+        |  round(epochs, 6) AS epochs,
+        |  CAST(floor(epochs) AS INT) AS full_epochs,
+        |  round(epochs - floor(epochs), 6) AS frac_rate
+        |FROM p ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.ops.Sampling.mixturePlan(t(s, dir, "documents"),
+          "source", "n_chars",
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125,
+            "src_absent" -> 0.125), budgetTokens = 100000L)
+        .select(col("source"), col("weight"), col("avail_tokens"),
+          round(col("target_tokens"), 6).as("target_tokens"),
+          round(col("epochs"), 6).as("epochs"),
+          col("full_epochs"),
+          round(col("frac_rate"), 6).as("frac_rate"))
+        .orderBy(col("source"))
+    },
+
+    // Materialized mixture: the planner's multipliers feed the
+    // md5-deterministic upsampler, so the oracle recomputes the FULL
+    // loop — availability, epoch arithmetic, and every per-row copy
+    // decision (u < frac gate) — from the weight literals alone. Exact-
+    // binary weights keep the multiplier doubles bit-identical, which
+    // the strict u < frac boundary requires.
+    q("q_mixture_materialize",
+      """WITH a AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS av
+        |      FROM documents GROUP BY source),
+        |m AS (SELECT source, CAST(40000 AS DOUBLE) *
+        |    (CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+        |                 WHEN 'src1' THEN CAST(0.25 AS DOUBLE)
+        |                 ELSE CAST(0.25 AS DOUBLE) END) / 1.0 / av AS m
+        |  FROM a WHERE source IN ('src0', 'src1', 'src2')),
+        |d AS (SELECT doc_id, d.source, m,
+        |    CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 6)) AS INTEGER)
+        |      / 16777216.0 AS u
+        |  FROM documents d JOIN m ON d.source = m.source),
+        |n AS (SELECT doc_id, source,
+        |    CAST(floor(m) AS INT) +
+        |    CASE WHEN u < m - floor(m) THEN 1 ELSE 0 END AS n FROM d)
+        |SELECT doc_id, source,
+        |  CAST(unnest(generate_series(0, n - 1)) AS INT) AS copy
+        |FROM n WHERE n > 0 ORDER BY doc_id, copy""".stripMargin) { (s, dir) =>
+      graft.ops.Sampling.materializeMixture(t(s, dir, "documents"),
+          "source", "doc_id", "n_chars",
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25),
+          budgetTokens = 40000L)
         .select(col("doc_id"), col("source"), col("copy"))
         .orderBy(col("doc_id"), col("copy"))
     },

@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent inverted index for BM25 retrieval — the lexical-search
+  * lifecycle companion of [[MinhashIndex]] (near-dup) and [[IvfIndex]]
+  * (vector ANN): postings live as a snapshot table ([[Snapshots]]), so
+  * serving a query touches ONLY the postings rows of its terms instead
+  * of re-tokenizing the corpus the way [[Relevance.bm25]] must.
+  *
+  * Why this exists: `Relevance.bm25` is the right shape for one-off
+  * analytical scoring (one corpus pass, no state), but a retrieval
+  * serving path runs thousands of queries against the same corpus — at
+  * 100 TB that is thousands of corpus scans. Here the corpus-sized
+  * tokenization happens ONCE at [[build]] (and per-batch at [[append]]);
+  * a [[probe]] reads postings for its query terms only.
+  *
+  * Index layout under `dir/` (each an atomic, time-travelable snapshot
+  * table):
+  *  - `postings` — (token, doc_id, tf, dl), range-clustered by token
+  *    and committed with token min/max stats, so a probe prunes at BOTH
+  *    granularities: snapshot stats skip whole files whose token range
+  *    cannot contain any query term, and the pushed-down `isin` skips
+  *    parquet row groups inside survivors. `dl` (document length) is
+  *    denormalized into the posting row — one extra long per row buys
+  *    the probe freedom from any doc-keyed side table: probe I/O is
+  *    O(postings of the query terms), full stop.
+  *  - `meta` — (n_docs, total_dl), one row, replace-committed. Global
+  *    idf/avgdl inputs; [[append]] folds the batch totals in.
+  *
+  * Per-term df is NOT stored: it is exactly the posting-row count of
+  * the term, recomputed from the (already candidate-sized) fetched
+  * postings at probe time — so appends never rewrite historical
+  * statistics, and df can never drift from the postings that define it.
+  *
+  * Scoring matches [[Relevance.bm25]] bit-for-bit (same Lucene-variant
+  * formula, same tokenizer, oracle-checked cross-engine): an index
+  * probe and a direct corpus scan are interchangeable answers. One
+  * boundary: meta's `n_docs` counts documents that tokenize non-empty
+  * (the only ones the index can ever return), so the two paths coincide
+  * exactly when every document has ≥1 token — an empty-text doc shifts
+  * `Relevance.bm25`'s N but not the index's.
+  *
+  * Contract: batch doc ids appended via [[append]] must be new — a
+  * re-appended doc would double its postings (same rule as
+  * [[MinhashIndex.append]]; dedup the batch against the corpus first).
+  */
+object Bm25Index {
+
+  final case class Stats(nDocs: Long, totalDl: Long)
+
+  /** Postings for one document batch: (token, doc_id, tf, dl). Narrow
+    * tokenize + one (token, doc_id) aggregate; dl rides along via a
+    * window-free second aggregate joined on the 8-byte doc key. */
+  private def postingsOf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tk = Relevance.tokens(docs, idCol, textCol)
+    val post = tk.groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+    val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    post.join(dl, "doc_id").select("token", "doc_id", "tf", "dl")
+  }
+
+  private def batchStats(docs: DataFrame, idCol: String,
+      textCol: String): Stats = {
+    val r = Relevance.tokens(docs, idCol, textCol)
+      .agg(countDistinct(col("doc_id")).as("n"),
+        count(lit(1)).as("t")).head()
+    Stats(r.getLong(0), r.getLong(1))
+  }
+
+  /** Build the index from scratch (replace commit). The one
+    * corpus-tokenization pass. `clusterParts` sizes the token
+    * range-clustering — at 100 TB raise it so each postings file stays
+    * row-group-friendly; file count = probe pruning granularity. */
+  def build(spark: SparkSession, docs: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      clusterParts: Int = 8): Unit = {
+    import spark.implicits._
+    Snapshots.commit(spark,
+      postingsOf(docs, idCol, textCol)
+        .repartitionByRange(clusterParts, col("token"))
+        .sortWithinPartitions("token"),
+      s"$dir/postings", statsCols = Seq("token")): Unit
+    val s = batchStats(docs, idCol, textCol)
+    Snapshots.commit(spark, Seq((s.nDocs, s.totalDl))
+      .toDF("n_docs", "total_dl"), s"$dir/meta"): Unit
+  }
+
+  /** Stored corpus totals. */
+  def stats(spark: SparkSession, dir: String): Stats = {
+    val r = Snapshots.read(spark, s"$dir/meta").head()
+    Stats(r.getAs[Long]("n_docs"), r.getAs[Long]("total_dl"))
+  }
+
+  /** Index a new document batch: postings work for the BATCH only,
+    * append-committed (historical files carry by reference, their token
+    * stats verbatim); meta replace-committed with the folded totals. */
+  def append(spark: SparkSession, docs: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      clusterParts: Int = 1): Unit = {
+    import spark.implicits._
+    val prev = stats(spark, dir)
+    Snapshots.commit(spark,
+      postingsOf(docs, idCol, textCol)
+        .repartitionByRange(clusterParts, col("token"))
+        .sortWithinPartitions("token"),
+      s"$dir/postings", append = true): Unit
+    val b = batchStats(docs, idCol, textCol)
+    Snapshots.commit(spark, Seq((prev.nDocs + b.nDocs,
+      prev.totalDl + b.totalDl)).toDF("n_docs", "total_dl"),
+      s"$dir/meta"): Unit
+  }
+
+  /** BM25 scores of the stored corpus against a bag of query terms:
+    * (doc_id, score) for documents matching ≥1 term, identical formula
+    * and constants to [[Relevance.bm25]]. Terms are lower-cased through
+    * the shared tokenizer so probe("Spark") and indexed "spark" meet.
+    *
+    * Plan shape (pinned in PlanSpec): snapshot token-range stats prune
+    * postings files, the `isin` prunes row groups within survivors
+    * (PushedFilters: In(token, ...)); df is a tiny aggregate OVER THE
+    * FETCHED ROWS broadcast back; meta is a broadcast literal pair. No
+    * corpus-sized scan, shuffle, or join anywhere. */
+  def probe(spark: SparkSession, dir: String, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "probe needs at least one query term")
+    val terms = queryTerms.map(_.toLowerCase)
+      .flatMap(_.split(Relevance.TokenPattern)).filter(_.nonEmpty).distinct
+    val s = stats(spark, dir)
+    val avgdl = s.totalDl.toDouble / s.nDocs.max(1L)
+    val post = Snapshots.readRange(spark, s"$dir/postings",
+        Seq(Snapshots.ColRange("token", Some(terms.min), Some(terms.max))))
+      .filter(col("token").isin(terms: _*))
+    val df_ = post.groupBy("token").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(s.nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
+    post.join(broadcast(df_), "token")
+      .groupBy(col("doc_id"))
+      .agg(sum(idf * norm).as("score"))
+  }
+}

@@ -86,4 +86,55 @@ object Relevance {
       .groupBy(col("doc_id"))
       .agg(sum(idf * norm).as("score"))
   }
+
+  /** Vocabulary coverage curve — the tokenizer-sizing question "how
+    * many vocabulary entries cover X% of corpus token occurrences?".
+    * For each threshold t: the MINIMAL vocabulary size k such that the
+    * k most frequent tokens cover ≥ t of all occurrences, plus the
+    * coverage that k actually achieves. Output (threshold, vocab_size,
+    * coverage), one row per threshold.
+    *
+    * The key move is grouping tokens into COUNT CLASSES (all tokens
+    * with equal frequency): within a class every token contributes the
+    * same mass, so the minimal k is exact and tie-order-independent —
+    * `k = tokens_before + ceil((t·total − freq_before) / cnt)` against
+    * the one class whose cumulative band contains t·total. No
+    * per-token global order is ever materialized.
+    *
+    * Scale shape: one corpus-wide (token) aggregate — the only big
+    * shuffle — then a count-class rollup whose output is bounded by
+    * the number of DISTINCT frequencies, ≤ √(2·total occurrences)
+    * (Σ distinct counts ≤ total), i.e. ~3M rows at 100 TB: the global
+    * window over classes sorts a metadata-class frame, not the corpus.
+    * Thresholds are a literal broadcast; the class totals broadcast as
+    * a 1-row aggregate. */
+  def vocabCoverage(docs: DataFrame, thresholds: Seq[Double],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(t => t > 0 && t <= 1),
+      "thresholds must lie in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = tokens(docs, idCol, textCol)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val classes = counts.groupBy("cnt")
+      .agg(count(lit(1)).as("n_tokens"))
+      .withColumn("mass", col("cnt") * col("n_tokens"))
+    val w = Window.orderBy(col("cnt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = classes
+      .withColumn("tok_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("freq_before", coalesce(sum(col("mass")).over(w), lit(0L)))
+    val total = classes.agg(sum(col("mass")).as("total"))
+    val thr = thresholds.distinct.sorted.toDF("threshold")
+    val need = col("threshold") * col("total").cast("double")
+    val kWithin = ceil((need - col("freq_before")) / col("cnt")).cast("long")
+    broadcast(thr).crossJoin(broadcast(total)).join(cum,
+        need > col("freq_before").cast("double") &&
+        need <= (col("freq_before") + col("mass")).cast("double"))
+      .select(col("threshold"),
+        (col("tok_before") + kWithin).as("vocab_size"),
+        ((col("freq_before") + kWithin * col("cnt")).cast("double") /
+          col("total")).as("coverage"))
+  }
 }

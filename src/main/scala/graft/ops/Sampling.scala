@@ -189,6 +189,61 @@ object Sampling {
       .drop("_n")
   }
 
+  /** Training-mixture planner: turn a target source-weight spec + token
+    * budget into per-source epoch multipliers, the missing step between
+    * "we want 50% wiki / 30% code / 20% web, 1T tokens total" and
+    * [[upsampleByStratum]]'s copy map. Per listed source:
+    * `target = budget·w/Σw`, `epochs = target / avail` — the multiplier
+    * that realizes the target, split into `full_epochs` + `frac_rate`
+    * exactly as the upsampler consumes it. Listed-but-absent sources
+    * surface with avail_tokens=0 and NULL epochs instead of vanishing
+    * — a misconfigured mix should be visible in the plan, not silently
+    * renormalized. Observed-but-unlisted sources are excluded (weight
+    * 0 by omission).
+    *
+    * Scale shape: per-source availability is ONE partial+final
+    * aggregate over the corpus; the weight table is a literal |sources|
+    * rows broadcast. The output is |weights| rows — a plan, not data.
+    */
+  def mixturePlan(df: DataFrame, stratumCol: String, tokensCol: String,
+      weights: Map[String, Double], budgetTokens: Long): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixture weights must be positive")
+    require(budgetTokens >= 1, s"budgetTokens=$budgetTokens")
+    import df.sparkSession.implicits._
+    val sumW = weights.values.sum
+    val wdf = weights.toSeq.sortBy(_._1).toDF(stratumCol, "weight")
+    val avail = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokensCol)).cast("long").as("avail_tokens"))
+    val target = lit(budgetTokens.toDouble) * col("weight") / lit(sumW)
+    val epochs = when(col("avail_tokens") > 0, target / col("avail_tokens"))
+    broadcast(wdf).join(avail, Seq(stratumCol), "left")
+      .select(col(stratumCol), col("weight"),
+        coalesce(col("avail_tokens"), lit(0L)).as("avail_tokens"),
+        target.as("target_tokens"),
+        epochs.as("epochs"),
+        floor(epochs).cast("int").as("full_epochs"),
+        (epochs - floor(epochs)).as("frac_rate"))
+  }
+
+  /** Materialize a [[mixturePlan]]: run the planner, then upsample each
+    * listed source by its epoch multiplier ([[upsampleByStratum]] — so
+    * the copy decision stays md5-deterministic and engine-recomputable).
+    * Sources outside the plan are dropped first (the plan IS the
+    * corpus definition). The plan collect is |weights| rows — the
+    * bounded driver-fold class (Bloom/centroids), not a data collect. */
+  def materializeMixture(df: DataFrame, stratumCol: String, keyCol: String,
+      tokensCol: String, weights: Map[String, Double],
+      budgetTokens: Long): DataFrame = {
+    val plan = mixturePlan(df, stratumCol, tokensCol, weights, budgetTokens)
+      .filter(col("epochs").isNotNull)
+      .select(col(stratumCol), col("epochs")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    require(plan.nonEmpty, "no listed source present in the corpus")
+    upsampleByStratum(df.filter(col(stratumCol).isin(plan.keys.toSeq: _*)),
+      stratumCol, keyCol, plan)
+  }
+
   /** Per-stratum token-budget trimming — "at most B tokens per source":
     * walk each stratum in md5(key) order and keep rows while the
     * cumulative token count BEFORE the row is < `budget` (so the row

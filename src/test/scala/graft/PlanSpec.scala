@@ -405,6 +405,31 @@ class PlanSpec extends AnyFunSuite {
       s"exact verify must never cross-join:\n$p")
   }
 
+  test("Bm25Index.probe: term filter pushed to the postings scan, no corpus-sized join") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-bm25").toString
+    graft.ops.Bm25Index.build(spark, docs, dir)
+    val q = graft.ops.Bm25Index.probe(spark, dir, Seq("spark", "vector"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("In(token") && p.contains("PushedFilters: ["),
+      s"the isin must reach the postings parquet scan:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"df must come back as a broadcast, never a shuffled join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join on the serving path:\n$p")
+  }
+
+  test("mixture materialization stays narrow: no shuffle before the expand") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = graft.ops.Sampling.materializeMixture(docs, "source", "doc_id",
+        "n_chars", Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25), 40000L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"the copy decision is a literal CASE + md5 gate — no shuffle:\n$p")
+    assert(p.contains("Generate"), s"epoch copies come from explode:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→agg hot path") {
     // AQE reveals codegen spans only in the final (post-execution) plan
     val df = SparkEntry.queries("q_agg_pricing")(spark, sfDir)

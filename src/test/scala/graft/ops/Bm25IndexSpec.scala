@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.TestSpark.{sfDir, spark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class Bm25IndexSpec extends AnyFunSuite {
+
+  private lazy val docs =
+    spark.read.parquet(s"$sfDir/documents.parquet").cache()
+  private def freshDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-bm25idx-$tag")
+    d.toFile.delete()
+    d.toString
+  }
+  private def scored(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("doc_id"), round(col("score"), 6).as("s")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+
+  test("probe of the stored index equals the direct corpus-scan BM25") {
+    val dir = freshDir("eq")
+    Bm25Index.build(spark, docs, dir)
+    val probed = scored(Bm25Index.probe(spark, dir, Seq("spark", "vector")))
+    val direct = scored(Relevance.bm25(docs, Seq("spark", "vector")))
+    assert(probed.keySet === direct.keySet)
+    for ((id, s) <- probed)
+      assert(math.abs(s - direct(id)) < 1e-6, s"doc $id: $s vs ${direct(id)}")
+    assert(probed.nonEmpty, "query terms must match documents at this sf")
+  }
+
+  test("build + append equals one build over the union; time travel sees only the base") {
+    val dir = freshDir("append")
+    val half1 = docs.filter(col("doc_id") < 250)
+    val half2 = docs.filter(col("doc_id") >= 250)
+    Bm25Index.build(spark, half1, dir)
+    val postingsBefore = Snapshots.latestId(spark, s"$dir/postings").get
+    val statsBefore = Bm25Index.stats(spark, dir)
+    Bm25Index.append(spark, half2, dir)
+
+    val whole = freshDir("whole")
+    Bm25Index.build(spark, docs, whole)
+    assert(scored(Bm25Index.probe(spark, dir, Seq("spark", "vector"))) ===
+      scored(Bm25Index.probe(spark, whole, Seq("spark", "vector"))),
+      "append-built index must score identically to a from-scratch build")
+
+    // meta folded the batch totals
+    val after = Bm25Index.stats(spark, dir)
+    assert(after.nDocs > statsBefore.nDocs)
+    assert(after.totalDl > statsBefore.totalDl)
+    // pre-append snapshot still scores like the half1-only index
+    val old = freshDir("old")
+    Bm25Index.build(spark, half1, old)
+    val oldPost = Snapshots.read(spark, s"$dir/postings",
+      asOf = Some(postingsBefore))
+    assert(oldPost.count() ===
+      Snapshots.read(spark, s"$old/postings").count(),
+      "time travel exposes the pre-append postings")
+  }
+
+  test("probe tokenizes query terms (case, punctuation) like the index") {
+    val dir = freshDir("tok")
+    Bm25Index.build(spark, docs, dir)
+    assert(scored(Bm25Index.probe(spark, dir, Seq("SPARK!", "Vector"))) ===
+      scored(Bm25Index.probe(spark, dir, Seq("spark", "vector"))))
+  }
+
+  test("file-level pruning: a probe for an extreme-range term skips postings files") {
+    val dir = freshDir("prune")
+    Bm25Index.build(spark, docs, dir, clusterParts = 8)
+    // 'zzzz…' sits past every real token's range-cluster except the last
+    val (kept, total) = Snapshots.selectRangeFiles(spark, s"$dir/postings",
+      Seq(Snapshots.ColRange("token", Some("zzzzzzzz"), Some("zzzzzzzz"))))
+    assert(total >= 8, s"range-clustered build writes >=8 files, got $total")
+    assert(kept.size < total,
+      s"token stats must prune files: kept ${kept.size} of $total")
+  }
+}

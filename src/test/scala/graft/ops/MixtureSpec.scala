@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.TestSpark.{sfDir, spark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MixtureSpec extends AnyFunSuite {
+
+  private lazy val docs =
+    spark.read.parquet(s"$sfDir/documents.parquet").cache()
+
+  test("mixturePlan: targets split the budget by weight; epochs invert availability") {
+    val plan = Sampling.mixturePlan(docs, "source", "n_chars",
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25), 100000L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(plan.keySet === Set("src0", "src1", "src2"))
+    val targets = plan.values.map(_.getAs[Double]("target_tokens")).sum
+    assert(math.abs(targets - 100000.0) < 1e-6,
+      "targets must sum to the budget when weights normalize to 1")
+    for ((_, r) <- plan) {
+      val avail = r.getAs[Long]("avail_tokens").toDouble
+      val e = r.getAs[Double]("epochs")
+      assert(math.abs(e * avail - r.getAs[Double]("target_tokens")) < 1e-6,
+        "epochs * avail == target")
+      assert(r.getAs[Int]("full_epochs") === math.floor(e).toInt)
+      assert(math.abs(r.getAs[Double]("frac_rate") - (e - math.floor(e))) < 1e-12)
+    }
+  }
+
+  test("mixturePlan: a listed-but-absent source surfaces with NULL epochs") {
+    val r = Sampling.mixturePlan(docs, "source", "n_chars",
+        Map("src0" -> 0.5, "nope" -> 0.5), 1000L)
+      .filter(col("source") === "nope").head()
+    assert(r.getAs[Long]("avail_tokens") === 0L)
+    assert(r.isNullAt(r.fieldIndex("epochs")))
+    assert(r.isNullAt(r.fieldIndex("full_epochs")))
+  }
+
+  test("materializeMixture achieves each source's target within one doc's tokens (expectation)") {
+    val budget = 40000L
+    val weights = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25)
+    val out = Sampling.materializeMixture(docs, "source", "doc_id",
+      "n_chars", weights, budget)
+    // only listed sources survive
+    assert(out.select("source").distinct().collect()
+      .map(_.getString(0)).toSet === weights.keySet)
+    // achieved tokens per source land near target: each row's copy
+    // decision is an independent md5 coin at rate frac, so the error
+    // bound is the largest doc's token count times a small multiple
+    val achieved = out.groupBy("source").agg(sum("n_chars").as("got"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("got")).toMap
+    val plan = Sampling.mixturePlan(docs, "source", "n_chars", weights, budget)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("target_tokens")).toMap
+    val maxDoc = docs.agg(max("n_chars")).head().getLong(0)
+    for ((s, target) <- plan)
+      assert(math.abs(achieved(s) - target) <= 8 * maxDoc,
+        s"$s achieved ${achieved(s)} vs target $target (slack ${8 * maxDoc})")
+  }
+
+  test("materializeMixture is deterministic (same plan, same copies)") {
+    val w = Map("src0" -> 1.5, "src1" -> 0.75)
+    def run() = Sampling.materializeMixture(docs, "source", "doc_id",
+        "n_chars", w, 20000L)
+      .select("doc_id", "copy").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(run() === run())
+  }
+}

@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.TestSpark.{sfDir, spark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VocabCoverageSpec extends AnyFunSuite {
+
+  private lazy val docs =
+    spark.read.parquet(s"$sfDir/documents.parquet").cache()
+
+  /** Brute-force twin: rank tokens by (count desc), walk the prefix. */
+  private def brute(thresholds: Seq[Double]): Map[Double, (Long, Double)] = {
+    val counts = Relevance.tokens(docs).groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(_.getAs[Long]("cnt")).sorted(Ordering[Long].reverse)
+    val total = counts.sum.toDouble
+    thresholds.map { t =>
+      var acc = 0L; var k = 0L
+      while (acc.toDouble < t * total && k < counts.length) {
+        acc += counts(k.toInt); k += 1
+      }
+      t -> (k, acc / total)
+    }.toMap
+  }
+
+  test("matches the brute-force prefix walk on real data") {
+    val ts = Seq(0.5, 0.9, 0.99, 1.0)
+    val got = Relevance.vocabCoverage(docs, ts).collect()
+      .map(r => r.getAs[Double]("threshold") ->
+        (r.getAs[Long]("vocab_size"), r.getAs[Double]("coverage"))).toMap
+    val want = brute(ts)
+    for (t <- ts) {
+      assert(got(t)._1 === want(t)._1, s"vocab_size at $t")
+      assert(math.abs(got(t)._2 - want(t)._2) < 1e-9, s"coverage at $t")
+    }
+  }
+
+  test("tiny hand-computed corpus") {
+    import spark.implicits._
+    // counts: a=4, b=2, c=1, d=1 → total 8
+    val d = Seq((1L, "a a a a"), (2L, "b b c"), (3L, "d"))
+      .toDF("doc_id", "text")
+    val got = Relevance.vocabCoverage(d, Seq(0.5, 0.75, 1.0)).collect()
+      .map(r => r.getAs[Double]("threshold") ->
+        (r.getAs[Long]("vocab_size"), r.getAs[Double]("coverage"))).toMap
+    assert(got(0.5) === ((1L, 0.5)))    // 'a' alone covers 4/8
+    assert(got(0.75) === ((2L, 0.75)))  // a+b cover 6/8
+    assert(got(1.0) === ((4L, 1.0)))
+  }
+
+  test("vocab_size is monotone in the threshold; coverage >= threshold") {
+    val ts = Seq(0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    val rows = Relevance.vocabCoverage(docs, ts)
+      .orderBy("threshold").collect()
+    val sizes = rows.map(_.getAs[Long]("vocab_size"))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a <= b })
+    rows.foreach { r =>
+      assert(r.getAs[Double]("coverage") >=
+        r.getAs[Double]("threshold") - 1e-12)
+    }
+  }
+}
