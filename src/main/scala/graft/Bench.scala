@@ -45,7 +45,8 @@ object Bench {
     // round-8 additions: the graph + export heavies, the composed
     // web front half, and the Gopher repetition rules
     "q_harmonic", "q_epoch_shuffle", "q_web_pipeline",
-    "q_gopher_repetition", "q_sft_export", "q_strip_corpus_lines")
+    "q_gopher_repetition", "q_sft_export", "q_strip_corpus_lines",
+    "q_bm25_index_probe", "q_mixture_materialize", "q_vocab_coverage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1506,6 +1506,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Deterministic exact-N uniform sample: the 200 md5-smallest keys.
+    // Unlike the fraction samplers the COUNT is exact by construction;
+    // the oracle independently ranks the same digests. The plan is
+    // TakeOrderedAndProject (bounded per-partition heaps, no global
+    // sort — pinned in PlanSpec).
+    q("q_sample_exact_n",
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source FROM documents
+        |  ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 200)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Sampling.exactN(t(s, dir, "documents"), "doc_id", 200)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     // Curriculum/quality bucketing: quartile labels from ONE percentile
     // aggregate (boundaries broadcast), scan-side strict-`>` crossing
     // count — no global sort. exact = true here so both engines

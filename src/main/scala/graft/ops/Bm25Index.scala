@@ -142,4 +142,19 @@ object Bm25Index {
       .groupBy(col("doc_id"))
       .agg(sum(idf * norm).as("score"))
   }
+
+  /** Re-cluster the postings after a run of [[append]]s: appends are
+    * batch-sized delta files whose token ranges overlap the historical
+    * files, so file-level pruning degrades as deltas accumulate (every
+    * file's range widens toward [first, last] token). One replace
+    * commit restores tight ranges; time travel to pre-optimize
+    * snapshots still works (old manifests reference the old files).
+    * Scores are unaffected — postings rows are a set. */
+  def optimize(spark: SparkSession, dir: String,
+      clusterParts: Int = 8): Unit =
+    Snapshots.commit(spark,
+      Snapshots.read(spark, s"$dir/postings")
+        .repartitionByRange(clusterParts, col("token"))
+        .sortWithinPartitions("token"),
+      s"$dir/postings", statsCols = Seq("token")): Unit
 }

@@ -47,6 +47,24 @@ object Sampling {
     * can recompute the exact selected set from the key alone (oracle-
     * checked as q_sample_by_key). Prefer [[byKeyHash]] when only Spark
     * stages must agree — xxhash64 is cheaper than md5. */
+  /** Deterministic EXACT-size uniform sample: the `n` rows whose
+    * md5(key) sorts smallest (key ascending breaks the measure-zero
+    * digest-collision tie). Fraction-based sampling ([[byKeyMd5]])
+    * cannot promise an exact count; reservoir sampling is
+    * order-dependent. This is both — exact n, and recomputable by any
+    * engine from the keys alone.
+    *
+    * Scale shape: `orderBy(digest).limit(n)` plans
+    * TakeOrderedAndProject (plan-asserted) — a bounded n-entry heap per
+    * partition, partial top-n to the driver merge, NEVER a global
+    * sort. Driver memory is O(n·row); for corpus-sized n use
+    * [[byKeyMd5]] + a residual trim instead. */
+  def exactN(df: DataFrame, keyCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n=$n")
+    df.orderBy(md5(col(keyCol).cast("string").cast("binary")).asc,
+      col(keyCol).asc).limit(n)
+  }
+
   def byKeyMd5(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction=$fraction")
     df.filter(md5Unit(col(keyCol)) < lit(fraction))

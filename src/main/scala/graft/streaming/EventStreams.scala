@@ -596,6 +596,70 @@ object EventStreams {
     PinnedProbe(out, Seq(corpBands, corpSigs, bigKeys))
   }
 
+  /** Streaming BM25 serving against a persisted [[graft.ops.Bm25Index]]
+    * — the lexical-retrieval completion of the indexed-serving family
+    * ([[nearDupProbeStream]] serves near-dup, the salted ANN stream
+    * serves vectors). Queries arrive as (query id, query text,
+    * event_time); emits (window, query id, doc_id, score) per matched
+    * document when the window's watermark closes, scores identical to
+    * [[graft.ops.Bm25Index.probe]] on the same terms (set semantics —
+    * repeated query words count once, the batch probe's contract).
+    *
+    * The load-bearing observation: with set-semantics queries, a
+    * (token, doc) pair's BM25 contribution `idf(t)·tfnorm(t, d)` does
+    * not depend on the query AT ALL — so the entire scoring table
+    * precomputes ONCE at pin time (postings ⋈ df, both static), and the
+    * per-batch work is narrow tokenize → stream-static equi-join on
+    * token → windowed sum. No per-batch corpus work, no index rescan
+    * (the scored table is cached, same class as the near-dup probe's
+    * pinned band/signature frames).
+    *
+    * State bound: open windows × matched (query, doc) pairs — the
+    * windowed-aggregation class ([[windowedCounts]]), watermark-
+    * bounded. Same SNAPSHOT-PINNED staleness contract as
+    * [[nearDupProbeStreamPinned]]: index appends during the query are
+    * invisible until rebuild; `close()` releases the pinned frame. */
+  def bm25ProbeStreamPinned(queries: DataFrame, indexDir: String,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "query_id", textCol: String = "query_text",
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): PinnedProbe = {
+    val spark = queries.sparkSession
+    val s = graft.ops.Bm25Index.stats(spark, indexDir)
+    val avgdl = s.totalDl.toDouble / s.nDocs.max(1L)
+    val postings = graft.ops.Snapshots.read(spark, s"$indexDir/postings")
+    val df_ = postings.groupBy("token").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (lit(s.nDocs.toDouble) - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)))
+    val tfnorm = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
+    val scored = postings.join(df_, "token")
+      .select(col("token"), col("doc_id"), (idf * tfnorm).as("contrib"))
+      .cache()
+    val qTokens = queries
+      .withWatermark("event_time", watermark)
+      .select(col(idCol).as("query_id"), col("event_time"),
+        explode(array_distinct(split(lower(col(textCol)),
+          graft.ops.Relevance.TokenPattern))).as("token"))
+      .filter(col("token") =!= "")
+    val out = qTokens.join(scored, "token")
+      .groupBy(window(col("event_time"), windowDur),
+        col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+    PinnedProbe(out, Seq(scored))
+  }
+
+  /** [[bm25ProbeStreamPinned]] with the pinned frame kept for the
+    * session — the one-stream-per-session serving shape. */
+  def bm25ProbeStream(queries: DataFrame, indexDir: String,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "query_id", textCol: String = "query_text",
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame =
+    bm25ProbeStreamPinned(queries, indexDir, k1, b, idCol, textCol,
+      watermark, windowDur).stream
+
   /** Batch-equivalent sessionization (same gap semantics) — the oracle
     * for the streaming path and a useful operator in its own right:
     * lag-based session boundaries, one window + one aggregate. */

@@ -420,6 +420,16 @@ class PlanSpec extends AnyFunSuite {
       s"no corpus-sized shuffle join on the serving path:\n$p")
   }
 
+  test("Sampling.exactN: bounded top-n heaps, never a global sort") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = graft.ops.Sampling.exactN(docs, "doc_id", 200)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"exact-N must plan per-partition heaps + driver merge:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no corpus-wide range sort for a bounded sample:\n$p")
+  }
+
   test("mixture materialization stays narrow: no shuffle before the expand") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val p = graft.ops.Sampling.materializeMixture(docs, "source", "doc_id",

@@ -64,6 +64,30 @@ class Bm25IndexSpec extends AnyFunSuite {
       scored(Bm25Index.probe(spark, dir, Seq("spark", "vector"))))
   }
 
+  test("optimize after appends: scores unchanged, pruning granularity restored") {
+    val dir = freshDir("opt")
+    Bm25Index.build(spark, docs.filter(col("doc_id") < 100), dir,
+      clusterParts = 4)
+    // four appends accumulate four wide-range delta file sets
+    for (i <- 1 to 4)
+      Bm25Index.append(spark,
+        docs.filter(col("doc_id") >= i * 100 && col("doc_id") < (i + 1) * 100),
+        dir)
+    val before = scored(Bm25Index.probe(spark, dir, Seq("spark", "vector")))
+    val preOptId = Snapshots.latestId(spark, s"$dir/postings").get
+    Bm25Index.optimize(spark, dir, clusterParts = 8)
+    assert(scored(Bm25Index.probe(spark, dir, Seq("spark", "vector")))
+      === before, "optimize must not change any score")
+    // tight ranges again: the extreme-range query prunes
+    val (kept, total) = Snapshots.selectRangeFiles(spark, s"$dir/postings",
+      Seq(Snapshots.ColRange("token", Some("zzzzzzzz"), Some("zzzzzzzz"))))
+    assert(kept.size < total,
+      s"post-optimize stats must prune: kept ${kept.size} of $total")
+    // time travel to the pre-optimize snapshot still reads
+    assert(Snapshots.read(spark, s"$dir/postings", asOf = Some(preOptId))
+      .count() === Snapshots.read(spark, s"$dir/postings").count())
+  }
+
   test("file-level pruning: a probe for an extreme-range term skips postings files") {
     val dir = freshDir("prune")
     Bm25Index.build(spark, docs, dir, clusterParts = 8)

@@ -7,6 +7,21 @@ import org.scalatest.funsuite.AnyFunSuite
 class SamplingSpec extends AnyFunSuite {
   private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
 
+  test("exactN: exact count, repartition-stable, equals the brute md5 ranking") {
+    val got = Sampling.exactN(docs, "doc_id", 37)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.size === 37, "count must be exact")
+    val again = Sampling.exactN(docs.repartition(13), "doc_id", 37)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === again, "sample must not depend on partitioning")
+    // brute twin: rank ALL keys by md5 hex on the driver
+    val want = docs.select(col("doc_id"),
+        md5(col("doc_id").cast("string").cast("binary")).as("h"))
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+      .sorted.take(37).map(_._2).toSet
+    assert(got === want)
+  }
+
   test("key-hash sampling is deterministic and repartition-stable") {
     val a = Sampling.byKeyHash(docs, "doc_id", 0.25)
       .select("doc_id").collect().map(_.getLong(0)).toSet

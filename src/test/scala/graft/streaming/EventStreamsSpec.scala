@@ -185,6 +185,65 @@ class EventStreamsSpec extends AnyFunSuite {
       s"only ${streamed.size} of ${expected.size} docs emitted")
   }
 
+  test("streaming BM25 probe emits the batch probe's scores per query") {
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-sbm-idx")
+    idxDir.toFile.delete()
+    graft.ops.Bm25Index.build(spark, batchDocs, idxDir.toString)
+    // query stream: 40 queries cycling over three texts, event times
+    // spaced one minute apart so earlier 10-minute windows close as the
+    // per-file micro-batches advance the watermark
+    val texts = Seq("spark vector", "Spark!", "vector data stream")
+    val queries = (0 until 40).map { i =>
+      (i.toLong, texts(i % 3), i * 60L)
+    }.toDF("query_id", "query_text", "secs")
+      .withColumn("event_time", timestamp_seconds($"secs")).drop("secs")
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-sbm")
+    (0 until 4).foreach { part =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-sbm$part")
+      queries.filter($"query_id" % 4 === part).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(f),
+        stageDir.resolve(f"batch$part%02d.parquet")): Unit
+    }
+    val incoming = spark.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir.toString)
+    val pinned = EventStreams.bm25ProbeStreamPinned(incoming,
+      idxDir.toString, watermark = "1 minute", windowDur = "10 minutes")
+    val q = pinned.stream.writeStream.outputMode("append")
+      .format("memory").queryName("sbm")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sbm")
+      .select($"query_id", $"doc_id", round($"score", 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch twin: probe each distinct text, fan out to its query ids
+    val expected = (for {
+      (text, ti) <- texts.zipWithIndex
+      terms = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      row <- graft.ops.Bm25Index.probe(spark, idxDir.toString, terms)
+        .select($"doc_id", round($"score", 6).as("s")).collect()
+      qid <- 0 until 40 if qid % 3 == ti
+    } yield (qid.toLong, row.getLong(0), row.getDouble(1))).toSet
+    pinned.close()
+    assert(streamed.nonEmpty, "closed windows must emit scores")
+    assert(streamed.subsetOf(expected),
+      "every streamed (query, doc, score) must equal its batch twin")
+    // every query in a closed window emitted its full result set: the
+    // final 10-min window stays open, so queries before minute 30 close
+    val closedQids = streamed.map(_._1)
+    assert(closedQids.exists(_ < 30),
+      s"watermark should close early windows, saw qids $closedQids")
+    val perQuery = streamed.groupBy(_._1).view.mapValues(_.size).toMap
+    // for each emitted query, its row count equals the batch probe's
+    for ((qid, n) <- perQuery) {
+      val want = expected.count(_._1 == qid)
+      assert(n === want, s"query $qid emitted $n of $want rows")
+    }
+  }
+
   test("streaming near-dup probe matches the batch index probe") {
     val stageDir = java.nio.file.Files.createTempDirectory("graft-snd").toString
     spark.read.parquet(s"$sfDir/documents.parquet")
