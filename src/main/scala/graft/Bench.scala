@@ -62,7 +62,11 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val all = headline ++ extended
+    // optional local-iteration filter (the driver never sets this):
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run to those queries
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").filter(_.nonEmpty).toSet)
+    val all = (headline ++ extended).filter(n => only.forall(_.contains(n)))
     // JIT/codegen warmup: run every query once at the smallest SF so
     // measured times reflect steady-state execution, not JVM warmup
     val warmDir = "/root/testdata/sf0.001"

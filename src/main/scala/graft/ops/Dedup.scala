@@ -460,8 +460,11 @@ object Dedup {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // pinned for the round: `large` feeds BOTH the small-star min
+      // aggregate and the re-attach join — uncached, its two-shuffle
+      // derivation off the checkpointed edge frame would run twice
       val large = sym.join(mins, "u").where(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v")).distinct()
+        .select(col("v").as("u"), col("m").as("v")).distinct().cache()
       // small-star over the oriented frame: exact star rewrite around m
       val mins2 = large.groupBy("u").agg(min(col("v")).as("m"))
       val next = large.join(mins2, "u")
@@ -470,6 +473,7 @@ object Dedup {
         .filter(col("u") =!= col("v")).distinct()
         .localCheckpoint()
       val nextSig = checksum(next)
+      large.unpersist()
       e.unpersist()
       e = next
       converged = nextSig == sig

@@ -134,8 +134,10 @@ object Graph {
     * estimates (clamped monotone: a union can never shrink, so estimate
     * wobble is floored at 0).
     *
-    * Scale: per round one |E| join + one |V|-keyed union aggregate +
-    * one |V| carry join; state = one ≤(1.5·2^lgK)-byte sketch per node
+    * Scale: per round one |E| join + ONE |V|-keyed union aggregate
+    * (ball/harmonic carry rides it as max() columns; the growth test is
+    * a one-row agg over the checkpointed round frame — no carry join,
+    * no convergence join); state = one ≤(1.5·2^lgK)-byte sketch per node
     * (lgK=12 → ~2.5 KB; 10⁸ hosts → ~250 GB round state, HyperBall's
     * stated cost — tune lgK down for bigger graphs). Rounds stop early
     * when no ball grows (one-row agg check); lineage truncates every
@@ -168,24 +170,32 @@ object Graph {
     var grown = true
     while (grown && t <= maxT) {
       // in-neighbor balls flow along u→v edges; own sketch unions in
-      // via the plain union branch (no self-edges needed)
+      // via the plain union branch (no self-edges needed). ball and
+      // harmonic RIDE the state branch through the union aggregate
+      // (state has exactly one row per node, so max() just carries the
+      // value past the nbr branch's nulls) — folding the carry into the
+      // one mandatory |V|-keyed aggregate instead of a second join.
       val nbr = e.join(state.select(col("node").as("w"), col("sk")), "w")
-        .select(col("node"), col("sk"))
-      val unioned = state.select(col("node"), col("sk")).union(nbr)
-        .groupBy("node")
-        .agg(hll_union_agg(col("sk")).as("sk")) // all sketches share lgK
-      val next = unioned
-        .join(state.select(col("node"), col("ball"), col("harmonic")), "node")
-        .withColumn("_est",
-          greatest(hll_sketch_estimate(col("sk")), col("ball")))
-        .withColumn("harmonic",
-          col("harmonic") + (col("_est") - col("ball")) / lit(t.toDouble))
-        .select(col("node"), col("sk"), col("_est").as("ball"),
+        .select(col("node"), col("sk"),
+          lit(null).cast("double").as("ball"),
+          lit(null).cast("double").as("harmonic"))
+      val next = state.select(col("node"), col("sk"), col("ball"),
           col("harmonic"))
+        .union(nbr)
+        .groupBy("node")
+        .agg(hll_union_agg(col("sk")).as("sk"), // all sketches share lgK
+          max(col("ball")).as("_pb"), max(col("harmonic")).as("_ph"))
+        .withColumn("_est",
+          greatest(hll_sketch_estimate(col("sk")), col("_pb")))
+        .select(col("node"), col("sk"), col("_est").as("ball"),
+          (col("_ph") + (col("_est") - col("_pb")) / lit(t.toDouble))
+            .as("harmonic"),
+          (col("_est") - col("_pb")).as("_growth"))
         .localCheckpoint()
-      val growth = next.join(
-          state.select(col("node"), col("ball").as("_pb")), "node")
-        .agg(coalesce(sum(col("ball") - col("_pb")), lit(0.0))).head().getDouble(0)
+      // convergence check: the growth already sits in the checkpointed
+      // frame — a one-row agg over cached blocks, not a |V| join
+      val growth = next.agg(coalesce(sum(col("_growth")), lit(0.0)))
+        .head().getDouble(0)
       state.unpersist()
       state = next
       grown = growth > 0.0
