@@ -115,6 +115,32 @@ object ExplainCheck {
         docs.select(col("doc_id"), (col("n_chars") / 1000.0).as("x1"),
           (col("n_chars") / 500.0).as("x2")), lrm, Seq("x1", "x2"))
       .queryExecution.explainString(fmt))
+    println("########## op:Bm25Index.probe (pruned postings scan, broadcast df)")
+    val bmDir = java.nio.file.Files.createTempDirectory("graft-plans-bm").toString
+    graft.ops.Bm25Index.build(spark, docs, bmDir)
+    println(graft.ops.Bm25Index.probe(spark, bmDir, Seq("spark", "vector"))
+      .queryExecution.explainString(fmt))
+    println("########## op:EventStreams.bm25ProbeStream join shape (batch frames)")
+    // the pinned scoring table + token equi-join + windowed sum, planned
+    // over batch frames (withWatermark is a no-op on batch; the join and
+    // aggregate shapes are what the micro-batches execute)
+    val bq = docs.limit(5).select(col("doc_id").as("query_id"),
+      col("text").as("query_text"),
+      org.apache.spark.sql.functions.timestamp_seconds(col("doc_id"))
+        .as("event_time"))
+    val pinnedBm = graft.streaming.EventStreams.bm25ProbeStreamPinned(bq, bmDir)
+    println(pinnedBm.stream.queryExecution.explainString(fmt))
+    pinnedBm.close()
+    println("########## op:Sampling.materializeMixture (literal CASE + md5 gate, narrow)")
+    println(graft.ops.Sampling.materializeMixture(docs, "source", "doc_id",
+        "n_chars", Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25), 40000L)
+      .queryExecution.explainString(fmt))
+    println("########## op:Relevance.vocabCoverage (count-class rollup)")
+    println(graft.ops.Relevance.vocabCoverage(docs, Seq(0.5, 0.9, 0.99))
+      .queryExecution.explainString(fmt))
+    println("########## op:Sampling.exactN (TakeOrderedAndProject)")
+    println(graft.ops.Sampling.exactN(docs, "doc_id", 200)
+      .queryExecution.explainString(fmt))
     spark.stop()
   }
 }
