@@ -291,6 +291,51 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Cross-source duplication matrix: near-dup pairs rolled up per
+    // unordered source pair (diagonal = within-source). Pairs come from
+    // the banded-candidates + exact-verify path (the 100 TB shape —
+    // the all-candidates jaccardPairs walk is near-quadratic on shared
+    // common trigrams); the EXACT-trigram oracle still applies because
+    // every true pair at threshold 0.5 in this corpus is a planted
+    // near-identical dup (J ≥ 0.9) that banding at k=32/b=16 catches
+    // with certainty — the same recall-1 precondition q_dedup_minhash
+    // and q_minhash_index_probe already hash-check at both SFs. The
+    // oracle recomputes pairs AND the swap/rollup independently, so
+    // pair generation, the unordered convention and both distinct-doc
+    // counts are all pinned.
+    q("q_source_overlap",
+      """WITH toks AS (SELECT doc_id AS id, string_split_regex(text, '\s+') AS tk
+        |  FROM documents),
+        |tri AS (SELECT DISTINCT id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+        |  FROM (SELECT id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks)),
+        |sizes AS (SELECT id, count(*) AS sz FROM tri GROUP BY id),
+        |common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+        |  FROM tri a JOIN tri b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY a.id, b.id),
+        |pairs AS (SELECT id_a, id_b FROM common
+        |  JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+        |  WHERE CAST(cnt AS DOUBLE)/(sa.sz + sb.sz - cnt) >= 0.5),
+        |lab AS (SELECT p.id_a, p.id_b, da.source AS sa, db.source AS sb
+        |  FROM pairs p JOIN documents da ON p.id_a = da.doc_id
+        |  JOIN documents db ON p.id_b = db.doc_id),
+        |norm AS (SELECT
+        |  CASE WHEN sa > sb THEN sb ELSE sa END AS source_a,
+        |  CASE WHEN sa > sb THEN sa ELSE sb END AS source_b,
+        |  CASE WHEN sa > sb THEN id_b ELSE id_a END AS da,
+        |  CASE WHEN sa > sb THEN id_a ELSE id_b END AS db
+        |  FROM lab)
+        |SELECT source_a, source_b, count(*) AS n_pairs,
+        |  count(DISTINCT da) AS n_docs_a,
+        |  count(DISTINCT db) AS n_docs_b
+        |FROM norm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ops.Dedup.sourceOverlapMatrix(docs,
+          graft.ops.Dedup.minhashNearDups(docs, n = 3, k = 32, bands = 16,
+              threshold = 0.5)
+            .select(col("id_a"), col("id_b")))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
     // MinHash+LSH near-dup (trigram shingles) — the 100 TB scale path;
     // exact-verified candidates only. Oracle: DuckDB recomputes the EXACT
     // trigram-Jaccard pair set — with 16 one-row bands at threshold 0.5
@@ -1005,6 +1050,71 @@ object PipelineQueries {
         countDistinct(GraftFunctions.fingerprint64(col("text"))).as("n_fp"),
         countDistinct(col("text")).as("n_text"),
         count(lit(1)).as("n"))
+    },
+
+    // Winnowing fingerprint selection (Schleimer et al., SIGMOD 2003):
+    // k=5 char-gram md5-bridge hashes, window-of-4 minima, distinct
+    // selected set per doc. The oracle recomputes every gram hash,
+    // every window minimum and the distinct rollup in DuckDB, then
+    // hash-matches count AND sum of the selected values — so the
+    // selection algorithm (not just its size) is pinned cross-engine.
+    q("q_winnow",
+      """WITH h AS (SELECT doc_id,
+        |  CASE WHEN length(text) >= 5 THEN
+        |    list_transform(range(1, length(text) - 5 + 2),
+        |      i -> CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), 5)), 1, 12)) AS BIGINT))
+        |  ELSE [] END AS hs FROM documents),
+        |sel AS (SELECT doc_id,
+        |  CASE WHEN len(hs) = 0 THEN []
+        |  ELSE list_distinct(list_transform(
+        |    range(1, greatest(len(hs) - 3, 1) + 1),
+        |    j -> list_aggregate(list_slice(hs, CAST(j AS INT), CAST(j AS INT) + 3), 'min')))
+        |  END AS fps FROM h)
+        |SELECT doc_id, CAST(len(fps) AS INT) AS n_fp,
+        |  CAST(coalesce(list_aggregate(fps, 'sum'), 0) AS BIGINT) AS fp_sum
+        |FROM sel ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val fps = graft.ops.Dedup.winnowFingerprints(col("text"), k = 5, w = 4)
+      t(s, dir, "documents")
+        .select(col("doc_id"), fps.as("fps"))
+        .select(col("doc_id"), size(col("fps")).as("n_fp"),
+          aggregate(col("fps"), lit(0L), (a, x) => a + x).as("fp_sum"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Shared-passage pairs over the winnowing selection — the MOSS
+    // pair-scoring step. The oracle recomputes the full chain in
+    // DuckDB: selection (as q_winnow), document-frequency filter,
+    // fp-keyed self-join, pair rollup, and the containment ratio — so
+    // the df guard, the pairing and both size denominators are all
+    // pinned. minShared=2, maxDf=50 (small corpus → tight boilerplate
+    // guard so the filter path actually exercises).
+    q("q_winnow_passages",
+      """WITH h AS (SELECT doc_id,
+        |  CASE WHEN length(text) >= 5 THEN
+        |    list_transform(range(1, length(text) - 5 + 2),
+        |      i -> CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), 5)), 1, 12)) AS BIGINT))
+        |  ELSE [] END AS hs FROM documents),
+        |sel AS (SELECT doc_id,
+        |  CASE WHEN len(hs) = 0 THEN []
+        |  ELSE list_distinct(list_transform(
+        |    range(1, greatest(len(hs) - 3, 1) + 1),
+        |    j -> list_aggregate(list_slice(hs, CAST(j AS INT), CAST(j AS INT) + 3), 'min')))
+        |  END AS fps FROM h),
+        |f AS (SELECT doc_id AS id, unnest(fps) AS fp FROM sel),
+        |keep AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50),
+        |kept AS (SELECT f.id, f.fp FROM f JOIN keep USING (fp)),
+        |sz AS (SELECT id, count(*) AS sz FROM kept GROUP BY id),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT id_a, id_b, n_shared,
+        |  round(n_shared / least(sa.sz, sb.sz), 4) AS containment
+        |FROM p JOIN sz sa ON id_a = sa.id JOIN sz sb ON id_b = sb.id
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      graft.ops.Dedup.winnowSharedPassages(t(s, dir, "documents"),
+          k = 5, w = 4, minShared = 2, maxDf = 50)
+        .orderBy(col("id_a"), col("id_b"))
     },
 
     // ------------------------------------------------ multimodal
@@ -2685,6 +2795,32 @@ object PipelineQueries {
       graft.ops.Export.epochShards(t(s, dir, "documents"), "doc_id",
           epoch = 3, nShards = 8)
         .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Fill-in-the-middle export (Bavarian et al. arXiv:2207.14255):
+    // gate + both pivots are md5-unit functions of the doc id, so
+    // DuckDB re-derives the exact split points AND the packed PSM
+    // string character-for-character — the whole transform (gate
+    // decision, pivot arithmetic, substring reassembly) is pinned
+    // cross-engine. Rate 0.5.
+    q("q_fim_export",
+      """WITH u AS (SELECT doc_id, text, length(text) AS len,
+        |  CAST(concat('0x', substr(md5(doc_id::VARCHAR || '|fim:gate'), 1, 6)) AS BIGINT) / 16777216.0 AS g,
+        |  CAST(concat('0x', substr(md5(doc_id::VARCHAR || '|fim:u1'), 1, 6)) AS BIGINT) / 16777216.0 AS u1,
+        |  CAST(concat('0x', substr(md5(doc_id::VARCHAR || '|fim:u2'), 1, 6)) AS BIGINT) / 16777216.0 AS u2
+        |  FROM documents),
+        |c AS (SELECT doc_id, text, g < 0.5 AS fim,
+        |  CAST(floor(least(u1, u2) * len) AS BIGINT) AS cut1,
+        |  CAST(floor(greatest(u1, u2) * len) AS BIGINT) AS cut2 FROM u)
+        |SELECT doc_id, fim, cut1, cut2,
+        |  CASE WHEN fim THEN
+        |    '<PRE>' || substr(text, 1, CAST(cut1 AS INT)) ||
+        |    '<SUF>' || substr(text, CAST(cut2 + 1 AS INT)) ||
+        |    '<MID>' || substr(text, CAST(cut1 + 1 AS INT), CAST(cut2 - cut1 AS INT))
+        |  ELSE text END AS text
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Export.fimTransform(t(s, dir, "documents"), rate = 0.5)
         .orderBy(col("doc_id"))
     },
 

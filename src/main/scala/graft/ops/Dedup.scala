@@ -144,6 +144,124 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003) — the MOSS algorithm: hash every character k-gram,
+    * slide a window of `w` consecutive hashes, keep each window's
+    * minimum. The selected set is position-robust (insertions far from
+    * a passage don't change its fingerprints) and carries the paper's
+    * guarantee: any substring match of length ≥ w + k − 1 shares at
+    * least one selected fingerprint — the partial-plagiarism /
+    * copied-passage detector that whole-document hashing
+    * ([[org.apache.spark.sql.graft.Fingerprint64]]) cannot be.
+    *
+    * Returns the DISTINCT selected hash values as an array<long>
+    * column — pure narrow per-row HOF work, zero shuffle; downstream
+    * matching explodes + joins on the 8-byte values (the
+    * [[crossDocRepetition]] shuffle shape). Hashes go through the md5
+    * bridge (first 12 hex digits as a long, [[Sampling.md5Unit]]'s
+    * convention) so any engine recomputes identical values; texts
+    * shorter than k + w − 1 select the minimum of whatever window
+    * exists (the paper's boundary rule collapses to this). */
+  def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
+    require(k >= 1 && w >= 1, s"k=$k w=$w")
+    val nGrams = greatest(length(text) - (k - 1), lit(0))
+    val hashes = transform(sequence(lit(1), nGrams),
+      i => conv(substring(md5(text.substr(i, lit(k)).cast("binary")), 1, 12),
+        16, 10).cast("long"))
+    // bind the hash array ONCE per row before the window scan: naming
+    // it through a lambda variable (the single-element-array transform)
+    // forces one evaluation. Referencing the `hashes` expression
+    // directly inside the window lambda would re-evaluate the ENTIRE
+    // md5 array per window — O(len²) md5 calls per doc (measured: sf0.1
+    // never finished; with the binding it's seconds)
+    val sel = element_at(transform(array(hashes), hs =>
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
+        j => array_min(slice(hs, j, lit(w)))))), 1)
+    when(nGrams === 0, array().cast("array<long>")).otherwise(sel)
+  }
+
+  /** Shared-passage detection over [[winnowFingerprints]] — the MOSS
+    * pair-scoring step (Schleimer et al., SIGMOD 2003 §4): two docs
+    * sharing `minShared`+ selected fingerprints very likely share
+    * copied PASSAGES even when the documents as wholes are dissimilar
+    * — the partial-overlap detector that whole-document MinHash
+    * (tuned for global Jaccard) structurally under-weights. By the
+    * winnowing guarantee, every common substring of length ≥ w+k−1
+    * contributes at least one shared fingerprint.
+    *
+    * Scale shape: selection is narrow ([[winnowFingerprints]]); the
+    * only wide ops carry 8-byte fingerprints — one df rollup, one
+    * fp-keyed self-join, one pair rollup. `maxDf` drops fingerprints
+    * in more than that many docs BEFORE pairing (standard practice:
+    * ubiquitous fingerprints are boilerplate, not plagiarism, and
+    * they are exactly the degenerate buckets that would make the
+    * self-join quadratic — with the filter, join fan-out is bounded
+    * by Σ df² ≤ maxDf · Σ df). The hot-fp set is ≤ |fps|/maxDf keys,
+    * so it broadcasts for the anti-join.
+    *
+    * Output: (id_a, id_b, n_shared, containment) with id_a < id_b;
+    * containment = n_shared / min(|fps_a|, |fps_b|) over KEPT
+    * fingerprints — 1.0 means the smaller doc's selected set is
+    * entirely inside the larger's. */
+  def winnowSharedPassages(docs: DataFrame, k: Int = 5, w: Int = 4,
+      minShared: Long = 2, maxDf: Long = 1000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2, s"minShared=$minShared maxDf=$maxDf")
+    val fps = docs.select(col(idCol).as("id"),
+      explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
+    val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDf).select(col("fp"))
+    val kept = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("_sz"))
+    val pairs = kept.select(col("fp"), col("id").as("id_a"))
+      .join(kept.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("_sz").as("_sa")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("_sz").as("_sb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("n_shared") / least(col("_sa"), col("_sb")), 4)
+          .as("containment"))
+  }
+
+  /** Cross-source duplication matrix — the corpus-composition question
+    * "how much does source A duplicate source B (and itself)?" that
+    * decides which feeds to drop or down-weight before training. Takes
+    * any near-dup pair frame (id_a, id_b) — [[jaccardPairs]] for exact
+    * audits, [[minhashNearDups]]' banded pairs at 100 TB — and rolls it
+    * up to one row per unordered source pair (the diagonal is
+    * within-source duplication): n_pairs, plus distinct docs involved
+    * on each side after the pair is normalized to (lesser source,
+    * greater source).
+    *
+    * Scale shape: pairs join a skinny (id, source) projection on the
+    * 8-byte id twice, then one source-pair-keyed aggregate — cost ∝
+    * pair count, never corpus-sized; the matrix itself is
+    * |sources|²-bounded. Deterministic given a deterministic pair
+    * frame. */
+  def sourceOverlapMatrix(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", sourceCol: String = "source"): DataFrame = {
+    val src = docs.select(col(idCol), col(sourceCol))
+    val lab = pairs
+      .join(src.select(col(idCol).as("id_a"), col(sourceCol).as("_sa")), "id_a")
+      .join(src.select(col(idCol).as("id_b"), col(sourceCol).as("_sb")), "id_b")
+    val sw = col("_sa") > col("_sb")
+    lab.select(
+        when(sw, col("_sb")).otherwise(col("_sa")).as("source_a"),
+        when(sw, col("_sa")).otherwise(col("_sb")).as("source_b"),
+        when(sw, col("id_b")).otherwise(col("id_a")).as("_da"),
+        when(sw, col("id_a")).otherwise(col("id_b")).as("_db"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("_da")).as("n_docs_a"),
+        countDistinct(col("_db")).as("n_docs_b"))
+  }
+
   /** Exact pairwise n-gram Jaccard: docs sharing ≥1 shingle become
     * candidate pairs (single groupBy over shingle buckets), then the
     * array-intersect verifier computes the exact score. Output is

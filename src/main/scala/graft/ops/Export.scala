@@ -187,4 +187,50 @@ object Export {
           "contract requires exactly one (maxRecordsPerFile must be 0)")
     }
   }
+
+  /** Fill-in-the-middle transform (Bavarian et al., "Efficient Training
+    * of Language Models to Fill in the Middle", arXiv:2207.14255):
+    * with probability `rate` a document splits at two pivots into
+    * (prefix, middle, suffix) and re-emits in the paper's PSM order —
+    * `pre ⧺ prefix ⧺ suf ⧺ suffix ⧺ mid ⧺ middle` — so a causal LM
+    * learns infilling; the rest pass through verbatim. Applied at the
+    * document/character level before tokenization (the paper's
+    * context-level FIM, §3).
+    *
+    * ALL randomness is the md5-unit convention ([[Sampling.md5Unit]])
+    * on salted ids — gate, pivot u1, pivot u2 are pure functions of
+    * the id, so the transform is replayable under retries /
+    * repartition and EXACTLY recomputable by any engine from the keys
+    * alone (oracle-checked against DuckDB as q_fim_export). Pivots:
+    * cut1 = ⌊min(u1,u2)·len⌋, cut2 = ⌊max(u1,u2)·len⌋; prefix =
+    * chars [1, cut1], middle = (cut1, cut2], suffix = (cut2, len].
+    *
+    * Scale shape: pure narrow per-row expression chain — no shuffle,
+    * whole-stage codegen'd; cuts are emitted so downstream audits can
+    * re-derive the split without re-hashing.
+    *
+    * Output: (idCol, fim boolean, cut1, cut2, text). */
+  def fimTransform(docs: DataFrame, rate: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      pre: String = "<PRE>", suf: String = "<SUF>",
+      mid: String = "<MID>"): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate=$rate")
+    def unit(salt: String) =
+      Sampling.md5Unit(concat(col(idCol).cast("string"), lit(salt)))
+    val len = length(col(textCol)).cast("long")
+    val u1 = unit("|fim:u1")
+    val u2 = unit("|fim:u2")
+    val cut1 = floor(least(u1, u2) * len)
+    val cut2 = floor(greatest(u1, u2) * len)
+    val t = col(textCol)
+    val packed = concat(lit(pre), t.substr(lit(1), col("cut1").cast("int")),
+      lit(suf), t.substr((col("cut2") + 1).cast("int"), length(t)),
+      lit(mid), t.substr((col("cut1") + 1).cast("int"),
+        (col("cut2") - col("cut1")).cast("int")))
+    docs.select(col(idCol), col(textCol),
+        (unit("|fim:gate") < lit(rate)).as("fim"),
+        cut1.as("cut1"), cut2.as("cut2"))
+      .select(col(idCol), col("fim"), col("cut1"), col("cut2"),
+        when(col("fim"), packed).otherwise(col(textCol)).as("text"))
+  }
 }

@@ -61,6 +61,99 @@ class DedupSpec extends AnyFunSuite {
     assert(dropCount > 0 && dropCount < docs.count())
   }
 
+  test("winnowing: shared passage of length >= w+k-1 shares a fingerprint; robust to far edits") {
+    import spark.implicits._
+    val passage = "the quick brown fox jumps over the lazy dog near the river"
+    val a = s"AAAA start text $passage and then some trailing words here"
+    val b = s"completely different opening words ZZZZ $passage closing"
+    val c = "nothing in common with the others at all, different entirely"
+    val out = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "t")
+      .select(col("id"), Dedup.winnowFingerprints(col("t"), 5, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // passage length 59 >= w + k - 1 = 8 → guaranteed shared fingerprint
+    assert((out(1L) & out(2L)).nonEmpty,
+      "docs sharing a long passage must share a selected fingerprint")
+    // the shared set is passage-sized, not doc-sized: c shares ~nothing
+    assert((out(1L) & out(3L)).size < out(1L).size / 4)
+  }
+
+  test("winnowing: short-text collapse and determinism") {
+    import spark.implicits._
+    val d = Seq((1L, "abcd"), (2L, "abcdef"), (3L, ""), (4L, "abcdefghij"))
+      .toDF("id", "t")
+      .select(col("id"), Dedup.winnowFingerprints(col("t"), 5, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(d(3L).isEmpty, "text shorter than k selects nothing")
+    assert(d(1L).isEmpty, "4 chars < k=5 → no grams")
+    assert(d(2L).size === 1, "2 grams < w → one collapsed window min")
+    // 10 chars → 6 grams → 3 windows of 4 → ≤3 distinct minima
+    assert(d(4L).nonEmpty && d(4L).size <= 3)
+  }
+
+  test("winnowSharedPassages: passage pair found; unrelated docs excluded; brute-force parity") {
+    import spark.implicits._
+    val passage = "the quick brown fox jumps over the lazy dog near the river"
+    val docs = Seq(
+      (1L, s"AAAA start text $passage and then some trailing words here"),
+      (2L, s"completely different opening words ZZZZ $passage closing"),
+      (3L, "nothing in common with the others at all, different entirely"),
+      (4L, "another fully unrelated document with its own private words"))
+      .toDF("doc_id", "text")
+    val got = Dedup.winnowSharedPassages(docs, k = 5, w = 4,
+        minShared = 2, maxDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.contains((1L, 2L)), "shared-passage pair must surface")
+    // brute-force recompute from the fingerprint sets themselves
+    val fps = docs.select(col("doc_id"),
+        Dedup.winnowFingerprints(col("text"), 5, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val brute = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      n = (fps(a) & fps(b)).size.toLong if n >= 2
+    } yield (a, b) -> n).toMap
+    assert(got === brute)
+  }
+
+  test("winnowSharedPassages: maxDf drops boilerplate fingerprints before pairing") {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter for updates every single day"
+    // every doc carries the boilerplate; only 1 and 2 share real content
+    val shared = "specific shared technical passage about winnowing guarantees"
+    val docs = Seq(
+      (1L, s"$boiler alpha content $shared"),
+      (2L, s"$boiler beta wording $shared"),
+      (3L, s"$boiler gamma its own words entirely here"),
+      (4L, s"$boiler delta again a different body of text"))
+      .toDF("doc_id", "text")
+    // maxDf=3: fingerprints present in all 4 docs (the boilerplate) drop
+    val got = Dedup.winnowSharedPassages(docs, k = 5, w = 4,
+        minShared = 2, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)))
+    // boilerplate-only pairs must NOT survive the df filter at minShared=2
+    assert(!got.contains((3L, 4L)),
+      "pair sharing only ubiquitous fingerprints must be filtered")
+  }
+
+  test("sourceOverlapMatrix: hand-computed rollup, diagonal included, swap normalized") {
+    import spark.implicits._
+    val d = Seq((1L, "wiki"), (2L, "wiki"), (3L, "web"), (4L, "web"),
+      (5L, "code")).toDF("doc_id", "source")
+    // pairs: wiki-wiki (1,2); wiki-web (1,3), (2,3); web-code given
+    // REVERSED sources (5 is code < web) exercises the swap path
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val m = Dedup.sourceOverlapMatrix(d, pairs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(m(("wiki", "wiki")) === ((1L, 1L, 1L)))
+    // both wiki-web pairs keep wiki on side b (web < wiki): da = web doc
+    assert(m(("web", "wiki")) === ((2L, 1L, 2L)))
+    // (4, 5) swaps: code < web, so source_a=code with doc 5 on side a
+    assert(m(("code", "web")) === ((1L, 1L, 1L)))
+    assert(m.size === 3)
+  }
+
   test("pairsInBucketsExact: big-bucket streaming path equals in-task expansion") {
     import spark.implicits._
     // 60 ids share one degenerate bucket (> cap 8) + small buckets with

@@ -216,4 +216,36 @@ class ExportSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
     assert(e3a !== e4, "epochs must permute differently")
   }
+
+  test("fimTransform: reassembling prefix+middle+suffix reconstructs the original text") {
+    val out = Export.fimTransform(docs, rate = 1.0).collect()
+    assert(out.nonEmpty && out.forall(_.getBoolean(1)), "rate=1 transforms all")
+    val orig = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val (id, c1, c2, t) = (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getString(4))
+      assert(t.startsWith("<PRE>"))
+      val body = t.stripPrefix("<PRE>")
+      val Array(prefix, rest) = body.split("<SUF>", 2)
+      val Array(suffix, middle) = rest.split("<MID>", 2)
+      assert(prefix + middle + suffix === orig(id),
+        s"doc $id does not reassemble")
+      assert(prefix.length === c1 && middle.length === c2 - c1)
+    }
+  }
+
+  test("fimTransform: rate=0 is the identity; gate and cuts replay deterministically") {
+    val out0 = Export.fimTransform(docs, rate = 0.0)
+      .select("doc_id", "fim", "text").collect()
+    val orig = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out0.forall(r => !r.getBoolean(1) && r.getString(2) === orig(r.getLong(0))))
+    val a = Export.fimTransform(docs, rate = 0.5).collect().map(_.toSeq).toSet
+    val b = Export.fimTransform(docs.repartition(7), rate = 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(a === b, "transform must be a pure function of (id, text)")
+    val applied = a.count(_.apply(1) == true).toDouble / a.size
+    assert(applied > 0.35 && applied < 0.65, s"gate rate off: $applied")
+  }
 }
