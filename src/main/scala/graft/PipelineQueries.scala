@@ -1486,6 +1486,38 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Index-gated decontamination — the streaming-safe formulation:
+    // benchmark gram fingerprints collected ONCE into a sorted plan
+    // literal, overlap = codegen'd binary-search count, no join at all.
+    // Every corpus doc gets a row (zero overlap included — the gate
+    // must SEE clean docs, unlike q_decontaminate's join). The oracle
+    // recomputes membership by gram STRING; row equality proves the
+    // fingerprint path exact (the boilerplate-strip argument).
+    q("q_decontam_gate",
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(generate_series(0, len(string_split_regex(text, '\s+')) - 1)) AS pos,
+        |    unnest(string_split_regex(text, '\s+')) AS word FROM documents),
+        |tri AS (SELECT doc_id,
+        |    word || ' ' || lead(word) OVER w || ' ' || lead(word, 2) OVER w AS g
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |corpus AS (SELECT DISTINCT doc_id, g FROM tri
+        |           WHERE doc_id % 20 <> 0 AND g IS NOT NULL),
+        |bench AS (SELECT DISTINCT g FROM tri
+        |          WHERE doc_id % 20 = 0 AND g IS NOT NULL),
+        |ov AS (SELECT doc_id, count(*) AS n FROM corpus JOIN bench USING (g)
+        |       GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(ov.n, 0) AS INT) AS n_overlap
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+        |LEFT JOIN ov USING (doc_id) ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val idx = graft.ops.Decontam.buildGramIndex(
+        docs.filter(col("doc_id") % 20 === 0), n = 3)
+      graft.ops.Decontam.overlapWithIndex(
+          docs.filter(col("doc_id") % 20 =!= 0), idx)
+        .select(col("doc_id"), col("n_overlap"))
+        .orderBy(col("doc_id"))
+    },
+
     // FUZZY decontamination — the near-dup complement of the exact
     // n-gram rule (a paraphrased eval item shares few exact windows but
     // scores high whole-doc Jaccard; published pipelines run both).
@@ -1763,6 +1795,55 @@ object PipelineQueries {
       graft.ops.Relevance.bm25(t(s, dir, "documents"),
           Seq("spark", "vector"), k1 = 1.2, b = 0.75)
         .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Passage-level BM25 with MaxP rollup (Dai & Callan 2019): docs
+    // split into 16-token windows at stride 8, each passage scored as
+    // its own BM25 document, doc score = best passage. The oracle
+    // recomputes the WHOLE chain — chunk arithmetic, chunk-level
+    // dl/avgdl/N/df, per-passage score, and the argmax with the
+    // (score desc, chunk desc) tie rule — so chunking and rollup are
+    // both pinned cross-engine.
+    q("q_bm25_maxp",
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws
+        |  FROM documents WHERE length(text) > 0),
+        |ch AS (SELECT doc_id, ws,
+        |    unnest(generate_series(0,
+        |      CAST(1 + (greatest(len(ws) - 16, 0) + 7) // 8 AS INT) - 1)) AS chunk_id
+        |  FROM w),
+        |ct AS (SELECT doc_id, chunk_id,
+        |    array_to_string(list_slice(ws, chunk_id * 8 + 1, chunk_id * 8 + 16), ' ')
+        |      AS chunk_text FROM ch),
+        |tk AS (SELECT doc_id, chunk_id,
+        |    unnest(string_split_regex(lower(chunk_text), '[^a-z0-9]+')) AS token
+        |  FROM ct),
+        |tok AS (SELECT doc_id, chunk_id, token FROM tk WHERE token <> ''),
+        |dl AS (SELECT doc_id, chunk_id, count(*) AS dl FROM tok GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS n_chunks FROM ct),
+        |ad AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |qt AS (SELECT doc_id, chunk_id, token, count(*) AS tf FROM tok
+        |       WHERE token IN ('spark', 'vector') GROUP BY 1, 2, 3),
+        |dfq AS (SELECT token, count(*) AS df FROM qt GROUP BY token),
+        |sc AS (SELECT qt.doc_id, qt.chunk_id,
+        |  sum(ln(1.0 + (n_chunks - df + 0.5) / (df + 0.5)) *
+        |    tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS s
+        |  FROM qt, dfq, dl, n, ad
+        |  WHERE qt.token = dfq.token AND qt.doc_id = dl.doc_id
+        |    AND qt.chunk_id = dl.chunk_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT doc_id, chunk_id, s, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY s DESC, chunk_id DESC) AS rn
+        |  FROM sc)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS best_chunk,
+        |  round(s, 4) AS score
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Relevance.bm25MaxP(t(s, dir, "documents"),
+          Seq("spark", "vector"), chunkSize = 16, chunkStride = 8,
+          k1 = 1.2, b = 0.75)
+        .select(col("doc_id"), col("best_chunk"),
+          round(col("score"), 4).as("score"))
         .orderBy(col("doc_id"))
     },
 

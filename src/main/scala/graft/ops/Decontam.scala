@@ -70,4 +70,53 @@ object Decontam {
       .select(col("inc_id").as(idCol)).distinct()
     corpus.join(broadcast(flagged), Seq(idCol), "left_anti")
   }
+
+  /** Pre-built benchmark n-gram fingerprint index — the
+    * [[Boilerplate.LineIndex]] pattern applied to decontamination:
+    * build once from the (small by nature) eval suite, embed as a plan
+    * literal, and the overlap test becomes a STATELESS narrow
+    * expression — no join, no aggregation — which makes it safe on
+    * streaming frames (gate every arriving doc before it enters the
+    * corpus, instead of re-running batch decontam per ingest). */
+  case class GramIndex(n: Int, sortedFps: Seq[Long])
+
+  /** Collect the benchmark's distinct n-gram fingerprints (sorted, for
+    * the binary-search membership kernel). Driver memory = one long
+    * per distinct benchmark gram — the Bloom-build class: eval suites
+    * are at most millions of grams even when the corpus is 100 TB. */
+  def buildGramIndex(benchmark: DataFrame, n: Int,
+      textCol: String = "text"): GramIndex =
+    GramIndex(n, benchmark
+      .select(explode(GraftFunctions.shingles(
+        split(col(textCol), "\\s+"), n)).as("_g"))
+      .select(GraftFunctions.fingerprint64(col("_g")).as("_fp")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq)
+
+  /** Per-row distinct-gram overlap against a [[GramIndex]]:
+    * `n_overlap = |grams| − |grams not in index|` through the same
+    * codegen'd sorted-array binary search as the boilerplate strip
+    * ([[org.apache.spark.sql.graft.LinesNotIn]] — it fingerprints each
+    * gram string and probes the sorted literal). Identical to
+    * [[overlapCounts]] up to fingerprint64 collisions (64-bit,
+    * measure-zero; parity-tested), but stateless and join-free: every
+    * doc gets a row (n_overlap = 0 included), and the expression is
+    * streaming-safe. */
+  def overlapWithIndex(docs: DataFrame, index: GramIndex,
+      textCol: String = "text"): DataFrame = {
+    val grams = GraftFunctions.shingles(split(col(textCol), "\\s+"), index.n)
+    docs.withColumn("n_overlap",
+      (size(grams) -
+        size(GraftFunctions.linesNotIn(grams, typedLit(index.sortedFps))))
+        .cast("int"))
+  }
+
+  /** The streaming-safe decontamination gate: docs whose benchmark
+    * overlap stays below `minOverlap` pass through unchanged. Batch
+    * twin of [[decontaminate]] (parity-tested); on a streaming frame
+    * this is a stateless filter — no watermark, no state store. */
+  def decontaminateWithIndex(docs: DataFrame, index: GramIndex,
+      minOverlap: Int = 1, textCol: String = "text"): DataFrame =
+    overlapWithIndex(docs, index, textCol)
+      .filter(col("n_overlap") < minOverlap)
+      .drop("n_overlap")
 }

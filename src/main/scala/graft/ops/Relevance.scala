@@ -87,6 +87,38 @@ object Relevance {
       .agg(sum(idf * norm).as("score"))
   }
 
+  /** Passage-level BM25 with max-passage (MaxP) document rollup — the
+    * published long-document retrieval recipe (Dai & Callan, SIGIR 2019
+    * "Deeper Text Understanding for IR with Contextual Neural Language
+    * Modeling"; BM25 variant): long documents are split into
+    * overlapping token windows ([[Chunking.chunkTokens]]), each PASSAGE
+    * is scored as its own BM25 "document" (chunk-level dl / avgdl / N
+    * / df — a hit buried in one section of a long doc is not diluted
+    * by the rest), and a document's score is its best passage's.
+    *
+    * Scale shape: chunking is narrow (runs inside the scan); the BM25
+    * pipeline is unchanged ([[bm25]] — per-term df broadcast, one
+    * chunk-keyed shuffle); the rollup is one groupBy(doc) max over a
+    * (score, chunk) struct — lexicographic max, so the
+    * highest-chunk_id passage wins exact score ties deterministically.
+    *
+    * Output: (idCol, best_chunk, score) for docs with ≥1 matching
+    * passage. */
+  def bm25MaxP(docs: DataFrame, queryTerms: Seq[String],
+      chunkSize: Int, chunkStride: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val chunks = Chunking.chunkTokens(docs, chunkSize, chunkStride,
+        idCol, textCol)
+      .select(struct(col(idCol).as("doc"), col("chunk_id").as("chunk"))
+        .as("_ck"), col("chunk_text"))
+    bm25(chunks, queryTerms, k1, b, idCol = "_ck", textCol = "chunk_text")
+      .groupBy(col("doc_id.doc").as(idCol))
+      .agg(max(struct(col("score"), col("doc_id.chunk").as("chunk"))).as("_m"))
+      .select(col(idCol), col("_m.chunk").as("best_chunk"),
+        col("_m.score").as("score"))
+  }
+
   /** Vocabulary coverage curve — the tokenizer-sizing question "how
     * many vocabulary entries cover X% of corpus token occurrences?".
     * For each threshold t: the MINIMAL vocabulary size k such that the

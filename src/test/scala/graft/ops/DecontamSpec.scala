@@ -73,4 +73,33 @@ class DecontamSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(!exact.contains(2L), "absolute rule flags the quoted span")
   }
+
+  test("index-based gate: counts match overlapCounts (zeros included) and the anti-join twin") {
+    val idx = Decontam.buildGramIndex(bench, n = 3)
+    val got = Decontam.overlapWithIndex(corpus, idx)
+      .select("doc_id", "n_overlap")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 3, 2L -> 1, 3L -> 0, 4L -> 0, 5L -> 0),
+      "index path must report every doc, zero-overlap included")
+    val gated = Decontam.decontaminateWithIndex(corpus, idx, minOverlap = 1)
+      .select("doc_id").as[Long].collect().toSet
+    val batch = Decontam.decontaminate(corpus, bench, n = 3, minOverlap = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gated === batch)
+    // gate preserves the full row (stateless projection + filter)
+    assert(Decontam.decontaminateWithIndex(corpus, idx).columns.toSeq
+      === corpus.columns.toSeq)
+  }
+
+  test("index-based gate equals the batch decontaminate on real documents") {
+    val docs = spark.read.parquet(s"${graft.TestSpark.sfDir}/documents.parquet")
+    val bench_ = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    val corp = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    val idx = Decontam.buildGramIndex(bench_, n = 3)
+    val gated = Decontam.decontaminateWithIndex(corp, idx, minOverlap = 5)
+      .select("doc_id").as[Long].collect().toSet
+    val batch = Decontam.decontaminate(corp, bench_, n = 3, minOverlap = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gated === batch)
+  }
 }

@@ -66,4 +66,32 @@ class RelevanceSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(rare(1L) > common(1L))
   }
+
+  test("bm25MaxP: best passage wins, non-matching docs absent, ties break to the later chunk") {
+    import graft.TestSpark.spark.implicits._
+    val filler = (1 to 24).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      // hit concentrated in the LAST chunk (tokens 25-27 → chunk 3 at
+      // size/stride 8); passage-level dl is small so the hit is undiluted
+      (1L, s"$filler spark vector spark"),
+      (2L, "no relevant terms at all in this one"),
+      // two IDENTICAL chunks → equal scores → chunk 1 wins the tie
+      (3L, "spark a b c d e f g spark a b c d e f g"))
+      .toDF("doc_id", "text")
+    val got = Relevance.bm25MaxP(docs, Seq("spark", "vector"),
+        chunkSize = 8, chunkStride = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2))))
+      .toMap
+    assert(got.keySet === Set(1L, 3L))
+    assert(got(1L)._1 === 3, "hit chunk must be the last window")
+    assert(got(3L)._1 === 1, "exact ties break to the higher chunk_id")
+    assert(got(1L)._2 > 0 && got(3L)._2 > 0)
+    // MaxP undilution: scoring doc 1 WHOLE (one chunk = whole doc)
+    // dilutes the hit with 24 filler tokens → lower than passage score
+    val whole = Relevance.bm25MaxP(docs, Seq("spark", "vector"),
+        chunkSize = 64, chunkStride = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L)._2 > whole(1L),
+      "passage-level scoring must beat whole-doc dilution for a concentrated hit")
+  }
 }

@@ -111,6 +111,32 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(spark.table("sdd").count() === expectedTexts.size)
   }
 
+  test("streaming decontamination gate passes exactly the batch-clean docs") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-dcg").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.mode("overwrite").parquet(stageDir)
+    val docSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bench = batchDocs.filter(pmod($"doc_id", lit(20)) === 0)
+    val idx = graft.ops.Decontam.buildGramIndex(bench, n = 3)
+    val incoming = spark.readStream.schema(docSchema).parquet(stageDir)
+      .filter(pmod($"doc_id", lit(20)) =!= 0)
+    // stateless narrow gate — append mode, no watermark, no state store
+    val out = graft.ops.Decontam.decontaminateWithIndex(incoming, idx,
+      minOverlap = 5)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dcg")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dcg")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = graft.ops.Decontam.decontaminate(
+        batchDocs.filter(pmod($"doc_id", lit(20)) =!= 0), bench,
+        n = 3, minOverlap = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed === expected)
+  }
+
   test("streaming perplexity against a static model matches the batch twin") {
     val stageDir = java.nio.file.Files.createTempDirectory("graft-ppl").toString
     spark.read.parquet(s"$sfDir/documents.parquet")
