@@ -141,6 +141,31 @@ object ExplainCheck {
     println("########## op:Sampling.exactN (TakeOrderedAndProject)")
     println(graft.ops.Sampling.exactN(docs, "doc_id", 200)
       .queryExecution.explainString(fmt))
+    println("########## op:Dedup.winnowFingerprints (narrow bound-once selection)")
+    println(docs.select(col("doc_id"),
+        graft.ops.Dedup.winnowFingerprints(col("text")).as("fps"))
+      .queryExecution.explainString(fmt))
+    println("########## op:Dedup.winnowSharedPassages (df-guarded fp self-join)")
+    println(graft.ops.Dedup.winnowSharedPassages(docs, maxDf = 50)
+      .queryExecution.explainString(fmt))
+    println("########## op:Dedup.sourceOverlapMatrix (pair-frame rollup)")
+    println(graft.ops.Dedup.sourceOverlapMatrix(docs,
+        graft.ops.Dedup.minhashNearDups(docs, n = 3, k = 32, bands = 16,
+          threshold = 0.5).select(col("id_a"), col("id_b")))
+      .queryExecution.explainString(fmt))
+    println("########## op:Export.fimTransform (narrow md5-gated split)")
+    println(graft.ops.Export.fimTransform(docs, rate = 0.5)
+      .queryExecution.explainString(fmt))
+    println("########## op:Relevance.bm25MaxP (chunk-level BM25 + MaxP rollup)")
+    println(graft.ops.Relevance.bm25MaxP(docs, Seq("spark", "vector"),
+        chunkSize = 16, chunkStride = 8)
+      .queryExecution.explainString(fmt))
+    println("########## op:Decontam.overlapWithIndex (joinless literal-index gate)")
+    val gidx = graft.ops.Decontam.buildGramIndex(
+      docs.filter(col("doc_id") % 20 === 0), n = 3)
+    println(graft.ops.Decontam.overlapWithIndex(
+        docs.filter(col("doc_id") % 20 =!= 0), gidx)
+      .queryExecution.explainString(fmt))
     spark.stop()
   }
 }

@@ -440,6 +440,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), s"epoch copies come from explode:\n$p")
   }
 
+  test("winnow selection and FIM transform are narrow; decontam gate is joinless") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pw = docs.select(col("doc_id"),
+        graft.ops.Dedup.winnowFingerprints(col("text")).as("fps"))
+      .queryExecution.executedPlan.toString
+    assert(!pw.contains("Exchange"),
+      s"winnow selection must run inside the scan:\n$pw")
+    val pf = graft.ops.Export.fimTransform(docs, rate = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!pf.contains("Exchange"),
+      s"FIM transform is a pure per-row expression chain:\n$pf")
+    val idx = graft.ops.Decontam.GramIndex(3, Seq(1L, 2L, 3L))
+    val pg = graft.ops.Decontam.overlapWithIndex(docs, idx)
+      .queryExecution.executedPlan.toString
+    assert(!pg.contains("Exchange") && !pg.contains("Join"),
+      s"index gate must be a joinless narrow expression:\n$pg")
+  }
+
+  test("winnowSharedPassages: hot-fp guard broadcasts; no text in the pair join") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = graft.ops.Dedup.winnowSharedPassages(docs, maxDf = 50)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the hot-fp anti-join must broadcast the (small) hot set:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pairing must stay an fp-keyed equi-join:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→agg hot path") {
     // AQE reveals codegen spans only in the final (post-execution) plan
     val df = SparkEntry.queries("q_agg_pricing")(spark, sfDir)
