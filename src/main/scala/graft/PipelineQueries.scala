@@ -2286,6 +2286,40 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Interpolated Kneser-Ney bigram perplexity (D=0.75) — the real
+    // KenLM-style smoothing: discounted MLE + continuation-probability
+    // interpolation. The oracle recomputes every model table (bigram
+    // counts, per-context totals and fan-outs, continuation counts,
+    // type total) and the full interpolation formula double-for-double,
+    // so the smoothing arithmetic itself is pinned cross-engine.
+    q("q_lm_kn",
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks FROM documents),
+        |bg AS (SELECT doc_id, toks[pos] AS prev, toks[pos+1] AS cur
+        |       FROM d, unnest(generate_series(1, len(toks)-1)) AS t(pos)),
+        |c2 AS (SELECT prev, cur, count(*) AS n2 FROM bg GROUP BY prev, cur),
+        |ctx AS (SELECT prev, CAST(sum(n2) AS BIGINT) AS n1, count(*) AS fan
+        |        FROM c2 GROUP BY prev),
+        |cont AS (SELECT cur, count(*) AS ncont FROM c2 GROUP BY cur),
+        |ty AS (SELECT count(*) AS ntypes FROM c2)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  round(avg(-ln(greatest(
+        |    greatest(CAST(n2 AS DOUBLE) - 0.75, 0.0) / CAST(n1 AS DOUBLE) +
+        |      0.75 * CAST(fan AS DOUBLE) / CAST(n1 AS DOUBLE) *
+        |      (CAST(ncont AS DOUBLE) / CAST(ntypes AS DOUBLE)),
+        |    0.0000000001))), 4) AS nll
+        |FROM bg b
+        |JOIN c2 ON b.prev = c2.prev AND b.cur = c2.cur
+        |JOIN ctx ON b.prev = ctx.prev
+        |JOIN cont ON b.cur = cont.cur
+        |CROSS JOIN ty
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.LangModel.bigramPerplexityKN(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_bigrams"), round(col("nll"), 4).as("nll"))
+        .orderBy(col("doc_id"))
+    },
+
     // ------------------------------------------------ dim reduction
     // Johnson–Lindenstrauss random-sign projection 64 -> 8 dims before
     // ANN indexing. The ±1 matrix derives from MD5 so DuckDB recomputes
@@ -3344,6 +3378,46 @@ object PipelineQueries {
             .as("ok_compress"),
           (sum(size(col("toks"))) >=
             sum(size(split(col("text"), "\\s+")))).as("ok_word_floor"))
+    },
+
+    // Unigram-LM (SentencePiece) tokenizer — certificate oracle in the
+    // q_bpe_tokenize style: DuckDB pins the corpus accounting exactly
+    // (docs/words/chars) and the certificate booleans assert the
+    // invariants the Spark side must deliver: lossless round-trip
+    // (concat(pieces) == text sans whitespace), word-boundary floor
+    // (pieces never fuse words), and real compression vs char-level
+    // segmentation (the trained vocab is doing work). Viterbi
+    // OPTIMALITY is spec-verified against exhaustive search
+    // (UnigramSpec); EM monotonicity likewise.
+    q("q_unigram_tokenize",
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+        |    t -> t <> ''))) AS BIGINT) AS total_words,
+        |  CAST(sum(length(regexp_replace(text, '\s+', '', 'g'))) AS BIGINT)
+        |    AS total_chars,
+        |  TRUE AS ok_lossless, TRUE AS ok_word_floor, TRUE AS ok_compress
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val vocab = graft.ops.Unigram.train(docs, vocabSize = 2000,
+        iterations = 3)
+      val toks = graft.ops.Unigram.tokens(col("text"), vocab)
+      docs.select(col("text"), toks.as("toks"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(filter(split(col("text"), "\\s+"), t => t =!= "")))
+            .cast("long").as("total_words"),
+          sum(length(regexp_replace(col("text"), "\\s+", "")))
+            .cast("long").as("total_chars"),
+          (count(lit(1)) === sum(
+            (array_join(col("toks"), "") ===
+              regexp_replace(col("text"), "\\s+", "")).cast("int")))
+            .as("ok_lossless"),
+          (sum(size(col("toks"))) >=
+            sum(size(filter(split(col("text"), "\\s+"), t => t =!= ""))))
+            .as("ok_word_floor"),
+          (sum(size(col("toks"))) <
+            sum(length(regexp_replace(col("text"), "\\s+", ""))))
+            .as("ok_compress"))
     },
 
     // ------------------------------------------------ curation audit log

@@ -123,4 +123,53 @@ object LangModel {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), avg(col("_nll")).as("nll"))
   }
+
+  /** Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995, in
+    * the Chen & Goodman 1999 interpolated form with one fixed absolute
+    * discount) — the smoothing the KenLM-style quality filters actually
+    * use, upgrading [[bigramPerplexity]]'s crude count floor:
+    *
+    *   P(cur|prev) = max(c(prev,cur) − D, 0) / c(prev,·)
+    *               + D · N1+(prev,·) / c(prev,·) · P_cont(cur)
+    *   P_cont(cur) = N1+(·,cur) / N1+(··)
+    *
+    * where N1+(prev,·) = distinct continuations of prev, N1+(·,cur) =
+    * distinct contexts cur follows (the "how novel is this word"
+    * signal that makes KN beat raw MLE backoff), N1+(··) = total
+    * bigram types. Unseen prev backs off to P_cont alone; a token
+    * never seen as a continuation floors at `pFloor` (external-corpus
+    * use — self-scoring never hits either branch).
+    *
+    * Scale: the model tables all derive from ONE (prev,cur) wordcount
+    * — c(prev,·) and N1+(prev,·) come from re-aggregating the TYPE
+    * frame (≪ occurrences), not a second pass over the corpus; scoring
+    * re-joins occurrences on their keys (a web-scale bigram vocabulary
+    * is never broadcast); the per-doc mean partial-aggregates. */
+  def bigramPerplexityKN(docs: DataFrame, discount: Double = 0.75,
+      pFloor: Double = 1e-10, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount=$discount")
+    val bg = bigramOccurrences(docs, idCol, textCol)
+    val c2 = bg.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("_n2"))
+    val ctx = c2.groupBy(col("prev"))
+      .agg(sum(col("_n2")).as("_n1"), count(lit(1)).as("_fan"))
+    val cont = c2.groupBy(col("cur")).agg(count(lit(1)).as("_ncont"))
+    val types = c2.agg(count(lit(1)).as("_ntypes"))
+    val pcont = coalesce(col("_ncont"), lit(0L)).cast("double") /
+      col("_ntypes").cast("double")
+    val p = when(col("_n1").isNotNull,
+      greatest(col("_n2").cast("double") - lit(discount), lit(0.0)) /
+        col("_n1").cast("double") +
+        lit(discount) * col("_fan").cast("double") / col("_n1").cast("double") *
+        pcont)
+      .otherwise(pcont)
+    bg.join(c2, Seq("prev", "cur"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .join(cont, Seq("cur"), "left")
+      .crossJoin(broadcast(types))
+      .select(col("doc_id"), (-log(greatest(p, lit(pFloor)))).as("_nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("_nll")).as("nll"))
+  }
 }

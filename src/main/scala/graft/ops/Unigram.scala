@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{UnigramEncode, UnigramOps}
+
+/** Trainable unigram-LM subword tokenizer (Kudo, ACL 2018 — the
+  * SentencePiece unigram model), completing the tokenizer family next
+  * to [[Bpe]] with the same split of work:
+  *
+  *   - CORPUS-SIZED: one distributed word-count aggregate (shared with
+  *     BPE — the corpus is touched once).
+  *   - TRAINING LOOP: Viterbi EM on the driver over the
+  *     frequency-truncated word-TYPE table (`maxVocabRows`), the
+  *     sentencepiece "corpus → counts → one-node fit" shape. Each EM
+  *     round is: segment every word type under the current piece
+  *     probabilities (Viterbi — hard EM, the deterministic variant),
+  *     re-estimate probabilities from the frequency-weighted piece
+  *     counts, prune to the target size. Hard EM is monotone: given a
+  *     fixed segmentation the count re-estimate maximizes its
+  *     likelihood, and re-segmentation under the new probabilities can
+  *     only improve it — so corpus NLL is non-increasing until pruning
+  *     (spec-asserted).
+  *   - APPLY is distributed and narrow: the (piece, logprob) table
+  *     rides the plan as a literal ([[UnigramEncode]]) and every row
+  *     segments independently. Bounded by [[Bpe.MaxPlanLiteralMerges]]'
+  *     argument: real vocabularies (32–64k) fit a plan literal; bigger
+  *     belongs in a broadcast.
+  *
+  * Determinism: seed selection and pruning order by (count desc, piece
+  * asc); Viterbi tie-breaks to the shortest last piece
+  * ([[UnigramOps.segmentWord]]); single characters are never pruned
+  * and their counts floor at 1 (coverage — every string stays
+  * segmentable), so the whole fit is a pure function of the corpus.
+  */
+object Unigram {
+
+  /** A fitted vocabulary: (piece, logprob) plus the unknown-character
+    * logprob (strictly below every real piece). */
+  case class Vocab(pieces: Seq[(String, Double)], unkLp: Double)
+
+  val MaxPlanLiteralPieces: Int = 65536
+
+  /** Viterbi-EM fit over an in-memory (word, count) table. Seeding:
+    * every substring of length 1..`maxPieceLen` of every word, scored
+    * by frequency×length (longer covering pieces are worth more, the
+    * standard seed heuristic), truncated to `seedSize` plus all single
+    * characters. */
+  def trainFromCounts(counts: Seq[(String, Long)], vocabSize: Int,
+      iterations: Int = 4, maxPieceLen: Int = 8,
+      seedSize: Int = 20000): (Vocab, Seq[Double]) = {
+    require(vocabSize >= 1 && iterations >= 1 && maxPieceLen >= 1)
+    val chars: Set[String] =
+      counts.iterator.flatMap(_._1.map(_.toString)).toSet
+    // seed substring frequencies (occurrence count × word frequency)
+    val subFreq = scala.collection.mutable.Map.empty[String, Long]
+    counts.foreach { case (w, n) =>
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        val lim = math.min(maxPieceLen, w.length - i)
+        while (l <= lim) {
+          val p = w.substring(i, i + l)
+          subFreq.update(p, subFreq.getOrElse(p, 0L) + n)
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val multi = subFreq.iterator.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, n) => (-n * p.length, p) }
+      .take(math.max(seedSize - chars.size, 0)).map(_._1)
+    var pieceCounts: Map[String, Long] =
+      (chars.toSeq ++ multi).map(p => p -> subFreq(p)).toMap
+
+    def toVocab(pc: Map[String, Long]): Vocab =
+      if (pc.isEmpty) Vocab(Seq.empty, -1e9)
+      else {
+        val total = pc.values.sum.toDouble
+        val pieces = pc.toSeq.sortBy { case (p, n) => (-n, p) }
+          .map { case (p, n) => p -> math.log(n / total) }
+        val minLp = pieces.iterator.map(_._2).min
+        Vocab(pieces, minLp - math.log(10.0))
+      }
+
+    val nlls = Seq.newBuilder[Double]
+    var it = 0
+    while (it < iterations) {
+      val vocab = toVocab(pieceCounts)
+      val model = UnigramOps.parse(
+        UnigramOps.render(vocab.pieces, vocab.unkLp))
+      val newCounts = scala.collection.mutable.Map.empty[String, Long]
+      var nll = 0.0
+      counts.foreach { case (w, n) =>
+        val pieces = UnigramOps.segmentWord(w, model)
+        nll -= UnigramOps.scorePieces(pieces, model) * n
+        pieces.foreach(p =>
+          newCounts.update(p, newCounts.getOrElse(p, 0L) + n))
+      }
+      nlls += nll
+      // single-char floor keeps the alphabet segmentable forever
+      chars.foreach(c =>
+        newCounts.update(c, math.max(newCounts.getOrElse(c, 0L), 1L)))
+      // prune: all single chars + the top multi-char pieces by count
+      val keptMulti = newCounts.iterator
+        .filter { case (p, _) => p.length > 1 }.toSeq
+        .sortBy { case (p, n) => (-n, p) }
+        .take(math.max(vocabSize - chars.size, 0))
+      pieceCounts = (newCounts.iterator
+        .filter { case (p, _) => p.length == 1 } ++ keptMulti).toMap
+      it += 1
+    }
+    (toVocab(pieceCounts), nlls.result())
+  }
+
+  /** Fit on a corpus: one distributed word-count pass, then Viterbi EM
+    * over the `maxVocabRows` most frequent word types (count desc,
+    * word asc — [[Bpe.train]]'s deterministic truncation). */
+  def train(docs: DataFrame, vocabSize: Int, iterations: Int = 4,
+      maxPieceLen: Int = 8, textCol: String = "text",
+      maxVocabRows: Int = 50000): Vocab = {
+    require(vocabSize <= MaxPlanLiteralPieces,
+      s"vocabSize=$vocabSize exceeds the plan-literal bound " +
+        s"$MaxPlanLiteralPieces — ship a vocab this size as a broadcast")
+    val top = Bpe.wordCounts(docs, textCol)
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(maxVocabRows)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    trainFromCounts(top, vocabSize, iterations, maxPieceLen)._1
+  }
+
+  /** Segment a text column against a fitted vocabulary — narrow,
+    * plan-literal, zero shuffle (the [[Bpe.tokens]] shape). */
+  def tokens(text: Column, vocab: Vocab): Column = {
+    require(vocab.pieces.size <= MaxPlanLiteralPieces,
+      s"vocab has ${vocab.pieces.size} pieces, above the plan-literal " +
+        s"bound $MaxPlanLiteralPieces; broadcast instead")
+    import org.apache.spark.sql.graft.GraftBridge.{column, expression}
+    column(UnigramEncode(expression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        UnigramOps.render(vocab.pieces, vocab.unkLp))))
+  }
+
+  /** Persist a fitted vocabulary as a snapshot table — pipeline state,
+    * exactly like [[Bpe.save]]: (piece, lp) rows plus one reserved
+    * empty-piece row carrying the unk logprob; atomic replace, time
+    * travel, rollback. */
+  def save(spark: org.apache.spark.sql.SparkSession, vocab: Vocab,
+      dir: String): Long = {
+    import spark.implicits._
+    Snapshots.commit(spark,
+      (("", vocab.unkLp) +: vocab.pieces).toDF("piece", "lp"), dir)
+  }
+
+  /** Reload a persisted vocabulary; `asOf` time-travels. Restores the
+    * canonical (lp desc, piece asc) order, so save/load round-trips
+    * bit-identically. */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String,
+      asOf: Option[Long] = None): Vocab = {
+    val rows = Snapshots.read(spark, dir, asOf)
+      .collect().map(r => r.getAs[String]("piece") -> r.getAs[Double]("lp"))
+    val (unk, pieces) = rows.partition(_._1.isEmpty)
+    Vocab(pieces.sortBy { case (p, l) => (-l, p) }.toSeq, unk.head._2)
+  }
+}

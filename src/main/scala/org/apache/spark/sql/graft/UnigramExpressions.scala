@@ -1,0 +1,147 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unigram-LM subword tokenization apply kernel (Kudo, ACL 2018 —
+  * the SentencePiece unigram model, the other tokenizer family modern
+  * LMs train on besides BPE). Training lives in [[graft.ops.Unigram]];
+  * this file is the DISTRIBUTED side: a scalar expression that
+  * Viterbi-segments a text column against a fixed, plan-carried
+  * (piece, logprob) vocabulary.
+  *
+  * Same shape as [[BpeOps]]/[[BpeEncode]]: the vocabulary rides the
+  * plan as one string literal parsed once per expression instance;
+  * encoding is pure per-row work — narrow, no shuffle, no UDF
+  * registry. CodegenFallback: the per-word DP dominates row cost.
+  */
+object UnigramOps {
+
+  /** Parsed vocabulary: logprob per piece, the longest piece length
+    * (the DP's inner-loop bound), and the unknown-single-char logprob
+    * (guarantees every string segments). */
+  final case class Model(lp: Map[String, Double], maxLen: Int,
+      unkLp: Double)
+
+  /** Serialize: first line the unk logprob, then one `piece<TAB>lp`
+    * line per piece (pieces come from whitespace-split words, so they
+    * contain neither whitespace nor tabs). */
+  def render(vocab: Seq[(String, Double)], unkLp: Double): String =
+    (unkLp.toString +: vocab.map { case (p, l) => s"$p\t$l" })
+      .mkString("\n")
+
+  /** Parse [[render]]'s format. */
+  def parse(s: String): Model = {
+    val lines = s.split("\n", -1)
+    val unk = lines.head.toDouble
+    val m = Map.newBuilder[String, Double]
+    var maxLen = 1
+    var i = 1
+    while (i < lines.length) {
+      val line = lines(i)
+      if (line.nonEmpty) {
+        val t = line.indexOf('\t')
+        val piece = line.substring(0, t)
+        m += piece -> line.substring(t + 1).toDouble
+        if (piece.length > maxLen) maxLen = piece.length
+      }
+      i += 1
+    }
+    Model(m.result(), maxLen, unk)
+  }
+
+  /** Viterbi segmentation of ONE word (whitespace-free): the
+    * segmentation maximizing Σ logprob(piece). Characters absent from
+    * the vocabulary fall back to `unkLp` as single-character pieces,
+    * so every word has at least one segmentation. Deterministic
+    * tie-break: candidate last-pieces are scanned short-to-long and a
+    * longer piece must be STRICTLY better to win, so exact score ties
+    * resolve to the shortest last piece at every DP cell. */
+  def segmentWord(word: String, m: Model): Seq[String] = {
+    val n = word.length
+    if (n == 0) return Seq.empty
+    val best = new Array[Double](n + 1)
+    val back = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      best(i) = Double.NegativeInfinity
+      val lim = if (m.maxLen < i) m.maxLen else i
+      var l = 1
+      while (l <= lim) {
+        val prev = best(i - l)
+        if (prev != Double.NegativeInfinity) {
+          val piece = word.substring(i - l, i)
+          val lpOpt = m.lp.get(piece)
+          val lp = if (lpOpt.isDefined) lpOpt.get
+            else if (l == 1) m.unkLp else Double.NaN
+          if (lp == lp) { // not NaN
+            val cand = prev + lp
+            if (cand > best(i)) { best(i) = cand; back(i) = l }
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    var pos = n
+    var out = List.empty[String]
+    while (pos > 0) {
+      val l = back(pos)
+      out = word.substring(pos - l, pos) :: out
+      pos -= l
+    }
+    out
+  }
+
+  /** Total Viterbi log-likelihood of one word (the score of
+    * [[segmentWord]]'s result — recomputable from the pieces, exposed
+    * for the trainer's convergence accounting). */
+  def scorePieces(pieces: Seq[String], m: Model): Double =
+    pieces.iterator.map(p => m.lp.getOrElse(p, m.unkLp)).sum
+
+  /** Segment a whole text: split on whitespace, segment each word.
+    * Word boundaries never fuse (pieces are word-internal, the
+    * classical setup shared with [[BpeOps.encodeText]]). */
+  def segmentText(text: String, m: Model): Seq[String] =
+    text.split("\\s+").iterator.filter(_.nonEmpty)
+      .flatMap(w => segmentWord(w, m)).toSeq
+}
+
+/** `unigram_encode(text, vocab)` → array of subword pieces. `vocab`
+  * must be a foldable string literal in [[UnigramOps.render]] format;
+  * the model is parsed once per expression instance. Null text → null. */
+case class UnigramEncode(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "unigram_encode"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base
+    else if (!right.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("unigram_encode vocab must be a literal")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val model: UnigramOps.Model = {
+    val v = right.eval(null)
+    if (v == null) UnigramOps.Model(Map.empty, 1, -1e9)
+    else UnigramOps.parse(v.toString)
+  }
+
+  override def nullSafeEval(text: Any, vocab: Any): Any = {
+    val toks = UnigramOps.segmentText(text.toString, model)
+    new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): UnigramEncode =
+    copy(left = newLeft, right = newRight)
+}

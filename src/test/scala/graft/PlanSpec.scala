@@ -470,6 +470,22 @@ class PlanSpec extends AnyFunSuite {
       s"pairing must stay an fp-keyed equi-join:\n$p")
   }
 
+  test("Unigram.tokens is a narrow plan-literal apply; KN scoring joins stay keyed") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val v = graft.ops.Unigram.Vocab(
+      Seq("a" -> -1.0, "b" -> -1.5, "ab" -> -2.0), -9.0)
+    val pu = docs.select(graft.ops.Unigram.tokens(col("text"), v).as("toks"))
+      .queryExecution.executedPlan.toString
+    assert(!pu.contains("Exchange"),
+      s"unigram apply must be a narrow scan projection:\n$pu")
+    val pk = graft.ops.LangModel.bigramPerplexityKN(docs)
+      .queryExecution.executedPlan.toString
+    assert(!pk.contains("CartesianProduct"),
+      s"KN model joins must stay keyed on their grams:\n$pk")
+    assert(pk.contains("HashAggregate"), s"per-doc mean must aggregate:\n$pk")
+  }
+
   test("whole-stage codegen covers the scan→agg hot path") {
     // AQE reveals codegen spans only in the final (post-execution) plan
     val df = SparkEntry.queries("q_agg_pricing")(spark, sfDir)

@@ -83,4 +83,36 @@ class LangModelSpec extends AnyFunSuite {
     assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap ===
       Map(1L -> 6L, 2L -> 3L, 3L -> 3L, 4L -> 1L))
   }
+
+  test("Kneser-Ney: hand-computed interpolated probabilities on a tiny corpus") {
+    // corpus "a b a b a c": c2 = {ab:2, ba:2, ac:1};
+    // ctx a: n1=3 fan=2; ctx b: n1=2 fan=1; cont: a,b,c each follow 1
+    // distinct context; ntypes=3
+    //   P(b|a) = 1.25/3 + (.75·2/3)(1/3) = 0.5833…
+    //   P(a|b) = 1.25/2 + (.75·1/2)(1/3) = 0.75
+    //   P(c|a) = 0.25/3 + (.75·2/3)(1/3) = 0.25
+    // nll = -(2·ln P(b|a) + 2·ln P(a|b) + ln P(c|a))/5 ≈ 0.607930
+    val tiny = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val out = LangModel.bigramPerplexityKN(tiny).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(1) === 5L)
+    val expected = -(2 * math.log(1.25 / 3 + 0.5 / 3) +
+      2 * math.log(0.75) + math.log(0.25)) / 5
+    assert(math.abs(out(0).getDouble(2) - expected) < 1e-9)
+    // KN interpolation is a PROPER distribution: Σ_cur P(cur|prev) = 1.
+    // For context "a": seen mass P(b|a)+P(c|a) plus backoff to the one
+    // unseen vocab word P(a|a) = λ(a)·Pcont(a) = (.75·2/3)(1/3)
+    val pba = 1.25 / 3 + (0.75 * 2.0 / 3) * (1.0 / 3)
+    val pca = 0.25 / 3 + (0.75 * 2.0 / 3) * (1.0 / 3)
+    val paa = (0.75 * 2.0 / 3) * (1.0 / 3)
+    assert(math.abs((pba + pca + paa) - 1.0) < 1e-12)
+  }
+
+  test("Kneser-Ney: docs under two tokens absent; smoother than the floored MLE on rare bigrams") {
+    val docs = Seq((1L, "x y x y x z"), (2L, "solo")).toDF("doc_id", "text")
+    val kn = LangModel.bigramPerplexityKN(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(kn.keySet === Set(1L))
+    assert(kn(1L) > 0)
+  }
 }

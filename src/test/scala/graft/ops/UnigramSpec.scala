@@ -1,0 +1,131 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.UnigramOps
+import org.scalatest.funsuite.AnyFunSuite
+
+class UnigramSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  /** All segmentations of a word (exponential — test words are short). */
+  private def allSegmentations(w: String): Seq[Seq[String]] =
+    if (w.isEmpty) Seq(Seq.empty)
+    else (1 to w.length).flatMap(l =>
+      allSegmentations(w.substring(l)).map(w.substring(0, l) +: _))
+
+  private def bruteBest(w: String, m: UnigramOps.Model): Double =
+    allSegmentations(w).map(seg =>
+      seg.map(p => m.lp.get(p) match {
+        case Some(v) => v
+        case None => if (p.length == 1) m.unkLp else Double.NegativeInfinity
+      }).sum).max
+
+  test("Viterbi equals exhaustive search on random words over a random vocab") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abc"
+    for (trial <- 1 to 60) {
+      // random vocab: single chars + random multi-char pieces with
+      // distinct random logprobs
+      val singles = alphabet.map(_.toString)
+      val multis = (1 to 5).map(_ =>
+        (1 to (2 + rnd.nextInt(3))).map(_ =>
+          alphabet(rnd.nextInt(3))).mkString).distinct
+      val vocab = (singles ++ multis).distinct
+        .map(p => p -> (-1.0 - 5.0 * rnd.nextDouble()))
+      val m = UnigramOps.parse(UnigramOps.render(vocab, unkLp = -20.0))
+      val w = (1 to (3 + rnd.nextInt(6)))
+        .map(_ => alphabet(rnd.nextInt(3))).mkString
+      val got = UnigramOps.segmentWord(w, m)
+      assert(got.mkString("") === w, s"trial $trial: not lossless on $w")
+      val score = UnigramOps.scorePieces(got, m)
+      val best = bruteBest(w, m)
+      assert(math.abs(score - best) < 1e-12,
+        s"trial $trial: viterbi $score != brute $best on $w vocab $vocab")
+    }
+  }
+
+  test("unknown characters fall back to unk pieces; ties take the shortest last piece") {
+    val m = UnigramOps.parse(UnigramOps.render(
+      Seq("a" -> -1.0, "b" -> -1.0, "ab" -> -2.0), unkLp = -9.0))
+    // "ab" as one piece scores -2.0, as a+b also -2.0 → tie; the DP's
+    // strict-improvement scan keeps the shortest last piece: a, b
+    assert(UnigramOps.segmentWord("ab", m) === Seq("a", "b"))
+    // char outside the vocab segments as an unk single char
+    assert(UnigramOps.segmentWord("axb", m) === Seq("a", "x", "b"))
+    assert(UnigramOps.scorePieces(Seq("a", "x", "b"), m) === -11.0)
+  }
+
+  test("hard EM: corpus NLL is non-increasing across iterations (no-prune regime)") {
+    val counts = Seq(("international", 20L), ("internet", 15L),
+      ("interval", 8L), ("national", 12L), ("nation", 9L),
+      ("rational", 5L), ("internals", 3L))
+    val (_, nlls) = Unigram.trainFromCounts(counts, vocabSize = 10000,
+      iterations = 5)
+    assert(nlls.size === 5)
+    nlls.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"NLL increased: $nlls")
+    }
+  }
+
+  test("fit is deterministic, keeps the alphabet, and learns frequent multi-char pieces") {
+    val counts = Seq(("international", 20L), ("internet", 15L),
+      ("interval", 8L), ("national", 12L), ("nation", 9L))
+    val (v1, _) = Unigram.trainFromCounts(counts, vocabSize = 30,
+      iterations = 3)
+    val (v2, _) = Unigram.trainFromCounts(counts, vocabSize = 30,
+      iterations = 3)
+    assert(v1 === v2, "fit must be a pure function of the counts")
+    val pieces = v1.pieces.map(_._1).toSet
+    val chars = counts.flatMap(_._1.map(_.toString)).toSet
+    assert(chars.subsetOf(pieces), "single chars are never pruned")
+    assert(v1.pieces.exists(p => p._1.length > 1),
+      "a frequent shared prefix should survive as a multi-char piece")
+    assert(v1.unkLp < v1.pieces.map(_._2).min,
+      "unk must score strictly below every real piece")
+  }
+
+  test("distributed apply: lossless round-trip and compression on real documents") {
+    val docs = spark.read
+      .parquet(s"${graft.TestSpark.sfDir}/documents.parquet").limit(200)
+    val vocab = Unigram.train(docs, vocabSize = 500, iterations = 3)
+    val out = docs.select(col("doc_id"), col("text"),
+        Unigram.tokens(col("text"), vocab).as("toks"))
+      .select(
+        (array_join(col("toks"), "") ===
+          regexp_replace(col("text"), "\\s+", "")).as("lossless"),
+        size(col("toks")).as("n_pieces"),
+        size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+          .as("n_words"),
+        length(regexp_replace(col("text"), "\\s+", "")).as("n_chars"))
+      .collect()
+    assert(out.forall(_.getBoolean(0)), "concat(pieces) must equal the text")
+    assert(out.forall(r => r.getInt(1) >= r.getInt(2)),
+      "pieces never fuse across word boundaries")
+    assert(out.map(_.getInt(1)).sum < out.map(_.getInt(3)).sum,
+      "a trained vocab must beat char-level segmentation")
+  }
+
+  test("apply equals the driver-side kernel under repartition (pure function of text)") {
+    val docs = spark.read
+      .parquet(s"${graft.TestSpark.sfDir}/documents.parquet").limit(50)
+    val vocab = Unigram.train(docs, vocabSize = 300, iterations = 2)
+    val m = UnigramOps.parse(UnigramOps.render(vocab.pieces, vocab.unkLp))
+    val dist = docs.repartition(7)
+      .select(col("doc_id"), Unigram.tokens(col("text"), vocab).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val local = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> UnigramOps.segmentText(r.getString(1), m))
+      .toMap
+    assert(dist.view.mapValues(_.toSeq).toMap === local)
+  }
+
+  test("save/load round-trips the vocabulary bit-identically through snapshots") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-uni").toString
+    val counts = Seq(("tokenize", 10L), ("tokens", 8L), ("token", 6L))
+    val (v, _) = Unigram.trainFromCounts(counts, vocabSize = 20,
+      iterations = 2)
+    Unigram.save(spark, v, dir)
+    assert(Unigram.load(spark, dir) === v)
+  }
+}
