@@ -46,7 +46,12 @@ object Bench {
     // web front half, and the Gopher repetition rules
     "q_harmonic", "q_epoch_shuffle", "q_web_pipeline",
     "q_gopher_repetition", "q_sft_export", "q_strip_corpus_lines",
-    "q_bm25_index_probe", "q_mixture_materialize", "q_vocab_coverage")
+    "q_bm25_index_probe", "q_mixture_materialize", "q_vocab_coverage",
+    // round-8 additions (second wave): passage dedup + overlap matrix,
+    // passage retrieval, the smoothed LM, both new exports, the
+    // decontam gate, and the unigram tokenizer fit+apply
+    "q_winnow_passages", "q_source_overlap", "q_bm25_maxp", "q_lm_kn",
+    "q_fim_export", "q_decontam_gate", "q_unigram_tokenize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

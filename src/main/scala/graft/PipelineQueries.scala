@@ -1103,7 +1103,7 @@ object PipelineQueries {
         |f AS (SELECT doc_id AS id, unnest(fps) AS fp FROM sel),
         |keep AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50),
         |kept AS (SELECT f.id, f.fp FROM f JOIN keep USING (fp)),
-        |sz AS (SELECT id, count(*) AS sz FROM kept GROUP BY id),
+        |sz AS (SELECT doc_id AS id, CAST(len(fps) AS BIGINT) AS sz FROM sel),
         |p AS (SELECT a.id AS id_a, b.id AS id_b,
         |    CAST(count(*) AS BIGINT) AS n_shared
         |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
@@ -2233,6 +2233,59 @@ object PipelineQueries {
           ml.filter(pmod(col("doc_id"), lit(2)) === 1),
           ml.filter(pmod(col("doc_id"), lit(2)) === 0), textCol = "ml")
         .select(col("doc_id"), col("n_removed"), col("ml").as("cleaned"))
+        .orderBy(col("doc_id"))
+    },
+
+    // CCNet-style LINE-perplexity strip (Wenzek et al. 2020 filter
+    // paragraphs, not documents): lines scored by mean token NLL under
+    // the pooled-lines unigram model, nll > 7.5 stripped, token-less
+    // lines always kept. Same synthesized multi-line fixture. The
+    // oracle recomputes the model, every line score and the rebuilt
+    // text — model floor, the NLL formula, the threshold comparison
+    // and line-order reassembly are all pinned cross-engine.
+    q("q_strip_ppl_lines",
+      """WITH w AS (SELECT doc_id, source,
+        |    string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |toks0 AS (SELECT doc_id, unnest(generate_series(0, len(ws)-1)) AS pos,
+        |    unnest(ws) AS word FROM w),
+        |body AS (SELECT doc_id, pos // 8 AS lno,
+        |    string_agg(word, ' ' ORDER BY pos) AS line
+        |  FROM toks0 GROUP BY doc_id, pos // 8),
+        |lines AS (SELECT doc_id, -1 AS lno, 'HDR ' || source AS line FROM w
+        |          UNION ALL SELECT doc_id, lno, line FROM body),
+        |tk AS (SELECT doc_id, lno,
+        |    unnest(string_split_regex(lower(line), '[^a-z0-9]+')) AS token
+        |  FROM lines),
+        |tok AS (SELECT doc_id, lno, token FROM tk WHERE token <> ''),
+        |model AS (SELECT token, count(*) AS cnt FROM tok
+        |          GROUP BY token HAVING count(*) >= 2),
+        |tot AS (SELECT count(*) AS total FROM tok),
+        |nl AS (SELECT t.doc_id, t.lno,
+        |    avg(-ln(CAST(coalesce(m.cnt, 1) AS DOUBLE)
+        |            / CAST(tot.total AS DOUBLE))) AS line_nll
+        |  FROM tok t LEFT JOIN model m ON t.token = m.token CROSS JOIN tot
+        |  GROUP BY t.doc_id, t.lno),
+        |dec AS (SELECT l.doc_id, l.lno, l.line,
+        |    (nl.line_nll IS NULL OR nl.line_nll <= 7.5) AS keep
+        |  FROM lines l LEFT JOIN nl ON l.doc_id = nl.doc_id AND l.lno = nl.lno),
+        |agg AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS INT) AS n_removed,
+        |    coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+        |      ORDER BY lno), '') AS cleaned
+        |  FROM dec GROUP BY doc_id)
+        |SELECT doc_id, n_removed, cleaned FROM agg
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val words = split(trim(col("text")), "\\s+")
+      val nLines = ceil(size(words).cast("double") / 8.0).cast("int")
+      val body = transform(sequence(lit(0), nLines - 1),
+        i => array_join(slice(words, i * 8 + 1, lit(8)), " "))
+      val ml = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("HDR "), col("source")),
+          array_join(body, "\n")).as("ml"))
+      graft.ops.LangModel.stripHighPerplexityLines(ml, maxNll = 7.5,
+          textCol = "ml")
+        .select(col("doc_id"), col("n_removed"), col("text").as("cleaned"))
         .orderBy(col("doc_id"))
     },
 

@@ -165,21 +165,12 @@ object Dedup {
     * exists (the paper's boundary rule collapses to this). */
   def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
     require(k >= 1 && w >= 1, s"k=$k w=$w")
-    val nGrams = greatest(length(text) - (k - 1), lit(0))
-    val hashes = transform(sequence(lit(1), nGrams),
-      i => conv(substring(md5(text.substr(i, lit(k)).cast("binary")), 1, 12),
-        16, 10).cast("long"))
-    // bind the hash array ONCE per row before the window scan: naming
-    // it through a lambda variable (the single-element-array transform)
-    // forces one evaluation. Referencing the `hashes` expression
-    // directly inside the window lambda would re-evaluate the ENTIRE
-    // md5 array per window — O(len²) md5 calls per doc (measured: sf0.1
-    // never finished; with the binding it's seconds)
-    val sel = element_at(transform(array(hashes), hs =>
-      array_distinct(transform(
-        sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
-        j => array_min(slice(hs, j, lit(w)))))), 1)
-    when(nGrams === 0, array().cast("array<long>")).otherwise(sel)
+    // one-pass codegen'd kernel; value-identical to the composed
+    // `conv(substring(md5(gram), 1, 12), 16, 10)` + window-min + distinct
+    // HOF chain (spec-pinned against that formula), which materialized
+    // three arrays per row through interpreted lambdas — the kernel cut
+    // q_winnow_passages from 11.1 s to seconds at sf0.1
+    GraftFunctions.winnowMd5(text, k, w)
   }
 
   /** Shared-passage detection over [[winnowFingerprints]] — the MOSS
@@ -202,28 +193,37 @@ object Dedup {
     * so it broadcasts for the anti-join.
     *
     * Output: (id_a, id_b, n_shared, containment) with id_a < id_b;
-    * containment = n_shared / min(|fps_a|, |fps_b|) over KEPT
-    * fingerprints — 1.0 means the smaller doc's selected set is
-    * entirely inside the larger's. */
+    * containment = n_shared / min(|fps_a|, |fps_b|) over each doc's
+    * FULL selected set — 1.0 means the smaller doc's selected set is
+    * entirely inside the larger's (df-dropped boilerplate fingerprints
+    * still count in the denominator, so boilerplate-only overlap never
+    * reads as full containment). */
   def winnowSharedPassages(docs: DataFrame, k: Int = 5, w: Int = 4,
       minShared: Long = 2, maxDf: Long = 1000,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(minShared >= 1 && maxDf >= 2, s"minShared=$minShared maxDf=$maxDf")
-    val fps = docs.select(col(idCol).as("id"),
-      explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
+    // the per-doc selected-set size rides the exploded frame, so no
+    // sizes re-join (and no extra selection pass) is ever needed:
+    // containment denominators count the doc's FULL selected set —
+    // ubiquitous fingerprints dropped by the df guard still dilute a
+    // doc's containment, which is the honest reading (a boilerplate-only
+    // "match" should not look fully contained)
+    val fps = docs
+      .select(col(idCol).as("id"),
+        winnowFingerprints(col(textCol), k, w).as("_fps"))
+      .select(col("id"), size(col("_fps")).cast("long").as("_sz"),
+        explode(col("_fps")).as("fp"))
     val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxDf).select(col("fp"))
     val kept = fps.join(broadcast(hot), Seq("fp"), "left_anti")
-    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("_sz"))
-    val pairs = kept.select(col("fp"), col("id").as("id_a"))
-      .join(kept.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+    kept.select(col("fp"), col("id").as("id_a"), col("_sz").as("_sa"))
+      .join(kept.select(col("fp"), col("id").as("id_b"), col("_sz").as("_sb")),
+        Seq("fp"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("_sa")).as("_sa"), min(col("_sb")).as("_sb"))
       .filter(col("n_shared") >= minShared)
-    pairs
-      .join(sizes.select(col("id").as("id_a"), col("_sz").as("_sa")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("_sz").as("_sb")), "id_b")
       .select(col("id_a"), col("id_b"), col("n_shared"),
         round(col("n_shared") / least(col("_sa"), col("_sb")), 4)
           .as("containment"))

@@ -71,6 +71,54 @@ object LangModel {
       .agg(count(lit(1)).as("n_tokens"), avg(col("_nll")).as("nll"))
   }
 
+  /** CCNet-style line-level perplexity filter (Wenzek et al., LREC
+    * 2020 — CCNet scores and drops PARAGRAPHS by LM perplexity, not
+    * whole documents): every line is scored by mean token NLL under
+    * the corpus' own unigram model (all lines pooled), lines with
+    * nll > `maxNll` are stripped, and the document survives with its
+    * typical lines — the perplexity counterpart of the frequency-based
+    * [[Boilerplate.stripFrequentLines]]. Token-less lines (blank /
+    * punctuation-only) are formatting, never scored, always kept —
+    * the [[Boilerplate]] convention.
+    *
+    * Output: (idCol, n_removed, text) with line order preserved.
+    *
+    * Scale shape: line and token explodes are narrow; the model is one
+    * token-keyed wordcount joined back on the token (a web-scale vocab
+    * is never broadcast); per-line scores aggregate on (doc, line) and
+    * the document reassembles in ONE doc-keyed aggregate via the
+    * in-array sort+filter fold — no window, no second pass over text. */
+  def stripHighPerplexityLines(docs: DataFrame, maxNll: Double,
+      minCount: Long = 2L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("_lno", "_line")))
+    val toks = lines.select(col(idCol), col("_lno"),
+        explode(filter(split(lower(col("_line")), Relevance.TokenPattern),
+          t => t =!= "")).as("token"))
+    val model = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val total = toks.agg(count(lit(1)).as("_total"))
+    val lineNll = toks.join(model, Seq("token"), "left")
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("_lno"), nllOf(col("cnt"), col("_total")).as("_nll"))
+      .groupBy(col(idCol), col("_lno"))
+      .agg(avg(col("_nll")).as("_line_nll"))
+    lines.join(lineNll, Seq(idCol, "_lno"), "left")
+      .select(col(idCol), struct(col("_lno"),
+        col("_line"),
+        (col("_line_nll").isNull || col("_line_nll") <= maxNll).as("_keep"))
+        .as("_e"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("_e"))).as("_es"))
+      .select(col(idCol),
+        (size(col("_es")) -
+          size(filter(col("_es"), e => e.getField("_keep"))))
+          .cast("int").as("n_removed"),
+        array_join(transform(filter(col("_es"), e => e.getField("_keep")),
+          e => e.getField("_line")), "\n").as("text"))
+  }
+
   /** (doc_id, prev, cur) bigram occurrences over the shared ASCII
     * tokenization — WITH multiplicity (unlike shingles' set semantics);
     * documents shorter than two tokens contribute nothing. */

@@ -151,6 +151,57 @@ object kernels {
     * which made the boilerplate strip pay O(nBuckets) interpreted work
     * plus two fingerprint evals per line. Null lines are kept (they
     * have no fingerprint), matching the old coalesce(…, false) rule. */
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Winnowing selection (Schleimer et al. 2003) in ONE pass: md5 of
+    * every k-char-gram's UTF-8 bytes (first 6 digest bytes as an
+    * unsigned long — EXACTLY `conv(substring(md5(gram), 1, 12), 16,
+    * 10)`, the cross-engine md5 bridge), window-of-w minima, distinct
+    * in first-occurrence order. Byte-for-byte equal to the composed
+    * HOF chain it replaces (spec-pinned against the composed formula),
+    * which materialized three arrays per row and re-hashed through
+    * interpreted lambdas. Grams index CODE POINTS (Spark `substring` /
+    * DuckDB `substr` semantics, not UTF-16 units). Texts shorter than
+    * k select nothing; shorter than k+w-1 collapse to min-of-all. */
+  def winnowMd5(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val cps = s.codePoints().toArray
+    val n = cps.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = md5Local.get()
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val gram = new String(cps, i, k)
+      val d = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      hs(i) = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val nWin = math.max(n - (w - 1), 1)
+    var j = 0
+    while (j < nWin) {
+      var m = hs(j)
+      var l = j + 1
+      val lim = math.min(j + w, n)
+      while (l < lim) { if (hs(l) < m) m = hs(l); l += 1 }
+      seen.add(m): Unit
+      j += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    new GenericArrayData(out)
+  }
+
   def linesNotIn(lines: ArrayData, fps: ArrayData): ArrayData = {
     val m = lines.numElements()
     val k = fps.numElements()
@@ -294,6 +345,28 @@ case class WindowFingerprints(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** winnow_md5(text, k, w) → array<bigint>: the one-pass winnowing
+  * selection kernel ([[kernels.winnowMd5]]); k and w must be literals. */
+case class WinnowMd5Expr(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_md5"
+  override protected def nullSafeEval(t: Any, kAny: Any, wAny: Any): Any =
+    kernels.winnowMd5(t.asInstanceOf[UTF8String],
+      kAny.asInstanceOf[Int], wAny.asInstanceOf[Int])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev,
+      (t, k, w) => s"org.apache.spark.sql.graft.kernels.winnowMd5($t, $k, $w)")
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): WinnowMd5Expr = copy(f, s, t)
+}
+
 /** lines_not_in(lines: array<string>, fps: array<bigint>) →
   * array<string>: the surviving lines of a frequent-line strip — every
   * line whose fingerprint64 is absent from the SORTED fingerprint set.
@@ -370,6 +443,10 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.Literal(n)))
   def linesNotIn(lines: Column, sortedFps: Column): Column =
     column(LinesNotIn(expression(lines), expression(sortedFps)))
+  def winnowMd5(text: Column, k: Int, w: Int): Column =
+    column(WinnowMd5Expr(expression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(k),
+      org.apache.spark.sql.catalyst.expressions.Literal(w)))
   def sentences(c: Column): Column = column(SentencesExpr(expression(c)))
   def repetitionStats(c: Column): Column =
     column(RepetitionStats(expression(c)))

@@ -90,6 +90,37 @@ class DedupSpec extends AnyFunSuite {
     assert(d(4L).nonEmpty && d(4L).size <= 3)
   }
 
+  test("winnow kernel is value-identical to the composed md5 HOF formula") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val texts = Seq("", "ab", "abcd", "abcde", "abcdefg", "abcdefgh",
+      "aaaaaaaaaa") ++
+      (1 to 25).map(_ => (1 to (1 + rnd.nextInt(40)))
+        .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    // the original composed column formula the kernel replaced — kept
+    // here as the cross-check that pins the kernel's md5-bridge values
+    val (k, w) = (5, 4)
+    val text = col("t")
+    val nGrams = greatest(length(text) - (k - 1), lit(0))
+    val hashes = transform(sequence(lit(1), nGrams),
+      i => conv(substring(md5(text.substr(i, lit(k)).cast("binary")), 1, 12),
+        16, 10).cast("long"))
+    val composed = when(nGrams === 0, array().cast("array<long>"))
+      .otherwise(element_at(transform(array(hashes), hs =>
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
+          j => array_min(slice(hs, j, lit(w)))))), 1))
+    val rows = df.select(col("id"),
+        Dedup.winnowFingerprints(col("t"), k, w).as("kern"),
+        composed.as("comp")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+        s"kernel diverges on ${texts(r.getLong(0).toInt)}")
+    }
+  }
+
   test("winnowSharedPassages: passage pair found; unrelated docs excluded; brute-force parity") {
     import spark.implicits._
     val passage = "the quick brown fox jumps over the lazy dog near the river"

@@ -84,6 +84,32 @@ class LangModelSpec extends AnyFunSuite {
       Map(1L -> 6L, 2L -> 3L, 3L -> 3L, 4L -> 1L))
   }
 
+  test("stripHighPerplexityLines: rare-token lines drop, common and blank lines survive in order") {
+    val common = "the quick brown fox"
+    val docs = Seq(
+      (1L, s"$common\nzxqj vwpk qqzz\n\n$common"),
+      (2L, s"$common\n$common"),
+      (3L, s"$common"),
+      (4L, s"$common\nzxqj vwpk qqzz"))
+      .toDF("doc_id", "text")
+    // model: common tokens appear 6×, gibberish 2× → with minCount=2
+    // all survive the floor but gibberish nll = ln(total/2) is the max.
+    // threshold between the two separates them; blank line has no
+    // tokens → never scored, always kept
+    val total = 6 * 4 + 2 * 3 // 4 common tokens ×6 lines + 3 gibberish ×2
+    val commonNll = math.log(total / 6.0)
+    val rareNll = math.log(total / 2.0)
+    val thr = (commonNll + rareNll) / 2
+    val out = LangModel.stripHighPerplexityLines(docs, maxNll = thr)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2))))
+      .toMap
+    assert(out(1L) === ((1, s"$common\n\n$common")),
+      "gibberish stripped, blank and order preserved")
+    assert(out(2L) === ((0, s"$common\n$common")))
+    assert(out(3L) === ((0, common)))
+    assert(out(4L) === ((1, common)))
+  }
+
   test("Kneser-Ney: hand-computed interpolated probabilities on a tiny corpus") {
     // corpus "a b a b a c": c2 = {ab:2, ba:2, ac:1};
     // ctx a: n1=3 fan=2; ctx b: n1=2 fan=1; cont: a,b,c each follow 1
