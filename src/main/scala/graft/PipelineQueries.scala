@@ -464,6 +464,54 @@ object PipelineQueries {
         .orderBy(col("inc_id"), col("corp_id"))
     },
 
+    // Persistent winnow-passage index: build on the even half with its
+    // exact stored df table, APPEND exercised in WinnowIndexSpec, probe
+    // the odd half — incremental copied-passage detection without
+    // re-reading corpus text. The oracle recomputes both halves'
+    // selections, the CORPUS-side df guard (the probe prunes by stored
+    // df, not pooled df — the WHERE id%2=0 in `hot` pins exactly that),
+    // the cross join, and the containment ratio end-to-end.
+    q("q_winnow_index_probe",
+      """WITH h AS (SELECT doc_id,
+        |  CASE WHEN length(text) >= 5 THEN
+        |    list_transform(range(1, length(text) - 5 + 2),
+        |      i -> CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), 5)), 1, 12)) AS BIGINT))
+        |  ELSE [] END AS hs FROM documents),
+        |sel AS (SELECT doc_id,
+        |  CASE WHEN len(hs) = 0 THEN []
+        |  ELSE list_distinct(list_transform(
+        |    range(1, greatest(len(hs) - 3, 1) + 1),
+        |    j -> list_aggregate(list_slice(hs, CAST(j AS INT), CAST(j AS INT) + 3), 'min')))
+        |  END AS fps FROM h),
+        |f AS (SELECT doc_id AS id, CAST(len(fps) AS BIGINT) AS sz,
+        |      unnest(fps) AS fp FROM sel),
+        |hot AS (SELECT fp FROM f WHERE id % 2 = 0
+        |        GROUP BY fp HAVING count(*) > 25),
+        |ki AS (SELECT * FROM f WHERE id % 2 = 1
+        |       AND fp NOT IN (SELECT fp FROM hot)),
+        |kc AS (SELECT * FROM f WHERE id % 2 = 0
+        |       AND fp NOT IN (SELECT fp FROM hot)),
+        |p AS (SELECT ki.id AS inc_id, kc.id AS corp_id,
+        |    CAST(count(*) AS BIGINT) AS n_shared,
+        |    min(ki.sz) AS si, min(kc.sz) AS sc
+        |  FROM ki JOIN kc ON ki.fp = kc.fp
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT inc_id, corp_id, n_shared,
+        |  round(n_shared / least(si, sc), 4) AS containment
+        |FROM p ORDER BY inc_id, corp_id""".stripMargin) { (s, dir) =>
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_wn_idx_${math.abs(dir.hashCode)}").toString
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true): Unit
+      val docs = t(s, dir, "documents")
+      graft.ops.WinnowIndex.build(s,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), tmp, maxDf = 25)
+      graft.ops.WinnowIndex.probe(s,
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1), tmp,
+          minShared = 2)
+        .orderBy(col("inc_id"), col("corp_id"))
+    },
+
     // Persistent BM25 inverted index: build on the even-id half,
     // APPEND the odd-id half (exercising the delta commit and the meta
     // totals fold), then probe two terms. The oracle recomputes BM25

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent winnowing-fingerprint index — the shared-PASSAGE
+  * lifecycle companion of [[MinhashIndex]]: that index answers "is the
+  * arriving doc a near-duplicate of the corpus?" (whole-document
+  * Jaccard); this one answers "does it share COPIED PASSAGES with the
+  * corpus?" — the partial-overlap question whole-doc similarity
+  * under-weights ([[Dedup.winnowSharedPassages]]'s incremental form).
+  * Fingerprints are the [[Dedup.winnowFingerprints]] md5-bridge
+  * selection, so any substring match of length ≥ w+k−1 between an
+  * arriving doc and ANY historical doc surfaces without re-reading
+  * corpus text.
+  *
+  * Index layout under `dir/` (atomic, time-travelable snapshot
+  * tables): `fps` (id, sz, fp) postings — 8-byte fingerprints plus the
+  * doc's full selected-set size; `df` (fp, df) document frequencies,
+  * REPLACE-committed on every append so the hot-fingerprint guard
+  * stays exact without a postings rescan; `meta` (k, w, maxDf — one
+  * row, probes can never run with mismatched parameters).
+  *
+  * Scale shape: build/append cost is the batch's narrow selection +
+  * one fp-keyed count; a probe touches the batch's fingerprints, the
+  * df table (fp-cardinality-sized, the hot set broadcast from it) and
+  * the postings rows matching surviving batch fingerprints — corpus
+  * TEXT is never read. The df guard bounds the probe join exactly as
+  * in [[Dedup.winnowSharedPassages]]. */
+object WinnowIndex {
+
+  final case class Params(k: Int, w: Int, maxDf: Long)
+
+  private def fpFrame(docs: DataFrame, k: Int, w: Int,
+      idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        Dedup.winnowFingerprints(col(textCol), k, w).as("_fps"))
+      .select(col("id"), size(col("_fps")).cast("long").as("sz"),
+        explode(col("_fps")).as("fp"))
+
+  /** Build from scratch (replace commits). One corpus-text pass. */
+  def build(spark: SparkSession, docs: DataFrame, dir: String,
+      k: Int = 5, w: Int = 4, maxDf: Long = 1000,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    import spark.implicits._
+    val fps = fpFrame(docs, k, w, idCol, textCol)
+    Snapshots.commit(spark, fps, s"$dir/fps"): Unit
+    Snapshots.commit(spark,
+      fps.groupBy(col("fp")).agg(count(lit(1)).as("df")), s"$dir/df"): Unit
+    Snapshots.commit(spark, Seq((k, w, maxDf)).toDF("k", "w", "maxDf"),
+      s"$dir/meta"): Unit
+  }
+
+  def params(spark: SparkSession, dir: String): Params = {
+    val r = Snapshots.read(spark, s"$dir/meta").head()
+    Params(r.getAs[Int]("k"), r.getAs[Int]("w"), r.getAs[Long]("maxDf"))
+  }
+
+  /** Index a new batch: postings append-committed (historical files
+    * untouched); the df table merges the batch's counts and
+    * replace-commits — df stays exact across appends, and the old df
+    * remains time-travelable. */
+  def append(spark: SparkSession, docs: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val p = params(spark, dir)
+    val fps = fpFrame(docs, p.k, p.w, idCol, textCol)
+    Snapshots.commit(spark, fps, s"$dir/fps", append = true): Unit
+    val merged = Snapshots.read(spark, s"$dir/df")
+      .unionByName(fps.groupBy(col("fp")).agg(count(lit(1)).as("df")))
+      .groupBy(col("fp")).agg(sum(col("df")).as("df"))
+    Snapshots.commit(spark, merged, s"$dir/df"): Unit
+  }
+
+  /** Shared-passage pairs of `incoming` against the stored corpus:
+    * (inc_id, corp_id, n_shared, containment), n_shared ≥ `minShared`
+    * shared selected fingerprints, containment over the smaller doc's
+    * FULL selected set ([[Dedup.winnowSharedPassages]]'s convention).
+    * The hot set (stored df > maxDf) broadcasts and prunes BOTH sides
+    * of the join — boilerplate fingerprints neither pair nor blow up
+    * the equi-join. */
+  def probe(spark: SparkSession, incoming: DataFrame, dir: String,
+      minShared: Long = 2, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val p = params(spark, dir)
+    val hot = Snapshots.read(spark, s"$dir/df")
+      .filter(col("df") > p.maxDf).select(col("fp"))
+    val inc = fpFrame(incoming, p.k, p.w, idCol, textCol)
+      .join(broadcast(hot), Seq("fp"), "left_anti")
+      .select(col("fp"), col("id").as("inc_id"), col("sz").as("_si"))
+    val corp = Snapshots.read(spark, s"$dir/fps")
+      .join(broadcast(hot), Seq("fp"), "left_anti")
+      .select(col("fp"), col("id").as("corp_id"), col("sz").as("_sc"))
+    inc.join(corp, Seq("fp"))
+      .groupBy(col("inc_id"), col("corp_id"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("_si")).as("_si"), min(col("_sc")).as("_sc"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("inc_id"), col("corp_id"), col("n_shared"),
+        round(col("n_shared") / least(col("_si"), col("_sc")), 4)
+          .as("containment"))
+  }
+}

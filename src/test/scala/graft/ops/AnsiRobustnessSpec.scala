@@ -66,4 +66,33 @@ class AnsiRobustnessSpec extends AnyFunSuite {
       assert(ing.quarantine.count() === 2)
     }
   }
+
+  test("round-8 ops survive ANSI with empty/degenerate rows") {
+    withAnsi {
+      val docs = Seq((1L, "", "s"), (2L, "   ", "s"), (3L, "ab", "t"),
+        (4L, "the quick brown fox jumps over the dog", "t"))
+        .toDF("doc_id", "text", "source")
+      // winnow: empty + shorter-than-k texts; FIM: empty text → cuts 0
+      assert(docs.select(Dedup.winnowFingerprints(col("text")))
+        .collect().length === 4)
+      assert(Export.fimTransform(docs, rate = 1.0).collect().length === 4)
+      assert(Dedup.winnowSharedPassages(docs, minShared = 1).collect()
+        .length >= 0)
+      // decontam gate with an empty index: every doc passes, zero overlap
+      val idx = Decontam.GramIndex(3, Seq.empty)
+      assert(Decontam.overlapWithIndex(docs, idx).collect()
+        .forall(_.getAs[Int]("n_overlap") === 0))
+      // unigram tokenizer: empty vocab model falls back to unk chars
+      val v = graft.ops.Unigram.Vocab(Seq("a" -> -1.0), -9.0)
+      assert(docs.select(graft.ops.Unigram.tokens(col("text"), v))
+        .collect().length === 4)
+      // KN + line strip on degenerate docs
+      assert(LangModel.bigramPerplexityKN(docs).collect().length >= 1)
+      assert(LangModel.stripHighPerplexityLines(docs, maxNll = 100.0)
+        .count() === 4)
+      // MaxP on a corpus with an empty/blank doc
+      assert(Relevance.bm25MaxP(docs, Seq("quick"), 4, 2).collect()
+        .length === 1)
+    }
+  }
 }

@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WinnowIndexSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-wnidx").toString
+
+  private val passage =
+    "the quick brown fox jumps over the lazy dog near the river bank today"
+
+  private lazy val corpus = Seq(
+    (2L, s"corpus doc alpha with $passage inside it"),
+    (4L, "a wholly unrelated corpus document about other things"),
+    (6L, s"another corpus doc carrying $passage again here"))
+    .toDF("doc_id", "text")
+
+  private lazy val incoming = Seq(
+    (1L, s"incoming text that quotes $passage verbatim"),
+    (3L, "incoming with nothing shared at all, fully novel words"))
+    .toDF("doc_id", "text")
+
+  test("probe finds the copied passage against the stored index; novel docs silent") {
+    val dir = tmpDir()
+    WinnowIndex.build(spark, corpus, dir, maxDf = 1000)
+    val got = WinnowIndex.probe(spark, incoming, dir, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)) && got.contains((1L, 6L)),
+      "the quoting doc must pair with every corpus doc holding the passage")
+    assert(!got.exists(_._1 == 3L), "novel doc must not pair")
+  }
+
+  test("probe equals the batch winnowSharedPassages restricted to cross pairs") {
+    val dir = tmpDir()
+    WinnowIndex.build(spark, corpus, dir, maxDf = 1000)
+    val idxPairs = WinnowIndex.probe(spark, incoming, dir, minShared = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // batch operator over the pooled docs, keeping inc(odd)-corp(even)
+    // pairs only; pooled df differs from stored df, so disable the
+    // guard on both sides for the parity check
+    val batch = Dedup.winnowSharedPassages(corpus.unionByName(incoming),
+        minShared = 1, maxDf = 100000)
+      .collect()
+      .flatMap { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        val v = (r.getLong(2), r.getDouble(3))
+        if (a % 2 == 1 && b % 2 == 0) Some((a, b) -> v)
+        else if (b % 2 == 1 && a % 2 == 0) Some((b, a) -> v)
+        else None
+      }.toMap
+    assert(idxPairs === batch)
+  }
+
+  test("append extends the corpus and keeps the df guard exact") {
+    val dir = tmpDir()
+    WinnowIndex.build(spark, corpus, dir, maxDf = 1000)
+    val extra = Seq((8L, s"late-arriving doc also containing $passage"))
+      .toDF("doc_id", "text")
+    WinnowIndex.append(spark, extra, dir)
+    val got = WinnowIndex.probe(spark, incoming, dir, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 8L)), "appended doc must be probeable")
+    // df merged exactly: stored df equals a from-scratch rebuild's
+    val rebuilt = tmpDir()
+    WinnowIndex.build(spark, corpus.unionByName(extra), rebuilt,
+      maxDf = 1000)
+    val dfA = Snapshots.read(spark, s"$dir/df")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dfB = Snapshots.read(spark, s"$rebuilt/df")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dfA === dfB)
+  }
+
+  test("maxDf guard prunes ubiquitous fingerprints from the probe join") {
+    val boiler = "subscribe to our newsletter for daily updates now"
+    val corp = (10 to 29).map(i =>
+      (i.toLong * 2, s"$boiler corpus filler number $i distinct words"))
+      .toDF("doc_id", "text")
+    val inc = Seq((1L, s"$boiler and nothing else in common"))
+      .toDF("doc_id", "text")
+    val dir = tmpDir()
+    WinnowIndex.build(spark, corp, dir, maxDf = 10)
+    // every shared fingerprint is boilerplate (df=20 > 10) → no pairs
+    assert(WinnowIndex.probe(spark, inc, dir, minShared = 1).count() === 0)
+  }
+}
