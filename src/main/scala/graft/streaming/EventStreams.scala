@@ -596,6 +596,66 @@ object EventStreams {
     PinnedProbe(out, Seq(corpBands, corpSigs, bigKeys))
   }
 
+  /** Streaming copied-passage detection against a persisted
+    * [[graft.ops.WinnowIndex]] — the passage-granular member of the
+    * indexed-serving family ([[nearDupProbeStream]] serves whole-doc
+    * near-dup; this flags arriving docs that QUOTE stored corpus
+    * passages, the winnowing guarantee applying per substring match).
+    * Emits (window, inc_id, corp_id, n_shared, containment) when the
+    * window's watermark closes, values identical to
+    * [[graft.ops.WinnowIndex.probe]] (all fingerprints of a doc carry
+    * its event time, so the window key is constant within a doc and
+    * each pair emits exactly once).
+    *
+    * Per batch: narrow winnow selection → broadcast hot-set anti-join
+    * (stream-static, stateless) → fp equi-join against the pinned
+    * postings → watermark-windowed count per (inc, corp) pair. State =
+    * open windows × matched pairs. Same SNAPSHOT-PINNED staleness
+    * contract as [[nearDupProbeStreamPinned]]: appends during the query
+    * are invisible until rebuild; `close()` releases the pinned
+    * frames. */
+  def winnowProbeStreamPinned(docs: DataFrame, indexDir: String,
+      minShared: Long = 2, idCol: String = "doc_id",
+      textCol: String = "text", watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): PinnedProbe = {
+    val spark = docs.sparkSession
+    val p = graft.ops.WinnowIndex.params(spark, indexDir)
+    val hot = graft.ops.Snapshots.read(spark, s"$indexDir/df")
+      .filter(col("df") > p.maxDf).select(col("fp")).cache()
+    val corp = graft.ops.Snapshots.read(spark, s"$indexDir/fps")
+      .join(hot, Seq("fp"), "left_anti")
+      .select(col("fp"), col("id").as("corp_id"), col("sz").as("_sc"))
+      .cache()
+    val inc = docs.select(col(idCol).as("inc_id"), col("event_time"),
+        graft.ops.Dedup.winnowFingerprints(col(textCol), p.k, p.w)
+          .as("_fps"))
+      .select(col("inc_id"), col("event_time"),
+        size(col("_fps")).cast("long").as("_si"),
+        explode(col("_fps")).as("fp"))
+      .join(broadcast(hot), Seq("fp"), "left_anti")
+    val out = inc.join(corp, Seq("fp"))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowDur),
+        col("inc_id"), col("corp_id"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("_si")).as("_si"), min(col("_sc")).as("_sc"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("window"), col("inc_id"), col("corp_id"),
+        col("n_shared"),
+        round(col("n_shared") / least(col("_si"), col("_sc")), 4)
+          .as("containment"))
+    PinnedProbe(out, Seq(hot, corp))
+  }
+
+  /** [[winnowProbeStreamPinned]] without the handle (frames stay pinned
+    * for the session — the one-stream-per-session serving shape). */
+  def winnowProbeStream(docs: DataFrame, indexDir: String,
+      minShared: Long = 2, idCol: String = "doc_id",
+      textCol: String = "text", watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame =
+    winnowProbeStreamPinned(docs, indexDir, minShared, idCol, textCol,
+      watermark, windowDur).stream
+
   /** Streaming BM25 serving against a persisted [[graft.ops.Bm25Index]]
     * — the lexical-retrieval completion of the indexed-serving family
     * ([[nearDupProbeStream]] serves near-dup, the salted ANN stream

@@ -166,6 +166,32 @@ object ExplainCheck {
     println(graft.ops.Decontam.overlapWithIndex(
         docs.filter(col("doc_id") % 20 =!= 0), gidx)
       .queryExecution.explainString(fmt))
+    println("########## op:Unigram.tokens (plan-literal Viterbi apply, narrow)")
+    val uv = graft.ops.Unigram.train(docs.limit(100), vocabSize = 200,
+      iterations = 2)
+    println(docs.select(graft.ops.Unigram.tokens(col("text"), uv).as("toks"))
+      .queryExecution.explainString(fmt))
+    println("########## op:LangModel.bigramPerplexityKN (type-frame model tables)")
+    println(graft.ops.LangModel.bigramPerplexityKN(docs)
+      .queryExecution.explainString(fmt))
+    println("########## op:LangModel.stripHighPerplexityLines (one reassembly agg)")
+    println(graft.ops.LangModel.stripHighPerplexityLines(docs, maxNll = 7.5)
+      .queryExecution.explainString(fmt))
+    println("########## op:WinnowIndex.probe (postings join, broadcast hot guard)")
+    val wnDir = java.nio.file.Files.createTempDirectory("graft-plans-wn").toString
+    graft.ops.WinnowIndex.build(spark,
+      docs.filter(col("doc_id") % 2 === 0), wnDir, maxDf = 25)
+    println(graft.ops.WinnowIndex.probe(spark,
+        docs.filter(col("doc_id") % 2 === 1), wnDir)
+      .queryExecution.explainString(fmt))
+    println("########## op:EventStreams.winnowProbeStream join shape (batch frames)")
+    val wq = docs.filter(col("doc_id") % 2 === 1).limit(50)
+      .withColumn("event_time",
+        org.apache.spark.sql.functions.timestamp_seconds(col("doc_id")))
+    val pinnedWn = graft.streaming.EventStreams.winnowProbeStreamPinned(
+      wq, wnDir)
+    println(pinnedWn.stream.queryExecution.explainString(fmt))
+    pinnedWn.close()
     spark.stop()
   }
 }

@@ -302,6 +302,75 @@ class EventStreamsSpec extends AnyFunSuite {
       "streaming probe must emit exactly the batch probe's pairs")
   }
 
+  test("streaming winnow-passage probe matches the batch index probe per closed window") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-swp").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.mode("overwrite").parquet(stageDir)
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-swp-idx")
+    idxDir.toFile.delete()
+    graft.ops.WinnowIndex.build(spark,
+      batchDocs.filter(pmod($"doc_id", lit(2)) === 0), idxDir.toString,
+      maxDf = 25)
+    // spread event times over hours so the watermark closes most windows
+    val incoming = spark.readStream
+      .schema(batchDocs.schema).parquet(stageDir)
+      .filter(pmod($"doc_id", lit(2)) === 1)
+      .withColumn("event_time", timestamp_seconds($"doc_id" * 200))
+    val pinned = EventStreams.winnowProbeStreamPinned(incoming,
+      idxDir.toString, minShared = 2)
+    val q = pinned.stream.writeStream.outputMode("append")
+      .format("memory").queryName("swp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("swp")
+      .select($"inc_id", $"corp_id", $"n_shared", $"containment")
+      .collect().map(_.toSeq).toSet
+    val expected = graft.ops.WinnowIndex.probe(spark,
+        batchDocs.filter(pmod($"doc_id", lit(2)) === 1),
+        idxDir.toString, minShared = 2)
+      .collect().map(_.toSeq).toSet
+    pinned.close()
+    assert(streamed.nonEmpty, "closed windows must emit pairs")
+    assert(streamed.subsetOf(expected),
+      "every streamed pair must equal its batch twin")
+    // per emitted inc doc the pair set is complete (its window closed
+    // atomically — all of a doc's fingerprints share one timestamp)
+    val emittedIncs = streamed.map(_.head)
+    val missing = expected.filter(e => emittedIncs.contains(e.head))
+      .diff(streamed)
+    assert(missing.isEmpty, s"closed-window docs missing pairs: $missing")
+  }
+
+  test("stateless export transforms run unchanged on streams: FIM + unigram tokenize") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-sfim").toString
+    spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+      .write.mode("overwrite").parquet(stageDir)
+    val batchDocs = spark.read.parquet(stageDir)
+    val vocab = graft.ops.Unigram.train(batchDocs, vocabSize = 300,
+      iterations = 2)
+    val incoming = spark.readStream.schema(batchDocs.schema)
+      .parquet(stageDir)
+    val out = graft.ops.Export.fimTransform(incoming, rate = 0.5)
+      .withColumn("toks",
+        graft.ops.Unigram.tokens(col("text"), vocab))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sfim")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sfim")
+      .select($"doc_id", $"fim", $"text", $"toks")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
+        r.getSeq[String](3))).toSet
+    val expected = graft.ops.Export.fimTransform(batchDocs, rate = 0.5)
+      .withColumn("toks", graft.ops.Unigram.tokens(col("text"), vocab))
+      .select($"doc_id", $"fim", $"text", $"toks")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
+        r.getSeq[String](3))).toSet
+    assert(streamed === expected,
+      "stateless narrow transforms must be batch-identical on a stream")
+  }
+
   test("bloom streaming corpus dedup matches the exact stream-static twin") {
     val stageDir = java.nio.file.Files.createTempDirectory("graft-sbd").toString
     spark.read.parquet(s"$sfDir/documents.parquet")
