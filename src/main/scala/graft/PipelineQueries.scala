@@ -1566,6 +1566,41 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Per-benchmark-item contamination report (the transposed view of
+    // q_decontaminate): for every benchmark doc, how many corpus docs
+    // share >= 2 distinct trigrams and the worst overlap — clean items
+    // included with zeros. The oracle recomputes pairs, the transpose
+    // and both aggregates independently.
+    q("q_decontam_report",
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(generate_series(0, len(string_split_regex(text, '\s+')) - 1)) AS pos,
+        |    unnest(string_split_regex(text, '\s+')) AS word FROM documents),
+        |tri AS (SELECT doc_id,
+        |    word || ' ' || lead(word) OVER w || ' ' || lead(word, 2) OVER w AS g
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |corpus AS (SELECT DISTINCT doc_id, g FROM tri
+        |           WHERE doc_id % 20 <> 0 AND g IS NOT NULL),
+        |bench AS (SELECT DISTINCT doc_id, g FROM tri
+        |          WHERE doc_id % 20 = 0 AND g IS NOT NULL),
+        |p AS (SELECT c.doc_id AS corp_id, b.doc_id AS bench_id,
+        |    count(*) AS n_overlap
+        |  FROM corpus c JOIN bench b ON c.g = b.g
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |r AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS nc,
+        |    CAST(max(n_overlap) AS BIGINT) AS mx FROM p GROUP BY bench_id)
+        |SELECT d.doc_id AS bench_id,
+        |  CAST(coalesce(r.nc, 0) AS BIGINT) AS n_contaminated,
+        |  CAST(coalesce(r.mx, 0) AS BIGINT) AS max_overlap
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 0) d
+        |LEFT JOIN r ON d.doc_id = r.bench_id
+        |ORDER BY bench_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontam.contaminationReport(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0), n = 3, minOverlap = 2)
+        .orderBy(col("bench_id"))
+    },
+
     // FUZZY decontamination — the near-dup complement of the exact
     // n-gram rule (a paraphrased eval item shares few exact windows but
     // scores high whole-doc Jaccard; published pipelines run both).

@@ -71,6 +71,38 @@ object Decontam {
     corpus.join(broadcast(flagged), Seq(idCol), "left_anti")
   }
 
+  /** Per-benchmark-item contamination report — the transposed view of
+    * [[overlapCounts]] that pipelines actually publish ("n% of
+    * benchmark X's items appear in the training set"): for every
+    * benchmark doc, the number of corpus docs sharing ≥ `minOverlap`
+    * distinct n-grams with it and the worst overlap seen. Benchmark
+    * items with ZERO contamination are included — a report that
+    * silently drops clean items can't state a contamination rate.
+    *
+    * Scale: the same broadcast-benchmark shape as [[overlapCounts]];
+    * the additions are a (corpus, bench) pair rollup (rows ≤ matched
+    * pairs) and a bench-keyed final aggregate whose output is exactly
+    * |benchmark| rows. */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+      n: Int, minOverlap: Int = 1, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val benchGrams = docGrams(benchmark, n, idCol, textCol)
+      .select(col(idCol).as("bench_id"), col("gram"))
+    val pairs = docGrams(corpus, n, idCol, textCol)
+      .select(col(idCol).as("corp_id"), col("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("corp_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+    benchmark.select(col(idCol).as("bench_id"))
+      .join(pairs.groupBy(col("bench_id"))
+          .agg(count(lit(1)).as("_nc"), max(col("n_overlap")).as("_mx")),
+        Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("_nc"), lit(0L)).as("n_contaminated"),
+        coalesce(col("_mx"), lit(0L)).cast("long").as("max_overlap"))
+  }
+
   /** Pre-built benchmark n-gram fingerprint index — the
     * [[Boilerplate.LineIndex]] pattern applied to decontamination:
     * build once from the (small by nature) eval suite, embed as a plan

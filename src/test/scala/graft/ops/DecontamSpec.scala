@@ -74,6 +74,23 @@ class DecontamSpec extends AnyFunSuite {
     assert(!exact.contains(2L), "absolute rule flags the quoted span")
   }
 
+  test("contaminationReport: transposed per-item counts, clean items reported as zero") {
+    val bench2 = bench.unionByName(
+      Seq((200L, "zz yy xx ww vv")).toDF("doc_id", "text"))
+    val got = Decontam.contaminationReport(corpus, bench2, n = 3,
+        minOverlap = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // item 100: docs 1 (3 shared trigrams) and 2 (1 shared) → 2 docs,
+    // worst overlap 3; item 200 shares nothing → zeros, still present
+    assert(got === Map(100L -> ((2L, 3L)), 200L -> ((0L, 0L))))
+    val strict = Decontam.contaminationReport(corpus, bench2, n = 3,
+        minOverlap = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(strict === Map(100L -> ((1L, 3L)), 200L -> ((0L, 0L))))
+  }
+
   test("index-based gate: counts match overlapCounts (zeros included) and the anti-join twin") {
     val idx = Decontam.buildGramIndex(bench, n = 3)
     val got = Decontam.overlapWithIndex(corpus, idx)
