@@ -1165,6 +1165,57 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Matched-span extraction (the MOSS report): for the flagged pairs,
+    // WHERE is the copied text — contiguous diagonal runs of
+    // position-level 5-gram matches, recovered by one gaps-and-islands
+    // window per (pair, diagonal). The oracle recomputes positional
+    // hashes, the pair set, the diagonal islands and every span bound,
+    // so the offsets themselves are pinned cross-engine (and the spec
+    // asserts substring equality at those offsets on real text).
+    q("q_winnow_spans",
+      """WITH h AS (SELECT doc_id,
+        |  CASE WHEN length(text) >= 5 THEN
+        |    list_transform(range(1, length(text) - 5 + 2),
+        |      i -> CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), 5)), 1, 12)) AS BIGINT))
+        |  ELSE [] END AS hs FROM documents),
+        |sel AS (SELECT doc_id,
+        |  CASE WHEN len(hs) = 0 THEN []
+        |  ELSE list_distinct(list_transform(
+        |    range(1, greatest(len(hs) - 3, 1) + 1),
+        |    j -> list_aggregate(list_slice(hs, CAST(j AS INT), CAST(j AS INT) + 3), 'min')))
+        |  END AS fps FROM h),
+        |f AS (SELECT doc_id AS id, unnest(fps) AS fp FROM sel),
+        |keep AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50),
+        |kept AS (SELECT f.id, f.fp FROM f JOIN keep USING (fp)),
+        |pr AS (SELECT a.id AS id_a, b.id AS id_b
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |g AS (SELECT doc_id AS id, i - 1 AS pos, hs[i] AS fp
+        |  FROM h, unnest(generate_series(1, len(hs))) AS t(i)),
+        |m AS (SELECT p.id_a, p.id_b, ga.pos AS pos_a, gb.pos AS pos_b
+        |  FROM pr p JOIN g ga ON ga.id = p.id_a
+        |  JOIN g gb ON gb.id = p.id_b AND ga.fp = gb.fp),
+        |d AS (SELECT *, pos_a - pos_b AS diag FROM m),
+        |i AS (SELECT *, CASE WHEN pos_a - lag(pos_a) OVER
+        |    (PARTITION BY id_a, id_b, diag ORDER BY pos_a) = 1
+        |  THEN 0 ELSE 1 END AS brk FROM d),
+        |s AS (SELECT *, sum(brk) OVER
+        |    (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS isl FROM i)
+        |SELECT id_a, id_b, CAST(min(pos_a) AS INT) AS start_a,
+        |  CAST(min(pos_b) AS INT) AS start_b,
+        |  CAST(max(pos_a) + 4 - min(pos_a) + 1 AS INT) AS length
+        |FROM s GROUP BY id_a, id_b, diag, isl
+        |HAVING max(pos_a) + 4 - min(pos_a) + 1 >= 15
+        |ORDER BY id_a, id_b, start_a, start_b, length""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ops.Dedup.sharedPassageSpans(docs,
+          graft.ops.Dedup.winnowSharedPassages(docs, k = 5, w = 4,
+            minShared = 2, maxDf = 50).select(col("id_a"), col("id_b")),
+          k = 5, minLen = 15)
+        .orderBy(col("id_a"), col("id_b"), col("start_a"), col("start_b"),
+          col("length"))
+    },
+
     // ------------------------------------------------ multimodal
     // Binary payload → per-partition stub decode → typed metadata.
     // EXPLICITLY A STUB-CONTRACT CHECK: decodeStub stands in for an ML

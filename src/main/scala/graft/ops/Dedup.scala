@@ -229,6 +229,54 @@ object Dedup {
           .as("containment"))
   }
 
+  /** Matched-span extraction for candidate pairs — the MOSS reporting
+    * step after [[winnowSharedPassages]] flags a pair: WHERE is the
+    * copied text? Every position-level k-gram match between the two
+    * docs becomes a point on a (pos_a, pos_b) grid; contiguous runs on
+    * one diagonal (pos_a − pos_b constant) are exactly the shared
+    * substrings, recovered with one gaps-and-islands window per
+    * (pair, diagonal). Output: one row per maximal shared span of
+    * length ≥ `minLen` chars — (id_a, id_b, start_a, start_b, length),
+    * offsets 0-based code points, so `substr(text_a, start_a+1, length)
+    * == substr(text_b, start_b+1, length)` (spec-asserted).
+    *
+    * Scale shape: positional grams are narrow ([[kernels.charGramMd5]]
+    * one pass); the grid materializes ONLY for docs in `pairs` (two
+    * id-keyed semi-ish joins) and only at matching fp values; the
+    * islands window partitions by (pair, diagonal) — bounded by the
+    * longest match, never corpus-sized. Cost ∝ Σ matched grams over
+    * candidate pairs, which [[winnowSharedPassages]]' minShared/maxDf
+    * guards already bound. */
+  def sharedPassageSpans(docs: DataFrame, pairs: DataFrame, k: Int = 5,
+      minLen: Int = 10, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pg = docs.select(col(idCol).as("id"),
+      posexplode(GraftFunctions.charGramMd5(col(textCol), k))
+        .as(Seq("pos", "fp")))
+    val m = pairs.select(col("id_a"), col("id_b"))
+      .join(pg.select(col("id").as("id_a"), col("pos").as("pos_a"),
+        col("fp")), Seq("id_a"))
+      .join(pg.select(col("id").as("id_b"), col("pos").as("pos_b"),
+        col("fp")), Seq("id_b", "fp"))
+    val w = Window.partitionBy(col("id_a"), col("id_b"), col("_d"))
+      .orderBy(col("pos_a"))
+    m.withColumn("_d", col("pos_a") - col("pos_b"))
+      .withColumn("_brk",
+        when(col("pos_a") - lag(col("pos_a"), 1).over(w) === 1, 0)
+          .otherwise(1))
+      .withColumn("_isl", sum(col("_brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id_a"), col("id_b"), col("_d"), col("_isl"))
+      .agg(min(col("pos_a")).as("start_a"),
+        min(col("pos_b")).as("start_b"),
+        (max(col("pos_a")) + (k - 1) - min(col("pos_a")) + 1)
+          .as("length"))
+      .filter(col("length") >= minLen)
+      .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"),
+        col("length"))
+  }
+
   /** Cross-source duplication matrix — the corpus-composition question
     * "how much does source A duplicate source B (and itself)?" that
     * decides which feeds to drop or down-weight before training. Takes

@@ -202,6 +202,31 @@ object kernels {
     new GenericArrayData(out)
   }
 
+  /** All k-char-gram md5-bridge hashes of a text with positions — the
+    * un-winnowed companion of [[winnowMd5]] (same per-gram values, no
+    * window selection): out[i] = hash of the gram starting at code
+    * point i. Feeds position-level matching (shared-span extraction),
+    * where the selected subset is not enough. */
+  def charGramMd5(text: UTF8String, k: Int): ArrayData = {
+    val s = text.toString
+    val cps = s.codePoints().toArray
+    val n = cps.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = md5Local.get()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val gram = new String(cps, i, k)
+      val d = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out(i) = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def linesNotIn(lines: ArrayData, fps: ArrayData): ArrayData = {
     val m = lines.numElements()
     val k = fps.numElements()
@@ -367,6 +392,25 @@ case class WinnowMd5Expr(first: Expression, second: Expression,
       s: Expression, t: Expression): WinnowMd5Expr = copy(f, s, t)
 }
 
+/** char_gram_md5(text, k) → array<bigint>: [[kernels.charGramMd5]];
+  * k must be a literal. */
+case class CharGramMd5Expr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_gram_md5"
+  override protected def nullSafeEval(t: Any, kAny: Any): Any =
+    kernels.charGramMd5(t.asInstanceOf[UTF8String], kAny.asInstanceOf[Int])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev,
+      (t, k) => s"org.apache.spark.sql.graft.kernels.charGramMd5($t, $k)")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): CharGramMd5Expr = copy(l, r)
+}
+
 /** lines_not_in(lines: array<string>, fps: array<bigint>) →
   * array<string>: the surviving lines of a frequent-line strip — every
   * line whose fingerprint64 is absent from the SORTED fingerprint set.
@@ -447,6 +491,9 @@ object GraftFunctions {
     column(WinnowMd5Expr(expression(text),
       org.apache.spark.sql.catalyst.expressions.Literal(k),
       org.apache.spark.sql.catalyst.expressions.Literal(w)))
+  def charGramMd5(text: Column, k: Int): Column =
+    column(CharGramMd5Expr(expression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(k)))
   def sentences(c: Column): Column = column(SentencesExpr(expression(c)))
   def repetitionStats(c: Column): Column =
     column(RepetitionStats(expression(c)))

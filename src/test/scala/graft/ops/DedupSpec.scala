@@ -166,6 +166,34 @@ class DedupSpec extends AnyFunSuite {
       "pair sharing only ubiquitous fingerprints must be filtered")
   }
 
+  test("sharedPassageSpans: recovered offsets yield byte-equal substrings covering the passage") {
+    import spark.implicits._
+    val passage = "the quick brown fox jumps over the lazy dog"
+    val a = s"XXXX YYY $passage TAIL words here"
+    val b = s"prefix words longer $passage and a suffix"
+    val c = "completely unrelated content in this one entirely"
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val spans = Dedup.sharedPassageSpans(docs, pairs, k = 5, minLen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4)))
+    assert(spans.nonEmpty)
+    val texts = Map(1L -> a, 2L -> b, 3L -> c)
+    spans.foreach { case (ia, ib, sa, sb, len) =>
+      assert(texts(ia).substring(sa, sa + len)
+        === texts(ib).substring(sb, sb + len),
+        s"span ($ia,$ib,$sa,$sb,$len) does not reproduce equal text")
+    }
+    // the copied passage is covered by one maximal span (match can
+    // extend past the passage through coinciding boundary spaces)
+    val best = spans.filter(s => s._1 == 1L && s._2 == 2L)
+      .maxBy(_._5)
+    assert(best._5 >= passage.length, s"longest span $best too short")
+    assert(a.substring(best._3, best._3 + best._5).contains(passage))
+    // unrelated pair contributes no span at minLen=10
+    assert(!spans.exists(_._2 == 3L))
+  }
+
   test("sourceOverlapMatrix: hand-computed rollup, diagonal included, swap normalized") {
     import spark.implicits._
     val d = Seq((1L, "wiki"), (2L, "wiki"), (3L, "web"), (4L, "web"),
