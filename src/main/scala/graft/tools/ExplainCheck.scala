@@ -192,6 +192,17 @@ object ExplainCheck {
       wq, wnDir)
     println(pinnedWn.stream.queryExecution.explainString(fmt))
     pinnedWn.close()
+    println("########## op:Dedup.sharedPassageSpans (candidate-only grid + islands window)")
+    val spPairs = docs.limit(40).selectExpr("doc_id as id_a")
+      .crossJoin(docs.limit(40).selectExpr("doc_id as id_b"))
+      .filter(col("id_a") < col("id_b")).limit(100)
+    println(graft.ops.Dedup.sharedPassageSpans(docs, spPairs)
+      .queryExecution.explainString(fmt))
+    println("########## op:Decontam.contaminationReport (broadcast bench, pair rollup)")
+    println(graft.ops.Decontam.contaminationReport(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), n = 3)
+      .queryExecution.explainString(fmt))
     spark.stop()
   }
 }
