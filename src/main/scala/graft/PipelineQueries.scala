@@ -2507,6 +2507,50 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // KN SERVING split: model fitted on the even half only, odd half
+    // scored against it — this drives every fallback rung external docs
+    // hit (unseen bigram in a seen context → continuation mass; unseen
+    // context → P_cont alone; never-a-continuation token → the 1e-10
+    // floor). The oracle recomputes the even-half model and the full
+    // ladder double-for-double, so the branch conditions themselves are
+    // pinned cross-engine.
+    q("q_lm_kn_serve",
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks FROM documents),
+        |bg AS (SELECT doc_id, toks[pos] AS prev, toks[pos+1] AS cur
+        |       FROM d, unnest(generate_series(1, len(toks)-1)) AS t(pos)),
+        |c2 AS (SELECT prev, cur, count(*) AS n2 FROM bg
+        |       WHERE doc_id % 2 = 0 GROUP BY prev, cur),
+        |ctx AS (SELECT prev, CAST(sum(n2) AS BIGINT) AS n1, count(*) AS fan
+        |        FROM c2 GROUP BY prev),
+        |cont AS (SELECT cur, count(*) AS ncont FROM c2 GROUP BY cur),
+        |ty AS (SELECT count(*) AS ntypes FROM c2)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  round(avg(-ln(greatest(
+        |    CASE WHEN ctx.n1 IS NOT NULL THEN
+        |      greatest(CAST(coalesce(c2.n2, 0) AS DOUBLE) - 0.75, 0.0)
+        |        / CAST(ctx.n1 AS DOUBLE) +
+        |      0.75 * CAST(ctx.fan AS DOUBLE) / CAST(ctx.n1 AS DOUBLE) *
+        |      (CAST(coalesce(cont.ncont, 0) AS DOUBLE) / CAST(ntypes AS DOUBLE))
+        |    ELSE CAST(coalesce(cont.ncont, 0) AS DOUBLE) / CAST(ntypes AS DOUBLE)
+        |    END, 1e-10))), 4) AS nll
+        |FROM bg b
+        |LEFT JOIN c2 ON b.prev = c2.prev AND b.cur = c2.cur
+        |LEFT JOIN ctx ON b.prev = ctx.prev
+        |LEFT JOIN cont ON b.cur = cont.cur
+        |CROSS JOIN ty
+        |WHERE b.doc_id % 2 = 1
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val m = graft.ops.LangModel.fitKN(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+      graft.ops.LangModel.scoreAgainstModelKN(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1), m)
+        .select(col("doc_id"), col("n_bigrams"), round(col("nll"), 4).as("nll"))
+        .orderBy(col("doc_id"))
+    },
+
     // ------------------------------------------------ dim reduction
     // Johnson–Lindenstrauss random-sign projection 64 -> 8 dims before
     // ANN indexing. The ±1 matrix derives from MD5 so DuckDB recomputes

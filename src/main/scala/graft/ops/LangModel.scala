@@ -123,19 +123,8 @@ object LangModel {
     * tokenization — WITH multiplicity (unlike shingles' set semantics);
     * documents shorter than two tokens contribute nothing. */
   private def bigramOccurrences(docs: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
-    val ts = filter(split(lower(col(textCol)), Relevance.TokenPattern),
-      t => t =!= "")
-    docs.select(col(idCol).as("doc_id"), ts.as("_ts"))
-      .select(col("doc_id"), explode(
-        when(size(col("_ts")) >= 2,
-          transform(sequence(lit(1), size(col("_ts")) - 1),
-            i => struct(element_at(col("_ts"), i).as("prev"),
-              element_at(col("_ts"), i + 1).as("cur"))))
-          .otherwise(array().cast("array<struct<prev:string,cur:string>>")))
-        .as("_b"))
-      .select(col("doc_id"), col("_b.prev"), col("_b.cur"))
-  }
+      idCol: String, textCol: String): DataFrame =
+    bigramsWith(docs, idCol, textCol, Seq.empty)
 
   /** Per-document mean negative log-likelihood under the corpus' own
     * bigram model — the conditional upgrade of [[perplexityScore]]
@@ -195,29 +184,83 @@ object LangModel {
     * is never broadcast); the per-doc mean partial-aggregates. */
   def bigramPerplexityKN(docs: DataFrame, discount: Double = 0.75,
       pFloor: Double = 1e-10, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    scoreAgainstModelKN(docs, fitKN(docs, discount, idCol, textCol),
+      pFloor, idCol, textCol)
+
+  /** The KN model as reusable frames — fit ONCE on the curated corpus,
+    * score any stream/batch without touching the corpus again (the
+    * [[scoreAgainstModel]] serving split, for the smoothed model). All
+    * four tables derive from one (prev, cur) wordcount; `nTypes` folds
+    * to the driver (a single long, the Bloom class). */
+  final case class KnModel(c2: DataFrame, ctx: DataFrame, cont: DataFrame,
+      nTypes: Long, discount: Double)
+
+  /** Two corpus passes at fit time (the model aggregate and the type
+    * count — `nTypes` must be a concrete value so serving needs no
+    * per-batch one-row cross join, [[scoreAgainstModel]]'s
+    * `totalTokens` precedent); persist the tables downstream if the
+    * fit re-runs often. */
+  def fitKN(corpus: DataFrame, discount: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): KnModel = {
     require(discount > 0 && discount < 1, s"discount=$discount")
-    val bg = bigramOccurrences(docs, idCol, textCol)
-    val c2 = bg.groupBy(col("prev"), col("cur"))
+    val c2 = bigramOccurrences(corpus, idCol, textCol)
+      .groupBy(col("prev"), col("cur"))
       .agg(count(lit(1)).as("_n2"))
     val ctx = c2.groupBy(col("prev"))
       .agg(sum(col("_n2")).as("_n1"), count(lit(1)).as("_fan"))
     val cont = c2.groupBy(col("cur")).agg(count(lit(1)).as("_ncont"))
-    val types = c2.agg(count(lit(1)).as("_ntypes"))
-    val pcont = coalesce(col("_ncont"), lit(0L)).cast("double") /
-      col("_ntypes").cast("double")
-    val p = when(col("_n1").isNotNull,
-      greatest(col("_n2").cast("double") - lit(discount), lit(0.0)) /
-        col("_n1").cast("double") +
-        lit(discount) * col("_fan").cast("double") / col("_n1").cast("double") *
-        pcont)
-      .otherwise(pcont)
-    bg.join(c2, Seq("prev", "cur"), "left")
-      .join(ctx, Seq("prev"), "left")
-      .join(cont, Seq("cur"), "left")
-      .crossJoin(broadcast(types))
-      .select(col("doc_id"), (-log(greatest(p, lit(pFloor)))).as("_nll"))
+    KnModel(c2, ctx, cont, c2.count(), discount)
+  }
+
+  /** Score documents against a fitted [[KnModel]]. External docs hit
+    * the fallback ladder the interpolation defines: unseen bigram in a
+    * seen context → pure continuation mass; unseen context → P_cont
+    * alone; token never seen as a continuation → `pFloor`. Same
+    * join/aggregate shape as [[scoreAgainstModel]] — model joins stay
+    * keyed on their grams, per-doc mean partial-aggregates. */
+  def scoreAgainstModelKN(docs: DataFrame, m: KnModel,
+      pFloor: Double = 1e-10, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    bigramOccurrences(docs, idCol, textCol)
+      .join(m.c2, Seq("prev", "cur"), "left")
+      .join(m.ctx, Seq("prev"), "left")
+      .join(m.cont, Seq("cur"), "left")
+      .select(col("doc_id"),
+        (-log(greatest(knProb(m), lit(pFloor)))).as("_nll"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), avg(col("_nll")).as("nll"))
+
+  /** The interpolated probability over the joined model columns —
+    * shared by the batch and streaming scorers so both agree
+    * bit-for-bit (the [[nllOf]] pattern). */
+  private[graft] def knProb(m: KnModel): org.apache.spark.sql.Column = {
+    val pcont = coalesce(col("_ncont"), lit(0L)).cast("double") /
+      lit(m.nTypes).cast("double")
+    when(col("_n1").isNotNull,
+      greatest(coalesce(col("_n2"), lit(0L)).cast("double") -
+          lit(m.discount), lit(0.0)) /
+        col("_n1").cast("double") +
+        lit(m.discount) * col("_fan").cast("double") /
+        col("_n1").cast("double") * pcont)
+      .otherwise(pcont)
+  }
+
+  /** The bigram explode with extra carried columns — the streaming
+    * scorer needs event time alongside (prev, cur). */
+  private[graft] def bigramsWith(docs: DataFrame, idCol: String,
+      textCol: String, carry: Seq[String]): DataFrame = {
+    val ts = filter(split(lower(col(textCol)), Relevance.TokenPattern),
+      t => t =!= "")
+    docs.select((col(idCol).as("doc_id") +: carry.map(col)) :+ ts.as("_ts"): _*)
+      .select((col("doc_id") +: carry.map(col)) :+ explode(
+        when(size(col("_ts")) >= 2,
+          transform(sequence(lit(1), size(col("_ts")) - 1),
+            i => struct(element_at(col("_ts"), i).as("prev"),
+              element_at(col("_ts"), i + 1).as("cur"))))
+          .otherwise(array().cast("array<struct<prev:string,cur:string>>")))
+        .as("_b"): _*)
+      .select((col("doc_id") +: carry.map(col)) :+
+        col("_b.prev") :+ col("_b.cur"): _*)
   }
 }

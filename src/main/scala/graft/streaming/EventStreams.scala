@@ -450,6 +450,38 @@ object EventStreams {
       .drop("window")
   }
 
+  /** Streaming twin of [[graft.ops.LangModel.scoreAgainstModelKN]] —
+    * Kneser-Ney-smoothed quality scoring of arriving documents against
+    * a STATIC model fitted once on the curated corpus
+    * ([[graft.ops.LangModel.fitKN]]). The bigram explode is stateless;
+    * the three model attaches are stream-static LEFT joins on their
+    * gram keys (a web-scale bigram vocabulary is never broadcast; the
+    * left side preserves unseen grams so the fallback ladder — pure
+    * continuation mass, context backoff, `pFloor` — fires exactly as
+    * in batch, [[graft.ops.LangModel.knProb]] being the SHARED
+    * expression); the per-doc mean is a watermarked aggregate keyed
+    * (doc_id, event-time window) — all bigrams of a doc carry its
+    * timestamp, so append mode emits each score exactly once. Same
+    * batch-parity caveat as [[importanceWeightStream]]: docs with no
+    * bigrams emit nothing. */
+  def knScoreStream(docs: DataFrame, m: graft.ops.LangModel.KnModel,
+      pFloor: Double = 1e-10, idCol: String = "doc_id",
+      textCol: String = "text", eventTimeCol: String = "event_time",
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    graft.ops.LangModel.bigramsWith(
+        docs.withWatermark(eventTimeCol, watermark),
+        idCol, textCol, Seq(eventTimeCol))
+      .join(m.c2, Seq("prev", "cur"), "left")
+      .join(m.ctx, Seq("prev"), "left")
+      .join(m.cont, Seq("cur"), "left")
+      .groupBy(col("doc_id"), window(col(eventTimeCol), windowDur))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(-log(greatest(graft.ops.LangModel.knProb(m), lit(pFloor))))
+          .as("nll"))
+      .drop("window")
+  }
+
   /** Streaming twin of [[graft.ops.Importance.logWeights]] — DSIR
     * serving: weight arriving documents against a STATIC B-row
     * log-ratio table ([[graft.ops.Importance.bucketLogRatios]], built

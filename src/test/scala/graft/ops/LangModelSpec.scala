@@ -134,6 +134,27 @@ class LangModelSpec extends AnyFunSuite {
     assert(math.abs((pba + pca + paa) - 1.0) < 1e-12)
   }
 
+  test("Kneser-Ney serving: every fallback rung hand-computed on an external doc") {
+    // model corpus "a b a b a c" (see the self-scoring test); score
+    // "a b z q": (a,b) seen; (b,z) seen context + never-continuation
+    // token → p = 0 → floor; (z,q) unseen context + never-continuation
+    // → floor
+    val m = LangModel.fitKN(Seq((1L, "a b a b a c")).toDF("doc_id", "text"))
+    val out = LangModel.scoreAgainstModelKN(
+        Seq((9L, "a b z q")).toDF("doc_id", "text"), m)
+      .collect()
+    assert(out.length === 1 && out(0).getLong(1) === 3L)
+    val pba = 1.25 / 3 + (0.75 * 2.0 / 3) * (1.0 / 3)
+    val expected = -(math.log(pba) + 2 * math.log(1e-10)) / 3
+    assert(math.abs(out(0).getDouble(2) - expected) < 1e-9)
+    // unseen bigram, seen context, token that IS a continuation:
+    // "c a" → prev c unseen? c has no continuation in the model (c is
+    // final) → unseen context → P_cont(a) = 1/3
+    val out2 = LangModel.scoreAgainstModelKN(
+        Seq((9L, "c a")).toDF("doc_id", "text"), m).collect()
+    assert(math.abs(out2(0).getDouble(2) - (-math.log(1.0 / 3))) < 1e-12)
+  }
+
   test("Kneser-Ney: docs under two tokens absent; smoother than the floored MLE on rare bigrams") {
     val docs = Seq((1L, "x y x y x z"), (2L, "solo")).toDF("doc_id", "text")
     val kn = LangModel.bigramPerplexityKN(docs)

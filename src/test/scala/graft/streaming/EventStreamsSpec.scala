@@ -175,6 +175,38 @@ class EventStreamsSpec extends AnyFunSuite {
       s"only ${streamedIds.size} of ${expectedIds.size} docs emitted")
   }
 
+  test("streaming KN scoring against a static model matches the batch twin") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-skn").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.mode("overwrite").parquet(stageDir)
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val m = graft.ops.LangModel.fitKN(
+      batchDocs.filter(pmod($"doc_id", lit(2)) === 0))
+    // spread arrivals over ~8 hours so the 10-minute watermark closes
+    // all but the trailing windows inside the bounded run
+    val incoming = spark.readStream.schema(batchDocs.schema)
+      .parquet(stageDir)
+      .filter(pmod($"doc_id", lit(2)) === 1)
+      .withColumn("event_time", timestamp_seconds($"doc_id" * 60))
+    val q = EventStreams.knScoreStream(incoming, m)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("skn")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("skn")
+      .select($"doc_id", $"n_bigrams", round($"nll", 9).as("nll"))
+      .collect().map(_.toSeq).toSet
+    val expected = graft.ops.LangModel.scoreAgainstModelKN(
+        batchDocs.filter(pmod($"doc_id", lit(2)) === 1), m)
+      .select($"doc_id", $"n_bigrams", round($"nll", 9).as("nll"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty, "stream emitted no scores")
+    assert(streamed.subsetOf(expected),
+      "every emitted streaming KN score must equal its batch twin")
+    assert(streamed.map(_.head).size >= expected.map(_.head).size - 50,
+      s"only ${streamed.size} of ${expected.size} docs emitted")
+  }
+
   test("streaming DSIR weights against a static ratio table match the batch twin") {
     val stageDir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
     spark.read.parquet(s"$sfDir/documents.parquet")
