@@ -51,7 +51,9 @@ object Bench {
     // passage retrieval, the smoothed LM, both new exports, the
     // decontam gate, and the unigram tokenizer fit+apply
     "q_winnow_passages", "q_source_overlap", "q_bm25_maxp", "q_lm_kn",
-    "q_fim_export", "q_decontam_gate", "q_unigram_tokenize")
+    "q_fim_export", "q_decontam_gate", "q_unigram_tokenize",
+    "q_winnow_index_probe", "q_winnow_spans", "q_lm_kn_serve",
+    "q_strip_ppl_lines", "q_decontam_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -94,7 +94,11 @@ class DedupSpec extends AnyFunSuite {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
     val texts = Seq("", "ab", "abcd", "abcde", "abcdefg", "abcdefgh",
-      "aaaaaaaaaa") ++
+      "aaaaaaaaaa",
+      // non-ASCII: gram indexing must count CODE POINTS (Spark
+      // substring semantics), incl. a non-BMP surrogate pair
+      "héllo wörld çafé naïve", "日本語のテキストです",
+      "mix 😀 emoji 😀 text here") ++
       (1 to 25).map(_ => (1 to (1 + rnd.nextInt(40)))
         .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
