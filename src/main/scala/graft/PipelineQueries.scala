@@ -3651,6 +3651,48 @@ object PipelineQueries {
             .as("ok_compress"))
     },
 
+    // WordPiece (the BERT tokenizer): greedy longest-match-first apply
+    // with ## continuations over a vocabulary derived from the unigram
+    // fit. Same certificate-oracle style: exact corpus accounting plus
+    // lossless (##-strip concat == text), zero-unk coverage (single
+    // chars always in the vocab), word floor and compression; the
+    // greedy algorithm itself is spec-verified (textbook case,
+    // all-or-nothing unk rule, repartition purity).
+    q("q_wordpiece_tokenize",
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+        |    t -> t <> ''))) AS BIGINT) AS total_words,
+        |  CAST(sum(length(regexp_replace(text, '\s+', '', 'g'))) AS BIGINT)
+        |    AS total_chars,
+        |  TRUE AS ok_lossless, TRUE AS ok_no_unk,
+        |  TRUE AS ok_word_floor, TRUE AS ok_compress
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pieces = graft.ops.Wordpiece.train(docs, vocabSize = 2000,
+        iterations = 3)
+      val toks = graft.ops.Wordpiece.tokens(col("text"), pieces)
+      docs.select(col("text"), toks.as("toks"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(filter(split(col("text"), "\\s+"), t => t =!= "")))
+            .cast("long").as("total_words"),
+          sum(length(regexp_replace(col("text"), "\\s+", "")))
+            .cast("long").as("total_chars"),
+          (count(lit(1)) === sum(
+            (array_join(transform(col("toks"),
+              t => regexp_replace(t, "^##", "")), "") ===
+              regexp_replace(col("text"), "\\s+", "")).cast("int")))
+            .as("ok_lossless"),
+          (sum(arrays_overlap(col("toks"), array(lit("[UNK]")))
+            .cast("int")) === 0).as("ok_no_unk"),
+          (sum(size(col("toks"))) >=
+            sum(size(filter(split(col("text"), "\\s+"), t => t =!= ""))))
+            .as("ok_word_floor"),
+          (sum(size(col("toks"))) <
+            sum(length(regexp_replace(col("text"), "\\s+", ""))))
+            .as("ok_compress"))
+    },
+
     // ------------------------------------------------ curation audit log
     // Per-stage retention accounting of the exact-mode curation
     // pipeline — the removal-rate report every published pipeline

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.graft.{WordpieceEncode, WordpieceOps}
+
+/** WordPiece tokenization (the BERT tokenizer) — third member of the
+  * tokenizer family next to [[Bpe]] and [[Unigram]]. This implements
+  * the published INFERENCE algorithm (greedy longest-match-first with
+  * `##` continuation pieces and the all-or-nothing unk rule); the
+  * vocabulary comes from either of the existing trainers —
+  * [[vocabFromUnigram]] derives the standard initial+continuation
+  * form from a fitted unigram vocabulary, the practical route when no
+  * WordPiece-objective trainer is at hand (HF's own WordPiece trainer
+  * is BPE-like; any piece inventory works with the greedy matcher).
+  *
+  * Apply is the [[Bpe.tokens]]/[[Unigram.tokens]] shape: plan-literal
+  * vocabulary, narrow, zero shuffle, per-word O(len · maxPieceLen)
+  * hash lookups. */
+object Wordpiece {
+
+  val MaxPlanLiteralPieces: Int = Unigram.MaxPlanLiteralPieces
+
+  /** Both surface forms of every fitted piece: `p` for word-initial
+    * positions and `##p` for continuations — the standard WordPiece
+    * vocabulary layout. Single characters are present in the unigram
+    * fit by construction, so every all-ASCII word segments without
+    * hitting unk. */
+  def vocabFromUnigram(v: Unigram.Vocab): Seq[String] = {
+    val base = v.pieces.map(_._1)
+    base ++ base.map("##" + _)
+  }
+
+  /** Segment a text column — narrow, plan-literal, zero shuffle. */
+  def tokens(text: Column, pieces: Seq[String],
+      unk: String = "[UNK]"): Column = {
+    require(pieces.size <= MaxPlanLiteralPieces,
+      s"vocab has ${pieces.size} pieces, above the plan-literal bound " +
+        s"$MaxPlanLiteralPieces; broadcast instead")
+    import org.apache.spark.sql.graft.GraftBridge.{column, expression}
+    column(WordpieceEncode(expression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        WordpieceOps.render(pieces, unk))))
+  }
+
+  /** One-call fit+derive: unigram Viterbi-EM on the corpus, vocabulary
+    * emitted in WordPiece layout. */
+  def train(docs: DataFrame, vocabSize: Int, iterations: Int = 3,
+      textCol: String = "text"): Seq[String] =
+    vocabFromUnigram(Unigram.train(docs, vocabSize, iterations,
+      textCol = textCol))
+}

@@ -110,6 +110,95 @@ object UnigramOps {
       .flatMap(w => segmentWord(w, m)).toSeq
 }
 
+/** WordPiece greedy longest-match-first segmentation (the BERT
+  * inference algorithm, Devlin et al. 2019 / Song et al. 2021 "Fast
+  * WordPiece Tokenization"): at each position take the LONGEST vocab
+  * piece that matches — continuation positions look up the piece with
+  * the `##` prefix — and if NO piece matches at some position the
+  * WHOLE word becomes the unk token (the published all-or-nothing
+  * rule). Score-free and deterministic, unlike the unigram model's
+  * Viterbi. */
+object WordpieceOps {
+
+  final case class Model(pieces: Set[String], maxLen: Int, unk: String)
+
+  /** First line the unk token, then one piece per line (both initial
+    * and `##`-continuation forms are plain entries). */
+  def render(pieces: Seq[String], unk: String): String =
+    (unk +: pieces).mkString("\n")
+
+  def parse(s: String): Model = {
+    val lines = s.split("\n", -1)
+    val ps = lines.drop(1).filter(_.nonEmpty).toSet
+    val maxRaw = if (ps.isEmpty) 1
+      else ps.iterator.map(p =>
+        if (p.startsWith("##")) p.length - 2 else p.length).max
+    Model(ps, math.max(maxRaw, 1), lines.head)
+  }
+
+  def segmentWord(word: String, m: Model): Seq[String] = {
+    val n = word.length
+    if (n == 0) return Seq.empty
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < n) {
+      var l = math.min(m.maxLen, n - i)
+      var hit: String = null
+      while (l >= 1 && hit == null) {
+        val cand =
+          if (i == 0) word.substring(0, l)
+          else "##" + word.substring(i, i + l)
+        if (m.pieces.contains(cand)) hit = cand
+        l -= 1
+      }
+      if (hit == null) return Seq(m.unk)
+      out += hit
+      i += (if (hit.startsWith("##")) hit.length - 2 else hit.length)
+    }
+    out.result()
+  }
+
+  def segmentText(text: String, m: Model): Seq[String] =
+    text.split("\\s+").iterator.filter(_.nonEmpty)
+      .flatMap(w => segmentWord(w, m)).toSeq
+}
+
+/** `wordpiece_encode(text, vocab)` → array of subword pieces;
+  * `vocab` must be a foldable literal in [[WordpieceOps.render]]
+  * format. Null text → null. */
+case class WordpieceEncode(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "wordpiece_encode"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base
+    else if (!right.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("wordpiece_encode vocab must be a literal")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val model: WordpieceOps.Model = {
+    val v = right.eval(null)
+    if (v == null) WordpieceOps.Model(Set.empty, 1, "[UNK]")
+    else WordpieceOps.parse(v.toString)
+  }
+
+  override def nullSafeEval(text: Any, vocab: Any): Any = {
+    val toks = WordpieceOps.segmentText(text.toString, model)
+    new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordpieceEncode =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `unigram_encode(text, vocab)` → array of subword pieces. `vocab`
   * must be a foldable string literal in [[UnigramOps.render]] format;
   * the model is parsed once per expression instance. Null text → null. */

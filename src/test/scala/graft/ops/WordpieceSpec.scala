@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.WordpieceOps
+import org.scalatest.funsuite.AnyFunSuite
+
+class WordpieceSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def model(pieces: String*) =
+    WordpieceOps.parse(WordpieceOps.render(pieces, "[UNK]"))
+
+  test("the BERT textbook case: greedy longest-match with ## continuations") {
+    val m = model("un", "##aff", "##able", "aff", "able", "a", "##a",
+      "##b", "##l", "##e", "u", "##n", "##f")
+    assert(WordpieceOps.segmentWord("unaffable", m)
+      === Seq("un", "##aff", "##able"))
+    // greedy takes the LONGEST match at each step, not a globally
+    // optimal split: "able" (initial) wins over a+##b+##l+##e
+    assert(WordpieceOps.segmentWord("able", m) === Seq("able"))
+  }
+
+  test("all-or-nothing unk rule: one unmatchable position fails the whole word") {
+    val m = model("go", "##od")
+    assert(WordpieceOps.segmentWord("good", m) === Seq("go", "##od"))
+    // 'x' has no piece at a continuation position → entire word → unk
+    assert(WordpieceOps.segmentWord("goodx", m) === Seq("[UNK]"))
+    // unmatchable at the INITIAL position too
+    assert(WordpieceOps.segmentWord("xgood", m) === Seq("[UNK]"))
+    assert(WordpieceOps.segmentWord("", m) === Seq.empty)
+  }
+
+  test("vocabFromUnigram covers every ASCII word; distributed apply is lossless") {
+    val docs = spark.read
+      .parquet(s"${graft.TestSpark.sfDir}/documents.parquet").limit(150)
+    val pieces = Wordpiece.train(docs, vocabSize = 400, iterations = 2)
+    val out = docs.select(col("text"),
+        Wordpiece.tokens(col("text"), pieces).as("toks"))
+      .select(
+        (array_join(transform(col("toks"),
+          t => regexp_replace(t, "^##", "")), "") ===
+          regexp_replace(col("text"), "\\s+", "")).as("lossless"),
+        arrays_overlap(col("toks"), array(lit("[UNK]"))).as("has_unk"),
+        size(col("toks")).as("n_pieces"),
+        length(regexp_replace(col("text"), "\\s+", "")).as("n_chars"))
+      .collect()
+    assert(out.forall(_.getBoolean(0)),
+      "stripping ## and concatenating must reproduce the text")
+    assert(out.forall(!_.getBoolean(1)),
+      "single-char coverage means no unk on this corpus")
+    assert(out.map(_.getInt(2)).sum < out.map(_.getInt(3)).sum,
+      "a trained vocab must beat char-level segmentation")
+  }
+
+  test("apply is repartition-stable and equals the driver kernel") {
+    val docs = spark.read
+      .parquet(s"${graft.TestSpark.sfDir}/documents.parquet").limit(40)
+    val pieces = Wordpiece.train(docs, vocabSize = 200, iterations = 2)
+    val m = WordpieceOps.parse(WordpieceOps.render(pieces, "[UNK]"))
+    val dist = docs.repartition(5)
+      .select(col("doc_id"), Wordpiece.tokens(col("text"), pieces).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    val local = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> WordpieceOps.segmentText(r.getString(1), m))
+      .toMap
+    assert(dist === local)
+  }
+}
