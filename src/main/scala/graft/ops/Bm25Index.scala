@@ -26,8 +26,16 @@ import org.apache.spark.sql.functions._
   *    denormalized into the posting row — one extra long per row buys
   *    the probe freedom from any doc-keyed side table: probe I/O is
   *    O(postings of the query terms), full stop.
-  *  - `meta` — (n_docs, total_dl), one row, replace-committed. Global
-  *    idf/avgdl inputs; [[append]] folds the batch totals in.
+  *  - `meta` — (n_docs, total_dl, postings_ver), one row,
+  *    replace-committed LAST. Global idf/avgdl inputs; [[append]] folds
+  *    the batch totals in. `postings_ver` pins the postings snapshot the
+  *    totals were computed against, which closes the two-commit window:
+  *    [[probe]] reads postings AS OF the pinned version, so a crash
+  *    between the postings commit and the meta commit leaves an orphan
+  *    postings snapshot that NO probe ever sees (both tables serve the
+  *    pre-append state, consistently). The next [[append]] heals the
+  *    tear by rolling the postings pointer back to the pinned version
+  *    before appending — the torn batch simply re-appends.
   *
   * Per-term df is NOT stored: it is exactly the posting-row count of
   * the term, recomputed from the (already candidate-sized) fetched
@@ -48,7 +56,7 @@ import org.apache.spark.sql.functions._
   */
 object Bm25Index {
 
-  final case class Stats(nDocs: Long, totalDl: Long)
+  final case class Stats(nDocs: Long, totalDl: Long, postingsVer: Long)
 
   /** Postings for one document batch: (token, doc_id, tf, dl). Narrow
     * tokenize + one (token, doc_id) aggregate; dl rides along via a
@@ -77,39 +85,53 @@ object Bm25Index {
       idCol: String = "doc_id", textCol: String = "text",
       clusterParts: Int = 8): Unit = {
     import spark.implicits._
-    Snapshots.commit(spark,
+    val ver = Snapshots.commit(spark,
       postingsOf(docs, idCol, textCol)
         .repartitionByRange(clusterParts, col("token"))
         .sortWithinPartitions("token"),
-      s"$dir/postings", statsCols = Seq("token")): Unit
+      s"$dir/postings", statsCols = Seq("token"))
     val s = batchStats(docs, idCol, textCol)
-    Snapshots.commit(spark, Seq((s.nDocs, s.totalDl))
-      .toDF("n_docs", "total_dl"), s"$dir/meta"): Unit
+    Snapshots.commit(spark, Seq((s.nDocs, s.totalDl, ver))
+      .toDF("n_docs", "total_dl", "postings_ver"), s"$dir/meta"): Unit
   }
 
-  /** Stored corpus totals. */
+  /** Stored corpus totals plus the postings snapshot they were computed
+    * against — every read path pins to `postingsVer`, so meta and
+    * postings can never be observed torn. */
   def stats(spark: SparkSession, dir: String): Stats = {
     val r = Snapshots.read(spark, s"$dir/meta").head()
-    Stats(r.getAs[Long]("n_docs"), r.getAs[Long]("total_dl"))
+    Stats(r.getAs[Long]("n_docs"), r.getAs[Long]("total_dl"),
+      r.getAs[Long]("postings_ver"))
   }
+
+  /** Roll the postings pointer back to the version meta pins, if a
+    * previous [[append]]/[[optimize]] died between its two commits.
+    * Idempotent; the orphan snapshot's data was never probe-visible. */
+  private def healTorn(spark: SparkSession, dir: String,
+      pinned: Long): Unit =
+    if (!Snapshots.latestId(spark, s"$dir/postings").contains(pinned))
+      Snapshots.rollback(spark, s"$dir/postings", pinned)
 
   /** Index a new document batch: postings work for the BATCH only,
     * append-committed (historical files carry by reference, their token
-    * stats verbatim); meta replace-committed with the folded totals. */
+    * stats verbatim); meta replace-committed LAST with the folded totals
+    * and the new postings version — the commit that makes the batch
+    * visible atomically (see the layout scaladoc's tear contract). */
   def append(spark: SparkSession, docs: DataFrame, dir: String,
       idCol: String = "doc_id", textCol: String = "text",
       clusterParts: Int = 1): Unit = {
     import spark.implicits._
     val prev = stats(spark, dir)
-    Snapshots.commit(spark,
+    healTorn(spark, dir, prev.postingsVer)
+    val ver = Snapshots.commit(spark,
       postingsOf(docs, idCol, textCol)
         .repartitionByRange(clusterParts, col("token"))
         .sortWithinPartitions("token"),
-      s"$dir/postings", append = true): Unit
+      s"$dir/postings", append = true)
     val b = batchStats(docs, idCol, textCol)
     Snapshots.commit(spark, Seq((prev.nDocs + b.nDocs,
-      prev.totalDl + b.totalDl)).toDF("n_docs", "total_dl"),
-      s"$dir/meta"): Unit
+      prev.totalDl + b.totalDl, ver))
+      .toDF("n_docs", "total_dl", "postings_ver"), s"$dir/meta"): Unit
   }
 
   /** BM25 scores of the stored corpus against a bag of query terms:
@@ -127,10 +149,13 @@ object Bm25Index {
     require(queryTerms.nonEmpty, "probe needs at least one query term")
     val terms = queryTerms.map(_.toLowerCase)
       .flatMap(_.split(Relevance.TokenPattern)).filter(_.nonEmpty).distinct
+    require(terms.nonEmpty,
+      s"no query term survives tokenization: ${queryTerms.mkString(", ")}")
     val s = stats(spark, dir)
     val avgdl = s.totalDl.toDouble / s.nDocs.max(1L)
     val post = Snapshots.readRange(spark, s"$dir/postings",
-        Seq(Snapshots.ColRange("token", Some(terms.min), Some(terms.max))))
+        Seq(Snapshots.ColRange("token", Some(terms.min), Some(terms.max))),
+        asOf = Some(s.postingsVer))
       .filter(col("token").isin(terms: _*))
     val df_ = post.groupBy("token").agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +
@@ -149,12 +174,21 @@ object Bm25Index {
     * file's range widens toward [first, last] token). One replace
     * commit restores tight ranges; time travel to pre-optimize
     * snapshots still works (old manifests reference the old files).
-    * Scores are unaffected — postings rows are a set. */
+    * Scores are unaffected — postings rows are a set. Meta re-pins to
+    * the compacted snapshot (same totals); a crash before the re-pin
+    * leaves probes on the pre-optimize version — consistent, and healed
+    * by the next append/optimize. */
   def optimize(spark: SparkSession, dir: String,
-      clusterParts: Int = 8): Unit =
-    Snapshots.commit(spark,
-      Snapshots.read(spark, s"$dir/postings")
+      clusterParts: Int = 8): Unit = {
+    import spark.implicits._
+    val s = stats(spark, dir)
+    healTorn(spark, dir, s.postingsVer)
+    val ver = Snapshots.commit(spark,
+      Snapshots.read(spark, s"$dir/postings", Some(s.postingsVer))
         .repartitionByRange(clusterParts, col("token"))
         .sortWithinPartitions("token"),
-      s"$dir/postings", statsCols = Seq("token")): Unit
+      s"$dir/postings", statsCols = Seq("token"))
+    Snapshots.commit(spark, Seq((s.nDocs, s.totalDl, ver))
+      .toDF("n_docs", "total_dl", "postings_ver"), s"$dir/meta"): Unit
+  }
 }

@@ -77,16 +77,54 @@ object Boilerplate {
   /** Strip every line that occurs in >= `minDocs` distinct documents.
     * Returns the input row with `textCol` rewritten (surviving lines
     * re-joined with '\n', order preserved) plus an `n_removed` count.
-    * Membership per line is a codegen'd binary search over the sorted
-    * broadcast fingerprint set — O(log |frequent set|). */
+    *
+    * Physical strategy is size-gated on the counted frequent set
+    * (bounded by totalLines/minDocs — usually the corpus' boilerplate
+    * vocabulary, but an adversarial corpus can push it past any
+    * broadcast/array limit): under `spark.graft.broadcast.maxKeys` the
+    * set returns as ONE sorted fingerprint array and membership per
+    * line is a codegen'd binary search over the broadcast — O(log
+    * |set|), corpus never shuffles; above the gate the corpus' lines
+    * shuffle once through a fingerprint anti-join and reassemble
+    * order-preserving per document ([[stripShuffle]]) — same answer,
+    * no driver-sized array, spec-asserted equal. */
   def stripFrequentLines(docs: DataFrame, minDocs: Long,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // one-row sorted index, broadcast back against the corpus without
-    // ever collecting it
-    val index = frequentFps(docs, minDocs, textCol)
-      .agg(sort_array(collect_list(col("_lfp"))).as("_idx"))
-    stripAgainst(docs.crossJoin(broadcast(index)), col("_idx"), textCol)
-      .drop("_idx")
+    val freq = frequentFps(docs, minDocs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (freq.count() <= Guards.maxBroadcastKeys(docs)) {
+      // one-row sorted index, broadcast back against the corpus without
+      // ever collecting it
+      val index = freq.agg(sort_array(collect_list(col("_lfp"))).as("_idx"))
+      stripAgainst(docs.crossJoin(broadcast(index)), col("_idx"), textCol)
+        .drop("_idx")
+    } else stripShuffle(docs, freq, idCol, textCol)
+  }
+
+  /** The above-gate strip path: posexplode the corpus' lines, anti-join
+    * their fingerprints against the frequent set (shuffle — the set is
+    * too big to broadcast), reassemble each document's survivors in
+    * line order, and join the rewritten text back on the doc id. One
+    * corpus-lines shuffle + one doc-keyed aggregate; membership
+    * semantics identical to the binary-search kernel (same
+    * fingerprint64 per line). */
+  private def stripShuffle(docs: DataFrame, freq: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val lines = docs.select(col(idCol).as("_sid"),
+        posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
+      .withColumn("_lfp", GraftFunctions.fingerprint64(col("_line")))
+    val rebuilt = lines.join(freq, Seq("_lfp"), "left_anti")
+      .groupBy(col("_sid"))
+      .agg(count(lit(1)).as("_nkept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_line")))),
+          x => x("_line")), "\n").as("_newtext"))
+    docs.join(rebuilt, col(idCol) === col("_sid"), "left")
+      .withColumn("n_removed",
+        (size(split(col(textCol), "\n")) -
+          coalesce(col("_nkept"), lit(0L))).cast("int"))
+      .withColumn(textCol, coalesce(col("_newtext"), lit("")))
+      .drop("_sid", "_nkept", "_newtext")
   }
 
   /** Index-build step for [[stripWithIndex]]: collect the frequent-line
@@ -112,25 +150,32 @@ object Boilerplate {
     * lines.
     *
     * Scale shape: the corpus never shuffles — its line fingerprints are
-    * filtered scan-side by a broadcast of the BATCH's distinct line
-    * fingerprints (bounded by the batch, the small side by
-    * construction), so the only aggregations run over matched
-    * fingerprints (≤ batch line count). The matched set returns as ONE
-    * sorted fingerprint array and the strip is the same codegen'd
-    * binary-search expression as the frequent-line path. */
+    * filtered scan-side by the BATCH's distinct line fingerprints
+    * (bounded by the batch, the small side by construction — but still
+    * size-gated: an oversized batch degrades the semi join to a
+    * shuffle), so the only aggregations run over matched fingerprints
+    * (≤ batch line count). Under the gate the matched set returns as
+    * ONE sorted fingerprint array and the strip is the same codegen'd
+    * binary-search expression as the frequent-line path; above it the
+    * batch's lines strip through the shuffle reassembly path
+    * ([[stripShuffle]]) keyed on `idCol` — same answer. */
   def stripCorpusLines(incoming: DataFrame, corpus: DataFrame,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     def lineFps(df: DataFrame) = df
       .select(explode(array_distinct(split(col(textCol), "\n"))).as("_l"))
       .filter(length(trim(col("_l"))) > 0)
       .select(GraftFunctions.fingerprint64(col("_l")).as("_fp"))
     val batchFps = lineFps(incoming).distinct()
-    val seen = lineFps(corpus)
-      .join(broadcast(batchFps), Seq("_fp"), "left_semi")
+    val seen = Guards.semiJoinSized(lineFps(corpus), batchFps, Seq("_fp"))
       .distinct()
-    val index = seen.agg(sort_array(collect_list(col("_fp"))).as("_idx"))
-    stripAgainst(incoming.crossJoin(broadcast(index)), col("_idx"), textCol)
-      .drop("_idx")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (seen.count() <= Guards.maxBroadcastKeys(incoming)) {
+      val index = seen.agg(sort_array(collect_list(col("_fp"))).as("_idx"))
+      stripAgainst(incoming.crossJoin(broadcast(index)), col("_idx"),
+        textCol).drop("_idx")
+    } else
+      stripShuffle(incoming, seen.select(col("_fp").as("_lfp")),
+        idCol, textCol)
   }
 
   /** Strip against a pre-built [[LineIndex]] embedded as a plan literal:

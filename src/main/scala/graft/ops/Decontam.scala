@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   *
   * Shape at 100 TB: the corpus side is huge, the benchmark side is tiny
   * (eval suites are at most millions of n-grams). So the benchmark's
-  * distinct n-gram set is BROADCAST and the corpus side stays narrow:
+  * distinct n-gram set is BROADCAST (when counted under the
+  * [[Guards]] gate — the joins are size-gated, so a pathological
+  * "benchmark" or a huge flagged-id set degrades to a shuffle join
+  * instead of OOMing the driver) and the corpus side stays narrow:
   * tokenize → distinct shingles (one custom codegen'd expression, no
   * shuffle) → explode → broadcast-hash semi join. The only shuffle in
   * the whole operator is the final tiny aggregation of matched doc ids.
@@ -33,8 +36,8 @@ object Decontam {
     // (against the distinct benchmark grams) counts distinct shared grams
     val benchGrams = docGrams(benchmark, n, idCol, textCol)
       .select(col("gram")).distinct()
-    docGrams(corpus, n, idCol, textCol)
-      .join(broadcast(benchGrams), "gram")
+    Guards.joinSized(docGrams(corpus, n, idCol, textCol),
+        benchGrams, Seq("gram"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("n_overlap"))
   }
@@ -48,7 +51,7 @@ object Decontam {
     val flagged = overlapCounts(corpus, benchmark, n, idCol, textCol)
       .filter(col("n_overlap") >= minOverlap)
       .select(col(idCol))
-    corpus.join(broadcast(flagged), Seq(idCol), "left_anti")
+    Guards.antiJoinSized(corpus, flagged, Seq(idCol))
   }
 
   /** FUZZY decontamination: drop corpus docs that are near-duplicates
@@ -68,7 +71,7 @@ object Decontam {
     val flagged = Dedup.minhashNearDupsAgainstCorpus(
         corpus, benchmark, n, k, bands, threshold, idCol, textCol)
       .select(col("inc_id").as(idCol)).distinct()
-    corpus.join(broadcast(flagged), Seq(idCol), "left_anti")
+    Guards.antiJoinSized(corpus, flagged, Seq(idCol))
   }
 
   /** Per-benchmark-item contamination report — the transposed view of
@@ -88,9 +91,10 @@ object Decontam {
       textCol: String = "text"): DataFrame = {
     val benchGrams = docGrams(benchmark, n, idCol, textCol)
       .select(col(idCol).as("bench_id"), col("gram"))
-    val pairs = docGrams(corpus, n, idCol, textCol)
-      .select(col(idCol).as("corp_id"), col("gram"))
-      .join(broadcast(benchGrams), "gram")
+    val pairs = Guards.joinSized(
+        docGrams(corpus, n, idCol, textCol)
+          .select(col(idCol).as("corp_id"), col("gram")),
+        benchGrams, Seq("gram"))
       .groupBy(col("corp_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)

@@ -189,8 +189,11 @@ object Dedup {
     * ubiquitous fingerprints are boilerplate, not plagiarism, and
     * they are exactly the degenerate buckets that would make the
     * self-join quadratic — with the filter, join fan-out is bounded
-    * by Σ df² ≤ maxDf · Σ df). The hot-fp set is ≤ |fps|/maxDf keys,
-    * so it broadcasts for the anti-join.
+    * by Σ df² ≤ maxDf · Σ df). The hot-fp set is ≤ |fps|/maxDf keys —
+    * usually broadcastable, but that bound is ~10¹⁰ at 100 TB worst
+    * case, so the anti-join is size-gated ([[Guards.antiJoinSized]]):
+    * counted first, broadcast under `spark.graft.broadcast.maxKeys`,
+    * shuffle anti-join (same answer) above.
     *
     * Output: (id_a, id_b, n_shared, containment) with id_a < id_b;
     * containment = n_shared / min(|fps_a|, |fps_b|) over each doc's
@@ -215,7 +218,7 @@ object Dedup {
         explode(col("_fps")).as("fp"))
     val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxDf).select(col("fp"))
-    val kept = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    val kept = Guards.antiJoinSized(fps, hot, Seq("fp"))
     kept.select(col("fp"), col("id").as("id_a"), col("_sz").as("_sa"))
       .join(kept.select(col("fp"), col("id").as("id_b"), col("_sz").as("_sb")),
         Seq("fp"))

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.storage.StorageLevel
+
+/** Size gates for driver-chosen physical strategies.
+  *
+  * Several hot-set guards in this library anti-join a corpus-sized frame
+  * against a "small by construction" key set (winnowing's
+  * over-`maxDf` fingerprints, boilerplate's frequent lines, decontam's
+  * benchmark grams). Small-by-construction is an ARGUMENT, not a bound:
+  * the hot-fingerprint set is ≤ |fps|/maxDf keys, which at 100 TB is
+  * ~10¹⁰ in the adversarial worst case — far above any broadcast limit.
+  * A hinted `broadcast()` would OOM the driver there, so these joins
+  * must not hard-code the hint.
+  *
+  * The gate counts the key frame FIRST (the frame is persisted so the
+  * count is not paid twice) and only broadcasts under
+  * `spark.graft.broadcast.maxKeys` (default 10M keys ≈ 80 MB of 8-byte
+  * fingerprints); above it the same join runs as a shuffle anti-join —
+  * identical answer, no driver-side materialization. The count is one
+  * extra job over the (aggregated, key-sized) frame, never over the
+  * corpus. Spark's ContextCleaner reclaims the pinned frame when the
+  * query's lineage is collected.
+  */
+object Guards {
+
+  /** Largest key-frame row count the guarded joins will broadcast;
+    * above it they fall back to a shuffle join. Session-configurable so
+    * operators inherit one policy. */
+  val MaxBroadcastKeysConf = "spark.graft.broadcast.maxKeys"
+  val DefaultMaxBroadcastKeys: Long = 10000000L
+
+  def maxBroadcastKeys(df: DataFrame): Long =
+    df.sparkSession.conf.getOption(MaxBroadcastKeysConf)
+      .map(_.toLong).getOrElse(DefaultMaxBroadcastKeys)
+
+  /** `left LEFT ANTI JOIN keys ON cols` — broadcast `keys` only when its
+    * counted size is under the gate. Evaluates `keys` eagerly (the
+    * strategy decision needs its cardinality); callers pass the already
+    * aggregated key frame, so the count is key-set-sized. */
+  def antiJoinSized(left: DataFrame, keys: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val k = keys.persist(StorageLevel.MEMORY_AND_DISK)
+    if (k.count() <= maxBroadcastKeys(left))
+      left.join(broadcast(k), cols, "left_anti")
+    else left.join(k, cols, "left_anti")
+  }
+
+  /** Inner-join twin of [[antiJoinSized]] for semi-style lookups against
+    * a counted key frame. */
+  def joinSized(left: DataFrame, keys: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val k = keys.persist(StorageLevel.MEMORY_AND_DISK)
+    if (k.count() <= maxBroadcastKeys(left))
+      left.join(broadcast(k), cols)
+    else left.join(k, cols)
+  }
+
+  /** LEFT SEMI twin. */
+  def semiJoinSized(left: DataFrame, keys: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val k = keys.persist(StorageLevel.MEMORY_AND_DISK)
+    if (k.count() <= maxBroadcastKeys(left))
+      left.join(broadcast(k), cols, "left_semi")
+    else left.join(k, cols, "left_semi")
+  }
+}

@@ -18,18 +18,26 @@ import org.apache.spark.sql.functions._
   * tables): `fps` (id, sz, fp) postings — 8-byte fingerprints plus the
   * doc's full selected-set size; `df` (fp, df) document frequencies,
   * REPLACE-committed on every append so the hot-fingerprint guard
-  * stays exact without a postings rescan; `meta` (k, w, maxDf — one
-  * row, probes can never run with mismatched parameters).
+  * stays exact without a postings rescan; `meta` (k, w, maxDf,
+  * fps_ver, df_ver — one row, replace-committed LAST). The version
+  * pins close the multi-commit window exactly as in [[Bm25Index]]:
+  * probes read fps and df AS OF the versions meta records, so a crash
+  * anywhere inside [[append]] leaves orphan snapshots that no probe
+  * ever sees, and the next append heals the tear by rolling both
+  * pointers back to the pinned versions before re-appending.
   *
   * Scale shape: build/append cost is the batch's narrow selection +
   * one fp-keyed count; a probe touches the batch's fingerprints, the
-  * df table (fp-cardinality-sized, the hot set broadcast from it) and
-  * the postings rows matching surviving batch fingerprints — corpus
-  * TEXT is never read. The df guard bounds the probe join exactly as
-  * in [[Dedup.winnowSharedPassages]]. */
+  * df table (fp-cardinality-sized; the hot set from it size-gated via
+  * [[Guards.antiJoinSized]] — broadcast when counted small, shuffle
+  * anti-join above `spark.graft.broadcast.maxKeys`) and the postings
+  * rows matching surviving batch fingerprints — corpus TEXT is never
+  * read. The df guard bounds the probe join exactly as in
+  * [[Dedup.winnowSharedPassages]]. */
 object WinnowIndex {
 
-  final case class Params(k: Int, w: Int, maxDf: Long)
+  final case class Params(k: Int, w: Int, maxDf: Long,
+      fpsVer: Long, dfVer: Long)
 
   private def fpFrame(docs: DataFrame, k: Int, w: Int,
       idCol: String, textCol: String): DataFrame =
@@ -38,57 +46,80 @@ object WinnowIndex {
       .select(col("id"), size(col("_fps")).cast("long").as("sz"),
         explode(col("_fps")).as("fp"))
 
-  /** Build from scratch (replace commits). One corpus-text pass. */
+  private def commitMeta(spark: SparkSession, dir: String, k: Int,
+      w: Int, maxDf: Long, fpsVer: Long, dfVer: Long): Unit = {
+    import spark.implicits._
+    Snapshots.commit(spark,
+      Seq((k, w, maxDf, fpsVer, dfVer))
+        .toDF("k", "w", "maxDf", "fps_ver", "df_ver"), s"$dir/meta"): Unit
+  }
+
+  /** Build from scratch (replace commits, meta last). One corpus-text
+    * pass. */
   def build(spark: SparkSession, docs: DataFrame, dir: String,
       k: Int = 5, w: Int = 4, maxDf: Long = 1000,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    import spark.implicits._
     val fps = fpFrame(docs, k, w, idCol, textCol)
-    Snapshots.commit(spark, fps, s"$dir/fps"): Unit
-    Snapshots.commit(spark,
-      fps.groupBy(col("fp")).agg(count(lit(1)).as("df")), s"$dir/df"): Unit
-    Snapshots.commit(spark, Seq((k, w, maxDf)).toDF("k", "w", "maxDf"),
-      s"$dir/meta"): Unit
+    val fv = Snapshots.commit(spark, fps, s"$dir/fps")
+    val dv = Snapshots.commit(spark,
+      fps.groupBy(col("fp")).agg(count(lit(1)).as("df")), s"$dir/df")
+    commitMeta(spark, dir, k, w, maxDf, fv, dv)
   }
 
   def params(spark: SparkSession, dir: String): Params = {
     val r = Snapshots.read(spark, s"$dir/meta").head()
-    Params(r.getAs[Int]("k"), r.getAs[Int]("w"), r.getAs[Long]("maxDf"))
+    Params(r.getAs[Int]("k"), r.getAs[Int]("w"), r.getAs[Long]("maxDf"),
+      r.getAs[Long]("fps_ver"), r.getAs[Long]("df_ver"))
+  }
+
+  /** Roll fps/df pointers back to the versions meta pins, if a previous
+    * [[append]]/[[optimize]] died between commits. Idempotent; the
+    * orphan snapshots were never probe-visible. */
+  private def healTorn(spark: SparkSession, dir: String,
+      p: Params): Unit = {
+    if (!Snapshots.latestId(spark, s"$dir/fps").contains(p.fpsVer))
+      Snapshots.rollback(spark, s"$dir/fps", p.fpsVer)
+    if (!Snapshots.latestId(spark, s"$dir/df").contains(p.dfVer))
+      Snapshots.rollback(spark, s"$dir/df", p.dfVer)
   }
 
   /** Index a new batch: postings append-committed (historical files
     * untouched); the df table merges the batch's counts and
     * replace-commits — df stays exact across appends, and the old df
-    * remains time-travelable. */
+    * remains time-travelable; meta commits LAST, making the batch
+    * visible atomically. */
   def append(spark: SparkSession, docs: DataFrame, dir: String,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val p = params(spark, dir)
+    healTorn(spark, dir, p)
     val fps = fpFrame(docs, p.k, p.w, idCol, textCol)
-    Snapshots.commit(spark, fps, s"$dir/fps", append = true): Unit
-    val merged = Snapshots.read(spark, s"$dir/df")
+    val fv = Snapshots.commit(spark, fps, s"$dir/fps", append = true)
+    val merged = Snapshots.read(spark, s"$dir/df", Some(p.dfVer))
       .unionByName(fps.groupBy(col("fp")).agg(count(lit(1)).as("df")))
       .groupBy(col("fp")).agg(sum(col("df")).as("df"))
-    Snapshots.commit(spark, merged, s"$dir/df"): Unit
+    val dv = Snapshots.commit(spark, merged, s"$dir/df")
+    commitMeta(spark, dir, p.k, p.w, p.maxDf, fv, dv)
   }
 
   /** Shared-passage pairs of `incoming` against the stored corpus:
     * (inc_id, corp_id, n_shared, containment), n_shared ≥ `minShared`
     * shared selected fingerprints, containment over the smaller doc's
     * FULL selected set ([[Dedup.winnowSharedPassages]]'s convention).
-    * The hot set (stored df > maxDf) broadcasts and prunes BOTH sides
-    * of the join — boilerplate fingerprints neither pair nor blow up
-    * the equi-join. */
+    * The hot set (stored df > maxDf) prunes BOTH sides of the join —
+    * boilerplate fingerprints neither pair nor blow up the equi-join —
+    * through the size-gated anti-join (broadcast only when counted
+    * under the gate). */
   def probe(spark: SparkSession, incoming: DataFrame, dir: String,
       minShared: Long = 2, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val p = params(spark, dir)
-    val hot = Snapshots.read(spark, s"$dir/df")
+    val hot = Snapshots.read(spark, s"$dir/df", Some(p.dfVer))
       .filter(col("df") > p.maxDf).select(col("fp"))
-    val inc = fpFrame(incoming, p.k, p.w, idCol, textCol)
-      .join(broadcast(hot), Seq("fp"), "left_anti")
+    val inc = Guards.antiJoinSized(
+        fpFrame(incoming, p.k, p.w, idCol, textCol), hot, Seq("fp"))
       .select(col("fp"), col("id").as("inc_id"), col("sz").as("_si"))
-    val corp = Snapshots.read(spark, s"$dir/fps")
-      .join(broadcast(hot), Seq("fp"), "left_anti")
+    val corp = Guards.antiJoinSized(
+        Snapshots.read(spark, s"$dir/fps", Some(p.fpsVer)), hot, Seq("fp"))
       .select(col("fp"), col("id").as("corp_id"), col("sz").as("_sc"))
     inc.join(corp, Seq("fp"))
       .groupBy(col("inc_id"), col("corp_id"))
@@ -98,5 +129,26 @@ object WinnowIndex {
       .select(col("inc_id"), col("corp_id"), col("n_shared"),
         round(col("n_shared") / least(col("_si"), col("_sc")), 4)
           .as("containment"))
+  }
+
+  /** Re-compact the fps postings after a run of [[append]]s — the
+    * [[Bm25Index.optimize]] lifecycle step: appends accumulate
+    * batch-sized delta files, degrading scan parallelism and file-open
+    * overhead as deltas pile up. One replace commit rewrites the
+    * pinned snapshot fp-clustered (`clusterParts` sized so each file
+    * stays row-group-friendly at the target scale); meta re-pins (df
+    * untouched — postings rows are a set, so probe answers are
+    * unchanged, spec-asserted). Time travel to pre-optimize snapshots
+    * still works. */
+  def optimize(spark: SparkSession, dir: String,
+      clusterParts: Int = 8): Unit = {
+    val p = params(spark, dir)
+    healTorn(spark, dir, p)
+    val fv = Snapshots.commit(spark,
+      Snapshots.read(spark, s"$dir/fps", Some(p.fpsVer))
+        .repartitionByRange(clusterParts, col("fp"))
+        .sortWithinPartitions("fp"),
+      s"$dir/fps", statsCols = Seq("fp"))
+    commitMeta(spark, dir, p.k, p.w, p.maxDf, fv, p.dfVer)
   }
 }

@@ -43,9 +43,18 @@ object Wordpiece {
   }
 
   /** One-call fit+derive: unigram Viterbi-EM on the corpus, vocabulary
-    * emitted in WordPiece layout. */
+    * emitted in WordPiece layout. `vocabSize` is bounded at HALF the
+    * plan-literal piece limit up front: [[vocabFromUnigram]] doubles
+    * the fitted inventory (base + `##` continuation forms), so a size
+    * that passes the unigram trainer's bound could otherwise fail only
+    * later, at [[tokens]] apply time. */
   def train(docs: DataFrame, vocabSize: Int, iterations: Int = 3,
-      textCol: String = "text"): Seq[String] =
+      textCol: String = "text"): Seq[String] = {
+    require(vocabSize <= MaxPlanLiteralPieces / 2,
+      s"vocabSize=$vocabSize doubles to ${2 * vocabSize} WordPiece " +
+        s"entries (base + ## forms), above the plan-literal bound " +
+        s"$MaxPlanLiteralPieces")
     vocabFromUnigram(Unigram.train(docs, vocabSize, iterations,
       textCol = textCol))
+  }
 }

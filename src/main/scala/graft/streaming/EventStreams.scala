@@ -652,19 +652,25 @@ object EventStreams {
       windowDur: String = "10 minutes"): PinnedProbe = {
     val spark = docs.sparkSession
     val p = graft.ops.WinnowIndex.params(spark, indexDir)
-    val hot = graft.ops.Snapshots.read(spark, s"$indexDir/df")
+    // reads pinned to the versions meta records (the torn-append
+    // contract shared with the batch probe); the hot-set anti-join is
+    // size-gated — broadcast only when counted under the gate
+    val hot = graft.ops.Snapshots.read(spark, s"$indexDir/df",
+        Some(p.dfVer))
       .filter(col("df") > p.maxDf).select(col("fp")).cache()
-    val corp = graft.ops.Snapshots.read(spark, s"$indexDir/fps")
+    val corp = graft.ops.Snapshots.read(spark, s"$indexDir/fps",
+        Some(p.fpsVer))
       .join(hot, Seq("fp"), "left_anti")
       .select(col("fp"), col("id").as("corp_id"), col("sz").as("_sc"))
       .cache()
-    val inc = docs.select(col(idCol).as("inc_id"), col("event_time"),
-        graft.ops.Dedup.winnowFingerprints(col(textCol), p.k, p.w)
-          .as("_fps"))
-      .select(col("inc_id"), col("event_time"),
-        size(col("_fps")).cast("long").as("_si"),
-        explode(col("_fps")).as("fp"))
-      .join(broadcast(hot), Seq("fp"), "left_anti")
+    val inc = graft.ops.Guards.antiJoinSized(
+      docs.select(col(idCol).as("inc_id"), col("event_time"),
+          graft.ops.Dedup.winnowFingerprints(col(textCol), p.k, p.w)
+            .as("_fps"))
+        .select(col("inc_id"), col("event_time"),
+          size(col("_fps")).cast("long").as("_si"),
+          explode(col("_fps")).as("fp")),
+      hot, Seq("fp"))
     val out = inc.join(corp, Seq("fp"))
       .withWatermark("event_time", watermark)
       .groupBy(window(col("event_time"), windowDur),
@@ -719,7 +725,10 @@ object EventStreams {
     val spark = queries.sparkSession
     val s = graft.ops.Bm25Index.stats(spark, indexDir)
     val avgdl = s.totalDl.toDouble / s.nDocs.max(1L)
-    val postings = graft.ops.Snapshots.read(spark, s"$indexDir/postings")
+    // pinned to the postings version meta records, so a torn append
+    // (postings committed, meta not) can never skew idf/avgdl here
+    val postings = graft.ops.Snapshots.read(spark, s"$indexDir/postings",
+      Some(s.postingsVer))
     val df_ = postings.groupBy("token").agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) + (lit(s.nDocs.toDouble) - col("df") + lit(0.5)) /
       (col("df") + lit(0.5)))

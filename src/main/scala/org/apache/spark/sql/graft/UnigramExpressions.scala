@@ -53,13 +53,25 @@ object UnigramOps {
     Model(m.result(), maxLen, unk)
   }
 
+  /** True when an index falls INSIDE a surrogate pair — such an index
+    * is not a code-point boundary and splitting there would emit
+    * unpaired surrogates that corrupt under UTF-8 round-trip. Shared
+    * by both segmenters so neither can tear an astral-plane char. */
+  private[graft] def splitsSurrogatePair(word: String, i: Int): Boolean =
+    i > 0 && i < word.length &&
+      Character.isHighSurrogate(word.charAt(i - 1)) &&
+      Character.isLowSurrogate(word.charAt(i))
+
   /** Viterbi segmentation of ONE word (whitespace-free): the
-    * segmentation maximizing Σ logprob(piece). Characters absent from
-    * the vocabulary fall back to `unkLp` as single-character pieces,
-    * so every word has at least one segmentation. Deterministic
-    * tie-break: candidate last-pieces are scanned short-to-long and a
-    * longer piece must be STRICTLY better to win, so exact score ties
-    * resolve to the shortest last piece at every DP cell. */
+    * segmentation maximizing Σ logprob(piece). CODE POINTS absent from
+    * the vocabulary fall back to `unkLp` as single-code-point pieces,
+    * so every word has at least one segmentation; piece boundaries are
+    * never placed inside a surrogate pair, so astral-plane text
+    * segments losslessly (concat(pieces) == word holds in code points,
+    * spec-asserted). Deterministic tie-break: candidate last-pieces
+    * are scanned short-to-long and a longer piece must be STRICTLY
+    * better to win, so exact score ties resolve to the shortest last
+    * piece at every DP cell. */
   def segmentWord(word: String, m: Model): Seq[String] = {
     val n = word.length
     if (n == 0) return Seq.empty
@@ -68,21 +80,26 @@ object UnigramOps {
     var i = 1
     while (i <= n) {
       best(i) = Double.NegativeInfinity
-      val lim = if (m.maxLen < i) m.maxLen else i
-      var l = 1
-      while (l <= lim) {
-        val prev = best(i - l)
-        if (prev != Double.NegativeInfinity) {
-          val piece = word.substring(i - l, i)
-          val lpOpt = m.lp.get(piece)
-          val lp = if (lpOpt.isDefined) lpOpt.get
-            else if (l == 1) m.unkLp else Double.NaN
-          if (lp == lp) { // not NaN
-            val cand = prev + lp
-            if (cand > best(i)) { best(i) = cand; back(i) = l }
+      if (!splitsSurrogatePair(word, i)) {
+        val lim = if (m.maxLen < i) m.maxLen else i
+        var l = 1
+        while (l <= lim) {
+          val prev = best(i - l)
+          if (prev != Double.NegativeInfinity) {
+            val piece = word.substring(i - l, i)
+            val singleCp = l == 1 || (l == 2 &&
+              Character.isSurrogatePair(word.charAt(i - 2),
+                word.charAt(i - 1)))
+            val lpOpt = m.lp.get(piece)
+            val lp = if (lpOpt.isDefined) lpOpt.get
+              else if (singleCp) m.unkLp else Double.NaN
+            if (lp == lp) { // not NaN
+              val cand = prev + lp
+              if (cand > best(i)) { best(i) = cand; back(i) = l }
+            }
           }
+          l += 1
         }
-        l += 1
       }
       i += 1
     }
@@ -145,10 +162,15 @@ object WordpieceOps {
       var l = math.min(m.maxLen, n - i)
       var hit: String = null
       while (l >= 1 && hit == null) {
-        val cand =
-          if (i == 0) word.substring(0, l)
-          else "##" + word.substring(i, i + l)
-        if (m.pieces.contains(cand)) hit = cand
+        // never match a piece whose end tears a surrogate pair — a
+        // lone-surrogate piece corrupts under UTF-8 round-trip (the
+        // UnigramOps code-point contract)
+        if (!UnigramOps.splitsSurrogatePair(word, i + l)) {
+          val cand =
+            if (i == 0) word.substring(0, l)
+            else "##" + word.substring(i, i + l)
+          if (m.pieces.contains(cand)) hit = cand
+        }
         l -= 1
       }
       if (hit == null) return Seq(m.unk)

@@ -16,7 +16,7 @@ class QueriesSpec extends AnyFunSuite {
     test(s"$name runs at sf0.001") {
       val df = fn(spark, sfDir)
       // full materialization: count() would prune projections and hide
-      // broken expressions (see .claude/skills/verify gotchas)
+      // broken expressions
       df.write.format("noop").mode("overwrite").save()
       val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
