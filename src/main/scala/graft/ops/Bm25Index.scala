@@ -69,12 +69,14 @@ object Bm25Index {
     post.join(dl, "doc_id").select("token", "doc_id", "tf", "dl")
   }
 
+  /** (nDocs, totalDl) of one batch — no postings version yet, so not a
+    * [[Stats]]. */
   private def batchStats(docs: DataFrame, idCol: String,
-      textCol: String): Stats = {
+      textCol: String): (Long, Long) = {
     val r = Relevance.tokens(docs, idCol, textCol)
       .agg(countDistinct(col("doc_id")).as("n"),
         count(lit(1)).as("t")).head()
-    Stats(r.getLong(0), r.getLong(1))
+    (r.getLong(0), r.getLong(1))
   }
 
   /** Build the index from scratch (replace commit). The one
@@ -90,8 +92,8 @@ object Bm25Index {
         .repartitionByRange(clusterParts, col("token"))
         .sortWithinPartitions("token"),
       s"$dir/postings", statsCols = Seq("token"))
-    val s = batchStats(docs, idCol, textCol)
-    Snapshots.commit(spark, Seq((s.nDocs, s.totalDl, ver))
+    val (n, t) = batchStats(docs, idCol, textCol)
+    Snapshots.commit(spark, Seq((n, t, ver))
       .toDF("n_docs", "total_dl", "postings_ver"), s"$dir/meta"): Unit
   }
 
@@ -99,9 +101,16 @@ object Bm25Index {
     * against — every read path pins to `postingsVer`, so meta and
     * postings can never be observed torn. */
   def stats(spark: SparkSession, dir: String): Stats = {
-    val r = Snapshots.read(spark, s"$dir/meta").head()
-    Stats(r.getAs[Long]("n_docs"), r.getAs[Long]("total_dl"),
-      r.getAs[Long]("postings_ver"))
+    val meta = Snapshots.read(spark, s"$dir/meta")
+    val r = meta.head()
+    // Legacy metas (built before the version pin existed) lack
+    // postings_ver: treat them as pinned to the latest postings
+    // snapshot — exactly what every pre-pin probe read.
+    val ver =
+      if (meta.columns.contains("postings_ver")) r.getAs[Long]("postings_ver")
+      else Snapshots.latestId(spark, s"$dir/postings").getOrElse(
+        sys.error(s"$dir/postings has no snapshot to pin legacy meta to"))
+    Stats(r.getAs[Long]("n_docs"), r.getAs[Long]("total_dl"), ver)
   }
 
   /** Roll the postings pointer back to the version meta pins, if a
@@ -128,9 +137,9 @@ object Bm25Index {
         .repartitionByRange(clusterParts, col("token"))
         .sortWithinPartitions("token"),
       s"$dir/postings", append = true)
-    val b = batchStats(docs, idCol, textCol)
-    Snapshots.commit(spark, Seq((prev.nDocs + b.nDocs,
-      prev.totalDl + b.totalDl, ver))
+    val (bn, bt) = batchStats(docs, idCol, textCol)
+    Snapshots.commit(spark, Seq((prev.nDocs + bn,
+      prev.totalDl + bt, ver))
       .toDF("n_docs", "total_dl", "postings_ver"), s"$dir/meta"): Unit
   }
 

@@ -90,8 +90,14 @@ object Boilerplate {
     * no driver-sized array, spec-asserted equal. */
   def stripFrequentLines(docs: DataFrame, minDocs: Long,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val freq = frequentFps(docs, minDocs, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    require(docs.columns.contains(idCol),
+      s"stripFrequentLines reassembles by '$idCol' when the frequent " +
+        s"set exceeds ${Guards.MaxBroadcastKeysConf}; the input frame " +
+        s"has no such column (${docs.columns.mkString(", ")})")
+    // localCheckpoint, not persist: CacheManager holds pinned frames
+    // until an explicit unpersist; checkpoint blocks are reclaimed by
+    // ContextCleaner once the result is dropped (see Guards scaladoc).
+    val freq = frequentFps(docs, minDocs, textCol).localCheckpoint()
     if (freq.count() <= Guards.maxBroadcastKeys(docs)) {
       // one-row sorted index, broadcast back against the corpus without
       // ever collecting it
@@ -107,9 +113,19 @@ object Boilerplate {
     * line order, and join the rewritten text back on the doc id. One
     * corpus-lines shuffle + one doc-keyed aggregate; membership
     * semantics identical to the binary-search kernel (same
-    * fingerprint64 per line). */
+    * fingerprint64 per line).
+    *
+    * Because the reassembly is KEYED ON `idCol`, ids must be unique and
+    * non-null on this path (a null id never matches its own left join —
+    * the doc's text would silently become ""; duplicate ids would merge
+    * both docs' lines and fan the merged text back to each row). The
+    * broadcast path has no id dependency, so without this check the two
+    * paths would silently diverge above the gate. Checked eagerly with
+    * one id-keyed count job — 8-byte keys, cheap next to the line
+    * shuffle this path is about to do. */
   private def stripShuffle(docs: DataFrame, freq: DataFrame,
       idCol: String, textCol: String): DataFrame = {
+    requireUniqueIds(docs, idCol)
     val lines = docs.select(col(idCol).as("_sid"),
         posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
       .withColumn("_lfp", GraftFunctions.fingerprint64(col("_line")))
@@ -125,6 +141,21 @@ object Boilerplate {
           coalesce(col("_nkept"), lit(0L))).cast("int"))
       .withColumn(textCol, coalesce(col("_newtext"), lit("")))
       .drop("_sid", "_nkept", "_newtext")
+  }
+
+  /** The shuffle strip path's id contract, enforced eagerly: ids must
+    * exist, be unique, and be non-null (see [[stripShuffle]]). Throws
+    * with the offending evidence rather than silently corrupting. */
+  private def requireUniqueIds(docs: DataFrame, idCol: String): Unit = {
+    require(docs.columns.contains(idCol),
+      s"shuffle strip path reassembles by '$idCol', which is missing " +
+        s"from the input columns ${docs.columns.mkString("[", ", ", "]")}")
+    val bad = docs.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+      .filter(col(idCol).isNull || col("_n") > lit(1L))
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"shuffle strip path reassembles by '$idCol', which must be " +
+        s"unique and non-null; found ${bad.head.get(0)} x ${bad.head.getLong(1)}")
   }
 
   /** Index-build step for [[stripWithIndex]]: collect the frequent-line
@@ -161,6 +192,12 @@ object Boilerplate {
     * ([[stripShuffle]]) keyed on `idCol` — same answer. */
   def stripCorpusLines(incoming: DataFrame, corpus: DataFrame,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // The above-gate fallback reassembles by idCol; surface that
+    // requirement up front, not data-dependently at gate time.
+    require(incoming.columns.contains(idCol),
+      s"stripCorpusLines reassembles by '$idCol' when the matched line " +
+        s"set exceeds ${Guards.MaxBroadcastKeysConf}; the incoming frame " +
+        s"has no such column (${incoming.columns.mkString(", ")})")
     def lineFps(df: DataFrame) = df
       .select(explode(array_distinct(split(col(textCol), "\n"))).as("_l"))
       .filter(length(trim(col("_l"))) > 0)
@@ -168,7 +205,7 @@ object Boilerplate {
     val batchFps = lineFps(incoming).distinct()
     val seen = Guards.semiJoinSized(lineFps(corpus), batchFps, Seq("_fp"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // not persist — see Guards scaladoc
     if (seen.count() <= Guards.maxBroadcastKeys(incoming)) {
       val index = seen.agg(sort_array(collect_list(col("_fp"))).as("_idx"))
       stripAgainst(incoming.crossJoin(broadcast(index)), col("_idx"),

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.broadcast
-import org.apache.spark.storage.StorageLevel
 
 /** Size gates for driver-chosen physical strategies.
   *
@@ -15,14 +14,18 @@ import org.apache.spark.storage.StorageLevel
   * A hinted `broadcast()` would OOM the driver there, so these joins
   * must not hard-code the hint.
   *
-  * The gate counts the key frame FIRST (the frame is persisted so the
-  * count is not paid twice) and only broadcasts under
+  * The gate counts the key frame FIRST and only broadcasts under
   * `spark.graft.broadcast.maxKeys` (default 10M keys ≈ 80 MB of 8-byte
   * fingerprints); above it the same join runs as a shuffle anti-join —
   * identical answer, no driver-side materialization. The count is one
   * extra job over the (aggregated, key-sized) frame, never over the
-  * corpus. Spark's ContextCleaner reclaims the pinned frame when the
-  * query's lineage is collected.
+  * corpus. The frame is materialized ONCE via `localCheckpoint` (not
+  * `Dataset.persist`: that registers in `CacheManager`, which holds a
+  * strong reference until an explicit unpersist, so repeated pipeline
+  * calls would accumulate cached key frames for the session lifetime;
+  * localCheckpoint blocks live at the RDD layer, where ContextCleaner's
+  * weak-reference cleanup reclaims them once the result frame is
+  * garbage-collected — no release handle needed).
   */
 object Guards {
 
@@ -36,13 +39,22 @@ object Guards {
     df.sparkSession.conf.getOption(MaxBroadcastKeysConf)
       .map(_.toLong).getOrElse(DefaultMaxBroadcastKeys)
 
+  /** The key frame, materialized once for the count + join double use.
+    * localCheckpoint (MEMORY_AND_DISK), not persist — see the object
+    * scaladoc for why. Lineage truncation is acceptable here by
+    * construction: the frame is key-set-sized, and a lost block
+    * recomputes from the checkpoint blocks' replication, not the
+    * corpus. */
+  private def pinned(keys: DataFrame): DataFrame =
+    keys.localCheckpoint()
+
   /** `left LEFT ANTI JOIN keys ON cols` — broadcast `keys` only when its
     * counted size is under the gate. Evaluates `keys` eagerly (the
     * strategy decision needs its cardinality); callers pass the already
     * aggregated key frame, so the count is key-set-sized. */
   def antiJoinSized(left: DataFrame, keys: DataFrame,
       cols: Seq[String]): DataFrame = {
-    val k = keys.persist(StorageLevel.MEMORY_AND_DISK)
+    val k = pinned(keys)
     if (k.count() <= maxBroadcastKeys(left))
       left.join(broadcast(k), cols, "left_anti")
     else left.join(k, cols, "left_anti")
@@ -52,7 +64,7 @@ object Guards {
     * a counted key frame. */
   def joinSized(left: DataFrame, keys: DataFrame,
       cols: Seq[String]): DataFrame = {
-    val k = keys.persist(StorageLevel.MEMORY_AND_DISK)
+    val k = pinned(keys)
     if (k.count() <= maxBroadcastKeys(left))
       left.join(broadcast(k), cols)
     else left.join(k, cols)
@@ -61,7 +73,7 @@ object Guards {
   /** LEFT SEMI twin. */
   def semiJoinSized(left: DataFrame, keys: DataFrame,
       cols: Seq[String]): DataFrame = {
-    val k = keys.persist(StorageLevel.MEMORY_AND_DISK)
+    val k = pinned(keys)
     if (k.count() <= maxBroadcastKeys(left))
       left.join(broadcast(k), cols, "left_semi")
     else left.join(k, cols, "left_semi")

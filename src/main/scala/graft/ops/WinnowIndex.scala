@@ -67,9 +67,16 @@ object WinnowIndex {
   }
 
   def params(spark: SparkSession, dir: String): Params = {
-    val r = Snapshots.read(spark, s"$dir/meta").head()
+    val meta = Snapshots.read(spark, s"$dir/meta")
+    val r = meta.head()
+    // Legacy metas (pre-version-pin) lack fps_ver/df_ver: pin them to
+    // the latest snapshots — what every pre-pin probe read.
+    def pin(colName: String, table: String): Long =
+      if (meta.columns.contains(colName)) r.getAs[Long](colName)
+      else Snapshots.latestId(spark, s"$dir/$table").getOrElse(
+        sys.error(s"$dir/$table has no snapshot to pin legacy meta to"))
     Params(r.getAs[Int]("k"), r.getAs[Int]("w"), r.getAs[Long]("maxDf"),
-      r.getAs[Long]("fps_ver"), r.getAs[Long]("df_ver"))
+      pin("fps_ver", "fps"), pin("df_ver", "df"))
   }
 
   /** Roll fps/df pointers back to the versions meta pins, if a previous

@@ -81,7 +81,16 @@ object UnigramOps {
     while (i <= n) {
       best(i) = Double.NegativeInfinity
       if (!splitsSurrogatePair(word, i)) {
-        val lim = if (m.maxLen < i) m.maxLen else i
+        // the single CODE POINT ending here is always a candidate (the
+        // unk fallback that guarantees segmentability) — for an astral
+        // char that is TWO chars, so the loop bound must reach it even
+        // when the vocabulary's longest piece is shorter (maxLen == 1
+        // with an astral word would otherwise leave best(i) == -Inf and
+        // the backtrack would spin on zero-length pieces)
+        val cpLen = if (i >= 2 && Character.isSurrogatePair(
+            word.charAt(i - 2), word.charAt(i - 1))) 2 else 1
+        val vocabLim = if (m.maxLen < i) m.maxLen else i
+        val lim = if (vocabLim < cpLen) cpLen else vocabLim
         var l = 1
         while (l <= lim) {
           val prev = best(i - l)
@@ -107,6 +116,11 @@ object UnigramOps {
     var out = List.empty[String]
     while (pos > 0) {
       val l = back(pos)
+      // unreachable by construction (every boundary has ≥ the unk
+      // single-code-point candidate); guards against a silent infinite
+      // loop if that invariant ever breaks
+      if (l <= 0) throw new IllegalStateException(
+        s"unigram DP dead-ended at char $pos of a ${n}-char word")
       out = word.substring(pos - l, pos) :: out
       pos -= l
     }

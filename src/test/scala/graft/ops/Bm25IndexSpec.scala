@@ -88,6 +88,33 @@ class Bm25IndexSpec extends AnyFunSuite {
       .count() === Snapshots.read(spark, s"$dir/postings").count())
   }
 
+  test("a torn append (postings committed, meta not) is probe-invisible and healed") {
+    val dir = freshDir("torn")
+    val base = docs.filter(col("doc_id") < 200)
+    val extra = docs.filter(col("doc_id") >= 200 && col("doc_id") < 300)
+    Bm25Index.build(spark, base, dir)
+    val before = scored(Bm25Index.probe(spark, dir, Seq("spark", "vector")))
+    val statsBefore = Bm25Index.stats(spark, dir)
+    // simulate a crash between the postings commit and the meta commit
+    import spark.implicits._
+    Snapshots.commit(spark,
+      Seq(("zzzorphan", 999999L, 1L, 1L)).toDF("token", "doc_id", "tf", "dl"),
+      s"$dir/postings", append = true): Unit
+    assert(scored(Bm25Index.probe(spark, dir, Seq("spark", "vector")))
+      === before, "a torn append must not be probe-visible")
+    assert(Bm25Index.stats(spark, dir) === statsBefore)
+    // the next append rolls the orphan back and lands atomically
+    Bm25Index.append(spark, extra, dir)
+    val rebuilt = freshDir("torn-rebuild")
+    Bm25Index.build(spark, base.unionByName(extra), rebuilt)
+    assert(scored(Bm25Index.probe(spark, dir, Seq("spark", "vector")))
+      === scored(Bm25Index.probe(spark, rebuilt, Seq("spark", "vector"))),
+      "healed index must score like a from-scratch rebuild")
+    assert(Snapshots.read(spark, s"$dir/postings")
+      .filter(col("token") === "zzzorphan").count() === 0,
+      "the orphan postings must be rolled back, not carried")
+  }
+
   test("file-level pruning: a probe for an extreme-range term skips postings files") {
     val dir = freshDir("prune")
     Bm25Index.build(spark, docs, dir, clusterParts = 8)

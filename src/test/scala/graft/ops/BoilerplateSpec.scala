@@ -107,6 +107,68 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(out2 === out)
   }
 
+  /** Run `f` with the broadcast gate forced to `maxKeys`, restoring the
+    * default afterwards (suites run sequentially in the forked JVM, so
+    * the temporary session conf cannot race another suite). */
+  private def withGate[A](maxKeys: Long)(f: => A): A = {
+    spark.conf.set(Guards.MaxBroadcastKeysConf, maxKeys.toString)
+    try f finally spark.conf.unset(Guards.MaxBroadcastKeysConf)
+  }
+
+  test("forced shuffle path (gate=0) equals the broadcast path, and actually shuffles") {
+    val cols = Seq("doc_id", "text", "n_removed")
+    val viaBroadcast = Boilerplate.stripFrequentLines(corpus, minDocs = 3)
+      .select(cols.head, cols.tail: _*).collect().toSet
+    withGate(0) {
+      val df = Boilerplate.stripFrequentLines(corpus, minDocs = 3)
+      assert(df.queryExecution.executedPlan.toString.contains("LeftAnti"),
+        "gate=0 must route through the anti-join reassembly path")
+      assert(df.select(cols.head, cols.tail: _*).collect().toSet
+        === viaBroadcast)
+    }
+    // same equivalence for the incremental corpus-lines strip
+    val batch = Seq(
+      (10L, "COOKIE BANNER\nnew comment here\nalpha prose one"),
+      (11L, "fresh start\n\nfresh end"),
+      (12L, "COOKIE BANNER\nfooter inc")).toDF("doc_id", "text")
+    val incBroadcast = Boilerplate.stripCorpusLines(batch, corpus)
+      .select(cols.head, cols.tail: _*).collect().toSet
+    withGate(0) {
+      assert(Boilerplate.stripCorpusLines(batch, corpus)
+        .select(cols.head, cols.tail: _*).collect().toSet === incBroadcast)
+    }
+  }
+
+  test("shuffle path refuses null or duplicate ids instead of silently corrupting") {
+    val dupIds = Seq((1L, "shared line\nkeep a"), (1L, "shared line\nkeep b"),
+      (2L, "shared line\nkeep c")).toDF("doc_id", "text")
+    withGate(0) {
+      val e = intercept[IllegalArgumentException] {
+        Boilerplate.stripFrequentLines(dupIds, minDocs = 2).collect()
+      }
+      assert(e.getMessage.contains("unique"))
+    }
+    val nullId = Seq((Option(1L), "shared line\nkeep a"),
+      (Option.empty[Long], "shared line\nkeep b"),
+      (Option(3L), "shared line\nkeep c")).toDF("doc_id", "text")
+    withGate(0) {
+      intercept[IllegalArgumentException] {
+        Boilerplate.stripFrequentLines(nullId, minDocs = 2).collect()
+      }: Unit
+    }
+    // the broadcast path has no id dependency and still works on both
+    assert(Boilerplate.stripFrequentLines(dupIds, minDocs = 2)
+      .collect().forall(_.getAs[Int]("n_removed") === 1))
+  }
+
+  test("stripCorpusLines surfaces a missing id column up front, not at gate time") {
+    val noId = Seq(("only text, no id", 1)).toDF("text", "k")
+    val e = intercept[IllegalArgumentException] {
+      Boilerplate.stripCorpusLines(noId, corpus)
+    }
+    assert(e.getMessage.contains("doc_id"))
+  }
+
   test("stripWithIndex (literal-index path) equals the broadcast path") {
     val idx = Boilerplate.buildLineIndex(corpus, minDocs = 3)
     assert(idx.nLines === 2) // COOKIE BANNER + footer inc

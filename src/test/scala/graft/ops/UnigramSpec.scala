@@ -56,6 +56,33 @@ class UnigramSpec extends AnyFunSuite {
     assert(UnigramOps.scorePieces(Seq("a", "x", "b"), m) === -11.0)
   }
 
+  test("astral-plane words segment losslessly; no piece tears a surrogate pair") {
+    def wellFormed(p: String): Boolean =
+      !Character.isLowSurrogate(p.head) && !Character.isHighSurrogate(p.last)
+    val astral = "𝔘" // U+1D518: one code point, two chars
+    // no astral piece in the vocab → the unk fallback must treat the
+    // PAIR as one unknown code point, not two chars
+    val m1 = UnigramOps.parse(UnigramOps.render(
+      Seq("a" -> -1.0, "b" -> -1.0), unkLp = -9.0))
+    val got = UnigramOps.segmentWord(s"a${astral}b", m1)
+    assert(got === Seq("a", astral, "b"))
+    assert(got.forall(wellFormed))
+    assert(UnigramOps.scorePieces(got, m1) === -11.0)
+    // adversarial vocab: a lone high surrogate with a seductive logprob
+    // would beat the pair fallback if boundaries inside the pair were
+    // legal — the guard must keep the pair whole
+    val m2 = UnigramOps.parse(UnigramOps.render(
+      Seq("\uD835" -> -0.1, "a" -> -1.0), unkLp = -9.0))
+    val got2 = UnigramOps.segmentWord(s"a$astral", m2)
+    assert(got2 === Seq("a", astral))
+    assert(got2.forall(wellFormed))
+    // emoji ZWJ family: every code point unknown, still lossless
+    val fam = "👨‍👩" // 👨‍👩 (two astral + ZWJ)
+    val got3 = UnigramOps.segmentWord(fam, m1)
+    assert(got3.mkString("") === fam)
+    assert(got3.forall(wellFormed))
+  }
+
   test("hard EM: corpus NLL is non-increasing across iterations (no-prune regime)") {
     val counts = Seq(("international", 20L), ("internet", 15L),
       ("interval", 8L), ("national", 12L), ("nation", 9L),

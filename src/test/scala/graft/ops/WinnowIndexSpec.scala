@@ -77,6 +77,76 @@ class WinnowIndexSpec extends AnyFunSuite {
     assert(dfA === dfB)
   }
 
+  private def probePairs(incoming: org.apache.spark.sql.DataFrame,
+      dir: String, minShared: Long = 1) =
+    WinnowIndex.probe(spark, incoming, dir, minShared = minShared)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+  test("probe above the broadcast gate (forced shuffle anti-join) equals the default path") {
+    val dir = tmpDir()
+    WinnowIndex.build(spark, corpus, dir, maxDf = 1000)
+    val default = probePairs(incoming, dir)
+    spark.conf.set(Guards.MaxBroadcastKeysConf, "0")
+    try assert(probePairs(incoming, dir) === default)
+    finally spark.conf.unset(Guards.MaxBroadcastKeysConf)
+  }
+
+  test("a torn append (fps committed, meta not) is probe-invisible and healed by the next append") {
+    val dir = tmpDir()
+    WinnowIndex.build(spark, corpus, dir, maxDf = 1000)
+    val before = probePairs(incoming, dir)
+    // simulate a crash between the fps commit and the meta commit: the
+    // batch's postings land, the version pins don't move
+    val extra = Seq((8L, s"late-arriving doc also containing $passage"))
+      .toDF("doc_id", "text")
+    val p = WinnowIndex.params(spark, dir)
+    val tornFps = extra.select(col("doc_id").as("id"),
+        Dedup.winnowFingerprints(col("text"), p.k, p.w).as("_fps"))
+      .select(col("id"), size(col("_fps")).cast("long").as("sz"),
+        explode(col("_fps")).as("fp"))
+    Snapshots.commit(spark, tornFps, s"$dir/fps", append = true): Unit
+    // the orphan snapshot is invisible: probes still serve the pinned state
+    assert(probePairs(incoming, dir) === before,
+      "a torn append must not be probe-visible")
+    // the next append heals the tear (rolls fps back to the pin) and
+    // lands its own batch atomically — no double-counted postings
+    WinnowIndex.append(spark, extra, dir)
+    assert(probePairs(incoming, dir).exists(t => t._1 == 1L && t._2 == 8L))
+    val rebuilt = tmpDir()
+    WinnowIndex.build(spark, corpus.unionByName(extra), rebuilt, maxDf = 1000)
+    assert(probePairs(incoming, dir) === probePairs(incoming, rebuilt),
+      "healed index must equal a from-scratch rebuild")
+    val fpsCount = Snapshots.read(spark, s"$dir/fps").count()
+    assert(fpsCount === Snapshots.read(spark, s"$rebuilt/fps").count(),
+      "the torn batch must not be double-appended")
+  }
+
+  test("optimize re-compacts postings: probe identical, fp stats prune, time travel intact") {
+    val dir = tmpDir()
+    WinnowIndex.build(spark, corpus, dir, maxDf = 1000)
+    val extras = Seq(
+      Seq((8L, s"first appended doc carrying $passage onward")),
+      Seq((10L, s"second appended doc carrying $passage too")))
+    extras.foreach(b =>
+      WinnowIndex.append(spark, b.toDF("doc_id", "text"), dir))
+    val before = probePairs(incoming, dir)
+    val preOptId = Snapshots.latestId(spark, s"$dir/fps").get
+    WinnowIndex.optimize(spark, dir, clusterParts = 4)
+    assert(probePairs(incoming, dir) === before,
+      "optimize must not change any probe answer")
+    // post-optimize fp range stats prune an extreme-point query
+    val (kept, total) = Snapshots.selectRangeFiles(spark, s"$dir/fps",
+      Seq(Snapshots.ColRange("fp", Some(Long.MaxValue), Some(Long.MaxValue))))
+    assert(total >= 4, s"range-clustered rewrite writes >=4 files, got $total")
+    assert(kept.size < total,
+      s"post-optimize stats must prune: kept ${kept.size} of $total")
+    // pre-optimize snapshot still time-travels
+    assert(Snapshots.read(spark, s"$dir/fps", Some(preOptId)).count()
+      === Snapshots.read(spark, s"$dir/fps").count())
+  }
+
   test("maxDf guard prunes ubiquitous fingerprints from the probe join") {
     val boiler = "subscribe to our newsletter for daily updates now"
     val corp = (10 to 29).map(i =>

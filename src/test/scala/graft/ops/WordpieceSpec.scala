@@ -31,6 +31,23 @@ class WordpieceSpec extends AnyFunSuite {
     assert(WordpieceOps.segmentWord("", m) === Seq.empty)
   }
 
+  test("astral-plane words: pieces never tear a surrogate pair") {
+    val astral = "𝔘" // 𝔘 U+1D518, one code point, two chars
+    // the full astral char is in the vocab → clean segmentation
+    val m1 = model(astral, "##x")
+    assert(WordpieceOps.segmentWord(s"${astral}x", m1)
+      === Seq(astral, "##x"))
+    // adversarial vocab: a LONE HIGH SURROGATE is a vocab entry and
+    // would be the greedy longest match at position 0 — the boundary
+    // guard must refuse it, and with nothing else matching the word
+    // becomes unk rather than a corrupt split
+    val m2 = model("\uD835")
+    assert(WordpieceOps.segmentWord(astral, m2) === Seq("[UNK]"))
+    // same guard at a continuation position
+    val m3 = model("a", "##\uD835")
+    assert(WordpieceOps.segmentWord(s"a$astral", m3) === Seq("[UNK]"))
+  }
+
   test("vocabFromUnigram covers every ASCII word; distributed apply is lossless") {
     val docs = spark.read
       .parquet(s"${graft.TestSpark.sfDir}/documents.parquet").limit(150)
