@@ -53,7 +53,10 @@ object Bench {
     "q_winnow_passages", "q_source_overlap", "q_bm25_maxp", "q_lm_kn",
     "q_fim_export", "q_decontam_gate", "q_unigram_tokenize",
     "q_winnow_index_probe", "q_winnow_spans", "q_lm_kn_serve",
-    "q_strip_ppl_lines", "q_decontam_report")
+    "q_strip_ppl_lines", "q_decontam_report",
+    // round-10 additions: the third tokenizer so the whole family is
+    // tracked round-over-round, and the persisted-KN serving path
+    "q_wordpiece_tokenize", "q_lm_kn_persist")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2551,6 +2551,55 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // KN PERSISTENCE: the q_lm_kn_serve pipeline with a save/load
+    // round-trip through snapshot tables in the middle — the model is
+    // fitted on the even half, persisted, RELOADED, and the odd half
+    // scored against the loaded frames. Same oracle as the in-memory
+    // serve split: persistence must be score-invariant, so any drift in
+    // the snapshot round-trip (schema, types, row loss, version
+    // pinning) shifts a score and fails the hash match.
+    q("q_lm_kn_persist",
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks FROM documents),
+        |bg AS (SELECT doc_id, toks[pos] AS prev, toks[pos+1] AS cur
+        |       FROM d, unnest(generate_series(1, len(toks)-1)) AS t(pos)),
+        |c2 AS (SELECT prev, cur, count(*) AS n2 FROM bg
+        |       WHERE doc_id % 2 = 0 GROUP BY prev, cur),
+        |ctx AS (SELECT prev, CAST(sum(n2) AS BIGINT) AS n1, count(*) AS fan
+        |        FROM c2 GROUP BY prev),
+        |cont AS (SELECT cur, count(*) AS ncont FROM c2 GROUP BY cur),
+        |ty AS (SELECT count(*) AS ntypes FROM c2)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  round(avg(-ln(greatest(
+        |    CASE WHEN ctx.n1 IS NOT NULL THEN
+        |      greatest(CAST(coalesce(c2.n2, 0) AS DOUBLE) - 0.75, 0.0)
+        |        / CAST(ctx.n1 AS DOUBLE) +
+        |      0.75 * CAST(ctx.fan AS DOUBLE) / CAST(ctx.n1 AS DOUBLE) *
+        |      (CAST(coalesce(cont.ncont, 0) AS DOUBLE) / CAST(ntypes AS DOUBLE))
+        |    ELSE CAST(coalesce(cont.ncont, 0) AS DOUBLE) / CAST(ntypes AS DOUBLE)
+        |    END, 1e-10))), 4) AS nll
+        |FROM bg b
+        |LEFT JOIN c2 ON b.prev = c2.prev AND b.cur = c2.cur
+        |LEFT JOIN ctx ON b.prev = ctx.prev
+        |LEFT JOIN cont ON b.cur = cont.cur
+        |CROSS JOIN ty
+        |WHERE b.doc_id % 2 = 1
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_kn_model_${math.abs(dir.hashCode)}").toString
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true): Unit
+      val docs = t(s, dir, "documents")
+      graft.ops.LangModel.saveKN(s, graft.ops.LangModel.fitKN(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0)), tmp)
+      graft.ops.LangModel.scoreAgainstModelKN(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          graft.ops.LangModel.loadKN(s, tmp))
+        .select(col("doc_id"), col("n_bigrams"), round(col("nll"), 4).as("nll"))
+        .orderBy(col("doc_id"))
+    },
+
     // ------------------------------------------------ dim reduction
     // Johnson–Lindenstrauss random-sign projection 64 -> 8 dims before
     // ANN indexing. The ±1 matrix derives from MD5 so DuckDB recomputes

@@ -213,6 +213,41 @@ object LangModel {
     KnModel(c2, ctx, cont, c2.count(), discount)
   }
 
+  /** Persist a fitted [[KnModel]] as snapshot tables under `dir/` —
+    * the serving-lifecycle step [[fitKN]] alone lacks: a curation fleet
+    * fits once and scores for weeks, so the model must survive the
+    * session ([[Unigram.save]] / [[Bm25Index]] precedent). Layout:
+    * `c2`, `ctx`, `cont` (the three model frames) + `meta` (n_types,
+    * discount, and the three table versions) committed LAST — a crash
+    * mid-save leaves orphan snapshots no [[loadKN]] ever reads, and a
+    * re-save pins consistently (the [[Bm25Index]] tear contract). */
+  def saveKN(spark: org.apache.spark.sql.SparkSession, m: KnModel,
+      dir: String): Unit = {
+    import spark.implicits._
+    val c2v = Snapshots.commit(spark, m.c2, s"$dir/c2")
+    val ctxv = Snapshots.commit(spark, m.ctx, s"$dir/ctx")
+    val contv = Snapshots.commit(spark, m.cont, s"$dir/cont")
+    Snapshots.commit(spark,
+      Seq((m.nTypes, m.discount, c2v, ctxv, contv))
+        .toDF("n_types", "discount", "c2_ver", "ctx_ver", "cont_ver"),
+      s"$dir/meta"): Unit
+  }
+
+  /** Reload a persisted KN model; every table reads AS OF the version
+    * meta pins, so the three frames are always a consistent fit.
+    * Scoring a loaded model is plan-identical to scoring the in-memory
+    * one (same joins on the same keys — the frames just scan parquet
+    * instead of re-aggregating the corpus), oracle-checked. */
+  def loadKN(spark: org.apache.spark.sql.SparkSession,
+      dir: String): KnModel = {
+    val r = Snapshots.read(spark, s"$dir/meta").head()
+    KnModel(
+      Snapshots.read(spark, s"$dir/c2", Some(r.getAs[Long]("c2_ver"))),
+      Snapshots.read(spark, s"$dir/ctx", Some(r.getAs[Long]("ctx_ver"))),
+      Snapshots.read(spark, s"$dir/cont", Some(r.getAs[Long]("cont_ver"))),
+      r.getAs[Long]("n_types"), r.getAs[Double]("discount"))
+  }
+
   /** Score documents against a fitted [[KnModel]]. External docs hit
     * the fallback ladder the interpolation defines: unseen bigram in a
     * seen context → pure continuation mass; unseen context → P_cont

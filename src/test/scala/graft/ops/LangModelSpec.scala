@@ -162,4 +162,26 @@ class LangModelSpec extends AnyFunSuite {
     assert(kn.keySet === Set(1L))
     assert(kn(1L) > 0)
   }
+
+  test("saveKN/loadKN round-trips: loaded-model scores equal in-memory bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kn").toString
+    val m = LangModel.fitKN(corpus)
+    LangModel.saveKN(spark, m, dir)
+    val loaded = LangModel.loadKN(spark, dir)
+    assert(loaded.nTypes === m.nTypes)
+    assert(loaded.discount === m.discount)
+    val probe = Seq((9L, "a b z q"), (10L, "c a"), (11L, "the quick fox"))
+      .toDF("doc_id", "text")
+    def scores(km: LangModel.KnModel) =
+      LangModel.scoreAgainstModelKN(probe, km).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(scores(loaded) === scores(m))
+    // a torn save (model tables committed, meta not) must not be
+    // loadable as a half-state: a full re-save repins consistently
+    LangModel.saveKN(spark, LangModel.fitKN(
+      corpus.limit(2)), dir)
+    val reloaded = LangModel.loadKN(spark, dir)
+    assert(reloaded.nTypes === LangModel.fitKN(corpus.limit(2)).nTypes,
+      "reload must serve the latest consistent save")
+  }
 }
