@@ -2600,6 +2600,199 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Shannon-entropy quality signals (char + word, nats): the
+    // model-free gibberish screen. The oracle recomputes both
+    // distributions and both entropy sums term-for-term (every term an
+    // integer/integer double division), so the kernel's one-pass
+    // counting is pinned against a full explode-and-aggregate
+    // recomputation; round(4) absorbs Σ addition-order drift.
+    q("q_entropy",
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |  FROM documents),
+        |cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+        |ct AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nch FROM cc
+        |       GROUP BY doc_id),
+        |ce AS (SELECT cc.doc_id,
+        |    sum(-(CAST(n AS DOUBLE)/nch) * ln(CAST(n AS DOUBLE)/nch)) AS che
+        |  FROM cc JOIN ct USING (doc_id) GROUP BY cc.doc_id),
+        |wd AS (SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    t -> t <> '')) AS w FROM documents),
+        |wc AS (SELECT doc_id, w, count(*) AS n FROM wd GROUP BY doc_id, w),
+        |wt AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nw FROM wc
+        |       GROUP BY doc_id),
+        |we AS (SELECT wc.doc_id,
+        |    sum(-(CAST(n AS DOUBLE)/nw) * ln(CAST(n AS DOUBLE)/nw)) AS wde
+        |  FROM wc JOIN wt USING (doc_id) GROUP BY wc.doc_id)
+        |SELECT d.doc_id, coalesce(ct.nch, 0) AS n_chars,
+        |  round(coalesce(ce.che, 0), 4) AS char_entropy,
+        |  coalesce(wt.nw, 0) AS n_words,
+        |  round(coalesce(we.wde, 0), 4) AS word_entropy
+        |FROM documents d
+        |LEFT JOIN ct ON d.doc_id = ct.doc_id
+        |LEFT JOIN ce ON d.doc_id = ce.doc_id
+        |LEFT JOIN wt ON d.doc_id = wt.doc_id
+        |LEFT JOIN we ON d.doc_id = we.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Quality.entropySignals(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_chars"),
+          round(col("char_entropy"), 4).as("char_entropy"),
+          col("n_words"), round(col("word_entropy"), 4).as("word_entropy"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Aho–Corasick blocklist scan: matched-phrase list + count per doc
+    // in ONE automaton pass. Phrases chosen adversarially: "able"
+    // matches INSIDE "table" (substring, not word, semantics);
+    // "scan slow" / "slow fast" overlap on shared text (the fail-link
+    // path); one phrase never occurs. The oracle recomputes membership
+    // with per-phrase contains() — the naive O(len·Σ|p|) form the
+    // automaton replaces — so the automaton's output set is pinned
+    // exactly, matched lists compared as sorted CSV.
+    q("q_blocklist_scan",
+      """WITH p AS (SELECT ['able', 'scan slow', 'slow fast',
+        |    'table value', 'zzz never occurs'] AS ps)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_sort(list_filter(ps,
+        |    x -> contains(lower(text), x))), ','), '') AS blocked_phrases,
+        |  len(list_filter(ps, x -> contains(lower(text), x))) AS n_blocked,
+        |  len(list_filter(ps, x -> contains(lower(text), x))) > 0 AS blocked
+        |FROM documents CROSS JOIN p
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Quality.blocklistScan(t(s, dir, "documents"),
+          Seq("able", "scan slow", "slow fast", "table value",
+            "zzz never occurs"))
+        .select(col("doc_id"),
+          concat_ws(",", col("blocked_phrases")).as("blocked_phrases"),
+          col("n_blocked"), col("blocked"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality-aware duplicate-cluster keeper: clusters from the
+    // minhash CC pipeline (q_dedup_clusters' construction), keeper =
+    // longest text (ties → min id), singletons kept. The oracle
+    // recomputes the transitive closure AND the argmax selection, so
+    // both the clustering input and the two-aggregate winner
+    // resolution are pinned.
+    q("q_cluster_keeper",
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id AS id, string_split_regex(text, '\s+') AS tk
+        |  FROM documents),
+        |tri AS (SELECT DISTINCT id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+        |  FROM (SELECT id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks)),
+        |sizes AS (SELECT id, count(*) AS sz FROM tri GROUP BY id),
+        |common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+        |  FROM tri a JOIN tri b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY a.id, b.id),
+        |pairs AS (SELECT id_a, id_b
+        |  FROM common JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+        |  WHERE CAST(cnt AS DOUBLE)/(sa.sz + sb.sz - cnt) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |sc AS (SELECT c.id, c.component, length(d.text) AS score
+        |       FROM comp c JOIN documents d ON c.id = d.doc_id),
+        |best AS (SELECT component, max(score) AS best FROM sc
+        |         GROUP BY component),
+        |win AS (SELECT sc.component, min(sc.id) AS keeper
+        |        FROM sc JOIN best b ON sc.component = b.component
+        |          AND sc.score = b.best
+        |        GROUP BY sc.component)
+        |SELECT d.doc_id, c.component,
+        |  (c.component IS NULL OR d.doc_id = w.keeper) AS keep
+        |FROM documents d
+        |LEFT JOIN comp c ON d.doc_id = c.id
+        |LEFT JOIN win w ON c.component = w.component
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs,
+        n = 3, k = 32, bands = 16, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      Dedup.keepBestInClusters(docs, Dedup.duplicateClusters(pairs),
+          length(col("text")))
+        .select(col("doc_id"), col("component"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // PARAGRAPH-granularity incremental dedup (the other Dolma dedupe
+    // unit): same synthesized multi-unit docs as q_strip_corpus_lines
+    // but blank-line-separated paragraphs, odd docs stripped against
+    // the even half. Oracle recomputes membership by PARAGRAPH STRING;
+    // the Spark side goes through fingerprints + the sorted-index
+    // binary search over '\n\n'-split units.
+    q("q_strip_corpus_paragraphs",
+      """WITH w AS (SELECT doc_id, source,
+        |    string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |toks AS (SELECT doc_id, unnest(generate_series(0, len(ws)-1)) AS pos,
+        |    unnest(ws) AS word FROM w),
+        |body AS (SELECT doc_id, pos // 8 AS lno,
+        |    string_agg(word, ' ' ORDER BY pos) AS para
+        |  FROM toks GROUP BY doc_id, pos // 8),
+        |paras AS (SELECT doc_id, -1 AS lno, 'HDR ' || source AS para FROM w
+        |          UNION ALL SELECT doc_id, lno, para FROM body),
+        |corp AS (SELECT DISTINCT para FROM paras
+        |         WHERE doc_id % 2 = 0 AND trim(para) <> ''),
+        |b AS (SELECT doc_id, lno, para FROM paras WHERE doc_id % 2 = 1),
+        |kept AS (SELECT doc_id, lno, para FROM b
+        |         WHERE trim(para) = '' OR para NOT IN (SELECT para FROM corp)),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |          string_agg(para, chr(10) || chr(10) ORDER BY lno) AS cleaned
+        |        FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_paras FROM b GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(t.n_paras - coalesce(a.n_kept, 0) AS INT) AS n_removed,
+        |  coalesce(a.cleaned, '') AS cleaned
+        |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val words = split(trim(col("text")), "\\s+")
+      val nParas = ceil(size(words).cast("double") / 8.0).cast("int")
+      val body = transform(sequence(lit(0), nParas - 1),
+        i => array_join(slice(words, i * 8 + 1, lit(8)), " "))
+      val ml = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n\n",
+          concat(lit("HDR "), col("source")),
+          array_join(body, "\n\n")).as("ml"))
+      graft.ops.Boilerplate.stripCorpusParagraphs(
+          ml.filter(pmod(col("doc_id"), lit(2)) === 1),
+          ml.filter(pmod(col("doc_id"), lit(2)) === 0), textCol = "ml")
+        .select(col("doc_id"), col("n_removed"), col("ml").as("cleaned"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Context-length planning sweep: padding vs truncation accounting
+    // of the one-doc-per-window regime at five candidate sizes. Every
+    // output cell is integer arithmetic or one int/int division, so
+    // the oracle pins the whole table bit-for-bit.
+    q("q_pack_efficiency",
+      """WITH tk AS (SELECT doc_id, len(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    t -> t <> '')) AS t FROM documents),
+        |s AS (SELECT unnest([16, 32, 64, 128, 256]) AS win_len),
+        |j AS (SELECT win_len, t FROM tk CROSS JOIN s)
+        |SELECT win_len, count(*) AS n_docs,
+        |  CAST(sum(t) AS BIGINT) AS total_tokens,
+        |  CAST(sum(least(t, win_len)) AS BIGINT) AS kept_tokens,
+        |  CAST(sum(greatest(t - win_len, 0)) AS BIGINT) AS truncated_tokens,
+        |  CAST(sum(CASE WHEN t > win_len THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_truncated,
+        |  CAST(sum(greatest(win_len - t, 0)) AS BIGINT) AS pad_tokens,
+        |  round(CAST(sum(least(t, win_len)) AS DOUBLE) /
+        |    (count(*) * win_len), 6) AS fill_ratio,
+        |  round(CAST(sum(greatest(t - win_len, 0)) AS DOUBLE) /
+        |    sum(t), 6) AS trunc_ratio
+        |FROM j GROUP BY win_len ORDER BY win_len""".stripMargin) { (s, dir) =>
+      val toks = size(filter(split(lower(col("text")),
+        graft.ops.Relevance.TokenPattern), x => x =!= ""))
+      graft.ops.Packing.windowEfficiency(t(s, dir, "documents"), toks,
+          Seq(16, 32, 64, 128, 256))
+        .withColumnRenamed("window", "win_len")
+        .orderBy(col("win_len"))
+    },
+
     // ------------------------------------------------ dim reduction
     // Johnson–Lindenstrauss random-sign projection 64 -> 8 dims before
     // ANN indexing. The ±1 matrix derives from MD5 so DuckDB recomputes

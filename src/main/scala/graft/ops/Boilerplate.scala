@@ -65,13 +65,14 @@ object Boilerplate {
     * fingerprint array `idx`, plus an `n_removed` count. One native
     * codegen'd binary-search pass. */
   private def stripAgainst(docs: DataFrame, idx: Column,
-      textCol: String): DataFrame =
+      textCol: String, sep: String = "\n"): DataFrame =
     docs
-      .withColumn("_lines", split(col(textCol), "\n"))
+      .withColumn("_lines",
+        split(col(textCol), java.util.regex.Pattern.quote(sep)))
       .withColumn("_kept", GraftFunctions.linesNotIn(col("_lines"), idx))
       .withColumn("n_removed",
         (size(col("_lines")) - size(col("_kept"))).cast("int"))
-      .withColumn(textCol, array_join(col("_kept"), "\n"))
+      .withColumn(textCol, array_join(col("_kept"), sep))
       .drop("_lines", "_kept")
 
   /** Strip every line that occurs in >= `minDocs` distinct documents.
@@ -124,20 +125,21 @@ object Boilerplate {
     * one id-keyed count job — 8-byte keys, cheap next to the line
     * shuffle this path is about to do. */
   private def stripShuffle(docs: DataFrame, freq: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
+      idCol: String, textCol: String, sep: String = "\n"): DataFrame = {
     requireUniqueIds(docs, idCol)
+    val sepQ = java.util.regex.Pattern.quote(sep)
     val lines = docs.select(col(idCol).as("_sid"),
-        posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
+        posexplode(split(col(textCol), sepQ)).as(Seq("_pos", "_line")))
       .withColumn("_lfp", GraftFunctions.fingerprint64(col("_line")))
     val rebuilt = lines.join(freq, Seq("_lfp"), "left_anti")
       .groupBy(col("_sid"))
       .agg(count(lit(1)).as("_nkept"),
         array_join(transform(
           array_sort(collect_list(struct(col("_pos"), col("_line")))),
-          x => x("_line")), "\n").as("_newtext"))
+          x => x("_line")), sep).as("_newtext"))
     docs.join(rebuilt, col(idCol) === col("_sid"), "left")
       .withColumn("n_removed",
-        (size(split(col(textCol), "\n")) -
+        (size(split(col(textCol), sepQ)) -
           coalesce(col("_nkept"), lit(0L))).cast("int"))
       .withColumn(textCol, coalesce(col("_newtext"), lit("")))
       .drop("_sid", "_nkept", "_newtext")
@@ -191,28 +193,48 @@ object Boilerplate {
     * batch's lines strip through the shuffle reassembly path
     * ([[stripShuffle]]) keyed on `idCol` — same answer. */
   def stripCorpusLines(incoming: DataFrame, corpus: DataFrame,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    stripCorpusUnits(incoming, corpus, textCol, idCol, sep = "\n")
+
+  /** PARAGRAPH-granularity twin of [[stripCorpusLines]] — the other
+    * Dolma dedupe unit: crawl re-serves often duplicate whole
+    * paragraphs (quoted posts, syndicated copy) whose individual lines
+    * are too short or too common to strip safely at line granularity;
+    * conversely a paragraph match is much stronger evidence of
+    * duplication than any single line. Paragraphs are the literal
+    * blank-line split (`\n\n`, the Dolma convention) and survivors
+    * re-join with the same separator, so a run of 3+ newlines
+    * normalizes to the canonical paragraph break (stated, not hidden).
+    * Same size-gated physical strategy, same blank-unit exemption. */
+  def stripCorpusParagraphs(incoming: DataFrame, corpus: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    stripCorpusUnits(incoming, corpus, textCol, idCol, sep = "\n\n")
+
+  private def stripCorpusUnits(incoming: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, sep: String): DataFrame = {
     // The above-gate fallback reassembles by idCol; surface that
     // requirement up front, not data-dependently at gate time.
     require(incoming.columns.contains(idCol),
-      s"stripCorpusLines reassembles by '$idCol' when the matched line " +
-        s"set exceeds ${Guards.MaxBroadcastKeysConf}; the incoming frame " +
-        s"has no such column (${incoming.columns.mkString(", ")})")
-    def lineFps(df: DataFrame) = df
-      .select(explode(array_distinct(split(col(textCol), "\n"))).as("_l"))
+      s"stripCorpusLines/Paragraphs reassembles by '$idCol' when the " +
+        s"matched set exceeds ${Guards.MaxBroadcastKeysConf}; the " +
+        s"incoming frame has no such column " +
+        s"(${incoming.columns.mkString(", ")})")
+    val sepQ = java.util.regex.Pattern.quote(sep)
+    def unitFps(df: DataFrame) = df
+      .select(explode(array_distinct(split(col(textCol), sepQ))).as("_l"))
       .filter(length(trim(col("_l"))) > 0)
       .select(GraftFunctions.fingerprint64(col("_l")).as("_fp"))
-    val batchFps = lineFps(incoming).distinct()
-    val seen = Guards.semiJoinSized(lineFps(corpus), batchFps, Seq("_fp"))
+    val batchFps = unitFps(incoming).distinct()
+    val seen = Guards.semiJoinSized(unitFps(corpus), batchFps, Seq("_fp"))
       .distinct()
       .localCheckpoint() // not persist — see Guards scaladoc
     if (seen.count() <= Guards.maxBroadcastKeys(incoming)) {
       val index = seen.agg(sort_array(collect_list(col("_fp"))).as("_idx"))
       stripAgainst(incoming.crossJoin(broadcast(index)), col("_idx"),
-        textCol).drop("_idx")
+        textCol, sep).drop("_idx")
     } else
       stripShuffle(incoming, seen.select(col("_fp").as("_lfp")),
-        idCol, textCol)
+        idCol, textCol, sep)
   }
 
   /** Strip against a pre-built [[LineIndex]] embedded as a plan literal:

@@ -814,4 +814,39 @@ object Dedup {
       .withColumn("dup_ratio",
         round(col("n_repeated").cast("double") / col("n_windows"), 6))
   }
+
+  /** Quality-aware cluster keeper: among each duplicate cluster, keep
+    * the member maximizing `score` (ties → smallest id) instead of the
+    * min-id member [[duplicateClusters]]' downstream conventionally
+    * keeps — the production rule (keep the longest / cleanest /
+    * highest-LM-score copy; Lee et al. 2022 keep-one semantics with a
+    * chosen representative). `clusters` is any (id, component)
+    * assignment ([[duplicateClusters]], [[duplicateClustersFast]], or
+    * an external labeling); docs absent from it are singletons and kept.
+    *
+    * Returns every input row + `component` (null for singletons) +
+    * `keep`. The winner is resolved in two component-keyed aggregates
+    * (max score, then min id among the maxima) rather than a
+    * max-by-struct trick, so ANY orderable score type works with a
+    * deterministic total tie-break and no negation overflow edge.
+    * Scale: joins and aggregates are all keyed on id/component (8-byte
+    * keys); document text never shuffles — `score` is evaluated
+    * narrow, and only (id, component, score) triples move. */
+  def keepBestInClusters(docs: DataFrame, clusters: DataFrame,
+      score: Column, idCol: String = "doc_id"): DataFrame = {
+    val scored = docs.select(col(idCol).as("_kid"), score.as("_score"))
+      .join(clusters.select(col("id").as("_kid"), col("component")), "_kid")
+    val best = scored.groupBy(col("component"))
+      .agg(max(col("_score")).as("_best"))
+    val winners = scored.join(best, "component")
+      .filter(col("_score") === col("_best"))
+      .groupBy(col("component")).agg(min(col("_kid")).as("_keeper"))
+    docs
+      .join(clusters.select(col("id").as(idCol), col("component")),
+        Seq(idCol), "left")
+      .join(winners, Seq("component"), "left")
+      .withColumn("keep",
+        col("component").isNull || col(idCol) === col("_keeper"))
+      .drop("_keeper")
+  }
 }

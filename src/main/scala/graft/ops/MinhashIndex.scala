@@ -164,4 +164,29 @@ object MinhashIndex {
       .select(col("inc_id"), col("corp_id"),
         round(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** Re-compact sigs and bands after a run of [[append]]s — the
+    * [[Bm25Index.optimize]] / [[WinnowIndex.optimize]] lifecycle step
+    * completing the index-maintenance family: appends accumulate
+    * batch-sized delta files whose open/seek overhead degrades probe
+    * scans as deltas pile up. One replace commit per table: sigs
+    * id-clustered, bands (band, bucket)-range-clustered with band
+    * stats. Probe answers are unchanged — both tables are row sets and
+    * compaction is row-preserving, so even the no-version-pin commit
+    * gap here is benign: a crash between the two commits leaves one
+    * table compacted and the other not, both with identical CONTENT to
+    * before (unlike append, where the pinned-meta indexes need their
+    * tear contract). Time travel to pre-optimize snapshots still works. */
+  def optimize(spark: SparkSession, dir: String,
+      clusterParts: Int = 8): Unit = {
+    Snapshots.commit(spark,
+      Snapshots.read(spark, s"$dir/sigs")
+        .repartition(clusterParts, col("id")),
+      s"$dir/sigs"): Unit
+    Snapshots.commit(spark,
+      Snapshots.read(spark, s"$dir/bands")
+        .repartitionByRange(clusterParts, col("band"), col("bucket"))
+        .sortWithinPartitions("band", "bucket"),
+      s"$dir/bands", statsCols = Seq("band")): Unit
+  }
 }

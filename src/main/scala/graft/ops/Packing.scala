@@ -59,4 +59,43 @@ object Packing {
       .groupBy(col("shard"), col("pack_id"))
       .agg(count(lit(1)).cast("int").as("n_docs"),
         sum(col("n_tokens")).as("pack_tokens"))
+
+  /** Context-length planning sweep — the accounting that picks
+    * max_seq_len BEFORE packing/export: for each candidate window size,
+    * the padding and truncation cost of the ONE-DOC-PER-WINDOW regime
+    * (the SFT/eval layout, where a document may not cross windows —
+    * [[Export]]'s sft path; the concat-and-chunk regime above wastes
+    * ~nothing by construction, so the decision lives here). Per size:
+    * docs / total / kept / truncated / pad token counts, the n_truncated
+    * doc count, `fill_ratio` = kept/(n_docs·window) and `trunc_ratio` =
+    * truncated/total. Too-small windows truncate long documents
+    * (content loss); too-large windows pad (compute loss) — this sweep
+    * quantifies both sides in one pass so the tradeoff is a number,
+    * not folklore.
+    *
+    * Scale: one narrow |sizes|-way fan-out of (token_count, window)
+    * pairs — the corpus' TEXT is never touched beyond evaluating
+    * `tokens`, and partial aggregation reduces the shuffle to
+    * |sizes| × partitions rows. Output is |sizes| rows. */
+  def windowEfficiency(docs: DataFrame, tokens: Column,
+      sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ > 0),
+      s"window sizes must be positive, got $sizes")
+    docs.select(tokens.cast("long").as("_t"))
+      .select(col("_t"), explode(typedLit(sizes)).as("window"))
+      .groupBy(col("window"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_t")).as("total_tokens"),
+        sum(least(col("_t"), col("window").cast("long"))).as("kept_tokens"),
+        sum(greatest(col("_t") - col("window"), lit(0L)))
+          .as("truncated_tokens"),
+        sum(when(col("_t") > col("window"), lit(1L)).otherwise(lit(0L)))
+          .as("n_truncated"),
+        sum(greatest(col("window").cast("long") - col("_t"), lit(0L)))
+          .as("pad_tokens"))
+      .withColumn("fill_ratio", round(col("kept_tokens").cast("double") /
+        (col("n_docs") * col("window")), 6))
+      .withColumn("trunc_ratio", round(col("truncated_tokens").cast("double") /
+        col("total_tokens"), 6))
+  }
 }

@@ -159,6 +159,46 @@ object Quality {
     repetitionFlags(docs, textCol).filter(col("rep_pass")).drop(cols: _*)
   }
 
+  /** Shannon-entropy signals (char + word, nats) — the model-free
+    * gibberish/blob screen that runs BEFORE any fitted LM exists (see
+    * [[org.apache.spark.sql.graft.EntropyKernel]] for the exact
+    * definitions the oracle recomputes). Pure narrow projection: one
+    * codegen'd pass per document, no shuffle, no model. Typical use:
+    * drop char_entropy outside [2.5, 5.2] (random base64 ≈ ln 64 ≈
+    * 4.16 but with NO low-entropy words; English prose chars ≈ 2.9–3.2
+    * with Zipfian words) — thresholds are corpus decisions, so this
+    * returns the signals, not a verdict. */
+  def entropySignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val e = graft.functions.GraftFunctions.textEntropy(col(textCol))
+    docs.withColumn("_e", e)
+      .withColumn("n_chars", col("_e.n_chars"))
+      .withColumn("char_entropy", col("_e.char_entropy"))
+      .withColumn("n_words", col("_e.n_words"))
+      .withColumn("word_entropy", col("_e.word_entropy"))
+      .drop("_e")
+  }
+
+  /** Blocklist scan over a literal phrase list — matched phrases +
+    * count per document, ONE Aho–Corasick pass regardless of list size
+    * (see [[org.apache.spark.sql.graft.BlocklistKernel]]; per-phrase
+    * `contains` is infeasible for a 10k-phrase list at corpus scale).
+    * Matching is case-insensitive: the text is lowered in-plan and the
+    * phrases are lowered here, so the kernel stays a pure
+    * case-sensitive matcher. The phrase list rides the plan as a
+    * literal (streaming-safe, no join); a list too big for a plan
+    * literal (≫10⁵ phrases) should go through the decontam-index
+    * path instead. */
+  def blocklistScan(docs: DataFrame, phrases: Seq[String],
+      textCol: String = "text"): DataFrame = {
+    require(phrases.nonEmpty, "blocklistScan needs at least one phrase")
+    val lowered = phrases.map(_.toLowerCase(java.util.Locale.ROOT))
+    docs.withColumn("blocked_phrases",
+        graft.functions.GraftFunctions.phrasesIn(lower(col(textCol)),
+          typedLit(lowered)))
+      .withColumn("n_blocked", size(col("blocked_phrases")))
+      .withColumn("blocked", col("n_blocked") > 0)
+  }
+
   /** Per-rule removal rates over a corpus — one aggregate row: the
     * rule-attribution audit (which rule is doing the cutting?). */
   def gopherReport(docs: DataFrame, textCol: String = "text"): DataFrame = {

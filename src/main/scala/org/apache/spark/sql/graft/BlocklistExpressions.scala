@@ -1,0 +1,180 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Multi-phrase substring scan via an Aho–Corasick automaton (Aho &
+  * Corasick 1975) — the scale path for blocklist filtering
+  * ([[graft.ops.Quality.c4Clean]]'s pluggable blocklist, URL/keyword
+  * denylists, policy phrase screens). A production blocklist is
+  * thousands of phrases; per-phrase `contains` is O(len · Σ|phrase|)
+  * per document and a regex alternation backtracks, while the
+  * automaton matches ALL phrases in ONE O(len) sweep regardless of
+  * list size — the difference between a feasible and an infeasible
+  * first-pass filter at 100 TB.
+  *
+  * Semantics (the DuckDB oracle recomputes these naively): the result
+  * is the SORTED DISTINCT list of phrases occurring as substrings of
+  * the text. Matching is exact (case-sensitive, code-unit substring);
+  * callers wanting case-insensitivity lower BOTH sides (`lower(col)`
+  * and a lowercased list), keeping the kernel pure. Empty phrases are
+  * dropped at build (an empty needle would match everything).
+  *
+  * The automaton is built ONCE per distinct phrase list and cached in
+  * a small bounded static map keyed by the literal's content — the
+  * phrase list must be a foldable literal (plan-carried, the
+  * [[UnigramEncode]] vocab contract), so the build cost amortizes over
+  * every row of every partition while the per-row call stays a static
+  * method inside whole-stage codegen (no CodegenFallback: unlike the
+  * tokenizers' per-row DP, a filter scan is usually the ONLY work in
+  * its stage, so breaking the codegen span would hurt).
+  */
+object BlocklistKernel {
+
+  /** Goto/fail/output automaton over chars. Nodes are dense arrays of
+    * (char → node) hash maps; output carries phrase indexes, and fail
+    * links are resolved breadth-first with output merging (the
+    * classical construction). */
+  final class Automaton(phrases: Array[String]) {
+    private val goto_ = new scala.collection.mutable.ArrayBuffer[
+      java.util.HashMap[Character, Integer]]()
+    private val fail = new scala.collection.mutable.ArrayBuffer[Int]()
+    private val out = new scala.collection.mutable.ArrayBuffer[
+      java.util.ArrayList[Integer]]()
+
+    private def newNode(): Int = {
+      goto_ += new java.util.HashMap[Character, Integer](4)
+      fail += 0
+      out += new java.util.ArrayList[Integer](1)
+      goto_.size - 1
+    }
+
+    locally {
+      newNode(): Unit // root
+      var p = 0
+      while (p < phrases.length) {
+        var node = 0
+        val ph = phrases(p)
+        var i = 0
+        while (i < ph.length) {
+          val c = ph.charAt(i)
+          val nxt = goto_(node).get(c)
+          node = if (nxt != null) nxt.intValue()
+            else { val n = newNode(); goto_(node).put(c, n); n }
+          i += 1
+        }
+        out(node).add(p)
+        p += 1
+      }
+      // BFS fail links
+      val queue = new java.util.ArrayDeque[Integer]()
+      goto_(0).forEach((_, v) => { fail(v) = 0; queue.add(v): Unit })
+      while (!queue.isEmpty) {
+        val u = queue.poll().intValue()
+        goto_(u).forEach { (c, v) =>
+          queue.add(v): Unit
+          var f = fail(u)
+          while (f != 0 && !goto_(f).containsKey(c)) f = fail(f)
+          val fv = goto_(f).get(c)
+          fail(v) = if (fv != null && fv != v) fv.intValue() else 0
+          out(v).addAll(out(fail(v))): Unit
+        }
+      }
+    }
+
+    /** Distinct matched phrase indexes, one pass over the text. */
+    def matchesIn(text: String): java.util.BitSet = {
+      val hits = new java.util.BitSet(phrases.length)
+      var node = 0
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        while (node != 0 && !goto_(node).containsKey(c)) node = fail(node)
+        val nxt = goto_(node).get(c)
+        node = if (nxt != null) nxt.intValue() else 0
+        val o = out(node)
+        var k = 0
+        while (k < o.size()) { hits.set(o.get(k)); k += 1 }
+        i += 1
+      }
+      hits
+    }
+
+    /** The phrases in build order (post empty-drop), for rendering. */
+    def phraseAt(i: Int): String = phrases(i)
+  }
+
+  /** Bounded content-keyed cache: one automaton per distinct literal
+    * list per JVM — NOT per plan or per partition. GenericArrayData /
+    * UnsafeArrayData equality is by content, so identical lists share.
+    * The crude size cap bounds a pathological session that plans
+    * thousands of distinct lists (each entry is small; clearing only
+    * costs a rebuild). */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[ArrayData, Automaton]()
+  private val MaxCached = 64
+
+  private def automatonFor(phrases: ArrayData): Automaton = {
+    val got = cache.get(phrases)
+    if (got != null) return got
+    if (cache.size() >= MaxCached) cache.clear()
+    cache.computeIfAbsent(phrases, p => {
+      val arr = (0 until p.numElements()).iterator
+        .map(i => p.getUTF8String(i))
+        .filter(u => u != null && u.numBytes() > 0)
+        .map(_.toString).toArray
+      new Automaton(arr)
+    })
+  }
+
+  /** Sorted distinct phrases present in `text`. */
+  def phrasesIn(text: UTF8String, phrases: ArrayData): ArrayData = {
+    val ac = automatonFor(phrases)
+    val hits = ac.matchesIn(text.toString)
+    val found = new java.util.ArrayList[UTF8String](hits.cardinality())
+    var i = hits.nextSetBit(0)
+    while (i >= 0) {
+      found.add(UTF8String.fromString(ac.phraseAt(i))): Unit
+      i = hits.nextSetBit(i + 1)
+    }
+    // UTF-8 byte order — what Spark's array_sort and DuckDB's
+    // list_sort both use, so the oracle's ordering matches exactly
+    found.sort((a: UTF8String, b: UTF8String) => a.compareTo(b))
+    new GenericArrayData(found.toArray[AnyRef](Array.empty[AnyRef]))
+  }
+}
+
+/** `phrases_in(text, phrases)` → sorted distinct phrases from the
+  * FOLDABLE literal array `phrases` occurring as substrings of `text`.
+  * Null text → null. See [[BlocklistKernel]]. */
+case class PhrasesIn(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "phrases_in"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base
+    else if (!right.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("phrases_in phrase list must be a literal")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def nullSafeEval(text: Any, phrases: Any): Any =
+    BlocklistKernel.phrasesIn(text.asInstanceOf[UTF8String],
+      phrases.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, p) =>
+      s"org.apache.spark.sql.graft.BlocklistKernel.phrasesIn($t, $p)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PhrasesIn =
+    copy(left = newLeft, right = newRight)
+}

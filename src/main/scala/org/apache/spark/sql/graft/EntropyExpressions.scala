@@ -1,0 +1,98 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shannon-entropy quality signals — the information-theoretic
+  * complement of the rule-based filters in [[graft.ops.Quality]]:
+  * encoding damage, base64/hex blobs, and key-mash gibberish have
+  * character distributions far from prose (too flat: random bytes; too
+  * peaked: aaaa…), and word-level entropy separates natural text from
+  * template spam whose token distribution collapses onto a few types.
+  * Used as a cheap pre-LM screen: unlike the perplexity scores in
+  * [[graft.ops.LangModel]] it needs NO fitted model, so it runs in the
+  * very first pass over raw crawl data.
+  *
+  * One expression computes all four values in a single pass (one
+  * code-point sweep, one tokenize sweep) inside whole-stage codegen —
+  * the [[RepetitionKernel]] rationale. Definitions (the DuckDB oracle
+  * recomputes EXACTLY these):
+  *   - chars = Unicode CODE POINTS of the raw text; char entropy
+  *     = −Σ (n_c/N)·ln(n_c/N) over per-code-point counts (nats).
+  *   - words = `lower(text)` split on `[^a-z0-9]+`, empties dropped
+  *     (the [[graft.ops.Relevance.TokenPattern]] tokenization shared
+  *     by the TF-IDF/BM25/LM family); word entropy over word counts.
+  *   - empty text / no words → 0.0 entropies, zero counts.
+  * Every term is an integer÷integer double division, so the bits match
+  * cross-engine; only the Σ's addition order is engine-dependent
+  * (absorbed by the oracle's round-to-4).
+  */
+object EntropyKernel {
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("char_entropy", DoubleType, nullable = false),
+    StructField("n_words", LongType, nullable = false),
+    StructField("word_entropy", DoubleType, nullable = false)))
+
+  private val Token = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
+  private def entropyOf(counts: java.util.Collection[java.lang.Long],
+      total: Long): Double = {
+    if (total == 0L) return 0.0
+    var h = 0.0
+    val it = counts.iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / total
+      h -= p * math.log(p)
+    }
+    h
+  }
+
+  def textEntropy(text: UTF8String): InternalRow = {
+    val s = text.toString
+    // code-point sweep
+    val charCounts = new java.util.HashMap[Integer, java.lang.Long](64)
+    var i = 0
+    var nChars = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      charCounts.merge(cp, 1L, (a, b) => a + b)
+      nChars += 1
+      i += Character.charCount(cp)
+    }
+    // token sweep (shared tokenization: lower + [^a-z0-9]+ split)
+    val wordCounts = new java.util.HashMap[String, java.lang.Long](64)
+    var nWords = 0L
+    val toks = Token.split(s.toLowerCase(java.util.Locale.ROOT))
+    var j = 0
+    while (j < toks.length) {
+      if (toks(j).nonEmpty) {
+        wordCounts.merge(toks(j), 1L, (a, b) => a + b)
+        nWords += 1
+      }
+      j += 1
+    }
+    InternalRow(nChars, entropyOf(charCounts.values(), nChars),
+      nWords, entropyOf(wordCounts.values(), nWords))
+  }
+}
+
+/** `text_entropy(text)` → struct(n_chars, char_entropy, n_words,
+  * word_entropy) — see [[EntropyKernel]] for exact definitions. */
+case class TextEntropy(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = EntropyKernel.schema
+  override def prettyName: String = "text_entropy"
+  override protected def nullSafeEval(input: Any): Any =
+    EntropyKernel.textEntropy(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.EntropyKernel.textEntropy($c)")
+  override protected def withNewChildInternal(c: Expression): TextEntropy =
+    copy(child = c)
+}

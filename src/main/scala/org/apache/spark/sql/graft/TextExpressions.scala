@@ -497,6 +497,9 @@ object GraftFunctions {
   def sentences(c: Column): Column = column(SentencesExpr(expression(c)))
   def repetitionStats(c: Column): Column =
     column(RepetitionStats(expression(c)))
+  def textEntropy(c: Column): Column = column(TextEntropy(expression(c)))
+  def phrasesIn(text: Column, phrases: Column): Column =
+    column(PhrasesIn(expression(text), expression(phrases)))
   def minhashSignature(shingles: Column, k: Int): Column =
     column(MinHashSignature(expression(shingles),
       org.apache.spark.sql.catalyst.expressions.Literal(k)))

@@ -1,0 +1,82 @@
+package graft.functions
+
+import graft.TestSpark.spark
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.BlocklistKernel
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+class BlocklistSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def scan(text: String, phrases: Seq[String]): Seq[String] = {
+    val arr = new GenericArrayData(
+      phrases.map(UTF8String.fromString).toArray[Any])
+    val got = BlocklistKernel.phrasesIn(UTF8String.fromString(text), arr)
+    (0 until got.numElements()).map(i => got.getUTF8String(i).toString)
+  }
+
+  test("substring semantics: phrases match inside words and across spaces") {
+    assert(scan("the table is set", Seq("able", "tab", "set", "dog"))
+      === Seq("able", "set", "tab"))
+  }
+
+  test("overlapping phrases all fire (the fail-link path)") {
+    // "scan slow fast": "scan slow" ends where "slow fast" begins mid-way
+    assert(scan("scan slow fast", Seq("scan slow", "slow fast", "low f"))
+      === Seq("low f", "scan slow", "slow fast"))
+    // phrase that is a suffix of another must fire via output links
+    assert(scan("xhersheyx", Seq("hershey", "she", "he", "hers"))
+      === Seq("he", "hers", "hershey", "she"))
+  }
+
+  test("distinct semantics: repeated hits report once; no-hit text reports empty") {
+    assert(scan("aaa aaa aaa", Seq("aaa")) === Seq("aaa"))
+    assert(scan("clean text", Seq("zzz", "qqq")) === Seq.empty)
+    assert(scan("", Seq("a")) === Seq.empty)
+  }
+
+  test("empty phrases are dropped, not match-everything") {
+    assert(scan("anything", Seq("", "thing")) === Seq("thing"))
+  }
+
+  test("automaton equals naive contains() on randomized inputs") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abc "
+    for (trial <- 1 to 200) {
+      val text = (1 to (5 + rnd.nextInt(40)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val phrases = (1 to (1 + rnd.nextInt(8))).map(_ =>
+        (1 to (1 + rnd.nextInt(4)))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+        .distinct.filter(_.nonEmpty)
+      if (phrases.nonEmpty) {
+        val naive = phrases.filter(text.contains).sorted
+        assert(scan(text, phrases) === naive,
+          s"trial $trial: text='$text' phrases=$phrases")
+      }
+    }
+  }
+
+  test("blocklistScan column op: case-insensitive, counts and flags") {
+    val df = Seq((1L, "The TABLE is here"), (2L, "nothing at all"),
+      (3L, "scan slow fast")).toDF("doc_id", "text")
+    val out = graft.ops.Quality.blocklistScan(df,
+        Seq("table", "Scan Slow", "slow fast"))
+      .select("doc_id", "blocked_phrases", "n_blocked", "blocked")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[String](1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(out(1L) === ((Seq("table"), 1, true)))
+    assert(out(2L) === ((Seq(), 0, false)))
+    assert(out(3L) === ((Seq("scan slow", "slow fast"), 2, true)))
+  }
+
+  test("the phrase list must be foldable (plan literal)") {
+    val df = Seq(("a", Seq("a"))).toDF("text", "ps")
+    val e = intercept[Exception] {
+      df.select(GraftFunctions.phrasesIn(col("text"), col("ps"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.functions
+
+import graft.TestSpark.spark
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.EntropyKernel
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+class EntropySpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def entropy(text: String): (Long, Double, Long, Double) = {
+    val r = EntropyKernel.textEntropy(UTF8String.fromString(text))
+    (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3))
+  }
+
+  test("hand-computed: uniform chars, single word") {
+    // "abab" → chars {a:2, b:2} of 4 → H = ln 2; words {abab:1} → H = 0
+    val (nc, ce, nw, we) = entropy("abab")
+    assert(nc === 4L && nw === 1L)
+    assert(math.abs(ce - math.log(2)) < 1e-12)
+    assert(we === 0.0)
+  }
+
+  test("hand-computed: skewed chars, two equiprobable words") {
+    // "aab aab" → chars {a:4, b:2, ' ':1} of 7; words {aab:2} → 0
+    val (nc, ce, nw, we) = entropy("aab aab")
+    assert(nc === 7L && nw === 2L)
+    val exp = -(4.0 / 7 * math.log(4.0 / 7) + 2.0 / 7 * math.log(2.0 / 7) +
+      1.0 / 7 * math.log(1.0 / 7))
+    assert(math.abs(ce - exp) < 1e-12)
+    assert(we === 0.0)
+    // "cat dog" → two distinct words → ln 2
+    assert(math.abs(entropy("cat dog")._4 - math.log(2)) < 1e-12)
+  }
+
+  test("empty and degenerate inputs") {
+    assert(entropy("") === ((0L, 0.0, 0L, 0.0)))
+    assert(entropy("aaaa") === ((4L, 0.0, 1L, 0.0))) // one symbol → H = 0
+    // punctuation-only: chars counted, zero words
+    val (nc, _, nw, we) = entropy("!!! ???")
+    assert(nc === 7L && nw === 0L && we === 0.0)
+  }
+
+  test("astral chars count as ONE code point; case folds into word counts") {
+    // 𝔘 = U+1D518 (2 UTF-16 chars, 1 code point)
+    val (nc, ce, _, _) = entropy("𝔘𝔘")
+    assert(nc === 2L)
+    assert(ce === 0.0) // one symbol, twice
+    // tokenization matches the Relevance chain: lower + [^a-z0-9]+
+    val (_, _, nw, we) = entropy("The THE the")
+    assert(nw === 3L && we === 0.0)
+  }
+
+  test("distributed column equals the driver kernel; null text → nulls") {
+    val df = Seq((1L, Option("abab")), (2L, Option("aab aab")),
+      (3L, Option.empty[String])).toDF("doc_id", "text")
+    val out = graft.ops.Quality.entropySignals(df)
+      .select("doc_id", "n_chars", "char_entropy", "n_words", "word_entropy")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) === 4L)
+    assert(math.abs(out(1L).getDouble(2) - math.log(2)) < 1e-12)
+    assert(out(2L).getLong(3) === 2L)
+    assert(out(3L).isNullAt(1), "null text must not be zero-filled")
+  }
+
+  test("separates prose-like from blob-like text (the screening use)") {
+    val prose = "the cat sat on the mat and the dog sat on the rug"
+    val blob = "QmFzZTY0IGJsb2JzIGhhdmUgZmxhdCBjaGFyIGRpc3RyaWJ1dGlvbnM9PQ"
+    val (_, ceP, _, _) = entropy(prose)
+    val (_, ceB, _, _) = entropy(blob)
+    assert(ceB > ceP, "random-ish blob must out-entropy prose chars")
+  }
+}

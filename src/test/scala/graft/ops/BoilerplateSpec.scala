@@ -197,4 +197,44 @@ class BoilerplateSpec extends AnyFunSuite {
       .select("doc_id", "text", "n_removed").collect().toSet
     assert(streamed === batch)
   }
+
+  test("stripCorpusParagraphs: blank-line units, line-internal matches survive") {
+    val corpus2 = Seq(
+      (1L, "shared para one\nwith two lines\n\nunique alpha"),
+      (2L, "shared para one\nwith two lines\n\nunique beta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      // the shared PARAGRAPH strips; its constituent LINE alone would
+      // not have (granularity is the unit, proven by doc 11)
+      (10L, "shared para one\nwith two lines\n\nnovel closing para"),
+      // a single line of the corpus paragraph is NOT a paragraph match
+      (11L, "shared para one\n\nnovel thought"),
+      (12L, "wholly novel\n\ncontent here")).toDF("doc_id", "text")
+    val out = Boilerplate.stripCorpusParagraphs(batch, corpus2)
+      .select("doc_id", "text", "n_removed").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(10L) === (("novel closing para", 1)))
+    assert(out(11L) === (("shared para one\n\nnovel thought", 0)),
+      "a line of a corpus paragraph is not a paragraph duplicate")
+    assert(out(12L) === (("wholly novel\n\ncontent here", 0)))
+    // line-granularity on the same data strips the shared LINES
+    val lineOut = Boilerplate.stripCorpusLines(batch, corpus2)
+      .select("doc_id", "text", "n_removed").collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(lineOut(11L) === 1, "line granularity strips the shared line")
+  }
+
+  test("stripCorpusParagraphs forced-shuffle path equals broadcast path") {
+    val corpus2 = Seq((1L, "dup para\n\nkeep a"), (2L, "dup para\n\nkeep b"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "dup para\n\nmine"), (11L, "independent\n\ntext"))
+      .toDF("doc_id", "text")
+    val cols = Seq("doc_id", "text", "n_removed")
+    val viaBroadcast = Boilerplate.stripCorpusParagraphs(batch, corpus2)
+      .select(cols.head, cols.tail: _*).collect().toSet
+    withGate(0) {
+      assert(Boilerplate.stripCorpusParagraphs(batch, corpus2)
+        .select(cols.head, cols.tail: _*).collect().toSet === viaBroadcast)
+    }
+  }
 }

@@ -436,4 +436,42 @@ class DedupSpec extends AnyFunSuite {
     // doc-internal repetition does not count: "p q p" twice in doc 4 only
     assert(out(4L) === ((3L, 0L, 0.0)))
   }
+
+  test("keepBestInClusters: max score wins, ties break to min id, singletons kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "short", 5L), (2L, "longer text", 11L), (3L, "longer ugh!", 11L),
+      (4L, "solo doc", 8L), (5L, "tiny", 4L))
+      .toDF("doc_id", "text", "quality")
+    // clusters: {1,2,3} and {5}; 4 is a singleton (absent)
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L))
+      .toDF("id", "component")
+    val out = Dedup.keepBestInClusters(docs, clusters, col("quality"))
+      .select("doc_id", "component", "keep").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(2))))
+      .toMap
+    // 2 and 3 tie on quality 11 -> min id 2 wins; 1 loses
+    assert(out(1L) === ((Some(1L), false)))
+    assert(out(2L) === ((Some(1L), true)))
+    assert(out(3L) === ((Some(1L), false)))
+    assert(out(4L) === ((None, true)), "singleton must be kept")
+    assert(out(5L) === ((Some(5L), true)), "one-member cluster keeps itself")
+  }
+
+  test("keepBestInClusters keeps exactly one member per cluster (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 60L).map(i => (i, s"doc $i", rnd.nextInt(10).toLong))
+      .toDF("doc_id", "text", "q")
+    val clusters = (1L to 45L).map(i => (i, i % 7L)).toDF("id", "component")
+    val out = Dedup.keepBestInClusters(docs, clusters, col("q"))
+    val perCluster = out.filter(col("component").isNotNull)
+      .groupBy("component")
+      .agg(sum(col("keep").cast("int")).as("kept")).collect()
+    assert(perCluster.forall(_.getLong(1) === 1L),
+      "every cluster must keep exactly one member")
+    assert(out.filter(col("component").isNull && !col("keep")).count() === 0)
+    assert(out.count() === 60L, "every input row must come back")
+  }
 }

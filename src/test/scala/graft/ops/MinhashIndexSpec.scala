@@ -103,4 +103,26 @@ class MinhashIndexSpec extends AnyFunSuite {
       .select("est_jaccard").collect().map(_.getDouble(0))
     assert(est.contains(1.0), s"identical text must estimate 1.0: ${est.toSeq}")
   }
+
+  test("optimize after appends: probe pairs identical, file count drops") {
+    val dir = freshDir("opt")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    MinhashIndex.build(spark, corpus.filter(col("doc_id") < 100), dir)
+    for (i <- 1 to 4)
+      MinhashIndex.append(spark, corpus.filter(
+        col("doc_id") >= i * 100 && col("doc_id") < (i + 1) * 100), dir)
+    val before = pairs(MinhashIndex.probe(spark, batch, dir, threshold = 0.5))
+    val preSig = Snapshots.latestId(spark, s"$dir/sigs").get
+    val filesBefore = Snapshots.selectRangeFiles(spark, s"$dir/bands", Seq())._2
+    MinhashIndex.optimize(spark, dir, clusterParts = 2)
+    assert(pairs(MinhashIndex.probe(spark, batch, dir, threshold = 0.5))
+      === before, "optimize must not change any probe pair")
+    val filesAfter = Snapshots.selectRangeFiles(spark, s"$dir/bands", Seq())._2
+    assert(filesAfter < filesBefore,
+      s"compaction must cut band files: $filesBefore -> $filesAfter")
+    // pre-optimize snapshot still time-travels
+    assert(Snapshots.read(spark, s"$dir/sigs", Some(preSig)).count()
+      === Snapshots.read(spark, s"$dir/sigs").count())
+  }
 }

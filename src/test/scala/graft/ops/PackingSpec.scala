@@ -64,4 +64,32 @@ class PackingSpec extends AnyFunSuite {
     assert(packed.filter(pmod(col("doc_id"), lit(16)) =!= col("shard"))
       .count() === 0)
   }
+
+  test("windowEfficiency: hand-computed accounting at two sizes") {
+    import spark.implicits._
+    // token counts: 3, 5, 8
+    val d = Seq((1L, 3L), (2L, 5L), (3L, 8L)).toDF("doc_id", "t")
+    val out = Packing.windowEfficiency(d, col("t"), Seq(4, 8))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val w4 = out(4)
+    assert(w4.getLong(1) === 3L)                 // n_docs
+    assert(w4.getLong(2) === 16L)                // total
+    assert(w4.getLong(3) === 3L + 4L + 4L)       // kept
+    assert(w4.getLong(4) === 0L + 1L + 4L)       // truncated
+    assert(w4.getLong(5) === 2L)                 // n_truncated
+    assert(w4.getLong(6) === 1L)                 // pad (only doc 1)
+    assert(math.abs(w4.getDouble(7) - 11.0 / 12) < 1e-6)  // fill
+    assert(math.abs(w4.getDouble(8) - 5.0 / 16) < 1e-6)   // trunc
+    val w8 = out(8)
+    assert(w8.getLong(4) === 0L && w8.getLong(6) === 5L + 3L + 0L)
+    assert(math.abs(w8.getDouble(7) - 16.0 / 24) < 1e-6)
+  }
+
+  test("windowEfficiency conserves tokens: kept + truncated = total at every size") {
+    val sweep = Packing.windowEfficiency(docs, tokens, Seq(8, 64, 512))
+    assert(sweep.filter(
+      col("kept_tokens") + col("truncated_tokens") =!= col("total_tokens"))
+      .count() === 0)
+    assert(sweep.count() === 3)
+  }
 }
