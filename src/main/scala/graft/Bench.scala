@@ -55,8 +55,11 @@ object Bench {
     "q_winnow_index_probe", "q_winnow_spans", "q_lm_kn_serve",
     "q_strip_ppl_lines", "q_decontam_report",
     // round-10 additions: the third tokenizer so the whole family is
-    // tracked round-over-round, and the persisted-KN serving path
-    "q_wordpiece_tokenize", "q_lm_kn_persist")
+    // tracked round-over-round, the persisted-KN serving path, and the
+    // new corpus-pass operators (entropy + blocklist kernels, cluster
+    // keeper, paragraph strip)
+    "q_wordpiece_tokenize", "q_lm_kn_persist", "q_entropy",
+    "q_blocklist_scan", "q_cluster_keeper", "q_strip_corpus_paragraphs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -203,6 +203,29 @@ object ExplainCheck {
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0), n = 3)
       .queryExecution.explainString(fmt))
+    println("########## op:Quality.entropySignals (one codegen'd pass, zero Exchange)")
+    println(graft.ops.Quality.entropySignals(docs)
+      .queryExecution.explainString(fmt))
+    println("########## op:Quality.blocklistScan (plan-literal automaton, zero Exchange)")
+    println(graft.ops.Quality.blocklistScan(docs,
+        Seq("able", "scan slow", "slow fast"))
+      .queryExecution.explainString(fmt))
+    println("########## op:Dedup.keepBestInClusters (id/component-keyed joins, text never shuffles)")
+    val kbClusters = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("id"), (col("doc_id") % 50).as("component"))
+    println(graft.ops.Dedup.keepBestInClusters(docs, kbClusters,
+        org.apache.spark.sql.functions.length(col("text")))
+      .queryExecution.explainString(fmt))
+    println("########## op:Boilerplate.stripCorpusParagraphs (semi-join fps + broadcast sorted index)")
+    println(graft.ops.Boilerplate.stripCorpusParagraphs(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0))
+      .queryExecution.explainString(fmt))
+    println("########## op:Packing.windowEfficiency (narrow fan-out, one tiny agg)")
+    val weToks = org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.split(col("text"), "\\s+"))
+    println(graft.ops.Packing.windowEfficiency(docs, weToks,
+        Seq(64, 128, 256)).queryExecution.explainString(fmt))
     spark.stop()
   }
 }
