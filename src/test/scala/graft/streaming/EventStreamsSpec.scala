@@ -207,6 +207,43 @@ class EventStreamsSpec extends AnyFunSuite {
       s"only ${streamed.size} of ${expected.size} docs emitted")
   }
 
+  test("streaming KN scoring serves from a PERSISTED model (saveKN/loadKN)") {
+    // the full serving lifecycle: fit once, persist, reload in a fresh
+    // scope, serve a stream — the loaded model's frames are parquet
+    // scans instead of corpus re-aggregations, same scores
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-sknp").toString
+    val modelDir = java.nio.file.Files.createTempDirectory("graft-sknm").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.mode("overwrite").parquet(stageDir)
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.ops.LangModel.saveKN(spark, graft.ops.LangModel.fitKN(
+      batchDocs.filter(pmod($"doc_id", lit(2)) === 0)), modelDir)
+    val loaded = graft.ops.LangModel.loadKN(spark, modelDir)
+    val incoming = spark.readStream.schema(batchDocs.schema)
+      .parquet(stageDir)
+      .filter(pmod($"doc_id", lit(2)) === 1)
+      .withColumn("event_time", timestamp_seconds($"doc_id" * 60))
+    val q = EventStreams.knScoreStream(incoming, loaded)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sknp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sknp")
+      .select($"doc_id", $"n_bigrams", round($"nll", 9).as("nll"))
+      .collect().map(_.toSeq).toSet
+    val expected = graft.ops.LangModel.scoreAgainstModelKN(
+        batchDocs.filter(pmod($"doc_id", lit(2)) === 1),
+        graft.ops.LangModel.fitKN(
+          batchDocs.filter(pmod($"doc_id", lit(2)) === 0)))
+      .select($"doc_id", $"n_bigrams", round($"nll", 9).as("nll"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty, "stream emitted no scores")
+    assert(streamed.subsetOf(expected),
+      "every score served from the persisted model must equal the " +
+        "in-memory batch twin")
+    assert(streamed.map(_.head).size >= expected.map(_.head).size - 50)
+  }
+
   test("streaming DSIR weights against a static ratio table match the batch twin") {
     val stageDir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
     spark.read.parquet(s"$sfDir/documents.parquet")
