@@ -2793,6 +2793,60 @@ object PipelineQueries {
         .orderBy(col("win_len"))
     },
 
+    // Per-domain percentile normalization of a quality score: the
+    // Spark side derives percent_rank from the (domain, distinct
+    // score) COUNT frame (no corpus-wide window partition — the
+    // scale path); the oracle computes the ENGINE-NATIVE
+    // percent_rank() window, so the count-class derivation is pinned
+    // against the canonical definition.
+    q("q_quality_domain_norm",
+      """WITH tk AS (SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |        t -> t <> '')) AS score FROM documents)
+        |SELECT doc_id, source, score,
+        |  round(percent_rank() OVER
+        |    (PARTITION BY source ORDER BY score), 6) AS q_pct
+        |FROM tk ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = size(filter(split(lower(col("text")),
+        graft.ops.Relevance.TokenPattern), x => x =!= ""))
+      graft.ops.Quality.domainNormalizedScore(
+          t(s, dir, "documents").withColumn("score", toks.cast("long")),
+          col("score"))
+        .select(col("doc_id"), col("source"), col("score"),
+          round(col("q_pct"), 6).as("q_pct"))
+        .orderBy(col("doc_id"))
+    },
+
+    // N-gram novelty vs a reference corpus (data-valuation signal):
+    // odd docs scored against the even half. The oracle recomputes
+    // membership by gram STRING; the Spark side goes through the
+    // window-fingerprint kernel + the size-gated semi join — equality
+    // proves the fp path exact on this corpus.
+    q("q_novelty",
+      """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS tk
+        |  FROM documents),
+        |tri AS (SELECT DISTINCT doc_id,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+        |  FROM (SELECT doc_id, tk,
+        |        unnest(generate_series(1, len(tk) - 2)) AS i FROM toks)),
+        |corp AS (SELECT DISTINCT g FROM tri WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id, g FROM tri WHERE doc_id % 2 = 1),
+        |agg AS (SELECT doc_id, count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN g IN (SELECT g FROM corp) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_seen
+        |  FROM b GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_grams, 0) AS n_grams,
+        |  coalesce(a.n_seen, 0) AS n_seen,
+        |  round(1.0 - CAST(a.n_seen AS DOUBLE) / a.n_grams, 6) AS novelty
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.noveltyScore(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0), n = 3)
+        .select(col("doc_id"), col("n_grams"), col("n_seen"), col("novelty"))
+        .orderBy(col("doc_id"))
+    },
+
     // ------------------------------------------------ dim reduction
     // Johnson–Lindenstrauss random-sign projection 64 -> 8 dims before
     // ANN indexing. The ±1 matrix derives from MD5 so DuckDB recomputes

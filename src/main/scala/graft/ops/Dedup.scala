@@ -815,6 +815,40 @@ object Dedup {
         round(col("n_repeated").cast("double") / col("n_windows"), 6))
   }
 
+  /** N-gram novelty of `incoming` against a reference corpus — the
+    * data-valuation signal (what fraction of this document's n-grams
+    * has the corpus never seen?) used to prioritize genuinely new
+    * content and down-rank paraphrase/syndication, the continuous
+    * complement of the keep/drop incremental dedup family. Per doc:
+    * `n_grams` (distinct within the doc), `n_seen` (of those, present
+    * anywhere in the corpus), `novelty` = 1 − seen/total (null when
+    * the doc has no n-gram, i.e. fewer than n tokens).
+    *
+    * Scale shape: both sides reduce to 8-byte window fingerprints
+    * inside their scans (gram TEXT never shuffles — the
+    * [[crossDocRepetition]] discipline); the corpus side collapses to
+    * its DISTINCT fp set; the membership attach is the size-gated
+    * [[Guards.joinSized]] (broadcast under the gate, shuffle equi-join
+    * above); one doc-keyed rollup ends it. */
+  def noveltyScore(incoming: DataFrame, corpus: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def gramFps(df: DataFrame, cols: Seq[org.apache.spark.sql.Column]) = df
+      .select(cols :+ explode(array_distinct(GraftFunctions
+        .windowFingerprints(split(col(textCol), "\\s+"), n))).as("_g"): _*)
+    val corpusFps = gramFps(corpus, Seq.empty).distinct()
+    val inc = gramFps(incoming, Seq(col(idCol)))
+    val totals = inc.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val seen = Guards.semiJoinSized(inc, corpusFps, Seq("_g"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_seen"))
+    val perDoc = totals.join(seen, Seq(idCol), "left")
+      .withColumn("n_seen", coalesce(col("n_seen"), lit(0L)))
+      .withColumn("novelty", round(lit(1.0) -
+        col("n_seen").cast("double") / col("n_grams"), 6))
+    incoming.join(perDoc, Seq(idCol), "left")
+      .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+      .withColumn("n_seen", coalesce(col("n_seen"), lit(0L)))
+  }
+
   /** Quality-aware cluster keeper: among each duplicate cluster, keep
     * the member maximizing `score` (ties → smallest id) instead of the
     * min-id member [[duplicateClusters]]' downstream conventionally

@@ -199,6 +199,43 @@ object Quality {
       .withColumn("blocked", col("n_blocked") > 0)
   }
 
+  /** Per-domain percentile normalization of a quality score — the
+    * debiasing step before a global quality threshold: raw quality
+    * signals (length, LM perplexity, classifier scores) are
+    * domain-biased (academic prose out-scores forums wholesale), so
+    * filtering on the raw value empties whole sources; filtering on the
+    * WITHIN-DOMAIN percentile keeps each source's best N% instead.
+    * Adds `q_pct` = exact `percent_rank()` over the domain partition
+    * ((rank−1)/(n−1); single-doc domains → 0.0).
+    *
+    * Scale shape — deliberately NOT `percent_rank().over(domain)`: a
+    * hot domain (30% of a 100 TB corpus) would sort one giant window
+    * partition. Instead ranks derive from the (domain, DISTINCT score)
+    * count frame — the cumulative window runs over count CLASSES
+    * (≪ corpus, the vocabCoverage precedent) and the result re-joins
+    * on the (domain, score) key. Exactly percent_rank's value,
+    * spec-asserted and oracle-checked against the engine-native window
+    * definition. */
+  def domainNormalizedScore(docs: DataFrame, score: Column,
+      domainCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = docs.withColumn("_s", score)
+    val counts = s.groupBy(col(domainCol), col("_s"))
+      .agg(count(lit(1)).as("_c"))
+    val less = Window.partitionBy(col(domainCol)).orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy(col(domainCol))
+    val ranked = counts
+      .withColumn("_less", coalesce(sum(col("_c")).over(less), lit(0L)))
+      .withColumn("_n", sum(col("_c")).over(whole))
+      .withColumn("q_pct",
+        when(col("_n") > 1,
+          col("_less").cast("double") / (col("_n") - lit(1L)))
+          .otherwise(lit(0.0)))
+      .select(col(domainCol), col("_s"), col("q_pct"))
+    s.join(ranked, Seq(domainCol, "_s")).drop("_s")
+  }
+
   /** Per-rule removal rates over a corpus — one aggregate row: the
     * rule-attribution audit (which rule is doing the cutting?). */
   def gopherReport(docs: DataFrame, textCol: String = "text"): DataFrame = {

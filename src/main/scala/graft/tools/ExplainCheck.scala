@@ -221,6 +221,15 @@ object ExplainCheck {
         docs.filter(col("doc_id") % 2 === 1),
         docs.filter(col("doc_id") % 2 === 0))
       .queryExecution.explainString(fmt))
+    println("########## op:Quality.domainNormalizedScore (count-class window, no corpus-wide partition sort)")
+    println(graft.ops.Quality.domainNormalizedScore(
+        docs.withColumn("score", org.apache.spark.sql.functions.length(col("text"))),
+        col("score")).queryExecution.explainString(fmt))
+    println("########## op:Dedup.noveltyScore (fp-only shuffles, size-gated semi join)")
+    println(graft.ops.Dedup.noveltyScore(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0))
+      .queryExecution.explainString(fmt))
     println("########## op:Packing.windowEfficiency (narrow fan-out, one tiny agg)")
     val weToks = org.apache.spark.sql.functions.size(
       org.apache.spark.sql.functions.split(col("text"), "\\s+"))

@@ -474,4 +474,29 @@ class DedupSpec extends AnyFunSuite {
     assert(out.filter(col("component").isNull && !col("keep")).count() === 0)
     assert(out.count() === 60L, "every input row must come back")
   }
+
+  test("noveltyScore: hand-computed fractions; gram-less docs null; shuffle path equal") {
+    import spark.implicits._
+    val corpus = Seq((2L, "a b c d")).toDF("doc_id", "text")
+    // doc 2 grams: {a b c, b c d}
+    val batch = Seq(
+      (1L, "a b c d e"),   // grams {a b c, b c d, c d e}: 2 seen -> 1/3
+      (3L, "x y z w"),     // grams {x y z, y z w}: none seen -> 1.0
+      (5L, "a b c"),       // the one gram seen -> 0.0
+      (7L, "too short"))   // < 3 tokens -> 0 grams, null novelty
+      .toDF("doc_id", "text")
+    def run() = Dedup.noveltyScore(batch, corpus, n = 3)
+      .select("doc_id", "n_grams", "n_seen", "novelty").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    val out = run()
+    assert(out(1L) === ((3L, 2L, Some(0.333333))))
+    assert(out(3L) === ((2L, 0L, Some(1.0))))
+    assert(out(5L) === ((1L, 1L, Some(0.0))))
+    assert(out(7L) === ((0L, 0L, None)))
+    // forced shuffle membership path gives the same answer
+    spark.conf.set(Guards.MaxBroadcastKeysConf, "0")
+    try assert(run() === out)
+    finally spark.conf.unset(Guards.MaxBroadcastKeysConf)
+  }
 }

@@ -144,4 +144,43 @@ class QualitySpec extends AnyFunSuite {
         "dup_gram_frac_5").collect().map(_.toSeq).toSet
     assert(a === b, "per-doc stats must not depend on partitioning")
   }
+
+  test("domainNormalizedScore equals engine-native percent_rank, incl. ties and singletons") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 20L), ("a", 4L, 40L),
+      ("b", 5L, 7L),  // singleton domain -> 0.0
+      ("c", 6L, 1L), ("c", 7L, 1L)) // all-tied domain -> all 0.0
+      .toDF("source", "doc_id", "score")
+    val got = Quality.domainNormalizedScore(docs, col("score"))
+      .select("doc_id", "q_pct").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val native = docs.withColumn("q_pct",
+        percent_rank().over(Window.partitionBy("source").orderBy("score")))
+      .select("doc_id", "q_pct").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === native, "count-class derivation must equal percent_rank")
+    assert(got(2L) === got(3L), "ties share a rank")
+    assert(got(5L) === 0.0 && got(6L) === 0.0)
+    assert(got(4L) === 1.0)
+  }
+
+  test("domainNormalizedScore randomized parity with percent_rank") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(3)
+    val docs = (1L to 300L).map(i =>
+      (s"d${rnd.nextInt(5)}", i, rnd.nextInt(20).toLong))
+      .toDF("source", "doc_id", "score")
+    val got = Quality.domainNormalizedScore(docs, col("score"))
+      .select("doc_id", "q_pct").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val native = docs.withColumn("q_pct",
+        percent_rank().over(Window.partitionBy("source").orderBy("score")))
+      .select("doc_id", "q_pct").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size === native.size &&
+      got.forall { case (k, v) => math.abs(native(k) - v) < 1e-12 })
+  }
 }
