@@ -79,4 +79,23 @@ class BlocklistSpec extends AnyFunSuite {
     }
     assert(e.getMessage.toLowerCase.contains("literal"))
   }
+
+  test("5000-phrase list: automaton equals naive and builds once (cache)") {
+    val rnd = new scala.util.Random(13)
+    val alphabet = "abcdef "
+    val phrases = (1 to 5000).map(_ =>
+      (1 to (2 + rnd.nextInt(6)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      .distinct.filter(_.trim.nonEmpty)
+    val texts = (1 to 50).map(_ => (1 to 200)
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val t0 = System.nanoTime()
+    texts.foreach { t =>
+      assert(scan(t, phrases) === phrases.filter(t.contains).sorted.distinct)
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    // 50 docs x 200 chars against 5k phrases: the automaton path is
+    // O(len) per doc — seconds would mean the naive path snuck back in
+    assert(secs < 30.0, s"5k-phrase scan took ${secs}s")
+  }
 }

@@ -440,6 +440,34 @@ class EventStreamsSpec extends AnyFunSuite {
       "stateless narrow transforms must be batch-identical on a stream")
   }
 
+  test("stateless quality kernels run unchanged on streams: entropy + blocklist") {
+    // both are pure narrow projections (plan-literal automaton, per-row
+    // entropy kernel) — the first-pass screens a streaming ingest runs
+    // before any stateful stage, so batch parity on a stream is the
+    // whole contract
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-sqk").toString
+    spark.read.parquet(s"$sfDir/documents.parquet").limit(120)
+      .write.mode("overwrite").parquet(stageDir)
+    val batchDocs = spark.read.parquet(stageDir)
+    val phrases = Seq("able", "scan slow", "zzz never")
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Quality.blocklistScan(
+        graft.ops.Quality.entropySignals(df), phrases)
+        .select($"doc_id", $"n_chars", round($"char_entropy", 9).as("ce"),
+          $"n_words", round($"word_entropy", 9).as("we"),
+          concat_ws(",", $"blocked_phrases").as("bp"), $"n_blocked")
+    val incoming = spark.readStream.schema(batchDocs.schema)
+      .parquet(stageDir)
+    val q = shape(incoming).writeStream.outputMode("append")
+      .format("memory").queryName("sqk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sqk").collect().map(_.toSeq).toSet
+    val expected = shape(batchDocs).collect().map(_.toSeq).toSet
+    assert(streamed === expected,
+      "stateless quality kernels must be batch-identical on a stream")
+  }
+
   test("bloom streaming corpus dedup matches the exact stream-static twin") {
     val stageDir = java.nio.file.Files.createTempDirectory("graft-sbd").toString
     spark.read.parquet(s"$sfDir/documents.parquet")
