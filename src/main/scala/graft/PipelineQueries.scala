@@ -2847,6 +2847,63 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Length-bucketed batch assignment (dynamic batching): global
+    // (token count, id) order from the bucketed two-pass prefix sum,
+    // cut into 32-doc batches. The oracle is the engine-native
+    // row_number() over the same total order — pins the distributed
+    // contiguous-ids derivation against the canonical definition.
+    q("q_length_batches",
+      """WITH tk AS (SELECT doc_id, len(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    t -> t <> '')) AS n_tokens FROM documents),
+        |o AS (SELECT doc_id, n_tokens,
+        |    row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS rid
+        |  FROM tk)
+        |SELECT doc_id, n_tokens, rid // 32 AS batch_id,
+        |  CAST(rid % 32 AS INT) AS batch_slot
+        |FROM o ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = size(filter(split(lower(col("text")),
+        graft.ops.Relevance.TokenPattern), x => x =!= ""))
+      graft.ops.Export.lengthBucketedBatches(
+          t(s, dir, "documents"), toks, batchSize = 32)
+        .select(col("doc_id"), col("n_tokens"), col("batch_id"),
+          col("batch_slot"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Padding accounting: length-sorted vs arrival-order batching at
+    // the same batch size — every cell integer arithmetic plus one
+    // rounded ratio, pinned bit-for-bit.
+    q("q_padding_report",
+      """WITH tk AS (SELECT doc_id, len(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    t -> t <> '')) AS n_tokens FROM documents),
+        |o AS (SELECT doc_id, n_tokens,
+        |    row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS rid
+        |  FROM tk),
+        |sb AS (SELECT rid // 32 AS batch_id, count(*) AS r,
+        |    max(n_tokens) AS m, sum(n_tokens) AS s2 FROM o GROUP BY rid // 32),
+        |srt AS (SELECT count(*) AS n_batches,
+        |    CAST(sum(r * m - s2) AS BIGINT) AS padded_sorted FROM sb),
+        |oa AS (SELECT doc_id, n_tokens,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS rid FROM tk),
+        |ab AS (SELECT rid // 32 AS batch_id, count(*) AS r,
+        |    max(n_tokens) AS m, sum(n_tokens) AS s2 FROM oa GROUP BY rid // 32),
+        |arr AS (SELECT CAST(sum(r * m - s2) AS BIGINT) AS padded_arrival
+        |        FROM ab),
+        |t AS (SELECT count(*) AS n_docs,
+        |      CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM tk)
+        |SELECT n_docs, total_tokens, n_batches, padded_sorted,
+        |  padded_arrival,
+        |  round(1.0 - CAST(padded_sorted AS DOUBLE) / padded_arrival, 6)
+        |    AS saving_ratio
+        |FROM t, srt, arr""".stripMargin) { (s, dir) =>
+      val toks = size(filter(split(lower(col("text")),
+        graft.ops.Relevance.TokenPattern), x => x =!= ""))
+      graft.ops.Export.paddingReport(t(s, dir, "documents"), toks,
+        batchSize = 32)
+    },
+
     // ------------------------------------------------ dim reduction
     // Johnson–Lindenstrauss random-sign projection 64 -> 8 dims before
     // ANN indexing. The ±1 matrix derives from MD5 so DuckDB recomputes

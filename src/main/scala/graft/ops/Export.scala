@@ -233,4 +233,70 @@ object Export {
       .select(col(idCol), col("fim"), col("cut1"), col("cut2"),
         when(col("fim"), packed).otherwise(col(textCol)).as("text"))
   }
+
+  /** Length-bucketed batch assignment — the dynamic-batching layout for
+    * inference/eval loaders: every batch pads to ITS OWN longest member,
+    * so grouping similar-length documents together is pure saved
+    * compute (arrival-order batches pay `rows·max − Σtokens` padding
+    * against a near-random max). Documents are globally ordered by
+    * (token count, id) — the id tie-break makes the order total and the
+    * assignment deterministic/re-runnable — and cut into consecutive
+    * `batchSize` groups: `batch_id`, `batch_slot`, plus `n_tokens`.
+    *
+    * The global order comes from [[Sharding.contiguousIds]]' bucketed
+    * two-pass prefix sum (no single-task corpus sort). The (tokens, id)
+    * pair packs into one long — token counts must fit 23 bits (< 8.4M)
+    * and ids 40 bits (< 1.1e12), checked per row via `raise_error`
+    * rather than silently corrupting the order. */
+  def lengthBucketedBatches(docs: DataFrame, tokens: Column,
+      batchSize: Int, idCol: String = "doc_id",
+      buckets: Int = 64): DataFrame = {
+    require(batchSize >= 1, s"batchSize=$batchSize")
+    val guarded = when(
+      col(idCol) < 0 || col(idCol) >= lit(1L << 40) ||
+        col("n_tokens") < 0 || col("n_tokens") >= lit(1 << 23),
+      raise_error(concat(lit("lengthBucketedBatches: id/token count out " +
+        "of packable range at id="), col(idCol).cast("string"))))
+      .otherwise(shiftleft(col("n_tokens").cast("long"), 40) + col(idCol))
+    Sharding.contiguousIds(
+        docs.withColumn("n_tokens", tokens.cast("long"))
+          .withColumn("_lb_ord", guarded),
+        "_lb_ord", buckets)
+      .withColumn("batch_id", expr(s"row_id div $batchSize"))
+      .withColumn("batch_slot", pmod(col("row_id"), lit(batchSize)).cast("int"))
+      .drop("_lb_ord", "row_id")
+  }
+
+  /** One-row padding accounting for [[lengthBucketedBatches]] vs
+    * arrival-order batching at the same `batchSize` — the number that
+    * justifies (or rejects) re-ordering a corpus for inference:
+    * `padded_sorted` / `padded_arrival` are Σ over batches of
+    * rows·max − Σtokens under each layout, `saving_ratio` their
+    * relative reduction. Four bounded corpus passes (two per layout —
+    * the contiguousIds class); output is ONE row. */
+  def paddingReport(docs: DataFrame, tokens: Column, batchSize: Int,
+      idCol: String = "doc_id", buckets: Int = 64): DataFrame = {
+    def padded(assigned: DataFrame): DataFrame =
+      assigned.groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("_rows"), max(col("n_tokens")).as("_max"),
+          sum(col("n_tokens")).as("_sum"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("_rows") * col("_max") - col("_sum")).as("padded"))
+    val bySorted = padded(lengthBucketedBatches(docs, tokens, batchSize,
+      idCol, buckets))
+    val byArrival = padded(
+      Sharding.contiguousIds(
+          docs.withColumn("n_tokens", tokens.cast("long")), idCol, buckets)
+        .withColumn("batch_id", expr(s"row_id div $batchSize")))
+    val totals = docs.agg(count(lit(1)).as("n_docs"),
+      sum(tokens.cast("long")).as("total_tokens"))
+    totals.crossJoin(broadcast(
+        bySorted.select(col("n_batches"), col("padded").as("padded_sorted"))))
+      .crossJoin(broadcast(
+        byArrival.select(col("padded").as("padded_arrival"))))
+      .withColumn("saving_ratio",
+        when(col("padded_arrival") > 0, round(lit(1.0) -
+          col("padded_sorted").cast("double") / col("padded_arrival"), 6))
+          .otherwise(lit(0.0)))
+  }
 }

@@ -230,6 +230,11 @@ object ExplainCheck {
         docs.filter(col("doc_id") % 2 === 1),
         docs.filter(col("doc_id") % 2 === 0))
       .queryExecution.explainString(fmt))
+    println("########## op:Export.lengthBucketedBatches (bucketed prefix-sum, no global sort)")
+    println(graft.ops.Export.lengthBucketedBatches(docs,
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), "\\s+")), 32)
+      .queryExecution.explainString(fmt))
     println("########## op:Packing.windowEfficiency (narrow fan-out, one tiny agg)")
     val weToks = org.apache.spark.sql.functions.size(
       org.apache.spark.sql.functions.split(col("text"), "\\s+"))

@@ -248,4 +248,51 @@ class ExportSpec extends AnyFunSuite {
     val applied = a.count(_.apply(1) == true).toDouble / a.size
     assert(applied > 0.35 && applied < 0.65, s"gate rate off: $applied")
   }
+
+  test("lengthBucketedBatches: total (tokens, id) order, repartition-stable") {
+    import spark.implicits._
+    val docs = Seq((1L, 5L), (2L, 3L), (3L, 5L), (4L, 1L), (5L, 2L))
+      .toDF("doc_id", "t")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Export.lengthBucketedBatches(d, col("t"), batchSize = 2, buckets = 2)
+        .select("doc_id", "batch_id", "batch_slot").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    val out = run(docs)
+    // order by (t, id): 4(1), 5(2), 2(3), 1(5), 3(5) -> batches {4,5},{2,1},{3}
+    assert(out(4L) === ((0L, 0)) && out(5L) === ((0L, 1)))
+    assert(out(2L) === ((1L, 0)) && out(1L) === ((1L, 1)))
+    assert(out(3L) === ((2L, 0)))
+    assert(run(docs.repartition(5)) === out, "assignment must be deterministic")
+  }
+
+  test("lengthBucketedBatches refuses unpackable ids instead of corrupting the order") {
+    import spark.implicits._
+    val bad = Seq((1L << 41, 5L)).toDF("doc_id", "t")
+    val e = intercept[Exception] {
+      Export.lengthBucketedBatches(bad, col("t"), 2).collect()
+    }
+    assert(e.getMessage.contains("packable") ||
+      Option(e.getCause).exists(_.getMessage.contains("packable")))
+  }
+
+  test("paddingReport: hand-computed savings; sorted layout never pads more") {
+    import spark.implicits._
+    val docs = Seq((1L, 10L), (2L, 1L), (3L, 10L), (4L, 1L)).toDF("doc_id", "t")
+    val r = Export.paddingReport(docs, col("t"), batchSize = 2, buckets = 1)
+      .collect().head
+    // arrival {1,2},{3,4}: (2*10-11)+(2*10-11)=18
+    // sorted {2,4},{1,3}: (2*1-2)+(2*10-20)=0
+    assert(r.getAs[Long]("n_docs") === 4L)
+    assert(r.getAs[Long]("total_tokens") === 22L)
+    assert(r.getAs[Long]("padded_arrival") === 18L)
+    assert(r.getAs[Long]("padded_sorted") === 0L)
+    assert(r.getAs[Double]("saving_ratio") === 1.0)
+    // property on real docs: sorted <= arrival always
+    val docs2 = spark.read.parquet(s"${graft.TestSpark.sfDir}/documents.parquet")
+    val toks = org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.split(col("text"), "\\s+"))
+    val rr = Export.paddingReport(docs2, toks, batchSize = 16).collect().head
+    assert(rr.getAs[Long]("padded_sorted") <= rr.getAs[Long]("padded_arrival"),
+      "length-sorted batching must not pad more than arrival order")
+  }
 }
