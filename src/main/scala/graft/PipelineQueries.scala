@@ -2904,6 +2904,77 @@ object PipelineQueries {
         batchSize = 32)
     },
 
+    // COMPOSED round-10 screening pipeline: entropy screen → blocklist
+    // drop → per-domain percentile threshold → novelty vs the curated
+    // half — the first-pass screening chain a crawl ingest runs before
+    // any model-based stage. One oracle recomputes all four stages in
+    // sequence, so the stage INTERACTIONS (each filter changes the
+    // population the next stage computes over — percent_rank
+    // especially) are pinned, not just the operators individually.
+    q("q_screen_pipeline",
+      """WITH base AS (SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id % 2 = 1),
+        |ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM base),
+        |cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+        |ct AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nch FROM cc
+        |       GROUP BY doc_id),
+        |ce AS (SELECT cc.doc_id,
+        |    sum(-(CAST(n AS DOUBLE)/nch) * ln(CAST(n AS DOUBLE)/nch)) AS che
+        |  FROM cc JOIN ct USING (doc_id) GROUP BY cc.doc_id),
+        |wd AS (SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    t -> t <> '')) AS w FROM base),
+        |wc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words FROM wd
+        |       GROUP BY doc_id),
+        |pass1 AS (SELECT b.doc_id, b.source, b.text,
+        |    coalesce(wc.n_words, 0) AS n_words
+        |  FROM base b
+        |  LEFT JOIN ce ON b.doc_id = ce.doc_id
+        |  LEFT JOIN wc ON b.doc_id = wc.doc_id
+        |  WHERE coalesce(ce.che, 0) >= 2.5
+        |    AND NOT (contains(lower(b.text), 'scan slow')
+        |      OR contains(lower(b.text), 'zzz never occurs'))),
+        |pr AS (SELECT doc_id, source, text, n_words,
+        |    percent_rank() OVER (PARTITION BY source ORDER BY n_words)
+        |      AS q_pct FROM pass1),
+        |surv AS (SELECT * FROM pr WHERE q_pct >= 0.25),
+        |toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS tk
+        |  FROM surv),
+        |tri AS (SELECT DISTINCT doc_id,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+        |  FROM (SELECT doc_id, tk,
+        |        unnest(generate_series(1, len(tk) - 2)) AS i FROM toks)),
+        |ctoks AS (SELECT string_split_regex(text, '\s+') AS tk
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |ctri AS (SELECT DISTINCT tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |      AS g
+        |  FROM (SELECT tk, unnest(generate_series(1, len(tk) - 2)) AS i
+        |        FROM ctoks)),
+        |agg AS (SELECT doc_id, count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN g IN (SELECT g FROM ctri) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_seen
+        |  FROM tri GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_words, round(s.q_pct, 6) AS q_pct,
+        |  round(1.0 - CAST(a.n_seen AS DOUBLE) / a.n_grams, 6) AS novelty
+        |FROM surv s LEFT JOIN agg a USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val incoming = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val s1 = graft.ops.Quality.entropySignals(incoming)
+        .filter(col("char_entropy") >= 2.5)
+      val s2 = graft.ops.Quality.blocklistScan(s1,
+          Seq("scan slow", "zzz never occurs"))
+        .filter(!col("blocked"))
+      val s3 = graft.ops.Quality.domainNormalizedScore(
+          s2.withColumn("score", col("n_words")), col("score"))
+        .filter(col("q_pct") >= 0.25)
+      Dedup.noveltyScore(s3, corpus, n = 3)
+        .select(col("doc_id"), col("n_words"),
+          round(col("q_pct"), 6).as("q_pct"), col("novelty"))
+        .orderBy(col("doc_id"))
+    },
+
     // ------------------------------------------------ dim reduction
     // Johnson–Lindenstrauss random-sign projection 64 -> 8 dims before
     // ANN indexing. The ±1 matrix derives from MD5 so DuckDB recomputes
