@@ -95,7 +95,11 @@ object Packing {
           .as("pad_tokens"))
       .withColumn("fill_ratio", round(col("kept_tokens").cast("double") /
         (col("n_docs") * col("window")), 6))
-      .withColumn("trunc_ratio", round(col("truncated_tokens").cast("double") /
-        col("total_tokens"), 6))
+      // guarded: an all-empty-doc corpus has total_tokens = 0, and the
+      // ratio must null out, not throw under a caller's ANSI session
+      .withColumn("trunc_ratio",
+        when(col("total_tokens") > 0,
+          round(col("truncated_tokens").cast("double") /
+            col("total_tokens"), 6)))
   }
 }

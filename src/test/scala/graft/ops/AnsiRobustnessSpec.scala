@@ -95,4 +95,39 @@ class AnsiRobustnessSpec extends AnyFunSuite {
         .length === 1)
     }
   }
+
+  test("round-10 operators survive ANSI + adversarial rows") {
+    withAnsi {
+      val rows = Seq((1L, "", "a"), (2L, "   ", "b"),
+        (3L, "normal text here", "a"), (4L, "\uD835\uDD18 astral", "b"))
+        .toDF("doc_id", "text", "source")
+      // entropy + blocklist: empty/whitespace/astral rows never throw
+      val e = Quality.blocklistScan(Quality.entropySignals(rows),
+        Seq("able", "never hits"))
+      assert(e.collect().length === 4)
+      // domain norm: empty-token docs score 0 and rank like any value
+      val n = Quality.domainNormalizedScore(
+        rows.withColumn("score", length(col("text"))), col("score"))
+      assert(n.collect().length === 4)
+      // novelty: gram-less docs null out instead of dividing by zero
+      val nov = Dedup.noveltyScore(rows,
+        Seq((9L, "some corpus text body")).toDF("doc_id", "text"))
+      assert(nov.collect().length === 4)
+      // window efficiency: zero-token docs pad, never divide-by-zero
+      // on total_tokens=0 corpora the ratio column may be null — must
+      // not throw
+      val weEmpty = Packing.windowEfficiency(
+        Seq((1L, "")).toDF("doc_id", "text"),
+        size(filter(split(col("text"), "\\s+"), x => x =!= "")), Seq(8))
+      assert(weEmpty.collect().length === 1)
+      // length batching on empty-ish docs
+      val lb = Export.lengthBucketedBatches(rows,
+        size(filter(split(col("text"), "\\s+"), x => x =!= "")), 2)
+      assert(lb.collect().length === 4)
+      // paragraph strip with empty text
+      assert(Boilerplate.stripCorpusParagraphs(rows,
+        Seq((9L, "corpus para")).toDF("doc_id", "text")).collect()
+        .length === 4)
+    }
+  }
 }
