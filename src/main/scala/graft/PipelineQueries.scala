@@ -2975,6 +2975,59 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Weighted exact-n WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    // 100 docs drawn with probability proportional to token count.
+    // The oracle recomputes the exponential keys -ln(md5-unit)/w and
+    // the top-100 selection from (key, weight) alone — the md5-audit
+    // property shared by the whole sampling family.
+    q("q_weighted_exact_n",
+      """WITH tk AS (SELECT doc_id, source, len(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    t -> t <> '')) AS w FROM documents),
+        |k AS (SELECT doc_id, source, w,
+        |    CASE WHEN w > 0 THEN
+        |      -ln((CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 6))
+        |        AS INTEGER) + 0.5) / 16777216.0) / w
+        |    ELSE CAST('infinity' AS DOUBLE) END AS e FROM tk)
+        |SELECT doc_id, source, w AS weight FROM
+        |  (SELECT doc_id, source, w, e FROM k ORDER BY e, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = size(filter(split(lower(col("text")),
+        graft.ops.Relevance.TokenPattern), x => x =!= ""))
+      graft.ops.Sampling.weightedExactN(
+          t(s, dir, "documents").withColumn("weight", toks.cast("long")),
+          "doc_id", col("weight"), n = 100)
+        .select(col("doc_id"), col("source"), col("weight"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Exact tie-aware ROC-AUC (Mann-Whitney with midranks): does token
+    // count separate English docs? The oracle recomputes the
+    // count-class midrank derivation; integer scores tie heavily, so
+    // the average-rank branch is exercised on every class.
+    q("q_auc_report",
+      """WITH s AS (SELECT len(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    t -> t <> '')) AS sc, lang = 'en' AS y FROM documents),
+        |c AS (SELECT sc, count(*) AS n,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np
+        |  FROM s GROUP BY sc),
+        |o AS (SELECT sc, n, np, coalesce(sum(n) OVER (ORDER BY sc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM c),
+        |t AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        |    CAST(sum(n - np) AS BIGINT) AS n_neg,
+        |    sum(np * (cb + (n + 1) / 2.0)) AS rsum FROM o)
+        |SELECT n_pos, n_neg,
+        |  round((rsum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6)
+        |    AS auc
+        |FROM t""".stripMargin) { (s, dir) =>
+      val toks = size(filter(split(lower(col("text")),
+        graft.ops.Relevance.TokenPattern), x => x =!= ""))
+      graft.ops.Classifier.aucReport(t(s, dir, "documents"),
+        toks.cast("long"), col("lang") === "en")
+    },
+
     // ------------------------------------------------ dim reduction
     // Johnson–Lindenstrauss random-sign projection 64 -> 8 dims before
     // ANN indexing. The ±1 matrix derives from MD5 so DuckDB recomputes

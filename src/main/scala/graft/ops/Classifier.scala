@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -183,5 +183,50 @@ object Classifier {
       case (acc, (c, wi)) => acc + col(c) * lit(wi)
     }
     df.withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
+  }
+
+  /** Exact ROC-AUC of a score against a boolean label — the evaluation
+    * half the trained filters ([[trainNaiveBayes]], [[trainLogistic]],
+    * the [[graft.ops.Quality]] signals) need before a threshold goes to
+    * production: AUC is the Mann–Whitney U statistic,
+    *
+    *   AUC = (Σ_{positives} avgrank − n₊(n₊+1)/2) / (n₊ · n₋)
+    *
+    * with AVERAGE ranks over tied scores (the sklearn/standard
+    * convention — integer-valued scores tie heavily, and midrank is
+    * what makes the estimate unbiased under ties). One row out:
+    * (n_pos, n_neg, auc).
+    *
+    * Scale shape — no corpus-wide rank window: ranks derive from the
+    * DISTINCT-score count frame exactly as in
+    * [[Quality.domainNormalizedScore]] (cumulative window over count
+    * classes, ≪ corpus; avgrank of a class = rows-before + (n+1)/2),
+    * then one global fold of class-level sums. CAVEAT: the class frame
+    * is small only when scores actually tie — integer/rounded scores
+    * do; a CONTINUOUS score makes every row its own class and the
+    * class window corpus-sized. Round or bucket continuous scores
+    * first (`round(score, 6)` changes AUC by at most the mass within
+    * 1e-6 score bands). Degenerate inputs (no positives or no
+    * negatives) yield a null AUC, not a division error. */
+  def aucReport(df: DataFrame, score: Column, label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val classes = df.select(score.as("_s"),
+        label.cast("boolean").as("_y"))
+      .groupBy(col("_s"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_y").cast("long")).as("_np"))
+    val before = Window.orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    classes
+      .withColumn("_cb", coalesce(sum(col("_n")).over(before), lit(0L)))
+      .agg(sum(col("_np")).as("n_pos"),
+        sum(col("_n") - col("_np")).as("n_neg"),
+        sum(col("_np") * (col("_cb") + (col("_n") + lit(1L)) / lit(2.0)))
+          .as("_rsum"))
+      .withColumn("auc",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("_rsum") - col("n_pos") * (col("n_pos") + 1) / lit(2.0))
+            / (col("n_pos") * col("n_neg")), 6)))
+      .drop("_rsum")
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation sampling for training-data pipelines.
@@ -68,6 +68,39 @@ object Sampling {
   def byKeyMd5(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction=$fraction")
     df.filter(md5Unit(col(keyCol)) < lit(fraction))
+  }
+
+  /** Weighted EXACT-n sample WITHOUT replacement (Efraimidis & Spirakis
+    * 2006, algorithm A-ES): each row draws its uniform from the md5 of
+    * its key and competes with exponential key e = −ln(u)/w; the n
+    * SMALLEST e win — exactly the distribution of n sequential weighted
+    * draws without replacement. Completes the sampling family's
+    * missing corner: [[exactN]] is exact-n but uniform,
+    * [[weightedByStratum]]/[[temperatureMix]] are weighted but
+    * fraction-based (no exact count, per-row independence).
+    * Deterministic and cross-engine recomputable from (key, weight)
+    * alone — the md5-audit property every sampler here shares. Rows
+    * with non-positive weight get e = +∞: never selected while any
+    * positive-weight row remains, rather than an error (a zero-weight
+    * row is a "don't pick me", not corrupt input).
+    *
+    * The uniform is (bits24 + 0.5) / 2²⁴ ∈ (0, 1): never exactly 0
+    * (−ln(0)/w = −∞ would make that row win every draw) and never 1.
+    *
+    * Scale shape: `orderBy(e).limit(n)` plans TakeOrderedAndProject
+    * (the [[exactN]] shape — bounded n-entry heaps, partial top-n,
+    * never a global sort); the key evaluates narrow inside the scan. */
+  def weightedExactN(df: DataFrame, keyCol: String, weight: Column,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n=$n")
+    val u = (conv(substring(md5(col(keyCol).cast("string").cast("binary")),
+      1, 6), 16, 10).cast("double") + lit(0.5)) / lit((1 << 24).toDouble)
+    val w = weight.cast("double")
+    df.withColumn("_aes",
+        when(w > 0, -log(u) / w).otherwise(lit(Double.PositiveInfinity)))
+      .orderBy(col("_aes").asc, col(keyCol).asc)
+      .limit(n)
+      .drop("_aes")
   }
 
   /** Keep each row with probability `fractions(stratum)` (absent strata

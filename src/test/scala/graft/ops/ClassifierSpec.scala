@@ -150,4 +150,44 @@ class ClassifierSpec extends AnyFunSuite {
         .otherwise(0.0))).head().getDouble(0)
     assert(acc >= 0.85, s"separable quality label should be learned: $acc")
   }
+
+  test("aucReport: hand-computed midrank AUC with heavy ties") {
+    import spark.implicits._
+    // scores: pos {3, 2}, neg {2, 1}; pooled ranks: 1->1, 2s->2.5, 3->4
+    // U = (4 + 2.5) - 2*3/2 = 3.5; AUC = 3.5 / (2*2) = 0.875
+    val df = Seq((3L, true), (2L, true), (2L, false), (1L, false))
+      .toDF("s", "y")
+    val r = Classifier.aucReport(df, col("s"), col("y")).collect().head
+    assert(r.getAs[Long]("n_pos") === 2L && r.getAs[Long]("n_neg") === 2L)
+    assert(r.getAs[Double]("auc") === 0.875)
+    // perfect separation -> 1.0; inverted -> 0.0; all-tied -> 0.5
+    def auc(rows: Seq[(Long, Boolean)]): Double =
+      Classifier.aucReport(rows.toDF("s", "y"), col("s"), col("y"))
+        .collect().head.getAs[Double]("auc")
+    assert(auc(Seq((5L, true), (4L, true), (2L, false))) === 1.0)
+    assert(auc(Seq((1L, true), (9L, false))) === 0.0)
+    assert(auc(Seq((7L, true), (7L, false), (7L, true), (7L, false))) === 0.5)
+  }
+
+  test("aucReport degenerate inputs: single-class data yields null, not an error") {
+    import spark.implicits._
+    val onlyPos = Seq((1L, true), (2L, true)).toDF("s", "y")
+    val r = Classifier.aucReport(onlyPos, col("s"), col("y")).collect().head
+    assert(r.getAs[Long]("n_neg") === 0L)
+    assert(r.isNullAt(r.fieldIndex("auc")))
+  }
+
+  test("aucReport equals a brute-force pair count on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val data = (1 to 300).map(_ => (rnd.nextInt(12).toLong, rnd.nextBoolean()))
+    val r = Classifier.aucReport(data.toDF("s", "y"), col("s"), col("y"))
+      .collect().head
+    val pos = data.filter(_._2).map(_._1)
+    val neg = data.filterNot(_._2).map(_._1)
+    val brute = pos.map(p => neg.map(q =>
+      if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum).sum /
+      (pos.size.toDouble * neg.size)
+    assert(math.abs(r.getAs[Double]("auc") - brute) < 1e-6)
+  }
 }

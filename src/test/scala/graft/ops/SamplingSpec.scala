@@ -373,4 +373,36 @@ class SamplingSpec extends AnyFunSuite {
       .toSet -- clustered
     assert(unclustered.subsetOf(kept))
   }
+
+  test("weightedExactN: exact size, deterministic, weight-monotone inclusion") {
+    import spark.implicits._
+    // two weight classes, 200 rows each; heavy rows weigh 9x
+    val rows = (1L to 400L).map(i => (i, if (i <= 200) 9L else 1L))
+      .toDF("doc_id", "w")
+    val got = Sampling.weightedExactN(rows, "doc_id", col("w"), 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.size === 100, "exactly n rows")
+    val heavy = got.count(_ <= 200)
+    // E[heavy] ~ 85-90 of 100 under 9:1 odds; 60 is >5 sigma below
+    assert(heavy > 60, s"9x-weighted rows must dominate, got $heavy/100")
+    // determinism under repartition
+    val again = Sampling.weightedExactN(rows.repartition(7), "doc_id",
+      col("w"), 100).collect().map(_.getLong(0)).toSet
+    assert(again === got)
+    // zero-weight rows are never selected while positive rows remain
+    val withZero = (1L to 50L).map(i => (i, if (i <= 10) 0L else 1L))
+      .toDF("doc_id", "w")
+    val z = Sampling.weightedExactN(withZero, "doc_id", col("w"), 40)
+      .collect().map(_.getLong(0)).toSet
+    assert(z.forall(_ > 10), "zero-weight rows must lose to positive ones")
+    assert(z.size === 40)
+  }
+
+  test("weightedExactN plans TakeOrderedAndProject, not a global sort") {
+    import spark.implicits._
+    val rows = (1L to 100L).map(i => (i, i % 7 + 1)).toDF("doc_id", "w")
+    val plan = Sampling.weightedExactN(rows, "doc_id", col("w"), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
