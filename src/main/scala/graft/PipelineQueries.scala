@@ -3028,6 +3028,97 @@ object PipelineQueries {
         toks.cast("long"), col("lang") === "en")
     },
 
+    // Calibration (reliability diagram) of a fixed logistic quality
+    // score sigma(0.05*tokens - 1.5) against the lang='en' label: per
+    // decile bin, count + mean predicted probability + empirical rate.
+    // The oracle recomputes the sigmoid, binning (p=1.0 clamps into
+    // the top bin), and both averages.
+    q("q_calibration",
+      """WITH tk AS (SELECT doc_id, lang, len(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    t -> t <> '')) AS t FROM documents),
+        |p AS (SELECT 1.0 / (1.0 + exp(-(0.05 * t - 1.5))) AS p,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM tk)
+        |SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
+        |  count(*) AS n, round(avg(p), 6) AS mean_pred,
+        |  round(avg(CAST(y AS DOUBLE)), 6) AS frac_pos
+        |FROM p GROUP BY 1 ORDER BY bin""".stripMargin) { (s, dir) =>
+      val toks = size(filter(split(lower(col("text")),
+        graft.ops.Relevance.TokenPattern), x => x =!= ""))
+      val scored = graft.ops.Classifier.scoreLogistic(
+        t(s, dir, "documents").withColumn("x", toks.cast("double")),
+        graft.ops.Classifier.LrModel(Array(0.05), -1.5), Seq("x"))
+      graft.ops.Classifier.calibrationReport(scored, col("score"),
+          col("lang") === "en", bins = 10)
+        .orderBy(col("bin"))
+    },
+
+    // Proper scoring rules of the same fixed logistic score: Brier and
+    // clipped log-loss, one row, every term recomputed double-for-
+    // double by the oracle.
+    q("q_score_metrics",
+      """WITH tk AS (SELECT lang, len(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    t -> t <> '')) AS t FROM documents),
+        |p AS (SELECT 1.0 / (1.0 + exp(-(0.05 * t - 1.5))) AS p,
+        |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y
+        |  FROM tk),
+        |c AS (SELECT p, least(greatest(p, 1e-15), 1 - 1e-15) AS pc, y FROM p)
+        |SELECT count(*) AS n,
+        |  round(avg(pow(p - y, 2)), 6) AS brier,
+        |  round(avg(-(y * ln(pc) + (1 - y) * ln(1 - pc))), 6) AS log_loss
+        |FROM c""".stripMargin) { (s, dir) =>
+      val toks = size(filter(split(lower(col("text")),
+        graft.ops.Relevance.TokenPattern), x => x =!= ""))
+      val scored = graft.ops.Classifier.scoreLogistic(
+        t(s, dir, "documents").withColumn("x", toks.cast("double")),
+        graft.ops.Classifier.LrModel(Array(0.05), -1.5), Seq("x"))
+      graft.ops.Classifier.scoreMetrics(scored, col("score"),
+        col("lang") === "en")
+    },
+
+    // Flesch / Flesch-Kincaid readability with the vowel-group
+    // syllable heuristic. The formulas over common denominator S*W are
+    // certified as EXACT INTEGER numerators (x1000 resp. x100 scale) —
+    // rounded doubles sit on half-way boundaries that the two engines
+    // round apart (found at sf0.1: 5/5000 docs differed in the 4th
+    // decimal); the operator's real double columns are spec-tested
+    // against these same numerators instead.
+    q("q_readability",
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS ws,
+        |    len(list_filter(string_split_regex(text, '[.!?]+'),
+        |      s -> trim(s) <> '')) AS ns FROM documents),
+        |sy AS (SELECT doc_id, len(ws) AS nw, ns,
+        |    CAST(coalesce(list_sum(list_transform(ws, x ->
+        |      greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))), 0)
+        |      AS BIGINT) AS ny
+        |  FROM w)
+        |SELECT doc_id, nw AS n_words, CAST(ns AS BIGINT) AS n_sentences,
+        |  ny AS n_syllables,
+        |  CASE WHEN nw > 0 AND ns > 0 THEN
+        |    206835 * ns * nw - 1015 * nw * nw - 84600 * ny * ns END
+        |    AS flesch_num1000,
+        |  CASE WHEN nw > 0 AND ns > 0 THEN
+        |    39 * nw * nw + 1180 * ny * ns - 1559 * ns * nw END
+        |    AS fk_num100
+        |FROM sy ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val r = graft.ops.Quality.readability(t(s, dir, "documents"))
+      val ok = col("n_words") > 0 && col("n_sentences") > 0
+      r.select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"),
+          when(ok, lit(206835L) * col("n_sentences") * col("n_words") -
+            lit(1015L) * col("n_words") * col("n_words") -
+            lit(84600L) * col("n_syllables") * col("n_sentences"))
+            .as("flesch_num1000"),
+          when(ok, lit(39L) * col("n_words") * col("n_words") +
+            lit(1180L) * col("n_syllables") * col("n_sentences") -
+            lit(1559L) * col("n_sentences") * col("n_words"))
+            .as("fk_num100"))
+        .orderBy(col("doc_id"))
+    },
+
     // ------------------------------------------------ dim reduction
     // Johnson–Lindenstrauss random-sign projection 64 -> 8 dims before
     // ANN indexing. The ±1 matrix derives from MD5 so DuckDB recomputes

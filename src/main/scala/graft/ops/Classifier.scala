@@ -208,6 +208,43 @@ object Classifier {
     * first (`round(score, 6)` changes AUC by at most the mass within
     * 1e-6 score bands). Degenerate inputs (no positives or no
     * negatives) yield a null AUC, not a division error. */
+  /** Binned calibration (reliability-diagram) report for a
+    * probability-valued score: per bin `floor(p·bins)` (p = 1.0
+    * clamped into the top bin), the doc count, mean predicted
+    * probability and empirical positive rate — the table that says
+    * whether a quality filter's 0.9 means 90%. One groupBy on the bin
+    * key; output is ≤ `bins` rows. */
+  def calibrationReport(df: DataFrame, score: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins=$bins")
+    val p = score.cast("double")
+    val bin = least(floor(p * bins).cast("int"), lit(bins - 1))
+    df.select(bin.as("bin"), p.as("_p"),
+        label.cast("boolean").cast("int").as("_y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("_p")), 6).as("mean_pred"),
+        round(avg(col("_y")), 6).as("frac_pos"))
+  }
+
+  /** Proper-scoring-rule metrics of a probability score against a
+    * boolean label, one row: Brier score (mean squared error of the
+    * probability) and log-loss (mean negative log-likelihood, the
+    * probability floored/capped at `eps` so a confident-and-wrong 0/1
+    * prediction scores −ln(eps) instead of ∞ — the sklearn clip
+    * convention). One aggregate pass, no shuffle beyond the one-row
+    * fold. */
+  def scoreMetrics(df: DataFrame, score: Column, label: Column,
+      eps: Double = 1e-15): DataFrame = {
+    val p0 = score.cast("double")
+    val p = least(greatest(p0, lit(eps)), lit(1.0 - eps))
+    val y = label.cast("boolean").cast("int").cast("double")
+    df.agg(count(lit(1)).as("n"),
+      round(avg(pow(p0 - y, 2.0)), 6).as("brier"),
+      round(avg(-(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p))), 6)
+        .as("log_loss"))
+  }
+
   def aucReport(df: DataFrame, score: Column, label: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val classes = df.select(score.as("_s"),

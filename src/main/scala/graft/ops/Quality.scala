@@ -199,6 +199,42 @@ object Quality {
       .withColumn("blocked", col("n_blocked") > 0)
   }
 
+  /** Flesch reading-ease and Flesch–Kincaid grade — the classic
+    * readability pair some curation stacks use as a cheap fluency
+    * band-pass (too-low = legalese/machine text, suspiciously-high =
+    * fragment lists). Definitions the oracle recomputes exactly:
+    * words = whitespace split, non-empty; sentences = `[.!?]+` split
+    * with non-blank trimmed content; syllables per word = vowel-group
+    * count (`[aeiouy]+` runs in the lowered word) floored at 1 — the
+    * standard dictionary-free heuristic. Metrics are null when a doc
+    * has no word or no sentence (not a division error):
+    *   flesch = 206.835 − 1.015·W/S − 84.6·Y/W
+    *   fk_grade = 0.39·W/S + 11.8·Y/W − 15.59
+    * Pure narrow projection (split + HOF fold per row), zero shuffle. */
+  def readability(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = filter(split(lower(col(textCol)), "\\s+"), w => w =!= "")
+    val sentences = filter(split(col(textCol), "[.!?]+"),
+      s => trim(s) =!= "")
+    val syl = aggregate(
+      transform(words, w => greatest(lit(1),
+        size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0)))).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    docs
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("n_sentences", size(sentences).cast("long"))
+      .withColumn("n_syllables", syl)
+      .withColumn("flesch",
+        when(col("n_words") > 0 && col("n_sentences") > 0,
+          round(lit(206.835) -
+            lit(1.015) * col("n_words") / col("n_sentences") -
+            lit(84.6) * col("n_syllables") / col("n_words"), 4)))
+      .withColumn("fk_grade",
+        when(col("n_words") > 0 && col("n_sentences") > 0,
+          round(lit(0.39) * col("n_words") / col("n_sentences") +
+            lit(11.8) * col("n_syllables") / col("n_words") -
+            lit(15.59), 4)))
+  }
+
   /** Per-domain percentile normalization of a quality score — the
     * debiasing step before a global quality threshold: raw quality
     * signals (length, LM perplexity, classifier scores) are

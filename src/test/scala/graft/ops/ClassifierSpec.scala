@@ -190,4 +190,32 @@ class ClassifierSpec extends AnyFunSuite {
       (pos.size.toDouble * neg.size)
     assert(math.abs(r.getAs[Double]("auc") - brute) < 1e-6)
   }
+
+  test("calibrationReport: hand-computed bins, p=1.0 clamps into the top bin") {
+    import spark.implicits._
+    val df = Seq((0.05, false), (0.08, true), (0.95, true), (1.0, true),
+      (0.52, false), (0.58, true)).toDF("p", "y")
+    val out = Classifier.calibrationReport(df, col("p"), col("y"), bins = 10)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(0) === ((2L, 0.065, 0.5)))
+    assert(out(5) === ((2L, 0.55, 0.5)))
+    assert(out(9) === ((2L, 0.975, 1.0)), "p=1.0 must land in bin 9, not 10")
+    assert(out.size === 3)
+  }
+
+  test("scoreMetrics: hand-computed Brier and clipped log-loss") {
+    import spark.implicits._
+    val df = Seq((0.8, true), (0.4, false)).toDF("p", "y")
+    val r = Classifier.scoreMetrics(df, col("p"), col("y")).collect().head
+    // brier = ((0.8-1)^2 + (0.4-0)^2)/2 = (0.04+0.16)/2 = 0.1
+    assert(r.getAs[Double]("brier") === 0.1)
+    val ll = -(math.log(0.8) + math.log(0.6)) / 2
+    assert(math.abs(r.getAs[Double]("log_loss") - ll) < 1e-6)
+    // confident-and-wrong clips to -ln(eps), never infinity
+    val wrong = Seq((1.0, false)).toDF("p", "y")
+    val r2 = Classifier.scoreMetrics(wrong, col("p"), col("y")).collect().head
+    assert(r2.getAs[Double]("log_loss") < 40.0 &&
+      r2.getAs[Double]("log_loss") > 30.0, "eps clip, not infinity")
+  }
 }

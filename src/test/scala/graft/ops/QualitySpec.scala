@@ -183,4 +183,41 @@ class QualitySpec extends AnyFunSuite {
     assert(got.size === native.size &&
       got.forall { case (k, v) => math.abs(native(k) - v) < 1e-12 })
   }
+
+  test("readability: hand-computed counts and formulas; degenerate docs null") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"),   // 6 words, 2 sentences
+      (2L, ""),                             // no words, no sentences
+      (3L, "bcd fgh"))                      // vowel-less words floor at 1
+      .toDF("doc_id", "text")
+    val out = Quality.readability(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_words") === 6L)
+    assert(r1.getAs[Long]("n_sentences") === 2L)
+    // the/cat/sat/the/dog/ran -> 1 vowel group each (punct attached ok)
+    assert(r1.getAs[Long]("n_syllables") === 6L)
+    val flesch = 206.835 - 1.015 * 6 / 2.0 - 84.6 * 6 / 6.0
+    assert(math.abs(r1.getAs[Double]("flesch") - flesch) < 1e-3)
+    val fk = 0.39 * 6 / 2.0 + 11.8 * 6 / 6.0 - 15.59
+    assert(math.abs(r1.getAs[Double]("fk_grade") - fk) < 1e-3)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("flesch")))
+    assert(out(3L).getAs[Long]("n_syllables") === 2L,
+      "vowel-less words must floor at one syllable")
+  }
+
+  test("readability doubles agree with the exact integer numerators (oracle bridge)") {
+    val docs = spark.read
+      .parquet(s"${graft.TestSpark.sfDir}/documents.parquet").limit(200)
+    val r = Quality.readability(docs)
+      .filter(col("n_words") > 0 && col("n_sentences") > 0)
+    val bad = r.filter(
+      abs(col("flesch") - (lit(206835L) * col("n_sentences") * col("n_words")
+        - lit(1015L) * col("n_words") * col("n_words")
+        - lit(84600L) * col("n_syllables") * col("n_sentences"))
+        .cast("double") / (lit(1000.0) * col("n_sentences") * col("n_words")))
+        > 0.0001).count()
+    assert(bad === 0L, "rounded doubles must track the exact rationals")
+  }
 }
