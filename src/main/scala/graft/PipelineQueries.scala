@@ -3119,6 +3119,54 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // PMI collocations (Church & Hanks 1990): adjacent pairs with
+    // count >= 5 scored ln(c_ab*N/(c_a*c_b)) over the one bigram
+    // wordcount. Oracle recomputes every count and the ratio.
+    q("q_collocations",
+      """WITH d AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    t -> t <> '') AS toks FROM documents),
+        |bg AS (SELECT toks[pos] AS prev, toks[pos+1] AS cur
+        |  FROM d, unnest(generate_series(1, len(toks)-1)) AS t(pos)),
+        |c2 AS (SELECT prev, cur, count(*) AS n_pair FROM bg
+        |       GROUP BY prev, cur),
+        |nn AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n FROM c2),
+        |ca AS (SELECT prev, CAST(sum(n_pair) AS BIGINT) AS c_a FROM c2
+        |       GROUP BY prev),
+        |cb AS (SELECT cur, CAST(sum(n_pair) AS BIGINT) AS c_b FROM c2
+        |       GROUP BY cur)
+        |SELECT c2.prev, c2.cur, c2.n_pair,
+        |  round(ln(CAST(c2.n_pair AS DOUBLE) * n / (c_a * c_b)), 6) AS pmi
+        |FROM c2 JOIN ca USING (prev) JOIN cb USING (cur) CROSS JOIN nn
+        |WHERE n_pair >= 5 ORDER BY prev, cur""".stripMargin) { (s, dir) =>
+      graft.ops.Relevance.collocations(t(s, dir, "documents"), minCount = 5)
+        .orderBy(col("prev"), col("cur"))
+    },
+
+    // Zipf rank-frequency fit: least-squares slope of ln(freq) on
+    // ln(rank) over the corpus vocabulary (min freq 2) — natural text
+    // slopes near -1. Oracle recomputes the ranked log-log regression.
+    q("q_zipf",
+      """WITH tk AS (SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    t -> t <> '')) AS token FROM documents),
+        |f AS (SELECT token, count(*) AS freq FROM tk GROUP BY token
+        |      HAVING count(*) >= 2),
+        |r AS (SELECT ln(CAST(row_number() OVER
+        |      (ORDER BY freq DESC, token ASC) AS DOUBLE)) AS x,
+        |    ln(CAST(freq AS DOUBLE)) AS y FROM f),
+        |a AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_types,
+        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+        |  round((sy - sx*((n*sxy - sx*sy) / (n*sxx - sx*sx))) / n, 6)
+        |    AS intercept,
+        |  round(pow(n*sxy - sx*sy, 2) /
+        |    ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+        |FROM a""".stripMargin) { (s, dir) =>
+      graft.ops.Relevance.zipfFit(t(s, dir, "documents"), minCount = 2)
+    },
+
     // ------------------------------------------------ dim reduction
     // Johnson–Lindenstrauss random-sign projection 64 -> 8 dims before
     // ANN indexing. The ±1 matrix derives from MD5 so DuckDB recomputes

@@ -169,4 +169,82 @@ object Relevance {
         ((col("freq_before") + kWithin * col("cnt")).cast("double") /
           col("total")).as("coverage"))
   }
+
+  /** PMI collocations — adjacent word pairs that co-occur far more than
+    * chance (Church & Hanks 1990), the phrase-mining signal used to
+    * seed tokenizer vocabularies and spot templated/spam text (a
+    * natural corpus's top collocations are idioms; a spun corpus's are
+    * its template seams):
+    *
+    *   pmi(a, b) = ln( c(a,b) · N / (c(a)·c(b)) )
+    *
+    * over bigram count c(a,b), unigram counts c(·), and N = total
+    * bigram occurrences (the standard adjacent-pair estimator).
+    * `minCount` floors c(a,b) — PMI is notoriously noisy on rare pairs.
+    *
+    * Scale: the same one (prev,cur) wordcount [[LangModel.fitKN]]
+    * derives everything from — unigram counts re-aggregate the TYPE
+    * frame, never a second corpus pass; the unigram attaches are
+    * token-keyed joins (vocab never broadcast). */
+  def collocations(docs: DataFrame, minCount: Long = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bg = LangModel.bigramsWith(docs, idCol, textCol, Seq.empty)
+    val c2 = bg.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("n_pair"))
+    val n = c2.agg(sum(col("n_pair")).as("_n"))
+    val ca = c2.groupBy(col("prev")).agg(sum(col("n_pair")).as("_ca"))
+    val cb = c2.groupBy(col("cur")).agg(sum(col("n_pair")).as("_cb"))
+    c2.filter(col("n_pair") >= minCount)
+      .join(ca, Seq("prev")).join(cb, Seq("cur"))
+      .crossJoin(broadcast(n))
+      .select(col("prev"), col("cur"), col("n_pair"),
+        round(log(col("n_pair").cast("double") * col("_n") /
+          (col("_ca") * col("_cb"))), 6).as("pmi"))
+  }
+
+  /** Zipf rank-frequency fit — the least-squares slope of
+    * ln(freq) on ln(rank) over the corpus vocabulary, with r². Natural
+    * text slopes ≈ −1 (Zipf 1949); generated/templated corpora bend
+    * the curve, making the slope a cheap corpus-level authenticity
+    * signal next to the per-doc entropy screen. Rank is 1-based by
+    * (freq desc, token asc) — a total deterministic order.
+    *
+    * Scale: one wordcount, then ALL work happens on the vocabulary
+    * frame (≪ corpus). The rank window is a single partition over that
+    * vocab frame — the [[vocabCoverage]] class, documented bound, not
+    * a corpus sort. One-row output. */
+  def zipfFit(docs: DataFrame, minCount: Long = 1,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = tokens(docs, idCol, textCol)
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minCount)
+    val ranked = freq.withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("token").asc)))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"))
+    ranked.agg(count(lit(1)).as("n_types"),
+        sum(col("x")).as("_sx"), sum(col("y")).as("_sy"),
+        sum(col("x") * col("x")).as("_sxx"),
+        sum(col("y") * col("y")).as("_syy"),
+        sum(col("x") * col("y")).as("_sxy"))
+      // guards: _dx = 0 on a 0/1-type vocabulary (no x spread), _dy = 0
+      // on an all-equal-frequency vocabulary — both null the fit
+      // instead of dividing by zero under a caller's ANSI session
+      .withColumn("_dx",
+        col("n_types") * col("_sxx") - col("_sx") * col("_sx"))
+      .withColumn("_dy",
+        col("n_types") * col("_syy") - col("_sy") * col("_sy"))
+      .withColumn("_num",
+        col("n_types") * col("_sxy") - col("_sx") * col("_sy"))
+      .withColumn("slope",
+        when(col("_dx") > 0, round(col("_num") / col("_dx"), 6)))
+      .withColumn("intercept",
+        when(col("_dx") > 0, round((col("_sy") -
+          col("_sx") * (col("_num") / col("_dx"))) / col("n_types"), 6)))
+      .withColumn("r2",
+        when(col("_dx") > 0 && col("_dy") > 0,
+          round(pow(col("_num"), 2.0) / (col("_dx") * col("_dy")), 6)))
+      .select("n_types", "slope", "intercept", "r2")
+  }
 }

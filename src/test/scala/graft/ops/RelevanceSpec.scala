@@ -94,4 +94,42 @@ class RelevanceSpec extends AnyFunSuite {
     assert(got(1L)._2 > whole(1L),
       "passage-level scoring must beat whole-doc dilution for a concentrated hit")
   }
+
+  test("collocations: hand-computed PMI on a planted idiom") {
+    import spark.implicits._
+    // "fire truck" always adjacent; "red" pairs freely
+    val docs = Seq(
+      (1L, "fire truck red car"), (2L, "fire truck red bus"),
+      (3L, "fire truck red van"), (4L, "fire truck red cab"),
+      (5L, "fire truck red jet")).toDF("doc_id", "text")
+    val out = Relevance.collocations(docs, minCount = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // bigrams per doc: (fire,truck),(truck,red),(red,X) -> N = 15
+    // c(fire,truck)=5, c_a(fire)=5, c_b(truck)=5 -> pmi = ln(5*15/25)
+    assert(out(("fire", "truck"))._1 === 5L)
+    assert(math.abs(out(("fire", "truck"))._2 - math.log(3.0)) < 1e-6)
+    assert(out.contains(("truck", "red")) && out.size === 2,
+      "rare (red, X) pairs must be floored out by minCount")
+  }
+
+  test("zipfFit: exact fit on a constructed power law; degenerate vocab nulls") {
+    import spark.implicits._
+    // freq_r = 60/r is integral for every dense rank r = 1..6, so the
+    // log-log points are EXACTLY collinear with slope -1
+    val freqs = Seq(60, 30, 20, 15, 12, 10).zipWithIndex
+    val text = freqs.map { case (f, i) => (s"w$i " * f).trim }.mkString(" ")
+    val r = Relevance.zipfFit(Seq((1L, text)).toDF("doc_id", "text"),
+      minCount = 1).collect().head
+    assert(r.getAs[Long]("n_types") === 6L)
+    assert(math.abs(r.getAs[Double]("slope") - (-1.0)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("intercept") - math.log(60.0)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-6)
+    // degenerate: single-type vocab -> null fit, not a division error
+    val d = Relevance.zipfFit(Seq((1L, "only only only")).toDF("doc_id", "text"))
+      .collect().head
+    assert(d.getAs[Long]("n_types") === 1L)
+    assert(d.isNullAt(d.fieldIndex("slope")))
+    assert(d.isNullAt(d.fieldIndex("r2")))
+  }
 }
