@@ -235,6 +235,24 @@ object ExplainCheck {
         org.apache.spark.sql.functions.size(
           org.apache.spark.sql.functions.split(col("text"), "\\s+")), 32)
       .queryExecution.explainString(fmt))
+    println("########## op:Sampling.weightedExactN (TakeOrderedAndProject, narrow A-ES key)")
+    println(graft.ops.Sampling.weightedExactN(docs, "doc_id",
+        org.apache.spark.sql.functions.length(col("text")), 50)
+      .queryExecution.explainString(fmt))
+    println("########## op:Classifier.aucReport (count-class midranks, no corpus rank window)")
+    println(graft.ops.Classifier.aucReport(docs,
+        org.apache.spark.sql.functions.length(col("text")),
+        col("lang") === "en")
+      .queryExecution.explainString(fmt))
+    println("########## op:Relevance.collocations (one bigram wordcount, type-frame re-aggs)")
+    println(graft.ops.Relevance.collocations(docs, minCount = 5)
+      .queryExecution.explainString(fmt))
+    println("########## op:Relevance.zipfFit (vocab-frame window, one-row fold)")
+    println(graft.ops.Relevance.zipfFit(docs, minCount = 2)
+      .queryExecution.explainString(fmt))
+    println("########## op:Quality.readability (pure narrow projection)")
+    println(graft.ops.Quality.readability(docs)
+      .queryExecution.explainString(fmt))
     println("########## op:Packing.windowEfficiency (narrow fan-out, one tiny agg)")
     val weToks = org.apache.spark.sql.functions.size(
       org.apache.spark.sql.functions.split(col("text"), "\\s+"))
