@@ -3167,6 +3167,85 @@ object PipelineQueries {
       graft.ops.Relevance.zipfFit(t(s, dir, "documents"), minCount = 2)
     },
 
+    // Encoding-artifact screen over planted damage: replacement chars,
+    // stray control chars, and UTF-8-as-Latin-1 mojibake digraphs are
+    // appended per doc_id class so every counter fires; the oracle
+    // recomputes all three regex counts and the fraction. Both engines
+    // receive the character classes as code-point escapes (\xhh is a
+    // rune in Java regex AND RE2).
+    q("q_encoding_artifacts",
+      """WITH p AS (SELECT doc_id, text || CASE doc_id % 5
+        |    WHEN 0 THEN chr(65533) || chr(65533)
+        |    WHEN 1 THEN chr(7)
+        |    WHEN 2 THEN 'Ã©Â»x'
+        |    ELSE '' END AS t FROM documents)
+        |SELECT doc_id, length(t) AS n_chars,
+        |  len(regexp_extract_all(t, chr(65533))) AS n_replacement,
+        |  len(regexp_extract_all(t,
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]')) AS n_control,
+        |  len(regexp_extract_all(t, '[\xC3\xC2][\x80-\xBF]')) AS n_mojibake,
+        |  CASE WHEN length(t) > 0 THEN
+        |    round(CAST(len(regexp_extract_all(t, chr(65533))) +
+        |      len(regexp_extract_all(t,
+        |        '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]')) +
+        |      len(regexp_extract_all(t, '[\xC3\xC2][\x80-\xBF]'))
+        |      AS DOUBLE) / length(t), 6)
+        |  ELSE 0.0 END AS artifact_frac
+        |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val planted = t(s, dir, "documents").withColumn("t",
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit("��"))
+            .when(pmod(col("doc_id"), lit(5)) === 1, lit(""))
+            .when(pmod(col("doc_id"), lit(5)) === 2, lit("Ã©Â»x"))
+            .otherwise(lit(""))))
+      graft.ops.Quality.encodingArtifacts(planted, "t")
+        .select(col("doc_id"), col("n_chars"), col("n_replacement"),
+          col("n_control"), col("n_mojibake"), col("artifact_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+    // WITHIN-doc paragraph dedup (the Dolma within-document mode):
+    // 6-word paragraphs with para 0 re-appended to every even doc; the
+    // first-occurrence filter must strip the plant (and any natural
+    // repeat), order preserved. The oracle recomputes first-occurrence
+    // membership per (doc, para).
+    q("q_dedup_within_doc",
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+')
+        |    AS ws FROM documents),
+        |toks AS (SELECT doc_id, unnest(generate_series(0, len(ws)-1)) AS pos,
+        |    unnest(ws) AS word FROM w),
+        |body AS (SELECT doc_id, pos // 6 AS lno,
+        |    string_agg(word, ' ' ORDER BY pos) AS para
+        |  FROM toks GROUP BY doc_id, pos // 6),
+        |nmax AS (SELECT doc_id, max(lno) AS mx FROM body GROUP BY doc_id),
+        |alls AS (SELECT doc_id, lno, para FROM body
+        |  UNION ALL SELECT b.doc_id, n.mx + 1, b.para
+        |    FROM body b JOIN nmax n USING (doc_id)
+        |    WHERE b.lno = 0 AND b.doc_id % 2 = 0),
+        |firsts AS (SELECT doc_id, lno, para,
+        |    min(lno) OVER (PARTITION BY doc_id, para) AS f FROM alls),
+        |kept AS (SELECT doc_id, lno, para FROM firsts
+        |         WHERE trim(para) = '' OR f = lno),
+        |agg AS (SELECT doc_id, count(*) AS nk,
+        |    string_agg(para, chr(10) ORDER BY lno) AS cleaned
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS nt FROM alls GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(t.nt - a.nk AS INT) AS n_removed, a.cleaned
+        |FROM tot t JOIN agg a USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val words = split(trim(col("text")), "\\s+")
+      val nP = ceil(size(words).cast("double") / 6.0).cast("int")
+      val body = transform(sequence(lit(0), nP - 1),
+        i => array_join(slice(words, i * 6 + 1, lit(6)), " "))
+      val ml = t(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(array_join(body, "\n"), lit("\n"), element_at(body, 1)))
+          .otherwise(array_join(body, "\n")).as("ml"))
+      graft.ops.Boilerplate.dedupWithinDoc(ml, "ml")
+        .select(col("doc_id"), col("n_removed"), col("ml").as("cleaned"))
+        .orderBy(col("doc_id"))
+    },
+
     // ------------------------------------------------ dim reduction
     // Johnson–Lindenstrauss random-sign projection 64 -> 8 dims before
     // ANN indexing. The ±1 matrix derives from MD5 so DuckDB recomputes

@@ -210,6 +210,31 @@ object Boilerplate {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     stripCorpusUnits(incoming, corpus, textCol, idCol, sep = "\n\n")
 
+  /** WITHIN-document unit dedup: keep only the FIRST occurrence of each
+    * repeated line (or paragraph, via `sep`) inside a single document —
+    * the Dolma within-doc dedupe mode, aimed at scraped pages that
+    * repeat their own content (pagination artifacts, expanded
+    * comment-thread quoting, nav blocks rendered twice). Blank units
+    * are formatting and never deduped. Purely narrow: one split, one
+    * order-preserving first-occurrence filter (a per-row HOF — no
+    * corpus state at all, so it composes before the corpus-level
+    * strips and is trivially streaming-safe). */
+  def dedupWithinDoc(docs: DataFrame, textCol: String = "text",
+      sep: String = "\n"): DataFrame = {
+    val sepQ = java.util.regex.Pattern.quote(sep)
+    val units = split(col(textCol), sepQ)
+    // first occurrence = this index is the first holding this value;
+    // O(n²) per doc in units, fine (docs have bounded line counts —
+    // the same class as the repetition kernel's per-doc sweeps)
+    val kept = filter(units, (u, i) =>
+      trim(u) === "" ||
+        array_position(slice(units, lit(1), i + 1), u) === (i + 1).cast("long"))
+    docs
+      .withColumn("n_removed",
+        (size(units) - size(kept)).cast("int"))
+      .withColumn(textCol, array_join(kept, sep))
+  }
+
   private def stripCorpusUnits(incoming: DataFrame, corpus: DataFrame,
       textCol: String, idCol: String, sep: String): DataFrame = {
     // The above-gate fallback reassembles by idCol; surface that

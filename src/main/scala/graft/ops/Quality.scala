@@ -199,6 +199,35 @@ object Quality {
       .withColumn("blocked", col("n_blocked") > 0)
   }
 
+  /** Encoding-artifact signals — the mojibake screen that catches what
+    * entropy alone misses (damaged text can have prose-like
+    * distributions): counts of U+FFFD replacement characters (the
+    * smoking gun of a bad decode), C0/C1 control characters other than
+    * tab/newline/CR, and the classic UTF-8-read-as-Latin-1 digraph
+    * markers (Ã/Â followed by a continuation-range character), plus
+    * each as a fraction of the doc's code points. Pure narrow
+    * projection (regexp counts), zero shuffle; thresholds are corpus
+    * decisions so the signals come back raw. */
+  def encodingArtifacts(docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    def count(pattern: String) =
+      size(regexp_extract_all(col(textCol), lit(pattern), lit(0)))
+        .cast("long")
+    val nChars = length(col(textCol)).cast("long")
+    docs
+      .withColumn("n_chars", nChars)
+      .withColumn("n_replacement", count("\\uFFFD"))
+      .withColumn("n_control",
+        count("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]"))
+      .withColumn("n_mojibake",
+        count("[\\xC3\\xC2][\\x80-\\xBF]"))
+      .withColumn("artifact_frac",
+        when(col("n_chars") > 0,
+          round((col("n_replacement") + col("n_control") +
+            col("n_mojibake")).cast("double") / col("n_chars"), 6))
+          .otherwise(lit(0.0)))
+  }
+
   /** Flesch reading-ease and Flesch–Kincaid grade — the classic
     * readability pair some curation stacks use as a cheap fluency
     * band-pass (too-low = legalese/machine text, suspiciously-high =

@@ -237,4 +237,24 @@ class BoilerplateSpec extends AnyFunSuite {
         .select(cols.head, cols.tail: _*).collect().toSet === viaBroadcast)
     }
   }
+
+  test("dedupWithinDoc: first occurrence survives, order preserved, blanks exempt") {
+    val docs = Seq(
+      (1L, "nav bar\ncontent a\nnav bar\ncontent b\nnav bar"),
+      (2L, "a\n\nb\n\nc"),          // repeated BLANK units all survive
+      (3L, "unique one\nunique two"),
+      (4L, "x\nx\nx\nx")).toDF("doc_id", "text")
+    val out = Boilerplate.dedupWithinDoc(docs)
+      .select("doc_id", "text", "n_removed").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L) === (("nav bar\ncontent a\ncontent b", 2)))
+    assert(out(2L) === (("a\n\nb\n\nc", 0)))
+    assert(out(3L) === (("unique one\nunique two", 0)))
+    assert(out(4L) === (("x", 3)))
+    // paragraph granularity via sep
+    val p = Seq((1L, "dup para\n\nmiddle\n\ndup para")).toDF("doc_id", "text")
+    val po = Boilerplate.dedupWithinDoc(p, sep = "\n\n").collect().head
+    assert(po.getAs[String]("text") === "dup para\n\nmiddle")
+    assert(po.getAs[Int]("n_removed") === 1)
+  }
 }

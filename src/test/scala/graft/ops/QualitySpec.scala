@@ -220,4 +220,26 @@ class QualitySpec extends AnyFunSuite {
         > 0.0001).count()
     assert(bad === 0L, "rounded doubles must track the exact rationals")
   }
+
+  test("encodingArtifacts: each counter fires on its class, clean text scores zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean prose here"),
+      (2L, "bad \uFFFD decode \uFFFD twice"),
+      (3L, "bell\u0007and\u009Fcontrols"),
+      (4L, "caf\u00C3\u00A9 mojibake"),        // Ã©
+      (5L, "tab\tand\nnewline are fine"),
+      (6L, "")).toDF("doc_id", "text")
+    val out = Quality.encodingArtifacts(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_replacement"),
+        r.getAs[Long]("n_control"), r.getAs[Long]("n_mojibake"),
+        r.getAs[Double]("artifact_frac")))).toMap
+    assert(out(1L) === ((0L, 0L, 0L, 0.0)))
+    assert(out(2L)._1 === 2L)
+    assert(out(3L)._2 === 2L, "BEL and U+009F are control hits")
+    assert(out(4L)._3 === 1L)
+    assert(out(5L) === ((0L, 0L, 0L, 0.0)), "tab/newline are not artifacts")
+    assert(out(6L) === ((0L, 0L, 0L, 0.0)), "empty text must not divide by zero")
+    assert(out(2L)._4 > 0.0)
+  }
 }
