@@ -3246,6 +3246,45 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Count-min sketch certificate (the KLL rank-error-certificate
+    // pattern — a CMS estimate is not SQL-recomputable, but its
+    // guarantees are checkable): one corpus-wide token CMS (depth 5,
+    // width 4096, seed 42 — deterministic bytes for fixed data), probed
+    // at the exact top-20 tokens plus two absent ones. Certified:
+    // estimates never undercount, and overcount stays within the
+    // 2N/width bound; the oracle recomputes the exact counts and
+    // expects both certificates all-true.
+    q("q_cms_tokens",
+      """WITH tk AS (SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    t -> t <> '')) AS token FROM documents),
+        |ex AS (SELECT token, count(*) AS exact FROM tk GROUP BY token),
+        |top AS (SELECT token, exact FROM ex
+        |        ORDER BY exact DESC, token LIMIT 20),
+        |pr AS (SELECT token, exact FROM top
+        |       UNION ALL VALUES ('zz_absent_a', 0), ('zz_absent_b', 0))
+        |SELECT token, CAST(exact AS BIGINT) AS exact,
+        |  true AS over_ok, true AS bound_ok
+        |FROM pr ORDER BY token""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val tk = graft.ops.Relevance.tokens(t(s, dir, "documents"))
+      val sketch = tk.agg(
+        GraftFunctions.cmsAgg(col("token")).as("sk"),
+        count(lit(1)).as("n_total"))
+      val exact = tk.groupBy("token").agg(count(lit(1)).as("exact"))
+      val probes = exact.orderBy(col("exact").desc, col("token")).limit(20)
+        .unionByName(Seq(("zz_absent_a", 0L), ("zz_absent_b", 0L))
+          .toDF("token", "exact"))
+      val est = GraftFunctions.cmsEstimate(col("sk"), col("token"))
+      probes.crossJoin(broadcast(sketch))
+        .select(col("token"), col("exact"),
+          (est >= col("exact")).as("over_ok"),
+          (est - col("exact") <=
+            ceil(lit(2.0) * col("n_total") / lit(4096)).cast("long"))
+            .as("bound_ok"))
+        .orderBy(col("token"))
+    },
+
     // ------------------------------------------------ dim reduction
     // Johnson–Lindenstrauss random-sign projection 64 -> 8 dims before
     // ANN indexing. The ±1 matrix derives from MD5 so DuckDB recomputes

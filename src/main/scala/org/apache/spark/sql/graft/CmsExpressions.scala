@@ -1,0 +1,197 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Mergeable count-min sketches (Cormode & Muthukrishnan 2005, via
+  * Spark's own `org.apache.spark.util.sketch.CountMinSketch`) — the
+  * POINT-FREQUENCY estimate the sketch family still lacked: HLL
+  * answers "how many distinct", frequent-items answers "which are the
+  * top keys", KLL answers "what value sits at rank p"; a CMS answers
+  * "how often does THIS key occur" for any key, from a fixed-size
+  * mergeable buffer, without storing the key space. The curation uses:
+  * per-shard token/domain/url-pattern frequency services that roll up
+  * across days without re-reading raw data, and join-free "is this key
+  * hot" probes against yesterday's sketch.
+  *
+  * Guarantees: estimates NEVER undercount; an estimate exceeds the
+  * true count by more than `2N/width` with probability ≤ e^−depth
+  * (N = total additions). Given fixed (depth, width, seed) the sketch
+  * is DETERMINISTIC — same data, same bytes — which is what lets the
+  * catalog entry certify the bounds cross-engine (the KLL rank-error
+  * certificate precedent; a CMS estimate itself is not
+  * SQL-recomputable).
+  *
+  * State per group is depth×width longs, partial-mergeable — the
+  * shuffle carries sketch bytes, never keys. Items hash as UTF-8
+  * bytes (`addBinary`), so any engine feeding identical strings feeds
+  * identical cells.
+  */
+object CmsOps {
+  def empty(depth: Int, width: Int, seed: Int): CountMinSketch =
+    CountMinSketch.create(depth, width, seed)
+
+  def toBytes(s: CountMinSketch): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    s.writeTo(bos)
+    bos.toByteArray
+  }
+
+  def fromBytes(b: Array[Byte]): CountMinSketch =
+    CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b))
+
+  def checkParams(prettyName: String, depth: Expression, width: Expression,
+      seed: Expression): TypeCheckResult =
+    if (!depth.foldable || !width.foldable || !seed.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires literal depth/width/seed")
+    else (depth.eval(), width.eval()) match {
+      case (d: Number, w: Number)
+          if d.intValue() >= 1 && w.intValue() >= 1 =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires depth >= 1 and width >= 1")
+    }
+}
+
+/** `cms_agg(item, depth, width, seed)` → serialized count-min sketch
+  * over the string items of the group. Nulls are skipped. */
+case class CmsSketchAgg(
+    child: Expression,
+    depthExpr: Expression,
+    widthExpr: Expression,
+    seedExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CountMinSketch] with ExpectsInputTypes {
+
+  private lazy val depth = depthExpr.eval().asInstanceOf[Number].intValue()
+  private lazy val width = widthExpr.eval().asInstanceOf[Number].intValue()
+  private lazy val seed = seedExpr.eval().asInstanceOf[Number].intValue()
+
+  override def children: Seq[Expression] =
+    Seq(child, depthExpr, widthExpr, seedExpr)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, IntegerType, IntegerType, IntegerType)
+  override def nullable: Boolean = false
+  override def prettyName: String = "cms_agg"
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else CmsOps.checkParams(prettyName, depthExpr, widthExpr, seedExpr)
+  }
+
+  override def createAggregationBuffer(): CountMinSketch =
+    CmsOps.empty(depth, width, seed)
+
+  override def update(buf: CountMinSketch, input: InternalRow): CountMinSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.addBinary(v.asInstanceOf[UTF8String].getBytes)
+    buf
+  }
+
+  override def merge(buf: CountMinSketch, other: CountMinSketch): CountMinSketch = {
+    buf.mergeInPlace(other); buf
+  }
+
+  override def eval(buf: CountMinSketch): Any = CmsOps.toBytes(buf)
+  override def serialize(buf: CountMinSketch): Array[Byte] = CmsOps.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): CountMinSketch =
+    CmsOps.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CmsSketchAgg =
+    copy(child = newChildren(0), depthExpr = newChildren(1),
+      widthExpr = newChildren(2), seedExpr = newChildren(3))
+}
+
+/** `cms_merge(sketch, depth, width, seed)` → serialized union — the
+  * cross-group / cross-day rollup that never re-reads raw data. All
+  * inputs must share (depth, width, seed); nulls are skipped. */
+case class CmsMergeAgg(
+    child: Expression,
+    depthExpr: Expression,
+    widthExpr: Expression,
+    seedExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CountMinSketch] with ExpectsInputTypes {
+
+  private lazy val depth = depthExpr.eval().asInstanceOf[Number].intValue()
+  private lazy val width = widthExpr.eval().asInstanceOf[Number].intValue()
+  private lazy val seed = seedExpr.eval().asInstanceOf[Number].intValue()
+
+  override def children: Seq[Expression] =
+    Seq(child, depthExpr, widthExpr, seedExpr)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, IntegerType, IntegerType, IntegerType)
+  override def nullable: Boolean = false
+  override def prettyName: String = "cms_merge"
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else CmsOps.checkParams(prettyName, depthExpr, widthExpr, seedExpr)
+  }
+
+  override def createAggregationBuffer(): CountMinSketch =
+    CmsOps.empty(depth, width, seed)
+
+  override def update(buf: CountMinSketch, input: InternalRow): CountMinSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.mergeInPlace(CmsOps.fromBytes(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(buf: CountMinSketch, other: CountMinSketch): CountMinSketch = {
+    buf.mergeInPlace(other); buf
+  }
+
+  override def eval(buf: CountMinSketch): Any = CmsOps.toBytes(buf)
+  override def serialize(buf: CountMinSketch): Array[Byte] = CmsOps.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): CountMinSketch =
+    CmsOps.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CmsMergeAgg =
+    copy(child = newChildren(0), depthExpr = newChildren(1),
+      widthExpr = newChildren(2), seedExpr = newChildren(3))
+}
+
+/** `cms_estimate(sketch, item)` → estimated count of `item` (UTF-8
+  * bytes, the [[CmsSketchAgg]] hashing). Null sketch or item → null.
+  * A final-stage scalar over a handful of sketch rows —
+  * CodegenFallback is fine (the KllQuantile precedent). */
+case class CmsEstimate(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cms_estimate"
+
+  override def nullSafeEval(sketch: Any, item: Any): Any =
+    CmsOps.fromBytes(sketch.asInstanceOf[Array[Byte]])
+      .estimateCount(item.asInstanceOf[UTF8String].getBytes)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsEstimate =
+    copy(left = newLeft, right = newRight)
+}

@@ -529,6 +529,29 @@ object GraftFunctions {
   def vectorAvg(c: Column): Column =
     column(VectorAvg(expression(c)).toAggregateExpression())
 
+  /** Mergeable count-min sketch of a string column (serialized) —
+    * point-frequency estimates from fixed-size state. */
+  def cmsAgg(c: Column, depth: Int = 5, width: Int = 4096,
+      seed: Int = 42): Column =
+    column(CmsSketchAgg(expression(c),
+      org.apache.spark.sql.catalyst.expressions.Literal(depth),
+      org.apache.spark.sql.catalyst.expressions.Literal(width),
+      org.apache.spark.sql.catalyst.expressions.Literal(seed))
+      .toAggregateExpression())
+
+  /** Union of serialized count-min sketches (same depth/width/seed). */
+  def cmsMerge(c: Column, depth: Int = 5, width: Int = 4096,
+      seed: Int = 42): Column =
+    column(CmsMergeAgg(expression(c),
+      org.apache.spark.sql.catalyst.expressions.Literal(depth),
+      org.apache.spark.sql.catalyst.expressions.Literal(width),
+      org.apache.spark.sql.catalyst.expressions.Literal(seed))
+      .toAggregateExpression())
+
+  /** Estimated count of `item` in a serialized count-min sketch. */
+  def cmsEstimate(sketch: Column, item: Column): Column =
+    column(CmsEstimate(expression(sketch), expression(item)))
+
   /** Mergeable KLL quantile sketch of a double column (serialized). */
   def kllAgg(c: Column, k: Int = 200): Column =
     column(KllSketchAgg(expression(c),

@@ -1,0 +1,72 @@
+package graft.functions
+
+import graft.TestSpark.spark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CmsSketchSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val depth = 5
+  private val width = 1024
+
+  test("estimates never undercount; small vocab with wide sketch is exact") {
+    val rnd = new scala.util.Random(5)
+    val items = (1 to 5000).map(_ => s"k${rnd.nextInt(50)}").toDF("item")
+    val exact = items.groupBy("item").agg(count(lit(1)).as("exact"))
+    val sk = items.agg(
+      GraftFunctions.cmsAgg(col("item"), depth, width, 42).as("sk"))
+    val joined = exact.crossJoin(broadcast(sk))
+      .select(col("item"), col("exact"),
+        GraftFunctions.cmsEstimate(col("sk"), col("item")).as("est"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("exact"),
+        s"${r.getString(0)} undercounted")
+    }
+    // 50 keys into 5x1024 cells: collisions are possible but an exact
+    // match on >90% of keys is a >5-sigma expectation
+    val exactHits = joined.count(r =>
+      r.getAs[Long]("est") === r.getAs[Long]("exact"))
+    assert(exactHits >= joined.length * 9 / 10,
+      s"only $exactHits/${joined.length} exact")
+  }
+
+  test("merge of per-group sketches equals one sketch over the union") {
+    val items = (1L to 4000L).map(i => (i % 4, s"w${i % 97}"))
+      .toDF("g", "item")
+    val perGroup = items.groupBy("g")
+      .agg(GraftFunctions.cmsAgg(col("item"), depth, width, 42).as("sk"))
+    val merged = perGroup.agg(
+      GraftFunctions.cmsMerge(col("sk"), depth, width, 42).as("sk"))
+    val direct = items.agg(
+      GraftFunctions.cmsAgg(col("item"), depth, width, 42).as("sk"))
+    val est = (df: org.apache.spark.sql.DataFrame) =>
+      (0 until 97).map(i => df.select(GraftFunctions.cmsEstimate(
+        col("sk"), lit(s"w$i"))).head.getLong(0))
+    assert(est(merged) === est(direct),
+      "merged estimates must equal the single-pass sketch")
+  }
+
+  test("determinism: same data and seed give identical sketch bytes") {
+    val items = (1 to 1000).map(i => s"t${i % 31}").toDF("item")
+    def bytes() = items.repartition(5)
+      .agg(GraftFunctions.cmsAgg(col("item"), depth, width, 7).as("sk"))
+      .head.getAs[Array[Byte]](0)
+    // mergeInPlace is cell-wise addition, so partial order cannot
+    // change the final counts
+    assert(java.util.Arrays.equals(bytes(), bytes()))
+  }
+
+  test("absent keys estimate near zero on sparse sketches; null item -> null") {
+    val items = (1 to 100).map(i => s"present$i").toDF("item")
+    val sk = items.agg(
+      GraftFunctions.cmsAgg(col("item"), depth, width, 42).as("sk"))
+    val absent = sk.select(GraftFunctions.cmsEstimate(col("sk"),
+      lit("never added"))).head.getLong(0)
+    assert(absent <= 2, s"absent key estimated $absent")
+    assert(sk.select(GraftFunctions.cmsEstimate(col("sk"),
+      lit(null).cast("string"))).head.isNullAt(0))
+  }
+}
