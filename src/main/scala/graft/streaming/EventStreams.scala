@@ -81,6 +81,25 @@ object EventStreams {
         org.apache.spark.sql.graft.GraftFunctions
           .thetaEstimate(col("sketch")).as("distinct_est"))
 
+  /** Streaming key-frequency monitor: per event-time window, a
+    * COUNT-MIN SKETCH of the keys — the point-frequency member of the
+    * streaming sketch family beside [[distinctSketchPerWindow]] (theta)
+    * and the heavy-hitter/KLL windows. Emitting the sketch bytes is
+    * again the point: windows `cms_merge` into days without re-reading
+    * events, and any stored window answers "how often did THIS key
+    * occur then" via `cms_estimate` — state per open window is one
+    * depth×width long buffer, never the key space. */
+  def cmsPerWindow(events: DataFrame, keyCol: String,
+      window: String = "5 minutes", watermark: String = "10 minutes",
+      depth: Int = 5, width: Int = 4096, seed: Int = 42): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(functions.window(col("event_time"), window, window))
+      .agg(graft.functions.GraftFunctions
+        .cmsAgg(col(keyCol).cast("string"), depth, width, seed).as("sketch"))
+      .select(col("window.start").as("w_start"),
+        col("window.end").as("w_end"), col("sketch"))
+
   /** Streaming exact dedup: drop events whose id was already seen within
     * the watermark horizon — state is bounded by the watermark, the
     * streaming twin of [[graft.ops.Dedup.exact]]. */

@@ -857,6 +857,47 @@ class EventStreamsSpec extends AnyFunSuite {
       "stored window sketches must union to the exact distinct count")
   }
 
+  test("count-min sketch per window: estimates match batch exact counts and merge") {
+    import graft.functions.GraftFunctions.{cmsEstimate, cmsMerge}
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-cmsw").toString
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .write.mode("overwrite").parquet(stageDir)
+    val out = EventStreams.cmsPerWindow(
+      EventStreams.readEvents(spark, stageDir), "event_type",
+      window = "1 hour", watermark = "1 minute", width = 1024)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("cms_win")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("cms_win")
+    assert(streamed.count() > 0, "no windows closed")
+    // few event types into 5x1024 cells: estimates are exact per window
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("event_time", col("ts").cast("timestamp"))
+      .groupBy(window($"event_time", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("exact"))
+      .select($"window.start".as("w_start"), $"event_type", $"exact")
+    val joined = streamed.join(batch, "w_start")
+      .select(cmsEstimate($"sketch", $"event_type").as("est"), $"exact")
+    assert(joined.count() > 0)
+    assert(joined.filter($"est" =!= $"exact").count() === 0,
+      "sparse window sketches must be exact per event type")
+    // stored window sketches merge into the whole-horizon counts
+    val emittedStarts = streamed.select($"w_start").collect()
+      .map(_.getTimestamp(0)).toSet
+    val mergedSk = streamed.agg(
+      cmsMerge($"sketch", width = 1024).as("sk"))
+    val wholeExact = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("event_time", col("ts").cast("timestamp"))
+      .withColumn("w", window($"event_time", "1 hour"))
+      .filter($"w.start".isin(emittedStarts.toSeq: _*))
+      .groupBy($"event_type").agg(count(lit(1)).as("exact"))
+    val estAll = wholeExact.crossJoin(broadcast(mergedSk))
+      .select(cmsEstimate($"sk", $"event_type").as("est"), $"exact")
+    assert(estAll.filter($"est" =!= $"exact").count() === 0,
+      "merged window sketches must reproduce the horizon counts")
+  }
+
   test("heavy hitters per window match the batch exact counts") {
     val stageDir = java.nio.file.Files.createTempDirectory("graft-hh").toString
     spark.read.parquet(s"$sfDir/events.parquet")
