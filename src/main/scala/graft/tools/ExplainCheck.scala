@@ -253,6 +253,14 @@ object ExplainCheck {
     println("########## op:Quality.readability (pure narrow projection)")
     println(graft.ops.Quality.readability(docs)
       .queryExecution.explainString(fmt))
+    println("########## op:Quality.encodingArtifacts + Boilerplate.dedupWithinDoc (pure narrow)")
+    println(graft.ops.Boilerplate.dedupWithinDoc(
+        graft.ops.Quality.encodingArtifacts(docs))
+      .queryExecution.explainString(fmt))
+    println("########## op:cms_agg (partial-mergeable ObjectHashAggregate, sketch-bytes shuffle)")
+    println(docs.groupBy(col("lang")).agg(
+        graft.functions.GraftFunctions.cmsAgg(col("source")).as("sk"))
+      .queryExecution.explainString(fmt))
     println("########## op:Packing.windowEfficiency (narrow fan-out, one tiny agg)")
     val weToks = org.apache.spark.sql.functions.size(
       org.apache.spark.sql.functions.split(col("text"), "\\s+"))
