@@ -63,7 +63,8 @@ object Bench {
     "q_novelty", "q_quality_domain_norm", "q_length_batches",
     "q_screen_pipeline", "q_weighted_exact_n", "q_auc_report",
     "q_readability", "q_calibration", "q_collocations", "q_zipf",
-    "q_encoding_artifacts", "q_dedup_within_doc", "q_cms_tokens")
+    "q_encoding_artifacts", "q_dedup_within_doc", "q_cms_tokens",
+    "q_lm_kn3", "q_lm_kn3_serve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

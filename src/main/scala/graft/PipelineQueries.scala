@@ -3285,6 +3285,109 @@ object PipelineQueries {
         .orderBy(col("token"))
     },
 
+    // TRIGRAM interpolated Kneser-Ney, self-scored: all six model
+    // tables and the two-level interpolation ladder recomputed by the
+    // oracle double-for-double (lower orders are continuation counts
+    // over trigram TYPES — the defining KN choice).
+    q("q_lm_kn3",
+      """WITH d AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    t -> t <> '') AS toks FROM documents),
+        |tg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2,
+        |    toks[i+2] AS w3
+        |  FROM d, unnest(generate_series(1, len(toks)-2)) AS t(i)),
+        |c3 AS (SELECT w1, w2, w3, count(*) AS nc3 FROM tg GROUP BY 1, 2, 3),
+        |x3 AS (SELECT w1, w2, CAST(sum(nc3) AS BIGINT) AS n3,
+        |    count(*) AS fan3 FROM c3 GROUP BY 1, 2),
+        |t2 AS (SELECT w2, w3, count(*) AS nt2 FROM c3 GROUP BY 1, 2),
+        |x2 AS (SELECT w2, CAST(sum(nt2) AS BIGINT) AS tot2,
+        |    count(*) AS fan2 FROM t2 GROUP BY 1),
+        |c1 AS (SELECT w3, count(*) AS cont1 FROM t2 GROUP BY 1),
+        |ty AS (SELECT count(*) AS tt FROM t2)
+        |SELECT g.doc_id, count(*) AS n_trigrams,
+        |  round(avg(-ln(greatest(
+        |    (greatest(CAST(coalesce(c3.nc3, 0) AS DOUBLE) - 0.75, 0.0) +
+        |     0.75 * CAST(x3.fan3 AS DOUBLE) *
+        |     ((greatest(CAST(coalesce(t2.nt2, 0) AS DOUBLE) - 0.75, 0.0) +
+        |       0.75 * CAST(x2.fan2 AS DOUBLE) *
+        |       (CAST(coalesce(c1.cont1, 0) AS DOUBLE) / tt))
+        |      / CAST(x2.tot2 AS DOUBLE))
+        |    ) / CAST(x3.n3 AS DOUBLE), 1e-10))), 4) AS nll
+        |FROM tg g
+        |JOIN c3 USING (w1, w2, w3)
+        |JOIN x3 USING (w1, w2)
+        |JOIN t2 USING (w2, w3)
+        |JOIN x2 USING (w2)
+        |JOIN c1 USING (w3)
+        |CROSS JOIN ty
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ops.LangModel.scoreAgainstModelKN3(docs,
+          graft.ops.LangModel.fitKN3(docs))
+        .select(col("doc_id"), col("n_trigrams"),
+          round(col("nll"), 4).as("nll"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Trigram KN SERVING split: model on the even half, odd half
+    // scored — every rung of the two-level fallback ladder fires
+    // (unseen (a,b) context → the continuation-level bigram; unseen b
+    // → the continuation unigram; no level-1 support → the floor).
+    q("q_lm_kn3_serve",
+      """WITH d AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    t -> t <> '') AS toks FROM documents),
+        |tg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2,
+        |    toks[i+2] AS w3
+        |  FROM d, unnest(generate_series(1, len(toks)-2)) AS t(i)),
+        |c3 AS (SELECT w1, w2, w3, count(*) AS nc3 FROM tg
+        |       WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+        |x3 AS (SELECT w1, w2, CAST(sum(nc3) AS BIGINT) AS n3,
+        |    count(*) AS fan3 FROM c3 GROUP BY 1, 2),
+        |t2 AS (SELECT w2, w3, count(*) AS nt2 FROM c3 GROUP BY 1, 2),
+        |x2 AS (SELECT w2, CAST(sum(nt2) AS BIGINT) AS tot2,
+        |    count(*) AS fan2 FROM t2 GROUP BY 1),
+        |c1 AS (SELECT w3, count(*) AS cont1 FROM t2 GROUP BY 1),
+        |ty AS (SELECT count(*) AS tt FROM t2)
+        |SELECT g.doc_id, count(*) AS n_trigrams,
+        |  round(avg(-ln(greatest(
+        |    CASE WHEN x3.n3 IS NOT NULL THEN
+        |      (greatest(CAST(coalesce(c3.nc3, 0) AS DOUBLE) - 0.75, 0.0) +
+        |       0.75 * CAST(x3.fan3 AS DOUBLE) *
+        |       (CASE WHEN x2.tot2 IS NOT NULL THEN
+        |          (greatest(CAST(coalesce(t2.nt2, 0) AS DOUBLE) - 0.75, 0.0) +
+        |           0.75 * CAST(x2.fan2 AS DOUBLE) *
+        |           (CAST(coalesce(c1.cont1, 0) AS DOUBLE) / tt))
+        |          / CAST(x2.tot2 AS DOUBLE)
+        |        ELSE CAST(coalesce(c1.cont1, 0) AS DOUBLE) / tt END)
+        |      ) / CAST(x3.n3 AS DOUBLE)
+        |    ELSE
+        |      CASE WHEN x2.tot2 IS NOT NULL THEN
+        |        (greatest(CAST(coalesce(t2.nt2, 0) AS DOUBLE) - 0.75, 0.0) +
+        |         0.75 * CAST(x2.fan2 AS DOUBLE) *
+        |         (CAST(coalesce(c1.cont1, 0) AS DOUBLE) / tt))
+        |        / CAST(x2.tot2 AS DOUBLE)
+        |      ELSE CAST(coalesce(c1.cont1, 0) AS DOUBLE) / tt END
+        |    END, 1e-10))), 4) AS nll
+        |FROM tg g
+        |LEFT JOIN c3 USING (w1, w2, w3)
+        |LEFT JOIN x3 USING (w1, w2)
+        |LEFT JOIN t2 USING (w2, w3)
+        |LEFT JOIN x2 USING (w2)
+        |LEFT JOIN c1 USING (w3)
+        |CROSS JOIN ty
+        |WHERE g.doc_id % 2 = 1
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ops.LangModel.scoreAgainstModelKN3(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          graft.ops.LangModel.fitKN3(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 0)))
+        .select(col("doc_id"), col("n_trigrams"),
+          round(col("nll"), 4).as("nll"))
+        .orderBy(col("doc_id"))
+    },
+
     // ------------------------------------------------ dim reduction
     // Johnson–Lindenstrauss random-sign projection 64 -> 8 dims before
     // ANN indexing. The ±1 matrix derives from MD5 so DuckDB recomputes

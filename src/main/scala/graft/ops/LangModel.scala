@@ -281,6 +281,105 @@ object LangModel {
       .otherwise(pcont)
   }
 
+  /** TRIGRAM interpolated Kneser-Ney (Chen & Goodman 1999, one fixed
+    * absolute discount per level) — the order-3 upgrade of [[fitKN]],
+    * the order most n-gram quality filters actually run. All SIX model
+    * tables derive from the ONE (a, b, c) trigram wordcount by
+    * re-aggregation (the fitKN scale contract — the corpus is touched
+    * once; lower-order statistics are CONTINUATION counts over trigram
+    * TYPES, never raw bigram counts, which is the defining KN choice):
+    *
+    *   c3(a,b,c)   raw trigram occurrence counts
+    *   ctx3(a,b)   n3 = Σ_c c3, fan3 = |{c}|
+    *   t2(b,c)     N1+(·bc) = |{a : c3(a,b,c) > 0}|
+    *   ctx2(b)     tot2 = Σ_c t2(b,c), fan2 = |{c : t2(b,c) > 0}|
+    *   cont1(c)    N1+(·c) = |{b : t2(b,c) > 0}|
+    *   T           Σ_c cont1(c) = |distinct (b,c) types|
+    *
+    *   P1(c)      = cont1(c) / T
+    *   P2(c|b)    = (max(t2−D,0) + D·fan2(b)·P1(c)) / tot2(b)
+    *                 [unseen b → P1(c)]
+    *   P3(c|a,b)  = (max(c3−D,0) + D·fan3(a,b)·P2(c|b)) / n3(a,b)
+    *                 [unseen (a,b) → P2(c|b); token with no level-1
+    *                  support → pFloor at scoring time]
+    *
+    * Each conditional sums to exactly 1 over the level-1 support (the
+    * interpolation telescopes; spec-asserted), so the score is a true
+    * smoothed probability. Documents with fewer than three tokens
+    * contribute nothing. */
+  final case class Kn3Model(c3: DataFrame, ctx3: DataFrame, t2: DataFrame,
+      ctx2: DataFrame, cont1: DataFrame, nTypes2: Long, discount: Double)
+
+  def fitKN3(corpus: DataFrame, discount: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): Kn3Model = {
+    require(discount > 0 && discount < 1, s"discount=$discount")
+    val c3 = trigramOccurrences(corpus, idCol, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("_c3"))
+    val ctx3 = c3.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("_c3")).as("_n3"), count(lit(1)).as("_fan3"))
+    val t2 = c3.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("_t2"))
+    val ctx2 = t2.groupBy(col("w2"))
+      .agg(sum(col("_t2")).as("_tot2"), count(lit(1)).as("_fan2"))
+    val cont1 = t2.groupBy(col("w3")).agg(count(lit(1)).as("_cont1"))
+    Kn3Model(c3, ctx3, t2, ctx2, cont1, t2.count(), discount)
+  }
+
+  /** Score documents against a fitted [[Kn3Model]]: per doc the mean
+    * −ln P3 over its trigram occurrences, with the full fallback
+    * ladder for external docs. Five keyed model joins (the
+    * [[scoreAgainstModelKN]] shape, two orders deeper) — nothing
+    * broadcast, the per-doc mean partial-aggregates. */
+  def scoreAgainstModelKN3(docs: DataFrame, m: Kn3Model,
+      pFloor: Double = 1e-10, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    trigramOccurrences(docs, idCol, textCol)
+      .join(m.c3, Seq("w1", "w2", "w3"), "left")
+      .join(m.ctx3, Seq("w1", "w2"), "left")
+      .join(m.t2, Seq("w2", "w3"), "left")
+      .join(m.ctx2, Seq("w2"), "left")
+      .join(m.cont1, Seq("w3"), "left")
+      .select(col("doc_id"),
+        (-log(greatest(kn3Prob(m), lit(pFloor)))).as("_nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"), avg(col("_nll")).as("nll"))
+
+  /** The order-3 interpolated probability over the joined model
+    * columns (see [[Kn3Model]]'s ladder). */
+  private[graft] def kn3Prob(m: Kn3Model): org.apache.spark.sql.Column = {
+    val d = lit(m.discount)
+    val p1 = coalesce(col("_cont1"), lit(0L)).cast("double") /
+      lit(m.nTypes2).cast("double")
+    val p2 = when(col("_tot2").isNotNull,
+      (greatest(coalesce(col("_t2"), lit(0L)).cast("double") - d, lit(0.0)) +
+        d * col("_fan2").cast("double") * p1) / col("_tot2").cast("double"))
+      .otherwise(p1)
+    when(col("_n3").isNotNull,
+      (greatest(coalesce(col("_c3"), lit(0L)).cast("double") - d, lit(0.0)) +
+        d * col("_fan3").cast("double") * p2) / col("_n3").cast("double"))
+      .otherwise(p2)
+  }
+
+  /** (doc_id, w1, w2, w3) trigram occurrences over the shared
+    * tokenization; documents under three tokens contribute nothing. */
+  private def trigramOccurrences(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val ts = filter(split(lower(col(textCol)), Relevance.TokenPattern),
+      t => t =!= "")
+    docs.select(col(idCol).as("doc_id"), ts.as("_ts"))
+      .select(col("doc_id"), explode(
+        when(size(col("_ts")) >= 3,
+          transform(sequence(lit(1), size(col("_ts")) - 2),
+            i => struct(element_at(col("_ts"), i).as("w1"),
+              element_at(col("_ts"), i + 1).as("w2"),
+              element_at(col("_ts"), i + 2).as("w3"))))
+          .otherwise(array()
+            .cast("array<struct<w1:string,w2:string,w3:string>>")))
+        .as("_t"))
+      .select(col("doc_id"), col("_t.w1"), col("_t.w2"), col("_t.w3"))
+  }
+
   /** The bigram explode with extra carried columns — the streaming
     * scorer needs event time alongside (prev, cur). */
   private[graft] def bigramsWith(docs: DataFrame, idCol: String,

@@ -184,4 +184,43 @@ class LangModelSpec extends AnyFunSuite {
     assert(reloaded.nTypes === LangModel.fitKN(corpus.limit(2)).nTypes,
       "reload must serve the latest consistent save")
   }
+
+  test("trigram KN: every conditional sums to 1 over the level-1 support") {
+    import org.apache.spark.sql.functions._
+    val corpus = Seq((1L, "a b c a b d a b c"), (2L, "b c a b d")).toDF("doc_id", "text")
+    val m = LangModel.fitKN3(corpus)
+    def sumOver(w1v: String, w2v: String): Double = {
+      val ctx = m.cont1.select(col("w3"))
+        .withColumn("w1", lit(w1v)).withColumn("w2", lit(w2v))
+      val joined = ctx
+        .join(m.c3, Seq("w1", "w2", "w3"), "left")
+        .join(m.ctx3, Seq("w1", "w2"), "left")
+        .join(m.t2, Seq("w2", "w3"), "left")
+        .join(m.ctx2, Seq("w2"), "left")
+        .join(m.cont1, Seq("w3"), "left")
+      joined.agg(sum(LangModel.kn3Prob(m))).head.getDouble(0)
+    }
+    // seen (a, b): full order-3 interpolation telescopes to 1
+    assert(math.abs(sumOver("a", "b") - 1.0) < 1e-12)
+    // unseen (z, b), seen b: the order-2 continuation level sums to 1
+    assert(math.abs(sumOver("z", "b") - 1.0) < 1e-12)
+    // wholly unseen context: the continuation unigram sums to 1
+    assert(math.abs(sumOver("z", "z") - 1.0) < 1e-12)
+  }
+
+  test("trigram KN: occurrence accounting and the sub-3-token exclusion") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "a b c d"), (2L, "two words"), (3L, "one"))
+      .toDF("doc_id", "text")
+    val out = LangModel.scoreAgainstModelKN3(docs, LangModel.fitKN3(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L), "4 tokens -> 2 trigrams; short docs absent")
+    // external doc with a never-seen final token hits the floor rung
+    val m = LangModel.fitKN3(Seq((1L, "a b c a b c")).toDF("doc_id", "text"))
+    val ext = LangModel.scoreAgainstModelKN3(
+      Seq((9L, "a b zzz")).toDF("doc_id", "text"), m).collect()
+    assert(ext.length === 1 && ext(0).getLong(1) === 1L)
+    assert(math.abs(ext(0).getDouble(2) - (-math.log(1e-10))) < 1e-6,
+      "no level-1 support must floor at pFloor")
+  }
 }
