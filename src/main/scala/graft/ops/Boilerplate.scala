@@ -95,10 +95,11 @@ object Boilerplate {
       s"stripFrequentLines reassembles by '$idCol' when the frequent " +
         s"set exceeds ${Guards.MaxBroadcastKeysConf}; the input frame " +
         s"has no such column (${docs.columns.mkString(", ")})")
-    // localCheckpoint, not persist: CacheManager holds pinned frames
-    // until an explicit unpersist; checkpoint blocks are reclaimed by
-    // ContextCleaner once the result is dropped (see Guards scaladoc).
-    val freq = frequentFps(docs, minDocs, textCol).localCheckpoint()
+    // Guards.pin, not persist: CacheManager holds pinned frames until
+    // an explicit unpersist; checkpoint blocks are reclaimed by
+    // ContextCleaner once the result is dropped. Pin mode (reliable vs
+    // local checkpoint, and the executor-loss caveat) — Guards scaladoc.
+    val freq = Guards.pin(frequentFps(docs, minDocs, textCol))
     if (freq.count() <= Guards.maxBroadcastKeys(docs)) {
       // one-row sorted index, broadcast back against the corpus without
       // ever collecting it
@@ -250,9 +251,9 @@ object Boilerplate {
       .filter(length(trim(col("_l"))) > 0)
       .select(GraftFunctions.fingerprint64(col("_l")).as("_fp"))
     val batchFps = unitFps(incoming).distinct()
-    val seen = Guards.semiJoinSized(unitFps(corpus), batchFps, Seq("_fp"))
-      .distinct()
-      .localCheckpoint() // not persist — see Guards scaladoc
+    val seen = Guards.pin( // not persist — see Guards scaladoc
+      Guards.semiJoinSized(unitFps(corpus), batchFps, Seq("_fp"))
+        .distinct())
     if (seen.count() <= Guards.maxBroadcastKeys(incoming)) {
       val index = seen.agg(sort_array(collect_list(col("_fp"))).as("_idx"))
       stripAgainst(incoming.crossJoin(broadcast(index)), col("_idx"),

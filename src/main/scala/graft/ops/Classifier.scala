@@ -185,40 +185,21 @@ object Classifier {
     df.withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
   }
 
-  /** Exact ROC-AUC of a score against a boolean label — the evaluation
-    * half the trained filters ([[trainNaiveBayes]], [[trainLogistic]],
-    * the [[graft.ops.Quality]] signals) need before a threshold goes to
-    * production: AUC is the Mann–Whitney U statistic,
-    *
-    *   AUC = (Σ_{positives} avgrank − n₊(n₊+1)/2) / (n₊ · n₋)
-    *
-    * with AVERAGE ranks over tied scores (the sklearn/standard
-    * convention — integer-valued scores tie heavily, and midrank is
-    * what makes the estimate unbiased under ties). One row out:
-    * (n_pos, n_neg, auc).
-    *
-    * Scale shape — no corpus-wide rank window: ranks derive from the
-    * DISTINCT-score count frame exactly as in
-    * [[Quality.domainNormalizedScore]] (cumulative window over count
-    * classes, ≪ corpus; avgrank of a class = rows-before + (n+1)/2),
-    * then one global fold of class-level sums. CAVEAT: the class frame
-    * is small only when scores actually tie — integer/rounded scores
-    * do; a CONTINUOUS score makes every row its own class and the
-    * class window corpus-sized. Round or bucket continuous scores
-    * first (`round(score, 6)` changes AUC by at most the mass within
-    * 1e-6 score bands). Degenerate inputs (no positives or no
-    * negatives) yield a null AUC, not a division error. */
   /** Binned calibration (reliability-diagram) report for a
-    * probability-valued score: per bin `floor(p·bins)` (p = 1.0
-    * clamped into the top bin), the doc count, mean predicted
-    * probability and empirical positive rate — the table that says
-    * whether a quality filter's 0.9 means 90%. One groupBy on the bin
-    * key; output is ≤ `bins` rows. */
+    * probability-valued score: per bin `floor(p·bins)` — out-of-range
+    * scores are clamped into the edge bins (p ≥ 1.0 into `bins−1`,
+    * p < 0 into 0), since the score column is caller-supplied and a
+    * slightly-out-of-range probability should land in the nearest bin
+    * rather than mint surprise negative bin ids. Per bin: the doc
+    * count, mean predicted probability and empirical positive rate —
+    * the table that says whether a quality filter's 0.9 means 90%. One
+    * groupBy on the bin key; output is ≤ `bins` rows. */
   def calibrationReport(df: DataFrame, score: Column, label: Column,
       bins: Int = 10): DataFrame = {
     require(bins >= 1, s"bins=$bins")
     val p = score.cast("double")
-    val bin = least(floor(p * bins).cast("int"), lit(bins - 1))
+    val bin = greatest(lit(0),
+      least(floor(p * bins).cast("int"), lit(bins - 1)))
     df.select(bin.as("bin"), p.as("_p"),
         label.cast("boolean").cast("int").as("_y"))
       .groupBy(col("bin"))
@@ -245,6 +226,29 @@ object Classifier {
         .as("log_loss"))
   }
 
+  /** Exact ROC-AUC of a score against a boolean label — the evaluation
+    * half the trained filters ([[trainNaiveBayes]], [[trainLogistic]],
+    * the [[graft.ops.Quality]] signals) need before a threshold goes to
+    * production: AUC is the Mann–Whitney U statistic,
+    *
+    *   AUC = (Σ_{positives} avgrank − n₊(n₊+1)/2) / (n₊ · n₋)
+    *
+    * with AVERAGE ranks over tied scores (the sklearn/standard
+    * convention — integer-valued scores tie heavily, and midrank is
+    * what makes the estimate unbiased under ties). One row out:
+    * (n_pos, n_neg, auc).
+    *
+    * Scale shape — no corpus-wide rank window: ranks derive from the
+    * DISTINCT-score count frame exactly as in
+    * [[Quality.domainNormalizedScore]] (cumulative window over count
+    * classes, ≪ corpus; avgrank of a class = rows-before + (n+1)/2),
+    * then one global fold of class-level sums. CAVEAT: the class frame
+    * is small only when scores actually tie — integer/rounded scores
+    * do; a CONTINUOUS score makes every row its own class and the
+    * class window corpus-sized. Round or bucket continuous scores
+    * first (`round(score, 6)` changes AUC by at most the mass within
+    * 1e-6 score bands). Degenerate inputs (no positives or no
+    * negatives) yield a null AUC, not a division error. */
   def aucReport(df: DataFrame, score: Column, label: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val classes = df.select(score.as("_s"),

@@ -859,10 +859,18 @@ object Dedup {
     * an external labeling); docs absent from it are singletons and kept.
     *
     * Returns every input row + `component` (null for singletons) +
-    * `keep`. The winner is resolved in two component-keyed aggregates
-    * (max score, then min id among the maxima) rather than a
+    * `keep` (never null). The winner is resolved in two component-keyed
+    * aggregates (max score, then min id among the maxima) rather than a
     * max-by-struct trick, so ANY orderable score type works with a
     * deterministic total tie-break and no negation overflow edge.
+    * NULL scores lose to any non-null score (max ignores nulls); a
+    * cluster whose EVERY member scores null still keeps exactly one
+    * copy — the min-id member — because the winner match is null-safe
+    * (`_score <=> _best` with both null), not silently dropped. A
+    * clustered id with no row in `docs` contributes no keeper; its
+    * members present in `docs` get `keep = false`
+    * (`coalesce(..., false)`), never null, so `filter(col("keep"))`
+    * has a total, documented contract.
     * Scale: joins and aggregates are all keyed on id/component (8-byte
     * keys); document text never shuffles — `score` is evaluated
     * narrow, and only (id, component, score) triples move. */
@@ -873,14 +881,15 @@ object Dedup {
     val best = scored.groupBy(col("component"))
       .agg(max(col("_score")).as("_best"))
     val winners = scored.join(best, "component")
-      .filter(col("_score") === col("_best"))
+      .filter(col("_score") <=> col("_best"))
       .groupBy(col("component")).agg(min(col("_kid")).as("_keeper"))
     docs
       .join(clusters.select(col("id").as(idCol), col("component")),
         Seq(idCol), "left")
       .join(winners, Seq("component"), "left")
       .withColumn("keep",
-        col("component").isNull || col(idCol) === col("_keeper"))
+        coalesce(col("component").isNull || col(idCol) === col("_keeper"),
+          lit(false)))
       .drop("_keeper")
   }
 }

@@ -19,13 +19,38 @@ import org.apache.spark.sql.functions.broadcast
   * fingerprints); above it the same join runs as a shuffle anti-join —
   * identical answer, no driver-side materialization. The count is one
   * extra job over the (aggregated, key-sized) frame, never over the
-  * corpus. The frame is materialized ONCE via `localCheckpoint` (not
-  * `Dataset.persist`: that registers in `CacheManager`, which holds a
-  * strong reference until an explicit unpersist, so repeated pipeline
-  * calls would accumulate cached key frames for the session lifetime;
-  * localCheckpoint blocks live at the RDD layer, where ContextCleaner's
-  * weak-reference cleanup reclaims them once the result frame is
-  * garbage-collected — no release handle needed).
+  * corpus.
+  *
+  * == Pinning the key frame ([[pin]]) ==
+  *
+  * The frame is materialized ONCE for the count + join double use, via
+  * one of two mechanisms selected by `spark.graft.pin.mode`:
+  *
+  *  - `auto` (default): reliable `Dataset.checkpoint()` when the
+  *    SparkContext has a checkpoint directory configured, else
+  *    `localCheckpoint()`.
+  *  - `reliable`: always `checkpoint()`; fails fast if no checkpoint
+  *    directory is set.
+  *  - `local`: always `localCheckpoint()`.
+  *
+  * Why not `Dataset.persist`: persist registers in `CacheManager`,
+  * which holds a strong reference until an explicit unpersist, so
+  * repeated pipeline calls would accumulate cached key frames for the
+  * session lifetime; checkpoint blocks live at the RDD layer, where
+  * ContextCleaner's weak-reference cleanup reclaims them once the
+  * result frame is garbage-collected — no release handle needed.
+  *
+  * CAVEAT — `localCheckpoint` and executor loss: localCheckpoint
+  * truncates lineage and stores its blocks UNREPLICATED in
+  * executor-local storage. If an executor holding a block dies mid-
+  * pipeline (spot kill, dynamic-allocation decommission), the block is
+  * gone and the job fails irrecoverably — there is no replication and
+  * no recompute path. That is an acceptable local/ephemeral-cluster
+  * default, but on a cluster with preemptible executors or dynamic
+  * allocation, set a checkpoint directory
+  * (`sparkContext.setCheckpointDir`) — `auto` then switches every
+  * guarded pin to a reliable, FS-backed checkpoint that survives any
+  * executor loss — or force `spark.graft.pin.mode=reliable`.
   */
 object Guards {
 
@@ -35,18 +60,36 @@ object Guards {
   val MaxBroadcastKeysConf = "spark.graft.broadcast.maxKeys"
   val DefaultMaxBroadcastKeys: Long = 10000000L
 
+  /** How [[pin]] materializes a frame: `auto` | `reliable` | `local` —
+    * see the object scaladoc. */
+  val PinModeConf = "spark.graft.pin.mode"
+
   def maxBroadcastKeys(df: DataFrame): Long =
     df.sparkSession.conf.getOption(MaxBroadcastKeysConf)
       .map(_.toLong).getOrElse(DefaultMaxBroadcastKeys)
 
-  /** The key frame, materialized once for the count + join double use.
-    * localCheckpoint (MEMORY_AND_DISK), not persist — see the object
-    * scaladoc for why. Lineage truncation is acceptable here by
-    * construction: the frame is key-set-sized, and a lost block
-    * recomputes from the checkpoint blocks' replication, not the
-    * corpus. */
-  private def pinned(keys: DataFrame): DataFrame =
-    keys.localCheckpoint()
+  /** Materialize a small-by-construction frame once, for count + reuse,
+    * honoring `spark.graft.pin.mode` (see the object scaladoc for the
+    * mode table and the localCheckpoint executor-loss caveat). Eager in
+    * every mode. */
+  def pin(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val mode = df.sparkSession.conf.getOption(PinModeConf)
+      .getOrElse("auto")
+    mode match {
+      case "local" => df.localCheckpoint()
+      case "reliable" =>
+        require(sc.getCheckpointDir.isDefined,
+          s"$PinModeConf=reliable requires " +
+            "sparkContext.setCheckpointDir(...) to be configured")
+        df.checkpoint()
+      case "auto" =>
+        if (sc.getCheckpointDir.isDefined) df.checkpoint()
+        else df.localCheckpoint()
+      case other => throw new IllegalArgumentException(
+        s"$PinModeConf=$other (expected auto | reliable | local)")
+    }
+  }
 
   /** `left LEFT ANTI JOIN keys ON cols` — broadcast `keys` only when its
     * counted size is under the gate. Evaluates `keys` eagerly (the
@@ -54,7 +97,7 @@ object Guards {
     * aggregated key frame, so the count is key-set-sized. */
   def antiJoinSized(left: DataFrame, keys: DataFrame,
       cols: Seq[String]): DataFrame = {
-    val k = pinned(keys)
+    val k = pin(keys)
     if (k.count() <= maxBroadcastKeys(left))
       left.join(broadcast(k), cols, "left_anti")
     else left.join(k, cols, "left_anti")
@@ -64,7 +107,7 @@ object Guards {
     * a counted key frame. */
   def joinSized(left: DataFrame, keys: DataFrame,
       cols: Seq[String]): DataFrame = {
-    val k = pinned(keys)
+    val k = pin(keys)
     if (k.count() <= maxBroadcastKeys(left))
       left.join(broadcast(k), cols)
     else left.join(k, cols)
@@ -73,7 +116,7 @@ object Guards {
   /** LEFT SEMI twin. */
   def semiJoinSized(left: DataFrame, keys: DataFrame,
       cols: Seq[String]): DataFrame = {
-    val k = pinned(keys)
+    val k = pin(keys)
     if (k.count() <= maxBroadcastKeys(left))
       left.join(broadcast(k), cols, "left_semi")
     else left.join(k, cols, "left_semi")

@@ -280,7 +280,11 @@ object Quality {
     * (≪ corpus, the vocabCoverage precedent) and the result re-joins
     * on the (domain, score) key. Exactly percent_rank's value,
     * spec-asserted and oracle-checked against the engine-native window
-    * definition. */
+    * definition. NULL handling matches `percent_rank()` too: the
+    * re-join is null-SAFE (`<=>`) on both keys, so NULL-score rows are
+    * ranked first within their domain (Spark's nulls-first ascending
+    * order) rather than dropped, and a NULL domain is its own
+    * partition — exactly what the window operator would do. */
   def domainNormalizedScore(docs: DataFrame, score: Column,
       domainCol: String = "source"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -297,8 +301,11 @@ object Quality {
         when(col("_n") > 1,
           col("_less").cast("double") / (col("_n") - lit(1L)))
           .otherwise(lit(0.0)))
-      .select(col(domainCol), col("_s"), col("q_pct"))
-    s.join(ranked, Seq(domainCol, "_s")).drop("_s")
+      .select(col(domainCol).as("_rdom"), col("_s").as("_rs"),
+        col("q_pct"))
+    s.join(ranked,
+        col(domainCol) <=> col("_rdom") && col("_s") <=> col("_rs"))
+      .drop("_rdom", "_rs", "_s")
   }
 
   /** Per-rule removal rates over a corpus — one aggregate row: the

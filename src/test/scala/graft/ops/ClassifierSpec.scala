@@ -204,6 +204,15 @@ class ClassifierSpec extends AnyFunSuite {
     assert(out.size === 3)
   }
 
+  test("calibrationReport clamps out-of-range scores into the edge bins") {
+    import spark.implicits._
+    val df = Seq((-0.3, false), (0.01, true), (1.7, true)).toDF("p", "y")
+    val out = Classifier.calibrationReport(df, col("p"), col("y"), bins = 10)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out === Map(0 -> 2L, 9 -> 1L),
+      "p<0 clamps into bin 0 (no negative bin ids); p>1 into the top bin")
+  }
+
   test("scoreMetrics: hand-computed Brier and clipped log-loss") {
     import spark.implicits._
     val df = Seq((0.8, true), (0.4, false)).toDF("p", "y")

@@ -459,6 +459,26 @@ class DedupSpec extends AnyFunSuite {
     assert(out(5L) === ((Some(5L), true)), "one-member cluster keeps itself")
   }
 
+  test("keepBestInClusters: all-null-score cluster falls back to min-id keeper; keep is never null") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", None), (2L, "b", None), (3L, "c", None), // cluster 1: all null
+      (4L, "d", Some(9L)), (5L, "e", None))              // cluster 4: mixed
+      .toDF("doc_id", "text", "quality")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (99L, 77L)) // clustered id absent from docs
+      .toDF("id", "component")
+    val out = Dedup.keepBestInClusters(docs, clusters, col("quality"))
+    assert(out.filter(col("keep").isNull).count() === 0, "keep is total")
+    val got = out.select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> true, 5L -> false),
+      "all-null cluster keeps min id; null loses to any score")
+    // filter(keep) must retain one copy of EVERY cluster incl. all-null
+    assert(out.filter(col("keep")).count() === 2L)
+  }
+
   test("keepBestInClusters keeps exactly one member per cluster (property)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The pin-mode policy behind every sized join ([[Guards.pin]]):
+  * local checkpoint by default, reliable FS-backed checkpoint when a
+  * checkpoint directory exists (the executor-loss-safe cluster path),
+  * and a fail-fast when `reliable` is forced without a directory. */
+class GuardsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("pin: local default, reliable fail-fast, auto upgrades once a checkpoint dir exists") {
+    val df = Seq(1L, 2L, 3L).toDF("k")
+
+    // Phase 1 — no checkpoint dir configured yet.
+    assert(spark.sparkContext.getCheckpointDir.isEmpty,
+      "precondition: suite must not have set a checkpoint dir before this test")
+    assert(Guards.pin(df).collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L, 3L), "auto+no-dir (localCheckpoint) keeps the rows")
+    val ex = intercept[IllegalArgumentException] {
+      spark.conf.set(Guards.PinModeConf, "reliable")
+      try Guards.pin(df) finally spark.conf.unset(Guards.PinModeConf)
+    }
+    assert(ex.getMessage.contains("setCheckpointDir"),
+      "reliable without a dir must fail fast, not localCheckpoint silently")
+    val bad = intercept[IllegalArgumentException] {
+      spark.conf.set(Guards.PinModeConf, "bogus")
+      try Guards.pin(df) finally spark.conf.unset(Guards.PinModeConf)
+    }
+    assert(bad.getMessage.contains("bogus"))
+
+    // Phase 2 — with a checkpoint dir, auto and reliable both write
+    // FS-backed checkpoints (survives executor loss; Guards scaladoc).
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      def fsEntries(): Long = {
+        val s = java.nio.file.Files.walk(dir)
+        try s.filter(java.nio.file.Files.isRegularFile(_)).count()
+        finally s.close()
+      }
+      val before = fsEntries()
+      assert(Guards.pin(df).count() === 3L)
+      assert(fsEntries() > before,
+        "auto with a checkpoint dir must write a reliable checkpoint")
+      spark.conf.set(Guards.PinModeConf, "reliable")
+      try assert(Guards.pin(df).count() === 3L)
+      finally spark.conf.unset(Guards.PinModeConf)
+      // the sized joins still answer identically through the pin
+      val left = Seq(1L, 2L, 3L, 4L).toDF("k")
+      assert(Guards.antiJoinSized(left, df, Seq("k"))
+        .collect().map(_.getLong(0)).toSeq === Seq(4L))
+    } finally {
+      // The shared SparkContext cannot UNSET a checkpoint dir; pin the
+      // rest of the suite back to the pre-test local behavior so this
+      // test's ordering doesn't change other suites' physical plans.
+      spark.conf.set(Guards.PinModeConf, "local")
+    }
+  }
+}

@@ -166,6 +166,28 @@ class QualitySpec extends AnyFunSuite {
     assert(got(4L) === 1.0)
   }
 
+  test("domainNormalizedScore: NULL scores and NULL domains rank like percent_rank, not dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Seq(
+      ("a", 1L, Some(10L)), ("a", 2L, None), ("a", 3L, None),
+      ("a", 4L, Some(40L)),
+      (null, 5L, Some(3L)), (null, 6L, Some(9L))) // null domain partition
+      .toDF("source", "doc_id", "score")
+    val out = Quality.domainNormalizedScore(docs, col("score"))
+    assert(out.count() === 6L, "null-score/null-domain rows must survive")
+    val got = out.select("doc_id", "q_pct").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val native = docs.withColumn("q_pct",
+        percent_rank().over(Window.partitionBy("source").orderBy("score")))
+      .select("doc_id", "q_pct").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === native,
+      "null keys must re-join null-safely and rank nulls-first")
+    assert(got(2L) === 0.0 && got(3L) === 0.0, "nulls rank first, tied")
+    assert(got(1L) === 2.0 / 3 && got(4L) === 1.0)
+  }
+
   test("domainNormalizedScore randomized parity with percent_rank") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
