@@ -64,7 +64,12 @@ object Bench {
     "q_screen_pipeline", "q_weighted_exact_n", "q_auc_report",
     "q_readability", "q_calibration", "q_collocations", "q_zipf",
     "q_encoding_artifacts", "q_dedup_within_doc", "q_cms_tokens",
-    "q_lm_kn3", "q_lm_kn3_serve")
+    "q_lm_kn3", "q_lm_kn3_serve",
+    // round-11 additions: topic tagging + mixture rollup, Moore–Lewis
+    // selection (two-model scoring pass), per-source dedup impact and
+    // trigram diversity, and margin pair mining over the embeddings
+    "q_topic_tag", "q_topic_mixture", "q_moore_lewis", "q_dedup_impact",
+    "q_ngram_diversity", "q_margin_mine", "q_pivot")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5227,8 +5227,195 @@ object PipelineQueries {
         .crossJoin(broadcast(bpeCert))
         .select(col("n_pages"), col("n_c4_kept"), col("n_gopher_pass"),
           col("ok_bpe_lossless"), col("ok_bpe_compress"))
+    },
+
+    // ------------------------------------------- round-11 operators
+
+    // Keyword-taxonomy topic tagging: per-doc dominant topic by seed-
+    // keyword occurrences (earlier topic wins ties; zero hits → other).
+    // Narrow codegen'd projection — zero shuffles, taxonomy is a plan
+    // literal. The oracle re-derives every per-topic score and the
+    // fixed-priority argmax in DuckDB lambda land.
+    q("q_topic_tag",
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks FROM documents),
+        |s AS (SELECT doc_id, len(toks) AS n_tokens,
+        |  len(list_filter(toks, t -> list_contains(
+        |    ['table','row','column','part','key'], t))) AS s_storage,
+        |  len(list_filter(toks, t -> list_contains(
+        |    ['scan','filter','join','agg','sort','merge','hash'], t))) AS s_exec,
+        |  len(list_filter(toks, t -> list_contains(
+        |    ['stream','batch','window'], t))) AS s_stream
+        |  FROM d)
+        |SELECT doc_id, n_tokens,
+        |  CASE WHEN s_storage = 0 AND s_exec = 0 AND s_stream = 0 THEN 'other'
+        |       WHEN s_storage >= s_exec AND s_storage >= s_stream THEN 'storage'
+        |       WHEN s_exec >= s_stream THEN 'exec'
+        |       ELSE 'streaming' END AS topic,
+        |  greatest(s_storage, s_exec, s_stream) AS topic_score
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Topics.tagTopics(t(s, dir, "documents"), taxonomy)
+        .select(col("doc_id"), col("n_tokens"), col("topic"),
+          col("topic_score"))
+        .orderBy(col("doc_id"))
+    },
+
+    // The per-topic mixture rollup of the tagged corpus — doc/token
+    // counts and token share, the observed-distribution frame mixture
+    // planning consumes. ≤|topics|-key aggregate + broadcast total.
+    q("q_topic_mixture",
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks FROM documents),
+        |s AS (SELECT doc_id, len(toks) AS n_tokens,
+        |  len(list_filter(toks, t -> list_contains(
+        |    ['table','row','column','part','key'], t))) AS s_storage,
+        |  len(list_filter(toks, t -> list_contains(
+        |    ['scan','filter','join','agg','sort','merge','hash'], t))) AS s_exec,
+        |  len(list_filter(toks, t -> list_contains(
+        |    ['stream','batch','window'], t))) AS s_stream
+        |  FROM d),
+        |tagged AS (SELECT n_tokens,
+        |  CASE WHEN s_storage = 0 AND s_exec = 0 AND s_stream = 0 THEN 'other'
+        |       WHEN s_storage >= s_exec AND s_storage >= s_stream THEN 'storage'
+        |       WHEN s_exec >= s_stream THEN 'exec'
+        |       ELSE 'streaming' END AS topic FROM s),
+        |per AS (SELECT topic, count(*) AS n_docs,
+        |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM tagged
+        |        GROUP BY topic)
+        |SELECT topic, n_docs, n_tokens,
+        |  round(n_tokens / (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM per), 6)
+        |    AS token_share
+        |FROM per ORDER BY topic""".stripMargin) { (s, dir) =>
+      graft.ops.Topics.topicMixtureReport(
+          graft.ops.Topics.tagTopics(t(s, dir, "documents"), taxonomy))
+        .select(col("topic"), col("n_docs"), col("n_tokens"),
+          col("token_share"))
+        .orderBy(col("topic"))
+    },
+
+    // Moore–Lewis cross-entropy difference selection (Moore & Lewis,
+    // ACL 2010): ml_delta = nll under the general-corpus unigram LM
+    // minus nll under the in-domain (lang='en') LM; higher = more
+    // in-domain. The oracle recomputes both models, both totals, the
+    // shared minCount floor and the OOV fallback per token.
+    q("q_moore_lewis",
+      """WITH tk AS (SELECT doc_id, lang,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+        |  FROM documents),
+        |tok AS (SELECT doc_id, lang, token FROM tk WHERE token <> ''),
+        |tm AS (SELECT token, count(*) AS tcnt FROM tok WHERE lang = 'en'
+        |       GROUP BY token HAVING count(*) >= 2),
+        |gm AS (SELECT token, count(*) AS gcnt FROM tok
+        |       GROUP BY token HAVING count(*) >= 2),
+        |tt AS (SELECT count(*) AS ttot FROM tok WHERE lang = 'en'),
+        |gt AS (SELECT count(*) AS gtot FROM tok)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  round(avg(
+        |    -ln(CAST(coalesce(gm.gcnt, 1) AS DOUBLE) / CAST(gt.gtot AS DOUBLE))
+        |    + ln(CAST(coalesce(tm.tcnt, 1) AS DOUBLE) / CAST(tt.ttot AS DOUBLE))
+        |  ), 4) AS ml_delta
+        |FROM tok t LEFT JOIN tm ON t.token = tm.token
+        |LEFT JOIN gm ON t.token = gm.token
+        |CROSS JOIN tt CROSS JOIN gt
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ops.LangModel.mooreLewisScore(docs,
+          target = docs.filter(col("lang") === "en"), general = docs,
+          minCount = 2L)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("ml_delta"), 4).as("ml_delta"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Dedup-impact sizing table: what global exact dedup saves, per
+    // source — doc/unique counts, global min-id keepers, token totals
+    // before/after, savings fraction. Keeper set travels as 8-byte
+    // fingerprints; the oracle derives keepers from min(doc_id) over
+    // the raw text.
+    q("q_dedup_impact",
+      """WITH d AS (SELECT doc_id, source, text,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                    t -> t <> '')) AS ntok FROM documents),
+        |k AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY text)
+        |SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT text) AS n_unique_texts,
+        |  CAST(sum(CASE WHEN doc_id IN (SELECT keep_id FROM k)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(ntok) AS BIGINT) AS tokens_total,
+        |  CAST(sum(CASE WHEN doc_id IN (SELECT keep_id FROM k)
+        |           THEN ntok ELSE 0 END) AS BIGINT) AS tokens_kept,
+        |  round(1.0 - sum(CASE WHEN doc_id IN (SELECT keep_id FROM k)
+        |                  THEN ntok ELSE 0 END)
+        |        / CAST(sum(ntok) AS DOUBLE), 6) AS token_savings_frac
+        |FROM d GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.ops.Reports.dedupImpactReport(t(s, dir, "documents"))
+        .orderBy(col("source"))
+    },
+
+    // Token-trigram diversity per source (distinct-n): total grams,
+    // distinct grams, ratio. Grams shuffle as 64-bit fingerprints
+    // (string distinct in the oracle — the corpusReport fp convention).
+    q("q_ngram_diversity",
+      """WITH d AS (SELECT source,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks FROM documents),
+        |g AS (SELECT source,
+        |    toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] AS gram
+        |  FROM d, unnest(generate_series(1, len(toks) - 2)) AS t(pos)
+        |  WHERE len(toks) >= 3)
+        |SELECT source, count(*) AS n_grams,
+        |  count(DISTINCT gram) AS n_distinct,
+        |  round(count(DISTINCT gram) / CAST(count(*) AS DOUBLE), 6)
+        |    AS distinct_ratio
+        |FROM g GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.ops.Quality.ngramDiversity(t(s, dir, "documents"), n = 3)
+        .orderBy(col("source"))
+    },
+
+    // Margin-based pair mining (Artetxe & Schwenk 2019 ratio margin):
+    // populations A = label<2, B = label>=8; per a the best-margin b at
+    // margin ≥ 1.0. The oracle rebuilds both top-k neighborhood means
+    // and the margin argmax over the same cross product.
+    q("q_margin_mine",
+      """WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+        |              FROM embeddings),
+        |a AS (SELECT vec_id AS a_id, emb AS aemb FROM base WHERE label < 2),
+        |b AS (SELECT vec_id AS b_id, emb AS bemb FROM base WHERE label >= 8),
+        |sims AS (SELECT a_id, b_id,
+        |    list_cosine_similarity(aemb, bemb) AS sim
+        |  FROM a CROSS JOIN b),
+        |ka AS (SELECT a_id, avg(sim) AS ka FROM (
+        |    SELECT a_id, sim, row_number() OVER (
+        |      PARTITION BY a_id ORDER BY sim DESC, b_id) AS rk FROM sims)
+        |  WHERE rk <= 4 GROUP BY a_id),
+        |kb AS (SELECT b_id, avg(sim) AS kb FROM (
+        |    SELECT b_id, sim, row_number() OVER (
+        |      PARTITION BY b_id ORDER BY sim DESC, a_id) AS rk FROM sims)
+        |  WHERE rk <= 4 GROUP BY b_id),
+        |m AS (SELECT s.a_id, s.b_id, s.sim,
+        |    s.sim / ((ka.ka + kb.kb) / 2) AS margin
+        |  FROM sims s JOIN ka USING (a_id) JOIN kb USING (b_id)),
+        |best AS (SELECT a_id, b_id, sim, margin, row_number() OVER (
+        |    PARTITION BY a_id ORDER BY margin DESC, b_id) AS rk FROM m)
+        |SELECT a_id, b_id, round(sim, 6) AS sim, round(margin, 6) AS margin
+        |FROM best WHERE rk = 1 AND margin >= 1.0
+        |ORDER BY a_id""".stripMargin) { (s, dir) =>
+      Similarity.marginMine(t(s, dir, "embeddings"),
+          predA = col("label") < 2, predB = col("label") >= 8,
+          k = 4, minMargin = 1.0)
+        .orderBy(col("a_id"))
     }
   )
+
+  /** The shared demo taxonomy for q_topic_tag / q_topic_mixture — seed
+    * keywords over the synthetic vocabulary, priority order = list
+    * order. */
+  private val taxonomy: Seq[(String, Seq[String])] = Seq(
+    "storage" -> Seq("table", "row", "column", "part", "key"),
+    "exec" -> Seq("scan", "filter", "join", "agg", "sort", "merge", "hash"),
+    "streaming" -> Seq("stream", "batch", "window"))
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.name -> d.fn).toMap

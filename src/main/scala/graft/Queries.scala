@@ -295,6 +295,57 @@ object Queries {
         .orderBy(col("rf"), col("ls"))
     },
 
+    // Pivot: wide reshape. The pivot VALUES are passed explicitly —
+    // Spark's value-less pivot() runs an extra collect-distinct job over
+    // the corpus to discover them, which at 100 TB is a full scan spent
+    // on schema inference. With literals the plan is the two-phase
+    // pivot: a (group, pivot-key) partial+final aggregate over the
+    // corpus, then the pivot-first reshape over the ALREADY-aggregated
+    // tiny frame — the reshape never sees corpus rows.
+    q("q_pivot",
+      """SELECT o_orderpriority,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS f_total,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS o_total,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS p_total
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice")), 2))
+        .withColumnsRenamed(Map(
+          "F" -> "f_total", "O" -> "o_total", "P" -> "p_total"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Unpivot (melt): the inverse reshape via Dataset.unpivot — long
+    // format back out of the wide frame. Narrow (each input row expands
+    // to |value columns| rows in place, no shuffle beyond the pivot's).
+    q("q_unpivot",
+      """WITH p AS (SELECT o_orderpriority,
+        |    round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS f_total,
+        |    round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS o_total,
+        |    round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS p_total
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, status_col, total FROM (
+        |  SELECT o_orderpriority, 'f_total' AS status_col, f_total AS total FROM p
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'o_total', o_total FROM p
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'p_total', p_total FROM p)
+        |ORDER BY o_orderpriority, status_col""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice")), 2))
+        .withColumnsRenamed(Map(
+          "F" -> "f_total", "O" -> "o_total", "P" -> "p_total"))
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("f_total"), col("o_total"), col("p_total")),
+          "status_col", "total")
+        .orderBy(col("o_orderpriority"), col("status_col"))
+    },
+
     // §2.2 UDAFs: variance / stddev / corr / covar family
     q("q_agg_stats",
       """SELECT l_returnflag,

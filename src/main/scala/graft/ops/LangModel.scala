@@ -71,6 +71,48 @@ object LangModel {
       .agg(count(lit(1)).as("n_tokens"), avg(col("_nll")).as("nll"))
   }
 
+  /** Moore–Lewis cross-entropy difference selection (Moore & Lewis,
+    * ACL 2010 — "Intelligent Selection of Language Model Training
+    * Data"): score each candidate document by
+    *
+    *   ml_delta(d) = nll_general(d) − nll_target(d)
+    *
+    * under two unigram models, one fit on the in-domain `target`
+    * corpus, one on the `general` corpus. HIGHER delta = the general
+    * LM is more surprised than the in-domain LM = the document looks
+    * like the target domain; selection is then a threshold/top-quota
+    * over `ml_delta` ([[Sampling]] composes). Both models share this
+    * file's tokenizer, `minCount` floor and OOV convention, so the
+    * delta is exactly the difference of two [[perplexityScore]]s.
+    *
+    * Returns (doc_id, n_tokens, ml_delta). Scale shape: two fit passes
+    * (one per model corpus, token-keyed wordcount shuffles), then ONE
+    * pass over the candidate tokens with two vocab-keyed joins — the
+    * vocabulary is never collected to the driver, and the model joins
+    * are UNHINTED equi-joins (size-based broadcast only when a vocab is
+    * genuinely small; shuffle joins otherwise); the only forced
+    * broadcast is the two-column token-total row. */
+  def mooreLewisScore(docs: DataFrame, target: DataFrame,
+      general: DataFrame, minCount: Long = 2L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tgtToks = Relevance.tokens(target, idCol, textCol)
+    val genToks = Relevance.tokens(general, idCol, textCol)
+    def model(tk: DataFrame, cntName: String) =
+      tk.groupBy(col("token")).agg(count(lit(1)).as(cntName))
+        .filter(col(cntName) >= minCount)
+    val totals = tgtToks.agg(count(lit(1)).as("_ttot"))
+      .crossJoin(genToks.agg(count(lit(1)).as("_gtot")))
+    Relevance.tokens(docs, idCol, textCol)
+      .join(model(tgtToks, "_tcnt"), Seq("token"), "left")
+      .join(model(genToks, "_gcnt"), Seq("token"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        (nllOf(col("_gcnt"), col("_gtot")) -
+          nllOf(col("_tcnt"), col("_ttot"))).as("_d"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), avg(col("_d")).as("ml_delta"))
+  }
+
   /** CCNet-style line-level perplexity filter (Wenzek et al., LREC
     * 2020 — CCNet scores and drops PARAGRAPHS by LM perplexity, not
     * whole documents): every line is scored by mean token NLL under

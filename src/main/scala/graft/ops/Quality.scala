@@ -308,6 +308,57 @@ object Quality {
       .drop("_rdom", "_rs", "_s")
   }
 
+  /** Token n-gram diversity per stratum — the corpus-level
+    * type/token view of repetitiveness (per-document repetition is
+    * [[repetitionFlags]]): total n-gram occurrences, DISTINCT n-grams,
+    * and their ratio. A stratum whose ratio collapses is template spam
+    * even when each individual page passes the per-doc rules; the
+    * distinct-n diversity metric of the text-generation literature
+    * applied source-by-source.
+    *
+    * Scale shape: grams are built narrow (token array → slice windows,
+    * all codegen'd HOFs) and travel as 64-bit fingerprints, never as
+    * strings — the shuffle is (stratum, 8-byte fp) for the exact
+    * distinct. At 100 TB the exact countDistinct is still a full
+    * gram-fp shuffle; [[ngramDiversityApprox]] is the one-pass HLL
+    * twin (fixed-size sketches, shuffle ∝ strata·sketch) for when ±2%
+    * is fine. The fp-vs-string distinct parity is the
+    * [[Reports.corpusReport]] convention (collision odds negligible;
+    * the oracle counts distinct gram STRINGS and hash-matches). */
+  def ngramDiversity(docs: DataFrame, n: Int = 3,
+      stratumCol: String = "source", textCol: String = "text"): DataFrame =
+    gramFps(docs, n, stratumCol, textCol)
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("_gfp")).as("n_distinct"))
+      .withColumn("distinct_ratio",
+        round(col("n_distinct").cast("double") / col("n_grams"), 6))
+
+  /** HLL twin of [[ngramDiversity]] — `approx_count_distinct` at
+    * `rsd` relative error; sketch-sized shuffle instead of the full
+    * gram-fp distinct. Spec-checked against the exact twin. */
+  def ngramDiversityApprox(docs: DataFrame, n: Int = 3, rsd: Double = 0.02,
+      stratumCol: String = "source", textCol: String = "text"): DataFrame =
+    gramFps(docs, n, stratumCol, textCol)
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_grams"),
+        approx_count_distinct(col("_gfp"), rsd).as("n_distinct_approx"))
+      .withColumn("distinct_ratio_approx",
+        round(col("n_distinct_approx").cast("double") / col("n_grams"), 6))
+
+  private def gramFps(docs: DataFrame, n: Int, stratumCol: String,
+      textCol: String): DataFrame = {
+    require(n >= 1, s"n=$n")
+    val tk = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
+    docs.select(col(stratumCol),
+        explode(when(size(tk) >= n,
+          transform(sequence(lit(0), size(tk) - n),
+            i => concat_ws(" ", slice(tk, i + lit(1), lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("_g"))
+      .select(col(stratumCol),
+        graft.functions.GraftFunctions.fingerprint64(col("_g")).as("_gfp"))
+  }
+
   /** Per-rule removal rates over a corpus — one aggregate row: the
     * rule-attribution audit (which rule is doing the cutting?). */
   def gopherReport(docs: DataFrame, textCol: String = "text"): DataFrame = {

@@ -35,4 +35,40 @@ object Reports {
         sum(when(col("_nt") < shortTokens, 1).otherwise(0)).cast("long")
           .as("n_short"))
   }
+
+  /** What GLOBAL exact dedup would save, attributed per stratum — the
+    * "is dedup worth a pass over this source" sizing table a curation
+    * run reads before committing to the full [[Dedup]] pipeline:
+    * per stratum the doc count, within-stratum distinct-text count, the
+    * number of docs that survive a global min-id-keeper exact dedup
+    * ([[Dedup.exact]] keep semantics — a text duplicated ACROSS
+    * strata keeps its one copy in the keeper's stratum), token totals
+    * before/after, and the token savings fraction.
+    *
+    * Scale shape: token counts are narrow scan-side expressions; the
+    * keeper set is [[Dedup.exact]]'s fingerprint-keyed aggregate
+    * (8-byte shuffles, text never moves) semi-joined back on the id;
+    * the rollup is one stratum-keyed partial aggregate. */
+  def dedupImpactReport(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", stratumCol: String = "source"): DataFrame = {
+    val nTok = size(filter(
+      split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= ""))
+    val base = docs.select(col(idCol), col(stratumCol),
+      nTok.as("_nt"),
+      GraftFunctions.fingerprint64(col(textCol)).as("_fp"))
+    val keepers = Dedup.exact(docs, idCol, textCol)
+      .select(col("keep_id").as(idCol), lit(1).as("_keep"))
+    base.join(keepers, Seq(idCol), "left")
+      .groupBy(col(stratumCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("_fp")).as("n_unique_texts"),
+        sum(coalesce(col("_keep"), lit(0))).cast("long").as("n_kept"),
+        sum(col("_nt")).cast("long").as("tokens_total"),
+        sum(when(col("_keep").isNotNull, col("_nt")).otherwise(0))
+          .cast("long").as("tokens_kept"))
+      .withColumn("token_savings_frac",
+        round(lit(1.0) - col("tokens_kept").cast("double") /
+          col("tokens_total"), 6))
+  }
 }

@@ -86,6 +86,65 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("sim"), col("rk"))
   }
 
+  /** Margin-based pair mining (Artetxe & Schwenk, ACL 2019 —
+    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings"; the CCMatrix/LASER bitext-mining criterion): for two
+    * embedding populations A (`predA`) and B (`predB`), score every
+    * cross pair by the RATIO margin
+    *
+    *   margin(a,b) = cos(a,b) / ((avgTopK(a→B) + avgTopK(b→A)) / 2)
+    *
+    * — raw cosine normalized by how crowded each endpoint's
+    * neighborhood is, which kills hub vectors that are "close to
+    * everything" — and emit each a's best-margin partner at
+    * `margin ≥ minMargin`. The alignment-mining primitive for bitext,
+    * caption↔image retrieval pairs, and cross-corpus doc linking.
+    *
+    * Output: (a_id, b_id, sim, margin), one row per kept a.
+    *
+    * Scale shape: this is the BRUTE twin (|A|×|B| pair scores, the
+    * smaller side broadcast; the product recomputes per consumer
+    * rather than pinning a corpus-sized frame). The neighborhood
+    * averages and the argmax partition per endpoint id, so state per
+    * window is top-k-bounded. At web scale, mine over
+    * [[IvfIndex]]/[[lshCandidatePairs]] candidates instead of the
+    * cross product — the margin algebra downstream is unchanged. */
+  def marginMine(embs: DataFrame, predA: Column, predB: Column,
+      k: Int = 4, minMargin: Double = 1.0): DataFrame = {
+    val base = embs.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    val a = base.filter(predA).select(col("vec_id").as("a_id"),
+      col("emb").as("aemb"), col("nrm").as("anrm"))
+    val b = base.filter(predB).select(col("vec_id").as("b_id"),
+      col("emb").as("bemb"), col("nrm").as("bnrm"))
+    val sims = a.crossJoin(broadcast(b))
+      .select(col("a_id"), col("b_id"),
+        (dot(col("aemb"), col("bemb")) / (col("anrm") * col("bnrm")))
+          .as("sim_raw"))
+    // neighborhood means over the top-k RAW sims (rounding only at the
+    // output, the cosineNearDupPairs convention)
+    val wa = Window.partitionBy(col("a_id"))
+      .orderBy(col("sim_raw").desc, col("b_id"))
+    val wb = Window.partitionBy(col("b_id"))
+      .orderBy(col("sim_raw").desc, col("a_id"))
+    val ka = sims.withColumn("_rk", row_number().over(wa))
+      .filter(col("_rk") <= k).groupBy(col("a_id"))
+      .agg(avg(col("sim_raw")).as("_ka"))
+    val kb = sims.withColumn("_rk", row_number().over(wb))
+      .filter(col("_rk") <= k).groupBy(col("b_id"))
+      .agg(avg(col("sim_raw")).as("_kb"))
+    val margins = sims.join(ka, "a_id").join(kb, "b_id")
+      .withColumn("margin_raw",
+        col("sim_raw") / ((col("_ka") + col("_kb")) / lit(2.0)))
+    val wbest = Window.partitionBy(col("a_id"))
+      .orderBy(col("margin_raw").desc, col("b_id"))
+    margins.withColumn("_rk", row_number().over(wbest))
+      .filter(col("_rk") === 1 && col("margin_raw") >= minMargin)
+      .select(col("a_id"), col("b_id"),
+        round(col("sim_raw"), 6).as("sim"),
+        round(col("margin_raw"), 6).as("margin"))
+  }
+
   /** All near-duplicate pairs by cosine ≥ threshold (brute-force; for the
     * scale path feed [[lshCandidatePairs]] into the same verifier). */
   def cosineNearDupPairs(embs: DataFrame, threshold: Double): DataFrame = {

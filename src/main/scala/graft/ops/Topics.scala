@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyword-taxonomy topic tagging — the lightweight corpus-organization
+  * step mixture planning needs before per-topic weights exist: assign
+  * each document the taxonomy topic whose seed-keyword occurrences
+  * dominate its token stream (the seed-lexicon flavor of web-corpus
+  * topic bucketing; the trained-classifier flavor is
+  * [[Classifier.trainNaiveBayes]] over these tags as weak labels).
+  *
+  * Scale shape: the taxonomy is a bounded plan literal (topics × seed
+  * keywords), so tagging is a NARROW projection — tokenize, count
+  * keyword hits per topic with codegen'd array higher-order functions,
+  * argmax across ≤|topics| columns. Zero shuffles, zero joins; the
+  * corpus is scanned once and the text never moves. For lexicons too
+  * large to inline (>10⁴ terms) use the sorted-literal binary-search
+  * precedent ([[graft.functions]] blocklist scan) instead.
+  */
+object Topics {
+
+  /** The shared tokenizer column (lowercased alnum runs — same contract
+    * as [[Relevance.tokens]], kept inline so the whole tag is one
+    * codegen'd projection). */
+  private def toks(textCol: String): Column =
+    filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Tag each document with its dominant taxonomy topic.
+    *
+    * `taxonomy` is an ordered list of (topic, seed keywords); a
+    * document's score for a topic is the number of token OCCURRENCES
+    * matching that topic's keywords (repeats count — a doc that says
+    * "stream" nine times is more about streaming than one that says it
+    * once). Ties break to the EARLIER topic in the list (deterministic,
+    * caller-controlled priority); documents with zero hits across every
+    * topic get `otherTopic`. Output: input row + `n_tokens`, `topic`,
+    * `topic_score`. */
+  def tagTopics(docs: DataFrame, taxonomy: Seq[(String, Seq[String])],
+      textCol: String = "text", otherTopic: String = "other"): DataFrame = {
+    require(taxonomy.nonEmpty, "taxonomy must name at least one topic")
+    val tk = toks(textCol)
+    val scored = taxonomy.map { case (name, kws) =>
+      name -> size(filter(tk, t => array_contains(typedLit(kws), t)))
+    }
+    val (n0, s0) = scored.head
+    val init = struct(lit(n0).as("t"), s0.as("s"))
+    val best = scored.tail.foldLeft(init) { case (acc, (name, s)) =>
+      // strict > keeps the earlier topic on ties
+      when(s > acc.getField("s"), struct(lit(name).as("t"), s.as("s")))
+        .otherwise(acc)
+    }
+    docs
+      .withColumn("n_tokens", coalesce(size(tk), lit(0)))
+      .withColumn("_best", best)
+      .withColumn("topic",
+        when(col("_best").getField("s") === 0, lit(otherTopic))
+          .otherwise(col("_best").getField("t")))
+      .withColumn("topic_score", col("_best").getField("s"))
+      .drop("_best")
+  }
+
+  /** The per-topic mixture view of a tagged corpus: document and token
+    * counts plus each topic's share of the corpus' tokens — the frame
+    * [[Sampling.mixturePlan]] takes as its observed distribution. One
+    * ≤|topics|-key aggregate plus a broadcast one-row total. */
+  def topicMixtureReport(tagged: DataFrame,
+      topicCol: String = "topic"): DataFrame = {
+    val per = tagged.groupBy(col(topicCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"))
+    val total = per.agg(sum(col("n_tokens")).as("_total"))
+    per.crossJoin(broadcast(total))
+      .withColumn("token_share",
+        round(col("n_tokens").cast("double") / col("_total"), 6))
+      .drop("_total")
+  }
+}

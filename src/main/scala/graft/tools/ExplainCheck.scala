@@ -266,6 +266,29 @@ object ExplainCheck {
       org.apache.spark.sql.functions.split(col("text"), "\\s+"))
     println(graft.ops.Packing.windowEfficiency(docs, weToks,
         Seq(64, 128, 256)).queryExecution.explainString(fmt))
+    // round-11 operators
+    println("########## op:Topics.tagTopics (pure narrow projection, zero Exchange)")
+    val tax = Seq("storage" -> Seq("table", "row", "column"),
+      "exec" -> Seq("scan", "filter", "join"))
+    println(graft.ops.Topics.tagTopics(docs, tax)
+      .queryExecution.explainString(fmt))
+    println("########## op:LangModel.mooreLewisScore (two vocab-keyed model joins, partial-agg per doc)")
+    println(graft.ops.LangModel.mooreLewisScore(docs,
+        docs.filter(col("lang") === "en"), docs)
+      .queryExecution.explainString(fmt))
+    println("########## op:Reports.dedupImpactReport (fp-keyed keeper semi-join, stratum rollup)")
+    println(graft.ops.Reports.dedupImpactReport(docs)
+      .queryExecution.explainString(fmt))
+    println("########## op:Quality.ngramDiversity (gram fingerprints shuffle, text never moves)")
+    println(graft.ops.Quality.ngramDiversity(docs)
+      .queryExecution.explainString(fmt))
+    println("########## op:Similarity.marginMine (broadcast B side, per-endpoint windows)")
+    println(graft.ops.Similarity.marginMine(embs,
+        col("label") < 2, col("label") >= 8)
+      .queryExecution.explainString(fmt))
+    println("########## q_pivot (literal pivot values: no discovery job; reshape over the pre-aggregated frame)")
+    println(graft.SparkEntry.queries("q_pivot")(spark, dir)
+      .queryExecution.explainString(fmt))
     spark.stop()
   }
 }

@@ -223,4 +223,28 @@ class LangModelSpec extends AnyFunSuite {
     assert(math.abs(ext(0).getDouble(2) - (-math.log(1e-10))) < 1e-6,
       "no level-1 support must floor at pFloor")
   }
+
+  test("mooreLewisScore: zero delta when target = general; hand-computed split") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "a a b"), (2L, "c c d d")).toDF("doc_id", "text")
+    // identical model corpora -> every token's two NLLs cancel exactly
+    val zero = LangModel.mooreLewisScore(docs, docs, docs, minCount = 1L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(zero.values.forall(d => math.abs(d) < 1e-12), s"got $zero")
+
+    // target = {"x x"}, general = {"x x", "y y y y y y"}:
+    //   target model: x cnt 2, total 2; general: x 2, y 6, total 8
+    val target = Seq((10L, "x x")).toDF("doc_id", "text")
+    val general = Seq((10L, "x x"), (11L, "y y y y y y"))
+      .toDF("doc_id", "text")
+    val score = LangModel.mooreLewisScore(
+        Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text"),
+        target, general, minCount = 1L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // doc 1 (in-domain "x"): -ln(2/8) + ln(2/2) = ln 4 > 0
+    assert(math.abs(score(1L) - math.log(4.0)) < 1e-12)
+    // doc 2 ("y" unseen in target -> OOV floor 1/2): -ln(6/8) + ln(1/2)
+    assert(math.abs(score(2L) - (-math.log(0.75) + math.log(0.5))) < 1e-12)
+    assert(score(1L) > score(2L), "in-domain text must out-rank")
+  }
 }

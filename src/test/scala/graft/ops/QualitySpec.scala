@@ -206,6 +206,40 @@ class QualitySpec extends AnyFunSuite {
       got.forall { case (k, v) => math.abs(native(k) - v) < 1e-12 })
   }
 
+  test("ngramDiversity: hand-computed trigram counts; short docs contribute nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "a b c a b c a b c"), // grams: 7 total, 3 distinct
+      ("s1", "a b c"),             // 1 gram, dup of an s1 gram
+      ("s1", "x y"),               // < 3 tokens -> no grams
+      ("s2", "p q r s"))           // 2 grams, both distinct
+      .toDF("source", "text")
+    val out = Quality.ngramDiversity(docs, n = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("distinct_ratio")))).toMap
+    assert(out("s1") === ((8L, 3L, 0.375)))
+    assert(out("s2") === ((2L, 2L, 1.0)))
+    assert(out.size === 2, "gram-less strata produce no row")
+  }
+
+  test("ngramDiversityApprox tracks the exact twin within HLL error") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (1 to 80).map { i =>
+      (s"s${i % 3}", (1 to 30).map(_ => s"w${rnd.nextInt(40)}").mkString(" "))
+    }.toDF("source", "text")
+    val exact = Quality.ngramDiversity(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Quality.ngramDiversityApprox(docs, rsd = 0.02)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (s, n) =>
+      assert(math.abs(approx(s) - n).toDouble / n < 0.1,
+        s"stratum $s: exact $n approx ${approx(s)}")
+    }
+  }
+
   test("readability: hand-computed counts and formulas; degenerate docs null") {
     import spark.implicits._
     val docs = Seq(

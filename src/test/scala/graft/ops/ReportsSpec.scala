@@ -21,4 +21,23 @@ class ReportsSpec extends AnyFunSuite {
     // s2: single one-token doc
     assert(m("s2") === ((1L, 1L, 1.0, 1L, 0L, 1L)))
   }
+
+  test("dedupImpactReport: cross-source duplicate keeps its copy in the keeper's source") {
+    val docs = Seq(
+      (1L, "s1", "one two three"),  // keeper of the tripled text
+      (2L, "s1", "one two three"),
+      (3L, "s2", "one two three"),  // s2's copy loses to s1's keeper
+      (4L, "s2", "unique text here"))
+      .toDF("doc_id", "source", "text")
+    val m = Reports.dedupImpactReport(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_unique_texts"),
+          r.getAs[Long]("n_kept"), r.getAs[Long]("tokens_total"),
+          r.getAs[Long]("tokens_kept"),
+          r.getAs[Double]("token_savings_frac")))).toMap
+    // s1: 2 docs, 1 distinct text, 1 global keeper, 6 -> 3 tokens
+    assert(m("s1") === ((2L, 1L, 1L, 6L, 3L, 0.5)))
+    // s2: 2 docs, 2 distinct texts, only doc 4 survives globally
+    assert(m("s2") === ((2L, 2L, 1L, 6L, 3L, 0.5)))
+  }
 }

@@ -229,6 +229,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("marginMine: brute-force margin on constructed vectors; hub vector suppressed") {
+    import graft.TestSpark.spark.implicits._
+    // A side: two axis-ish vectors; B side: a true match for each plus a
+    // HUB vector moderately close to everything. Raw cosine would pick
+    // the hub sometimes; the margin ratio must prefer the 1:1 partners.
+    val data = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 0),   // A
+      (2L, Array(0f, 1f, 0f, 0f), 0),   // A
+      (10L, Array(0.9f, 0.1f, 0f, 0f), 1), // B: partner of 1
+      (11L, Array(0.1f, 0.9f, 0f, 0f), 1), // B: partner of 2
+      (12L, Array(0.5f, 0.5f, 0.5f, 0.5f), 1)) // B: hub
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.marginMine(data, col("label") === 0,
+        col("label") === 1, k = 2, minMargin = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L)._1 === 10L, "margin must pick the exclusive partner")
+    assert(out(2L)._1 === 11L)
+    assert(out.values.forall(_._2 >= 1.0))
+
+    // driver-side recomputation of the exact margin for pair (1, 10)
+    val rowsM = data.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val bIds = Seq(10L, 11L, 12L); val aIds = Seq(1L, 2L)
+    def topkAvg(sims: Seq[Double], k: Int) =
+      sims.sorted.reverse.take(k).sum / k
+    val ka = topkAvg(bIds.map(b => cos(rowsM(1L), rowsM(b))), 2)
+    val kb = topkAvg(aIds.map(a => cos(rowsM(a), rowsM(10L))), 2)
+    val expected = cos(rowsM(1L), rowsM(10L)) / ((ka + kb) / 2)
+    assert(math.abs(out(1L)._2 - expected) < 1e-6)
+  }
+
   test("semanticDedup survivors = brute-force greedy min-id keeper") {
     val pairs = Similarity.semanticDedupPairs(embs, 64, 6, 0.3)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))

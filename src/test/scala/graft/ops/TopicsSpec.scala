@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TopicsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val tax = Seq(
+    "animals" -> Seq("cat", "dog"),
+    "fruit" -> Seq("apple", "pear"),
+    "tools" -> Seq("hammer"))
+
+  test("tagTopics: occurrence argmax, list-order tie priority, other fallback") {
+    val docs = Seq(
+      (1L, "cat cat apple"),        // animals 2 > fruit 1
+      (2L, "apple pear dog"),       // fruit 2 > animals 1
+      (3L, "cat apple"),            // tie 1-1 -> earlier topic wins
+      (4L, "nothing matches here"), // zero hits -> other
+      (5L, "Hammer! hammer, dog"),  // case/punct-insensitive: tools 2
+      (6L, ""))                     // empty text -> other, 0 tokens
+      .toDF("doc_id", "text")
+    val out = Topics.tagTopics(docs, tax)
+      .select("doc_id", "topic", "topic_score", "n_tokens").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(out(1L) === (("animals", 2, 3)))
+    assert(out(2L) === (("fruit", 2, 3)))
+    assert(out(3L) === (("animals", 1, 2)), "ties break to the earlier topic")
+    assert(out(4L) === (("other", 0, 3)))
+    assert(out(5L) === (("tools", 2, 3)))
+    assert(out(6L) === (("other", 0, 0)))
+  }
+
+  test("tagTopics is a narrow projection: zero exchanges in the plan") {
+    val docs = Seq((1L, "cat")).toDF("doc_id", "text")
+    val plan = Topics.tagTopics(docs, tax)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"tagging must not shuffle; plan:\n$plan")
+  }
+
+  test("topicMixtureReport: hand-computed shares sum to 1") {
+    val docs = Seq(
+      (1L, "cat cat cat cat"), (2L, "apple pear"), (3L, "dog dog"))
+      .toDF("doc_id", "text")
+    val out = Topics.topicMixtureReport(Topics.tagTopics(docs, tax))
+      .collect().map(r => r.getAs[String]("topic") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("token_share")))).toMap
+    assert(out("animals") === ((2L, 6L, 0.75)))
+    assert(out("fruit") === ((1L, 2L, 0.25)))
+    assert(out.values.map(_._3).sum === 1.0)
+  }
+}
