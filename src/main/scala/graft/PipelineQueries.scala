@@ -5406,6 +5406,151 @@ object PipelineQueries {
           predA = col("label") < 2, predB = col("label") >= 8,
           k = 4, minMargin = 1.0)
         .orderBy(col("a_id"))
+    },
+
+    // Moore–Lewis SERVING split: fit on the even half (target = its
+    // English docs), persist via saveML snapshot tables, reload, score
+    // the odd half — the fit-once-score-for-weeks lifecycle
+    // (q_lm_kn_persist precedent). The oracle recomputes both models
+    // over the even half and every odd doc's delta.
+    q("q_moore_lewis_serve",
+      """WITH tk AS (SELECT doc_id, lang,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+        |  FROM documents),
+        |tok AS (SELECT doc_id, lang, token FROM tk WHERE token <> ''),
+        |tm AS (SELECT token, count(*) AS tcnt FROM tok
+        |       WHERE doc_id % 2 = 0 AND lang = 'en'
+        |       GROUP BY token HAVING count(*) >= 2),
+        |gm AS (SELECT token, count(*) AS gcnt FROM tok WHERE doc_id % 2 = 0
+        |       GROUP BY token HAVING count(*) >= 2),
+        |tt AS (SELECT count(*) AS ttot FROM tok
+        |       WHERE doc_id % 2 = 0 AND lang = 'en'),
+        |gt AS (SELECT count(*) AS gtot FROM tok WHERE doc_id % 2 = 0)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  round(avg(
+        |    -ln(CAST(coalesce(gm.gcnt, 1) AS DOUBLE) / CAST(gt.gtot AS DOUBLE))
+        |    + ln(CAST(coalesce(tm.tcnt, 1) AS DOUBLE) / CAST(tt.ttot AS DOUBLE))
+        |  ), 4) AS ml_delta
+        |FROM tok t LEFT JOIN tm ON t.token = tm.token
+        |LEFT JOIN gm ON t.token = gm.token
+        |CROSS JOIN tt CROSS JOIN gt
+        |WHERE t.doc_id % 2 = 1
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_ml_model_${math.abs(dir.hashCode)}").toString
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true): Unit
+      val docs = t(s, dir, "documents")
+      val even = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      graft.ops.LangModel.saveML(s, graft.ops.LangModel.fitML(
+        even.filter(col("lang") === "en"), even), tmp)
+      graft.ops.LangModel.scoreAgainstModelML(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          graft.ops.LangModel.loadML(s, tmp))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("ml_delta"), 4).as("ml_delta"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Corpus version diff: old = docs except id%7=1 ("added" later),
+    // new = docs except id%7=2 ("removed"), with id%5=0 texts edited in
+    // the new version. The oracle rebuilds both versions and the full
+    // outer id-join accounting (added/removed/modified/unchanged +
+    // token delta) per source.
+    q("q_corpus_diff",
+      """WITH oldv AS (SELECT doc_id, source, text FROM documents
+        |              WHERE doc_id % 7 <> 1),
+        |newv AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' edit' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 2),
+        |o AS (SELECT doc_id, source AS o_src, text AS o_text,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |        t -> t <> '')) AS o_nt FROM oldv),
+        |n AS (SELECT doc_id, source AS n_src, text AS n_text,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |        t -> t <> '')) AS n_nt FROM newv),
+        |j AS (SELECT coalesce(n_src, o_src) AS source, o_text, n_text,
+        |        coalesce(o_nt, 0) AS o_nt, coalesce(n_nt, 0) AS n_nt
+        |      FROM o FULL OUTER JOIN n USING (doc_id))
+        |SELECT source,
+        |  CAST(sum(CASE WHEN o_text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_added,
+        |  CAST(sum(CASE WHEN n_text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(sum(CASE WHEN o_text IS NOT NULL AND n_text IS NOT NULL
+        |       AND o_text <> n_text THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_modified,
+        |  CAST(sum(CASE WHEN o_text = n_text THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unchanged,
+        |  CAST(sum(n_nt - o_nt) AS BIGINT) AS token_delta
+        |FROM j GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val oldv = docs.filter(pmod(col("doc_id"), lit(7)) =!= 1)
+      val newv = docs.filter(pmod(col("doc_id"), lit(7)) =!= 2)
+        .withColumn("text", when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" edit"))).otherwise(col("text")))
+      graft.ops.Reports.corpusDiff(oldv, newv).orderBy(col("source"))
+    },
+
+    // Pairwise Pearson correlations between quality signals — the
+    // collinearity audit before signal stacking. One aggregate pass
+    // computes every pair; the oracle recomputes each corr() over the
+    // same derived signals.
+    q("q_signal_corr",
+      """WITH s AS (SELECT n_chars,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |        t -> t <> '')) AS n_tokens,
+        |    len(list_distinct(list_filter(
+        |        string_split_regex(lower(text), '[^a-z0-9]+'),
+        |        t -> t <> ''))) AS n_types
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'n_chars' AS sig_a, 'n_tokens' AS sig_b,
+        |    round(corr(n_chars, n_tokens), 6) AS corr FROM s
+        |  UNION ALL
+        |  SELECT 'n_chars', 'n_types', round(corr(n_chars, n_types), 6) FROM s
+        |  UNION ALL
+        |  SELECT 'n_tokens', 'n_types', round(corr(n_tokens, n_types), 6) FROM s)
+        |ORDER BY sig_a, sig_b""".stripMargin) { (s, dir) =>
+      val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
+        t => t =!= "")
+      graft.ops.Reports.signalCorrelations(t(s, dir, "documents"), Seq(
+          "n_chars" -> col("n_chars"),
+          "n_tokens" -> size(toks),
+          "n_types" -> size(array_distinct(toks))))
+        .orderBy(col("sig_a"), col("sig_b"))
+    },
+
+    // WebDataset-style tar-shard export: deterministic ustar shards of
+    // ~256 KiB cut by the bucketed prefix sum over doc_id order. The
+    // query returns the MANIFEST; the oracle recomputes every entry's
+    // 512-padded tar cost, the running-sum shard assignment, and the
+    // per-shard rollup (incl. the 1024-byte trailer). Shard BYTES are
+    // round-trip- and `tar`-tool-checked in ExportSpec.
+    q("q_tar_shards",
+      """WITH e AS (SELECT doc_id, octet_length(encode(text)) AS plen
+        |           FROM documents),
+        |s AS (SELECT doc_id, plen,
+        |        512 + ((plen + 511) // 512) * 512 AS ebytes FROM e),
+        |c AS (SELECT doc_id, plen, ebytes,
+        |        coalesce(sum(ebytes) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wb
+        |      FROM s)
+        |SELECT CAST(wb // 262144 AS BIGINT) AS shard,
+        |  count(*) AS n_entries,
+        |  CAST(sum(plen) AS BIGINT) AS payload_bytes,
+        |  CAST(sum(ebytes) + 1024 AS BIGINT) AS tar_bytes,
+        |  min(doc_id) AS first_key, max(doc_id) AS last_key
+        |FROM c GROUP BY 1 ORDER BY shard""".stripMargin) { (s, dir) =>
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_tar_shards_${math.abs(dir.hashCode)}").toString
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true): Unit
+      graft.ops.Export.tarShards(t(s, dir, "documents"), "doc_id",
+          name = concat(col("doc_id").cast("string"), lit(".txt")),
+          payload = encode(col("text"), "UTF-8"),
+          outDir = tmp, shardBytes = 262144L)
+        .orderBy(col("shard"))
     }
   )
 

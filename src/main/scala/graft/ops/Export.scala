@@ -299,4 +299,164 @@ object Export {
           col("padded_sorted").cast("double") / col("padded_arrival"), 6))
           .otherwise(lit(0.0)))
   }
+
+  // ------------------------------------------------ tar-shard export
+
+  /** WebDataset-style tar-shard export: write (name, binary payload)
+    * entries into POSIX ustar tar files of ~`shardBytes` each — the
+    * container format multimodal training loaders stream sequentially
+    * (one tar = one I/O stream, no per-sample small-file reads).
+    *
+    * Shard assignment is DETERMINISTIC and plan-computable: entries
+    * order by `orderCol` (numeric, unique), each costs
+    * 512 + ceil(len/512)·512 tar bytes, and `shard` = how many full
+    * `shardBytes` of tar precede it ([[Sharding.orderedShards]] — the
+    * bucketed two-pass prefix sum, never a single-task sort). Headers
+    * pin mtime=0/uid=gid=0 so shard BYTES are reproducible
+    * bit-for-bit from (data, order) alone.
+    *
+    * Returns the manifest (shard, n_entries, payload_bytes, tar_bytes
+    * incl. the 1024-byte archive trailer, first_key, last_key) —
+    * recomputed distributively from the same assignment, so an oracle
+    * can pin it without reading the files. The write itself is a
+    * per-partition Hadoop-FS stream (`repartition(shard)` +
+    * in-partition sort): each task owns whole shards and streams them
+    * entry-by-entry — the one justified `foreachPartition` in this
+    * codebase, because tar is a byte-level container no Spark sink
+    * speaks. At 100 TB the cost is one (id-keyed) shuffle of the
+    * payload bytes — unavoidable for co-locating a shard's members —
+    * and shard files parallelize across executors. */
+  def tarShards(df: DataFrame, orderCol: String, name: Column,
+      payload: Column, outDir: String, shardBytes: Long,
+      buckets: Int = 64): DataFrame = {
+    require(shardBytes >= 1536,
+      s"shardBytes=$shardBytes below one min-size entry + trailer")
+    val prepped = df.select(col(orderCol), name.cast("string").as("_name"),
+        payload.cast("binary").as("_payload"))
+      .withColumn("_plen", length(col("_payload")).cast("long"))
+      .withColumn("_ebytes", expr("512 + ((_plen + 511) div 512) * 512"))
+    val assigned = Sharding.orderedShards(prepped, orderCol,
+      col("_ebytes"), shardBytes, buckets)
+    // Hadoop conf rebuilt per task from the session's entries (the
+    // Configuration object itself is not serializable)
+    val confEntries: Array[(String, String)] = {
+      val c = df.sparkSession.sessionState.newHadoopConf()
+      val it = c.iterator(); val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
+    assigned
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col(orderCol))
+      .select(col("shard"), col("_name"), col("_payload"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        if (rows.hasNext) {
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          confEntries.foreach { case (k, v) => conf.set(k, v) }
+          val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(conf)
+          var cur = -1L
+          var out: org.apache.hadoop.fs.FSDataOutputStream = null
+          def close(): Unit = if (out != null) {
+            out.write(new Array[Byte](1024)) // end-of-archive blocks
+            out.close(); out = null
+          }
+          rows.foreach { r =>
+            val shard = r.getLong(0)
+            if (shard != cur) {
+              close(); cur = shard
+              out = fs.create(new org.apache.hadoop.fs.Path(outDir,
+                f"shard-$shard%06d.tar"), true)
+            }
+            val payloadB = r.getAs[Array[Byte]](2)
+            out.write(TarCodec.header(r.getString(1), payloadB.length.toLong))
+            out.write(payloadB)
+            val pad = (512 - payloadB.length % 512) % 512
+            if (pad > 0) out.write(new Array[Byte](pad))
+          }
+          close()
+        }
+      }
+    assigned.groupBy(col("shard")).agg(
+      count(lit(1)).as("n_entries"),
+      sum(col("_plen")).as("payload_bytes"),
+      (sum(col("_ebytes")) + lit(1024L)).as("tar_bytes"),
+      min(col(orderCol)).as("first_key"),
+      max(col(orderCol)).as("last_key"))
+  }
+
+  /** Distributed reader for [[tarShards]] output: each tar file is one
+    * `binaryFile` row, parsed entry-by-entry in a narrow flatMap —
+    * (shard, name, payload). Round-trip spec-checked against the
+    * written corpus and the system `tar` tool. */
+  def readTarShards(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$dir/*.tar")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val shard = "shard-(\\d+)\\.tar$".r.findFirstMatchIn(path)
+          .map(_.group(1).toLong).getOrElse(-1L)
+        TarCodec.entries(bytes).map { case (n, p) => (shard, n, p) }
+      }
+      .toDF("shard", "name", "payload")
+  }
+}
+
+/** Minimal POSIX ustar writer/reader used by [[Export.tarShards]] —
+  * deterministic headers (mtime 0, uid/gid 0, mode 0644, checksum per
+  * the spec: header summed with the checksum field as spaces). */
+private[ops] object TarCodec {
+
+  def header(name: String, size: Long): Array[Byte] = {
+    require(name.getBytes("UTF-8").length <= 100, s"tar name > 100B: $name")
+    require(size >= 0 && size <= 0x1FFFFFFFFL, s"tar entry size $size")
+    val h = new Array[Byte](512)
+    def put(s: String, off: Int, len: Int): Unit = {
+      val b = s.getBytes("US-ASCII")
+      System.arraycopy(b, 0, h, off, math.min(b.length, len)): Unit
+    }
+    def octal(v: Long, off: Int, len: Int): Unit = {
+      val s = java.lang.Long.toOctalString(v)
+      put(("0" * (len - 1 - s.length)) + s, off, len - 1) // trailing NUL
+    }
+    put(name, 0, 100)
+    octal(0x1A4, 100, 8)          // mode 0644
+    octal(0, 108, 8); octal(0, 116, 8)
+    octal(size, 124, 12)
+    octal(0, 136, 12)             // mtime 0: deterministic bytes
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    h(156) = '0'                  // regular file
+    put("ustar", 257, 6)          // magic, NUL-terminated
+    put("00", 263, 2)
+    octal(0, 329, 8); octal(0, 337, 8)
+    val sum = h.foldLeft(0L)((a, b) => a + (b & 0xff))
+    val cs = java.lang.Long.toOctalString(sum)
+    put(("0" * (6 - cs.length)) + cs, 148, 6)
+    h(154) = 0; h(155) = ' '.toByte
+    h
+  }
+
+  /** Parse every (name, payload) entry of one in-memory tar archive. */
+  def entries(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val out = Seq.newBuilder[(String, Array[Byte])]
+    var off = 0
+    var done = false
+    while (!done && off + 512 <= bytes.length) {
+      if (bytes(off) == 0) done = true // end-of-archive zero block
+      else {
+        var nameEnd = off
+        while (nameEnd < off + 100 && bytes(nameEnd) != 0) nameEnd += 1
+        val nm = new String(bytes, off, nameEnd - off, "US-ASCII")
+        val sizeStr = new String(bytes, off + 124, 12, "US-ASCII")
+          .takeWhile(c => c >= '0' && c <= '7')
+        val size = java.lang.Long.parseLong(sizeStr, 8).toInt
+        val data = java.util.Arrays.copyOfRange(bytes, off + 512,
+          off + 512 + size)
+        out += (nm -> data)
+        off += 512 + ((size + 511) / 512) * 512
+      }
+    }
+    out.result()
+  }
 }

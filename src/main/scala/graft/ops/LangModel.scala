@@ -94,23 +94,78 @@ object LangModel {
     * broadcast is the two-column token-total row. */
   def mooreLewisScore(docs: DataFrame, target: DataFrame,
       general: DataFrame, minCount: Long = 2L, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    scoreAgainstModelML(docs,
+      fitML(target, general, minCount, idCol, textCol), idCol, textCol)
+
+  /** The Moore–Lewis model as reusable frames — fit ONCE (in-domain +
+    * general wordcounts and their token totals), score any batch or
+    * stream without touching either model corpus again (the
+    * [[KnModel]] serving split for the contrastive selector). Totals
+    * are concrete longs so serving needs no per-batch one-row cross
+    * join ([[scoreAgainstModel]]'s `totalTokens` precedent). */
+  final case class MlModel(target: DataFrame, general: DataFrame,
+      targetTotal: Long, generalTotal: Long, minCount: Long)
+
+  def fitML(target: DataFrame, general: DataFrame, minCount: Long = 2L,
+      idCol: String = "doc_id", textCol: String = "text"): MlModel = {
     val tgtToks = Relevance.tokens(target, idCol, textCol)
     val genToks = Relevance.tokens(general, idCol, textCol)
     def model(tk: DataFrame, cntName: String) =
       tk.groupBy(col("token")).agg(count(lit(1)).as(cntName))
         .filter(col(cntName) >= minCount)
-    val totals = tgtToks.agg(count(lit(1)).as("_ttot"))
-      .crossJoin(genToks.agg(count(lit(1)).as("_gtot")))
+    val m = MlModel(model(tgtToks, "_tcnt"), model(genToks, "_gcnt"),
+      tgtToks.count(), genToks.count(), minCount)
+    require(m.targetTotal > 0 && m.generalTotal > 0,
+      s"empty model corpus: targetTotal=${m.targetTotal} " +
+        s"generalTotal=${m.generalTotal}")
+    m
+  }
+
+  /** The per-token delta expression over the joined model columns —
+    * SHARED by the batch and streaming scorers so both agree
+    * bit-for-bit. */
+  private[graft] def mlDelta(m: MlModel): org.apache.spark.sql.Column =
+    nllOf(col("_gcnt"), lit(m.generalTotal)) -
+      nllOf(col("_tcnt"), lit(m.targetTotal))
+
+  /** Score documents against a fitted [[MlModel]] — one candidate-token
+    * pass, two UNHINTED token-keyed model joins, per-doc partial-agg
+    * mean; identical numbers to [[mooreLewisScore]] given that
+    * function's own fit. */
+  def scoreAgainstModelML(docs: DataFrame, m: MlModel,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     Relevance.tokens(docs, idCol, textCol)
-      .join(model(tgtToks, "_tcnt"), Seq("token"), "left")
-      .join(model(genToks, "_gcnt"), Seq("token"), "left")
-      .crossJoin(broadcast(totals))
-      .select(col("doc_id"),
-        (nllOf(col("_gcnt"), col("_gtot")) -
-          nllOf(col("_tcnt"), col("_ttot"))).as("_d"))
+      .join(m.target, Seq("token"), "left")
+      .join(m.general, Seq("token"), "left")
+      .select(col("doc_id"), mlDelta(m).as("_d"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), avg(col("_d")).as("ml_delta"))
+
+  /** Persist a fitted [[MlModel]] as snapshot tables under `dir/` —
+    * `target`, `general` + `meta` (totals, minCount, table versions)
+    * committed LAST, the [[saveKN]] crash-consistency contract. */
+  def saveML(spark: org.apache.spark.sql.SparkSession, m: MlModel,
+      dir: String): Unit = {
+    import spark.implicits._
+    val tv = Snapshots.commit(spark, m.target, s"$dir/target")
+    val gv = Snapshots.commit(spark, m.general, s"$dir/general")
+    Snapshots.commit(spark,
+      Seq((m.targetTotal, m.generalTotal, m.minCount, tv, gv))
+        .toDF("t_total", "g_total", "min_count", "t_ver", "g_ver"),
+      s"$dir/meta"): Unit
+  }
+
+  /** Reload a persisted Moore–Lewis model; tables read AS OF the
+    * versions meta pins, so the pair is always a consistent fit. */
+  def loadML(spark: org.apache.spark.sql.SparkSession,
+      dir: String): MlModel = {
+    val r = Snapshots.read(spark, s"$dir/meta").head()
+    MlModel(
+      Snapshots.read(spark, s"$dir/target", Some(r.getAs[Long]("t_ver"))),
+      Snapshots.read(spark, s"$dir/general", Some(r.getAs[Long]("g_ver"))),
+      r.getAs[Long]("t_total"), r.getAs[Long]("g_total"),
+      r.getAs[Long]("min_count"))
   }
 
   /** CCNet-style line-level perplexity filter (Wenzek et al., LREC

@@ -71,4 +71,70 @@ object Reports {
         round(lit(1.0) - col("tokens_kept").cast("double") /
           col("tokens_total"), 6))
   }
+
+  /** What changed between two corpus VERSIONS, per stratum — the
+    * release-to-release diff a dataset card publishes (and the sanity
+    * gate before retraining on a refreshed crawl): docs added/removed/
+    * modified/unchanged by id, with the token delta. "Modified" means
+    * the id survives but its text fingerprint moved; a doc that
+    * changed stratum counts under its NEW stratum (added/modified
+    * attribute to where the doc lives now, removed to where it was).
+    *
+    * Scale shape: both versions reduce to (id, stratum, token count,
+    * 64-bit fp) inside their scans; one FULL OUTER id-keyed join (text
+    * never shuffles — 24 bytes/doc), one stratum rollup. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      stratumCol: String = "source"): DataFrame = {
+    val nTok = size(filter(
+      split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= ""))
+    def prep(df: DataFrame, p: String) = df.select(col(idCol),
+      col(stratumCol).as(s"${p}_src"),
+      GraftFunctions.fingerprint64(col(textCol)).as(s"${p}_fp"),
+      nTok.as(s"${p}_nt"))
+    prep(oldDocs, "o").join(prep(newDocs, "n"), Seq(idCol), "full_outer")
+      .select(coalesce(col("n_src"), col("o_src")).as(stratumCol),
+        col("o_fp"), col("n_fp"), col("o_nt"), col("n_nt"))
+      .groupBy(col(stratumCol))
+      .agg(
+        sum(when(col("o_fp").isNull, 1).otherwise(0)).cast("long")
+          .as("n_added"),
+        sum(when(col("n_fp").isNull, 1).otherwise(0)).cast("long")
+          .as("n_removed"),
+        sum(when(col("o_fp").isNotNull && col("n_fp").isNotNull &&
+          col("o_fp") =!= col("n_fp"), 1).otherwise(0)).cast("long")
+          .as("n_modified"),
+        sum(when(col("o_fp") === col("n_fp"), 1).otherwise(0)).cast("long")
+          .as("n_unchanged"),
+        sum(coalesce(col("n_nt"), lit(0)) - coalesce(col("o_nt"), lit(0)))
+          .cast("long").as("token_delta"))
+  }
+
+  /** Pairwise Pearson correlations between per-document quality
+    * signals — the collinearity audit run before stacking signals into
+    * a filter ensemble (two signals correlated at 0.98 are one
+    * signal). `signals` are expressions evaluated narrow against the
+    * doc frame; output is one long-format row per unordered pair
+    * (sig_a, sig_b, corr), ≤ |signals|² rows from ONE aggregate pass
+    * over the corpus (all pairs partial-aggregate together — the
+    * corpus is never rescanned per pair). */
+  def signalCorrelations(docs: DataFrame,
+      signals: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(signals.size >= 2, "need at least two signals")
+    val evaluated = docs.select(
+      signals.map { case (n, c) => c.cast("double").as(n) }: _*)
+    val pairs = for {
+      i <- signals.indices; j <- (i + 1) until signals.size
+    } yield (signals(i)._1, signals(j)._1)
+    val aggCols = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 6).as(s"${a}__${b}")
+    }
+    val wide = evaluated.agg(aggCols.head, aggCols.tail: _*)
+    wide.select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("sig_a"), lit(b).as("sig_b"),
+          col(s"${a}__${b}").as("corr"))
+      }: _*)).as("_e"))
+      .select(col("_e.sig_a").as("sig_a"), col("_e.sig_b").as("sig_b"),
+        col("_e.corr").as("corr"))
+  }
 }

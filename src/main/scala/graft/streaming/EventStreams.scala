@@ -469,6 +469,33 @@ object EventStreams {
       .drop("window")
   }
 
+  /** Streaming twin of [[graft.ops.LangModel.scoreAgainstModelML]] —
+    * Moore–Lewis contrastive selection of arriving documents against a
+    * STATIC fitted model pair ([[graft.ops.LangModel.fitML]] /
+    * [[graft.ops.LangModel.loadML]]). The token explode is stateless;
+    * the two model attaches are stream-static LEFT joins on the token
+    * key (a web-scale vocab stays a join, never a broadcast literal;
+    * left preserves OOV tokens so both floors fire exactly as in
+    * batch — [[graft.ops.LangModel.mlDelta]] is the SHARED
+    * expression); the per-doc mean is a watermarked aggregate keyed
+    * (doc_id, event-time window), emitted exactly once in append mode. */
+  def mlScoreStream(docs: DataFrame, m: graft.ops.LangModel.MlModel,
+      idCol: String = "doc_id", textCol: String = "text",
+      eventTimeCol: String = "event_time", watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    docs.withWatermark(eventTimeCol, watermark)
+      .select(col(idCol), col(eventTimeCol),
+        explode(split(lower(col(textCol)), graft.ops.Relevance.TokenPattern))
+          .as("token"))
+      .filter(col("token") =!= "")
+      .join(m.target, Seq("token"), "left")
+      .join(m.general, Seq("token"), "left")
+      .groupBy(col(idCol), window(col(eventTimeCol), windowDur))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(graft.ops.LangModel.mlDelta(m)).as("ml_delta"))
+      .drop("window")
+  }
+
   /** Streaming twin of [[graft.ops.LangModel.scoreAgainstModelKN]] —
     * Kneser-Ney-smoothed quality scoring of arriving documents against
     * a STATIC model fitted once on the curated corpus

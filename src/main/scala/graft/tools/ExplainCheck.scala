@@ -289,6 +289,24 @@ object ExplainCheck {
     println("########## q_pivot (literal pivot values: no discovery job; reshape over the pre-aggregated frame)")
     println(graft.SparkEntry.queries("q_pivot")(spark, dir)
       .queryExecution.explainString(fmt))
+    println("########## op:Reports.corpusDiff (one full-outer id join of in-scan reductions)")
+    println(graft.ops.Reports.corpusDiff(docs,
+        docs.filter(col("doc_id") % 2 === 0))
+      .queryExecution.explainString(fmt))
+    println("########## op:Reports.signalCorrelations (all pairs in ONE aggregate pass)")
+    println(graft.ops.Reports.signalCorrelations(docs, Seq(
+        "n_chars" -> col("n_chars"),
+        "ntok" -> org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), "\\s+"))))
+      .queryExecution.explainString(fmt))
+    println("########## op:Export.tarShards manifest (orderedShards prefix-sum assignment)")
+    val tarTmp = java.nio.file.Files.createTempDirectory("graft-plans-tar").toString
+    println(graft.ops.Export.tarShards(docs, "doc_id",
+        org.apache.spark.sql.functions.concat(col("doc_id").cast("string"),
+          org.apache.spark.sql.functions.lit(".txt")),
+        org.apache.spark.sql.functions.encode(col("text"), "UTF-8"),
+        tarTmp, 262144L)
+      .queryExecution.explainString(fmt))
     spark.stop()
   }
 }

@@ -295,4 +295,70 @@ class ExportSpec extends AnyFunSuite {
     assert(rr.getAs[Long]("padded_sorted") <= rr.getAs[Long]("padded_arrival"),
       "length-sorted batching must not pad more than arrival order")
   }
+
+  test("tarShards: round-trip through the distributed reader; manifest accounts every byte") {
+    val out = java.nio.file.Files.createTempDirectory("graft-tar").toString
+    val manifest = Export.tarShards(docs, "doc_id",
+        name = concat(col("doc_id").cast("string"), lit(".txt")),
+        payload = encode(col("text"), "UTF-8"),
+        outDir = out, shardBytes = 64 * 1024)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(manifest.nonEmpty && manifest.size > 1,
+      s"expected several 64KiB shards, got ${manifest.size}")
+    // every written file's size equals its manifest tar_bytes
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".tar"))
+      .map(f => f.getName.stripPrefix("shard-").stripSuffix(".tar").toLong
+        -> f.length()).toMap
+    assert(files.keySet === manifest.keySet)
+    files.foreach { case (s, len) =>
+      assert(len === manifest(s)._3, s"shard $s size") }
+    // round-trip: reader recovers every (name, payload) exactly
+    val back = Export.readTarShards(spark, out)
+      .select(col("name"), col("payload").cast("string").as("text"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val orig = docs.select(concat(col("doc_id").cast("string"), lit(".txt"))
+        .as("n"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(back === orig, "tar round-trip must be lossless")
+    // shard budget: every shard except possibly the last stays within
+    // budget + one overshooting entry
+    val maxEntry = docs.select(max(length(encode(col("text"), "UTF-8"))))
+      .head().getInt(0) + 512 + 512
+    manifest.foreach { case (s, (_, _, tb)) =>
+      assert(tb <= 64 * 1024 + maxEntry + 1024, s"shard $s over budget") }
+  }
+
+  test("tarShards bytes are deterministic and readable by the system tar tool") {
+    val o1 = java.nio.file.Files.createTempDirectory("graft-tar1").toString
+    val o2 = java.nio.file.Files.createTempDirectory("graft-tar2").toString
+    def write(out: String) = Export.tarShards(docs.repartition(7), "doc_id",
+      name = concat(col("doc_id").cast("string"), lit(".txt")),
+      payload = encode(col("text"), "UTF-8"),
+      outDir = out, shardBytes = 128 * 1024).collect()
+    write(o1); write(o2)
+    def md5s(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar")).sortBy(_.getName)
+      .map { f =>
+        val b = java.nio.file.Files.readAllBytes(f.toPath)
+        f.getName -> java.security.MessageDigest.getInstance("MD5").digest(b).toSeq
+      }.toSeq
+    assert(md5s(o1) === md5s(o2),
+      "same data + order must produce bit-identical shards")
+    // the system tar tool must list every entry of the first shard
+    val first = new java.io.File(o1).listFiles()
+      .filter(_.getName.endsWith(".tar")).minBy(_.getName)
+    val p = new ProcessBuilder("tar", "-tf", first.getAbsolutePath)
+      .redirectErrorStream(true).start()
+    val listed = scala.io.Source.fromInputStream(p.getInputStream)
+      .getLines().toVector
+    assert(p.waitFor() === 0, s"tar -tf failed: ${listed.take(5)}")
+    val expectedN = Export.readTarShards(spark, o1)
+      .filter(col("shard") === first.getName.stripPrefix("shard-")
+        .stripSuffix(".tar").toLong)
+      .count()
+    assert(listed.size.toLong === expectedN,
+      "system tar must see exactly the entries our reader sees")
+    assert(listed.forall(_.endsWith(".txt")))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.TestSpark.spark
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class ReportsSpec extends AnyFunSuite {
@@ -39,5 +40,48 @@ class ReportsSpec extends AnyFunSuite {
     assert(m("s1") === ((2L, 1L, 1L, 6L, 3L, 0.5)))
     // s2: 2 docs, 2 distinct texts, only doc 4 survives globally
     assert(m("s2") === ((2L, 2L, 1L, 6L, 3L, 0.5)))
+  }
+
+  test("corpusDiff: added/removed/modified/unchanged accounting incl. a stratum move") {
+    val oldv = Seq(
+      (1L, "s1", "one two"),
+      (2L, "s1", "three"),
+      (3L, "s2", "four five six"))
+      .toDF("doc_id", "source", "text")
+    val newv = Seq(
+      (1L, "s1", "one two"),          // unchanged
+      (2L, "s1", "three edited now"), // modified: 1 -> 3 tokens
+      (4L, "s2", "brand new"),        // added
+      (5L, "s1", "also new"))         // added
+      .toDF("doc_id", "source", "text") // doc 3 removed from s2
+    val m = Reports.corpusDiff(oldv, newv)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_added"), r.getAs[Long]("n_removed"),
+          r.getAs[Long]("n_modified"), r.getAs[Long]("n_unchanged"),
+          r.getAs[Long]("token_delta")))).toMap
+    assert(m("s1") === ((1L, 0L, 1L, 1L, 4L))) // +2 (edit) +2 (doc 5)
+    assert(m("s2") === ((1L, 1L, 0L, 0L, -1L))) // -3 (doc 3) +2 (doc 4)
+  }
+
+  test("signalCorrelations equals driver-side Pearson; symmetric pair list") {
+    val df = Seq((1.0, 2.0, 10.0), (2.0, 4.1, 8.0), (3.0, 5.9, 7.0),
+      (4.0, 8.2, 1.0)).toDF("a", "b", "c")
+    val out = Reports.signalCorrelations(df,
+        Seq("a" -> col("a"), "b" -> col("b"), "c" -> col("c")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(out.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    def pearson(x: Seq[Double], y: Seq[Double]): Double = {
+      val n = x.size; val mx = x.sum / n; val my = y.sum / n
+      val cov = x.zip(y).map { case (u, v) => (u - mx) * (v - my) }.sum
+      val sx = math.sqrt(x.map(u => (u - mx) * (u - mx)).sum)
+      val sy = math.sqrt(y.map(v => (v - my) * (v - my)).sum)
+      cov / (sx * sy)
+    }
+    val a = Seq(1.0, 2.0, 3.0, 4.0); val b = Seq(2.0, 4.1, 5.9, 8.2)
+    val c = Seq(10.0, 8.0, 7.0, 1.0)
+    assert(math.abs(out(("a", "b")) - pearson(a, b)) < 1e-6)
+    assert(math.abs(out(("a", "c")) - pearson(a, c)) < 1e-6)
+    assert(math.abs(out(("b", "c")) - pearson(b, c)) < 1e-6)
   }
 }

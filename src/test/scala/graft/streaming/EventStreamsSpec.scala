@@ -244,6 +244,39 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.map(_.head).size >= expected.map(_.head).size - 50)
   }
 
+  test("streaming Moore-Lewis scoring from a persisted model matches the batch twin") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-sml").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.mode("overwrite").parquet(stageDir)
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val even = batchDocs.filter(pmod($"doc_id", lit(2)) === 0)
+    val modelDir = java.nio.file.Files.createTempDirectory("graft-mlm").toString
+    graft.ops.LangModel.saveML(spark, graft.ops.LangModel.fitML(
+      even.filter($"lang" === "en"), even), modelDir)
+    val loaded = graft.ops.LangModel.loadML(spark, modelDir)
+    val incoming = spark.readStream.schema(batchDocs.schema)
+      .parquet(stageDir)
+      .filter(pmod($"doc_id", lit(2)) === 1)
+      .withColumn("event_time", timestamp_seconds($"doc_id" * 60))
+    val q = EventStreams.mlScoreStream(incoming, loaded)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sml")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sml")
+      .select($"doc_id", $"n_tokens", round($"ml_delta", 9).as("d"))
+      .collect().map(_.toSeq).toSet
+    val expected = graft.ops.LangModel.scoreAgainstModelML(
+        batchDocs.filter(pmod($"doc_id", lit(2)) === 1),
+        graft.ops.LangModel.fitML(even.filter($"lang" === "en"), even))
+      .select($"doc_id", $"n_tokens", round($"ml_delta", 9).as("d"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty, "stream emitted no scores")
+    assert(streamed.subsetOf(expected),
+      "every streamed delta must equal the in-memory batch twin")
+    assert(streamed.map(_.head).size >= expected.map(_.head).size - 50)
+  }
+
   test("streaming DSIR weights against a static ratio table match the batch twin") {
     val stageDir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
     spark.read.parquet(s"$sfDir/documents.parquet")
