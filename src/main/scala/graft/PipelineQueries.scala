@@ -5551,6 +5551,100 @@ object PipelineQueries {
           payload = encode(col("text"), "UTF-8"),
           outDir = tmp, shardBytes = 262144L)
         .orderBy(col("shard"))
+    },
+
+    // ANN-path margin mining certified against the brute twin: LSH
+    // candidates (16 tables x 4 bits), same margin algebra, recall@mined
+    // >= 0.75 (measured 0.86 at sf0.01, 0.90 at sf0.1) — the
+    // q_ann_lsh/q_ann_ivf certificate convention. The oracle recomputes
+    // the population anchors; the floors are engine-side verdicts.
+    q("q_margin_mine_lsh",
+      """SELECT (SELECT count(*) FROM embeddings WHERE label < 2) AS n_a,
+        |  (SELECT count(*) FROM embeddings WHERE label >= 8) AS n_b,
+        |  TRUE AS one_per_a, TRUE AS recall_ge_075""".stripMargin) { (s, dir) =>
+      val embs = t(s, dir, "embeddings")
+      val planes = Similarity.hyperplanes(tables = 16, bits = 4, dim = 64)
+      val (pa, pb) = (col("label") < 2, col("label") >= 8)
+      val brute = Similarity.marginMine(embs, pa, pb, k = 4, minMargin = 1.0)
+      val lsh = Similarity.marginMineLsh(embs, pa, pb, k = 4,
+        minMargin = 1.0, planes)
+      val na = embs.filter(pa).agg(count(lit(1)).as("n_a"))
+      val nb = embs.filter(pb).agg(count(lit(1)).as("n_b"))
+      val onePerA = lsh.agg(
+        (count(lit(1)) === countDistinct(col("a_id"))).as("one_per_a"))
+      val verdict = setVerdict(brute, lsh, Seq("a_id", "b_id"), 0.75,
+        "_fp", "recall_ge_075")
+      na.crossJoin(nb).crossJoin(onePerA)
+        .crossJoin(verdict.select(col("recall_ge_075")))
+    },
+
+    // Composed round-11 selection pipeline: Moore-Lewis in-domain
+    // filter (delta > 0 vs the English sub-corpus) -> exact dedup among
+    // the SELECTED set -> topic tagging of the survivors -> per-topic
+    // rollup with the funnel counts attached. The oracle recomputes all
+    // three stages in sequence, pinning their interactions (dedup runs
+    // on the post-selection population).
+    q("q_select_pipeline",
+      """WITH tk AS (SELECT doc_id, lang,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+        |  FROM documents),
+        |tok AS (SELECT doc_id, lang, token FROM tk WHERE token <> ''),
+        |tm AS (SELECT token, count(*) AS tcnt FROM tok WHERE lang = 'en'
+        |       GROUP BY token HAVING count(*) >= 2),
+        |gm AS (SELECT token, count(*) AS gcnt FROM tok
+        |       GROUP BY token HAVING count(*) >= 2),
+        |tt AS (SELECT count(*) AS ttot FROM tok WHERE lang = 'en'),
+        |gt AS (SELECT count(*) AS gtot FROM tok),
+        |ml AS (SELECT t.doc_id,
+        |    round(avg(
+        |      -ln(CAST(coalesce(gm.gcnt, 1) AS DOUBLE) / CAST(gt.gtot AS DOUBLE))
+        |      + ln(CAST(coalesce(tm.tcnt, 1) AS DOUBLE) / CAST(tt.ttot AS DOUBLE))
+        |    ), 4) AS d
+        |  FROM tok t LEFT JOIN tm ON t.token = tm.token
+        |  LEFT JOIN gm ON t.token = gm.token
+        |  CROSS JOIN tt CROSS JOIN gt GROUP BY t.doc_id),
+        |sel AS (SELECT d.doc_id, d.text FROM documents d
+        |        JOIN ml ON d.doc_id = ml.doc_id WHERE ml.d > 0),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM sel GROUP BY text),
+        |kept AS (SELECT s.doc_id, s.text FROM sel s
+        |         JOIN keep k ON s.doc_id = k.doc_id),
+        |toks2 AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks FROM kept),
+        |sc AS (SELECT doc_id, len(toks) AS n_tokens,
+        |  len(list_filter(toks, t -> list_contains(
+        |    ['table','row','column','part','key'], t))) AS s_storage,
+        |  len(list_filter(toks, t -> list_contains(
+        |    ['scan','filter','join','agg','sort','merge','hash'], t))) AS s_exec,
+        |  len(list_filter(toks, t -> list_contains(
+        |    ['stream','batch','window'], t))) AS s_stream
+        |  FROM toks2),
+        |tagged AS (SELECT n_tokens,
+        |  CASE WHEN s_storage = 0 AND s_exec = 0 AND s_stream = 0 THEN 'other'
+        |       WHEN s_storage >= s_exec AND s_storage >= s_stream THEN 'storage'
+        |       WHEN s_exec >= s_stream THEN 'exec'
+        |       ELSE 'streaming' END AS topic FROM sc)
+        |SELECT topic, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  (SELECT count(*) FROM documents) AS n_input,
+        |  (SELECT count(*) FROM sel) AS n_selected,
+        |  (SELECT count(*) FROM kept) AS n_kept
+        |FROM tagged GROUP BY topic ORDER BY topic""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val scored = graft.ops.LangModel.mooreLewisScore(docs,
+        docs.filter(col("lang") === "en"), docs, minCount = 2L)
+      val selected = docs.join(
+        scored.filter(round(col("ml_delta"), 4) > 0).select("doc_id"),
+        "doc_id")
+      val kept = Dedup.dropExactDuplicates(selected)
+      val tagged = graft.ops.Topics.tagTopics(kept, taxonomy)
+      tagged.groupBy(col("topic"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("n_tokens"))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_input"))))
+        .crossJoin(broadcast(selected.agg(count(lit(1)).as("n_selected"))))
+        .crossJoin(broadcast(kept.agg(count(lit(1)).as("n_kept"))))
+        .orderBy(col("topic"))
     }
   )
 

@@ -111,18 +111,56 @@ object Similarity {
     * cross product — the margin algebra downstream is unchanged. */
   def marginMine(embs: DataFrame, predA: Column, predB: Column,
       k: Int = 4, minMargin: Double = 1.0): DataFrame = {
-    val base = embs.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-      .withColumn("nrm", norm(col("emb")))
-    val a = base.filter(predA).select(col("vec_id").as("a_id"),
-      col("emb").as("aemb"), col("nrm").as("anrm"))
-    val b = base.filter(predB).select(col("vec_id").as("b_id"),
-      col("emb").as("bemb"), col("nrm").as("bnrm"))
+    val (a, b) = marginSides(embs, predA, predB)
     val sims = a.crossJoin(broadcast(b))
       .select(col("a_id"), col("b_id"),
         (dot(col("aemb"), col("bemb")) / (col("anrm") * col("bnrm")))
           .as("sim_raw"))
-    // neighborhood means over the top-k RAW sims (rounding only at the
-    // output, the cosineNearDupPairs convention)
+    marginFromSims(sims, k, minMargin)
+  }
+
+  /** The ANN twin of [[marginMine]]: identical margin algebra mined
+    * over LSH CANDIDATE pairs instead of the |A|×|B| cross product —
+    * the 100 TB path. Neighborhood means are computed over each
+    * endpoint's candidates (the standard ANN approximation: a missed
+    * neighbor slightly inflates the margin denominator's complement),
+    * so mined pairs are certified against the brute twin by a recall
+    * floor, not equality ([[graft.PipelineQueries]] q_margin_mine_lsh,
+    * the q_ann_lsh certificate convention). Cost: candidate generation
+    * is the bucketed [[lshCandidatePairs]] machinery (size-routed,
+    * never all-pairs); scoring touches candidates only. */
+  def marginMineLsh(embs: DataFrame, predA: Column, predB: Column,
+      k: Int, minMargin: Double,
+      planes: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val (a, b) = marginSides(embs, predA, predB)
+    val cands = lshCandidatePairs(embs, planes)
+    val sym = cands.union(
+      cands.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val sims = sym
+      .join(a, col("id_a") === col("a_id"))
+      .join(b, col("id_b") === col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (dot(col("aemb"), col("bemb")) / (col("anrm") * col("bnrm")))
+          .as("sim_raw"))
+    marginFromSims(sims, k, minMargin)
+  }
+
+  private def marginSides(embs: DataFrame, predA: Column,
+      predB: Column): (DataFrame, DataFrame) = {
+    val base = embs.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    (base.filter(predA).select(col("vec_id").as("a_id"),
+        col("emb").as("aemb"), col("nrm").as("anrm")),
+      base.filter(predB).select(col("vec_id").as("b_id"),
+        col("emb").as("bemb"), col("nrm").as("bnrm")))
+  }
+
+  /** The shared margin algebra over any (a_id, b_id, sim_raw) pair
+    * frame: neighborhood means over the top-k RAW sims (rounding only
+    * at the output, the cosineNearDupPairs convention), ratio margin,
+    * per-a argmax at `minMargin`. */
+  private def marginFromSims(sims: DataFrame, k: Int,
+      minMargin: Double): DataFrame = {
     val wa = Window.partitionBy(col("a_id"))
       .orderBy(col("sim_raw").desc, col("b_id"))
     val wb = Window.partitionBy(col("b_id"))

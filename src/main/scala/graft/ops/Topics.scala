@@ -39,7 +39,10 @@ object Topics {
   def tagTopics(docs: DataFrame, taxonomy: Seq[(String, Seq[String])],
       textCol: String = "text", otherTopic: String = "other"): DataFrame = {
     require(taxonomy.nonEmpty, "taxonomy must name at least one topic")
-    val tk = toks(textCol)
+    // tokenize into a concrete column FIRST so the regex split runs
+    // once per row, not once per topic score (the gramFps lesson)
+    val tagged = docs.withColumn("_toks", toks(textCol))
+    val tk = col("_toks")
     val scored = taxonomy.map { case (name, kws) =>
       name -> size(filter(tk, t => array_contains(typedLit(kws), t)))
     }
@@ -50,14 +53,14 @@ object Topics {
       when(s > acc.getField("s"), struct(lit(name).as("t"), s.as("s")))
         .otherwise(acc)
     }
-    docs
+    tagged
       .withColumn("n_tokens", coalesce(size(tk), lit(0)))
       .withColumn("_best", best)
       .withColumn("topic",
         when(col("_best").getField("s") === 0, lit(otherTopic))
           .otherwise(col("_best").getField("t")))
       .withColumn("topic_score", col("_best").getField("s"))
-      .drop("_best")
+      .drop("_best", "_toks")
   }
 
   /** The per-topic mixture view of a tagged corpus: document and token

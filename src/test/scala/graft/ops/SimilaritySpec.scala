@@ -267,6 +267,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(out(1L)._2 - expected) < 1e-6)
   }
 
+  test("marginMineLsh recovers the brute margins when candidates are complete; real-data recall") {
+    import graft.TestSpark.spark.implicits._
+    val data = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(0f, 1f, 0f, 0f), 0),
+      (10L, Array(0.9f, 0.1f, 0f, 0f), 1),
+      (11L, Array(0.1f, 0.9f, 0f, 0f), 1),
+      (12L, Array(0.5f, 0.5f, 0.5f, 0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+    // 16 tables x 2 bits on 5 vectors: candidate generation is
+    // effectively complete, so the ANN twin must equal brute exactly
+    val planes = Similarity.hyperplanes(tables = 16, bits = 2, dim = 4)
+    val brute = Similarity.marginMine(data, col("label") === 0,
+      col("label") === 1, k = 2, minMargin = 1.0).collect()
+      .map(_.toSeq).toSet
+    val lsh = Similarity.marginMineLsh(data, col("label") === 0,
+      col("label") === 1, k = 2, minMargin = 1.0, planes).collect()
+      .map(_.toSeq).toSet
+    assert(lsh === brute,
+      "with complete candidates the ANN twin must reproduce brute")
+
+    // real embeddings: mined-pair recall vs brute stays above the
+    // certificate floor (the q_margin_mine_lsh convention)
+    val embsReal = embs
+    val planes64 = Similarity.hyperplanes(tables = 16, bits = 4, dim = 64)
+    val b = Similarity.marginMine(embsReal, col("label") < 2,
+        col("label") >= 8, k = 4, minMargin = 1.0)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val l = Similarity.marginMineLsh(embsReal, col("label") < 2,
+        col("label") >= 8, k = 4, minMargin = 1.0, planes64)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (b.nonEmpty)
+      assert(b.intersect(l).size.toDouble / b.size >= 0.6,
+        s"recall ${b.intersect(l).size}/${b.size} below the spec floor")
+  }
+
   test("semanticDedup survivors = brute-force greedy min-id keeper") {
     val pairs = Similarity.semanticDedupPairs(embs, 64, 6, 0.3)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
