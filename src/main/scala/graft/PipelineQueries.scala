@@ -15,6 +15,22 @@ object PipelineQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     SparkEntry.t(spark, dir, name)
 
+  /** Staging step for the synthesized multi-unit documents the
+    * strip/dedup harness queries build: the whitespace split lands in a
+    * CONCRETE column first (lambda-hoist — slicing an inline split
+    * expression inside the per-unit transform lambda re-runs the regex
+    * once per unit, O(len²) per document; the Quality.gramFps lesson). */
+  private def stageWords(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      split(trim(col("text")), "\\s+").as("_w"))
+
+  /** `width`-word unit strings over the staged `_w` column. */
+  private def unitArray(width: Int): Column = {
+    val n = ceil(size(col("_w")).cast("double") / width).cast("int")
+    transform(sequence(lit(0), n - 1),
+      i => array_join(slice(col("_w"), i * width + 1, lit(width)), " "))
+  }
+
   import Queries.QDef
 
   private def q(name: String, oracle: String)(
@@ -2308,14 +2324,10 @@ object PipelineQueries {
         |  coalesce(a.cleaned, '') AS cleaned
         |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
         |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
-      val words = split(trim(col("text")), "\\s+")
-      val nLines = ceil(size(words).cast("double") / 8.0).cast("int")
-      val body = transform(sequence(lit(0), nLines - 1),
-        i => array_join(slice(words, i * 8 + 1, lit(8)), " "))
-      val ml = t(s, dir, "documents").select(col("doc_id"),
+      val ml = stageWords(t(s, dir, "documents")).select(col("doc_id"),
         concat_ws("\n",
           concat(lit("HDR "), col("source")),
-          array_join(body, "\n")).as("ml"))
+          array_join(unitArray(8), "\n")).as("ml"))
       graft.ops.Boilerplate.stripFrequentLines(ml, minDocs = 4, textCol = "ml")
         .select(col("doc_id"), col("n_removed"), col("ml").as("cleaned"))
         .orderBy(col("doc_id"))
@@ -2355,14 +2367,10 @@ object PipelineQueries {
         |  coalesce(a.cleaned, '') AS cleaned
         |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
         |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
-      val words = split(trim(col("text")), "\\s+")
-      val nLines = ceil(size(words).cast("double") / 8.0).cast("int")
-      val body = transform(sequence(lit(0), nLines - 1),
-        i => array_join(slice(words, i * 8 + 1, lit(8)), " "))
-      val ml = t(s, dir, "documents").select(col("doc_id"),
+      val ml = stageWords(t(s, dir, "documents")).select(col("doc_id"),
         concat_ws("\n",
           concat(lit("HDR "), col("source")),
-          array_join(body, "\n")).as("ml"))
+          array_join(unitArray(8), "\n")).as("ml"))
       graft.ops.Boilerplate.stripCorpusLines(
           ml.filter(pmod(col("doc_id"), lit(2)) === 1),
           ml.filter(pmod(col("doc_id"), lit(2)) === 0), textCol = "ml")
@@ -2409,14 +2417,10 @@ object PipelineQueries {
         |  FROM dec GROUP BY doc_id)
         |SELECT doc_id, n_removed, cleaned FROM agg
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val words = split(trim(col("text")), "\\s+")
-      val nLines = ceil(size(words).cast("double") / 8.0).cast("int")
-      val body = transform(sequence(lit(0), nLines - 1),
-        i => array_join(slice(words, i * 8 + 1, lit(8)), " "))
-      val ml = t(s, dir, "documents").select(col("doc_id"),
+      val ml = stageWords(t(s, dir, "documents")).select(col("doc_id"),
         concat_ws("\n",
           concat(lit("HDR "), col("source")),
-          array_join(body, "\n")).as("ml"))
+          array_join(unitArray(8), "\n")).as("ml"))
       graft.ops.LangModel.stripHighPerplexityLines(ml, maxNll = 7.5,
           textCol = "ml")
         .select(col("doc_id"), col("n_removed"), col("text").as("cleaned"))
@@ -2748,14 +2752,10 @@ object PipelineQueries {
         |  coalesce(a.cleaned, '') AS cleaned
         |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
         |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
-      val words = split(trim(col("text")), "\\s+")
-      val nParas = ceil(size(words).cast("double") / 8.0).cast("int")
-      val body = transform(sequence(lit(0), nParas - 1),
-        i => array_join(slice(words, i * 8 + 1, lit(8)), " "))
-      val ml = t(s, dir, "documents").select(col("doc_id"),
+      val ml = stageWords(t(s, dir, "documents")).select(col("doc_id"),
         concat_ws("\n\n",
           concat(lit("HDR "), col("source")),
-          array_join(body, "\n\n")).as("ml"))
+          array_join(unitArray(8), "\n\n")).as("ml"))
       graft.ops.Boilerplate.stripCorpusParagraphs(
           ml.filter(pmod(col("doc_id"), lit(2)) === 1),
           ml.filter(pmod(col("doc_id"), lit(2)) === 0), textCol = "ml")
@@ -3233,14 +3233,13 @@ object PipelineQueries {
         |SELECT t.doc_id, CAST(t.nt - a.nk AS INT) AS n_removed, a.cleaned
         |FROM tot t JOIN agg a USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
-      val words = split(trim(col("text")), "\\s+")
-      val nP = ceil(size(words).cast("double") / 6.0).cast("int")
-      val body = transform(sequence(lit(0), nP - 1),
-        i => array_join(slice(words, i * 6 + 1, lit(6)), " "))
-      val ml = t(s, dir, "documents").select(col("doc_id"),
-        when(pmod(col("doc_id"), lit(2)) === 0,
-          concat(array_join(body, "\n"), lit("\n"), element_at(body, 1)))
-          .otherwise(array_join(body, "\n")).as("ml"))
+      val ml = stageWords(t(s, dir, "documents"))
+        .withColumn("_body", unitArray(6))
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(array_join(col("_body"), "\n"), lit("\n"),
+              element_at(col("_body"), 1)))
+            .otherwise(array_join(col("_body"), "\n")).as("ml"))
       graft.ops.Boilerplate.dedupWithinDoc(ml, "ml")
         .select(col("doc_id"), col("n_removed"), col("ml").as("cleaned"))
         .orderBy(col("doc_id"))
