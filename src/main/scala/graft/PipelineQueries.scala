@@ -5644,6 +5644,51 @@ object PipelineQueries {
         .crossJoin(broadcast(selected.agg(count(lit(1)).as("n_selected"))))
         .crossJoin(broadcast(kept.agg(count(lit(1)).as("n_kept"))))
         .orderBy(col("topic"))
+    },
+
+    // Per-node triangle counts + clustering coefficient over a
+    // synthesized ring+chord graph (nodes = doc_id mod |docs|/5, one
+    // affine chord + two ring edges per doc — 120 triangles at sf0.01,
+    // 1020 at sf0.1). The Spark side runs the DEGREE-ORDERED
+    // node-iterator; the oracle enumerates triangles via the
+    // INDEPENDENT lexicographic orientation — two different algorithms
+    // must produce the identical per-node table.
+    q("q_triangles",
+      """WITH nn AS (SELECT count(*)//5 AS m FROM documents),
+        |e0 AS (
+        |  SELECT doc_id % m AS a, (doc_id*31+7) % m AS b FROM documents, nn
+        |  UNION ALL SELECT doc_id % m, (doc_id+1) % m FROM documents, nn
+        |  UNION ALL SELECT doc_id % m, (doc_id+2) % m FROM documents, nn),
+        |und AS (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v
+        |        FROM e0 WHERE a <> b),
+        |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |  FROM und e1 JOIN und e2 ON e1.v = e2.u
+        |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |deg AS (SELECT node, count(*) AS degree FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY node),
+        |cr AS (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        |       UNION ALL SELECT z FROM tri),
+        |tc AS (SELECT node, count(*) AS triangles FROM cr GROUP BY node)
+        |SELECT d.node, d.degree,
+        |  coalesce(t.triangles, 0) AS triangles,
+        |  round(CASE WHEN d.degree >= 2 THEN
+        |      2.0 * coalesce(t.triangles, 0) / (d.degree * (d.degree - 1))
+        |    ELSE 0.0 END, 6) AS clustering
+        |FROM deg d LEFT JOIN tc t USING (node)
+        |ORDER BY d.node""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val withM = docs.select(col("doc_id")).crossJoin(broadcast(
+        docs.agg((count(lit(1)) / 5).cast("long").as("_m"))))
+      val e = withM.select(explode(array(
+          struct((col("doc_id") % col("_m")).as("src"),
+            ((col("doc_id") * 31 + 7) % col("_m")).as("dst")),
+          struct((col("doc_id") % col("_m")).as("src"),
+            ((col("doc_id") + 1) % col("_m")).as("dst")),
+          struct((col("doc_id") % col("_m")).as("src"),
+            ((col("doc_id") + 2) % col("_m")).as("dst")))).as("_e"))
+        .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
+      Graph.triangleCount(e).orderBy(col("node"))
     }
   )
 

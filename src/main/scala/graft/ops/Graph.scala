@@ -273,4 +273,66 @@ object Graph {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"),
         coalesce(col("in_w"), lit(0.0)).as("in_w"))
   }
+
+  /** Per-node triangle counts + local clustering coefficient over the
+    * UNDIRECTED simple graph (directions, multi-edges and self-loops
+    * collapse first) — the community-structure signal beside
+    * PageRank's authority and HyperBall's centrality: a host whose
+    * neighbors all know each other (clustering → 1) sits in a dense
+    * community/link farm; a pure hub's neighbors don't (→ 0).
+    *
+    * Algorithm: DEGREE-ORDERED node-iterator (Schank & Wagner 2005;
+    * the MapReduce formulation of Suri & Vassilvitskii, WWW 2011) —
+    * orient each edge from the (degree, node)-smaller endpoint to the
+    * larger, join oriented wedges (a→b, a→c with b≺c impossible —
+    * b→c checked against the oriented edge set), so every triangle
+    * materializes exactly once. The orientation bounds every
+    * out-neighborhood by O(√E) on ANY graph, so the wedge join
+    * produces O(E^1.5) candidates instead of Σdeg² (a high-degree hub
+    * never expands its own neighborhood). Three equi-joins + one
+    * explode-aggregate; node ids and degrees are the only shuffled
+    * payload.
+    *
+    * Output: (node, degree, triangles, clustering) with
+    * clustering = 2·T / (deg·(deg−1)), 0 when deg < 2. The oracle
+    * recomputes the triangle set via the INDEPENDENT lexicographic
+    * orientation — different algorithm, same set, a real cross-check. */
+  def triangleCount(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull).distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    // attach degrees, orient by (degree, node)
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("degree").as("_du")), "u")
+      .join(deg.select(col("node").as("v"), col("degree").as("_dv")), "v")
+    val oriented = withDeg.select(
+      when(col("_du") < col("_dv") ||
+        (col("_du") === col("_dv") && col("u") < col("v")),
+        struct(col("u").as("a"), col("v").as("b")))
+        .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("_e"))
+      .select(col("_e.a").as("a"), col("_e.b").as("b"))
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.a") === col("e2.a") &&
+        col("e1.b") < col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      // close the wedge: the third side is oriented y->z or z->y
+      .join(oriented.select(col("a").as("y"), col("b").as("z"))
+          .union(oriented.select(col("b").as("y"), col("a").as("z"))),
+        Seq("y", "z"))
+    val credits = tri.select(explode(array(col("x"), col("y"), col("z")))
+      .as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg.join(credits, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        round(when(col("degree") >= 2,
+          lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)), 6).as("clustering"))
+  }
 }

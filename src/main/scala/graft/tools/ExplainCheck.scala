@@ -307,6 +307,11 @@ object ExplainCheck {
         org.apache.spark.sql.functions.encode(col("text"), "UTF-8"),
         tarTmp, 262144L)
       .queryExecution.explainString(fmt))
+    println("########## op:Graph.triangleCount (degree-ordered wedge joins, O(E^1.5))")
+    val triEdges = docs.select((col("doc_id") % 97).as("src"),
+      ((col("doc_id") * 31 + 7) % 97).as("dst"))
+    println(graft.ops.Graph.triangleCount(triEdges)
+      .queryExecution.explainString(fmt))
     spark.stop()
   }
 }

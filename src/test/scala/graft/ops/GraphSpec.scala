@@ -159,4 +159,48 @@ class GraphSpec extends AnyFunSuite {
     assert(got("b") === ((1L, 4.0, 1L, 2.0)))
     assert(got("c") === ((0L, 0.0, 2L, 5.0)))
   }
+
+  test("triangleCount: K4, a triangle-free hub, and input normalization") {
+    // K4 on {1,2,3,4} (every node: degree 3, 3 triangles, clustering 1)
+    // plus hub 9 connected to 1 and 5 (5 is otherwise isolated);
+    // inputs include reversed duplicates, a multi-edge and a self-loop
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 2L),            // reverse duplicate of (2,3)
+      (1L, 2L),            // multi-edge
+      (2L, 2L),            // self-loop
+      (9L, 1L), (9L, 5L))
+      .toDF("src", "dst")
+    val got = Graph.triangleCount(edges).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    Seq(2L, 3L, 4L).foreach { n =>
+      assert(got(n)._2 === 3L, s"node $n in K4")
+      assert(got(n)._3 === 1.0)
+    }
+    assert(got(1L) === ((4L, 3L, 0.5)), "node 1: K4 + hub edge")
+    assert(got(9L) === ((2L, 0L, 0.0)), "hub: neighbors not adjacent")
+    assert(got(5L) === ((1L, 0L, 0.0)), "degree-1 node: clustering 0")
+  }
+
+  test("triangleCount matches a driver-side brute force on a random graph") {
+    val rnd = new scala.util.Random(19)
+    val raw = (1 to 400).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val und = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    val brute = nodes.map { n =>
+      val nb = adj(n).toSeq
+      val t = (for {
+        i <- nb.indices; j <- (i + 1) until nb.size
+        if adj(nb(i)).contains(nb(j))
+      } yield 1).size
+      n -> ((adj(n).size.toLong, t.toLong))
+    }.toMap
+    val got = Graph.triangleCount(raw.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === brute, "degree-ordered iterator must equal brute force")
+  }
 }
