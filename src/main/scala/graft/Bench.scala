@@ -72,7 +72,7 @@ object Bench {
     "q_ngram_diversity", "q_margin_mine", "q_pivot",
     "q_moore_lewis_serve", "q_corpus_diff", "q_signal_corr",
     "q_tar_shards", "q_margin_mine_lsh", "q_select_pipeline",
-    "q_triangles")
+    "q_triangles", "q_stratified_exact_n", "q_indexed_bins")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5689,6 +5689,57 @@ object PipelineQueries {
             ((col("doc_id") + 2) % col("_m")).as("dst")))).as("_e"))
         .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       Graph.triangleCount(e).orderBy(col("node"))
+    },
+
+    // Exactly-n-per-stratum sampling (balanced eval sets): per-source
+    // md5 rank, smallest 5 win. The oracle recomputes the per-stratum
+    // ranking over the same cross-engine digest.
+    q("q_stratified_exact_n",
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Sampling.stratifiedExactN(t(s, dir, "documents"),
+          "source", "doc_id", n = 5)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Megatron-style indexed .bin/.idx export: token sequences (here
+    // per-token character lengths — a deterministic SQL-recomputable
+    // id stream) cut into ~128 KiB bin shards by the prefix-sum
+    // assignment. The query returns the MANIFEST; the oracle recomputes
+    // every sequence's 4-byte-per-token bin cost, the shard cut and the
+    // idx sidecar size (42 + 20n). Bin/idx BYTES round-trip in
+    // ExportSpec.
+    q("q_indexed_bins",
+      """WITH e AS (SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |        t -> t <> '')) AS n FROM documents),
+        |s AS (SELECT doc_id, n, n * 4 AS bytes FROM e),
+        |c AS (SELECT doc_id, n, bytes,
+        |        coalesce(sum(bytes) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wb
+        |      FROM s)
+        |SELECT CAST(wb // 131072 AS BIGINT) AS shard,
+        |  count(*) AS n_seqs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+        |  CAST(42 + 20 * count(*) AS BIGINT) AS idx_bytes,
+        |  min(doc_id) AS first_key, max(doc_id) AS last_key
+        |FROM c GROUP BY 1 ORDER BY shard""".stripMargin) { (s, dir) =>
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_indexed_bins_${math.abs(dir.hashCode)}").toString
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true): Unit
+      val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
+        t => t =!= "")
+      graft.ops.Export.indexedBins(
+          t(s, dir, "documents").withColumn("_t", toks),
+          "doc_id", transform(col("_t"), t => length(t)),
+          outDir = tmp, shardBytes = 131072L)
+        .orderBy(col("shard"))
     }
   )
 

@@ -339,21 +339,14 @@ object Export {
       col("_ebytes"), shardBytes, buckets)
     // Hadoop conf rebuilt per task from the session's entries (the
     // Configuration object itself is not serializable)
-    val confEntries: Array[(String, String)] = {
-      val c = df.sparkSession.sessionState.newHadoopConf()
-      val it = c.iterator(); val b = Array.newBuilder[(String, String)]
-      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
-      b.result()
-    }
+    val confEntries = hadoopConfEntries(df)
     assigned
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col(orderCol))
       .select(col("shard"), col("_name"), col("_payload"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         if (rows.hasNext) {
-          val conf = new org.apache.hadoop.conf.Configuration(false)
-          confEntries.foreach { case (k, v) => conf.set(k, v) }
-          val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(conf)
+          val fs = fileSystemFor(outDir, confEntries)
           var cur = -1L
           var out: org.apache.hadoop.fs.FSDataOutputStream = null
           def close(): Unit = if (out != null) {
@@ -384,6 +377,117 @@ object Export {
       max(col(orderCol)).as("last_key"))
   }
 
+  /** Megatron-style indexed binary export: one `.bin` of raw
+    * little-endian int32 token ids per shard plus its `.idx` sidecar
+    * (the MMapIndexedDataset layout pretraining loaders mmap: magic
+    * `MMIDIDX`, version, dtype code, sequence sizes, byte pointers,
+    * document index) — the other standard training container beside
+    * [[tarShards]]' WebDataset form. One sequence per input row.
+    *
+    * Shard assignment, determinism and the write path all mirror
+    * [[tarShards]]: entries order by `orderCol`, cost 4·|tokens| bin
+    * bytes, shard = full `shardBytes` of bin preceding
+    * ([[Sharding.orderedShards]] prefix sum); fixed headers → shard
+    * bytes reproducible bit-for-bit. Returns the manifest (shard,
+    * n_seqs, n_tokens, bin_bytes, idx_bytes = 42 + 20·n_seqs,
+    * first/last key), recomputed distributively for the oracle. */
+  def indexedBins(df: DataFrame, orderCol: String, tokens: Column,
+      outDir: String, shardBytes: Long, buckets: Int = 64): DataFrame = {
+    require(shardBytes >= 4, s"shardBytes=$shardBytes")
+    val prepped = df.select(col(orderCol),
+        tokens.cast("array<int>").as("_toks"))
+      .withColumn("_n", coalesce(size(col("_toks")), lit(0)).cast("long"))
+      .withColumn("_bytes", col("_n") * 4L)
+    val assigned = Sharding.orderedShards(prepped, orderCol,
+      col("_bytes"), shardBytes, buckets)
+    val confEntries = hadoopConfEntries(df)
+    assigned
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col(orderCol))
+      .select(col("shard"), col("_toks"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        if (rows.hasNext) {
+          val fs = fileSystemFor(outDir, confEntries)
+          var cur = -1L
+          var bin: org.apache.hadoop.fs.FSDataOutputStream = null
+          val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+          def close(): Unit = if (bin != null) {
+            bin.close()
+            val idx = fs.create(new org.apache.hadoop.fs.Path(outDir,
+              f"shard-$cur%06d.idx"), true)
+            idx.write(BinIdxCodec.index(sizes.toSeq))
+            idx.close()
+            sizes.clear(); bin = null
+          }
+          rows.foreach { r =>
+            val shard = r.getLong(0)
+            if (shard != cur) {
+              close(); cur = shard
+              bin = fs.create(new org.apache.hadoop.fs.Path(outDir,
+                f"shard-$cur%06d.bin"), true)
+            }
+            val ts = r.getSeq[Int](1)
+            val buf = java.nio.ByteBuffer.allocate(ts.length * 4)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            ts.foreach(buf.putInt)
+            bin.write(buf.array())
+            sizes += ts.length
+          }
+          close()
+        }
+      }
+    assigned.groupBy(col("shard")).agg(
+      count(lit(1)).as("n_seqs"),
+      sum(col("_n")).as("n_tokens"),
+      sum(col("_bytes")).as("bin_bytes"),
+      (lit(42L) + lit(20L) * count(lit(1))).as("idx_bytes"),
+      min(col(orderCol)).as("first_key"),
+      max(col(orderCol)).as("last_key"))
+  }
+
+  /** Distributed reader for [[indexedBins]] output: parse each shard's
+    * `.idx` sidecar, slice its `.bin` by the recorded pointers —
+    * (shard, seq, tokens). Round-trip spec-checked. */
+  def readIndexedBins(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    def shardOf(path: String): Long =
+      "shard-(\\d+)\\.(bin|idx)$".r.findFirstMatchIn(path)
+        .map(_.group(1).toLong).getOrElse(-1L)
+    val idx = spark.read.format("binaryFile").load(s"$dir/*.idx")
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .map { case (p, b) => (shardOf(p), b) }.toDF("shard", "_idx")
+    val bin = spark.read.format("binaryFile").load(s"$dir/*.bin")
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .map { case (p, b) => (shardOf(p), b) }.toDF("shard", "_bin")
+    idx.join(bin, "shard")
+      .as[(Long, Array[Byte], Array[Byte])]
+      .flatMap { case (shard, idxB, binB) =>
+        BinIdxCodec.sizes(idxB).zipWithIndex.scanLeft(
+          (shard, -1L, 0, Array.empty[Int])) {
+          case ((_, _, off, _), (n, i)) =>
+            val buf = java.nio.ByteBuffer.wrap(binB, off, n * 4)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            (shard, i.toLong, off + n * 4, Array.fill(n)(buf.getInt))
+        }.drop(1).map { case (s, i, _, ts) => (s, i, ts) }
+      }
+      .toDF("shard", "seq", "tokens")
+  }
+
+  private def hadoopConfEntries(df: DataFrame): Array[(String, String)] = {
+    val c = df.sparkSession.sessionState.newHadoopConf()
+    val it = c.iterator(); val b = Array.newBuilder[(String, String)]
+    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+    b.result()
+  }
+
+  private def fileSystemFor(dir: String,
+      entries: Array[(String, String)]): org.apache.hadoop.fs.FileSystem = {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    entries.foreach { case (k, v) => conf.set(k, v) }
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+  }
+
   /** Distributed reader for [[tarShards]] output: each tar file is one
     * `binaryFile` row, parsed entry-by-entry in a narrow flatMap —
     * (shard, name, payload). Round-trip spec-checked against the
@@ -400,6 +504,42 @@ object Export {
         TarCodec.entries(bytes).map { case (n, p) => (shard, n, p) }
       }
       .toDF("shard", "name", "payload")
+  }
+}
+
+/** Megatron-LM MMapIndexedDataset `.idx` sidecar writer/reader used by
+  * [[Export.indexedBins]] — magic `MMIDIDX\0\0`, version 1, dtype code
+  * 4 (int32), sequence count, document-index count, int32 sizes, int64
+  * byte pointers, int64 document index (one sequence per document). */
+private[ops] object BinIdxCodec {
+  private val Magic = "MMIDIDX\u0000\u0000".getBytes("US-ASCII") // 9 B
+
+  def index(sizes: Seq[Int]): Array[Byte] = {
+    val n = sizes.length
+    val buf = java.nio.ByteBuffer.allocate(42 + 20 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(Magic)
+    buf.putLong(1L)                 // version
+    buf.put(4.toByte)               // dtype code: int32
+    buf.putLong(n.toLong)           // sequence count
+    buf.putLong((n + 1).toLong)     // document-index length
+    sizes.foreach(buf.putInt)
+    var ptr = 0L
+    sizes.foreach { s => buf.putLong(ptr); ptr += s.toLong * 4 }
+    (0 to n).foreach(i => buf.putLong(i.toLong))
+    buf.array()
+  }
+
+  def sizes(idx: Array[Byte]): Seq[Int] = {
+    val buf = java.nio.ByteBuffer.wrap(idx)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = new Array[Byte](9); buf.get(magic)
+    require(java.util.Arrays.equals(magic, Magic), "bad idx magic")
+    require(buf.getLong() == 1L, "bad idx version")
+    require(buf.get() == 4.toByte, "bad idx dtype")
+    val n = buf.getLong().toInt
+    buf.getLong(): Unit             // document-index length
+    Seq.fill(n)(buf.getInt())
   }
 }
 

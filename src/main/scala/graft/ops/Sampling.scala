@@ -65,6 +65,28 @@ object Sampling {
       col(keyCol).asc).limit(n)
   }
 
+  /** EXACTLY `n` rows per stratum (strata with fewer rows keep them
+    * all), deterministic from the keys: per-stratum md5 rank, smallest
+    * n win — the uniform-without-replacement twin of [[quotaSample]]'s
+    * capping, and the per-stratum form of [[exactN]] (a global top-n
+    * over-serves big strata). The balanced-eval-set builder: n docs
+    * from EVERY source regardless of source skew.
+    *
+    * Scale shape: the rank window partitions by the stratum and Spark
+    * plans the `row_number <= n` filter as WindowGroupLimit — an
+    * n-entry per-partition group limit, never a full stratum sort
+    * materialization; nothing global anywhere. */
+  def stratifiedExactN(df: DataFrame, stratumCol: String, keyCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n=$n")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(keyCol).cast("string").cast("binary")).asc,
+        col(keyCol).asc)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= n).drop("_rk")
+  }
+
   def byKeyMd5(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction=$fraction")
     df.filter(md5Unit(col(keyCol)) < lit(fraction))

@@ -329,6 +329,41 @@ class ExportSpec extends AnyFunSuite {
       assert(tb <= 64 * 1024 + maxEntry + 1024, s"shard $s over budget") }
   }
 
+  test("indexedBins: lossless round-trip, manifest matches file bytes, deterministic") {
+    val out = java.nio.file.Files.createTempDirectory("graft-bins").toString
+    val toks = org.apache.spark.sql.functions.transform(
+      org.apache.spark.sql.functions.filter(
+        split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""),
+      t => length(t))
+    def write(dir: String) = Export.indexedBins(
+      docs.repartition(5).withColumn("_t", toks), "doc_id", col("_t"),
+      outDir = dir, shardBytes = 32 * 1024).collect()
+    val manifest = write(out).map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(manifest.size > 1, s"expected several shards: ${manifest.size}")
+    // file sizes equal the manifest
+    val files = new java.io.File(out).listFiles()
+      .map(f => f.getName -> f.length()).toMap
+    manifest.foreach { case (s, (_, _, binB, idxB)) =>
+      assert(files(f"shard-$s%06d.bin") === binB, s"bin $s")
+      assert(files(f"shard-$s%06d.idx") === idxB, s"idx $s")
+    }
+    // round-trip: token streams come back exactly, in doc_id order
+    val back = Export.readIndexedBins(spark, out)
+      .orderBy(col("shard"), col("seq"))
+      .select("tokens").collect().map(_.getSeq[Int](0).toSeq)
+    val orig = docs.withColumn("_t", toks).orderBy("doc_id")
+      .select("_t").collect().map(_.getSeq[Int](0).toSeq)
+    assert(back.toSeq === orig.toSeq, "bin/idx round-trip must be lossless")
+    // deterministic bytes
+    val out2 = java.nio.file.Files.createTempDirectory("graft-bins2").toString
+    write(out2)
+    def md5all(dir: String) = new java.io.File(dir).listFiles().sortBy(_.getName)
+      .map(f => f.getName -> java.security.MessageDigest.getInstance("MD5")
+        .digest(java.nio.file.Files.readAllBytes(f.toPath)).toSeq).toSeq
+    assert(md5all(out) === md5all(out2))
+  }
+
   test("tarShards bytes are deterministic and readable by the system tar tool") {
     val o1 = java.nio.file.Files.createTempDirectory("graft-tar1").toString
     val o2 = java.nio.file.Files.createTempDirectory("graft-tar2").toString

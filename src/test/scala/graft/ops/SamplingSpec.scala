@@ -405,4 +405,22 @@ class SamplingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("stratifiedExactN: n per stratum, small strata whole, repartition-stable") {
+    import spark.implicits._
+    val rows = ((1L to 60L).map(i => (i, "big")) ++
+      (61L to 63L).map(i => (i, "small"))).toSeq.toDF("doc_id", "source")
+    val got = Sampling.stratifiedExactN(rows, "source", "doc_id", n = 10)
+      .collect().map(r => r.getString(1) -> r.getLong(0))
+    assert(got.count(_._1 == "big") === 10, "big stratum capped at n")
+    assert(got.count(_._1 == "small") === 3, "small stratum kept whole")
+    val again = Sampling.stratifiedExactN(rows.repartition(7),
+        "source", "doc_id", n = 10)
+      .collect().map(r => r.getString(1) -> r.getLong(0))
+    assert(got.toSet === again.toSet, "md5 rank is partitioning-independent")
+    // per-stratum group limit, not a full-stratum sort materialization
+    val plan = Sampling.stratifiedExactN(rows, "source", "doc_id", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }
