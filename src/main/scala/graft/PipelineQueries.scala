@@ -1399,6 +1399,69 @@ object PipelineQueries {
         .orderBy(col("event_id"))
     },
 
+    // FORWARD as-of (pandas direction='forward'): the NEXT purchase at
+    // or after each click. Same union-and-carry machinery traversed in
+    // reverse; DuckDB's ASOF with `>=` is the oracle.
+    q("q_asof_forward",
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |    CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS ms FROM events),
+        |clicks AS (SELECT event_id, user_id, ms FROM e WHERE event_type = 'click'),
+        |purch AS (SELECT user_id, ms, max(value) AS pval FROM e
+        |          WHERE event_type = 'purchase' GROUP BY user_id, ms)
+        |SELECT c.event_id, c.user_id, c.ms, p.pval AS asof_pval
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND p.ms >= c.ms
+        |ORDER BY c.event_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), unix_millis(col("ts").cast("timestamp")).as("ms"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ms"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ms").as("pms"))
+        .agg(max(col("value")).as("pval"))
+      graft.ops.AsOf.asOfJoinForward(clicks, purchases, Seq("user_id"),
+          "ms", "pms")
+        .orderBy(col("event_id"))
+    },
+
+    // NEAREST as-of (pandas direction='nearest', ties backward): the
+    // time-closest purchase either side of each click. One tagged
+    // union, both carries in the same key partitioning. The oracle
+    // composes DuckDB's two ASOF directions and re-applies the
+    // tie-backward pick rule.
+    q("q_asof_nearest",
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |    CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS ms FROM events),
+        |clicks AS (SELECT event_id, user_id, ms FROM e WHERE event_type = 'click'),
+        |purch AS (SELECT user_id, ms, max(value) AS pval FROM e
+        |          WHERE event_type = 'purchase' GROUP BY user_id, ms),
+        |b AS (SELECT c.event_id, c.user_id, c.ms, p.ms AS bms, p.pval AS bval
+        |      FROM clicks c ASOF LEFT JOIN purch p
+        |        ON c.user_id = p.user_id AND p.ms <= c.ms),
+        |f AS (SELECT c.event_id, p.ms AS fms, p.pval AS fval
+        |      FROM clicks c ASOF LEFT JOIN purch p
+        |        ON c.user_id = p.user_id AND p.ms >= c.ms)
+        |SELECT b.event_id, b.user_id, b.ms,
+        |  CASE WHEN b.bms IS NULL THEN f.fval
+        |       WHEN f.fms IS NULL THEN b.bval
+        |       WHEN b.ms - b.bms <= f.fms - b.ms THEN b.bval
+        |       ELSE f.fval END AS asof_pval
+        |FROM b JOIN f USING (event_id)
+        |ORDER BY b.event_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), unix_millis(col("ts").cast("timestamp")).as("ms"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ms"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ms").as("pms"))
+        .agg(max(col("value")).as("pval"))
+      graft.ops.AsOf.asOfJoinNearest(clicks, purchases, Seq("user_id"),
+          "ms", "pms")
+        .orderBy(col("event_id"))
+    },
+
     // Point-in-interval range join (binned equi-join, ops/RangeJoin.scala):
     // clicks attributed to 90-minute incident windows opened at the first
     // error of each hour. Intervals span 2–3 one-hour bins, so the

@@ -42,12 +42,105 @@ object AsOf {
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, prefix: String = "asof_",
       inclusive: Boolean = true): DataFrame = {
+    val (carried, rightVals, payload) =
+      carry(left, right, keys, leftTs, rightTs, inclusive, forward = false)
+    rightVals.foldLeft(carried) { (df, c) =>
+      df.withColumn(prefix + c, col(payload).getField(c))
+    }.drop("__ts", "__side", payload)
+  }
+
+  /** FORWARD as-of join — for every left row, the NEXT right row with
+    * `rightTs >= leftTs` (or `>` in strict mode) per key: pandas
+    * `merge_asof(direction='forward')`, the "what happened next"
+    * enrichment (first purchase after a click, next deploy after an
+    * alert). Identical union-and-carry machinery to [[asOfJoin]] with
+    * the traversal reversed (ts DESC; at equal timestamps inclusive
+    * still lets the left row see the right one) — same one-shuffle,
+    * O(1)-window-state cost. Right rows must be unique per
+    * (key, rightTs), as in [[asOfJoin]]. */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, prefix: String = "asof_",
+      inclusive: Boolean = true): DataFrame = {
+    val (carried, rightVals, payload) =
+      carry(left, right, keys, leftTs, rightTs, inclusive, forward = true)
+    rightVals.foldLeft(carried) { (df, c) =>
+      df.withColumn(prefix + c, col(payload).getField(c))
+    }.drop("__ts", "__side", payload)
+  }
+
+  /** NEAREST as-of join — whichever of the backward / forward matches
+    * sits closer in time wins; ties go BACKWARD (the pandas
+    * `direction='nearest'` rule); a side with no match loses to the
+    * other. Both carries run over ONE tagged union in the same key
+    * partitioning (one shuffle, two in-partition sorts). Adds
+    * `prefix + c` columns plus `prefix`ed `ts` of the chosen row via
+    * the internal carry. */
+  def asOfJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      prefix: String = "asof_"): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one equality key")
-    val rightVals = right.columns.filterNot(c => keys.contains(c) || c == rightTs)
+    val rightVals =
+      right.columns.filterNot(c => keys.contains(c) || c == rightTs)
+    require(rightVals.nonEmpty, "right side has no payload columns")
+    nearestImpl(left, right, keys, leftTs, rightTs, prefix, rightVals)
+  }
+
+  private def nearestImpl(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String, prefix: String,
+      rightVals: Array[String]): DataFrame = {
+    val payloadB = "__asof_bwd"
+    val payloadF = "__asof_fwd"
+    val rightStruct = struct((rightVals.map(col) :+
+      col(rightTs).as("__rts")): _*)
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightVals.map(right.schema(_)) :+
+        org.apache.spark.sql.types.StructField("__rts",
+          right.schema(rightTs).dataType))
+    val l2 = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn(payloadB, lit(null).cast(payloadType))
+    val leftOnly = left.columns.filterNot(keys.contains)
+    val r2 = leftOnly.foldLeft(
+      right
+        .withColumn("__ts", col(rightTs))
+        .withColumn("__side", lit(0))
+        .withColumn(payloadB, rightStruct)
+        .select((keys.map(col) :+ col("__ts") :+ col("__side") :+
+          col(payloadB)): _*)
+    ) { (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)) }
+    val u = l2.unionByName(r2.select(l2.columns.map(col): _*))
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val picked = u
+      .withColumn(payloadF, last(col(payloadB), ignoreNulls = true).over(wF))
+      .withColumn(payloadB, last(col(payloadB), ignoreNulls = true).over(wB))
+      .filter(col("__side") === 1)
+      .withColumn("__pick",
+        when(col(payloadB).isNull, col(payloadF))
+          .when(col(payloadF).isNull, col(payloadB))
+          .when((col("__ts") - col(payloadB).getField("__rts")) <=
+            (col(payloadF).getField("__rts") - col("__ts")), col(payloadB))
+          .otherwise(col(payloadF)))
+    rightVals.foldLeft(picked) { (df, c) =>
+      df.withColumn(prefix + c, col("__pick").getField(c))
+    }.drop("__ts", "__side", payloadB, payloadF, "__pick")
+  }
+
+  /** Shared union-and-carry core: returns (carried frame filtered to
+    * left rows, right payload column names, the payload column). */
+  private def carry(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, inclusive: Boolean,
+      forward: Boolean): (DataFrame, Array[String], String) = {
+    require(keys.nonEmpty, "as-of join needs at least one equality key")
+    val rightVals =
+      right.columns.filterNot(c => keys.contains(c) || c == rightTs)
     require(rightVals.nonEmpty, "right side has no payload columns")
     val payload = "__asof_payload"
-
-    // Left rows: original columns + sort tag + null payload placeholder.
     val rightStruct = struct(rightVals.map(col): _*)
     val nullPayload = lit(null).cast(
       org.apache.spark.sql.types.StructType(rightVals.map(right.schema(_))))
@@ -55,31 +148,23 @@ object AsOf {
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
       .withColumn(payload, nullPayload)
-
-    // Right rows: keys + timestamp + payload struct, null-filled to the
-    // left schema so unionByName lines up.
     val leftOnly = left.columns.filterNot(keys.contains)
     val r2 = leftOnly.foldLeft(
       right
         .withColumn("__ts", col(rightTs))
         .withColumn("__side", lit(0))
         .withColumn(payload, rightStruct)
-        .select((keys.map(col) :+ col("__ts") :+ col("__side") :+ col(payload)): _*)
+        .select((keys.map(col) :+ col("__ts") :+ col("__side") :+
+          col(payload)): _*)
     ) { (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)) }
-
-    // At equal timestamps: inclusive puts the right row first (so the left
-    // row sees it); strict puts the left row first (so it doesn't).
+    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
     val sideOrder = if (inclusive) col("__side").asc else col("__side").desc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, sideOrder)
+      .orderBy(tsOrder, sideOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
     val carried = l2.unionByName(r2.select(l2.columns.map(col): _*))
       .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-
-    rightVals.foldLeft(carried) { (df, c) =>
-      df.withColumn(prefix + c, col(payload).getField(c))
-    }.drop("__ts", "__side", payload)
+    (carried, rightVals, payload)
   }
 }

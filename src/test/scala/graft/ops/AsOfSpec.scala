@@ -79,6 +79,44 @@ class AsOfSpec extends AnyFunSuite {
     }
   }
 
+  test("forward as-of matches the next right row at-or-after; strict excludes equality") {
+    val out = AsOf.asOfJoinForward(left, right, Seq("k"), "ts", "rts")
+      .select("k", "ts", "asof_price").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(2))).toMap
+    assert(out(("a", 10L)) === Some(1.0), "equal ts matches inclusively")
+    assert(out(("a", 20L)) === Some(2.0))
+    assert(out(("a", 30L)) === None, "nothing after 30 for a")
+    assert(out(("b", 15L)) === Some(3.0))
+    assert(out(("c", 5L)) === None)
+    val strict = AsOf.asOfJoinForward(left, right, Seq("k"), "ts", "rts",
+        inclusive = false)
+      .select("k", "ts", "asof_price").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(2))).toMap
+    assert(strict(("a", 10L)) === Some(2.0), "strict skips the equal row")
+    assert(strict(("b", 15L)) === Some(4.0))
+  }
+
+  test("nearest as-of picks the time-closer side; ties go backward") {
+    // a@20: bwd r1@10 (gap 10) vs fwd r2@25 (gap 5) -> forward wins
+    // b@15: exact match both sides -> backward (gap 0) wins
+    // extra left rows probing ties and one-sided matches
+    val l2 = Seq(("a", 20L, "x"), ("b", 15L, "y"), ("c", 5L, "z"),
+      ("a", 5L, "w"), ("a", 40L, "v"),
+      ("b", 57L, "t")) // bwd r3@15 gap 42, fwd r4@99 gap 42 -> tie: bwd
+      .toDF("k", "ts", "tag")
+    val out = AsOf.asOfJoinNearest(l2, right, Seq("k"), "ts", "rts")
+      .select("k", "ts", "asof_price", "asof_note").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out(("a", 20L)) === ((Some(2.0), Some("r2"))), "closer fwd wins")
+    assert(out(("b", 15L)) === ((Some(3.0), Some("r3"))))
+    assert(out(("c", 5L)) === ((None, None)), "no right rows for c")
+    assert(out(("a", 5L)) === ((Some(1.0), Some("r1"))), "only fwd exists")
+    assert(out(("a", 40L)) === ((Some(2.0), Some("r2"))), "only bwd exists")
+    assert(out(("b", 57L)) === ((Some(3.0), Some("r3"))),
+      "equal gaps must break backward (pandas nearest rule)")
+  }
+
   test("result is stable under input repartitioning") {
     val a = AsOf.asOfJoin(left, right, Seq("k"), "ts", "rts")
       .orderBy("k", "ts").collect().toSeq
