@@ -1399,6 +1399,33 @@ object PipelineQueries {
         .orderBy(col("event_id"))
     },
 
+    // As-of via the prebuilt per-key TIMELINE (the streaming-safe
+    // serving shape: equi-join + in-row pick, no global sort) — must
+    // produce byte-identical output to the union-and-carry q_asof_join,
+    // so the oracle is the SAME DuckDB ASOF query.
+    q("q_asof_lookup",
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |    CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS ms FROM events),
+        |clicks AS (SELECT event_id, user_id, ms FROM e WHERE event_type = 'click'),
+        |purch AS (SELECT user_id, ms, max(value) AS pval FROM e
+        |          WHERE event_type = 'purchase' GROUP BY user_id, ms)
+        |SELECT c.event_id, c.user_id, c.ms, p.pval AS asof_pval
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND p.ms <= c.ms
+        |ORDER BY c.event_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), unix_millis(col("ts").cast("timestamp")).as("ms"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ms"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ms").as("pms"))
+        .agg(max(col("value")).as("pval"))
+      val tl = graft.ops.AsOf.timeline(purchases, Seq("user_id"), "pms")
+      graft.ops.AsOf.asOfLookup(clicks, tl, Seq("user_id"), "ms")
+        .orderBy(col("event_id"))
+    },
+
     // FORWARD as-of (pandas direction='forward'): the NEXT purchase at
     // or after each click. Same union-and-carry machinery traversed in
     // reverse; DuckDB's ASOF with `>=` is the oracle.

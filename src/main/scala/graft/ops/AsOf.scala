@@ -131,6 +131,50 @@ object AsOf {
     }.drop("__ts", "__side", payloadB, payloadF, "__pick")
   }
 
+  /** Per-key TIMELINE of the right side — the serving-shape complement
+    * of the carry joins: one aggregation collapses the feed into
+    * (keys, sorted array of (ts, payload)) rows, built ONCE and reused
+    * across any number of probe batches or streams ([[asOfLookup]]).
+    * The per-key timeline must be bounded (it is the slowly-changing
+    * dimension feed, not an event stream) — each probe row scans its
+    * key's timeline with a codegen'd HOF, O(|timeline|). */
+  def timeline(right: DataFrame, keys: Seq[String],
+      rightTs: String): DataFrame = {
+    require(keys.nonEmpty, "as-of timeline needs at least one key")
+    val rightVals =
+      right.columns.filterNot(c => keys.contains(c) || c == rightTs)
+    require(rightVals.nonEmpty, "right side has no payload columns")
+    right.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(
+        (col(rightTs).as("_rts") +: rightVals.map(col)): _*))).as("_tl"))
+  }
+
+  /** As-of enrichment against a prebuilt [[timeline]] — a plain
+    * equi-join on the keys plus an in-row pick of the last timeline
+    * entry at-or-before (`inclusive`) / strictly-before the probe
+    * timestamp. Unlike the union-and-carry joins this shape is
+    * STREAMING-SAFE (stream-static equi-join + narrow projection, no
+    * global sort), and batch-identical to [[asOfJoin]] given the same
+    * feed — oracle- and spec-pinned. */
+  def asOfLookup(left: DataFrame, tl: DataFrame, keys: Seq[String],
+      leftTs: String, prefix: String = "asof_",
+      inclusive: Boolean = true): DataFrame = {
+    val joined = left.join(tl, keys, "left")
+    val probe = col(leftTs)
+    val matches = filter(col("_tl"), e =>
+      if (inclusive) e.getField("_rts") <= probe
+      else e.getField("_rts") < probe)
+    val pick = when(col("_tl").isNotNull && size(matches) > 0,
+      element_at(matches, size(matches)))
+    val payloadFields = tl.schema("_tl").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.filterNot(_ == "_rts")
+    payloadFields.foldLeft(joined.withColumn("__pick", pick)) { (df, c) =>
+      df.withColumn(prefix + c, col("__pick").getField(c))
+    }.drop("_tl", "__pick")
+  }
+
   /** Shared union-and-carry core: returns (carried frame filtered to
     * left rows, right payload column names, the payload column). */
   private def carry(left: DataFrame, right: DataFrame, keys: Seq[String],

@@ -117,6 +117,37 @@ class AsOfSpec extends AnyFunSuite {
       "equal gaps must break backward (pandas nearest rule)")
   }
 
+  test("timeline lookup equals the union-and-carry join, incl. strict mode") {
+    val tl = AsOf.timeline(right, Seq("k"), "rts")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "ts", "tag", "asof_price", "asof_note")
+        .orderBy("k", "ts").collect().toSeq
+    assert(norm(AsOf.asOfLookup(left, tl, Seq("k"), "ts")) ===
+      norm(AsOf.asOfJoin(left, right, Seq("k"), "ts", "rts")))
+    assert(norm(AsOf.asOfLookup(left, tl, Seq("k"), "ts",
+        inclusive = false)) ===
+      norm(AsOf.asOfJoin(left, right, Seq("k"), "ts", "rts",
+        inclusive = false)))
+  }
+
+  test("timeline lookup is streaming-safe: file-stream probes equal batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val stage = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    left.write.mode("overwrite").parquet(stage)
+    val tl = AsOf.timeline(right, Seq("k"), "rts")
+    val stream = spark.readStream.schema(left.schema).parquet(stage)
+    val q = AsOf.asOfLookup(stream, tl, Seq("k"), "ts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asoflkp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("asoflkp")
+      .select("k", "ts", "asof_price").orderBy("k", "ts").collect().toSeq
+    val expected = AsOf.asOfJoin(left, right, Seq("k"), "ts", "rts")
+      .select("k", "ts", "asof_price").orderBy("k", "ts").collect().toSeq
+    assert(got === expected, "streamed lookups must equal the batch join")
+  }
+
   test("result is stable under input repartitioning") {
     val a = AsOf.asOfJoin(left, right, Seq("k"), "ts", "rts")
       .orderBy("k", "ts").collect().toSeq
