@@ -73,7 +73,8 @@ object Bench {
     "q_moore_lewis_serve", "q_corpus_diff", "q_signal_corr",
     "q_tar_shards", "q_margin_mine_lsh", "q_select_pipeline",
     "q_triangles", "q_stratified_exact_n", "q_indexed_bins",
-    "q_asof_forward", "q_asof_nearest", "q_asof_lookup")
+    "q_asof_forward", "q_asof_nearest", "q_asof_lookup",
+    "q_winsorize", "q_robust_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5736,6 +5736,45 @@ object PipelineQueries {
         .orderBy(col("topic"))
     },
 
+    // Per-domain percentile winsorization: n_chars clipped into each
+    // source's [0.05, 0.95] band. The oracle recomputes both bounds
+    // (quantile_cont == Spark percentile, the q_percentile parity) and
+    // the clamp per doc.
+    q("q_winsorize",
+      """WITH b AS (SELECT source,
+        |    quantile_cont(n_chars, 0.05) AS plo,
+        |    quantile_cont(n_chars, 0.95) AS phi
+        |  FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source,
+        |  round(least(greatest(CAST(d.n_chars AS DOUBLE), b.plo), b.phi), 6)
+        |    AS score_w
+        |FROM documents d JOIN b USING (source)
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Quality.winsorize(t(s, dir, "documents"),
+          col("n_chars"), lo = 0.05, hi = 0.95)
+        .select(col("doc_id"), col("source"), col("score_w"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Per-domain robust z-score (median/MAD): the outlier-insensitive
+    // standardization. The oracle recomputes the median, the MAD and
+    // the 1.4826 normalization per doc; zero-MAD domains null out.
+    q("q_robust_score",
+      """WITH m AS (SELECT source, median(CAST(n_chars AS DOUBLE)) AS med
+        |           FROM documents GROUP BY source),
+        |a AS (SELECT d.doc_id, d.source, CAST(d.n_chars AS DOUBLE) AS s, m.med
+        |      FROM documents d JOIN m USING (source)),
+        |md AS (SELECT source, median(abs(s - med)) AS mad FROM a GROUP BY source)
+        |SELECT a.doc_id, a.source,
+        |  CASE WHEN md.mad > 0
+        |       THEN round((a.s - a.med) / (1.4826 * md.mad), 6) END AS rz
+        |FROM a JOIN md USING (source)
+        |ORDER BY a.doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Quality.robustScore(t(s, dir, "documents"), col("n_chars"))
+        .select(col("doc_id"), col("source"), col("rz"))
+        .orderBy(col("doc_id"))
+    },
+
     // Per-node triangle counts + clustering coefficient over a
     // synthesized ring+chord graph (nodes = doc_id mod |docs|/5, one
     // affine chord + two ring edges per doc — 120 triangles at sf0.01,

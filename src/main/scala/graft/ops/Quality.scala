@@ -364,6 +364,49 @@ object Quality {
         graft.functions.GraftFunctions.fingerprint64(col("_g")).as("_gfp"))
   }
 
+  /** Per-domain percentile WINSORIZATION of a signal — the outlier
+    * clamp run before averaging or thresholding heavy-tailed quality
+    * signals (a 10 MB page should count as "very long", not dominate
+    * the mean): values clip into the domain's [lo, hi] percentile band
+    * (exact `percentile`, whose interpolation matches DuckDB's
+    * `quantile_cont` — the q_percentile parity).
+    * Adds `_w`-suffixed clipped column. One |domains|-row bounds
+    * aggregate broadcast back; no window, no sort. */
+  def winsorize(docs: DataFrame, score: Column, lo: Double, hi: Double,
+      domainCol: String = "source"): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo <= hi, s"lo=$lo hi=$hi")
+    val s = docs.withColumn("_s", score.cast("double"))
+    val bounds = s.groupBy(col(domainCol))
+      .agg(expr(s"percentile(_s, $lo)").as("_plo"),
+        expr(s"percentile(_s, $hi)").as("_phi"))
+    s.join(broadcast(bounds), Seq(domainCol))
+      .withColumn("score_w",
+        round(least(greatest(col("_s"), col("_plo")), col("_phi")), 6))
+      .drop("_s", "_plo", "_phi")
+  }
+
+  /** Per-domain ROBUST z-score (median/MAD): rz = (x − median) /
+    * (1.4826·MAD), the outlier-insensitive standardization (mean/std
+    * moves with the outliers it should flag). MAD = median absolute
+    * deviation; a zero MAD (over half the domain identical) yields a
+    * null score, not ±∞. Two |domains|-row aggregate passes (median,
+    * then MAD of deviations), both broadcast back — no window. */
+  def robustScore(docs: DataFrame, score: Column,
+      domainCol: String = "source"): DataFrame = {
+    val s = docs.withColumn("_s", score.cast("double"))
+    val med = s.groupBy(col(domainCol))
+      .agg(expr("percentile(_s, 0.5)").as("_med"))
+    val withMed = s.join(broadcast(med), Seq(domainCol))
+    val mad = withMed
+      .groupBy(col(domainCol))
+      .agg(expr("percentile(abs(_s - _med), 0.5)").as("_mad"))
+    withMed.join(broadcast(mad), Seq(domainCol))
+      .withColumn("rz",
+        when(col("_mad") > 0,
+          round((col("_s") - col("_med")) / (lit(1.4826) * col("_mad")), 6)))
+      .drop("_s", "_med", "_mad")
+  }
+
   /** Per-rule removal rates over a corpus — one aggregate row: the
     * rule-attribution audit (which rule is doing the cutting?). */
   def gopherReport(docs: DataFrame, textCol: String = "text"): DataFrame = {

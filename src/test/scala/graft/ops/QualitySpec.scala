@@ -240,6 +240,32 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("winsorize clips into the exact percentile band; robustScore median/MAD") {
+    import spark.implicits._
+    // domain d1: scores 0,10,20,30,100 -> p25 = 10, p75 = 30 (exact
+    // rank positions, no interpolation needed at these quartiles)
+    val docs = Seq(
+      ("d1", 1L, 0.0), ("d1", 2L, 10.0), ("d1", 3L, 20.0),
+      ("d1", 4L, 30.0), ("d1", 5L, 100.0),
+      ("d2", 6L, 7.0), ("d2", 7L, 7.0), ("d2", 8L, 7.0)) // zero MAD
+      .toDF("source", "doc_id", "score")
+    val w = Quality.winsorize(docs, col("score"), 0.25, 0.75)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("score_w")).toMap
+    assert(w(1L) === 10.0 && w(5L) === 30.0, "outliers clamp to the band")
+    assert(w(2L) === 10.0 && w(3L) === 20.0 && w(4L) === 30.0)
+    assert(w(6L) === 7.0)
+
+    val rz = Quality.robustScore(docs, col("score"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[Any]("rz"))).toMap
+    // d1: median 20, deviations {20,10,0,10,80} -> MAD 10
+    assert(rz(3L) === Some(0.0))
+    assert(rz(4L) === Some(math.rint(10.0 / 14.826 * 1e6) / 1e6))
+    assert(rz(5L) === Some(math.rint(80.0 / 14.826 * 1e6) / 1e6))
+    assert(rz(6L) === None, "zero MAD must null, not divide")
+  }
+
   test("readability: hand-computed counts and formulas; degenerate docs null") {
     import spark.implicits._
     val docs = Seq(
