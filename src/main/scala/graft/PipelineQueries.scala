@@ -5869,6 +5869,142 @@ object PipelineQueries {
           "doc_id", transform(col("_t"), t => length(t)),
           outDir = tmp, shardBytes = 131072L)
         .orderBy(col("shard"))
+    },
+
+    // Exact trigram-Jaccard threshold join via prefix filtering
+    // (AllPairs/PPJoin) — the EXACT-join scale path beside MinHash+LSH:
+    // zero false negatives by construction, candidates only from each
+    // set's low-df prefix. The oracle recomputes the full exact pair
+    // set the brute-force way, so the prefix pruning is pinned to lose
+    // nothing; SetSimSpec separately asserts the candidate count is
+    // ≪ the all-shared-shingle pair count (the point of the operator).
+    q("q_jaccard_prefix",
+      """WITH toks AS (SELECT doc_id AS id,
+        |    string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |tri AS (SELECT DISTINCT id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+        |  FROM (SELECT id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks)),
+        |sizes AS (SELECT id, count(*) AS sz FROM tri GROUP BY id),
+        |common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+        |  FROM tri a JOIN tri b ON a.sh = b.sh AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(cnt AS DOUBLE)/(sa.sz + sb.sz - cnt), 4) AS jaccard
+        |FROM common JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+        |WHERE CAST(cnt AS DOUBLE)/(sa.sz + sb.sz - cnt) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      graft.ops.SetSim.prefixFilterJaccardPairs(
+          t(s, dir, "documents"), n = 3, threshold = 0.6)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Exact directed containment join (|src ∩ dst| / |src|) — the
+    // asymmetric twin: excerpts/quotes score 1.0 against their host
+    // while Jaccard stays near zero. Both engines extend the corpus
+    // with synthesized 12-word excerpt docs (doc_id+10000, every 25th
+    // doc) so the subset-detection behavior is exercised, then
+    // recompute the directed pair set independently.
+    q("q_containment",
+      """WITH base AS (SELECT doc_id, trim(text) AS text FROM documents),
+        |ex AS (SELECT doc_id + 10000 AS doc_id,
+        |    array_to_string(string_split_regex(text, '\s+')[1:12], ' ') AS text
+        |  FROM base WHERE doc_id % 25 = 0),
+        |alltext AS (SELECT * FROM base UNION ALL SELECT * FROM ex),
+        |toks AS (SELECT doc_id AS id, string_split_regex(text, '\s+') AS tk
+        |  FROM alltext),
+        |tri AS (SELECT DISTINCT id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+        |  FROM (SELECT id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks)),
+        |sizes AS (SELECT id, count(*) AS sz FROM tri GROUP BY id),
+        |common AS (SELECT a.id AS src_id, b.id AS dst_id, count(*) AS cnt
+        |  FROM tri a JOIN tri b ON a.sh = b.sh AND a.id <> b.id
+        |  GROUP BY 1, 2)
+        |SELECT src_id, dst_id, round(CAST(cnt AS DOUBLE)/sz, 4) AS containment
+        |FROM common JOIN sizes ON src_id = sizes.id
+        |WHERE CAST(cnt AS DOUBLE)/sz >= 0.8
+        |ORDER BY src_id, dst_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val ex = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 12), " ")
+            .as("text"))
+      val all = docs.select(col("doc_id"), trim(col("text")).as("text"))
+        .unionByName(ex)
+      graft.ops.SetSim.containmentPairs(all, n = 3, threshold = 0.8)
+        .orderBy(col("src_id"), col("dst_id"))
+    },
+
+    // DPO preference-pair selection: responses grouped by a synthetic
+    // prompt id, reward = closed-form in doc_id (with planted ties —
+    // ids 200 apart share a score — so the deterministic tie-breaks
+    // are exercised), margin floor 5. The oracle recomputes the pick
+    // with rank windows; the Spark side is ONE struct-argmax/argmin
+    // aggregation (no window, no sort — see ops/Export.scala).
+    q("q_dpo_pairs",
+      """WITH r AS (SELECT doc_id % 40 AS prompt_id, doc_id,
+        |    CAST((doc_id * 37) % 100 AS DOUBLE) AS score FROM documents),
+        |w AS (SELECT *,
+        |    row_number() OVER (PARTITION BY prompt_id
+        |      ORDER BY score DESC, doc_id) AS rc,
+        |    row_number() OVER (PARTITION BY prompt_id
+        |      ORDER BY score ASC, doc_id DESC) AS rr,
+        |    count(*) OVER (PARTITION BY prompt_id) AS n FROM r),
+        |c AS (SELECT prompt_id, doc_id AS chosen_id,
+        |    score AS chosen_score, n FROM w WHERE rc = 1),
+        |j AS (SELECT prompt_id, doc_id AS rejected_id,
+        |    score AS rejected_score FROM w WHERE rr = 1)
+        |SELECT c.prompt_id, chosen_id, rejected_id,
+        |  chosen_score, rejected_score,
+        |  round(chosen_score - rejected_score, 6) AS margin,
+        |  CAST(n AS BIGINT) AS n_candidates
+        |FROM c JOIN j USING (prompt_id)
+        |WHERE n >= 2 AND chosen_score - rejected_score >= 5.0
+        |ORDER BY prompt_id""".stripMargin) { (s, dir) =>
+      val r = t(s, dir, "documents").select(
+        (col("doc_id") % 40).as("prompt_id"), col("doc_id"),
+        ((col("doc_id") * 37) % 100).cast("double").as("score"))
+      graft.ops.Export.dpoPairs(r, "prompt_id", "doc_id", col("score"),
+          minMargin = 5.0)
+        .orderBy(col("prompt_id"))
+    },
+
+    // End-to-end snapshot MERGE + DELETE (copy-on-write upsert): commit
+    // documents, upsert patched + fresh rows, delete a key slice, read
+    // the final snapshot back. The oracle recomputes the final table
+    // state relationally — so the CoW file rewrite, the
+    // carry-by-reference of untouched files, and the key matching are
+    // all pinned by a full-table hash (the file-granularity behavior
+    // itself is asserted in SnapshotsSpec).
+    q("q_snapshot_merge",
+      """WITH upd AS (
+        |  SELECT doc_id, 'patched' AS source, n_chars + 1000 AS n_chars
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000, 'fresh', n_chars
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |merged AS (
+        |  SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT doc_id, source, n_chars FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM upd))
+        |SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM merged WHERE doc_id % 10 <> 5
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.ops.Snapshots
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_snap_merge_${math.abs(dir.hashCode)}").toString
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true): Unit
+      val docs = t(s, dir, "documents").select("doc_id", "source", "n_chars")
+      Snapshots.commit(s, docs.repartition(4), tmp): Unit
+      val upd = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit("patched").as("source"),
+          (col("n_chars") + 1000).as("n_chars"))
+        .unionByName(docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            lit("fresh").as("source"), col("n_chars")))
+      Snapshots.merge(s, tmp, upd, "doc_id"): Unit
+      Snapshots.delete(s, tmp,
+        docs.filter(col("doc_id") % 10 === 5).select("doc_id"), "doc_id"): Unit
+      Snapshots.read(s, tmp).orderBy(col("doc_id"))
     }
   )
 

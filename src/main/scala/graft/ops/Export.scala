@@ -130,6 +130,39 @@ object Export {
         spans.as("spans"))
   }
 
+  /** DPO/RLHF preference-pair selection: per prompt group, pick the
+    * best-scored response as `chosen` and the worst as `rejected`,
+    * with fully deterministic tie-breaks (max score ties → min id;
+    * min score ties → max id — so an all-tied group still yields a
+    * stable, distinct pair). Groups with fewer than two responses or
+    * a score margin below `minMargin` drop: a pair whose preference
+    * signal is inside reward-model noise teaches the trainer nothing.
+    *
+    * Scale shape: ONE partial-mergeable aggregation on the prompt key
+    * — argmax/argmin fold into lexicographic struct max/min, so the
+    * map side reduces every partition to one candidate per group
+    * before the shuffle. No window function, no per-group sort, no
+    * response payloads in flight (callers join chosen_id/rejected_id
+    * back to the text AFTER selection collapses the fan-in). */
+  def dpoPairs(responses: DataFrame, promptCol: String, idCol: String,
+      scoreCol: Column, minMargin: Double = 0.0): DataFrame = {
+    val s = scoreCol.cast("double")
+    val id = col(idCol).cast("long")
+    responses
+      .groupBy(col(promptCol))
+      .agg(
+        max(struct(s.as("s"), (-id).as("ni"), id.as("id"))).as("_c"),
+        min(struct(s.as("s"), (-id).as("ni"), id.as("id"))).as("_r"),
+        count(lit(1)).as("n_candidates"))
+      .filter(col("n_candidates") >= 2 &&
+        col("_c.s") - col("_r.s") >= minMargin)
+      .select(col(promptCol),
+        col("_c.id").as("chosen_id"), col("_r.id").as("rejected_id"),
+        col("_c.s").as("chosen_score"), col("_r.s").as("rejected_score"),
+        round(col("_c.s") - col("_r.s"), 6).as("margin"),
+        col("n_candidates"))
+  }
+
   /** Deterministic per-epoch shuffle: every row gets a `shard` in
     * [0, nShards) and a dense 0-based `pos` within its shard, both pure
     * functions of (`epoch`, key) via the cross-engine md5 unit

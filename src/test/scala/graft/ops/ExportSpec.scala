@@ -396,4 +396,37 @@ class ExportSpec extends AnyFunSuite {
       "system tar must see exactly the entries our reader sees")
     assert(listed.forall(_.endsWith(".txt")))
   }
+
+  test("dpoPairs: argmax/argmin with deterministic tie-breaks and margin gate") {
+    val r = Seq(
+      // prompt 1: clear winner/loser
+      (1L, 10L, 0.9), (1L, 11L, 0.2), (1L, 12L, 0.5),
+      // prompt 2: max-score tie (20, 21) → chosen = min id;
+      //           min-score tie (22, 23) → rejected = max id
+      (2L, 20L, 0.8), (2L, 21L, 0.8), (2L, 22L, 0.1), (2L, 23L, 0.1),
+      // prompt 3: singleton — drops (no pair to form)
+      (3L, 30L, 0.7),
+      // prompt 4: margin 0.05 below the 0.1 floor — drops
+      (4L, 40L, 0.50), (4L, 41L, 0.45))
+      .toDF("prompt", "resp_id", "score")
+    val out = Export.dpoPairs(r, "prompt", "resp_id", col("score"),
+        minMargin = 0.1)
+      .orderBy("prompt")
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(5),
+        x.getLong(6)))
+    assert(out.toSeq === Seq(
+      (1L, 10L, 11L, 0.7, 3L),
+      (2L, 20L, 23L, 0.7, 4L)))
+  }
+
+  test("dpoPairs: an all-tied group still yields a stable distinct pair") {
+    val r = Seq((1L, 5L, 0.5), (1L, 6L, 0.5), (1L, 7L, 0.5))
+      .toDF("prompt", "resp_id", "score")
+    val out = Export.dpoPairs(r, "prompt", "resp_id", col("score")).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(1) === 5L) // chosen = min id
+    assert(out(0).getLong(2) === 7L) // rejected = max id
+    assert(out(0).getDouble(5) === 0.0)
+  }
 }

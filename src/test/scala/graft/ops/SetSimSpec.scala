@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.TestSpark.{sfDir, spark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SetSimSpec extends AnyFunSuite {
+  private lazy val docs =
+    spark.read.parquet(s"$sfDir/documents.parquet").cache()
+
+  test("prefix-filter jaccard join ≡ brute-force shared-shingle join") {
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = key(Dedup.jaccardPairs(docs, n = 3, threshold = 0.6))
+    val pref = key(SetSim.prefixFilterJaccardPairs(docs, n = 3, threshold = 0.6))
+    assert(brute.nonEmpty, "corpus should contain planted near-dups")
+    assert(pref === brute)
+  }
+
+  test("prefix candidates are a strict subset of the all-shared-shingle pairs") {
+    val ordered = SetSim.dfOrderedShingles(docs, 3, "doc_id", "text")
+    val nPrefix = SetSim.prefixCandidates(ordered, 0.6).count()
+    val sh = Dedup.shingleSet(docs, n = 3)
+    val allShared = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id")).distinct().count()
+    // the whole point: candidate pruning by orders of magnitude
+    assert(nPrefix < allShared / 10,
+      s"prefix candidates $nPrefix should be ≪ all shared-shingle pairs $allShared")
+    // and never below the true answer
+    val nTrue = SetSim.prefixFilterJaccardPairs(docs, n = 3, threshold = 0.6).count()
+    assert(nPrefix >= nTrue)
+  }
+
+  test("containment is asymmetric: an excerpt is contained, not similar") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j k l m n o p q r s t"),
+      (2L, "a b c d e f"), // strict prefix of doc 1
+      (3L, "z y x w v u t s r q p o n m")).toDF("doc_id", "text")
+    val cont = SetSim.containmentPairs(corpus, n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // every trigram of doc 2 appears in doc 1 → containment 1.0, one direction
+    assert(cont === Set((2L, 1L, 1.0)))
+    // the symmetric jaccard join at the same bar sees nothing
+    assert(SetSim.prefixFilterJaccardPairs(corpus, n = 3, threshold = 0.9)
+      .count() === 0L)
+  }
+
+  test("containment candidates respect the size filter and self-exclusion") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"), // identical: containment 1.0 both directions
+      (3L, "f g h i j")).toDF("doc_id", "text")
+    val out = SetSim.containmentPairs(corpus, n = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("threshold bounds are validated") {
+    intercept[IllegalArgumentException] {
+      SetSim.prefixFilterJaccardPairs(docs, n = 3, threshold = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      SetSim.containmentPairs(docs, n = 3, threshold = 1.5)
+    }
+  }
+}
