@@ -6005,6 +6005,132 @@ object PipelineQueries {
       Snapshots.delete(s, tmp,
         docs.filter(col("doc_id") % 10 === 5).select("doc_id"), "doc_id"): Unit
       Snapshots.read(s, tmp).orderBy(col("doc_id"))
+    },
+
+    // Label-propagation communities on the synthetic host link graph
+    // (same closed-form edges as q_pagerank). Deterministic synchronous
+    // variant: 3 fixed rounds, weighted argmax with ties to the
+    // smallest label — the oracle unrolls the SAME 3 rounds in chained
+    // CTEs, so every round's winner pick (including tie-breaks) is
+    // pinned cross-engine.
+    q("q_labelprop",
+      """WITH u AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.'
+        |         ELSE '' END ||
+        |    source || '-site.' ||
+        |    CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+        |         WHEN 2 THEN 'co.uk' ELSE 'org.au' END AS host
+        |  FROM documents),
+        |nn AS (SELECT count(*) AS nd FROM documents),
+        |raw AS (
+        |  SELECT a.host AS src, b.host AS dst FROM u a, nn, u b
+        |  WHERE b.doc_id = (a.doc_id*31+7) % nd
+        |  UNION ALL
+        |  SELECT a.host, b.host FROM u a, nn, u b
+        |  WHERE b.doc_id = (a.doc_id*17+3) % nd),
+        |dw AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+        |       FROM raw GROUP BY 1, 2),
+        |und AS (SELECT a, b, sum(w) AS w FROM (
+        |    SELECT src AS a, dst AS b, w FROM dw
+        |    UNION ALL SELECT dst, src, w FROM dw)
+        |  WHERE a <> b GROUP BY 1, 2),
+        |l0 AS (SELECT DISTINCT a AS node, a AS lab FROM und),
+        |c1 AS (SELECT und.a AS node, l.lab, sum(und.w) AS s
+        |       FROM und JOIN l0 l ON l.node = und.b GROUP BY 1, 2),
+        |w1 AS (SELECT node, lab FROM (SELECT node, lab,
+        |        row_number() OVER (PARTITION BY node
+        |          ORDER BY s DESC, lab) AS rk FROM c1) WHERE rk = 1),
+        |l1 AS (SELECT p.node, coalesce(w1.lab, p.lab) AS lab
+        |       FROM l0 p LEFT JOIN w1 ON w1.node = p.node),
+        |c2 AS (SELECT und.a AS node, l.lab, sum(und.w) AS s
+        |       FROM und JOIN l1 l ON l.node = und.b GROUP BY 1, 2),
+        |w2 AS (SELECT node, lab FROM (SELECT node, lab,
+        |        row_number() OVER (PARTITION BY node
+        |          ORDER BY s DESC, lab) AS rk FROM c2) WHERE rk = 1),
+        |l2 AS (SELECT p.node, coalesce(w2.lab, p.lab) AS lab
+        |       FROM l1 p LEFT JOIN w2 ON w2.node = p.node),
+        |c3 AS (SELECT und.a AS node, l.lab, sum(und.w) AS s
+        |       FROM und JOIN l2 l ON l.node = und.b GROUP BY 1, 2),
+        |w3 AS (SELECT node, lab FROM (SELECT node, lab,
+        |        row_number() OVER (PARTITION BY node
+        |          ORDER BY s DESC, lab) AS rk FROM c3) WHERE rk = 1),
+        |l3 AS (SELECT p.node, coalesce(w3.lab, p.lab) AS lab
+        |       FROM l2 p LEFT JOIN w3 ON w3.node = p.node)
+        |SELECT node, lab AS community FROM l3
+        |ORDER BY node""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val host = concat(
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("www."))
+          .when(pmod(col("doc_id"), lit(3)) === 1, lit("cdn."))
+          .otherwise(lit("")),
+        col("source"), lit("-site."),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("com"))
+          .when(pmod(col("doc_id"), lit(4)) === 1, lit("org"))
+          .when(pmod(col("doc_id"), lit(4)) === 2, lit("co.uk"))
+          .otherwise(lit("org.au")))
+      val u = docs.select(col("doc_id"), host.as("host"))
+      val nn = docs.agg(count(lit(1)).as("nd"))
+      val a = u.crossJoin(broadcast(nn))
+      def leg(mul: Int, add: Int) = a.as("a")
+        .join(u.as("b"), col("b.doc_id") ===
+          pmod(col("a.doc_id") * mul + add, col("nd")))
+        .select(col("a.host").as("src"), col("b.host").as("dst"))
+      val edges = leg(31, 7).unionAll(leg(17, 3))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).cast("double").as("weight"))
+      graft.ops.Graph.labelPropagation(edges, rounds = 3,
+          weightCol = Some("weight"))
+        .orderBy(col("node"))
+    },
+
+    // Perceptual image dedup: REAL PNG round-trip (gradient thumbs
+    // with planted exact- and near-duplicate groups, pixel values
+    // closed-form in doc_id) → dHash → the SAME banded Hamming join
+    // SimHash uses (Dedup.hammingNearDups). The oracle recomputes the
+    // dHash bits from the pixel formula, bands them 4×16 bits, joins
+    // band buckets and verifies bit_count — a DIFFERENT banding than
+    // Spark's maxHamming+1 chunks, but both are exact at ham ≤ 2 by
+    // pigeonhole, so the pair sets must agree row-for-row.
+    q("q_image_dhash",
+      """WITH g AS (SELECT doc_id, x, y,
+        |    CASE WHEN x = 0 AND y = 0 AND doc_id % 7 = 0
+        |      THEN ((doc_id % 97)*3 % 256 + 128) % 256
+        |      ELSE ((doc_id % 97)*(x + 2*y + 3) + 3*x*x + 5*y*y) % 256
+        |    END AS v
+        |  FROM documents, generate_series(0, 8) s1(x),
+        |       generate_series(0, 7) s2(y)),
+        |b AS (SELECT a.doc_id, a.y*8 + a.x AS pos,
+        |    CASE WHEN n.v > a.v THEN 1 ELSE 0 END AS bit
+        |  FROM g a JOIN g n ON n.doc_id = a.doc_id AND n.y = a.y
+        |    AND n.x = a.x + 1
+        |  WHERE a.x < 8),
+        |bands AS (SELECT doc_id, pos // 16 AS band,
+        |    CAST(sum(bit * (1 << (pos % 16))) AS BIGINT) AS key
+        |  FROM b GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |    max(CASE WHEN band = 0 THEN key END) AS k0,
+        |    max(CASE WHEN band = 1 THEN key END) AS k1,
+        |    max(CASE WHEN band = 2 THEN key END) AS k2,
+        |    max(CASE WHEN band = 3 THEN key END) AS k3
+        |  FROM bands GROUP BY 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+        |  FROM bands a JOIN bands bb ON a.band = bb.band
+        |    AND a.key = bb.key AND a.doc_id < bb.doc_id),
+        |ham AS (SELECT id_a, id_b,
+        |    CAST(bit_count(xor(sa.k0, sb.k0)) + bit_count(xor(sa.k1, sb.k1))
+        |       + bit_count(xor(sa.k2, sb.k2)) + bit_count(xor(sa.k3, sb.k3))
+        |      AS BIGINT) AS hamming
+        |  FROM cand JOIN sig sa ON id_a = sa.doc_id
+        |  JOIN sig sb ON id_b = sb.doc_id)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 2
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val sigs = Multimodal.dhash64(
+          Multimodal.syntheticGradientPngs(t(s, dir, "documents")))
+        .toDF().select(col("doc_id").as("id"), col("sig"))
+      Dedup.hammingNearDups(sigs, maxHamming = 2)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
     }
   )
 

@@ -697,7 +697,19 @@ object Dedup {
     * verifies the exact distance. More chunks = shorter keys = bigger
     * buckets: the recall guarantee costs selectivity as the budget grows. */
   def simhashNearDups(docs: DataFrame, maxHamming: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    hammingNearDups(simhashSignatures(docs, idCol, textCol), maxHamming)
+
+  /** Banded Hamming near-dup join over any 64-bit signature frame
+    * `(id, sig)` — the shared core of [[simhashNearDups]] and the
+    * perceptual image-hash dedup ([[Multimodal]]): signatures band
+    * into `maxHamming + 1` chunks — a pair within the Hamming budget
+    * has fewer differing bits than chunks, so at least one chunk is
+    * intact (pigeonhole) and the bucket join is guaranteed to surface
+    * the pair; bit_count then verifies the exact distance. More
+    * chunks = shorter keys = bigger buckets: the recall guarantee
+    * costs selectivity as the budget grows. */
+  def hammingNearDups(sigs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, s"maxHamming=$maxHamming")
     val numChunks = maxHamming + 1
     val base = 64 / numChunks
@@ -705,7 +717,6 @@ object Dedup {
     val bounds = (0 until numChunks).scanLeft(0) { (acc, c) =>
       acc + base + (if (c < extra) 1 else 0)
     }
-    val sigs = simhashSignatures(docs, idCol, textCol)
     val chunkCols = (0 until numChunks).map { c =>
       val lo = bounds(c); val width = bounds(c + 1) - lo
       // width == 64 (the maxHamming=0 single-chunk case): (1L << 64) - 1

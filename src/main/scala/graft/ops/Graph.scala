@@ -335,4 +335,60 @@ object Graph {
             (col("degree") * (col("degree") - 1)))
           .otherwise(lit(0.0)), 6).as("clustering"))
   }
+
+  /** Deterministic synchronous label propagation (Raghavan, Albert &
+    * Kumara 2007) over the undirected weighted view of `edges` —
+    * community detection for domain/host clustering at link-graph
+    * scale. Classic LPA is order-dependent and randomized; this
+    * variant is fully reproducible:
+    *
+    *  - undirected simple graph: both directions union, self-loops
+    *    drop, parallel-edge weights add (w(a,b) = Σ both directions);
+    *  - init: every node labels itself;
+    *  - per round (FIXED `rounds`, synchronous — all nodes update from
+    *    the previous round's labels): new label = the neighbor label
+    *    with the highest summed incident weight, ties → smallest
+    *    label; isolated nodes (none here after self-loop drop, but
+    *    contractually) keep their label;
+    *  - no convergence test: a fixed round count is cross-engine
+    *    reproducible (the oracle unrolls the same rounds), and LPA on
+    *    link graphs is within a round or two of stable by round 5.
+    *
+    * Scale shape per round: one join of the |V|-row label frame
+    * against the cached undirected edges on the neighbor key, one
+    * (node, label)-keyed partial+final aggregation, then the per-node
+    * argmax folds into a lexicographic struct MIN ((−score, label) —
+    * highest score first, ties to the smallest label) so there is no
+    * window and no per-node sort. The label frame is pinned each
+    * round ([[Guards.pin]]'s lineage discipline — without it round r
+    * recomputes rounds 1..r−1). */
+  def labelPropagation(edges: DataFrame, rounds: Int = 5,
+      srcCol: String = "src", dstCol: String = "dst",
+      weightCol: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds")
+    val w = weightCol.map(col).getOrElse(lit(1.0)).cast("double")
+    val dir = edges.select(col(srcCol).cast("string").as("a"),
+      col(dstCol).cast("string").as("b"), w.as("w"))
+    val und = Guards.pin(
+      dir.unionAll(dir.select(col("b").as("a"), col("a").as("b"), col("w")))
+        .filter(col("a") =!= col("b") && col("a").isNotNull &&
+          col("b").isNotNull)
+        .groupBy("a", "b").agg(sum("w").as("w")))
+    var labels = und.select(col("a").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    for (_ <- 1 to rounds) {
+      val winners = und
+        .join(labels.select(col("node").as("b"), col("lab")), "b")
+        .groupBy(col("a"), col("lab"))
+        .agg(sum(col("w")).as("_s"))
+        .groupBy(col("a"))
+        .agg(min(struct((-col("_s")).as("ns"), col("lab").as("l")))
+          .as("_w"))
+        .select(col("a").as("node"), col("_w.l").as("_new"))
+      labels = Guards.pin(
+        labels.join(winners, Seq("node"), "left")
+          .select(col("node"), coalesce(col("_new"), col("lab")).as("lab")))
+    }
+    labels.select(col("node"), col("lab").as("community"))
+  }
 }

@@ -250,6 +250,90 @@ object Multimodal {
     }
   }
 
+  /** Deterministic REAL gradient PNGs for the perceptual-hash path:
+    * a `(dw+1)`×`dh` grayscale ramp whose pixel values are a closed
+    * form of the doc id — `g(x,y) = ((id mod 97)·(x + 2y + 3) + 3x² +
+    * 5y²) mod 256`, equal R=G=B channels (the id multiplies a position
+    * term, so distinct patterns get distinct gradient SIGNS, not just
+    * offsets) — so ids congruent mod 97 encode
+    * the IDENTICAL image (planted exact-duplicate groups) and ids
+    * divisible by 7 additionally flip pixel (0,0) by +128 (a planted
+    * NEAR-duplicate one dHash bit from its group). The image is born
+    * at the dHash grid size (production resizes real images down to
+    * it first — [[resizeImages]]); the payload is a real codec-encoded
+    * PNG, so [[dhash64]] exercises the actual decode. */
+  def syntheticGradientPngs(docs: DataFrame, dw: Int = 8,
+      dh: Int = 8): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          dw + 1, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < dh) {
+          var x = 0
+          while (x <= dw) {
+            var g = (((id % 97) * (x + 2 * y + 3) + 3 * x * x + 5 * y * y) % 256).toInt
+            if (x == 0 && y == 0 && id % 7 == 0) g = (g + 128) % 256
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos): Unit
+        MediaRow(id, bos.toByteArray)
+      }
+    }
+  }
+
+  final case class ImageSig(doc_id: Long, sig: Long)
+
+  /** Perceptual difference hash (dHash — the widely-published
+    * gradient hash): decode the payload with the REAL codec, take the
+    * `(dw+1)`×`dh` luminance grid, and set bit `y·dw + x` iff
+    * `gray(x+1, y) > gray(x, y)`. Robust to uniform brightness/
+    * contrast shifts (only gradients matter); undecodable payloads
+    * hash to sig = −1 with no task failure. Near-dup matching feeds
+    * the resulting `(id, sig)` frame to [[Dedup.hammingNearDups]] —
+    * the same banded pigeonhole join SimHash uses, so image dedup
+    * rides the text-dedup machinery unchanged. Inputs larger than the
+    * grid should be [[resizeImages]]d first; this computes the hash
+    * from the top-left grid of whatever it decodes (exact-grid
+    * payloads, like the synthetic thumbs, use every pixel). */
+  def dhash64(media: Dataset[MediaRow], dw: Int = 8,
+      dh: Int = 8): Dataset[ImageSig] = {
+    require(dw * dh <= 64, s"dHash grid ${dw}x$dh exceeds 64 bits")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: Exception => null }
+        if (img == null || img.getWidth < dw + 1 || img.getHeight < dh)
+          ImageSig(r.doc_id, -1L)
+        else {
+          def gray(x: Int, y: Int): Int = {
+            val p = img.getRGB(x, y)
+            (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+              (p & 0xff) * 114) / 1000
+          }
+          var sig = 0L
+          var y = 0
+          while (y < dh) {
+            var x = 0
+            while (x < dw) {
+              if (gray(x + 1, y) > gray(x, y)) sig |= 1L << (y * dw + x)
+              x += 1
+            }
+            y += 1
+          }
+          ImageSig(r.doc_id, sig)
+        }
+      }
+    }
+  }
+
   // ------------------------------------------------------------------
   // REAL audio path — javax.sound.sampled ships with every JRE (WAV/
   // AIFF/AU PCM), so audio decodes for real too. With images, audio,

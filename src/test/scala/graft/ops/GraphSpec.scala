@@ -203,4 +203,35 @@ class GraphSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got === brute, "degree-ordered iterator must equal brute force")
   }
+
+  test("labelPropagation: two cliques with a weak bridge resolve to two communities") {
+    // cliques {a1,a2,a3} and {b1,b2,b3}, bridge a3—b1 with tiny weight
+    def clique(ns: Seq[String]) =
+      for { i <- ns.indices; j <- (i + 1) until ns.size }
+        yield (ns(i), ns(j), 5.0)
+    val edges = (clique(Seq("a1", "a2", "a3")) ++
+      clique(Seq("b1", "b2", "b3")) :+ (("a3", "b1", 0.1)))
+      .toDF("src", "dst", "w")
+    val out = Graph.labelPropagation(edges, rounds = 5,
+        weightCol = Some("w"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.keySet === Set("a1", "a2", "a3", "b1", "b2", "b3"))
+    // each clique converges on its own min label
+    assert(Set("a1", "a2", "a3").map(out) === Set("a1"))
+    assert(Set("b1", "b2", "b3").map(out) === Set("b1"))
+  }
+
+  test("labelPropagation: deterministic ties go to the smallest label") {
+    // node x sees labels "a" and "b" with EQUAL weight → picks "a"
+    val edges = Seq(("a", "x", 1.0), ("b", "x", 1.0)).toDF("src", "dst", "w")
+    val out = Graph.labelPropagation(edges, rounds = 1,
+        weightCol = Some("w"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("x") === "a")
+    // and two runs agree exactly (synchronous + fixed rounds)
+    val again = Graph.labelPropagation(edges, rounds = 1,
+        weightCol = Some("w"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(again === out)
+  }
 }

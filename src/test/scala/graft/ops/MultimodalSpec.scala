@@ -133,4 +133,43 @@ class MultimodalSpec extends AnyFunSuite {
     val out = Multimodal.decodeFrames(bad, stride = 2).collect()
     assert(out.length === 1 && out.head.frame_idx === -1)
   }
+
+  /** Driver-side reference dHash from the pixel formula — the codec
+    * round-trip must land on exactly these bits. */
+  private def refDhash(id: Long): Long = {
+    def g(x: Int, y: Int): Long = {
+      val base = ((id % 97) * (x + 2 * y + 3) + 3 * x * x + 5 * y * y) % 256
+      if (x == 0 && y == 0 && id % 7 == 0) (base + 128) % 256 else base
+    }
+    (for { y <- 0 until 8; x <- 0 until 8 if g(x + 1, y) > g(x, y) }
+      yield 1L << (y * 8 + x)).foldLeft(0L)(_ | _)
+  }
+
+  test("dhash64: real PNG encode→decode lands on the closed-form bits") {
+    val ids = Seq(0L, 1L, 7L, 14L, 96L, 97L, 500L)
+    val got = Multimodal.dhash64(
+        Multimodal.syntheticGradientPngs(ids.toDF("doc_id")))
+      .collect().map(s => s.doc_id -> s.sig).toMap
+    ids.foreach { id => assert(got(id) === refDhash(id), s"doc $id") }
+    // ids congruent mod 97 (neither divisible by 7) share the hash
+    val twins = Multimodal.dhash64(
+        Multimodal.syntheticGradientPngs(Seq(2L, 99L).toDF("doc_id")))
+      .collect().map(_.sig).distinct
+    assert(twins.length === 1)
+  }
+
+  test("dhash64: the planted perturbation is within hamming 1 of its group") {
+    // 7 and 7+97·7=686 share a pattern class only if both mod-7 —
+    // compare 14 (perturbed, pattern 14) with 111 (14+97, 111%7!=0)
+    val sigs = Multimodal.dhash64(
+        Multimodal.syntheticGradientPngs(Seq(14L, 111L).toDF("doc_id")))
+      .collect().map(s => s.doc_id -> s.sig).toMap
+    assert(java.lang.Long.bitCount(sigs(14L) ^ sigs(111L)) <= 1)
+  }
+
+  test("dhash64: undecodable payloads give sig=-1, no task failure") {
+    val bad = Seq(Multimodal.MediaRow(5L, Array[Byte](1, 2, 3))).toDS()
+    val out = Multimodal.dhash64(bad).collect()
+    assert(out.toSeq === Seq(Multimodal.ImageSig(5L, -1L)))
+  }
 }
