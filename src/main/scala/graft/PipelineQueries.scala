@@ -6131,6 +6131,73 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"),
           col("hamming").cast("long").as("hamming"))
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Content-defined chunking (LBFS/FastCDC family, 3-byte rolling
+    // window so the hash stays SQL-expressible): every chunk's
+    // (position, length, md5) — the oracle recomputes boundaries
+    // per-position with ord(substr(...)), so the one-pass kernel's cut
+    // placement, chunk extents and content hashes are all pinned.
+    q("q_cdc_chunks",
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |p AS (SELECT doc_id, text,
+        |    unnest(generate_series(3, n - 1)) AS i FROM d),
+        |b AS (SELECT doc_id, i FROM p
+        |  WHERE (ord(substr(text, CAST(i-2 AS INTEGER), 1))*7
+        |       + ord(substr(text, CAST(i-1 AS INTEGER), 1))*31
+        |       + ord(substr(text, CAST(i AS INTEGER), 1))*101) % 64 = 0),
+        |cuts AS (SELECT d.doc_id, d.text,
+        |    list_prepend(0, coalesce(list(b.i ORDER BY b.i)
+        |      FILTER (b.i IS NOT NULL), [])) || [d.n] AS c
+        |  FROM d LEFT JOIN b USING (doc_id)
+        |  GROUP BY d.doc_id, d.text, d.n),
+        |ch AS (SELECT doc_id, unnest(generate_series(1, len(c) - 1)) AS j,
+        |    c, text FROM cuts)
+        |SELECT doc_id, CAST(j - 1 AS BIGINT) AS chunk_idx,
+        |  CAST(c[j+1] - c[j] AS BIGINT) AS chunk_len,
+        |  md5(substr(text, CAST(c[j] + 1 AS INTEGER),
+        |    CAST(c[j+1] - c[j] AS INTEGER))) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      graft.ops.Chunking.cdcChunks(t(s, dir, "documents"), mod = 64)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // Chunk-level dedup accounting per source — the storage question
+    // CDC exists to answer. Same boundary algebra as q_cdc_chunks,
+    // rolled up: total vs distinct chunks and bytes.
+    q("q_cdc_dedup",
+      """WITH d AS (SELECT doc_id, source, text, length(text) AS n
+        |  FROM documents),
+        |p AS (SELECT doc_id, text,
+        |    unnest(generate_series(3, n - 1)) AS i FROM d),
+        |b AS (SELECT doc_id, i FROM p
+        |  WHERE (ord(substr(text, CAST(i-2 AS INTEGER), 1))*7
+        |       + ord(substr(text, CAST(i-1 AS INTEGER), 1))*31
+        |       + ord(substr(text, CAST(i AS INTEGER), 1))*101) % 64 = 0),
+        |cuts AS (SELECT d.doc_id, d.source, d.text,
+        |    list_prepend(0, coalesce(list(b.i ORDER BY b.i)
+        |      FILTER (b.i IS NOT NULL), [])) || [d.n] AS c
+        |  FROM d LEFT JOIN b USING (doc_id)
+        |  GROUP BY d.doc_id, d.source, d.text, d.n),
+        |ch AS (SELECT doc_id, source,
+        |    unnest(generate_series(1, len(c) - 1)) AS j, c, text FROM cuts),
+        |rws AS (SELECT source, CAST(c[j+1] - c[j] AS BIGINT) AS chunk_len,
+        |    md5(substr(text, CAST(c[j] + 1 AS INTEGER),
+        |      CAST(c[j+1] - c[j] AS INTEGER))) AS chunk_md5
+        |  FROM ch),
+        |tot AS (SELECT source, count(*) AS n_chunks,
+        |    CAST(sum(chunk_len) AS BIGINT) AS total_chars FROM rws GROUP BY 1),
+        |uqd AS (SELECT source, chunk_md5, min(chunk_len) AS l
+        |  FROM rws GROUP BY 1, 2),
+        |uq AS (SELECT source, count(*) AS n_unique_chunks,
+        |    CAST(sum(l) AS BIGINT) AS unique_chars FROM uqd GROUP BY 1)
+        |SELECT source, n_chunks, n_unique_chunks, total_chars, unique_chars,
+        |  round(CAST(unique_chars AS DOUBLE) / total_chars, 4) AS unique_ratio
+        |FROM tot JOIN uq USING (source)
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.ops.Chunking.cdcDedupReport(t(s, dir, "documents"), "source",
+          mod = 64)
+        .orderBy(col("source"))
     }
   )
 

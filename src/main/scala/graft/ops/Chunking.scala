@@ -46,4 +46,56 @@ object Chunking {
         concat_ws(" ", col("_chunk")).as("chunk_text"),
         org.apache.spark.sql.functions.size(col("_chunk")).as("n_tokens"))
   }
+
+  /** Content-defined chunking (the LBFS/FastCDC family): cut each
+    * document at positions where a rolling content hash hits a
+    * modulus — boundaries depend only on LOCAL bytes, so shared
+    * passages land on identical chunks regardless of where they sit
+    * in the document (an insertion re-chunks O(1) chunks; fixed-size
+    * blocking would shift every downstream boundary). One row per
+    * chunk: `(idCol, carry…, chunk_idx, chunk_len, chunk_md5)` —
+    * length + content hash only, the text never leaves the kernel.
+    *
+    * Scale: the whole chunk pass is ONE codegen'd expression
+    * ([[graft.functions.GraftFunctions.cdcChunks]]'s one byte pass)
+    * inside the scan projection + a posexplode — zero shuffle; what
+    * shuffles downstream is 40-byte (len, md5) rows, ~len/mod per
+    * document. Cross-doc chunk dedup is then an ordinary hash
+    * aggregate on `chunk_md5` ([[cdcDedupReport]]). */
+  def cdcChunks(docs: DataFrame, mod: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text",
+      carry: Seq[String] = Nil): DataFrame = {
+    import graft.functions.GraftFunctions
+    val keep = col(idCol) +: carry.map(col)
+    docs
+      .select((keep :+ GraftFunctions.cdcChunks(col(textCol), mod).as("_ch")): _*)
+      .select((keep :+ posexplode(col("_ch"))): _*)
+      .select((keep :+ col("pos").cast("long").as("chunk_idx") :+
+        col("col.chunk_len").cast("long").as("chunk_len") :+
+        col("col.chunk_md5").as("chunk_md5")): _*)
+  }
+
+  /** Per-group CDC dedup accounting — the storage/compute question a
+    * crawl pipeline asks before chunk-level dedup: how many chunks,
+    * how many DISTINCT chunks, and what fraction of bytes is unique.
+    * Two hash aggregates over the skinny chunk rows (per-group totals;
+    * per-(group, md5) distinct fold then a per-group rollup) — chunk
+    * content itself never shuffles. */
+  def cdcDedupReport(docs: DataFrame, groupCol: String = "source",
+      mod: Int = 64, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ch = cdcChunks(docs, mod, idCol, textCol, carry = Seq(groupCol))
+    val tot = ch.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_chunks"), sum("chunk_len").as("total_chars"))
+    val uq = ch.groupBy(col(groupCol), col("chunk_md5"))
+      .agg(min("chunk_len").as("_l"))
+      .groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n_unique_chunks"), sum("_l").as("unique_chars"))
+    tot.join(uq, Seq(groupCol))
+      .select(col(groupCol), col("n_chunks"), col("n_unique_chunks"),
+        col("total_chars"), col("unique_chars"),
+        round(when(col("total_chars") > 0,
+          col("unique_chars").cast("double") / col("total_chars"))
+          .otherwise(lit(1.0)), 4).as("unique_ratio"))
+  }
 }

@@ -227,6 +227,55 @@ object kernels {
     new GenericArrayData(out)
   }
 
+  /** Content-defined chunking in ONE byte pass (the gear/Rabin CDC
+    * family, published in LBFS/FastCDC; this is the minimal 3-byte
+    * variant): a boundary falls after 1-based byte position i
+    * (3 ≤ i ≤ n−1) iff `(b[i−2]·7 + b[i−1]·31 + b[i]·101) mod m == 0`
+    * over the UNSIGNED byte values — boundaries depend only on local
+    * content, so an insertion re-chunks O(1) chunks instead of
+    * shifting every downstream chunk (the property fixed-size blocking
+    * lacks). Returns one struct per chunk: (chunk_len, chunk_md5 hex)
+    * — length and content hash, never the content itself. ASCII text
+    * byte positions == `substr` char positions, so a SQL oracle can
+    * recompute boundaries with `ord(substr(...))`. Empty input yields
+    * one empty chunk (len 0, md5 of ""). Production window width is
+    * 48 bytes with a gear table; the 3-byte window keeps the hash
+    * SQL-expressible while exercising the identical plumbing. */
+  def cdcChunks(text: UTF8String, mod: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val cuts = new java.util.ArrayList[Int]()
+    cuts.add(0): Unit
+    var i = 3
+    while (i <= n - 1) {
+      val h = (bytes(i - 3) & 0xff) * 7 + (bytes(i - 2) & 0xff) * 31 +
+        (bytes(i - 1) & 0xff) * 101
+      if (h % mod == 0) cuts.add(i): Unit
+      i += 1
+    }
+    cuts.add(n): Unit
+    val md = md5Local.get()
+    val out = new Array[Any](cuts.size - 1)
+    var j = 0
+    while (j < cuts.size - 1) {
+      val s = cuts.get(j); val e = cuts.get(j + 1)
+      md.reset()
+      md.update(bytes, s, e - s)
+      val d = md.digest()
+      val hex = new StringBuilder(32)
+      var b = 0
+      while (b < d.length) {
+        hex.append(Character.forDigit((d(b) >> 4) & 0xf, 16))
+          .append(Character.forDigit(d(b) & 0xf, 16))
+        b += 1
+      }
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(
+        e - s, UTF8String.fromString(hex.toString))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def linesNotIn(lines: ArrayData, fps: ArrayData): ArrayData = {
     val m = lines.numElements()
     val k = fps.numElements()
@@ -411,6 +460,28 @@ case class CharGramMd5Expr(left: Expression, right: Expression)
       r: Expression): CharGramMd5Expr = copy(l, r)
 }
 
+/** cdc_chunks(text, mod) → array<struct<chunk_len int, chunk_md5
+  * string>>: [[kernels.cdcChunks]]; mod must be a positive literal. */
+case class CdcChunksExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_len", IntegerType, nullable = false),
+    StructField("chunk_md5", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+  override protected def nullSafeEval(t: Any, mAny: Any): Any =
+    kernels.cdcChunks(t.asInstanceOf[UTF8String], mAny.asInstanceOf[Int])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev,
+      (t, m) => s"org.apache.spark.sql.graft.kernels.cdcChunks($t, $m)")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): CdcChunksExpr = copy(l, r)
+}
+
 /** lines_not_in(lines: array<string>, fps: array<bigint>) →
   * array<string>: the surviving lines of a frequent-line strip — every
   * line whose fingerprint64 is absent from the SORTED fingerprint set.
@@ -491,6 +562,11 @@ object GraftFunctions {
     column(WinnowMd5Expr(expression(text),
       org.apache.spark.sql.catalyst.expressions.Literal(k),
       org.apache.spark.sql.catalyst.expressions.Literal(w)))
+  def cdcChunks(text: Column, mod: Int): Column = {
+    require(mod > 0, s"mod=$mod")
+    column(CdcChunksExpr(expression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(mod)))
+  }
   def charGramMd5(text: Column, k: Int): Column =
     column(CharGramMd5Expr(expression(text),
       org.apache.spark.sql.catalyst.expressions.Literal(k)))

@@ -71,4 +71,55 @@ class ChunkingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"chunking must stay narrow:\n$p")
   }
+
+  /** Driver-side reference CDC from the published boundary rule. */
+  private def refCdc(text: String, mod: Int): Seq[(Int, String)] = {
+    val bytes = text.getBytes("UTF-8")
+    val cuts = 0 +: (3 until bytes.length).filter { i =>
+      ((bytes(i - 3) & 0xff) * 7 + (bytes(i - 2) & 0xff) * 31 +
+        (bytes(i - 1) & 0xff) * 101) % mod == 0
+    } :+ bytes.length
+    cuts.sliding(2).map { case Seq(s, e) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (e - s, md.digest(bytes.slice(s, e))
+        .map("%02x".format(_)).mkString)
+    }.toSeq
+  }
+
+  test("cdcChunks: kernel chunks equal the reference rule; chars conserve") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val got = Chunking.cdcChunks(docs, mod = 64)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1))
+          .map(r => (r.getLong(2).toInt, r.getString(3))).toSeq
+      }
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, tx) =>
+      assert(got(id) === refCdc(tx, 64), s"doc $id")
+      assert(got(id).map(_._1).sum === tx.getBytes("UTF-8").length)
+    }
+  }
+
+  test("cdcChunks: a shared passage yields identical chunk hashes at any offset") {
+    val passage = "the quick brown fox jumps over the lazy dog " * 8
+    val a = "PREFIX-A " + passage + " SUFFIX"
+    val b = "a completely different and much longer prefix text here " +
+      passage + " other tail"
+    val ch = Chunking.cdcChunks(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text"), mod = 32)
+    val byDoc = ch.collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getString(3)).toSet }
+    val shared = byDoc(1L).intersect(byDoc(2L))
+    assert(shared.nonEmpty,
+      "content-defined boundaries must re-sync inside the shared passage")
+  }
+
+  test("cdcChunks stays narrow; the report shuffles only skinny chunk rows") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = Chunking.cdcChunks(docs).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"cdc chunking must stay narrow:\n$p")
+  }
 }
