@@ -6198,6 +6198,62 @@ object PipelineQueries {
       graft.ops.Chunking.cdcDedupReport(t(s, dir, "documents"), "source",
           mod = 64)
         .orderBy(col("source"))
+    },
+
+    // Persistent CDC chunk index, end-to-end: build over two thirds of
+    // the corpus, probe the remaining third — shared-chunk pairs with
+    // byte coverage, corpus text never re-read. The oracle recomputes
+    // the chunk algebra, the 12-hex md5→long bridge, the corpus df
+    // hot-chunk guard (df > 50) and the pair rollup independently.
+    q("q_cdc_index_probe",
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |p AS (SELECT doc_id, text,
+        |    unnest(generate_series(3, n - 1)) AS i FROM d),
+        |b AS (SELECT doc_id, i FROM p
+        |  WHERE (ord(substr(text, CAST(i-2 AS INTEGER), 1))*7
+        |       + ord(substr(text, CAST(i-1 AS INTEGER), 1))*31
+        |       + ord(substr(text, CAST(i AS INTEGER), 1))*101) % 64 = 0),
+        |cuts AS (SELECT d.doc_id, d.text,
+        |    list_prepend(0, coalesce(list(b.i ORDER BY b.i)
+        |      FILTER (b.i IS NOT NULL), [])) || [d.n] AS c
+        |  FROM d LEFT JOIN b USING (doc_id)
+        |  GROUP BY d.doc_id, d.text, d.n),
+        |ch AS (SELECT doc_id, unnest(generate_series(1, len(c) - 1)) AS j,
+        |    c, text FROM cuts),
+        |rws AS (SELECT doc_id, CAST(c[j+1] - c[j] AS BIGINT) AS len,
+        |    CAST(concat('0x', substr(md5(substr(text,
+        |      CAST(c[j] + 1 AS INTEGER), CAST(c[j+1] - c[j] AS INTEGER))),
+        |      1, 12)) AS BIGINT) AS fp
+        |  FROM ch),
+        |dis AS (SELECT doc_id, fp, min(len) AS len, sum(len) AS occ
+        |  FROM rws GROUP BY 1, 2),
+        |tbs AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS tb
+        |  FROM dis GROUP BY 1),
+        |corp AS (SELECT * FROM dis WHERE doc_id % 3 <> 0),
+        |inc AS (SELECT * FROM dis WHERE doc_id % 3 = 0),
+        |dfx AS (SELECT fp, count(*) AS df FROM corp GROUP BY 1),
+        |pairs AS (SELECT i.doc_id AS inc_id, c2.doc_id AS corp_id,
+        |    count(*) AS n_shared, CAST(sum(i.len) AS BIGINT) AS shared_bytes
+        |  FROM inc i JOIN corp c2 USING (fp)
+        |  WHERE i.fp NOT IN (SELECT fp FROM dfx WHERE df > 50)
+        |  GROUP BY 1, 2)
+        |SELECT inc_id, corp_id, n_shared, shared_bytes,
+        |  round(CAST(shared_bytes AS DOUBLE) / least(ti.tb, tc.tb), 4)
+        |    AS coverage
+        |FROM pairs JOIN tbs ti ON inc_id = ti.doc_id
+        |JOIN tbs tc ON corp_id = tc.doc_id
+        |ORDER BY inc_id, corp_id""".stripMargin) { (s, dir) =>
+      import graft.ops.CdcIndex
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_cdc_index_${math.abs(dir.hashCode)}").toString
+      val pth = new org.apache.hadoop.fs.Path(tmp)
+      pth.getFileSystem(s.sessionState.newHadoopConf()).delete(pth, true): Unit
+      val docs = t(s, dir, "documents")
+      CdcIndex.build(s, docs.filter(col("doc_id") % 3 =!= 0), tmp,
+        mod = 64, maxDf = 50)
+      CdcIndex.probe(s, docs.filter(col("doc_id") % 3 === 0), tmp,
+          minShared = 1)
+        .orderBy(col("inc_id"), col("corp_id"))
     }
   )
 

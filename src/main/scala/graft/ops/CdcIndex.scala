@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent content-defined-chunk index — the BINARY/byte-overlap
+  * member of the index family ([[MinhashIndex]]: whole-doc Jaccard;
+  * [[WinnowIndex]]: copied text passages; [[Bm25Index]]: lexical
+  * relevance; this: shared CHUNKS of raw content). Because CDC
+  * boundaries re-synchronize inside shared content regardless of
+  * offset ([[Chunking.cdcChunks]]), an arriving blob that embeds any
+  * stored content — a re-crawled page, a re-encoded file section, a
+  * copied attachment — shares chunk hashes with the corpus without
+  * the corpus bytes ever being re-read.
+  *
+  * Index layout under `dir/` (atomic, time-travelable snapshot
+  * tables, the [[WinnowIndex]] discipline): `chunks` (id, tb, fp, len)
+  * — one row per DISTINCT chunk per doc, fp = the 12-hex-digit md5
+  * bridge as a long (8-byte join keys; `tb` is the doc's total bytes);
+  * `df` (fp, df) chunk document frequencies, replace-committed on
+  * every append so the hot-chunk guard stays exact; `meta` (mod,
+  * maxDf, chunks_ver, df_ver — one row, committed LAST). Version pins
+  * close the multi-commit window: probes read chunks/df AS OF the
+  * pinned versions, a crash inside [[append]] leaves orphan snapshots
+  * no probe sees, and the next append heals the tear by rollback.
+  *
+  * Scale shape: build/append is the batch's zero-shuffle chunk pass +
+  * one fp-keyed count. A probe touches the batch's chunk rows, the
+  * (fp-cardinality-sized) df table — its hot set size-gated via
+  * [[Guards.antiJoinSized]] — and the postings rows matching
+  * surviving batch fps. The df > maxDf guard prunes boilerplate
+  * chunks (shared headers/banners) from BOTH sides before the
+  * equi-join, bounding the pair fan-out by maxDf·|batch chunks|.
+  */
+object CdcIndex {
+
+  final case class Params(mod: Int, maxDf: Long,
+      chunksVer: Long, dfVer: Long)
+
+  /** The md5→long bridge ([[Sampling.md5Unit]]'s convention, 12 hex
+    * digits): any engine recomputes the same 48-bit fp from the chunk
+    * content alone. */
+  private def fpOfMd5(md5Hex: org.apache.spark.sql.Column) =
+    conv(substring(md5Hex, 1, 12), 16, 10).cast("long")
+
+  /** Distinct chunk rows per doc: (id, tb, fp, len). */
+  private def chunkFrame(docs: DataFrame, mod: Int,
+      idCol: String, textCol: String): DataFrame = {
+    val ch = Chunking.cdcChunks(docs, mod, idCol, textCol)
+      .select(col(idCol).as("id"), col("chunk_len").as("len"),
+        fpOfMd5(col("chunk_md5")).as("fp"))
+    ch.groupBy(col("id"), col("fp"))
+      .agg(min(col("len")).as("len"), sum(col("len")).as("_occ"))
+      .withColumn("tb", sum(col("_occ")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
+      .select(col("id"), col("tb").cast("long").as("tb"), col("fp"),
+        col("len"))
+  }
+
+  private def commitMeta(spark: SparkSession, dir: String, mod: Int,
+      maxDf: Long, chunksVer: Long, dfVer: Long): Unit = {
+    import spark.implicits._
+    Snapshots.commit(spark,
+      Seq((mod, maxDf, chunksVer, dfVer))
+        .toDF("mod", "maxDf", "chunks_ver", "df_ver"), s"$dir/meta"): Unit
+  }
+
+  /** Build from scratch (replace commits, meta last). One corpus pass:
+    * the chunk kernel runs inside the scan, only (id, tb, fp, len)
+    * rows reach the commits. */
+  def build(spark: SparkSession, docs: DataFrame, dir: String,
+      mod: Int = 64, maxDf: Long = 1000,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val ch = chunkFrame(docs, mod, idCol, textCol)
+    val cv = Snapshots.commit(spark, ch, s"$dir/chunks")
+    val dv = Snapshots.commit(spark,
+      ch.groupBy(col("fp")).agg(count(lit(1)).as("df")), s"$dir/df")
+    commitMeta(spark, dir, mod, maxDf, cv, dv)
+  }
+
+  def params(spark: SparkSession, dir: String): Params = {
+    val r = Snapshots.read(spark, s"$dir/meta").head()
+    Params(r.getAs[Int]("mod"), r.getAs[Long]("maxDf"),
+      r.getAs[Long]("chunks_ver"), r.getAs[Long]("df_ver"))
+  }
+
+  /** Roll chunks/df pointers back to the pinned versions if a previous
+    * [[append]]/[[optimize]] died between commits. Idempotent. */
+  private def healTorn(spark: SparkSession, dir: String,
+      p: Params): Unit = {
+    if (!Snapshots.latestId(spark, s"$dir/chunks").contains(p.chunksVer))
+      Snapshots.rollback(spark, s"$dir/chunks", p.chunksVer)
+    if (!Snapshots.latestId(spark, s"$dir/df").contains(p.dfVer))
+      Snapshots.rollback(spark, s"$dir/df", p.dfVer)
+  }
+
+  /** Index a new batch: chunk postings append-committed (historical
+    * files untouched); df merges the batch counts and replace-commits;
+    * meta commits LAST — the batch becomes visible atomically. */
+  def append(spark: SparkSession, docs: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val p = params(spark, dir)
+    healTorn(spark, dir, p)
+    val ch = chunkFrame(docs, p.mod, idCol, textCol)
+    val cv = Snapshots.commit(spark, ch, s"$dir/chunks", append = true)
+    val merged = Snapshots.read(spark, s"$dir/df", Some(p.dfVer))
+      .unionByName(ch.groupBy(col("fp")).agg(count(lit(1)).as("df")))
+      .groupBy(col("fp")).agg(sum(col("df")).as("df"))
+    val dv = Snapshots.commit(spark, merged, s"$dir/df")
+    commitMeta(spark, dir, p.mod, p.maxDf, cv, dv)
+  }
+
+  /** Chunk-overlap pairs of `incoming` against the stored corpus:
+    * (inc_id, corp_id, n_shared, shared_bytes, coverage) with
+    * n_shared ≥ `minShared` shared distinct chunks; coverage =
+    * shared bytes over the SMALLER doc's total bytes (the
+    * [[WinnowIndex.probe]] convention — an embedded blob scores 1.0).
+    * Hot chunks (stored df > maxDf) prune both sides via the
+    * size-gated anti-join. */
+  def probe(spark: SparkSession, incoming: DataFrame, dir: String,
+      minShared: Long = 2, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val p = params(spark, dir)
+    val hot = Snapshots.read(spark, s"$dir/df", Some(p.dfVer))
+      .filter(col("df") > p.maxDf).select(col("fp"))
+    val inc = Guards.antiJoinSized(
+        chunkFrame(incoming, p.mod, idCol, textCol), hot, Seq("fp"))
+      .select(col("fp"), col("id").as("inc_id"), col("tb").as("_ti"),
+        col("len"))
+    val corp = Guards.antiJoinSized(
+        Snapshots.read(spark, s"$dir/chunks", Some(p.chunksVer)), hot,
+        Seq("fp"))
+      .select(col("fp"), col("id").as("corp_id"), col("tb").as("_tc"))
+    inc.join(corp, Seq("fp"))
+      .groupBy(col("inc_id"), col("corp_id"))
+      .agg(count(lit(1)).as("n_shared"), sum(col("len")).as("shared_bytes"),
+        min(col("_ti")).as("_ti"), min(col("_tc")).as("_tc"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("inc_id"), col("corp_id"), col("n_shared"),
+        col("shared_bytes"),
+        round(col("shared_bytes") / least(col("_ti"), col("_tc")), 4)
+          .as("coverage"))
+  }
+
+  /** Re-compact the chunk postings after a run of [[append]]s
+    * ([[Bm25Index.optimize]]'s lifecycle): one replace commit rewrites
+    * the pinned snapshot fp-range-clustered with per-file fp stats, so
+    * probes prune files; meta re-pins, df untouched, probe answers
+    * unchanged (spec-asserted). */
+  def optimize(spark: SparkSession, dir: String,
+      clusterParts: Int = 8): Unit = {
+    val p = params(spark, dir)
+    healTorn(spark, dir, p)
+    val cv = Snapshots.commit(spark,
+      Snapshots.read(spark, s"$dir/chunks", Some(p.chunksVer))
+        .repartitionByRange(clusterParts, col("fp"))
+        .sortWithinPartitions("fp"),
+      s"$dir/chunks", statsCols = Seq("fp"))
+    commitMeta(spark, dir, p.mod, p.maxDf, cv, p.dfVer)
+  }
+}

@@ -1,0 +1,128 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CdcIndexSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-cdcidx").toString
+
+  // varied words (not a short repeated unit): CDC dedups repeated
+  // content WITHIN a doc to few distinct chunks, which would leave
+  // fewer than minShared distinct chunks to share
+  private val passage =
+    "several distinct sentences compose this varied shared passage " +
+      "about data engines chunk boundaries rolling hashes and " +
+      "synchronized content defined segmentation across documents " +
+      "with many different words appearing once"
+
+  private lazy val corpus = Seq(
+    (2L, s"corpus doc alpha embeds $passage inside it"),
+    (4L, "a wholly unrelated corpus document about other things entirely"),
+    (6L, s"another corpus doc carrying $passage again here"))
+    .toDF("doc_id", "text")
+
+  private lazy val incoming = Seq(
+    (1L, s"incoming blob that quotes $passage verbatim"),
+    (3L, "incoming with nothing shared at all, fully novel words here"))
+    .toDF("doc_id", "text")
+
+  private def probePairs(inc: org.apache.spark.sql.DataFrame, dir: String,
+      minShared: Long = 2) =
+    CdcIndex.probe(spark, inc, dir, minShared = minShared)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .toSet
+
+  test("probe surfaces embedded content; novel docs stay silent") {
+    val dir = tmpDir()
+    CdcIndex.build(spark, corpus, dir, mod = 32, maxDf = 1000)
+    val got = probePairs(incoming, dir).map(t => (t._1, t._2))
+    assert(got.contains((1L, 2L)) && got.contains((1L, 6L)),
+      "the quoting blob must pair with every corpus doc holding the passage")
+    assert(!got.exists(_._1 == 3L), "novel doc must not pair")
+  }
+
+  test("append == from-scratch rebuild (df and probe answers)") {
+    val dir = tmpDir()
+    CdcIndex.build(spark, corpus, dir, mod = 32, maxDf = 1000)
+    val extra = Seq((8L, s"late-arriving doc also containing $passage"))
+      .toDF("doc_id", "text")
+    CdcIndex.append(spark, extra, dir)
+    assert(probePairs(incoming, dir).exists(t => t._1 == 1L && t._2 == 8L))
+    val rebuilt = tmpDir()
+    CdcIndex.build(spark, corpus.unionByName(extra), rebuilt,
+      mod = 32, maxDf = 1000)
+    val dfA = Snapshots.read(spark, s"$dir/df")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dfB = Snapshots.read(spark, s"$rebuilt/df")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dfA === dfB)
+    assert(probePairs(incoming, dir) === probePairs(incoming, rebuilt))
+  }
+
+  test("a torn append is probe-invisible and healed by the next append") {
+    val dir = tmpDir()
+    CdcIndex.build(spark, corpus, dir, mod = 32, maxDf = 1000)
+    val before = probePairs(incoming, dir)
+    val extra = Seq((8L, s"late doc with $passage onboard"))
+      .toDF("doc_id", "text")
+    // simulate a crash between the chunks commit and the meta commit
+    val torn = Chunking.cdcChunks(extra, mod = 32)
+      .select(col("doc_id").as("id"), lit(0L).as("tb"),
+        lit(0L).as("fp"), col("chunk_len").as("len"))
+    Snapshots.commit(spark, torn, s"$dir/chunks", append = true): Unit
+    assert(probePairs(incoming, dir) === before,
+      "a torn append must not be probe-visible")
+    CdcIndex.append(spark, extra, dir)
+    assert(probePairs(incoming, dir).exists(t => t._1 == 1L && t._2 == 8L))
+    val rebuilt = tmpDir()
+    CdcIndex.build(spark, corpus.unionByName(extra), rebuilt,
+      mod = 32, maxDf = 1000)
+    assert(probePairs(incoming, dir) === probePairs(incoming, rebuilt),
+      "healed index must equal a from-scratch rebuild")
+  }
+
+  test("optimize: probe answers identical, postings files compact") {
+    val dir = tmpDir()
+    CdcIndex.build(spark, corpus, dir, mod = 32, maxDf = 1000)
+    Seq(8L, 10L, 12L).foreach { id =>
+      CdcIndex.append(spark,
+        Seq((id, s"appended doc $id with $passage")).toDF("doc_id", "text"),
+        dir)
+    }
+    val before = probePairs(incoming, dir)
+    CdcIndex.optimize(spark, dir, clusterParts = 2)
+    assert(probePairs(incoming, dir) === before,
+      "optimize must not change any probe answer")
+    val files = Snapshots.latestPointer(spark, s"$dir/chunks")
+    assert(files.nonEmpty)
+  }
+
+  test("probe above the broadcast gate (forced shuffle anti-join) is unchanged") {
+    val dir = tmpDir()
+    CdcIndex.build(spark, corpus, dir, mod = 32, maxDf = 1000)
+    val default = probePairs(incoming, dir)
+    spark.conf.set(Guards.MaxBroadcastKeysConf, "0")
+    try assert(probePairs(incoming, dir) === default)
+    finally spark.conf.unset(Guards.MaxBroadcastKeysConf)
+  }
+
+  test("the hot-chunk guard drops boilerplate chunks from both sides") {
+    // every corpus doc shares the same banner → its chunks exceed
+    // maxDf=2 and must not pair; the unique tail still pairs
+    val banner = ("SHARED BANNER TEXT REPEATED ACROSS EVERY DOCUMENT " * 4).trim
+    val corp = (1 to 6).map(i => (i * 2L, s"$banner unique tail $i"))
+      .toDF("doc_id", "text")
+    val inc = Seq((99L, s"$banner and nothing else at all"))
+      .toDF("doc_id", "text")
+    val dir = tmpDir()
+    CdcIndex.build(spark, corp, dir, mod = 16, maxDf = 2)
+    assert(probePairs(inc, dir, minShared = 1).isEmpty,
+      "banner-only incoming must not pair once the guard strips hot chunks")
+  }
+}
