@@ -43,18 +43,28 @@ object CdcIndex {
   private def fpOfMd5(md5Hex: org.apache.spark.sql.Column) =
     conv(substring(md5Hex, 1, 12), 16, 10).cast("long")
 
-  /** Distinct chunk rows per doc: (id, tb, fp, len). */
-  private def chunkFrame(docs: DataFrame, mod: Int,
-      idCol: String, textCol: String): DataFrame = {
-    val ch = Chunking.cdcChunks(docs, mod, idCol, textCol)
-      .select(col(idCol).as("id"), col("chunk_len").as("len"),
-        fpOfMd5(col("chunk_md5")).as("fp"))
-    ch.groupBy(col("id"), col("fp"))
-      .agg(min(col("len")).as("len"), sum(col("len")).as("_occ"))
-      .withColumn("tb", sum(col("_occ")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
-      .select(col("id"), col("tb").cast("long").as("tb"), col("fp"),
-        col("len"))
+  /** Distinct chunk rows per doc: (id, tb, fp, len) — tb sums EVERY
+    * occurrence (the doc's total bytes), the row set dedupes to
+    * distinct chunk contents. Entirely NARROW (array `aggregate` for
+    * tb + `array_distinct` before the explode — a chunk struct is a
+    * pure function of its content, so struct-distinct ==
+    * content-distinct): no shuffle, which also makes the same frame
+    * legal on a STREAMING batch (one downstream windowed agg slot
+    * stays free for the probe). */
+  private[graft] def chunkFrame(docs: DataFrame, mod: Int,
+      idCol: String, textCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
+    import graft.functions.GraftFunctions
+    val keep = carry.map(col)
+    docs.select((col(idCol).as("id") +: keep :+
+        GraftFunctions.cdcChunks(col(textCol), mod).as("_ch")): _*)
+      .select((col("id") +: keep :+
+        aggregate(col("_ch"), lit(0L),
+          (a, x) => a + x.getField("chunk_len")).as("tb") :+
+        explode(array_distinct(col("_ch"))).as("_c")): _*)
+      .select((col("id") +: keep :+ col("tb") :+
+        fpOfMd5(col("_c.chunk_md5")).as("fp") :+
+        col("_c.chunk_len").cast("long").as("len")): _*)
   }
 
   private def commitMeta(spark: SparkSession, dir: String, mod: Int,

@@ -740,6 +740,61 @@ object EventStreams {
     winnowProbeStreamPinned(docs, indexDir, minShared, idCol, textCol,
       watermark, windowDur).stream
 
+  /** Streaming chunk-overlap probe against a persisted
+    * [[graft.ops.CdcIndex]] — the byte/binary-dedup member of the
+    * indexed-serving family: arriving blobs chunk INSIDE the stream's
+    * narrow projection ([[graft.ops.CdcIndex.chunkFrame]] is
+    * shuffle-free by construction: array-aggregate totals +
+    * struct-distinct before the explode), join the pinned postings on
+    * the 8-byte chunk fp, and the single stateful stage is the
+    * watermark-windowed pair rollup. Output per closed window:
+    * (window, inc_id, corp_id, n_shared, shared_bytes, coverage) —
+    * the batch [[graft.ops.CdcIndex.probe]] algebra exactly. Same
+    * snapshot-pinned staleness contract as the other probes: appends
+    * during the query are invisible until restart; `close()` releases
+    * the pinned frames. */
+  def cdcProbeStreamPinned(docs: DataFrame, indexDir: String,
+      minShared: Long = 2, idCol: String = "doc_id",
+      textCol: String = "text", watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): PinnedProbe = {
+    val spark = docs.sparkSession
+    val p = graft.ops.CdcIndex.params(spark, indexDir)
+    val hot = graft.ops.Snapshots.read(spark, s"$indexDir/df",
+        Some(p.dfVer))
+      .filter(col("df") > p.maxDf).select(col("fp")).cache()
+    val corp = graft.ops.Snapshots.read(spark, s"$indexDir/chunks",
+        Some(p.chunksVer))
+      .join(hot, Seq("fp"), "left_anti")
+      .select(col("fp"), col("id").as("corp_id"), col("tb").as("_tc"))
+      .cache()
+    val inc = graft.ops.Guards.antiJoinSized(
+      graft.ops.CdcIndex.chunkFrame(docs, p.mod, idCol, textCol,
+          carry = Seq("event_time"))
+        .select(col("id").as("inc_id"), col("event_time"),
+          col("tb").as("_ti"), col("fp"), col("len")),
+      hot, Seq("fp"))
+    val out = inc.join(corp, Seq("fp"))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowDur),
+        col("inc_id"), col("corp_id"))
+      .agg(count(lit(1)).as("n_shared"), sum(col("len")).as("shared_bytes"),
+        min(col("_ti")).as("_ti"), min(col("_tc")).as("_tc"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("window"), col("inc_id"), col("corp_id"),
+        col("n_shared"), col("shared_bytes"),
+        round(col("shared_bytes") / least(col("_ti"), col("_tc")), 4)
+          .as("coverage"))
+    PinnedProbe(out, Seq(hot, corp))
+  }
+
+  /** [[cdcProbeStreamPinned]] without the handle. */
+  def cdcProbeStream(docs: DataFrame, indexDir: String,
+      minShared: Long = 2, idCol: String = "doc_id",
+      textCol: String = "text", watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame =
+    cdcProbeStreamPinned(docs, indexDir, minShared, idCol, textCol,
+      watermark, windowDur).stream
+
   /** Streaming BM25 serving against a persisted [[graft.ops.Bm25Index]]
     * — the lexical-retrieval completion of the indexed-serving family
     * ([[nearDupProbeStream]] serves near-dup, the salted ANN stream

@@ -444,6 +444,45 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"closed-window docs missing pairs: $missing")
   }
 
+  test("streaming CDC chunk probe matches the batch index probe per closed window") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-scdc").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.mode("overwrite").parquet(stageDir)
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-scdc-idx")
+    idxDir.toFile.delete()
+    graft.ops.CdcIndex.build(spark,
+      batchDocs.filter(pmod($"doc_id", lit(2)) === 0), idxDir.toString,
+      mod = 64, maxDf = 50)
+    val incoming = spark.readStream
+      .schema(batchDocs.schema).parquet(stageDir)
+      .filter(pmod($"doc_id", lit(2)) === 1)
+      .withColumn("event_time", timestamp_seconds($"doc_id" * 200))
+    val pinned = EventStreams.cdcProbeStreamPinned(incoming,
+      idxDir.toString, minShared = 1)
+    val q = pinned.stream.writeStream.outputMode("append")
+      .format("memory").queryName("scdc")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("scdc")
+      .select($"inc_id", $"corp_id", $"n_shared", $"shared_bytes", $"coverage")
+      .collect().map(_.toSeq).toSet
+    val expected = graft.ops.CdcIndex.probe(spark,
+        batchDocs.filter(pmod($"doc_id", lit(2)) === 1),
+        idxDir.toString, minShared = 1)
+      .collect().map(_.toSeq).toSet
+    pinned.close()
+    assert(streamed.nonEmpty, "closed windows must emit pairs")
+    assert(streamed.subsetOf(expected),
+      "every streamed pair must equal its batch twin")
+    // per emitted inc doc the pair set is complete (all of a doc's
+    // chunks share one timestamp, so its window closes atomically)
+    val emittedIncs = streamed.map(_.head)
+    val missing = expected.filter(e => emittedIncs.contains(e.head))
+      .diff(streamed)
+    assert(missing.isEmpty, s"closed-window docs missing pairs: $missing")
+  }
+
   test("stateless export transforms run unchanged on streams: FIM + unigram tokenize") {
     val stageDir = java.nio.file.Files.createTempDirectory("graft-sfim").toString
     spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
