@@ -74,7 +74,12 @@ object Bench {
     "q_tar_shards", "q_margin_mine_lsh", "q_select_pipeline",
     "q_triangles", "q_stratified_exact_n", "q_indexed_bins",
     "q_asof_forward", "q_asof_nearest", "q_asof_lookup",
-    "q_winsorize", "q_robust_score")
+    "q_winsorize", "q_robust_score",
+    // round-11 additions (second wave): the exact set-similarity
+    // joins, DPO pair export, LPA communities, perceptual image
+    // dedup, and the CDC chunk family (kernel pass + persisted index)
+    "q_jaccard_prefix", "q_containment", "q_dpo_pairs", "q_labelprop",
+    "q_image_dhash", "q_cdc_chunks", "q_cdc_dedup", "q_cdc_index_probe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -36,15 +36,21 @@ import org.apache.spark.sql.functions._
   */
 object SetSim {
 
-  /** Per-doc distinct word n-gram shingles ordered by (global df asc,
-    * shingle asc): `(id, toks array, sz)`. The (df, shingle) sort key
-    * is unique within a doc (shingles are distinct), so the ordering —
-    * and everything built on it — is deterministic. */
+  /** Per-doc distinct n-gram FINGERPRINTS ordered by (global df asc,
+    * fp asc): `(id, toks array, sz)`. Shingles reduce to 8-byte
+    * fingerprint64 values inside the scan (the one-pass
+    * `window_fingerprints` kernel — shingle STRINGS are never built,
+    * never shuffled; the [[Dedup.exact]] collision stance applies:
+    * set algebra on fps equals set algebra on shingles up to ~2⁻⁶⁴
+    * collisions). The (df, fp) sort key is unique within a doc (fps
+    * are distinct), so the ordering — and everything built on it —
+    * is deterministic; the global order only has to be CONSISTENT,
+    * not semantic, for prefix filtering to be exact. */
   private[ops] def dfOrderedShingles(docs: DataFrame, n: Int,
       idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
-      explode(GraftFunctions.shingles(
-        split(trim(col(textCol)), "\\s+"), n)).as("tok"))
+      explode(array_distinct(GraftFunctions.windowFingerprints(
+        split(trim(col(textCol)), "\\s+"), n))).as("tok"))
     val dfCounts = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     toks.join(dfCounts, "tok")
       .groupBy("id")
@@ -86,6 +92,11 @@ object SetSim {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
+    // NOT pinned: the df-ordered frame feeds candidate generation and
+    // the verify joins, but pinning it measured 3x SLOWER on the
+    // sf0.1 bench — a pinned RDD scan loses the stats AQE needs to
+    // broadcast the downstream joins, and the double recompute is
+    // cheaper than the shuffle joins that replaces.
     val ordered = dfOrderedShingles(docs, n, idCol, textCol)
     val cand = prefixCandidates(ordered, threshold)
     val arrs = ordered.select(col("id"), col("toks").as("sh"))

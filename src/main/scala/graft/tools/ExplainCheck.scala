@@ -312,6 +312,42 @@ object ExplainCheck {
       ((col("doc_id") * 31 + 7) % 97).as("dst"))
     println(graft.ops.Graph.triangleCount(triEdges)
       .queryExecution.explainString(fmt))
+    println("########## op:SetSim.prefixFilterJaccardPairs (prefix-pruned exact join)")
+    println(graft.ops.SetSim.prefixFilterJaccardPairs(docs, n = 3,
+        threshold = 0.6)
+      .queryExecution.explainString(fmt))
+    println("########## op:SetSim.containmentPairs (probe-prefix/index-all)")
+    println(graft.ops.SetSim.containmentPairs(docs, n = 3, threshold = 0.8)
+      .queryExecution.explainString(fmt))
+    println("########## op:Export.dpoPairs (one struct-argmax/argmin agg, no window)")
+    println(graft.ops.Export.dpoPairs(
+        docs.select((col("doc_id") % 40).as("prompt_id"), col("doc_id"),
+          ((col("doc_id") * 37) % 100).cast("double").as("score")),
+        "prompt_id", "doc_id", col("score"), minMargin = 5.0)
+      .queryExecution.explainString(fmt))
+    println("########## op:Graph.labelPropagation single round (label frame ⋈ cached edges + struct-min argmax)")
+    println(graft.ops.Graph.labelPropagation(triEdges, rounds = 1)
+      .queryExecution.explainString(fmt))
+    println("########## op:Chunking.cdcChunks (one codegen'd kernel pass, zero Exchange)")
+    println(graft.ops.Chunking.cdcChunks(docs)
+      .queryExecution.explainString(fmt))
+    println("########## op:Chunking.cdcDedupReport (two hash aggs over skinny chunk rows)")
+    println(graft.ops.Chunking.cdcDedupReport(docs)
+      .queryExecution.explainString(fmt))
+    println("########## op:Dedup.hammingNearDups (banded pigeonhole join over 64-bit sigs)")
+    println(graft.ops.Dedup.hammingNearDups(
+        docs.select(col("doc_id").as("id"),
+          org.apache.spark.sql.graft.GraftFunctions.fingerprint64(
+            col("text")).as("sig")), maxHamming = 2)
+      .queryExecution.explainString(fmt))
+    println("########## op:CdcIndex.probe (batch chunks ⋈ pinned postings, df hot-guard)")
+    val cdcDir = java.nio.file.Files.createTempDirectory("graft-plans-cdc").toString
+    new java.io.File(cdcDir).delete()
+    graft.ops.CdcIndex.build(spark,
+      docs.filter(col("doc_id") % 3 =!= 0), cdcDir, mod = 64, maxDf = 50)
+    println(graft.ops.CdcIndex.probe(spark,
+        docs.filter(col("doc_id") % 3 === 0), cdcDir, minShared = 1)
+      .queryExecution.explainString(fmt))
     spark.stop()
   }
 }
