@@ -75,6 +75,30 @@ object Chunking {
         col("col.chunk_md5").as("chunk_md5")): _*)
   }
 
+  /** PRODUCTION-window CDC ([[cdcChunks]]'s 3-byte rolling hash exists
+    * so a SQL oracle can re-derive every boundary; this is the shape a
+    * 100 TB deployment runs): gear rolling hash with a 64-byte
+    * effective window, expected chunk ≈ 2^maskBits bytes, FastCDC
+    * min/max chunk bounds. Same output schema and the same zero-
+    * shuffle plan — swap-in compatible everywhere [[cdcChunks]] rows
+    * flow (the [[CdcIndex]] postings schema doesn't care which kernel
+    * produced the fps). Pinned by ChunkingSpec's independent
+    * driver-side twin + the FastCDC bound/locality properties instead
+    * of a SQL oracle. */
+  def cdcChunksGear(docs: DataFrame, maskBits: Int = 6, minLen: Int = 16,
+      maxLen: Int = 256, idCol: String = "doc_id",
+      textCol: String = "text", carry: Seq[String] = Nil): DataFrame = {
+    import graft.functions.GraftFunctions
+    val keep = col(idCol) +: carry.map(col)
+    docs
+      .select((keep :+ GraftFunctions.cdcChunksGear(col(textCol), maskBits,
+        minLen, maxLen).as("_ch")): _*)
+      .select((keep :+ posexplode(col("_ch"))): _*)
+      .select((keep :+ col("pos").cast("long").as("chunk_idx") :+
+        col("col.chunk_len").cast("long").as("chunk_len") :+
+        col("col.chunk_md5").as("chunk_md5")): _*)
+  }
+
   /** Per-group CDC dedup accounting — the storage/compute question a
     * crawl pipeline asks before chunk-level dedup: how many chunks,
     * how many DISTINCT chunks, and what fraction of bytes is unique.

@@ -276,6 +276,75 @@ object kernels {
     new GenericArrayData(out)
   }
 
+  /** Deterministic gear table for [[cdcChunksGear]]: entry i = the
+    * first 8 md5 bytes of the single byte i — reproducible on any
+    * platform, no RNG state (the FastCDC paper uses a random table;
+    * determinism matters more here than its entropy). */
+  private val gearTable: Array[Long] = Array.tabulate(256) { i =>
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array(i.toByte))
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
+
+  /** PRODUCTION content-defined chunking (the gear/FastCDC shape the
+    * 3-byte [[cdcChunks]] demonstrator stands in for): rolling hash
+    * `h = (h << 1) + gear[b]` — the shift ages a byte out of influence
+    * after 64 steps, so the effective window is 64 bytes — with a cut
+    * when `(h & mask) == 0`, `mask = 2^maskBits − 1` (expected chunk
+    * ≈ 2^maskBits bytes). FastCDC's min/max bounds apply: the test is
+    * suppressed for the first `minLen` bytes of a chunk (h still
+    * rolls), and a cut is forced at `maxLen` (h resets). Not
+    * SQL-expressible (the 64-byte window and the gear table have no
+    * per-position oracle form) — pinned by the spec's independent
+    * driver-side twin instead. Output shape matches [[cdcChunks]]:
+    * one (chunk_len, chunk_md5) struct per chunk. */
+  def cdcChunksGear(text: UTF8String, maskBits: Int, minLen: Int,
+      maxLen: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val mask = (1L << maskBits) - 1
+    val cuts = new java.util.ArrayList[Int]()
+    cuts.add(0): Unit
+    var h = 0L
+    var start = 0
+    var i = 0
+    while (i < n) {
+      h = (h << 1) + gearTable(bytes(i) & 0xff)
+      val len = i - start + 1
+      if (i < n - 1 &&
+          ((len >= minLen && (h & mask) == 0L) || len >= maxLen)) {
+        cuts.add(i + 1): Unit
+        start = i + 1
+        if (len >= maxLen) h = 0L
+      }
+      i += 1
+    }
+    cuts.add(n): Unit
+    val md = md5Local.get()
+    val out = new Array[Any](cuts.size - 1)
+    var j = 0
+    while (j < cuts.size - 1) {
+      val s = cuts.get(j); val e = cuts.get(j + 1)
+      md.reset()
+      md.update(bytes, s, e - s)
+      val d = md.digest()
+      val hex = new StringBuilder(32)
+      var b = 0
+      while (b < d.length) {
+        hex.append(Character.forDigit((d(b) >> 4) & 0xf, 16))
+          .append(Character.forDigit(d(b) & 0xf, 16))
+        b += 1
+      }
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(
+        e - s, UTF8String.fromString(hex.toString))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def linesNotIn(lines: ArrayData, fps: ArrayData): ArrayData = {
     val m = lines.numElements()
     val k = fps.numElements()
@@ -482,6 +551,34 @@ case class CdcChunksExpr(left: Expression, right: Expression)
       r: Expression): CdcChunksExpr = copy(l, r)
 }
 
+/** cdc_chunks_gear(text, maskBits, minLen, maxLen) →
+  * array<struct<chunk_len int, chunk_md5 string>>:
+  * [[kernels.cdcChunksGear]]; the three params must be literals. */
+case class CdcChunksGearExpr(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, IntegerType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_len", IntegerType, nullable = false),
+    StructField("chunk_md5", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "cdc_chunks_gear"
+  override protected def nullSafeEval(t: Any, m: Any, lo: Any,
+      hi: Any): Any =
+    kernels.cdcChunksGear(t.asInstanceOf[UTF8String], m.asInstanceOf[Int],
+      lo.asInstanceOf[Int], hi.asInstanceOf[Int])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, (t, m, lo, hi) =>
+      s"org.apache.spark.sql.graft.kernels.cdcChunksGear($t, $m, $lo, $hi)")
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression, q: Expression): CdcChunksGearExpr =
+    copy(f, s, t, q)
+}
+
 /** lines_not_in(lines: array<string>, fps: array<bigint>) →
   * array<string>: the surviving lines of a frequent-line strip — every
   * line whose fingerprint64 is absent from the SORTED fingerprint set.
@@ -566,6 +663,16 @@ object GraftFunctions {
     require(mod > 0, s"mod=$mod")
     column(CdcChunksExpr(expression(text),
       org.apache.spark.sql.catalyst.expressions.Literal(mod)))
+  }
+  def cdcChunksGear(text: Column, maskBits: Int, minLen: Int,
+      maxLen: Int): Column = {
+    require(maskBits >= 1 && maskBits <= 31, s"maskBits=$maskBits")
+    require(minLen >= 1 && maxLen > minLen,
+      s"need 1 <= minLen < maxLen, got [$minLen, $maxLen]")
+    column(CdcChunksGearExpr(expression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(maskBits),
+      org.apache.spark.sql.catalyst.expressions.Literal(minLen),
+      org.apache.spark.sql.catalyst.expressions.Literal(maxLen)))
   }
   def charGramMd5(text: Column, k: Int): Column =
     column(CharGramMd5Expr(expression(text),

@@ -486,6 +486,34 @@ class PlanSpec extends AnyFunSuite {
     assert(pk.contains("HashAggregate"), s"per-doc mean must aggregate:\n$pk")
   }
 
+  test("dynamic partition pruning fires on a partitioned fact ⋈ filtered dim") {
+    // the 100 TB shape: a date/flag-partitioned fact joined to a dim
+    // filtered at runtime — DPP must inject the dim's key set into the
+    // fact scan so unmatched partitions are never read
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      .write.mode("overwrite").partitionBy("l_returnflag")
+      .parquet(s"$tmp/fact")
+    import spark.implicits._
+    Seq(("R", "returned")).toDF("flag", "label")
+      .write.mode("overwrite").parquet(s"$tmp/dim")
+    val fact = spark.read.parquet(s"$tmp/fact")
+    val dim = spark.read.parquet(s"$tmp/dim").filter(col("label") === "returned")
+    val joined = fact.join(dim, fact("l_returnflag") === dim("flag"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning") || p.contains("DynamicPruning") ||
+      p.toLowerCase.contains("dynamicpruningexpression"),
+      s"partitioned-fact join must plan a dynamic pruning subquery:\n$p")
+    // and the answer is right: only the R partition aggregates
+    val expect = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_returnflag") === "R")
+      .agg(sum(col("l_quantity"))).first().getDouble(0)
+    assert(math.abs(joined.first().getDouble(0) - expect) < 1e-6)
+  }
+
   test("whole-stage codegen covers the scan→agg hot path") {
     // AQE reveals codegen spans only in the final (post-execution) plan
     val df = SparkEntry.queries("q_agg_pricing")(spark, sfDir)

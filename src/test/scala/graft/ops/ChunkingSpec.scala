@@ -117,6 +117,70 @@ class ChunkingSpec extends AnyFunSuite {
       "content-defined boundaries must re-sync inside the shared passage")
   }
 
+  /** Driver-side reference of the gear rule (independent loop). */
+  private def refGear(text: String, maskBits: Int, minLen: Int,
+      maxLen: Int): Seq[(Int, String)] = {
+    val gear = Array.tabulate(256) { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(Array(i.toByte))
+      (0 until 8).map(k => (d(k) & 0xffL) << (56 - 8 * k)).reduce(_ | _)
+    }
+    val bytes = text.getBytes("UTF-8")
+    val mask = (1L << maskBits) - 1
+    var h = 0L; var start = 0
+    val cuts = scala.collection.mutable.ArrayBuffer(0)
+    for (i <- bytes.indices) {
+      h = (h << 1) + gear(bytes(i) & 0xff)
+      val len = i - start + 1
+      if (i < bytes.length - 1 &&
+          ((len >= minLen && (h & mask) == 0L) || len >= maxLen)) {
+        cuts += (i + 1); start = i + 1
+        if (len >= maxLen) h = 0L
+      }
+    }
+    cuts += bytes.length
+    cuts.toSeq.sliding(2).map { case Seq(s, e) =>
+      (e - s, java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes.slice(s, e)).map("%02x".format(_)).mkString)
+    }.toSeq
+  }
+
+  test("cdcChunksGear: kernel equals the independent reference; FastCDC bounds hold") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(40)
+    val got = Chunking.cdcChunksGear(docs, maskBits = 5, minLen = 8,
+        maxLen = 64)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.sortBy(_.getLong(1))
+        .map(r => (r.getLong(2).toInt, r.getString(3))).toSeq }
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, tx) =>
+      val ref = refGear(tx, 5, 8, 64)
+      assert(got(id) === ref, s"doc $id")
+      assert(got(id).map(_._1).sum === tx.getBytes("UTF-8").length)
+      // every chunk except the last respects [minLen, maxLen]
+      got(id).dropRight(1).foreach { case (l, _) =>
+        assert(l >= 8 && l <= 64, s"doc $id chunk len $l out of bounds")
+      }
+      assert(got(id).last._1 <= 64)
+    }
+  }
+
+  test("cdcChunksGear: an insertion only disturbs O(1) chunks (locality)") {
+    val base = ("lorem ipsum dolor sit amet consectetur adipiscing elit " +
+      "sed do eiusmod tempor incididunt ut labore et dolore magna " +
+      "aliqua ut enim ad minim veniam quis nostrud exercitation ") * 10
+    val edited = "X" + base // one byte inserted at the front
+    val ch = Chunking.cdcChunksGear(
+      Seq((1L, base), (2L, edited)).toDF("doc_id", "text"),
+      maskBits = 5, minLen = 8, maxLen = 128)
+    val byDoc = ch.collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getString(3)).toSet }
+    val shared = byDoc(1L).intersect(byDoc(2L)).size
+    assert(shared >= byDoc(1L).size - 3,
+      s"only the head chunks may change: ${byDoc(1L).size} vs shared $shared")
+  }
+
   test("cdcChunks stays narrow; the report shuffles only skinny chunk rows") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val p = Chunking.cdcChunks(docs).queryExecution.executedPlan.toString
