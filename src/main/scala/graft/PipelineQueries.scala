@@ -6254,6 +6254,54 @@ object PipelineQueries {
       CdcIndex.probe(s, docs.filter(col("doc_id") % 3 === 0), tmp,
           minShared = 1)
         .orderBy(col("inc_id"), col("corp_id"))
+    },
+
+    // Magic-byte format triage over a mixed REAL binary column (codec-
+    // encoded PNG/GIF/WAV payloads + raw-text bytes) — the routing
+    // pass that runs before any decoder at 100 TB. The oracle knows
+    // which synthesizer built each row's payload (doc_id mod 4), so
+    // the sniffer's verdict on real encoder output is pinned per row.
+    q("q_format_sniff",
+      """SELECT doc_id, CASE doc_id % 4 WHEN 0 THEN 'png'
+        |  WHEN 1 THEN 'gif' WHEN 2 THEN 'wav' ELSE 'unknown' END
+        |  AS format
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pngs = Multimodal.syntheticPngs(docs.filter(col("doc_id") % 4 === 0))
+      val gifs = Multimodal.syntheticGifs(docs.filter(col("doc_id") % 4 === 1))
+      val wavs = Multimodal.syntheticWavs(docs.filter(col("doc_id") % 4 === 2))
+      val raw = docs.filter(col("doc_id") % 4 === 3)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[Multimodal.MediaRow]
+      Multimodal.sniffFormat(pngs.union(gifs).union(wavs).union(raw))
+        .toDF().select(col("doc_id"), col("format"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Persisted Bloom membership index, end-to-end: build over 4/5 of
+    // the corpus, dropNew the rest — EXACT survivors (bloom prunes,
+    // the pinned fps postings verify the maybes), hash-matched against
+    // the oracle's plain NOT IN + min-per-text recompute.
+    q("q_bloom_index_probe",
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        |inc AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+        |fresh AS (SELECT * FROM inc
+        |          WHERE text NOT IN (SELECT text FROM corpus))
+        |SELECT doc_id, lang FROM fresh
+        |WHERE doc_id IN (SELECT min(doc_id) FROM fresh GROUP BY text)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.ops.BloomIndex
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_bloom_index_${math.abs(dir.hashCode)}").toString
+      val pth = new org.apache.hadoop.fs.Path(tmp)
+      pth.getFileSystem(s.sessionState.newHadoopConf()).delete(pth, true): Unit
+      val docs = t(s, dir, "documents")
+      BloomIndex.build(s, docs.filter(col("doc_id") % 5 =!= 0), tmp,
+        expectedItems = 100000L, fpp = 0.03)
+      BloomIndex.dropNew(s, docs.filter(col("doc_id") % 5 === 0), tmp)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -1,0 +1,128 @@
+package graft.ops
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent Bloom membership index — the EXACT-membership member of
+  * the index family ([[MinhashIndex]]/[[WinnowIndex]]/[[CdcIndex]]
+  * answer similarity/overlap; this answers "have we ingested this
+  * exact content before?" across sessions). Two layers:
+  *
+  *  - `bloom`: one serialized Spark BloomFilter over the corpus's
+  *    64-bit content fingerprints — kilobytes-to-megabytes, broadcast
+  *    to every probe task, prunes the DEFINITE-NEW majority of an
+  *    arriving batch without touching storage;
+  *  - `fps`: the exact distinct-fingerprint postings (8 bytes/distinct
+  *    doc ever seen) — consulted ONLY for the bloom's "maybe" rows, so
+  *    the expensive exact join is sized by the maybe-rate
+  *    (≈ dup-rate + fpp), not the batch.
+  *
+  * Answers are EXACT (the bloom is a pruning layer, never the verdict
+  * — same discipline as [[Dedup.dropAgainstCorpusBloom]], which this
+  * persists). Commit protocol (the index-family discipline): `fps`
+  * append-commits, then the `meta` table (bloom bytes + params +
+  * fps_ver pin) replace-commits LAST — a crash between the two leaves
+  * an orphan fps snapshot no probe reads, healed by rollback on the
+  * next append. Spark BloomFilters of identical (expectedItems, fpp)
+  * are mergeable, so append unions the batch's filter into the stored
+  * one instead of rebuilding. */
+object BloomIndex {
+
+  final case class Params(expectedItems: Long, fpp: Double, fpsVer: Long)
+
+  private def fpFrame(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(GraftFunctions.fingerprint64(col(textCol)).as("fp"))
+      .distinct()
+
+  private def commitMeta(spark: SparkSession, dir: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      expectedItems: Long, fpp: Double, fpsVer: Long): Unit = {
+    import spark.implicits._
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    Snapshots.commit(spark,
+      Seq((bos.toByteArray, expectedItems, fpp, fpsVer))
+        .toDF("bloom", "expectedItems", "fpp", "fps_ver"),
+      s"$dir/meta"): Unit
+  }
+
+  private def bloomOf(df: DataFrame, expectedItems: Long,
+      fpp: Double): org.apache.spark.util.sketch.BloomFilter =
+    df.stat.bloomFilter("fp", expectedItems, fpp)
+
+  def build(spark: SparkSession, corpus: DataFrame, dir: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.03,
+      textCol: String = "text"): Unit = {
+    val fps = fpFrame(corpus, textCol)
+    val fv = Snapshots.commit(spark, fps, s"$dir/fps")
+    commitMeta(spark, dir, bloomOf(Snapshots.read(spark, s"$dir/fps"),
+      expectedItems, fpp), expectedItems, fpp, fv)
+  }
+
+  def params(spark: SparkSession, dir: String): Params = {
+    val r = Snapshots.read(spark, s"$dir/meta").head()
+    Params(r.getAs[Long]("expectedItems"), r.getAs[Double]("fpp"),
+      r.getAs[Long]("fps_ver"))
+  }
+
+  private def loadBloom(spark: SparkSession,
+      dir: String): org.apache.spark.util.sketch.BloomFilter = {
+    val bytes = Snapshots.read(spark, s"$dir/meta").head()
+      .getAs[Array[Byte]]("bloom")
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  }
+
+  /** Union the batch into the index: fps appends (distinct vs the
+    * pinned set so postings stay a set), the stored filter merges the
+    * batch's filter (same shape — enforced), meta replace-commits
+    * LAST. */
+  def append(spark: SparkSession, batch: DataFrame, dir: String,
+      textCol: String = "text"): Unit = {
+    val p = params(spark, dir)
+    if (!Snapshots.latestId(spark, s"$dir/fps").contains(p.fpsVer))
+      Snapshots.rollback(spark, s"$dir/fps", p.fpsVer)
+    val fresh = fpFrame(batch, textCol)
+      .join(Snapshots.read(spark, s"$dir/fps", Some(p.fpsVer)),
+        Seq("fp"), "left_anti")
+    val fv = Snapshots.commit(spark, fresh, s"$dir/fps", append = true)
+    val merged = loadBloom(spark, dir)
+    merged.mergeInPlace(bloomOf(fresh, p.expectedItems, p.fpp)): Unit
+    commitMeta(spark, dir, merged, p.expectedItems, p.fpp, fv)
+  }
+
+  /** The exact rows of `incoming` whose content the index has never
+    * seen, one keeper (min id) per duplicate group within the batch —
+    * [[Dedup.dropAgainstCorpus]]'s answer, at the index's cost model:
+    * bloom prune first (broadcast bytes, no storage touched), exact
+    * fps anti-join only for the maybe rows. */
+  def dropNew(spark: SparkSession, incoming: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graft.GraftBridge
+    val p = params(spark, dir)
+    val bytes = Snapshots.read(spark, s"$dir/meta").head()
+      .getAs[Array[Byte]]("bloom")
+    val fpIn = incoming
+      .withColumn("_fp", GraftFunctions.fingerprint64(col(textCol)))
+    val mightContain = GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        GraftBridge.expression(lit(bytes)),
+        GraftBridge.expression(col("_fp"))))
+    val definiteNew = fpIn.filter(!mightContain)
+    val maybeSeen = fpIn.filter(mightContain)
+    // exact check for the maybes only: the stored postings semi-join
+    // down to the maybe keys, then anti-join back
+    val seen = Snapshots.read(spark, s"$dir/fps", Some(p.fpsVer))
+      .join(broadcast(maybeSeen.select(col("_fp").as("fp")).distinct()),
+        Seq("fp"), "left_semi")
+    val verifiedNew = maybeSeen.join(seen.withColumnRenamed("fp", "_fp"),
+      Seq("_fp"), "left_anti")
+    val cols = fpIn.columns.map(col).toSeq
+    val fresh = definiteNew.select(cols: _*).union(verifiedNew.select(cols: _*))
+    val keep = fresh.groupBy(col("_fp")).agg(min(col(idCol)).as("_keep"))
+    fresh.join(keep, fresh("_fp") === keep("_fp") &&
+        fresh(idCol) === keep("_keep"), "left_semi")
+      .drop("_fp")
+  }
+}

@@ -287,6 +287,34 @@ object Multimodal {
     }
   }
 
+  final case class FormatSniff(doc_id: Long, format: String,
+      n_bytes: Long)
+
+  /** Magic-byte format triage — the FIRST pass over a 100 TB binary
+    * column, before any codec runs: inspect the leading bytes only
+    * (PNG/JPEG/GIF/RIFF-WAV signatures, all published file-format
+    * magic), route rows to the right decoder, quarantine `unknown`.
+    * Pure narrow per-row work on a bounded prefix of each payload —
+    * the payload itself is never copied or decoded. */
+  def sniffFormat(media: Dataset[MediaRow]): Dataset[FormatSniff] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val b = r.payload
+      def at(i: Int): Int = if (i < b.length) b(i) & 0xff else -1
+      val fmt =
+        if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G')
+          "png"
+        else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) "jpeg"
+        else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' &&
+          at(3) == '8') "gif"
+        else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' &&
+          at(3) == 'F' && at(8) == 'W' && at(9) == 'A' && at(10) == 'V' &&
+          at(11) == 'E') "wav"
+        else "unknown"
+      FormatSniff(r.doc_id, fmt, b.length.toLong)
+    }
+  }
+
   final case class ImageSig(doc_id: Long, sig: Long)
 
   /** Perceptual difference hash (dHash — the widely-published

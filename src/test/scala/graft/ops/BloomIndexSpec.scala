@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.TestSpark.{sfDir, spark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BloomIndexSpec extends AnyFunSuite {
+
+  private lazy val docs =
+    spark.read.parquet(s"$sfDir/documents.parquet").cache()
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-bloomidx").toString
+
+  private def survivors(inc: org.apache.spark.sql.DataFrame, dir: String) =
+    BloomIndex.dropNew(spark, inc, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("dropNew equals the in-session batch twin (exact answers)") {
+    val dir = tmpDir()
+    val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    BloomIndex.build(spark, corpus, dir, expectedItems = 10000L, fpp = 0.03)
+    val expected = Dedup.dropAgainstCorpus(batch, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors(batch, dir) === expected)
+    // schema passes through unchanged (no helper columns leak)
+    assert(BloomIndex.dropNew(spark, batch, dir).columns.toSeq ===
+      batch.columns.toSeq)
+  }
+
+  test("append == from-scratch rebuild; the index grows across sessions") {
+    val dir = tmpDir()
+    val c1 = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val c2 = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+    val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+    BloomIndex.build(spark, c1, dir, expectedItems = 10000L, fpp = 0.03)
+    BloomIndex.append(spark, c2, dir)
+    val rebuilt = tmpDir()
+    BloomIndex.build(spark, c1.unionByName(c2), rebuilt,
+      expectedItems = 10000L, fpp = 0.03)
+    val fpsA = Snapshots.read(spark, s"$dir/fps")
+      .collect().map(_.getLong(0)).toSet
+    val fpsB = Snapshots.read(spark, s"$rebuilt/fps")
+      .collect().map(_.getLong(0)).toSet
+    assert(fpsA === fpsB, "appended postings must equal a rebuild's")
+    assert(survivors(batch, dir) === survivors(batch, rebuilt))
+  }
+
+  test("a torn append (fps committed, meta not) is probe-invisible and heals") {
+    val dir = tmpDir()
+    val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    BloomIndex.build(spark, corpus, dir, expectedItems = 10000L, fpp = 0.03)
+    val before = survivors(batch, dir)
+    // orphan fps snapshot: committed, but meta still pins the old one
+    import spark.implicits._
+    Snapshots.commit(spark, Seq(12345L).toDF("fp"), s"$dir/fps",
+      append = true): Unit
+    assert(survivors(batch, dir) === before,
+      "a torn append must not change probe answers")
+    // the next append heals (rolls back the orphan) and lands its batch
+    val extra = batch.limit(10)
+    BloomIndex.append(spark, extra, dir)
+    val extraTexts = extra.select("text").collect().map(_.getString(0)).toSet
+    val after = survivors(batch, dir)
+    val survTexts = docs.filter(col("doc_id").isin(after.toSeq: _*))
+      .select("text").collect().map(_.getString(0)).toSet
+    assert(survTexts.intersect(extraTexts).isEmpty,
+      "texts appended to the index must no longer survive dropNew")
+  }
+
+  test("the bloom layer prunes: most novel rows never reach the fps join") {
+    val dir = tmpDir()
+    val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    BloomIndex.build(spark, corpus, dir, expectedItems = 10000L, fpp = 0.01)
+    // novel synthetic rows: at fpp=1% nearly all must be definite-new
+    import spark.implicits._
+    val novel = (1 to 500)
+      .map(i => (100000L + i, s"wholly novel probe content $i"))
+      .toDF("doc_id", "text")
+    val bloom = {
+      val bytes = Snapshots.read(spark, s"$dir/meta").head()
+        .getAs[Array[Byte]]("bloom")
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+    }
+    val maybes = novel.select(
+        graft.functions.GraftFunctions.fingerprint64(col("text")).as("fp"))
+      .collect().count(r => bloom.mightContainLong(r.getLong(0)))
+    assert(maybes <= 25, s"fpp=1% must prune novel rows, got $maybes/500")
+    assert(survivors(novel, dir).size === 500)
+  }
+}
