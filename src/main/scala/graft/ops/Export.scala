@@ -145,22 +145,35 @@ object Export {
     * response payloads in flight (callers join chosen_id/rejected_id
     * back to the text AFTER selection collapses the fan-in). */
   def dpoPairs(responses: DataFrame, promptCol: String, idCol: String,
-      scoreCol: Column, minMargin: Double = 0.0): DataFrame = {
+      scoreCol: Column, minMargin: Double = 0.0): DataFrame =
+    dpoPairsGrouped(responses, Seq(col(promptCol)), Seq(promptCol),
+      idCol, scoreCol, minMargin)
+
+  /** The grouped core of [[dpoPairs]], shared with the streaming
+    * windowed variant ([[graft.streaming.EventStreams]]): callers pick
+    * the grouping — `(prompt)` for batch, `(window, prompt)` for a
+    * watermarked stream — the selection algebra is identical.
+    * `groupNames` are the OUTPUT column names of `groupCols` (the agg
+    * emits them under those names; re-selecting the raw expressions
+    * post-agg would not resolve). */
+  private[graft] def dpoPairsGrouped(responses: DataFrame,
+      groupCols: Seq[Column], groupNames: Seq[String], idCol: String,
+      scoreCol: Column, minMargin: Double): DataFrame = {
     val s = scoreCol.cast("double")
     val id = col(idCol).cast("long")
     responses
-      .groupBy(col(promptCol))
+      .groupBy(groupCols: _*)
       .agg(
         max(struct(s.as("s"), (-id).as("ni"), id.as("id"))).as("_c"),
         min(struct(s.as("s"), (-id).as("ni"), id.as("id"))).as("_r"),
         count(lit(1)).as("n_candidates"))
       .filter(col("n_candidates") >= 2 &&
         col("_c.s") - col("_r.s") >= minMargin)
-      .select(col(promptCol),
+      .select(groupNames.map(col) ++ Seq(
         col("_c.id").as("chosen_id"), col("_r.id").as("rejected_id"),
         col("_c.s").as("chosen_score"), col("_r.s").as("rejected_score"),
         round(col("_c.s") - col("_r.s"), 6).as("margin"),
-        col("n_candidates"))
+        col("n_candidates")): _*)
   }
 
   /** Deterministic per-epoch shuffle: every row gets a `shard` in

@@ -795,6 +795,23 @@ object EventStreams {
     cdcProbeStreamPinned(docs, indexDir, minShared, idCol, textCol,
       watermark, windowDur).stream
 
+  /** Streaming preference-pair selection: per (closed window, prompt),
+    * the best/worst-scored responses with deterministic tie-breaks and
+    * the margin floor — [[graft.ops.Export.dpoPairs]]'s exact algebra
+    * ONE watermarked windowed aggregation wide (the struct-argmax/
+    * argmin fold is partial-mergeable, so state per open group is one
+    * candidate pair, not the responses). The online half of an RLHF
+    * data loop: reward-scored generations stream in, training pairs
+    * stream out when their window closes. */
+  def dpoPairsStream(responses: DataFrame, promptCol: String,
+      idCol: String, scoreCol: org.apache.spark.sql.Column,
+      minMargin: Double = 0.0, watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame =
+    graft.ops.Export.dpoPairsGrouped(
+      responses.withWatermark("event_time", watermark),
+      Seq(window(col("event_time"), windowDur), col(promptCol)),
+      Seq("window", promptCol), idCol, scoreCol, minMargin)
+
   /** Streaming BM25 serving against a persisted [[graft.ops.Bm25Index]]
     * — the lexical-retrieval completion of the indexed-serving family
     * ([[nearDupProbeStream]] serves near-dup, the salted ANN stream

@@ -483,6 +483,41 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"closed-window docs missing pairs: $missing")
   }
 
+  test("streaming DPO pair selection matches the batch algebra per closed window") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-sdpo").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.mode("overwrite").parquet(stageDir)
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def responses(df: org.apache.spark.sql.DataFrame) =
+      df.select((pmod($"doc_id", lit(40))).as("prompt_id"), $"doc_id",
+        (pmod($"doc_id" * 37, lit(100))).cast("double").as("score"),
+        // one timestamp PER PROMPT GROUP so each group closes atomically
+        timestamp_seconds(pmod($"doc_id", lit(40)) * 3600).as("event_time"))
+    val incoming = responses(spark.readStream
+      .schema(batchDocs.schema).parquet(stageDir))
+    val out = EventStreams.dpoPairsStream(incoming, "prompt_id", "doc_id",
+      col("score"), minMargin = 5.0, windowDur = "30 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sdpo")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sdpo")
+      .select($"prompt_id", $"chosen_id", $"rejected_id", $"margin",
+        $"n_candidates")
+      .collect().map(_.toSeq).toSet
+    val expected = graft.ops.Export.dpoPairs(responses(batchDocs),
+        "prompt_id", "doc_id", col("score"), minMargin = 5.0)
+      .select($"prompt_id", $"chosen_id", $"rejected_id", $"margin",
+        $"n_candidates")
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty, "closed windows must emit pairs")
+    assert(streamed.subsetOf(expected),
+      "every streamed pair must equal its batch twin")
+    val emitted = streamed.map(_.head)
+    assert(expected.filter(e => emitted.contains(e.head)) === streamed,
+      "each closed prompt group must emit its complete pair")
+  }
+
   test("stateless export transforms run unchanged on streams: FIM + unigram tokenize") {
     val stageDir = java.nio.file.Files.createTempDirectory("graft-sfim").toString
     spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
