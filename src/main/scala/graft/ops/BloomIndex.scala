@@ -120,9 +120,11 @@ object BloomIndex {
       Seq("_fp"), "left_anti")
     val cols = fpIn.columns.map(col).toSeq
     val fresh = definiteNew.select(cols: _*).union(verifiedNew.select(cols: _*))
+    // one keeper (min id) per within-batch duplicate group; ids are
+    // unique, so membership in the keeper-id set IS the keep decision
     val keep = fresh.groupBy(col("_fp")).agg(min(col(idCol)).as("_keep"))
-    fresh.join(keep, fresh("_fp") === keep("_fp") &&
-        fresh(idCol) === keep("_keep"), "left_semi")
+      .select(col("_keep"))
+    fresh.join(keep, fresh(idCol) === keep("_keep"), "left_semi")
       .drop("_fp")
   }
 }
