@@ -6302,6 +6302,67 @@ object PipelineQueries {
       BloomIndex.dropNew(s, docs.filter(col("doc_id") % 5 === 0), tmp)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
+    },
+
+    // Curriculum layout: exact-quantile difficulty stages (n_chars as
+    // the difficulty proxy) + a per-stage md5 epoch deal into loader
+    // shards. The oracle recomputes the quantile bounds
+    // (quantile_cont == Spark percentile, the q_winsorize parity), the
+    // stage assignment, the md5 shard hash and the within-(stage,
+    // shard) order — the full deterministic layout, row for row.
+    q("q_curriculum",
+      """WITH bs AS (SELECT [quantile_cont(n_chars, 0.25),
+        |    quantile_cont(n_chars, 0.50),
+        |    quantile_cont(n_chars, 0.75)] AS b FROM documents),
+        |st AS (SELECT doc_id,
+        |    CAST(1 + len(list_filter(bs.b,
+        |      x -> CAST(n_chars AS DOUBLE) > x)) AS INTEGER) AS stage
+        |  FROM documents, bs),
+        |h AS (SELECT doc_id, stage,
+        |    md5('1:' || doc_id::VARCHAR) AS hx FROM st),
+        |s AS (SELECT doc_id, stage, hx,
+        |    CAST(CAST(concat('0x', substr(hx, 1, 6)) AS BIGINT) % 4
+        |      AS INTEGER) AS shard FROM h)
+        |SELECT doc_id, stage, shard,
+        |  row_number() OVER (PARTITION BY stage, shard
+        |    ORDER BY hx, doc_id) - 1 AS pos
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Export.curriculumShards(t(s, dir, "documents"),
+          scoreCol = "n_chars", nStages = 4, keyCol = "doc_id",
+          epoch = 1, shardsPerStage = 4)
+        .select(col("doc_id"), col("stage"), col("shard"), col("pos"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Deterministic source interleave (stride schedule): src0:src1:src2
+    // at 3:2:1. The Spark side computes `pos` CLOSED-FORM (integer
+    // cross-multiplication, no global sort); the oracle derives the
+    // same schedule the definitional way — a global ORDER BY the
+    // exact virtual-time key (i+1)·(L/wₛ) with L = lcm(3,2,1) = 6 and
+    // ties by weight-list order. Row-for-row equality proves the
+    // closed form IS the stride schedule.
+    q("q_interleave",
+      """WITH d AS (SELECT doc_id, source FROM documents
+        |           WHERE source IN ('src0','src1','src2')),
+        |h AS (SELECT doc_id, source,
+        |        md5('1:' || doc_id::VARCHAR) AS hx FROM d),
+        |i AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY hx, doc_id) - 1 AS src_pos FROM h),
+        |k AS (SELECT *,
+        |        (src_pos + 1) * (CASE source WHEN 'src0' THEN 2
+        |          WHEN 'src1' THEN 3 ELSE 6 END) AS vkey,
+        |        CASE source WHEN 'src0' THEN 0
+        |          WHEN 'src1' THEN 1 ELSE 2 END AS srd FROM i)
+        |SELECT doc_id, source, src_pos,
+        |  row_number() OVER (ORDER BY vkey, srd) - 1 AS pos
+        |FROM k ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Export.interleaveSources(t(s, dir, "documents"),
+          sourceCol = "source", keyCol = "doc_id",
+          weights = Seq("src0" -> 3, "src1" -> 2, "src2" -> 1),
+          epoch = 1)
+        .select(col("doc_id"), col("source"), col("src_pos"), col("pos"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -92,6 +92,25 @@ object BloomIndex {
     commitMeta(spark, dir, merged, p.expectedItems, p.fpp, fv)
   }
 
+  /** Re-compact the fps postings after a run of [[append]]s (the
+    * index-family lifecycle step): one replace commit rewrites the
+    * pinned snapshot fp-range-clustered with per-file fp stats — the
+    * maybe-verify join prunes files by range; the bloom layer and
+    * `dropNew` answers are unchanged (spec-asserted). */
+  def optimize(spark: SparkSession, dir: String,
+      clusterParts: Int = 8): Unit = {
+    val p = params(spark, dir)
+    if (!Snapshots.latestId(spark, s"$dir/fps").contains(p.fpsVer))
+      Snapshots.rollback(spark, s"$dir/fps", p.fpsVer)
+    val fv = Snapshots.commit(spark,
+      Snapshots.read(spark, s"$dir/fps", Some(p.fpsVer))
+        .repartitionByRange(clusterParts, col("fp"))
+        .sortWithinPartitions("fp"),
+      s"$dir/fps", statsCols = Seq("fp"))
+    commitMeta(spark, dir, loadBloom(spark, dir), p.expectedItems, p.fpp,
+      fv)
+  }
+
   /** The exact rows of `incoming` whose content the index has never
     * seen, one keeper (min id) per duplicate group within the batch —
     * [[Dedup.dropAgainstCorpus]]'s answer, at the index's cost model:

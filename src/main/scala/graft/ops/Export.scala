@@ -200,6 +200,132 @@ object Export {
       .drop("_h")
   }
 
+  /** Curriculum training layout: stage-major deterministic order.
+    * Documents bucket into `nStages` difficulty stages by EXACT score
+    * quantiles ([[Sampling.scoreBuckets]] — bounds are one broadcast
+    * row, never a global sort), then each stage gets its own
+    * [[epochShards]]-style md5 deal into `shardsPerStage` loader
+    * shards. A curriculum loader reads stages in ascending order and
+    * a stage's shards in parallel; within a shard, `pos` is the
+    * deterministic row order. Everything is a pure function of
+    * (epoch, key, the quantile bounds): resume re-derives the exact
+    * order, a new epoch re-deals within stages without re-bucketing.
+    *
+    * Scale: the only wide ops are the (stage, shard) hash partition
+    * and a per-(stage, shard) window — corpus/(nStages·shardsPerStage)
+    * rows each; pick shardsPerStage so a shard is one loader file. */
+  def curriculumShards(df: DataFrame, scoreCol: String, nStages: Int,
+      keyCol: String, epoch: Int, shardsPerStage: Int): DataFrame = {
+    require(shardsPerStage >= 1, s"shardsPerStage=$shardsPerStage")
+    val staged = Sampling.scoreBuckets(df, scoreCol, nStages, exact = true)
+      .withColumnRenamed("bucket", "stage")
+    val h = md5(concat(lit(s"$epoch:"), col(keyCol).cast("string"))
+      .cast("binary"))
+    val w = Window.partitionBy(col("stage"), col("shard"))
+      .orderBy(col("_h"), col(keyCol))
+    staged.withColumn("_h", h)
+      .withColumn("shard",
+        pmod(conv(substring(col("_h"), 1, 6), 16, 10).cast("long"),
+          lit(shardsPerStage.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .drop("_h")
+  }
+
+  /** Deterministic source interleaving: merge per-source example
+    * streams into ONE global training order that visits sources at
+    * exact integer rates — stride scheduling (the classic
+    * virtual-time schedule: item i of source s runs at v = (i+1)/wₛ,
+    * smallest v first, ties by the weight-list order). The output
+    * `pos` is a bijection onto [0, N): in any prefix the source mix
+    * tracks the weight ratios as tightly as integer rounding allows,
+    * which is what a trainer wants from a mixture — no long
+    * single-source runs, no RNG, any engine re-derives the order.
+    *
+    * Within a source the item order is the md5 epoch deal
+    * ([[epochShards]]' convention); `src_pos` is the dense 0-based
+    * within-source index. A new `epoch` re-deals which DOC occupies
+    * (source, i) but never the slot→source pattern — `pos` as a
+    * function of (source, src_pos) is epoch-invariant by
+    * construction (it depends only on counts and weights).
+    *
+    * NO GLOBAL SORT: `pos` is CLOSED-FORM. All comparisons are exact
+    * integer cross-multiplications ((i+1)/wₛ vs (j+1)/wₜ ⟺
+    * (i+1)·wₜ vs (j+1)·wₛ), so the predecessors contributed by each
+    * source t are `min(nₜ, ⌊((i+1)·wₜ−1)/wₛ⌋)` plus a tie term —
+    * a per-row expression over |weights| literal terms. The only
+    * wide ops are the (source, hash-bucket) window (corpus/(|src|·256)
+    * rows each) and a |src|·256-row counts collect (metadata class).
+    * Exactness bound: (i+1)·wₜ must stay below 2⁵³ (9·10¹⁵) — petarow
+    * corpora at 3-digit weights; `require`d against the counts.
+    *
+    * Rows whose source is not in `weights` are dropped (the
+    * [[Sampling.mixturePlan]] contract: the interleave is over the
+    * planned mixture; screen availability there first). */
+  def interleaveSources(df: DataFrame, sourceCol: String, keyCol: String,
+      weights: Seq[(String, Int)], epoch: Int): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "duplicate source in weights")
+    weights.foreach { case (s, w) =>
+      require(w >= 1, s"weight of $s must be >= 1, got $w") }
+    val spark = df.sparkSession
+    val names = weights.map(_._1)
+    val hx = md5(concat(lit(s"$epoch:"), col(keyCol).cast("string"))
+      .cast("binary"))
+    val bucketed = df.filter(col(sourceCol).isin(names: _*))
+      .withColumn("_hx", hx)
+      .withColumn("_bkt",
+        conv(substring(col("_hx"), 1, 2), 16, 10).cast("int"))
+    // pass 1: per-(source, bucket) counts — ≤ |src|·256 rows, the
+    // Sharding.globalOrder metadata class
+    val counts = bucketed.groupBy(col(sourceCol).as("_src"), col("_bkt"))
+      .agg(count(lit(1)).as("_n")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val nOf: Map[String, Long] =
+      counts.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._3).sum }
+        .withDefaultValue(0L)
+    val total = nOf.values.sum
+    val maxW = weights.map(_._2).max
+    require(total <= (1L << 53) / math.max(1, maxW),
+      s"n*maxWeight=$total*$maxW exceeds the exact-arithmetic bound")
+    val offsets = counts.groupBy(_._1).toSeq.flatMap { case (s, rs) =>
+      rs.sortBy(_._2).scanLeft((s, -1, 0L, 0L)) {
+        case ((_, _, acc, n), (_, bkt, cnt)) => (s, bkt, acc + n, cnt)
+      }.tail.map { case (src, bkt, off, _) => (src, bkt, off) }
+    }
+    import spark.implicits._
+    val offDf = offsets.toDF(sourceCol, "_bkt", "_off")
+    // pass 2: within-(source, bucket) window + broadcast offsets
+    val w = Window.partitionBy(col(sourceCol), col("_bkt"))
+      .orderBy(col("_hx"), col(keyCol))
+    val withI = bucketed.join(broadcast(offDf), Seq(sourceCol, "_bkt"))
+      .withColumn("src_pos",
+        col("_off") + row_number().over(w).cast("long") - 1)
+    def pick(f: ((String, Int), Int) => Long): Column =
+      weights.zipWithIndex.foldLeft(lit(null).cast("long")) {
+        case (acc, (sw, ord)) =>
+          when(col(sourceCol) === lit(sw._1), lit(f(sw, ord)))
+            .otherwise(acc)
+      }
+    val wS = pick((sw, _) => sw._2.toLong)
+    val ordS = pick((_, ord) => ord.toLong)
+    // exact ⌊a/b⌋ for a ≥ 0: a−pmod(a,b) is a multiple of b below 2⁵³,
+    // so the double division is exact
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val ip1 = col("src_pos") + lit(1L)
+    val posCol = weights.zipWithIndex.map { case ((t, wt), ordT) =>
+      val nT = lit(nOf(t))
+      val x = ip1 * lit(wt.toLong)
+      val strict = fdiv(x - lit(1L), wS)
+      val tie = when(pmod(x, wS) === lit(0L) &&
+        lit(ordT.toLong) < ordS && fdiv(x, wS) <= nT, 1L).otherwise(0L)
+      when(col(sourceCol) === lit(t), col("src_pos"))
+        .otherwise(least(nT, strict) + tie)
+    }.reduce(_ + _)
+    withI.withColumn("pos", posCol).drop("_hx", "_bkt", "_off")
+  }
+
   /** Materialize an epoch as loader files: `outDir/shard=<s>/` holds
     * ONE parquet file whose row order IS the epoch order ([[epochShards]]'
     * `pos` — parquet preserves within-file row order, so a sequential

@@ -70,6 +70,19 @@ class BloomIndexSpec extends AnyFunSuite {
       "texts appended to the index must no longer survive dropNew")
   }
 
+  test("optimize re-compacts postings without changing any answer") {
+    val dir = tmpDir()
+    val thirds = (0 to 2).map(i => docs.filter(pmod(col("doc_id"), lit(3)) === i))
+    BloomIndex.build(spark, thirds(0), dir, expectedItems = 10000L,
+      fpp = 0.03)
+    BloomIndex.append(spark, thirds(1), dir)
+    val batch = thirds(2)
+    val before = survivors(batch, dir)
+    BloomIndex.optimize(spark, dir, clusterParts = 2)
+    assert(survivors(batch, dir) === before,
+      "optimize must not change dropNew answers")
+  }
+
   test("the bloom layer prunes: most novel rows never reach the fps join") {
     val dir = tmpDir()
     val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)

@@ -420,6 +420,104 @@ class ExportSpec extends AnyFunSuite {
       (2L, 20L, 23L, 0.7, 4L)))
   }
 
+  test("curriculumShards: stage-monotone in score, dense per-shard positions, epoch re-deals") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = Export.curriculumShards(docs, "n_chars", nStages = 4,
+      keyCol = "doc_id", epoch = 1, shardsPerStage = 4).cache()
+    // stages partition the corpus and are monotone in the score:
+    // every stage-k score <= every stage-(k+1) boundary crossing
+    val byStage = out.groupBy("stage")
+      .agg(min("n_chars").as("lo"), max("n_chars").as("hi"),
+        count(lit(1)).as("n"))
+      .orderBy("stage").collect()
+    assert(byStage.map(_.getInt(0)).toSeq === Seq(1, 2, 3, 4))
+    byStage.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(2) <= b.getLong(1),
+        s"stage ${a.getInt(0)} max ${a.getLong(2)} must not exceed " +
+          s"stage ${b.getInt(0)} min ${b.getLong(1)}")
+    }
+    // positions are dense 0..n-1 within every (stage, shard)
+    val dense = out.groupBy("stage", "shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("mx") =!= col("n") - 1 || col("mn") =!= 0)
+      .count()
+    assert(dense === 0L)
+    // a different epoch re-deals shards but never stages
+    val e2 = Export.curriculumShards(docs, "n_chars", nStages = 4,
+      keyCol = "doc_id", epoch = 2, shardsPerStage = 4)
+    val j = out.select(col("doc_id"), col("stage").as("s1"),
+        col("shard").as("h1"))
+      .join(e2.select(col("doc_id"), col("stage").as("s2"),
+        col("shard").as("h2")), "doc_id")
+    assert(j.filter(col("s1") =!= col("s2")).count() === 0L)
+    assert(j.filter(col("h1") =!= col("h2")).count() > 0L)
+    out.unpersist(): Unit
+  }
+
+  test("interleaveSources: bijection, reference-merge equality, prefix mix, epoch-invariant slot pattern") {
+    val weights = Seq("src0" -> 3, "src1" -> 2, "src2" -> 1)
+    val out = Export.interleaveSources(docs, "source", "doc_id",
+      weights, epoch = 7).cache()
+    val n = out.count()
+    // pos is a bijection onto [0, N)
+    assert(out.agg(countDistinct("pos")).head.getLong(0) === n)
+    assert(out.agg(min("pos"), max("pos")).head match {
+      case r => r.getLong(0) === 0L && r.getLong(1) === n - 1
+    })
+    // closed form equals the definitional merge: sort by the exact
+    // virtual time (i+1)/w as integer key (i+1)*(lcm/w), ties by ord
+    val ref = out.select("source", "src_pos", "pos").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val mult = Map("src0" -> 2L, "src1" -> 3L, "src2" -> 6L)
+    val ord = Map("src0" -> 0, "src1" -> 1, "src2" -> 2)
+    val expected = ref.sortBy { case (s, i, _) =>
+      ((i + 1) * mult(s), ord(s)) }.zipWithIndex
+      .map { case ((s, i, _), p) => (s, i, p.toLong) }.toSet
+    assert(ref.toSet === expected)
+    // prefix mix: source counts in any prefix stay within 1 item of
+    // the stride bound (i+1)/w <= ceil-of-share — check a few prefixes
+    val sched = ref.sortBy(_._3)
+    val avail = ref.groupBy(_._1).view.mapValues(_.length).toMap
+    val wSum = weights.map(_._2).sum
+    // the w:±1 mix bound holds only while every source still has
+    // items; after a source exhausts its slots go to the others
+    val mMax = weights.map { case (s, w) => avail(s) * wSum / w }.min
+    for (m <- Seq(6, 30, mMax); if m <= mMax) {
+      val cnt = sched.take(m).groupBy(_._1).view.mapValues(_.length)
+      for ((s, w) <- weights; c = cnt.getOrElse(s, 0)) {
+        val share = m.toDouble * w / wSum
+        assert(math.abs(c - share) <= w + 1,
+          s"prefix $m source $s count $c vs share $share")
+      }
+    }
+    // epoch re-deal: (source, src_pos) -> pos is epoch-invariant,
+    // but which doc holds a slot changes
+    val e2 = Export.interleaveSources(docs, "source", "doc_id",
+      weights, epoch = 8)
+    val slots2 = e2.select("source", "src_pos", "pos").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(slots2 === ref.toSet)
+    val moved = out.select(col("doc_id"), col("pos").as("p1"))
+      .join(e2.select(col("doc_id"), col("pos").as("p2")), "doc_id")
+      .filter(col("p1") =!= col("p2")).count()
+    assert(moved > 0L)
+    out.unpersist(): Unit
+  }
+
+  test("interleaveSources: exhausted source hands its slots to the rest; unplanned sources drop") {
+    // src A weight 2 but only 2 items; B weight 1 with 6 items;
+    // stride: vA(i)=(i+1)/2, vB(j)=(j+1)/1 → A0(.5) A1(1 tie? ordA<ordB
+    // so A first) B0(1) B1(2) ... expect A,A,B,B,B,B,B,B
+    val d = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L), ("B", 5L),
+      ("B", 6L), ("B", 7L), ("B", 8L), ("C", 9L))
+      .toDF("src", "id")
+    val got = Export.interleaveSources(d, "src", "id",
+      Seq("A" -> 2, "B" -> 1), epoch = 1)
+      .orderBy("pos").select("src").collect().map(_.getString(0)).toSeq
+    assert(got === Seq("A", "A", "B", "B", "B", "B", "B", "B"),
+      "C must drop; A's early virtual times front-load it")
+  }
+
   test("dpoPairs: an all-tied group still yields a stable distinct pair") {
     val r = Seq((1L, 5L, 0.5), (1L, 6L, 0.5), (1L, 7L, 0.5))
       .toDF("prompt", "resp_id", "score")

@@ -1,0 +1,18 @@
+#!/bin/bash
+# Run a graft main with raw `java` (faster than sbt runMain): injects the
+# JDK17 module opens spark-submit normally adds (without them MLlib's
+# Kryo path dies on java.nio.HeapByteBuffer). Usage:
+#   tools/java_spark.sh [java opts...] graft.Verify <args...>
+set -e
+cd "$(dirname "$0")/.."
+OPENS=""
+for p in java.base/java.lang java.base/java.lang.invoke \
+  java.base/java.lang.reflect java.base/java.io java.base/java.net \
+  java.base/java.nio java.base/java.util \
+  java.base/java.util.concurrent java.base/java.util.concurrent.atomic \
+  java.base/sun.nio.ch java.base/sun.nio.cs java.base/sun.security.action \
+  java.base/sun.util.calendar; do
+  OPENS="$OPENS --add-opens $p=ALL-UNNAMED"
+done
+CP="target/scala-2.13/classes:$(echo /opt/spark/jars/*.jar | tr ' ' ':')"
+exec java $OPENS -cp "$CP" "$@"
