@@ -6363,6 +6363,131 @@ object PipelineQueries {
           epoch = 1)
         .select(col("doc_id"), col("source"), col("src_pos"), col("pos"))
         .orderBy(col("doc_id"))
+    },
+
+    // Cohen's kappa between two synthesized raters (rater b flips
+    // every 7th label): the oracle recomputes observed agreement,
+    // each rater's own marginals, chance agreement and the
+    // chance-corrected coefficient.
+    q("q_cohen_kappa",
+      """WITH r AS (SELECT doc_id, lang AS la,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lb
+        |  FROM documents),
+        |po AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |    avg(CASE WHEN la = lb THEN 1.0 ELSE 0.0 END) AS po FROM r),
+        |ma AS (SELECT la AS k, count(*)::DOUBLE AS ca FROM r GROUP BY 1),
+        |mb AS (SELECT lb AS k, count(*)::DOUBLE AS cb FROM r GROUP BY 1),
+        |pe AS (SELECT sum(ca / n_items * (cb / n_items)) AS pe
+        |       FROM ma JOIN mb USING (k), po)
+        |SELECT n_items, round(po, 6) AS p_o, round(pe, 6) AS p_e,
+        |  round((po - pe) / (1 - pe), 6) AS kappa
+        |FROM po, pe""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val a = docs.select(col("doc_id"), lit("a").as("rater"),
+        col("lang").as("label"))
+      val b = docs.select(col("doc_id"), lit("b").as("rater"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit("xx"))
+          .otherwise(col("lang")).as("label"))
+      graft.ops.Agreement.cohenKappa(a.unionByName(b),
+        "doc_id", "rater", "label", "a", "b")
+    },
+
+    // Fleiss' kappa over three synthesized ratings per doc (raters 2
+    // and 3 disagree on every 3rd / 5th doc): per-item P_i, pooled
+    // marginals, P_e and kappa all recomputed by the oracle.
+    q("q_fleiss_kappa",
+      """WITH r AS (
+        |  SELECT doc_id, lang AS label FROM documents
+        |  UNION ALL SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'xx' ELSE lang END
+        |  FROM documents
+        |  UNION ALL SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'yy' ELSE lang END
+        |  FROM documents),
+        |c AS (SELECT doc_id, label, count(*) AS c FROM r GROUP BY 1, 2),
+        |pi AS (SELECT doc_id, (sum(c * c) - 3) / 6.0 AS p_i
+        |       FROM c GROUP BY 1),
+        |pb AS (SELECT avg(p_i) AS pbar,
+        |       CAST(count(*) AS BIGINT) AS n_items FROM pi),
+        |pe AS (SELECT sum((cl / (n_items * 3.0)) *
+        |           (cl / (n_items * 3.0))) AS pe
+        |       FROM (SELECT label, sum(c)::DOUBLE AS cl
+        |             FROM c GROUP BY 1), pb)
+        |SELECT n_items, CAST(3 AS BIGINT) AS n_ratings,
+        |  round(pbar, 6) AS p_bar, round(pe, 6) AS p_e,
+        |  round((pbar - pe) / (1 - pe), 6) AS kappa
+        |FROM pb, pe""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      def rr(c: Column) = docs.select(col("doc_id"), c.as("label"))
+      val ratings = rr(col("lang"))
+        .unionByName(rr(when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("xx")).otherwise(col("lang"))))
+        .unionByName(rr(when(pmod(col("doc_id"), lit(5)) === 0,
+          lit("yy")).otherwise(col("lang"))))
+      graft.ops.Agreement.fleissKappa(ratings, "doc_id", "label")
+    },
+
+    // Bradley-Terry ratings over a synthesized match log (players
+    // doc_id%8 vs (doc_id div 8)%8; the lower id wins unless
+    // doc_id%3==0). The oracle re-runs the ENTIRE 3-step MM fit in
+    // unrolled CTEs — grid, win totals, each denominator join, each
+    // mean-normalize + 9-decimal quantize — the trainLogistic
+    // reproducible-training contract applied to preference ranking.
+    q("q_bradley_terry",
+      """WITH m AS (SELECT doc_id % 8 AS p, (doc_id // 8) % 8 AS q,
+        |        doc_id FROM documents
+        |      WHERE doc_id % 8 <> (doc_id // 8) % 8),
+        |o AS (SELECT CASE WHEN doc_id % 3 > 0 THEN least(p, q)
+        |          ELSE greatest(p, q) END AS w,
+        |        CASE WHEN doc_id % 3 > 0 THEN greatest(p, q)
+        |          ELSE least(p, q) END AS l FROM m),
+        |pr AS (SELECT w, l, count(*)::DOUBLE AS n FROM o GROUP BY 1, 2),
+        |np AS (SELECT i, j, sum(n) AS n FROM (
+        |         SELECT w AS i, l AS j, n FROM pr
+        |         UNION ALL SELECT l AS i, w AS j, n FROM pr)
+        |       GROUP BY 1, 2),
+        |wn AS (SELECT w AS i, sum(n) AS wns FROM pr GROUP BY 1),
+        |gm AS (SELECT i, sum(n) AS gms FROM np GROUP BY 1),
+        |p0 AS (SELECT DISTINCT i, 1.0 AS r FROM np),
+        |d1 AS (SELECT np.i, sum(np.n / (a.r + b.r)) AS den FROM np
+        |       JOIN p0 a ON a.i = np.i JOIN p0 b ON b.i = np.j
+        |       GROUP BY np.i),
+        |u1 AS (SELECT d1.i, coalesce(wn.wns, 0) / den AS u
+        |       FROM d1 LEFT JOIN wn ON wn.i = d1.i),
+        |p1 AS (SELECT i, round(u / (SELECT avg(u) FROM u1), 9) AS r
+        |       FROM u1),
+        |d2 AS (SELECT np.i, sum(np.n / (a.r + b.r)) AS den FROM np
+        |       JOIN p1 a ON a.i = np.i JOIN p1 b ON b.i = np.j
+        |       GROUP BY np.i),
+        |u2 AS (SELECT d2.i, coalesce(wn.wns, 0) / den AS u
+        |       FROM d2 LEFT JOIN wn ON wn.i = d2.i),
+        |p2 AS (SELECT i, round(u / (SELECT avg(u) FROM u2), 9) AS r
+        |       FROM u2),
+        |d3 AS (SELECT np.i, sum(np.n / (a.r + b.r)) AS den FROM np
+        |       JOIN p2 a ON a.i = np.i JOIN p2 b ON b.i = np.j
+        |       GROUP BY np.i),
+        |u3 AS (SELECT d3.i, coalesce(wn.wns, 0) / den AS u
+        |       FROM d3 LEFT JOIN wn ON wn.i = d3.i),
+        |p3 AS (SELECT i, round(u / (SELECT avg(u) FROM u3), 9) AS r
+        |       FROM u3)
+        |SELECT p3.i AS player, round(p3.r, 6) AS rating,
+        |  CAST(coalesce(wn.wns, 0) AS BIGINT) AS n_wins,
+        |  CAST(gm.gms AS BIGINT) AS n_games
+        |FROM p3 LEFT JOIN wn ON wn.i = p3.i
+        |JOIN gm ON gm.i = p3.i
+        |ORDER BY player""".stripMargin) { (s, dir) =>
+      val m = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(8)).as("p"),
+          pmod(expr("doc_id div 8"), lit(8)).as("q"), col("doc_id"))
+        .filter(col("p") =!= col("q"))
+      val lowWins = pmod(col("doc_id"), lit(3)) > 0
+      val o = m.select(
+        when(lowWins, least(col("p"), col("q")))
+          .otherwise(greatest(col("p"), col("q"))).as("winner"),
+        when(lowWins, greatest(col("p"), col("q")))
+          .otherwise(least(col("p"), col("q"))).as("loser"))
+      graft.ops.BradleyTerry.fit(o, "winner", "loser", iters = 3)
+        .orderBy(col("player"))
     }
   )
 

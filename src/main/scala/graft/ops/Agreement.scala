@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Inter-annotator agreement — the label-QA step of a human-feedback
+  * pipeline (RLHF preference labels, quality annotations, eval
+  * judgments): before training on labels, measure whether the raters
+  * agree beyond chance. Chance-corrected agreement, the published
+  * coefficients: Cohen's κ (two fixed raters) and Fleiss' κ (n
+  * ratings per item from any raters).
+  *
+  * Scale shape: everything is the partial-mergeable aggregate class —
+  * (item, label) count grids, |labels|-row marginal frames, one-row
+  * folds. No windows, no sorts; the only joins are on the bounded
+  * label/item-pair frames. Output is ONE row per coefficient.
+  *
+  * Cross-engine reproducibility: outputs round to 6 decimals (the
+  * signalCorrelations contract) so sum-order/libm drift is absorbed.
+  */
+object Agreement {
+
+  /** Cohen's κ for two named raters over shared items: observed
+    * agreement p_o vs chance agreement p_e = Σ_k p_A(k)·p_B(k) from
+    * each rater's own label marginals; κ = (p_o−p_e)/(1−p_e).
+    * Items lacking a rating from BOTH raters are excluded (the
+    * coefficient is defined over the common support). A degenerate
+    * p_e = 1 (both raters constant and equal) yields NULL κ, not a
+    * division error.
+    *
+    * `ratings`: one row per (item, rater, label). If a rater labeled
+    * an item more than once, the lexicographically smallest label
+    * wins (deterministic; documents the dedup rather than silently
+    * multiplying pairs through the join). */
+  def cohenKappa(ratings: DataFrame, itemCol: String, raterCol: String,
+      labelCol: String, raterA: String, raterB: String): DataFrame = {
+    def side(r: String, as: String) = ratings
+      .filter(col(raterCol) === lit(r))
+      .groupBy(col(itemCol).as("_it"))
+      .agg(min(col(labelCol).cast("string")).as(as))
+    val paired = side(raterA, "_la").join(side(raterB, "_lb"), "_it")
+    val po = paired.agg(
+      count(lit(1)).cast("long").as("n_items"),
+      avg((col("_la") === col("_lb")).cast("double")).as("_po"))
+    val n = paired.select(count(lit(1)).as("_n"))
+    def marg(c: String, as: String) = paired.groupBy(col(c).as("_k"))
+      .agg(count(lit(1)).cast("double").as(as))
+    val pe = marg("_la", "_ca").join(marg("_lb", "_cb"), "_k")
+      .crossJoin(broadcast(n))
+      .agg(sum(col("_ca") / col("_n") * (col("_cb") / col("_n")))
+        .as("_pe"))
+    po.crossJoin(broadcast(pe)).select(
+      col("n_items"),
+      round(col("_po"), 6).as("p_o"),
+      round(col("_pe"), 6).as("p_e"),
+      round(when(col("_pe") < 1.0,
+        (col("_po") - col("_pe")) / (lit(1.0) - col("_pe"))), 6)
+        .as("kappa"))
+  }
+
+  /** Fleiss' κ: agreement among n ratings per item (any raters).
+    * P_i = (Σ_l n_il² − n)/(n(n−1)) per item, P̄ their mean; chance
+    * P_e = Σ_l p_l² from the pooled label marginals;
+    * κ = (P̄−P_e)/(1−P_e). REQUIRES a constant rating count n ≥ 2 per
+    * item (the coefficient's definition) — checked with a one-row
+    * aggregate and raised as an error, never silently renormalized.
+    * Degenerate P_e = 1 yields NULL κ. */
+  def fleissKappa(ratings: DataFrame, itemCol: String,
+      labelCol: String): DataFrame = {
+    val cnt = ratings
+      .groupBy(col(itemCol).as("_it"), col(labelCol).as("_lb"))
+      .agg(count(lit(1)).as("_c"))
+    val perItem = cnt.groupBy("_it")
+      .agg(sum(col("_c")).as("_n"), sum(col("_c") * col("_c")).as("_sq"))
+    val bounds = perItem
+      .agg(min("_n"), max("_n"), count(lit(1))).head()
+    val (nLo, nHi, items) =
+      (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
+    require(nLo == nHi,
+      s"Fleiss' kappa needs a constant rating count per item; " +
+        s"got min=$nLo max=$nHi")
+    require(nLo >= 2, s"need >= 2 ratings per item, got $nLo")
+    val n = nLo.toDouble
+    val pBar = perItem.agg(
+      avg((col("_sq") - lit(n)) / lit(n * (n - 1.0))).as("_pbar"))
+    val pe = cnt.groupBy("_lb").agg(sum("_c").as("_cl"))
+      .agg(sum((col("_cl") / lit(items * n)) *
+        (col("_cl") / lit(items * n))).as("_pe"))
+    pBar.crossJoin(broadcast(pe)).select(
+      lit(items).as("n_items"),
+      lit(nLo).as("n_ratings"),
+      round(col("_pbar"), 6).as("p_bar"),
+      round(col("_pe"), 6).as("p_e"),
+      round(when(col("_pe") < 1.0,
+        (col("_pbar") - col("_pe")) / (lit(1.0) - col("_pe"))), 6)
+        .as("kappa"))
+  }
+}

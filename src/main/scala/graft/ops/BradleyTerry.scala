@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bradley–Terry strength ratings from pairwise preference outcomes —
+  * the model behind "rank the responses / models / annotators from
+  * win-loss records" in an RLHF data loop (reward-model eval,
+  * arena-style model comparison, annotator calibration). The model:
+  * P(i beats j) = πᵢ/(πᵢ+πⱼ); the fit is the classic MM iteration
+  * (Hunter 2004, the standard batch estimator):
+  *
+  *   πᵢ ← Wᵢ / Σⱼ nᵢⱼ/(πᵢ+πⱼ)
+  *
+  * with Wᵢ = i's total wins and nᵢⱼ = games between i and j, then
+  * mean-normalized (Σπ/|players| = 1) for identifiability.
+  *
+  * Scale shape — the PageRank iteration class: the comparison grid
+  * (i, j, nᵢⱼ) is built ONCE (two aggregates over the outcome log) and
+  * pinned; each iteration is two |players|-keyed joins of the rating
+  * frame onto the grid + one (player) aggregate + a one-row mean fold.
+  * State per iteration = |players| rows — never the outcome log, which
+  * is read exactly once. Rating frames are pinned per round
+  * ([[Guards.pin]]) against iterative-lineage blowup.
+  *
+  * Determinism / cross-engine reproducibility: ratings quantize to 9
+  * decimals after every normalize (the [[Classifier.trainLogistic]]
+  * contract) so sum-order and libm drift (~1 ulp/step) are absorbed
+  * and a fixed-iteration fit is hash-oracle-able on any engine.
+  *
+  * Caveat (the model's, not the implementation's): a player with zero
+  * wins drives to rating 0, and a player with zero losses absorbs all
+  * mass as iterations grow — the MLE does not exist on a win-loss
+  * graph that isn't strongly connected. Fixed `iters` keeps the output
+  * finite and deterministic either way; screen degenerate players
+  * upstream if that matters. */
+object BradleyTerry {
+
+  /** One row per player: `player`, `rating` (mean-1-normalized, round
+    * 6), `n_wins`, `n_games`. `outcomes` is the raw win log — one row
+    * per decided comparison. */
+  def fit(outcomes: DataFrame, winnerCol: String, loserCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters=$iters")
+    val oriented = outcomes
+      .select(col(winnerCol).cast("long").as("_w"),
+        col(loserCol).cast("long").as("_l"))
+      .groupBy("_w", "_l").agg(count(lit(1)).cast("double").as("_n"))
+    // the symmetric comparison grid and the win totals, built once
+    val grid = Guards.pin(oriented
+      .select(col("_w").as("_i"), col("_l").as("_j"), col("_n"))
+      .unionByName(
+        oriented.select(col("_l").as("_i"), col("_w").as("_j"),
+          col("_n")))
+      .groupBy("_i", "_j").agg(sum("_n").as("_n")))
+    val wins = Guards.pin(
+      oriented.groupBy(col("_w").as("_i")).agg(sum("_n").as("_wins")))
+    val games = grid.groupBy("_i").agg(sum("_n").as("_games"))
+    var r = grid.select("_i").distinct().withColumn("_r", lit(1.0))
+    for (_ <- 1 to iters) {
+      val den = grid
+        .join(r.select(col("_i"), col("_r").as("_ri")), Seq("_i"))
+        .join(r.select(col("_i").as("_j"), col("_r").as("_rj")),
+          Seq("_j"))
+        .groupBy("_i")
+        .agg(sum(col("_n") / (col("_ri") + col("_rj"))).as("_den"))
+      val upd = den.join(wins, Seq("_i"), "left")
+        .select(col("_i"),
+          (coalesce(col("_wins"), lit(0.0)) / col("_den")).as("_u"))
+      val mean = upd.agg(avg("_u").as("_m"))
+      r = Guards.pin(upd.crossJoin(broadcast(mean))
+        .select(col("_i"), round(col("_u") / col("_m"), 9).as("_r")))
+    }
+    r.join(wins, Seq("_i"), "left").join(games, Seq("_i"))
+      .select(col("_i").as("player"), round(col("_r"), 6).as("rating"),
+        coalesce(col("_wins"), lit(0.0)).cast("long").as("n_wins"),
+        col("_games").cast("long").as("n_games"))
+  }
+}

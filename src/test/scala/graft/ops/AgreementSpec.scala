@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AgreementSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("cohenKappa: textbook hand case") {
+    // A: x x y y   B: x y y y → p_o = 3/4; p_e = .5·.25 + .5·.75 = .5
+    // → kappa = (0.75 − 0.5)/0.5 = 0.5
+    val r = Seq(
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "a", "y"), (4L, "a", "y"),
+      (1L, "b", "x"), (2L, "b", "y"), (3L, "b", "y"), (4L, "b", "y"))
+      .toDF("item", "rater", "label")
+    val out = Agreement.cohenKappa(r, "item", "rater", "label", "a", "b")
+      .head()
+    assert(out.getLong(0) === 4L)
+    assert(out.getDouble(1) === 0.75)
+    assert(out.getDouble(2) === 0.5)
+    assert(out.getDouble(3) === 0.5)
+  }
+
+  test("cohenKappa: perfect constant agreement has p_e = 1 and NULL kappa") {
+    val r = Seq((1L, "a", "x"), (2L, "a", "x"),
+      (1L, "b", "x"), (2L, "b", "x")).toDF("item", "rater", "label")
+    val out = Agreement.cohenKappa(r, "item", "rater", "label", "a", "b")
+      .head()
+    assert(out.getDouble(1) === 1.0 && out.getDouble(2) === 1.0)
+    assert(out.isNullAt(3), "degenerate p_e = 1 must yield NULL kappa")
+  }
+
+  test("cohenKappa: items missing one rater are excluded; dup ratings pick min label") {
+    val r = Seq(
+      (1L, "a", "x"), (1L, "a", "z"), // dup: min label x wins
+      (1L, "b", "x"),
+      (2L, "a", "y"), // no b rating → excluded
+      (3L, "a", "y"), (3L, "b", "y"))
+      .toDF("item", "rater", "label")
+    val out = Agreement.cohenKappa(r, "item", "rater", "label", "a", "b")
+      .head()
+    assert(out.getLong(0) === 2L)
+    assert(out.getDouble(1) === 1.0)
+  }
+
+  test("fleissKappa: textbook hand case") {
+    // 3 items × 2 ratings: (a,a) (a,b) (b,b)
+    // P_i = 1, 0, 1 → P̄ = 2/3; marginals .5/.5 → P_e = .5
+    // → kappa = (2/3 − 1/2)/(1/2) = 1/3
+    val r = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "b"), (3L, "b")).toDF("item", "label")
+    val out = Agreement.fleissKappa(r, "item", "label").head()
+    assert(out.getLong(0) === 3L && out.getLong(1) === 2L)
+    assert(out.getDouble(2) === 0.666667)
+    assert(out.getDouble(3) === 0.5)
+    assert(out.getDouble(4) === 0.333333)
+  }
+
+  test("fleissKappa: unequal rating counts are an error, not a silent renormalize") {
+    val r = Seq((1L, "a"), (1L, "a"), (2L, "a"))
+      .toDF("item", "label")
+    val e = intercept[IllegalArgumentException] {
+      Agreement.fleissKappa(r, "item", "label")
+    }
+    assert(e.getMessage.contains("constant rating count"))
+  }
+
+  test("fleissKappa: unanimous raters on a single label → p_e = 1, NULL kappa") {
+    val r = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"))
+      .toDF("item", "label")
+    val out = Agreement.fleissKappa(r, "item", "label").head()
+    assert(out.getDouble(3) === 1.0)
+    assert(out.isNullAt(4))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BradleyTerrySpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("two players: the MM fixed point is exact after one step") {
+    // A beats B 3x, B beats A 1x → den = 4/(r_A+r_B); at r=(1,1):
+    // u_A = 3/2, u_B = 1/2, mean 1 → (1.5, 0.5) — a fixed point, so
+    // more iterations must not move it. P(A>B) = 1.5/2 = .75 = 3/4.
+    val o = Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L))
+      .toDF("winner", "loser")
+    for (iters <- Seq(1, 5)) {
+      val got = BradleyTerry.fit(o, "winner", "loser", iters)
+        .orderBy("player")
+        .collect().map(r => (r.getLong(0), r.getDouble(1),
+          r.getLong(2), r.getLong(3)))
+      assert(got.toSeq === Seq((1L, 1.5, 3L, 4L), (2L, 0.5, 1L, 4L)),
+        s"iters=$iters")
+    }
+  }
+
+  test("an undefeated player's rating dominates; a winless player's drives toward 0") {
+    // 1 beats 2 and 3 twice each; 2 beats 3 twice; 3 never wins
+    val o = Seq((1L, 2L), (1L, 2L), (1L, 3L), (1L, 3L), (2L, 3L),
+      (2L, 3L)).toDF("winner", "loser")
+    val got = BradleyTerry.fit(o, "winner", "loser", iters = 10)
+      .orderBy("player").collect()
+    val r = got.map(_.getDouble(1))
+    assert(r(0) > r(1) && r(1) > r(2))
+    assert(r(2) < 0.05, s"winless player rating ${r(2)} should decay")
+    assert(got.map(_.getLong(2)).toSeq === Seq(4L, 2L, 0L))
+    assert(got.map(_.getLong(3)).toSeq === Seq(4L, 4L, 4L))
+  }
+
+  test("ratings recover a planted strength order and are repartition-deterministic") {
+    // planted skill: player k beats k+1..4 twice, loses once back —
+    // strictly decreasing true strength
+    val o = (for {
+      a <- 0L to 4L; b <- (a + 1) to 4L
+      r <- Seq((a, b), (a, b), (b, a))
+    } yield r).toDF("winner", "loser")
+    val fit1 = BradleyTerry.fit(o, "winner", "loser", iters = 8)
+      .orderBy("player").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(fit1.map(_._2).toSeq === fit1.map(_._2).sorted.reverse.toSeq,
+      "ratings must decrease with planted weakness")
+    val fit2 = BradleyTerry.fit(o.repartition(7), "winner", "loser",
+      iters = 8).orderBy("player").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(fit1.toSeq === fit2.toSeq, "repartition must not change the fit")
+  }
+}
