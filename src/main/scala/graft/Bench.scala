@@ -79,7 +79,14 @@ object Bench {
     // joins, DPO pair export, LPA communities, perceptual image
     // dedup, and the CDC chunk family (kernel pass + persisted index)
     "q_jaccard_prefix", "q_containment", "q_dpo_pairs", "q_labelprop",
-    "q_image_dhash", "q_cdc_chunks", "q_cdc_dedup", "q_cdc_index_probe")
+    "q_image_dhash", "q_cdc_chunks", "q_cdc_dedup", "q_cdc_index_probe",
+    // round-11 additions (third wave): format triage + bloom index,
+    // training-order layouts (curriculum, stride interleave), and the
+    // human-feedback analytics (kappas, Bradley-Terry)
+    "q_format_sniff", "q_bloom_index_probe", "q_curriculum",
+    "q_interleave", "q_cohen_kappa", "q_fleiss_kappa",
+    "q_bradley_terry", "q_win_matrix", "q_distinctive_terms",
+    "q_platt_per_group")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -6488,6 +6488,120 @@ object PipelineQueries {
           .otherwise(least(col("p"), col("q"))).as("loser"))
       graft.ops.BradleyTerry.fit(o, "winner", "loser", iters = 3)
         .orderBy(col("player"))
+    },
+
+    // Pairwise win-rate matrix with Wilson 95% intervals over the same
+    // synthesized match log as q_bradley_terry; the oracle recomputes
+    // every pair's rate and interval bound.
+    q("q_win_matrix",
+      """WITH m AS (SELECT doc_id % 8 AS p, (doc_id // 8) % 8 AS q,
+        |        doc_id FROM documents
+        |      WHERE doc_id % 8 <> (doc_id // 8) % 8),
+        |o AS (SELECT CASE WHEN doc_id % 3 > 0 THEN least(p, q)
+        |          ELSE greatest(p, q) END AS w,
+        |        CASE WHEN doc_id % 3 > 0 THEN greatest(p, q)
+        |          ELSE least(p, q) END AS l FROM m),
+        |g AS (SELECT least(w, l) AS player_a, greatest(w, l) AS player_b,
+        |        CAST(count(*) AS BIGINT) AS n_games,
+        |        CAST(sum(CASE WHEN w < l THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS wins_a
+        |      FROM o GROUP BY 1, 2),
+        |s AS (SELECT *, wins_a / CAST(n_games AS DOUBLE) AS p,
+        |        1.0 + 3.8416 / n_games AS dn FROM g)
+        |SELECT player_a, player_b, n_games, wins_a,
+        |  round(p, 6) AS win_rate_a,
+        |  round(greatest(0.0, ((p + 3.8416 / (2 * n_games)) / dn) -
+        |    (1.96 / dn) * sqrt(p * (1 - p) / n_games +
+        |      3.8416 / (4.0 * n_games * n_games))), 6) AS wilson_lo,
+        |  round(least(1.0, ((p + 3.8416 / (2 * n_games)) / dn) +
+        |    (1.96 / dn) * sqrt(p * (1 - p) / n_games +
+        |      3.8416 / (4.0 * n_games * n_games))), 6) AS wilson_hi
+        |FROM s ORDER BY player_a, player_b""".stripMargin) { (s, dir) =>
+      val m = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(8)).as("p"),
+          pmod(expr("doc_id div 8"), lit(8)).as("q"), col("doc_id"))
+        .filter(col("p") =!= col("q"))
+      val lowWins = pmod(col("doc_id"), lit(3)) > 0
+      val o = m.select(
+        when(lowWins, least(col("p"), col("q")))
+          .otherwise(greatest(col("p"), col("q"))).as("winner"),
+        when(lowWins, greatest(col("p"), col("q")))
+          .otherwise(least(col("p"), col("q"))).as("loser"))
+      graft.ops.BradleyTerry.winMatrix(o, "winner", "loser")
+        .orderBy(col("player_a"), col("player_b"))
+    },
+
+    // Per-source distinctive terms (Monroe log-odds with a
+    // corpus-proportional Dirichlet prior): the oracle recomputes the
+    // (source, token) grid, the prior, delta, the variance z-scale and
+    // the per-source rounded-zeta ranking.
+    q("q_distinctive_terms",
+      """WITH tok AS (SELECT src, token FROM (
+        |    SELECT source AS src, unnest(string_split_regex(
+        |        lower(text), '[^a-z0-9]+')) AS token FROM documents)
+        |  WHERE token <> ''),
+        |yst AS (SELECT src, token, count(*)::DOUBLE AS yst
+        |        FROM tok GROUP BY 1, 2),
+        |yt AS (SELECT token, sum(yst) AS yt FROM yst GROUP BY 1),
+        |ns AS (SELECT src, sum(yst) AS ns FROM yst GROUP BY 1),
+        |nt AS (SELECT sum(yst) AS n FROM yst),
+        |sc AS (SELECT src, token, yst, yt, ns, n, yt * 100.0 / n AS at
+        |       FROM yst JOIN yt USING (token) JOIN ns USING (src), nt
+        |       WHERE yst >= 2),
+        |z AS (SELECT src, token, yst, yt - yst AS yrt,
+        |        ln((yst + at) / (ns + 100.0 - yst - at)) -
+        |          ln((yt - yst + at) / (n - ns + 100.0 - (yt - yst) - at))
+        |          AS delta,
+        |        sqrt(1.0 / (yst + at) + 1.0 / (yt - yst + at)) AS sg
+        |      FROM sc),
+        |r AS (SELECT src AS source, token,
+        |        CAST(row_number() OVER (PARTITION BY src
+        |          ORDER BY round(delta / sg, 6) DESC, token) AS INTEGER)
+        |          AS rank,
+        |        CAST(yst AS BIGINT) AS n_in_source,
+        |        CAST(yrt AS BIGINT) AS n_rest,
+        |        round(delta, 6) AS delta,
+        |        round(delta / sg, 6) AS zeta
+        |      FROM z)
+        |SELECT * FROM r WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin) { (s, dir) =>
+      graft.ops.Relevance.distinctiveTerms(t(s, dir, "documents"),
+          sourceCol = "source", k = 5, alpha0 = 100.0, minCount = 2)
+        .orderBy(col("source"), col("rank"))
+    },
+
+    // Per-source Platt calibration: the oracle re-runs the ENTIRE
+    // grouped 3-step GD — sigmoid errors, per-source mean gradients,
+    // the 9-decimal weight quantize each step — per source, the
+    // trainLogistic reproducible-training contract group-wise.
+    q("q_platt_per_group",
+      """WITH d AS (SELECT source, n_chars / 1000.0 AS x,
+        |        (doc_id % 2)::DOUBLE AS y FROM documents),
+        |w0 AS (SELECT DISTINCT source, 0.0 AS a, 0.0 AS b FROM d),
+        |g1 AS (SELECT d.source,
+        |        avg((1 / (1 + exp(-(a * x + b))) - y) * x) AS ga,
+        |        avg(1 / (1 + exp(-(a * x + b))) - y) AS gb
+        |      FROM d JOIN w0 USING (source) GROUP BY 1),
+        |w1 AS (SELECT g1.source, round(a - ga, 9) AS a,
+        |        round(b - gb, 9) AS b FROM g1 JOIN w0 USING (source)),
+        |g2 AS (SELECT d.source,
+        |        avg((1 / (1 + exp(-(a * x + b))) - y) * x) AS ga,
+        |        avg(1 / (1 + exp(-(a * x + b))) - y) AS gb
+        |      FROM d JOIN w1 USING (source) GROUP BY 1),
+        |w2 AS (SELECT g2.source, round(a - ga, 9) AS a,
+        |        round(b - gb, 9) AS b FROM g2 JOIN w1 USING (source)),
+        |g3 AS (SELECT d.source,
+        |        avg((1 / (1 + exp(-(a * x + b))) - y) * x) AS ga,
+        |        avg(1 / (1 + exp(-(a * x + b))) - y) AS gb
+        |      FROM d JOIN w2 USING (source) GROUP BY 1),
+        |w3 AS (SELECT g3.source, round(a - ga, 9) AS a,
+        |        round(b - gb, 9) AS b FROM g3 JOIN w2 USING (source))
+        |SELECT source, round(a, 6) AS a, round(b, 6) AS b
+        |FROM w3 ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.ops.Classifier.plattPerGroup(t(s, dir, "documents"),
+          "source", col("n_chars") / lit(1000.0),
+          pmod(col("doc_id"), lit(2)), iterations = 3, lr = 1.0)
+        .orderBy(col("source"))
     }
   )
 

@@ -76,4 +76,39 @@ object BradleyTerry {
         coalesce(col("_wins"), lit(0.0)).cast("long").as("n_wins"),
         col("_games").cast("long").as("n_games"))
   }
+
+  /** Pairwise win-rate matrix with Wilson score intervals — the
+    * model-free companion to [[fit]]: for every unordered pair
+    * (a, b), a's empirical win rate and the z-level Wilson interval
+    * around it (the interval that behaves at small n and at rates
+    * near 0/1, unlike the normal approximation). An interval
+    * excluding 0.5 is a significant head-to-head edge; BT ratings
+    * order players globally, this says which DIRECT matchups support
+    * that order.
+    *
+    * Scale: ONE partial-mergeable aggregate over the outcome log onto
+    * |player-pairs| rows; the interval arithmetic is narrow on that
+    * frame. */
+  def winMatrix(outcomes: DataFrame, winnerCol: String,
+      loserCol: String, z: Double = 1.96): DataFrame = {
+    val w = col(winnerCol).cast("long")
+    val l = col(loserCol).cast("long")
+    val agg = outcomes
+      .select(least(w, l).as("player_a"), greatest(w, l).as("player_b"),
+        (w < l).cast("long").as("_aw"))
+      .groupBy("player_a", "player_b")
+      .agg(count(lit(1)).as("n_games"), sum("_aw").as("wins_a"))
+    val n = col("n_games").cast("double")
+    val p = col("wins_a") / n
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / denom
+    val half = (lit(z) / denom) *
+      sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))
+    agg.select(col("player_a"), col("player_b"), col("n_games"),
+      col("wins_a"),
+      round(p, 6).as("win_rate_a"),
+      round(greatest(lit(0.0), center - half), 6).as("wilson_lo"),
+      round(least(lit(1.0), center + half), 6).as("wilson_hi"))
+  }
 }

@@ -185,6 +185,73 @@ object Classifier {
     df.withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
   }
 
+  /** Per-group Platt calibration — fit σ(a·score + b) to labels
+    * SEPARATELY for every group (source/domain), the step that makes a
+    * raw quality score comparable across heterogeneous sources: the
+    * same score value can mean different empirical quality per source
+    * ([[calibrationReport]] diagnoses it; this fixes it). One 1-D
+    * logistic GD per group, run as GROUPED full-batch descent: each
+    * iteration is ONE broadcast join of the |groups|-row weight frame
+    * + ONE per-group aggregate — per-group models WITHOUT per-group
+    * jobs. Corpus passes = `iterations` (the [[trainLogistic]] class).
+    *
+    * Driver state: |groups|·2 doubles per step (the
+    * [[Sampling.mixturePlan]] bounded-collect class — groups are
+    * sources/domains, not rows). Weights quantize to 9 decimals per
+    * update and outputs to 6 (the reproducible-training contract), so
+    * the fixed-iteration fit is hash-oracle-able cross-engine.
+    *
+    * Output: one row per group — `a`, `b` (round 6). Apply with
+    * [[scorePlattPerGroup]]. */
+  def plattPerGroup(df: DataFrame, groupCol: String, score: Column,
+      label: Column, iterations: Int = 3, lr: Double = 1.0): DataFrame = {
+    require(iterations >= 1, s"iterations=$iterations")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def round9(x: Double): Double = BigDecimal(x)
+      .setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val base = df.select(col(groupCol).cast("string").as("_g"),
+      score.cast("double").as("_x"), label.cast("double").as("_y"))
+    var model = scala.collection.immutable.SortedMap[String,
+      (Double, Double)]() ++
+      base.select("_g").distinct().collect()
+        .map(r => r.getString(0) -> (0.0, 0.0))
+    for (_ <- 1 to iterations) {
+      val wdf = model.toSeq.map { case (g, (a, b)) => (g, a, b) }
+        .toDF("_g", "_a", "_b")
+      val err = lit(1.0) / (lit(1.0) +
+        exp(-(col("_a") * col("_x") + col("_b")))) - col("_y")
+      val grads = base.join(broadcast(wdf), Seq("_g"))
+        .groupBy("_g")
+        .agg(avg(err * col("_x")).as("_ga"), avg(err).as("_gb"))
+        .collect()
+      model = model ++ grads.map { r =>
+        val (a, b) = model(r.getString(0))
+        r.getString(0) -> (round9(a - lr * r.getDouble(1)),
+          round9(b - lr * r.getDouble(2)))
+      }
+    }
+    model.toSeq.map { case (g, (a, b)) => (g, a, b) }
+      .toDF(groupCol, "_a", "_b")
+      .select(col(groupCol), round(col("_a"), 6).as("a"),
+        round(col("_b"), 6).as("b"))
+  }
+
+  /** Apply a [[plattPerGroup]] model: adds `calibrated` =
+    * σ(a·score + b) with the group's own (a, b) via one broadcast
+    * join of the |groups|-row model frame; rows from groups absent in
+    * the model get NULL (surface them, never silently pass the raw
+    * score through). */
+  def scorePlattPerGroup(df: DataFrame, model: DataFrame,
+      groupCol: String, score: Column): DataFrame = {
+    val m = model.select(col(groupCol), col("a").as("_pa"),
+      col("b").as("_pb"))
+    df.join(broadcast(m), Seq(groupCol), "left")
+      .withColumn("calibrated", lit(1.0) / (lit(1.0) +
+        exp(-(col("_pa") * score.cast("double") + col("_pb")))))
+      .drop("_pa", "_pb")
+  }
+
   /** Binned calibration (reliability-diagram) report for a
     * probability-valued score: per bin `floor(p·bins)` — out-of-range
     * scores are clamped into the edge bins (p ≥ 1.0 into `bins−1`,

@@ -202,6 +202,68 @@ object Relevance {
           (col("_ca") * col("_cb"))), 6).as("pmi"))
   }
 
+  /** Per-source distinctive terms — the log-odds-ratio method with an
+    * informative Dirichlet prior (Monroe, Colaresi & Quinn 2008,
+    * "Fightin' Words"): for each (source, term), the prior-smoothed
+    * log-odds delta of the term in the source vs the REST of the
+    * corpus, z-scaled by its estimated variance
+    * (σ² ≈ 1/(y_st+α_t) + 1/(y_rt+α_t)). The corpus-proportional
+    * prior α_t = α₀·y_t/n is what kills the raw-log-odds pathology of
+    * rare terms dominating; ζ ranks terms by how confidently they
+    * characterize the source — the corpus-analytics step behind "what
+    * is actually IN this source" data cards.
+    *
+    * Top `k` rows per source by (ζ desc, token asc) — a deterministic
+    * total order.
+    *
+    * Scale: one corpus tokenize feeds a (source, token) count grid;
+    * corpus term totals RE-AGGREGATE that grid (the [[collocations]]
+    * discipline — never a second corpus pass); per-source totals are a
+    * |sources|-row join; the top-k window partitions by source over
+    * the per-source vocab frame (≪ corpus) and plans as
+    * WindowGroupLimit. */
+  def distinctiveTerms(docs: DataFrame, sourceCol: String = "source",
+      k: Int = 10, alpha0: Double = 100.0, minCount: Long = 1,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k=$k")
+    require(alpha0 > 0, s"alpha0=$alpha0")
+    val tok = docs.select(col(sourceCol).as("_src"),
+        explode(split(lower(col(textCol)), TokenPattern)).as("token"))
+      .filter(col("token") =!= "")
+    val yst = tok.groupBy("_src", "token")
+      .agg(count(lit(1)).as("_yst"))
+    val yt = yst.groupBy("token").agg(sum("_yst").as("_yt"))
+    val ns = yst.groupBy("_src").agg(sum("_yst").as("_ns"))
+    val nTot = yst.agg(sum("_yst").as("_n"))
+    val at = col("_yt") * lit(alpha0) / col("_n")
+    val yrt = col("_yt") - col("_yst")
+    val nr = col("_n") - col("_ns")
+    val dlt =
+      log((col("_yst") + at) / (col("_ns") + lit(alpha0) - col("_yst") - at)) -
+      log((yrt + at) / (nr + lit(alpha0) - yrt - at))
+    val sg = sqrt(lit(1.0) / (col("_yst") + at) + lit(1.0) / (yrt + at))
+    val scored = yst.filter(col("_yst") >= minCount)
+      .join(yt, Seq("token"))
+      .join(ns, Seq("_src"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("_delta", dlt)
+      // rank by the ROUNDED ζ (the reported value): a raw-double sort
+      // key could order two ~equal terms differently on another
+      // engine's last ulp; the rounded key + token tie-break is a
+      // total deterministic cross-engine order
+      .withColumn("_zeta", round(dlt / sg, 6))
+    val w = Window.partitionBy(col("_src"))
+      .orderBy(col("_zeta").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("_src").as(sourceCol), col("token"), col("rank"),
+        col("_yst").as("n_in_source"),
+        (col("_yt") - col("_yst")).as("n_rest"),
+        round(col("_delta"), 6).as("delta"),
+        col("_zeta").as("zeta"))
+  }
+
   /** Zipf rank-frequency fit — the least-squares slope of
     * ln(freq) on ln(rank) over the corpus vocabulary, with r². Natural
     * text slopes ≈ −1 (Zipf 1949); generated/templated corpora bend

@@ -348,6 +348,27 @@ object ExplainCheck {
     println(graft.ops.CdcIndex.probe(spark,
         docs.filter(col("doc_id") % 3 === 0), cdcDir, minShared = 1)
       .queryExecution.explainString(fmt))
+    // round-11 third wave
+    println("########## op:Export.curriculumShards (broadcast quantile bounds, per-(stage,shard) window)")
+    println(graft.ops.Export.curriculumShards(docs, "n_chars", 4,
+        "doc_id", epoch = 1, shardsPerStage = 4)
+      .queryExecution.explainString(fmt))
+    println("########## op:Export.interleaveSources (closed-form pos: no global sort, no cross join)")
+    println(graft.ops.Export.interleaveSources(docs, "source", "doc_id",
+        Seq("src0" -> 3, "src1" -> 2, "src2" -> 1), epoch = 1)
+      .queryExecution.explainString(fmt))
+    println("########## op:Agreement.fleissKappa (aggregate grid + one-row folds)")
+    println(graft.ops.Agreement.fleissKappa(
+        docs.select(col("doc_id"), col("lang").as("label")).unionByName(
+          docs.select(col("doc_id"), col("source").as("label"))),
+        "doc_id", "label")
+      .queryExecution.explainString(fmt))
+    println("########## op:BradleyTerry.fit single step (pinned grid ⋈ rating frame, player agg)")
+    println(graft.ops.BradleyTerry.fit(
+        docs.select((col("doc_id") % 8).as("w"),
+          ((col("doc_id") + 1) % 8).as("l")).filter(col("w") =!= col("l")),
+        "w", "l", iters = 1)
+      .queryExecution.explainString(fmt))
     spark.stop()
   }
 }

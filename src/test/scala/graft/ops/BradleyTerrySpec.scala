@@ -52,4 +52,25 @@ class BradleyTerrySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getDouble(1)))
     assert(fit1.toSeq === fit2.toSeq, "repartition must not change the fit")
   }
+
+  test("winMatrix: hand-checked rate and Wilson bounds; interval excluding .5 flags the edge") {
+    // 1 beats 2 in 15 of 20: p = .75, Wilson 95% ≈ [.531, .888]
+    val o = (Seq.fill(15)((1L, 2L)) ++ Seq.fill(5)((2L, 1L)))
+      .toDF("winner", "loser")
+    val r = BradleyTerry.winMatrix(o, "winner", "loser").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((1L, 2L, 20L, 15L)))
+    assert(r.getDouble(4) === 0.75)
+    assert(math.abs(r.getDouble(5) - 0.531295) < 1e-6)
+    assert(math.abs(r.getDouble(6) - 0.88814) < 1e-6)
+    assert(r.getDouble(5) > 0.5, "15/20 must be a significant edge")
+  }
+
+  test("winMatrix: a 1-0 sweep keeps a wide interval that includes .5") {
+    val o = Seq((3L, 4L)).toDF("winner", "loser")
+    val r = BradleyTerry.winMatrix(o, "winner", "loser").head()
+    assert(r.getDouble(4) === 1.0)
+    assert(r.getDouble(5) < 0.5 && r.getDouble(6) === 1.0,
+      "one game proves nothing: the interval must still cover .5")
+  }
 }

@@ -227,4 +227,56 @@ class ClassifierSpec extends AnyFunSuite {
     assert(r2.getAs[Double]("log_loss") < 40.0 &&
       r2.getAs[Double]("log_loss") > 30.0, "eps clip, not infinity")
   }
+
+  test("plattPerGroup: matches a driver-side reference GD exactly, per group") {
+    val rows = Seq(
+      ("s1", 0.2, 0.0), ("s1", 0.9, 1.0), ("s1", 0.4, 0.0),
+      ("s1", 0.8, 1.0),
+      ("s2", 0.1, 1.0), ("s2", 0.7, 0.0), ("s2", 0.5, 1.0))
+    val df = rows.toDF("src", "x", "y")
+    val got = Classifier.plattPerGroup(df, "src", col("x"), col("y"),
+        iterations = 3, lr = 1.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    def round9(v: Double) = BigDecimal(v)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def round6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ref(pts: Seq[(Double, Double)]): (Double, Double) = {
+      var (a, b) = (0.0, 0.0)
+      for (_ <- 1 to 3) {
+        val errs = pts.map { case (x, y) =>
+          (1.0 / (1.0 + math.exp(-(a * x + b))) - y, x) }
+        val ga = errs.map { case (e, x) => e * x }.sum / pts.size
+        val gb = errs.map(_._1).sum / pts.size
+        a = round9(a - ga); b = round9(b - gb)
+      }
+      (round6(a), round6(b))
+    }
+    for (g <- Seq("s1", "s2")) {
+      val exp = ref(rows.filter(_._1 == g).map(t => (t._2, t._3)))
+      assert(got(g) === exp, s"group $g")
+    }
+    // group independence: fitting s1 alone gives the same model
+    val alone = Classifier.plattPerGroup(df.filter(col("src") === "s1"),
+        "src", col("x"), col("y"), iterations = 3, lr = 1.0)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).head
+    assert(alone === got("s1"))
+  }
+
+  test("scorePlattPerGroup: per-group curves, NULL for unmodeled groups") {
+    val df = Seq(("s1", 0.2, 0.0), ("s1", 0.9, 1.0), ("s1", 0.5, 1.0),
+      ("s2", 0.5, 0.0)).toDF("src", "x", "y")
+    val model = Classifier.plattPerGroup(df, "src", col("x"), col("y"),
+      iterations = 5, lr = 2.0)
+    val scored = Classifier.scorePlattPerGroup(
+      Seq(("s1", 0.1), ("s1", 0.9), ("s3", 0.5)).toDF("src", "x"),
+      model, "src", col("x"))
+    val out = scored.orderBy("src", "x").collect()
+    // s1's fit is increasing in x (positives sit at high x)
+    assert(out(0).getDouble(out(0).fieldIndex("calibrated")) <
+      out(1).getDouble(out(1).fieldIndex("calibrated")))
+    assert(out(2).isNullAt(out(2).fieldIndex("calibrated")),
+      "a group absent from the model must surface as NULL")
+  }
 }

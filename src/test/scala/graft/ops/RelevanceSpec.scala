@@ -132,4 +132,41 @@ class RelevanceSpec extends AnyFunSuite {
     assert(d.isNullAt(d.fieldIndex("slope")))
     assert(d.isNullAt(d.fieldIndex("r2")))
   }
+
+  test("distinctiveTerms: a source-exclusive term tops its source; shared filler never ranks first") {
+    // source A is about cats, B about dogs, both share 'the'
+    val docs = Seq(
+      (1L, "A", "the cat cat cat purrs"),
+      (2L, "A", "the cat naps"),
+      (3L, "B", "the dog dog dog barks"),
+      (4L, "B", "the dog runs")).toDF("doc_id", "source", "text")
+    val out = Relevance.distinctiveTerms(docs, "source", k = 3,
+      alpha0 = 10.0, minCount = 1).collect()
+    val top = out.filter(_.getInt(2) == 1)
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(top("A") === "cat" && top("B") === "dog")
+    // zeta of the top term is positive (over-represented), and the
+    // shared filler 'the' never outranks the characteristic term
+    out.filter(_.getInt(2) == 1)
+      .foreach(r => assert(r.getDouble(6) > 0))
+    val theRanks = out.filter(_.getString(1) == "the").map(_.getInt(2))
+    assert(theRanks.forall(_ > 1))
+    // counts are exact: cat appears 4x in A, 0x elsewhere
+    val catRow = out.find(r => r.getString(0) == "A" &&
+      r.getString(1) == "cat").get
+    assert(catRow.getLong(3) === 4L && catRow.getLong(4) === 0L)
+  }
+
+  test("distinctiveTerms: deterministic under repartition; k caps each source") {
+    val docs = spark.read.parquet(
+      s"${graft.TestSpark.sfDir}/documents.parquet")
+    val a = Relevance.distinctiveTerms(docs, "source", k = 4,
+      minCount = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).sorted
+    val b = Relevance.distinctiveTerms(docs.repartition(13), "source",
+      k = 4, minCount = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).sorted
+    assert(a.toSeq === b.toSeq)
+    assert(a.groupBy(_._1).values.forall(_.length <= 4))
+  }
 }
