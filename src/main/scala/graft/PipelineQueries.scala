@@ -6602,6 +6602,69 @@ object PipelineQueries {
           "source", col("n_chars") / lit(1000.0),
           pmod(col("doc_id"), lit(2)), iterations = 3, lr = 1.0)
         .orderBy(col("source"))
+    },
+
+    // PSI drift detail between the even- and odd-doc_id halves on
+    // n_chars: the oracle recomputes the exact-decile bounds from the
+    // REF half, both bucketings, and every per-bin (p−q)·ln(p/q)
+    // contribution with the eps floor.
+    q("q_psi",
+      """WITH r AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 0),
+        |c AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 1),
+        |bs AS (SELECT quantile_cont(n_chars,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS b FROM r),
+        |rb AS (SELECT CAST(1 + len(list_filter(bs.b,
+        |      x -> CAST(n_chars AS DOUBLE) > x)) AS INTEGER) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_ref FROM r, bs GROUP BY 1),
+        |cb AS (SELECT CAST(1 + len(list_filter(bs.b,
+        |      x -> CAST(n_chars AS DOUBLE) > x)) AS INTEGER) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_cur FROM c, bs GROUP BY 1),
+        |j AS (SELECT bucket, coalesce(n_ref, 0) AS n_ref,
+        |    coalesce(n_cur, 0) AS n_cur
+        |  FROM rb FULL OUTER JOIN cb USING (bucket)),
+        |t AS (SELECT sum(n_ref)::DOUBLE AS tr, sum(n_cur)::DOUBLE AS tc
+        |      FROM j),
+        |s AS (SELECT bucket, n_ref, n_cur,
+        |    greatest(n_ref / tr, 1e-6) AS p,
+        |    greatest(n_cur / tc, 1e-6) AS q FROM j, t)
+        |SELECT bucket, n_ref, n_cur, round(p, 6) AS p_ref,
+        |  round(q, 6) AS p_cur,
+        |  round((p - q) * ln(p / q), 6) AS contrib
+        |FROM s ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ops.Drift.psi(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "n_chars", bins = 10)
+        .orderBy(col("bucket"))
+    },
+
+    // Exact two-sample KS on the same halves: the oracle rebuilds the
+    // distinct-value class frame, both CDFs, the 9-decimal-rounded
+    // sup gap and the smallest value attaining it.
+    q("q_ks",
+      """WITH a AS (SELECT n_chars AS v, count(*)::DOUBLE AS n1
+        |      FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |b AS (SELECT n_chars AS v, count(*)::DOUBLE AS n2
+        |      FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        |u AS (SELECT v, coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2
+        |      FROM a FULL OUTER JOIN b USING (v)),
+        |t AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM u),
+        |cdf AS (SELECT v, round(abs(
+        |      sum(n1) OVER (ORDER BY v) / t1 -
+        |      sum(n2) OVER (ORDER BY v) / t2), 9) AS gap FROM u, t),
+        |d AS (SELECT max(gap) AS dmax FROM cdf)
+        |SELECT round(dmax, 6) AS d,
+        |  CAST(min(v) AS DOUBLE) AS at_value,
+        |  (SELECT CAST(t1 AS BIGINT) FROM t) AS n_ref,
+        |  (SELECT CAST(t2 AS BIGINT) FROM t) AS n_cur
+        |FROM cdf, d WHERE gap = dmax GROUP BY dmax""".stripMargin) {
+      (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ops.Drift.ks(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "n_chars")
     }
   )
 

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring between two corpus slices — the
+  * continuous-curation guardrail: did this week's crawl shift the
+  * quality-score distribution, does source X score like it did at
+  * model-training time, did a pipeline change move the length profile?
+  * Two published, complementary statistics:
+  *
+  *  - PSI (population stability index): binned, interpretable
+  *    per-bin, with the standard <0.1 / 0.1–0.25 / >0.25 bands.
+  *  - Two-sample Kolmogorov–Smirnov D: exact sup-norm CDF distance —
+  *    bin-free, catches shape shifts PSI's bins can smear.
+  *
+  * Scale shape: PSI is two bucket-count aggregates against broadcast
+  * exact-quantile bounds (the [[Sampling.scoreBuckets]] class) onto a
+  * ≤`bins`-row frame. KS works on the distinct-VALUE count classes
+  * (the [[Classifier.aucReport]] discipline): its one unpartitioned
+  * window runs over score classes, ≪ corpus for discrete/rounded
+  * scores — round continuous scores first (same caveat, documented
+  * there). */
+object Drift {
+
+  /** Per-bin PSI detail between `ref` (the baseline the bins come
+    * from) and `cur`: exact `bins`-quantile bounds of REF (broadcast
+    * one-row array), both sides bucketed by the same bounds, and the
+    * per-bin contribution (p−q)·ln(p/q) with an `eps` floor standing
+    * in for empty bins (the standard PSI guard — an empty bin would
+    * otherwise be ±∞). Σ(contrib) is the PSI; [[psiTotal]] rolls it
+    * up with the published verdict bands. */
+  def psi(ref: DataFrame, cur: DataFrame, scoreCol: String,
+      bins: Int = 10, eps: Double = 1e-6): DataFrame = {
+    require(bins >= 2, s"bins=$bins")
+    require(eps > 0, s"eps=$eps")
+    val ps = (1 until bins).map(_.toDouble / bins)
+    val bounds = ref.agg(
+      expr(s"percentile($scoreCol, array(${ps.mkString(",")}))")
+        .cast("array<double>").as("_bs"))
+    def bucketed(df: DataFrame, as: String) = df
+      .crossJoin(broadcast(bounds))
+      .withColumn("bucket", (lit(1) + size(filter(col("_bs"),
+        b => col(scoreCol).cast("double") > b))).cast("int"))
+      .groupBy("bucket").agg(count(lit(1)).as(as))
+    val joined = bucketed(ref, "n_ref")
+      .join(bucketed(cur, "n_cur"), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val totals = joined.agg(sum("n_ref").as("_tr"), sum("n_cur").as("_tc"))
+    val p = greatest(col("n_ref") / col("_tr"), lit(eps))
+    val q = greatest(col("n_cur") / col("_tc"), lit(eps))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        round(p, 6).as("p_ref"), round(q, 6).as("p_cur"),
+        round((p - q) * log(p / q), 6).as("contrib"))
+  }
+
+  /** One-row PSI rollup: `psi` = Σ per-bin contributions plus the
+    * standard interpretation band (`stable` < 0.1 ≤ `moderate` < 0.25
+    * ≤ `major`). */
+  def psiTotal(ref: DataFrame, cur: DataFrame, scoreCol: String,
+      bins: Int = 10, eps: Double = 1e-6): DataFrame =
+    psi(ref, cur, scoreCol, bins, eps)
+      .agg(round(sum("contrib"), 6).as("psi"))
+      .withColumn("verdict",
+        when(col("psi") < 0.1, lit("stable"))
+          .when(col("psi") < 0.25, lit("moderate"))
+          .otherwise(lit("major")))
+
+  /** Exact two-sample KS statistic: D = sup|F_ref − F_cur| over the
+    * union of observed values, computed on the distinct-value count
+    * classes. `at_value` is the smallest value attaining D (ties on
+    * the 9-decimal-rounded gap — a cross-engine total order; raw
+    * doubles could argmax differently on another engine's last ulp).
+    * One row: `d`, `at_value`, `n_ref`, `n_cur`. */
+  def ks(ref: DataFrame, cur: DataFrame, scoreCol: String): DataFrame = {
+    def classes(df: DataFrame, as: String) = df
+      .groupBy(col(scoreCol).cast("double").as("_v"))
+      .agg(count(lit(1)).cast("double").as(as))
+    val u = classes(ref, "_n1")
+      .join(classes(cur, "_n2"), Seq("_v"), "full_outer")
+      .na.fill(0.0, Seq("_n1", "_n2"))
+    val totals = u.agg(sum("_n1").as("_t1"), sum("_n2").as("_t2"),
+      sum("_n1").cast("long").as("n_ref"),
+      sum("_n2").cast("long").as("n_cur"))
+    val w = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = u.crossJoin(broadcast(totals))
+      .withColumn("_gap", round(abs(
+        sum("_n1").over(w) / col("_t1") -
+        sum("_n2").over(w) / col("_t2")), 9))
+    val dmax = cdf.agg(max("_gap").as("_d"))
+    cdf.crossJoin(broadcast(dmax))
+      .filter(col("_gap") === col("_d"))
+      .groupBy("n_ref", "n_cur", "_d")
+      .agg(min("_v").as("at_value"))
+      .select(round(col("_d"), 6).as("d"), col("at_value"),
+        col("n_ref"), col("n_cur"))
+  }
+}

@@ -100,6 +100,65 @@ object EventStreams {
       .select(col("window.start").as("w_start"),
         col("window.end").as("w_end"), col("sketch"))
 
+  /** Streaming PSI drift monitor — [[graft.ops.Drift.psi]]'s online
+    * half: per watermark-closed window, the PSI of the window's score
+    * distribution against a REFERENCE corpus digested at PLAN TIME
+    * (exact-quantile bounds + per-bin shares collected once — a
+    * ≤`bins`-element literal, the decontam index-literal class). The
+    * per-window work is ONE windowed aggregate with `bins` conditional
+    * counts (partial-mergeable, state = bins longs per open window);
+    * the PSI fold over those counts is a narrow projection. Alerting
+    * verdicts use the same published bands as
+    * [[graft.ops.Drift.psiTotal]].
+    *
+    * Batch-parity contract (spec-asserted): a window's (psi, verdict)
+    * equals `Drift.psiTotal(ref, windowRows, ...)` on the same rows —
+    * the e-ps-floor and bin algebra match term for term. */
+  def psiWindows(ref: DataFrame, stream: DataFrame, scoreCol: String,
+      bins: Int = 10, eps: Double = 1e-6,
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    require(bins >= 2, s"bins=$bins")
+    require(eps > 0, s"eps=$eps")
+    val ps = (1 until bins).map(_.toDouble / bins)
+    val bounds = ref.agg(
+        expr(s"percentile($scoreCol, array(${ps.mkString(",")}))")
+          .cast("array<double>")).head.getSeq[Double](0).toArray
+    def bucketOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (lit(1) + size(filter(lit(bounds), b => c.cast("double") > b)))
+        .cast("int")
+    val refCounts = ref
+      .groupBy(bucketOf(col(scoreCol)).as("_b")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val tr = refCounts.values.sum.toDouble
+    require(tr > 0, "reference corpus is empty")
+    val pRef = (1 to bins)
+      .map(k => k -> math.max(refCounts.getOrElse(k, 0L) / tr, eps)).toMap
+    val aggs = (1 to bins).map(k =>
+      sum((col("_b") === k).cast("long")).as(s"_c$k"))
+    val counted = stream
+      .withColumn("_b", bucketOf(col(scoreCol)))
+      .withWatermark("event_time", watermark)
+      .groupBy(functions.window(col("event_time"), windowDur, windowDur))
+      .agg(aggs.head, aggs.tail: _*)
+    val tc = (1 to bins).map(k => col(s"_c$k")).reduce(_ + _)
+      .cast("double")
+    // per-bin contributions round to 6 BEFORE the fold — term-for-term
+    // the batch algebra (psiTotal sums psi()'s rounded contribs), so
+    // parity is exact, not within-an-ulp
+    val psiCol = (1 to bins).map { k =>
+      val q = greatest(col(s"_c$k") / tc, lit(eps))
+      round((lit(pRef(k)) - q) * log(lit(pRef(k)) / q), 6)
+    }.reduce(_ + _)
+    counted.select(col("window.start").as("w_start"),
+        col("window.end").as("w_end"),
+        tc.cast("long").as("n"), round(psiCol, 6).as("psi"))
+      .withColumn("verdict",
+        when(col("psi") < 0.1, lit("stable"))
+          .when(col("psi") < 0.25, lit("moderate"))
+          .otherwise(lit("major")))
+  }
+
   /** Streaming exact dedup: drop events whose id was already seen within
     * the watermark horizon — state is bounded by the watermark, the
     * streaming twin of [[graft.ops.Dedup.exact]]. */

@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.TestSpark.{sfDir, spark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DriftSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("psi: identical distributions score ~0 and verdict stable") {
+    val d = (1 to 100).map(i => i.toDouble).toDF("s")
+    val r = Drift.psiTotal(d, d, "s", bins = 4).head()
+    assert(math.abs(r.getDouble(0)) < 1e-9)
+    assert(r.getString(1) === "stable")
+  }
+
+  test("psi: hand-computed two-bin shift") {
+    // ref: 50/50 across the median split; cur: 80/20
+    // psi = (.5-.8)ln(.5/.8) + (.5-.2)ln(.5/.2) = .3·ln(1.6)+.3·ln(2.5)
+    val ref = ((1 to 50).map(_ => 1.0) ++ (1 to 50).map(_ => 3.0)).toDF("s")
+    val cur = ((1 to 80).map(_ => 1.0) ++ (1 to 20).map(_ => 3.0)).toDF("s")
+    val total = Drift.psiTotal(ref, cur, "s", bins = 2).head()
+    val expected = 0.3 * math.log(1.6) + 0.3 * math.log(2.5)
+    assert(math.abs(total.getDouble(0) - expected) < 1e-5)
+    assert(total.getString(1) === "major")
+    val bins = Drift.psi(ref, cur, "s", bins = 2).orderBy("bucket")
+      .collect()
+    assert(bins.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toSeq === Seq((1, 50L, 80L), (2, 50L, 20L)))
+  }
+
+  test("psi: a bin empty on one side hits the eps floor, not infinity") {
+    val ref = ((1 to 50).map(_ => 1.0) ++ (1 to 50).map(_ => 3.0)).toDF("s")
+    val cur = (1 to 100).map(_ => 1.0).toDF("s")
+    val bins = Drift.psi(ref, cur, "s", bins = 2).orderBy("bucket")
+      .collect()
+    assert(bins.forall(r => !r.getDouble(5).isInfinite &&
+      !r.getDouble(5).isNaN))
+    assert(Drift.psiTotal(ref, cur, "s", bins = 2).head()
+      .getString(1) === "major")
+  }
+
+  test("ks: hand-computed D on small samples; identical samples give 0") {
+    // ref {1,2,3,4}, cur {3,4,5,6}: F_r−F_c at v=2 is 0.5−0 = 0.5 (max)
+    val ref = Seq(1.0, 2.0, 3.0, 4.0).toDF("s")
+    val cur = Seq(3.0, 4.0, 5.0, 6.0).toDF("s")
+    val r = Drift.ks(ref, cur, "s").head()
+    assert(r.getDouble(0) === 0.5)
+    assert(r.getDouble(1) === 2.0,
+      "smallest value attaining D is 2 (gap .5 holds at v=2)")
+    assert((r.getLong(2), r.getLong(3)) === ((4L, 4L)))
+    val same = Drift.ks(ref, ref, "s").head()
+    assert(same.getDouble(0) === 0.0)
+  }
+
+  test("ks and psi detect the planted shift on real data; repartition-stable") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    // planted drift: inflate odd-half lengths by 20%
+    val cur = docs.filter(col("doc_id") % 2 === 1)
+      .withColumn("n_chars", (col("n_chars") * 1.2).cast("long"))
+    val ks1 = Drift.ks(ref, cur, "n_chars").head()
+    assert(ks1.getDouble(0) > 0.1, s"planted shift must move D, got ${ks1.getDouble(0)}")
+    val ks2 = Drift.ks(ref.repartition(9), cur.repartition(5), "n_chars")
+      .head()
+    assert(ks1.getDouble(0) === ks2.getDouble(0) &&
+      ks1.getDouble(1) === ks2.getDouble(1))
+    val psi = Drift.psiTotal(ref, cur, "n_chars", bins = 10).head()
+    assert(psi.getDouble(0) > 0.1)
+  }
+}

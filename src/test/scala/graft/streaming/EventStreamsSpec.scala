@@ -1005,6 +1005,36 @@ class EventStreamsSpec extends AnyFunSuite {
       "merged window sketches must reproduce the horizon counts")
   }
 
+  test("streaming PSI per window equals the batch psiTotal twin on the same rows") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-psiw").toString
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .write.mode("overwrite").parquet(stageDir)
+    val batchEvents = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("event_time", col("ts").cast("timestamp"))
+    val ref = batchEvents.filter($"event_id" % 2 === 0).select($"value")
+    val out = EventStreams.psiWindows(ref,
+      EventStreams.readEvents(spark, stageDir), "value",
+      bins = 8, watermark = "1 minute", windowDur = "1 hour")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("psi_win")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("psi_win").collect()
+    assert(streamed.length > 0, "no windows closed")
+    streamed.take(5).foreach { r =>
+      val (ws, we) = (r.getTimestamp(0), r.getTimestamp(1))
+      val slice = batchEvents
+        .filter($"event_time" >= lit(ws) && $"event_time" < lit(we))
+        .select($"value")
+      val twin = graft.ops.Drift.psiTotal(ref, slice, "value", bins = 8)
+        .head()
+      assert(r.getDouble(3) === twin.getDouble(0),
+        s"window $ws psi mismatch")
+      assert(r.getString(4) === twin.getString(1))
+      assert(r.getLong(2) === slice.count())
+    }
+  }
+
   test("heavy hitters per window match the batch exact counts") {
     val stageDir = java.nio.file.Files.createTempDirectory("graft-hh").toString
     spark.read.parquet(s"$sfDir/events.parquet")
