@@ -6665,6 +6665,72 @@ object PipelineQueries {
         docs.filter(pmod(col("doc_id"), lit(2)) === 0),
         docs.filter(pmod(col("doc_id"), lit(2)) === 1),
         "n_chars")
+    },
+
+    // Poisson-bootstrap CI for mean(n_chars), B=50: the oracle
+    // re-derives every (row, replica) Poisson weight from the md5
+    // uniform and the IDENTICAL full-precision CDF literals
+    // (Bootstrap.cdfLiterals), re-folds the 50 replica means and the
+    // percentile interval — the whole sampling distribution
+    // hash-matched cross-engine.
+    q("q_bootstrap_ci",
+      """WITH r AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS x
+        |           FROM documents),
+        |e AS (SELECT replica, doc_id, x,
+        |        CAST(concat('0x', substr(md5('42:' ||
+        |            replica::VARCHAR || ':' || doc_id::VARCHAR),
+        |          1, 13)) AS BIGINT) / pow(16.0, 13) AS u
+        |      FROM r, generate_series(1, 50) AS gs(replica)),
+        |w AS (SELECT replica, x, CAST(CASE
+        |        WHEN u < 0.36787944117144233 THEN 0
+        |        WHEN u < 0.73575888234288467 THEN 1
+        |        WHEN u < 0.91969860292860584 THEN 2
+        |        WHEN u < 0.98101184312384626 THEN 3
+        |        WHEN u < 0.99634015317265634 THEN 4
+        |        WHEN u < 0.99940581518241833 THEN 5
+        |        WHEN u < 0.99991675885071196 THEN 6
+        |        WHEN u < 0.99998975080332531 THEN 7
+        |        ELSE 8 END AS DOUBLE) AS w FROM e),
+        |m AS (SELECT replica, sum(w * x) / sum(w) AS mean
+        |      FROM w GROUP BY 1),
+        |q AS (SELECT quantile_cont(mean, [0.025, 0.975]) AS qq,
+        |        CAST(count(*) AS INTEGER) AS b FROM m),
+        |p AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, avg(x) AS pm
+        |      FROM r)
+        |SELECT n_rows, b, round(pm, 6) AS mean,
+        |  round(qq[1], 6) AS ci_lo, round(qq[2], 6) AS ci_hi
+        |FROM q, p""".stripMargin) { (s, dir) =>
+      graft.ops.Bootstrap.meanCI(t(s, dir, "documents"), "n_chars",
+        "doc_id", b = 50, level = 0.95, seed = 42)
+    },
+
+    // Cross-source quantile normalization: every per-row mapping is an
+    // integer-count ratio (IEEE division — identical doubles on any
+    // engine, no rounding contract), so the oracle recomputes the full
+    // per-source CDFs, the pooled inverse CDF and the row mapping
+    // hash-exactly.
+    q("q_quantile_normalize",
+      """WITH cls AS (SELECT source AS src, CAST(n_chars AS DOUBLE) AS v,
+        |        count(*) AS c FROM documents GROUP BY 1, 2),
+        |srcp AS (SELECT src, v,
+        |        CAST(sum(c) OVER (PARTITION BY src ORDER BY v)
+        |          AS DOUBLE) / sum(c) OVER (PARTITION BY src) AS p
+        |      FROM cls),
+        |pool AS (SELECT v, sum(c) AS c2 FROM cls GROUP BY 1),
+        |poolf AS (SELECT v AS pv,
+        |        CAST(sum(c2) OVER (ORDER BY v) AS DOUBLE) /
+        |          sum(c2) OVER () AS f FROM pool),
+        |inv AS (SELECT s.src, s.v, min(p2.pv) AS nv
+        |        FROM srcp s JOIN poolf p2 ON p2.f >= s.p GROUP BY 1, 2)
+        |SELECT d.doc_id, d.source, d.n_chars, i.nv AS norm_score
+        |FROM documents d JOIN inv i ON i.src = d.source
+        |  AND i.v = CAST(d.n_chars AS DOUBLE)
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Quality.quantileNormalize(t(s, dir, "documents"),
+          "n_chars", "source")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("norm_score"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Poisson-bootstrap confidence intervals — error bars for corpus
+  * metrics at any scale. The classical bootstrap (resample n rows B
+  * times) is driver-hostile; the POISSON bootstrap replaces each
+  * replica's multinomial row counts with independent Poisson(1)
+  * weights per (row, replica) — statistically equivalent for large n
+  * (the standard distributed formulation) and embarrassingly
+  * parallel: every row emits B small integer weights, the per-replica
+  * weighted statistic folds in ONE partial-mergeable aggregate, and
+  * only B rows ever shuffle.
+  *
+  * Determinism / cross-engine: the Poisson draw is the inverse CDF of
+  * a uniform derived from md5(seed:replica:key) (the [[Sampling]]
+  * md5-unit convention) — any engine re-derives the same weights, so
+  * the whole CI is hash-oracle-able. The inverse CDF is a bounded
+  * comparison ladder against the fixed cumulative-Poisson(1)
+  * literals, capped at 8 (P(X>8) < 2·10⁻⁶ — at that rate a draw above
+  * the cap changes a replica mean by ~x/n, far below reporting
+  * precision).
+  *
+  * Scale: the per-row expansion is NARROW (explode feeds the partial
+  * agg inside the same stage — B·n rows exist only map-side);
+  * shuffle = B rows of (Σwx, Σw). The quantile fold over B replica
+  * means is a driver-side sort of B doubles (B ≤ 10⁴, metadata
+  * class). */
+object Bootstrap {
+
+  /** Cumulative Poisson(1) probabilities P(X ≤ k), k = 0..7; draws
+    * ≥ 8 clamp to 8. */
+  private val Cdf: Array[Double] = {
+    // p_0 = e^-1, p_{k+1} = p_k/(k+1) → p_k = e^-1/k! for k = 0..7
+    val probs = (0 to 6).scanLeft(1.0 / math.E) { case (p, k) =>
+      p / (k + 1) }
+    probs.scanLeft(0.0)(_ + _).tail.toArray
+  }
+
+  /** The eight P(X ≤ k) thresholds as full-precision decimal strings —
+    * embed these verbatim in any cross-engine twin so both sides parse
+    * the IDENTICAL doubles (17 significant digits round-trip IEEE 754
+    * exactly). */
+  def cdfLiterals: Seq[String] =
+    Cdf.map(c => String.format(java.util.Locale.ROOT, "%.17g", c)).toSeq
+
+  /** Poisson(1) weight for (seed, replica, key): u from the first 13
+    * md5 hex chars (52 bits, exact in a double), then the inverse-CDF
+    * ladder. Exposed for the oracle/spec twins. */
+  def poissonWeight(seed: Int, replica: Column, key: Column): Column = {
+    val u = conv(substring(md5(concat(lit(s"$seed:"),
+        replica.cast("string"), lit(":"), key.cast("string"))
+      .cast("binary")), 1, 13), 16, 10).cast("double") /
+      lit(math.pow(16.0, 13))
+    // reverse fold so the OUTERMOST test is the smallest threshold:
+    // when(u < c0, 0).otherwise(when(u < c1, 1)...) — the ladder reads
+    // top-down in ascending-k order
+    Cdf.zipWithIndex.reverse.foldLeft(lit(8)) { case (acc, (c, k)) =>
+      when(u < lit(c), lit(k)).otherwise(acc)
+    }
+  }
+
+  /** B replica means of `valueCol` in one pass: (replica, mean,
+    * n_eff). The point estimate is the plain corpus mean; the spread
+    * of these replica means IS the sampling distribution. */
+  def replicaMeans(df: DataFrame, valueCol: String, keyCol: String,
+      b: Int, seed: Int = 42): DataFrame = {
+    require(b >= 1, s"b=$b")
+    val x = col(valueCol).cast("double")
+    df.select(x.as("_x"), col(keyCol).as("_k"),
+        explode(lit((1 to b).toArray)).as("replica"))
+      .withColumn("_w",
+        poissonWeight(seed, col("replica"), col("_k")).cast("double"))
+      .groupBy("replica")
+      .agg((sum(col("_w") * col("_x")) / sum("_w")).as("mean"),
+        sum("_w").cast("long").as("n_eff"))
+  }
+
+  /** One-row bootstrap CI for the mean of `valueCol`: the corpus
+    * point estimate plus the [lo, hi] percentile interval of the B
+    * Poisson-replica means (percentile computed exactly over the
+    * B-row frame — Spark `percentile` == DuckDB `quantile_cont`, the
+    * established parity). Outputs round to 6 (the stats contract). */
+  def meanCI(df: DataFrame, valueCol: String, keyCol: String,
+      b: Int = 200, level: Double = 0.95, seed: Int = 42): DataFrame = {
+    require(level > 0 && level < 1, s"level=$level")
+    val alpha = (1.0 - level) / 2.0
+    val reps = replicaMeans(df, valueCol, keyCol, b, seed)
+    val point = df.agg(
+      avg(col(valueCol).cast("double")).as("_m"),
+      count(lit(1)).as("n_rows"))
+    reps.agg(
+        expr(s"percentile(mean, array($alpha, ${1.0 - alpha}))")
+          .as("_q"),
+        count(lit(1)).as("n_replicas"))
+      .crossJoin(broadcast(point))
+      .select(col("n_rows"), col("n_replicas").cast("int").as("b"),
+        round(col("_m"), 6).as("mean"),
+        round(col("_q").getItem(0), 6).as("ci_lo"),
+        round(col("_q").getItem(1), 6).as("ci_hi"))
+  }
+}

@@ -308,6 +308,69 @@ object Quality {
       .drop("_rdom", "_rs", "_s")
   }
 
+  /** Cross-source quantile normalization (quantile mapping): replace
+    * each row's score with the POOLED-distribution value at the row's
+    * within-source CDF position — after it, every source's
+    * `norm_score` distribution is (a subsample of) the pooled one, so
+    * one global threshold means the same thing in every source. The
+    * label-free harmonization sibling of [[domainNormalizedScore]]
+    * (which stops at the rank) and of
+    * [[graft.ops.Classifier.plattPerGroup]] (which needs labels).
+    *
+    * Definitions are engine-exact, not approximate: F_s(v) =
+    * (# source-s rows ≤ v)/n_s, and the inverse pooled CDF is type-1
+    * (smallest pooled v′ with F_pool(v′) ≥ p). Every quantity is an
+    * integer-count ratio — IEEE division is correctly rounded, so both
+    * sides of a cross-engine comparison compute the identical doubles
+    * and the mapping is hash-exact with no rounding contract needed.
+    *
+    * Scale: all logic runs on count-CLASS frames (distinct (source,
+    * score) and distinct score — ≪ corpus; round continuous scores
+    * first, the [[graft.ops.Classifier.aucReport]] caveat). The
+    * inverse-CDF lookup is ONE union-and-carry window over the
+    * combined class frames (the [[graft.ops.AsOf]] trick — no theta
+    * join), and the corpus-side work is one (source, score) re-join. */
+  def quantileNormalize(docs: DataFrame, scoreCol: String,
+      sourceCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(scoreCol).cast("double")
+    val cls = docs.groupBy(col(sourceCol).as("_src"), v.as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val atOrBelow = Window.partitionBy(col("_src")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("_src"))
+    val srcP = cls
+      .withColumn("_p", sum(col("_c")).over(atOrBelow).cast("double") /
+        sum(col("_c")).over(whole))
+      .select(col("_src"), col("_v"), col("_p"))
+    val pooled = cls.groupBy("_v").agg(sum("_c").as("_c2"))
+    val poolW = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val poolF = pooled
+      .withColumn("_f", sum(col("_c2")).over(poolW).cast("double") /
+        sum(col("_c2")).over(Window.partitionBy()))
+      .select(col("_v").as("_pv"), col("_f"))
+    // inverse CDF as union-and-carry: scan keys DESCENDING with pooled
+    // rows first on ties; the most recently seen pooled row is the
+    // smallest f >= p — one bounded class-frame window, no theta join
+    val tagged = poolF.select(col("_f").as("_key"), lit(0).as("_tag"),
+        col("_pv"), lit(null).cast("string").as("_src"),
+        lit(null).cast("double").as("_v"))
+      .unionByName(srcP.select(col("_p").as("_key"), lit(1).as("_tag"),
+        lit(null).cast("double").as("_pv"), col("_src"), col("_v")))
+    val carry = Window.orderBy(col("_key").desc, col("_tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mapped = tagged
+      .withColumn("_nv", last(col("_pv"), ignoreNulls = true).over(carry))
+      .filter(col("_tag") === 1)
+      .select(col("_src"), col("_v"), col("_nv"))
+    docs.withColumn("_v", v)
+      .join(mapped, docs(sourceCol) <=> mapped("_src") &&
+        v <=> mapped("_v"))
+      .withColumnRenamed("_nv", "norm_score")
+      .drop("_src", "_v")
+  }
+
   /** Token n-gram diversity per stratum — the corpus-level
     * type/token view of repetitiveness (per-document repetition is
     * [[repetitionFlags]]): total n-gram occurrences, DISTINCT n-grams,

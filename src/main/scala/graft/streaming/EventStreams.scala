@@ -871,6 +871,43 @@ object EventStreams {
       Seq(window(col("event_time"), windowDur), col(promptCol)),
       Seq("window", promptCol), idCol, scoreCol, minMargin)
 
+  /** Streaming head-to-head win rates — the arena dashboard's online
+    * half ([[dpoPairsStream]] selects training pairs; this watches the
+    * match log): per watermark-closed window and unordered player
+    * pair, games, wins and the Wilson interval —
+    * [[graft.ops.BradleyTerry.winMatrix]]'s exact algebra one windowed
+    * agg wide. State per open window = one (count, wins) pair per
+    * active matchup; the interval arithmetic is a narrow projection
+    * after the agg, so per-window rows equal the batch winMatrix on
+    * the same rows (spec-asserted). */
+  def winMatrixStream(outcomes: DataFrame, winnerCol: String,
+      loserCol: String, z: Double = 1.96,
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    val w = col(winnerCol).cast("long")
+    val l = col(loserCol).cast("long")
+    val agg = outcomes
+      .select(col("event_time"), least(w, l).as("player_a"),
+        greatest(w, l).as("player_b"), (w < l).cast("long").as("_aw"))
+      .withWatermark("event_time", watermark)
+      .groupBy(functions.window(col("event_time"), windowDur, windowDur),
+        col("player_a"), col("player_b"))
+      .agg(count(lit(1)).as("n_games"), sum("_aw").as("wins_a"))
+    val n = col("n_games").cast("double")
+    val p = col("wins_a") / n
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / denom
+    val half = (lit(z) / denom) *
+      sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))
+    agg.select(col("window.start").as("w_start"),
+      col("window.end").as("w_end"),
+      col("player_a"), col("player_b"), col("n_games"), col("wins_a"),
+      round(p, 6).as("win_rate_a"),
+      round(greatest(lit(0.0), center - half), 6).as("wilson_lo"),
+      round(least(lit(1.0), center + half), 6).as("wilson_hi"))
+  }
+
   /** Streaming BM25 serving against a persisted [[graft.ops.Bm25Index]]
     * — the lexical-retrieval completion of the indexed-serving family
     * ([[nearDupProbeStream]] serves near-dup, the salted ANN stream

@@ -369,6 +369,34 @@ object ExplainCheck {
           ((col("doc_id") + 1) % 8).as("l")).filter(col("w") =!= col("l")),
         "w", "l", iters = 1)
       .queryExecution.explainString(fmt))
+    println("########## op:BradleyTerry.winMatrix (one agg onto |pairs| rows, narrow Wilson arithmetic)")
+    println(graft.ops.BradleyTerry.winMatrix(
+        docs.select((col("doc_id") % 8).as("w"),
+          ((col("doc_id") + 1) % 8).as("l")).filter(col("w") =!= col("l")),
+        "w", "l")
+      .queryExecution.explainString(fmt))
+    println("########## op:Relevance.distinctiveTerms (grid re-agg, WindowGroupLimit top-k per source)")
+    println(graft.ops.Relevance.distinctiveTerms(docs, "source", k = 5,
+        minCount = 2)
+      .queryExecution.explainString(fmt))
+    println("########## op:Drift.psi (two bucket aggs vs broadcast bounds, <=bins rows)")
+    println(graft.ops.Drift.psi(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "n_chars")
+      .queryExecution.explainString(fmt))
+    println("########## op:Drift.ks (distinct-value class frame, one class window)")
+    println(graft.ops.Drift.ks(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "n_chars")
+      .queryExecution.explainString(fmt))
+    println("########## op:Classifier.scorePlattPerGroup (broadcast model join, narrow sigmoid)")
+    val plattModel = graft.ops.Classifier.plattPerGroup(docs, "source",
+      col("n_chars") / org.apache.spark.sql.functions.lit(1000.0),
+      org.apache.spark.sql.functions.pmod(col("doc_id"), org.apache.spark.sql.functions.lit(2)),
+      iterations = 1)
+    println(graft.ops.Classifier.scorePlattPerGroup(docs, plattModel,
+        "source", col("n_chars") / org.apache.spark.sql.functions.lit(1000.0))
+      .queryExecution.explainString(fmt))
     spark.stop()
   }
 }

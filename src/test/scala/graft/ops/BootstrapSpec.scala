@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.TestSpark.{sfDir, spark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BootstrapSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("poisson weights: mean ~1, distribution matches Poisson(1) within tolerance") {
+    val n = 50000
+    val d = (1L to n).toDF("k")
+    val w = d.select(Bootstrap.poissonWeight(7, lit(1), col("k"))
+      .as("w"))
+    val byW = w.groupBy("w").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val p0 = byW.getOrElse(0, 0L).toDouble / n
+    assert(math.abs(p0 - 1.0 / math.E) < 0.01, s"P(0)=$p0")
+    val mean = w.agg(avg("w")).head.getDouble(0)
+    assert(math.abs(mean - 1.0) < 0.02, s"mean=$mean")
+    assert(byW.keys.max <= 8)
+  }
+
+  test("replicaMeans: deterministic, seed- and replica-sensitive, near the corpus mean") {
+    val r1 = Bootstrap.replicaMeans(docs, "n_chars", "doc_id", b = 20)
+      .orderBy("replica").collect().map(r => (r.getInt(0), r.getDouble(1)))
+    val r2 = Bootstrap.replicaMeans(docs.repartition(11), "n_chars",
+      "doc_id", b = 20)
+      .orderBy("replica").collect().map(r => (r.getInt(0), r.getDouble(1)))
+    // repartition-stable up to float-sum roundoff
+    r1.zip(r2).foreach { case ((k1, m1), (k2, m2)) =>
+      assert(k1 === k2 && math.abs(m1 - m2) < 1e-9) }
+    assert(r1.map(_._2).distinct.length > 1,
+      "replicas must differ (independent weight draws)")
+    val corpus = docs.agg(avg("n_chars")).head.getDouble(0)
+    r1.foreach { case (_, m) =>
+      assert(math.abs(m - corpus) / corpus < 0.2) }
+  }
+
+  test("meanCI: interval brackets the point estimate and narrows with n") {
+    val ci = Bootstrap.meanCI(docs, "n_chars", "doc_id", b = 50).head()
+    val (mean, lo, hi) = (ci.getDouble(2), ci.getDouble(3), ci.getDouble(4))
+    assert(lo < mean && mean < hi, s"$lo < $mean < $hi")
+    assert(ci.getInt(1) === 50)
+    // a quarter of the corpus gives a wider interval
+    val small = Bootstrap.meanCI(docs.filter(col("doc_id") % 4 === 0),
+      "n_chars", "doc_id", b = 50).head()
+    assert(small.getDouble(4) - small.getDouble(3) > hi - lo,
+      "CI must widen as n shrinks")
+  }
+
+  test("cdfLiterals round-trip the exact doubles") {
+    assert(Bootstrap.cdfLiterals.head === "0.36787944117144233")
+    assert(Bootstrap.cdfLiterals.map(_.toDouble).zip(
+      Bootstrap.cdfLiterals.map(_.toDouble)).forall(t => t._1 == t._2))
+    assert(Bootstrap.cdfLiterals.length === 8)
+  }
+}

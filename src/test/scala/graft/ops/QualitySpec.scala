@@ -324,4 +324,48 @@ class QualitySpec extends AnyFunSuite {
     assert(out(6L) === ((0L, 0L, 0L, 0.0)), "empty text must not divide by zero")
     assert(out(2L)._4 > 0.0)
   }
+
+  test("quantileNormalize: hand-computed pooled mapping") {
+    // A = {1,2,3,4}, B = {10,20}; pooled F: 1→1/6 2→1/3 3→1/2 4→2/3
+    // 10→5/6 20→1. A's p = .25,.5,.75,1 → 2,3,10,20; B's p = .5,1 → 3,20
+    val d = Seq(("A", 1), ("A", 2), ("A", 3), ("A", 4),
+      ("B", 10), ("B", 20)).toDF("source", "s")
+    val got = Quality.quantileNormalize(d, "s")
+      .select("source", "s", "norm_score").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got(("A", 1)) === 2.0)
+    assert(got(("A", 2)) === 3.0)
+    assert(got(("A", 3)) === 10.0)
+    assert(got(("A", 4)) === 20.0)
+    assert(got(("B", 10)) === 3.0)
+    assert(got(("B", 20)) === 20.0)
+  }
+
+  test("quantileNormalize: monotone per source, values from the pooled set, repartition-stable") {
+    val docs = spark.read.parquet(
+      s"${graft.TestSpark.sfDir}/documents.parquet")
+    val out = Quality.quantileNormalize(docs, "n_chars").cache()
+    // monotone: within a source, a higher raw score never maps lower
+    val viol = out.select(col("source"), col("n_chars"),
+        col("norm_score"))
+      .as[(String, Long, Double)].collect()
+      .groupBy(_._1).values.map { rows =>
+        rows.sortBy(_._2).map(_._3).sliding(2)
+          .count { case Array(a, b) => a > b; case _ => false }
+      }.sum
+    assert(viol === 0, "mapping must be monotone within every source")
+    // every normalized value is an actual pooled score
+    val poolVals = docs.select(col("n_chars").cast("double"))
+      .distinct().as[Double].collect().toSet
+    val normVals = out.select("norm_score").distinct()
+      .as[Double].collect()
+    assert(normVals.forall(poolVals.contains))
+    // deterministic under repartition
+    val b = Quality.quantileNormalize(docs.repartition(17), "n_chars")
+      .select("doc_id", "norm_score").as[(Long, Double)].collect().toMap
+    val a = out.select("doc_id", "norm_score")
+      .as[(Long, Double)].collect().toMap
+    assert(a === b)
+    out.unpersist(): Unit
+  }
 }

@@ -1035,6 +1035,49 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming win matrix per window equals the batch winMatrix on the same rows") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-wmx").toString
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .write.mode("overwrite").parquet(stageDir)
+    // synthesize matches: players user_id%5 vs event_id%5, low id wins
+    // unless value > 50
+    def matches(df: org.apache.spark.sql.DataFrame) = {
+      val p = col("user_id") % 5
+      val q = col("event_id") % 5
+      val lowWins = col("value") <= 50
+      df.filter(p =!= q).select(col("event_time"),
+        when(lowWins, least(p, q)).otherwise(greatest(p, q)).as("winner"),
+        when(lowWins, greatest(p, q)).otherwise(least(p, q)).as("loser"))
+    }
+    val out = EventStreams.winMatrixStream(
+      matches(EventStreams.readEvents(spark, stageDir)),
+      "winner", "loser", watermark = "1 minute", windowDur = "1 hour")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("wmx_win")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("wmx_win")
+    assert(streamed.count() > 0, "no windows closed")
+    val batchEvents = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("event_time", col("ts").cast("timestamp"))
+    streamed.select($"w_start", $"w_end").distinct().collect().take(3)
+      .foreach { r =>
+        val (ws, we) = (r.getTimestamp(0), r.getTimestamp(1))
+        val slice = matches(batchEvents
+          .filter($"event_time" >= lit(ws) && $"event_time" < lit(we)))
+        val twin = graft.ops.BradleyTerry
+          .winMatrix(slice, "winner", "loser")
+          .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+            x.getLong(3), x.getDouble(4), x.getDouble(5),
+            x.getDouble(6))).toSet
+        val got = streamed.filter($"w_start" === lit(ws))
+          .collect().map(x => (x.getLong(2), x.getLong(3), x.getLong(4),
+            x.getLong(5), x.getDouble(6), x.getDouble(7),
+            x.getDouble(8))).toSet
+        assert(got === twin, s"window $ws")
+      }
+  }
+
   test("heavy hitters per window match the batch exact counts") {
     val stageDir = java.nio.file.Files.createTempDirectory("graft-hh").toString
     spark.read.parquet(s"$sfDir/events.parquet")
