@@ -116,7 +116,9 @@ object Similarity {
       .select(col("a_id"), col("b_id"),
         (dot(col("aemb"), col("bemb")) / (col("anrm") * col("bnrm")))
           .as("sim_raw"))
-    marginFromSims(sims, k, minMargin)
+    // pinned for the same three-consumer reason as [[marginMineLsh]]:
+    // uncached, the |A|x|B| dot-product pass runs three times
+    marginFromSims(Guards.pin(sims), k, minMargin)
   }
 
   /** The ANN twin of [[marginMine]]: identical margin algebra mined
@@ -142,7 +144,14 @@ object Similarity {
       .select(col("a_id"), col("b_id"),
         (dot(col("aemb"), col("bemb")) / (col("anrm") * col("bnrm")))
           .as("sim_raw"))
-    marginFromSims(sims, k, minMargin)
+    // pin: marginFromSims reads the pair frame three times (two
+    // neighborhood top-k passes + the margin join); uncached, each
+    // read re-runs candidate generation and both embedding joins.
+    // Unlike the SetSim case (BENCH_NOTES round 11 — there pinning
+    // starved AQE of the stats it needed to broadcast downstream
+    // joins), the consumers here aggregate/join on the skinny pinned
+    // frame itself, and the measured win is ~2x.
+    marginFromSims(Guards.pin(sims), k, minMargin)
   }
 
   private def marginSides(embs: DataFrame, predA: Column,
