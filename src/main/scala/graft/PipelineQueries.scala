@@ -6731,6 +6731,38 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"), col("n_chars"),
           col("norm_score"))
         .orderBy(col("doc_id"))
+    },
+
+    // Header-only media metadata over REAL codec payloads (PNG at two
+    // sizes, GIF, WAV, JPEG): every value the parser reads from
+    // container headers is pinned by the synthesizer contract — the
+    // oracle writes down what each class MUST parse to, including the
+    // NULLs (no dims for audio, no depth for GIF).
+    q("q_media_meta",
+      """SELECT doc_id,
+        |  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'png'
+        |    WHEN 2 THEN 'gif' WHEN 3 THEN 'wav' ELSE 'jpeg' END
+        |    AS format,
+        |  CASE doc_id % 5 WHEN 0 THEN 16 WHEN 1 THEN 24 WHEN 2 THEN 16
+        |    WHEN 4 THEN 20 END AS width,
+        |  CASE doc_id % 5 WHEN 0 THEN 16 WHEN 1 THEN 24 WHEN 2 THEN 16
+        |    WHEN 4 THEN 20 END AS height,
+        |  CASE doc_id % 5 WHEN 0 THEN 8 WHEN 1 THEN 8 WHEN 3 THEN 16
+        |    WHEN 4 THEN 8 END AS bit_depth,
+        |  CASE doc_id % 5 WHEN 3 THEN 8000 END AS sample_rate,
+        |  CASE doc_id % 5 WHEN 3 THEN 1 END AS channels,
+        |  CASE doc_id % 5 WHEN 3 THEN CAST(100 AS BIGINT) END
+        |    AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      def cls(k: Int) = docs.filter(pmod(col("doc_id"), lit(5)) === k)
+      val media = Multimodal.syntheticPngs(cls(0))
+        .union(Multimodal.syntheticPngs(cls(1), side = 24))
+        .union(Multimodal.syntheticGifs(cls(2)))
+        .union(Multimodal.syntheticWavs(cls(3)))
+        .union(Multimodal.syntheticJpegs(cls(4), side = 20))
+      Multimodal.headerMeta(media).toDF().orderBy(col("doc_id"))
     }
   )
 

@@ -315,6 +315,119 @@ object Multimodal {
     }
   }
 
+  /** Deterministic real JPEGs (ImageIO "jpg" writer) — solid-color
+    * `side`×`side`, id-derived color; the JPEG member of the
+    * synthesizer family. */
+  def syntheticJpegs(docs: DataFrame, side: Int = 16): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (((id % 200) << 16) | (((id / 7) % 200) << 8) |
+          ((id * 13) % 200)).toInt
+        var y = 0
+        while (y < side) {
+          var x = 0
+          while (x < side) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos): Unit
+        MediaRow(id, bos.toByteArray)
+      }
+    }
+  }
+
+  final case class HeaderMeta(doc_id: Long, format: String,
+      width: Option[Int], height: Option[Int], bit_depth: Option[Int],
+      sample_rate: Option[Int], channels: Option[Int],
+      duration_ms: Option[Long])
+
+  /** Media metadata from CONTAINER HEADERS ONLY — no codec, no pixel
+    * or sample decode: PNG IHDR (width/height/bit depth at fixed
+    * offsets), GIF logical screen descriptor (LE dims; the LSD
+    * "colour resolution" field is famously writer-unreliable, so GIF
+    * bit_depth stays NULL), JPEG SOF marker walk (height/width/
+    * precision from the first SOF0–SOF15), RIFF-WAVE chunk walk
+    * (`fmt `: channels/sample rate/bits; `data`: size → duration).
+    * The triage step between [[sniffFormat]] (magic bytes only) and
+    * the full decoders: route/filter by resolution or duration while
+    * touching a bounded payload PREFIX — at 100 TB of media this is
+    * the difference between a metadata pass and a decode pass.
+    * Unknown or truncated containers yield NULLs, never a task
+    * failure. Narrow map; zero shuffle. */
+  def headerMeta(media: Dataset[MediaRow]): Dataset[HeaderMeta] = {
+    import media.sparkSession.implicits._
+    media.map(r => parseHeader(r.doc_id, r.payload))
+  }
+
+  private val JpegSof: Set[Int] = Set(0xc0, 0xc1, 0xc2, 0xc3, 0xc5,
+    0xc6, 0xc7, 0xc9, 0xca, 0xcb, 0xcd, 0xce, 0xcf)
+
+  private def parseHeader(id: Long, b: Array[Byte]): HeaderMeta = {
+    def at(i: Int): Int = if (i >= 0 && i < b.length) b(i) & 0xff else -1
+    def be16(i: Int): Int = (at(i) << 8) | at(i + 1)
+    def be32(i: Int): Int =
+      (at(i) << 24) | (at(i + 1) << 16) | (at(i + 2) << 8) | at(i + 3)
+    def le16(i: Int): Int = at(i) | (at(i + 1) << 8)
+    def le32(i: Int): Long = (at(i).toLong) | (at(i + 1).toLong << 8) |
+      (at(i + 2).toLong << 16) | (at(i + 3).toLong << 24)
+    val none = HeaderMeta(id, "unknown", None, None, None, None, None,
+      None)
+    if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') {
+      if (b.length < 25) none.copy(format = "png")
+      else HeaderMeta(id, "png", Some(be32(16)), Some(be32(20)),
+        Some(at(24)), None, None, None)
+    } else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' &&
+        at(3) == '8') {
+      if (b.length < 11) none.copy(format = "gif")
+      else HeaderMeta(id, "gif", Some(le16(6)), Some(le16(8)), None,
+        None, None, None)
+    } else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) {
+      var i = 2
+      var res: Option[(Int, Int, Int)] = None
+      var stop = false
+      while (!stop && res.isEmpty && i + 3 < b.length) {
+        if (at(i) != 0xff) stop = true // desynced: bail to NULLs
+        else {
+          val m = at(i + 1)
+          if (m == 0xff) i += 1 // fill byte
+          else if (m == 0xd8 || m == 0x01 ||
+            (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone markers
+          else if (JpegSof(m))
+            res = Some((be16(i + 7), be16(i + 5), at(i + 4)))
+          else if (m == 0xda || m == 0xd9) stop = true // SOS/EOI
+          else i += 2 + be16(i + 2) // length-delimited segment
+        }
+      }
+      res.fold(none.copy(format = "jpeg")) { case (w, h, prec) =>
+        HeaderMeta(id, "jpeg", Some(w), Some(h), Some(prec), None,
+          None, None)
+      }
+    } else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' &&
+        at(3) == 'F' && at(8) == 'W' && at(9) == 'A' && at(10) == 'V' &&
+        at(11) == 'E') {
+      var i = 12
+      var sr: Option[Int] = None; var ch: Option[Int] = None
+      var bits: Option[Int] = None; var byteRate = 0L
+      var dataSize: Option[Long] = None
+      while (i + 8 <= b.length &&
+          (sr.isEmpty || dataSize.isEmpty)) {
+        val cid = new String(b.slice(i, i + 4), "US-ASCII")
+        val sz = le32(i + 4)
+        if (cid == "fmt " && sz >= 16) {
+          ch = Some(le16(i + 10)); sr = Some(le32(i + 12).toInt)
+          byteRate = le32(i + 16); bits = Some(le16(i + 22))
+        } else if (cid == "data") dataSize = Some(sz)
+        i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+      val dur = for (d <- dataSize; if byteRate > 0)
+        yield d * 1000L / byteRate
+      HeaderMeta(id, "wav", None, None, bits, sr, ch, dur)
+    } else none
+  }
+
   final case class ImageSig(doc_id: Long, sig: Long)
 
   /** Perceptual difference hash (dHash — the widely-published

@@ -167,6 +167,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(sigs(14L) ^ sigs(111L)) <= 1)
   }
 
+  test("headerMeta: header parse equals the real codec's decode, no decode performed") {
+    val ids = Seq(0L, 7L, 255L, 1234L).toDF("doc_id")
+    val media = Multimodal.syntheticPngs(ids, side = 24)
+      .union(Multimodal.syntheticJpegs(ids.select(($"doc_id" + 10000L)
+        .as("doc_id")), side = 20))
+      .union(Multimodal.syntheticGifs(ids.select(($"doc_id" + 20000L)
+        .as("doc_id"))))
+    val metas = Multimodal.headerMeta(media).collect()
+      .map(m => m.doc_id -> m).toMap
+    // ground truth from the REAL codec on the same payloads
+    media.collect().foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      val m = metas(r.doc_id)
+      assert(m.width.contains(img.getWidth), s"id=${r.doc_id}")
+      assert(m.height.contains(img.getHeight))
+    }
+    assert(metas(0L).format === "png" && metas(0L).bit_depth
+      .contains(8))
+    assert(metas(10000L).format === "jpeg" &&
+      metas(10000L).bit_depth.contains(8))
+    assert(metas(20000L).format === "gif" &&
+      metas(20000L).bit_depth.isEmpty,
+      "GIF LSD colour resolution is writer-noise; must stay NULL")
+  }
+
+  test("headerMeta: WAV fmt/data chunk walk; truncated and unknown payloads yield NULLs") {
+    val ids = Seq(1L, 2L).toDF("doc_id")
+    val wav = Multimodal.headerMeta(
+      Multimodal.syntheticWavs(ids)).collect().head
+    assert(wav.format === "wav" && wav.sample_rate.contains(8000) &&
+      wav.channels.contains(1) && wav.bit_depth.contains(16) &&
+      wav.duration_ms.contains(100L) && wav.width.isEmpty)
+    val junk = Seq(
+      Multimodal.MediaRow(1L, "not a container".getBytes("UTF-8")),
+      Multimodal.MediaRow(2L,
+        Array[Byte](0x89.toByte, 'P', 'N', 'G')), // truncated PNG
+      Multimodal.MediaRow(3L, Array.empty[Byte]))
+      .toDS()
+    val out = Multimodal.headerMeta(junk).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(out(1L).format === "unknown" && out(1L).width.isEmpty)
+    assert(out(2L).format === "png" && out(2L).width.isEmpty,
+      "truncated container: format sniffs, fields stay NULL")
+    assert(out(3L).format === "unknown")
+  }
+
   test("dhash64: undecodable payloads give sig=-1, no task failure") {
     val bad = Seq(Multimodal.MediaRow(5L, Array[Byte](1, 2, 3))).toDS()
     val out = Multimodal.dhash64(bad).collect()
