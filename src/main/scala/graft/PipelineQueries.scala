@@ -6763,6 +6763,64 @@ object PipelineQueries {
         .union(Multimodal.syntheticWavs(cls(3)))
         .union(Multimodal.syntheticJpegs(cls(4), side = 20))
       Multimodal.headerMeta(media).toDF().orderBy(col("doc_id"))
+    },
+
+    // Active-learning uncertainty sampling, end-to-end: the q_lr_quality
+    // trained model scores the held-out half, then the 40 docs nearest
+    // the 0.5 boundary are selected (rounded-score ranking, id
+    // tie-break). The oracle re-runs the identical 3-step GD and the
+    // identical selection.
+    q("q_uncertainty_sample",
+      """WITH f AS (SELECT doc_id,
+        |    n_chars / 1000.0 AS x1,
+        |    len(list_distinct(string_split_regex(text, '\s+'))) * 1.0
+        |      / len(string_split_regex(text, '\s+')) AS x2,
+        |    CASE WHEN len(list_distinct(string_split_regex(text, '\s+'))) * 1.0
+        |      / len(string_split_regex(text, '\s+')) >= 0.2
+        |      THEN 1.0 ELSE 0.0 END AS y
+        |  FROM documents),
+        |tr AS (SELECT * FROM f WHERE doc_id % 2 = 0),
+        |g1 AS (SELECT avg((0.5 - y) * x1) AS gx1,
+        |    avg((0.5 - y) * x2) AS gx2, avg(0.5 - y) AS gb FROM tr),
+        |w1 AS (SELECT round(-gx1, 9) AS w1, round(-gx2, 9) AS w2,
+        |    round(-gb, 9) AS b FROM g1),
+        |g2 AS (SELECT
+        |    avg((1/(1+exp(-(w1.w1*x1 + w1.w2*x2 + w1.b))) - y) * x1) AS gx1,
+        |    avg((1/(1+exp(-(w1.w1*x1 + w1.w2*x2 + w1.b))) - y) * x2) AS gx2,
+        |    avg(1/(1+exp(-(w1.w1*x1 + w1.w2*x2 + w1.b))) - y) AS gb
+        |  FROM tr, w1),
+        |w2t AS (SELECT round(w1.w1 - g2.gx1, 9) AS w1,
+        |    round(w1.w2 - g2.gx2, 9) AS w2, round(w1.b - g2.gb, 9) AS b
+        |  FROM w1, g2),
+        |g3 AS (SELECT
+        |    avg((1/(1+exp(-(w2t.w1*x1 + w2t.w2*x2 + w2t.b))) - y) * x1) AS gx1,
+        |    avg((1/(1+exp(-(w2t.w1*x1 + w2t.w2*x2 + w2t.b))) - y) * x2) AS gx2,
+        |    avg(1/(1+exp(-(w2t.w1*x1 + w2t.w2*x2 + w2t.b))) - y) AS gb
+        |  FROM tr, w2t),
+        |w3 AS (SELECT round(w2t.w1 - g3.gx1, 9) AS w1,
+        |    round(w2t.w2 - g3.gx2, 9) AS w2, round(w2t.b - g3.gb, 9) AS b
+        |  FROM w2t, g3),
+        |sc AS (SELECT doc_id,
+        |    round(1/(1+exp(-(w3.w1*x1 + w3.w2*x2 + w3.b))), 6) AS score
+        |  FROM f, w3 WHERE doc_id % 2 = 1)
+        |SELECT doc_id, score, round(abs(score - 0.5), 6) AS uncertainty
+        |FROM sc ORDER BY uncertainty, doc_id
+        |LIMIT 40""".stripMargin) { (s, dir) =>
+      import graft.ops.Classifier
+      val toks = split(col("text"), "\\s+")
+      val ratio = size(array_distinct(toks)).cast("double") / size(toks)
+      val f = t(s, dir, "documents").select(col("doc_id"),
+        (col("n_chars") / 1000.0).as("x1"), ratio.as("x2"),
+        when(ratio >= 0.2, 1.0).otherwise(0.0).as("y"))
+      val model = Classifier.trainLogistic(
+        f.filter(pmod(col("doc_id"), lit(2)) === 0), Seq("x1", "x2"),
+        "y", iterations = 3, lr = 1.0)
+      val scored = Classifier.scoreLogistic(
+        f.filter(pmod(col("doc_id"), lit(2)) === 1), model,
+        Seq("x1", "x2"))
+      Classifier.uncertaintySample(scored, col("score"), k = 40)
+        .select(col("doc_id"), round(col("score"), 6).as("score"),
+          col("uncertainty"))
     }
   )
 

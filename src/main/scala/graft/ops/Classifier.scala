@@ -185,6 +185,24 @@ object Classifier {
     df.withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
   }
 
+  /** Active-learning uncertainty selection: the `k` rows whose
+    * probability-valued score sits closest to the 0.5 decision
+    * boundary — the standard uncertainty-sampling acquisition for a
+    * labeling loop (label where the model is least sure, retrain,
+    * repeat). Ranking uses the ROUNDED score (the 6-decimal output
+    * contract), ties break by id — a total cross-engine-deterministic
+    * order. Plans as TakeOrderedAndProject (the exactN discipline):
+    * top-k per partition then a k-row merge, never a global sort. */
+  def uncertaintySample(scored: DataFrame, score: Column, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k=$k")
+    scored
+      .withColumn("uncertainty",
+        round(abs(round(score.cast("double"), 6) - lit(0.5)), 6))
+      .orderBy(col("uncertainty").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Per-group Platt calibration — fit σ(a·score + b) to labels
     * SEPARATELY for every group (source/domain), the step that makes a
     * raw quality score comparable across heterogeneous sources: the

@@ -264,6 +264,19 @@ class ClassifierSpec extends AnyFunSuite {
     assert(alone === got("s1"))
   }
 
+  test("uncertaintySample: boundary-nearest selection, tie-break, TakeOrderedAndProject plan") {
+    val d = Seq((1L, 0.9), (2L, 0.52), (3L, 0.48), (4L, 0.1),
+      (5L, 0.52)).toDF("doc_id", "score")
+    val got = Classifier.uncertaintySample(d, col("score"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // |0.52-0.5| = |0.48-0.5| = 0.02 → ids 2, 3, 5 (id tie-break)
+    assert(got.toSeq === Seq((2L, 0.02), (3L, 0.02), (5L, 0.02)))
+    val plan = Classifier.uncertaintySample(d, col("score"), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k must never be a global sort")
+  }
+
   test("scorePlattPerGroup: per-group curves, NULL for unmodeled groups") {
     val df = Seq(("s1", 0.2, 0.0), ("s1", 0.9, 1.0), ("s1", 0.5, 1.0),
       ("s2", 0.5, 0.0)).toDF("src", "x", "y")
