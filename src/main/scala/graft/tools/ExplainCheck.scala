@@ -389,6 +389,19 @@ object ExplainCheck {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1), "n_chars")
       .queryExecution.explainString(fmt))
+    println("########## op:Bootstrap.replicaMeans (map-side replica explode into one partial agg)")
+    println(graft.ops.Bootstrap.replicaMeans(docs, "n_chars", "doc_id",
+        b = 20)
+      .queryExecution.explainString(fmt))
+    println("########## op:Quality.quantileNormalize (class-frame CDFs + union-and-carry inverse CDF)")
+    println(graft.ops.Quality.quantileNormalize(docs, "n_chars")
+      .queryExecution.explainString(fmt))
+    println("########## op:Classifier.uncertaintySample (TakeOrderedAndProject top-k)")
+    println(graft.ops.Classifier.uncertaintySample(
+        docs.select(col("doc_id"),
+          (col("n_chars") / org.apache.spark.sql.functions.lit(2000.0))
+            .as("score")), col("score"), k = 40)
+      .queryExecution.explainString(fmt))
     println("########## op:Classifier.scorePlattPerGroup (broadcast model join, narrow sigmoid)")
     val plattModel = graft.ops.Classifier.plattPerGroup(docs, "source",
       col("n_chars") / org.apache.spark.sql.functions.lit(1000.0),
