@@ -87,7 +87,8 @@ object Bench {
     "q_interleave", "q_cohen_kappa", "q_fleiss_kappa",
     "q_bradley_terry", "q_win_matrix", "q_distinctive_terms",
     "q_platt_per_group", "q_psi", "q_ks", "q_bootstrap_ci",
-    "q_quantile_normalize", "q_media_meta", "q_uncertainty_sample")
+    "q_quantile_normalize", "q_media_meta", "q_uncertainty_sample",
+    "q_psi_by_source", "q_krippendorff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -6821,6 +6821,93 @@ object PipelineQueries {
       Classifier.uncertaintySample(scored, col("score"), k = 40)
         .select(col("doc_id"), round(col("score"), 6).as("score"),
           col("uncertainty"))
+    },
+
+    // Per-source PSI drill-down vs the shared (even-half) reference:
+    // the oracle rebuilds the literal bin axis, the shared ref
+    // digest, every source's bucket counts and the per-bin
+    // round-6-then-fold algebra.
+    q("q_psi_by_source",
+      """WITH r AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 0),
+        |c AS (SELECT source, n_chars FROM documents
+        |      WHERE doc_id % 2 = 1),
+        |bs AS (SELECT quantile_cont(n_chars,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS b FROM r),
+        |rb AS (SELECT CAST(1 + len(list_filter(bs.b,
+        |      x -> CAST(n_chars AS DOUBLE) > x)) AS INTEGER) AS bucket,
+        |    count(*) AS nr FROM r, bs GROUP BY 1),
+        |ax AS (SELECT unnest(generate_series(1, 10)) AS bucket),
+        |rb2 AS (SELECT ax.bucket, coalesce(nr, 0) AS nr
+        |        FROM ax LEFT JOIN rb USING (bucket)),
+        |tr AS (SELECT sum(nr)::DOUBLE AS tr FROM rb2),
+        |cb AS (SELECT source, CAST(1 + len(list_filter(bs.b,
+        |      x -> CAST(n_chars AS DOUBLE) > x)) AS INTEGER) AS bucket,
+        |    count(*) AS nc FROM c, bs GROUP BY 1, 2),
+        |st AS (SELECT source, sum(nc)::DOUBLE AS tc FROM cb GROUP BY 1),
+        |grid AS (SELECT st.source, rb2.bucket, rb2.nr, st.tc,
+        |    coalesce(cb.nc, 0) AS nc
+        |  FROM st CROSS JOIN rb2 LEFT JOIN cb
+        |    ON cb.source = st.source AND cb.bucket = rb2.bucket),
+        |sc AS (SELECT source, tc, round(
+        |    (greatest(nr / tr, 1e-6) - greatest(nc / tc, 1e-6)) *
+        |    ln(greatest(nr / tr, 1e-6) / greatest(nc / tc, 1e-6)), 6)
+        |    AS contrib FROM grid, tr),
+        |agg AS (SELECT source, CAST(max(tc) AS BIGINT) AS n_rows,
+        |    round(sum(contrib), 6) AS psi FROM sc GROUP BY 1)
+        |SELECT source, n_rows, psi,
+        |  CASE WHEN psi < 0.1 THEN 'stable'
+        |       WHEN psi < 0.25 THEN 'moderate'
+        |       ELSE 'major' END AS verdict
+        |FROM agg ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ops.Drift.psiBySource(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "n_chars", "source", bins = 10)
+        .orderBy(col("source"))
+    },
+
+    // Krippendorff's alpha over VARIABLE rating counts (2 ratings per
+    // doc, a 3rd only on even docs — the shape Fleiss can't take):
+    // the oracle recomputes pairable units, per-unit observed
+    // disagreement, pooled marginals, D_o/D_e and alpha.
+    q("q_krippendorff",
+      """WITH r AS (
+        |  SELECT doc_id, lang AS label FROM documents
+        |  UNION ALL SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END
+        |  FROM documents
+        |  UNION ALL SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'yy' ELSE lang END
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |c AS (SELECT doc_id, label, count(*) AS c FROM r GROUP BY 1, 2),
+        |pi AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY 1
+        |       HAVING sum(c) >= 2),
+        |pr AS (SELECT c.doc_id, c.label, c.c, pi.n
+        |       FROM c JOIN pi ON c.doc_id = pi.doc_id),
+        |obs AS (SELECT sum(c * (n - c) / (n - 1.0)) AS num,
+        |    CAST(sum(c) AS BIGINT) AS nv,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_items FROM pr),
+        |mg AS (SELECT sum(nc * nc) AS sq FROM (
+        |    SELECT label, sum(c)::DOUBLE AS nc FROM pr GROUP BY 1)),
+        |f AS (SELECT n_items, nv, num / nv AS dd,
+        |    (CAST(nv AS DOUBLE) * nv - sq) /
+        |      (CAST(nv AS DOUBLE) * (nv - 1.0)) AS de
+        |  FROM obs, mg)
+        |SELECT n_items, nv AS n_values, round(dd, 6) AS d_o,
+        |  round(de, 6) AS d_e,
+        |  round(CASE WHEN de > 0 THEN 1.0 - dd / de END, 6) AS alpha
+        |FROM f""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      def rr(c: Column) = docs.select(col("doc_id"), c.as("label"))
+      val ratings = rr(col("lang"))
+        .unionByName(rr(when(pmod(col("doc_id"), lit(5)) === 0,
+          lit("xx")).otherwise(col("lang"))))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(7)) === 0, lit("yy"))
+              .otherwise(col("lang")).as("label")))
+      graft.ops.Agreement.krippendorffAlpha(ratings, "doc_id", "label")
     }
   )
 

@@ -58,6 +58,46 @@ object Agreement {
         .as("kappa"))
   }
 
+  /** Krippendorff's α (nominal metric) — the agreement coefficient
+    * for the messy real case [[fleissKappa]] can't take: VARIABLE
+    * rating counts per item (raters skip items, items get re-judged).
+    * Items with a single rating are unpairable and excluded (the
+    * definition); over the pairable units u with category counts
+    * n_uc, n_u = Σ_c n_uc, n = Σ_u n_u:
+    *
+    *   D_o = (1/n) Σ_u Σ_c n_uc·(n_u − n_uc)/(n_u − 1)
+    *   D_e = (n² − Σ_c n_c²) / (n·(n − 1))      α = 1 − D_o/D_e
+    *
+    * D_e = 0 (all pairable ratings one label) yields NULL α —
+    * undefined per the definition, never a division error. Same
+    * aggregate-grid scale shape as the κ's; one row out. */
+  def krippendorffAlpha(ratings: DataFrame, itemCol: String,
+      labelCol: String): DataFrame = {
+    val cnt = ratings
+      .groupBy(col(itemCol).as("_it"), col(labelCol).as("_lb"))
+      .agg(count(lit(1)).as("_c"))
+    val perItem = cnt.groupBy("_it").agg(sum("_c").as("_n"))
+      .filter(col("_n") >= 2)
+    val pairable = cnt.join(perItem, Seq("_it"))
+    val obs = pairable.agg(
+      sum(col("_c") * (col("_n") - col("_c")) / (col("_n") - lit(1.0)))
+        .as("_num"),
+      sum(col("_c")).as("_nv"),
+      countDistinct(col("_it")).as("n_items"))
+    val marg = pairable.groupBy("_lb").agg(sum("_c").as("_nc"))
+      .agg(sum(col("_nc") * col("_nc")).as("_sq"))
+    obs.crossJoin(broadcast(marg))
+      .withColumn("_n", col("_nv").cast("double"))
+      .withColumn("_do", col("_num") / col("_n"))
+      .withColumn("_de", (col("_n") * col("_n") - col("_sq")) /
+        (col("_n") * (col("_n") - lit(1.0))))
+      .select(col("n_items"), col("_nv").as("n_values"),
+        round(col("_do"), 6).as("d_o"),
+        round(col("_de"), 6).as("d_e"),
+        round(when(col("_de") > 0,
+          lit(1.0) - col("_do") / col("_de")), 6).as("alpha"))
+  }
+
   /** Fleiss' κ: agreement among n ratings per item (any raters).
     * P_i = (Σ_l n_il² − n)/(n(n−1)) per item, P̄ their mean; chance
     * P_e = Σ_l p_l² from the pooled label marginals;

@@ -68,6 +68,59 @@ object Drift {
           .when(col("psi") < 0.25, lit("moderate"))
           .otherwise(lit("major")))
 
+  /** Per-source PSI against a shared reference — WHICH slice drifted:
+    * one row per source with its PSI vs `ref` on bins built from the
+    * reference's exact quantiles (the same bins for every source, so
+    * numbers are comparable across rows), plus the verdict band. ONE
+    * bucket-count aggregate over `cur` keyed (source, bucket) + the
+    * ref digest; the per-source fold happens on the |sources|·bins
+    * grid. The drill-down companion of [[psiTotal]]. */
+  def psiBySource(ref: DataFrame, cur: DataFrame, scoreCol: String,
+      sourceCol: String = "source", bins: Int = 10,
+      eps: Double = 1e-6): DataFrame = {
+    require(bins >= 2, s"bins=$bins")
+    require(eps > 0, s"eps=$eps")
+    val ps = (1 until bins).map(_.toDouble / bins)
+    val bounds = ref.agg(
+      expr(s"percentile($scoreCol, array(${ps.mkString(",")}))")
+        .cast("array<double>").as("_bs"))
+    def bucketOf(df: DataFrame) = df.crossJoin(broadcast(bounds))
+      .withColumn("bucket", (lit(1) + size(filter(col("_bs"),
+        b => col(scoreCol).cast("double") > b))).cast("int"))
+    // the bin axis is LITERAL 1..bins (not ref-derived): a bin with
+    // zero ref mass (heavy-tie reference) must still carry any cur
+    // mass that lands in it, and a bin empty in a source still
+    // contributes its (p_ref − eps)·ln(p_ref/eps) term
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val binAxis = (1 to bins).toDF("bucket")
+    val refCounts = binAxis
+      .join(bucketOf(ref).groupBy("bucket")
+        .agg(count(lit(1)).as("_nr")), Seq("bucket"), "left")
+      .na.fill(0L, Seq("_nr"))
+    val refTot = refCounts.agg(sum("_nr").as("_tr"))
+    val curCounts = bucketOf(cur)
+      .groupBy(col(sourceCol), col("bucket"))
+      .agg(count(lit(1)).as("_nc"))
+    val srcTot = curCounts.groupBy(sourceCol).agg(sum("_nc").as("_tc"))
+    val allBins = srcTot.crossJoin(
+      broadcast(refCounts.crossJoin(broadcast(refTot))))
+    val grid = allBins
+      .join(curCounts, Seq(sourceCol, "bucket"), "left")
+      .na.fill(0L, Seq("_nc"))
+    val p = greatest(col("_nr") / col("_tr"), lit(eps))
+    val q = greatest(col("_nc") / col("_tc"), lit(eps))
+    grid.withColumn("_contrib", round((p - q) * log(p / q), 6))
+      .groupBy(sourceCol)
+      .agg(round(sum("_contrib"), 6).as("psi"),
+        max("_tc").as("n_rows"))
+      .withColumn("verdict",
+        when(col("psi") < 0.1, lit("stable"))
+          .when(col("psi") < 0.25, lit("moderate"))
+          .otherwise(lit("major")))
+      .select(col(sourceCol), col("n_rows"), col("psi"), col("verdict"))
+  }
+
   /** Exact two-sample KS statistic: D = sup|F_ref − F_cur| over the
     * union of observed values, computed on the distinct-value count
     * classes. `at_value` is the smallest value attaining D (ties on

@@ -66,6 +66,51 @@ class AgreementSpec extends AnyFunSuite {
     assert(e.getMessage.contains("constant rating count"))
   }
 
+  test("krippendorffAlpha: equals a first-principles ordered-pair enumeration") {
+    // variable rating counts incl. a singleton (excluded) — the shape
+    // the coefficient exists for
+    val data = Seq(
+      (1L, Seq("a", "a", "b")), (2L, Seq("a", "a")),
+      (3L, Seq("b", "b", "b", "a")), (4L, Seq("c")), // unpairable
+      (5L, Seq("a", "b")))
+    val df = data.flatMap { case (i, ls) => ls.map(l => (i, l)) }
+      .toDF("item", "label")
+    val out = Agreement.krippendorffAlpha(df, "item", "label").head()
+    // reference: D_o = (1/n) Σ_u (ordered disagreeing pairs)/(n_u−1)
+    val pairable = data.filter(_._2.size >= 2)
+    val n = pairable.map(_._2.size).sum
+    val dOu = pairable.map { case (_, ls) =>
+      val pairs = for {
+        (a, i) <- ls.zipWithIndex; (b, j) <- ls.zipWithIndex
+        if i != j && a != b
+      } yield 1
+      pairs.size.toDouble / (ls.size - 1)
+    }.sum / n
+    val counts = pairable.flatMap(_._2).groupBy(identity)
+      .view.mapValues(_.size.toDouble)
+    val dE = (n.toDouble * n - counts.values.map(c => c * c).sum) /
+      (n.toDouble * (n - 1))
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getLong(0) === 4L, "the singleton unit must be excluded")
+    assert(out.getLong(1) === n.toLong)
+    assert(out.getDouble(2) === r6(dOu))
+    assert(out.getDouble(3) === r6(dE))
+    assert(out.getDouble(4) === r6(1.0 - dOu / dE))
+  }
+
+  test("krippendorffAlpha: perfect agreement → alpha 1; one-label data → NULL") {
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("item", "label")
+    assert(Agreement.krippendorffAlpha(perfect, "item", "label")
+      .head().getDouble(4) === 1.0)
+    val mono = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"))
+      .toDF("item", "label")
+    val out = Agreement.krippendorffAlpha(mono, "item", "label").head()
+    assert(out.getDouble(3) === 0.0 && out.isNullAt(4),
+      "D_e = 0 must yield NULL alpha, not a division error")
+  }
+
   test("fleissKappa: unanimous raters on a single label → p_e = 1, NULL kappa") {
     val r = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"))
       .toDF("item", "label")

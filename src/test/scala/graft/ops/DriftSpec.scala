@@ -53,6 +53,33 @@ class DriftSpec extends AnyFunSuite {
     assert(same.getDouble(0) === 0.0)
   }
 
+  test("psiBySource: the planted drifting source is the only non-stable row") {
+    val ref = ((1 to 50).map(i => ("a", (i % 10).toDouble)) ++
+      (1 to 50).map(i => ("b", (i % 10).toDouble))).toDF("source", "s")
+    // source a matches ref; source b collapses onto one value
+    val cur = ((1 to 50).map(i => ("a", (i % 10).toDouble)) ++
+      (1 to 50).map(_ => ("b", 9.0))).toDF("source", "s")
+    val out = Drift.psiBySource(ref.select(col("s")), cur, "s",
+        bins = 5).orderBy("source").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("a", "b"))
+    assert(out(0).getString(3) === "stable",
+      s"undrifted source flagged: ${out(0)}")
+    assert(out(1).getString(3) === "major" &&
+      out(1).getDouble(2) > out(0).getDouble(2))
+    assert(out.map(_.getLong(1)).toSeq === Seq(50L, 50L))
+  }
+
+  test("psiBySource agrees with psiTotal when cur has one source") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val cur = docs.filter(col("doc_id") % 2 === 1 &&
+      col("source") === "src3")
+    val one = Drift.psiBySource(ref, cur, "n_chars", bins = 10).head()
+    val tot = Drift.psiTotal(ref, cur, "n_chars", bins = 10).head()
+    assert(one.getDouble(2) === tot.getDouble(0))
+    assert(one.getString(3) === tot.getString(1))
+  }
+
   test("ks and psi detect the planted shift on real data; repartition-stable") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val ref = docs.filter(col("doc_id") % 2 === 0)
