@@ -402,6 +402,17 @@ object ExplainCheck {
           (col("n_chars") / org.apache.spark.sql.functions.lit(2000.0))
             .as("score")), col("score"), k = 40)
       .queryExecution.explainString(fmt))
+    println("########## op:Drift.psiBySource (one (source,bucket) agg vs the shared ref digest)")
+    println(graft.ops.Drift.psiBySource(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "n_chars")
+      .queryExecution.explainString(fmt))
+    println("########## op:Agreement.krippendorffAlpha (aggregate grid, one-row folds)")
+    println(graft.ops.Agreement.krippendorffAlpha(
+        docs.select(col("doc_id"), col("lang").as("label")).unionByName(
+          docs.select(col("doc_id"), col("source").as("label"))),
+        "doc_id", "label")
+      .queryExecution.explainString(fmt))
     println("########## op:Classifier.scorePlattPerGroup (broadcast model join, narrow sigmoid)")
     val plattModel = graft.ops.Classifier.plattPerGroup(docs, "source",
       col("n_chars") / org.apache.spark.sql.functions.lit(1000.0),
