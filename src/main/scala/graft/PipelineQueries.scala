@@ -6908,6 +6908,60 @@ object PipelineQueries {
             when(pmod(col("doc_id"), lit(7)) === 0, lit("yy"))
               .otherwise(col("lang")).as("label")))
       graft.ops.Agreement.krippendorffAlpha(ratings, "doc_id", "label")
+    },
+
+    // All-pairs Cohen's kappa over three synthesized raters: the
+    // oracle recomputes each pair's common-item grid, observed
+    // agreement, both marginals, chance agreement and kappa.
+    q("q_kappa_matrix",
+      """WITH r AS (
+        |  SELECT doc_id, 'r1' AS rater, lang AS label FROM documents
+        |  UNION ALL SELECT doc_id, 'r2',
+        |    CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END
+        |  FROM documents
+        |  UNION ALL SELECT doc_id, 'r3',
+        |    CASE WHEN doc_id % 7 = 0 THEN 'yy' ELSE lang END
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |p AS (SELECT a.rater AS rater_a, b.rater AS rater_b,
+        |        a.label AS la, b.label AS lb
+        |      FROM r a JOIN r b ON a.doc_id = b.doc_id
+        |        AND a.rater < b.rater),
+        |po AS (SELECT rater_a, rater_b,
+        |        CAST(count(*) AS BIGINT) AS n_items,
+        |        avg(CASE WHEN la = lb THEN 1.0 ELSE 0.0 END) AS po
+        |      FROM p GROUP BY 1, 2),
+        |ma AS (SELECT rater_a, rater_b, la AS k, count(*)::DOUBLE AS ca
+        |       FROM p GROUP BY 1, 2, 3),
+        |mb AS (SELECT rater_a, rater_b, lb AS k, count(*)::DOUBLE AS cb
+        |       FROM p GROUP BY 1, 2, 3),
+        |pe AS (SELECT ma.rater_a, ma.rater_b,
+        |        sum(ca / n_items * (cb / n_items)) AS pe
+        |      FROM ma JOIN mb ON ma.rater_a = mb.rater_a
+        |        AND ma.rater_b = mb.rater_b AND ma.k = mb.k
+        |      JOIN po ON po.rater_a = ma.rater_a
+        |        AND po.rater_b = ma.rater_b
+        |      GROUP BY 1, 2)
+        |SELECT po.rater_a, po.rater_b, n_items, round(po, 6) AS p_o,
+        |  round(pe, 6) AS p_e,
+        |  round(CASE WHEN pe < 1.0 THEN (po - pe) / (1 - pe) END, 6)
+        |    AS kappa
+        |FROM po JOIN pe ON po.rater_a = pe.rater_a
+        |  AND po.rater_b = pe.rater_b
+        |ORDER BY po.rater_a, po.rater_b""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      def rr(name: String, c: Column, base: DataFrame = null) = {
+        val d = Option(base).getOrElse(docs)
+        d.select(col("doc_id"), lit(name).as("rater"), c.as("label"))
+      }
+      val ratings = rr("r1", col("lang"))
+        .unionByName(rr("r2", when(pmod(col("doc_id"), lit(5)) === 0,
+          lit("xx")).otherwise(col("lang"))))
+        .unionByName(rr("r3", when(pmod(col("doc_id"), lit(7)) === 0,
+          lit("yy")).otherwise(col("lang")),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0)))
+      graft.ops.Agreement.cohenKappaMatrix(ratings, "doc_id", "rater",
+          "label")
+        .orderBy(col("rater_a"), col("rater_b"))
     }
   )
 

@@ -58,6 +58,58 @@ object Agreement {
         .as("kappa"))
   }
 
+  /** All-pairs Cohen's κ — the rater-QA matrix for a team of
+    * annotators: [[cohenKappa]] for EVERY unordered rater pair in one
+    * shot (which rater disagrees with everyone = drifted guidelines
+    * or a spammer; which pair agrees suspiciously = collusion or
+    * shared tooling). Semantics per pair are exactly [[cohenKappa]]'s:
+    * common items only, min-label dedup, marginals from the paired
+    * frame, NULL κ at p_e = 1.
+    *
+    * Scale shape: one (item, rater) dedup agg, an item-keyed
+    * self-join producing |raters|²-bounded pair rows, then ONE
+    * (pair, labelA, labelB) count grid from which p_o, both
+    * marginals and p_e all re-aggregate — no per-pair jobs, no
+    * second corpus pass. */
+  def cohenKappaMatrix(ratings: DataFrame, itemCol: String,
+      raterCol: String, labelCol: String): DataFrame = {
+    val r = ratings.groupBy(col(itemCol).as("_it"),
+        col(raterCol).cast("string").as("_r"))
+      .agg(min(col(labelCol).cast("string")).as("_l"))
+    val a = r.select(col("_it"), col("_r").as("rater_a"),
+      col("_l").as("_la"))
+    val b = r.select(col("_it"), col("_r").as("rater_b"),
+      col("_l").as("_lb"))
+    val grid = a.join(b, Seq("_it"))
+      .filter(col("rater_a") < col("rater_b"))
+      .groupBy("rater_a", "rater_b", "_la", "_lb")
+      .agg(count(lit(1)).as("_c"))
+    val po = grid.groupBy("rater_a", "rater_b")
+      .agg(sum("_c").as("_n"),
+        sum(when(col("_la") === col("_lb"), col("_c"))
+          .otherwise(lit(0L))).as("_agree"))
+    val ma = grid.groupBy(col("rater_a"), col("rater_b"),
+        col("_la").as("_k"))
+      .agg(sum("_c").as("_ca"))
+    val mb = grid.groupBy(col("rater_a"), col("rater_b"),
+        col("_lb").as("_k"))
+      .agg(sum("_c").as("_cb"))
+    val pe = ma.join(mb, Seq("rater_a", "rater_b", "_k"))
+      .join(po.select(col("rater_a"), col("rater_b"),
+        col("_n").as("_nt")), Seq("rater_a", "rater_b"))
+      .groupBy("rater_a", "rater_b")
+      .agg(sum(col("_ca") / col("_nt") * (col("_cb") / col("_nt")))
+        .as("_pe"))
+    po.join(pe, Seq("rater_a", "rater_b"))
+      .select(col("rater_a"), col("rater_b"),
+        col("_n").as("n_items"),
+        round(col("_agree") / col("_n"), 6).as("p_o"),
+        round(col("_pe"), 6).as("p_e"),
+        round(when(col("_pe") < 1.0,
+          (col("_agree") / col("_n") - col("_pe")) /
+            (lit(1.0) - col("_pe"))), 6).as("kappa"))
+  }
+
   /** Krippendorff's α (nominal metric) — the agreement coefficient
     * for the messy real case [[fleissKappa]] can't take: VARIABLE
     * rating counts per item (raters skip items, items get re-judged).

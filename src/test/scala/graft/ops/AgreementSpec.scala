@@ -66,6 +66,31 @@ class AgreementSpec extends AnyFunSuite {
     assert(e.getMessage.contains("constant rating count"))
   }
 
+  test("cohenKappaMatrix: every pair equals the pairwise cohenKappa on the same data") {
+    val r = Seq(
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "a", "y"), (4L, "a", "y"),
+      (1L, "b", "x"), (2L, "b", "y"), (3L, "b", "y"), (4L, "b", "y"),
+      (1L, "c", "x"), (2L, "c", "x"), (3L, "c", "y")) // c skips item 4
+      .toDF("item", "rater", "label")
+    val matrix = Agreement.cohenKappaMatrix(r, "item", "rater", "label")
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getDouble(3), x.getDouble(4),
+          if (x.isNullAt(5)) None else Some(x.getDouble(5)))).toMap
+    assert(matrix.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    for ((ra, rb) <- matrix.keySet) {
+      val single = Agreement.cohenKappa(r, "item", "rater", "label",
+        ra, rb).head()
+      val got = matrix((ra, rb))
+      assert(got._1 === single.getLong(0), s"$ra-$rb n")
+      assert(got._2 === single.getDouble(1), s"$ra-$rb p_o")
+      assert(got._3 === single.getDouble(2), s"$ra-$rb p_e")
+      val exp = if (single.isNullAt(3)) None else Some(single.getDouble(3))
+      assert(got._4 === exp, s"$ra-$rb kappa")
+    }
+    // c's missing item shrinks its pairs' common support
+    assert(matrix(("a", "c"))._1 === 3L && matrix(("a", "b"))._1 === 4L)
+  }
+
   test("krippendorffAlpha: equals a first-principles ordered-pair enumeration") {
     // variable rating counts incl. a singleton (excluded) — the shape
     // the coefficient exists for
