@@ -142,13 +142,24 @@ object Bench {
     val totalExt = extended.flatMap(byName.get).sum
     val errors = if (failed.isEmpty) "" else s""","errors":[${failed.mkString(",")}]"""
     val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"min_of":$reps,"total_extended":${num(totalExt)}$errors,"sf":"$sfDir"}"""
+    // The full per-query line (118+ timings) outgrew the driver's tail
+    // capture in round 11 and truncated the headline away. Print it
+    // FIRST, then a short headline-only summary line LAST — truncation
+    // from the head can then never eat the parseable summary.
     println(json)
+    val headQs = results.collect {
+      case (k, v, ok) if headline.contains(k) =>
+        "\"" + k + "\":" + (if (ok) num(v) else "null")
+    }.mkString("{", ",", "}")
+    val summary = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$headQs,"min_of":$reps,"total_extended":${num(totalExt)},"n_queries":${results.size}$errors,"sf":"$sfDir"}"""
+    println(summary)
     // Stdout reaches the driver wrapped in sbt's "[info] " prefix, which can
-    // defeat line-oriented JSON parsing — persist a clean copy to a file too.
+    // defeat line-oriented JSON parsing — persist a clean copy to a file too
+    // (full detail line, then the summary line, same order as stdout).
     val outFile = new java.io.File("bee-proof-tmp/bench.json")
     outFile.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(outFile)
-    try w.println(json) finally w.close()
+    try { w.println(json); w.println(summary) } finally w.close()
     spark.stop()
   }
 }

@@ -49,12 +49,16 @@ object Agreement {
       .crossJoin(broadcast(n))
       .agg(sum(col("_ca") / col("_n") * (col("_cb") / col("_n")))
         .as("_pe"))
+    // disjoint marginals (the raters share no label) make pe's inner
+    // join empty and its sum NULL — but p_e = 0 is well-defined there
+    // and κ = p_o, so coalesce instead of emitting a NULL κ
+    val peC = coalesce(col("_pe"), lit(0.0))
     po.crossJoin(broadcast(pe)).select(
       col("n_items"),
       round(col("_po"), 6).as("p_o"),
-      round(col("_pe"), 6).as("p_e"),
-      round(when(col("_pe") < 1.0,
-        (col("_po") - col("_pe")) / (lit(1.0) - col("_pe"))), 6)
+      round(peC, 6).as("p_e"),
+      round(when(peC < 1.0,
+        (col("_po") - peC) / (lit(1.0) - peC)), 6)
         .as("kappa"))
   }
 
@@ -100,14 +104,18 @@ object Agreement {
       .groupBy("rater_a", "rater_b")
       .agg(sum(col("_ca") / col("_nt") * (col("_cb") / col("_nt")))
         .as("_pe"))
-    po.join(pe, Seq("rater_a", "rater_b"))
+    // LEFT join: a pair whose two label marginals are disjoint has no
+    // pe row (the _k join matches nothing) but p_e = 0 is well-defined
+    // — the pair must survive with κ = p_o, not vanish from the matrix
+    val peC = coalesce(col("_pe"), lit(0.0))
+    po.join(pe, Seq("rater_a", "rater_b"), "left")
       .select(col("rater_a"), col("rater_b"),
         col("_n").as("n_items"),
         round(col("_agree") / col("_n"), 6).as("p_o"),
-        round(col("_pe"), 6).as("p_e"),
-        round(when(col("_pe") < 1.0,
-          (col("_agree") / col("_n") - col("_pe")) /
-            (lit(1.0) - col("_pe"))), 6).as("kappa"))
+        round(peC, 6).as("p_e"),
+        round(when(peC < 1.0,
+          (col("_agree") / col("_n") - peC) /
+            (lit(1.0) - peC)), 6).as("kappa"))
   }
 
   /** Krippendorff's α (nominal metric) — the agreement coefficient

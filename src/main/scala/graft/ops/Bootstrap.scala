@@ -73,7 +73,12 @@ object Bootstrap {
       .withColumn("_w",
         poissonWeight(seed, col("replica"), col("_k")).cast("double"))
       .groupBy("replica")
-      .agg((sum(col("_w") * col("_x")) / sum("_w")).as("mean"),
+      // an all-zero-weight replica (P = e^-n per replica — realistic
+      // on small frames) is an EMPTY resample: its mean is NULL, never
+      // 0.0/0.0 = NaN (NaN sorts above every real and wrecks the upper
+      // percentile downstream)
+      .agg(when(sum("_w") > 0,
+          sum(col("_w") * col("_x")) / sum("_w")).as("mean"),
         sum("_w").cast("long").as("n_eff"))
   }
 
@@ -90,10 +95,13 @@ object Bootstrap {
     val point = df.agg(
       avg(col(valueCol).cast("double")).as("_m"),
       count(lit(1)).as("n_rows"))
+    // count(mean), not count(*): `b` reports the replicas that actually
+    // contributed to the interval (empty resamples carry a NULL mean,
+    // which percentile already skips)
     reps.agg(
         expr(s"percentile(mean, array($alpha, ${1.0 - alpha}))")
           .as("_q"),
-        count(lit(1)).as("n_replicas"))
+        count(col("mean")).as("n_replicas"))
       .crossJoin(broadcast(point))
       .select(col("n_rows"), col("n_replicas").cast("int").as("b"),
         round(col("_m"), 6).as("mean"),

@@ -42,9 +42,16 @@ object BradleyTerry {
   def fit(outcomes: DataFrame, winnerCol: String, loserCol: String,
       iters: Int): DataFrame = {
     require(iters >= 1, s"iters=$iters")
+    // player ids keep their input type — string model/annotator names
+    // (the documented use case) must NOT silently cast to NULL longs
+    // and collapse into one phantom player
+    require(outcomes.schema(winnerCol).dataType ==
+        outcomes.schema(loserCol).dataType,
+      s"winner/loser column types differ: " +
+        s"${outcomes.schema(winnerCol).dataType} vs " +
+        s"${outcomes.schema(loserCol).dataType}")
     val oriented = outcomes
-      .select(col(winnerCol).cast("long").as("_w"),
-        col(loserCol).cast("long").as("_l"))
+      .select(col(winnerCol).as("_w"), col(loserCol).as("_l"))
       .groupBy("_w", "_l").agg(count(lit(1)).cast("double").as("_n"))
     // the symmetric comparison grid and the win totals, built once
     val grid = Guards.pin(oriented
@@ -91,8 +98,15 @@ object BradleyTerry {
     * frame. */
   def winMatrix(outcomes: DataFrame, winnerCol: String,
       loserCol: String, z: Double = 1.96): DataFrame = {
-    val w = col(winnerCol).cast("long")
-    val l = col(loserCol).cast("long")
+    // ids keep their input type ([[fit]]'s contract); least/greatest
+    // pair strings lexically, numbers numerically
+    require(outcomes.schema(winnerCol).dataType ==
+        outcomes.schema(loserCol).dataType,
+      s"winner/loser column types differ: " +
+        s"${outcomes.schema(winnerCol).dataType} vs " +
+        s"${outcomes.schema(loserCol).dataType}")
+    val w = col(winnerCol)
+    val l = col(loserCol)
     val agg = outcomes
       .select(least(w, l).as("player_a"), greatest(w, l).as("player_b"),
         (w < l).cast("long").as("_aw"))

@@ -160,12 +160,17 @@ object Export {
       groupCols: Seq[Column], groupNames: Seq[String], idCol: String,
       scoreCol: Column, minMargin: Double): DataFrame = {
     val s = scoreCol.cast("double")
-    val id = col(idCol).cast("long")
+    // the id keeps its input type (string response/model ids must not
+    // cast to NULL longs); the tiebreak negates the SCORE instead, so
+    // min(struct(-s, id)) = max score then smallest id (chosen) and
+    // max(struct(-s, id)) = min score then largest id (rejected) —
+    // identical picks to the old (s, -id) ordering for numeric ids
+    val id = col(idCol)
     responses
       .groupBy(groupCols: _*)
       .agg(
-        max(struct(s.as("s"), (-id).as("ni"), id.as("id"))).as("_c"),
-        min(struct(s.as("s"), (-id).as("ni"), id.as("id"))).as("_r"),
+        min(struct((-s).as("ns"), id.as("id"), s.as("s"))).as("_c"),
+        max(struct((-s).as("ns"), id.as("id"), s.as("s"))).as("_r"),
         count(lit(1)).as("n_candidates"))
       .filter(col("n_candidates") >= 2 &&
         col("_c.s") - col("_r.s") >= minMargin)

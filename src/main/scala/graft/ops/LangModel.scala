@@ -129,18 +129,35 @@ object LangModel {
     nllOf(col("_gcnt"), lit(m.generalTotal)) -
       nllOf(col("_tcnt"), lit(m.targetTotal))
 
+  /** Deterministic per-doc mean of the per-token deltas: the (token,
+    * delta) pairs are collected per doc, sorted, and summed in a strict
+    * left fold, so the IEEE-754 addition order is fixed regardless of
+    * partitioning / partial-aggregation order (a plain `avg` flips the
+    * 4th decimal of a boundary doc run-to-run). Equal tokens carry equal
+    * deltas, so tie order can't change the sum. Per-row state is one
+    * doc's token list — bounded by doc length, never corpus-wide.
+    * SHARED by the batch and streaming scorers; the DuckDB oracles pin
+    * the same order via `list(… ORDER BY token)`. */
+  private[graft] def mlOrderedMean(tds: org.apache.spark.sql.Column,
+      n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(array_sort(tds), lit(0.0d),
+      (acc, td) => acc + td.getField("_d")) / n.cast("double")
+
   /** Score documents against a fitted [[MlModel]] — one candidate-token
-    * pass, two UNHINTED token-keyed model joins, per-doc partial-agg
-    * mean; identical numbers to [[mooreLewisScore]] given that
-    * function's own fit. */
+    * pass, two UNHINTED token-keyed model joins, per-doc sorted-fold
+    * mean ([[mlOrderedMean]] — run-deterministic); identical numbers to
+    * [[mooreLewisScore]] given that function's own fit. */
   def scoreAgainstModelML(docs: DataFrame, m: MlModel,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     Relevance.tokens(docs, idCol, textCol)
       .join(m.target, Seq("token"), "left")
       .join(m.general, Seq("token"), "left")
-      .select(col("doc_id"), mlDelta(m).as("_d"))
+      .select(col("doc_id"), col("token"), mlDelta(m).as("_d"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), avg(col("_d")).as("ml_delta"))
+      .agg(count(lit(1)).as("n_tokens"),
+        collect_list(struct(col("token"), col("_d"))).as("_tds"))
+      .select(col("doc_id"), col("n_tokens"),
+        mlOrderedMean(col("_tds"), col("n_tokens")).as("ml_delta"))
 
   /** Persist a fitted [[MlModel]] as snapshot tables under `dir/` —
     * `target`, `general` + `meta` (totals, minCount, table versions)

@@ -420,7 +420,12 @@ object Multimodal {
           ch = Some(le16(i + 10)); sr = Some(le32(i + 12).toInt)
           byteRate = le32(i + 16); bits = Some(le16(i + 22))
         } else if (cid == "data") dataSize = Some(sz)
-        i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        // word-aligned advance, computed in Long: a corrupt/crafted size
+        // field >= 2^31 truncates negative on toInt and would stall or
+        // walk the cursor backwards forever — untrusted media must never
+        // hang the task. A chunk running past the buffer ends the walk.
+        val next = i.toLong + 8L + sz + (sz & 1L)
+        i = if (next > b.length) b.length else next.toInt
       }
       val dur = for (d <- dataSize; if byteRate > 0)
         yield d * 1000L / byteRate

@@ -537,7 +537,11 @@ object EventStreams {
     * left preserves OOV tokens so both floors fire exactly as in
     * batch — [[graft.ops.LangModel.mlDelta]] is the SHARED
     * expression); the per-doc mean is a watermarked aggregate keyed
-    * (doc_id, event-time window), emitted exactly once in append mode. */
+    * (doc_id, event-time window), emitted exactly once in append mode.
+    * The mean itself is the batch scorer's sorted-fold
+    * ([[graft.ops.LangModel.mlOrderedMean]]) — the (token, delta)
+    * pairs collect per doc and sum in token order, so a streamed score
+    * is bit-identical to the batch score of the same doc, run to run. */
   def mlScoreStream(docs: DataFrame, m: graft.ops.LangModel.MlModel,
       idCol: String = "doc_id", textCol: String = "text",
       eventTimeCol: String = "event_time", watermark: String = "10 minutes",
@@ -551,8 +555,11 @@ object EventStreams {
       .join(m.general, Seq("token"), "left")
       .groupBy(col(idCol), window(col(eventTimeCol), windowDur))
       .agg(count(lit(1)).as("n_tokens"),
-        avg(graft.ops.LangModel.mlDelta(m)).as("ml_delta"))
-      .drop("window")
+        collect_list(struct(col("token"),
+          graft.ops.LangModel.mlDelta(m).as("_d"))).as("_tds"))
+      .select(col(idCol), col("n_tokens"),
+        graft.ops.LangModel.mlOrderedMean(col("_tds"), col("n_tokens"))
+          .as("ml_delta"))
   }
 
   /** Streaming twin of [[graft.ops.LangModel.scoreAgainstModelKN]] —

@@ -143,4 +143,31 @@ class AgreementSpec extends AnyFunSuite {
     assert(out.getDouble(3) === 1.0)
     assert(out.isNullAt(4))
   }
+
+  test("disjoint label marginals: p_e = 0 and kappa = p_o, pair survives the matrix") {
+    // rater a says only x/y, rater b only u/v → no shared label, so
+    // the marginal-product join is empty; p_e = 0 is still well-defined
+    // and kappa = p_o = 0 (they never agree). The pair must neither
+    // yield a NULL kappa (cohenKappa) nor vanish (cohenKappaMatrix).
+    val r = Seq((1L, "a", "x"), (2L, "a", "y"),
+      (1L, "b", "u"), (2L, "b", "v"),
+      (1L, "c", "x"), (2L, "c", "y")).toDF("item", "rater", "label")
+    val single =
+      Agreement.cohenKappa(r, "item", "rater", "label", "a", "b").head()
+    assert(single.getLong(0) === 2L)
+    assert(single.getDouble(1) === 0.0) // p_o
+    assert(single.getDouble(2) === 0.0) // p_e
+    assert(single.getDouble(3) === 0.0, "kappa = p_o/(1-0), not NULL")
+    val m = Agreement.cohenKappaMatrix(r, "item", "rater", "label")
+      .orderBy("rater_a", "rater_b").collect()
+    assert(m.map(x => (x.getString(0), x.getString(1))).toSeq ===
+      Seq(("a", "b"), ("a", "c"), ("b", "c")),
+      "the disjoint pairs must not drop from the matrix")
+    val ab = m(0)
+    assert(ab.getDouble(4) === 0.0 && ab.getDouble(5) === 0.0,
+      "(a,b): p_e = 0, kappa = 0")
+    val ac = m(1)
+    assert(ac.getDouble(3) === 1.0 && ac.getDouble(5) === 1.0,
+      "(a,c) agree perfectly on a non-constant labeling: kappa = 1")
+  }
 }

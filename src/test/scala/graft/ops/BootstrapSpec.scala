@@ -57,4 +57,24 @@ class BootstrapSpec extends AnyFunSuite {
       Bootstrap.cdfLiterals.map(_.toDouble)).forall(t => t._1 == t._2))
     assert(Bootstrap.cdfLiterals.length === 8)
   }
+
+  test("all-zero-weight replicas: NULL mean (never NaN), b counts contributors") {
+    // a 1-row frame draws w = 0 with P = e^-1 per replica, so 400
+    // replicas certainly contain empty resamples (P(none) ~ 1e-80);
+    // the old 0.0/0.0 path made those means NaN, which sorts above
+    // every real and corrupted ci_hi
+    val one = Seq((1L, 10.0)).toDF("k", "x")
+    val reps = Bootstrap.replicaMeans(one, "x", "k", b = 400)
+      .collect()
+    val empty = reps.filter(_.isNullAt(1))
+    assert(empty.nonEmpty, "statistically certain; seed-pinned anyway")
+    assert(empty.forall(_.getLong(2) === 0L), "NULL mean ⇔ n_eff = 0")
+    assert(reps.filter(!_.isNullAt(1)).forall(r =>
+      !r.getDouble(1).isNaN && r.getDouble(1) === 10.0))
+    val ci = Bootstrap.meanCI(one, "x", "k", b = 400).head()
+    assert(ci.getInt(1) === reps.count(!_.isNullAt(1)),
+      "b must report replicas that actually contributed")
+    assert(ci.getDouble(3) === 10.0 && ci.getDouble(4) === 10.0,
+      "every non-empty resample of one row has its value as mean")
+  }
 }

@@ -73,4 +73,31 @@ class BradleyTerrySpec extends AnyFunSuite {
     assert(r.getDouble(5) < 0.5 && r.getDouble(6) === 1.0,
       "one game proves nothing: the interval must still cover .5")
   }
+
+  test("string player ids (model names) fit and pair — no NULL-long collapse") {
+    // the documented use case: arena-style model comparison keyed by
+    // name — the old long-cast silently NULLed every id and merged all
+    // players into one phantom
+    val o = Seq(("modelA", "modelB"), ("modelA", "modelB"),
+      ("modelA", "modelB"), ("modelB", "modelA"))
+      .toDF("winner", "loser")
+    val got = BradleyTerry.fit(o, "winner", "loser", iters = 5)
+      .orderBy("player")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("modelA", 1.5, 3L, 4L),
+      ("modelB", 0.5, 1L, 4L)))
+    val wm = BradleyTerry.winMatrix(o, "winner", "loser").head()
+    assert(wm.getString(0) === "modelA" && wm.getString(1) === "modelB")
+    assert(wm.getLong(2) === 4L && wm.getLong(3) === 3L)
+    assert(wm.getDouble(4) === 0.75)
+  }
+
+  test("mismatched winner/loser column types fail fast, never mis-group") {
+    val o = Seq((1L, "b")).toDF("winner", "loser")
+    intercept[IllegalArgumentException](
+      BradleyTerry.fit(o, "winner", "loser", iters = 1))
+    intercept[IllegalArgumentException](
+      BradleyTerry.winMatrix(o, "winner", "loser"))
+  }
 }

@@ -527,4 +527,19 @@ class ExportSpec extends AnyFunSuite {
     assert(out(0).getLong(2) === 7L) // rejected = max id
     assert(out(0).getDouble(5) === 0.0)
   }
+
+  test("dpoPairs: string response ids survive with the same tiebreaks") {
+    // response ids are often strings (uuid, model-name) — the old
+    // long-cast NULLed them; tiebreaks must still be min-id for chosen
+    // and max-id for rejected among the tied scores
+    val r = Seq(("p1", "r_b", 5.0), ("p1", "r_c", 5.0),
+      ("p1", "r_a", 1.0), ("p1", "r_d", 1.0))
+      .toDF("prompt", "resp_id", "score")
+    val out = Export.dpoPairs(r, "prompt", "resp_id", col("score")).collect()
+    assert(out.length === 1)
+    assert(out(0).getString(1) === "r_b", "chosen: max score, min id")
+    assert(out(0).getString(2) === "r_d", "rejected: min score, max id")
+    assert(out(0).getDouble(3) === 5.0 && out(0).getDouble(4) === 1.0)
+    assert(out(0).getDouble(5) === 4.0)
+  }
 }

@@ -219,4 +219,28 @@ class MultimodalSpec extends AnyFunSuite {
     val out = Multimodal.dhash64(bad).collect()
     assert(out.toSeq === Seq(Multimodal.ImageSig(5L, -1L)))
   }
+
+  test("headerMeta: corrupt RIFF chunk sizes >= 2^31 terminate, never hang") {
+    // size fields 0xFFFFFFF8 / 0xFFFFFFF7 truncate to -8 / -9 on
+    // toInt: the old walk advanced by exactly 0 bytes and spun forever
+    // on untrusted media. The fixed walk computes the advance in Long
+    // and stops when the chunk runs past the buffer.
+    def riff(sz: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(56)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("junk".getBytes("US-ASCII")).putInt(sz)
+      bb.array()
+    }
+    val rows = Seq(Multimodal.MediaRow(1L, riff(0xFFFFFFF8)),
+      Multimodal.MediaRow(2L, riff(0xFFFFFFF7))).toDS()
+    val out = Multimodal.headerMeta(rows).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(out.size === 2)
+    for (m <- out.values)
+      assert(m.format === "wav" && m.sample_rate.isEmpty &&
+        m.duration_ms.isEmpty,
+        "container sniffs as wav; the oversized chunk yields NULLs")
+  }
 }

@@ -1,0 +1,199 @@
+"""Float-rounding boundary audit (round-11 VERDICT task 4).
+
+A query whose driver hash depends on round(<order-sensitive float
+aggregate>, k) flakes iff some value's unrounded aggregate sits within
+the summation-order noise (~1e-13 relative) of a half-boundary of the
+1e-k rounding grid. This tool measures, for every such query, the
+MINIMUM distance of the unrounded value from the nearest half-boundary
+(in units of the grid, i.e. 0.5 = grid midpoint is distance 0) at the
+driver's gate SF, proving how much margin each rounded oracle has.
+
+Mechanics: a DuckDB macro gdist(x, k) = |frac(x*10^k) - 0.5| replaces
+round(x, k) textually. For the AUTO set every round() in the oracle is
+in the final projection, so the substitution turns each rounded output
+column into its own boundary distance; every float output column in
+this repo's oracles is rounded (the hash contract requires it), so the
+min over float columns is the query's margin. Queries with rounds
+inside CTEs (values consumed downstream) get hand-written audit SQL.
+
+Usage: python3 tools/boundary_audit.py <verify_outDir_with_oracle_sql.json> [sfDir]
+Prints one line per query: name, min boundary distance, and the noise
+margin (distance / 1e-13); FLAKY if distance < 1e-9.
+"""
+import duckdb, json, sys, math
+
+out = sys.argv[1] if len(sys.argv) > 1 else '/tmp/verify_audit'
+sf = sys.argv[2] if len(sys.argv) > 2 else '/root/testdata/sf0.01'
+
+AUTO = [
+    'q_lm_perplexity', 'q_lm_bigram', 'q_lm_kn', 'q_lm_kn_serve',
+    'q_lm_kn_persist', 'q_lm_kn3', 'q_lm_kn3_serve',
+    'q_signal_corr', 'q_psi', 'q_krippendorff', 'q_calibration',
+    'q_score_metrics', 'q_sessionize', 'q_salted_join',
+    'q_bm25', 'q_bm25_index_probe', 'q_kmeans', 'q_bootstrap_ci',
+]
+
+con = duckdb.connect()
+for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
+          'lineitem', 'events', 'documents', 'embeddings']:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+con.execute("""CREATE MACRO gdist(x, k) AS
+  abs(x * pow(10, CAST(k AS DOUBLE))
+      - floor(x * pow(10, CAST(k AS DOUBLE))) - 0.5)""")
+
+oracles = json.load(open(f'{out}/oracle_sql.json'))
+
+def audit(name, sql):
+    try:
+        cur = con.execute(sql)
+        cols = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+    except Exception as e:
+        print(f'ERR  {name}: {e}')
+        return
+    best, bcol = None, None
+    for r in rows:
+        for c, v in zip(cols, r):
+            if isinstance(v, float) and not math.isnan(v):
+                if best is None or v < best:
+                    best, bcol = v, c
+    if best is None:
+        print(f'???  {name}: no float columns')
+    else:
+        verdict = 'FLAKY' if best < 1e-9 else 'ok'
+        print(f'{verdict:5s} {name}: min boundary distance {best:.3e} '
+              f'(column {bcol}, ~{best/1e-13:.0e}x the float-order noise)')
+
+for name in AUTO:
+    if name not in oracles:
+        print(f'SKIP {name}: not in oracle_sql.json')
+        continue
+    audit(name, oracles[name].replace('round(', 'gdist('))
+
+# ---- manual audits: rounds inside CTEs feed downstream computation ----
+
+# q_platt_per_group: weights are round(w - g, 9) per GD step (the
+# quantization IS the cross-engine determinism contract); the flake
+# risk is each step's unrounded w-g near the 1e-9 grid midpoint, plus
+# the final round(w, 6). Audit all three steps' distances and the
+# final one.
+MANUAL = {}
+MANUAL['q_platt_per_group'] = """
+WITH d AS (SELECT source, n_chars / 1000.0 AS x,
+        (doc_id % 2)::DOUBLE AS y FROM documents),
+w0 AS (SELECT DISTINCT source, 0.0 AS a, 0.0 AS b FROM d),
+g1 AS (SELECT d.source,
+        avg((1 / (1 + exp(-(a * x + b))) - y) * x) AS ga,
+        avg(1 / (1 + exp(-(a * x + b))) - y) AS gb
+      FROM d JOIN w0 USING (source) GROUP BY 1),
+w1 AS (SELECT g1.source, round(a - ga, 9) AS a, round(b - gb, 9) AS b,
+        gdist(a - ga, 9) AS da, gdist(b - gb, 9) AS db
+       FROM g1 JOIN w0 USING (source)),
+g2 AS (SELECT d.source,
+        avg((1 / (1 + exp(-(a * x + b))) - y) * x) AS ga,
+        avg(1 / (1 + exp(-(a * x + b))) - y) AS gb
+      FROM d JOIN w1 USING (source) GROUP BY 1),
+w2 AS (SELECT g2.source, round(a - ga, 9) AS a, round(b - gb, 9) AS b,
+        gdist(a - ga, 9) AS da, gdist(b - gb, 9) AS db
+       FROM g2 JOIN w1 USING (source)),
+g3 AS (SELECT d.source,
+        avg((1 / (1 + exp(-(a * x + b))) - y) * x) AS ga,
+        avg(1 / (1 + exp(-(a * x + b))) - y) AS gb
+      FROM d JOIN w2 USING (source) GROUP BY 1),
+w3 AS (SELECT g3.source, round(a - ga, 9) AS a, round(b - gb, 9) AS b,
+        gdist(a - ga, 9) AS da, gdist(b - gb, 9) AS db
+       FROM g3 JOIN w2 USING (source))
+SELECT least(
+  (SELECT min(least(da, db)) FROM w1),
+  (SELECT min(least(da, db)) FROM w2),
+  (SELECT min(least(da, db)) FROM w3),
+  (SELECT min(least(gdist(a, 6), gdist(b, 6))) FROM w3)) AS min_dist
+"""
+
+# q_psi_by_source: per-bin contrib = round(scalar expr of counts, 6)
+# (deterministic, no aggregation) then psi = round(sum(contrib), 6)
+# (order-sensitive sum of 10 rounded doubles). Audit both grids.
+MANUAL['q_psi_by_source'] = """
+WITH r AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 0),
+c AS (SELECT source, n_chars FROM documents WHERE doc_id % 2 = 1),
+bs AS (SELECT quantile_cont(n_chars,
+    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS b FROM r),
+rb AS (SELECT CAST(1 + len(list_filter(bs.b,
+      x -> CAST(n_chars AS DOUBLE) > x)) AS INTEGER) AS bucket,
+    count(*) AS nr FROM r, bs GROUP BY 1),
+ax AS (SELECT unnest(generate_series(1, 10)) AS bucket),
+rb2 AS (SELECT ax.bucket, coalesce(nr, 0) AS nr
+        FROM ax LEFT JOIN rb USING (bucket)),
+tr AS (SELECT sum(nr)::DOUBLE AS tr FROM rb2),
+cb AS (SELECT source, CAST(1 + len(list_filter(bs.b,
+      x -> CAST(n_chars AS DOUBLE) > x)) AS INTEGER) AS bucket,
+    count(*) AS nc FROM c, bs GROUP BY 1, 2),
+st AS (SELECT source, sum(nc)::DOUBLE AS tc FROM cb GROUP BY 1),
+grid AS (SELECT st.source, rb2.bucket, rb2.nr, st.tc,
+    coalesce(cb.nc, 0) AS nc
+  FROM st CROSS JOIN rb2 LEFT JOIN cb
+    ON cb.source = st.source AND cb.bucket = rb2.bucket),
+sc AS (SELECT source, tc,
+    round((greatest(nr / tr, 1e-6) - greatest(nc / tc, 1e-6)) *
+      ln(greatest(nr / tr, 1e-6) / greatest(nc / tc, 1e-6)), 6) AS contrib,
+    gdist((greatest(nr / tr, 1e-6) - greatest(nc / tc, 1e-6)) *
+      ln(greatest(nr / tr, 1e-6) / greatest(nc / tc, 1e-6)), 6) AS dc
+    FROM grid, tr)
+SELECT least(
+  (SELECT min(dc) FROM sc),
+  (SELECT min(gdist(sum(contrib), 6)) FROM sc GROUP BY source)) AS min_dist
+"""
+
+# q_hybrid_retrieval: bm25 scores round at 6 then rank; rrf sums round
+# at 6 then rank; dense cosine rounds at 6 then ranks. A rank flip
+# needs the underlying unrounded value to flip its rounding, so the
+# margin of every rounded value IS the query's margin.
+MANUAL['q_hybrid_retrieval'] = """
+WITH tk AS (SELECT doc_id,
+    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents),
+tok AS (SELECT doc_id, token FROM tk WHERE token <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+n AS (SELECT count(*) AS n_docs FROM documents),
+ad AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+qt AS (SELECT doc_id, token, count(*) AS tf FROM tok
+       WHERE token IN ('spark', 'vector') GROUP BY doc_id, token),
+dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
+        WHERE token IN ('spark', 'vector') GROUP BY token),
+bm AS (SELECT qt.doc_id,
+    round(sum(
+      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6)
+      AS score,
+    gdist(sum(
+      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6)
+      AS ds
+  FROM qt, dfq, dl, n, ad
+  WHERE qt.token = dfq.token AND qt.doc_id = dl.doc_id
+    AND qt.doc_id <> 7
+  GROUP BY qt.doc_id),
+lex AS (SELECT doc_id, rk FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+      AS rk FROM bm) WHERE rk <= 50),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+qv AS (SELECT emb AS qemb FROM base WHERE vec_id = 7),
+cosd AS (SELECT gdist(list_cosine_similarity(emb, qemb), 6) AS dco
+         FROM base, qv WHERE vec_id <> 7),
+dense AS (SELECT doc_id, rk FROM (
+    SELECT vec_id AS doc_id,
+      row_number() OVER (
+        ORDER BY round(list_cosine_similarity(emb, qemb), 6) DESC,
+                 vec_id) AS rk
+    FROM base, qv WHERE vec_id <> 7) WHERE rk <= 50),
+u AS (SELECT * FROM lex UNION ALL SELECT * FROM dense),
+f AS (SELECT doc_id, count(*) AS n_lists,
+    gdist(sum(1.0 / (60 + rk)), 6) AS drrf FROM u GROUP BY 1)
+SELECT least(
+  (SELECT min(ds) FROM bm),
+  (SELECT min(dco) FROM cosd),
+  (SELECT min(drrf) FROM f)) AS min_dist
+"""
+
+for name, sql in MANUAL.items():
+    audit(name, sql)
