@@ -138,10 +138,11 @@ sc AS (SELECT source, tc,
       ln(greatest(nr / tr, 1e-6) / greatest(nc / tc, 1e-6)), 6) AS contrib,
     gdist((greatest(nr / tr, 1e-6) - greatest(nc / tc, 1e-6)) *
       ln(greatest(nr / tr, 1e-6) / greatest(nc / tc, 1e-6)), 6) AS dc
-    FROM grid, tr)
+    FROM grid, tr),
+ps AS (SELECT source, sum(contrib) AS psum FROM sc GROUP BY source)
 SELECT least(
   (SELECT min(dc) FROM sc),
-  (SELECT min(gdist(sum(contrib), 6)) FROM sc GROUP BY source)) AS min_dist
+  (SELECT min(gdist(psum, 6)) FROM ps)) AS min_dist
 """
 
 # q_hybrid_retrieval: bm25 scores round at 6 then rank; rrf sums round
