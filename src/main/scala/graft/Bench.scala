@@ -88,7 +88,9 @@ object Bench {
     "q_bradley_terry", "q_win_matrix", "q_distinctive_terms",
     "q_platt_per_group", "q_psi", "q_ks", "q_bootstrap_ci",
     "q_quantile_normalize", "q_media_meta", "q_uncertainty_sample",
-    "q_psi_by_source", "q_krippendorff", "q_kappa_matrix")
+    "q_psi_by_source", "q_krippendorff", "q_kappa_matrix",
+    // round-12 additions: the real multimodal model stage
+    "q_multimodal_model")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

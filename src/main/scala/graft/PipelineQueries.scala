@@ -6848,6 +6848,103 @@ object PipelineQueries {
           col("uncertainty"))
     },
 
+    // The multimodal ML-MODEL stage, end-to-end and REAL (the family's
+    // former stub): a mixed binary column (real PNGs, real WAVs, junk
+    // bytes) is magic-byte routed, decoded by the actual JRE codecs,
+    // and scored by per-modality logistic heads TRAINED IN-PIPELINE on
+    // the decoded stats (labels = even docs, y = parity of doc_id/2).
+    // The oracle recomputes the features from the synthesizer closed
+    // forms (pinned to the real decode by q_image_decode /
+    // q_audio_decode), unrolls BOTH 3-step GD fits (the q_lr_quality
+    // convention), and re-derives every score and verdict — so the
+    // hash covers routing, decode, training and application at once.
+    q("q_multimodal_model",
+      """WITH img AS (SELECT doc_id,
+        |    (doc_id % 256) / 255.0 AS x1,
+        |    ((doc_id // 256) % 256) / 255.0 AS x2,
+        |    ((doc_id * 7) % 256) / 255.0 AS x3
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |aud AS (SELECT doc_id,
+        |    (1000 + (doc_id % 100) * 10) / 32767.0 AS x1,
+        |    (1000 + (doc_id % 100) * 10) / 32767.0 AS x2
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |lbl AS (SELECT doc_id, CAST((doc_id % 4) // 2 AS DOUBLE) AS y
+        |        FROM documents WHERE doc_id % 2 = 0),
+        |itr AS (SELECT img.*, y FROM img JOIN lbl USING (doc_id)),
+        |atr AS (SELECT aud.*, y FROM aud JOIN lbl USING (doc_id)),
+        |ig1 AS (SELECT avg((0.5 - y) * x1) AS g1, avg((0.5 - y) * x2) AS g2,
+        |    avg((0.5 - y) * x3) AS g3, avg(0.5 - y) AS gb FROM itr),
+        |iw1 AS (SELECT round(-g1, 9) AS w1, round(-g2, 9) AS w2,
+        |    round(-g3, 9) AS w3, round(-gb, 9) AS b FROM ig1),
+        |ig2 AS (SELECT
+        |    avg((1/(1+exp(-(w1*x1 + w2*x2 + w3*x3 + b))) - y) * x1) AS g1,
+        |    avg((1/(1+exp(-(w1*x1 + w2*x2 + w3*x3 + b))) - y) * x2) AS g2,
+        |    avg((1/(1+exp(-(w1*x1 + w2*x2 + w3*x3 + b))) - y) * x3) AS g3,
+        |    avg(1/(1+exp(-(w1*x1 + w2*x2 + w3*x3 + b))) - y) AS gb
+        |  FROM itr, iw1),
+        |iw2 AS (SELECT round(iw1.w1 - ig2.g1, 9) AS w1,
+        |    round(iw1.w2 - ig2.g2, 9) AS w2, round(iw1.w3 - ig2.g3, 9) AS w3,
+        |    round(iw1.b - ig2.gb, 9) AS b FROM iw1, ig2),
+        |ig3 AS (SELECT
+        |    avg((1/(1+exp(-(w1*x1 + w2*x2 + w3*x3 + b))) - y) * x1) AS g1,
+        |    avg((1/(1+exp(-(w1*x1 + w2*x2 + w3*x3 + b))) - y) * x2) AS g2,
+        |    avg((1/(1+exp(-(w1*x1 + w2*x2 + w3*x3 + b))) - y) * x3) AS g3,
+        |    avg(1/(1+exp(-(w1*x1 + w2*x2 + w3*x3 + b))) - y) AS gb
+        |  FROM itr, iw2),
+        |iw3 AS (SELECT round(iw2.w1 - ig3.g1, 9) AS w1,
+        |    round(iw2.w2 - ig3.g2, 9) AS w2, round(iw2.w3 - ig3.g3, 9) AS w3,
+        |    round(iw2.b - ig3.gb, 9) AS b FROM iw2, ig3),
+        |ag1 AS (SELECT avg((0.5 - y) * x1) AS g1, avg((0.5 - y) * x2) AS g2,
+        |    avg(0.5 - y) AS gb FROM atr),
+        |aw1 AS (SELECT round(-g1, 9) AS w1, round(-g2, 9) AS w2,
+        |    round(-gb, 9) AS b FROM ag1),
+        |ag2 AS (SELECT
+        |    avg((1/(1+exp(-(w1*x1 + w2*x2 + b))) - y) * x1) AS g1,
+        |    avg((1/(1+exp(-(w1*x1 + w2*x2 + b))) - y) * x2) AS g2,
+        |    avg(1/(1+exp(-(w1*x1 + w2*x2 + b))) - y) AS gb
+        |  FROM atr, aw1),
+        |aw2 AS (SELECT round(aw1.w1 - ag2.g1, 9) AS w1,
+        |    round(aw1.w2 - ag2.g2, 9) AS w2, round(aw1.b - ag2.gb, 9) AS b
+        |  FROM aw1, ag2),
+        |ag3 AS (SELECT
+        |    avg((1/(1+exp(-(w1*x1 + w2*x2 + b))) - y) * x1) AS g1,
+        |    avg((1/(1+exp(-(w1*x1 + w2*x2 + b))) - y) * x2) AS g2,
+        |    avg(1/(1+exp(-(w1*x1 + w2*x2 + b))) - y) AS gb
+        |  FROM atr, aw2),
+        |aw3 AS (SELECT round(aw2.w1 - ag3.g1, 9) AS w1,
+        |    round(aw2.w2 - ag3.g2, 9) AS w2, round(aw2.b - ag3.gb, 9) AS b
+        |  FROM aw2, ag3),
+        |scored AS (
+        |  SELECT doc_id, 'image' AS modality,
+        |    round(1/(1+exp(-(w1*x1 + w2*x2 + w3*x3 + b))), 6) AS score
+        |  FROM img, iw3
+        |  UNION ALL
+        |  SELECT doc_id, 'audio',
+        |    round(1/(1+exp(-(w1*x1 + w2*x2 + b))), 6)
+        |  FROM aud, aw3
+        |  UNION ALL
+        |  SELECT doc_id, 'unknown', CAST(NULL AS DOUBLE)
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id, modality, score,
+        |  CASE WHEN score IS NULL THEN 'quarantine'
+        |       WHEN score >= 0.5 THEN 'keep' ELSE 'drop' END AS verdict
+        |FROM scored ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      def cls(k: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === k)
+      val media = Multimodal.syntheticPngs(cls(0))
+        .union(Multimodal.syntheticWavs(cls(1)))
+        .union(cls(2).select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"))
+          .as[Multimodal.MediaRow])
+      val labels = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"),
+          floor(pmod(col("doc_id"), lit(4)) / lit(2)).cast("double")
+            .as("label"))
+      Multimodal.mediaModelStage(media, labels)
+        .orderBy(col("doc_id"))
+    },
+
     // Per-source PSI drill-down vs the shared (even-half) reference:
     // the oracle rebuilds the literal bin axis, the shared ref
     // digest, every source's bucket counts and the per-bin

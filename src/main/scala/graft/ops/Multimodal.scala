@@ -14,11 +14,13 @@ import org.apache.spark.sql.functions._
   * [[decodeImages]]/[[resizeImages]]), audio via javax.sound.sampled
   * (WAV/AIFF/AU PCM — [[decodeAudio]]), and multi-frame video via
   * animated GIF ([[decodeFrames]] — frame-indexed ImageReader access,
-  * the JDK's only multi-frame container). Only the ML-model stages
-  * (vision-encoder features, `featureStub`; generic codec-free metadata,
-  * `decodeStub`) remain deterministic stand-ins, because no model
-  * runtime ships with this container — honest stubs with real plumbing
-  * around them.
+  * the JDK's only multi-frame container). The ML-MODEL stage is real:
+  * [[mediaModelStage]] trains per-modality logistic heads on decoded
+  * media statistics (the reproducible-training contract) and applies
+  * them as one narrow literal-weight scorer. A heavyweight EXTERNAL
+  * model runtime (vision encoder, NSFW net) still has no container to
+  * run in, so `featureStub`/`decodeStub` remain as the documented
+  * mapPartitions batch shape such a runtime would drop into.
   */
 object Multimodal {
 
@@ -225,28 +227,40 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-          catch { case _: Exception => null }
-        if (img == null) ImageMeta(r.doc_id, decode_ok = false, -1, -1, -1, -1, -1)
-        else {
-          val (w, h) = (img.getWidth, img.getHeight)
-          var (sr, sg, sb) = (0L, 0L, 0L)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val p = img.getRGB(x, y)
-              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-              x += 1
-            }
-            y += 1
-          }
-          val n = math.max(1L, w.toLong * h)
-          ImageMeta(r.doc_id, decode_ok = true, w, h,
-            (sr / n).toInt, (sg / n).toInt, (sb / n).toInt)
+        decodeImagePayload(r.payload) match {
+          case Some((w, h, mr, mg, mb)) =>
+            ImageMeta(r.doc_id, decode_ok = true, w, h, mr, mg, mb)
+          case None =>
+            ImageMeta(r.doc_id, decode_ok = false, -1, -1, -1, -1, -1)
         }
       }
+    }
+  }
+
+  /** Per-row image decode: (width, height, mean_r, mean_g, mean_b) via
+    * ImageIO, None on any malformed payload — the shared kernel of
+    * [[decodeImages]] and [[modelFeatures]]. */
+  private def decodeImagePayload(
+      payload: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = math.max(1L, w.toLong * h)
+      Some((w, h, (sr / n).toInt, (sg / n).toInt, (sb / n).toInt))
     }
   }
 
@@ -298,21 +312,23 @@ object Multimodal {
     * the payload itself is never copied or decoded. */
   def sniffFormat(media: Dataset[MediaRow]): Dataset[FormatSniff] = {
     import media.sparkSession.implicits._
-    media.map { r =>
-      val b = r.payload
-      def at(i: Int): Int = if (i < b.length) b(i) & 0xff else -1
-      val fmt =
-        if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G')
-          "png"
-        else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) "jpeg"
-        else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' &&
-          at(3) == '8') "gif"
-        else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' &&
-          at(3) == 'F' && at(8) == 'W' && at(9) == 'A' && at(10) == 'V' &&
-          at(11) == 'E') "wav"
-        else "unknown"
-      FormatSniff(r.doc_id, fmt, b.length.toLong)
-    }
+    media.map(r => FormatSniff(r.doc_id, sniffBytes(r.payload),
+      r.payload.length.toLong))
+  }
+
+  /** The magic-byte check itself — shared by [[sniffFormat]] and
+    * [[modelFeatures]] (one sniff implementation, one routing truth). */
+  private def sniffBytes(b: Array[Byte]): String = {
+    def at(i: Int): Int = if (i < b.length) b(i) & 0xff else -1
+    if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G')
+      "png"
+    else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) "jpeg"
+    else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' &&
+      at(3) == '8') "gif"
+    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' &&
+      at(3) == 'F' && at(8) == 'W' && at(9) == 'A' && at(10) == 'V' &&
+      at(11) == 'E') "wav"
+    else "unknown"
   }
 
   /** Deterministic real JPEGs (ImageIO "jpg" writer) — solid-color
@@ -530,41 +546,51 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        try {
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(r.payload))
-          val fmt = in.getFormat
-          val bytes = in.readAllBytes()
-          in.close()
-          // the stats loop below reads 16-bit samples — any other width
-          // would pair unrelated bytes into garbage shorts while still
-          // claiming decode_ok, so reject it explicitly
-          require(fmt.getSampleSizeInBits == 16,
-            s"unsupported sample width ${fmt.getSampleSizeInBits}")
-          val le = !fmt.isBigEndian
-          val n = bytes.length / 2
-          var (peak, sumAbs) = (0L, 0L)
-          var i = 0
-          while (i < n) {
-            val lo = bytes(2 * i) & 0xff
-            val hi = bytes(2 * i + 1) & 0xff
-            val s = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort.toInt
-            val a = math.abs(s.toLong)
-            if (a > peak) peak = a
-            sumAbs += a
-            i += 1
-          }
-          AudioMeta(r.doc_id, decode_ok = true,
-            fmt.getSampleRate.toInt, fmt.getChannels,
-            n / math.max(1, fmt.getChannels),
-            peak.toInt, (sumAbs / math.max(1, n)).toInt)
-        } catch {
-          case _: Exception =>
+        decodeAudioPayload(r.payload) match {
+          case Some((rate, ch, n, peak, meanAbs)) =>
+            AudioMeta(r.doc_id, decode_ok = true, rate, ch, n, peak, meanAbs)
+          case None =>
             AudioMeta(r.doc_id, decode_ok = false, -1, -1, -1, -1, -1)
         }
       }
     }
   }
+
+  /** Per-row audio decode: (sample_rate, channels, n_samples, peak,
+    * mean_abs) via AudioSystem, None on any malformed payload — the
+    * shared kernel of [[decodeAudio]] and [[modelFeatures]]. */
+  private def decodeAudioPayload(
+      payload: Array[Byte]): Option[(Int, Int, Int, Int, Int)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = in.getFormat
+      val bytes = in.readAllBytes()
+      in.close()
+      // the stats loop below reads 16-bit samples — any other width
+      // would pair unrelated bytes into garbage shorts while still
+      // claiming decode_ok, so reject it explicitly
+      require(fmt.getSampleSizeInBits == 16,
+        s"unsupported sample width ${fmt.getSampleSizeInBits}")
+      val le = !fmt.isBigEndian
+      val n = bytes.length / 2
+      var (peak, sumAbs) = (0L, 0L)
+      var i = 0
+      while (i < n) {
+        val lo = bytes(2 * i) & 0xff
+        val hi = bytes(2 * i + 1) & 0xff
+        val s = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort.toInt
+        val a = math.abs(s.toLong)
+        if (a > peak) peak = a
+        sumAbs += a
+        i += 1
+      }
+      Some((fmt.getSampleRate.toInt, fmt.getChannels,
+        n / math.max(1, fmt.getChannels),
+        peak.toInt, (sumAbs / math.max(1, n)).toInt))
+    } catch {
+      case _: Exception => None
+    }
 
   /** REAL feature extraction over DECODED pixels: decode via ImageIO,
     * then histogram the raster's RGB byte values into 8 buckets
@@ -629,5 +655,111 @@ object Multimodal {
         }
       }
     }
+  }
+
+  final case class MediaModelFeatures(doc_id: Long, modality: String,
+      decode_ok: Boolean, f1: Double, f2: Double, f3: Double)
+
+  /** One-pass sniff + decode + featurize for [[mediaModelStage]]: each
+    * payload is magic-byte-routed ([[sniffBytes]]) and decoded by the
+    * matching REAL codec, and the decoded stats normalize into a flat
+    * per-modality feature row —
+    *
+    *  - image (png/jpeg/gif): f1..f3 = mean R/G/B ÷ 255 (ImageIO)
+    *  - audio (wav): f1 = peak ÷ 32767, f2 = mean|x| ÷ 32767, f3 = 0
+    *  - unknown / failed decode: decode_ok = false, zero features
+    *
+    * ONE narrow scan of the binary column covers every modality (the
+    * 100 TB shape: no per-modality re-read; the payload never outlives
+    * its partition iterator). */
+  def modelFeatures(media: Dataset[MediaRow]): Dataset[MediaModelFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        sniffBytes(r.payload) match {
+          case "png" | "jpeg" | "gif" =>
+            decodeImagePayload(r.payload) match {
+              case Some((_, _, mr, mg, mb)) =>
+                MediaModelFeatures(r.doc_id, "image", decode_ok = true,
+                  mr / 255.0, mg / 255.0, mb / 255.0)
+              case None =>
+                MediaModelFeatures(r.doc_id, "image", decode_ok = false,
+                  0.0, 0.0, 0.0)
+            }
+          case "wav" =>
+            decodeAudioPayload(r.payload) match {
+              case Some((_, _, _, peak, meanAbs)) =>
+                MediaModelFeatures(r.doc_id, "audio", decode_ok = true,
+                  peak / 32767.0, meanAbs / 32767.0, 0.0)
+              case None =>
+                MediaModelFeatures(r.doc_id, "audio", decode_ok = false,
+                  0.0, 0.0, 0.0)
+            }
+          case other =>
+            MediaModelFeatures(r.doc_id, other, decode_ok = false,
+              0.0, 0.0, 0.0)
+        }
+      }
+    }
+  }
+
+  /** The multimodal ML-MODEL stage — the real head that completes the
+    * sniff → decode → feature → model → verdict pipeline (formerly the
+    * family's one stub): a per-modality logistic quality model TRAINED
+    * IN-PIPELINE on decoded-media statistics via
+    * [[graft.ops.Classifier.trainLogistic]] (the reproducible-training
+    * contract: full-batch GD, fixed iterations, 9-decimal weight
+    * quantization per step — any engine re-deriving the same averages
+    * lands on bit-identical weights, which is what makes a TRAINED
+    * model stage hash-oracle-able), then applied to every media row as
+    * one narrow literal-weight expression.
+    *
+    * `labels` is the (idCol, `label` ∈ {0,1}) frame of human/weak
+    * labels — at 100 TB a labeled subset, orders smaller than the
+    * corpus. Scale shape: ONE binary-column scan for scoring
+    * ([[modelFeatures]]); the labeled training slice is pinned
+    * ([[Guards.pin]] — labeled-set-sized, read `iterations`+1 times by
+    * the GD aggregates without re-decoding); scoring weights are plan
+    * literals (the [[graft.ops.Kmeans]] assignment shape), so the
+    * scorer fuses into the scan.
+    *
+    * Output, one row per media row: (doc_id, modality, score, verdict)
+    * — verdict `quarantine` (unknown format or failed decode, score
+    * NULL), `unscored` (modality had no labeled decodable rows, score
+    * NULL), else `keep`/`drop` by the ROUNDED score vs 0.5 (the
+    * 6-decimal output contract — a cross-engine-total decision rule). */
+  def mediaModelStage(media: Dataset[MediaRow], labels: DataFrame,
+      idCol: String = "doc_id", labelCol: String = "label",
+      iterations: Int = 3, lr: Double = 1.0): DataFrame = {
+    val modalityCols: Seq[(String, Seq[String])] = Seq(
+      "image" -> Seq("f1", "f2", "f3"),
+      "audio" -> Seq("f1", "f2"))
+    val feats = modelFeatures(media).toDF()
+    val train = Guards.pin(feats
+      .join(labels.select(col(idCol).as("doc_id"),
+        col(labelCol).cast("double").as("_y")), "doc_id")
+      .filter(col("decode_ok")))
+    val heads = modalityCols.flatMap { case (mod, cols) =>
+      val tr = train.filter(col("modality") === mod)
+      if (tr.isEmpty) None
+      else Some(mod -> (cols, Classifier.trainLogistic(
+        tr, cols, "_y", iterations, lr)))
+    }.toMap
+    val score = heads.foldLeft(lit(null).cast("double")) {
+      case (acc, (mod, (cols, m))) =>
+        val z = cols.zip(m.weights).foldLeft(lit(m.bias)) {
+          case (a, (c, w)) => a + col(c) * lit(w)
+        }
+        when(col("modality") === mod && col("decode_ok"),
+          lit(1.0) / (lit(1.0) + exp(-z))).otherwise(acc)
+    }
+    feats.select(col("doc_id"), col("modality"),
+        round(score, 6).as("score"), col("decode_ok"))
+      .withColumn("verdict",
+        when(!col("decode_ok"), lit("quarantine"))
+          .when(col("score").isNull, lit("unscored"))
+          .when(col("score") >= 0.5, lit("keep"))
+          .otherwise(lit("drop")))
+      .drop("decode_ok")
   }
 }

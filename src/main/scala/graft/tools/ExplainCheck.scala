@@ -421,6 +421,20 @@ object ExplainCheck {
     println(graft.ops.Classifier.scorePlattPerGroup(docs, plattModel,
         "source", col("n_chars") / org.apache.spark.sql.functions.lit(1000.0))
       .queryExecution.explainString(fmt))
+    println("########## op:Multimodal.mediaModelStage (trained literal-weight scorer: one media scan, no join)")
+    locally {
+      import org.apache.spark.sql.functions.{floor, lit, pmod}
+      val media = graft.ops.Multimodal.syntheticPngs(
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+        .union(graft.ops.Multimodal.syntheticWavs(
+          docs.filter(pmod(col("doc_id"), lit(3)) === 1)))
+      val labels = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"),
+          floor(pmod(col("doc_id"), lit(4)) / lit(2)).cast("double")
+            .as("label"))
+      println(graft.ops.Multimodal.mediaModelStage(media, labels)
+        .queryExecution.explainString(fmt))
+    }
     spark.stop()
   }
 }

@@ -514,6 +514,28 @@ class PlanSpec extends AnyFunSuite {
     assert(math.abs(joined.first().getDouble(0) - expect) < 1e-6)
   }
 
+  test("mediaModelStage: scoring is one narrow literal-weight pass — no join, no shuffle") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val media = graft.ops.Multimodal.syntheticPngs(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+      .union(graft.ops.Multimodal.syntheticWavs(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 1)))
+    val labels = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id"),
+        floor(pmod(col("doc_id"), lit(4)) / lit(2)).cast("double")
+          .as("label"))
+    // training happens eagerly inside the call (bounded GD aggregates);
+    // the RETURNED scorer must be a pure narrow pass over the media
+    // scan: trained weights are plan literals, so no Exchange and no
+    // Join may appear anywhere in the scoring plan
+    val p = graft.ops.Multimodal.mediaModelStage(media, labels)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"scoring must not shuffle (weights are literals):\n$p")
+    assert(!p.contains("Join"), s"scoring must not join:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→agg hot path") {
     // AQE reveals codegen spans only in the final (post-execution) plan
     val df = SparkEntry.queries("q_agg_pricing")(spark, sfDir)

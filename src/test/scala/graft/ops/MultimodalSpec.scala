@@ -243,4 +243,74 @@ class MultimodalSpec extends AnyFunSuite {
         m.duration_ms.isEmpty,
         "container sniffs as wav; the oversized chunk yields NULLs")
   }
+
+  test("mediaModelStage: routes, trains real heads, scores, quarantines") {
+    import org.apache.spark.sql.functions._
+    val ids = (0L until 60L).toSeq
+    val media = Multimodal.syntheticPngs(
+        ids.filter(_ % 3 == 0).toDF("doc_id"))
+      .union(Multimodal.syntheticWavs(ids.filter(_ % 3 == 1).toDF("doc_id")))
+      .union(ids.filter(_ % 3 == 2)
+        .map(id => Multimodal.MediaRow(id, s"junk $id".getBytes("UTF-8")))
+        .toDS())
+    val labels = ids.filter(_ % 2 == 0)
+      .map(id => (id, ((id % 4) / 2).toDouble)).toDF("doc_id", "label")
+    val out = Multimodal.mediaModelStage(media, labels).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 60)
+    ids.foreach { id =>
+      val r = out(id)
+      (id % 3) match {
+        case 0 =>
+          assert(r.getString(1) === "image")
+          val s = r.getDouble(2)
+          assert(s > 0.0 && s < 1.0)
+          assert(r.getString(3) === (if (s >= 0.5) "keep" else "drop"))
+        case 1 =>
+          assert(r.getString(1) === "audio")
+          assert(!r.isNullAt(2))
+        case _ =>
+          assert(r.getString(1) === "unknown")
+          assert(r.isNullAt(2) && r.getString(3) === "quarantine")
+      }
+    }
+    // both verdicts occur (the head is a real discriminator, not a
+    // constant): labels alternate with parity of id/2, features vary
+    val verdicts = ids.filter(_ % 3 == 0).map(out(_).getString(3)).toSet
+    assert(verdicts.subsetOf(Set("keep", "drop")))
+  }
+
+  test("mediaModelStage: failed decode quarantines; unlabeled modality is unscored") {
+    import org.apache.spark.sql.functions._
+    // a PNG-magic payload that does not decode -> image + quarantine;
+    // real WAVs with NO audio labels -> audio head untrained -> unscored
+    val badPng = Multimodal.MediaRow(1L,
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 9, 9, 9))
+    val media = Multimodal.syntheticPngs(Seq(2L, 4L, 6L, 8L).toDF("doc_id"))
+      .union(Multimodal.syntheticWavs(Seq(10L, 12L).toDF("doc_id")))
+      .union(Seq(badPng).toDS())
+    val labels = Seq((2L, 0.0), (4L, 1.0), (6L, 0.0), (8L, 1.0))
+      .toDF("doc_id", "label") // image labels only
+    val out = Multimodal.mediaModelStage(media, labels).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) === "image" && out(1L).isNullAt(2) &&
+      out(1L).getString(3) === "quarantine")
+    Seq(10L, 12L).foreach { id =>
+      assert(out(id).getString(1) === "audio" && out(id).isNullAt(2) &&
+        out(id).getString(3) === "unscored")
+    }
+    Seq(2L, 4L, 6L, 8L).foreach(id => assert(!out(id).isNullAt(2)))
+  }
+
+  test("mediaModelStage: repartition-invariant scores (quantized training)") {
+    val ids = (0L until 30L).toSeq
+    def media(parts: Int) = Multimodal.syntheticPngs(
+      ids.toDF("doc_id").repartition(parts))
+    val labels = ids.filter(_ % 2 == 0)
+      .map(id => (id, ((id % 4) / 2).toDouble)).toDF("doc_id", "label")
+    def run(parts: Int) = Multimodal.mediaModelStage(media(parts), labels)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(run(1) === run(7))
+  }
 }

@@ -196,5 +196,89 @@ SELECT least(
   (SELECT min(drrf) FROM f)) AS min_dist
 """
 
+# q_multimodal_model: both GD fits quantize weights at 9 per step
+# (rounds in CTEs feed downstream), final scores round at 6. Audit
+# every step's gradient-update distances and the final score grids.
+MANUAL['q_multimodal_model'] = """
+WITH img AS (SELECT doc_id,
+    (doc_id % 256) / 255.0 AS x1,
+    ((doc_id // 256) % 256) / 255.0 AS x2,
+    ((doc_id * 7) % 256) / 255.0 AS x3
+  FROM documents WHERE doc_id % 3 = 0),
+aud AS (SELECT doc_id,
+    (1000 + (doc_id % 100) * 10) / 32767.0 AS x1,
+    (1000 + (doc_id % 100) * 10) / 32767.0 AS x2
+  FROM documents WHERE doc_id % 3 = 1),
+lbl AS (SELECT doc_id, CAST((doc_id % 4) // 2 AS DOUBLE) AS y
+        FROM documents WHERE doc_id % 2 = 0),
+itr AS (SELECT img.*, y FROM img JOIN lbl USING (doc_id)),
+atr AS (SELECT aud.*, y FROM aud JOIN lbl USING (doc_id)),
+ig1 AS (SELECT avg((0.5 - y) * x1) AS g1, avg((0.5 - y) * x2) AS g2,
+    avg((0.5 - y) * x3) AS g3, avg(0.5 - y) AS gb FROM itr),
+iw1 AS (SELECT round(-g1, 9) AS w1, round(-g2, 9) AS w2,
+    round(-g3, 9) AS w3, round(-gb, 9) AS b,
+    least(gdist(-g1, 9), gdist(-g2, 9), gdist(-g3, 9), gdist(-gb, 9)) AS d
+  FROM ig1),
+ig2 AS (SELECT
+    avg((1/(1+exp(-(w1*x1 + w2*x2 + w3*x3 + b))) - y) * x1) AS g1,
+    avg((1/(1+exp(-(w1*x1 + w2*x2 + w3*x3 + b))) - y) * x2) AS g2,
+    avg((1/(1+exp(-(w1*x1 + w2*x2 + w3*x3 + b))) - y) * x3) AS g3,
+    avg(1/(1+exp(-(w1*x1 + w2*x2 + w3*x3 + b))) - y) AS gb
+  FROM itr, iw1),
+iw2 AS (SELECT round(iw1.w1 - ig2.g1, 9) AS w1,
+    round(iw1.w2 - ig2.g2, 9) AS w2, round(iw1.w3 - ig2.g3, 9) AS w3,
+    round(iw1.b - ig2.gb, 9) AS b,
+    least(gdist(iw1.w1 - ig2.g1, 9), gdist(iw1.w2 - ig2.g2, 9),
+      gdist(iw1.w3 - ig2.g3, 9), gdist(iw1.b - ig2.gb, 9)) AS d
+  FROM iw1, ig2),
+ig3 AS (SELECT
+    avg((1/(1+exp(-(w1*x1 + w2*x2 + w3*x3 + b))) - y) * x1) AS g1,
+    avg((1/(1+exp(-(w1*x1 + w2*x2 + w3*x3 + b))) - y) * x2) AS g2,
+    avg((1/(1+exp(-(w1*x1 + w2*x2 + w3*x3 + b))) - y) * x3) AS g3,
+    avg(1/(1+exp(-(w1*x1 + w2*x2 + w3*x3 + b))) - y) AS gb
+  FROM itr, iw2),
+iw3 AS (SELECT round(iw2.w1 - ig3.g1, 9) AS w1,
+    round(iw2.w2 - ig3.g2, 9) AS w2, round(iw2.w3 - ig3.g3, 9) AS w3,
+    round(iw2.b - ig3.gb, 9) AS b,
+    least(gdist(iw2.w1 - ig3.g1, 9), gdist(iw2.w2 - ig3.g2, 9),
+      gdist(iw2.w3 - ig3.g3, 9), gdist(iw2.b - ig3.gb, 9)) AS d
+  FROM iw2, ig3),
+ag1 AS (SELECT avg((0.5 - y) * x1) AS g1, avg((0.5 - y) * x2) AS g2,
+    avg(0.5 - y) AS gb FROM atr),
+aw1 AS (SELECT round(-g1, 9) AS w1, round(-g2, 9) AS w2,
+    round(-gb, 9) AS b,
+    least(gdist(-g1, 9), gdist(-g2, 9), gdist(-gb, 9)) AS d FROM ag1),
+ag2 AS (SELECT
+    avg((1/(1+exp(-(w1*x1 + w2*x2 + b))) - y) * x1) AS g1,
+    avg((1/(1+exp(-(w1*x1 + w2*x2 + b))) - y) * x2) AS g2,
+    avg(1/(1+exp(-(w1*x1 + w2*x2 + b))) - y) AS gb
+  FROM atr, aw1),
+aw2 AS (SELECT round(aw1.w1 - ag2.g1, 9) AS w1,
+    round(aw1.w2 - ag2.g2, 9) AS w2, round(aw1.b - ag2.gb, 9) AS b,
+    least(gdist(aw1.w1 - ag2.g1, 9), gdist(aw1.w2 - ag2.g2, 9),
+      gdist(aw1.b - ag2.gb, 9)) AS d
+  FROM aw1, ag2),
+ag3 AS (SELECT
+    avg((1/(1+exp(-(w1*x1 + w2*x2 + b))) - y) * x1) AS g1,
+    avg((1/(1+exp(-(w1*x1 + w2*x2 + b))) - y) * x2) AS g2,
+    avg(1/(1+exp(-(w1*x1 + w2*x2 + b))) - y) AS gb
+  FROM atr, aw2),
+aw3 AS (SELECT round(aw2.w1 - ag3.g1, 9) AS w1,
+    round(aw2.w2 - ag3.g2, 9) AS w2, round(aw2.b - ag3.gb, 9) AS b,
+    least(gdist(aw2.w1 - ag3.g1, 9), gdist(aw2.w2 - ag3.g2, 9),
+      gdist(aw2.b - ag3.gb, 9)) AS d
+  FROM aw2, ag3),
+ds AS (
+  SELECT gdist(1/(1+exp(-(w1*x1 + w2*x2 + w3*x3 + b))), 6) AS d
+  FROM img, iw3
+  UNION ALL
+  SELECT gdist(1/(1+exp(-(w1*x1 + w2*x2 + b))), 6) FROM aud, aw3)
+SELECT least(
+  (SELECT min(d) FROM ds),
+  (SELECT d FROM iw1), (SELECT d FROM iw2), (SELECT d FROM iw3),
+  (SELECT d FROM aw1), (SELECT d FROM aw2), (SELECT d FROM aw3))
+  AS min_dist
+"""
+
 for name, sql in MANUAL.items():
     audit(name, sql)
