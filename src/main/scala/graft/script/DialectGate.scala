@@ -16,6 +16,32 @@ object DialectGate {
     """(?is).*\b(intersect|except|minus)\b.*""".r.pattern
   private val DistinctAgg =
     """(?is)\w+\s*\(\s*distinct\b\s*([^)]*)\)""".r
+  // INTERVAL <qty> <unit> date arithmetic (Hive 2.3 / emr-5 only).
+  // Quoted quantities are already blanked by maskQuoted, so the value
+  // token may be empty; requiring a calendar unit keeps identifiers
+  // merely NAMED "interval" from tripping the gate.
+  private val IntervalLit =
+    ("""(?is).*\binterval\s+[^\s,()]*\s*""" +
+      """(year|month|day|hour|minute|second|week)s?\b.*""").r.pattern
+  // GROUP BY <ordinal>: Hive 2.3 groups by the SELECT position; every
+  // earlier pinned Hive groups by the integer CONSTANT (one global
+  // group) — the worst kind of break: the script RUNS and silently
+  // aggregates everything together.
+  private val GroupByPosition =
+    """(?is).*\bgroup\s+by\s+\d+\s*(,|\border\b|\bhaving\b|\blimit\b|\bunion\b|;|$).*""".r.pattern
+  // A parenthesized SELECT in VALUE position (directly after a
+  // comparison/arithmetic operator or a value-context keyword) is a
+  // scalar subquery — Hive 2.3 only. Subqueries after IN / EXISTS /
+  // FROM / JOIN stay permitted on every release; the select-list
+  // comma case is deliberately NOT matched (indistinguishable from a
+  // FROM-list comma join by regex — conservative, no false rejects).
+  private val ScalarSubquery =
+    ("""(?is)(^|[=<>!+\-*/%]|""" +
+      """\b(?:select|when|then|else|and|or|not|where|having)\b)""" +
+      """\s*\(\s*select\b""").r
+  // Builtins that first appear in Hive 2.3 (SURVEY §2.2 Misc family)
+  private val Hive23Functions =
+    """(?is)\b(md5|sha|sha1|sha2|crc32|version)\s*\(""".r
 
   /** Blank out quoted strings/identifiers so keywords inside literals
     * ('profit minus cost') can't trip the gates. */
@@ -60,7 +86,19 @@ object DialectGate {
         else if (distinctArgs.size > 1)
           Some(s"multiple DISTINCT aggregates over different expressions " +
             s"require Hive 2.3 (emr-5); $r pins Hive ${hive(r)}")
-        else None
+        else if (IntervalLit.matcher(cleaned).matches())
+          Some(s"INTERVAL literals require Hive 2.3 (emr-5); " +
+            s"$r pins Hive ${hive(r)}")
+        else if (GroupByPosition.matcher(cleaned).matches())
+          Some(s"GROUP BY position requires Hive 2.3 (emr-5); on $r " +
+            s"(Hive ${hive(r)}) the ordinal is a CONSTANT — the query " +
+            "runs but collapses to one group")
+        else if (ScalarSubquery.findFirstIn(cleaned).isDefined)
+          Some(s"scalar subqueries require Hive 2.3 (emr-5); " +
+            s"$r pins Hive ${hive(r)} — rewrite as a JOIN")
+        else Hive23Functions.findFirstMatchIn(cleaned).map(m =>
+          s"${m.group(1).toLowerCase}() requires Hive 2.3 (emr-5); " +
+            s"$r pins Hive ${hive(r)}")
       case _ => None
     }
   }

@@ -37,6 +37,77 @@ class DialectGateSpec extends AnyFunSuite {
       "SELECT count(DISTINCT a), sum(b) FROM t", Some("emr-4")).isEmpty)
   }
 
+  test("INTERVAL literals rejected below emr-5") {
+    assert(DialectGate.check(
+      "SELECT d + INTERVAL 1 DAY FROM t", Some("emr-3"))
+      .exists(_.contains("INTERVAL")))
+    assert(DialectGate.check(
+      "SELECT d - INTERVAL '7' DAY FROM t", Some("emr-4")).isDefined)
+    assert(DialectGate.check(
+      "SELECT d + INTERVAL 3 MONTHS FROM t", Some("emr-4")).isDefined)
+    assert(DialectGate.check(
+      "SELECT d + INTERVAL 1 DAY FROM t", Some("emr-5")).isEmpty)
+    // a column merely NAMED interval doesn't trip it
+    assert(DialectGate.check(
+      "SELECT `interval` FROM t", Some("emr-3")).isEmpty)
+    assert(DialectGate.check(
+      "SELECT interval FROM t WHERE x = 1", Some("emr-3")).isEmpty)
+  }
+
+  test("GROUP BY position rejected below emr-5 (silent constant-group break)") {
+    assert(DialectGate.check(
+      "SELECT a, count(*) FROM t GROUP BY 1", Some("emr-3"))
+      .exists(_.contains("GROUP BY position")))
+    assert(DialectGate.check(
+      "SELECT a, b, count(*) FROM t GROUP BY 1, 2 ORDER BY a",
+      Some("emr-4")).isDefined)
+    assert(DialectGate.check(
+      "SELECT a, count(*) FROM t GROUP BY 1", Some("emr-5")).isEmpty)
+    // grouping by an expression or a column stays allowed everywhere
+    assert(DialectGate.check(
+      "SELECT a, count(*) FROM t GROUP BY a", Some("emr-3")).isEmpty)
+    assert(DialectGate.check(
+      "SELECT x % 10, count(*) FROM t GROUP BY x % 10",
+      Some("emr-3")).isEmpty)
+  }
+
+  test("scalar subqueries rejected below emr-5; IN/EXISTS/FROM subqueries allowed") {
+    assert(DialectGate.check(
+      "SELECT a FROM t WHERE x = (SELECT max(x) FROM u)", Some("emr-3"))
+      .exists(_.contains("scalar subqueries")))
+    assert(DialectGate.check(
+      "SELECT (SELECT max(x) FROM u) FROM t", Some("emr-4")).isDefined)
+    assert(DialectGate.check(
+      "SELECT a FROM t WHERE y > (SELECT avg(y) FROM u)",
+      Some("emr-4")).isDefined)
+    assert(DialectGate.check(
+      "SELECT a FROM t WHERE x = (SELECT max(x) FROM u)",
+      Some("emr-5")).isEmpty)
+    // the always-supported subquery shapes stay green on every release
+    assert(DialectGate.check(
+      "SELECT a FROM t WHERE x IN (SELECT x FROM u)", Some("emr-3")).isEmpty)
+    assert(DialectGate.check(
+      "SELECT a FROM t WHERE EXISTS (SELECT 1 FROM u WHERE u.k = t.k)",
+      Some("emr-3")).isEmpty)
+    assert(DialectGate.check(
+      "SELECT a FROM (SELECT a FROM u) s", Some("emr-3")).isEmpty)
+    assert(DialectGate.check(
+      "SELECT a FROM t JOIN (SELECT k FROM u) s ON t.k = s.k",
+      Some("emr-3")).isEmpty)
+  }
+
+  test("Hive-2.3-only builtins rejected below emr-5") {
+    assert(DialectGate.check("SELECT md5(a) FROM t", Some("emr-3"))
+      .exists(_.contains("md5()")))
+    assert(DialectGate.check("SELECT sha2(a, 256) FROM t", Some("emr-4"))
+      .isDefined)
+    assert(DialectGate.check("SELECT crc32(a) FROM t", Some("emr-3"))
+      .isDefined)
+    assert(DialectGate.check("SELECT md5(a) FROM t", Some("emr-5")).isEmpty)
+    // a column named md5 (no call syntax) is fine
+    assert(DialectGate.check("SELECT md5 FROM t", Some("emr-3")).isEmpty)
+  }
+
   test("keywords inside comments don't trip the gate") {
     assert(DialectGate.check(
       "SELECT a FROM t -- intersect with nothing\n", Some("emr-3")).isEmpty)
