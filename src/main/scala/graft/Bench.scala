@@ -89,8 +89,8 @@ object Bench {
     "q_platt_per_group", "q_psi", "q_ks", "q_bootstrap_ci",
     "q_quantile_normalize", "q_media_meta", "q_uncertainty_sample",
     "q_psi_by_source", "q_krippendorff", "q_kappa_matrix",
-    // round-12 additions: the real multimodal model stage
-    "q_multimodal_model")
+    // round-12 additions: the real multimodal model stage + best-of-N
+    "q_multimodal_model", "q_best_of_n")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5989,6 +5989,37 @@ object PipelineQueries {
         .orderBy(col("prompt_id"))
     },
 
+    // Best-of-N rejection sampling (the Llama-2-style RSFT selection):
+    // per prompt keep the top-2 responses by reward above a floor —
+    // rounded-score ranking with STRING response ids (the id-type
+    // contract) and planted score ties so the id tie-break is pinned.
+    // The oracle recomputes the full ranking, the floor gate and the
+    // per-prompt candidate counts.
+    q("q_best_of_n",
+      """WITH r AS (SELECT doc_id // 4 AS prompt,
+        |    'r' || CAST(doc_id AS VARCHAR) AS response_id,
+        |    round(CAST(doc_id % 3 AS DOUBLE), 6) AS score
+        |  FROM documents),
+        |w AS (SELECT prompt, response_id, score,
+        |    CAST(count(*) OVER (PARTITION BY prompt) AS BIGINT)
+        |      AS n_candidates,
+        |    CAST(row_number() OVER (PARTITION BY prompt
+        |      ORDER BY score DESC, response_id) AS INTEGER) AS rank
+        |  FROM r)
+        |SELECT prompt, response_id, score, rank, n_candidates
+        |FROM w WHERE rank <= 2 AND score >= 1.0
+        |ORDER BY prompt, rank""".stripMargin) { (s, dir) =>
+      val responses = t(s, dir, "documents").select(
+        floor(col("doc_id") / lit(4)).cast("long").as("prompt"),
+        concat(lit("r"), col("doc_id").cast("string")).as("rid"),
+        pmod(col("doc_id"), lit(3)).cast("double").as("sc"))
+      graft.ops.Export.bestOfN(responses, "prompt", "rid", col("sc"),
+          k = 2, minScore = 1.0)
+        .select(col("prompt"), col("response_id"), col("score"),
+          col("rank"), col("n_candidates"))
+        .orderBy(col("prompt"), col("rank"))
+    },
+
     // End-to-end snapshot MERGE + DELETE (copy-on-write upsert): commit
     // documents, upsert patched + fresh rows, delete a key slice, read
     // the final snapshot back. The oracle recomputes the final table

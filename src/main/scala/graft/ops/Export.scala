@@ -181,6 +181,39 @@ object Export {
         col("n_candidates")): _*)
   }
 
+  /** Best-of-N rejection-sampling export — the SFT-side sibling of
+    * [[dpoPairs]] (DPO keeps a contrastive PAIR; rejection sampling
+    * keeps the WINNERS): per prompt, the top `k` responses by reward,
+    * dropped entirely when the reward is below `minScore` — the
+    * standard way an RLHF loop turns N sampled generations per prompt
+    * into supervised training data (e.g. Llama 2's rejection-sampling
+    * fine-tuning stage, Touvron et al. 2023 §3.2.2).
+    *
+    * Ranking uses the ROUNDED score with id tie-break — the
+    * [[graft.ops.Classifier.uncertaintySample]] cross-engine total
+    * order. ONE keyed shuffle on prompt; the rank filter plans as
+    * WindowGroupLimit (per-partition top-k heaps before the exchange),
+    * so per-prompt candidate counts never sort globally. Run it on the
+    * skinny (prompt, id, score) frame and join payloads back by id —
+    * response TEXT should never ride a window.
+    *
+    * Output: (prompt, response_id, score, rank, n_candidates) — ids
+    * keep their input type ([[dpoPairs]]'s contract). */
+  def bestOfN(responses: DataFrame, promptCol: String, idCol: String,
+      scoreCol: Column, k: Int,
+      minScore: Double = Double.NegativeInfinity): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val s = round(scoreCol.cast("double"), 6)
+    val part = Window.partitionBy(col(promptCol))
+    val ranked = responses
+      .select(col(promptCol), col(idCol).as("response_id"),
+        s.as("score"))
+      .withColumn("n_candidates", count(lit(1)).over(part))
+      .withColumn("rank", row_number().over(
+        part.orderBy(col("score").desc, col("response_id").asc)))
+    ranked.filter(col("rank") <= k && col("score") >= minScore)
+  }
+
   /** Deterministic per-epoch shuffle: every row gets a `shard` in
     * [0, nShards) and a dense 0-based `pos` within its shard, both pure
     * functions of (`epoch`, key) via the cross-engine md5 unit

@@ -878,6 +878,32 @@ object EventStreams {
       Seq(window(col("event_time"), windowDur), col(promptCol)),
       Seq("window", promptCol), idCol, scoreCol, minMargin)
 
+  /** Streaming best-of-1 rejection sampling — the online half of
+    * [[graft.ops.Export.bestOfN]] (k = 1): per watermark-closed window
+    * and prompt, the single best response by ROUNDED reward (id
+    * tie-break — the batch ranking order exactly), floor-gated. Ranking
+    * windows don't exist in streaming, but best-of-ONE is a
+    * lexicographic struct-min — partial-mergeable, state per open
+    * (window, prompt) = one candidate struct + a count. Rows equal the
+    * batch bestOfN(k=1) on the same rows (spec-asserted). */
+  def bestResponseStream(responses: DataFrame, promptCol: String,
+      idCol: String, scoreCol: org.apache.spark.sql.Column,
+      minScore: Double = Double.NegativeInfinity,
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    val s = round(scoreCol.cast("double"), 6)
+    responses
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowDur), col(promptCol))
+      .agg(min(struct((-s).as("ns"), col(idCol).as("id"), s.as("s")))
+          .as("_b"),
+        count(lit(1)).as("n_candidates"))
+      .select(col("window"), col(promptCol),
+        col("_b.id").as("response_id"), col("_b.s").as("score"),
+        col("n_candidates"))
+      .filter(col("score") >= minScore)
+  }
+
   /** Streaming head-to-head win rates — the arena dashboard's online
     * half ([[dpoPairsStream]] selects training pairs; this watches the
     * match log): per watermark-closed window and unordered player
@@ -891,8 +917,15 @@ object EventStreams {
       loserCol: String, z: Double = 1.96,
       watermark: String = "10 minutes",
       windowDur: String = "10 minutes"): DataFrame = {
-    val w = col(winnerCol).cast("long")
-    val l = col(loserCol).cast("long")
+    // player ids keep their input type (the batch winMatrix contract
+    // since round 12 — string model names must not NULL-cast)
+    require(outcomes.schema(winnerCol).dataType ==
+        outcomes.schema(loserCol).dataType,
+      s"winner/loser column types differ: " +
+        s"${outcomes.schema(winnerCol).dataType} vs " +
+        s"${outcomes.schema(loserCol).dataType}")
+    val w = col(winnerCol)
+    val l = col(loserCol)
     val agg = outcomes
       .select(col("event_time"), least(w, l).as("player_a"),
         greatest(w, l).as("player_b"), (w < l).cast("long").as("_aw"))

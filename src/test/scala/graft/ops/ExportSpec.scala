@@ -542,4 +542,38 @@ class ExportSpec extends AnyFunSuite {
     assert(out(0).getDouble(3) === 5.0 && out(0).getDouble(4) === 1.0)
     assert(out(0).getDouble(5) === 4.0)
   }
+
+  test("bestOfN: rounded-score ranking, id tie-break, floor gate, counts") {
+    val r = Seq(
+      ("p1", "r_c", 9.0), ("p1", "r_a", 9.0), ("p1", "r_b", 5.0),
+      ("p1", "r_d", 1.0),
+      ("p2", "r_x", 0.4), ("p2", "r_y", 0.2),
+      ("p3", "r_z", 7.0)).toDF("prompt", "rid", "score")
+    val out = Export.bestOfN(r, "prompt", "rid", col("score"),
+        k = 2, minScore = 1.0)
+      .collect().map(x => (x.getString(0), x.getString(1),
+        x.getDouble(2), x.getInt(4), x.getLong(3))).sortBy(x => (x._1, x._4))
+    assert(out.toSeq === Seq(
+      ("p1", "r_a", 9.0, 1, 4L), // tie at 9.0: smaller id ranks first
+      ("p1", "r_c", 9.0, 2, 4L),
+      ("p3", "r_z", 7.0, 1, 1L))) // p2 entirely below the floor
+  }
+
+  test("bestOfN: k larger than the group keeps the whole group, ranked") {
+    val r = Seq(("p", "a", 3.0), ("p", "b", 2.0)).toDF("prompt", "rid", "s")
+    val out = Export.bestOfN(r, "prompt", "rid", col("s"), k = 10)
+      .orderBy("rank").collect()
+    assert(out.map(_.getString(1)).toSeq === Seq("a", "b"))
+    assert(out.map(_.getInt(4)).toSeq === Seq(1, 2))
+  }
+
+  test("bestOfN: one keyed shuffle, rank filter plans as a group-limit") {
+    val r = Seq(("p", "a", 3.0), ("p", "b", 2.0)).toDF("prompt", "rid", "s")
+    val p = Export.bestOfN(r, "prompt", "rid", col("s"), k = 1)
+      .queryExecution.executedPlan.toString
+    assert(p.split("Exchange").length - 1 <= 1,
+      s"bestOfN must shuffle once (on prompt):\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"never a global sort/exchange:\n$p")
+  }
 }

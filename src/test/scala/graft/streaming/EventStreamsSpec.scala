@@ -518,6 +518,40 @@ class EventStreamsSpec extends AnyFunSuite {
       "each closed prompt group must emit its complete pair")
   }
 
+  test("streaming best-of-1 selection matches batch bestOfN(k=1) per closed window") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-sbon").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.mode("overwrite").parquet(stageDir)
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def responses(df: org.apache.spark.sql.DataFrame) =
+      df.select((pmod($"doc_id", lit(40))).as("prompt_id"),
+        concat(lit("r"), $"doc_id".cast("string")).as("rid"),
+        (pmod($"doc_id" * 37, lit(100))).cast("double").as("score"),
+        timestamp_seconds(pmod($"doc_id", lit(40)) * 3600).as("event_time"))
+    val incoming = responses(spark.readStream
+      .schema(batchDocs.schema).parquet(stageDir))
+    val out = EventStreams.bestResponseStream(incoming, "prompt_id", "rid",
+      col("score"), minScore = 50.0, windowDur = "30 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sbon")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sbon")
+      .select($"prompt_id", $"response_id", $"score", $"n_candidates")
+      .collect().map(_.toSeq).toSet
+    val expected = graft.ops.Export.bestOfN(responses(batchDocs),
+        "prompt_id", "rid", col("score"), k = 1, minScore = 50.0)
+      .select($"prompt_id", $"response_id", $"score",
+        $"n_candidates".cast("long"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty, "closed windows must emit winners")
+    assert(streamed.subsetOf(expected),
+      "every streamed winner must equal its batch bestOfN(k=1) twin")
+    val emitted = streamed.map(_.head)
+    assert(expected.filter(e => emitted.contains(e.head)) === streamed,
+      "each closed prompt group must emit exactly its batch winner")
+  }
+
   test("stateless export transforms run unchanged on streams: FIM + unigram tokenize") {
     val stageDir = java.nio.file.Files.createTempDirectory("graft-sfim").toString
     spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
