@@ -5989,6 +5989,45 @@ object PipelineQueries {
         .orderBy(col("prompt_id"))
     },
 
+    // CCNet perplexity-bucket mixing (Wenzek et al. 2020): per-language
+    // head/middle/tail by nll terciles over the ROUNDED per-doc scores,
+    // bucket keep-rates via the md5-unit rule. The oracle recomputes
+    // the unigram LM, every rounded nll, the per-language
+    // quantile_cont terciles, each bucket verdict and each md5 keep.
+    q("q_ccnet_mix",
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+        |  FROM documents),
+        |tok AS (SELECT doc_id, token FROM tk WHERE token <> ''),
+        |total AS (SELECT count(*) AS total FROM tok),
+        |model AS (SELECT token, count(*) AS cnt FROM tok
+        |          GROUP BY token HAVING count(*) >= 5),
+        |nl AS (SELECT t.doc_id,
+        |    round(avg(-ln(CAST(coalesce(m.cnt, 1) AS DOUBLE)
+        |                  / CAST(total.total AS DOUBLE))), 4) AS nll
+        |  FROM tok t LEFT JOIN model m ON t.token = m.token
+        |  CROSS JOIN total GROUP BY t.doc_id),
+        |wl AS (SELECT d.doc_id, d.lang, nl.nll
+        |       FROM documents d JOIN nl USING (doc_id)),
+        |bs AS (SELECT lang, quantile_cont(nll, [1.0/3, 2.0/3]) AS b
+        |       FROM wl GROUP BY lang),
+        |j AS (SELECT wl.doc_id, wl.lang, wl.nll,
+        |    CASE WHEN nll <= b[1] THEN 'head'
+        |         WHEN nll <= b[2] THEN 'middle'
+        |         ELSE 'tail' END AS bucket
+        |  FROM wl JOIN bs USING (lang))
+        |SELECT doc_id, lang, nll, bucket,
+        |  CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 6))
+        |       AS INTEGER) / 16777216.0 <
+        |    CASE bucket WHEN 'head' THEN 1.0
+        |         WHEN 'middle' THEN 0.5 ELSE 0.1 END AS kept
+        |FROM j ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.LangModel.ccnetBucketMix(t(s, dir, "documents"),
+          headRate = 1.0, middleRate = 0.5, tailRate = 0.1,
+          minCount = 5L, exact = true)
+        .orderBy(col("doc_id"))
+    },
+
     // Best-of-N rejection sampling (the Llama-2-style RSFT selection):
     // per prompt keep the top-2 responses by reward above a floor —
     // rounded-score ranking with STRING response ids (the id-type

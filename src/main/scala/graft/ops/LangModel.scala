@@ -56,6 +56,57 @@ object LangModel {
       .agg(count(lit(1)).as("n_tokens"), avg(col("_nll")).as("nll"))
   }
 
+  /** CCNet-style perplexity-bucket mixing (Wenzek et al., LREC 2020
+    * §4.3): per language, documents split into head/middle/tail by the
+    * TERCILES of their LM perplexity (lower = more fluent), then each
+    * bucket keeps a configured fraction — the published recipe for
+    * trading corpus size against LM quality without a hard cutoff.
+    *
+    * Determinism contract: bucketing compares the ROUNDED (4-decimal)
+    * per-doc nll against tercile bounds computed over those same
+    * rounded values, so the comparison is exact cross-engine (a bound
+    * interpolated strictly between two 1e-4-quantized values can never
+    * sit within an ulp of either); membership is the md5-unit rule
+    * ([[Sampling.md5Unit]] — engine-recomputable from the id alone).
+    *
+    * Scale shape: one [[perplexityScore]] corpus pass; tercile bounds
+    * are ONE per-language aggregate broadcast back (|langs|×2 doubles).
+    * The default boundary estimator is `approx_percentile` (bounded,
+    * partial-mergeable sketch — Spark's exact percentile buffers a
+    * distinct-value count map into one final task, an O(corpus) buffer
+    * for continuous scores at 100 TB); `exact = true` keeps exact
+    * bounds for small/oracle runs, the [[Sampling.scoreBuckets]]
+    * convention — the assignment path is identical either way.
+    *
+    * Output: (idCol, langCol, nll, bucket, kept). */
+  def ccnetBucketMix(docs: DataFrame, headRate: Double = 1.0,
+      middleRate: Double = 0.5, tailRate: Double = 0.1,
+      minCount: Long = 5L, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang",
+      exact: Boolean = false): DataFrame = {
+    val scored = perplexityScore(docs, minCount, idCol, textCol)
+      .select(col(idCol), round(col("nll"), 4).as("nll"))
+    val withLang = docs.select(col(idCol), col(langCol))
+      .join(scored, Seq(idCol))
+    val ps = s"${1.0 / 3}, ${2.0 / 3}"
+    val pct =
+      if (exact) s"percentile(nll, array($ps))"
+      else s"approx_percentile(nll, array($ps), 10000)"
+    val bounds = withLang.groupBy(col(langCol))
+      .agg(expr(pct).cast("array<double>").as("_bs"))
+    val bucket = when(col("nll") <= col("_bs")(0), lit("head"))
+      .when(col("nll") <= col("_bs")(1), lit("middle"))
+      .otherwise(lit("tail"))
+    val rate = when(col("bucket") === "head", lit(headRate))
+      .when(col("bucket") === "middle", lit(middleRate))
+      .otherwise(lit(tailRate))
+    withLang.join(broadcast(bounds), Seq(langCol))
+      .withColumn("bucket", bucket)
+      .withColumn("kept", Sampling.md5Unit(col(idCol)) < rate)
+      .select(col(idCol), col(langCol), col("nll"), col("bucket"),
+        col("kept"))
+  }
+
   /** The serving shape: score any document set against an EXTERNALLY
     * built model — train on the curated corpus once ([[unigramCounts]]
     * plus its token total), apply to new batches without touching the

@@ -247,4 +247,57 @@ class LangModelSpec extends AnyFunSuite {
     assert(math.abs(score(2L) - (-math.log(0.75) + math.log(0.5))) < 1e-12)
     assert(score(1L) > score(2L), "in-domain text must out-rank")
   }
+
+  test("ccnetBucketMix: per-language terciles, keep rates, md5 determinism") {
+    import org.apache.spark.sql.functions._
+    // 9 docs per language with strictly increasing perplexity (more
+    // rare tokens -> higher nll): terciles must cut 3/3/3 per language
+    val docs = (0 until 18).map { i =>
+      val lang = if (i < 9) "en" else "fr"
+      val rank = i % 9
+      // "common" appears everywhere (high count), rare_i once each;
+      // rank controls the fraction of rare tokens -> monotone nll
+      val text = (Seq.fill(9 - rank)("common") ++
+        (0 until rank).map(r => s"rare_${lang}_${i}_$r")).mkString(" ")
+      (i.toLong, lang, text)
+    }.toDF("doc_id", "lang", "text")
+    val out = LangModel.ccnetBucketMix(docs, minCount = 2, exact = true)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3), r.getBoolean(4)))
+    assert(out.length === 18)
+    for (lang <- Seq("en", "fr")) {
+      val byRank = out.filter(_._2 == lang).sortBy(_._1)
+      // nll strictly increases with the rare-token fraction
+      assert(byRank.map(_._3).sliding(2).forall(p => p(0) < p(1)),
+        s"$lang nll must be monotone in rank")
+      assert(byRank.map(_._4).toSeq ===
+        Seq("head", "head", "head", "middle", "middle", "middle",
+          "tail", "tail", "tail"),
+        s"$lang terciles must cut 3/3/3")
+    }
+    // head keeps everything at rate 1.0
+    assert(out.filter(_._4 == "head").forall(_._5))
+    // kept is the md5-unit rule — recomputable from the id alone
+    val md5kept = docs.select(col("doc_id"),
+      (graft.ops.Sampling.md5Unit(col("doc_id")) < 0.5).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    out.filter(_._4 == "middle").foreach { r =>
+      assert(r._5 === md5kept(r._1), s"doc ${r._1}")
+    }
+  }
+
+  test("ccnetBucketMix: approx and exact boundaries agree on quantized scores") {
+    val docs = (0 until 60).map { i =>
+      val text = (Seq.fill(12 - i % 12)("common") ++
+        (0 until i % 12).map(r => s"rare_${i}_$r")).mkString(" ")
+      (i.toLong, "en", text)
+    }.toDF("doc_id", "lang", "text")
+    def run(exact: Boolean) =
+      LangModel.ccnetBucketMix(docs, minCount = 2, exact = exact)
+        .collect().map(r => (r.getLong(0), r.getString(3), r.getBoolean(4)))
+        .sortBy(_._1).toSeq
+    // approx_percentile at accuracy 10000 is exact for 60 distinct
+    // values, so the production path must assign identically here
+    assert(run(exact = true) === run(exact = false))
+  }
 }
