@@ -901,6 +901,29 @@ object PipelineQueries {
         recallCol = "recall_at_k_ge_075")
     },
 
+    // Matryoshka two-stage search (MRL, Kusupati et al. 2022):
+    // shortlist on the first 32 of 64 coordinates (half the scan bytes/
+    // flops), exact full-dim rerank on the shortlist. Certificate vs
+    // the full-dim brute twin; the 0.70 recall floor is measured at
+    // 0.78 on sf0.1 / 0.96 on sf0.01 (ApproxRecall, deterministic —
+    // random gaussians are the MRL worst case: a trained-prefix
+    // embedding only concentrates MORE information in the prefix).
+    q("q_ann_matryoshka",
+      """SELECT count(*) AS n_queries,
+        |  (SELECT count(*) FROM embeddings) AS n_base,
+        |  TRUE AS full_k, TRUE AS recall_at_k_ge_070
+        |FROM embeddings WHERE vec_id < 10""".stripMargin) { (s, dir) =>
+      val embs = t(s, dir, "embeddings")
+      val (queryPred, k) = (col("vec_id") < 10, 5)
+      val brute = Similarity.bruteForceTopK(embs, queryPred, k)
+        .select(col("query_id"), col("vec_id"))
+      val mat = Similarity.matryoshkaSearch(embs, queryPred, k,
+          dims = 32, shortlist = 200)
+        .select(col("query_id"), col("vec_id"))
+      annCertificate(embs, queryPred, k, brute, mat, recallFloor = 0.70,
+        recallCol = "recall_at_k_ge_070")
+    },
+
     // ------------------------------------------------ sketches
     // HLL distinct-count sketch (Apache DataSketches via Spark builtins):
     // the 100 TB path for distinct counts — partial-mergeable sketches

@@ -53,6 +53,46 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("sim"), col("rk"))
   }
 
+  /** Matryoshka two-stage search (Kusupati et al., NeurIPS 2022 — MRL):
+    * shortlist on the FIRST `dims` coordinates, exact full-dim cosine
+    * rerank on the shortlist only. MRL-trained embeddings front-load
+    * information, so a prefix is itself a valid low-dim embedding —
+    * the shortlist scan reads `dims/D` of the bytes and flops of a
+    * full-dim pass (at 100 TB of vectors that ratio IS the cost), and
+    * the rerank touches raw full-dim data for shortlist × queries rows
+    * only (the [[graft.ops.Pq.searchWithRerank]] discipline; compose
+    * with [[graft.ops.IvfIndex]] cells for the billion-scale variant).
+    * Ranking uses the ROUNDED similarity with vec_id tie-break on both
+    * stages (the [[bruteForceTopK]] cross-engine order). Recall
+    * degrades only through shortlist misses — certificate-checked
+    * against the full-dim brute twin in q_ann_matryoshka. */
+  def matryoshkaSearch(embs: DataFrame, queryPred: Column, k: Int,
+      dims: Int, shortlist: Int = 100): DataFrame = {
+    require(dims >= 1, s"dims=$dims")
+    require(shortlist >= k, s"shortlist=$shortlist < k=$k")
+    val truncated = embs.select(col("vec_id"),
+      slice(asDouble(col("embedding")), 1, dims).as("embedding"))
+    val cands = bruteForceTopK(truncated, queryPred, shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val full = embs.select(col("vec_id"),
+        asDouble(col("embedding")).as("_bemb"))
+      .withColumn("_bnrm", norm(col("_bemb")))
+    val qframe = full.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("_bemb").as("_qemb"),
+        col("_bnrm").as("_qnrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    cands
+      .join(full, "vec_id")
+      .join(broadcast(qframe), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("_bemb"), col("_qemb")) /
+          (col("_bnrm") * col("_qnrm")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rk"))
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the `k` most-similar vectors with a DIFFERENT label, below
     * a near-duplicate ceiling (`maxSim` excludes probable unlabeled

@@ -57,6 +57,12 @@ object ApproxRecall {
         col("vec_id") < 10, k = 5, nprobe = 4).select("query_id", "vec_id")
       println(s"[$sf] ann_lsh_overlap=${alsh.intersect(brute).count}/" +
         s"${brute.count} ivf_overlap=${ivf.intersect(brute).count}/${brute.count}")
+      for (dims <- Seq(8, 16, 32)) {
+        val mat = Similarity.matryoshkaSearch(embs, col("vec_id") < 10,
+          k = 5, dims = dims, shortlist = 100).select("query_id", "vec_id")
+        println(s"[$sf] matryoshka(dims=$dims) overlap=" +
+          s"${mat.intersect(brute).count}/${brute.count}")
+      }
     }
     spark.stop()
   }

@@ -317,4 +317,36 @@ class SimilaritySpec extends AnyFunSuite {
     // min of that relation (no survivor should have been dropped)
     assert(kept.intersect(dropped).isEmpty)
   }
+
+  test("matryoshkaSearch: full-dim prefix or full-base shortlist reduce to exact brute") {
+    val brute = Similarity.bruteForceTopK(embs, col("vec_id") < 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // dims = 64 (the whole vector): stage-1 ranking IS the exact
+    // ranking, so any shortlist >= k reproduces brute exactly
+    val fullPrefix = Similarity.matryoshkaSearch(embs, col("vec_id") < 10,
+        k = 5, dims = 64, shortlist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(fullPrefix === brute)
+    // tiny prefix but an exhaustive shortlist: the rerank sees every
+    // candidate, so the result is again exactly brute
+    val n = embs.count().toInt
+    val bigShort = Similarity.matryoshkaSearch(embs, col("vec_id") < 10,
+        k = 5, dims = 4, shortlist = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(bigShort === brute)
+  }
+
+  test("matryoshkaSearch: truncated shortlist bounds recall loss; output shape pinned") {
+    val out = Similarity.matryoshkaSearch(embs, col("vec_id") < 10,
+      k = 5, dims = 32, shortlist = 100)
+    assert(out.columns.toSeq === Seq("query_id", "vec_id", "sim", "rk"))
+    val rows = out.collect()
+    assert(rows.length === 50, "full k for every query")
+    val brute = Similarity.bruteForceTopK(embs, col("vec_id") < 10, k = 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"half-dim shortlist recall@5 = $recall " +
+      "(measured 0.96 at sf0.01 on the gaussian worst case)")
+  }
 }
