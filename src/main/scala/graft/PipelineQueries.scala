@@ -6012,6 +6012,112 @@ object PipelineQueries {
         .orderBy(col("prompt_id"))
     },
 
+    // Checksum-validated card PII (Luhn / ISO 7812): plant one 16-digit
+    // number per doc — Luhn-VALID on even ids (correct check digit),
+    // invalid on odd (+5 mod 10) — and require that ONLY the valid
+    // ones redact. The oracle recomputes the check digit, the
+    // candidate extraction, the full Luhn lambda over every candidate
+    // and the redaction fold.
+    q("q_pii_luhn",
+      """WITH b AS (SELECT doc_id,
+        |    lpad(CAST((doc_id * 271) % 1000000000000000 AS VARCHAR),
+        |         15, '0') AS p15 FROM documents),
+        |c AS (SELECT doc_id, p15,
+        |    CAST(list_sum(list_transform(generate_series(1, 15), j ->
+        |      CASE WHEN j % 2 = 1 THEN
+        |        CASE WHEN CAST(substr(p15, j, 1) AS INT) * 2 > 9
+        |        THEN CAST(substr(p15, j, 1) AS INT) * 2 - 9
+        |        ELSE CAST(substr(p15, j, 1) AS INT) * 2 END
+        |      ELSE CAST(substr(p15, j, 1) AS INT) END)) AS BIGINT) AS s15
+        |  FROM b),
+        |card AS (SELECT doc_id, p15 || CAST(CASE WHEN doc_id % 2 = 0
+        |      THEN (10 - s15 % 10) % 10
+        |      ELSE ((10 - s15 % 10) % 10 + 5) % 10 END AS VARCHAR) AS num
+        |  FROM c),
+        |w AS (SELECT d.doc_id, d.text || ' card ' || card.num AS t
+        |      FROM documents d JOIN card USING (doc_id)),
+        |m AS (SELECT doc_id, t,
+        |      regexp_extract_all(t, '[0-9]{16}') AS cs FROM w),
+        |v AS (SELECT doc_id, t, cs,
+        |    list_filter(cs, cd ->
+        |      list_sum(list_transform(generate_series(1, 16), j ->
+        |        CASE WHEN j % 2 = 1 THEN
+        |          CASE WHEN CAST(substr(cd, j, 1) AS INT) * 2 > 9
+        |          THEN CAST(substr(cd, j, 1) AS INT) * 2 - 9
+        |          ELSE CAST(substr(cd, j, 1) AS INT) * 2 END
+        |        ELSE CAST(substr(cd, j, 1) AS INT) END)) % 10 = 0) AS vs
+        |  FROM m)
+        |SELECT doc_id, CAST(len(cs) AS INT) AS n_card_candidates,
+        |  CAST(len(vs) AS INT) AS n_valid_cards,
+        |  list_reduce(list_prepend(t, vs),
+        |    (a, x) -> replace(a, x, '[CARD]')) AS redacted
+        |FROM v ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val p15 = lpad(((col("doc_id") * 271) % 1000000000000000L)
+        .cast("string"), 15, "0")
+      val s15 = aggregate(sequence(lit(1), lit(15)), lit(0), (acc, j) => {
+        val d = p15.substr(j, lit(1)).cast("int")
+        acc + when(j % 2 === 1,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      })
+      val check = (lit(10) - s15 % 10) % 10
+      val digit16 = when(pmod(col("doc_id"), lit(2)) === 0, check)
+        .otherwise((check + 5) % 10)
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" card "), p15,
+          digit16.cast("string")).as("text"))
+      graft.ops.Quality.cardScan(planted)
+        .select(col("doc_id"), col("n_card_candidates"),
+          col("n_valid_cards"), col("redacted"))
+        .orderBy(col("doc_id"))
+    },
+
+    // StarCoder/The-Stack code-quality filters: line-shape +
+    // character-class rules over planted pathologies (an appended
+    // auto-generated marker on %7=0, a 1200-char minified line on
+    // %7=1). Every signal is an integer count or integer-count IEEE
+    // ratio — no rounding contract. The oracle recomputes every line
+    // statistic, fraction, marker match and rule verdict.
+    q("q_code_filters",
+      """WITH w AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN text || chr(10) || '// AUTO-GENERATED; do not edit'
+        |         WHEN doc_id % 7 = 1 THEN text || chr(10) || repeat('x', 1200)
+        |         ELSE text END AS t FROM documents),
+        |s AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM w),
+        |m AS (SELECT doc_id,
+        |    CAST(len(ls) AS INT) AS n_lines,
+        |    CAST(list_max(list_transform(ls, l -> strlen(l))) AS INT)
+        |      AS max_line_len,
+        |    CAST(list_sum(list_transform(ls, l -> strlen(l))) AS DOUBLE)
+        |      / len(ls) AS avg_line_len,
+        |    CAST(strlen(regexp_replace(t, '[^A-Za-z0-9]', '', 'g'))
+        |         AS DOUBLE) / greatest(strlen(t), 1) AS alnum_frac,
+        |    regexp_matches(lower(t),
+        |      'auto-?generated|do not edit|generated by') AS autogen
+        |  FROM s)
+        |SELECT doc_id, n_lines, max_line_len, avg_line_len, alnum_frac,
+        |  autogen,
+        |  max_line_len <= 1000 AS ok_max_line,
+        |  avg_line_len <= 100 AS ok_avg_line,
+        |  alnum_frac >= 0.25 AS ok_alnum,
+        |  NOT autogen AS ok_not_autogen,
+        |  max_line_len <= 1000 AND avg_line_len <= 100
+        |    AND alnum_frac >= 0.25 AND NOT autogen AS code_pass
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit("\n// AUTO-GENERATED; do not edit")))
+          .when(pmod(col("doc_id"), lit(7)) === 1,
+            concat(col("text"), lit("\n"), lit("x" * 1200)))
+          .otherwise(col("text")).as("text"))
+      graft.ops.Quality.codeFlags(planted)
+        .select(col("doc_id"), col("n_lines"), col("max_line_len"),
+          col("avg_line_len"), col("alnum_frac"), col("autogen"),
+          col("ok_max_line"), col("ok_avg_line"), col("ok_alnum"),
+          col("ok_not_autogen"), col("code_pass"))
+        .orderBy(col("doc_id"))
+    },
+
     // CCNet perplexity-bucket mixing (Wenzek et al. 2020): per-language
     // head/middle/tail by nll terciles over the ROUNDED per-doc scores,
     // bucket keep-rates via the md5-unit rule. The oracle recomputes

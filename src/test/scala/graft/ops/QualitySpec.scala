@@ -368,4 +368,74 @@ class QualitySpec extends AnyFunSuite {
     assert(a === b)
     out.unpersist(): Unit
   }
+
+  test("codeFlags: each StarCoder rule fires on its planted pathology") {
+    val docs = Seq(
+      (1L, "def f(x):\n    return x + 1\n"),            // clean code
+      // one minified 1200-char line buried in 29 normal 40-char lines:
+      // max_line trips, the average stays under 100
+      (2L, (Seq.fill(29)("y" * 40) :+ ("y" * 1200)).mkString("\n")),
+      (3L, Seq.fill(10)("z" * 200).mkString("\n")),      // avg line too long
+      (4L, "()[]{};;;; ---- ++++ !!!! @@@@ #### $$$$"),  // symbol soup
+      (5L, "// AUTO-GENERATED; do not edit\nval x = 1")  // generated
+    ).toDF("doc_id", "text")
+    val out = Quality.codeFlags(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(out(1L).fieldIndex("code_pass")))
+    def failsOnly(id: Long, rule: String): Unit = {
+      val r = out(id)
+      assert(!r.getBoolean(r.fieldIndex("code_pass")), s"doc $id must fail")
+      assert(!r.getBoolean(r.fieldIndex(rule)), s"doc $id must fail $rule")
+      val others = Seq("ok_max_line", "ok_avg_line", "ok_alnum",
+        "ok_not_autogen").filterNot(_ == rule)
+      others.foreach(o => assert(r.getBoolean(r.fieldIndex(o)),
+        s"doc $id must fail ONLY $rule, also failed $o"))
+    }
+    failsOnly(2L, "ok_max_line")
+    failsOnly(3L, "ok_avg_line")
+    failsOnly(4L, "ok_alnum")
+    failsOnly(5L, "ok_not_autogen")
+    // the stats themselves
+    val r3 = out(3L)
+    assert(r3.getInt(r3.fieldIndex("n_lines")) === 10)
+    assert(r3.getInt(r3.fieldIndex("max_line_len")) === 200)
+    assert(r3.getDouble(r3.fieldIndex("avg_line_len")) === 200.0)
+  }
+
+  test("cardScan: Luhn-valid runs redact, lookalike numbers survive") {
+    // 4111111111111111 is the canonical VALID test PAN;
+    // 4111111111111112 fails the checksum (an order-id lookalike)
+    val docs = Seq(
+      (1L, "pay with 4111111111111111 now"),
+      (2L, "order 4111111111111112 shipped"),
+      (3L, "cards 4111111111111111 and 4111111111111112"),
+      (4L, "no digits here")).toDF("doc_id", "text")
+    val out = Quality.cardScan(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(r.fieldIndex("n_card_candidates")),
+        r.getInt(r.fieldIndex("n_valid_cards")),
+        r.getString(r.fieldIndex("redacted")))).sortBy(_._1)
+    assert(out(0) === ((1L, 1, 1, "pay with [CARD] now")))
+    assert(out(1) === ((2L, 1, 0, "order 4111111111111112 shipped")),
+      "an invalid checksum must NOT redact — that's the whole point")
+    assert(out(2) === ((3L, 2, 1, "cards [CARD] and 4111111111111112")))
+    assert(out(3) === ((4L, 0, 0, "no digits here")))
+  }
+
+  test("luhnValid16 agrees with a driver-side reference implementation") {
+    def refLuhn(s: String): Boolean = {
+      val sum = s.zipWithIndex.map { case (ch, i) =>
+        val d = ch - '0'
+        if (i % 2 == 0) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum
+      sum % 10 == 0
+    }
+    val nums = (0 until 200).map(i =>
+      (i.toLong, f"${i * 7919L % 10000000L}%08d${i * 104729L % 100000000L}%08d"))
+    val got = nums.toDF("id", "num")
+      .select($"id", Quality.luhnValid16($"num").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    nums.foreach { case (id, s) =>
+      assert(got(id) === refLuhn(s), s"disagree on $s")
+    }
+  }
 }
