@@ -6012,6 +6012,54 @@ object PipelineQueries {
         .orderBy(col("prompt_id"))
     },
 
+    // Single-epoch mixture water-filling: weights 1+3·(src#%5), budget
+    // 100k tokens — several sources cap at availability and their
+    // surplus redistributes. The oracle re-runs the whole scan: sort
+    // by a/w, prefix sums, the cross-multiplied integer cap test, the
+    // running AND, and every integer-floor allocation.
+    q("q_water_fill",
+      """WITH av AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS a
+        |            FROM documents GROUP BY 1),
+        |base AS (SELECT source,
+        |    CAST(1 + 3 * (CAST(substr(source, 4) AS INT) % 5) AS BIGINT)
+        |      AS w, a FROM av),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM base),
+        |sc AS (SELECT source, w, a,
+        |    CAST(coalesce(sum(a) OVER (ORDER BY CAST(a AS DOUBLE)/w, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS a_prev,
+        |    CAST(coalesce(sum(w) OVER (ORDER BY CAST(a AS DOUBLE)/w, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS w_prev
+        |  FROM base),
+        |cnd AS (SELECT sc.*, wtot,
+        |    a * (wtot - w_prev) <= (100000 - a_prev) * w AS cond
+        |  FROM sc, tot),
+        |cap AS (SELECT *, min(CASE WHEN cond THEN 1 ELSE 0 END) OVER (
+        |    ORDER BY CAST(a AS DOUBLE)/w, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        |    AS capped FROM cnd),
+        |ct AS (SELECT CAST(sum(CASE WHEN capped THEN a ELSE 0 END)
+        |         AS BIGINT) AS a_cap,
+        |       CAST(sum(CASE WHEN capped THEN w ELSE 0 END)
+        |         AS BIGINT) AS w_cap FROM cap)
+        |SELECT source, w AS weight, a AS avail_tokens, capped,
+        |  CAST(CASE WHEN capped THEN a
+        |    WHEN wtot > w_cap
+        |    THEN greatest(0, (100000 - a_cap) * w // (wtot - w_cap))
+        |    ELSE 0 END AS BIGINT) AS allocation
+        |FROM cap, ct ORDER BY source""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val sources = docs.select(col("source")).distinct()
+        .as[String].collect()
+      val weights = sources.map(src =>
+        src -> (1L + 3 * (src.stripPrefix("src").toInt % 5))).toMap
+      graft.ops.Sampling.waterFillPlan(docs, "source", "n_chars",
+          weights, budgetTokens = 100000L)
+        .orderBy(col("source"))
+    },
+
     // Checksum-validated card PII (Luhn / ISO 7812): plant one 16-digit
     // number per doc — Luhn-VALID on even ids (correct check digit),
     // invalid on odd (+5 mod 10) — and require that ONLY the valid

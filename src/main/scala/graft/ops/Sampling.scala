@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation sampling for training-data pipelines.
@@ -297,6 +298,87 @@ object Sampling {
         epochs.as("epochs"),
         floor(epochs).cast("int").as("full_epochs"),
         (epochs - floor(epochs)).as("frac_rate"))
+  }
+
+  /** Single-epoch mixture water-filling: allocate `budgetTokens`
+    * across sources proportionally to INTEGER weights, capping every
+    * source at its available tokens and redistributing the surplus to
+    * the uncapped ones — the no-repetition counterpart of
+    * [[mixturePlan]] (which fills a deficit by epoching; this planner
+    * answers "what CAN the mixture be in one pass over what exists").
+    *
+    * The capped set resolves by the standard water-filling scan over
+    * sources sorted by availability/weight, but every decision is
+    * EXACT INTEGER arithmetic: the cap test is the cross-multiplied
+    * comparison `a·(W − W_prev) ≤ (T − A_prev)·w` (the
+    * [[graft.ops.Export.interleaveSources]] trick — the float ratio is
+    * used only as a sort key, where both engines compute the identical
+    * double), prefix-robust via a running AND, and uncapped
+    * allocations are integer floor divisions of the remaining budget.
+    * No float ever decides anything, so the plan is hash-exact on any
+    * engine.
+    *
+    * Scale: one corpus aggregate (per-source token totals); everything
+    * else runs on the |weights|-row plan frame (the [[mixturePlan]]
+    * bounded class — its SinglePartition window is |sources| rows of
+    * metadata, not data). Overflow bound `budget·max(w) < 2⁶³`
+    * require-checked.
+    *
+    * Output per source: (stratum, weight, avail_tokens, capped,
+    * allocation) with Σ allocation ≤ budget, allocation ≤ avail. */
+  def waterFillPlan(df: DataFrame, stratumCol: String, tokensCol: String,
+      weights: Map[String, Long], budgetTokens: Long): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixture weights must be positive")
+    require(budgetTokens >= 1, s"budgetTokens=$budgetTokens")
+    val wMax = weights.values.max
+    require(budgetTokens <= Long.MaxValue / wMax,
+      s"budget $budgetTokens * max weight $wMax would overflow")
+    import df.sparkSession.implicits._
+    val wTot = weights.values.sum
+    val wdf = weights.toSeq.sortBy(_._1).toDF(stratumCol, "weight")
+    val avail = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokensCol)).cast("long").as("avail_tokens"))
+    val base = broadcast(wdf).join(avail, Seq(stratumCol), "left")
+      .select(col(stratumCol), col("weight"),
+        coalesce(col("avail_tokens"), lit(0L)).as("avail_tokens"))
+    // the scan order: availability per unit weight, ascending (floats
+    // ORDER only — identical doubles on any engine; ties by name)
+    val ord = Window.orderBy(
+      (col("avail_tokens").cast("double") / col("weight")).asc,
+      col(stratumCol).asc)
+    val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val scanned = base
+      .withColumn("_a_prev", coalesce(sum(col("avail_tokens")).over(prev),
+        lit(0L)))
+      .withColumn("_w_prev", coalesce(sum(col("weight")).over(prev),
+        lit(0L)))
+      .withColumn("_cond",
+        col("avail_tokens") * (lit(wTot) - col("_w_prev")) <=
+          (lit(budgetTokens) - col("_a_prev")) * col("weight"))
+      // a source is capped iff EVERY scan predecessor (incl. itself)
+      // met its cap condition — the running AND makes the boundary
+      // exact even though later rows' prefix sums include uncapped mass
+      .withColumn("capped",
+        min(col("_cond").cast("int")).over(prefix) === 1)
+    val totals = scanned.agg(
+      sum(when(col("capped"), col("avail_tokens")).otherwise(0L))
+        .as("_a_cap"),
+      sum(when(col("capped"), col("weight")).otherwise(0L)).as("_w_cap"))
+    scanned.crossJoin(broadcast(totals))
+      // `div`: exact 64-bit integral division (Spark's `/` on longs is
+      // a DOUBLE divide — floor(double) breaks past 2^53)
+      .withColumn("_num",
+        (lit(budgetTokens) - col("_a_cap")) * col("weight"))
+      .withColumn("_den", lit(wTot) - col("_w_cap"))
+      .withColumn("allocation",
+        when(col("capped"), col("avail_tokens"))
+          .when(col("_den") > 0,
+            greatest(lit(0L), expr("_num div _den")))
+          .otherwise(lit(0L)).cast("long"))
+      .select(col(stratumCol), col("weight"), col("avail_tokens"),
+        col("capped"), col("allocation"))
   }
 
   /** Materialize a [[mixturePlan]]: run the planner, then upsample each

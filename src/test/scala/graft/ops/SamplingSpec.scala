@@ -423,4 +423,69 @@ class SamplingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("waterFillPlan equals a driver-side reference on skewed inputs") {
+    import spark.implicits._
+    // reference: exact rational water-filling by BigInt scan
+    def ref(av: Map[String, Long], w: Map[String, Long], t: Long)
+        : Map[String, Long] = {
+      val order = av.keys.toSeq.sortBy(s => (av(s).toDouble / w(s), s))
+      val wTot = w.values.sum
+      var (aPrev, wPrev) = (0L, 0L)
+      var stillCapped = true
+      val capped = order.map { s =>
+        val cond = BigInt(av(s)) * (wTot - wPrev) <=
+          BigInt(t - aPrev) * w(s)
+        stillCapped &&= cond
+        val c = stillCapped
+        aPrev += av(s); wPrev += w(s)
+        s -> c
+      }.toMap
+      val aCap = av.collect { case (s, a) if capped(s) => a }.sum
+      val wCap = w.collect { case (s, x) if capped(s) => x }.sum
+      av.keys.map { s =>
+        s -> (if (capped(s)) av(s)
+          else if (wTot > wCap)
+            math.max(0L, ((BigInt(t - aCap) * w(s)) / (wTot - wCap)).toLong)
+          else 0L)
+      }.toMap
+    }
+    val av = Map("a" -> 100L, "b" -> 5000L, "c" -> 300L, "d" -> 9000L,
+      "e" -> 50L)
+    val w = Map("a" -> 5L, "b" -> 1L, "c" -> 7L, "d" -> 2L, "e" -> 9L)
+    for (budget <- Seq(200L, 1000L, 5000L, 14450L, 20000L)) {
+      val rows = av.toSeq.flatMap { case (s, n) =>
+        // spread each source's tokens over a few rows
+        Seq((s, n / 2), (s, n - n / 2))
+      }.toDF("source", "tok")
+      val got = Sampling.waterFillPlan(rows, "source", "tok", w, budget)
+        .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+      val expect = ref(av, w, budget)
+      assert(got === expect, s"budget=$budget")
+      // invariants: never over budget, never over availability
+      assert(got.values.sum <= budget, s"budget=$budget over-allocated")
+      got.foreach { case (s, n) => assert(n <= av(s) && n >= 0) }
+    }
+    // budget >= everything: every source caps at availability
+    val all = Sampling.waterFillPlan(
+      av.toSeq.map { case (s, n) => (s, n) }.toDF("source", "tok"),
+      "source", "tok", w, 1000000L)
+      .collect().map(r => (r.getString(0), r.getBoolean(3), r.getLong(4)))
+    assert(all.forall(_._2), "all capped")
+    assert(all.map(x => x._1 -> x._3).toMap === av)
+  }
+
+  test("waterFillPlan: repartition-invariant (no float decides anything)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    import scala.jdk.CollectionConverters._
+    val sources = docs.select("source").distinct()
+      .collect().map(_.getString(0))
+    val w = sources.map(s =>
+      s -> (1L + 3 * (s.stripPrefix("src").toInt % 5))).toMap
+    def run(parts: Int) = Sampling.waterFillPlan(
+        docs.repartition(parts), "source", "n_chars", w, 100000L)
+      .collect().map(r => (r.getString(0), r.getBoolean(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(run(1) === run(13))
+  }
 }
