@@ -91,7 +91,7 @@ object Bench {
     "q_psi_by_source", "q_krippendorff", "q_kappa_matrix",
     // round-12 additions: the real multimodal model stage + best-of-N
     "q_multimodal_model", "q_best_of_n", "q_ccnet_mix", "q_ann_matryoshka",
-    "q_code_filters", "q_pii_luhn", "q_water_fill")
+    "q_code_filters", "q_pii_luhn", "q_water_fill", "q_code_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

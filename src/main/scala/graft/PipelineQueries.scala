@@ -6060,6 +6060,124 @@ object PipelineQueries {
         .orderBy(col("source"))
     },
 
+    // Composed code-corpus pipeline: StarCoder filters -> Luhn card
+    // redaction -> exact dedup on the REDACTED text -> per-source
+    // funnel. Stage interactions are the point: dedup runs on
+    // post-redaction content (two docs differing only in card numbers
+    // would collapse), redaction counts only code-passing docs, and
+    // the planted pathologies (%10=3 constant vendored file, %7=0
+    // autogen marker, %7=1 minified line, valid cards on even ids)
+    // exercise every stage. The oracle recomputes all four stages
+    // THROUGH each other.
+    q("q_code_pipeline",
+      """WITH b AS (SELECT doc_id,
+        |    lpad(CAST((doc_id * 271) % 1000000000000000 AS VARCHAR),
+        |         15, '0') AS p15 FROM documents),
+        |c AS (SELECT doc_id, p15,
+        |    CAST(list_sum(list_transform(generate_series(1, 15), j ->
+        |      CASE WHEN j % 2 = 1 THEN
+        |        CASE WHEN CAST(substr(p15, j, 1) AS INT) * 2 > 9
+        |        THEN CAST(substr(p15, j, 1) AS INT) * 2 - 9
+        |        ELSE CAST(substr(p15, j, 1) AS INT) * 2 END
+        |      ELSE CAST(substr(p15, j, 1) AS INT) END)) AS BIGINT) AS s15
+        |  FROM b),
+        |card AS (SELECT doc_id, p15 || CAST(CASE WHEN doc_id % 2 = 0
+        |      THEN (10 - s15 % 10) % 10
+        |      ELSE ((10 - s15 % 10) % 10 + 5) % 10 END AS VARCHAR) AS num
+        |  FROM c),
+        |pl AS (SELECT d.doc_id, d.source,
+        |    CASE WHEN d.doc_id % 10 = 3
+        |      THEN '// duplicated vendored file' || chr(10) || 'fn main() {}'
+        |    WHEN d.doc_id % 7 = 0
+        |      THEN d.text || chr(10) || '// AUTO-GENERATED; do not edit'
+        |           || ' card ' || card.num
+        |    WHEN d.doc_id % 7 = 1
+        |      THEN d.text || chr(10) || repeat('x', 1200)
+        |           || ' card ' || card.num
+        |    ELSE d.text || ' card ' || card.num END AS t
+        |  FROM documents d JOIN card USING (doc_id)),
+        |fl AS (SELECT doc_id, source, t,
+        |    list_max(list_transform(ls, l -> strlen(l))) <= 1000
+        |    AND CAST(list_sum(list_transform(ls, l -> strlen(l)))
+        |        AS DOUBLE) / len(ls) <= 100
+        |    AND CAST(strlen(regexp_replace(t, '[^A-Za-z0-9]', '', 'g'))
+        |        AS DOUBLE) / greatest(strlen(t), 1) >= 0.25
+        |    AND NOT regexp_matches(lower(t),
+        |      'auto-?generated|do not edit|generated by') AS pass
+        |  FROM (SELECT *, string_split(t, chr(10)) AS ls FROM pl)),
+        |rd AS (SELECT doc_id, source,
+        |    list_reduce(list_prepend(t, vs),
+        |      (a, x) -> replace(a, x, '[CARD]')) AS red,
+        |    len(vs) AS n_valid FROM (
+        |    SELECT doc_id, source, t,
+        |      list_filter(regexp_extract_all(t, '[0-9]{16}'), cd ->
+        |        list_sum(list_transform(generate_series(1, 16), j ->
+        |          CASE WHEN j % 2 = 1 THEN
+        |            CASE WHEN CAST(substr(cd, j, 1) AS INT) * 2 > 9
+        |            THEN CAST(substr(cd, j, 1) AS INT) * 2 - 9
+        |            ELSE CAST(substr(cd, j, 1) AS INT) * 2 END
+        |          ELSE CAST(substr(cd, j, 1) AS INT) END)) % 10 = 0) AS vs
+        |    FROM fl WHERE pass)),
+        |dd AS (SELECT doc_id, source,
+        |    min(doc_id) OVER (PARTITION BY red) AS keep FROM rd),
+        |ni AS (SELECT source, count(*) AS n_in FROM pl GROUP BY 1),
+        |np AS (SELECT source, CAST(count(*) AS BIGINT) AS n_code_pass,
+        |    CAST(sum(n_valid) AS BIGINT) AS n_cards_redacted
+        |  FROM rd GROUP BY 1),
+        |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_after_dedup
+        |  FROM dd WHERE doc_id = keep GROUP BY 1)
+        |SELECT ni.source, CAST(n_in AS BIGINT) AS n_in,
+        |  coalesce(n_code_pass, 0) AS n_code_pass,
+        |  coalesce(n_cards_redacted, 0) AS n_cards_redacted,
+        |  coalesce(n_after_dedup, 0) AS n_after_dedup
+        |FROM ni LEFT JOIN np USING (source) LEFT JOIN nd USING (source)
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val p15 = lpad(((col("doc_id") * 271) % 1000000000000000L)
+        .cast("string"), 15, "0")
+      val s15 = aggregate(sequence(lit(1), lit(15)), lit(0), (acc, j) => {
+        val d = p15.substr(j, lit(1)).cast("int")
+        acc + when(j % 2 === 1,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      })
+      val check = (lit(10) - s15 % 10) % 10
+      val digit16 = when(pmod(col("doc_id"), lit(2)) === 0, check)
+        .otherwise((check + 5) % 10)
+      val cardSuffix = concat(lit(" card "), p15, digit16.cast("string"))
+      val planted = docs.select(col("doc_id"), col("source"),
+        when(pmod(col("doc_id"), lit(10)) === 3,
+            lit("// duplicated vendored file\nfn main() {}"))
+          .when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit("\n// AUTO-GENERATED; do not edit"),
+              cardSuffix))
+          .when(pmod(col("doc_id"), lit(7)) === 1,
+            concat(col("text"), lit("\n"), lit("x" * 1200), cardSuffix))
+          .otherwise(concat(col("text"), cardSuffix)).as("text"))
+      val passed = graft.ops.Quality.codeFlags(planted)
+        .filter(col("code_pass"))
+        .select(col("doc_id"), col("source"), col("text"))
+      val redacted = graft.ops.Quality.cardScan(passed)
+        .select(col("doc_id"), col("source"), col("n_valid_cards"),
+          col("redacted"))
+      val survivors = graft.ops.Dedup.dropExactDuplicates(
+        redacted, "doc_id", "redacted")
+      val nIn = planted.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_in"))
+      val nPass = redacted.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_code_pass"),
+          sum(col("n_valid_cards")).cast("long").as("n_cards_redacted"))
+      val nDedup = survivors.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_after_dedup"))
+      nIn.join(nPass, Seq("source"), "left")
+        .join(nDedup, Seq("source"), "left")
+        .select(col("source"), col("n_in"),
+          coalesce(col("n_code_pass"), lit(0L)).as("n_code_pass"),
+          coalesce(col("n_cards_redacted"), lit(0L))
+            .as("n_cards_redacted"),
+          coalesce(col("n_after_dedup"), lit(0L)).as("n_after_dedup"))
+        .orderBy(col("source"))
+    },
+
     // Checksum-validated card PII (Luhn / ISO 7812): plant one 16-digit
     // number per doc — Luhn-VALID on even ids (correct check digit),
     // invalid on odd (+5 mod 10) — and require that ONLY the valid
