@@ -88,14 +88,45 @@ object LangModel {
       .select(col(idCol), round(col("nll"), 4).as("nll"))
     val withLang = docs.select(col(idCol), col(langCol))
       .join(scored, Seq(idCol))
+    routeByBounds(withLang,
+      ccnetBoundsOf(withLang, langCol, exact),
+      headRate, middleRate, tailRate, idCol, langCol)
+  }
+
+  /** Per-language tercile bounds over an (id, lang, nll) frame —
+    * `(langCol, b_head, b_middle)`, [[ccnetBucketMix]]'s fit step
+    * exposed so a STREAM can route against offline-fitted bounds. */
+  private def ccnetBoundsOf(withLang: DataFrame, langCol: String,
+      exact: Boolean): DataFrame = {
     val ps = s"${1.0 / 3}, ${2.0 / 3}"
     val pct =
       if (exact) s"percentile(nll, array($ps))"
       else s"approx_percentile(nll, array($ps), 10000)"
-    val bounds = withLang.groupBy(col(langCol))
+    withLang.groupBy(col(langCol))
       .agg(expr(pct).cast("array<double>").as("_bs"))
-    val bucket = when(col("nll") <= col("_bs")(0), lit("head"))
-      .when(col("nll") <= col("_bs")(1), lit("middle"))
+      .select(col(langCol), col("_bs")(0).as("b_head"),
+        col("_bs")(1).as("b_middle"))
+  }
+
+  /** Fit CCNet tercile bounds from a corpus — the offline half of
+    * [[streaming.EventStreams.ccnetRouteStream]]'s contract; identical
+    * bounds to the ones [[ccnetBucketMix]] uses internally. */
+  def ccnetFitBounds(docs: DataFrame, minCount: Long = 5L,
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang", exact: Boolean = false): DataFrame = {
+    val scored = perplexityScore(docs, minCount, idCol, textCol)
+      .select(col(idCol), round(col("nll"), 4).as("nll"))
+    ccnetBoundsOf(docs.select(col(idCol), col(langCol))
+      .join(scored, Seq(idCol)), langCol, exact)
+  }
+
+  /** The routing half shared by batch and stream: an (id, lang, nll)
+    * frame against a `(lang, b_head, b_middle)` bounds frame. */
+  private[graft] def routeByBounds(withLang: DataFrame, bounds: DataFrame,
+      headRate: Double, middleRate: Double, tailRate: Double,
+      idCol: String, langCol: String): DataFrame = {
+    val bucket = when(col("nll") <= col("b_head"), lit("head"))
+      .when(col("nll") <= col("b_middle"), lit("middle"))
       .otherwise(lit("tail"))
     val rate = when(col("bucket") === "head", lit(headRate))
       .when(col("bucket") === "middle", lit(middleRate))

@@ -528,6 +528,41 @@ object EventStreams {
       .drop("window")
   }
 
+  /** Streaming CCNet routing — the online half of
+    * [[graft.ops.LangModel.ccnetBucketMix]]: arriving documents score
+    * against a STATIC unigram model ([[perplexityAgainstModel]]'s
+    * stream-static join + watermarked per-(doc, window) mean), then
+    * route head/middle/tail against OFFLINE-FITTED tercile bounds
+    * ([[graft.ops.LangModel.ccnetFitBounds]] — a broadcast
+    * |langs|-row frame) with the md5-unit keep rule. Per-doc rows
+    * equal the batch router's on the same model and bounds
+    * (spec-asserted): the nll rounds to the same 4-decimal contract,
+    * and bucket/keep decisions are pure functions of (rounded nll,
+    * bounds, id). */
+  def ccnetRouteStream(docs: DataFrame, model: DataFrame,
+      totalTokens: Long, bounds: DataFrame,
+      headRate: Double = 1.0, middleRate: Double = 0.5,
+      tailRate: Double = 0.1, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang",
+      eventTimeCol: String = "event_time",
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    require(totalTokens > 0, s"totalTokens=$totalTokens")
+    val scored = docs.withWatermark(eventTimeCol, watermark)
+      .select(col(idCol), col(langCol), col(eventTimeCol),
+        explode(split(lower(col(textCol)),
+          graft.ops.Relevance.TokenPattern)).as("token"))
+      .filter(col("token") =!= "")
+      .join(model, Seq("token"), "left")
+      .groupBy(col(idCol), col(langCol),
+        window(col(eventTimeCol), windowDur))
+      .agg(round(avg(graft.ops.LangModel.nllOf(col("cnt"),
+        lit(totalTokens))), 4).as("nll"))
+      .drop("window")
+    graft.ops.LangModel.routeByBounds(scored, bounds,
+      headRate, middleRate, tailRate, idCol, langCol)
+  }
+
   /** Streaming twin of [[graft.ops.LangModel.scoreAgainstModelML]] —
     * Moore–Lewis contrastive selection of arriving documents against a
     * STATIC fitted model pair ([[graft.ops.LangModel.fitML]] /

@@ -277,6 +277,44 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.map(_.head).size >= expected.map(_.head).size - 50)
   }
 
+  test("streaming CCNet routing against static model+bounds matches the batch router") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-sccn").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.mode("overwrite").parquet(stageDir)
+    val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+    val model = graft.ops.LangModel.unigramCounts(batch, minCount = 5)
+    val total = graft.ops.Relevance.tokens(batch, "doc_id", "text").count()
+    val bounds = graft.ops.LangModel.ccnetFitBounds(batch, minCount = 5,
+      exact = true)
+    def timed(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("event_time",
+        timestamp_seconds(pmod($"doc_id", lit(40)) * 3600))
+    val incoming = timed(spark.readStream.schema(batch.schema)
+      .parquet(stageDir))
+    val out = EventStreams.ccnetRouteStream(incoming, model, total,
+      bounds, windowDur = "30 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sccn")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = spark.table("sccn")
+      .select($"doc_id", $"lang", $"nll", $"bucket", $"kept")
+      .collect().map(_.toSeq).toSet
+    val scored = graft.ops.LangModel.scoreAgainstModel(batch, model, total)
+      .select($"doc_id", round($"nll", 4).as("nll"))
+      .join(batch.select($"doc_id", $"lang"), "doc_id")
+    val expected = graft.ops.LangModel.routeByBounds(scored, bounds,
+        1.0, 0.5, 0.1, "doc_id", "lang")
+      .select($"doc_id", $"lang", $"nll", $"bucket", $"kept")
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty, "closed windows must emit routed docs")
+    assert(streamed.subsetOf(expected),
+      "every streamed route must equal its batch twin")
+    val emitted = streamed.map(_.head)
+    assert(expected.filter(e => emitted.contains(e.head)) === streamed,
+      "each closed doc must emit exactly its batch route")
+  }
+
   test("streaming DSIR weights against a static ratio table match the batch twin") {
     val stageDir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
     spark.read.parquet(s"$sfDir/documents.parquet")
