@@ -435,6 +435,36 @@ object ExplainCheck {
       println(graft.ops.Multimodal.mediaModelStage(media, labels)
         .queryExecution.explainString(fmt))
     }
+    println("########## op:Export.bestOfN (group-limited rank, one keyed shuffle)")
+    locally {
+      import org.apache.spark.sql.functions.{concat, floor, lit, pmod}
+      val responses = docs.select(
+        floor(col("doc_id") / lit(4)).cast("long").as("prompt"),
+        concat(lit("r"), col("doc_id").cast("string")).as("rid"),
+        pmod(col("doc_id"), lit(3)).cast("double").as("sc"))
+      println(graft.ops.Export.bestOfN(responses, "prompt", "rid",
+          col("sc"), k = 2, minScore = 1.0)
+        .queryExecution.explainString(fmt))
+    }
+    println("########## op:LangModel.ccnetBucketMix (one LM pass + broadcast tercile bounds)")
+    println(graft.ops.LangModel.ccnetBucketMix(docs)
+      .queryExecution.explainString(fmt))
+    println("########## op:Similarity.matryoshkaSearch (prefix-slice shortlist + rerank on candidates only)")
+    println(graft.ops.Similarity.matryoshkaSearch(embs,
+        col("vec_id") < 10, k = 5, dims = 32, shortlist = 100)
+      .queryExecution.explainString(fmt))
+    println("########## op:Sampling.waterFillPlan (one corpus agg; scan on the |sources| plan frame)")
+    locally {
+      val w = (0 until 20).map(i => s"src$i" -> (1L + 3 * (i % 5))).toMap
+      println(graft.ops.Sampling.waterFillPlan(docs, "source", "n_chars",
+          w, 100000L)
+        .queryExecution.explainString(fmt))
+    }
+    println("########## op:Quality.codeFlags + cardScan (zero-shuffle scan kernels)")
+    println(graft.ops.Quality.cardScan(
+        graft.ops.Quality.codeFlags(docs).filter(col("code_pass"))
+          .select(col("doc_id"), col("text")))
+      .queryExecution.explainString(fmt))
     spark.stop()
   }
 }
