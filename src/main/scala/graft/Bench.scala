@@ -90,8 +90,9 @@ object Bench {
     "q_quantile_normalize", "q_media_meta", "q_uncertainty_sample",
     "q_psi_by_source", "q_krippendorff", "q_kappa_matrix",
     // round-12 additions: the real multimodal model stage + best-of-N
-    "q_multimodal_model", "q_best_of_n", "q_ccnet_mix", "q_ann_matryoshka",
-    "q_code_filters", "q_pii_luhn", "q_water_fill", "q_code_pipeline")
+    "q_multimodal_model", "q_best_of_n", "q_ann_matryoshka",
+    "q_code_filters", "q_pii_luhn", "q_water_fill", "q_code_pipeline",
+    "q_license_scan", "q_ccnet_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

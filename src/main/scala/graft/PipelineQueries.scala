@@ -6060,6 +6060,83 @@ object PipelineQueries {
         .orderBy(col("source"))
     },
 
+    // License detection (The Stack policy gate): SPDX tags beat
+    // phrase matches — planted headers cover permissive/copyleft SPDX,
+    // phrase-only licenses, an UNRECOGNIZED SPDX id, a no-license
+    // class, and the precedence case (GPL SPDX + MIT phrase in one
+    // file → copyleft). The oracle recomputes extraction, precedence,
+    // class and verdict per row.
+    q("q_license_scan",
+      """WITH pl AS (SELECT doc_id,
+        |    CASE
+        |      WHEN doc_id % 12 = 7 THEN
+        |        '// SPDX-License-Identifier: GPL-3.0-only' || chr(10)
+        |        || '// (vendored: original under the MIT License)'
+        |        || chr(10) || text
+        |      WHEN doc_id % 6 = 0 THEN
+        |        '// SPDX-License-Identifier: MIT' || chr(10) || text
+        |      WHEN doc_id % 6 = 1 THEN
+        |        '// SPDX-License-Identifier: GPL-3.0-only' || chr(10)
+        |        || text
+        |      WHEN doc_id % 6 = 2 THEN
+        |        '/* Licensed under the Apache License, Version 2.0 */'
+        |        || chr(10) || text
+        |      WHEN doc_id % 6 = 3 THEN
+        |        '// under the GNU General Public License v3' || chr(10)
+        |        || text
+        |      WHEN doc_id % 6 = 4 THEN
+        |        '// SPDX-License-Identifier: Custom-1.0' || chr(10) || text
+        |      ELSE text END AS t FROM documents),
+        |x AS (SELECT doc_id, t,
+        |    nullif(regexp_extract(t,
+        |      'SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)', 1), '')
+        |      AS spdx_id FROM pl),
+        |cl AS (SELECT doc_id, spdx_id,
+        |    CASE WHEN spdx_id IS NOT NULL THEN
+        |      CASE WHEN upper(spdx_id) IN ('MIT', 'APACHE-2.0',
+        |          'BSD-2-CLAUSE', 'BSD-3-CLAUSE', 'ISC', 'UNLICENSE')
+        |        THEN 'permissive'
+        |      WHEN regexp_matches(upper(spdx_id),
+        |          '^(A?GPL|LGPL)-[0-9.]+(-ONLY|-OR-LATER)?$')
+        |        THEN 'copyleft'
+        |      ELSE 'unknown' END
+        |    WHEN regexp_matches(t, '(?i)MIT License|Apache License,? ' ||
+        |        'Version 2\.0|Redistribution and use in source and ' ||
+        |        'binary forms') THEN 'permissive'
+        |    WHEN regexp_matches(t,
+        |        '(?i)GNU (Affero |Lesser )?General Public License')
+        |      THEN 'copyleft'
+        |    ELSE 'unknown' END AS license_class
+        |  FROM x)
+        |SELECT doc_id, spdx_id, license_class,
+        |  license_class = 'permissive' AS license_ok
+        |FROM cl ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(12)) === 7,
+            concat(lit("// SPDX-License-Identifier: GPL-3.0-only\n" +
+              "// (vendored: original under the MIT License)\n"),
+              col("text")))
+          .when(pmod(col("doc_id"), lit(6)) === 0,
+            concat(lit("// SPDX-License-Identifier: MIT\n"), col("text")))
+          .when(pmod(col("doc_id"), lit(6)) === 1,
+            concat(lit("// SPDX-License-Identifier: GPL-3.0-only\n"),
+              col("text")))
+          .when(pmod(col("doc_id"), lit(6)) === 2,
+            concat(lit("/* Licensed under the Apache License, " +
+              "Version 2.0 */\n"), col("text")))
+          .when(pmod(col("doc_id"), lit(6)) === 3,
+            concat(lit("// under the GNU General Public License v3\n"),
+              col("text")))
+          .when(pmod(col("doc_id"), lit(6)) === 4,
+            concat(lit("// SPDX-License-Identifier: Custom-1.0\n"),
+              col("text")))
+          .otherwise(col("text")).as("text"))
+      graft.ops.Quality.licenseScan(planted)
+        .select(col("doc_id"), col("spdx_id"), col("license_class"),
+          col("license_ok"))
+        .orderBy(col("doc_id"))
+    },
+
     // Composed code-corpus pipeline: StarCoder filters -> Luhn card
     // redaction -> exact dedup on the REDACTED text -> per-source
     // funnel. Stage interactions are the point: dedup runs on

@@ -438,4 +438,34 @@ class QualitySpec extends AnyFunSuite {
       assert(got(id) === refLuhn(s), s"disagree on $s")
     }
   }
+
+  test("licenseScan: SPDX beats phrase; every class and the precedence case") {
+    val docs = Seq(
+      (1L, "// SPDX-License-Identifier: MIT\ncode"),
+      (2L, "// SPDX-License-Identifier: GPL-3.0-only\ncode"),
+      (3L, "/* Licensed under the Apache License, Version 2.0 */\ncode"),
+      (4L, "under the GNU Lesser General Public License\ncode"),
+      (5L, "// SPDX-License-Identifier: Custom-1.0\ncode"),
+      (6L, "no license at all"),
+      // precedence: the SPDX tag is authoritative even when a
+      // permissive phrase appears in the body
+      (7L, "// SPDX-License-Identifier: AGPL-3.0-or-later\n" +
+        "// original was MIT License\ncode"),
+      (8L, "Redistribution and use in source and binary forms\ncode")
+    ).toDF("doc_id", "text")
+    val out = Quality.licenseScan(docs)
+      .select("doc_id", "spdx_id", "license_class", "license_ok")
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)),
+        r.getString(2), r.getBoolean(3)))).toMap
+    assert(out(1L) === ((Some("MIT"), "permissive", true)))
+    assert(out(2L) === ((Some("GPL-3.0-only"), "copyleft", false)))
+    assert(out(3L) === ((None, "permissive", true)))
+    assert(out(4L) === ((None, "copyleft", false)))
+    assert(out(5L) === ((Some("Custom-1.0"), "unknown", false)))
+    assert(out(6L) === ((None, "unknown", false)))
+    assert(out(7L) === ((Some("AGPL-3.0-or-later"), "copyleft", false)),
+      "an SPDX tag must beat any phrase in the body")
+    assert(out(8L) === ((None, "permissive", true)), "BSD phrase")
+  }
 }
