@@ -901,6 +901,43 @@ object PipelineQueries {
         recallCol = "recall_at_k_ge_075")
     },
 
+    // k-NN label propagation: every 5th vector loses its label and
+    // takes the majority vote of its 7 nearest labeled neighbors
+    // (rounded-cosine rank, vec_id tie-break; vote ties by count desc
+    // then label asc). The oracle recomputes every neighborhood, every
+    // vote and every tie-break, plus the true label for inspection.
+    q("q_knn_classify",
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label
+        |  FROM embeddings WHERE vec_id % 5 <> 0),
+        |qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qemb,
+        |    label AS true_label FROM embeddings WHERE vec_id % 5 = 0),
+        |sims AS (SELECT query_id, b.vec_id, b.label,
+        |    round(list_cosine_similarity(emb, qemb), 6) AS sim
+        |  FROM base b CROSS JOIN qs),
+        |nb AS (SELECT query_id, label FROM (
+        |    SELECT query_id, label, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+        |    FROM sims) WHERE rk <= 7),
+        |vt AS (SELECT query_id, label, count(*) AS votes
+        |       FROM nb GROUP BY 1, 2),
+        |pick AS (SELECT query_id, label AS pred_label, votes FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY votes DESC, label) AS r FROM vt) WHERE r = 1)
+        |SELECT p.query_id, CAST(p.pred_label AS INT) AS pred_label,
+        |  CAST(p.votes AS BIGINT) AS votes, q.true_label
+        |FROM pick p JOIN qs q USING (query_id)
+        |ORDER BY query_id""".stripMargin) { (s, dir) =>
+      val embs = t(s, dir, "embeddings")
+      graft.ops.Similarity.knnClassify(embs,
+          labeledPred = pmod(col("vec_id"), lit(5)) =!= 0,
+          queryPred = pmod(col("vec_id"), lit(5)) === 0, k = 7)
+        .join(embs.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), Seq("query_id"))
+        .select(col("query_id"), col("pred_label"), col("votes"),
+          col("true_label"))
+        .orderBy(col("query_id"))
+    },
+
     // Matryoshka two-stage search (MRL, Kusupati et al. 2022):
     // shortlist on the first 32 of 64 coordinates (half the scan bytes/
     // flops), exact full-dim rerank on the shortlist. Certificate vs

@@ -53,6 +53,53 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("sim"), col("rk"))
   }
 
+  /** k-NN label classification over the embedding column — the
+    * semi-supervised labeling step of a curation loop (propagate a
+    * small human-labeled seed set onto unlabeled corpus vectors;
+    * cf. the label-spreading family, Zhu & Ghahramani 2002): each
+    * query vector takes the majority label of its `k` nearest LABELED
+    * neighbors by cosine. Fully deterministic contract: neighbors rank
+    * by (ROUNDED sim desc, vec_id), votes break ties by (count desc,
+    * label asc) — total cross-engine orders at both stages. Same
+    * broadcast-queries brute shape as [[bruteForceTopK]] (the
+    * certificate/seed-scale path); for web-scale query sets run the
+    * identical vote over [[lshCandidatePairs]] / [[graft.ops.IvfIndex]]
+    * candidates. The vote frame is queries × |labels| rows — the
+    * aggregation, not the corpus, pays the window.
+    *
+    * Output: (query_id, pred_label, votes) — one row per query that
+    * has at least one labeled neighbor. */
+  def knnClassify(embs: DataFrame, labeledPred: Column,
+      queryPred: Column, k: Int,
+      labelCol: String = "label"): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val base = embs.filter(labeledPred)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"),
+        col(labelCol).as("_lbl"))
+      .withColumn("nrm", norm(col("emb")))
+    val queries = embs.filter(queryPred)
+      .select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("qemb"))
+      .withColumn("qnrm", norm(col("qemb")))
+    val rank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val neighbors = base.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("_lbl"),
+        round(dot(col("emb"), col("qemb")) /
+          (col("nrm") * col("qnrm")), 6).as("sim"))
+      .withColumn("rk", row_number().over(rank))
+      .filter(col("rk") <= k)
+    val pick = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("_lbl").asc)
+    neighbors.groupBy(col("query_id"), col("_lbl"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("_r", row_number().over(pick))
+      .filter(col("_r") === 1)
+      .select(col("query_id"), col("_lbl").as("pred_label"),
+        col("votes"))
+  }
+
   /** Matryoshka two-stage search (Kusupati et al., NeurIPS 2022 — MRL):
     * shortlist on the FIRST `dims` coordinates, exact full-dim cosine
     * rerank on the shortlist only. MRL-trained embeddings front-load

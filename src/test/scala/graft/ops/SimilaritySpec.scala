@@ -349,4 +349,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"half-dim shortlist recall@5 = $recall " +
       "(measured 0.96 at sf0.01 on the gaussian worst case)")
   }
+
+  test("knnClassify: planted clusters recover their seed labels; ties break deterministically") {
+    import spark.implicits._
+    // two tight clusters on orthogonal axes + a midpoint query
+    def v(axis: Int, eps: Double, at: Int) =
+      (0 until 8).map(i =>
+        if (i == axis) 1.0f else if (i == at) eps.toFloat else 0.0f).toArray
+    val rows =
+      // labeled: 3 around axis 0 (label 1), 3 around axis 1 (label 2)
+      Seq((1L, v(0, 0.01, 2), 1), (2L, v(0, 0.02, 3), 1),
+        (3L, v(0, 0.03, 4), 1),
+        (4L, v(1, 0.01, 2), 2), (5L, v(1, 0.02, 3), 2),
+        (6L, v(1, 0.03, 4), 2),
+        // queries (labels present but ignored): near axis 0, near
+        // axis 1, and the exact midpoint
+        (10L, v(0, 0.05, 5), 9), (11L, v(1, 0.05, 5), 9),
+        (12L, (0 until 8).map(i =>
+          if (i <= 1) 1.0f else 0.0f).toArray, 9))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(rows, col("vec_id") <= 6,
+        col("vec_id") >= 10, k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2))))
+      .toMap
+    assert(out(10L) === ((1, 3L)), "axis-0 query takes the axis-0 label 3-0")
+    assert(out(11L) === ((2, 3L)), "axis-1 query takes the axis-1 label 3-0")
+    // midpoint with k=3: one cluster contributes 2 neighbors by the
+    // vec_id tie-break chain; whichever — the pick must be the
+    // majority, and with a planted exact 2-1 split it's deterministic
+    val (lbl, votes) = out(12L)
+    assert(votes === 2L && (lbl == 1 || lbl == 2))
+    // exact tie in votes: k=2 on the midpoint -> 1 vote each -> label
+    // asc wins
+    val tie = Similarity.knnClassify(rows, col("vec_id") <= 6,
+        col("vec_id") === 12, k = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).head
+    assert(tie === ((1, 1L)), "vote tie must break by smallest label")
+  }
 }
