@@ -6097,6 +6097,46 @@ object PipelineQueries {
         .orderBy(col("source"))
     },
 
+    // Type-2 code-clone dedup: planted renamed clones (%11=5 — same
+    // snippet, id-derived identifier AND literal per doc) must land in
+    // ONE group with n_distinct_raw = group size, and planted exact
+    // copies (%11=6) in one group with n_distinct_raw = 1. The oracle
+    // recomputes the full normalizer chain and the clone grouping.
+    q("q_code_clones",
+      """WITH pl AS (SELECT doc_id, CASE
+        |    WHEN doc_id % 11 = 5 THEN 'int alpha' || doc_id || ' = '
+        |      || (doc_id * 3) || '; if (alpha' || doc_id
+        |      || ' > 7) { return alpha' || doc_id || ' + 3; } // note '
+        |      || doc_id
+        |    WHEN doc_id % 11 = 6
+        |      THEN 'static void copy() { /* body */ int k = 1; }'
+        |    ELSE text END AS t FROM documents),
+        |n AS (SELECT doc_id, t, trim(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '//[^\n]*', '', 'g'),
+        |      '(?s)/\*.*?\*/', '', 'g'),
+        |      '[A-Za-z_][A-Za-z0-9_]*', 'V', 'g'),
+        |      '\b[0-9]+(\.[0-9]+)?\b', 'N', 'g'),
+        |      '\s+', ' ', 'g')) AS norm FROM pl)
+        |SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  count(*) AS n_copies,
+        |  CAST(count(DISTINCT t) AS BIGINT) AS n_distinct_raw
+        |FROM n GROUP BY norm HAVING count(*) >= 2
+        |ORDER BY keep_id""".stripMargin) { (s, dir) =>
+      val id = col("doc_id").cast("string")
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(11)) === 5,
+            concat(lit("int alpha"), id, lit(" = "),
+              (col("doc_id") * 3).cast("string"), lit("; if (alpha"),
+              id, lit(" > 7) { return alpha"), id,
+              lit(" + 3; } // note "), id))
+          .when(pmod(col("doc_id"), lit(11)) === 6,
+            lit("static void copy() { /* body */ int k = 1; }"))
+          .otherwise(col("text")).as("text"))
+      graft.ops.Dedup.codeCloneGroups(planted)
+        .orderBy(col("keep_id"))
+    },
+
     // License detection (The Stack policy gate): SPDX tags beat
     // phrase matches — planted headers cover permissive/copyleft SPDX,
     // phrase-only licenses, an UNRECOGNIZED SPDX id, a no-license

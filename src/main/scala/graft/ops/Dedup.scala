@@ -31,6 +31,44 @@ object Dedup {
     docs.groupBy(GraftFunctions.fingerprint64(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Token-class normalization for TYPE-2 code-clone detection
+    * (Roy & Cordy 2007's taxonomy: clones equal up to renamed
+    * identifiers and changed literals): strip `//` and `/* */`
+    * comments, map every identifier to `V` and every numeric literal
+    * to `N`, collapse whitespace. Keywords normalize too — coarser
+    * than classic type-2 (which keeps keywords), but same-language
+    * files land in the same clone classes and the whole normalizer
+    * stays a regex chain BOTH engines implement identically (RE2 has
+    * no lookahead for a keyword whitelist). */
+  private[graft] def codeNormalize(t: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, "//[^\n]*", ""),
+            "(?s)/\\*.*?\\*/", ""),
+          "[A-Za-z_][A-Za-z0-9_]*", "V"),
+        "\\b[0-9]+(\\.[0-9]+)?\\b", "N"),
+      "\\s+", " "))
+
+  /** Renamed-clone (type-2) dedup groups for a code corpus: documents
+    * whose [[codeNormalize]]d form is identical — catches the
+    * copy-paste-rename clones exact dedup misses and shingle dedup
+    * only scores. Same scale shape as [[exact]]: the corpus shuffles
+    * one 8-byte fingerprint of the NORMALIZED text (never the text);
+    * `n_distinct_raw` (distinct raw-content fingerprints per group)
+    * shows how many RENAMINGS the group collapsed. Groups of one are
+    * dropped — the output is the clone report. */
+  def codeCloneGroups(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(GraftFunctions.fingerprint64(codeNormalize(col(textCol)))
+        .as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"),
+        countDistinct(GraftFunctions.fingerprint64(col(textCol)))
+          .as("n_distinct_raw"))
+      .filter(col("n_copies") >= 2)
+      .select(col("keep_id"), col("n_copies"), col("n_distinct_raw"))
+
   /** The deduplicated corpus itself: one surviving row per distinct text
     * (the min-id keeper), via a semi-join against [[exact]]'s keep set —
     * the materialization step a training pipeline runs after the stats. */

@@ -519,4 +519,38 @@ class DedupSpec extends AnyFunSuite {
     try assert(run() === out)
     finally spark.conf.unset(Guards.MaxBroadcastKeysConf)
   }
+
+  test("codeCloneGroups: renamed clones collapse, exact copies counted, distinct code separate") {
+    import spark.implicits._
+    val docs = Seq(
+      // type-2 clones: same structure, renamed identifier + literal
+      (1L, "int foo = 42; if (foo > 7) { return foo + 3; } // a"),
+      (2L, "int barbar = 99; if (barbar > 12) { return barbar + 5; } /* b */"),
+      // exact copies of each other
+      (3L, "static void f() { int k = 1; }"),
+      (4L, "static void f() { int k = 1; }"),
+      // structurally different — must NOT group with the clones
+      (5L, "while (x < 10) { x = x * 2; }"),
+      (6L, "lonely unique content")).toDF("doc_id", "text")
+    val out = Dedup.codeCloneGroups(docs).orderBy("keep_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 2L), // renamed pair: 2 copies, 2 DISTINCT raw texts
+      (3L, 2L, 1L)  // exact pair: 2 copies, 1 raw text
+    ))
+  }
+
+  test("codeNormalize: comments strip, identifiers/numbers class, whitespace folds") {
+    import spark.implicits._
+    val got = Seq(
+      ("int foo = 42; // trailing", "V V = N;"),
+      ("a /* multi\nline */ b", "V V"),
+      ("x1 +  2.5", "V + N"),
+      ("  spaced\tout  ", "V V")
+    ).toDF("in", "want")
+      .select(Dedup.codeNormalize(col("in")).as("got"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) === r.getString(1),
+      s"normalize mismatch: got '${r.getString(0)}'"))
+  }
 }
