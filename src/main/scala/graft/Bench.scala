@@ -92,7 +92,8 @@ object Bench {
     // round-12 additions: the real multimodal model stage + best-of-N
     "q_multimodal_model", "q_best_of_n", "q_ann_matryoshka",
     "q_code_filters", "q_pii_luhn", "q_water_fill", "q_code_pipeline",
-    "q_license_scan", "q_ccnet_mix", "q_knn_classify", "q_code_clones")
+    "q_license_scan", "q_ccnet_mix", "q_knn_classify", "q_code_clones",
+    "q_shard_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

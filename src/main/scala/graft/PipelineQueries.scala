@@ -4153,6 +4153,37 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Per-shard mixing diagnostics over the epoch-1 md5 deal: entropy
+    // of each shard's source distribution (sorted-fold rounding
+    // discipline), dominant source + share. The oracle recomputes the
+    // shard deal, the (shard, source) grid, the ORDER-BY-source
+    // entropy fold and the (count desc, source asc) dominant pick.
+    q("q_shard_mix",
+      """WITH h AS (SELECT doc_id, source,
+        |    md5('1:' || doc_id::VARCHAR) AS hx FROM documents),
+        |s AS (SELECT source,
+        |    CAST(CAST(concat('0x', substr(hx, 1, 6)) AS BIGINT) % 16
+        |      AS INTEGER) AS shard FROM h),
+        |c AS (SELECT shard, source, count(*) AS c FROM s GROUP BY 1, 2),
+        |g AS (SELECT shard, CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_sources FROM c GROUP BY 1),
+        |e AS (SELECT c.shard, round(-list_aggregate(list(
+        |      CAST(c AS DOUBLE) / g.n_rows * ln(CAST(c AS DOUBLE) / g.n_rows)
+        |      ORDER BY c.source), 'sum'), 6) AS entropy
+        |  FROM c JOIN g USING (shard) GROUP BY c.shard),
+        |tp AS (SELECT shard, source AS top_source, c FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY shard
+        |      ORDER BY c DESC, source) AS r FROM c) WHERE r = 1)
+        |SELECT g.shard, g.n_rows, g.n_sources, e.entropy, tp.top_source,
+        |  round(CAST(tp.c AS DOUBLE) / g.n_rows, 6) AS max_share
+        |FROM g JOIN e USING (shard) JOIN tp USING (shard)
+        |ORDER BY shard""".stripMargin) { (s, dir) =>
+      val sharded = graft.ops.Export.epochShards(
+        t(s, dir, "documents"), "doc_id", epoch = 1, nShards = 16)
+      graft.ops.Export.shardMixReport(sharded, "shard", "source")
+        .orderBy(col("shard"))
+    },
+
     // Fill-in-the-middle export (Bavarian et al. arXiv:2207.14255):
     // gate + both pivots are md5-unit functions of the doc id, so
     // DuckDB re-derives the exact split points AND the packed PSM

@@ -238,6 +238,44 @@ object Export {
       .drop("_h")
   }
 
+  /** Per-shard mixing diagnostics — the check that a training layout
+    * ([[epochShards]], [[interleaveSources]], [[curriculumShards]])
+    * actually MIXED the sources instead of clumping one: per shard,
+    * the source-distribution entropy (nats), the dominant source and
+    * its share. A shard whose entropy collapses toward 0 (or whose
+    * max_share → 1) feeds the model a single-source window — the
+    * ordering bug this report exists to catch before a training run.
+    *
+    * Determinism: entropy sums ≤|sources| float terms per shard in a
+    * SORTED fold (the [[graft.ops.LangModel.mlOrderedMean]] rounding
+    * discipline — collect, sort by source, strict left fold), so the
+    * 6-decimal contract can't flip with aggregation order; shares are
+    * exact integer-count ratios; the dominant source picks by
+    * (count desc, source asc) via one lexicographic struct-min.
+    * Scale: ONE (shard, source) count aggregate; everything after
+    * runs on that ≤ shards×|sources| grid. */
+  def shardMixReport(df: DataFrame, shardCol: String,
+      stratumCol: String): DataFrame = {
+    val counts = df.groupBy(col(shardCol), col(stratumCol))
+      .agg(count(lit(1)).as("_c"))
+    counts.groupBy(col(shardCol))
+      .agg(sum(col("_c")).as("n_rows"),
+        count(lit(1)).as("n_sources"),
+        collect_list(struct(col(stratumCol).as("_s"), col("_c")))
+          .as("_cs"),
+        min(struct((-col("_c")).as("_nc"), col(stratumCol).as("_s"),
+          col("_c").as("_c"))).as("_top"))
+      .select(col(shardCol), col("n_rows"), col("n_sources"),
+        round(-aggregate(array_sort(col("_cs")), lit(0.0d), (acc, sc) => {
+          val p = sc.getField("_c").cast("double") /
+            col("n_rows").cast("double")
+          acc + p * log(p)
+        }), 6).as("entropy"),
+        col("_top._s").as("top_source"),
+        round(col("_top._c").cast("double") /
+          col("n_rows").cast("double"), 6).as("max_share"))
+  }
+
   /** Curriculum training layout: stage-major deterministic order.
     * Documents bucket into `nStages` difficulty stages by EXACT score
     * quantiles ([[Sampling.scoreBuckets]] — bounds are one broadcast

@@ -576,4 +576,26 @@ class ExportSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"),
       s"never a global sort/exchange:\n$p")
   }
+
+  test("shardMixReport: hand-computed entropy, dominant pick, degenerate shard") {
+    import spark.implicits._
+    val rows = Seq(
+      // shard 0: a=2, b=2 -> entropy ln 2, tie on count -> 'a' wins
+      (0, "a"), (0, "a"), (0, "b"), (0, "b"),
+      // shard 1: single source -> entropy exactly 0, share 1
+      (1, "c"), (1, "c"), (1, "c"),
+      // shard 2: a=3, b=1
+      (2, "a"), (2, "a"), (2, "a"), (2, "b")).toDF("shard", "source")
+    val out = Export.shardMixReport(rows, "shard", "source")
+      .orderBy("shard").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4), r.getDouble(5)))
+    assert(out(0) === ((0, 4L, 2L,
+      BigDecimal(math.log(2.0)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, "a", 0.5)))
+    assert(out(1) === ((1, 3L, 1L, -0.0, "c", 1.0)))
+    val h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(out(2)._4 - h) < 1e-6)
+    assert(out(2)._5 === "a" && out(2)._6 === 0.75)
+  }
 }
