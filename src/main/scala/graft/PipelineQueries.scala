@@ -4153,6 +4153,44 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Reply-tree linearization (the SFT thread-flattening step) via
+    // pointer doubling over a synthesized ternary tree
+    // (parent = (id-1)//3, root 0): each LEAF emits its full
+    // root-first path. The oracle walks the same tree with a
+    // WITH RECURSIVE one-step CTE — a completely different algorithm
+    // arriving at the same paths, so the doubling algebra is pinned.
+    q("q_thread_paths",
+      """WITH RECURSIVE nodes AS (SELECT doc_id AS id,
+        |    CASE WHEN doc_id = 0 THEN NULL
+        |         ELSE (doc_id - 1) // 3 END AS parent FROM documents),
+        |up AS (
+        |  SELECT id, parent AS nxt, [id] AS path FROM nodes
+        |  UNION ALL
+        |  SELECT up.id, n.parent, list_append(up.path, up.nxt)
+        |  FROM up JOIN nodes n ON up.nxt = n.id),
+        |done AS (SELECT id, path FROM up WHERE nxt IS NULL),
+        |leaves AS (SELECT id FROM nodes WHERE id NOT IN (
+        |    SELECT parent FROM nodes WHERE parent IS NOT NULL))
+        |SELECT d.id AS doc_id, path[-1] AS root_id,
+        |  CAST(len(path) - 1 AS INT) AS depth,
+        |  array_to_string(list_transform(list_reverse(path),
+        |    x -> CAST(x AS VARCHAR)), '->') AS path_str
+        |FROM done d JOIN leaves USING (id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val nodes = t(s, dir, "documents").select(col("doc_id").as("id"),
+        when(col("doc_id") === 0, lit(null).cast("long"))
+          .otherwise(floor((col("doc_id") - 1) / lit(3)).cast("long"))
+          .as("parent"))
+      val paths = graft.ops.Graph.rootPaths(nodes)
+      val parents = nodes.filter(col("parent").isNotNull)
+        .select(col("parent").as("id")).distinct()
+      paths.join(parents, Seq("id"), "left_anti")
+        .select(col("id").as("doc_id"), col("root_id"), col("depth"),
+          array_join(transform(reverse(col("path")),
+            x => x.cast("string")), "->").as("path_str"))
+        .orderBy(col("doc_id"))
+    },
+
     // Per-shard mixing diagnostics over the epoch-1 md5 deal: entropy
     // of each shard's source distribution (sorted-fold rounding
     // discipline), dominant source + share. The oracle recomputes the

@@ -391,4 +391,60 @@ object Graph {
     }
     labels.select(col("node"), col("lab").as("community"))
   }
+
+  /** Tree/thread linearization by POINTER DOUBLING: every node's full
+    * root path in O(log depth) rounds — the reply-tree flattening an
+    * SFT pipeline runs on forum/chat threads (each root→leaf path is
+    * one conversation example) where the one-step-per-round walk would
+    * take `depth` sequential joins.
+    *
+    * Each round joins the state with itself on the current jump
+    * pointer and CONCATENATES the two known path segments (`path`
+    * always covers [node .. jump's predecessor]); jumps double the
+    * covered suffix per round, so a 10⁶-deep degenerate chain resolves
+    * in 20 rounds. Per round: ONE keyed self-join; state is (id, jump,
+    * path) with total path mass Σ depth — the output's own size.
+    * Lineage truncates per round ([[pageRank]]'s localCheckpoint
+    * discipline), progress is monotone (`active` strictly falls to 0
+    * because every non-root jump strictly advances toward its root —
+    * cycles would NOT terminate and are the caller's contract to
+    * exclude: require parent pointers to form a forest).
+    *
+    * Input: (idCol, parentCol) with NULL parent at roots. Output:
+    * (id, root_id, depth, path) — `path` node-first up to the root
+    * inclusive; roots get depth 0 and a singleton path. */
+  def rootPaths(nodes: DataFrame, idCol: String = "id",
+      parentCol: String = "parent", maxRounds: Int = 40): DataFrame = {
+    var state = nodes
+      .select(col(idCol).as("id"), col(parentCol).as("jump"),
+        array(col(idCol)).as("path"))
+      .localCheckpoint()
+    var active = state.filter(col("jump").isNotNull).count()
+    var round = 0
+    while (active > 0) {
+      round += 1
+      require(round <= maxRounds,
+        s"rootPaths did not converge in $maxRounds doubling rounds " +
+          "(depth > 2^rounds, or the parent pointers contain a cycle)")
+      val jumpSide = state.select(col("id").as("jump"),
+        col("jump").as("_jj"), col("path").as("_jp"))
+      // a DANGLING parent (no row for the jump target) terminates the
+      // walk at the last known node instead of nulling the whole path
+      val next = state.join(jumpSide, Seq("jump"), "left")
+        .select(col("id"),
+          when(col("jump").isNotNull && col("_jp").isNotNull,
+            concat(col("path"), col("_jp"))).otherwise(col("path"))
+            .as("path"),
+          when(col("jump").isNotNull, col("_jj"))
+            .otherwise(lit(null)).as("jump"))
+        .select(col("id"), col("jump"), col("path"))
+        .localCheckpoint()
+      state.unpersist()
+      state = next
+      active = state.filter(col("jump").isNotNull).count()
+    }
+    state.select(col("id"),
+      element_at(col("path"), -1).as("root_id"),
+      (size(col("path")) - 1).as("depth"), col("path"))
+  }
 }

@@ -234,4 +234,38 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(again === out)
   }
+
+  test("rootPaths: hand-built forest — chains, branching, two roots, dangling parent") {
+    import spark.implicits._
+    val nodes = Seq[(Long, Option[Long])](
+      (0L, None),            // root A
+      (1L, Some(0L)), (2L, Some(0L)),
+      (3L, Some(1L)), (4L, Some(3L)), (5L, Some(4L)), // depth-4 chain
+      (10L, None),           // root B
+      (11L, Some(10L)),
+      (20L, Some(99L)))      // dangling parent: walk stops at 20
+      .toDF("id", "parent")
+    val out = Graph.rootPaths(nodes).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2),
+        r.getSeq[Long](3).toList))).toMap
+    assert(out(0L) === ((0L, 0, List(0L))))
+    assert(out(5L) === ((0L, 4, List(5L, 4L, 3L, 1L, 0L))),
+      "the depth-4 chain resolves node-first to the root")
+    assert(out(2L) === ((0L, 1, List(2L, 0L))))
+    assert(out(11L) === ((10L, 1, List(11L, 10L))), "second root's tree")
+    assert(out(20L) === ((20L, 0, List(20L))),
+      "a dangling parent terminates at the last known node")
+  }
+
+  test("rootPaths: doubling resolves a 70-deep chain within ~log2 rounds") {
+    import spark.implicits._
+    val chain = (0L until 70L).map(i =>
+      (i, if (i == 0) None else Some(i - 1))).toDF("id", "parent")
+    val out = Graph.rootPaths(chain, maxRounds = 9).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // depth 69 needs ceil(log2(69)) = 7 doubling rounds; maxRounds 9
+    // passing PROVES the doubling (a one-step walk would need 69)
+    assert(out(69L) === 69)
+    assert(out(0L) === 0)
+  }
 }
