@@ -465,6 +465,35 @@ object ExplainCheck {
         graft.ops.Quality.codeFlags(docs).filter(col("code_pass"))
           .select(col("doc_id"), col("text")))
       .queryExecution.explainString(fmt))
+    println("########## op:Similarity.knnClassify (broadcast queries; vote window on the queries-only grid)")
+    locally {
+      import org.apache.spark.sql.functions.{lit, pmod}
+      println(graft.ops.Similarity.knnClassify(embs,
+          pmod(col("vec_id"), lit(5)) =!= 0,
+          pmod(col("vec_id"), lit(5)) === 0, k = 7)
+        .queryExecution.explainString(fmt))
+    }
+    println("########## op:Dedup.codeCloneGroups (8-byte normalized-fp shuffle, text never moves)")
+    println(graft.ops.Dedup.codeCloneGroups(docs)
+      .queryExecution.explainString(fmt))
+    println("########## op:Quality.licenseScan (pure regex scan kernel)")
+    println(graft.ops.Quality.licenseScan(docs)
+      .queryExecution.explainString(fmt))
+    println("########## op:Export.shardMixReport (one (shard,source) agg, grid-side folds)")
+    println(graft.ops.Export.shardMixReport(
+        graft.ops.Export.epochShards(docs, "doc_id", 1, 16),
+        "shard", "source")
+      .queryExecution.explainString(fmt))
+    println("########## op:Graph.rootPaths (log-depth doubling; plan of the per-round self-join)")
+    locally {
+      import org.apache.spark.sql.functions.{floor, lit, when}
+      val nodes = docs.select(col("doc_id").as("id"),
+        when(col("doc_id") === 0, lit(null).cast("long"))
+          .otherwise(floor((col("doc_id") - 1) / lit(3)).cast("long"))
+          .as("parent"))
+      println(graft.ops.Graph.rootPaths(nodes)
+        .queryExecution.explainString(fmt))
+    }
     spark.stop()
   }
 }

@@ -647,6 +647,35 @@ class EventStreamsSpec extends AnyFunSuite {
       "stateless quality kernels must be batch-identical on a stream")
   }
 
+  test("stateless code-corpus kernels run unchanged on streams: filters + Luhn + license") {
+    // the round-12 code-screening front half is pure narrow regex/HOF
+    // work — a streaming repo ingest runs it before any stateful stage
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-sck").toString
+    spark.read.parquet(s"$sfDir/documents.parquet").limit(120)
+      .write.mode("overwrite").parquet(stageDir)
+    val batchDocs = spark.read.parquet(stageDir)
+    def shape(df: org.apache.spark.sql.DataFrame) = {
+      val planted = df.select($"doc_id",
+        concat(lit("// SPDX-License-Identifier: MIT\n"), $"text",
+          lit(" card 4111111111111111")).as("text"))
+      graft.ops.Quality.licenseScan(
+        graft.ops.Quality.cardScan(
+          graft.ops.Quality.codeFlags(planted)))
+        .select($"doc_id", $"code_pass", $"n_valid_cards", $"redacted",
+          $"license_class", $"license_ok")
+    }
+    val incoming = spark.readStream.schema(batchDocs.schema)
+      .parquet(stageDir)
+    val q = shape(incoming).writeStream.outputMode("append")
+      .format("memory").queryName("sck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sck").collect().map(_.toSeq).toSet
+    val expected = shape(batchDocs).collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed === expected,
+      "code-screening kernels must be batch-identical on a stream")
+  }
+
   test("bloom streaming corpus dedup matches the exact stream-static twin") {
     val stageDir = java.nio.file.Files.createTempDirectory("graft-sbd").toString
     spark.read.parquet(s"$sfDir/documents.parquet")
