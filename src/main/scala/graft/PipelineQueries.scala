@@ -4191,6 +4191,71 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Composed thread->SFT export: pointer-doubled root paths feed the
+    // chat assembler — each leaf's root-first path becomes ONE training
+    // example with alternating roles and loss spans. The oracle chains
+    // the recursive-CTE walk, the per-path turn explode and the
+    // span-offset arithmetic, pinning the two operators THROUGH each
+    // other.
+    q("q_thread_sft",
+      """WITH RECURSIVE nodes AS (SELECT doc_id AS id,
+        |    CASE WHEN doc_id = 0 THEN NULL
+        |         ELSE (doc_id - 1) // 3 END AS parent FROM documents),
+        |up AS (
+        |  SELECT id, parent AS nxt, [id] AS path FROM nodes
+        |  UNION ALL
+        |  SELECT up.id, n.parent, list_append(up.path, up.nxt)
+        |  FROM up JOIN nodes n ON up.nxt = n.id),
+        |done AS (SELECT id, list_reverse(path) AS rpath
+        |         FROM up WHERE nxt IS NULL),
+        |leaves AS (SELECT id FROM nodes WHERE id NOT IN (
+        |    SELECT parent FROM nodes WHERE parent IS NOT NULL)),
+        |turns AS (SELECT d.id AS conv, g.pos, d.rpath[g.pos] AS node
+        |  FROM done d JOIN leaves l ON d.id = l.id,
+        |  unnest(generate_series(1, len(d.rpath))) AS g(pos)),
+        |tt AS (SELECT t.conv, t.pos,
+        |    CASE WHEN (t.pos - 1) % 2 = 0 THEN 'user'
+        |         ELSE 'assistant' END AS role,
+        |    doc.text AS txt
+        |  FROM turns t JOIN documents doc ON t.node = doc.doc_id),
+        |w AS (SELECT conv, pos, role, txt,
+        |  CAST(coalesce(sum(length(txt) + 1) OVER (PARTITION BY conv
+        |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    1 PRECEDING), 0) AS BIGINT) AS st FROM tt)
+        |SELECT conv, string_agg(txt, chr(10) ORDER BY pos) AS text,
+        |  count(*) AS n_turns,
+        |  CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_train_turns,
+        |  string_agg(st || ':' || (st + length(txt)) || ':' || role ||
+        |    ':' || (role = 'assistant'), ';' ORDER BY pos) AS spans
+        |FROM w GROUP BY conv ORDER BY conv""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val nodes = docs.select(col("doc_id").as("id"),
+        when(col("doc_id") === 0, lit(null).cast("long"))
+          .otherwise(floor((col("doc_id") - 1) / lit(3)).cast("long"))
+          .as("parent"))
+      val parents = nodes.filter(col("parent").isNotNull)
+        .select(col("parent").as("id")).distinct()
+      val turns = graft.ops.Graph.rootPaths(nodes)
+        .join(parents, Seq("id"), "left_anti")
+        .select(col("id").as("conv_id"),
+          posexplode(reverse(col("path"))))
+        .select(col("conv_id"), col("pos"), col("col").as("node"))
+        .join(docs.select(col("doc_id").as("node"),
+          col("text").as("txt")), Seq("node"))
+        .select(col("conv_id"), col("pos"),
+          when(pmod(col("pos"), lit(2)) === 0, lit("user"))
+            .otherwise(lit("assistant")).as("role"), col("txt"))
+      graft.ops.Export.sftExamples(turns, col("conv_id"), col("pos"),
+          col("role"), col("txt"))
+        .select(col("conv"), col("text"), col("n_turns"),
+          col("n_train_turns"),
+          array_join(transform(col("spans"), sp => concat_ws(":",
+            sp.getField("start"), sp.getField("end"),
+            sp.getField("role"), sp.getField("train"))), ";").as("spans"))
+        .orderBy(col("conv"))
+    },
+
     // Per-shard mixing diagnostics over the epoch-1 md5 deal: entropy
     // of each shard's source distribution (sorted-fold rounding
     // discipline), dominant source + share. The oracle recomputes the
