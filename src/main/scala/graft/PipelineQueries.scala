@@ -6231,6 +6231,67 @@ object PipelineQueries {
         .orderBy(col("source"))
     },
 
+    // Unicode script profile: planted Cyrillic/CJK/digit/symbol runs
+    // (length-scaled so dominance actually flips) over the Latin base
+    // corpus; integer char-class counts only, each engine stating the
+    // same ranges in its own regex syntax. The oracle recomputes every
+    // class count and the pinned dominant-script tie order.
+    q("q_script_profile",
+      """WITH pl AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 1
+        |      THEN text || ' ' || repeat('п', CAST(n_chars + 1 AS INT))
+        |    WHEN doc_id % 5 = 2
+        |      THEN text || ' ' || repeat('汉', CAST(n_chars + 1 AS INT))
+        |           || 'かな한'
+        |    WHEN doc_id % 5 = 3 THEN text || ' 3.14 §ε№'
+        |    WHEN doc_id % 5 = 4 THEN '12345 §'
+        |    ELSE text END AS t FROM documents),
+        |m AS (SELECT doc_id, length(t) AS n_chars_text,
+        |    length(t) - length(regexp_replace(t,
+        |      '[A-Za-zÀ-ɏ]', '', 'g')) AS n_latin,
+        |    length(t) - length(regexp_replace(t,
+        |      '[\x{0400}-\x{04FF}]', '', 'g')) AS n_cyrillic,
+        |    length(t) - length(regexp_replace(t,
+        |      '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7A3}]',
+        |      '', 'g')) AS n_cjk,
+        |    length(t) - length(regexp_replace(t, '[0-9]', '', 'g'))
+        |      AS n_digit,
+        |    length(t) - length(regexp_replace(t, '\s', '', 'g'))
+        |      AS n_space
+        |  FROM pl)
+        |SELECT doc_id, CAST(n_chars_text AS INT) AS n_chars_text,
+        |  CAST(n_latin AS INT) AS n_latin,
+        |  CAST(n_cyrillic AS INT) AS n_cyrillic,
+        |  CAST(n_cjk AS INT) AS n_cjk,
+        |  CAST(n_digit AS INT) AS n_digit,
+        |  CAST(n_space AS INT) AS n_space,
+        |  CAST(n_chars_text - n_latin - n_cyrillic - n_cjk - n_digit
+        |       - n_space AS INT) AS n_other,
+        |  CASE WHEN n_latin = 0 AND n_cyrillic = 0 AND n_cjk = 0
+        |    THEN 'none'
+        |  WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk THEN 'latin'
+        |  WHEN n_cyrillic >= n_cjk THEN 'cyrillic'
+        |  ELSE 'cjk' END AS dominant_script
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 1,
+            concat(col("text"), lit(" "),
+              expr("repeat('п', CAST(n_chars + 1 AS INT))")))
+          .when(pmod(col("doc_id"), lit(5)) === 2,
+            concat(col("text"), lit(" "),
+              expr("repeat('汉', CAST(n_chars + 1 AS INT))"),
+              lit("かな한")))
+          .when(pmod(col("doc_id"), lit(5)) === 3,
+            concat(col("text"), lit(" 3.14 §ε№")))
+          .when(pmod(col("doc_id"), lit(5)) === 4, lit("12345 §"))
+          .otherwise(col("text")).as("text"))
+      graft.ops.Quality.scriptProfile(planted)
+        .select(col("doc_id"), col("n_chars_text"), col("n_latin"),
+          col("n_cyrillic"), col("n_cjk"), col("n_digit"),
+          col("n_space"), col("n_other"), col("dominant_script"))
+        .orderBy(col("doc_id"))
+    },
+
     // Type-2 code-clone dedup: planted renamed clones (%11=5 — same
     // snippet, id-derived identifier AND literal per doc) must land in
     // ONE group with n_distinct_raw = group size, and planted exact

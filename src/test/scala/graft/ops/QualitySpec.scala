@@ -468,4 +468,24 @@ class QualitySpec extends AnyFunSuite {
       "an SPDX tag must beat any phrase in the body")
     assert(out(8L) === ((None, "permissive", true)), "BSD phrase")
   }
+
+  test("scriptProfile: class counts and dominance over a mixed fixture") {
+    val docs = Seq(
+      (1L, "hello мир 汉字 12 §"), // 5 latin, 3 cyr, 2 cjk, 2 digit, 4 sp, 1 other
+      (2L, "ппп пп"),             // cyrillic dominant
+      (3L, "かな한 ab"),           // cjk 3 vs latin 2 -> cjk
+      (4L, "123 !?"),             // no script at all -> none
+      (5L, "abc абв"),            // tie 3-3 -> latin wins the pinned order
+      (6L, "")).toDF("doc_id", "text")
+    val out = Quality.scriptProfile(docs)
+      .select("doc_id", "n_chars_text", "n_latin", "n_cyrillic", "n_cjk",
+        "n_digit", "n_space", "n_other", "dominant_script")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(out(1L) === Seq(17, 5, 3, 2, 2, 4, 1, "latin"))
+    assert(out(2L).last === "cyrillic")
+    assert(out(3L) === Seq(6, 2, 0, 3, 0, 1, 0, "cjk"))
+    assert(out(4L).last === "none")
+    assert(out(5L).last === "latin", "exact tie must break latin-first")
+    assert(out(6L) === Seq(0, 0, 0, 0, 0, 0, 0, "none"))
+  }
 }
