@@ -93,7 +93,8 @@ object Bench {
     "q_multimodal_model", "q_best_of_n", "q_ann_matryoshka",
     "q_code_filters", "q_pii_luhn", "q_water_fill", "q_code_pipeline",
     "q_license_scan", "q_ccnet_mix", "q_knn_classify", "q_code_clones",
-    "q_shard_mix", "q_thread_paths", "q_thread_sft", "q_script_profile")
+    "q_shard_mix", "q_thread_paths", "q_thread_sft", "q_script_profile",
+    "q_token_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -6231,6 +6231,49 @@ object PipelineQueries {
         .orderBy(col("source"))
     },
 
+    // Token-distribution chi-square drift between the even- and
+    // odd-doc halves over the top-30 ref tokens + the §other bucket.
+    // The oracle recomputes both wordcounts, the (count desc, token)
+    // top-K axis, the bucketing, the Yates-floored expected counts and
+    // the ORDER-BY-bucket chi-square fold.
+    q("q_token_drift",
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+        |  FROM documents),
+        |tok AS (SELECT doc_id, token FROM tk WHERE token <> ''),
+        |rc AS (SELECT token, count(*) AS rc FROM tok
+        |       WHERE doc_id % 2 = 0 GROUP BY 1),
+        |cc AS (SELECT token, count(*) AS cc FROM tok
+        |       WHERE doc_id % 2 = 1 GROUP BY 1),
+        |top AS (SELECT token FROM (SELECT token,
+        |    row_number() OVER (ORDER BY rc DESC, token) AS r FROM rc)
+        |  WHERE r <= 30),
+        |rb AS (SELECT CASE WHEN top.token IS NOT NULL THEN rc.token
+        |    ELSE '§other' END AS bucket, CAST(sum(rc) AS BIGINT) AS rc
+        |  FROM rc LEFT JOIN top ON rc.token = top.token GROUP BY 1),
+        |cb AS (SELECT CASE WHEN top.token IS NOT NULL THEN cc.token
+        |    ELSE '§other' END AS bucket, CAST(sum(cc) AS BIGINT) AS cc
+        |  FROM cc LEFT JOIN top ON cc.token = top.token GROUP BY 1),
+        |g AS (SELECT bucket, coalesce(rb.rc, 0) AS rc,
+        |    coalesce(cb.cc, 0) AS cc
+        |  FROM rb FULL OUTER JOIN cb USING (bucket)),
+        |t AS (SELECT CAST(sum(rc) AS BIGINT) AS n_ref,
+        |    CAST(sum(cc) AS BIGINT) AS n_cur,
+        |    count(*) AS n_buckets FROM g),
+        |terms AS (SELECT bucket,
+        |    greatest(CAST(rc AS DOUBLE) * n_cur / n_ref, 0.5) AS e,
+        |    CAST(cc AS DOUBLE) AS o FROM g, t)
+        |SELECT n_ref, n_cur, n_buckets,
+        |  round(list_aggregate(list((o - e) * (o - e) / e
+        |    ORDER BY bucket), 'sum'), 6) AS chi2
+        |FROM terms, t GROUP BY n_ref, n_cur, n_buckets""".stripMargin) {
+      (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ops.Drift.tokenChiSquare(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), topK = 30)
+    },
+
     // Unicode script profile: planted Cyrillic/CJK/digit/symbol runs
     // (length-scaled so dominance actually flips) over the Latin base
     // corpus; integer char-class counts only, each engine stating the

@@ -151,4 +151,58 @@ object Drift {
       .select(round(col("_d"), 6).as("d"), col("at_value"),
         col("n_ref"), col("n_cur"))
   }
+
+  /** TOKEN-distribution drift — the text twin of [[psi]]/[[ks]]
+    * (which watch numeric columns): Pearson's χ² between the two
+    * slices' token frequencies over the top-`topK` REF tokens plus an
+    * `§other` catch-all bucket. Vocabulary shift is the drift a length
+    * or score profile can miss entirely (same lengths, new jargon).
+    *
+    * Determinism: the bucket axis is the top-K by (ref count desc,
+    * token asc) — a total order; expected counts are integer-count
+    * IEEE ratios; the χ² fold sums per-bucket terms SORTED BY BUCKET
+    * (the [[graft.ops.LangModel.mlOrderedMean]] discipline) so the
+    * 6-decimal contract can't flip with aggregation order.
+    *
+    * Scale shape: two wordcount aggregates; the top-K axis joins back
+    * as a broadcast ≤topK-row frame; the fold runs on ≤topK+1 rows.
+    * Returns one row: (n_ref, n_cur, n_buckets, chi2). */
+  def tokenChiSquare(ref: DataFrame, cur: DataFrame, topK: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(topK >= 1, s"topK=$topK")
+    val rc = Relevance.tokens(ref, idCol, textCol)
+      .groupBy("token").agg(count(lit(1)).as("rc"))
+    val cc = Relevance.tokens(cur, idCol, textCol)
+      .groupBy("token").agg(count(lit(1)).as("cc"))
+    val top = rc.orderBy(col("rc").desc, col("token").asc).limit(topK)
+      .select(col("token"), lit(true).as("_top"))
+    def bucketed(counts: DataFrame, c: String) = counts
+      .join(broadcast(top), Seq("token"), "left")
+      .groupBy(when(col("_top"), col("token")).otherwise(lit("§other"))
+        .as("bucket"))
+      .agg(sum(col(c)).as(c))
+    val grid = bucketed(rc, "rc")
+      .join(bucketed(cc, "cc"), Seq("bucket"), "full")
+      .select(col("bucket"), coalesce(col("rc"), lit(0L)).as("rc"),
+        coalesce(col("cc"), lit(0L)).as("cc"))
+    val totals = grid.agg(sum("rc").as("n_ref"), sum("cc").as("n_cur"),
+      count(lit(1)).as("n_buckets"))
+    grid.crossJoin(broadcast(totals))
+      .select(col("n_ref"), col("n_cur"), col("n_buckets"),
+        struct(col("bucket"),
+          // expected cur count under the REF distribution; ref-empty
+          // buckets (cur-only novel mass) take the 0.5 Yates-style
+          // floor so the term stays finite and flags the novelty
+          greatest(col("rc").cast("double") * col("n_cur") /
+            col("n_ref"), lit(0.5)).as("_e"),
+          col("cc").cast("double").as("_o")).as("_t"))
+      .groupBy("n_ref", "n_cur", "n_buckets")
+      .agg(collect_list(col("_t")).as("_ts"))
+      .select(col("n_ref"), col("n_cur"), col("n_buckets"),
+        round(aggregate(array_sort(col("_ts")), lit(0.0d), (acc, t) => {
+          val e = t.getField("_e")
+          val o = t.getField("_o")
+          acc + (o - e) * (o - e) / e
+        }), 6).as("chi2"))
+  }
 }

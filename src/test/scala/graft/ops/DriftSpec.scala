@@ -95,4 +95,36 @@ class DriftSpec extends AnyFunSuite {
     val psi = Drift.psiTotal(ref, cur, "n_chars", bins = 10).head()
     assert(psi.getDouble(0) > 0.1)
   }
+
+  test("tokenChiSquare: identical halves ~ 0; planted vocab shift fires; novel tokens counted") {
+    import spark.implicits._
+    def corpus(extra: String) = (0L until 40L).map { i =>
+      (i, "the quick brown fox jumps over the lazy dog " + extra)
+    }.toDF("doc_id", "text")
+    val same = Drift.tokenChiSquare(corpus(""), corpus(""), topK = 5).head()
+    assert(same.getDouble(3) === 0.0, "identical distributions -> chi2 = 0")
+    // cur replaces 'dog' mass with a NOVEL token: expected count for
+    // the new bucket floors at 0.5 -> large finite chi2
+    val ref = corpus("")
+    val cur = (0L until 40L).map { i =>
+      (i, "the quick brown fox jumps over the lazy zebra")
+    }.toDF("doc_id", "text")
+    val shifted = Drift.tokenChiSquare(ref, cur, topK = 5).head()
+    // hand check: dog (in top-5) 40 -> 0 contributes (40)^2/40 = 40;
+    // zebra lands in the §other bucket, (160-120)^2/120 = 13.33
+    assert(math.abs(shifted.getDouble(3) - 53.333333) < 1e-6,
+      s"vocab swap must fire: chi2 = ${shifted.getDouble(3)}")
+    assert(shifted.getLong(0) === shifted.getLong(1),
+      "equal token totals - the shift is purely compositional")
+  }
+
+  test("tokenChiSquare: repartition-invariant (sorted fold pins the sum order)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def run(parts: Int) = Drift.tokenChiSquare(
+        docs.filter(col("doc_id") % 2 === 0).repartition(parts),
+        docs.filter(col("doc_id") % 2 === 1).repartition(parts),
+        topK = 30)
+      .head().toSeq
+    assert(run(1) === run(13))
+  }
 }
