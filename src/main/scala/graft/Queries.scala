@@ -1078,6 +1078,66 @@ object Queries {
         .toDF("idx", "s")
         .select(col("idx"), col("s"), GraftFunctions.hiveHash(col("s")).as("h"))
         .orderBy(col("idx"))
+    },
+
+    // §2.2 UDAF family: histogram_numeric (Hive's streaming
+    // NumericHistogram — Spark ships the same algorithm). The bin
+    // placement is input-order-sensitive by design, so the bins
+    // themselves can never byte-match a re-computation; the oracle is a
+    // CERTIFICATE (the q_ann recall convention): invariants the
+    // algorithm guarantees regardless of merge order — bin count = nb
+    // (data has >> nb distinct values), total mass = count(*) exactly
+    // (counts are integer-valued doubles, addition exact below 2^53),
+    // centroids inside [min, max], centroids strictly ascending, and
+    // the histogram's weighted mean within 1e-6 relative of the true
+    // mean (centroid merges are weighted averages — mass-weighted sum
+    // is preserved up to float rounding). DuckDB recomputes count/
+    // min/max/avg from the raw column; the booleans must hold.
+    q("q_histogram_numeric",
+      """SELECT 8 AS n_bins, CAST(count(*) AS BIGINT) AS total_count,
+        |  TRUE AS in_range, TRUE AS ascending, TRUE AS mean_ok
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val agg = t(s, dir, "orders").agg(
+        expr("histogram_numeric(o_totalprice, 8)").as("h"),
+        min(col("o_totalprice").cast("double")).as("lo"),
+        max(col("o_totalprice").cast("double")).as("hi"),
+        avg(col("o_totalprice").cast("double")).as("mu"))
+      agg.select(
+        size(col("h")).as("n_bins"),
+        aggregate(col("h"), lit(0.0d), (a, b) => a + b("y"))
+          .cast("long").as("total_count"),
+        aggregate(col("h"), lit(true), (a, b) =>
+          a && b("x") >= col("lo") && b("x") <= col("hi")).as("in_range"),
+        aggregate(col("h"), struct(lit(true).as("ok"),
+            lit(Double.NegativeInfinity).as("prev")),
+          (a, b) => struct((a("ok") && b("x") > a("prev")).as("ok"),
+            b("x").cast("double").as("prev")),
+          a => a("ok")).as("ascending"),
+        (abs(aggregate(col("h"), lit(0.0d), (a, b) => a + b("x") * b("y")) /
+          aggregate(col("h"), lit(0.0d), (a, b) => a + b("y")) - col("mu"))
+          <= greatest(abs(col("mu")), lit(1.0d)) * lit(1e-6d)).as("mean_ok"))
+    },
+
+    // §2.2 TRANSFORM ... USING, end-to-end through a real external
+    // process in no-serde ROW FORMAT DELIMITED mode (Hive's default
+    // script transport: tab-separated fields, newline rows, everything
+    // stringified on the pipe): computed input expressions stream
+    // through `cat` and come back as strings, cast back in the outer
+    // select. The oracle recomputes the same projection relationally —
+    // a value mismatch anywhere in the encode→pipe→decode path fails
+    // the hash.
+    q("q_transform_using",
+      """SELECT doc_id, upper(lang) AS lang_u,
+        |  CAST(n_chars + 1 AS BIGINT) AS nc1
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").createOrReplaceTempView("graft_tr_docs")
+      s.sql(
+        """SELECT CAST(a AS BIGINT) AS doc_id, b AS lang_u,
+          |  CAST(c AS BIGINT) AS nc1
+          |FROM (SELECT TRANSFORM(doc_id, upper(lang), n_chars + 1)
+          |        USING 'cat' AS (a STRING, b STRING, c STRING)
+          |      FROM graft_tr_docs)
+          |ORDER BY doc_id""".stripMargin)
     }
   )
 

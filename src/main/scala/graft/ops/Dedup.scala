@@ -33,20 +33,34 @@ object Dedup {
 
   /** Token-class normalization for TYPE-2 code-clone detection
     * (Roy & Cordy 2007's taxonomy: clones equal up to renamed
-    * identifiers and changed literals): strip `//` and `/* */`
-    * comments, map every identifier to `V` and every numeric literal
-    * to `N`, collapse whitespace. Keywords normalize too — coarser
-    * than classic type-2 (which keeps keywords), but same-language
-    * files land in the same clone classes and the whole normalizer
-    * stays a regex chain BOTH engines implement identically (RE2 has
-    * no lookahead for a keyword whitelist). */
+    * identifiers and changed literals). Pass order matters: (1) blank
+    * string literals (escape-aware, single-line) to `"S"` / `'S'` so a
+    * `//` inside a string (e.g. `"http://x"`) never truncates the line
+    * and comment markers inside literals are inert; (2) strip `/* */`
+    * BLOCK comments, then (3) `//` line comments — block first, so
+    * a block containing `//` loses the whole block instead of
+    * orphaning its close marker as leftover tokens;
+    * (4) map every identifier to `V` and numeric literal to `N`
+    * (blanked literals land as `"V"` / `'V'`, distinct from bare
+    * identifiers); (5) collapse whitespace. Keywords normalize too —
+    * coarser than classic type-2 (which keeps keywords), but
+    * same-language files land in the same clone classes and the whole
+    * normalizer stays a regex chain BOTH engines implement identically
+    * (RE2 has no lookahead for a keyword whitelist). Known limit: a
+    * `//` in plain text outside any literal still reads as a comment
+    * (there is no parser), and multi-line literals are not blanked. */
   private[graft] def codeNormalize(t: Column): Column =
     trim(regexp_replace(
       regexp_replace(
         regexp_replace(
           regexp_replace(
-            regexp_replace(t, "//[^\n]*", ""),
-            "(?s)/\\*.*?\\*/", ""),
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(t,
+                  "\"(?:[^\"\\\\\n]|\\\\.)*\"", "\"S\""),
+                "'(?:[^'\\\\\n]|\\\\.)*'", "'S'"),
+              "(?s)/\\*.*?\\*/", ""),
+            "//[^\n]*", ""),
           "[A-Za-z_][A-Za-z0-9_]*", "V"),
         "\\b[0-9]+(\\.[0-9]+)?\\b", "N"),
       "\\s+", " "))
@@ -474,6 +488,43 @@ object Dedup {
     val arrs = shingleArrays(docs, n, idCol, textCol)
     val cands = lshCandidates(lshBands(minhashSignatureArray(arrs, k), k, bands))
     verifyJaccard(cands, arrs, threshold)
+  }
+
+  /** Edit-distance (Levenshtein) near-dup pairs — the CHARACTER-level
+    * verifier of the near-dup family: Jaccard over shingles is blind to
+    * WHERE edits fall (a doc with one typo per shingle window scores
+    * low), while unit-cost edit distance counts the edits themselves —
+    * the right metric for small rewrites, OCR noise, version bumps.
+    *
+    * Scale shape: candidates come from the same MinHash banding as
+    * [[minhashNearDups]] (never all-pairs; a dist ≤ maxDist pair of
+    * non-trivial length has near-1 Jaccard, so banding recall is
+    * effectively 1 — certificate-checked against the exact all-pairs
+    * oracle in q_editdist_neardup). Verification applies the FREE
+    * length lower bound first (|len_a − len_b| ≤ maxDist, since every
+    * length change costs an edit) so the O(len²) dynamic program runs
+    * only on length-compatible candidates; texts join onto the
+    * candidate pairs (candidate-bounded, the [[verifyJaccard]] shuffle
+    * class — the corpus itself never rides the shuffle).
+    *
+    * Output: (id_a, id_b, edit_dist), id_a < id_b, dist ≤ maxDist. */
+  def editDistanceNearDups(docs: DataFrame, n: Int, k: Int, bands: Int,
+      maxDist: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(maxDist >= 0, s"maxDist=$maxDist")
+    val arrs = shingleArrays(docs, n, idCol, textCol)
+    val cands = lshCandidates(lshBands(minhashSignatureArray(arrs, k), k, bands))
+    val texts = docs.select(col(idCol).as("_eid"), col(textCol).as("_et"),
+      length(col(textCol)).as("_el"))
+    cands
+      .join(texts.select(col("_eid").as("id_a"), col("_et").as("_ta"),
+        col("_el").as("_la")), Seq("id_a"))
+      .join(texts.select(col("_eid").as("id_b"), col("_et").as("_tb"),
+        col("_el").as("_lb")), Seq("id_b"))
+      .filter(abs(col("_la") - col("_lb")) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("_ta"), col("_tb")).as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
   }
 
   /** Cross-corpus MinHash near-dup: (inc_id, corp_id, jaccard) pairs

@@ -191,27 +191,37 @@ object Export {
     *
     * Ranking uses the ROUNDED score with id tie-break — the
     * [[graft.ops.Classifier.uncertaintySample]] cross-engine total
-    * order. ONE keyed shuffle on prompt; the rank filter plans as
-    * WindowGroupLimit (per-partition top-k heaps before the exchange),
-    * so per-prompt candidate counts never sort globally. Run it on the
-    * skinny (prompt, id, score) frame and join payloads back by id —
-    * response TEXT should never ride a window.
+    * order. `n_candidates` comes from a separate groupBy(prompt).count()
+    * joined back AFTER the rank filter — an unordered count(*) window
+    * alongside the row_number would force every candidate row through
+    * the window exchange and defeat the group-limit. As written the
+    * rank filter plans as WindowGroupLimit (per-partition top-k heaps
+    * before AND after the exchange, plan-asserted in ExportSpec), the
+    * count aggregate is map-side partial (its exchange carries one row
+    * per prompt per partition), and the join runs on the ≤k-per-prompt
+    * survivor frame, co-partitioned with the counts — no third shuffle
+    * of candidate rows. Run it on the skinny (prompt, id, score) frame
+    * and join payloads back by id — response TEXT should never ride a
+    * window.
     *
-    * Output: (prompt, response_id, score, rank, n_candidates) — ids
+    * Output: (prompt, response_id, score, n_candidates, rank) — ids
     * keep their input type ([[dpoPairs]]'s contract). */
   def bestOfN(responses: DataFrame, promptCol: String, idCol: String,
       scoreCol: Column, k: Int,
       minScore: Double = Double.NegativeInfinity): DataFrame = {
     require(k >= 1, s"k=$k")
     val s = round(scoreCol.cast("double"), 6)
-    val part = Window.partitionBy(col(promptCol))
-    val ranked = responses
-      .select(col(promptCol), col(idCol).as("response_id"),
-        s.as("score"))
-      .withColumn("n_candidates", count(lit(1)).over(part))
-      .withColumn("rank", row_number().over(
-        part.orderBy(col("score").desc, col("response_id").asc)))
-    ranked.filter(col("rank") <= k && col("score") >= minScore)
+    val slim = responses
+      .select(col(promptCol), col(idCol).as("response_id"), s.as("score"))
+    val counts = slim.groupBy(col(promptCol))
+      .agg(count(lit(1)).as("n_candidates"))
+    slim
+      .withColumn("rank", row_number().over(Window.partitionBy(
+        col(promptCol)).orderBy(col("score").desc, col("response_id").asc)))
+      .filter(col("rank") <= k && col("score") >= minScore)
+      .join(counts, Seq(promptCol))
+      .select(col(promptCol), col("response_id"), col("score"),
+        col("n_candidates"), col("rank"))
   }
 
   /** Deterministic per-epoch shuffle: every row gets a `shard` in

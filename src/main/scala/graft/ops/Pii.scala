@@ -38,4 +38,60 @@ object Pii {
             PhoneRe, "[PHONE]"),
           Ipv4Re, "[IP]"))
   }
+
+  // ------------------------------------------------------------ secrets
+
+  /** AWS access key id: the fixed `AKIA` prefix + 16 uppercase
+    * alphanumerics (published format). */
+  val AwsKeyRe = "\\bAKIA[0-9A-Z]{16}\\b"
+  /** PEM private-key header (RSA/EC/OPENSSH/unqualified …). */
+  val PrivateKeyRe = "-----BEGIN [A-Z]+(?: [A-Z]+)* PRIVATE KEY-----"
+  /** Slack-style token prefix family. */
+  val SlackTokenRe = "\\bxox[baprs]-[0-9A-Za-z-]{10,}\\b"
+  /** `key = "value"` assignments whose LHS names a credential; group 1
+    * is the quoted value (what actually gets redacted). */
+  val AssignedSecretRe =
+    "(?i)\\b(?:api_?key|api_?token|secret|passwd|password|access_?token)" +
+      "\\s*[:=]\\s*[\"']([^\"'\n]{8,})[\"']"
+  /** Candidate charset for the high-diversity token rule. */
+  val HighDivCandidateRe = "\\b[A-Za-z0-9+/=_-]{24,}\\b"
+
+  /** Secrets scan — the policy pass a code corpus runs before training
+    * (The Stack / StarCoder redact secrets with detect-secrets-style
+    * rules; Kocetkov et al. 2022 §5): four published-format pattern
+    * rules (AWS key id, PEM private-key header, Slack token family,
+    * credential assignments) plus a HIGH-DIVERSITY token rule for
+    * unlabeled key material — candidate runs of 24+ base64-ish chars
+    * containing both a letter and a digit whose distinct-character
+    * count is at least half their length. The diversity gate is pure
+    * INTEGER arithmetic (distinct chars × 2 ≥ length), deliberately
+    * replacing the float Shannon-entropy threshold the published rule
+    * uses: same intent, but exact and byte-identical on both engines
+    * (no libm-ulp flake in the hash contract). Adds per-kind counts,
+    * `n_secrets`, and `redacted` (every finding → `[SECRET]`; for
+    * assignments only the quoted VALUE redacts, preserving the key
+    * name for audit). One narrow codegen'd pass — zero shuffle, fused
+    * into the scan like [[annotate]]. */
+  def secretScan(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def all(re: String, group: Int = 0): Column =
+      regexp_extract_all(t, lit(re), lit(group))
+    val aws = all(AwsKeyRe)
+    val pem = all(PrivateKeyRe)
+    val slack = all(SlackTokenRe)
+    val assigned = all(AssignedSecretRe, 1)
+    val highDiv = filter(all(HighDivCandidateRe), tok =>
+      tok.rlike("[0-9]") && tok.rlike("[A-Za-z]") &&
+        size(array_distinct(transform(sequence(lit(1), length(tok)),
+          i => tok.substr(i, lit(1))))) * 2 >= length(tok))
+    val found = concat(aws, pem, slack, assigned, highDiv)
+    docs.withColumns(Map(
+      "n_aws" -> size(aws), "n_pem" -> size(pem),
+      "n_slack" -> size(slack), "n_assigned" -> size(assigned),
+      "n_highdiv" -> size(highDiv),
+      "n_secrets" -> (size(aws) + size(pem) + size(slack) +
+        size(assigned) + size(highDiv)),
+      "redacted" -> aggregate(found, t,
+        (acc, m) => replace(acc, m, lit("[SECRET]")))))
+  }
 }

@@ -321,8 +321,9 @@ object Sampling {
     * Scale: one corpus aggregate (per-source token totals); everything
     * else runs on the |weights|-row plan frame (the [[mixturePlan]]
     * bounded class — its SinglePartition window is |sources| rows of
-    * metadata, not data). Overflow bound `budget·max(w) < 2⁶³`
-    * require-checked.
+    * metadata, not data). Overflow bounds: `budget·max(w) < 2⁶³`
+    * require-checked; the data-dependent `avail·(wTot − wPrev)` cap test
+    * cross-multiplies in DECIMAL(38,0), exact for any long×long.
     *
     * Output per source: (stratum, weight, avail_tokens, capped,
     * allocation) with Σ allocation ≤ budget, allocation ≤ avail. */
@@ -354,9 +355,15 @@ object Sampling {
         lit(0L)))
       .withColumn("_w_prev", coalesce(sum(col("weight")).over(prev),
         lit(0L)))
+      // the cross-multiplied cap test runs in DECIMAL(38,0): any product
+      // of two 64-bit values fits exactly (max ~8.5e37 < 1e38), so
+      // avail·wTot ≥ 2⁶³ — plausible at 100-TB token scale — cannot
+      // silently wrap negative and hand a source more than the budget
       .withColumn("_cond",
-        col("avail_tokens") * (lit(wTot) - col("_w_prev")) <=
-          (lit(budgetTokens) - col("_a_prev")) * col("weight"))
+        col("avail_tokens").cast("decimal(38,0)") *
+          (lit(wTot) - col("_w_prev")).cast("decimal(38,0)") <=
+          (lit(budgetTokens) - col("_a_prev")).cast("decimal(38,0)") *
+            col("weight").cast("decimal(38,0)"))
       // a source is capped iff EVERY scan predecessor (incl. itself)
       // met its cap condition — the running AND makes the boundary
       // exact even though later rows' prefix sums include uncapped mass

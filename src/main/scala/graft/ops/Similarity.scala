@@ -64,8 +64,15 @@ object Similarity {
     * broadcast-queries brute shape as [[bruteForceTopK]] (the
     * certificate/seed-scale path); for web-scale query sets run the
     * identical vote over [[lshCandidatePairs]] / [[graft.ops.IvfIndex]]
-    * candidates. The vote frame is queries × |labels| rows — the
-    * aggregation, not the corpus, pays the window.
+    * candidates.
+    *
+    * Scale shape: neighbor selection is the bounded-heap
+    * [[org.apache.spark.sql.graft.TopKBy]] aggregate — O(k) state per
+    * query regardless of |labeled base|, exactly the (rounded sim desc,
+    * vec_id) order a rank window would give but WITHOUT sorting the
+    * labeled base per query in one task. The queries×k winner frame
+    * then broadcast-joins back to the labeled scan for labels (zero
+    * shuffle), and only the queries × |labels| vote grid pays a window.
     *
     * Output: (query_id, pred_label, votes) — one row per query that
     * has at least one labeled neighbor. */
@@ -81,18 +88,20 @@ object Similarity {
       .select(col("vec_id").as("query_id"),
         asDouble(col("embedding")).as("qemb"))
       .withColumn("qnrm", norm(col("qemb")))
-    val rank = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    val neighbors = base.crossJoin(broadcast(queries))
+    val top = base.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("_lbl"),
+      .select(col("query_id"), col("vec_id"),
         round(dot(col("emb"), col("qemb")) /
           (col("nrm") * col("qnrm")), 6).as("sim"))
-      .withColumn("rk", row_number().over(rank))
-      .filter(col("rk") <= k)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.topKBy(
+        col("vec_id"), col("sim"), k).as("_top"))
+      .select(col("query_id"), explode(col("_top.id")).as("vec_id"))
+    val labels = base.select(col("vec_id"), col("_lbl"))
     val pick = Window.partitionBy(col("query_id"))
       .orderBy(col("votes").desc, col("_lbl").asc)
-    neighbors.groupBy(col("query_id"), col("_lbl"))
+    labels.join(broadcast(top), Seq("vec_id"))
+      .groupBy(col("query_id"), col("_lbl"))
       .agg(count(lit(1)).as("votes"))
       .withColumn("_r", row_number().over(pick))
       .filter(col("_r") === 1)

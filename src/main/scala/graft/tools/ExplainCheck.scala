@@ -494,6 +494,16 @@ object ExplainCheck {
       println(graft.ops.Graph.rootPaths(nodes)
         .queryExecution.explainString(fmt))
     }
+    println("########## op:Pii.secretScan (zero-shuffle scan kernel, integer diversity gate)")
+    println(graft.ops.Pii.secretScan(docs)
+      .queryExecution.explainString(fmt))
+    println("########## op:Quality.langSegments (zero-shuffle per-line HOF segmentation)")
+    println(graft.ops.Quality.langSegments(docs)
+      .queryExecution.explainString(fmt))
+    println("########## op:Dedup.editDistanceNearDups (banded candidates + length bound + DP verify)")
+    println(graft.ops.Dedup.editDistanceNearDups(docs, n = 3, k = 16,
+        bands = 16, maxDist = 2)
+      .queryExecution.explainString(fmt))
     spark.stop()
   }
 }

@@ -540,13 +540,39 @@ class DedupSpec extends AnyFunSuite {
     ))
   }
 
+  test("editDistanceNearDups: planted edits pair at their distance, far texts don't") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                  // dist 0
+      (3L, base.replace("quick", "quicker")),      // dist 2 (2 inserts)
+      (4L, base.replace("lazy", "hazy")),          // dist 1 (1 sub)
+      (5L, "a completely different sentence about spark plans and shuffles entirely"),
+      (6L, base + " with much extra trailing content far beyond the distance bound"))
+      .toDF("doc_id", "text")
+    val out = Dedup.editDistanceNearDups(docs, n = 3, k = 16, bands = 16,
+        maxDist = 2)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq === Seq((1L, 2L, 0), (1L, 3L, 2), (1L, 4L, 1),
+      (2L, 3L, 2), (2L, 4L, 1)), s"got ${out.toSeq}")
+  }
+
   test("codeNormalize: comments strip, identifiers/numbers class, whitespace folds") {
     import spark.implicits._
     val got = Seq(
       ("int foo = 42; // trailing", "V V = N;"),
       ("a /* multi\nline */ b", "V V"),
       ("x1 +  2.5", "V + N"),
-      ("  spaced\tout  ", "V V")
+      ("  spaced\tout  ", "V V"),
+      // a // inside a string literal must not truncate the line
+      ("s = \"http://x\"; // c", "V = \"V\";"),
+      // a // inside a block comment must not orphan the */
+      ("/* a // b */ code", "V"),
+      // single-quoted literals blank too, escape-aware
+      ("c = 'a' + b; // t", "V = 'V' + V;"),
+      ("e = \"q\\\"uo\" + 1;", "V = \"V\" + N;")
     ).toDF("in", "want")
       .select(Dedup.codeNormalize(col("in")).as("got"), col("want"))
       .collect()

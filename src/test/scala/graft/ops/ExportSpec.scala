@@ -567,12 +567,20 @@ class ExportSpec extends AnyFunSuite {
     assert(out.map(_.getInt(4)).toSeq === Seq(1, 2))
   }
 
-  test("bestOfN: one keyed shuffle, rank filter plans as a group-limit") {
+  test("bestOfN: rank filter plans as a group-limit, no global exchange") {
     val r = Seq(("p", "a", 3.0), ("p", "b", 2.0)).toDF("prompt", "rid", "s")
     val p = Export.bestOfN(r, "prompt", "rid", col("s"), k = 1)
       .queryExecution.executedPlan.toString
-    assert(p.split("Exchange").length - 1 <= 1,
-      s"bestOfN must shuffle once (on prompt):\n$p")
+    // the whole point of the separate count aggregate: the row_number
+    // window is alone in its Window operator, so the rank<=k filter
+    // plans as WindowGroupLimit heaps and candidate rows never all
+    // sort through the window
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k must plan as WindowGroupLimit:\n$p")
+    // candidate rows shuffle once (window); the count-agg exchange
+    // carries only map-side partial (prompt, count) rows
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 2,
+      s"only the window + partial-count exchanges allowed:\n$p")
     assert(!p.contains("Exchange SinglePartition"),
       s"never a global sort/exchange:\n$p")
   }

@@ -409,7 +409,12 @@ class QualitySpec extends AnyFunSuite {
       (1L, "pay with 4111111111111111 now"),
       (2L, "order 4111111111111112 shipped"),
       (3L, "cards 4111111111111111 and 4111111111111112"),
-      (4L, "no digits here")).toDF("doc_id", "text")
+      (4L, "no digits here"),
+      // 20-digit run whose 16-digit PREFIX Luhn-validates: the digit
+      // boundary guard must reject it entirely (no mid-token redaction)
+      (5L, "txn 41111111111111110042 ok"),
+      (6L, "grp 4111-1111-1111-1111 pay"),
+      (7L, "grp 4111 1111 1111 1112 no")).toDF("doc_id", "text")
     val out = Quality.cardScan(docs).collect()
       .map(r => (r.getLong(0), r.getInt(r.fieldIndex("n_card_candidates")),
         r.getInt(r.fieldIndex("n_valid_cards")),
@@ -419,6 +424,32 @@ class QualitySpec extends AnyFunSuite {
       "an invalid checksum must NOT redact — that's the whole point")
     assert(out(2) === ((3L, 2, 1, "cards [CARD] and 4111111111111112")))
     assert(out(3) === ((4L, 0, 0, "no digits here")))
+    assert(out(4) === ((5L, 0, 0, "txn 41111111111111110042 ok")),
+      "a longer digit run must never be card-candidate material")
+    assert(out(5) === ((6L, 1, 1, "grp [CARD] pay")))
+    assert(out(6) === ((7L, 1, 0, "grp 4111 1111 1111 1112 no")))
+  }
+
+  test("langSegments: islands, dominant vote, longest run, single-lang doc") {
+    import spark.implicits._
+    // the marker heuristic: 'th'-heavy -> en, 'er'-heavy -> de,
+    // 'en'-heavy -> nl (q_text_langid's fixed tie order)
+    val en = "the thing with the throttle"
+    val de = "er erer der er"
+    val nl = "en enen den en"
+    val docs = Seq(
+      (1L, s"$en\n$en\n$de\n$de\n$de\n$nl"),  // en,en,de,de,de,nl
+      (2L, en),                                // single line
+      (3L, s"$de\n$en\n$de")                   // alternating
+    ).toDF("doc_id", "text")
+    val out = Quality.langSegments(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Int]("n_lines"),
+        r.getAs[Int]("n_segments"), r.getAs[String]("dominant_lang"),
+        r.getAs[Int]("max_seg_len")))).toMap
+    assert(out(1L) === ((6, 3, "de", 3)),
+      "three islands; de has 3 of 6 lines and the longest run")
+    assert(out(2L) === ((1, 1, "en", 1)))
+    assert(out(3L) === ((3, 3, "de", 1)), "alternation: 3 segments of 1")
   }
 
   test("luhnValid16 agrees with a driver-side reference implementation") {

@@ -386,4 +386,21 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(1), r.getLong(2))).head
     assert(tie === ((1, 1L)), "vote tie must break by smallest label")
   }
+
+  test("knnClassify plan: bounded-heap neighbor stage, window only on the vote grid") {
+    import spark.implicits._
+    val rows = (1L to 20L).map(i =>
+      (i, Array.fill(4)((i % 5).toFloat + 1f), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val p = Similarity.knnClassify(rows, col("vec_id") <= 10,
+        col("vec_id") > 10, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("topk_by"),
+      s"neighbor selection must be the bounded-heap TopKBy aggregate:\n$p")
+    // exactly one Window OPERATOR remains: the queries x |labels| vote
+    // pick — never a per-query sort of the labeled base ("Window [" is
+    // the operator header; WindowGroupLimit over the vote pick is fine)
+    assert("Window \\[".r.findAllIn(p).length <= 1,
+      s"only the vote grid may pay a window:\n$p")
+  }
 }

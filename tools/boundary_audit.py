@@ -282,3 +282,44 @@ SELECT least(
 
 for name, sql in MANUAL.items():
     audit(name, sql)
+
+# ---- signed-zero probe (round-12 VERDICT task 3) ----------------------
+# The q_moore_lewis escape: DuckDB round(tiny-negative, k) yields IEEE
+# -0.0 whose BYTES differ from Spark's +0.0 even though the values
+# compare equal, so the driver's byte hash fails while == checks pass.
+# Probe BOTH engines' outputs directly: run every oracle in DuckDB and
+# read every Spark parquet dump, and flag any float cell that is an
+# actual -0.0. Run this at both SFs (pass sfDir) — a clean probe at both
+# plus the byte-keyed check_oracle norm() makes this class unshippable.
+print('\n---- signed-zero probe ----')
+import glob as _glob
+import pyarrow.parquet as _pq
+def neg_zero(v):
+    return isinstance(v, float) and v == 0.0 and math.copysign(1.0, v) < 0
+sz_hits = 0
+for name, sql in sorted(oracles.items()):
+    cols_hit = set()
+    try:
+        cur = con.execute(sql)
+        cols = [d[0] for d in cur.description]
+        for r in cur.fetchall():
+            for c, v in zip(cols, r):
+                if neg_zero(v):
+                    cols_hit.add(('duckdb', c))
+    except Exception as e:
+        print(f'ERR  {name} (duckdb): {str(e)[:120]}')
+    d = f'{out}/{name}'
+    if _glob.glob(d + '/*.parquet'):
+        try:
+            tb = _pq.read_table(d)
+            for c in tb.schema.names:
+                col = tb.column(c).to_pylist()
+                if any(neg_zero(v) for v in col):
+                    cols_hit.add(('spark', c))
+        except Exception as e:
+            print(f'ERR  {name} (spark parquet): {str(e)[:120]}')
+    for eng, c in sorted(cols_hit):
+        sz_hits += 1
+        print(f'SZERO {name}: column {c} emits -0.0 on {eng} '
+              f'— normalize with `+ 0.0` in both the oracle and the query')
+print(f'signed-zero probe: {sz_hits} hit(s) across {len(oracles)} oracles')

@@ -1,6 +1,7 @@
 import duckdb, json, glob, os, sys
 import pyarrow.parquet as pq
 import math
+from decimal import Decimal
 
 out = sys.argv[1] if len(sys.argv) > 1 else '/tmp/verify_out'
 sf = sys.argv[2] if len(sys.argv) > 2 else '/root/testdata/sf0.01'
@@ -14,9 +15,19 @@ for t in ['region','nation','customer','supplier','part','orders','lineitem','ev
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 oracles = json.load(open(f'{out}/oracle_sql.json'))
 def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v): return 'NaN'
-        return round(v, 9)
+    # Byte semantics for floats: the driver hashes raw bytes, where IEEE
+    # -0.0 and +0.0 differ even though Python == says they are equal (the
+    # r11/r12 q_moore_lewis escape). Key floats on (round-9 value, sign),
+    # so a signed-zero divergence fails locally exactly like it fails in
+    # the driver. round-9 tolerance kept for genuine low-bit fp jitter.
+    # Decimal (DuckDB emits it for e.g. round() over decimal inputs)
+    # keys identically to the equal float — the engines' TYPES may
+    # differ where the driver's value bytes do not (q_lr_quality).
+    if isinstance(v, (float, Decimal)):
+        f = float(v)
+        if math.isnan(f): return 'NaN'
+        r = round(f, 9)
+        return (r, math.copysign(1.0, r))
     return v
 fails = []
 for name, sql in sorted(oracles.items()):
@@ -57,8 +68,15 @@ for name, sql in sorted(oracles.items()):
         fails.append((name, f'ROWS: spark={len(spark_rows)} duck={len(duck_rows)}')); continue
     mismatches = [i for i,(a,b) in enumerate(zip(spark_rows, duck_rows)) if a != b]
     if mismatches:
+        def zero_only(a, b):
+            # every differing cell is a (0.0, ±1.0) sign-of-zero pair
+            return all(x == y or (isinstance(x, tuple) and isinstance(y, tuple)
+                                  and x[0] == 0.0 and y[0] == 0.0)
+                       for x, y in zip(a, b))
+        tag = 'SIGNED-ZERO' if all(
+            zero_only(spark_rows[i], duck_rows[i]) for i in mismatches) else 'HASH'
         i = mismatches[0]
-        fails.append((name, f'HASH: {len(mismatches)}/{len(spark_rows)} rows differ; first at {i}: spark={spark_rows[i]} duck={duck_rows[i]}'))
+        fails.append((name, f'{tag}: {len(mismatches)}/{len(spark_rows)} rows differ; first at {i}: spark={spark_rows[i]} duck={duck_rows[i]}'))
     else:
         print(f'OK   {name} ({len(spark_rows)} rows)')
 for name, msg in fails:
