@@ -94,7 +94,14 @@ object Bench {
     "q_code_filters", "q_pii_luhn", "q_water_fill", "q_code_pipeline",
     "q_license_scan", "q_ccnet_mix", "q_knn_classify", "q_code_clones",
     "q_shard_mix", "q_thread_paths", "q_thread_sft", "q_script_profile",
-    "q_token_drift")
+    "q_token_drift",
+    // round-13 additions: the upgraded §2 oracles (histogram
+    // certificate, TRANSFORM through a real process), the new
+    // curation kernels (secrets, language segments, template
+    // contamination), edit-distance near-dup and DoReMi reweighting
+    "q_histogram_numeric", "q_transform_using", "q_secret_scan",
+    "q_lang_segments", "q_editdist_neardup", "q_doremi_reweight",
+    "q_template_contam")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -8069,6 +8069,110 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"),
           col("edit_dist").cast("int").as("edit_dist"))
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // DoReMi domain reweighting (Xie et al. 2023): synthetic proxy/ref
+    // losses whose per-row excess is an EXACT binary rational
+    // ((doc_id%7)/16 − 1/8, floored at 0), so the per-domain mean is
+    // order-insensitive before its round-9 quantization; priors are
+    // 1 + (N%5)/4 per srcN. The oracle recomputes the mean excess, the
+    // exponentiated-gradient update, the sorted-fold normalizer and
+    // the uniform smoothing.
+    q("q_doremi_reweight",
+      """WITH l AS (SELECT source,
+        |    greatest((doc_id % 7) / 16.0 - 0.125, 0.0) AS excess
+        |  FROM documents),
+        |e AS (SELECT source, round(avg(excess), 9) AS excess FROM l
+        |      GROUP BY source),
+        |g AS (SELECT source,
+        |    1.0 + (CAST(substr(source, 4) AS INT) % 5) * 0.25 AS prior,
+        |    excess,
+        |    (1.0 + (CAST(substr(source, 4) AS INT) % 5) * 0.25)
+        |      * exp(1.0 * excess) AS w
+        |  FROM e),
+        |z AS (SELECT list_aggregate(list(w ORDER BY source), 'sum') AS z
+        |      FROM g)
+        |SELECT source, prior, round(excess, 6) AS excess,
+        |  round(w / z, 6) AS weight,
+        |  round(0.9 * w / z + 0.1 / 20, 6) AS alpha
+        |FROM g CROSS JOIN z ORDER BY source""".stripMargin) { (s, dir) =>
+      val losses = t(s, dir, "documents").select(col("source"),
+        (pmod(col("doc_id"), lit(7)) / lit(16.0)).as("proxy_loss"),
+        lit(0.125).as("ref_loss"))
+      val prior = (0 until 20).map(i =>
+        s"src$i" -> (1.0 + (i % 5) * 0.25)).toMap
+      graft.ops.Sampling.doremiReweight(losses, "source", "proxy_loss",
+          "ref_loss", prior, eta = 1.0, smoothing = 0.1)
+        .orderBy(col("source"))
+    },
+
+    // Instruction/chat-template contamination scan: plant one template
+    // family per doc_id%9 class (Alpaca headers, ChatML tags,
+    // Llama-chat brackets, Human/Assistant turn pairs, role-keyed
+    // JSON) and require per-family counts, the name-asc dominant
+    // family, and the pretraining admission verdict. The oracle
+    // recomputes every marker count (turns as min of the pair) and the
+    // argmax CASE chain.
+    q("q_template_contam",
+      """WITH pl AS (SELECT doc_id, CASE
+        |    WHEN doc_id % 9 = 1
+        |      THEN text || ' ### Instruction: do ### Response: done'
+        |    WHEN doc_id % 9 = 2
+        |      THEN text || ' <|im_start|>user hi<|im_end|>'
+        |    WHEN doc_id % 9 = 3 THEN text || ' [INST] hi [/INST]'
+        |    WHEN doc_id % 9 = 4
+        |      THEN text || ' Human: hi Assistant: yo Human: more'
+        |    WHEN doc_id % 9 = 5
+        |      THEN text || ' {"role": "user", "content": "x"}'
+        |    ELSE text END AS t FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '### (?:Instruction|Response|Input):')) AS INT) AS n_alpaca,
+        |  CAST(len(regexp_extract_all(t, '<\|im_(?:start|end)\|>'))
+        |    AS INT) AS n_chatml,
+        |  CAST(len(regexp_extract_all(t, '\[/?INST\]')) AS INT)
+        |    AS n_llama,
+        |  CAST(least(len(regexp_extract_all(t, '\bHuman:')),
+        |    len(regexp_extract_all(t, '\bAssistant:'))) AS INT)
+        |    AS n_turns,
+        |  CAST(len(regexp_extract_all(t,
+        |    '"role"\s*:\s*"(?:user|assistant|system)"')) AS INT)
+        |    AS n_role_json
+        |  FROM pl)
+        |SELECT doc_id, n_alpaca, n_chatml, n_llama, n_turns, n_role_json,
+        |  CASE WHEN greatest(n_alpaca, n_chatml, n_llama, n_turns,
+        |      n_role_json) = 0 THEN NULL
+        |    WHEN n_alpaca = greatest(n_alpaca, n_chatml, n_llama,
+        |      n_turns, n_role_json) THEN 'alpaca'
+        |    WHEN n_chatml = greatest(n_alpaca, n_chatml, n_llama,
+        |      n_turns, n_role_json) THEN 'chatml'
+        |    WHEN n_llama = greatest(n_alpaca, n_chatml, n_llama,
+        |      n_turns, n_role_json) THEN 'llama'
+        |    WHEN n_role_json = greatest(n_alpaca, n_chatml, n_llama,
+        |      n_turns, n_role_json) THEN 'role_json'
+        |    ELSE 'turns' END AS template_family,
+        |  n_alpaca + n_chatml + n_llama + n_turns + n_role_json = 0
+        |    AS template_free
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val m9 = pmod(col("doc_id"), lit(9))
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(m9 === 1,
+            concat(col("text"),
+              lit(" ### Instruction: do ### Response: done")))
+          .when(m9 === 2,
+            concat(col("text"), lit(" <|im_start|>user hi<|im_end|>")))
+          .when(m9 === 3, concat(col("text"), lit(" [INST] hi [/INST]")))
+          .when(m9 === 4,
+            concat(col("text"),
+              lit(" Human: hi Assistant: yo Human: more")))
+          .when(m9 === 5,
+            concat(col("text"), lit(" {\"role\": \"user\", \"content\": \"x\"}")))
+          .otherwise(col("text")).as("text"))
+      graft.ops.Decontam.templateContamScan(planted)
+        .select(col("doc_id"), col("n_alpaca"), col("n_chatml"),
+          col("n_llama"), col("n_turns"), col("n_role_json"),
+          col("template_family"), col("template_free"))
+        .orderBy(col("doc_id"))
     }
   )
 

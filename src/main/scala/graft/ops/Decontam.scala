@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.GraftFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination: remove training documents that share
@@ -155,4 +155,49 @@ object Decontam {
     overlapWithIndex(docs, index, textCol)
       .filter(col("n_overlap") < minOverlap)
       .drop("n_overlap")
+
+  /** Instruction/chat-TEMPLATE contamination scan — the other
+    * direction of decontamination: not benchmark text leaking into
+    * pretraining data, but ALREADY-FORMATTED assistant data (SFT
+    * exports, chat logs, templated synthetic text) leaking into a
+    * pretraining crawl, where it teaches the base model to emit
+    * template tokens. Detects the published template families by their
+    * literal markers: Alpaca-style `### Instruction:`/`### Response:`
+    * headers, ChatML `<|im_start|>`/`<|im_end|>` tags, Llama-chat
+    * `[INST]`/`[/INST]` brackets, `Human:`…`Assistant:` turn pairs
+    * (counted as min of the two marker counts — a lone `Human:` in
+    * prose is not a dialog), and role-keyed JSON (`"role"` adjacent to
+    * `"user"`/`"assistant"`/`"system"`). Emits per-family counts, the
+    * dominant family (count desc, name asc), and `template_free` for
+    * the pretraining-admission gate. Pure RE2-safe regex counting —
+    * zero shuffle, fused into the scan. */
+  def templateContamScan(docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def cnt(re: String): Column =
+      size(regexp_extract_all(t, lit(re), lit(0)))
+    val alpaca = cnt("### (?:Instruction|Response|Input):")
+    val chatml = cnt("<\\|im_(?:start|end)\\|>")
+    val llama = cnt("\\[/?INST\\]")
+    val turns = least(cnt("\\bHuman:"), cnt("\\bAssistant:"))
+    val roleJson = cnt("\"role\"\\s*:\\s*\"(?:user|assistant|system)\"")
+    val fams = array(
+      struct(alpaca.as("n"), lit("alpaca").as("f")),
+      struct(chatml.as("n"), lit("chatml").as("f")),
+      struct(llama.as("n"), lit("llama").as("f")),
+      struct(roleJson.as("n"), lit("role_json").as("f")),
+      struct(turns.as("n"), lit("turns").as("f")))
+    val top = array_max(fams)
+    docs.withColumns(Map(
+      "n_alpaca" -> alpaca, "n_chatml" -> chatml, "n_llama" -> llama,
+      "n_turns" -> turns, "n_role_json" -> roleJson,
+      "template_family" -> when(top("n") > 0,
+        // max by (count, then REVERSED name) = count desc with name-asc
+        // tie-break flipped; resolve name-asc by a second scan
+        aggregate(fams, struct(lit(0).as("n"), lit("zzz").as("f")),
+          (a, x) => when(x("n") > a("n") ||
+            (x("n") === a("n") && x("f") < a("f")), x).otherwise(a))("f"))
+        .otherwise(lit(null).cast("string")),
+      "template_free" -> (alpaca + chatml + llama + turns + roleJson === 0)))
+  }
 }

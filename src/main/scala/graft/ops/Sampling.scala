@@ -300,6 +300,53 @@ object Sampling {
         (epochs - floor(epochs)).as("frac_rate"))
   }
 
+  /** DoReMi domain-weight update (Xie et al., NeurIPS 2023, Algorithm
+    * 1's exponentiated-gradient step): per domain take the mean EXCESS
+    * loss `max(0, proxy − ref)` of a proxy model over a reference
+    * model, multiply the prior domain weight by `exp(eta · excess)`,
+    * renormalize, and smooth toward uniform —
+    * `alpha = (1 − s)·w/Σw + s/k`. The published recipe for choosing
+    * pretraining mixture weights from small-model losses; the output
+    * `alpha` column feeds [[mixturePlan]] / [[waterFillPlan]] directly.
+    *
+    * Determinism: the per-domain mean excess quantizes at round-9
+    * BEFORE the exponential (the Platt GD quantization discipline);
+    * the normalizer folds the ≤|domains| grid in SORTED domain order
+    * (the mlOrderedMean convention), so no aggregation-order float can
+    * flip the 6-decimal output contract.
+    *
+    * Scale: ONE partial-agg shuffle keyed by domain over the loss
+    * frame; everything downstream runs on the |domains|-row grid (the
+    * [[mixturePlan]] bounded class — the collect_list normalizer is
+    * grid metadata, not data). */
+  def doremiReweight(losses: DataFrame, domainCol: String,
+      proxyCol: String, refCol: String, prior: Map[String, Double],
+      eta: Double, smoothing: Double): DataFrame = {
+    require(prior.nonEmpty && prior.values.forall(_ > 0),
+      "prior weights must be positive")
+    require(eta > 0, s"eta=$eta")
+    require(smoothing >= 0 && smoothing < 1, s"smoothing=$smoothing")
+    import losses.sparkSession.implicits._
+    val k = prior.size
+    val pdf = prior.toSeq.sortBy(_._1).toDF(domainCol, "prior")
+    val excess = losses.groupBy(col(domainCol))
+      .agg(round(avg(greatest(col(proxyCol) - col(refCol), lit(0.0))), 9)
+        .as("excess"))
+    val grid = broadcast(pdf).join(excess, Seq(domainCol), "left")
+      .select(col(domainCol), col("prior"),
+        coalesce(col("excess"), lit(0.0)).as("excess"))
+      .withColumn("_w", col("prior") * exp(lit(eta) * col("excess")))
+    val z = grid.agg(aggregate(array_sort(collect_list(struct(
+        col(domainCol).as("_d"), col("_w").as("_v")))), lit(0.0),
+        (a, x) => a + x("_v")).as("_z"))
+    grid.crossJoin(broadcast(z))
+      .select(col(domainCol), col("prior"),
+        round(col("excess"), 6).as("excess"),
+        round(col("_w") / col("_z"), 6).as("weight"),
+        round((lit(1.0) - lit(smoothing)) * col("_w") / col("_z") +
+          lit(smoothing) / k, 6).as("alpha"))
+  }
+
   /** Single-epoch mixture water-filling: allocate `budgetTokens`
     * across sources proportionally to INTEGER weights, capping every
     * source at its available tokens and redistributing the surplus to

@@ -504,6 +504,21 @@ object ExplainCheck {
     println(graft.ops.Dedup.editDistanceNearDups(docs, n = 3, k = 16,
         bands = 16, maxDist = 2)
       .queryExecution.explainString(fmt))
+    println("########## op:Decontam.templateContamScan (zero-shuffle template-marker kernel)")
+    println(graft.ops.Decontam.templateContamScan(docs)
+      .queryExecution.explainString(fmt))
+    println("########## op:Sampling.doremiReweight (one domain-keyed agg; grid-side EG update)")
+    locally {
+      import org.apache.spark.sql.functions.{lit, pmod}
+      val losses = docs.select(col("source"),
+        (pmod(col("doc_id"), lit(7)) / lit(16.0)).as("proxy"),
+        lit(0.125).as("ref"))
+      val prior = (0 until 20).map(i =>
+        s"src$i" -> (1.0 + (i % 5) * 0.25)).toMap
+      println(graft.ops.Sampling.doremiReweight(losses, "source",
+          "proxy", "ref", prior, eta = 1.0, smoothing = 0.1)
+        .queryExecution.explainString(fmt))
+    }
     spark.stop()
   }
 }

@@ -119,4 +119,34 @@ class DecontamSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(gated === batch)
   }
+
+  test("templateContamScan: each family detected, turn pairing, name-asc dominant") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x ### Instruction: a ### Response: b"),
+      (2L, "y <|im_start|>user hi<|im_end|>"),
+      (3L, "z [INST] q [/INST]"),
+      // 2 Human but 1 Assistant -> 1 paired turn
+      (4L, "Human: a Assistant: b Human: c"),
+      (5L, "cfg {\"role\": \"system\", \"content\": \"s\"}"),
+      (6L, "plain prose with a lone Human: mention"),
+      // tie: one alpaca marker AND one llama bracket each ->
+      // alphabetically first family wins
+      (7L, "### Response: r [INST] i")).toDF("doc_id", "text")
+    val out = Decontam.templateContamScan(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Int]("n_alpaca"),
+        r.getAs[Int]("n_chatml"), r.getAs[Int]("n_llama"),
+        r.getAs[Int]("n_turns"), r.getAs[Int]("n_role_json"),
+        Option(r.getAs[String]("template_family")),
+        r.getAs[Boolean]("template_free")))).toMap
+    assert(out(1L) === ((2, 0, 0, 0, 0, Some("alpaca"), false)))
+    assert(out(2L) === ((0, 2, 0, 0, 0, Some("chatml"), false)))
+    assert(out(3L) === ((0, 0, 2, 0, 0, Some("llama"), false)))
+    assert(out(4L) === ((0, 0, 0, 1, 0, Some("turns"), false)))
+    assert(out(5L) === ((0, 0, 0, 0, 1, Some("role_json"), false)))
+    assert(out(6L) === ((0, 0, 0, 0, 0, None, true)),
+      "a lone Human: without Assistant: is prose, not a dialog")
+    assert(out(7L)._6 === Some("alpaca"),
+      "count ties resolve to the alphabetically-first family")
+  }
 }

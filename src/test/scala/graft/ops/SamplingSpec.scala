@@ -488,4 +488,30 @@ class SamplingSpec extends AnyFunSuite {
       .sortBy(_._1).toSeq
     assert(run(1) === run(13))
   }
+
+  test("doremiReweight matches a hand-computed exponentiated-gradient step") {
+    import spark.implicits._
+    val losses = Seq(
+      ("a", 0.625, 0.125), ("a", 0.375, 0.125), // excess 0.5, 0.25
+      ("b", 0.125, 0.125), ("b", 0.0, 0.125),   // excess 0, 0 (floored)
+      ("c", 1.125, 0.125))                       // excess 1.0
+      .toDF("domain", "proxy", "ref")
+    val prior = Map("a" -> 1.0, "b" -> 2.0, "c" -> 1.0)
+    val out = Sampling.doremiReweight(losses, "domain", "proxy", "ref",
+        prior, eta = 1.0, smoothing = 0.1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val wa = 1.0 * math.exp(0.375); val wb = 2.0; val wc = math.exp(1.0)
+    val zz = wa + wb + wc
+    def rr(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out("a") === ((0.375, rr(wa / zz), rr(0.9 * wa / zz + 0.1 / 3))))
+    assert(out("b") === ((0.0, rr(wb / zz), rr(0.9 * wb / zz + 0.1 / 3))))
+    assert(out("c") === ((1.0, rr(wc / zz), rr(0.9 * wc / zz + 0.1 / 3))))
+    // missing domain in losses: prior-only (excess 0), still in output
+    val out2 = Sampling.doremiReweight(losses.filter($"domain" =!= "c"),
+        "domain", "proxy", "ref", prior, eta = 1.0, smoothing = 0.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out2("c") === rr(1.0 / (wa + 2.0 + 1.0)),
+      "a domain absent from the loss frame keeps its prior at excess 0")
+  }
 }

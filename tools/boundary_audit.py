@@ -280,6 +280,28 @@ SELECT least(
   AS min_dist
 """
 
+# q_doremi_reweight: the mean excess is exact by construction (binary
+# rationals), but it quantizes at 9 before exp() and the weight/alpha
+# columns round engine-computed exp ratios at 6 — audit all three grids.
+MANUAL['q_doremi_reweight'] = """
+WITH l AS (SELECT source,
+    greatest((doc_id % 7) / 16.0 - 0.125, 0.0) AS excess
+  FROM documents),
+e AS (SELECT source, round(avg(excess), 9) AS excess,
+      gdist(avg(excess), 9) AS d9 FROM l GROUP BY source),
+g AS (SELECT source,
+    1.0 + (CAST(substr(source, 4) AS INT) % 5) * 0.25 AS prior,
+    excess, d9,
+    (1.0 + (CAST(substr(source, 4) AS INT) % 5) * 0.25)
+      * exp(1.0 * excess) AS w
+  FROM e),
+z AS (SELECT list_aggregate(list(w ORDER BY source), 'sum') AS z FROM g)
+SELECT least(
+  (SELECT min(d9) FROM g),
+  (SELECT min(least(gdist(w / z, 6),
+     gdist(0.9 * w / z + 0.1 / 20, 6))) FROM g CROSS JOIN z)) AS min_dist
+"""
+
 for name, sql in MANUAL.items():
     audit(name, sql)
 
