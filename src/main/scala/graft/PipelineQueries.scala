@@ -8173,6 +8173,113 @@ object PipelineQueries {
           col("n_llama"), col("n_turns"), col("n_role_json"),
           col("template_family"), col("template_free"))
         .orderBy(col("doc_id"))
+    },
+
+    // SQuAD-style QA scoring (EM + bag-of-tokens F1): gold = the first
+    // 8 tokens of each doc, predictions planted per doc_id%3 — exact
+    // copy, a 6-token truncation (recall loss), an extra-token append
+    // (precision loss). Every metric is integer bag arithmetic + one
+    // exact IEEE ratio (no order-sensitive float anywhere). The oracle
+    // recomputes normalization, slicing, the min-count bag overlap and
+    // P/R/F1.
+    q("q_qa_eval",
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks FROM documents),
+        |pg AS (SELECT doc_id,
+        |    array_to_string(list_slice(toks, 1, 8), ' ') AS gold,
+        |    CASE WHEN doc_id % 3 = 1
+        |           THEN array_to_string(list_slice(toks, 1, 6), ' ')
+        |         WHEN doc_id % 3 = 2
+        |           THEN array_to_string(list_slice(toks, 1, 8), ' ')
+        |             || ' zz'
+        |         ELSE array_to_string(list_slice(toks, 1, 8), ' ')
+        |    END AS pred FROM d),
+        |tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(pred), '[^a-z0-9]+'),
+        |                t -> t <> '') AS p,
+        |    list_filter(string_split_regex(lower(gold), '[^a-z0-9]+'),
+        |                t -> t <> '') AS g FROM pg),
+        |ov AS (SELECT doc_id, p, g,
+        |    CAST(coalesce(list_aggregate(list_transform(list_distinct(p),
+        |      t -> least(len(list_filter(p, x -> x = t)),
+        |                 len(list_filter(g, x -> x = t)))), 'sum'), 0)
+        |      AS INT) AS n_overlap FROM tk),
+        |m AS (SELECT doc_id, p = g AS exact_match, n_overlap,
+        |    CASE WHEN len(p) > 0
+        |         THEN n_overlap / CAST(len(p) AS DOUBLE) ELSE 0.0 END AS pr,
+        |    CASE WHEN len(g) > 0
+        |         THEN n_overlap / CAST(len(g) AS DOUBLE) ELSE 0.0 END AS rc
+        |  FROM ov)
+        |SELECT doc_id, exact_match, n_overlap,
+        |  round(pr, 6) AS qa_precision, round(rc, 6) AS qa_recall,
+        |  round(CASE WHEN pr + rc > 0 THEN 2.0 * pr * rc / (pr + rc)
+        |        ELSE 0.0 END, 6) AS qa_f1
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
+        t => t =!= "")
+      val gold = array_join(slice(toks, 1, 8), " ")
+      val m3 = pmod(col("doc_id"), lit(3))
+      val pairs = t(s, dir, "documents").select(col("doc_id"),
+        when(m3 === 1, array_join(slice(toks, 1, 6), " "))
+          .when(m3 === 2, concat(gold, lit(" zz")))
+          .otherwise(gold).as("pred"),
+        gold.as("gold"))
+      graft.ops.RetrievalEval.qaScore(pairs, "pred", "gold")
+        .select(col("doc_id"), col("exact_match"), col("n_overlap"),
+          col("qa_precision"), col("qa_recall"), col("qa_f1"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Power iteration for the top singular direction of the embedding
+    // matrix (von Mises; the whitening/PCA primitive): 3 quantized
+    // steps from the uniform unit start, Rayleigh eigenvalue on the
+    // final direction. The oracle unrolls all three iterations — per
+    // step the left-fold projection, the per-dim round-9 average, the
+    // dimension-ordered norm fold and the renormalization — plus the
+    // final eigenvalue pass.
+    q("q_power_iteration",
+      """WITH base AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings),
+        |ax AS (SELECT unnest(range(1, 65)) AS j),
+        |s1 AS (SELECT emb, list_aggregate(
+        |    list_transform(emb, x -> x * 0.125), 'sum') AS s FROM base),
+        |u1 AS (SELECT j, round(avg(emb[j] * s), 9) AS uj
+        |       FROM s1, ax GROUP BY j),
+        |n1 AS (SELECT sqrt(list_aggregate(list_transform(
+        |    list(uj ORDER BY j), x -> x * x), 'sum')) AS nrm FROM u1),
+        |v1 AS (SELECT list(round(uj / nrm, 9) ORDER BY j) AS v
+        |       FROM u1, n1),
+        |s2 AS (SELECT emb, list_aggregate(list_transform(range(1, 65),
+        |    j -> emb[j] * v[j]), 'sum') AS s FROM base, v1),
+        |u2 AS (SELECT j, round(avg(emb[j] * s), 9) AS uj
+        |       FROM s2, ax GROUP BY j),
+        |n2 AS (SELECT sqrt(list_aggregate(list_transform(
+        |    list(uj ORDER BY j), x -> x * x), 'sum')) AS nrm FROM u2),
+        |v2 AS (SELECT list(round(uj / nrm, 9) ORDER BY j) AS v
+        |       FROM u2, n2),
+        |s3 AS (SELECT emb, list_aggregate(list_transform(range(1, 65),
+        |    j -> emb[j] * v[j]), 'sum') AS s FROM base, v2),
+        |u3 AS (SELECT j, round(avg(emb[j] * s), 9) AS uj
+        |       FROM s3, ax GROUP BY j),
+        |n3 AS (SELECT sqrt(list_aggregate(list_transform(
+        |    list(uj ORDER BY j), x -> x * x), 'sum')) AS nrm FROM u3),
+        |v3 AS (SELECT j, round(uj / nrm, 9) AS vj FROM u3, n3),
+        |v3l AS (SELECT list(vj ORDER BY j) AS v FROM v3),
+        |lam AS (SELECT round(avg(s * s), 9) AS l FROM (
+        |    SELECT list_aggregate(list_transform(range(1, 65),
+        |      j -> emb[j] * v[j]), 'sum') AS s FROM base, v3l))
+        |SELECT CAST(j AS INT) AS dim, round(vj, 6) AS loading,
+        |  round(l, 6) AS eigenvalue
+        |FROM v3 CROSS JOIN lam ORDER BY dim""".stripMargin) { (s, dir) =>
+      val d = graft.ops.Spectral.topDirection(t(s, dir, "embeddings"),
+        dim = 64, iterations = 3)
+      import s.implicits._
+      d.loadings.toSeq.zipWithIndex
+        .map { case (l, i) => (i + 1, l, d.eigenvalue) }
+        .toDF("dim", "loading", "eigenvalue")
+        .select(col("dim"), round(col("loading"), 6).as("loading"),
+          round(col("eigenvalue"), 6).as("eigenvalue"))
+        .orderBy(col("dim"))
     }
   )
 

@@ -86,4 +86,38 @@ object RetrievalEval {
   def evaluateBruteForce(embs: DataFrame, queryPred: Column, k: Int): DataFrame =
     metricsAtK(Similarity.bruteForceTopK(embs, queryPred, k),
       embs.select(col("vec_id"), col("label")), k)
+
+  /** SQuAD-style extractive-QA scoring (Rajpurkar et al. 2016 §6.1):
+    * per (prediction, gold) pair, exact match on the normalized token
+    * sequence and BAG-of-tokens F1 — overlap = Σ over distinct
+    * prediction tokens of min(count in pred, count in gold), P =
+    * overlap/|pred|, R = overlap/|gold|, F1 = 2PR/(P+R) (0 when both
+    * empty-side). Normalization is the published recipe reduced to its
+    * cross-engine core: lowercase, strip punctuation to spaces,
+    * whitespace-split (article stripping omitted — stated, not
+    * hidden). Everything is integer bag arithmetic over per-row
+    * arrays + one final IEEE ratio rounded at 6 — zero shuffle, fused
+    * into the scan; the per-token min-count probe is O(|pred|·|gold|)
+    * per row, the bounded per-doc sweep class. */
+  def qaScore(pairs: DataFrame, predCol: String, goldCol: String): DataFrame = {
+    def toks(c: Column): Column = filter(
+      split(regexp_replace(lower(c), "[^a-z0-9]+", " "), " "),
+      t => t =!= "")
+    val p = toks(col(predCol)); val g = toks(col(goldCol))
+    def cnt(arr: Column, t: Column): Column =
+      size(filter(arr, x => x === t))
+    val overlap = aggregate(array_distinct(p), lit(0),
+      (acc, t) => acc + least(cnt(p, t), cnt(g, t)))
+    val prec = when(size(p) > 0, overlap.cast("double") / size(p))
+      .otherwise(lit(0.0))
+    val rec = when(size(g) > 0, overlap.cast("double") / size(g))
+      .otherwise(lit(0.0))
+    pairs.withColumns(Map(
+      "exact_match" -> (p === g),
+      "n_overlap" -> overlap,
+      "qa_precision" -> round(prec, 6),
+      "qa_recall" -> round(rec, 6),
+      "qa_f1" -> round(when(prec + rec > 0,
+        lit(2.0) * prec * rec / (prec + rec)).otherwise(lit(0.0)), 6)))
+  }
 }

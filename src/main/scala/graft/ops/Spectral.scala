@@ -1,0 +1,89 @@
+package graft.ops
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftFunctions
+
+/** Distributed spectral primitives over an embedding column.
+  *
+  * Power iteration for the TOP SINGULAR DIRECTION of the raw embedding
+  * matrix (v ← normalize(XᵀXv), the classic von Mises iteration) — the
+  * preprocessing primitive of embedding-space curation: dominant-axis
+  * whitening before cosine dedup (anisotropic embeddings concentrate
+  * along a few axes and inflate every similarity), spectral outlier
+  * screens, and the first step of a PCA compaction. Deliberately
+  * UNCENTERED (it is the singular direction, not the covariance
+  * eigenvector): centering is one [[Kmeans]]-style mean subtraction the
+  * caller composes when needed, and the synthetic gaussian corpus is
+  * zero-mean anyway.
+  *
+  * Reproducible-training contract (the [[graft.ops.Classifier]]
+  * trainLogistic discipline): FIXED iteration count; per step ONE
+  * partial-mergeable [[org.apache.spark.sql.graft.VectorAvg]] aggregate
+  * (u = avg(s·x), a dim-length buffer — never vectors — on the
+  * shuffle); the dim-length update collects to the driver (model-sized,
+  * the Kmeans centroid class), quantizes at 9 decimals HALF_UP (the
+  * exact `round(x, 9)` both engines implement), renormalizes with a
+  * dimension-ORDERED fold (sqrt and divide are correctly-rounded IEEE
+  * ops — cross-engine exact on the quantized inputs), and re-enters the
+  * next pass as a plan literal. The per-row projection s = ⟨x, v⟩ folds
+  * coordinates LEFT-TO-RIGHT (zip_with + aggregate), matching a
+  * DuckDB `list_aggregate(..., 'sum')` fold term for term. The only
+  * cross-engine float risk is each step's row-order-sensitive average,
+  * which the round-9 grid absorbs (boundary-audited in
+  * tools/boundary_audit.py).
+  *
+  * Scale: `iterations` narrow scans + `iterations`+1 one-row
+  * aggregates; driver state is `dim` doubles per step. Nothing
+  * data-sized moves.
+  */
+object Spectral {
+
+  final case class Direction(loadings: Array[Double], eigenvalue: Double)
+
+  /** ⟨emb, v⟩ as a left-to-right fold in dimension order. */
+  private def dot(emb: Column, v: Array[Double]): Column =
+    aggregate(zip_with(emb, lit(v), (x, c) => x * c),
+      lit(0.0), (acc, t) => acc + t)
+
+  /** round(x, 9) with DuckDB/Spark `round` semantics (half away from
+    * zero), driver-side. */
+  private def q9(x: Double): Double =
+    new JBigDecimal(x).setScale(9, RoundingMode.HALF_UP).doubleValue()
+
+  /** `iterations` of power iteration from the uniform unit start
+    * (v₀[j] = 1/√dim — exact in binary for power-of-two dims); returns
+    * the quantized direction and the Rayleigh eigenvalue estimate
+    * λ = avg(⟨x, v⟩²) of XᵀX/n in the final direction. */
+  def topDirection(embs: DataFrame, dim: Int, iterations: Int = 3,
+      embCol: String = "embedding"): Direction = {
+    require(dim >= 1, s"dim=$dim")
+    require(iterations >= 1, s"iterations=$iterations")
+    val e = embs.select(col(embCol).cast("array<double>").as("_emb"))
+    var v = Array.fill(dim)(q9(1.0 / math.sqrt(dim.toDouble)))
+    for (_ <- 1 to iterations) {
+      val s = dot(col("_emb"), v)
+      val u = e.agg(GraftFunctions.vectorAvg(
+          transform(col("_emb"), x => x * s)).as("_u"))
+        .collect()(0).getSeq[Double](0).toArray.map(q9)
+      require(u.length == dim,
+        s"embedding dim ${u.length} != declared dim $dim")
+      val norm = math.sqrt(u.foldLeft(0.0)((a, x) => a + x * x))
+      require(norm > 0, "degenerate direction: X'Xv = 0")
+      v = u.map(x => q9(x / norm))
+    }
+    val lambda = e.agg(avg({ val s = dot(col("_emb"), v); s * s }))
+      .collect()(0).getDouble(0)
+    Direction(v, q9(lambda))
+  }
+
+  /** The per-row projection onto a fitted direction — the narrow
+    * scan-fused scorer (plan-literal weights, zero join), for
+    * dominant-axis removal or spectral screens. */
+  def project(embs: DataFrame, direction: Direction,
+      embCol: String = "embedding", as: String = "projection"): DataFrame =
+    embs.withColumn(as,
+      round(dot(col(embCol).cast("array<double>"), direction.loadings), 6))
+}

@@ -519,6 +519,23 @@ object ExplainCheck {
           "proxy", "ref", prior, eta = 1.0, smoothing = 0.1)
         .queryExecution.explainString(fmt))
     }
+    println("########## op:RetrievalEval.qaScore (zero-shuffle bag-F1 kernel)")
+    locally {
+      import org.apache.spark.sql.functions.substring
+      println(graft.ops.RetrievalEval.qaScore(
+          docs.select(col("doc_id"),
+            substring(col("text"), 1, 40).as("pred"),
+            substring(col("text"), 1, 50).as("gold")),
+          "pred", "gold")
+        .queryExecution.explainString(fmt))
+    }
+    println("########## op:Spectral.project (plan-literal direction, narrow scan)")
+    locally {
+      val d = graft.ops.Spectral.topDirection(embs, dim = 64,
+        iterations = 1)
+      println(graft.ops.Spectral.project(embs, d)
+        .queryExecution.explainString(fmt))
+    }
     spark.stop()
   }
 }

@@ -68,4 +68,26 @@ class RetrievalEvalSpec extends AnyFunSuite {
       embs.repartition(7), col("vec_id") < 20, k = 5).collect()
     assert(rows.map(_.toSeq).toSet === again.map(_.toSeq).toSet)
   }
+
+  test("qaScore: SQuAD EM + bag-F1 hand cases, normalization, empty sides") {
+    val pairs = Seq(
+      (1L, "The quick fox", "the quick fox"),      // EM via normalization
+      (2L, "quick fox", "the quick fox"),          // P=1, R=2/3
+      (3L, "the quick fox today", "the quick fox"),// P=3/4, R=1
+      (4L, "a a b", "a b b"),                      // bag: min counts -> 2
+      (5L, "", "the quick fox"),                   // empty pred
+      (6L, "totally different words", "the quick fox"))
+      .toDF("doc_id", "pred", "gold")
+    val out = RetrievalEval.qaScore(pairs, "pred", "gold").collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Boolean]("exact_match"),
+        r.getAs[Int]("n_overlap"), r.getAs[Double]("qa_precision"),
+        r.getAs[Double]("qa_recall"), r.getAs[Double]("qa_f1")))).toMap
+    assert(out(1L) === ((true, 3, 1.0, 1.0, 1.0)))
+    assert(out(2L) === ((false, 2, 1.0, 0.666667, 0.8)))
+    assert(out(3L) === ((false, 3, 0.75, 1.0, 0.857143)))
+    assert(out(4L) === ((false, 2, 0.666667, 0.666667, 0.666667)),
+      "bag overlap counts min(count_pred, count_gold) per token")
+    assert(out(5L) === ((false, 0, 0.0, 0.0, 0.0)))
+    assert(out(6L) === ((false, 0, 0.0, 0.0, 0.0)))
+  }
 }

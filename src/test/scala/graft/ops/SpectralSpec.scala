@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.scalatest.funsuite.AnyFunSuite
+
+class SpectralSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def planted(n: Int, dim: Int): Seq[(Long, Array[Float])] =
+    // dominant variance along axis 0 (values ±10), small deterministic
+    // structure on axis 1 — the top singular direction must be ~e0
+    (1 to n).map { i =>
+      val v = Array.fill(dim)(0.0f)
+      v(0) = if (i % 2 == 0) 10.0f else -10.0f
+      v(1) = (i % 3).toFloat * 0.1f
+      (i.toLong, v)
+    }
+
+  test("topDirection recovers a planted dominant axis; eigenvalue is the axis variance") {
+    val df = planted(40, 8).toDF("vec_id", "embedding")
+    val d = Spectral.topDirection(df, dim = 8, iterations = 3)
+    assert(math.abs(d.loadings(0)) > 0.999,
+      s"dominant axis not recovered: ${d.loadings.toSeq}")
+    // unit norm (within the round-9 quantization)
+    val nrm = math.sqrt(d.loadings.map(x => x * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-6)
+    // Rayleigh estimate ~ avg(x0^2) = 100 for the planted data
+    assert(math.abs(d.eigenvalue - 100.0) < 1.0,
+      s"eigenvalue ${d.eigenvalue}")
+  }
+
+  test("topDirection equals a driver-side reference implementation") {
+    val rows = planted(30, 4)
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Spectral.topDirection(df, dim = 4, iterations = 3)
+    // reference: identical algorithm in plain Scala with the same
+    // quantization discipline
+    def q9(x: Double) = new java.math.BigDecimal(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val xs = rows.map(_._2.map(_.toDouble))
+    var v = Array.fill(4)(q9(1.0 / 2.0))
+    for (_ <- 1 to 3) {
+      val s = xs.map(x => x.indices.foldLeft(0.0)((a, j) => a + x(j) * v(j)))
+      val u = (0 until 4).map(j =>
+        q9(xs.indices.foldLeft(0.0)((a, i) => a + xs(i)(j) * s(i)) / xs.size))
+      val nrm = math.sqrt(u.foldLeft(0.0)((a, x) => a + x * x))
+      v = u.map(x => q9(x / nrm)).toArray
+    }
+    val sF = xs.map(x => x.indices.foldLeft(0.0)((a, j) => a + x(j) * v(j)))
+    val lam = q9(sF.map(s => s * s).sum / sF.size)
+    assert(got.loadings.toSeq === v.toSeq,
+      "quantized loadings must be bit-equal to the reference")
+    assert(got.eigenvalue === lam)
+  }
+
+  test("topDirection is repartition-invariant (quantization absorbs order)") {
+    val df = planted(60, 8).toDF("vec_id", "embedding")
+    val a = Spectral.topDirection(df.repartition(1), dim = 8)
+    val b = Spectral.topDirection(df.repartition(13), dim = 8)
+    assert(a.loadings.toSeq === b.loadings.toSeq)
+    assert(a.eigenvalue === b.eigenvalue)
+  }
+
+  test("project: plan-literal scorer, zero join, values match the driver dot") {
+    val rows = planted(20, 4)
+    val df = rows.toDF("vec_id", "embedding")
+    val d = Spectral.topDirection(df, dim = 4, iterations = 2)
+    val out = Spectral.project(df, d)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      s"projection must be a narrow scan:\n$p")
+    val got = out.collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("projection")).toMap
+    rows.foreach { case (id, emb) =>
+      val exp = emb.indices.foldLeft(0.0)((a, j) =>
+        a + emb(j).toDouble * d.loadings(j))
+      assert(math.abs(got(id) - exp) < 1e-6, s"row $id")
+    }
+  }
+}

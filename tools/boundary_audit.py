@@ -302,6 +302,42 @@ SELECT least(
      gdist(0.9 * w / z + 0.1 / 20, 6))) FROM g CROSS JOIN z)) AS min_dist
 """
 
+# q_power_iteration: each step's per-dim average quantizes at 9 before
+# the (exact) renormalization, and the final Rayleigh average rounds at
+# 9 then 6 — audit every avg's distance at its grid across all three
+# iterations.
+MANUAL['q_power_iteration'] = """
+WITH base AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings),
+ax AS (SELECT unnest(range(1, 65)) AS j),
+s1 AS (SELECT emb, list_aggregate(
+    list_transform(emb, x -> x * 0.125), 'sum') AS s FROM base),
+u1 AS (SELECT j, round(avg(emb[j] * s), 9) AS uj,
+       gdist(avg(emb[j] * s), 9) AS d FROM s1, ax GROUP BY j),
+n1 AS (SELECT sqrt(list_aggregate(list_transform(
+    list(uj ORDER BY j), x -> x * x), 'sum')) AS nrm FROM u1),
+v1 AS (SELECT list(round(uj / nrm, 9) ORDER BY j) AS v FROM u1, n1),
+s2 AS (SELECT emb, list_aggregate(list_transform(range(1, 65),
+    j -> emb[j] * v[j]), 'sum') AS s FROM base, v1),
+u2 AS (SELECT j, round(avg(emb[j] * s), 9) AS uj,
+       gdist(avg(emb[j] * s), 9) AS d FROM s2, ax GROUP BY j),
+n2 AS (SELECT sqrt(list_aggregate(list_transform(
+    list(uj ORDER BY j), x -> x * x), 'sum')) AS nrm FROM u2),
+v2 AS (SELECT list(round(uj / nrm, 9) ORDER BY j) AS v FROM u2, n2),
+s3 AS (SELECT emb, list_aggregate(list_transform(range(1, 65),
+    j -> emb[j] * v[j]), 'sum') AS s FROM base, v2),
+u3 AS (SELECT j, round(avg(emb[j] * s), 9) AS uj,
+       gdist(avg(emb[j] * s), 9) AS d FROM s3, ax GROUP BY j),
+n3 AS (SELECT sqrt(list_aggregate(list_transform(
+    list(uj ORDER BY j), x -> x * x), 'sum')) AS nrm FROM u3),
+v3l AS (SELECT list(round(uj / nrm, 9) ORDER BY j) AS v FROM u3, n3),
+lam AS (SELECT gdist(avg(s * s), 9) AS d FROM (
+    SELECT list_aggregate(list_transform(range(1, 65),
+      j -> emb[j] * v[j]), 'sum') AS s FROM base, v3l))
+SELECT least(
+  (SELECT min(d) FROM u1), (SELECT min(d) FROM u2),
+  (SELECT min(d) FROM u3), (SELECT d FROM lam)) AS min_dist
+"""
+
 for name, sql in MANUAL.items():
     audit(name, sql)
 
