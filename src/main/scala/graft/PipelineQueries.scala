@@ -8184,8 +8184,9 @@ object PipelineQueries {
     // P/R/F1.
     q("q_qa_eval",
       """WITH d AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-        |                t -> t <> '') AS toks FROM documents),
+        |    list_filter(string_split_regex(lower(substr(text, 1, 200)),
+        |                '[^a-z0-9]+'), t -> t <> '') AS toks
+        |  FROM documents),
         |pg AS (SELECT doc_id,
         |    array_to_string(list_slice(toks, 1, 8), ' ') AS gold,
         |    CASE WHEN doc_id % 3 = 1
@@ -8216,7 +8217,11 @@ object PipelineQueries {
         |  round(CASE WHEN pr + rc > 0 THEN 2.0 * pr * rc / (pr + rc)
         |        ELSE 0.0 END, 6) AS qa_f1
         |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
+      // bound the tokenization to the first 200 chars: the planted
+      // pred/gold only need 8 tokens, and the full-text split would
+      // re-evaluate per reference (mirrored in the oracle)
+      val toks = filter(
+        split(lower(substring(col("text"), 1, 200)), "[^a-z0-9]+"),
         t => t =!= "")
       val gold = array_join(slice(toks, 1, 8), " ")
       val m3 = pmod(col("doc_id"), lit(3))
@@ -8280,6 +8285,59 @@ object PipelineQueries {
         .select(col("dim"), round(col("loading"), 6).as("loading"),
           round(col("eigenvalue"), 6).as("eigenvalue"))
         .orderBy(col("dim"))
+    },
+
+    // Dominant-direction removal (all-but-the-top whitening): fit the
+    // top direction (the q_power_iteration chain), then per vector
+    // subtract its projection — residual arithmetic is order-pinned
+    // IEEE on plan literals, so projection and residual norm are exact
+    // with no aggregation-order contract. The oracle refits the whole
+    // 3-iteration power chain and recomputes every row's projection
+    // and residual norm.
+    q("q_spectral_whiten",
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |              FROM embeddings),
+        |ax AS (SELECT unnest(range(1, 65)) AS j),
+        |s1 AS (SELECT emb, list_aggregate(
+        |    list_transform(emb, x -> x * 0.125), 'sum') AS s FROM base),
+        |u1 AS (SELECT j, round(avg(emb[j] * s), 9) AS uj
+        |       FROM s1, ax GROUP BY j),
+        |n1 AS (SELECT sqrt(list_aggregate(list_transform(
+        |    list(uj ORDER BY j), x -> x * x), 'sum')) AS nrm FROM u1),
+        |v1 AS (SELECT list(round(uj / nrm, 9) ORDER BY j) AS v
+        |       FROM u1, n1),
+        |s2 AS (SELECT emb, list_aggregate(list_transform(range(1, 65),
+        |    j -> emb[j] * v[j]), 'sum') AS s FROM base, v1),
+        |u2 AS (SELECT j, round(avg(emb[j] * s), 9) AS uj
+        |       FROM s2, ax GROUP BY j),
+        |n2 AS (SELECT sqrt(list_aggregate(list_transform(
+        |    list(uj ORDER BY j), x -> x * x), 'sum')) AS nrm FROM u2),
+        |v2 AS (SELECT list(round(uj / nrm, 9) ORDER BY j) AS v
+        |       FROM u2, n2),
+        |s3 AS (SELECT emb, list_aggregate(list_transform(range(1, 65),
+        |    j -> emb[j] * v[j]), 'sum') AS s FROM base, v2),
+        |u3 AS (SELECT j, round(avg(emb[j] * s), 9) AS uj
+        |       FROM s3, ax GROUP BY j),
+        |n3 AS (SELECT sqrt(list_aggregate(list_transform(
+        |    list(uj ORDER BY j), x -> x * x), 'sum')) AS nrm FROM u3),
+        |v3l AS (SELECT list(round(uj / nrm, 9) ORDER BY j) AS v
+        |        FROM u3, n3),
+        |pr AS (SELECT vec_id, emb, list_aggregate(list_transform(
+        |    range(1, 65), j -> emb[j] * v[j]), 'sum') AS s
+        |  FROM base, v3l)
+        |SELECT vec_id, round(s, 6) AS projection,
+        |  round(sqrt(list_aggregate(list_transform(range(1, 65),
+        |    j -> (emb[j] - s * v[j]) * (emb[j] - s * v[j])), 'sum')), 6)
+        |    AS residual_norm
+        |FROM pr, v3l ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val embs = t(s, dir, "embeddings")
+      val d = graft.ops.Spectral.topDirection(embs, dim = 64,
+        iterations = 3)
+      graft.ops.Spectral.removeDirection(embs, d)
+        .select(col("vec_id"), round(col("_proj"), 6).as("projection"),
+          round(sqrt(aggregate(transform(col("residual"), x => x * x),
+            lit(0.0), (a, x) => a + x)), 6).as("residual_norm"))
+        .orderBy(col("vec_id"))
     }
   )
 

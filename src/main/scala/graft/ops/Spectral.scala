@@ -86,4 +86,25 @@ object Spectral {
       embCol: String = "embedding", as: String = "projection"): DataFrame =
     embs.withColumn(as,
       round(dot(col(embCol).cast("array<double>"), direction.loadings), 6))
+
+  /** Dominant-direction removal (the all-but-the-top step of
+    * post-processing algorithms like Mu & Viswanath 2018's "all-but-
+    * the-top": anisotropic embeddings concentrate along a common
+    * direction that inflates every cosine — subtracting it measurably
+    * improves similarity tasks, and it is the standard pre-pass before
+    * cosine-threshold dedup on raw encoder outputs). Per row:
+    * `x' = x − ⟨x, v⟩·v`, emitted as `residual` alongside the
+    * (unrounded) `_proj` projection. Pure per-row IEEE arithmetic on
+    * the plan-literal direction — projection fold and coordinate
+    * updates are order-pinned, so the residual is bit-identical on any
+    * engine with no rounding contract. Narrow, zero shuffle. */
+  def removeDirection(embs: DataFrame, direction: Direction,
+      embCol: String = "embedding"): DataFrame = {
+    val emb = col(embCol).cast("array<double>")
+    embs
+      .withColumn("_proj", dot(emb, direction.loadings))
+      .withColumn("residual",
+        zip_with(emb, lit(direction.loadings),
+          (x, c) => x - col("_proj") * c))
+  }
 }

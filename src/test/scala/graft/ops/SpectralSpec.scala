@@ -61,6 +61,31 @@ class SpectralSpec extends AnyFunSuite {
     assert(a.eigenvalue === b.eigenvalue)
   }
 
+  test("removeDirection: residual orthogonal to the direction, Pythagoras holds") {
+    val rows = planted(30, 8)
+    val df = rows.toDF("vec_id", "embedding")
+    val d = Spectral.topDirection(df, dim = 8, iterations = 3)
+    val out = Spectral.removeDirection(df, d).collect()
+    out.foreach { r =>
+      val proj = r.getAs[Double]("_proj")
+      val res = r.getSeq[Double](r.fieldIndex("residual"))
+      val resDotV = res.indices.foldLeft(0.0)((a, j) =>
+        a + res(j) * d.loadings(j))
+      assert(math.abs(resDotV) < 1e-6,
+        s"residual must be orthogonal to the removed direction: $resDotV")
+      val emb = r.getSeq[Float](r.fieldIndex("embedding"))
+      val orig2 = emb.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+      val res2 = res.foldLeft(0.0)((a, x) => a + x * x)
+      assert(math.abs(orig2 - (res2 + proj * proj)) < 1e-6,
+        "norm must decompose as residual^2 + projection^2")
+    }
+    // narrow plan: zero join, zero exchange
+    val p = Spectral.removeDirection(df, d)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      s"whitening must be a narrow scan:\n$p")
+  }
+
   test("project: plan-literal scorer, zero join, values match the driver dot") {
     val rows = planted(20, 4)
     val df = rows.toDF("vec_id", "embedding")
