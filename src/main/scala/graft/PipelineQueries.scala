@@ -8338,6 +8338,122 @@ object PipelineQueries {
           round(sqrt(aggregate(transform(col("residual"), x => x * x),
             lit(0.0), (a, x) => a + x)), 6).as("residual_norm"))
         .orderBy(col("vec_id"))
+    },
+
+    // Composed pretraining-ADMISSION pipeline over the round-13
+    // kernels, stage interactions pinned: template gate on the RAW
+    // text (%9=1 plants an Alpaca header → dropped), secrets redaction
+    // on survivors (%7=1 plants an AWS key → redacted, doc kept),
+    // language routing on the REDACTED text (%4=1 plants a 3-line
+    // German block → de-dominant → dropped). Plants overlap (different
+    // mods), so the funnel counts pin every stage THROUGH the others.
+    // The oracle chains all three recomputations.
+    q("q_admission_pipeline",
+      """WITH pl AS (SELECT doc_id, source, text
+        |    || CASE WHEN doc_id % 9 = 1 THEN ' ### Instruction: x'
+        |            ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 1 THEN ' key AKIA'
+        |         || upper(substr(md5(doc_id::VARCHAR), 1, 16))
+        |            ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 1 THEN chr(10) || 'er der erer'
+        |         || chr(10) || 'erer er' || chr(10) || 'der er erer'
+        |            ELSE '' END AS t
+        |  FROM documents),
+        |a AS (SELECT doc_id, source, t,
+        |    len(regexp_extract_all(t, '### (?:Instruction|Response|Input):'))
+        |    + len(regexp_extract_all(t, '<\|im_(?:start|end)\|>'))
+        |    + len(regexp_extract_all(t, '\[/?INST\]'))
+        |    + least(len(regexp_extract_all(t, '\bHuman:')),
+        |            len(regexp_extract_all(t, '\bAssistant:')))
+        |    + len(regexp_extract_all(t,
+        |        '"role"\s*:\s*"(?:user|assistant|system)"')) AS tmpl
+        |  FROM pl),
+        |pa AS (SELECT doc_id, source, t FROM a WHERE tmpl = 0),
+        |b AS (SELECT doc_id, source, t,
+        |  list_concat(list_concat(list_concat(list_concat(
+        |    regexp_extract_all(t, '\bAKIA[0-9A-Z]{16}\b'),
+        |    regexp_extract_all(t,
+        |      '-----BEGIN [A-Z]+(?: [A-Z]+)* PRIVATE KEY-----')),
+        |    regexp_extract_all(t, '\bxox[baprs]-[0-9A-Za-z-]{10,}\b')),
+        |    regexp_extract_all(t,
+        |      '(?i)\b(?:api_?key|api_?token|secret|passwd|password|access_?token)\s*[:=]\s*["'']([^"''\n]{8,})["'']',
+        |      1)),
+        |    list_filter(regexp_extract_all(t, '\b[A-Za-z0-9+/_-]{24,}\b'),
+        |      tok -> regexp_matches(tok, '[0-9]')
+        |        AND regexp_matches(tok, '[A-Za-z]')
+        |        AND len(list_distinct(list_transform(
+        |          range(1, strlen(tok) + 1),
+        |          i -> substr(tok, CAST(i AS INT), 1)))) * 2
+        |          >= strlen(tok))) AS sec
+        |  FROM pa),
+        |r AS (SELECT doc_id, source, CAST(len(sec) AS INT) AS n_sec,
+        |    list_reduce(list_prepend(t, sec),
+        |      (x, m) -> replace(x, m, '[SECRET]')) AS red
+        |  FROM b),
+        |l AS (SELECT doc_id, source, n_sec,
+        |    list_transform(string_split(red, chr(10)), x ->
+        |      CASE WHEN (strlen(x) - strlen(replace(x, 'th', ''))) // 2
+        |             >= (strlen(x) - strlen(replace(x, 'er', ''))) // 2
+        |            AND (strlen(x) - strlen(replace(x, 'th', ''))) // 2
+        |             >= (strlen(x) - strlen(replace(x, 'en', ''))) // 2
+        |           THEN 'en'
+        |           WHEN (strlen(x) - strlen(replace(x, 'er', ''))) // 2
+        |             >= (strlen(x) - strlen(replace(x, 'en', ''))) // 2
+        |           THEN 'de' ELSE 'nl' END) AS lg
+        |  FROM r),
+        |c AS (SELECT doc_id, source, n_sec,
+        |    len(list_filter(lg, x -> x = 'en')) AS en_n,
+        |    len(list_filter(lg, x -> x = 'de')) AS de_n,
+        |    len(list_filter(lg, x -> x = 'nl')) AS nl_n
+        |  FROM l),
+        |k AS (SELECT doc_id, source, n_sec FROM c
+        |      WHERE en_n >= de_n AND en_n >= nl_n),
+        |ni AS (SELECT source, count(*) AS n_in FROM pl GROUP BY 1),
+        |nt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_template_free,
+        |       CAST(sum(n_sec) AS BIGINT) AS n_secrets
+        |       FROM r GROUP BY 1),
+        |nk AS (SELECT source, CAST(count(*) AS BIGINT) AS n_en_kept
+        |       FROM k GROUP BY 1)
+        |SELECT ni.source, CAST(n_in AS BIGINT) AS n_in,
+        |  coalesce(n_template_free, 0) AS n_template_free,
+        |  coalesce(n_secrets, 0) AS n_secrets,
+        |  coalesce(n_en_kept, 0) AS n_en_kept
+        |FROM ni LEFT JOIN nt USING (source) LEFT JOIN nk USING (source)
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+      val h = md5(col("doc_id").cast("string"))
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(9)) === 1,
+            lit(" ### Instruction: x")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 1,
+            concat(lit(" key AKIA"), upper(substring(h, 1, 16))))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4)) === 1,
+            lit("\ner der erer\nerer er\nder er erer"))
+            .otherwise(lit(""))).as("text"))
+      val passA = graft.ops.Decontam.templateContamScan(planted)
+        .filter(col("template_free"))
+        .select(col("doc_id"), col("source"), col("text"))
+      val redacted = graft.ops.Pii.secretScan(passA)
+        .select(col("doc_id"), col("source"), col("n_secrets"),
+          col("redacted").as("text"))
+      val routed = graft.ops.Quality.langSegments(redacted)
+      val kept = routed.filter(col("dominant_lang") === "en")
+      val nIn = planted.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_in"))
+      val nTf = redacted.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_template_free"),
+          sum(col("n_secrets")).cast("long").as("n_secrets"))
+      val nKept = kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_en_kept"))
+      nIn.join(nTf, Seq("source"), "left")
+        .join(nKept, Seq("source"), "left")
+        .select(col("source"), col("n_in"),
+          coalesce(col("n_template_free"), lit(0L)).as("n_template_free"),
+          coalesce(col("n_secrets"), lit(0L)).as("n_secrets"),
+          coalesce(col("n_en_kept"), lit(0L)).as("n_en_kept"))
+        .orderBy(col("source"))
     }
   )
 
