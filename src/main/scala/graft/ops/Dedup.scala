@@ -46,9 +46,16 @@ object Dedup {
     * coarser than classic type-2 (which keeps keywords), but
     * same-language files land in the same clone classes and the whole
     * normalizer stays a regex chain BOTH engines implement identically
-    * (RE2 has no lookahead for a keyword whitelist). Known limit: a
+    * (RE2 has no lookahead for a keyword whitelist). Known limits: a
     * `//` in plain text outside any literal still reads as a comment
-    * (there is no parser), and multi-line literals are not blanked. */
+    * (there is no parser); multi-line literals are not blanked; and an
+    * UNPAIRED quote inside a block comment (the apostrophe in a
+    * "don't") is consumed by the literal-blank pass — which runs
+    * FIRST, so it cannot tell comment from code — swallowing the
+    * comment's close marker and leaving the block comment unstripped
+    * (leftover tokens shift that file's clone class; deterministic on
+    * both engines, pinned in DedupSpec). A line-span-aware literal
+    * pass would need lookaround RE2 lacks. */
   private[graft] def codeNormalize(t: Column): Column =
     trim(regexp_replace(
       regexp_replace(

@@ -205,13 +205,20 @@ object Export {
     * window.
     *
     * Output: (prompt, response_id, score, n_candidates, rank) — ids
-    * keep their input type ([[dpoPairs]]'s contract). */
+    * keep their input type ([[dpoPairs]]'s contract). Rows with a NULL
+    * prompt are EXCLUDED up front (stated contract, not a join
+    * accident): a response that lost its prompt key is malformed
+    * input, and filtering it explicitly keeps the survivor↔count join
+    * a plain equi-join (a null-safe join would re-key both sides on
+    * (coalesce, isnull) and cost the survivor frame an extra
+    * exchange). */
   def bestOfN(responses: DataFrame, promptCol: String, idCol: String,
       scoreCol: Column, k: Int,
       minScore: Double = Double.NegativeInfinity): DataFrame = {
     require(k >= 1, s"k=$k")
     val s = round(scoreCol.cast("double"), 6)
     val slim = responses
+      .filter(col(promptCol).isNotNull)
       .select(col(promptCol), col(idCol).as("response_id"), s.as("score"))
     val counts = slim.groupBy(col(promptCol))
       .agg(count(lit(1)).as("n_candidates"))

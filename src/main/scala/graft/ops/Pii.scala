@@ -53,7 +53,11 @@ object Pii {
   val AssignedSecretRe =
     "(?i)\\b(?:api_?key|api_?token|secret|passwd|password|access_?token)" +
       "\\s*[:=]\\s*[\"']([^\"'\n]{8,})[\"']"
-  /** Candidate charset for the high-diversity token rule. */
+  /** Candidate charset for the high-diversity token rule — base64
+    * (incl. '+', '/' and the '=' padding; interior '=' also covers
+    * `k1=v2` key-material runs) plus the url-safe '_'/'-' variants.
+    * The DuckDB oracles mirror this class character for character
+    * (q_secret_scan plants an interior-'=' token to pin it). */
   val HighDivCandidateRe = "\\b[A-Za-z0-9+/=_-]{24,}\\b"
 
   /** Secrets scan — the policy pass a code corpus runs before training

@@ -1,0 +1,195 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass curation kernels for the per-document scan hot path — the
+  * [[RepetitionKernel]] pattern applied to the round-13 operators whose
+  * interpreted higher-order-function form was their measured cost
+  * ceiling (BENCH_NOTES r13: ~0.9 ms/row for the QA bag overlap, a 4×
+  * recomputation constant for the per-line language labels, because
+  * HOF lambdas evaluate interpreted per element × per output column
+  * with no cross-column subexpression reuse).
+  *
+  * Each kernel computes EVERYTHING its operator emits in one Java pass
+  * and returns a struct; the expression wrappers codegen to a single
+  * static call inside whole-stage codegen, so Spark's subexpression
+  * elimination collapses the N field extractions into one kernel
+  * evaluation per row.
+  *
+  * The arithmetic is bit-for-bit the contract the DuckDB oracles
+  * already pin (q_qa_eval, q_lang_segments): integer token/marker
+  * counts, integer÷integer IEEE ratios, and the same tokenization /
+  * argmax / tie rules — only the evaluation strategy changed.
+  */
+object QaScoreKernel {
+
+  val schema: StructType = StructType(Seq(
+    StructField("exact_match", BooleanType, nullable = false),
+    StructField("n_overlap", IntegerType, nullable = false),
+    StructField("qa_precision", DoubleType, nullable = false),
+    StructField("qa_recall", DoubleType, nullable = false),
+    StructField("qa_f1", DoubleType, nullable = false)))
+
+  /** SQuAD normalization reduced to its cross-engine core (the
+    * [[graft.ops.RetrievalEval.qaScore]] contract): lowercase, every
+    * run of non-[a-z0-9] characters is a separator, empties dropped.
+    * Identical to `split(regexp_replace(lower(c), "[^a-z0-9]+", " "),
+    * " ")` minus empties — the form the oracle mirrors. */
+  private[graft] def tokenize(s: UTF8String): Array[String] = {
+    val t = s.toLowerCase.toString
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    val n = t.length
+    var i = 0
+    var start = -1
+    while (i < n) {
+      val c = t.charAt(i)
+      val tok = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (tok && start < 0) start = i
+      else if (!tok && start >= 0) { out += t.substring(start, i); start = -1 }
+      i += 1
+    }
+    if (start >= 0) out += t.substring(start)
+    out.toArray
+  }
+
+  /** (exact_match, n_overlap, precision, recall, f1) — overlap is the
+    * multiset intersection Σ_t min(count_pred(t), count_gold(t)),
+    * counted in ONE hash pass (build the gold bag, drain it along the
+    * pred tokens) instead of re-filtering both arrays per distinct
+    * pred token. Ratios are raw (unrounded) — callers apply the same
+    * `round(_, 6)` the previous HOF form did. */
+  def qaScore(pred: UTF8String, gold: UTF8String): InternalRow = {
+    val p = tokenize(pred)
+    val g = tokenize(gold)
+    val exact = p.sameElements(g)
+    // Scala Int values box to Integer; BoxesRunTime unboxes an absent
+    // (null) entry to 0, so get() doubles as getOrDefault(_, 0)
+    val bag = new java.util.HashMap[String, Int](g.length * 2)
+    var i = 0
+    while (i < g.length) { bag.put(g(i), bag.get(g(i)) + 1); i += 1 }
+    var overlap = 0
+    i = 0
+    while (i < p.length) {
+      val c = bag.get(p(i))
+      if (c > 0) { overlap += 1; bag.put(p(i), c - 1) }
+      i += 1
+    }
+    val prec = if (p.length > 0) overlap.toDouble / p.length else 0.0
+    val rec = if (g.length > 0) overlap.toDouble / g.length else 0.0
+    val f1 = if (prec + rec > 0) 2.0 * prec * rec / (prec + rec) else 0.0
+    InternalRow(exact, overlap, prec, rec, f1)
+  }
+}
+
+/** qa_score(pred, gold) → struct(exact_match, n_overlap, qa_precision,
+  * qa_recall, qa_f1) — see [[QaScoreKernel]] for exact definitions. */
+case class QaScore(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = QaScoreKernel.schema
+  override def prettyName: String = "qa_score"
+  override protected def nullSafeEval(pred: Any, gold: Any): Any =
+    QaScoreKernel.qaScore(pred.asInstanceOf[UTF8String],
+      gold.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, g) =>
+      s"org.apache.spark.sql.graft.QaScoreKernel.qaScore($p, $g)")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): QaScore = copy(left = l, right = r)
+}
+
+object LangSegmentsKernel {
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("n_segments", IntegerType, nullable = false),
+    StructField("dominant_lang", StringType, nullable = false),
+    StructField("max_seg_len", IntegerType, nullable = false)))
+
+  private val En = UTF8String.fromString("en")
+  private val De = UTF8String.fromString("de")
+  private val Nl = UTF8String.fromString("nl")
+
+  /** Non-overlapping leftmost occurrence count — the exact number
+    * `(length(l) − length(replace(l, m, ''))) / 2` yields for the
+    * 2-char markers (replace removes non-overlapping leftmost runs). */
+  private def countMarker(line: String, from0: Int, end: Int,
+      m0: Char, m1: Char): Int = {
+    var n = 0
+    var i = from0
+    while (i < end - 1) {
+      if (line.charAt(i) == m0 && line.charAt(i + 1) == m1) { n += 1; i += 2 }
+      else i += 1
+    }
+    n
+  }
+
+  /** Per-line label ids (0=en, 1=de, 2=nl) under the q_text_langid
+    * marker argmax with the fixed en→de→nl tie order. */
+  private def labelOf(text: String, start: Int, end: Int): Int = {
+    val th = countMarker(text, start, end, 't', 'h')
+    val er = countMarker(text, start, end, 'e', 'r')
+    val en = countMarker(text, start, end, 'e', 'n')
+    if (th >= er && th >= en) 0 else if (er >= en) 1 else 2
+  }
+
+  /** One pass over the document: '\n'-split WITH trailing empties kept
+    * (Spark `split(c, "\n")` limit −1 semantics, what the previous HOF
+    * form and the DuckDB `string_split` oracle both do), per-line
+    * marker argmax, run/boundary accounting, dominant vote with the
+    * same en→de→nl tie order. */
+  def segments(text: UTF8String): InternalRow = {
+    val s = text.toString
+    val counts = new Array[Int](3)
+    var nLines = 0
+    var nSegments = 0
+    var maxRun = 0
+    var run = 0
+    var prev = -1
+    var start = 0
+    var i = 0
+    val n = s.length
+    while (i <= n) {
+      if (i == n || s.charAt(i) == '\n') {
+        val lbl = labelOf(s, start, i)
+        counts(lbl) += 1
+        nLines += 1
+        if (lbl == prev) run += 1
+        else {
+          nSegments += 1
+          if (run > maxRun) maxRun = run
+          run = 1
+          prev = lbl
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    if (run > maxRun) maxRun = run
+    val dominant =
+      if (counts(0) >= counts(1) && counts(0) >= counts(2)) En
+      else if (counts(1) >= counts(2)) De
+      else Nl
+    InternalRow(nLines, nSegments, dominant, maxRun)
+  }
+}
+
+/** lang_segments(text) → struct(n_lines, n_segments, dominant_lang,
+  * max_seg_len) — see [[LangSegmentsKernel]] for exact definitions. */
+case class LangSegmentsExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LangSegmentsKernel.schema
+  override def prettyName: String = "lang_segments"
+  override protected def nullSafeEval(input: Any): Any =
+    LangSegmentsKernel.segments(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.LangSegmentsKernel.segments($c)")
+  override protected def withNewChildInternal(c: Expression): LangSegmentsExpr =
+    copy(child = c)
+}

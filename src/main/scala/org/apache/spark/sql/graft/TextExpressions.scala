@@ -680,6 +680,10 @@ object GraftFunctions {
   def sentences(c: Column): Column = column(SentencesExpr(expression(c)))
   def repetitionStats(c: Column): Column =
     column(RepetitionStats(expression(c)))
+  def qaScore(pred: Column, gold: Column): Column =
+    column(QaScore(expression(pred), expression(gold)))
+  def langSegments(c: Column): Column =
+    column(LangSegmentsExpr(expression(c)))
   def textEntropy(c: Column): Column = column(TextEntropy(expression(c)))
   def phrasesIn(text: Column, phrases: Column): Column =
     column(PhrasesIn(expression(text), expression(phrases)))

@@ -579,4 +579,24 @@ class DedupSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getString(0) === r.getString(1),
       s"normalize mismatch: got '${r.getString(0)}'"))
   }
+
+  test("codeNormalize known limit: unpaired quote in a comment blocks the strip") {
+    import spark.implicits._
+    // the literal-blank pass runs FIRST (so comment markers inside
+    // strings stay inert) and cannot tell comment from code: the
+    // apostrophe in /* don't */ opens a "literal" that swallows the
+    // */, so the block comment never strips. Deterministic on both
+    // engines; documented in the codeNormalize scaladoc. This pins the
+    // behavior so a future regex change is a conscious one.
+    val out = Seq(
+      ("/* don't */ x = 'a';", "plain"),
+      ("x = 'a';", "commentFree")
+    ).toDF("in", "kind")
+      .select(col("kind"), Dedup.codeNormalize(col("in")).as("got"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("plain").contains("/*"),
+      s"the unstripped open marker must survive: '${out("plain")}'")
+    assert(out("plain") !== out("commentFree"),
+      "the swallowed comment shifts the clone class — the documented limit")
+  }
 }

@@ -559,6 +559,18 @@ class ExportSpec extends AnyFunSuite {
       ("p3", "r_z", 7.0, 1, 1L))) // p2 entirely below the floor
   }
 
+  test("bestOfN: NULL prompts are excluded up front (stated contract)") {
+    val r = Seq(
+      (Some("p"), "a", 3.0), (Some("p"), "b", 2.0),
+      (None, "x", 9.0), (None, "y", 8.0)).toDF("prompt", "rid", "s")
+    val out = Export.bestOfN(r, "prompt", "rid", col("s"), k = 5)
+      .collect()
+    assert(out.length === 2, "null-prompt responses are malformed input")
+    assert(out.forall(_.getString(0) === "p"))
+    assert(out.find(_.getString(1) === "a").get.getLong(3) === 2L,
+      "counts ignore the null group too")
+  }
+
   test("bestOfN: k larger than the group keeps the whole group, ranked") {
     val r = Seq(("p", "a", 3.0), ("p", "b", 2.0)).toDF("prompt", "rid", "s")
     val out = Export.bestOfN(r, "prompt", "rid", col("s"), k = 10)

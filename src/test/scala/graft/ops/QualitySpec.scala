@@ -452,6 +452,28 @@ class QualitySpec extends AnyFunSuite {
     assert(out(3L) === ((3, 3, "de", 1)), "alternation: 3 segments of 1")
   }
 
+  test("langSegments edges: trailing newline keeps its empty line; empty doc") {
+    import spark.implicits._
+    // split("\n") semantics keep trailing empties (Spark limit -1 /
+    // DuckDB string_split parity — the q_lang_segments oracle shape);
+    // a no-marker line ties all counts at 0 and labels 'en' (the fixed
+    // en->de->nl tie order). Pinned here because the one-pass kernel
+    // must reproduce the HOF form byte for byte.
+    val docs = Seq(
+      (1L, "er erer der\n"),   // de line + trailing empty(en) line
+      (2L, ""),                 // single empty line
+      (3L, "\n\n")              // three empty lines, one en segment
+    ).toDF("doc_id", "text")
+    val out = Quality.langSegments(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Int]("n_lines"),
+        r.getAs[Int]("n_segments"), r.getAs[String]("dominant_lang"),
+        r.getAs[Int]("max_seg_len")))).toMap
+    assert(out(1L) === ((2, 2, "en", 1)),
+      "trailing empty line labels en; the 1-1 dominant tie goes to en")
+    assert(out(2L) === ((1, 1, "en", 1)))
+    assert(out(3L) === ((3, 1, "en", 3)))
+  }
+
   test("luhnValid16 agrees with a driver-side reference implementation") {
     def refLuhn(s: String): Boolean = {
       val sum = s.zipWithIndex.map { case (ch, i) =>

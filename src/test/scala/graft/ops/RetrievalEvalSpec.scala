@@ -90,4 +90,28 @@ class RetrievalEvalSpec extends AnyFunSuite {
     assert(out(5L) === ((false, 0, 0.0, 0.0, 0.0)))
     assert(out(6L) === ((false, 0, 0.0, 0.0, 0.0)))
   }
+
+  test("qaScore: one-pass kernel propagates NULL and matches heavy bags") {
+    // the codegen'd QaScoreKernel (r14) replaced the per-distinct-token
+    // HOF probe; NULL on either side now yields NULL metrics (the
+    // null-propagating expression contract — previously a mix of null
+    // and 0.0), and the hash-bag overlap must agree with the
+    // definition on repeated-token inputs
+    val pairs = Seq(
+      (1L, Some("a b a b a c"), Some("b a b a b a")), // bags: a3b2c1 vs a3b3
+      (2L, None, Some("the quick fox")),
+      (3L, Some("the quick fox"), None))
+      .toDF("doc_id", "pred", "gold")
+    val out = RetrievalEval.qaScore(pairs, "pred", "gold").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // overlap = min(3,3) + min(2,3) = 5; P = 5/6, R = 5/6
+    assert(out(1L).getAs[Int]("n_overlap") === 5)
+    assert(out(1L).getAs[Double]("qa_precision") === 0.833333)
+    assert(out(1L).getAs[Double]("qa_f1") === 0.833333)
+    Seq(2L, 3L).foreach { id =>
+      Seq("exact_match", "n_overlap", "qa_precision", "qa_recall", "qa_f1")
+        .foreach(c => assert(out(id).isNullAt(out(id).fieldIndex(c)),
+          s"doc $id $c must be NULL on a NULL side"))
+    }
+  }
 }
