@@ -102,7 +102,10 @@ object Bench {
     "q_histogram_numeric", "q_transform_using", "q_secret_scan",
     "q_lang_segments", "q_editdist_neardup", "q_doremi_reweight",
     "q_template_contam", "q_qa_eval", "q_power_iteration",
-    "q_spectral_whiten", "q_admission_pipeline")
+    "q_spectral_whiten", "q_admission_pipeline",
+    // round-14 additions: ranked-retrieval metrics, k-direction
+    // spectral deflation, and the five-stage admission chain
+    "q_retrieval_metrics", "q_spectral_topk", "q_admission_pipeline_v2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

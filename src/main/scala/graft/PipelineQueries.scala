@@ -104,6 +104,19 @@ object PipelineQueries {
     """CASE WHEN th_n >= er_n AND th_n >= en_n THEN 'en'
       |     WHEN er_n >= en_n THEN 'de' ELSE 'nl' END""".stripMargin
 
+  /** DCG gain table 1/log2(r+1) for ranks 1..6 and its ascending-fold
+    * prefix sums (= IDCG@m) — computed ONCE with the same
+    * java.lang.Math.log ops Spark's log expression evaluates, then
+    * embedded as plan literals in the q_retrieval_metrics oracle. libm
+    * ln is not correctly rounded, so a DuckDB-side ln could differ in
+    * the last ulp; shortest-roundtrip literals make the gain contract
+    * exact on both engines. (Declared before `defs` — the oracle
+    * strings are built during object init.) */
+  private val dcgGains: IndexedSeq[Double] =
+    (1 to 6).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+  private val idcgPrefix: IndexedSeq[Double] =
+    dcgGains.scanLeft(0.0)(_ + _).tail
+
   val defs: Seq[QDef] = Seq(
 
     // ------------------------------------------------ deduplication
@@ -8459,6 +8472,305 @@ object PipelineQueries {
         .select(col("source"), col("n_in"),
           coalesce(col("n_template_free"), lit(0L)).as("n_template_free"),
           coalesce(col("n_secrets"), lit(0L)).as("n_secrets"),
+          coalesce(col("n_en_kept"), lit(0L)).as("n_en_kept"))
+        .orderBy(col("source"))
+    },
+
+    // Ranked-retrieval metrics (P@k / recall@k / MRR / nDCG@k) over a
+    // DETERMINISTIC synthetic result list: queries = every 5th vector,
+    // retrieved = (query_id + rk*17) mod N for rk 1..6 (pure integer
+    // arithmetic both engines recompute; never self). Relevance =
+    // label match against the real embeddings labels. The DCG/IDCG
+    // gain table 1/log2(r+1) is embedded as PLAN LITERALS in the
+    // oracle (computed once with the same java.lang.Math.log the Spark
+    // expression evaluates — libm ln is not correctly rounded, so
+    // recomputing the gains in DuckDB could differ in the last ulp);
+    // DCG itself is a rank-ORDERED fold on both sides.
+    q("q_retrieval_metrics", {
+      val g = dcgGains.map(java.lang.Double.toString)
+      val p = idcgPrefix.map(java.lang.Double.toString)
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS qlabel
+         |           FROM embeddings WHERE vec_id % 5 = 0),
+         |res AS (SELECT query_id, qlabel, unnest(range(1, 7)) AS rk FROM q),
+         |rr AS (SELECT query_id, qlabel, rk,
+         |        (query_id + rk * 17) % (SELECT count(*) FROM embeddings)
+         |          AS vec_id FROM res),
+         |j AS (SELECT rr.query_id, rr.qlabel, rr.rk,
+         |        CASE WHEN e.label = rr.qlabel THEN 1 ELSE 0 END AS rel
+         |      FROM rr JOIN embeddings e USING (vec_id)),
+         |pq AS (SELECT query_id, qlabel,
+         |        CAST(sum(rel) AS BIGINT) AS hits,
+         |        min(CASE WHEN rel = 1 THEN rk END) AS first_rel,
+         |        coalesce(list_aggregate(list_transform(
+         |          list(rk ORDER BY rk) FILTER (rel = 1),
+         |          r -> CASE r WHEN 1 THEN ${g(0)} WHEN 2 THEN ${g(1)}
+         |               WHEN 3 THEN ${g(2)} WHEN 4 THEN ${g(3)}
+         |               WHEN 5 THEN ${g(4)} ELSE ${g(5)} END), 'sum'),
+         |          0.0) AS dcg
+         |      FROM j GROUP BY 1, 2),
+         |lc AS (SELECT label, count(*) AS n_label FROM embeddings
+         |       GROUP BY 1),
+         |wr AS (SELECT query_id, hits, first_rel, dcg,
+         |        n_label - 1 AS r, least(6, n_label - 1) AS m,
+         |        CASE least(6, n_label - 1) WHEN 1 THEN ${p(0)}
+         |          WHEN 2 THEN ${p(1)} WHEN 3 THEN ${p(2)}
+         |          WHEN 4 THEN ${p(3)} WHEN 5 THEN ${p(4)}
+         |          WHEN 6 THEN ${p(5)} ELSE 0.0 END AS idcg
+         |      FROM pq JOIN lc ON pq.qlabel = lc.label)
+         |SELECT query_id, CAST(r AS BIGINT) AS n_rel,
+         |  round(CAST(hits AS DOUBLE) / 6, 4) AS precision_k,
+         |  round(CASE WHEN m > 0 THEN CAST(hits AS DOUBLE) / m
+         |        ELSE 0.0 END, 4) AS recall_k,
+         |  round(coalesce(1.0 / first_rel, 0.0), 4) AS mrr,
+         |  round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 4)
+         |    AS ndcg_k
+         |FROM wr ORDER BY query_id""".stripMargin
+    }) { (s, dir) =>
+      val embs = t(s, dir, "embeddings")
+      val n = embs.count()
+      val results = embs.filter(pmod(col("vec_id"), lit(5)) === 0)
+        .select(col("vec_id").as("query_id"))
+        .withColumn("rk", explode(sequence(lit(1), lit(6))))
+        .withColumn("vec_id",
+          pmod(col("query_id") + col("rk") * lit(17), lit(n)))
+      graft.ops.RetrievalEval.metricsAtK(results,
+          embs.select(col("vec_id"), col("label")), k = 6)
+        .select(col("query_id"), col("n_rel"), col("precision_k"),
+          col("recall_k"), col("mrr"), col("ndcg_k"))
+        .orderBy(col("query_id"))
+    },
+
+    // Top-2 singular directions by DEFLATION (the full all-but-the-top
+    // recipe): fit the top direction (the q_power_iteration chain),
+    // subtract every row's projection (exact order-pinned IEEE on the
+    // quantized plan-literal direction — the q_spectral_whiten
+    // arithmetic), and re-run the 3-step power iteration on the
+    // residuals. The oracle unrolls BOTH components — six quantized
+    // steps plus the residual layer between them — so the entire
+    // deflation chain is recomputed term for term.
+    q("q_spectral_topk", {
+      def fit(c: Int, in: String): String =
+        (1 to 3).map { i =>
+          val proj =
+            if (i == 1) "list_aggregate(list_transform(emb, x -> x * 0.125), 'sum')"
+            else "list_aggregate(list_transform(range(1, 65), j -> emb[j] * v[j]), 'sum')"
+          val from = if (i == 1) in else s"$in, v${c}_${i - 1}l"
+          s"""s${c}_$i AS (SELECT emb, $proj AS s FROM $from),
+             |u${c}_$i AS (SELECT j, round(avg(emb[j] * s), 9) AS uj
+             |             FROM s${c}_$i, ax GROUP BY j),
+             |n${c}_$i AS (SELECT sqrt(list_aggregate(list_transform(
+             |    list(uj ORDER BY j), x -> x * x), 'sum')) AS nrm
+             |    FROM u${c}_$i),
+             |""".stripMargin + (
+            if (i < 3)
+              s"""v${c}_${i}l AS (SELECT list(round(uj / nrm, 9) ORDER BY j)
+                 |    AS v FROM u${c}_$i, n${c}_$i),
+                 |""".stripMargin
+            else
+              s"""v${c}f AS (SELECT j, round(uj / nrm, 9) AS vj
+                 |    FROM u${c}_$i, n${c}_$i),
+                 |v${c}l AS (SELECT list(vj ORDER BY j) AS v FROM v${c}f),
+                 |""".stripMargin)
+        }.mkString +
+          s"""lam$c AS (SELECT round(avg(s * s), 9) AS l FROM (
+             |    SELECT list_aggregate(list_transform(range(1, 65),
+             |      j -> emb[j] * v[j]), 'sum') AS s FROM $in, v${c}l)),
+             |""".stripMargin
+      "WITH b1 AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings),\n" +
+        "ax AS (SELECT unnest(range(1, 65)) AS j),\n" +
+        fit(1, "b1") +
+        """b2 AS (SELECT list_transform(range(1, 65),
+          |    j -> emb[j] - s * v[j]) AS emb
+          |  FROM (SELECT emb, list_aggregate(list_transform(range(1, 65),
+          |        j -> emb[j] * v[j]), 'sum') AS s FROM b1, v1l), v1l),
+          |""".stripMargin +
+        fit(2, "b2") +
+        """sel AS (SELECT 1 AS component, j, vj, l FROM v1f CROSS JOIN lam1
+          |  UNION ALL SELECT 2 AS component, j, vj, l
+          |  FROM v2f CROSS JOIN lam2)
+          |SELECT CAST(component AS INT) AS component, CAST(j AS INT) AS dim,
+          |  round(vj, 6) AS loading, round(l, 6) AS eigenvalue
+          |FROM sel ORDER BY component, dim""".stripMargin
+    }) { (s, dir) =>
+      val ds = graft.ops.Spectral.topDirections(t(s, dir, "embeddings"),
+        dim = 64, k = 2, iterations = 3)
+      import s.implicits._
+      ds.zipWithIndex.flatMap { case (d, c) =>
+        d.loadings.toSeq.zipWithIndex.map { case (l, j) =>
+          (c + 1, j + 1, l, d.eigenvalue)
+        }
+      }.toDF("component", "dim", "loading", "eigenvalue")
+        .select(col("component"), col("dim"),
+          round(col("loading"), 6).as("loading"),
+          round(col("eigenvalue"), 6).as("eigenvalue"))
+        .orderBy(col("component"), col("dim"))
+    },
+
+    // The FULL Dolma/CCNet-shaped admission chain (q_admission_pipeline
+    // + the two stages a real pretraining pipeline runs between
+    // redaction and routing): template gate on RAW text → secrets
+    // redaction → Gopher quality gate on the REDACTED text → exact
+    // near-dup collapse on the redacted text (docs whose secrets
+    // differed become duplicates AFTER redaction — the planted %5/%7
+    // overlap pins exactly that interaction) → language routing on the
+    // survivors. Plants overlap on coprime mods so every stage is
+    // pinned THROUGH every other; the oracle chains all five
+    // recomputations.
+    q("q_admission_pipeline_v2",
+      """WITH pl AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 5 = 3
+        |      THEN repeat('the quick brown fox jumps over and that have with ', 6)
+        |        || 'variant ' || (doc_id % 15)::VARCHAR
+        |      ELSE text END
+        |    || CASE WHEN doc_id % 9 = 1 THEN ' ### Instruction: x'
+        |            ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 1 THEN ' key AKIA'
+        |         || upper(substr(md5(doc_id::VARCHAR), 1, 16))
+        |            ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 2 THEN ' ' || repeat('#', 400)
+        |            ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 1 THEN chr(10) || 'er der erer'
+        |         || chr(10) || 'erer er' || chr(10) || 'der er erer'
+        |            ELSE '' END AS t
+        |  FROM documents),
+        |a AS (SELECT doc_id, source, t,
+        |    len(regexp_extract_all(t, '### (?:Instruction|Response|Input):'))
+        |    + len(regexp_extract_all(t, '<\|im_(?:start|end)\|>'))
+        |    + len(regexp_extract_all(t, '\[/?INST\]'))
+        |    + least(len(regexp_extract_all(t, '\bHuman:')),
+        |            len(regexp_extract_all(t, '\bAssistant:')))
+        |    + len(regexp_extract_all(t,
+        |        '"role"\s*:\s*"(?:user|assistant|system)"')) AS tmpl
+        |  FROM pl),
+        |pa AS (SELECT doc_id, source, t FROM a WHERE tmpl = 0),
+        |b AS (SELECT doc_id, source, t,
+        |  list_concat(list_concat(list_concat(list_concat(
+        |    regexp_extract_all(t, '\bAKIA[0-9A-Z]{16}\b'),
+        |    regexp_extract_all(t,
+        |      '-----BEGIN [A-Z]+(?: [A-Z]+)* PRIVATE KEY-----')),
+        |    regexp_extract_all(t, '\bxox[baprs]-[0-9A-Za-z-]{10,}\b')),
+        |    regexp_extract_all(t,
+        |      '(?i)\b(?:api_?key|api_?token|secret|passwd|password|access_?token)\s*[:=]\s*["'']([^"''\n]{8,})["'']',
+        |      1)),
+        |    list_filter(regexp_extract_all(t, '\b[A-Za-z0-9+/=_-]{24,}\b'),
+        |      tok -> regexp_matches(tok, '[0-9]')
+        |        AND regexp_matches(tok, '[A-Za-z]')
+        |        AND len(list_distinct(list_transform(
+        |          range(1, strlen(tok) + 1),
+        |          i -> substr(tok, CAST(i AS INT), 1)))) * 2
+        |          >= strlen(tok))) AS sec
+        |  FROM pa),
+        |r AS (SELECT doc_id, source, CAST(len(sec) AS INT) AS n_sec,
+        |    list_reduce(list_prepend(t, sec),
+        |      (x, m) -> replace(x, m, '[SECRET]')) AS red
+        |  FROM b),
+        |gf AS (SELECT doc_id, source, n_sec, red,
+        |    string_split_regex(red, '\s+') AS w,
+        |    string_split_regex(red, '\n') AS l FROM r),
+        |gg AS (SELECT doc_id, source, n_sec, red,
+        |    CAST(len(w) AS DOUBLE) AS nw, CAST(len(l) AS DOUBLE) AS nl,
+        |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) AS wc,
+        |    CAST(length(red) - length(replace(red, '#', '')) AS DOUBLE) AS nh,
+        |    (length(red) - length(replace(red, '...', ''))) / 3 AS ne,
+        |    CAST(len(list_filter(l, x -> regexp_matches(x, '^\s*[-*•]')))
+        |      AS DOUBLE) AS bl,
+        |    CAST(len(list_filter(l, x -> regexp_matches(x, '\.\.\.\s*$')))
+        |      AS DOUBLE) AS el,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS DOUBLE) AS aw,
+        |    len(list_intersect(list_transform(w, x -> lower(x)),
+        |      ['the','be','to','of','and','that','have','with'])) AS sh
+        |  FROM gf),
+        |qp AS (SELECT doc_id, source, red FROM gg
+        |  WHERE (nw >= 50 AND nw <= 100000) AND (wc/nw >= 3 AND wc/nw <= 10)
+        |    AND ((nh + ne)/nw <= 0.1) AND (bl/nl < 0.9) AND (el/nl < 0.3)
+        |    AND (aw/nw >= 0.8) AND (sh >= 2)),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM qp GROUP BY red),
+        |uq AS (SELECT q.doc_id, q.source, q.red
+        |       FROM qp q JOIN keep USING (doc_id)),
+        |l AS (SELECT doc_id, source,
+        |    list_transform(string_split(red, chr(10)), x ->
+        |      CASE WHEN (strlen(x) - strlen(replace(x, 'th', ''))) // 2
+        |             >= (strlen(x) - strlen(replace(x, 'er', ''))) // 2
+        |            AND (strlen(x) - strlen(replace(x, 'th', ''))) // 2
+        |             >= (strlen(x) - strlen(replace(x, 'en', ''))) // 2
+        |           THEN 'en'
+        |           WHEN (strlen(x) - strlen(replace(x, 'er', ''))) // 2
+        |             >= (strlen(x) - strlen(replace(x, 'en', ''))) // 2
+        |           THEN 'de' ELSE 'nl' END) AS lg
+        |  FROM uq),
+        |k AS (SELECT doc_id, source FROM l
+        |      WHERE len(list_filter(lg, x -> x = 'en'))
+        |          >= len(list_filter(lg, x -> x = 'de'))
+        |        AND len(list_filter(lg, x -> x = 'en'))
+        |          >= len(list_filter(lg, x -> x = 'nl'))),
+        |ni AS (SELECT source, count(*) AS n_in FROM pl GROUP BY 1),
+        |nt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_template_free,
+        |       CAST(sum(n_sec) AS BIGINT) AS n_secrets
+        |       FROM r GROUP BY 1),
+        |nq AS (SELECT source, CAST(count(*) AS BIGINT) AS n_quality_pass
+        |       FROM qp GROUP BY 1),
+        |nu AS (SELECT source, CAST(count(*) AS BIGINT) AS n_unique
+        |       FROM uq GROUP BY 1),
+        |nk AS (SELECT source, CAST(count(*) AS BIGINT) AS n_en_kept
+        |       FROM k GROUP BY 1)
+        |SELECT ni.source, CAST(n_in AS BIGINT) AS n_in,
+        |  coalesce(n_template_free, 0) AS n_template_free,
+        |  coalesce(n_secrets, 0) AS n_secrets,
+        |  coalesce(n_quality_pass, 0) AS n_quality_pass,
+        |  coalesce(n_unique, 0) AS n_unique,
+        |  coalesce(n_en_kept, 0) AS n_en_kept
+        |FROM ni LEFT JOIN nt USING (source) LEFT JOIN nq USING (source)
+        |  LEFT JOIN nu USING (source) LEFT JOIN nk USING (source)
+        |ORDER BY ni.source""".stripMargin) { (s, dir) =>
+      val h = md5(col("doc_id").cast("string"))
+      def m(k: Int, r: Int) = pmod(col("doc_id"), lit(k)) === r
+      val dupText = concat(
+        lit("the quick brown fox jumps over and that have with " * 6),
+        lit("variant "), pmod(col("doc_id"), lit(15)).cast("string"))
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        concat(when(m(5, 3), dupText).otherwise(col("text")),
+          when(m(9, 1), lit(" ### Instruction: x")).otherwise(lit("")),
+          when(m(7, 1), concat(lit(" key AKIA"), upper(substring(h, 1, 16))))
+            .otherwise(lit("")),
+          when(m(11, 2), lit(" " + "#" * 400)).otherwise(lit("")),
+          when(m(4, 1), lit("\ner der erer\nerer er\nder er erer"))
+            .otherwise(lit(""))).as("text"))
+      val passA = graft.ops.Decontam.templateContamScan(planted)
+        .filter(col("template_free"))
+        .select(col("doc_id"), col("source"), col("text"))
+      val redacted = graft.ops.Pii.secretScan(passA)
+        .select(col("doc_id"), col("source"), col("n_secrets"),
+          col("redacted").as("text"))
+      val quality = graft.ops.Quality.gopherFlags(redacted)
+        .filter(col("gopher_pass"))
+        .select(col("doc_id"), col("source"), col("text"))
+      val unique = quality.join(
+        graft.ops.Dedup.exact(quality).select(col("keep_id").as("doc_id")),
+        Seq("doc_id"))
+      val kept = graft.ops.Quality.langSegments(unique)
+        .filter(col("dominant_lang") === "en")
+      val nIn = planted.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_in"))
+      val nTf = redacted.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_template_free"),
+          sum(col("n_secrets")).cast("long").as("n_secrets"))
+      val nQp = quality.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_quality_pass"))
+      val nUq = unique.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_unique"))
+      val nEn = kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_en_kept"))
+      nIn.join(nTf, Seq("source"), "left")
+        .join(nQp, Seq("source"), "left")
+        .join(nUq, Seq("source"), "left")
+        .join(nEn, Seq("source"), "left")
+        .select(col("source"), col("n_in"),
+          coalesce(col("n_template_free"), lit(0L)).as("n_template_free"),
+          coalesce(col("n_secrets"), lit(0L)).as("n_secrets"),
+          coalesce(col("n_quality_pass"), lit(0L)).as("n_quality_pass"),
+          coalesce(col("n_unique"), lit(0L)).as("n_unique"),
           coalesce(col("n_en_kept"), lit(0L)).as("n_en_kept"))
         .orderBy(col("source"))
     }

@@ -54,12 +54,19 @@ object RetrievalEval {
       .join(lab, Seq("vec_id"))
       .join(qlab, Seq("query_id"))
       .withColumn("_rel", (col("label") === col("_qlabel")).cast("int"))
+    // DCG as a rank-ORDERED fold (collect the relevant ranks, sort,
+    // fold ascending) rather than a row-order float sum: the gain terms
+    // are irrational doubles, so summation order is the only
+    // cross-engine degree of freedom — pinning it makes the metric
+    // bit-deterministic under repartition (the mlOrderedMean
+    // discipline). At most k elements per query ride the aggregate.
     val perQuery = rel.groupBy("query_id")
       .agg(sum(col("_rel")).as("_hits"),
         min(when(col("_rel") === 1, col("rk"))).as("_first_rel"),
-        sum(when(col("_rel") === 1,
-          lit(1.0) / log2(col("rk").cast("double") + 1.0))
-          .otherwise(lit(0.0))).as("_dcg"))
+        array_sort(collect_list(when(col("_rel") === 1, col("rk"))))
+          .as("_rel_rks"))
+      .withColumn("_dcg", aggregate(col("_rel_rks"), lit(0.0),
+        (acc, r) => acc + lit(1.0) / log2(r.cast("double") + 1.0)))
     // R = same-label items in the base minus the query itself
     val withR = perQuery
       .join(qlab, Seq("query_id"))

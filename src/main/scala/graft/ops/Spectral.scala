@@ -79,6 +79,43 @@ object Spectral {
     Direction(v, q9(lambda))
   }
 
+  /** Top-`k` singular directions by DEFLATION (Hotelling): fit the top
+    * direction, subtract every row's projection onto it
+    * ([[removeDirection]] — the residual is exact order-pinned IEEE
+    * arithmetic on the quantized plan-literal direction), and re-run
+    * the power iteration on the residuals; repeat k times. This is the
+    * full "all-but-the-top" recipe (Mu & Viswanath 2018 remove the top
+    * D directions, not just the first) and the k-component PCA
+    * compaction primitive.
+    *
+    * Reproducibility: each component inherits [[topDirection]]'s
+    * contract (round-9 quantized per-step averages, ordered norm
+    * folds), and the deflated input to component c+1 is a bit-exact
+    * function of component c's quantized direction — so the whole
+    * k-direction chain is recomputable term for term by another
+    * engine. The residual column stays LAZY (a narrow zip_with over
+    * the previous layer, re-evaluated per pass rather than
+    * materialized): at 100 TB, k·iterations extra narrow arithmetic
+    * scans beat writing k deflated copies of the corpus. Driver state
+    * is k·dim doubles.
+    *
+    * Components after the true spectral gap decay toward noise;
+    * eigenvalues are returned so the caller can truncate (they
+    * decrease monotonically — each deflation removes the dominant
+    * remaining axis). */
+  def topDirections(embs: DataFrame, dim: Int, k: Int,
+      iterations: Int = 3, embCol: String = "embedding"): Seq[Direction] = {
+    require(k >= 1, s"k=$k")
+    var cur = embs.select(col(embCol).cast("array<double>").as("_emb"))
+    val out = Seq.newBuilder[Direction]
+    for (_ <- 1 to k) {
+      val d = topDirection(cur, dim, iterations, "_emb")
+      out += d
+      cur = removeDirection(cur, d, "_emb").select(col("residual").as("_emb"))
+    }
+    out.result()
+  }
+
   /** The per-row projection onto a fitted direction — the narrow
     * scan-fused scorer (plan-literal weights, zero join), for
     * dominant-axis removal or spectral screens. */

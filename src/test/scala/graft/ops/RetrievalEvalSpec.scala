@@ -69,6 +69,21 @@ class RetrievalEvalSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSet === again.map(_.toSeq).toSet)
   }
 
+  test("metricsAtK is bit-deterministic under repartition (ordered DCG fold)") {
+    // the r14 DCG restructure: collect+sort+fold instead of a
+    // row-order float sum — per-query metrics must be IDENTICAL
+    // doubles whatever the partitioning
+    val manyRes = (0L until 40L).flatMap { q =>
+      (1 to 6).map(rk => (q, (q + rk * 7) % 40L, rk))
+    }.toDF("query_id", "vec_id", "rk")
+    val manyLab = (0L until 40L).map(v => (v, (v % 5).toInt))
+      .toDF("vec_id", "label")
+    def run(rp: Int) = RetrievalEval
+      .metricsAtK(manyRes.repartition(rp), manyLab.repartition(rp), k = 6)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(run(1) === run(17))
+  }
+
   test("qaScore: SQuAD EM + bag-F1 hand cases, normalization, empty sides") {
     val pairs = Seq(
       (1L, "The quick fox", "the quick fox"),      // EM via normalization

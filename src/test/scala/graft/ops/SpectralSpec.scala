@@ -86,6 +86,50 @@ class SpectralSpec extends AnyFunSuite {
       s"whitening must be a narrow scan:\n$p")
   }
 
+  /** Two planted orthogonal axes with a 2:1 spectral gap — deflation
+    * must recover them in variance order. */
+  private def planted2(n: Int, dim: Int): Seq[(Long, Array[Float])] =
+    (1 to n).map { i =>
+      val v = Array.fill(dim)(0.0f)
+      v(0) = if (i % 2 == 0) 8.0f else -8.0f
+      v(1) = if (i % 4 < 2) 4.0f else -4.0f
+      (i.toLong, v)
+    }
+
+  test("topDirections: deflation recovers both planted axes in order") {
+    val df = planted2(40, 6).toDF("vec_id", "embedding")
+    val ds = Spectral.topDirections(df, dim = 6, k = 2, iterations = 3)
+    assert(ds.length === 2)
+    assert(math.abs(ds(0).loadings(0)) > 0.999,
+      s"component 1 must be the dominant axis: ${ds(0).loadings.toSeq}")
+    assert(math.abs(ds(1).loadings(1)) > 0.999,
+      s"component 2 must be the second axis: ${ds(1).loadings.toSeq}")
+    // eigenvalues in decreasing order, matching the axis variances
+    assert(math.abs(ds(0).eigenvalue - 64.0) < 1.0)
+    assert(math.abs(ds(1).eigenvalue - 16.0) < 1.0)
+    // deflation makes the residual data EXACTLY orthogonal to v1 (per
+    // row, IEEE arithmetic), so the fitted v2 is orthogonal up to the
+    // round-9 quantization
+    val dot12 = ds(0).loadings.indices.foldLeft(0.0)((a, j) =>
+      a + ds(0).loadings(j) * ds(1).loadings(j))
+    assert(math.abs(dot12) < 1e-6, s"<v1,v2> = $dot12")
+  }
+
+  test("topDirections: component 1 is bit-equal to topDirection; repartition-invariant") {
+    val df = planted2(60, 6).toDF("vec_id", "embedding")
+    val solo = Spectral.topDirection(df, dim = 6, iterations = 3)
+    val a = Spectral.topDirections(df, dim = 6, k = 2, iterations = 3)
+    val b = Spectral.topDirections(df.repartition(13), dim = 6, k = 2,
+      iterations = 3)
+    assert(a(0).loadings.toSeq === solo.loadings.toSeq)
+    assert(a(0).eigenvalue === solo.eigenvalue)
+    (0 to 1).foreach { c =>
+      assert(a(c).loadings.toSeq === b(c).loadings.toSeq,
+        s"component ${c + 1} must be repartition-invariant")
+      assert(a(c).eigenvalue === b(c).eigenvalue)
+    }
+  }
+
   test("project: plan-literal scorer, zero join, values match the driver dot") {
     val rows = planted(20, 4)
     val df = rows.toDF("vec_id", "embedding")

@@ -31,6 +31,10 @@ AUTO = [
     'q_signal_corr', 'q_psi', 'q_krippendorff', 'q_calibration',
     'q_score_metrics', 'q_sessionize', 'q_salted_join',
     'q_bm25', 'q_bm25_index_probe', 'q_kmeans', 'q_bootstrap_ci',
+    # r14: every round() is in the final projection; the float outputs
+    # are small exact rationals (hits/k, 1/rank) plus the nDCG ratio of
+    # plan-literal gain folds
+    'q_retrieval_metrics',
 ]
 
 con = duckdb.connect()
@@ -337,6 +341,45 @@ SELECT least(
   (SELECT min(d) FROM u1), (SELECT min(d) FROM u2),
   (SELECT min(d) FROM u3), (SELECT d FROM lam)) AS min_dist
 """
+
+# q_spectral_topk: the q_power_iteration chain run TWICE with the
+# exact residual layer between — audit every per-dim avg and both
+# Rayleigh avgs across the six quantized steps. Generated to stay in
+# lockstep with the oracle's unrolled form.
+def _power_steps(c, inp, steps=3):
+    sql, dists = '', []
+    for i in range(1, steps + 1):
+        proj = ("list_aggregate(list_transform(emb, x -> x * 0.125), 'sum')"
+                if i == 1 else
+                "list_aggregate(list_transform(range(1, 65), "
+                "j -> emb[j] * v[j]), 'sum')")
+        frm = inp if i == 1 else f'{inp}, v{c}_{i-1}l'
+        sql += (f"s{c}_{i} AS (SELECT emb, {proj} AS s FROM {frm}),\n"
+                f"u{c}_{i} AS (SELECT j, round(avg(emb[j] * s), 9) AS uj,\n"
+                f"  gdist(avg(emb[j] * s), 9) AS d FROM s{c}_{i}, ax GROUP BY j),\n"
+                f"n{c}_{i} AS (SELECT sqrt(list_aggregate(list_transform(\n"
+                f"  list(uj ORDER BY j), x -> x * x), 'sum')) AS nrm FROM u{c}_{i}),\n"
+                f"v{c}_{i}l AS (SELECT list(round(uj / nrm, 9) ORDER BY j) AS v\n"
+                f"  FROM u{c}_{i}, n{c}_{i}),\n")
+        dists.append(f'(SELECT min(d) FROM u{c}_{i})')
+    sql += (f"lam{c} AS (SELECT gdist(avg(s * s), 9) AS d FROM (\n"
+            f"  SELECT list_aggregate(list_transform(range(1, 65),\n"
+            f"    j -> emb[j] * v[j]), 'sum') AS s FROM {inp}, v{c}_{steps}l)),\n")
+    dists.append(f'(SELECT d FROM lam{c})')
+    return sql, dists
+
+_s1, _d1 = _power_steps(1, 'b1')
+_s2, _d2 = _power_steps(2, 'b2')
+MANUAL['q_spectral_topk'] = (
+    "WITH b1 AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings),\n"
+    "ax AS (SELECT unnest(range(1, 65)) AS j),\n"
+    + _s1 +
+    "b2 AS (SELECT list_transform(range(1, 65), j -> emb[j] - s * v[j]) AS emb\n"
+    "  FROM (SELECT emb, list_aggregate(list_transform(range(1, 65),\n"
+    "    j -> emb[j] * v[j]), 'sum') AS s FROM b1, v1_3l), v1_3l),\n"
+    + _s2 +
+    "fin AS (SELECT 1 AS one)\n"
+    "SELECT least(" + ", ".join(_d1 + _d2) + ") AS min_dist FROM fin")
 
 for name, sql in MANUAL.items():
     audit(name, sql)
