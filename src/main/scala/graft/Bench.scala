@@ -104,8 +104,12 @@ object Bench {
     "q_template_contam", "q_qa_eval", "q_power_iteration",
     "q_spectral_whiten", "q_admission_pipeline",
     // round-14 additions: ranked-retrieval metrics, k-direction
-    // spectral deflation, and the five-stage admission chain
-    "q_retrieval_metrics", "q_spectral_topk", "q_admission_pipeline_v2")
+    // spectral deflation, the five-stage admission chain, the rollout
+    // analytics family (pass@k, self-consistency, GRPO advantage) and
+    // reciprocal-rank fusion
+    "q_retrieval_metrics", "q_spectral_topk", "q_admission_pipeline_v2",
+    "q_pass_at_k", "q_self_consistency", "q_grpo_advantage",
+    "q_rrf_fusion")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -8773,6 +8773,168 @@ object PipelineQueries {
           coalesce(col("n_unique"), lit(0L)).as("n_unique"),
           coalesce(col("n_en_kept"), lit(0L)).as("n_en_kept"))
         .orderBy(col("source"))
+    },
+
+    // Unbiased pass@k (Chen et al. 2021 §2.1) over synthetic rollouts:
+    // 16 samples per prompt, correctness from pure integer arithmetic
+    // both engines recompute. The estimator is the stable product form
+    // 1 − Π (n−c−i)/(n−i), folded in index order — every term is an
+    // exact int/int IEEE division, so the rates are bit-identical with
+    // no rounding-grid dependence.
+    q("q_pass_at_k",
+      """WITH s AS (SELECT doc_id, unnest(range(1, 17)) AS i
+        |           FROM documents),
+        |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |        CAST(sum(CASE WHEN (doc_id * 31 + i * 7) % 5 = 0
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |      FROM s GROUP BY doc_id)
+        |SELECT doc_id, n_samples, n_correct,
+        |  round(CASE WHEN n_samples - n_correct < 1 THEN 1.0
+        |    ELSE 1.0 - list_reduce(list_transform(range(0, 1),
+        |      i -> CAST(n_samples - n_correct - i AS DOUBLE)
+        |           / (n_samples - i)), (a, b) -> a * b) END, 6)
+        |    AS pass_at_1,
+        |  round(CASE WHEN n_samples - n_correct < 4 THEN 1.0
+        |    ELSE 1.0 - list_reduce(list_transform(range(0, 4),
+        |      i -> CAST(n_samples - n_correct - i AS DOUBLE)
+        |           / (n_samples - i)), (a, b) -> a * b) END, 6)
+        |    AS pass_at_4,
+        |  round(CASE WHEN n_samples - n_correct < 8 THEN 1.0
+        |    ELSE 1.0 - list_reduce(list_transform(range(0, 8),
+        |      i -> CAST(n_samples - n_correct - i AS DOUBLE)
+        |           / (n_samples - i)), (a, b) -> a * b) END, 6)
+        |    AS pass_at_8
+        |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val samples = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("i", explode(sequence(lit(1), lit(16))))
+        .withColumn("correct",
+          pmod(col("doc_id") * 31 + col("i") * 7, lit(5)) === 0)
+      graft.ops.Rollouts.passAtK(samples, "doc_id", "correct",
+          ks = Seq(1, 4, 8))
+        .select(col("doc_id"), col("n_samples"), col("n_correct"),
+          col("pass_at_1"), col("pass_at_4"), col("pass_at_8"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Self-consistency voting (Wang et al. 2023): 16 sampled answers
+    // per prompt; prompts at doc_id%3=0 spread over 8 classes (16/8 =
+    // an exact 8-way tie, pinning the count-DESC answer-ASC tie
+    // order), the rest over 5 (one class gets 4 votes — a unique
+    // winner). The oracle recomputes the counts, the argmax and the
+    // share.
+    q("q_self_consistency",
+      """WITH s AS (SELECT doc_id, unnest(range(1, 17)) AS i
+        |           FROM documents),
+        |a AS (SELECT doc_id,
+        |        'ans' || ((doc_id + i * 3)
+        |          % (CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 5 END))::VARCHAR
+        |          AS ans
+        |      FROM s),
+        |c AS (SELECT doc_id, ans, count(*) AS n FROM a GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_samples,
+        |       CAST(count(*) AS BIGINT) AS n_distinct_answers
+        |       FROM c GROUP BY 1),
+        |tp AS (SELECT doc_id, ans AS top_answer,
+        |         CAST(n AS BIGINT) AS top_votes,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY n DESC, ans ASC) AS rk
+        |       FROM c)
+        |SELECT t.doc_id, n_samples, n_distinct_answers, top_answer,
+        |  top_votes,
+        |  round(CAST(top_votes AS DOUBLE) / n_samples, 6) AS vote_share
+        |FROM tt t JOIN tp ON t.doc_id = tp.doc_id AND rk = 1
+        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val samples = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("i", explode(sequence(lit(1), lit(16))))
+        .withColumn("ans", concat(lit("ans"),
+          pmod(col("doc_id") + col("i") * 3,
+            when(pmod(col("doc_id"), lit(3)) === 0, lit(8))
+              .otherwise(lit(5))).cast("string")))
+      graft.ops.Rollouts.selfConsistency(samples, "doc_id", "ans")
+        .select(col("doc_id"), col("n_samples"),
+          col("n_distinct_answers"), col("top_answer"), col("top_votes"),
+          col("vote_share"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Group-relative (GRPO) advantage normalization: 16 rewards per
+    // prompt from exact integer arithmetic ((x % 97)/96 — the same
+    // double on both engines); prompts at doc_id%13=5 get a CONSTANT
+    // reward, pinning the zero-variance ⇒ zero-advantage branch. Mean
+    // and variance are ordered folds over the sorted reward list, so
+    // the z-scores are bit-identical cross-engine.
+    q("q_grpo_advantage",
+      """WITH s AS (SELECT doc_id, unnest(range(1, 17)) AS i
+        |           FROM documents),
+        |r AS (SELECT doc_id, i,
+        |        CASE WHEN doc_id % 13 = 5 THEN 0.5
+        |             ELSE ((doc_id * 7 + i * 13) % 97) / 96.0 END AS rw
+        |      FROM s),
+        |g AS (SELECT doc_id, count(*) AS n,
+        |        list(rw ORDER BY rw) AS rs FROM r GROUP BY 1),
+        |m AS (SELECT doc_id, n,
+        |        list_aggregate(rs, 'sum') / n AS mean, rs FROM g),
+        |v AS (SELECT doc_id, mean,
+        |        list_aggregate(list_transform(rs,
+        |          x -> (x - mean) * (x - mean)), 'sum') / n AS var
+        |      FROM m)
+        |SELECT r.doc_id, CAST(r.i AS INT) AS i, round(r.rw, 6) AS reward,
+        |  round(CASE WHEN var > 0 THEN (r.rw - mean) / sqrt(var)
+        |        ELSE 0.0 END, 6) AS advantage
+        |FROM r JOIN v ON r.doc_id = v.doc_id
+        |ORDER BY r.doc_id, r.i""".stripMargin) { (s, dir) =>
+      val samples = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("i", explode(sequence(lit(1), lit(16))))
+        .withColumn("rw",
+          when(pmod(col("doc_id"), lit(13)) === 5, lit(0.5))
+            .otherwise(pmod(col("doc_id") * 7 + col("i") * 13, lit(97))
+              .cast("double") / 96.0))
+      graft.ops.Rollouts.grpoAdvantage(samples, "doc_id", "rw")
+        .select(col("doc_id"), col("i"), round(col("rw"), 6).as("reward"),
+          col("advantage"))
+        .orderBy(col("doc_id"), col("i"))
+    },
+
+    // Reciprocal-rank fusion over two synthetic rankers (the hybrid
+    // BM25+ANN shape): per query, list 1 ranks (q+17i) mod N, list 2
+    // ranks (q+23i) mod N, i = 1..8 — overlapping candidates get both
+    // terms. Every fusion term is 1/(60+rk), an exact int/int IEEE
+    // division folded in (list, rank) order; the fused rank orders by
+    // the identical unrounded score with the vec_id fallback.
+    q("q_rrf_fusion",
+      """WITH q AS (SELECT vec_id AS query_id FROM embeddings
+        |           WHERE vec_id % 10 = 0),
+        |res AS (SELECT query_id, lst, unnest(range(1, 9)) AS rk
+        |        FROM (SELECT query_id, unnest([1, 2]) AS lst FROM q)),
+        |rr AS (SELECT query_id, lst, rk,
+        |        (query_id + rk * (CASE WHEN lst = 1 THEN 17 ELSE 23 END))
+        |          % (SELECT count(*) FROM embeddings) AS vec_id
+        |       FROM res),
+        |f AS (SELECT query_id, vec_id,
+        |        CAST(count(*) AS BIGINT) AS n_lists,
+        |        list_aggregate(list_transform(
+        |          list(rk ORDER BY lst, rk), r -> 1.0 / (60 + r)),
+        |          'sum') AS score
+        |      FROM rr GROUP BY 1, 2)
+        |SELECT query_id, vec_id, n_lists,
+        |  round(score, 6) AS rrf_score,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, vec_id ASC) AS INT) AS fused_rank
+        |FROM f ORDER BY query_id, fused_rank""".stripMargin) { (s, dir) =>
+      val embs = t(s, dir, "embeddings")
+      val n = embs.count()
+      val results = embs.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select(col("vec_id").as("query_id"))
+        .withColumn("list_id", explode(array(lit(1), lit(2))))
+        .withColumn("rk", explode(sequence(lit(1), lit(8))))
+        .withColumn("vec_id",
+          pmod(col("query_id") + col("rk")
+            * when(col("list_id") === 1, lit(17)).otherwise(lit(23)),
+            lit(n)))
+      graft.ops.RetrievalEval.rrfFuse(results, kConst = 60)
+        .select(col("query_id"), col("vec_id"), col("n_lists"),
+          col("rrf_score"), col("fused_rank"))
+        .orderBy(col("query_id"), col("fused_rank"))
     }
   )
 

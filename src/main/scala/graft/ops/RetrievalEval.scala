@@ -94,6 +94,39 @@ object RetrievalEval {
     metricsAtK(Similarity.bruteForceTopK(embs, queryPred, k),
       embs.select(col("vec_id"), col("label")), k)
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+    * standard way to combine heterogeneous rankers (BM25 + dense ANN,
+    * the hybrid-retrieval shape) without score calibration:
+    * `rrf(d) = Σ_lists 1/(kConst + rank_list(d))`. Input
+    * `results(query_id, vec_id, list_id, rk)`; output one row per
+    * (query_id, vec_id) with `n_lists`, `rrf_score` and the fused rank
+    * (score DESC, vec_id ASC — a total order, since equal scores fall
+    * back to the id).
+    *
+    * Determinism: the fusion sum folds over the (list_id, rk) pairs
+    * SORTED by list then rank — each term 1/(kConst+rk) is an exact
+    * IEEE division of integers, so the fused score is bit-identical
+    * cross-engine and the rank ordering carries no float ambiguity.
+    * Scale: one (query,vec) aggregate + one per-query window over the
+    * candidate grid (≤ lists × top-N rows per query, never the
+    * corpus). */
+  def rrfFuse(results: DataFrame, kConst: Int = 60): DataFrame = {
+    val per = results.groupBy(col("query_id"), col("vec_id"))
+      .agg(count(lit(1)).as("n_lists"),
+        array_sort(collect_list(struct(col("list_id"), col("rk"))))
+          .as("_lr"))
+      .withColumn("_score",
+        aggregate(col("_lr"), lit(0.0),
+          (a, e) => a + lit(1.0) / (lit(kConst) + e.getField("rk"))))
+      .drop("_lr")
+    per.withColumn("fused_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("_score").desc, col("vec_id").asc)))
+      .withColumn("rrf_score", round(col("_score"), 6))
+      .drop("_score")
+  }
+
   /** SQuAD-style extractive-QA scoring (Rajpurkar et al. 2016 §6.1):
     * per (prediction, gold) pair, exact match on the normalized token
     * sequence and BAG-of-tokens F1 — overlap = Σ over distinct

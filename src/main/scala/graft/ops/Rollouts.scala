@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-prompt ROLLOUT analytics — the measurement/normalization half of
+  * an RL-from-feedback data pipeline, operating on frames of sampled
+  * model outputs `(prompt_id, sample, …)`:
+  *
+  *  - [[passAtK]] — the unbiased pass@k estimator (Chen et al. 2021,
+  *    "Evaluating LLMs Trained on Code" §2.1) over per-prompt
+  *    correctness samples: the HumanEval-style evaluation rollup;
+  *  - [[selfConsistency]] — majority-vote answer + vote share (Wang et
+  *    al. 2023 self-consistency decoding): which prompts does the model
+  *    answer stably, and what is the consensus answer;
+  *  - [[grpoAdvantage]] — group-relative advantage normalization
+  *    (the GRPO baseline, Shao et al. 2024 §4.1): per-prompt reward
+  *    z-score with a zero advantage for zero-variance groups — the
+  *    batch-preparation step before policy-gradient training.
+  *
+  * Scale shape: every operator is ONE prompt-keyed aggregate (partial
+  * map-side combine on the shuffle; per-group state is O(samples per
+  * prompt), a model-inference batch size, never corpus-sized) plus
+  * narrow arithmetic on the per-prompt grid. [[grpoAdvantage]] joins
+  * the |prompts|-row stats frame back to the samples — broadcast-sized
+  * relative to the sample frame whenever n_samples ≫ 1.
+  *
+  * Determinism contract: every float reduction over group members is
+  * an ORDER-PINNED fold (values collected, sorted, folded ascending —
+  * the mlOrderedMean discipline), and the pass@k product folds over
+  * `sequence(0, k-1)` in index order — so all outputs are bit-exact
+  * cross-engine with no rounding-grid dependence.
+  */
+object Rollouts {
+
+  /** Unbiased pass@k: per prompt with n samples of which c are correct,
+    * `pass@k = 1 − C(n−c, k)/C(n, k)`, computed in the numerically
+    * stable product form `1 − Π_{i=0}^{k−1} (n−c−i)/(n−i)` (the
+    * published reference implementation), with the k > n−c branch
+    * short-circuited to exactly 1.0. Emits one row per prompt:
+    * (promptCol, n_samples, n_correct, pass_at_<k> for each k).
+    * Requires every k ≤ the minimum group size (the estimator is
+    * undefined past n — enforced eagerly, mirroring the reference
+    * script's assertion). */
+  def passAtK(samples: DataFrame, promptCol: String, correctCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks=$ks")
+    val g = samples.groupBy(col(promptCol))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col(correctCol).cast("int")).cast("bigint").as("n_correct"))
+    val minN = g.agg(min(col("n_samples"))).collect()(0).getLong(0)
+    require(ks.forall(_ <= minN),
+      s"pass@k undefined for k > n: min group size $minN, ks=$ks")
+    ks.foldLeft(g) { (df, k) =>
+      val n = col("n_samples")
+      val c = col("n_correct")
+      val prod = aggregate(sequence(lit(0), lit(k - 1)), lit(1.0),
+        (acc, i) => acc * ((n - c - i).cast("double") / (n - i)))
+      df.withColumn(s"pass_at_$k",
+        round(when(n - c < k, lit(1.0)).otherwise(lit(1.0) - prod), 6))
+    }
+  }
+
+  /** Self-consistency rollup: per prompt, the modal answer under the
+    * deterministic (count DESC, answer ASC) tie order, its vote count
+    * and share, and the number of distinct answers. One two-level
+    * aggregate — (prompt, answer) counts, then an ordered argmax fold
+    * over the per-prompt answer grid (bounded by samples-per-prompt). */
+  def selfConsistency(samples: DataFrame, promptCol: String,
+      answerCol: String): DataFrame = {
+    val counts = samples.groupBy(col(promptCol), col(answerCol).as("_ans"))
+      .agg(count(lit(1)).as("_n"))
+    val totals = counts.groupBy(col(promptCol))
+      .agg(sum(col("_n")).cast("bigint").as("n_samples"),
+        count(lit(1)).as("n_distinct_answers"))
+    // argmax over the per-prompt ANSWER GRID (bounded by samples per
+    // prompt, never corpus-sized) — the one window in the family
+    val top = counts.withColumn("_rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(promptCol))
+          .orderBy(col("_n").desc, col("_ans").asc)))
+      .filter(col("_rk") === 1)
+      .select(col(promptCol), col("_ans").as("top_answer"),
+        col("_n").as("top_votes"))
+    totals.join(top, Seq(promptCol))
+      .withColumn("vote_share",
+        round(col("top_votes").cast("double") / col("n_samples"), 6))
+  }
+
+  /** Group-relative advantage (the GRPO baseline): per sample,
+    * `A = (r − mean_group(r)) / std_group(r)` with population std and
+    * a defined-zero advantage when the group has no reward variance
+    * (all samples equal ⇒ no gradient signal, the GRPO convention).
+    * Mean and variance are ordered folds over the SORTED per-group
+    * reward list (ties are bit-identical values — interchangeable in
+    * the fold), so the normalization is bit-deterministic under any
+    * partitioning; the |prompts|-row stats frame broadcast-joins back
+    * to the samples. */
+  def grpoAdvantage(samples: DataFrame, promptCol: String,
+      rewardCol: String): DataFrame = {
+    val stats = samples.groupBy(col(promptCol))
+      .agg(count(lit(1)).as("_n"),
+        array_sort(collect_list(col(rewardCol).cast("double")))
+          .as("_rs"))
+      .withColumn("_mean",
+        aggregate(col("_rs"), lit(0.0), (a, x) => a + x) / col("_n"))
+      .withColumn("_var",
+        aggregate(col("_rs"), lit(0.0),
+          (a, x) => a + (x - col("_mean")) * (x - col("_mean")))
+          / col("_n"))
+      .select(col(promptCol), col("_mean"), col("_var"))
+    samples.join(broadcast(stats), Seq(promptCol))
+      .withColumn("advantage",
+        round(when(col("_var") > 0,
+          (col(rewardCol).cast("double") - col("_mean"))
+            / sqrt(col("_var"))).otherwise(lit(0.0)), 6))
+      .drop("_mean", "_var")
+  }
+}

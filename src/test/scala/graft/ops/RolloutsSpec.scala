@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RolloutsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("passAtK: hand-computed estimator values and the k > n-c branch") {
+    // prompt A: n=4, c=2 -> pass@1 = 1 - (2/4 * 1/3 ... ) use formula:
+    //   pass@1 = 1 - (n-c)/n = 1 - 2/4 = 0.5
+    //   pass@2 = 1 - (2/4)(1/3) = 1 - 1/6 = 0.833333
+    //   pass@3 = 1 (n - c = 2 < 3)
+    // prompt B: n=4, c=0 -> all zeros; prompt C: n=4, c=4 -> all ones
+    val samples = Seq(
+      ("A", true), ("A", true), ("A", false), ("A", false),
+      ("B", false), ("B", false), ("B", false), ("B", false),
+      ("C", true), ("C", true), ("C", true), ("C", true)
+    ).toDF("prompt", "correct")
+    val out = Rollouts.passAtK(samples, "prompt", "correct", Seq(1, 2, 3))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getAs[Double]("pass_at_1") === 0.5)
+    assert(out("A").getAs[Double]("pass_at_2") === 0.833333)
+    assert(out("A").getAs[Double]("pass_at_3") === 1.0)
+    Seq(1, 2, 3).foreach { k =>
+      assert(out("B").getAs[Double](s"pass_at_$k") === 0.0, s"B pass@$k")
+      assert(out("C").getAs[Double](s"pass_at_$k") === 1.0, s"C pass@$k")
+    }
+    assert(out("A").getAs[Long]("n_samples") === 4)
+    assert(out("A").getAs[Long]("n_correct") === 2)
+  }
+
+  test("passAtK rejects k beyond the smallest group") {
+    val samples = Seq(("A", true), ("A", false), ("B", true))
+      .toDF("prompt", "correct")
+    val e = intercept[IllegalArgumentException] {
+      Rollouts.passAtK(samples, "prompt", "correct", Seq(2))
+    }
+    assert(e.getMessage.contains("undefined"))
+  }
+
+  test("selfConsistency: majority answer, exact-tie order, share") {
+    val samples = Seq(
+      ("P", "yes"), ("P", "yes"), ("P", "no"), ("P", "maybe"),
+      // Q: 2-2 tie -> answer ASC picks "a"
+      ("Q", "b"), ("Q", "a"), ("Q", "b"), ("Q", "a")
+    ).toDF("prompt", "ans")
+    val out = Rollouts.selfConsistency(samples, "prompt", "ans")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("P").getAs[String]("top_answer") === "yes")
+    assert(out("P").getAs[Long]("top_votes") === 2)
+    assert(out("P").getAs[Long]("n_distinct_answers") === 3)
+    assert(out("P").getAs[Double]("vote_share") === 0.5)
+    assert(out("Q").getAs[String]("top_answer") === "a",
+      "exact tie must resolve answer-ASC")
+  }
+
+  test("grpoAdvantage: hand z-scores, zero-variance branch, repartition-invariant") {
+    // rewards 1, 2, 3 -> mean 2, population var 2/3
+    val samples = Seq(
+      ("P", 1, 1.0), ("P", 2, 2.0), ("P", 3, 3.0),
+      ("Z", 1, 0.5), ("Z", 2, 0.5), ("Z", 3, 0.5)
+    ).toDF("prompt", "i", "rw")
+    val out = Rollouts.grpoAdvantage(samples, "prompt", "rw")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        r.getAs[Double]("advantage")).toMap
+    val sd = math.sqrt(2.0 / 3.0)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("P", 1)) === r6(-1.0 / sd))
+    assert(out(("P", 2)) === 0.0)
+    assert(out(("P", 3)) === r6(1.0 / sd))
+    Seq(1, 2, 3).foreach(i => assert(out(("Z", i)) === 0.0,
+      "zero-variance group must get zero advantage, not NaN"))
+    val again = Rollouts.grpoAdvantage(samples.repartition(7), "prompt", "rw")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        r.getAs[Double]("advantage")).toMap
+    assert(out === again, "ordered folds must make z-scores bit-stable")
+  }
+
+  test("rrfFuse: fused scores and ranks on overlapping lists") {
+    // doc 10 appears rank 1 in both lists: 2/(60+1); doc 20 rank 2 in
+    // list 1 only; doc 30 rank 2 in list 2 only (tie with doc 20 ->
+    // vec_id ASC)
+    val res = Seq(
+      (1L, 10L, 1, 1), (1L, 20L, 1, 2),
+      (1L, 10L, 2, 1), (1L, 30L, 2, 2)
+    ).toDF("query_id", "vec_id", "list_id", "rk")
+    val out = RetrievalEval.rrfFuse(res, kConst = 60)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getAs[Long]("n_lists"), r.getAs[Double]("rrf_score"),
+          r.getAs[Int]("fused_rank")))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(10L) === ((2L, r6(2.0 / 61.0), 1)))
+    assert(out(20L) === ((1L, r6(1.0 / 62.0), 2)),
+      "equal scores must fall back to vec_id ASC")
+    assert(out(30L) === ((1L, r6(1.0 / 62.0), 3)))
+  }
+}
