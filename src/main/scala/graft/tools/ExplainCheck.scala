@@ -536,6 +536,61 @@ object ExplainCheck {
       println(graft.ops.Spectral.project(embs, d)
         .queryExecution.explainString(fmt))
     }
+    // round-14 operators
+    println("########## op:Rollouts.passAtK (ONE prompt-keyed agg; index-order product fold on the grid)")
+    locally {
+      import org.apache.spark.sql.functions.{explode, lit, pmod, sequence}
+      val roll = docs.select(col("doc_id"),
+          explode(sequence(lit(1), lit(8))).as("i"))
+        .withColumn("correct",
+          pmod(col("doc_id") * 31 + col("i") * 7, lit(5)) === 0)
+      println(graft.ops.Rollouts.passAtK(roll, "doc_id", "correct",
+          Seq(1, 4))
+        .queryExecution.explainString(fmt))
+    }
+    println("########## op:Rollouts.selfConsistency (grid counts; window only on the bounded answer grid)")
+    locally {
+      import org.apache.spark.sql.functions.{concat, explode, lit, pmod, sequence}
+      val roll = docs.select(col("doc_id"),
+          explode(sequence(lit(1), lit(8))).as("i"))
+        .withColumn("ans", concat(lit("a"),
+          pmod(col("doc_id") + col("i") * 3, lit(5)).cast("string")))
+      println(graft.ops.Rollouts.selfConsistency(roll, "doc_id", "ans")
+        .queryExecution.explainString(fmt))
+    }
+    println("########## op:Rollouts.grpoAdvantage (one group agg; |prompts|-row stats broadcast back)")
+    locally {
+      import org.apache.spark.sql.functions.{explode, lit, pmod, sequence}
+      val roll = docs.select(col("doc_id"),
+          explode(sequence(lit(1), lit(8))).as("i"))
+        .withColumn("rw",
+          pmod(col("doc_id") * 7 + col("i") * 13, lit(97))
+            .cast("double") / 96.0)
+      println(graft.ops.Rollouts.grpoAdvantage(roll, "doc_id", "rw")
+        .queryExecution.explainString(fmt))
+    }
+    println("########## op:RetrievalEval.rrfFuse ((query,vec) agg + per-query window on the candidate grid)")
+    locally {
+      import org.apache.spark.sql.functions.{array, explode, lit, pmod, sequence, when}
+      val res = embs.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select(col("vec_id").as("query_id"))
+        .withColumn("list_id", explode(array(lit(1), lit(2))))
+        .withColumn("rk", explode(sequence(lit(1), lit(8))))
+        .withColumn("vec_id", pmod(col("query_id") + col("rk")
+          * when(col("list_id") === 1, lit(17)).otherwise(lit(23)),
+          lit(500)))
+      println(graft.ops.RetrievalEval.rrfFuse(res)
+        .queryExecution.explainString(fmt))
+    }
+    println("########## op:Spectral deflated scoring chain (residual layer stays a narrow zip_with; zero Exchange)")
+    locally {
+      val ds = graft.ops.Spectral.topDirections(embs, dim = 64, k = 2,
+        iterations = 1)
+      val resid = graft.ops.Spectral.removeDirection(embs, ds(0))
+        .select(col("vec_id"), col("residual").as("embedding"))
+      println(graft.ops.Spectral.project(resid, ds(1))
+        .queryExecution.explainString(fmt))
+    }
     spark.stop()
   }
 }
