@@ -8935,6 +8935,46 @@ object PipelineQueries {
         .select(col("query_id"), col("vec_id"), col("n_lists"),
           col("rrf_score"), col("fused_rank"))
         .orderBy(col("query_id"), col("fused_rank"))
+    },
+
+    // int8 scalar-quantized ANN (symmetric max-abs, the serving
+    // stack's cheapest compression tier): quantize every vector, rank
+    // candidates by the INTEGER dot product — exact on any engine, so
+    // unlike every float-scored ANN entry this ranking carries zero
+    // rounding contract. The oracle recomputes quantization (max-abs
+    // scale, half-away round), every integer dot and the (dot DESC,
+    // vec_id) rank bit-for-bit.
+    q("q_int8_ann",
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |              FROM embeddings),
+        |sc AS (SELECT vec_id,
+        |        list_max(list_transform(emb, x -> abs(x))) / 127 AS scale,
+        |        emb FROM base),
+        |qz AS (SELECT vec_id, scale,
+        |        CASE WHEN scale > 0
+        |          THEN list_transform(emb,
+        |            x -> CAST(round(x / scale, 0) AS INT))
+        |          ELSE list_transform(emb, x -> 0) END AS q
+        |       FROM sc),
+        |qq AS (SELECT vec_id AS query_id, scale AS qscale, q AS qprobe
+        |       FROM qz WHERE vec_id % 25 = 0),
+        |pairs AS (SELECT query_id, qscale, v.vec_id, v.scale,
+        |        CAST(list_aggregate(list_transform(range(1, 65),
+        |          j -> qprobe[j] * v.q[j]), 'sum') AS BIGINT) AS dot
+        |      FROM qq, qz v WHERE v.vec_id <> qq.query_id),
+        |rk AS (SELECT query_id, vec_id, dot, qscale, scale,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY dot DESC, vec_id) AS rk
+        |       FROM pairs)
+        |SELECT query_id, CAST(rk AS INT) AS rk, vec_id, dot AS dot_int,
+        |  round(dot * qscale * scale, 6) AS approx_dot
+        |FROM rk WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin) {
+      (s, dir) =>
+      graft.ops.Similarity.int8TopK(t(s, dir, "embeddings"),
+          pmod(col("vec_id"), lit(25)) === 0, k = 5)
+        .select(col("query_id"), col("rk"), col("vec_id"),
+          col("dot_int"), col("approx_dot"))
+        .orderBy(col("query_id"), col("rk"))
     }
   )
 

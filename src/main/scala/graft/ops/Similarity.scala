@@ -109,6 +109,67 @@ object Similarity {
         col("votes"))
   }
 
+  /** Per-vector int8 SCALAR quantization (the symmetric max-abs recipe
+    * every serving stack ships as its cheapest compression tier —
+    * 4× smaller than float32, SIMD-friendly integer dot products):
+    * `scale = max|x| / 127`, `q[i] = round(x[i] / scale)` ∈ [−127,127]
+    * (round half away from zero — the cross-engine `round`); an
+    * all-zero vector quantizes to zeros with scale 0. Narrow, fused
+    * into the scan. Reconstruction error is ≤ scale/2 per coordinate
+    * by construction (spec-pinned). */
+  def int8Quantize(embs: DataFrame,
+      embCol: String = "embedding"): DataFrame = {
+    val emb = asDouble(col(embCol))
+    val scale = array_max(transform(emb, x => abs(x))) / 127
+    embs
+      .withColumn("scale", scale)
+      .withColumn("qvec",
+        when(col("scale") > 0,
+          transform(emb, x => round(x / col("scale"), 0).cast("int")))
+          .otherwise(transform(emb, x => lit(0))))
+  }
+
+  /** Brute-force top-k over the int8-quantized vectors: candidates rank
+    * by the INTEGER dot product q_a·q_b (desc, vec_id tie-break) — the
+    * quantized serving path's first stage (compose with a full-precision
+    * rerank exactly like [[graft.ops.Pq.searchWithRerank]]). The integer
+    * dot is EXACT on any engine — unlike every float-scored ANN variant,
+    * the ranking carries zero rounding contract (the oracle recomputes
+    * it bit-for-bit with no grid). Same broadcast-queries shape as
+    * [[bruteForceTopK]]; neighbor selection is the bounded-heap
+    * [[org.apache.spark.sql.graft.TopKBy]] aggregate (O(k) state per
+    * query, no per-query sort of the base). The dequantized score
+    * estimate is `dot · scale_a · scale_b` (exact IEEE products of
+    * identical doubles). Output: (query_id, rk, vec_id, dot_int,
+    * approx_dot). */
+  def int8TopK(embs: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val quant = int8Quantize(embs)
+      .select(col("vec_id"), col("qvec"), col("scale"))
+    val queries = quant.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("qvec").as("qq"),
+        col("scale").as("qscale"))
+    val dotInt = aggregate(
+      zip_with(col("qvec"), col("qq"), (x, y) => x * y),
+      lit(0), (a, t) => a + t)
+    quant.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qscale"),
+        col("vec_id"), col("scale"), dotInt.as("_dot"))
+      .groupBy(col("query_id"), col("qscale"))
+      .agg(graft.functions.GraftFunctions.topKBy(
+        col("vec_id"), col("_dot").cast("double"), k).as("_top"))
+      .select(col("query_id"), col("qscale"),
+        posexplode(col("_top")).as(Seq("_pos", "_e")))
+      .select(col("query_id"), col("qscale"),
+        (col("_pos") + 1).cast("int").as("rk"),
+        col("_e.id").as("vec_id"), col("_e.score").cast("long").as("dot_int"))
+      .join(quant.select(col("vec_id"), col("scale")), Seq("vec_id"))
+      .select(col("query_id"), col("rk"), col("vec_id"), col("dot_int"),
+        round(col("dot_int") * col("qscale") * col("scale"), 6)
+          .as("approx_dot"))
+  }
+
   /** Matryoshka two-stage search (Kusupati et al., NeurIPS 2022 — MRL):
     * shortlist on the FIRST `dims` coordinates, exact full-dim cosine
     * rerank on the shortlist only. MRL-trained embeddings front-load

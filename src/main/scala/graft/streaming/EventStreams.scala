@@ -167,6 +167,43 @@ object EventStreams {
     events.withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Streaming twin of the five-stage admission chain
+    * (q_admission_pipeline_v2): gate arriving crawl documents before
+    * they enter the curated corpus. Stages 1–3 (template gate, secrets
+    * redaction, Gopher quality gate) and stage 5 (language routing) are
+    * STATELESS scan kernels — they run unchanged per micro-batch; the
+    * near-dup stage is the [[dedupAgainstCorpusBloom]] shape (broadcast
+    * Bloom over the corpus fingerprints, anti-join verify for the
+    * maybe-seen slice only, watermark-bounded within-stream keeper),
+    * keyed on the fingerprint of the REDACTED text — two arrivals whose
+    * texts differ only in their differing secrets collapse after
+    * redaction exactly as in the batch chain. Emits admitted documents
+    * (original columns + n_secrets + dominant_lang, text redacted).
+    * The batch twin for the within-stream keeper is
+    * [[graft.ops.Dedup.dropAgainstCorpus]] (keeper choice differs —
+    * min-id vs first-arrival — but the admitted TEXT set is identical
+    * because duplicates are, by definition, the same text). */
+  def admissionStream(docs: DataFrame, corpus: DataFrame,
+      expectedItems: Long = 1000000L, fpp: Double = 0.03,
+      eventTimeCol: String = "event_time",
+      watermark: String = "10 minutes"): DataFrame = {
+    val keep = docs.columns.toSeq
+    val gated = graft.ops.Decontam.templateContamScan(docs)
+      .filter(col("template_free"))
+      .select(keep.map(col): _*)
+    val redacted = graft.ops.Pii.secretScan(gated)
+      .withColumn("text", col("redacted"))
+      .select(keep.map(col) :+ col("n_secrets"): _*)
+    val quality = graft.ops.Quality.gopherFlags(redacted)
+      .filter(col("gopher_pass"))
+      .select(keep.map(col) :+ col("n_secrets"): _*)
+    val fresh = dedupAgainstCorpusBloom(quality, corpus, expectedItems,
+      fpp, "text", eventTimeCol, watermark)
+    graft.ops.Quality.langSegments(fresh)
+      .filter(col("dominant_lang") === "en")
+      .select(keep.map(col) :+ col("n_secrets") :+ col("dominant_lang"): _*)
+  }
+
   final case class Event(event_id: Long, user_id: Long, event_type: String,
       value: Double, epochMs: Long)
   final case class SessionAgg(user_id: Long, n_events: Int, total_value: Double,

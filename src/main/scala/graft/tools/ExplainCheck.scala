@@ -582,6 +582,13 @@ object ExplainCheck {
       println(graft.ops.RetrievalEval.rrfFuse(res)
         .queryExecution.explainString(fmt))
     }
+    println("########## op:Similarity.int8TopK (broadcast quantized queries; bounded-heap topk_by, no Window)")
+    locally {
+      import org.apache.spark.sql.functions.{lit, pmod}
+      println(graft.ops.Similarity.int8TopK(embs,
+          pmod(col("vec_id"), lit(25)) === 0, k = 5)
+        .queryExecution.explainString(fmt))
+    }
     println("########## op:Spectral deflated scoring chain (residual layer stays a narrow zip_with; zero Exchange)")
     locally {
       val ds = graft.ops.Spectral.topDirections(embs, dim = 64, k = 2,

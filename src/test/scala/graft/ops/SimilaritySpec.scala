@@ -387,6 +387,73 @@ class SimilaritySpec extends AnyFunSuite {
     assert(tie === ((1, 1L)), "vote tie must break by smallest label")
   }
 
+  test("int8Quantize: range, reconstruction bound, zero-vector guard") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array(0.9f, -0.3f, 0.05f, 0.0f)),
+      (2L, Array(-1.7f, 1.7f, 0.2f, -0.01f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)) // zero vector
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.int8Quantize(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Double]("scale"),
+        r.getSeq[Int](r.fieldIndex("qvec"))))).toMap
+    out.foreach { case (id, (scale, q)) =>
+      assert(q.forall(v => v >= -127 && v <= 127), s"row $id range")
+      if (id != 3L) {
+        val emb = rows.collect().find(_.getLong(0) == id).get
+          .getSeq[Float](1)
+        q.indices.foreach { i =>
+          assert(math.abs(emb(i).toDouble - q(i) * scale)
+            <= scale / 2 + 1e-12,
+            s"row $id dim $i reconstruction must be within scale/2")
+        }
+        // the max-abs coordinate maps to exactly +/-127
+        assert(q.map(math.abs).max === 127, s"row $id max code")
+      }
+    }
+    assert(out(3L)._1 === 0.0)
+    assert(out(3L)._2.forall(_ === 0), "zero vector quantizes to zeros")
+  }
+
+  test("int8TopK: integer ranking matches a driver recompute; no Window operator") {
+    import spark.implicits._
+    // planted: queries near cluster axes — int8 search must put the
+    // same-axis vectors first (quantization preserves the big gaps)
+    val rows = (1L to 30L).map { i =>
+      val v = Array.fill(8)(0.01f * (i % 3))
+      v((i % 4).toInt) = if (i % 2 == 0) 5.0f else -5.0f
+      (i, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.int8TopK(df, col("vec_id") <= 3, k = 4)
+    val got = out.collect().map(r => (r.getLong(0), r.getInt(1)) ->
+      ((r.getLong(2), r.getLong(3)))).toMap
+    // driver recompute with identical arithmetic
+    def quant(v: Array[Float]): (Double, Array[Int]) = {
+      val scale = v.map(x => math.abs(x.toDouble)).max / 127
+      if (scale > 0)
+        (scale, v.map(x => BigDecimal(x.toDouble / scale)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt))
+      else (0.0, v.map(_ => 0))
+    }
+    val qs = rows.map { case (id, v) => id -> quant(v) }.toMap
+    (1L to 3L).foreach { q =>
+      val exp = rows.filter(_._1 != q).map { case (id, _) =>
+        val d = qs(q)._2.zip(qs(id)._2).map { case (a, b) =>
+          a.toLong * b }.sum
+        (id, d)
+      }.sortBy { case (id, d) => (-d, id) }.take(4)
+      exp.zipWithIndex.foreach { case ((id, d), i) =>
+        assert(got((q, i + 1)) === ((id, d)),
+          s"query $q rank ${i + 1}")
+      }
+    }
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"int8TopK must use the bounded-heap aggregate, not a window:\n$p")
+    assert(p.contains("topk_by"), s"TopKBy must appear:\n$p")
+  }
+
   test("knnClassify plan: bounded-heap neighbor stage, window only on the vote grid") {
     import spark.implicits._
     val rows = (1L to 20L).map(i =>

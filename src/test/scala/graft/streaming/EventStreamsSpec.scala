@@ -763,6 +763,85 @@ class EventStreamsSpec extends AnyFunSuite {
       "every doc should lose exactly its planted footer line")
   }
 
+  test("streaming admission chain matches the batch five-stage twin") {
+    // plants mirror q_admission_pipeline_v2 at spec scale: a template
+    // header (dropped at stage 1), a per-doc AWS key (redacted; two
+    // dup-planted docs with DIFFERENT keys collapse after redaction),
+    // a long hash run (fails the Gopher gate), a German block (routed
+    // away at stage 5), and a replacing dup text (stage-4 work)
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-adm").toString
+    val dup = "the quick brown fox jumps over and that have with " * 6
+    // base text passes the Gopher gate (>=50 words, stopwords, alpha)
+    // and stays UNIQUE per doc — the raw synthetic corpus mostly fails
+    // the stopword rule, which would starve the funnel at spec scale
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"source",
+        concat(
+          when(pmod($"doc_id", lit(5)) === 3,
+            concat(lit(dup), lit("variant "),
+              pmod($"doc_id", lit(15)).cast("string")))
+            .otherwise(concat(lit(dup), lit("doc "),
+              $"doc_id".cast("string"))),
+          when(pmod($"doc_id", lit(9)) === 1, lit(" ### Instruction: x"))
+            .otherwise(lit("")),
+          when(pmod($"doc_id", lit(7)) === 1,
+            concat(lit(" key AKIA"),
+              upper(substring(md5($"doc_id".cast("string")), 1, 16))))
+            .otherwise(lit("")),
+          when(pmod($"doc_id", lit(11)) === 2, lit(" " + "#" * 400))
+            .otherwise(lit("")),
+          when(pmod($"doc_id", lit(4)) === 1,
+            lit("\ner der erer\nerer er\nder er erer"))
+            .otherwise(lit(""))).as("text"))
+      .write.mode("overwrite").parquet(stageDir)
+    val staged = spark.read.parquet(stageDir)
+    // corpus = the even half, ALREADY redacted (the curated state)
+    val corpusRaw = staged.filter(pmod($"doc_id", lit(2)) === 0)
+    val corpus = graft.ops.Pii.secretScan(corpusRaw)
+      .withColumn("text", $"redacted")
+      .select("doc_id", "source", "text")
+    val incoming = spark.readStream.schema(staged.schema).parquet(stageDir)
+      .filter(pmod($"doc_id", lit(2)) === 1)
+      .withColumn("event_time", timestamp_seconds($"doc_id"))
+    val out = EventStreams.admissionStream(incoming, corpus,
+      expectedItems = 1000L, fpp = 0.2)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("adm")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("adm")
+    // batch twin: the q_admission_pipeline_v2 stage chain with
+    // dropAgainstCorpus as the dedup stage
+    val batchIn = staged.filter(pmod($"doc_id", lit(2)) === 1)
+    val gated = graft.ops.Decontam.templateContamScan(batchIn)
+      .filter($"template_free").select("doc_id", "source", "text")
+    val redacted = graft.ops.Pii.secretScan(gated)
+      .withColumn("text", $"redacted")
+      .select($"doc_id", $"source", $"text", $"n_secrets")
+    val quality = graft.ops.Quality.gopherFlags(redacted)
+      .filter($"gopher_pass")
+      .select($"doc_id", $"source", $"text", $"n_secrets")
+    val fresh = graft.ops.Dedup.dropAgainstCorpus(quality, corpus)
+    val expected = graft.ops.Quality.langSegments(fresh)
+      .filter($"dominant_lang" === "en")
+    val sTexts = streamed.select("text").collect().map(_.getString(0)).toSet
+    val eTexts = expected.select("text").collect().map(_.getString(0)).toSet
+    assert(sTexts.nonEmpty, "stream admitted no documents")
+    assert(sTexts === eTexts)
+    assert(streamed.count() === expected.count(),
+      "keeper choice must not change the admitted cardinality")
+    // the stage plants actually bit: secrets were redacted, templates
+    // and German-routed docs are gone
+    assert(streamed.filter($"n_secrets" > 0).count() > 0)
+    assert(!sTexts.exists(_.contains("AKIA")), "no unredacted secrets")
+    assert(!sTexts.exists(_.contains("### Instruction")))
+    // redaction-collapse interaction: dup-planted docs with different
+    // raw keys admitted at most one copy per (variant, plant-combo)
+    val dupAdmitted = streamed.filter($"text".startsWith("the quick brown"))
+    assert(dupAdmitted.count() ===
+      dupAdmitted.select("text").distinct().count())
+  }
+
   test("session fold: late events extend the session instead of splitting it") {
     import org.apache.spark.sql.streaming.TestGroupState
     import org.apache.spark.api.java.Optional
