@@ -8975,6 +8975,112 @@ object PipelineQueries {
         .select(col("query_id"), col("rk"), col("vec_id"),
           col("dot_int"), col("approx_dot"))
         .orderBy(col("query_id"), col("rk"))
+    },
+
+    // ChatML template rendering with loss spans: 4 synthetic turns per
+    // conversation (alternating user/assistant, content sliced from
+    // the doc text), rendered <|im_start|>{role}\n{content}<|im_end|>\n
+    // with per-turn CONTENT offsets — pure integer arithmetic over the
+    // sorted turn lengths. The oracle rebuilds the rendering (md5 of
+    // the full string pins it byte-exactly) and every offset via
+    // prefix sums.
+    q("q_chat_render",
+      """WITH s AS (SELECT doc_id, text, unnest(range(1, 5)) AS i
+        |           FROM documents),
+        |t AS (SELECT doc_id, i,
+        |        CASE WHEN i % 2 = 1 THEN 'user' ELSE 'assistant' END
+        |          AS role,
+        |        'm' || i::VARCHAR || ' '
+        |          || substr(text, CAST(1 + 5 * i AS INT), 10) AS content
+        |      FROM s),
+        |r AS (SELECT doc_id, i, role, content,
+        |        '<|im_start|>' || role || chr(10) || content
+        |          || '<|im_end|>' || chr(10) AS seg
+        |      FROM t),
+        |o AS (SELECT doc_id, i, role, content,
+        |        coalesce(sum(length(seg)) OVER (PARTITION BY doc_id
+        |          ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND 1 PRECEDING), 0) AS prefix
+        |      FROM r),
+        |f AS (SELECT doc_id, string_agg(seg, '' ORDER BY i) AS text,
+        |        CAST(count(*) AS BIGINT) AS n_turns
+        |      FROM r GROUP BY doc_id)
+        |SELECT o.doc_id, CAST(i AS INT) AS turn, role,
+        |  CAST(prefix + 12 + length(role) + 1 AS BIGINT) AS span_start,
+        |  CAST(prefix + 13 + length(role) + length(content) AS BIGINT)
+        |    AS span_end,
+        |  role = 'assistant' AS train,
+        |  n_turns, md5(f.text) AS render_md5
+        |FROM o JOIN f ON o.doc_id = f.doc_id
+        |ORDER BY o.doc_id, turn""".stripMargin) { (s, dir) =>
+      val turns = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("i", explode(sequence(lit(1), lit(4))))
+        .select(col("doc_id"), col("i"),
+          when(pmod(col("i"), lit(2)) === 1, lit("user"))
+            .otherwise(lit("assistant")).as("role"),
+          concat(lit("m"), col("i").cast("string"), lit(" "),
+            col("text").substr(lit(1) + col("i") * 5, lit(10)))
+            .as("content"))
+      graft.ops.Export.renderChatML(turns, col("doc_id"), col("i"),
+          col("role"), col("content"))
+        .select(col("conv").as("doc_id"), col("n_turns"),
+          md5(col("text")).as("render_md5"),
+          posexplode(col("spans")).as(Seq("_pos", "_sp")))
+        .select(col("doc_id"), (col("_pos") + 1).cast("int").as("turn"),
+          col("_sp.role").as("role"),
+          col("_sp.start").as("span_start"),
+          col("_sp.end").as("span_end"),
+          col("_sp.train").as("train"),
+          col("n_turns"), col("render_md5"))
+        .orderBy(col("doc_id"), col("turn"))
+    },
+
+    // Markdown structure profile: %6=1 plants a full markdown block
+    // (header, fenced code, bullets, a link), %6=2 an UNPAIRED
+    // trailing fence (its tail counts as code — the stated limit),
+    // else raw text. The oracle recomputes every count from the same
+    // split/regex arithmetic and the exact code-char ratio.
+    q("q_markdown_profile",
+      """WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 1 THEN text || chr(10) || '# Title'
+        |        || chr(10) || 'plain prose' || chr(10) || '```py'
+        |        || chr(10) || 'x = 1' || chr(10) || '```' || chr(10)
+        |        || '- a' || chr(10) || '- b' || chr(10)
+        |        || 'see [docs](http://e.com)'
+        |      WHEN doc_id % 6 = 2 THEN text || chr(10) || '```'
+        |        || chr(10) || 'code tail only'
+        |      ELSE text END AS t
+        |  FROM documents),
+        |m AS (SELECT doc_id, t,
+        |    string_split(t, chr(10)) AS lines,
+        |    string_split(t, '```') AS segs FROM p)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(lines,
+        |    l -> regexp_matches(l, '^#{1,6} '))) AS INT) AS n_headers,
+        |  CAST((len(segs) - 1) // 2 AS INT) AS n_code_blocks,
+        |  CAST(len(regexp_extract_all(t, '\[[^\]]*\]\([^)]*\)')) AS INT)
+        |    AS n_links,
+        |  CAST(len(list_filter(lines,
+        |    l -> regexp_matches(l, '^\s*[-*+] '))) AS INT) AS n_bullets,
+        |  round(CASE WHEN length(t) > 0
+        |    THEN CAST(list_aggregate(list_transform(
+        |      range(0, len(segs)), i -> CASE WHEN i % 2 = 1
+        |        THEN length(segs[CAST(i + 1 AS INT)]) ELSE 0 END),
+        |      'sum') AS DOUBLE) / length(t)
+        |    ELSE 0.0 END, 6) AS code_char_frac
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(6)) === 1,
+          concat(col("text"), lit("\n# Title\nplain prose\n```py\n" +
+            "x = 1\n```\n- a\n- b\nsee [docs](http://e.com)")))
+          .when(pmod(col("doc_id"), lit(6)) === 2,
+            concat(col("text"), lit("\n```\ncode tail only")))
+          .otherwise(col("text")).as("text"))
+      graft.ops.Quality.markdownProfile(planted)
+        .select(col("doc_id"), col("n_headers"), col("n_code_blocks"),
+          col("n_links"), col("n_bullets"), col("code_char_frac"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -130,6 +130,57 @@ object Export {
         spans.as("spans"))
   }
 
+  /** TEMPLATE-rendered chat export — [[sftExamples]]'s plain-`sep` join
+    * replaced by the ChatML wrapping every turn in role markers:
+    * {{{ <|im_start|>{role}\n{content}<|im_end|>\n }}}
+    * with span offsets pointing at each turn's CONTENT inside the
+    * rendered string (start after the role header, end before the
+    * close marker) — the trainer masks loss by span without
+    * re-tokenizing the template. Header length is role-dependent
+    * (12 + |role| + 1 chars) and the close marker adds 11, so offsets
+    * are pure integer arithmetic over the sorted turn lengths.
+    *
+    * Same scale shape as [[sftExamples]]: ONE keyed shuffle, ordering
+    * + offsets in a single in-array fold, no window, no per-turn
+    * output rows. `ordCol` must be a total order within a
+    * conversation. Output: (conv, text, n_turns, n_train_turns,
+    * spans: array<struct<start, end, role, train>>). */
+  def renderChatML(turns: DataFrame, convCol: Column, ordCol: Column,
+      roleCol: Column, textCol: Column,
+      trainRole: String = "assistant"): DataFrame = {
+    val sorted = sort_array(collect_list(
+      struct(ordCol.as("o"), roleCol.as("r"), textCol.as("t"))))
+    val emptySpans = expr(
+      "CAST(array() AS array<struct<start:bigint,end:bigint," +
+        "role:string,train:boolean>>)")
+    val spans = aggregate(
+      col("_ts"),
+      struct(lit(0L).as("off"), emptySpans.as("spans")),
+      (acc, x) => {
+        val start = acc.getField("off") + lit(12L) +
+          length(x.getField("r")).cast("long") + lit(1L)
+        val end = start + length(x.getField("t")).cast("long")
+        struct(
+          (end + lit(11L)).as("off"),
+          concat(acc.getField("spans"), array(struct(
+            start.as("start"), end.as("end"),
+            x.getField("r").as("role"),
+            (x.getField("r") === lit(trainRole)).as("train"))))
+            .as("spans"))
+      },
+      acc => acc.getField("spans"))
+    turns
+      .groupBy(convCol.as("conv"))
+      .agg(sorted.as("_ts"))
+      .select(col("conv"),
+        array_join(expr("transform(_ts, x -> concat('<|im_start|>', " +
+          "x.r, '\\n', x.t, '<|im_end|>\\n'))"), "").as("text"),
+        size(col("_ts")).cast("long").as("n_turns"),
+        size(filter(col("_ts"), x => x.getField("r") === lit(trainRole)))
+          .cast("long").as("n_train_turns"),
+        spans.as("spans"))
+  }
+
   /** DPO/RLHF preference-pair selection: per prompt group, pick the
     * best-scored response as `chosen` and the worst as `rejected`,
     * with fully deterministic tie-breaks (max score ties → min id;

@@ -589,6 +589,22 @@ object ExplainCheck {
           pmod(col("vec_id"), lit(25)) === 0, k = 5)
         .queryExecution.explainString(fmt))
     }
+    println("########## op:Quality.markdownProfile (zero-shuffle split/regex scan kernel)")
+    println(graft.ops.Quality.markdownProfile(docs)
+      .queryExecution.explainString(fmt))
+    println("########## op:Export.renderChatML (one keyed agg, in-array template fold, no window)")
+    locally {
+      import org.apache.spark.sql.functions.{explode, lit, pmod, sequence, when}
+      val turns = docs.select(col("doc_id"), col("text"))
+        .withColumn("i", explode(sequence(lit(1), lit(4))))
+        .select(col("doc_id"), col("i"),
+          when(pmod(col("i"), lit(2)) === 1, lit("user"))
+            .otherwise(lit("assistant")).as("role"),
+          col("text").substr(lit(1), lit(20)).as("content"))
+      println(graft.ops.Export.renderChatML(turns, col("doc_id"),
+          col("i"), col("role"), col("content"))
+        .queryExecution.explainString(fmt))
+    }
     println("########## op:Spectral deflated scoring chain (residual layer stays a narrow zip_with; zero Exchange)")
     locally {
       val ds = graft.ops.Spectral.topDirections(embs, dim = 64, k = 2,

@@ -597,6 +597,36 @@ class ExportSpec extends AnyFunSuite {
       s"never a global sort/exchange:\n$p")
   }
 
+  test("renderChatML: offsets point at content inside the rendered template") {
+    val turns = Seq(
+      (1L, 1, "user", "hi"),
+      (1L, 2, "assistant", "hello there"),
+      (1L, 3, "user", "bye")
+    ).toDF("conv_id", "i", "role", "content")
+    val out = Export.renderChatML(turns, col("conv_id"), col("i"),
+      col("role"), col("content")).collect()
+    assert(out.length === 1)
+    val r = out.head
+    val text = r.getAs[String]("text")
+    assert(text ===
+      "<|im_start|>user\nhi<|im_end|>\n" +
+      "<|im_start|>assistant\nhello there<|im_end|>\n" +
+      "<|im_start|>user\nbye<|im_end|>\n")
+    assert(r.getAs[Long]("n_turns") === 3)
+    assert(r.getAs[Long]("n_train_turns") === 1)
+    val spans = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("spans"))
+    // every span must slice exactly its turn's content out of the text
+    val expected = Seq(("user", "hi", false),
+      ("assistant", "hello there", true), ("user", "bye", false))
+    spans.zip(expected).foreach { case (sp, (role, content, train)) =>
+      val (s, e) = (sp.getAs[Long]("start").toInt,
+        sp.getAs[Long]("end").toInt)
+      assert(text.substring(s, e) === content, s"span for $role")
+      assert(sp.getAs[String]("role") === role)
+      assert(sp.getAs[Boolean]("train") === train)
+    }
+  }
+
   test("shardMixReport: hand-computed entropy, dominant pick, degenerate shard") {
     import spark.implicits._
     val rows = Seq(

@@ -522,6 +522,33 @@ class QualitySpec extends AnyFunSuite {
     assert(out(8L) === ((None, "permissive", true)), "BSD phrase")
   }
 
+  test("markdownProfile: counts, code fraction, unpaired-fence limit") {
+    import spark.implicits._
+    val md = "# Title\nprose here\n## Sub\n```py\nx = 1\n```\n" +
+      "- a\n* b\nsee [docs](http://e.com) and [two](u)\nplain"
+    val unpaired = "text\n```\ntail code"
+    val rows = Seq((1L, md), (2L, unpaired), (3L, "no markdown at all"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = Quality.markdownProfile(rows).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val m = out(1L)
+    assert(m.getAs[Int]("n_headers") === 2)
+    assert(m.getAs[Int]("n_code_blocks") === 1)
+    assert(m.getAs[Int]("n_links") === 2)
+    assert(m.getAs[Int]("n_bullets") === 2)
+    // code chars = the segment between the fences: "py\nx = 1\n"
+    val expFrac = BigDecimal("py\nx = 1\n".length.toDouble / md.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m.getAs[Double]("code_char_frac") === expFrac)
+    // unpaired trailing fence: the tail counts as code (stated limit)
+    val u = out(2L)
+    assert(u.getAs[Int]("n_code_blocks") === 0)
+    assert(u.getAs[Double]("code_char_frac") > 0)
+    assert(out(3L).getAs[Int]("n_headers") === 0)
+    assert(out(3L).getAs[Double]("code_char_frac") === 0.0)
+    assert(out(4L).getAs[Double]("code_char_frac") === 0.0)
+  }
+
   test("scriptProfile: class counts and dominance over a mixed fixture") {
     val docs = Seq(
       (1L, "hello мир 汉字 12 §"), // 5 latin, 3 cyr, 2 cjk, 2 digit, 4 sp, 1 other
