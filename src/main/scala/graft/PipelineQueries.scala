@@ -9081,6 +9081,41 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_headers"), col("n_code_blocks"),
           col("n_links"), col("n_bullets"), col("code_char_frac"))
         .orderBy(col("doc_id"))
+    },
+
+    // Chinchilla compute-optimal plan (Hoffmann et al. 2022): size the
+    // model from a FLOPs budget (N = sqrt(C/(6·r)), D = r·N at the
+    // published r = 20 tokens/param), then report per source the
+    // proportional token draw and sustainable epochs from the exact
+    // integer token inventory. N/D enter both plans as the SAME
+    // driver-computed literals; floor-before-cast avoids the
+    // Spark-truncates / DuckDB-rounds double→int divergence.
+    q("q_chinchilla_plan", {
+      val nOpt = math.sqrt(1e21 / (6.0 * 20.0))
+      val dOpt = 20.0 * nOpt
+      val d = java.lang.Double.toString(dOpt)
+      s"""WITH ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM ps)
+         |SELECT source, n_docs, n_tokens,
+         |  round(CAST(n_tokens AS DOUBLE) / total, 6) AS share,
+         |  CAST(floor($d * (CAST(n_tokens AS DOUBLE) / total)) AS BIGINT)
+         |    AS draw_tokens,
+         |  CAST(${math.floor(nOpt).toLong} AS BIGINT) AS n_params,
+         |  CAST(${math.floor(dOpt).toLong} AS BIGINT) AS train_tokens,
+         |  round($d * (CAST(n_tokens AS DOUBLE) / total) / n_tokens, 6)
+         |    AS epochs
+         |FROM ps, tot ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      graft.ops.Sampling.chinchillaPlan(t(s, dir, "documents"),
+          size(split(col("text"), "\\s+")), "source",
+          flopsBudget = 1e21)
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("share"), col("draw_tokens"), col("n_params"),
+          col("train_tokens"), col("epochs"))
+        .orderBy(col("source"))
     }
   )
 

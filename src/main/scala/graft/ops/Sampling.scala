@@ -300,6 +300,44 @@ object Sampling {
         (epochs - floor(epochs)).as("frac_rate"))
   }
 
+  /** Compute-optimal training plan (Hoffmann et al. 2022 "Chinchilla"
+    * reduced to its operational core): given the corpus's per-source
+    * token inventory and a FLOPs budget C, size the model at
+    * `N = √(C / (6·r))` parameters (the C ≈ 6·N·D approximation with
+    * the data-to-model ratio D = r·N, r = 20 tokens/param published as
+    * compute-optimal) and report, per source, the proportional token
+    * draw and the epochs the inventory sustains — the planning report
+    * a data team runs BEFORE committing a mixture ([[mixturePlan]] /
+    * [[waterFillPlan]] then materialize it).
+    *
+    * Determinism: the token inventory is an exact integer sum; N and D
+    * derive from literals through sqrt/divide/floor — correctly-rounded
+    * IEEE ops, bit-identical cross-engine (floor before any integer
+    * cast: Spark casts truncate where DuckDB's round). Scale: ONE
+    * source-keyed aggregate; the plan itself is a |sources|-row grid. */
+  def chinchillaPlan(docs: DataFrame, tokensCol: Column,
+      sourceCol: String, flopsBudget: Double,
+      tokensPerParam: Double = 20.0): DataFrame = {
+    require(flopsBudget > 0, s"flopsBudget=$flopsBudget")
+    require(tokensPerParam > 0, s"tokensPerParam=$tokensPerParam")
+    val nOpt = math.sqrt(flopsBudget / (6.0 * tokensPerParam))
+    val dOpt = tokensPerParam * nOpt
+    val perSource = docs.groupBy(col(sourceCol))
+      .agg(sum(tokensCol).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_docs"))
+    val total = perSource.agg(sum(col("n_tokens")).as("_total"))
+    perSource.crossJoin(broadcast(total))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("_total"), 6)
+          .as("share"),
+        floor(lit(dOpt) * (col("n_tokens").cast("double") / col("_total")))
+          .cast("long").as("draw_tokens"),
+        lit(math.floor(nOpt)).cast("long").as("n_params"),
+        lit(math.floor(dOpt)).cast("long").as("train_tokens"),
+        round(lit(dOpt) * (col("n_tokens").cast("double") / col("_total"))
+          / col("n_tokens"), 6).as("epochs"))
+  }
+
   /** DoReMi domain-weight update (Xie et al., NeurIPS 2023, Algorithm
     * 1's exponentiated-gradient step): per domain take the mean EXCESS
     * loss `max(0, proxy − ref)` of a proxy model over a reference

@@ -489,6 +489,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(run(1) === run(13))
   }
 
+  test("chinchillaPlan: hand-computed sizing, shares and epochs") {
+    import spark.implicits._
+    // sources A:600 tokens, B:400 -> shares 0.6/0.4
+    val docs = Seq(("A", 600L), ("B", 300L), ("B", 100L))
+      .toDF("source", "ntok")
+    // C = 6e9 FLOPs, r = 20 -> N = sqrt(6e9/120) = sqrt(5e7), D = 20N
+    val out = Sampling.chinchillaPlan(docs, col("ntok"), "source",
+      flopsBudget = 6e9).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val n = math.sqrt(6e9 / 120.0)
+    val d = 20.0 * n
+    assert(out("A").getAs[Long]("n_params") === math.floor(n).toLong)
+    assert(out("A").getAs[Long]("train_tokens") === math.floor(d).toLong)
+    assert(out("A").getAs[Double]("share") === 0.6)
+    assert(out("B").getAs[Double]("share") === 0.4)
+    assert(out("A").getAs[Long]("draw_tokens") ===
+      math.floor(d * 0.6).toLong)
+    // epochs = proportional draw / inventory
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("B").getAs[Double]("epochs") === r6(d * 0.4 / 400.0))
+    assert(out("B").getAs[Long]("n_docs") === 2)
+  }
+
   test("doremiReweight matches a hand-computed exponentiated-gradient step") {
     import spark.implicits._
     val losses = Seq(
