@@ -9116,6 +9116,79 @@ object PipelineQueries {
           col("share"), col("draw_tokens"), col("n_params"),
           col("train_tokens"), col("epochs"))
         .orderBy(col("source"))
+    },
+
+    // T5-style span corruption (deterministic md5-gated variant): the
+    // oracle recomputes per-position coins, adjacency spans, sentinel
+    // numbering and BOTH assembled texts token for token.
+    q("q_span_corruption",
+      """WITH d AS (SELECT doc_id,
+        |    list_slice(string_split_regex(trim(text), '\s+'), 1, 64)
+        |      AS toks
+        |  FROM documents),
+        |f AS (SELECT doc_id, toks, len(toks) AS n,
+        |    list_transform(range(1, len(toks) + 1), i ->
+        |      CAST(concat('0x', substr(md5(doc_id::VARCHAR || ':'
+        |        || i::VARCHAR), 1, 6)) AS INTEGER) / 16777216.0 < 0.15)
+        |      AS fl
+        |  FROM d),
+        |st AS (SELECT doc_id, toks, n, fl,
+        |    list_filter(range(1, n + 1), i -> fl[i]
+        |      AND (i = 1 OR NOT fl[i - 1])) AS starts
+        |  FROM f)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(flatten(list_transform(range(1, n + 1), i ->
+        |    CASE WHEN NOT fl[i] THEN [toks[i]]
+        |         WHEN list_contains(starts, i)
+        |           THEN ['<extra_id_'
+        |             || len(list_filter(starts, p -> p <= i))::VARCHAR
+        |             || '>']
+        |         ELSE CAST([] AS VARCHAR[]) END)), ' '), '') AS input_text,
+        |  coalesce(array_to_string(flatten(list_transform(range(1, n + 1), i ->
+        |    CASE WHEN list_contains(starts, i)
+        |           THEN ['<extra_id_'
+        |             || len(list_filter(starts, p -> p <= i))::VARCHAR
+        |             || '>', toks[i]]
+        |         WHEN fl[i] THEN [toks[i]]
+        |         ELSE CAST([] AS VARCHAR[]) END)), ' '), '') AS target_text,
+        |  CAST(len(starts) AS INT) AS n_spans,
+        |  CAST(len(list_filter(range(1, n + 1), i -> fl[i])) AS INT)
+        |    AS n_masked
+        |FROM st ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Export.spanCorruption(t(s, dir, "documents"))
+        .select(col("doc_id"), col("input_text"), col("target_text"),
+          col("n_spans"), col("n_masked"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Needle-in-a-haystack long-context eval layout: one row per
+    // (doc, depth), needle at floor(depth·n) tokens. Depths enter the
+    // oracle as DOUBLE casts so both engines multiply the same IEEE
+    // values (a DECIMAL 0.7·n is exact where double 0.7·n is just
+    // under — floor would diverge at integer crossings).
+    q("q_needle_eval",
+      """WITH d AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |x AS (SELECT doc_id, toks, len(toks) AS n,
+        |    unnest([CAST(0.1 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |            CAST(0.9 AS DOUBLE)]) AS depth
+        |  FROM d),
+        |p AS (SELECT doc_id, depth, toks, n,
+        |    CAST(floor(depth * n) AS INT) AS pos FROM x)
+        |SELECT doc_id, round(depth, 2) AS depth_pct, pos AS needle_pos,
+        |  CAST(n AS INT) AS n_tokens,
+        |  trim(concat_ws(' ',
+        |    array_to_string(list_slice(toks, 1, pos), ' '),
+        |    'NEEDLE: the magic number is 42',
+        |    array_to_string(list_slice(toks, pos + 1, n), ' ')))
+        |    AS haystack
+        |FROM p ORDER BY doc_id, depth_pct""".stripMargin) { (s, dir) =>
+      graft.ops.Export.needleEval(t(s, dir, "documents"),
+          "NEEDLE: the magic number is 42", Seq(0.1, 0.5, 0.9))
+        .select(col("doc_id"), col("depth_pct"), col("needle_pos"),
+          col("n_tokens"), col("haystack"))
+        .orderBy(col("doc_id"), col("depth_pct"))
     }
   )
 

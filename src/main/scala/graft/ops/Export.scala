@@ -181,6 +181,96 @@ object Export {
         spans.as("spans"))
   }
 
+  /** T5/UL2-style SPAN-CORRUPTION example builder (Raffel et al. 2020
+    * §3.1.4, the deterministic variant): per document, mask a
+    * reproducible subset of token positions (md5-gated per (id, pos) —
+    * the [[graft.ops.Sampling.md5Unit]] coin, so the corruption is a
+    * pure function of the key, re-runnable anywhere), collapse ADJACENT
+    * masked positions into spans, and emit the denoising pair — input
+    * with each span replaced by its `<extra_id_k>` sentinel, target as
+    * the sentinel-prefixed dropped spans. Span lengths follow from
+    * Bernoulli adjacency rather than T5's sampled-length scheme —
+    * stated, deterministic, and the published objective shape.
+    *
+    * Everything is per-row array arithmetic on the bounded token slice
+    * (`maxTokens` caps the per-doc work exactly like the qaScore
+    * tokenization bound): flags, span starts, sentinel numbering via
+    * positions-of-starts, assembly via transform+flatten — zero
+    * shuffle, fused into the scan. Output: (id, input_text,
+    * target_text, n_spans, n_masked). */
+  def spanCorruption(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", rate: Double = 0.15,
+      maxTokens: Int = 64): DataFrame = {
+    require(rate > 0 && rate < 1, s"rate=$rate")
+    require(maxTokens >= 1, s"maxTokens=$maxTokens")
+    val toks = slice(split(trim(col(textCol)), "\\s+"), 1, maxTokens)
+    val n = size(col("_toks"))
+    val idx = sequence(lit(1), n)
+    def flag(i: Column): Column =
+      graft.ops.Sampling.md5Unit(
+        concat(col(idCol).cast("string"), lit(":"), i.cast("string"))) <
+        lit(rate)
+    // span starts: masked position whose predecessor is unmasked
+    val starts = filter(idx, i => flag(i) && (i === 1 || !flag(i - 1)))
+    // sentinel number at position i = #span-starts at or before i
+    def sentinelAt(i: Column): Column =
+      size(filter(col("_starts"), p => p <= i))
+    val inputToks = flatten(transform(idx, i =>
+      when(!flag(i), array(element_at(col("_toks"), i)))
+        .when(array_contains(col("_starts"), i),
+          array(concat(lit("<extra_id_"),
+            sentinelAt(i).cast("string"), lit(">"))))
+        .otherwise(array().cast("array<string>"))))
+    val targetToks = flatten(transform(idx, i =>
+      when(array_contains(col("_starts"), i),
+        array(concat(lit("<extra_id_"),
+          sentinelAt(i).cast("string"), lit(">")),
+          element_at(col("_toks"), i)))
+        .when(flag(i), array(element_at(col("_toks"), i)))
+        .otherwise(array().cast("array<string>"))))
+    docs
+      .withColumn("_toks", toks)
+      .withColumn("_starts", starts)
+      .select(col(idCol),
+        array_join(inputToks, " ").as("input_text"),
+        array_join(targetToks, " ").as("target_text"),
+        size(col("_starts")).as("n_spans"),
+        size(filter(idx, i => flag(i))).as("n_masked"))
+  }
+
+  /** Needle-in-a-haystack long-context eval builder: plant a needle
+    * sentence at a controlled DEPTH fraction of each document (the
+    * standard retrieval-stress evaluation layout) — position
+    * `floor(depth · n_tokens)` tokens in, one output row per (doc,
+    * depth). Pure integer slice arithmetic per row (zero shuffle after
+    * the depth fan-out); the haystack is emitted verbatim so the eval
+    * harness needs no re-derivation. Output: (id, depth_pct, needle_pos,
+    * n_tokens, haystack). */
+  def needleEval(docs: DataFrame, needle: String,
+      depths: Seq[Double], idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(depths.nonEmpty && depths.forall(d => d >= 0 && d <= 1),
+      s"depths=$depths")
+    val toks = split(trim(col(textCol)), "\\s+")
+    docs
+      .withColumn("_toks", toks)
+      .withColumn("depth_pct",
+        explode(array(depths.map(lit(_)): _*)))
+      .withColumn("_pos",
+        floor(col("depth_pct") * size(col("_toks"))).cast("int"))
+      .select(col(idCol), round(col("depth_pct"), 2).as("depth_pct"),
+        col("_pos").as("needle_pos"),
+        size(col("_toks")).as("n_tokens"),
+        // trim: at depth 0 / 1 one side is empty and concat_ws keeps
+        // the empty segment's separator — edge-only, tokens themselves
+        // carry no boundary whitespace
+        trim(concat_ws(" ",
+          array_join(slice(col("_toks"), lit(1), col("_pos")), " "),
+          lit(needle),
+          array_join(slice(col("_toks"), col("_pos") + 1,
+            size(col("_toks")) - col("_pos")), " "))).as("haystack"))
+  }
+
   /** DPO/RLHF preference-pair selection: per prompt group, pick the
     * best-scored response as `chosen` and the worst as `rejected`,
     * with fully deterministic tie-breaks (max score ties → min id;

@@ -597,6 +597,52 @@ class ExportSpec extends AnyFunSuite {
       s"never a global sort/exchange:\n$p")
   }
 
+  test("spanCorruption: sentinels number spans in order; round-trip covers every token") {
+    val rows = Seq((7L, (1 to 40).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = Export.spanCorruption(rows, rate = 0.3).collect().head
+    val input = r.getAs[String]("input_text").split(" ").toSeq
+    val target = r.getAs[String]("target_text").split(" ").toSeq
+    val nSpans = r.getAs[Int]("n_spans")
+    val nMasked = r.getAs[Int]("n_masked")
+    assert(nMasked >= 1 && nSpans >= 1, "rate 0.3 on 40 tokens must mask")
+    // sentinels appear 1..n_spans in order, in BOTH input and target
+    val sentinels = (1 to nSpans).map(k => s"<extra_id_$k>")
+    assert(input.filter(_.startsWith("<extra")) === sentinels)
+    assert(target.filter(_.startsWith("<extra")) === sentinels)
+    // reconstruction: replacing each input sentinel with its target
+    // span restores the original token sequence exactly
+    val spans = {
+      val m = scala.collection.mutable.Map[String, Seq[String]]()
+      var cur: String = null
+      target.foreach { t =>
+        if (t.startsWith("<extra")) { cur = t; m(cur) = Seq() }
+        else m(cur) = m(cur) :+ t
+      }
+      m.toMap
+    }
+    val rebuilt = input.flatMap(t =>
+      if (t.startsWith("<extra")) spans(t) else Seq(t))
+    assert(rebuilt === (1 to 40).map(i => s"w$i"),
+      "input+target must reconstruct the original")
+    assert(spans.values.map(_.size).sum === nMasked)
+  }
+
+  test("needleEval: needle lands at the floor(depth*n) token boundary") {
+    val rows = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Export.needleEval(rows, "THE_NEEDLE", Seq(0.0, 0.5, 1.0))
+      .collect().map(r => r.getAs[Double]("depth_pct") -> r).toMap
+    assert(out(0.0).getAs[Int]("needle_pos") === 0)
+    assert(out(0.5).getAs[Int]("needle_pos") === 5)
+    assert(out(1.0).getAs[Int]("needle_pos") === 10)
+    val mid = out(0.5).getAs[String]("haystack").split(" ").toSeq
+    assert(mid.indexOf("THE_NEEDLE") === 5)
+    assert(mid.size === 11)
+    // depth 1.0: needle at the very end
+    assert(out(1.0).getAs[String]("haystack").endsWith("THE_NEEDLE"))
+  }
+
   test("renderChatML: offsets point at content inside the rendered template") {
     val turns = Seq(
       (1L, 1, "user", "hi"),
