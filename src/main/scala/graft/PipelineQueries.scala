@@ -9189,6 +9189,99 @@ object PipelineQueries {
         .select(col("doc_id"), col("depth_pct"), col("needle_pos"),
           col("n_tokens"), col("haystack"))
         .orderBy(col("doc_id"), col("depth_pct"))
+    },
+
+    // Composed ROLLOUT-to-training pipeline (the RL-side twin of
+    // q_admission_pipeline_v2): 8 rollouts per prompt → GRPO advantage
+    // normalization → keep positive-advantage samples (zero-variance
+    // prompts drop whole — the %13=5 plant pins that branch through
+    // the chain) → best-of-n (k=1) rejection-sampling selection on the
+    // ROUNDED reward → ChatML render of the winner with the assistant
+    // loss span. The oracle chains all four recomputations: sorted
+    // mean/var folds, the rounded advantage gate, the (rounded reward
+    // DESC, id) argmax, and the template rendering (md5 + offsets).
+    q("q_rollout_pipeline",
+      """WITH s AS (SELECT doc_id, text, unnest(range(1, 9)) AS i
+        |           FROM documents),
+        |r AS (SELECT doc_id, i,
+        |        CASE WHEN doc_id % 13 = 5 THEN 0.5
+        |             ELSE ((doc_id * 7 + i * 13) % 97) / 96.0 END AS rw,
+        |        'resp ' || i::VARCHAR || ' '
+        |          || substr(text, CAST(1 + 3 * i AS INT), 12) AS resp
+        |      FROM s),
+        |g AS (SELECT doc_id, count(*) AS n,
+        |        list(rw ORDER BY rw) AS rs FROM r GROUP BY 1),
+        |m AS (SELECT doc_id, n,
+        |        list_aggregate(rs, 'sum') / n AS mean, rs FROM g),
+        |v AS (SELECT doc_id, mean,
+        |        list_aggregate(list_transform(rs,
+        |          x -> (x - mean) * (x - mean)), 'sum') / n AS var
+        |      FROM m),
+        |pos AS (SELECT r.doc_id, r.i, r.rw, r.resp
+        |      FROM r JOIN v ON r.doc_id = v.doc_id
+        |      WHERE var > 0
+        |        AND round((r.rw - mean) / sqrt(var), 6) > 0),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos
+        |        FROM pos GROUP BY 1),
+        |best AS (SELECT doc_id, i, rw, resp, row_number() OVER (
+        |        PARTITION BY doc_id
+        |        ORDER BY round(rw, 6) DESC, i ASC) AS rk
+        |      FROM pos),
+        |sel AS (SELECT b.doc_id, CAST(b.i AS INT) AS best_i,
+        |        round(b.rw, 6) AS best_reward, b.resp, n_pos
+        |      FROM best b JOIN cnt ON b.doc_id = cnt.doc_id
+        |      WHERE rk = 1),
+        |rend AS (SELECT doc_id, best_i, best_reward, n_pos,
+        |    '<|im_start|>user' || chr(10) || 'prompt '
+        |      || doc_id::VARCHAR || '<|im_end|>' || chr(10) AS seg1,
+        |    '<|im_start|>assistant' || chr(10) || resp
+        |      || '<|im_end|>' || chr(10) AS seg2,
+        |    resp FROM sel)
+        |SELECT doc_id, n_pos, best_i, best_reward,
+        |  md5(seg1 || seg2) AS render_md5,
+        |  CAST(length(seg1) + 22 AS BIGINT) AS a_start,
+        |  CAST(length(seg1) + 22 + length(resp) AS BIGINT) AS a_end
+        |FROM rend ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val samples = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("i", explode(sequence(lit(1), lit(8))))
+        .select(col("doc_id"), col("i"),
+          when(pmod(col("doc_id"), lit(13)) === 5, lit(0.5))
+            .otherwise(pmod(col("doc_id") * 7 + col("i") * 13, lit(97))
+              .cast("double") / 96.0).as("rw"),
+          concat(lit("resp "), col("i").cast("string"), lit(" "),
+            col("text").substr(lit(1) + col("i") * 3, lit(12)))
+            .as("resp"))
+      val pos = graft.ops.Rollouts.grpoAdvantage(samples, "doc_id", "rw")
+        .filter(col("advantage") > 0)
+      val best = graft.ops.Export.bestOfN(
+          pos.select(col("doc_id"), col("i"), col("rw")),
+          "doc_id", "i", col("rw"), k = 1)
+        .select(col("doc_id"), col("response_id").as("best_i"),
+          col("score").as("best_reward"),
+          col("n_candidates").as("n_pos"))
+      val withResp = best.join(
+        samples.select(col("doc_id"), col("i").as("best_i"),
+          col("resp")), Seq("doc_id", "best_i"))
+      val turns = withResp.select(col("doc_id"),
+          explode(array(
+            struct(lit(1).as("o"), lit("user").as("role"),
+              concat(lit("prompt "), col("doc_id").cast("string"))
+                .as("content")),
+            struct(lit(2).as("o"), lit("assistant").as("role"),
+              col("resp").as("content")))).as("t"))
+        .select(col("doc_id"), col("t.o").as("o"),
+          col("t.role").as("role"), col("t.content").as("content"))
+      val rendered = graft.ops.Export.renderChatML(turns, col("doc_id"),
+          col("o"), col("role"), col("content"))
+        .select(col("conv").as("doc_id"), md5(col("text")).as("render_md5"),
+          element_at(col("spans"), 2).getField("start").as("a_start"),
+          element_at(col("spans"), 2).getField("end").as("a_end"))
+      withResp.join(rendered, Seq("doc_id"))
+        .select(col("doc_id"), col("n_pos"), col("best_i"),
+          col("best_reward"), col("render_md5"), col("a_start"),
+          col("a_end"))
+        .orderBy(col("doc_id"))
     }
   )
 
