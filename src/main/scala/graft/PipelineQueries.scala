@@ -9282,6 +9282,117 @@ object PipelineQueries {
           col("best_reward"), col("render_md5"), col("a_start"),
           col("a_end"))
         .orderBy(col("doc_id"))
+    },
+
+    // Temporal PSI: every quarter of the event time range vs the
+    // first quarter, bins from window 0's exact deciles (the
+    // psiBySource discipline with the window as the slice key). The
+    // oracle recomputes the range, window assignment, bucket counts,
+    // the eps-floored contributions and the verdict bands.
+    q("q_psi_over_time",
+      """WITH e AS (SELECT epoch_ns(ts) // 1000000 AS em, value
+        |           FROM events),
+        |rng AS (SELECT min(em) AS mn, max(em) AS mx FROM e),
+        |w AS (SELECT CAST(least(3, floor((em - mn) * 4
+        |        / (mx - mn + 1))) AS INT) AS window_id, value
+        |      FROM e, rng),
+        |r AS (SELECT value FROM w WHERE window_id = 0),
+        |c AS (SELECT window_id, value FROM w WHERE window_id > 0),
+        |bs AS (SELECT quantile_cont(value,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS b FROM r),
+        |rb AS (SELECT CAST(1 + len(list_filter(bs.b,
+        |      x -> CAST(value AS DOUBLE) > x)) AS INTEGER) AS bucket,
+        |    count(*) AS nr FROM r, bs GROUP BY 1),
+        |ax AS (SELECT unnest(generate_series(1, 10)) AS bucket),
+        |rb2 AS (SELECT ax.bucket, coalesce(nr, 0) AS nr
+        |        FROM ax LEFT JOIN rb USING (bucket)),
+        |tr AS (SELECT sum(nr)::DOUBLE AS tr FROM rb2),
+        |cb AS (SELECT window_id, CAST(1 + len(list_filter(bs.b,
+        |      x -> CAST(value AS DOUBLE) > x)) AS INTEGER) AS bucket,
+        |    count(*) AS nc FROM c, bs GROUP BY 1, 2),
+        |st AS (SELECT window_id, sum(nc)::DOUBLE AS tc
+        |       FROM cb GROUP BY 1),
+        |grid AS (SELECT st.window_id, rb2.bucket, rb2.nr, st.tc,
+        |    coalesce(cb.nc, 0) AS nc
+        |  FROM st CROSS JOIN rb2 LEFT JOIN cb
+        |    ON cb.window_id = st.window_id AND cb.bucket = rb2.bucket),
+        |sc AS (SELECT window_id, tc, round(
+        |    (greatest(nr / tr, 1e-6) - greatest(nc / tc, 1e-6)) *
+        |    ln(greatest(nr / tr, 1e-6) / greatest(nc / tc, 1e-6)), 6)
+        |    AS contrib FROM grid, tr),
+        |agg AS (SELECT window_id, CAST(max(tc) AS BIGINT) AS n_rows,
+        |    round(sum(contrib), 6) AS psi FROM sc GROUP BY 1)
+        |SELECT window_id, n_rows, psi,
+        |  CASE WHEN psi < 0.1 THEN 'stable'
+        |       WHEN psi < 0.25 THEN 'moderate'
+        |       ELSE 'major' END AS verdict
+        |FROM agg ORDER BY window_id""".stripMargin) { (s, dir) =>
+      graft.ops.Drift.psiOverTime(t(s, dir, "events"), "ts", "value",
+          nWindows = 4, bins = 10)
+        .orderBy(col("window_id"))
+    },
+
+    // Composed spectral outlier screen: fit the top singular direction
+    // (the q_power_iteration chain), project every vector (plan-
+    // literal narrow scan), robust-z the projections per label
+    // (median/MAD — outlier-insensitive), flag |rz| > 2.5. Pins the
+    // spectral fit THROUGH the robust standardization: the oracle
+    // refits the whole 3-iteration chain, recomputes every projection
+    // and both medians.
+    q("q_spectral_outliers",
+      """WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+        |              FROM embeddings),
+        |ax AS (SELECT unnest(range(1, 65)) AS j),
+        |s1 AS (SELECT emb, list_aggregate(
+        |    list_transform(emb, x -> x * 0.125), 'sum') AS s FROM base),
+        |u1 AS (SELECT j, round(avg(emb[j] * s), 9) AS uj
+        |       FROM s1, ax GROUP BY j),
+        |n1 AS (SELECT sqrt(list_aggregate(list_transform(
+        |    list(uj ORDER BY j), x -> x * x), 'sum')) AS nrm FROM u1),
+        |v1 AS (SELECT list(round(uj / nrm, 9) ORDER BY j) AS v
+        |       FROM u1, n1),
+        |s2 AS (SELECT emb, list_aggregate(list_transform(range(1, 65),
+        |    j -> emb[j] * v[j]), 'sum') AS s FROM base, v1),
+        |u2 AS (SELECT j, round(avg(emb[j] * s), 9) AS uj
+        |       FROM s2, ax GROUP BY j),
+        |n2 AS (SELECT sqrt(list_aggregate(list_transform(
+        |    list(uj ORDER BY j), x -> x * x), 'sum')) AS nrm FROM u2),
+        |v2 AS (SELECT list(round(uj / nrm, 9) ORDER BY j) AS v
+        |       FROM u2, n2),
+        |s3 AS (SELECT emb, list_aggregate(list_transform(range(1, 65),
+        |    j -> emb[j] * v[j]), 'sum') AS s FROM base, v2),
+        |u3 AS (SELECT j, round(avg(emb[j] * s), 9) AS uj
+        |       FROM s3, ax GROUP BY j),
+        |n3 AS (SELECT sqrt(list_aggregate(list_transform(
+        |    list(uj ORDER BY j), x -> x * x), 'sum')) AS nrm FROM u3),
+        |v3l AS (SELECT list(round(uj / nrm, 9) ORDER BY j) AS v
+        |        FROM u3, n3),
+        |pr AS (SELECT vec_id, label,
+        |    round(list_aggregate(list_transform(range(1, 65),
+        |      j -> emb[j] * v[j]), 'sum'), 6) AS projection
+        |  FROM base, v3l),
+        |m AS (SELECT label, median(projection) AS med FROM pr
+        |      GROUP BY label),
+        |a AS (SELECT pr.vec_id, pr.label, pr.projection, m.med
+        |      FROM pr JOIN m USING (label)),
+        |md AS (SELECT label, median(abs(projection - med)) AS mad
+        |       FROM a GROUP BY label)
+        |SELECT a.vec_id, a.label, a.projection,
+        |  CASE WHEN md.mad > 0 THEN round((a.projection - a.med)
+        |    / (1.4826 * md.mad), 6) END AS rz,
+        |  CASE WHEN md.mad > 0 THEN abs(round((a.projection - a.med)
+        |    / (1.4826 * md.mad), 6)) > 2.5 END AS is_outlier
+        |FROM a JOIN md USING (label)
+        |ORDER BY a.vec_id""".stripMargin) { (s, dir) =>
+      val embs = t(s, dir, "embeddings")
+      val d = graft.ops.Spectral.topDirection(embs, dim = 64,
+        iterations = 3)
+      val proj = graft.ops.Spectral.project(embs, d)
+        .select(col("vec_id"), col("label"), col("projection"))
+      graft.ops.Quality.robustScore(proj, col("projection"), "label")
+        .select(col("vec_id"), col("label"), col("projection"),
+          col("rz"), (abs(col("rz")) > 2.5).as("is_outlier"))
+        .orderBy(col("vec_id"))
     }
   )
 

@@ -121,6 +121,31 @@ object Drift {
       .select(col(sourceCol), col("n_rows"), col("psi"), col("verdict"))
   }
 
+  /** TEMPORAL drift monitor — PSI of every time window against the
+    * FIRST window (the deployment-monitoring layout: when did the
+    * score distribution move, not just whether): events bucket into
+    * `nWindows` equal spans of the observed time range (window id =
+    * `min(n−1, ⌊(t−min)·n/(max−min+1)⌋)` — the double division of
+    * exact longs is correctly rounded and ≥1e-11 away from integer
+    * boundaries, so the floor is engine-stable), then
+    * [[psiBySource]] runs with the window as the slice key — bins from
+    * window 0's exact quantiles, comparable across rows. One range
+    * aggregate + the psiBySource shape. */
+  def psiOverTime(events: DataFrame, tsCol: String, scoreCol: String,
+      nWindows: Int, bins: Int = 10, eps: Double = 1e-6): DataFrame = {
+    require(nWindows >= 2, s"nWindows=$nWindows")
+    val e = unix_millis(col(tsCol).cast("timestamp"))
+    val based = events.select(e.as("_e"), col(scoreCol))
+    val rng = based.agg(min("_e").as("_mn"), max("_e").as("_mx"))
+    val wined = based.crossJoin(broadcast(rng))
+      .withColumn("window_id", least(lit(nWindows - 1),
+        floor((col("_e") - col("_mn")) * nWindows /
+          (col("_mx") - col("_mn") + 1))).cast("int"))
+    psiBySource(wined.filter(col("window_id") === 0),
+      wined.filter(col("window_id") > 0), scoreCol, "window_id",
+      bins, eps)
+  }
+
   /** Exact two-sample KS statistic: D = sup|F_ref − F_cur| over the
     * union of observed values, computed on the distinct-value count
     * classes. `at_value` is the smallest value attaining D (ties on

@@ -342,6 +342,46 @@ SELECT least(
   (SELECT min(d) FROM u3), (SELECT d FROM lam)) AS min_dist
 """
 
+# q_psi_over_time: the q_psi_by_source shape with the time window as
+# the slice key — audit every eps-floored ln contribution and the
+# per-window sums (libm ln is the cross-engine risk; window
+# assignment itself is exact long arithmetic).
+MANUAL['q_psi_over_time'] = """
+WITH e AS (SELECT epoch_ns(ts) // 1000000 AS em, value FROM events),
+rng AS (SELECT min(em) AS mn, max(em) AS mx FROM e),
+w AS (SELECT CAST(least(3, floor((em - mn) * 4
+        / (mx - mn + 1))) AS INT) AS window_id, value FROM e, rng),
+r AS (SELECT value FROM w WHERE window_id = 0),
+c AS (SELECT window_id, value FROM w WHERE window_id > 0),
+bs AS (SELECT quantile_cont(value,
+    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS b FROM r),
+rb AS (SELECT CAST(1 + len(list_filter(bs.b,
+      x -> CAST(value AS DOUBLE) > x)) AS INTEGER) AS bucket,
+    count(*) AS nr FROM r, bs GROUP BY 1),
+ax AS (SELECT unnest(generate_series(1, 10)) AS bucket),
+rb2 AS (SELECT ax.bucket, coalesce(nr, 0) AS nr
+        FROM ax LEFT JOIN rb USING (bucket)),
+tr AS (SELECT sum(nr)::DOUBLE AS tr FROM rb2),
+cb AS (SELECT window_id, CAST(1 + len(list_filter(bs.b,
+      x -> CAST(value AS DOUBLE) > x)) AS INTEGER) AS bucket,
+    count(*) AS nc FROM c, bs GROUP BY 1, 2),
+st AS (SELECT window_id, sum(nc)::DOUBLE AS tc FROM cb GROUP BY 1),
+grid AS (SELECT st.window_id, rb2.bucket, rb2.nr, st.tc,
+    coalesce(cb.nc, 0) AS nc
+  FROM st CROSS JOIN rb2 LEFT JOIN cb
+    ON cb.window_id = st.window_id AND cb.bucket = rb2.bucket),
+sc AS (SELECT window_id, tc,
+    round((greatest(nr / tr, 1e-6) - greatest(nc / tc, 1e-6)) *
+      ln(greatest(nr / tr, 1e-6) / greatest(nc / tc, 1e-6)), 6) AS contrib,
+    gdist((greatest(nr / tr, 1e-6) - greatest(nc / tc, 1e-6)) *
+      ln(greatest(nr / tr, 1e-6) / greatest(nc / tc, 1e-6)), 6) AS dc
+    FROM grid, tr),
+ps AS (SELECT window_id, sum(contrib) AS psum FROM sc GROUP BY window_id)
+SELECT least(
+  (SELECT min(dc) FROM sc),
+  (SELECT min(gdist(psum, 6)) FROM ps)) AS min_dist
+"""
+
 # q_spectral_topk: the q_power_iteration chain run TWICE with the
 # exact residual layer between — audit every per-dim avg and both
 # Rayleigh avgs across the six quantized steps. Generated to stay in
