@@ -9393,6 +9393,61 @@ object PipelineQueries {
         .select(col("vec_id"), col("label"), col("projection"),
           col("rz"), (abs(col("rz")) > 2.5).as("is_outlier"))
         .orderBy(col("vec_id"))
+    },
+
+    // Weak-supervision label model (Snorkel-style majority bootstrap):
+    // three synthetic labeling functions over the lang column — one
+    // reliable, one wrong on %3=0, one wrong on %2=0 and abstaining on
+    // %7=0. The oracle recomputes the majority (count DESC, label ASC),
+    // every function's exact agreement rational, the lf-ordered
+    // accuracy-sum re-vote and the changed flag.
+    q("q_weak_labels",
+      """WITH v AS (
+        |  SELECT doc_id, 1 AS lf_id, lang AS label FROM documents
+        |  UNION ALL SELECT doc_id, 2,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'xx' ELSE lang END
+        |  FROM documents
+        |  UNION ALL SELECT doc_id, 3,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'yy' ELSE lang END
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |c AS (SELECT doc_id, label, count(*) AS n FROM v GROUP BY 1, 2),
+        |mj AS (SELECT doc_id, label AS majority_label FROM (
+        |    SELECT doc_id, label, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY n DESC, label ASC) AS rk FROM c)
+        |  WHERE rk = 1),
+        |ac AS (SELECT lf_id,
+        |    sum(CASE WHEN v.label = mj.majority_label THEN 1
+        |        ELSE 0 END)::DOUBLE / count(*) AS acc
+        |  FROM v JOIN mj USING (doc_id) GROUP BY lf_id),
+        |nv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_votes
+        |       FROM v GROUP BY 1),
+        |sc AS (SELECT doc_id, label,
+        |    list_aggregate(list(acc ORDER BY v.lf_id), 'sum') AS score
+        |  FROM v JOIN ac USING (lf_id) GROUP BY doc_id, label),
+        |pk AS (SELECT doc_id, label AS wl_label, score FROM (
+        |    SELECT doc_id, label, score, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rk
+        |    FROM sc)
+        |  WHERE rk = 1)
+        |SELECT pk.doc_id, mj.majority_label, pk.wl_label,
+        |  round(pk.score, 6) AS wl_score, nv.n_votes,
+        |  pk.wl_label <> mj.majority_label AS changed
+        |FROM pk JOIN mj USING (doc_id) JOIN nv USING (doc_id)
+        |ORDER BY pk.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val v1 = docs.select(col("doc_id"), lit(1).as("lf_id"),
+        col("lang").as("label"))
+      val v2 = docs.select(col("doc_id"), lit(2).as("lf_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("xx"))
+          .otherwise(col("lang")).as("label"))
+      val v3 = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id"), lit(3).as("lf_id"),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("yy"))
+            .otherwise(col("lang")).as("label"))
+      graft.ops.WeakLabel.labelModel(v1.unionByName(v2).unionByName(v3))
+        .select(col("doc_id"), col("majority_label"), col("wl_label"),
+          col("wl_score"), col("n_votes"), col("changed"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Programmatic (weak-supervision) labeling — the Snorkel-style label
+  * model (Ratner et al., VLDB 2018) reduced to its deterministic core:
+  * many noisy LABELING FUNCTIONS (regex rules, heuristics, distant
+  * supervision) vote per document, possibly abstaining; the label model
+  * estimates each function's reliability and re-votes with those
+  * weights. This is how a curation team labels millions of documents
+  * (quality tiers, topics, safety classes) from dozens of rules without
+  * per-doc human labels — the upstream supplier of
+  * [[Classifier.trainLogistic]]'s training sets.
+  *
+  * The published recipe's EM is replaced by ONE closed agreement pass
+  * (the standard majority-bootstrap): round 1 takes the per-doc
+  * majority (count DESC, label ASC tie order); each function's accuracy
+  * is its agreement rate with that majority over the docs it voted on
+  * (an exact votes/agreements rational); round 2 re-votes with each
+  * label scored by the SUM of its voters' accuracies, folded in lf_id
+  * order (the mlOrderedMean discipline — bit-stable under any
+  * partitioning), argmax with the same tie order. Deterministic end to
+  * end; one iteration is stated, not hidden.
+  *
+  * Scale shape: two (doc, label) grid aggregates + one per-doc window
+  * on the bounded label grid per round; the |functions|-row accuracy
+  * frame broadcast-joins back to the votes. Votes shuffle twice on the
+  * doc key; nothing corpus-quadratic anywhere.
+  *
+  * Output: one row per doc — (doc, majority_label, wl_label, wl_score
+  * rounded 6, n_votes, changed). */
+object WeakLabel {
+
+  def labelModel(votes: DataFrame, docCol: String = "doc_id",
+      lfCol: String = "lf_id", labelCol: String = "label"): DataFrame = {
+    val counts = votes.groupBy(col(docCol), col(labelCol))
+      .agg(count(lit(1)).as("_n"))
+    val maj = counts.withColumn("_rk", row_number().over(
+        Window.partitionBy(col(docCol))
+          .orderBy(col("_n").desc, col(labelCol).asc)))
+      .filter(col("_rk") === 1)
+      .select(col(docCol), col(labelCol).as("majority_label"))
+    // per-function reliability: agreement with the round-1 majority
+    // over the docs it voted on — an exact int/int rational
+    val acc = votes.join(maj, Seq(docCol))
+      .groupBy(col(lfCol))
+      .agg((sum((col(labelCol) === col("majority_label")).cast("int"))
+        .cast("double") / count(lit(1))).as("_acc"))
+    val nv = votes.groupBy(col(docCol)).agg(count(lit(1)).as("n_votes"))
+    val scored = votes.join(broadcast(acc), Seq(lfCol))
+      .groupBy(col(docCol), col(labelCol))
+      .agg(array_sort(collect_list(
+        struct(col(lfCol).as("l"), col("_acc").as("a")))).as("_w"))
+      .withColumn("_score", aggregate(col("_w"), lit(0.0),
+        (s, e) => s + e.getField("a")))
+    val pick = scored.withColumn("_rk", row_number().over(
+        Window.partitionBy(col(docCol))
+          .orderBy(col("_score").desc, col(labelCol).asc)))
+      .filter(col("_rk") === 1)
+    pick.join(maj, Seq(docCol)).join(nv, Seq(docCol))
+      .select(col(docCol), col("majority_label"),
+        col(labelCol).as("wl_label"),
+        round(col("_score"), 6).as("wl_score"), col("n_votes"),
+        (col(labelCol) =!= col("majority_label")).as("changed"))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.scalatest.funsuite.AnyFunSuite
+
+class WeakLabelSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("labelModel: accuracy-weighted re-vote overrides a weak majority") {
+    // lf 1 ("A") votes 'aaa' on every doc; lfs 2/3 vote unique junk on
+    // docs 1..8 and coincide on 'zzz' for doc 9. Majority: 'aaa' wins
+    // docs 1..8 by the label-ASC tie, 'zzz' wins doc 9 by count 2.
+    // Accuracies vs that majority: lf1 = 8/9, lf2 = lf3 = 1/9 — so the
+    // weighted re-vote on doc 9 scores aaa 8/9 > zzz 2/9 and FLIPS it.
+    val votes = ((1 to 9).map(i => (i.toLong, 1, "aaa")) ++
+      (1 to 8).map(i => (i.toLong, 2, s"b$i")) ++
+      (1 to 8).map(i => (i.toLong, 3, s"c$i")) ++
+      Seq((9L, 2, "zzz"), (9L, 3, "zzz")))
+      .toDF("doc_id", "lf_id", "label")
+    val out = WeakLabel.labelModel(votes).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    (1L to 8L).foreach { d =>
+      assert(out(d).getAs[String]("majority_label") === "aaa",
+        s"doc $d majority (3-way tie -> label asc)")
+      assert(out(d).getAs[String]("wl_label") === "aaa")
+      assert(!out(d).getAs[Boolean]("changed"))
+    }
+    val d9 = out(9L)
+    assert(d9.getAs[String]("majority_label") === "zzz")
+    assert(d9.getAs[String]("wl_label") === "aaa",
+      "the high-accuracy function must override the weak pair")
+    assert(d9.getAs[Boolean]("changed"))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(d9.getAs[Double]("wl_score") === r6(8.0 / 9.0))
+    assert(d9.getAs[Long]("n_votes") === 3)
+  }
+
+  test("labelModel is repartition-invariant (ordered accuracy folds)") {
+    val votes = (1 to 60).flatMap { i =>
+      Seq((i.toLong, 1, s"l${i % 3}"), (i.toLong, 2, s"l${i % 4}"),
+        (i.toLong, 3, s"l${(i + 1) % 3}"))
+    }.toDF("doc_id", "lf_id", "label")
+    def run(rp: Int) = WeakLabel.labelModel(votes.repartition(rp))
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(run(1) === run(13))
+  }
+}
