@@ -9448,6 +9448,69 @@ object PipelineQueries {
         .select(col("doc_id"), col("majority_label"), col("wl_label"),
           col("wl_score"), col("n_votes"), col("changed"))
         .orderBy(col("doc_id"))
+    },
+
+    // ROUGE-L kernel certificate: per doc, three edits of its first 32
+    // normalized tokens with CLOSED-FORM LCS — substitution by
+    // collision-proof sentinels (LCS = n − subs: any common
+    // subsequence avoids the sentinels), deletion (b ⊆ a ⇒ LCS = |b|),
+    // insertion (a ⊆ b ⇒ LCS = n). The oracle recomputes the closed
+    // forms and the EXACT kernel ratio arithmetic (2·p·r/(p+r), same
+    // IEEE op order) — equality proves the O(n·m) DP.
+    q("q_rouge_lcs",
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(substr(text, 1, 200)),
+        |                '[^a-z0-9]+'), t -> t <> '') AS t0
+        |  FROM documents),
+        |x AS (SELECT doc_id, list_slice(t0, 1, 32) AS tk FROM d),
+        |g AS (SELECT doc_id, len(tk) AS n,
+        |    len(list_filter(range(1, len(tk) + 1), i -> i % 5 = 2)) AS ps,
+        |    len(list_filter(range(1, len(tk) + 1), i -> i % 7 = 3)) AS pd,
+        |    len(list_filter(range(1, len(tk) + 1), i -> i % 9 = 4)) AS pi
+        |  FROM x WHERE len(tk) >= 10),
+        |pr AS (SELECT doc_id, n, ps, pd, pi,
+        |    CAST(n - ps AS DOUBLE) / n AS sp,
+        |    CAST(n - pd AS DOUBLE) / n AS dp,
+        |    CAST(n - pd AS DOUBLE) / (n - pd) AS dr,
+        |    CAST(n AS DOUBLE) / n AS ip,
+        |    CAST(n AS DOUBLE) / (n + pi) AS ir
+        |  FROM g)
+        |SELECT doc_id, CAST(n AS INT) AS n,
+        |  CAST(n - ps AS INT) AS lcs_sub,
+        |  round(2.0 * sp * sp / (sp + sp), 6) AS f_sub,
+        |  CAST(n - pd AS INT) AS lcs_del,
+        |  round(2.0 * dp * dr / (dp + dr), 6) AS f_del,
+        |  CAST(n AS INT) AS lcs_ins,
+        |  round(2.0 * ip * ir / (ip + ir), 6) AS f_ins
+        |FROM pr ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks0 = filter(
+        split(lower(substring(col("text"), 1, 200)), "[^a-z0-9]+"),
+        t => t =!= "")
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), slice(toks0, 1, 32).as("_tk"))
+        .filter(size(col("_tk")) >= 10)
+      val aTxt = array_join(col("_tk"), " ")
+      val bSub = array_join(transform(col("_tk"), (x, i) =>
+        when(pmod(i + 1, lit(5)) === 2,
+          concat(lit("zzqq"), (i + 1).cast("string"))).otherwise(x)), " ")
+      val bDel = array_join(
+        filter(col("_tk"), (_, i) => pmod(i + 1, lit(7)) =!= 3), " ")
+      val bIns = array_join(flatten(transform(col("_tk"), (x, i) =>
+        when(pmod(i + 1, lit(9)) === 4,
+          array(x, concat(lit("zzqqi"), (i + 1).cast("string"))))
+          .otherwise(array(x)))), " ")
+      val rl = graft.functions.GraftFunctions.rougeL _
+      base.select(col("doc_id"), size(col("_tk")).as("n"),
+          rl(aTxt, bSub).as("_s"), rl(aTxt, bDel).as("_d"),
+          rl(aTxt, bIns).as("_i"))
+        .select(col("doc_id"), col("n"),
+          col("_s.lcs_len").as("lcs_sub"),
+          round(col("_s.rouge_f"), 6).as("f_sub"),
+          col("_d.lcs_len").as("lcs_del"),
+          round(col("_d.rouge_f"), 6).as("f_del"),
+          col("_i.lcs_len").as("lcs_ins"),
+          round(col("_i.rouge_f"), 6).as("f_ins"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -534,6 +534,35 @@ object Dedup {
       .filter(col("edit_dist") <= maxDist)
   }
 
+  /** ROUGE-L near-dup — the SELF-INSTRUCT instruction-dedup gate (Wang
+    * et al. 2023 §3.2 drop new instructions whose ROUGE-L against any
+    * existing one exceeds 0.7): token-level LCS F-score over
+    * MinHash-banded candidate pairs (never all-pairs — the
+    * [[editDistanceNearDups]] shape with the token-sequence verifier
+    * instead of the character DP). The verifier is the codegen'd
+    * [[org.apache.spark.sql.graft.LcsKernel]] — O(|a|·|b|) ints per
+    * candidate pair, fused into the join project. Emits
+    * (id_a, id_b, lcs_len, rouge_f) for pairs at or above `minF`. */
+  def rougeLNearDups(docs: DataFrame, n: Int, k: Int, bands: Int,
+      minF: Double, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minF > 0 && minF <= 1, s"minF=$minF")
+    val arrs = shingleArrays(docs, n, idCol, textCol)
+    val cands = lshCandidates(lshBands(minhashSignatureArray(arrs, k), k, bands))
+    val texts = docs.select(col(idCol).as("_eid"), col(textCol).as("_et"))
+    cands
+      .join(texts.select(col("_eid").as("id_a"), col("_et").as("_ta")),
+        Seq("id_a"))
+      .join(texts.select(col("_eid").as("id_b"), col("_et").as("_tb")),
+        Seq("id_b"))
+      .withColumn("_r",
+        graft.functions.GraftFunctions.rougeL(col("_ta"), col("_tb")))
+      .select(col("id_a"), col("id_b"),
+        col("_r.lcs_len").as("lcs_len"),
+        round(col("_r.rouge_f"), 6).as("rouge_f"))
+      .filter(col("rouge_f") >= minF)
+  }
+
   /** Cross-corpus MinHash near-dup: (inc_id, corp_id, jaccard) pairs
     * linking an incoming batch to an already-curated corpus — the
     * incremental leg of near-dedup, where [[dropAgainstCorpus]] handles

@@ -102,6 +102,63 @@ case class QaScore(left: Expression, right: Expression)
       r: Expression): QaScore = copy(left = l, right = r)
 }
 
+object LcsKernel {
+
+  val schema: StructType = StructType(Seq(
+    StructField("lcs_len", IntegerType, nullable = false),
+    StructField("rouge_p", DoubleType, nullable = false),
+    StructField("rouge_r", DoubleType, nullable = false),
+    StructField("rouge_f", DoubleType, nullable = false)))
+
+  /** Token-level LCS + ROUGE-L (Lin 2004): P = LCS/|candidate|,
+    * R = LCS/|reference|, F = 2PR/(P+R) — the similarity gate
+    * self-instruct-style instruction dedup uses (Wang et al. 2023
+    * filter new instructions at ROUGE-L > 0.7). Tokenization is
+    * [[QaScoreKernel.tokenize]] (the cross-engine core). The DP is the
+    * classic two-row O(|a|·|b|) ints; ratios are exact int/int IEEE.
+    * Empty-side pairs score 0 (P+R = 0 branch). */
+  def score(cand: UTF8String, ref: UTF8String): InternalRow = {
+    val a = QaScoreKernel.tokenize(cand)
+    val b = QaScoreKernel.tokenize(ref)
+    var prev = new Array[Int](b.length + 1)
+    var cur = new Array[Int](b.length + 1)
+    var i = 0
+    while (i < a.length) {
+      var j = 0
+      while (j < b.length) {
+        cur(j + 1) =
+          if (a(i) == b(j)) prev(j) + 1
+          else math.max(prev(j + 1), cur(j))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      java.util.Arrays.fill(cur, 0)
+      i += 1
+    }
+    val lcs = prev(b.length)
+    val p = if (a.length > 0) lcs.toDouble / a.length else 0.0
+    val r = if (b.length > 0) lcs.toDouble / b.length else 0.0
+    val f = if (p + r > 0) 2.0 * p * r / (p + r) else 0.0
+    InternalRow(lcs, p, r, f)
+  }
+}
+
+/** rouge_l(cand, ref) → struct(lcs_len, rouge_p, rouge_r, rouge_f) —
+  * see [[LcsKernel]]. */
+case class RougeL(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = LcsKernel.schema
+  override def prettyName: String = "rouge_l"
+  override protected def nullSafeEval(c: Any, r: Any): Any =
+    LcsKernel.score(c.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, r) =>
+      s"org.apache.spark.sql.graft.LcsKernel.score($c, $r)")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): RougeL = copy(left = l, right = r)
+}
+
 object LangSegmentsKernel {
 
   val schema: StructType = StructType(Seq(

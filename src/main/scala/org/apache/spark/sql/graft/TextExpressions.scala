@@ -682,6 +682,8 @@ object GraftFunctions {
     column(RepetitionStats(expression(c)))
   def qaScore(pred: Column, gold: Column): Column =
     column(QaScore(expression(pred), expression(gold)))
+  def rougeL(cand: Column, ref: Column): Column =
+    column(RougeL(expression(cand), expression(ref)))
   def langSegments(c: Column): Column =
     column(LangSegmentsExpr(expression(c)))
   def textEntropy(c: Column): Column = column(TextEntropy(expression(c)))

@@ -559,6 +559,48 @@ class DedupSpec extends AnyFunSuite {
       (2L, 3L, 2), (2L, 4L, 1)), s"got ${out.toSeq}")
   }
 
+  test("rougeL kernel: hand LCS cases and exact F ratios") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, "a b c d", "a b c d"),     // identical: LCS 4, F 1
+      (2L, "a b c d", "a x c d"),     // 1 sub: LCS 3
+      (3L, "a b c d", "b d"),         // ref subset: LCS 2
+      (4L, "a b c d", "w x y z"),     // disjoint: LCS 0, F 0
+      (5L, "a b a b", "b a b a"))     // repeats: LCS 3 (b a b)
+      .toDF("id", "ca", "re")
+    val out = pairs.select(col("id"),
+        graft.functions.GraftFunctions.rougeL(col("ca"), col("re")).as("r"))
+      .select(col("id"), col("r.lcs_len").as("l"), col("r.rouge_f").as("f"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2))))
+      .toMap
+    assert(out(1L) === ((4, 1.0)))
+    assert(out(2L)._1 === 3)
+    assert(out(3L) === ((2, 2.0 * 0.5 * 1.0 / 1.5)))
+    assert(out(4L) === ((0, 0.0)))
+    assert(out(5L)._1 === 3, "LCS must handle repeated tokens")
+  }
+
+  test("rougeLNearDups: planted rewrites pair above the gate, unrelated don't") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                   // F = 1
+      (3L, base.replace("lazy", "hazy")),           // 1 token sub
+      (4L, "a completely different sentence about spark plans and shuffles entirely"),
+      (5L, base.replace("quick brown", "slow red")) // 2 token subs
+    ).toDF("doc_id", "text")
+    val out = Dedup.rougeLNearDups(docs, n = 3, k = 16, bands = 16,
+        minF = 0.7)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)) && out.contains((1L, 3L)) &&
+      out.contains((2L, 3L)), s"rewrites must pair: $out")
+    assert(out.contains((1L, 5L)), "2-of-14 sub is F ~ 0.857, above 0.7")
+    assert(!out.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated text must not pair")
+  }
+
   test("codeNormalize: comments strip, identifiers/numbers class, whitespace folds") {
     import spark.implicits._
     val got = Seq(
