@@ -9511,6 +9511,53 @@ object PipelineQueries {
           col("_i.lcs_len").as("lcs_ins"),
           round(col("_i.rouge_f"), 6).as("f_ins"))
         .orderBy(col("doc_id"))
+    },
+
+    // Paired bootstrap significance (Koehn 2004): per-doc score diffs
+    // d = ((13·doc_id mod 21) − 9.5)/16 — exact binary rationals with
+    // a small planted effect (mean 1/32), so replicas BELOW zero
+    // actually occur and the ≤0 gate is exercised. The oracle
+    // re-derives every Poisson weight from the md5 ladder, every
+    // replica mean, the round-9 zero gate and the p-value.
+    q("q_paired_bootstrap",
+      """WITH r AS (SELECT doc_id,
+        |    (CAST((doc_id * 13) % 21 AS DOUBLE) - 9.5) / 16 AS d
+        |  FROM documents),
+        |e AS (SELECT replica, doc_id, d,
+        |        CAST(concat('0x', substr(md5('42:' ||
+        |            replica::VARCHAR || ':' || doc_id::VARCHAR),
+        |          1, 13)) AS BIGINT) / pow(16.0, 13) AS u
+        |      FROM r, generate_series(1, 50) AS gs(replica)),
+        |w AS (SELECT replica, d, CAST(CASE
+        |        WHEN u < 0.36787944117144233 THEN 0
+        |        WHEN u < 0.73575888234288467 THEN 1
+        |        WHEN u < 0.91969860292860584 THEN 2
+        |        WHEN u < 0.98101184312384626 THEN 3
+        |        WHEN u < 0.99634015317265634 THEN 4
+        |        WHEN u < 0.99940581518241833 THEN 5
+        |        WHEN u < 0.99991675885071196 THEN 6
+        |        WHEN u < 0.99998975080332531 THEN 7
+        |        ELSE 8 END AS DOUBLE) AS w FROM e),
+        |m AS (SELECT replica, CASE WHEN sum(w) > 0
+        |        THEN sum(w * d) / sum(w) END AS mean
+        |      FROM w GROUP BY 1),
+        |ag AS (SELECT CAST(count(mean) AS INTEGER) AS b,
+        |        CAST(sum(CASE WHEN round(mean, 9) <= 0 THEN 1 ELSE 0
+        |          END) AS DOUBLE) AS le FROM m),
+        |p AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |        avg(d) AS md FROM r)
+        |SELECT n_items, b, round(md, 6) AS mean_diff,
+        |  round(le / b, 6) AS p_le_zero,
+        |  le / b < 0.05 AS significant
+        |FROM ag, p""".stripMargin) { (s, dir) =>
+      val scores = t(s, dir, "documents").select(col("doc_id"),
+        ((pmod(col("doc_id") * 13, lit(21)).cast("double") - 9.5) / 16)
+          .as("a"),
+        lit(0.0).as("bb"))
+      graft.ops.Bootstrap.pairedTest(scores, "a", "bb", "doc_id",
+          b = 50)
+        .select(col("n_items"), col("b"), col("mean_diff"),
+          col("p_le_zero"), col("significant"))
     }
   )
 

@@ -82,6 +82,35 @@ object Bootstrap {
         sum("_w").cast("long").as("n_eff"))
   }
 
+  /** PAIRED bootstrap significance test (Koehn 2004, the standard
+    * eval-harness comparison of two systems scored on the same items):
+    * per item the score difference d = a − b, then B Poisson-replica
+    * means of d; `p_le_zero` is the fraction of replicas whose mean
+    * difference is ≤ 0 — how often resampling erases A's advantage
+    * (the one-sided bootstrap p-value). The ≤ 0 comparison runs on the
+    * ROUND-9 replica mean (the quantization discipline: a replica mean
+    * within float-order noise of 0 must decide identically on every
+    * engine; distances are boundary-audited). One narrow explode +
+    * one B-row aggregate — the [[replicaMeans]] shape. */
+  def pairedTest(scores: DataFrame, aCol: String, bCol: String,
+      keyCol: String, b: Int = 200, seed: Int = 42,
+      alpha: Double = 0.05): DataFrame = {
+    val diff = scores.select(
+      (col(aCol).cast("double") - col(bCol).cast("double")).as("_d"),
+      col(keyCol).as("_k"))
+    val reps = replicaMeans(diff, "_d", "_k", b, seed)
+    val point = diff.agg(avg("_d").as("_md"), count(lit(1)).as("n_items"))
+    reps.agg(count(col("mean")).as("n_replicas"),
+        sum(when(round(col("mean"), 9) <= 0, 1).otherwise(0)).as("_le"))
+      .crossJoin(broadcast(point))
+      .select(col("n_items"), col("n_replicas").cast("int").as("b"),
+        round(col("_md"), 6).as("mean_diff"),
+        round(col("_le").cast("double") / col("n_replicas"), 6)
+          .as("p_le_zero"),
+        (col("_le").cast("double") / col("n_replicas") < alpha)
+          .as("significant"))
+  }
+
   /** One-row bootstrap CI for the mean of `valueCol`: the corpus
     * point estimate plus the [lo, hi] percentile interval of the B
     * Poisson-replica means (percentile computed exactly over the

@@ -605,6 +605,41 @@ object ExplainCheck {
           col("i"), col("role"), col("content"))
         .queryExecution.explainString(fmt))
     }
+    println("########## op:Export.spanCorruption (zero-shuffle md5-gated scan kernel)")
+    println(graft.ops.Export.spanCorruption(docs)
+      .queryExecution.explainString(fmt))
+    println("########## op:Export.needleEval (per-(doc,depth) narrow slice arithmetic)")
+    println(graft.ops.Export.needleEval(docs, "NEEDLE", Seq(0.25, 0.75))
+      .queryExecution.explainString(fmt))
+    println("########## op:Sampling.chinchillaPlan (one source agg; |sources|-row plan grid)")
+    println(graft.ops.Sampling.chinchillaPlan(docs,
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), "\\s+")),
+        "source", flopsBudget = 1e21)
+      .queryExecution.explainString(fmt))
+    println("########## op:WeakLabel.labelModel (grid aggs + bounded label-grid windows; |lfs|-row accuracy broadcast)")
+    locally {
+      import org.apache.spark.sql.functions.{lit, pmod, when}
+      val v = docs.select(col("doc_id"), lit(1).as("lf_id"),
+          col("lang").as("label"))
+        .unionByName(docs.select(col("doc_id"), lit(2).as("lf_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("xx"))
+            .otherwise(col("lang")).as("label")))
+      println(graft.ops.WeakLabel.labelModel(v)
+        .queryExecution.explainString(fmt))
+    }
+    println("########## op:Dedup.rougeLNearDups (banded candidates; codegen LCS verify in the join project)")
+    println(graft.ops.Dedup.rougeLNearDups(docs, n = 3, k = 16,
+        bands = 16, minF = 0.7)
+      .queryExecution.explainString(fmt))
+    println("########## op:Drift.psiOverTime (range agg broadcast; the psiBySource shape on windows)")
+    println(graft.ops.Drift.psiOverTime(ev, "ts", "value", nWindows = 4)
+      .queryExecution.explainString(fmt))
+    println("########## op:Bootstrap.pairedTest (narrow replica explode into one partial agg; B-row rollup)")
+    println(graft.ops.Bootstrap.pairedTest(
+        docs.select(col("doc_id"), (col("n_chars") / 1000.0).as("a"),
+          (col("n_chars") / 2000.0).as("b")), "a", "b", "doc_id", b = 20)
+      .queryExecution.explainString(fmt))
     println("########## op:Spectral deflated scoring chain (residual layer stays a narrow zip_with; zero Exchange)")
     locally {
       val ds = graft.ops.Spectral.topDirections(embs, dim = 64, k = 2,

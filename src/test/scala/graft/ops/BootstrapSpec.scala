@@ -51,6 +51,26 @@ class BootstrapSpec extends AnyFunSuite {
       "CI must widen as n shrinks")
   }
 
+  test("pairedTest: p extremes — identical systems vs a clear winner") {
+    import spark.implicits._
+    // identical scores: every replica mean-diff is exactly 0 -> the
+    // round-9 <=0 gate fires for ALL contributing replicas, p = 1
+    val same = (1L to 200L).map(i => (i, 0.7, 0.7)).toDF("k", "a", "b")
+    val ps = Bootstrap.pairedTest(same, "a", "b", "k", b = 40)
+      .collect().head
+    assert(ps.getAs[Double]("p_le_zero") === 1.0)
+    assert(!ps.getAs[Boolean]("significant"))
+    assert(ps.getAs[Double]("mean_diff") === 0.0)
+    // a clear constant advantage: no resample can erase it, p = 0
+    val win = (1L to 200L).map(i => (i, 1.0, 0.0)).toDF("k", "a", "b")
+    val pw = Bootstrap.pairedTest(win, "a", "b", "k", b = 40)
+      .collect().head
+    assert(pw.getAs[Double]("p_le_zero") === 0.0)
+    assert(pw.getAs[Boolean]("significant"))
+    assert(pw.getAs[Double]("mean_diff") === 1.0)
+    assert(pw.getAs[Long]("n_items") === 200)
+  }
+
   test("cdfLiterals round-trip the exact doubles") {
     assert(Bootstrap.cdfLiterals.head === "0.36787944117144233")
     assert(Bootstrap.cdfLiterals.map(_.toDouble).zip(
