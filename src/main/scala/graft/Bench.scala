@@ -112,7 +112,8 @@ object Bench {
     "q_rrf_fusion", "q_int8_ann", "q_chat_render", "q_markdown_profile",
     "q_chinchilla_plan", "q_span_corruption", "q_needle_eval",
     "q_rollout_pipeline", "q_psi_over_time", "q_spectral_outliers",
-    "q_weak_labels", "q_rouge_lcs", "q_paired_bootstrap")
+    "q_weak_labels", "q_rouge_lcs", "q_paired_bootstrap",
+    "q_dialogue_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -9558,6 +9558,68 @@ object PipelineQueries {
           b = 50)
         .select(col("n_items"), col("b"), col("mean_diff"),
           col("p_le_zero"), col("significant"))
+    },
+
+    // Conversation structure audit: 5 synthetic turns per conv with a
+    // planted alternation violation (%4=1 puts user after user) and a
+    // planted assistant-first opening (%9=2). The oracle recomputes
+    // the lag-based violation count, role tallies, opening check and
+    // the exact assistant length mean.
+    q("q_dialogue_stats",
+      """WITH s AS (SELECT doc_id, text, unnest(range(1, 6)) AS i
+        |           FROM documents),
+        |t AS (SELECT doc_id, i,
+        |    CASE WHEN i = 1 THEN (CASE WHEN doc_id % 9 = 2
+        |           THEN 'assistant' ELSE 'user' END)
+        |         WHEN i = 2 THEN 'assistant'
+        |         WHEN i = 3 THEN 'user'
+        |         WHEN i = 4 THEN (CASE WHEN doc_id % 4 = 1
+        |           THEN 'user' ELSE 'assistant' END)
+        |         ELSE 'assistant' END AS role,
+        |    substr(text, CAST(1 + 4 * i AS INT), 9) AS content
+        |  FROM s),
+        |l AS (SELECT doc_id, i, role, content,
+        |    lag(role) OVER (PARTITION BY doc_id ORDER BY i) AS prev,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+        |  FROM t)
+        |SELECT doc_id AS conv, CAST(count(*) AS BIGINT) AS n_turns,
+        |  CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_user_turns,
+        |  CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_assistant_turns,
+        |  max(CASE WHEN rn = 1 AND role = 'user' THEN TRUE ELSE FALSE
+        |    END) AS starts_with_user,
+        |  CAST(sum(CASE WHEN prev = role THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violations,
+        |  round(coalesce(
+        |    sum(CASE WHEN role = 'assistant' THEN length(content)
+        |        ELSE 0 END)::DOUBLE
+        |    / (CASE WHEN sum(CASE WHEN role = 'assistant' THEN 1
+        |          ELSE 0 END) > 0
+        |        THEN sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0
+        |          END) END), 0.0), 4) AS mean_assistant_chars
+        |FROM l GROUP BY doc_id ORDER BY conv""".stripMargin) { (s, dir) =>
+      val turns = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("i", explode(sequence(lit(1), lit(5))))
+        .select(col("doc_id"), col("i"),
+          when(col("i") === 1,
+            when(pmod(col("doc_id"), lit(9)) === 2, lit("assistant"))
+              .otherwise(lit("user")))
+            .when(col("i") === 2, lit("assistant"))
+            .when(col("i") === 3, lit("user"))
+            .when(col("i") === 4,
+              when(pmod(col("doc_id"), lit(4)) === 1, lit("user"))
+                .otherwise(lit("assistant")))
+            .otherwise(lit("assistant")).as("role"),
+          col("text").substr(lit(1) + col("i") * 4, lit(9))
+            .as("content"))
+      graft.ops.Export.dialogueStats(turns, col("doc_id"), col("i"),
+          col("role"), col("content"))
+        .select(col("conv"), col("n_turns"), col("n_user_turns"),
+          col("n_assistant_turns"), col("starts_with_user"),
+          col("n_violations"), col("mean_assistant_chars"))
+        .orderBy(col("conv"))
     }
   )
 

@@ -130,6 +130,38 @@ object Export {
         spans.as("spans"))
   }
 
+  /** Conversation STRUCTURE audit — the QA gate before an SFT export
+    * ([[sftExamples]] / [[renderChatML]] assume well-formed dialogs;
+    * this measures how well-formed they are): per conversation the
+    * turn counts by role, whether it opens with a user turn, role
+    * ALTERNATION violations (consecutive same-role turns — merged or
+    * dropped turns upstream), and the assistant length profile (mean
+    * chars, exact int/int rounded). One conversation-keyed window (lag
+    * on the bounded per-conv turn sequence) + one aggregate. */
+  def dialogueStats(turns: DataFrame, convCol: Column, ordCol: Column,
+      roleCol: Column, textCol: Column): DataFrame = {
+    val w = Window.partitionBy(convCol).orderBy(ordCol)
+    turns
+      .withColumn("_prev", lag(roleCol, 1).over(w))
+      .withColumn("_first",
+        row_number().over(w) === 1 && roleCol === "user")
+      .groupBy(convCol.as("conv"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum((roleCol === "user").cast("int")).cast("long")
+          .as("n_user_turns"),
+        sum((roleCol === "assistant").cast("int")).cast("long")
+          .as("n_assistant_turns"),
+        max(col("_first")).as("starts_with_user"),
+        sum((col("_prev") === roleCol).cast("int")).cast("long")
+          .as("n_violations"),
+        round(coalesce(
+          sum(when(roleCol === "assistant", length(textCol))
+            .otherwise(lit(0))).cast("double") /
+            when(sum((roleCol === "assistant").cast("int")) > 0,
+              sum((roleCol === "assistant").cast("int"))),
+          lit(0.0)), 4).as("mean_assistant_chars"))
+  }
+
   /** TEMPLATE-rendered chat export — [[sftExamples]]'s plain-`sep` join
     * replaced by the ChatML wrapping every turn in role markers:
     * {{{ <|im_start|>{role}\n{content}<|im_end|>\n }}}

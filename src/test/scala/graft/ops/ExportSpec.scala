@@ -597,6 +597,30 @@ class ExportSpec extends AnyFunSuite {
       s"never a global sort/exchange:\n$p")
   }
 
+  test("dialogueStats: violations, opening check, assistant mean, no-assistant edge") {
+    val turns = Seq(
+      (1L, 1, "user", "hi"), (1L, 2, "assistant", "hello"),
+      (1L, 3, "assistant", "again"), (1L, 4, "user", "ok"),
+      (2L, 1, "assistant", "sys?"), (2L, 2, "user", "q"),
+      (3L, 1, "user", "alone"), (3L, 2, "user", "still alone")
+    ).toDF("conv_id", "i", "role", "content")
+    val out = Export.dialogueStats(turns, col("conv_id"), col("i"),
+      col("role"), col("content")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val c1 = out(1L)
+    assert(c1.getAs[Long]("n_turns") === 4)
+    assert(c1.getAs[Long]("n_violations") === 1,
+      "back-to-back assistant turns are one violation")
+    assert(c1.getAs[Boolean]("starts_with_user"))
+    assert(c1.getAs[Double]("mean_assistant_chars") === 5.0)
+    assert(!out(2L).getAs[Boolean]("starts_with_user"))
+    val c3 = out(3L)
+    assert(c3.getAs[Long]("n_assistant_turns") === 0)
+    assert(c3.getAs[Double]("mean_assistant_chars") === 0.0,
+      "no assistant turns must yield 0, not NULL/NaN")
+    assert(c3.getAs[Long]("n_violations") === 1)
+  }
+
   test("spanCorruption: sentinels number spans in order; round-trip covers every token") {
     val rows = Seq((7L, (1 to 40).map(i => s"w$i").mkString(" ")))
       .toDF("doc_id", "text")
