@@ -113,7 +113,7 @@ object Bench {
     "q_chinchilla_plan", "q_span_corruption", "q_needle_eval",
     "q_rollout_pipeline", "q_psi_over_time", "q_spectral_outliers",
     "q_weak_labels", "q_rouge_lcs", "q_paired_bootstrap",
-    "q_dialogue_stats")
+    "q_dialogue_stats", "q_confusable_scan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

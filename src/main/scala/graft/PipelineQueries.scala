@@ -9624,6 +9624,48 @@ object PipelineQueries {
           col("n_assistant_turns"), col("starts_with_user"),
           col("n_violations"), col("mean_assistant_chars"))
         .orderBy(col("conv"))
+    },
+
+    // Mixed-script confusable scan: %8=3 plants two homoglyph words
+    // (Cyrillic а/е inside Latin words — the phishing axis doc-level
+    // script counts miss), %8=5 plants a PURE Cyrillic word (must NOT
+    // fire — it is legitimate foreign text, not a spoof). The oracle
+    // recomputes the per-word both-scripts test and the exact ratio.
+    q("q_confusable_scan",
+      """WITH p AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 8 = 3 THEN ' pаypаl sеcurity'
+        |                 WHEN doc_id % 8 = 5 THEN ' привет'
+        |                 ELSE '' END AS t
+        |  FROM documents),
+        |w AS (SELECT doc_id, t, string_split_regex(t, '\s+') AS ws
+        |      FROM p)
+        |SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+        |  CAST(len(list_filter(ws, x ->
+        |    regexp_matches(x, '[A-Za-z]')
+        |    AND regexp_matches(x, '[\x{0400}-\x{04FF}]'))) AS INT)
+        |    AS n_mixed_words,
+        |  round(CASE WHEN len(ws) > 0
+        |    THEN CAST(len(list_filter(ws, x ->
+        |      regexp_matches(x, '[A-Za-z]')
+        |      AND regexp_matches(x, '[\x{0400}-\x{04FF}]')))
+        |      AS DOUBLE) / len(ws)
+        |    ELSE 0.0 END, 6) AS mixed_word_frac,
+        |  round(CASE WHEN len(ws) > 0
+        |    THEN CAST(len(list_filter(ws, x ->
+        |      regexp_matches(x, '[A-Za-z]')
+        |      AND regexp_matches(x, '[\x{0400}-\x{04FF}]')))
+        |      AS DOUBLE) / len(ws)
+        |    ELSE 0.0 END, 6) > 0.01 AS confusable_suspect
+        |FROM w ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(8)) === 3, lit(" pаypаl sеcurity"))
+            .when(pmod(col("doc_id"), lit(8)) === 5, lit(" привет"))
+            .otherwise(lit(""))).as("text"))
+      graft.ops.Quality.confusableScan(planted)
+        .select(col("doc_id"), col("n_words"), col("n_mixed_words"),
+          col("mixed_word_frac"), col("confusable_suspect"))
+        .orderBy(col("doc_id"))
     }
   )
 

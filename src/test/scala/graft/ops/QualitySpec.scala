@@ -522,6 +522,25 @@ class QualitySpec extends AnyFunSuite {
     assert(out(8L) === ((None, "permissive", true)), "BSD phrase")
   }
 
+  test("confusableScan: word-level mixing fires, pure foreign text does not") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "verify your pаypаl account now"),   // Cyrillic а in a Latin word
+      (2L, "привет как дела"),                  // pure Cyrillic: legitimate
+      (3L, "plain english text only"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = Quality.confusableScan(rows).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("n_mixed_words") === 1)
+    assert(out(1L).getAs[Boolean]("confusable_suspect"))
+    assert(out(2L).getAs[Int]("n_mixed_words") === 0,
+      "pure Cyrillic words are foreign text, not homoglyph spoofs")
+    assert(!out(2L).getAs[Boolean]("confusable_suspect"))
+    assert(out(3L).getAs[Int]("n_mixed_words") === 0)
+    assert(out(4L).getAs[Double]("mixed_word_frac") === 0.0)
+  }
+
   test("markdownProfile: counts, code fraction, unpaired-fence limit") {
     import spark.implicits._
     val md = "# Title\nprose here\n## Sub\n```py\nx = 1\n```\n" +
