@@ -113,7 +113,12 @@ object Bench {
     "q_chinchilla_plan", "q_span_corruption", "q_needle_eval",
     "q_rollout_pipeline", "q_psi_over_time", "q_spectral_outliers",
     "q_weak_labels", "q_rouge_lcs", "q_paired_bootstrap",
-    "q_dialogue_stats", "q_confusable_scan")
+    "q_dialogue_stats", "q_confusable_scan",
+    // round-15 additions: PRM trajectory scoring, distinct-n rollout
+    // diversity, the RAFT acceptance curve and the MinHash banding
+    // planner
+    "q_prm_scores", "q_distinct_ngrams", "q_raft_accept",
+    "q_minhash_plan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4929,6 +4929,10 @@ object PipelineQueries {
         |         WHEN 2 THEN 'co.uk' ELSE 'org.au' END AS host
         |  FROM documents),
         |nn AS (SELECT count(*) AS nd FROM documents),
+        |ax AS (SELECT doc_id, host,
+        |    (doc_id*13+1) % (SELECT nd FROM nn) AS t1,
+        |    (doc_id*7+3) % (SELECT nd FROM nn) AS t2
+        |  FROM u),
         |pg AS (SELECT a.doc_id, a.host,
         |    '<html><body><p>body</p>' ||
         |    '<a href="https://' || b1.host || '/d/' || b1.doc_id ||
@@ -4937,9 +4941,9 @@ object PipelineQueries {
         |    '<a href="#top">top</a>' ||
         |    '<a href=''https://' || b2.host || '/p/' || b2.doc_id ||
         |    '''>l2</a></body></html>' AS html
-        |  FROM u a, nn, u b1, u b2
-        |  WHERE b1.doc_id = (a.doc_id*13+1) % nd
-        |    AND b2.doc_id = (a.doc_id*7+3) % nd),
+        |  FROM ax a
+        |  JOIN u b1 ON b1.doc_id = a.t1
+        |  JOIN u b2 ON b2.doc_id = a.t2),
         |lnk AS (SELECT doc_id, host AS src,
         |    unnest(list_transform(
         |      regexp_extract_all(html,
@@ -5017,6 +5021,10 @@ object PipelineQueries {
         |         WHEN 2 THEN 'co.uk' ELSE 'org.au' END AS host
         |  FROM documents),
         |nn AS (SELECT count(*) AS nd FROM documents),
+        |ax AS (SELECT doc_id, source, host,
+        |    (doc_id*13+1) % (SELECT nd FROM nn) AS t1,
+        |    (doc_id*7+3) % (SELECT nd FROM nn) AS t2
+        |  FROM u),
         |pg AS (SELECT a.doc_id, a.source,
         |    '<html><body>' ||
         |    '<a href="https://' || b1.host || '/d/' || b1.doc_id ||
@@ -5026,9 +5034,9 @@ object PipelineQueries {
         |    '<a href="#top">skip</a>' ||
         |    '<a href="/rel/path">rel</a>' ||
         |    '</body></html>' AS html
-        |  FROM u a, nn, u b1, u b2
-        |  WHERE b1.doc_id = (a.doc_id*13+1) % nd
-        |    AND b2.doc_id = (a.doc_id*7+3) % nd),
+        |  FROM ax a
+        |  JOIN u b1 ON b1.doc_id = a.t1
+        |  JOIN u b2 ON b2.doc_id = a.t2),
         |an AS (SELECT doc_id,
         |    unnest(list_transform(regexp_extract_all(html,
         |      '(?is)<a\b[^>]*?\bhref\s*=\s*["'']([^"''#][^"'']*)["''][^>]*>(.*?)</a\s*>',
@@ -9110,7 +9118,7 @@ object PipelineQueries {
          |  CAST(${math.floor(nOpt).toLong} AS BIGINT) AS n_params,
          |  CAST(${math.floor(dOpt).toLong} AS BIGINT) AS train_tokens,
          |  round($d * (CAST(n_tokens AS DOUBLE) / total) / n_tokens, 6)
-         |    AS epochs
+         |    AS epochs_needed
          |FROM ps, tot ORDER BY source""".stripMargin
     }) { (s, dir) =>
       graft.ops.Sampling.chinchillaPlan(t(s, dir, "documents"),
@@ -9118,13 +9126,14 @@ object PipelineQueries {
           flopsBudget = 1e21)
         .select(col("source"), col("n_docs"), col("n_tokens"),
           col("share"), col("draw_tokens"), col("n_params"),
-          col("train_tokens"), col("epochs"))
+          col("train_tokens"), col("epochs_needed"))
         .orderBy(col("source"))
     },
 
     // T5-style span corruption (deterministic md5-gated variant): the
-    // oracle recomputes per-position coins, adjacency spans, sentinel
-    // numbering and BOTH assembled texts token for token.
+    // oracle recomputes per-position coins, adjacency spans, 0-based
+    // sentinel numbering, the closing terminal sentinel and BOTH
+    // assembled texts token for token.
     q("q_span_corruption",
       """WITH d AS (SELECT doc_id,
         |    list_slice(string_split_regex(trim(text), '\s+'), 1, 64)
@@ -9145,16 +9154,19 @@ object PipelineQueries {
         |    CASE WHEN NOT fl[i] THEN [toks[i]]
         |         WHEN list_contains(starts, i)
         |           THEN ['<extra_id_'
-        |             || len(list_filter(starts, p -> p <= i))::VARCHAR
+        |             || (len(list_filter(starts, p -> p <= i)) - 1)::VARCHAR
         |             || '>']
         |         ELSE CAST([] AS VARCHAR[]) END)), ' '), '') AS input_text,
-        |  coalesce(array_to_string(flatten(list_transform(range(1, n + 1), i ->
+        |  coalesce(array_to_string(list_concat(
+        |    flatten(list_transform(range(1, n + 1), i ->
         |    CASE WHEN list_contains(starts, i)
         |           THEN ['<extra_id_'
-        |             || len(list_filter(starts, p -> p <= i))::VARCHAR
+        |             || (len(list_filter(starts, p -> p <= i)) - 1)::VARCHAR
         |             || '>', toks[i]]
         |         WHEN fl[i] THEN [toks[i]]
-        |         ELSE CAST([] AS VARCHAR[]) END)), ' '), '') AS target_text,
+        |         ELSE CAST([] AS VARCHAR[]) END)),
+        |    ['<extra_id_' || len(starts)::VARCHAR || '>']), ' '), '')
+        |    AS target_text,
         |  CAST(len(starts) AS INT) AS n_spans,
         |  CAST(len(list_filter(range(1, n + 1), i -> fl[i])) AS INT)
         |    AS n_masked
@@ -9666,6 +9678,126 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_words"), col("n_mixed_words"),
           col("mixed_word_frac"), col("confusable_suspect"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------- round-15 additions
+    // PRM trajectory scoring (Lightman et al. 2023): 6 synthetic step
+    // rewards per doc on an exact /8 rational grid; the oracle refolds
+    // min/product/mean in STEP order and re-derives the first-min
+    // weakest step. Product and mean are ordered folds on identical
+    // doubles — bit-exact cross-engine, no rounding-grid dependence
+    // beyond the final display round.
+    q("q_prm_scores",
+      """WITH s AS (SELECT doc_id, unnest(range(1, 7)) AS step
+        |           FROM documents),
+        |r AS (SELECT doc_id, step,
+        |        CAST((doc_id * 17 + step * 11) % 8 AS DOUBLE) / 8.0 AS reward
+        |      FROM s),
+        |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_steps,
+        |        list(reward ORDER BY step) AS rs,
+        |        list(step ORDER BY step) AS ss
+        |      FROM r GROUP BY doc_id)
+        |SELECT doc_id, n_steps,
+        |  list_aggregate(rs, 'min') AS min_reward,
+        |  round(list_reduce(rs, (a, b) -> a * b), 6) AS prod_reward,
+        |  round(list_reduce(rs, (a, b) -> a + b) / n_steps, 6)
+        |    AS mean_reward,
+        |  CAST(ss[list_position(rs, list_aggregate(rs, 'min'))] AS BIGINT)
+        |    AS weakest_step
+        |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val steps = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("step", explode(sequence(lit(1), lit(6))))
+        .withColumn("reward",
+          pmod(col("doc_id") * 17 + col("step") * 11, lit(8))
+            .cast("double") / 8.0)
+      graft.ops.Rollouts.prmScores(steps, "doc_id", "step", "reward")
+        .orderBy(col("doc_id"))
+    },
+
+    // Distinct-n generation diversity (Li et al. 2016): docs grouped
+    // 50-to-a-prompt, bigrams over each text; the oracle re-slides the
+    // windows and recounts total vs distinct grams exactly.
+    q("q_distinct_ngrams",
+      """WITH toks AS (SELECT doc_id % 50 AS prompt,
+        |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |g AS (SELECT prompt,
+        |    unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+        |      i -> array_to_string(list_slice(t, i, i + 1), ' ')))
+        |      AS gram
+        |  FROM toks)
+        |SELECT prompt, CAST(count(*) AS BIGINT) AS n_ngrams,
+        |  CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+        |  round(CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 6)
+        |    AS distinct_2
+        |FROM g GROUP BY prompt ORDER BY prompt""".stripMargin) { (s, dir) =>
+      val samples = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(50)).as("prompt"),
+          col("text").as("answer"))
+      graft.ops.Rollouts.distinctNgrams(samples, "prompt", "answer", 2)
+        .orderBy(col("prompt"))
+    },
+
+    // Rejection-sampling acceptance curve (RAFT/RFT tuning report):
+    // 16 rollouts per prompt on an exact /20 reward grid, three
+    // threshold literals entering both engines as the same doubles —
+    // the >= gate is exact, the only float is the displayed ratio.
+    q("q_raft_accept",
+      """WITH s AS (SELECT doc_id, unnest(range(1, 17)) AS i
+        |           FROM documents),
+        |r AS (SELECT doc_id,
+        |        CAST((doc_id * 31 + i * 7) % 20 AS DOUBLE) / 20.0 AS reward
+        |      FROM s),
+        |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |        CAST(sum(CASE WHEN reward >= CAST(0.25 AS DOUBLE)
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+        |        CAST(sum(CASE WHEN reward >= CAST(0.5 AS DOUBLE)
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+        |        CAST(sum(CASE WHEN reward >= CAST(0.75 AS DOUBLE)
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS a3
+        |      FROM r GROUP BY doc_id),
+        |x AS (SELECT doc_id, n_samples,
+        |        unnest([struct_pack(tau := CAST(0.25 AS DOUBLE), n := a1),
+        |                struct_pack(tau := CAST(0.5 AS DOUBLE), n := a2),
+        |                struct_pack(tau := CAST(0.75 AS DOUBLE), n := a3)])
+        |          AS t
+        |      FROM g)
+        |SELECT doc_id, round(t.tau, 2) AS tau, n_samples,
+        |  t.n AS n_accepted,
+        |  round(CAST(t.n AS DOUBLE) / n_samples, 6) AS acceptance
+        |FROM x ORDER BY doc_id, tau""".stripMargin) { (s, dir) =>
+      val samples = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("i", explode(sequence(lit(1), lit(16))))
+        .withColumn("reward",
+          pmod(col("doc_id") * 31 + col("i") * 7, lit(20))
+            .cast("double") / 20.0)
+      graft.ops.Rollouts.raftAcceptance(samples, "doc_id", "reward",
+          Seq(0.25, 0.5, 0.75))
+        .orderBy(col("doc_id"), col("tau"))
+    },
+
+    // MinHash-LSH banding planner: the S-curve 1 − (1 − s^r)^b at
+    // k = 64, bands = 16 (r = 4) over a 9-point Jaccard grid. Both
+    // engines evaluate the SAME iterated IEEE products from the same
+    // decimal literals (never libm pow — the Spark fold seeds at 1.0,
+    // and 1.0·x is bit-identical to x, so list_reduce's first-element
+    // seed matches term for term); the fractional-power inflection
+    // estimate (1/16)^(1/4) = 0.5 enters both plans as a literal.
+    q("q_minhash_plan",
+      """WITH g AS (SELECT unnest([CAST(0.1 AS DOUBLE),
+        |    CAST(0.2 AS DOUBLE), CAST(0.3 AS DOUBLE),
+        |    CAST(0.4 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |    CAST(0.6 AS DOUBLE), CAST(0.7 AS DOUBLE),
+        |    CAST(0.8 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS jaccard),
+        |p AS (SELECT jaccard,
+        |    jaccard * jaccard * jaccard * jaccard AS sr FROM g)
+        |SELECT jaccard, 4 AS rows_per_band, 16 AS bands,
+        |  round(1.0 - list_reduce(list_transform(range(1, 17),
+        |    b -> 1.0 - sr), (a, b) -> a * b), 6) AS p_candidate,
+        |  CAST(0.5 AS DOUBLE) AS est_threshold
+        |FROM p ORDER BY jaccard""".stripMargin) { (s, dir) =>
+      graft.ops.Dedup.minhashPlan(s, k = 64, bands = 16,
+          thresholds = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
+        .orderBy(col("jaccard"))
     }
   )
 

@@ -542,7 +542,20 @@ object Dedup {
     * instead of the character DP). The verifier is the codegen'd
     * [[org.apache.spark.sql.graft.LcsKernel]] — O(|a|·|b|) ints per
     * candidate pair, fused into the join project. Emits
-    * (id_a, id_b, lcs_len, rouge_f) for pairs at or above `minF`. */
+    * (id_a, id_b, lcs_len, rouge_f) for pairs at or above `minF`.
+    *
+    * RECALL CAVEAT (unlike [[editDistanceNearDups]], where a
+    * within-maxDist pair necessarily has near-1 shingle Jaccard):
+    * shingle-Jaccard banding and LCS-F are NOT tightly coupled —
+    * periodic single-token substitutions destroy nearly every n=3
+    * shingle while LCS-F stays ≥ 0.7, so candidate recall against the
+    * all-pairs SELF-INSTRUCT gate is not bounded by `minF`. When the
+    * gate must approximate all-pairs ROUGE-L recall, shorten the
+    * shingles (n = 1 or 2 — a surviving unigram/bigram suffices to
+    * co-bucket) and/or raise `bands` (more, narrower bands lower the
+    * co-bucket Jaccard threshold); the q_rouge_neardup oracle pins the
+    * delivered recall on its planted edit families, not a universal
+    * bound. */
   def rougeLNearDups(docs: DataFrame, n: Int, k: Int, bands: Int,
       minF: Double, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
@@ -1027,5 +1040,43 @@ object Dedup {
         coalesce(col("component").isNull || col(idCol) === col("_keeper"),
           lit(false)))
       .drop("_keeper")
+  }
+
+  /** MinHash-LSH parameter planning report: the banding S-curve
+    * `P(candidate | jaccard = s) = 1 − (1 − s^r)^b` with r = k/bands
+    * rows per band (Broder's banding analysis, the standard MMDS ch.3
+    * tuning table) evaluated over a Jaccard grid — what a data team
+    * reads to pick (k, bands) BEFORE a corpus-scale dedup run: the
+    * curve's rise should straddle the dedup threshold, the left tail is
+    * the false-candidate rate paid per band, the right tail is recall.
+    *
+    * Determinism: s^r and (1−s^r)^b are ITERATED IEEE PRODUCTS over
+    * integer exponents (never libm `pow`, which is not correctly
+    * rounded and differs cross-engine in the last ulp) — every grid
+    * value is bit-identical on any engine from the same double
+    * literals. `est_threshold` — the curve's inflection estimate
+    * (1/b)^(1/r) — needs a fractional power, so it enters the plan as
+    * ONE driver-computed literal (the q_retrieval_metrics gain-table
+    * discipline). Output is a |grid|-row plan, not data. */
+  def minhashPlan(spark: org.apache.spark.sql.SparkSession, k: Int,
+      bands: Int, thresholds: Seq[Double]): DataFrame = {
+    require(k >= 1 && bands >= 1 && k % bands == 0,
+      s"k=$k must divide into bands=$bands")
+    require(thresholds.nonEmpty, "minhashPlan needs a threshold grid")
+    val r = k / bands
+    import spark.implicits._
+    val estThreshold = math.pow(1.0 / bands, 1.0 / r)
+    val grid = thresholds.toDF("jaccard")
+    val sr = (1 to r).foldLeft(lit(1.0))((a, _) => a * col("jaccard"))
+    grid
+      .withColumn("rows_per_band", lit(r))
+      .withColumn("bands", lit(bands))
+      .withColumn("_sr", sr)
+      .withColumn("p_candidate",
+        round(lit(1.0) - (1 to bands).foldLeft(lit(1.0))(
+          (a, _) => a * (lit(1.0) - col("_sr"))), 6))
+      .withColumn("est_threshold", round(lit(estThreshold), 6))
+      .select(col("jaccard"), col("rows_per_band"), col("bands"),
+        col("p_candidate"), col("est_threshold"))
   }
 }

@@ -220,9 +220,15 @@ object Export {
     * pure function of the key, re-runnable anywhere), collapse ADJACENT
     * masked positions into spans, and emit the denoising pair — input
     * with each span replaced by its `<extra_id_k>` sentinel, target as
-    * the sentinel-prefixed dropped spans. Span lengths follow from
-    * Bernoulli adjacency rather than T5's sampled-length scheme —
-    * stated, deterministic, and the published objective shape.
+    * the sentinel-prefixed dropped spans. Sentinel numbering follows
+    * the published recipe exactly: 0-BASED (`<extra_id_0>` is the
+    * first span — what a stock T5 tokenizer's vocabulary expects) and
+    * the target CLOSES with the terminal sentinel `<extra_id_n>`
+    * after the last of the n spans (Raffel et al. Figure 2's final-
+    * sentinel convention; a zero-span doc's target is the bare
+    * `<extra_id_0>` terminal). Span lengths follow from Bernoulli
+    * adjacency rather than T5's sampled-length scheme — stated,
+    * deterministic, and the published objective shape.
     *
     * Everything is per-row array arithmetic on the bounded token slice
     * (`maxTokens` caps the per-doc work exactly like the qaScore
@@ -244,9 +250,10 @@ object Export {
         lit(rate)
     // span starts: masked position whose predecessor is unmasked
     val starts = filter(idx, i => flag(i) && (i === 1 || !flag(i - 1)))
-    // sentinel number at position i = #span-starts at or before i
+    // sentinel number at position i: 0-based = #span-starts BEFORE
+    // this span's own start (count at-or-before, minus one)
     def sentinelAt(i: Column): Column =
-      size(filter(col("_starts"), p => p <= i))
+      size(filter(col("_starts"), p => p <= i)) - 1
     val inputToks = flatten(transform(idx, i =>
       when(!flag(i), array(element_at(col("_toks"), i)))
         .when(array_contains(col("_starts"), i),
@@ -260,12 +267,17 @@ object Export {
           element_at(col("_toks"), i)))
         .when(flag(i), array(element_at(col("_toks"), i)))
         .otherwise(array().cast("array<string>"))))
+    // the closing sentinel after the last span (0-based: n spans use
+    // ids 0..n-1, the terminal is <extra_id_n>)
+    val termSentinel = concat(lit("<extra_id_"),
+      size(col("_starts")).cast("string"), lit(">"))
     docs
       .withColumn("_toks", toks)
       .withColumn("_starts", starts)
       .select(col(idCol),
         array_join(inputToks, " ").as("input_text"),
-        array_join(targetToks, " ").as("target_text"),
+        array_join(concat(targetToks, array(termSentinel)), " ")
+          .as("target_text"),
         size(col("_starts")).as("n_spans"),
         size(filter(idx, i => flag(i))).as("n_masked"))
   }

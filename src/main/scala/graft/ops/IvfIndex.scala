@@ -87,8 +87,7 @@ object IvfIndex {
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("cdist"))
     val probes = queries.crossJoin(broadcast(cents))
       .select(col("query_id"), col("qemb"), col("qnrm"), col("cell"),
-        aggregate(zip_with(col("qemb"), col("centroid"),
-          (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x).as("cdist"))
+        Similarity.sqL2(col("qemb"), col("centroid")).as("cdist"))
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("qemb"), col("qnrm"), col("cell"))
@@ -160,8 +159,7 @@ object IvfIndex {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("emb"), col("cell"),
-        aggregate(zip_with(col("emb"), col("centroid"),
-          (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x).as("cdist"))
+        Similarity.sqL2(col("emb"), col("centroid")).as("cdist"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("emb"), col("cell"))

@@ -35,24 +35,38 @@ object Kmeans {
   final case class Model(centroids: Array[Array[Double]], wcss: Double)
 
   /** Squared Euclidean distance between an array column and a literal
-    * centroid, computed in dimension order (cross-engine-stable FP). */
+    * centroid, computed in dimension order (cross-engine-stable FP) —
+    * the fused codegen'd [[org.apache.spark.sql.graft.SquaredL2]]
+    * kernel, bitwise-equal to the `aggregate(zip_with(…))` HOF fold it
+    * replaced (evaluated once per (row, centroid) in every Lloyd
+    * step — the hot loop of the fit). */
   private def sqDist(emb: Column, centroid: Array[Double]): Column =
-    aggregate(
-      zip_with(emb, lit(centroid),
-        (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, v) => acc + v)
+    Similarity.sqL2(emb, lit(centroid))
 
   /** Nearest-centroid cell id for `emb` (ties break to the LOWEST cell
-    * id — the rule any re-implementation can copy). One nested
-    * conditional chain over k literal distances: narrow, codegen'd,
-    * zero shuffle — the broadcast-literal quantizer shape. */
-  def assignCol(emb: Column, centroids: Array[Array[Double]]): Column = {
-    val dists = centroids.map(c => sqDist(emb, c))
-    val best = dists.reduce((a, b) => least(a, b))
-    // first index attaining the minimum = lowest-id tie-break
-    dists.zipWithIndex.reverse.foldLeft(lit(-1)) { case (acc, (d, i)) =>
-      when(d === best, lit(i)).otherwise(acc)
-    }
+    * id — the rule any re-implementation can copy). ONE
+    * [[org.apache.spark.sql.graft.CentroidSqL2]] kernel computes all k
+    * distances (the centroid matrix rides as a referenced model object,
+    * not k inlined expression copies — which blew the 64 KB codegen
+    * method limit at PQ's m·k fan-out), then the argmin is
+    * `array_position(d, array_min(d)) − 1`: the FIRST index attaining
+    * the minimum, the identical lowest-id tie-break the old
+    * least/when chain implemented. Narrow, codegen'd, zero shuffle —
+    * the broadcast-literal quantizer shape. A null/degenerate input
+    * (null array, null elements) keeps the old chain's −1 fallback. */
+  def assignCol(emb: Column, centroids: Array[Array[Double]]): Column =
+    assignColAt(emb, centroids, 0)
+
+  /** [[assignCol]] against the `offset`-based window
+    * `emb[offset ... offset+dsub)` — the PQ per-subspace quantizer,
+    * with no intermediate slice. */
+  def assignColAt(emb: Column, centroids: Array[Array[Double]],
+      offset: Int): Column = {
+    import org.apache.spark.sql.graft.GraftBridge.{column, expression}
+    val dists = column(org.apache.spark.sql.graft.CentroidSqL2(
+      expression(emb), centroids.map(_.toSeq).toSeq, offset))
+    coalesce((array_position(dists, array_min(dists)) - 1).cast("int"),
+      lit(-1))
   }
 
   /** Fit `iterations` of Lloyd's algorithm. `vecs` must carry `idCol`

@@ -36,6 +36,18 @@ object Pq {
   private def subvector(emb: Column, j: Int, dsub: Int): Column =
     slice(emb, j * dsub + 1, dsub)
 
+  /** The j-th subspace's k squared distances as ONE
+    * [[org.apache.spark.sql.graft.CentroidSqL2]] kernel (codebook as a
+    * referenced model object; per-entry arithmetic bitwise-equal to
+    * the slice+zip_with fold it replaced — m·k inlined copies blew the
+    * 64 KB codegen method limit). */
+  private def subspaceDists(emb: Column, model: Model, j: Int): Column = {
+    import org.apache.spark.sql.graft.GraftBridge.{column, expression}
+    column(org.apache.spark.sql.graft.CentroidSqL2(
+      expression(emb), model.codebooks(j).map(_.toSeq).toSeq,
+      j * model.dsub))
+  }
+
   /** Fit the m per-subspace codebooks. `dim` must divide by `m`;
     * `k` ≤ 256 keeps a code one byte wide. */
   def train(vecs: DataFrame, dim: Int, m: Int, k: Int,
@@ -63,8 +75,7 @@ object Pq {
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val emb = col(embCol).cast("array<double>")
     val codes = array((0 until model.m).map(j =>
-      Kmeans.assignCol(subvector(emb, j, model.dsub),
-        model.codebooks(j))): _*)
+      Kmeans.assignColAt(emb, model.codebooks(j), j * model.dsub)): _*)
     vecs.select(col(idCol), codes.as("code"))
   }
 
@@ -81,12 +92,7 @@ object Pq {
     val emb = col(embCol).cast("array<double>")
     // lut: array over subspaces of array over cells of partial sq dist
     val lut = array((0 until model.m).map { j =>
-      array(model.codebooks(j).indices.map { c =>
-        aggregate(
-          zip_with(subvector(emb, j, model.dsub),
-            lit(model.codebooks(j)(c)), (x, cc) => (x - cc) * (x - cc)),
-          lit(0.0), (acc, v) => acc + v)
-      }: _*)
+      subspaceDists(emb, model, j)
     }: _*)
     val queries = vecs.filter(queryPred)
       .select(col(idCol).as("query_id"), lut.as("_lut"))
@@ -127,8 +133,7 @@ object Pq {
       .join(base, "vec_id")
       .join(broadcast(qframe), "query_id")
       .select(col("query_id"), col("vec_id"),
-        aggregate(zip_with(col("_qemb"), col("_bemb"),
-          (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v).as("_d"))
+        Similarity.sqL2(col("_qemb"), col("_bemb")).as("_d"))
     exact.groupBy(col("query_id"))
       .agg(graft.functions.GraftFunctions.topKBy(
         col("vec_id"), -col("_d"), topK).as("top"))
@@ -160,20 +165,14 @@ object Pq {
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
     // query frame: probe cells (nprobe nearest coarse centroids) + LUT
     val lut = array((0 until model.m).map { j =>
-      array(model.codebooks(j).indices.map { c =>
-        aggregate(
-          zip_with(subvector(emb, j, model.dsub),
-            lit(model.codebooks(j)(c)), (x, cc) => (x - cc) * (x - cc)),
-          lit(0.0), (acc, v) => acc + v)
-      }: _*)
+      subspaceDists(emb, model, j)
     }: _*)
     val probeW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cdist"))
     val probes = vecs.filter(queryPred)
       .select(col(idCol).as("query_id"), lut.as("_lut"), emb.as("_qemb"))
       .crossJoin(broadcast(cents))
-      .withColumn("cdist", aggregate(zip_with(col("_qemb"), col("centroid"),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x))
+      .withColumn("cdist", Similarity.sqL2(col("_qemb"), col("centroid")))
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("_lut"), col("cell"))
@@ -200,8 +199,7 @@ object Pq {
     val base = vecs.select(col(idCol).as("vec_id"), emb.as("_bemb"))
     cands.join(base, "vec_id").join(broadcast(qframe), "query_id")
       .select(col("query_id"), col("vec_id"),
-        aggregate(zip_with(col("_qemb"), col("_bemb"),
-          (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v).as("_d"))
+        Similarity.sqL2(col("_qemb"), col("_bemb")).as("_d"))
       .groupBy(col("query_id"))
       .agg(graft.functions.GraftFunctions.topKBy(
         col("vec_id"), -col("_d"), topK).as("top"))

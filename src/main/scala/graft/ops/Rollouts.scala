@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
   * map-side combine on the shuffle; per-group state is O(samples per
   * prompt), a model-inference batch size, never corpus-sized) plus
   * narrow arithmetic on the per-prompt grid. [[grpoAdvantage]] joins
-  * the |prompts|-row stats frame back to the samples — broadcast-sized
-  * relative to the sample frame whenever n_samples ≫ 1.
+  * the |prompts|-row stats frame back to the samples through the
+  * [[Guards]] size gate — broadcast when counted under the gate (the
+  * n_samples ≫ 1 common case), shuffle otherwise.
   *
   * Determinism contract: every float reduction over group members is
   * an ORDER-PINNED fold (values collected, sorted, folded ascending —
@@ -40,15 +41,26 @@ object Rollouts {
     * short-circuited to exactly 1.0. Emits one row per prompt:
     * (promptCol, n_samples, n_correct, pass_at_<k> for each k).
     * Requires every k ≤ the minimum group size (the estimator is
-    * undefined past n — enforced eagerly, mirroring the reference
-    * script's assertion). */
+    * undefined past n, mirroring the reference script's assertion) and
+    * a non-empty input.
+    *
+    * NOTE — this constructor is EAGER: it materializes the per-prompt
+    * grid ([[Guards.pin]]) and runs the k ≤ min-n validation as a
+    * Spark job at call time, so the returned frame is already
+    * validated. Callers embedding it in lazy pipeline builders pay the
+    * aggregation when they CALL, not when they act. The validation
+    * reads the pinned |prompts|-row grid, never a second corpus
+    * pass. */
   def passAtK(samples: DataFrame, promptCol: String, correctCol: String,
       ks: Seq[Int]): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1), s"ks=$ks")
-    val g = samples.groupBy(col(promptCol))
+    val g = Guards.pin(samples.groupBy(col(promptCol))
       .agg(count(lit(1)).as("n_samples"),
-        sum(col(correctCol).cast("int")).cast("bigint").as("n_correct"))
-    val minN = g.agg(min(col("n_samples"))).collect()(0).getLong(0)
+        sum(col(correctCol).cast("int")).cast("bigint").as("n_correct")))
+    val minRow = g.agg(min(col("n_samples"))).collect()(0)
+    require(!minRow.isNullAt(0),
+      "pass@k undefined on an empty samples frame (no prompt groups)")
+    val minN = minRow.getLong(0)
     require(ks.forall(_ <= minN),
       s"pass@k undefined for k > n: min group size $minN, ks=$ks")
     ks.foldLeft(g) { (df, k) =>
@@ -94,11 +106,20 @@ object Rollouts {
     * Mean and variance are ordered folds over the SORTED per-group
     * reward list (ties are bit-identical values — interchangeable in
     * the fold), so the normalization is bit-deterministic under any
-    * partitioning; the |prompts|-row stats frame broadcast-joins back
-    * to the samples. */
+    * partitioning.
+    *
+    * The |prompts|-row stats frame joins back to the samples through
+    * the [[Guards]] size gate: it is pinned and counted first, and
+    * broadcast only under `spark.graft.broadcast.maxKeys` — "one row
+    * per prompt" is bounded only by the n_samples ≫ 1 assumption, and
+    * a 100-TB rollout store with 10⁹ distinct prompts must shuffle,
+    * not OOM the driver on a forced broadcast hint. (Same answer
+    * either way; the count is one job over the aggregated frame,
+    * never the samples.) Like [[passAtK]], this makes the constructor
+    * EAGER — the stats aggregation runs at call time. */
   def grpoAdvantage(samples: DataFrame, promptCol: String,
       rewardCol: String): DataFrame = {
-    val stats = samples.groupBy(col(promptCol))
+    val stats0 = samples.groupBy(col(promptCol))
       .agg(count(lit(1)).as("_n"),
         array_sort(collect_list(col(rewardCol).cast("double")))
           .as("_rs"))
@@ -109,11 +130,108 @@ object Rollouts {
           (a, x) => a + (x - col("_mean")) * (x - col("_mean")))
           / col("_n"))
       .select(col(promptCol), col("_mean"), col("_var"))
-    samples.join(broadcast(stats), Seq(promptCol))
+    val stats = Guards.pin(stats0)
+    val joined =
+      if (stats.count() <= Guards.maxBroadcastKeys(samples))
+        samples.join(broadcast(stats), Seq(promptCol))
+      else samples.join(stats, Seq(promptCol))
+    joined
       .withColumn("advantage",
         round(when(col("_var") > 0,
           (col(rewardCol).cast("double") - col("_mean"))
             / sqrt(col("_var"))).otherwise(lit(0.0)), 6))
       .drop("_mean", "_var")
+  }
+
+  /** Process-reward-model trajectory scoring (Lightman et al. 2023,
+    * "Let's Verify Step by Step" §3: a solution's PRM score is the
+    * aggregation of its per-step scores — the paper scores a solution
+    * by the probability every step is correct, operationally the
+    * product, with min as the standard hard variant): per trajectory,
+    * from `(trajCol, stepCol, rewardCol)` step rows, emit
+    * `n_steps`, `min_reward` (exact comparison), `prod_reward` and
+    * `mean_reward` (both STEP-ORDER folds over the sorted (step,
+    * reward) list — bit-deterministic under any partitioning), and
+    * `weakest_step` — the FIRST step index attaining the min (the
+    * error-localization output a PRM pipeline routes to refinement).
+    * ONE trajectory-keyed aggregate; per-group state is O(steps per
+    * trajectory), a reasoning-chain length, never corpus-sized. */
+  def prmScores(steps: DataFrame, trajCol: String, stepCol: String,
+      rewardCol: String): DataFrame = {
+    val byStep = array_sort(collect_list(struct(
+      col(stepCol).cast("long").as("s"),
+      col(rewardCol).cast("double").as("r"))))
+    steps.groupBy(col(trajCol))
+      .agg(count(lit(1)).as("n_steps"), byStep.as("_sr"))
+      .withColumn("_rs", transform(col("_sr"), x => x.getField("r")))
+      .withColumn("min_reward", array_min(col("_rs")))
+      .withColumn("prod_reward",
+        round(aggregate(col("_rs"), lit(1.0), (a, x) => a * x), 6))
+      .withColumn("mean_reward",
+        round(aggregate(col("_rs"), lit(0.0), (a, x) => a + x)
+          / col("n_steps"), 6))
+      .withColumn("weakest_step",
+        element_at(col("_sr"),
+          array_position(col("_rs"), col("min_reward")).cast("int"))
+          .getField("s"))
+      .select(col(trajCol), col("n_steps"), col("min_reward"),
+        col("prod_reward"), col("mean_reward"), col("weakest_step"))
+  }
+
+  /** Distinct-n generation-diversity report (Li et al. 2016 §4.1
+    * "distinct-1/distinct-2"): per prompt, the number of DISTINCT
+    * token n-grams across all sampled answers over the total n-gram
+    * count — the standard mode-collapse check on a rollout store (a
+    * self-consistent model is fine; a degenerate one repeats the same
+    * n-grams across samples). Whitespace tokens, intra-sample n-grams
+    * (no cross-sample windows). Exact integer counts; the ratio is the
+    * only float. ONE explode + prompt-keyed aggregate: n-gram rows
+    * shuffle (bounded by tokens per answer × samples per prompt),
+    * never document text. */
+  def distinctNgrams(samples: DataFrame, promptCol: String,
+      answerCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n=$n")
+    val toks = split(trim(col(answerCol)), "\\s+")
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => array_join(slice(toks, i, n), " "))
+    samples
+      .select(col(promptCol), explode(grams).as("_g"))
+      .groupBy(col(promptCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        countDistinct(col("_g")).as("n_distinct"))
+      .withColumn(s"distinct_$n",
+        round(col("n_distinct").cast("double") / col("n_ngrams"), 6))
+  }
+
+  /** Rejection-sampling (RAFT/RFT) acceptance report: per prompt and
+    * reward threshold τ, how many samples clear the gate and what
+    * fraction that is — the tuning curve a rejection-sampling
+    * fine-tune run reads before committing a τ (too high starves
+    * prompts, too low admits noise). `prompts_starved` in the
+    * aggregate view counts prompts with ZERO accepted samples at that
+    * τ. Thresholds enter both engines as identical double literals, so
+    * the `>=` gate is exact. ONE prompt-keyed aggregate fanned over
+    * the |taus| grid (per-group state O(1) per τ). */
+  def raftAcceptance(samples: DataFrame, promptCol: String,
+      rewardCol: String, taus: Seq[Double]): DataFrame = {
+    require(taus.nonEmpty, "raftAcceptance needs >= 1 threshold")
+    val r = col(rewardCol).cast("double")
+    val aggs = count(lit(1)).as("n_samples") +:
+      taus.zipWithIndex.map { case (t, i) =>
+        sum(when(r >= t, 1L).otherwise(0L)).as(s"_acc_$i")
+      }
+    val perPrompt = samples.groupBy(col(promptCol))
+      .agg(aggs.head, aggs.tail: _*)
+    val tauRows = taus.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("tau"), col(s"_acc_$i").as("n_accepted"))
+    }
+    perPrompt
+      .select(col(promptCol), col("n_samples"),
+        explode(array(tauRows: _*)).as("_t"))
+      .select(col(promptCol), round(col("_t.tau"), 2).as("tau"),
+        col("n_samples"), col("_t.n_accepted").as("n_accepted"))
+      .withColumn("acceptance",
+        round(col("n_accepted").cast("double") / col("n_samples"), 6))
   }
 }

@@ -306,8 +306,11 @@ object Sampling {
     * `N = √(C / (6·r))` parameters (the C ≈ 6·N·D approximation with
     * the data-to-model ratio D = r·N, r = 20 tokens/param published as
     * compute-optimal) and report, per source, the proportional token
-    * draw and the epochs the inventory sustains — the planning report
-    * a data team runs BEFORE committing a mixture ([[mixturePlan]] /
+    * draw and `epochs_needed` — the number of passes over the source
+    * the draw REQUIRES (draw_tokens / n_tokens; values above 1 mean
+    * the plan repeats data, values below 1 mean the inventory covers
+    * the draw with room to spare). This is the planning report a data
+    * team runs BEFORE committing a mixture ([[mixturePlan]] /
     * [[waterFillPlan]] then materialize it).
     *
     * Determinism: the token inventory is an exact integer sum; N and D
@@ -335,7 +338,7 @@ object Sampling {
         lit(math.floor(nOpt)).cast("long").as("n_params"),
         lit(math.floor(dOpt)).cast("long").as("train_tokens"),
         round(lit(dOpt) * (col("n_tokens").cast("double") / col("_total"))
-          / col("n_tokens"), 6).as("epochs"))
+          / col("n_tokens"), 6).as("epochs_needed"))
   }
 
   /** DoReMi domain-weight update (Xie et al., NeurIPS 2023, Algorithm

@@ -28,6 +28,26 @@ object Similarity {
     column(org.apache.spark.sql.graft.DotProduct(expression(a), expression(b)))
   }
 
+  /** Squared Euclidean distance of two array<double> columns: the fused
+    * codegen'd sibling of [[dot]] (one loop, no intermediate array —
+    * bitwise-equal to the HOF
+    * `aggregate(zip_with(a, b, (x, y) => (x-y)*(x-y)), 0.0, _+_)` it
+    * replaced, see [[org.apache.spark.sql.graft.SquaredL2]]). The inner
+    * kernel of every centroid-quantizer scan (IVF/PQ/k-means). */
+  def sqL2(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.GraftBridge.{column, expression}
+    column(org.apache.spark.sql.graft.SquaredL2(expression(a), expression(b)))
+  }
+
+  /** Integer dot product of two array<int> columns with a LONG
+    * accumulator (fused codegen'd loop; exact integer arithmetic, no
+    * overflow ceiling until dim ≈ 2^44 — see
+    * [[org.apache.spark.sql.graft.DotProductLong]]). */
+  def dotInt(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.GraftBridge.{column, expression}
+    column(org.apache.spark.sql.graft.DotProductLong(expression(a), expression(b)))
+  }
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
@@ -138,7 +158,16 @@ object Similarity {
     * it bit-for-bit with no grid). Same broadcast-queries shape as
     * [[bruteForceTopK]]; neighbor selection is the bounded-heap
     * [[org.apache.spark.sql.graft.TopKBy]] aggregate (O(k) state per
-    * query, no per-query sort of the base). The dequantized score
+    * query, no per-query sort of the base). The dot is the fused
+    * codegen'd [[org.apache.spark.sql.graft.DotProductLong]] — LONG
+    * accumulator, so the ranking has no int-overflow dim ceiling (the
+    * HOF it replaced wrapped silently past dim ≈ 1.3e5), and exact
+    * integer arithmetic keeps the grid-free oracle contract intact for
+    * every representable dim. The candidate's `scale` re-attaches to
+    * the (queries × k)-row result by a second join against the base —
+    * Catalyst prunes that branch to (vec_id, scale): max-abs over the
+    * embedding, no re-quantization (`qvec`'s transform is projected
+    * away), and the joined side is result-sized. The dequantized score
     * estimate is `dot · scale_a · scale_b` (exact IEEE products of
     * identical doubles). Output: (query_id, rk, vec_id, dot_int,
     * approx_dot). */
@@ -149,13 +178,11 @@ object Similarity {
     val queries = quant.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("qvec").as("qq"),
         col("scale").as("qscale"))
-    val dotInt = aggregate(
-      zip_with(col("qvec"), col("qq"), (x, y) => x * y),
-      lit(0), (a, t) => a + t)
+    val dotQ = dotInt(col("qvec"), col("qq"))
     quant.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qscale"),
-        col("vec_id"), col("scale"), dotInt.as("_dot"))
+        col("vec_id"), col("scale"), dotQ.as("_dot"))
       .groupBy(col("query_id"), col("qscale"))
       .agg(graft.functions.GraftFunctions.topKBy(
         col("vec_id"), col("_dot").cast("double"), k).as("_top"))
@@ -421,17 +448,18 @@ object Similarity {
 
   /** (vec_id, table, key) signature rows: key = sign-bit pattern of the
     * vector against each table's hyperplanes. Pure per-row computation
-    * via higher-order functions — stays inside codegen, no UDF. */
+    * — ONE fused [[org.apache.spark.sql.graft.LshTableKey]] kernel per
+    * table (the plane matrix rides as a referenced model object;
+    * tables·bits inlined dot kernels blew the 64 KB codegen method
+    * limit), no UDF, no intermediate arrays, bit-for-bit the key the
+    * old per-bit when-chain produced. */
   def lshSignatures(embs: DataFrame, planes: Seq[Seq[Seq[Double]]]): DataFrame = {
+    import org.apache.spark.sql.graft.GraftBridge.{column, expression}
     val emb = asDouble(col("embedding"))
     val tableKeys = planes.zipWithIndex.map { case (tablePlanes, ti) =>
-      val bitCols = tablePlanes.zipWithIndex.map { case (plane, bi) =>
-        val planeLit = typedLit(plane)
-        when(aggregate(zip_with(emb, planeLit, (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) > 0, lit(1L).cast("long") * (1L << bi))
-          .otherwise(0L)
-      }
-      struct(lit(ti).as("table"), bitCols.reduce(_ + _).as("key"))
+      struct(lit(ti).as("table"),
+        column(org.apache.spark.sql.graft.LshTableKey(
+          expression(emb), tablePlanes)).as("key"))
     }
     embs.select(col("vec_id"), explode(array(tableKeys: _*)).as("tk"))
       .select(col("vec_id"), col("tk.table").as("table"), col("tk.key").as("key"))

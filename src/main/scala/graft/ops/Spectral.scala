@@ -4,7 +4,7 @@ import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.GraftFunctions
+import org.apache.spark.sql.graft.{GraftBridge, GraftFunctions, ScaleArray, SubtractScaled}
 
 /** Distributed spectral primitives over an embedding column.
   *
@@ -29,7 +29,9 @@ import org.apache.spark.sql.graft.GraftFunctions
   * dimension-ORDERED fold (sqrt and divide are correctly-rounded IEEE
   * ops — cross-engine exact on the quantized inputs), and re-enters the
   * next pass as a plan literal. The per-row projection s = ⟨x, v⟩ folds
-  * coordinates LEFT-TO-RIGHT (zip_with + aggregate), matching a
+  * coordinates LEFT-TO-RIGHT (the fused codegen'd
+  * [[org.apache.spark.sql.graft.DotProduct]] kernel — documented
+  * bitwise-equal to the zip_with + aggregate HOF fold), matching a
   * DuckDB `list_aggregate(..., 'sum')` fold term for term. The only
   * cross-engine float risk is each step's row-order-sensitive average,
   * which the round-9 grid absorbs (boundary-audited in
@@ -43,10 +45,13 @@ object Spectral {
 
   final case class Direction(loadings: Array[Double], eigenvalue: Double)
 
-  /** ⟨emb, v⟩ as a left-to-right fold in dimension order. */
+  /** ⟨emb, v⟩ as a left-to-right fold in dimension order — the fused
+    * codegen'd [[org.apache.spark.sql.graft.DotProduct]] kernel
+    * (documented bitwise-equal to the interpreted
+    * `aggregate(zip_with(…))` HOF it replaced: same fold order, same
+    * IEEE ops, no intermediate array per (row, pass)). */
   private def dot(emb: Column, v: Array[Double]): Column =
-    aggregate(zip_with(emb, lit(v), (x, c) => x * c),
-      lit(0.0), (acc, t) => acc + t)
+    Similarity.dot(emb, lit(v))
 
   /** round(x, 9) with DuckDB/Spark `round` semantics (half away from
     * zero), driver-side. */
@@ -65,8 +70,13 @@ object Spectral {
     var v = Array.fill(dim)(q9(1.0 / math.sqrt(dim.toDouble)))
     for (_ <- 1 to iterations) {
       val s = dot(col("_emb"), v)
+      // s·x via the fused ScaleArray kernel (one codegen'd pass; the
+      // interpreted transform() HOF it replaced allocated and
+      // lambda-dispatched per (row, iteration))
       val u = e.agg(GraftFunctions.vectorAvg(
-          transform(col("_emb"), x => x * s)).as("_u"))
+          GraftBridge.column(ScaleArray(
+            GraftBridge.expression(col("_emb")),
+            GraftBridge.expression(s)))).as("_u"))
         .collect()(0).getSeq[Double](0).toArray.map(q9)
       require(u.length == dim,
         s"embedding dim ${u.length} != declared dim $dim")
@@ -93,11 +103,12 @@ object Spectral {
     * folds), and the deflated input to component c+1 is a bit-exact
     * function of component c's quantized direction — so the whole
     * k-direction chain is recomputable term for term by another
-    * engine. The residual column stays LAZY (a narrow zip_with over
-    * the previous layer, re-evaluated per pass rather than
-    * materialized): at 100 TB, k·iterations extra narrow arithmetic
-    * scans beat writing k deflated copies of the corpus. Driver state
-    * is k·dim doubles.
+    * engine. The residual column stays LAZY (a narrow fused
+    * [[org.apache.spark.sql.graft.SubtractScaled]] kernel over the
+    * previous layer, re-evaluated per pass rather than materialized):
+    * at 100 TB, k·iterations extra narrow arithmetic scans beat
+    * writing k deflated copies of the corpus. Driver state is k·dim
+    * doubles.
     *
     * Components after the true spectral gap decay toward noise;
     * eigenvalues are returned so the caller can truncate (they
@@ -141,7 +152,9 @@ object Spectral {
     embs
       .withColumn("_proj", dot(emb, direction.loadings))
       .withColumn("residual",
-        zip_with(emb, lit(direction.loadings),
-          (x, c) => x - col("_proj") * c))
+        GraftBridge.column(SubtractScaled(
+          GraftBridge.expression(emb),
+          GraftBridge.expression(lit(direction.loadings)),
+          GraftBridge.expression(col("_proj")))))
   }
 }

@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Deterministic sf1-class test-data generator for the SCALE PROBE
+  * (round-15 verdict task 5): the driver ships sf ≤ 0.1 only, and every
+  * SCALE.md shape claim past that is an argument — this tool
+  * materializes a 10×-sf0.1 `documents` + `embeddings` pair with the
+  * OBSERVED sf0.1 distributions (31-word vocabulary, 10–100 uniform
+  * token lengths, the 41/15/15/15/15 language mix, 20 sources,
+  * unit-normalized 64-dim gaussian float embeddings with 10 labels) so
+  * the heavy dedup/ANN/spectral/admission families can be timed at a
+  * real 10× step. Seeding is md5-per-(table, id, field) — the repo's
+  * md5Unit discipline — so reruns are bit-identical; this is
+  * repo-generated probe data, NOT driver data (oracles never run on
+  * it; only time ratios are read).
+  *
+  * Usage: runMain graft.tools.ScaleGen <outDir> [docs] [vecs]
+  * (defaults 50000 / 20000 = 10× sf0.1).
+  */
+object ScaleGen {
+  val Vocab: Seq[String] = Seq(
+    "key", "agg", "row", "scan", "slow", "fast", "table", "value",
+    "part", "hash", "a", "merge", "batch", "window", "spark", "order",
+    "data", "column", "join", "small", "line", "customer", "query",
+    "the", "filter", "stream", "vector", "group", "big", "sort", "x")
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("/tmp/scaledata/sf1")
+    val nDocs = args.lift(1).map(_.toInt).getOrElse(50000)
+    val nVecs = args.lift(2).map(_.toInt).getOrElse(20000)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // md5-gated uniform in [0,1): the Sampling.md5Unit recipe inlined so
+    // the tool has no dependency on the library's private helpers
+    def u(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(substring(md5(key.cast("string")), 1, 6), 16, 10)
+        .cast("double") / 16777216.0
+
+    val vocabLit = array(Vocab.map(lit): _*)
+
+    val docs = spark.range(0, nDocs.toLong).toDF("doc_id")
+      .withColumn("_ntok",
+        (lit(10) + floor(u(concat(lit("n:"), col("doc_id"))) * 91))
+          .cast("int"))
+      .withColumn("text",
+        array_join(transform(sequence(lit(1), col("_ntok")), i =>
+          element_at(vocabLit,
+            (floor(u(concat(col("doc_id"), lit(":"), i)) * 31) + 1)
+              .cast("int"))), " "))
+      .withColumn("_lu", u(concat(lit("l:"), col("doc_id"))))
+      .withColumn("lang",
+        when(col("_lu") < 0.41, "en").when(col("_lu") < 0.56, "de")
+          .when(col("_lu") < 0.71, "es").when(col("_lu") < 0.86, "fr")
+          .otherwise("zh"))
+      .withColumn("source",
+        concat(lit("src"), pmod(col("doc_id"), lit(20)).cast("string")))
+      .withColumn("n_chars", length(col("text")).cast("int"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    docs.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+
+    // Box–Muller gaussians from md5 uniforms, then unit-normalize —
+    // the observed sf0.1 embedding shape (per-coord stddev ≈ 1/√64)
+    val raw = spark.range(0, nVecs.toLong).toDF("vec_id")
+      .withColumn("_g", transform(sequence(lit(0), lit(63)), j => {
+        val u1 = u(concat(col("vec_id"), lit("a"), j))
+        val u2 = u(concat(col("vec_id"), lit("b"), j))
+        sqrt(lit(-2.0) * log(greatest(u1, lit(1e-12)))) *
+          cos(lit(2.0 * math.Pi) * u2)
+      }))
+      .withColumn("_nrm",
+        sqrt(aggregate(col("_g"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("embedding",
+        transform(col("_g"), x => (x / col("_nrm")).cast("float")))
+      .withColumn("label",
+        floor(u(concat(lit("lb:"), col("vec_id"))) * 10).cast("int"))
+      .select("vec_id", "embedding", "label")
+    raw.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/embeddings.parquet")
+
+    println(s"ScaleGen: wrote $nDocs docs + $nVecs vecs to $outDir")
+    spark.stop()
+  }
+}

@@ -1,8 +1,8 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Fused dot product of two `array<double>` columns.
@@ -45,27 +45,538 @@ case class DotProduct(left: Expression, right: Expression)
     }
   }
 
+  // The kernel body goes into a private member FUNCTION with a
+  // one-line call site: quantizer scans inline this expression once
+  // per (row, centroid/codeword) — hundreds of copies — and inlining
+  // the loop bodies blows the JVM 64 KB method limit (janino: "Code
+  // grows beyond 64 KB"), silently dropping the whole stage back to
+  // interpreted mode. addNewFunction auto-splits into nested classes.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val acc = ctx.freshName("acc")
+      val nullFlag = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "dotNull")
+      val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
+      val fn = ctx.freshName("dotProduct")
+      val funcName = ctx.addNewFunction(fn,
+        s"""
+           |private double $fn($ad x, $ad y) {
+           |  $nullFlag = false;
+           |  final int n = x.numElements();
+           |  if (y.numElements() != n) { $nullFlag = true; return 0.0; }
+           |  double acc = 0.0;
+           |  for (int i = 0; i < n; i++) {
+           |    if (x.isNullAt(i) || y.isNullAt(i)) { $nullFlag = true; return 0.0; }
+           |    acc += x.getDouble(i) * y.getDouble(i);
+           |  }
+           |  return acc;
+           |}
+         """.stripMargin)
       s"""
-         |final int $n = $a.numElements();
-         |if ($b.numElements() != $n) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $acc += $a.getDouble($i) * $b.getDouble($i);
-         |  }
-         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
-         |}
+         |${ev.value} = $funcName($a, $b);
+         |${ev.isNull} = $nullFlag;
        """.stripMargin
     })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/** Fused squared Euclidean distance of two `array<double>` columns.
+  *
+  * Semantically identical to the HOF pipeline
+  * `aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), 0.0, _ + _)`
+  * — same left-to-right accumulation order, same per-step IEEE ops
+  * (subtract, multiply, add), so results are BITWISE equal — but a
+  * single codegen'd loop with no intermediate array allocation. This is
+  * the inner kernel of every centroid-quantizer scan (IVF cell
+  * assignment, PQ look-up-table construction, k-means Lloyd steps,
+  * exact rerank): at one evaluation per (row, centroid) pair the HOF's
+  * per-pair array allocation plus interpreted lambda dispatch is the
+  * difference between compute-bound and GC-bound.
+  *
+  * Null semantics match the HOF pipeline: null array, length mismatch
+  * (zip_with pads with null), or any null element → null result.
+  */
+case class SquaredL2(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "squared_l2"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        val d = x.getDouble(i) - y.getDouble(i)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+  }
+
+  // Member-function call site, not an inline loop: the PQ LUT builds
+  // m×k copies of this expression in ONE projection — inline bodies
+  // blow the 64 KB method limit and janino silently drops the stage
+  // to interpreted mode (observed before this shape was adopted).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nullFlag = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "sqL2Null")
+      val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
+      val fn = ctx.freshName("squaredL2")
+      val funcName = ctx.addNewFunction(fn,
+        s"""
+           |private double $fn($ad x, $ad y) {
+           |  $nullFlag = false;
+           |  final int n = x.numElements();
+           |  if (y.numElements() != n) { $nullFlag = true; return 0.0; }
+           |  double acc = 0.0;
+           |  for (int i = 0; i < n; i++) {
+           |    if (x.isNullAt(i) || y.isNullAt(i)) { $nullFlag = true; return 0.0; }
+           |    final double d = x.getDouble(i) - y.getDouble(i);
+           |    acc += d * d;
+           |  }
+           |  return acc;
+           |}
+         """.stripMargin)
+      s"""
+         |${ev.value} = $funcName($a, $b);
+         |${ev.isNull} = $nullFlag;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SquaredL2 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fused integer dot product of two `array<int>` columns, accumulated
+  * in a 64-bit LONG.
+  *
+  * Replaces the HOF pipeline
+  * `aggregate(zip_with(a, b, _ * _), lit(0), _ + _)` in the int8
+  * quantized-ANN ranking path — with one deliberate widening: the HOF
+  * accumulated into a 32-bit int, silently wrapping once
+  * `dim · 127 · 127` exceeds `Int.MaxValue` (dim ≳ 1.3e5); this kernel
+  * accumulates each exact 32-bit product into a long, which is
+  * overflow-free until dim ≈ 2^44 — beyond any embedding width. For
+  * every dim below the int ceiling the two agree exactly (integer
+  * arithmetic, no rounding), so ranking contracts are unchanged where
+  * the HOF was defined at all.
+  *
+  * Null semantics match the HOF pipeline: null array, length mismatch,
+  * or any null element → null result.
+  */
+case class DotProductLong(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), ArrayType(IntegerType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_product_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) null
+    else {
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getInt(i).toLong * y.getInt(i)
+        i += 1
+      }
+      acc
+    }
+  }
+
+  // Member-function call site (see DotProduct/SquaredL2: inline loop
+  // bodies multiply past the 64 KB method limit in fan-out scans).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nullFlag = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "dotLNull")
+      val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
+      val fn = ctx.freshName("dotProductLong")
+      val funcName = ctx.addNewFunction(fn,
+        s"""
+           |private long $fn($ad x, $ad y) {
+           |  $nullFlag = false;
+           |  final int n = x.numElements();
+           |  if (y.numElements() != n) { $nullFlag = true; return 0L; }
+           |  long acc = 0L;
+           |  for (int i = 0; i < n; i++) {
+           |    if (x.isNullAt(i) || y.isNullAt(i)) { $nullFlag = true; return 0L; }
+           |    acc += (long) x.getInt(i) * y.getInt(i);
+           |  }
+           |  return acc;
+           |}
+         """.stripMargin)
+      s"""
+         |${ev.value} = $funcName($a, $b);
+         |${ev.isNull} = $nullFlag;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductLong =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `array<double> * double` element-wise scaling in one codegen'd pass —
+  * the per-row `s·x` projection feed of the power-iteration aggregate
+  * (`avg(x · ⟨x, v⟩)`), replacing the interpreted
+  * `transform(arr, x => x * s)` HOF whose per-row lambda dispatch sits
+  * on the scan hot path of every spectral fit.
+  *
+  * Element arithmetic and order are identical to the HOF (one IEEE
+  * multiply per coordinate), and per-element nulls propagate to null
+  * elements exactly as `transform` does. One scoped divergence, chosen
+  * for a simpler null contract: a NULL scalar yields a NULL result,
+  * where the HOF yields an array of all-null elements (observable only
+  * when the scalar column itself is null — never the case for the
+  * spectral projections, which are null only when the array is).
+  */
+case class ScaleArray(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), DoubleType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "scale_array"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val s = b.asInstanceOf[Double]
+    val n = x.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i)) out(i) = x.getDouble(i) * s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // Member-function call site (the 64 KB discipline of the scalar
+  // kernels above); boxing is explicit — janino autoboxing support
+  // is not relied on.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, s) => {
+      val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
+      val gad = classOf[GenericArrayData].getName
+      val fn = ctx.freshName("scaleArray")
+      val funcName = ctx.addNewFunction(fn,
+        s"""
+           |private $ad $fn($ad a, double s) {
+           |  final int n = a.numElements();
+           |  final Object[] out = new Object[n];
+           |  for (int i = 0; i < n; i++) {
+           |    if (!a.isNullAt(i)) {
+           |      out[i] = java.lang.Double.valueOf(a.getDouble(i) * s);
+           |    }
+           |  }
+           |  return new $gad(out);
+           |}
+         """.stripMargin)
+      s"${ev.value} = $funcName($a, $s);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ScaleArray =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `x − s·c` element-wise over two `array<double>`s and a scalar, in
+  * one codegen'd pass — the deflation residual kernel of the
+  * "all-but-the-top" spectral chain, replacing the interpreted
+  * `zip_with(x, c, (xi, ci) => xi - s * ci)` HOF. The residual column
+  * stays LAZY across the k-direction chain (re-evaluated per power
+  * pass), so this expression runs k·iterations times per row — the
+  * hottest array-valued site in the spectral family.
+  *
+  * Element arithmetic and order are identical to the HOF: one
+  * `xi - (s * ci)` per coordinate (multiply then subtract — the
+  * zip_with lambda's exact shape). Length mismatch pads with null
+  * elements to the LONGER length, per-element nulls propagate, both
+  * exactly as zip_with does. Same scoped divergence as [[ScaleArray]]:
+  * a NULL scalar yields a NULL result where the HOF yields all-null
+  * elements.
+  */
+case class SubtractScaled(first: Expression, second: Expression,
+    third: Expression)
+  extends TernaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType), DoubleType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "subtract_scaled"
+
+  override def nullSafeEval(a: Any, c: Any, sAny: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = c.asInstanceOf[ArrayData]
+    val s = sAny.asInstanceOf[Double]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    val n = math.max(nx, ny)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (i < nx && i < ny && !x.isNullAt(i) && !y.isNullAt(i))
+        out(i) = x.getDouble(i) - s * y.getDouble(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // Member-function call site + explicit boxing (see ScaleArray).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, c, s) => {
+      val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
+      val gad = classOf[GenericArrayData].getName
+      val fn = ctx.freshName("subtractScaled")
+      val funcName = ctx.addNewFunction(fn,
+        s"""
+           |private $ad $fn($ad a, $ad c, double s) {
+           |  final int nx = a.numElements();
+           |  final int ny = c.numElements();
+           |  final int n = java.lang.Math.max(nx, ny);
+           |  final Object[] out = new Object[n];
+           |  for (int i = 0; i < n; i++) {
+           |    if (i < nx && i < ny && !a.isNullAt(i) && !c.isNullAt(i)) {
+           |      out[i] = java.lang.Double.valueOf(a.getDouble(i) - s * c.getDouble(i));
+           |    }
+           |  }
+           |  return new $gad(out);
+           |}
+         """.stripMargin)
+      s"${ev.value} = $funcName($a, $c, $s);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): SubtractScaled =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** All-centroids squared-L2 distances in ONE kernel:
+  * `centroid_sq_l2(x, centroids, offset)` returns the k-entry
+  * `array<double>` whose c-th entry is the squared Euclidean distance
+  * from `x[offset ... offset+dsub)` to `centroids(c)` — the quantizer
+  * scan primitive shared by k-means assignment, IVF cell routing and
+  * the PQ per-subspace LUT/encode.
+  *
+  * Why one expression and not k [[SquaredL2]] copies: a PQ encode
+  * inlines m·k (and the old tie-break chain 2·m·k) distance kernels
+  * into one projection — at m=8, k=16 that is hundreds of call sites
+  * whose generated code blows the JVM's 64 KB method limit, and janino
+  * silently drops the stage to interpreted mode. Here the centroid
+  * matrix rides along as a REFERENCED MODEL OBJECT (plan data, not
+  * plan structure), and the whole k×dsub loop nest is one member
+  * function.
+  *
+  * Per-entry arithmetic is bitwise-equal to the HOF fold
+  * `aggregate(zip_with(slice(x, offset+1, dsub), lit(centroids(c)),
+  * (a, b) => (a-b)*(a-b)), 0.0, _+_)`: same left-to-right coordinate
+  * walk, same IEEE ops. Null semantics: null input array → null
+  * result; a window that runs past the array's end or touches a null
+  * element → that ENTRY is null (the HOF's padded-zip null), others
+  * unaffected.
+  */
+case class CentroidSqL2(child: Expression, centroids: Seq[Seq[Double]],
+    offset: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ExpectsInputTypes {
+
+  require(centroids.nonEmpty, "centroid_sq_l2 requires >= 1 centroid")
+  require(centroids.forall(_.length == centroids.head.length),
+    "ragged centroid matrix")
+  require(offset >= 0, s"offset=$offset")
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "centroid_sq_l2"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val k = cents.length
+    val dsub = cents(0).length
+    val out = new Array[Any](k)
+    var c = 0
+    while (c < k) {
+      if (offset + dsub <= n) {
+        var acc = 0.0
+        var i = 0
+        var ok = true
+        while (ok && i < dsub) {
+          if (x.isNullAt(offset + i)) ok = false
+          else {
+            val d = x.getDouble(offset + i) - cents(c)(i)
+            acc += d * d
+            i += 1
+          }
+        }
+        if (ok) out(c) = acc
+      }
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
+      val gad = classOf[GenericArrayData].getName
+      val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+      val fn = ctx.freshName("centroidSqL2")
+      val funcName = ctx.addNewFunction(fn,
+        s"""
+           |private $ad $fn($ad x) {
+           |  final double[][] cs = $centsRef;
+           |  final int n = x.numElements();
+           |  final int k = cs.length;
+           |  final int dsub = cs[0].length;
+           |  final Object[] out = new Object[k];
+           |  for (int c = 0; c < k; c++) {
+           |    if ($offset + dsub <= n) {
+           |      double acc = 0.0;
+           |      boolean ok = true;
+           |      for (int i = 0; ok && i < dsub; i++) {
+           |        if (x.isNullAt($offset + i)) { ok = false; }
+           |        else {
+           |          final double d = x.getDouble($offset + i) - cs[c][i];
+           |          acc += d * d;
+           |        }
+           |      }
+           |      if (ok) { out[c] = java.lang.Double.valueOf(acc); }
+           |    }
+           |  }
+           |  return new $gad(out);
+           |}
+         """.stripMargin)
+      s"${ev.value} = $funcName($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidSqL2 =
+    copy(child = newChild)
+}
+
+/** One LSH table's sign-bit bucket key in ONE kernel:
+  * `lsh_table_key(x, planes)` = Σ_b (⟨x, planes(b)⟩ > 0) · 2^b — the
+  * random-hyperplane signature of a vector against a table's `bits`
+  * planes, with the plane matrix riding as a REFERENCED MODEL OBJECT
+  * (the [[CentroidSqL2]] discipline: tables×bits inlined [[DotProduct]]
+  * copies blew the 64 KB codegen method limit at 32×16).
+  *
+  * Bit-for-bit parity with the when-chain it replaced
+  * (`when(dot(x, plane_b) > 0, 1L << b).otherwise(0L)` summed):
+  * per-plane dots fold left-to-right over coordinates; a NULL input
+  * array, a null element, or a length mismatch leaves that bit UNSET
+  * (the chain's `otherwise(0L)` under a null dot — a null vector keys
+  * to bucket 0, never to a null key, so the expression is
+  * non-nullable); a NaN dot SETS the bit, matching Spark's
+  * NaN-is-largest comparison ordering (out of contract — embeddings
+  * are finite — but pinned for parity).
+  */
+case class LshTableKey(child: Expression, planes: Seq[Seq[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ExpectsInputTypes {
+
+  require(planes.nonEmpty && planes.length <= 63,
+    s"lsh_table_key needs 1..63 planes, got ${planes.length}")
+
+  @transient private lazy val pl: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "lsh_table_key"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = child.eval(input)
+    if (a == null) 0L
+    else {
+      val x = a.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      var key = 0L
+      var b = 0
+      while (b < pl.length) {
+        val p = pl(b)
+        if (p.length == n) {
+          var acc = 0.0
+          var ok = true
+          var i = 0
+          while (ok && i < n) {
+            if (x.isNullAt(i)) ok = false
+            else { acc += x.getDouble(i) * p(i); i += 1 }
+          }
+          if (ok && (acc > 0 || java.lang.Double.isNaN(acc)))
+            key |= 1L << b
+        }
+        b += 1
+      }
+      key
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
+    val planesRef = ctx.addReferenceObj("planes", pl, "double[][]")
+    val fn = ctx.freshName("lshTableKey")
+    val funcName = ctx.addNewFunction(fn,
+      s"""
+         |private long $fn($ad x) {
+         |  if (x == null) return 0L;
+         |  final double[][] ps = $planesRef;
+         |  final int n = x.numElements();
+         |  long key = 0L;
+         |  for (int b = 0; b < ps.length; b++) {
+         |    final double[] p = ps[b];
+         |    if (p.length == n) {
+         |      double acc = 0.0;
+         |      boolean ok = true;
+         |      for (int i = 0; ok && i < n; i++) {
+         |        if (x.isNullAt(i)) { ok = false; }
+         |        else { acc += x.getDouble(i) * p[i]; }
+         |      }
+         |      if (ok && (acc > 0 || java.lang.Double.isNaN(acc))) {
+         |        key |= 1L << b;
+         |      }
+         |    }
+         |  }
+         |  return key;
+         |}
+       """.stripMargin)
+    val c = child.genCode(ctx)
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val resultCode =
+      code"""
+            |${c.code}
+            |long ${ev.value} = $funcName(${c.isNull} ? null : ${c.value});
+          """
+    ev.copy(code = resultCode,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshTableKey =
+    copy(child = newChild)
 }

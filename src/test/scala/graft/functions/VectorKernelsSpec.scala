@@ -1,0 +1,186 @@
+package graft.functions
+
+import graft.TestSpark.spark
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{GraftBridge, ScaleArray, SubtractScaled}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bit-equality contracts of the fused codegen'd vector kernels against
+  * the interpreted HOF pipelines they replaced. The kernels carry the
+  * oracles of every ANN / spectral / clustering query, so equality must
+  * be BITWISE (java.lang.Double.doubleToRawLongBits), not approximate —
+  * same fold order, same per-step IEEE ops.
+  */
+class VectorKernelsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260816L)
+  private def vec(n: Int): Array[Double] =
+    Array.fill(n)(rnd.nextGaussian() * math.pow(10, rnd.nextInt(7) - 3))
+
+  // random pairs across dims, plus adversarial values (denormals,
+  // huge/tiny mixes that stress fold-order sensitivity)
+  private val pairs: Seq[(Array[Double], Array[Double])] =
+    (1 to 50).map(_ => { val n = 1 + rnd.nextInt(96); (vec(n), vec(n)) }) ++
+      Seq(
+        (Array(1e308, -1e308, 1.0), Array(1.0, 1.0, 1e-300)),
+        (Array(Double.MinPositiveValue, 2.0), Array(3.0, 1e-310)),
+        (Array.empty[Double], Array.empty[Double]))
+
+  private def bits(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+    if (r.isNullAt(i)) None
+    else Some(java.lang.Double.doubleToRawLongBits(r.getDouble(i)))
+
+  private def hofDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, t) => acc + t)
+
+  private def hofSqL2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, t) => acc + t)
+
+  test("DotProduct and SquaredL2 are bitwise-equal to their HOF folds") {
+    val df = pairs.toDF("a", "b")
+    val rows = df.select(
+      graft.ops.Similarity.dot(col("a"), col("b")),
+      hofDot(col("a"), col("b")),
+      graft.ops.Similarity.sqL2(col("a"), col("b")),
+      hofSqL2(col("a"), col("b"))).collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(bits(r, 0) === bits(r, 1), s"dot row $i")
+      assert(bits(r, 2) === bits(r, 3), s"sqL2 row $i")
+    }
+  }
+
+  test("kernels null out on length mismatch and null elements, like the HOFs") {
+    val df = Seq(
+      (Array(1.0, 2.0), Array(1.0, 2.0, 3.0)), // length mismatch
+      (Array(1.0, 2.0, 3.0), Array(1.0, 2.0))
+    ).toDF("a", "b")
+    df.select(
+      graft.ops.Similarity.dot(col("a"), col("b")),
+      hofDot(col("a"), col("b")),
+      graft.ops.Similarity.sqL2(col("a"), col("b")),
+      hofSqL2(col("a"), col("b"))).collect().foreach { r =>
+      (0 to 3).foreach(i => assert(r.isNullAt(i), s"col $i must be null"))
+    }
+    // null element -> null result on both paths
+    val withNull = spark.sql(
+      "SELECT array(1.0d, cast(null as double)) a, array(3.0d, 4.0d) b")
+    withNull.select(
+      graft.ops.Similarity.dot(col("a"), col("b")),
+      hofDot(col("a"), col("b"))).collect().foreach { r =>
+      assert(r.isNullAt(0) && r.isNullAt(1))
+    }
+  }
+
+  test("DotProductLong equals the int HOF where the int fold is defined, " +
+    "and survives the int ceiling") {
+    val ints = (1 to 40).map { _ =>
+      val n = 1 + rnd.nextInt(64)
+      (Array.fill(n)(rnd.nextInt(255) - 127),
+        Array.fill(n)(rnd.nextInt(255) - 127))
+    }
+    val df = ints.toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0), (acc, t) => acc + t)
+    df.select(graft.ops.Similarity.dotInt(col("a"), col("b")), hof)
+      .collect().foreach { r =>
+        assert(r.getLong(0) === r.getInt(1).toLong)
+      }
+    // past the int ceiling the HOF wraps; the long kernel is exact
+    val big = Seq((Array.fill(200000)(127), Array.fill(200000)(127)))
+      .toDF("a", "b")
+    val l = big.select(graft.ops.Similarity.dotInt(col("a"), col("b")))
+      .collect()(0).getLong(0)
+    assert(l === 200000L * 127 * 127, "long accumulator must not wrap")
+  }
+
+  test("CentroidSqL2 matches the slice+zip_with HOF fold bitwise, per entry") {
+    val k = 5; val dsub = 8; val m = 3
+    val cents = Seq.fill(k)(vec(dsub).toSeq)
+    val df = (1 to 30).map(_ => Tuple1(vec(m * dsub))).toDF("x")
+    def hofEntry(off: Int, c: Seq[Double]): Column =
+      aggregate(zip_with(slice(col("x"), off + 1, dsub), typedLit(c),
+        (a, b) => (a - b) * (a - b)), lit(0.0), (acc, t) => acc + t)
+    (0 until m).foreach { j =>
+      val fused = GraftBridge.column(
+        org.apache.spark.sql.graft.CentroidSqL2(
+          GraftBridge.expression(col("x")), cents, j * dsub))
+      val rows = df.select(fused.as("f"),
+        array(cents.map(c => hofEntry(j * dsub, c)): _*).as("h")).collect()
+      rows.foreach { r =>
+        val f = r.getSeq[Double](0); val h = r.getSeq[Double](1)
+        assert(f.length === k && h.length === k)
+        f.zip(h).foreach { case (a, b) =>
+          assert(java.lang.Double.doubleToRawLongBits(a) ===
+            java.lang.Double.doubleToRawLongBits(b), s"subspace $j")
+        }
+      }
+    }
+    // window past the end -> null entries (the HOF's padded-zip null)
+    val short = Seq(Tuple1(vec(dsub))).toDF("x")
+    val r = short.select(GraftBridge.column(
+      org.apache.spark.sql.graft.CentroidSqL2(
+        GraftBridge.expression(col("x")), cents, dsub))).collect()(0)
+    assert(r.getSeq[java.lang.Double](0).forall(_ == null))
+  }
+
+  test("LshTableKey equals the per-bit when-chain key, including null handling") {
+    val bits = 16
+    val planes = Seq.fill(bits)(vec(24).toSeq)
+    val df = ((1 to 50).map(_ => Tuple1(vec(24))) :+ Tuple1(null: Array[Double]))
+      .toDF("x")
+    val chain = planes.zipWithIndex.map { case (p, b) =>
+      when(graft.ops.Similarity.dot(col("x"), typedLit(p)) > 0,
+        lit(1L) * (1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    val fused = GraftBridge.column(org.apache.spark.sql.graft.LshTableKey(
+      GraftBridge.expression(col("x")), planes))
+    df.select(fused.as("f"), chain.as("h")).collect().foreach { r =>
+      assert(!r.isNullAt(0), "fused key is never null")
+      // the chain yields 0 for a null vector (every when falls through)
+      assert(r.getLong(0) === r.getLong(1))
+    }
+  }
+
+  test("ScaleArray and SubtractScaled match their HOF twins bitwise") {
+    val trips = (1 to 40).map { _ =>
+      val n = 1 + rnd.nextInt(64)
+      (vec(n), vec(n), rnd.nextGaussian())
+    }
+    val df = trips.toDF("x", "c", "s")
+    def sa(x: Column, s: Column) = GraftBridge.column(
+      ScaleArray(GraftBridge.expression(x), GraftBridge.expression(s)))
+    def ss(x: Column, c: Column, s: Column) = GraftBridge.column(
+      SubtractScaled(GraftBridge.expression(x), GraftBridge.expression(c),
+        GraftBridge.expression(s)))
+    val rows = df.select(
+      sa(col("x"), col("s")),
+      transform(col("x"), e => e * col("s")),
+      ss(col("x"), col("c"), col("s")),
+      zip_with(col("x"), col("c"), (xi, ci) => xi - col("s") * ci)).collect()
+    rows.foreach { r =>
+      (0 to 2 by 2).foreach { i =>
+        val got = r.getSeq[Double](i)
+        val want = r.getSeq[Double](i + 1)
+        assert(got.length === want.length)
+        got.zip(want).foreach { case (g, w) =>
+          assert(java.lang.Double.doubleToRawLongBits(g) ===
+            java.lang.Double.doubleToRawLongBits(w))
+        }
+      }
+    }
+    // length-mismatch padding: SubtractScaled pads to the longer
+    // length with null elements, exactly like zip_with
+    val mm = Seq((Array(1.0, 2.0, 3.0), Array(10.0, 20.0), 2.0))
+      .toDF("x", "c", "s")
+    val r = mm.select(ss(col("x"), col("c"), col("s")),
+      zip_with(col("x"), col("c"), (xi, ci) => xi - col("s") * ci))
+      .collect()(0)
+    val got = r.getSeq[java.lang.Double](0)
+    val want = r.getSeq[java.lang.Double](1)
+    assert(got === want)
+    assert(got.length === 3 && got(2) == null)
+  }
+}

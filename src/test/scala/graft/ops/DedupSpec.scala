@@ -641,4 +641,22 @@ class DedupSpec extends AnyFunSuite {
     assert(out("plain") !== out("commentFree"),
       "the swallowed comment shifts the clone class — the documented limit")
   }
+
+  test("minhashPlan: exact S-curve products, hand values, inflection literal") {
+    val spark2 = graft.TestSpark.spark
+    val out = Dedup.minhashPlan(spark2, k = 8, bands = 4,
+      thresholds = Seq(0.0, 0.5, 1.0))
+      .collect().map(r => r.getDouble(0) -> r).toMap
+    // r = 2: s^2 = 0.25 exactly; 1 - 0.75^4 = 1 - 0.31640625
+    assert(out(0.5).getAs[Double]("p_candidate") === 0.683594)
+    assert(out(0.0).getAs[Double]("p_candidate") === 0.0)
+    assert(out(1.0).getAs[Double]("p_candidate") === 1.0)
+    assert(out(0.5).getAs[Int]("rows_per_band") === 2)
+    assert(out(0.5).getAs[Int]("bands") === 4)
+    // (1/4)^(1/2) = 0.5 exactly
+    assert(out(0.5).getAs[Double]("est_threshold") === 0.5)
+    intercept[IllegalArgumentException] {
+      Dedup.minhashPlan(spark2, k = 7, bands = 4, thresholds = Seq(0.5))
+    }
+  }
 }

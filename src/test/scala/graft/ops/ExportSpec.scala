@@ -630,12 +630,18 @@ class ExportSpec extends AnyFunSuite {
     val nSpans = r.getAs[Int]("n_spans")
     val nMasked = r.getAs[Int]("n_masked")
     assert(nMasked >= 1 && nSpans >= 1, "rate 0.3 on 40 tokens must mask")
-    // sentinels appear 1..n_spans in order, in BOTH input and target
-    val sentinels = (1 to nSpans).map(k => s"<extra_id_$k>")
+    // 0-BASED sentinels 0..n_spans-1 in order in both texts (the stock
+    // T5-tokenizer convention), and the target CLOSES with the
+    // terminal sentinel <extra_id_n> (Raffel et al. Figure 2)
+    val sentinels = (0 until nSpans).map(k => s"<extra_id_$k>")
     assert(input.filter(_.startsWith("<extra")) === sentinels)
-    assert(target.filter(_.startsWith("<extra")) === sentinels)
+    assert(target.filter(_.startsWith("<extra")) ===
+      sentinels :+ s"<extra_id_$nSpans>")
+    assert(target.last === s"<extra_id_$nSpans>",
+      "target must end with the terminal sentinel")
     // reconstruction: replacing each input sentinel with its target
-    // span restores the original token sequence exactly
+    // span restores the original token sequence exactly (the terminal
+    // sentinel opens an empty span, harmless to the rebuild)
     val spans = {
       val m = scala.collection.mutable.Map[String, Seq[String]]()
       var cur: String = null
@@ -650,6 +656,22 @@ class ExportSpec extends AnyFunSuite {
     assert(rebuilt === (1 to 40).map(i => s"w$i"),
       "input+target must reconstruct the original")
     assert(spans.values.map(_.size).sum === nMasked)
+  }
+
+  test("spanCorruption: zero-span docs emit the bare terminal sentinel") {
+    // md5 coins are a pure function of (doc_id, pos) — whichever docs
+    // come out unmasked at rate 0.05 is fixed forever, so this test is
+    // deterministic
+    val rows = (1L to 20L).map(i => (i, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val out = Export.spanCorruption(rows, rate = 0.05).collect()
+    val zero = out.filter(_.getAs[Int]("n_spans") == 0)
+    assert(zero.nonEmpty, "rate 0.05 on 3 tokens leaves unmasked docs")
+    zero.foreach { r =>
+      assert(r.getAs[String]("target_text") === "<extra_id_0>",
+        "zero spans: target is the bare terminal sentinel")
+      assert(r.getAs[String]("input_text") === "alpha beta gamma")
+    }
   }
 
   test("needleEval: needle lands at the floor(depth*n) token boundary") {

@@ -40,6 +40,47 @@ class RolloutsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("undefined"))
   }
 
+  test("passAtK rejects an empty samples frame with a clear message") {
+    val samples = Seq(("A", true)).toDF("prompt", "correct")
+      .filter(col("prompt") === "nope")
+    val e = intercept[IllegalArgumentException] {
+      Rollouts.passAtK(samples, "prompt", "correct", Seq(1))
+    }
+    assert(e.getMessage.contains("empty"), e.getMessage)
+  }
+
+  test("grpoAdvantage size-routes the stats join: no broadcast hint above the gate") {
+    val samples = Seq(
+      ("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 5.0), ("B", 5.0)
+    ).toDF("prompt", "reward")
+    def hasBroadcastHint(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.hint.leftHint.exists(_.strategy.isDefined) ||
+            j.hint.rightHint.exists(_.strategy.isDefined) => j
+      }.nonEmpty ||
+        df.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin")
+    // under the gate: broadcast
+    val under = Rollouts.grpoAdvantage(samples, "prompt", "reward")
+    assert(hasBroadcastHint(under), "2 prompts must broadcast")
+    // force the gate to 1 key: the same call must NOT plant the hint
+    spark.conf.set(Guards.MaxBroadcastKeysConf, "1")
+    try {
+      val over = Rollouts.grpoAdvantage(samples, "prompt", "reward")
+      val hinted = over.queryExecution.logical.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+      }
+      assert(hinted.isEmpty, "above the gate the join must carry no hint")
+      // same answer either way
+      val a = under.orderBy(col("prompt"), col("reward"))
+        .select(col("advantage")).collect().map(_.getDouble(0)).toSeq
+      val b = over.orderBy(col("prompt"), col("reward"))
+        .select(col("advantage")).collect().map(_.getDouble(0)).toSeq
+      assert(a === b)
+    } finally spark.conf.unset(Guards.MaxBroadcastKeysConf)
+  }
+
   test("selfConsistency: majority answer, exact-tie order, share") {
     val samples = Seq(
       ("P", "yes"), ("P", "yes"), ("P", "no"), ("P", "maybe"),
@@ -77,6 +118,59 @@ class RolloutsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getInt(1)) ->
         r.getAs[Double]("advantage")).toMap
     assert(out === again, "ordered folds must make z-scores bit-stable")
+  }
+
+  test("prmScores: min/prod/mean in step order, first-min weakest step") {
+    val steps = Seq(
+      ("T1", 1, 0.9), ("T1", 2, 0.4), ("T1", 3, 0.8),
+      ("T2", 1, 0.5), ("T2", 2, 0.5),
+      ("T3", 2, 1.0), ("T3", 1, 0.25)
+    ).toDF("traj", "step", "reward").repartition(5)
+    val out = Rollouts.prmScores(steps, "traj", "step", "reward")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val t1 = out("T1")
+    assert(t1.getAs[Long]("n_steps") === 3)
+    assert(t1.getAs[Double]("min_reward") === 0.4)
+    assert(t1.getAs[Double]("prod_reward") === 0.288)
+    assert(t1.getAs[Double]("mean_reward") === 0.7)
+    assert(t1.getAs[Long]("weakest_step") === 2)
+    // exact tie: the FIRST step attaining the min wins
+    assert(out("T2").getAs[Long]("weakest_step") === 1)
+    // step order is the sort key, not arrival order
+    assert(out("T3").getAs[Long]("weakest_step") === 1)
+    assert(out("T3").getAs[Double]("prod_reward") === 0.25)
+  }
+
+  test("distinctNgrams: hand counts; short answers contribute no grams") {
+    val samples = Seq(
+      ("P", "a b a b"), ("P", "a b c"),
+      ("Q", "x"), ("Q", "x y")
+    ).toDF("prompt", "answer")
+    val out = Rollouts.distinctNgrams(samples, "prompt", "answer", 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // P: grams [a b, b a, a b] + [a b, b c] -> 5 total, 3 distinct
+    assert(out("P").getAs[Long]("n_ngrams") === 5)
+    assert(out("P").getAs[Long]("n_distinct") === 3)
+    assert(out("P").getAs[Double]("distinct_2") === 0.6)
+    // Q: "x" yields zero bigrams, "x y" yields one
+    assert(out("Q").getAs[Long]("n_ngrams") === 1)
+    assert(out("Q").getAs[Double]("distinct_2") === 1.0)
+  }
+
+  test("raftAcceptance: per-tau gate counts, boundary inclusive") {
+    val samples = Seq(
+      ("P", 0.1), ("P", 0.5), ("P", 0.9),
+      ("Q", 0.2), ("Q", 0.2)
+    ).toDF("prompt", "reward")
+    val out = Rollouts.raftAcceptance(samples, "prompt", "reward",
+      Seq(0.5, 1.0)).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r).toMap
+    assert(out(("P", 0.5)).getAs[Long]("n_accepted") === 2,
+      "0.5 >= 0.5 must pass: the gate is inclusive")
+    assert(out(("P", 0.5)).getAs[Double]("acceptance") === 0.666667)
+    assert(out(("P", 1.0)).getAs[Long]("n_accepted") === 0)
+    assert(out(("Q", 0.5)).getAs[Long]("n_accepted") === 0)
+    assert(out(("Q", 0.5)).getAs[Long]("n_samples") === 2)
   }
 
   test("rrfFuse: fused scores and ranks on overlapping lists") {

@@ -489,7 +489,7 @@ class SamplingSpec extends AnyFunSuite {
     assert(run(1) === run(13))
   }
 
-  test("chinchillaPlan: hand-computed sizing, shares and epochs") {
+  test("chinchillaPlan: hand-computed sizing, shares and epochs_needed") {
     import spark.implicits._
     // sources A:600 tokens, B:400 -> shares 0.6/0.4
     val docs = Seq(("A", 600L), ("B", 300L), ("B", 100L))
@@ -506,10 +506,10 @@ class SamplingSpec extends AnyFunSuite {
     assert(out("B").getAs[Double]("share") === 0.4)
     assert(out("A").getAs[Long]("draw_tokens") ===
       math.floor(d * 0.6).toLong)
-    // epochs = proportional draw / inventory
+    // epochs_needed = proportional draw / inventory (passes REQUIRED)
     def r6(x: Double) = BigDecimal(x)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(out("B").getAs[Double]("epochs") === r6(d * 0.4 / 400.0))
+    assert(out("B").getAs[Double]("epochs_needed") === r6(d * 0.4 / 400.0))
     assert(out("B").getAs[Long]("n_docs") === 2)
   }
 
