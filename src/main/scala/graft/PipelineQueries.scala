@@ -8363,8 +8363,10 @@ object PipelineQueries {
         iterations = 3)
       graft.ops.Spectral.removeDirection(embs, d)
         .select(col("vec_id"), round(col("_proj"), 6).as("projection"),
-          round(sqrt(aggregate(transform(col("residual"), x => x * x),
-            lit(0.0), (a, x) => a + x)), 6).as("residual_norm"))
+          // ||r|| via the fused dot kernel — bitwise-equal to the
+          // aggregate(transform(x*x)) fold it replaced
+          round(sqrt(graft.ops.Similarity.dot(
+            col("residual"), col("residual"))), 6).as("residual_norm"))
         .orderBy(col("vec_id"))
     },
 
@@ -9798,6 +9800,60 @@ object PipelineQueries {
       graft.ops.Dedup.minhashPlan(s, k = 64, bands = 16,
           thresholds = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
         .orderBy(col("jaccard"))
+    },
+
+    // Cluster-based SemDeDup (Abbas et al. 2023): the q_kmeans
+    // 2-iteration k=8 chain re-derived, then within-cell pairwise
+    // cosine (explicit coordinate folds — the fused dot kernel's exact
+    // order) and the min-id drop rule on the ROUNDED similarity. The
+    // hash covers clustering, candidate scoping and the keep set at
+    // once.
+    q("q_semdedup_clusters",
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |           AS cell, emb
+        |         FROM v ORDER BY vec_id LIMIT 8),
+        |a1 AS (SELECT v.vec_id, v.emb,
+        |         (SELECT s.cell FROM seed s
+        |          ORDER BY list_distance(v.emb, s.emb) ASC, s.cell ASC
+        |          LIMIT 1) AS cell FROM v),
+        |m1 AS (SELECT cell, list(a ORDER BY i) AS emb FROM (
+        |         SELECT cell, i, avg(emb[i]) AS a
+        |         FROM a1 CROSS JOIN range(1, 65) AS t(i)
+        |         GROUP BY cell, i) GROUP BY cell),
+        |c1 AS (SELECT s.cell, COALESCE(m1.emb, s.emb) AS emb
+        |       FROM seed s LEFT JOIN m1 USING (cell)),
+        |a2 AS (SELECT v.vec_id, v.emb,
+        |         (SELECT c.cell FROM c1 c
+        |          ORDER BY list_distance(v.emb, c.emb) ASC, c.cell ASC
+        |          LIMIT 1) AS cell FROM v),
+        |m2 AS (SELECT cell, list(a ORDER BY i) AS emb FROM (
+        |         SELECT cell, i, avg(emb[i]) AS a
+        |         FROM a2 CROSS JOIN range(1, 65) AS t(i)
+        |         GROUP BY cell, i) GROUP BY cell),
+        |c2 AS (SELECT s.cell, COALESCE(m2.emb, s.emb) AS emb
+        |       FROM seed s LEFT JOIN m2 USING (cell)),
+        |fin AS (SELECT v.vec_id, v.emb,
+        |         (SELECT c.cell FROM c2 c
+        |          ORDER BY list_distance(v.emb, c.emb) ASC, c.cell ASC
+        |          LIMIT 1) AS cell FROM v),
+        |nm AS (SELECT vec_id, cell, emb,
+        |         sqrt(list_reduce(list_transform(range(1, 65),
+        |           i -> emb[i] * emb[i]), (x, y) -> x + y)) AS nrm
+        |       FROM fin),
+        |drops AS (SELECT DISTINCT b.vec_id FROM nm a JOIN nm b
+        |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_reduce(list_transform(range(1, 65),
+        |      i -> a.emb[i] * b.emb[i]), (x, y) -> x + y)
+        |      / (a.nrm * b.nrm), 6) >= CAST(0.2 AS DOUBLE))
+        |SELECT f.vec_id, f.cell,
+        |  (d.vec_id IS NULL) AS keep
+        |FROM fin f LEFT JOIN drops d ON f.vec_id = d.vec_id
+        |ORDER BY f.vec_id""".stripMargin) { (s, dir) =>
+      graft.ops.Similarity.semDeDupClusters(t(s, dir, "embeddings"),
+          k = 8, iterations = 2, threshold = 0.2)
+        .orderBy(col("vec_id"))
     }
   )
 

@@ -109,10 +109,12 @@ object Kmeans {
     * plan-literal centroids. */
   def assign(vecs: DataFrame, model: Model,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graft.GraftBridge.{column, expression}
     val emb = col(embCol).cast("array<double>")
     val cell = assignCol(emb, model.centroids)
-    val minDist = model.centroids.map(c => sqDist(emb, c))
-      .reduce((a, b) => least(a, b))
+    // min over the SAME one-kernel distance array the assignment reads
+    val minDist = array_min(column(org.apache.spark.sql.graft.CentroidSqL2(
+      expression(emb), model.centroids.map(_.toSeq).toSeq, 0)))
     vecs.select(col(idCol), cell.as("cell"), minDist.as("sq_dist"))
   }
 }

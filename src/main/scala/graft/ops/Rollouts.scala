@@ -192,9 +192,11 @@ object Rollouts {
       answerCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n=$n")
     val toks = split(trim(col(answerCol)), "\\s+")
-    val grams = transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      i => array_join(slice(toks, i, n), " "))
+    // guard short answers explicitly: sequence(1, 0) DESCENDS in Spark
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
     samples
       .select(col(promptCol), explode(grams).as("_g"))
       .groupBy(col(promptCol))

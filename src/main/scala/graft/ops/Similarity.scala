@@ -577,6 +577,52 @@ object Similarity {
     embs.join(drops, Seq("vec_id"), "left_anti")
   }
 
+  /** Cluster-based SemDeDup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication" §3): k-means-cluster the embedding space
+    * ([[graft.ops.Kmeans]] — the reproducible twin, so the whole
+    * pipeline replays), compute pairwise cosine WITHIN each cluster
+    * only, and drop every vector with a smaller-id over-threshold
+    * neighbor in its cluster (min-id keeper; the paper's
+    * keep-farthest-from-centroid is one stated policy — the keeper
+    * CHOICE is policy, the near-dup GROUPS are the algorithm). The
+    * sibling of [[semanticDedup]] with k-means cells instead of
+    * random-hyperplane sign buckets — the published SemDeDup recipe
+    * shape, better-balanced cells on clustered data.
+    *
+    * Scale: the cluster pass bounds the pair set to Σ|cell|² instead
+    * of n²; within-cell pairs run through
+    * [[graft.ops.Dedup.pairsInBucketsExact]] (degenerate cells
+    * block-salt and STREAM — nothing collects); cosine rides the
+    * fused [[dot]] kernel per candidate pair. The keep gate compares
+    * the ROUNDED similarity (round 6), so the decision is the same
+    * exact value on any engine.
+    *
+    * Output: (vec_id, cell, keep) — one row per input vector. */
+  def semDeDupClusters(embs: DataFrame, k: Int, iterations: Int,
+      threshold: Double): DataFrame = {
+    require(threshold > -1 && threshold <= 1, s"threshold=$threshold")
+    val model = Kmeans.fit(embs, k, iterations)
+    val assigned = Kmeans.assign(embs, model)
+      .select(col("vec_id"), col("cell"))
+    val cands = graft.ops.Dedup.pairsInBucketsExact(
+      assigned.select(col("cell"), col("vec_id")), Seq("cell"), "vec_id")
+    val base = embs.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    val drops = cands
+      .join(base.select(col("vec_id").as("id_a"), col("emb").as("ea"),
+        col("nrm").as("na")), "id_a")
+      .join(base.select(col("vec_id").as("id_b"), col("emb").as("eb"),
+        col("nrm").as("nb")), "id_b")
+      .filter(round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+        >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned
+      .join(drops.withColumn("_drop", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(!col("_drop"), lit(true)).as("keep"))
+  }
+
   /** LSH-accelerated top-k for a query subset: candidates from bucket
     * sharing, cosine re-rank, per-query top-k. Recall < 1 by design;
     * verified against brute force in the test suite. */

@@ -21,7 +21,16 @@ object ExplainCheck {
         "q_corpus_report","q_strip_repeated_spans",
         "q_nb_classifier","q_retrieval_eval",
         "q_hybrid_retrieval","q_dsir_select","q_url_canonicalize",
-        "q_contiguous_ids","q_ordered_shards")) {
+        "q_contiguous_ids","q_ordered_shards",
+        // round-15: the fused vector kernels must be visible in these
+        // plans (dot_product / squared_l2 / centroid_sq_l2 /
+        // lsh_table_key / scale_array / subtract_scaled inside
+        // Project/Aggregate, no interpreted aggregate(zip_with(...)))
+        "q_power_iteration","q_spectral_whiten","q_spectral_topk",
+        "q_spectral_outliers","q_int8_ann","q_ann_ivf","q_ann_pq",
+        "q_kmeans","q_knn_classify","q_ann_matryoshka",
+        "q_prm_scores","q_distinct_ngrams","q_raft_accept",
+        "q_minhash_plan","q_semdedup_clusters")) {
       println(s"########## $q")
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
@@ -558,7 +567,7 @@ object ExplainCheck {
       println(graft.ops.Rollouts.selfConsistency(roll, "doc_id", "ans")
         .queryExecution.explainString(fmt))
     }
-    println("########## op:Rollouts.grpoAdvantage (one group agg; |prompts|-row stats broadcast back)")
+    println("########## op:Rollouts.grpoAdvantage (one group agg; stats join size-routed through the Guards gate)")
     locally {
       import org.apache.spark.sql.functions.{explode, lit, pmod, sequence}
       val roll = docs.select(col("doc_id"),
@@ -640,7 +649,7 @@ object ExplainCheck {
         docs.select(col("doc_id"), (col("n_chars") / 1000.0).as("a"),
           (col("n_chars") / 2000.0).as("b")), "a", "b", "doc_id", b = 20)
       .queryExecution.explainString(fmt))
-    println("########## op:Spectral deflated scoring chain (residual layer stays a narrow zip_with; zero Exchange)")
+    println("########## op:Spectral deflated scoring chain (residual layer a narrow fused subtract_scaled kernel; zero Exchange)")
     locally {
       val ds = graft.ops.Spectral.topDirections(embs, dim = 64, k = 2,
         iterations = 1)

@@ -470,4 +470,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert("Window \\[".r.findAllIn(p).length <= 1,
       s"only the vote grid may pay a window:\n$p")
   }
+
+  test("semDeDupClusters: planted within-cluster near-dups drop to the min id") {
+    import spark.implicits._
+    // two tight planted clusters far apart + lone points: within each
+    // cluster every vector is a near-dup of every other (cos ~ 1), so
+    // only the min id survives; the lone points always survive
+    val rnd = new scala.util.Random(3)
+    def jitter(base: Array[Double]) =
+      base.zipWithIndex.map { case (v, i) => v + rnd.nextGaussian() * 1e-3 }
+    val ax = Array.fill(64)(0.0).updated(0, 1.0)
+    val ay = Array.fill(64)(0.0).updated(1, 1.0)
+    // ids 1..4 are the k=4 min-id SEEDS — one per group, so every
+    // group owns a cell from iteration zero and assignments are
+    // jitter-independent
+    val rows =
+      Seq((1L, jitter(ax).map(_.toFloat)),
+          (2L, jitter(ay).map(_.toFloat)),
+          (3L, Array.fill(64)(0.0).updated(2, 1.0).map(_.toFloat)),
+          (4L, Array.fill(64)(0.0).updated(3, 1.0).map(_.toFloat))) ++
+      (5L to 7L).map(i => (i, jitter(ax).map(_.toFloat))) ++
+      (8L to 9L).map(i => (i, jitter(ay).map(_.toFloat)))
+    val embs = rows.toDF("vec_id", "embedding")
+    val out = Similarity.semDeDupClusters(embs, k = 4, iterations = 2,
+        threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(1L) && !out(5L) && !out(6L) && !out(7L),
+      "cluster A keeps only the min id")
+    assert(out(2L) && !out(8L) && !out(9L),
+      "cluster B keeps only the min id")
+    assert(out(3L) && out(4L), "lone points always survive")
+    // every input vector gets exactly one verdict row
+    assert(out.size === rows.size)
+  }
 }
