@@ -118,7 +118,8 @@ object Bench {
     // diversity, the RAFT acceptance curve and the MinHash banding
     // planner
     "q_prm_scores", "q_distinct_ngrams", "q_raft_accept",
-    "q_minhash_plan", "q_semdedup_clusters")
+    "q_minhash_plan", "q_semdedup_clusters", "q_data_constrained",
+    "q_prm_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -9854,6 +9854,107 @@ object PipelineQueries {
       graft.ops.Similarity.semDeDupClusters(t(s, dir, "embeddings"),
           k = 8, iterations = 2, threshold = 0.2)
         .orderBy(col("vec_id"))
+    },
+
+    // Data-constrained scaling plan (Muennighoff et al. 2023): six
+    // weighted sources against a 20k-token budget — at sf0.01 the
+    // heavy weights EXCEED inventory (the exp-decay branch), at sf0.1
+    // everything fits (the within branch), so both branches hash-gate
+    // across the two driver sweeps. exp() is each engine's libm, so
+    // every float rounds in the FINAL projection and the margin is
+    // boundary-audited (AUTO), not assumed.
+    q("q_data_constrained",
+      """WITH w AS (SELECT * FROM (VALUES
+        |    ('src0', CAST(1 AS DOUBLE)), ('src1', CAST(2 AS DOUBLE)),
+        |    ('src2', CAST(3 AS DOUBLE)), ('src3', CAST(4 AS DOUBLE)),
+        |    ('src4', CAST(5 AS DOUBLE)), ('src5', CAST(6 AS DOUBLE)))
+        |    AS t(source, weight)),
+        |inv AS (SELECT source,
+        |    CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |j AS (SELECT w.source, w.weight,
+        |    COALESCE(inv.n_tokens, 0) AS n_tokens,
+        |    CAST(20000 AS DOUBLE) * w.weight / CAST(21 AS DOUBLE)
+        |      AS draw,
+        |    CAST(COALESCE(inv.n_tokens, 0) AS DOUBLE) AS u
+        |  FROM w LEFT JOIN inv USING (source)),
+        |x AS (SELECT source, weight, n_tokens, draw, u,
+        |    CASE WHEN u > 0
+        |         THEN greatest(draw / u - CAST(1 AS DOUBLE),
+        |                       CAST(0 AS DOUBLE)) END AS excess
+        |  FROM j),
+        |e AS (SELECT *,
+        |    CASE WHEN u = 0 THEN CAST(0 AS DOUBLE)
+        |         WHEN draw <= u THEN draw
+        |         ELSE u * (CAST(1 AS DOUBLE) + CAST(15.39 AS DOUBLE)
+        |           * (CAST(1 AS DOUBLE)
+        |              - exp(-excess / CAST(15.39 AS DOUBLE)))) END
+        |      AS d_eff
+        |  FROM x)
+        |SELECT source, weight, n_tokens,
+        |  round(draw, 4) AS draw_tokens,
+        |  round(excess, 6) AS excess_epochs,
+        |  round(d_eff, 4) AS d_eff,
+        |  round(d_eff / draw, 6) AS utility
+        |FROM e ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.ops.Sampling.dataConstrainedPlan(t(s, dir, "documents"),
+          size(split(col("text"), "\\s+")), "source",
+          weights = Map("src0" -> 1.0, "src1" -> 2.0, "src2" -> 3.0,
+            "src3" -> 4.0, "src4" -> 5.0, "src5" -> 6.0),
+          budgetTokens = 20000)
+        .orderBy(col("source"))
+    },
+
+    // Composed PRM selection pipeline: 4 rollouts x 5 steps per
+    // prompt on an exact /9 reward grid -> prmScores per trajectory
+    // (traj = doc_id*16 + sample) -> per prompt pick the sample with
+    // the best MIN step reward (tie -> lower trajectory id) — the
+    // process-reward best-of-n that routes weakest-step refinement.
+    // The oracle refolds every trajectory and re-derives the argmax.
+    q("q_prm_pipeline",
+      """WITH st AS (SELECT doc_id, s.s AS samp, p.p AS step,
+        |    doc_id * 16 + s.s AS traj,
+        |    CAST((doc_id * 13 + s.s * 17 + p.p * 7) % 9 AS DOUBLE) / 9.0
+        |      AS reward
+        |  FROM documents, range(1, 5) AS s(s), range(1, 6) AS p(p)),
+        |g AS (SELECT doc_id, samp, traj,
+        |    list(reward ORDER BY step) AS rs FROM st
+        |  GROUP BY doc_id, samp, traj),
+        |sc AS (SELECT doc_id, samp, traj,
+        |    list_aggregate(rs, 'min') AS min_reward,
+        |    round(list_reduce(rs, (a, b) -> a * b), 6) AS prod_reward
+        |  FROM g),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY min_reward DESC, traj ASC) AS rn FROM sc)
+        |SELECT doc_id, CAST(samp AS BIGINT) AS best_sample,
+        |  min_reward AS best_min, prod_reward AS best_prod,
+        |  CAST(4 AS BIGINT) AS n_candidates
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val steps = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("samp", explode(sequence(lit(1), lit(4))))
+        .withColumn("step", explode(sequence(lit(1), lit(5))))
+        .withColumn("traj", col("doc_id") * 16 + col("samp"))
+        .withColumn("reward",
+          pmod(col("doc_id") * 13 + col("samp") * 17 + col("step") * 7,
+            lit(9)).cast("double") / 9.0)
+      val scored = graft.ops.Rollouts.prmScores(steps, "traj", "step",
+          "reward")
+        .withColumn("doc_id", floor(col("traj") / 16).cast("long"))
+        .withColumn("samp", pmod(col("traj"), lit(16)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("min_reward").desc, col("traj").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("doc_id"))
+        .agg(first(col("samp")).as("best_sample"),
+          first(col("min_reward")).as("best_min"),
+          first(col("prod_reward")).as("best_prod"))
+        .withColumn("n_candidates", lit(4L))
+        .select(col("doc_id"), col("best_sample"), col("best_min"),
+          col("best_prod"), col("n_candidates"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -16,7 +16,15 @@ import org.apache.spark.sql.functions._
   *  - [[grpoAdvantage]] — group-relative advantage normalization
   *    (the GRPO baseline, Shao et al. 2024 §4.1): per-prompt reward
   *    z-score with a zero advantage for zero-variance groups — the
-  *    batch-preparation step before policy-gradient training.
+  *    batch-preparation step before policy-gradient training;
+  *  - [[prmScores]] — process-reward trajectory rollup (Lightman et
+  *    al. 2023): min/product/mean over step rewards + the weakest
+  *    step, the PRM scoring and error-localization pass;
+  *  - [[distinctNgrams]] — distinct-n generation diversity (Li et al.
+  *    2016): the mode-collapse screen over a rollout store;
+  *  - [[raftAcceptance]] — the rejection-sampling threshold tuning
+  *    curve (RAFT/RFT): per-(prompt, τ) acceptance before committing
+  *    a gate.
   *
   * Scale shape: every operator is ONE prompt-keyed aggregate (partial
   * map-side combine on the shuffle; per-group state is O(samples per

@@ -341,6 +341,54 @@ object Sampling {
           / col("n_tokens"), 6).as("epochs_needed"))
   }
 
+  /** Data-constrained scaling plan (Muennighoff et al., NeurIPS 2023
+    * "Scaling Data-Constrained Language Models", reduced to its
+    * operational core like [[chinchillaPlan]]): when a weighted draw
+    * `D_i = budget·w_i/Σw` EXCEEDS a source's unique-token inventory
+    * `U_i`, the excess epochs repeat data whose value decays — the
+    * paper fits the effective data of R repeated excess epochs as
+    * `D'_i = U_i·(1 + R*·(1 − e^(−R_i/R*)))` with the decay constant
+    * `R* ≈ 15.39` (their fitted R_D*: repeating up to ~4 epochs is
+    * nearly as good as new data, then returns decay to zero). For
+    * draws within inventory D' = D. Output per source: inventory,
+    * draw, `excess_epochs` R, effective tokens `d_eff`, and
+    * `utility = d_eff/draw` — the planning report that says which
+    * sources are being over-squeezed BEFORE the mixture commits.
+    *
+    * Determinism: counts are exact integers; the one transcendental
+    * (`exp`) is evaluated by each engine's libm (not correctly rounded
+    * cross-engine in the last ulp), so every float output rounds in
+    * the FINAL projection and the margin is measured by
+    * tools/boundary_audit.py (AUTO entry) rather than assumed. Scale:
+    * ONE source-keyed aggregate; the plan is a |weights|-row grid. */
+  def dataConstrainedPlan(docs: DataFrame, tokensCol: Column,
+      sourceCol: String, weights: Map[String, Double],
+      budgetTokens: Long, rStar: Double = 15.39): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    require(budgetTokens >= 1, s"budgetTokens=$budgetTokens")
+    require(rStar > 0, s"rStar=$rStar")
+    import docs.sparkSession.implicits._
+    val sumW = weights.values.sum
+    val wdf = weights.toSeq.sortBy(_._1).toDF(sourceCol, "weight")
+    val inv = docs.groupBy(col(sourceCol))
+      .agg(sum(tokensCol).cast("long").as("n_tokens"))
+    val draw = lit(budgetTokens.toDouble) * col("weight") / lit(sumW)
+    val u = coalesce(col("n_tokens"), lit(0L)).cast("double")
+    // a weighted source with NO inventory surfaces (the mixturePlan
+    // rule) with NULL excess and zero effective data
+    val excess = when(u > 0, greatest(draw / u - 1.0, lit(0.0)))
+    val dEff = when(u === 0, lit(0.0)).when(draw <= u, draw).otherwise(
+      u * (lit(1.0) + lit(rStar) * (lit(1.0) - exp(-excess / rStar))))
+    broadcast(wdf).join(inv, Seq(sourceCol), "left")
+      .select(col(sourceCol), col("weight"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(draw, 4).as("draw_tokens"),
+        round(excess, 6).as("excess_epochs"),
+        round(dEff, 4).as("d_eff"),
+        round(dEff / draw, 6).as("utility"))
+  }
+
   /** DoReMi domain-weight update (Xie et al., NeurIPS 2023, Algorithm
     * 1's exponentiated-gradient step): per domain take the mean EXCESS
     * loss `max(0, proxy − ref)` of a proxy model over a reference

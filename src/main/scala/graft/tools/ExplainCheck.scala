@@ -30,7 +30,8 @@ object ExplainCheck {
         "q_spectral_outliers","q_int8_ann","q_ann_ivf","q_ann_pq",
         "q_kmeans","q_knn_classify","q_ann_matryoshka",
         "q_prm_scores","q_distinct_ngrams","q_raft_accept",
-        "q_minhash_plan","q_semdedup_clusters")) {
+        "q_minhash_plan","q_semdedup_clusters","q_data_constrained",
+        "q_prm_pipeline")) {
       println(s"########## $q")
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -513,6 +513,37 @@ class SamplingSpec extends AnyFunSuite {
     assert(out("B").getAs[Long]("n_docs") === 2)
   }
 
+  test("dataConstrainedPlan: within-inventory, decayed-excess and absent branches") {
+    import spark.implicits._
+    val docs = Seq(("A", 600L), ("B", 300L), ("B", 100L))
+      .toDF("source", "ntok")
+    val out = Sampling.dataConstrainedPlan(docs, col("ntok"), "source",
+        weights = Map("A" -> 1.0, "B" -> 3.0, "C" -> 1.0),
+        budgetTokens = 2000).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // A: draw 2000/5 = 400 <= 600 -> no repetition, d_eff = draw
+    assert(out("A").getAs[Double]("draw_tokens") === 400.0)
+    assert(out("A").getAs[Double]("excess_epochs") === 0.0)
+    assert(out("A").getAs[Double]("d_eff") === 400.0)
+    assert(out("A").getAs[Double]("utility") === 1.0)
+    // B: draw 1200 > 400 -> excess R = 2, d_eff = U(1 + R*(1-e^(-R/R*)))
+    val rB = 1200.0 / 400.0 - 1.0
+    val dB = 400.0 * (1.0 + 15.39 * (1.0 - math.exp(-rB / 15.39)))
+    assert(out("B").getAs[Double]("excess_epochs") === r6(rB))
+    assert(out("B").getAs[Double]("d_eff") === r4(dB))
+    assert(out("B").getAs[Double]("utility") === r6(dB / 1200.0))
+    assert(out("B").getAs[Double]("utility") < 1.0,
+      "repeated data must be worth less than fresh data")
+    // C: weighted but absent -> zero inventory, NULL excess, zero d_eff
+    assert(out("C").getAs[Long]("n_tokens") === 0L)
+    assert(out("C").isNullAt(out("C").fieldIndex("excess_epochs")))
+    assert(out("C").getAs[Double]("d_eff") === 0.0)
+  }
+
   test("doremiReweight matches a hand-computed exponentiated-gradient step") {
     import spark.implicits._
     val losses = Seq(

@@ -35,6 +35,10 @@ AUTO = [
     # are small exact rationals (hits/k, 1/rank) plus the nDCG ratio of
     # plan-literal gain folds
     'q_retrieval_metrics',
+    # r15: every round() in the final projection; the one
+    # transcendental (libm exp in the decay branch) is why the margin
+    # is MEASURED here instead of assumed
+    'q_data_constrained',
 ]
 
 con = duckdb.connect()
