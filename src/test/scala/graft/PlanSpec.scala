@@ -536,6 +536,50 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"scoring must not join:\n$p")
   }
 
+  test("THE KERNEL RULE: vector hot paths run fused kernels, never interpreted HOF folds") {
+    // PLANS.md's kernel rule, enforced mechanically at the OPERATOR
+    // level (the fitting queries return driver-literal grids, so the
+    // rule is asserted on the scan-side plans the kernels live in):
+    // every ANN / spectral / clustering plan must carry the fused
+    // codegen kernels and must NOT evaluate an aggregate(zip_with(...))
+    // fold per row. (zip_with prints as zip_with in optimized plans;
+    // the fused kernels print under their prettyNames.)
+    import graft.ops.{IvfIndex, Kmeans, Pq, Similarity, Spectral}
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dir = Spectral.topDirection(embs, dim = 64, iterations = 1)
+    val km = Kmeans.fit(embs.limit(64), k = 4, iterations = 1)
+    val ivf = IvfIndex.build(embs, nlist = 8)
+    val pq = Pq.train(embs, dim = 64, m = 4, k = 8, iterations = 1)
+    val codes = Pq.encode(embs, pq)
+    import org.apache.spark.sql.functions.col
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame, Seq[String])] = Seq(
+      ("Spectral.project", Spectral.project(embs, dir), Seq("dot_product")),
+      ("Spectral.removeDirection", Spectral.removeDirection(embs, dir),
+        Seq("dot_product", "subtract_scaled")),
+      ("Similarity.int8TopK",
+        Similarity.int8TopK(embs, col("vec_id") < 5, k = 3),
+        Seq("dot_product_long")),
+      ("Kmeans.assign", Kmeans.assign(embs, km), Seq("centroid_sq_l2")),
+      ("IvfIndex.search",
+        IvfIndex.search(ivf, col("vec_id") < 5, k = 3, nprobe = 2),
+        Seq("squared_l2")),
+      ("Pq.encode", codes, Seq("centroid_sq_l2")),
+      ("Pq.searchADC",
+        Pq.searchADC(embs, codes, pq, col("vec_id") < 5, topK = 3),
+        Seq("centroid_sq_l2")),
+      ("Similarity.lshSignatures",
+        Similarity.lshSignatures(embs,
+          Similarity.hyperplanes(tables = 4, bits = 8, dim = 64)),
+        Seq("lsh_table_key")))
+    cases.foreach { case (name, df, kernels) =>
+      val p = df.queryExecution.optimizedPlan.toString
+      kernels.foreach(k => assert(p.contains(k),
+        s"$name must run the fused $k kernel:\n$p"))
+      assert(!p.contains("zip_with"),
+        s"$name must not fold through an interpreted zip_with HOF:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the scan→agg hot path") {
     // AQE reveals codegen spans only in the final (post-execution) plan
     val df = SparkEntry.queries("q_agg_pricing")(spark, sfDir)
