@@ -204,6 +204,31 @@ object EventStreams {
       .select(keep.map(col) :+ col("n_secrets") :+ col("dominant_lang"): _*)
   }
 
+  /** Streaming rollout-evaluation twin of
+    * [[graft.ops.Rollouts.passAtK]]'s k=1 core: per event-time window
+    * and prompt, the running sample/correct counts and the pass@1 rate
+    * over an ARRIVING rollout store (the RL-eval dashboard an online
+    * sampling loop watches) — one watermark-bounded windowed aggregate
+    * in update/append mode; per-group state is two longs. pass@1 on
+    * completed windows equals the batch estimator exactly
+    * (1 − (n−c)/n — integer-exact rationals; parity spec). Higher k
+    * needs the full group, which is what the batch [[graft.ops.
+    * Rollouts.passAtK]] is for — the stream twin deliberately ships
+    * the k=1 monitoring core, not the full estimator. */
+  def rolloutEvalStream(samples: DataFrame, promptCol: String,
+      correctCol: String, eventTimeCol: String = "event_time",
+      windowDur: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    samples
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), windowDur), col(promptCol))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col(correctCol).cast("int")).cast("bigint").as("n_correct"))
+      .withColumn("pass_at_1",
+        round(lit(1.0) - (col("n_samples") - col("n_correct"))
+          .cast("double") / col("n_samples"), 6))
+  }
+
   final case class Event(event_id: Long, user_id: Long, event_type: String,
       value: Double, epochMs: Long)
   final case class SessionAgg(user_id: Long, n_events: Int, total_value: Double,

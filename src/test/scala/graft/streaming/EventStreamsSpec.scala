@@ -1321,4 +1321,48 @@ class EventStreamsSpec extends AnyFunSuite {
         s"($w, $item, $n) not consistent with batch top-3")
     }
   }
+
+  test("rolloutEvalStream: completed-window pass@1 equals the batch estimator") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-srl").toString
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    batchDocs.write.mode("overwrite").parquet(stageDir)
+    // 16 rollouts per prompt (doc_id % 25), correctness a pure function
+    // of (prompt, i), all samples inside one hour-aligned window
+    def rollouts(df: org.apache.spark.sql.DataFrame) = df
+      .select(pmod($"doc_id", lit(25)).as("prompt"))
+      .withColumn("i", explode(sequence(lit(1), lit(16))))
+      .withColumn("correct", pmod($"prompt" * 31 + $"i" * 7, lit(5)) === 0)
+      .withColumn("event_time",
+        timestamp_seconds($"prompt" * 7200 + $"i"))
+    val incoming = rollouts(
+      spark.readStream.schema(batchDocs.schema).parquet(stageDir))
+    val out = EventStreams.rolloutEvalStream(incoming, "prompt", "correct",
+      windowDur = "1 hour", watermark = "1 hour")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("srl")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("srl")
+      .select($"prompt", $"n_samples", $"n_correct", $"pass_at_1")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // batch twin: the k=1 estimator over the same rows. Append mode
+    // emits only windows the watermark passed — with a bounded file
+    // source the LAST window stays open, so the streamed set is a
+    // PREFIX of the batch set (the windowedCounts parity discipline)
+    val expected = graft.ops.Rollouts.passAtK(
+        rollouts(batchDocs).drop("event_time"), "prompt", "correct",
+        ks = Seq(1))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(streamed.nonEmpty, "stream emitted no closed windows")
+    assert(streamed.keySet.subsetOf(expected.keySet))
+    assert(streamed.size >= expected.size - 2,
+      "only the watermark-open tail windows may be withheld")
+    streamed.foreach { case (pid, r) =>
+      val e = expected(pid)
+      assert(r.getAs[Long]("n_samples") === e.getAs[Long]("n_samples"))
+      assert(r.getAs[Long]("n_correct") === e.getAs[Long]("n_correct"))
+      assert(r.getAs[Double]("pass_at_1") === e.getAs[Double]("pass_at_1"),
+        s"prompt $pid")
+    }
+  }
 }
