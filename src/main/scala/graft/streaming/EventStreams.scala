@@ -123,7 +123,7 @@ object EventStreams {
     val ps = (1 until bins).map(_.toDouble / bins)
     val bounds = ref.agg(
         expr(s"percentile($scoreCol, array(${ps.mkString(",")}))")
-          .cast("array<double>")).head.getSeq[Double](0).toArray
+          .cast("array<double>")).head().getSeq[Double](0).toArray
     def bucketOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       (lit(1) + size(filter(lit(bounds), b => c.cast("double") > b)))
         .cast("int")

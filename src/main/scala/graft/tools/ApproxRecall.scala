@@ -21,8 +21,8 @@ object ApproxRecall {
         threshold = 0.5).select("id_a", "id_b")
       val e = Dedup.jaccardPairs(docs, n = 3, threshold = 0.5)
         .select("id_a", "id_b")
-      println(s"[$sf] minhash=${m.count} exact=${e.count} " +
-        s"missed=${e.exceptAll(m).count} extra=${m.exceptAll(e).count}")
+      println(s"[$sf] minhash=${m.count()} exact=${e.count()} " +
+        s"missed=${e.exceptAll(m).count()} extra=${m.exceptAll(e).count()}")
       val inc = docs.filter(col("doc_id") % 2 === 1)
       val corp = docs.filter(col("doc_id") % 2 === 0)
       val xm = Dedup.minhashNearDupsAgainstCorpus(inc, corp,
@@ -36,32 +36,32 @@ object ApproxRecall {
             (size(col("sh_i")) + size(col("sh_c")) - col("common")))
           .filter(col("j") >= 0.5).select("inc_id", "corp_id")
       }
-      println(s"[$sf] xminhash=${xm.count} exact=${xe.count} " +
-        s"missed=${xe.exceptAll(xm).count} extra=${xm.exceptAll(xe).count}")
+      println(s"[$sf] xminhash=${xm.count()} exact=${xe.count()} " +
+        s"missed=${xe.exceptAll(xm).count()} extra=${xm.exceptAll(xe).count()}")
       val bruteSim = Dedup.simhashAllPairs(docs, maxHamming = 8)
         .select("id_a", "id_b")
       val banded = Dedup.simhashNearDups(docs, maxHamming = 8).select("id_a", "id_b")
-      println(s"[$sf] simhash_banded=${banded.count} brute=${bruteSim.count} " +
-        s"missed=${bruteSim.exceptAll(banded).count} extra=${banded.exceptAll(bruteSim).count}")
+      println(s"[$sf] simhash_banded=${banded.count()} brute=${bruteSim.count()} " +
+        s"missed=${bruteSim.exceptAll(banded).count()} extra=${banded.exceptAll(bruteSim).count()}")
       val embs = spark.read.parquet(s"$sf/embeddings.parquet")
       val planes = Similarity.hyperplanes(tables = 16, bits = 4, dim = 64)
       val l = Similarity.lshNearDupPairs(embs, 0.4, planes).select("id_a", "id_b")
       val ex = Similarity.cosineNearDupPairs(embs, 0.4).select("id_a", "id_b")
-      println(s"[$sf] emb_lsh=${l.count} exact=${ex.count} " +
-        s"missed=${ex.exceptAll(l).count} extra=${l.exceptAll(ex).count}")
+      println(s"[$sf] emb_lsh=${l.count()} exact=${ex.count()} " +
+        s"missed=${ex.exceptAll(l).count()} extra=${l.exceptAll(ex).count()}")
       val brute = Similarity.bruteForceTopK(embs, col("vec_id") < 10, k = 5)
         .select("query_id", "vec_id")
       val alsh = Similarity.lshTopK(embs, col("vec_id") < 10, k = 5, planes)
         .select("query_id", "vec_id")
       val ivf = IvfIndex.search(IvfIndex.build(embs, nlist = 8),
         col("vec_id") < 10, k = 5, nprobe = 4).select("query_id", "vec_id")
-      println(s"[$sf] ann_lsh_overlap=${alsh.intersect(brute).count}/" +
-        s"${brute.count} ivf_overlap=${ivf.intersect(brute).count}/${brute.count}")
+      println(s"[$sf] ann_lsh_overlap=${alsh.intersect(brute).count()}/" +
+        s"${brute.count()} ivf_overlap=${ivf.intersect(brute).count()}/${brute.count()}")
       for (dims <- Seq(8, 16, 32)) {
         val mat = Similarity.matryoshkaSearch(embs, col("vec_id") < 10,
           k = 5, dims = dims, shortlist = 100).select("query_id", "vec_id")
         println(s"[$sf] matryoshka(dims=$dims) overlap=" +
-          s"${mat.intersect(brute).count}/${brute.count}")
+          s"${mat.intersect(brute).count()}/${brute.count()}")
       }
     }
     spark.stop()
