@@ -144,6 +144,51 @@ class VectorKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("kernels: the interpreted eval path equals the codegen path bitwise") {
+    // whole-stage codegen exercises doGenCode only; force the
+    // interpreted projections (nullSafeEval) and compare raw bits —
+    // the two implementations of every kernel must be the same fold
+    val k = 4; val dsub = 8
+    val cents = Seq.fill(k)(vec(dsub).toSeq)
+    val planes = Seq.fill(6)(vec(16).toSeq)
+    val df = (1 to 25).map(_ => (vec(2 * dsub), vec(16), vec(16)))
+      .toDF("x", "p", "q")
+    def cols(d: org.apache.spark.sql.DataFrame) = d.select(
+      graft.ops.Similarity.dot(col("p"), col("q")),
+      graft.ops.Similarity.sqL2(col("p"), col("q")),
+      GraftBridge.column(org.apache.spark.sql.graft.CentroidSqL2(
+        GraftBridge.expression(col("x")), cents, dsub)),
+      GraftBridge.column(org.apache.spark.sql.graft.LshTableKey(
+        GraftBridge.expression(col("p")), planes)),
+      GraftBridge.column(ScaleArray(GraftBridge.expression(col("p")),
+        GraftBridge.expression(lit(2.5)))),
+      GraftBridge.column(SubtractScaled(GraftBridge.expression(col("p")),
+        GraftBridge.expression(col("q")),
+        GraftBridge.expression(lit(0.75)))))
+    val gen = cols(df).collect()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp =
+      try cols(df).collect()
+      finally {
+        spark.conf.unset("spark.sql.codegen.wholeStage")
+        spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    gen.zip(interp).zipWithIndex.foreach { case ((g, i), row) =>
+      assert(bits(g, 0) === bits(i, 0), s"dot row $row")
+      assert(bits(g, 1) === bits(i, 1), s"sqL2 row $row")
+      assert(g.getSeq[Double](2).map(java.lang.Double.doubleToRawLongBits)
+        === i.getSeq[Double](2).map(java.lang.Double.doubleToRawLongBits),
+        s"centroid_sq_l2 row $row")
+      assert(g.getLong(3) === i.getLong(3), s"lsh_table_key row $row")
+      (4 to 5).foreach { c =>
+        assert(g.getSeq[Double](c).map(java.lang.Double.doubleToRawLongBits)
+          === i.getSeq[Double](c).map(java.lang.Double.doubleToRawLongBits),
+          s"array kernel col $c row $row")
+      }
+    }
+  }
+
   test("ScaleArray and SubtractScaled match their HOF twins bitwise") {
     val trips = (1 to 40).map { _ =>
       val n = 1 + rnd.nextInt(64)
