@@ -9955,6 +9955,54 @@ object PipelineQueries {
         .select(col("doc_id"), col("best_sample"), col("best_min"),
           col("best_prod"), col("n_candidates"))
         .orderBy(col("doc_id"))
+    },
+
+    // Multi-phase (stable -> anneal) mixture schedule: the oracle
+    // re-derives every phase draw from the same double literals
+    // (budget*frac*w/sumW, identical op order), runs the cumulative
+    // as a phase-ordered window sum (the same fold), and re-counts
+    // the inventory; 'curated' is a weighted source absent from the
+    // corpus, pinning the zero-inventory NULL branch.
+    q("q_phased_mixture",
+      """WITH g AS (SELECT * FROM (VALUES
+        |    (1, 'stable', 'curated', CAST(1 AS DOUBLE),
+        |     CAST(0.75 AS DOUBLE), CAST(5 AS DOUBLE)),
+        |    (1, 'stable', 'src0', CAST(3 AS DOUBLE),
+        |     CAST(0.75 AS DOUBLE), CAST(5 AS DOUBLE)),
+        |    (1, 'stable', 'src1', CAST(1 AS DOUBLE),
+        |     CAST(0.75 AS DOUBLE), CAST(5 AS DOUBLE)),
+        |    (2, 'anneal', 'curated', CAST(3 AS DOUBLE),
+        |     CAST(0.25 AS DOUBLE), CAST(5 AS DOUBLE)),
+        |    (2, 'anneal', 'src0', CAST(1 AS DOUBLE),
+        |     CAST(0.25 AS DOUBLE), CAST(5 AS DOUBLE)),
+        |    (2, 'anneal', 'src1', CAST(1 AS DOUBLE),
+        |     CAST(0.25 AS DOUBLE), CAST(5 AS DOUBLE)))
+        |    AS t(phase, phase_name, source, w, frac, sumw)),
+        |d AS (SELECT phase, phase_name, source,
+        |    CAST(100000 AS DOUBLE) * frac * w / sumw AS draw FROM g),
+        |c AS (SELECT *, sum(draw) OVER (PARTITION BY source
+        |    ORDER BY phase) AS cum FROM d),
+        |inv AS (SELECT source,
+        |    CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source)
+        |SELECT phase, phase_name, c.source,
+        |  round(draw, 4) AS draw_tokens, round(cum, 4) AS cum_draw,
+        |  COALESCE(n_tokens, 0) AS n_tokens,
+        |  round(CASE WHEN COALESCE(n_tokens, 0) > 0
+        |    THEN cum / CAST(n_tokens AS DOUBLE) END, 6)
+        |    AS cum_epochs_needed
+        |FROM c LEFT JOIN inv USING (source)
+        |ORDER BY phase, c.source""".stripMargin) { (s, dir) =>
+      graft.ops.Sampling.phasedMixturePlan(t(s, dir, "documents"),
+          size(split(col("text"), "\\s+")), "source",
+          phases = Seq(
+            graft.ops.Sampling.Phase("stable", 0.75,
+              Map("src0" -> 3.0, "src1" -> 1.0, "curated" -> 1.0)),
+            graft.ops.Sampling.Phase("anneal", 0.25,
+              Map("src0" -> 1.0, "src1" -> 1.0, "curated" -> 3.0))),
+          budgetTokens = 100000)
+        .orderBy(col("phase"), col("source"))
     }
   )
 

@@ -695,4 +695,68 @@ object Sampling {
       .filter(md5Unit(col(keyCol)) < lit(baseRate) / col("_csz"))
       .drop("_csz")
   }
+
+  /** One phase of a multi-phase training-data schedule: its budget
+    * fraction and per-source mixture weights. */
+  final case class Phase(name: String, budgetFraction: Double,
+      weights: Map[String, Double])
+
+  /** Multi-phase (curriculum / "midtraining" / annealing) mixture
+    * schedule — the two-or-more-phase data plans of modern pretraining
+    * runs (e.g. MiniCPM's decay-phase upweighting of high-quality and
+    * instruction data, Hu et al. 2024 §4.2; OLMo 2's mid-training
+    * mix): each phase gets a fraction of the token budget and its own
+    * source weights, and the report answers the question the single
+    * -phase [[mixturePlan]] cannot — does the CUMULATIVE draw across
+    * phases exceed a source's inventory, and when. Output one row per
+    * (phase, source): the phase draw, the cumulative draw through that
+    * phase, the inventory, and cumulative epochs needed
+    * (cum_draw / inventory; NULL for a zero-inventory source).
+    *
+    * Determinism: phase draws derive from double literals
+    * (budget·fraction·w/Σw — identical IEEE ops on identical operands
+    * in any engine), cumulative sums fold in PHASE ORDER driver-side,
+    * and the inventory is an exact integer aggregate; floats round in
+    * the final projection only. Scale: ONE source-keyed aggregate; the
+    * plan is a |phases|·|sources| grid. */
+  def phasedMixturePlan(docs: DataFrame, tokensCol: Column,
+      sourceCol: String, phases: Seq[Phase],
+      budgetTokens: Long): DataFrame = {
+    require(phases.nonEmpty, "phasedMixturePlan needs >= 1 phase")
+    require(phases.forall(_.budgetFraction > 0), "fractions must be > 0")
+    require(math.abs(phases.map(_.budgetFraction).sum - 1.0) < 1e-9,
+      s"budget fractions must sum to 1, got ${phases.map(_.budgetFraction)}")
+    require(phases.forall(_.weights.nonEmpty) &&
+      phases.forall(_.weights.values.forall(_ > 0)),
+      "every phase needs positive weights")
+    require(budgetTokens >= 1, s"budgetTokens=$budgetTokens")
+    import docs.sparkSession.implicits._
+    // grid rows with driver-computed draws + PHASE-ORDER cumulative
+    // folds (the oracle recomputes the same literal arithmetic)
+    val sources = phases.flatMap(_.weights.keys).distinct.sorted
+    val cum = scala.collection.mutable.Map[String, Double]()
+    val rows = phases.zipWithIndex.flatMap { case (ph, i) =>
+      val sumW = ph.weights.values.sum
+      sources.flatMap { src =>
+        ph.weights.get(src).map { w =>
+          val draw = budgetTokens.toDouble * ph.budgetFraction * w / sumW
+          val c = cum.getOrElse(src, 0.0) + draw
+          cum(src) = c
+          (i + 1, ph.name, src, draw, c)
+        }
+      }
+    }
+    val grid = rows.toDF("phase", "phase_name", sourceCol,
+      "_draw", "_cum")
+    val inv = docs.groupBy(col(sourceCol))
+      .agg(sum(tokensCol).cast("long").as("n_tokens"))
+    broadcast(grid).join(inv, Seq(sourceCol), "left")
+      .select(col("phase"), col("phase_name"), col(sourceCol),
+        round(col("_draw"), 4).as("draw_tokens"),
+        round(col("_cum"), 4).as("cum_draw"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          col("_cum") / col("n_tokens").cast("double")), 6)
+          .as("cum_epochs_needed"))
+  }
 }

@@ -31,7 +31,7 @@ object ExplainCheck {
         "q_kmeans","q_knn_classify","q_ann_matryoshka",
         "q_prm_scores","q_distinct_ngrams","q_raft_accept",
         "q_minhash_plan","q_semdedup_clusters","q_data_constrained",
-        "q_prm_pipeline")) {
+        "q_prm_pipeline","q_phased_mixture")) {
       println(s"########## $q")
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

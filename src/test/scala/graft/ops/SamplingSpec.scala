@@ -544,6 +544,42 @@ class SamplingSpec extends AnyFunSuite {
     assert(out("C").getAs[Double]("d_eff") === 0.0)
   }
 
+  test("phasedMixturePlan: hand draws, phase-order cumulatives, all branches") {
+    import spark.implicits._
+    val docs = Seq(("A", 600L), ("B", 300L), ("B", 100L))
+      .toDF("source", "ntok")
+    val out = Sampling.phasedMixturePlan(docs, col("ntok"), "source",
+      phases = Seq(
+        Sampling.Phase("stable", 0.75, Map("A" -> 3.0, "B" -> 1.0)),
+        Sampling.Phase("anneal", 0.25, Map("A" -> 1.0, "C" -> 3.0))),
+      budgetTokens = 8000).collect()
+      .map(r => (r.getInt(0), r.getString(2)) -> r).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // stable: sumW 4 -> A 4500, B 1500; anneal: sumW 4 -> A 500, C 1500
+    assert(out((1, "A")).getAs[Double]("draw_tokens") === 4500.0)
+    assert(out((1, "B")).getAs[Double]("draw_tokens") === 1500.0)
+    assert(out((2, "A")).getAs[Double]("draw_tokens") === 500.0)
+    assert(out((2, "C")).getAs[Double]("draw_tokens") === 1500.0)
+    // cumulative in PHASE order
+    assert(out((2, "A")).getAs[Double]("cum_draw") === 5000.0)
+    assert(out((2, "A")).getAs[Double]("cum_epochs_needed") ===
+      r6(5000.0 / 600.0))
+    assert(out((1, "B")).getAs[Double]("cum_epochs_needed") ===
+      r6(1500.0 / 400.0))
+    // a weighted source absent from the corpus: zero inventory, NULL epochs
+    val c2 = out((2, "C"))
+    assert(c2.getAs[Long]("n_tokens") === 0L)
+    assert(c2.isNullAt(c2.fieldIndex("cum_epochs_needed")))
+    // B has no phase-2 row (not in that phase's weights)
+    assert(!out.contains((2, "B")))
+    // fractions must sum to 1
+    intercept[IllegalArgumentException] {
+      Sampling.phasedMixturePlan(docs, col("ntok"), "source",
+        Seq(Sampling.Phase("x", 0.5, Map("A" -> 1.0))), 100L)
+    }
+  }
+
   test("doremiReweight matches a hand-computed exponentiated-gradient step") {
     import spark.implicits._
     val losses = Seq(
