@@ -119,7 +119,11 @@ object Bench {
     // planner
     "q_prm_scores", "q_distinct_ngrams", "q_raft_accept",
     "q_minhash_plan", "q_semdedup_clusters", "q_data_constrained",
-    "q_prm_pipeline", "q_phased_mixture")
+    "q_prm_pipeline", "q_phased_mixture",
+    // round-16 additions: tightened cluster SemDeDup, speculative-
+    // decoding acceptance, ECE calibration, the verbosity-bias screen
+    "q_semdedup_tight", "q_spec_decode", "q_ece_calibration",
+    "q_length_bias")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

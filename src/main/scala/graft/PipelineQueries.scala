@@ -9763,7 +9763,7 @@ object PipelineQueries {
         |                struct_pack(tau := CAST(0.75 AS DOUBLE), n := a3)])
         |          AS t
         |      FROM g)
-        |SELECT doc_id, round(t.tau, 2) AS tau, n_samples,
+        |SELECT doc_id, t.tau AS tau, n_samples,
         |  t.n AS n_accepted,
         |  round(CAST(t.n AS DOUBLE) / n_samples, 6) AS acceptance
         |FROM x ORDER BY doc_id, tau""".stripMargin) { (s, dir) =>
@@ -10003,6 +10003,203 @@ object PipelineQueries {
               Map("src0" -> 1.0, "src1" -> 1.0, "curated" -> 3.0))),
           budgetTokens = 100000)
         .orderBy(col("phase"), col("source"))
+    },
+
+    // Tightened cluster SemDeDup (r16): the huge-cell regime answer —
+    // candidates must share (k-means cell, md5-derived sign bucket),
+    // composing the q_semantic_dedup hyperplane machinery INSIDE the
+    // q_semdedup_clusters cells. The oracle re-derives the full
+    // 2-iteration k-means chain AND the 4-bit sign buckets, then the
+    // min-id drop rule over the tightened candidate set — clustering,
+    // bucket tightening and the keep set hash-gate at once.
+    q("q_semdedup_tight",
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |           AS cell, emb
+        |         FROM v ORDER BY vec_id LIMIT 8),
+        |a1 AS (SELECT v.vec_id, v.emb,
+        |         (SELECT s.cell FROM seed s
+        |          ORDER BY list_distance(v.emb, s.emb) ASC, s.cell ASC
+        |          LIMIT 1) AS cell FROM v),
+        |m1 AS (SELECT cell, list(a ORDER BY i) AS emb FROM (
+        |         SELECT cell, i, avg(emb[i]) AS a
+        |         FROM a1 CROSS JOIN range(1, 65) AS t(i)
+        |         GROUP BY cell, i) GROUP BY cell),
+        |c1 AS (SELECT s.cell, COALESCE(m1.emb, s.emb) AS emb
+        |       FROM seed s LEFT JOIN m1 USING (cell)),
+        |a2 AS (SELECT v.vec_id, v.emb,
+        |         (SELECT c.cell FROM c1 c
+        |          ORDER BY list_distance(v.emb, c.emb) ASC, c.cell ASC
+        |          LIMIT 1) AS cell FROM v),
+        |m2 AS (SELECT cell, list(a ORDER BY i) AS emb FROM (
+        |         SELECT cell, i, avg(emb[i]) AS a
+        |         FROM a2 CROSS JOIN range(1, 65) AS t(i)
+        |         GROUP BY cell, i) GROUP BY cell),
+        |c2 AS (SELECT s.cell, COALESCE(m2.emb, s.emb) AS emb
+        |       FROM seed s LEFT JOIN m2 USING (cell)),
+        |fin AS (SELECT v.vec_id, v.emb,
+        |         (SELECT c.cell FROM c2 c
+        |          ORDER BY list_distance(v.emb, c.emb) ASC, c.cell ASC
+        |          LIMIT 1) AS cell FROM v),
+        |ex AS (SELECT vec_id,
+        |    unnest(generate_series(0, len(embedding)-1)) AS i,
+        |    unnest(embedding) AS vv FROM embeddings),
+        |js AS (SELECT unnest(generate_series(0, 3)) AS j),
+        |p AS (SELECT vec_id, j,
+        |    sum(CAST(vv AS DOUBLE) *
+        |        CASE WHEN substr(md5('rp:' || i || ':' || j), 1, 1) < '8'
+        |             THEN 1.0 ELSE -1.0 END) AS pv
+        |  FROM ex CROSS JOIN js GROUP BY vec_id, j),
+        |bk AS (SELECT vec_id,
+        |        sum(CASE WHEN pv >= 0 THEN CAST(pow(2, j) AS BIGINT)
+        |            ELSE 0 END) AS bkt
+        |      FROM p GROUP BY vec_id),
+        |nm AS (SELECT f.vec_id, f.cell, bk.bkt, f.emb,
+        |         sqrt(list_reduce(list_transform(range(1, 65),
+        |           i -> f.emb[i] * f.emb[i]), (x, y) -> x + y)) AS nrm
+        |       FROM fin f JOIN bk ON bk.vec_id = f.vec_id),
+        |drops AS (SELECT DISTINCT b.vec_id FROM nm a JOIN nm b
+        |  ON a.cell = b.cell AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+        |  WHERE round(list_reduce(list_transform(range(1, 65),
+        |      i -> a.emb[i] * b.emb[i]), (x, y) -> x + y)
+        |      / (a.nrm * b.nrm), 6) >= CAST(0.2 AS DOUBLE))
+        |SELECT f.vec_id, f.cell,
+        |  (d.vec_id IS NULL) AS keep
+        |FROM fin f LEFT JOIN drops d ON f.vec_id = d.vec_id
+        |ORDER BY f.vec_id""".stripMargin) { (s, dir) =>
+      graft.ops.Similarity.semDeDupClusters(t(s, dir, "embeddings"),
+          k = 8, iterations = 2, threshold = 0.2, tightenBits = 4)
+        .orderBy(col("vec_id"))
+    },
+
+    // Speculative-decoding acceptance (Leviathan et al. 2023): draft =
+    // first 8 tokens of each doc; target = the first 10 tokens
+    // (doc_id%3=0 — full accept with a longer target) or tokens 1-4 +
+    // a planted 'X' + tokens 6-10 (mismatch at index 4; 'X' is outside
+    // the 31-word synthetic vocabulary so the disagreement is
+    // guaranteed). Integer positions only — no float in the prefix
+    // decision; the one ratio rounds at 6 on identical rationals.
+    q("q_spec_decode",
+      """WITH tk AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |s AS (SELECT doc_id,
+        |    array_to_string(list_slice(t, 1, 8), ' ') AS draft,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN array_to_string(list_slice(t, 1, 10), ' ')
+        |      ELSE concat_ws(' ', array_to_string(list_slice(t, 1, 4), ' '),
+        |             'X', array_to_string(list_slice(t, 6, 10), ' ')) END
+        |      AS target
+        |  FROM tk),
+        |tok AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(draft), '\s+'),
+        |      x -> len(x) > 0) AS d,
+        |    list_filter(string_split_regex(trim(target), '\s+'),
+        |      x -> len(x) > 0) AS tt
+        |  FROM s),
+        |ex AS (SELECT doc_id, len(d) AS nd, len(tt) AS nt,
+        |    unnest(range(0, len(d))) AS i, d, tt FROM tok),
+        |m AS (SELECT doc_id, nd, nt,
+        |    min(CASE WHEN i >= nt OR d[CAST(i + 1 AS INT)]
+        |          <> tt[CAST(i + 1 AS INT)] THEN i END) AS mm
+        |  FROM ex GROUP BY doc_id, nd, nt)
+        |SELECT doc_id, CAST(nd AS INT) AS n_draft, CAST(nt AS INT)
+        |    AS n_target,
+        |  CAST(COALESCE(mm, nd) AS BIGINT) AS n_accepted,
+        |  round(CAST(COALESCE(mm, nd) AS DOUBLE) / nd, 6) AS acceptance,
+        |  CAST(COALESCE(mm, nd) + 1 AS BIGINT) AS block_tokens
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = split(trim(col("text")), "\\s+")
+      val samples = t(s, dir, "documents").select(col("doc_id"),
+        array_join(slice(toks, 1, 8), " ").as("draft"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          array_join(slice(toks, 1, 10), " "))
+          .otherwise(concat_ws(" ", array_join(slice(toks, 1, 4), " "),
+            lit("X"), array_join(slice(toks, 6, 5), " "))).as("target"))
+      graft.ops.Rollouts.specDecodeAccept(samples, "doc_id",
+          "draft", "target")
+        .orderBy(col("doc_id"))
+    },
+
+    // Expected Calibration Error (Guo et al. 2017): scores on the
+    // dyadic /32 grid (k = 7·doc_id mod 33 covers 0..1 INCLUSIVE — the
+    // k=32 rows pin the top-bin clamp), labels correct with
+    // probability ~k/32 via an independent integer hash. Dyadic scores
+    // make every bin sum EXACT, the ECE fold order-free, and bin
+    // assignment floor(score·10) an exact product — no boundary
+    // exposure anywhere.
+    q("q_ece_calibration",
+      """WITH s AS (SELECT doc_id,
+        |    CAST((doc_id * 7) % 33 AS DOUBLE) / 32.0 AS score,
+        |    ((doc_id * 13) % 32) < ((doc_id * 7) % 33) AS y
+        |  FROM documents),
+        |b AS (SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin,
+        |        score, CAST(y AS INT) AS yi FROM s),
+        |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |        sum(score) AS ss, CAST(sum(yi) AS BIGINT) AS sy
+        |      FROM b GROUP BY bin),
+        |f AS (SELECT bin, n, ss, sy, ss / n AS conf,
+        |        CAST(sy AS DOUBLE) / n AS acc FROM g)
+        |SELECT bin, n, round(conf, 6) AS conf, round(acc, 6) AS acc,
+        |  round(abs(acc - conf), 6) AS gap,
+        |  round(sum(abs(CAST(sy AS DOUBLE) - ss)) OVER () /
+        |        sum(n) OVER (), 6) AS ece
+        |FROM f ORDER BY bin""".stripMargin) { (s, dir) =>
+      val k = pmod(col("doc_id") * 7, lit(33))
+      val samples = t(s, dir, "documents").select(
+        (k.cast("double") / 32.0).as("score"),
+        (pmod(col("doc_id") * 13, lit(32)) < k).as("y"))
+      graft.ops.Classifier.eceReport(samples, col("score"), col("y"),
+          nBins = 10)
+        .orderBy(col("bin"))
+    },
+
+    // Reward-vs-length verbosity-bias screen: even prompts' rewards
+    // derive from the token count (correlated), odd prompts' from an
+    // independent doc_id hash (uncorrelated) — the gate should fire
+    // only where planted. Token counts are integers and rewards dyadic
+    // /32 rationals, so all six conditional sums are EXACT and the
+    // closed-form Pearson r is the identical double on both engines.
+    q("q_length_bias",
+      """WITH tk AS (SELECT doc_id, doc_id % 100 AS prompt,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS ln
+        |  FROM documents),
+        |s AS (SELECT prompt, ln,
+        |    CASE WHEN prompt % 2 = 0
+        |      THEN CAST(ln % 32 AS DOUBLE) / 32.0
+        |      ELSE CAST((doc_id * 13) % 32 AS DOUBLE) / 32.0 END AS reward
+        |  FROM tk),
+        |g AS (SELECT prompt, CAST(count(*) AS DOUBLE) AS n,
+        |        sum(CAST(ln AS DOUBLE)) AS sx, sum(reward) AS sy,
+        |        sum(CAST(ln AS DOUBLE) * reward) AS sxy,
+        |        sum(CAST(ln AS DOUBLE) * CAST(ln AS DOUBLE)) AS sxx,
+        |        sum(reward * reward) AS syy
+        |      FROM s GROUP BY prompt)
+        |SELECT prompt, CAST(n AS BIGINT) AS n_samples,
+        |  round(sx / n, 6) AS mean_len,
+        |  round(sy / n, 6) AS mean_reward,
+        |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        |    THEN round((n * sxy - sx * sy) /
+        |      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |    END AS corr_len_reward,
+        |  COALESCE(CASE WHEN (n * sxx - sx * sx) > 0
+        |      AND (n * syy - sy * sy) > 0
+        |    THEN round((n * sxy - sx * sy) /
+        |      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |    END >= CAST(0.5 AS DOUBLE), false) AS length_biased
+        |FROM g ORDER BY prompt""".stripMargin) { (s, dir) =>
+      val ntok = size(filter(split(trim(col("text")), "\\s+"),
+        x => length(x) > 0)).cast("long")
+      val prompt = pmod(col("doc_id"), lit(100))
+      val samples = t(s, dir, "documents").select(prompt.as("prompt"),
+        col("text").as("answer"),
+        when(pmod(prompt, lit(2)) === 0,
+          pmod(ntok, lit(32)).cast("double") / 32.0)
+          .otherwise(pmod(col("doc_id") * 13, lit(32)).cast("double")
+            / 32.0).as("reward"))
+      graft.ops.Rollouts.lengthBias(samples, "prompt", "answer", "reward")
+        .orderBy(col("prompt"))
     }
   )
 

@@ -355,4 +355,53 @@ object Classifier {
             / (col("n_pos") * col("n_neg")), 6)))
       .drop("_rsum")
   }
+
+  /** Expected Calibration Error report (Guo et al. 2017, "On
+    * Calibration of Modern Neural Networks" §2): equal-width confidence
+    * bins over [0, 1], per bin the sample count, mean confidence, mean
+    * accuracy and their gap, plus the corpus ECE
+    * Σ_b (n_b/N)·|acc_b − conf_b| repeated on every row — the
+    * reliability-diagram table a reward-model or quality-classifier
+    * calibration pass reads before its scores gate data. One frame out:
+    * (bin, n, conf, acc, gap, ece), one row per NON-EMPTY bin.
+    *
+    * Determinism: bin assignment is `min(floor(score·nBins), nBins−1)`
+    * — one IEEE multiply + floor, identical cross-engine (scores on an
+    * exact grid sit away from bin boundaries; boundary-audit scores
+    * that are themselves rounded). acc is an integer-count rational
+    * (exact); conf is Σscore/n — EXACT when scores are dyadic
+    * rationals (the recommended calibration grid), last-ulp
+    * order-exposed otherwise (the avg-chain caveat). The ECE runs in
+    * the algebraically identical form Σ_b |Σy_b − Σs_b| / N (since
+    * n_b·|acc−conf| = |Σy_b − Σs_b| exactly): on a dyadic score grid
+    * every fold term is EXACT, so the grid sum is order-free and the
+    * single rounding is the final division.
+    *
+    * Scale: ONE keyed aggregate onto the ≤nBins-row grid; the ECE is a
+    * bounded SinglePartition window on that grid (the mixturePlan
+    * metadata-frame class) — nothing corpus-sized past the first
+    * aggregate. */
+  def eceReport(df: DataFrame, score: Column, label: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"nBins=$nBins")
+    import org.apache.spark.sql.expressions.Window
+    val s = score.cast("double")
+    val bin = least(floor(s * nBins).cast("int"), lit(nBins - 1))
+    val g = df.select(bin.as("bin"), s.as("_s"),
+        label.cast("boolean").cast("long").as("_y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("_s")).as("_ss"),
+        sum(col("_y")).as("_sy"))
+    val grid = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("_conf", col("_ss") / col("n"))
+      .withColumn("_acc", col("_sy").cast("double") / col("n"))
+      .withColumn("_gap", abs(col("_acc") - col("_conf")))
+      .withColumn("ece",
+        round(sum(abs(col("_sy").cast("double") - col("_ss"))).over(grid) /
+          sum(col("n")).over(grid), 6))
+      .select(col("bin"), col("n"), round(col("_conf"), 6).as("conf"),
+        round(col("_acc"), 6).as("acc"), round(col("_gap"), 6).as("gap"),
+        col("ece"))
+  }
 }

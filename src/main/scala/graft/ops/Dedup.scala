@@ -1061,7 +1061,7 @@ object Dedup {
   def minhashPlan(spark: org.apache.spark.sql.SparkSession, k: Int,
       bands: Int, thresholds: Seq[Double]): DataFrame = {
     require(k >= 1 && bands >= 1 && k % bands == 0,
-      s"k=$k must divide into bands=$bands")
+      s"bands=$bands must divide k=$k")
     require(thresholds.nonEmpty, "minhashPlan needs a threshold grid")
     val r = k / bands
     import spark.implicits._

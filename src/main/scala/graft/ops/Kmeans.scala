@@ -34,14 +34,22 @@ object Kmeans {
 
   final case class Model(centroids: Array[Array[Double]], wcss: Double)
 
-  /** Squared Euclidean distance between an array column and a literal
-    * centroid, computed in dimension order (cross-engine-stable FP) —
-    * the fused codegen'd [[org.apache.spark.sql.graft.SquaredL2]]
-    * kernel, bitwise-equal to the `aggregate(zip_with(…))` HOF fold it
-    * replaced (evaluated once per (row, centroid) in every Lloyd
-    * step — the hot loop of the fit). */
-  private def sqDist(emb: Column, centroid: Array[Double]): Column =
-    Similarity.sqL2(emb, lit(centroid))
+  /** Minimum squared Euclidean distance from `emb` to ANY model
+    * centroid — ONE [[org.apache.spark.sql.graft.CentroidSqL2]] kernel
+    * (the matrix rides as a referenced model object) followed by
+    * `array_min`. This is the only sanctioned shape for a min-over-k
+    * distance: k inlined per-centroid [[Similarity.sqL2]] copies folded
+    * through a `least` chain re-create the 64 KB codegen method
+    * fan-out the kernel sweep killed (silent whole-stage interpreted
+    * fallback at large k). Semantically identical to that least-chain —
+    * per-centroid distances are the same dimension-order IEEE folds,
+    * and `array_min`/`least` share null-skip and NaN-is-largest
+    * ordering (spec-pinned incl. null/NaN in KmeansSpec). */
+  def minSqDistCol(emb: Column, centroids: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.graft.GraftBridge.{column, expression}
+    array_min(column(org.apache.spark.sql.graft.CentroidSqL2(
+      expression(emb), centroids.map(_.toSeq).toSeq, 0)))
+  }
 
   /** Nearest-centroid cell id for `emb` (ties break to the LOWEST cell
     * id — the rule any re-implementation can copy). ONE
@@ -98,9 +106,8 @@ object Kmeans {
       centroids = centroids.indices
         .map(i => updated.getOrElse(i, centroids(i))).toArray
     }
-    val wcssCol = centroids.map(c => sqDist(col("_emb"), c))
-      .reduce((a, b) => least(a, b))
-    val wcss = v.agg(sum(wcssCol)).collect()(0).getDouble(0)
+    val wcss = v.agg(sum(minSqDistCol(col("_emb"), centroids)))
+      .collect()(0).getDouble(0)
     Model(centroids, wcss)
   }
 
@@ -109,12 +116,10 @@ object Kmeans {
     * plan-literal centroids. */
   def assign(vecs: DataFrame, model: Model,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.graft.GraftBridge.{column, expression}
     val emb = col(embCol).cast("array<double>")
     val cell = assignCol(emb, model.centroids)
     // min over the SAME one-kernel distance array the assignment reads
-    val minDist = array_min(column(org.apache.spark.sql.graft.CentroidSqL2(
-      expression(emb), model.centroids.map(_.toSeq).toSeq, 0)))
-    vecs.select(col(idCol), cell.as("cell"), minDist.as("sq_dist"))
+    vecs.select(col(idCol), cell.as("cell"),
+      minSqDistCol(emb, model.centroids).as("sq_dist"))
   }
 }

@@ -24,7 +24,14 @@ import org.apache.spark.sql.functions._
   *    2016): the mode-collapse screen over a rollout store;
   *  - [[raftAcceptance]] — the rejection-sampling threshold tuning
   *    curve (RAFT/RFT): per-(prompt, τ) acceptance before committing
-  *    a gate.
+  *    a gate;
+  *  - [[specDecodeAccept]] — speculative-decoding acceptance analytics
+  *    (Leviathan et al. 2023): per-sample longest agreed draft prefix
+  *    vs the target decode, the offline what-if before deploying a
+  *    draft model;
+  *  - [[lengthBias]] — the reward-vs-length correlation screen
+  *    (verbosity bias, a standard reward-hacking axis): per-prompt
+  *    Pearson r from exact conditional sums.
   *
   * Scale shape: every operator is ONE prompt-keyed aggregate (partial
   * map-side combine on the shuffle; per-group state is O(samples per
@@ -199,7 +206,11 @@ object Rollouts {
   def distinctNgrams(samples: DataFrame, promptCol: String,
       answerCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n=$n")
-    val toks = split(trim(col(answerCol)), "\\s+")
+    // split(trim(""), "\\s+") yields [""] — drop zero-length tokens so
+    // an empty/whitespace-only answer contributes NO n-grams (at n=1
+    // the phantom "" unigram would otherwise pass the size guard)
+    val toks = filter(split(trim(col(answerCol)), "\\s+"),
+      t => length(t) > 0)
     // guard short answers explicitly: sequence(1, 0) DESCENDS in Spark
     val grams = when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
@@ -221,8 +232,12 @@ object Rollouts {
     * prompts, too low admits noise). `prompts_starved` in the
     * aggregate view counts prompts with ZERO accepted samples at that
     * τ. Thresholds enter both engines as identical double literals, so
-    * the `>=` gate is exact. ONE prompt-keyed aggregate fanned over
-    * the |taus| grid (per-group state O(1) per τ). */
+    * the `>=` gate is exact — and the output `tau` column is that RAW
+    * literal (never rounded: a display round would collide thresholds
+    * finer than its grid, e.g. 0.125 vs 0.13, de-keying the report
+    * rows from the gates that produced them). ONE prompt-keyed
+    * aggregate fanned over the |taus| grid (per-group state O(1)
+    * per τ). */
   def raftAcceptance(samples: DataFrame, promptCol: String,
       rewardCol: String, taus: Seq[Double]): DataFrame = {
     require(taus.nonEmpty, "raftAcceptance needs >= 1 threshold")
@@ -239,9 +254,101 @@ object Rollouts {
     perPrompt
       .select(col(promptCol), col("n_samples"),
         explode(array(tauRows: _*)).as("_t"))
-      .select(col(promptCol), round(col("_t.tau"), 2).as("tau"),
+      .select(col(promptCol), col("_t.tau").as("tau"),
         col("n_samples"), col("_t.n_accepted").as("n_accepted"))
       .withColumn("acceptance",
         round(col("n_accepted").cast("double") / col("n_samples"), 6))
+  }
+
+  /** Speculative-decoding acceptance analytics (Leviathan et al. 2023,
+    * "Fast Inference from Transformers via Speculative Decoding"): per
+    * sample, the longest agreed token PREFIX between a draft model's
+    * decode and the target model's decode under greedy verification —
+    * the offline what-if a serving team runs over a rollout store
+    * before deploying a draft model. `n_accepted` is the agreed prefix
+    * length (every draft token up to the first disagreement, target
+    * truncation included), `acceptance` the fraction of the draft
+    * block that survives, and `block_tokens = n_accepted + 1` the
+    * tokens emitted per verification step (accepted draft tokens plus
+    * the verifier's own correction/extension token — the paper's
+    * per-step yield). Whitespace tokens; zero-length tokens dropped
+    * (the [[distinctNgrams]] empty-answer stance); an empty draft
+    * yields n_accepted = 0 and NULL acceptance.
+    *
+    * Scale: ONE narrow posexplode of the draft tokens (bounded by the
+    * draft block length — single-digit to low-hundreds by
+    * construction) into ONE sample-keyed aggregate (min over mismatch
+    * positions — O(1) state). Integer positions and counts only —
+    * no float enters the prefix decision, so the output is exact on
+    * any engine. */
+  def specDecodeAccept(samples: DataFrame, idCol: String,
+      draftCol: String, targetCol: String): DataFrame = {
+    def toks(c: String) =
+      filter(split(trim(col(c)), "\\s+"), t => length(t) > 0)
+    val base = samples.select(col(idCol), toks(draftCol).as("_d"),
+      toks(targetCol).as("_t"))
+    base
+      .select(col(idCol), size(col("_d")).as("n_draft"),
+        size(col("_t")).as("n_target"), col("_t"),
+        posexplode_outer(col("_d")).as(Seq("_i", "_tok")))
+      .withColumn("_mismatch",
+        // a draft position disagrees when the target is exhausted or
+        // the tokens differ; NULL _i (empty draft) contributes nothing
+        col("_i") >= col("n_target") ||
+          col("_tok") =!= element_at(col("_t"), col("_i") + 1))
+      .groupBy(col(idCol))
+      .agg(first(col("n_draft")).as("n_draft"),
+        first(col("n_target")).as("n_target"),
+        min(when(col("_mismatch"), col("_i"))).as("_mm"))
+      .select(col(idCol), col("n_draft"), col("n_target"),
+        coalesce(col("_mm"), col("n_draft").cast("long")).as("n_accepted"))
+      .withColumn("acceptance",
+        when(col("n_draft") > 0,
+          round(col("n_accepted").cast("double") / col("n_draft"), 6)))
+      .withColumn("block_tokens", col("n_accepted") + 1)
+  }
+
+  /** Reward-vs-length correlation screen — the VERBOSITY-BIAS detector
+    * over a rollout store (length is the canonical reward-hacking axis:
+    * a reward model that pays for tokens trains a model that pads).
+    * Per prompt: sample count, mean answer length, mean reward, and
+    * the Pearson correlation between length and reward — computed from
+    * the six EXACT conditional sums (n, Σx, Σy, Σxy, Σx², Σy²) in the
+    * closed form r = (nΣxy − ΣxΣy) / √((nΣx² − (Σx)²)(nΣy² − (Σy)²)),
+    * NULL when either side is constant. `length_biased` gates on the
+    * ROUNDED r (round 6 — the same exact value on any engine) at the
+    * `minR` threshold.
+    *
+    * Determinism: x is an integer token count; when rewards are exact
+    * dyadic rationals (the recommended reward grid), every sum is
+    * EXACT in IEEE double regardless of accumulation order, the closed
+    * form runs the identical operation sequence on both engines, and
+    * the output is bit-stable with no fold-order contract. Arbitrary
+    * float rewards leave the usual last-ulp sum-order exposure (the
+    * avg-chain caveat) — quantize rewards first if cross-engine hash
+    * equality matters.
+    *
+    * Scale: ONE prompt-keyed partial+final aggregate (six doubles of
+    * state per group); the formula runs on the |prompts|-row grid. */
+  def lengthBias(samples: DataFrame, promptCol: String,
+      answerCol: String, rewardCol: String,
+      minR: Double = 0.5): DataFrame = {
+    val x = size(filter(split(trim(col(answerCol)), "\\s+"),
+      t => length(t) > 0)).cast("double")
+    val y = col(rewardCol).cast("double")
+    val g = samples.groupBy(col(promptCol))
+      .agg(count(lit(1)).cast("double").as("_n"),
+        sum(x).as("_sx"), sum(y).as("_sy"), sum(x * y).as("_sxy"),
+        sum(x * x).as("_sxx"), sum(y * y).as("_syy"))
+    val varX = col("_n") * col("_sxx") - col("_sx") * col("_sx")
+    val varY = col("_n") * col("_syy") - col("_sy") * col("_sy")
+    val r = (col("_n") * col("_sxy") - col("_sx") * col("_sy")) /
+      sqrt(varX * varY)
+    g.select(col(promptCol), col("_n").cast("bigint").as("n_samples"),
+        round(col("_sx") / col("_n"), 6).as("mean_len"),
+        round(col("_sy") / col("_n"), 6).as("mean_reward"),
+        when(varX > 0 && varY > 0, round(r, 6)).as("corr_len_reward"))
+      .withColumn("length_biased",
+        coalesce(col("corr_len_reward") >= minR, lit(false)))
   }
 }

@@ -593,20 +593,50 @@ object Similarity {
     * Scale: the cluster pass bounds the pair set to Σ|cell|² instead
     * of n²; within-cell pairs run through
     * [[graft.ops.Dedup.pairsInBucketsExact]] (degenerate cells
-    * block-salt and STREAM — nothing collects); cosine rides the
-    * fused [[dot]] kernel per candidate pair. The keep gate compares
-    * the ROUNDED similarity (round 6), so the decision is the same
-    * exact value on any engine.
+    * block-salt and STREAM — nothing collects; salting bounds the
+    * TASK, not the work). The keep gate compares the ROUNDED
+    * similarity (round 6), so the decision is the same exact value on
+    * any engine; cosine rides the fused [[dot]] kernel per candidate
+    * pair.
+    *
+    * '''HARD CALLER OBLIGATION — k must grow with the corpus.''' With
+    * balanced cells the pair mass is Σ|cell|² ≈ n²/k: a FIXED k is
+    * quadratic in corpus size no matter how the pairs are streamed.
+    * The published recipe scales cluster count with the corpus
+    * (Abbas et al. use 50k clusters for LAION-440M); the rule here is
+    * k ≈ n / targetCellSize for a chosen budget of
+    * n·targetCellSize cosine verifications — pick targetCellSize
+    * (10²–10⁴), derive k, never the reverse. For corpora where
+    * refitting k-means at the required k is itself the bottleneck, or
+    * where heavy cells survive anyway (duplicated-content skew),
+    * `tightenBits > 0` composes the [[semanticDedup]] hyperplane
+    * machinery INSIDE each cell: candidates must share
+    * (cell, sign-bucket), cutting the within-cell pair mass by up to
+    * 2^tightenBits at the same deterministic-recall stance as
+    * [[semanticDedupPairs]] (a near-dup pair split by a hyperplane is
+    * missed; the output remains a pure function of the data — an
+    * external engine recomputes the identical keep set).
     *
     * Output: (vec_id, cell, keep) — one row per input vector. */
   def semDeDupClusters(embs: DataFrame, k: Int, iterations: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, tightenBits: Int = 0,
+      seed: String = "rp"): DataFrame = {
     require(threshold > -1 && threshold <= 1, s"threshold=$threshold")
+    require(tightenBits >= 0 && tightenBits <= 62,
+      s"tightenBits=$tightenBits")
     val model = Kmeans.fit(embs, k, iterations)
-    val assigned = Kmeans.assign(embs, model)
-      .select(col("vec_id"), col("cell"))
+    val dIn = model.centroids.head.length
+    // cell (and, when tightening, the sign bucket) in ONE narrow scan —
+    // both are plan-literal quantizer expressions, no join
+    val emb = col("embedding").cast("array<double>")
+    val assigned = embs.select(col("vec_id"),
+      Kmeans.assignCol(emb, model.centroids).as("cell"),
+      (if (tightenBits > 0) signBucketCol(emb, dIn, tightenBits, seed)
+       else lit(0L)).as("_bkt"))
+    val candKeys = if (tightenBits > 0) Seq("cell", "_bkt") else Seq("cell")
     val cands = graft.ops.Dedup.pairsInBucketsExact(
-      assigned.select(col("cell"), col("vec_id")), Seq("cell"), "vec_id")
+      assigned.select(col("cell"), col("_bkt"), col("vec_id")),
+      candKeys, "vec_id")
     val base = embs.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("nrm", norm(col("emb")))
     val drops = cands

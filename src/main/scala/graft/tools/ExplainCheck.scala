@@ -31,7 +31,10 @@ object ExplainCheck {
         "q_kmeans","q_knn_classify","q_ann_matryoshka",
         "q_prm_scores","q_distinct_ngrams","q_raft_accept",
         "q_minhash_plan","q_semdedup_clusters","q_data_constrained",
-        "q_prm_pipeline","q_phased_mixture")) {
+        "q_prm_pipeline","q_phased_mixture",
+        // round-16
+        "q_semdedup_tight","q_spec_decode","q_ece_calibration",
+        "q_length_bias")) {
       println(s"########## $q")
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

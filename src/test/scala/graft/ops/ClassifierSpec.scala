@@ -292,4 +292,36 @@ class ClassifierSpec extends AnyFunSuite {
     assert(out(2).isNullAt(out(2).fieldIndex("calibrated")),
       "a group absent from the model must surface as NULL")
   }
+
+  test("eceReport: hand-computed bins, clamp at 1.0, exact dyadic ECE") {
+    import spark.implicits._
+    // dyadic /32 scores: bin = floor(s*4) over 4 bins, clamp 1.0 -> bin 3
+    // bin 0: s {4/32, 6/32} y {1, 0}  -> conf 5/32,  acc 1/2, gap 11/32
+    // bin 2: s {16/32, 20/32} y {1, 1} -> conf 18/32, acc 1,  gap 14/32
+    // bin 3: s {32/32} y {1}           -> conf 1,     acc 1,  gap 0
+    // ECE = (2*11/32 + 2*14/32 + 0) / 5 = 50/160 = 0.3125
+    val df = Seq((4.0 / 32, true), (6.0 / 32, false), (16.0 / 32, true),
+      (20.0 / 32, true), (1.0, true)).toDF("s", "y")
+    val out = Classifier.eceReport(df, col("s"), col("y"), nBins = 4)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out.keySet === Set(0, 2, 3), "only non-empty bins emit")
+    assert(out(3).getAs[Long]("n") === 1L, "s = 1.0 clamps into the top bin")
+    assert(out(0).getAs[Double]("conf") === 0.15625)
+    assert(out(0).getAs[Double]("acc") === 0.5)
+    assert(out(0).getAs[Double]("gap") === 0.34375)
+    assert(out(2).getAs[Double]("gap") === 0.4375)
+    out.values.foreach(r => assert(r.getAs[Double]("ece") === 0.3125,
+      "the corpus ECE repeats on every bin row"))
+  }
+
+  test("eceReport: perfectly calibrated dyadic grid has ECE 0") {
+    import spark.implicits._
+    // at s = k/4, exactly k of 4 samples are positive -> acc == conf per bin
+    val rows = for {
+      k <- 0 to 4; i <- 1 to 4
+    } yield (k / 4.0, i <= k)
+    val out = Classifier.eceReport(rows.toDF("s", "y"), col("s"), col("y"),
+      nBins = 4).collect()
+    out.foreach(r => assert(r.getAs[Double]("ece") === 0.0, r.toString))
+  }
 }

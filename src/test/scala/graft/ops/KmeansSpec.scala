@@ -73,6 +73,48 @@ class KmeansSpec extends AnyFunSuite {
     }
   }
 
+  test("minSqDistCol == the k-way least chain of per-centroid sqL2, " +
+      "bit-for-bit, incl. null and NaN") {
+    // the wcss fold must be the SAME value the old least-chain computed:
+    // per-centroid distances are identical dimension-order IEEE folds,
+    // and least/array_min share null-skip + NaN-is-largest ordering
+    val cents = Array(Array(0.5, -1.0), Array(2.0, 2.0), Array(-3.0, 0.25))
+    val pts = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(1.5, 2.5)), (2L, Seq(-2.0, -2.0)),
+      (3L, Seq(Double.NaN, 1.0)),           // NaN coord → all-NaN dists
+      (5L, Seq(0.1))                        // length mismatch → null dists
+    ).toDF("vec_id", "embedding")
+      .unionByName(Seq(4L).toDF("vec_id")   // null embedding
+        .withColumn("embedding", lit(null).cast("array<double>")))
+    val chain = cents.map(c =>
+        Similarity.sqL2(col("embedding").cast("array<double>"), lit(c)))
+      .reduce((a, b) => least(a, b))
+    val rows = pts.select(col("vec_id"),
+        Kmeans.minSqDistCol(col("embedding").cast("array<double>"), cents)
+          .as("kernel"),
+        chain.as("chain")).collect()
+    rows.foreach { r =>
+      val (k, c) = (r.get(1), r.get(2))
+      val same = (k == null && c == null) ||
+        (k != null && c != null &&
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+            java.lang.Double.doubleToRawLongBits(r.getDouble(2)))
+      assert(same, s"vec ${r.getLong(0)}: kernel=$k chain=$c")
+    }
+    assert(rows.find(_.getLong(0) == 3L).get.getDouble(1).isNaN)
+    assert(rows.find(_.getLong(0) == 4L).get.isNullAt(1))
+  }
+
+  test("fit at k=256 stays on the kernel path (no 64 KB codegen cliff)") {
+    // 256 seed vectors exist at sf0.001+; the old wcss least-chain
+    // inlined 256 SquaredL2 copies — the exact shape that silently blew
+    // the JVM method limit. The kernel form must fit and produce a
+    // finite wcss. (ERROR CodeGenerator greps run at suite level.)
+    val m = Kmeans.fit(embs, k = 256, iterations = 1)
+    assert(m.centroids.length === 256)
+    assert(!m.wcss.isNaN && m.wcss >= 0.0)
+  }
+
   test("tie-break: equidistant point goes to the lowest cell id") {
     val pts = Seq(
       (0L, Seq(0.0)), (1L, Seq(2.0)), (2L, Seq(1.0))).toDF("vec_id", "embedding")

@@ -157,6 +157,82 @@ class RolloutsSpec extends AnyFunSuite {
     assert(out("Q").getAs[Double]("distinct_2") === 1.0)
   }
 
+  test("distinctNgrams n=1: empty/whitespace answers contribute NO " +
+      "phantom unigram") {
+    val samples = Seq(
+      ("P", "a b a"), ("P", ""), ("P", "   "),
+      ("Q", ""), ("Q", "  ")
+    ).toDF("prompt", "answer")
+    val out = Rollouts.distinctNgrams(samples, "prompt", "answer", 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // split(trim(""), "\\s+") yields [""]; the token filter must drop it
+    assert(out("P").getAs[Long]("n_ngrams") === 3,
+      "only the real tokens count — no empty-string unigram")
+    assert(out("P").getAs[Long]("n_distinct") === 2)
+    assert(!out.contains("Q"),
+      "a prompt whose answers are all empty emits no n-gram rows")
+  }
+
+  test("raftAcceptance: tau is the RAW threshold literal (no display " +
+      "rounding), so fine thresholds stay uniquely keyed") {
+    val samples = Seq(("P", 0.125), ("P", 0.128), ("P", 0.5))
+      .toDF("prompt", "reward")
+    val out = Rollouts.raftAcceptance(samples, "prompt", "reward",
+      Seq(0.125, 0.13)).collect()
+      .map(r => r.getDouble(1) -> r.getAs[Long]("n_accepted")).toMap
+    assert(out.keySet === Set(0.125, 0.13),
+      "0.125 vs 0.13 must not collide to a rounded 0.13")
+    assert(out(0.125) === 3L, "0.125 admits the 0.125/0.128/0.5 samples")
+    assert(out(0.13) === 1L, "0.13 admits only the 0.5 sample")
+  }
+
+  test("specDecodeAccept: agreed prefix, truncation, full accept, " +
+      "empty draft") {
+    val samples = Seq(
+      ("full", "a b c", "a b c d e"),     // all 3 accepted (target longer)
+      ("mid", "a b X d", "a b c d"),      // mismatch at index 2
+      ("first", "z b", "a b"),            // mismatch at index 0
+      ("trunc", "a b c d", "a b"),        // target exhausts at index 2
+      ("empty", "   ", "a b")             // whitespace draft -> 0 tokens
+    ).toDF("id", "draft", "target")
+    val out = Rollouts.specDecodeAccept(samples, "id", "draft", "target")
+      .collect().map(r => r.getString(0) -> r).toMap
+    def acc(id: String) = out(id).getAs[Long]("n_accepted")
+    assert(acc("full") === 3 && out("full").getAs[Double]("acceptance") === 1.0)
+    assert(acc("mid") === 2 && out("mid").getAs[Double]("acceptance") === 0.5)
+    assert(acc("first") === 0)
+    assert(acc("trunc") === 2,
+      "an exhausted target rejects the overhanging draft tokens")
+    assert(acc("empty") === 0 &&
+      out("empty").isNullAt(out("empty").fieldIndex("acceptance")),
+      "an empty draft yields 0 accepted and NULL acceptance")
+    assert(out("mid").getAs[Long]("block_tokens") === 3,
+      "per-step yield = accepted + the verifier's own token")
+    assert(out.size === 5)
+  }
+
+  test("lengthBias: exact dyadic correlation, constant sides are NULL") {
+    // prompt P: len {1,2,3}, reward {1/4, 2/4, 3/4} -> r = 1 exactly
+    // prompt N: reward anti-correlated -> r = -1
+    // prompt C: constant reward -> NULL corr, not biased
+    val samples = Seq(
+      ("P", "w", 0.25), ("P", "w w", 0.5), ("P", "w w w", 0.75),
+      ("N", "w", 0.75), ("N", "w w", 0.5), ("N", "w w w", 0.25),
+      ("C", "w", 0.5), ("C", "w w", 0.5)
+    ).toDF("prompt", "answer", "reward")
+    val out = Rollouts.lengthBias(samples, "prompt", "answer", "reward")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("P").getAs[Double]("corr_len_reward") === 1.0)
+    assert(out("P").getAs[Boolean]("length_biased"))
+    assert(out("P").getAs[Double]("mean_len") === 2.0)
+    assert(out("P").getAs[Double]("mean_reward") === 0.5)
+    assert(out("N").getAs[Double]("corr_len_reward") === -1.0)
+    assert(!out("N").getAs[Boolean]("length_biased"))
+    assert(out("C").isNullAt(out("C").fieldIndex("corr_len_reward")),
+      "zero reward variance -> NULL, not a division error")
+    assert(!out("C").getAs[Boolean]("length_biased"))
+  }
+
   test("raftAcceptance: per-tau gate counts, boundary inclusive") {
     val samples = Seq(
       ("P", 0.1), ("P", 0.5), ("P", 0.9),

@@ -502,5 +502,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(3L) && out(4L), "lone points always survive")
     // every input vector gets exactly one verdict row
     assert(out.size === rows.size)
+
+    // tightenBits composes the sign-bucket machinery INSIDE cells:
+    // near-identical vectors share every hyperplane side, so the
+    // planted clusters still collapse to their min id — and the keep
+    // set can only GROW vs the untightened run (candidates are a
+    // subset: same cell AND same bucket)
+    val tight = Similarity.semDeDupClusters(embs, k = 4, iterations = 2,
+        threshold = 0.9, tightenBits = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(tight(1L) && !tight(5L) && !tight(6L) && !tight(7L),
+      "tightened: cluster A still collapses (near-dups co-bucket)")
+    assert(tight(2L) && !tight(8L) && !tight(9L))
+    assert(out.filter(_._2).keySet.subsetOf(tight.filter(_._2).keySet),
+      "tightening may only drop candidates, never add drops")
+    assert(tight.size === rows.size)
   }
 }

@@ -39,6 +39,13 @@ AUTO = [
     # transcendental (libm exp in the decay branch) is why the margin
     # is MEASURED here instead of assumed
     'q_data_constrained',
+    # r16: every round() in the final projection. ece/corr fold EXACT
+    # dyadic terms (sums order-free by construction) — the audit
+    # measures the margin of the single final-division rounding;
+    # spec_decode's only float is an integer rational. length_biased's
+    # boolean gate reads the SAME rounded corr the float column
+    # carries, so its flake margin is the corr column's distance.
+    'q_ece_calibration', 'q_length_bias', 'q_spec_decode',
 ]
 
 con = duckdb.connect()
