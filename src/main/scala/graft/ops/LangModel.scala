@@ -563,17 +563,16 @@ object LangModel {
       textCol: String): DataFrame = {
     val ts = filter(split(lower(col(textCol)), Relevance.TokenPattern),
       t => t =!= "")
+    // lambda-free (the distinctNgrams r16 lesson): positions explode,
+    // the three columns assemble via codegen'd element_at offsets
     docs.select(col(idCol).as("doc_id"), ts.as("_ts"))
-      .select(col("doc_id"), explode(
-        when(size(col("_ts")) >= 3,
-          transform(sequence(lit(1), size(col("_ts")) - 2),
-            i => struct(element_at(col("_ts"), i).as("w1"),
-              element_at(col("_ts"), i + 1).as("w2"),
-              element_at(col("_ts"), i + 2).as("w3"))))
-          .otherwise(array()
-            .cast("array<struct<w1:string,w2:string,w3:string>>")))
-        .as("_t"))
-      .select(col("doc_id"), col("_t.w1"), col("_t.w2"), col("_t.w3"))
+      .filter(size(col("_ts")) >= 3)
+      .select(col("doc_id"), col("_ts"),
+        explode(sequence(lit(1), size(col("_ts")) - 2)).as("_i"))
+      .select(col("doc_id"),
+        element_at(col("_ts"), col("_i")).as("w1"),
+        element_at(col("_ts"), col("_i") + 1).as("w2"),
+        element_at(col("_ts"), col("_i") + 2).as("w3"))
   }
 
   /** The bigram explode with extra carried columns — the streaming
@@ -582,15 +581,14 @@ object LangModel {
       textCol: String, carry: Seq[String]): DataFrame = {
     val ts = filter(split(lower(col(textCol)), Relevance.TokenPattern),
       t => t =!= "")
+    // lambda-free (the distinctNgrams r16 lesson): positions explode,
+    // (prev, cur) assemble via codegen'd element_at offsets
     docs.select((col(idCol).as("doc_id") +: carry.map(col)) :+ ts.as("_ts"): _*)
-      .select((col("doc_id") +: carry.map(col)) :+ explode(
-        when(size(col("_ts")) >= 2,
-          transform(sequence(lit(1), size(col("_ts")) - 1),
-            i => struct(element_at(col("_ts"), i).as("prev"),
-              element_at(col("_ts"), i + 1).as("cur"))))
-          .otherwise(array().cast("array<struct<prev:string,cur:string>>")))
-        .as("_b"): _*)
+      .filter(size(col("_ts")) >= 2)
+      .select((col("doc_id") +: carry.map(col)) :+ col("_ts") :+
+        explode(sequence(lit(1), size(col("_ts")) - 1)).as("_i"): _*)
       .select((col("doc_id") +: carry.map(col)) :+
-        col("_b.prev") :+ col("_b.cur"): _*)
+        element_at(col("_ts"), col("_i")).as("prev") :+
+        element_at(col("_ts"), col("_i") + 1).as("cur"): _*)
   }
 }

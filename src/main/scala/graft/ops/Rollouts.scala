@@ -211,13 +211,22 @@ object Rollouts {
     // the phantom "" unigram would otherwise pass the size guard)
     val toks = filter(split(trim(col(answerCol)), "\\s+"),
       t => length(t) > 0)
-    // guard short answers explicitly: sequence(1, 0) DESCENDS in Spark
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    // LAMBDA-FREE gram construction: positions explode first and each
+    // gram assembles via concat_ws(element_at(toks, i+j)…) with the n
+    // offsets as plan literals — the transform(sequence(…), i =>
+    // array_join(slice(…))) form it replaced ran its lambda INTERPRETED
+    // per token and measured 7× slower at sf0.1 (2.81 → 0.38 s, exact
+    // row parity; BENCH_NOTES r16). Sub-n answers filter out BEFORE the
+    // explode (which also keeps sequence() ascending — sequence(1, 0)
+    // DESCENDS in Spark).
+    val gram = concat_ws(" ",
+      (0 until n).map(j => element_at(col("_t"), col("_i") + j)): _*)
     samples
-      .select(col(promptCol), explode(grams).as("_g"))
+      .select(col(promptCol), toks.as("_t"))
+      .filter(size(col("_t")) >= n)
+      .select(col(promptCol), col("_t"),
+        explode(sequence(lit(1), size(col("_t")) - (n - 1))).as("_i"))
+      .select(col(promptCol), gram.as("_g"))
       .groupBy(col(promptCol))
       .agg(count(lit(1)).as("n_ngrams"),
         countDistinct(col("_g")).as("n_distinct"))
