@@ -611,10 +611,12 @@ object PipelineQueries {
     // the query emits a one-row verdict — soundness (banded output minus
     // brute-force all-pairs Hamming≤8 is EMPTY: structural, the band join
     // only generates candidates and bit_count verifies exactly) and a
-    // recall floor vs the brute-force twin (measured 1.0 at sf0.01 —
-    // 500 docs sit under the 1000-id bucket cap, so pigeonhole banding
-    // is complete — and 0.957 at sf0.1 where the cap trims degenerate
-    // buckets; floor pinned at 0.90). DuckDB anchors the doc count.
+    // recall floor vs the brute-force twin. Since r16 the candidates
+    // come from the SIZE-ROUTED exact generator (no bucket cap — the
+    // pigeonhole completeness guarantee now holds at any bucket size;
+    // the old cap measured 0.957 recall at sf0.1 and lost 17% of true
+    // pairs at the sf1 probe), so recall is structurally 1.0 and the
+    // 0.90 floor is a regression tripwire. DuckDB anchors the doc count.
     q("q_dedup_simhash",
       """SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS extra_pairs,
         |  TRUE AS recall_ge_090 FROM documents""".stripMargin) { (s, dir) =>
@@ -10200,6 +10202,92 @@ object PipelineQueries {
             / 32.0).as("reward"))
       graft.ops.Rollouts.lengthBias(samples, "prompt", "answer", "reward")
         .orderBy(col("prompt"))
+    },
+
+    // LLM-as-judge position-bias screen (Zheng et al. 2023): judge 0
+    // is planted with a heavy first-position preference (78/97), the
+    // others sit at the unbiased 48/97 — the Wilson-interval flag must
+    // fire only where planted, at BOTH SFs (the interval narrows 5.5×
+    // between them). Counts exact; p one division; Wilson arithmetic
+    // identical literal order on both engines.
+    q("q_judge_bias",
+      """WITH j AS (SELECT doc_id % 6 AS judge,
+        |    ((doc_id * 11) % 97) <
+        |      (CASE WHEN doc_id % 6 = 0 THEN 78 ELSE 48 END) AS fw
+        |  FROM documents),
+        |g AS (SELECT judge, CAST(count(*) AS BIGINT) AS n_pairs,
+        |        CAST(sum(CASE WHEN fw THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_first_wins
+        |      FROM j GROUP BY judge),
+        |w AS (SELECT judge, n_pairs, n_first_wins,
+        |        CAST(n_pairs AS DOUBLE) AS n,
+        |        n_first_wins / CAST(n_pairs AS DOUBLE) AS p,
+        |        1.0 + (1.96 * 1.96) / CAST(n_pairs AS DOUBLE) AS denom
+        |      FROM g)
+        |SELECT judge, n_pairs, n_first_wins,
+        |  round(p, 6) AS p_first,
+        |  round(greatest(0.0, (p + (1.96 * 1.96) / (2.0 * n)) / denom
+        |    - (1.96 / denom) * sqrt(p * (1.0 - p) / n
+        |        + (1.96 * 1.96) / (4.0 * n * n))), 6) AS wilson_lo,
+        |  round(least(1.0, (p + (1.96 * 1.96) / (2.0 * n)) / denom
+        |    + (1.96 / denom) * sqrt(p * (1.0 - p) / n
+        |        + (1.96 * 1.96) / (4.0 * n * n))), 6) AS wilson_hi,
+        |  (round(greatest(0.0, (p + (1.96 * 1.96) / (2.0 * n)) / denom
+        |    - (1.96 / denom) * sqrt(p * (1.0 - p) / n
+        |        + (1.96 * 1.96) / (4.0 * n * n))), 6) > 0.5
+        |   OR round(least(1.0, (p + (1.96 * 1.96) / (2.0 * n)) / denom
+        |    + (1.96 / denom) * sqrt(p * (1.0 - p) / n
+        |        + (1.96 * 1.96) / (4.0 * n * n))), 6) < 0.5)
+        |    AS position_biased
+        |FROM w ORDER BY judge""".stripMargin) { (s, dir) =>
+      val judgments = t(s, dir, "documents").select(
+        pmod(col("doc_id"), lit(6)).as("judge"),
+        (pmod(col("doc_id") * 11, lit(97)) <
+          when(pmod(col("doc_id"), lit(6)) === 0, lit(78))
+            .otherwise(lit(48))).as("fw"))
+      graft.ops.Rollouts.judgePositionBias(judgments, "judge", "fw")
+        .orderBy(col("judge"))
+    },
+
+    // Exact Jaccard histogram (the empirical companion of
+    // q_minhash_plan): where the corpus' near-dup pair mass sits, per
+    // threshold bucket, with EMPTY buckets emitted as zero rows. All
+    // counts integer-exact; the bucket gate reads the round-4 jaccard
+    // both engines compute from the identical integer rationals.
+    q("q_jaccard_histogram",
+      """WITH toks AS (SELECT doc_id AS id,
+        |    string_split_regex(text, '\s+') AS tk FROM documents),
+        |tri AS (SELECT DISTINCT id,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+        |  FROM (SELECT id, tk, unnest(generate_series(1, len(tk) - 2))
+        |          AS i FROM toks)),
+        |sizes AS (SELECT id, count(*) AS sz FROM tri GROUP BY id),
+        |common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+        |  FROM tri a JOIN tri b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY a.id, b.id),
+        |p AS (SELECT round(CAST(cnt AS DOUBLE)/(sa.sz + sb.sz - cnt), 4)
+        |        AS j
+        |      FROM common JOIN sizes sa ON id_a = sa.id
+        |        JOIN sizes sb ON id_b = sb.id
+        |      WHERE CAST(cnt AS DOUBLE)/(sa.sz + sb.sz - cnt)
+        |        >= CAST(0.3 AS DOUBLE)),
+        |b AS (SELECT CASE WHEN j >= CAST(0.9 AS DOUBLE) THEN CAST(0.9 AS DOUBLE)
+        |             WHEN j >= CAST(0.7 AS DOUBLE) THEN CAST(0.7 AS DOUBLE)
+        |             WHEN j >= CAST(0.5 AS DOUBLE) THEN CAST(0.5 AS DOUBLE)
+        |             ELSE CAST(0.3 AS DOUBLE) END AS bucket_lo FROM p),
+        |g AS (SELECT bucket_lo, CAST(count(*) AS BIGINT) AS n_pairs
+        |      FROM b GROUP BY bucket_lo),
+        |grid AS (SELECT unnest([CAST(0.3 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |    CAST(0.7 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS bucket_lo)
+        |SELECT grid.bucket_lo, COALESCE(n_pairs, 0) AS n_pairs,
+        |  CAST(sum(COALESCE(n_pairs, 0)) OVER (ORDER BY grid.bucket_lo DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_pairs_ge
+        |FROM grid LEFT JOIN g USING (bucket_lo)
+        |ORDER BY bucket_lo""".stripMargin) { (s, dir) =>
+      graft.ops.Dedup.jaccardHistogram(t(s, dir, "documents"), n = 3,
+          buckets = Seq(0.3, 0.5, 0.7, 0.9))
+        .orderBy(col("bucket_lo"))
     }
   )
 

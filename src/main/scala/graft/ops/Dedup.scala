@@ -846,7 +846,11 @@ object Dedup {
     * intact (pigeonhole) and the bucket join is guaranteed to surface
     * the pair; bit_count then verifies the exact distance. More
     * chunks = shorter keys = bigger buckets: the recall guarantee
-    * costs selectivity as the budget grows. */
+    * costs selectivity as the budget grows. Candidates route through
+    * [[pairsInBucketsExact]] (size-routed, NO bucket cap) precisely
+    * because of that guarantee — the r16 sf1 sweep proved the capped
+    * generator silently dropped 17% of true pairs once chunk groups
+    * outgrew the cap. */
   def hammingNearDups(sigs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, s"maxHamming=$maxHamming")
     val numChunks = maxHamming + 1
@@ -866,7 +870,16 @@ object Dedup {
     }
     val chunks = sigs.select(col("id"), explode(array(chunkCols: _*)).as("cb"))
       .select(col("id"), col("cb.chunk").as("chunk"), col("cb.key").as("key"))
-    pairsInBuckets(chunks, Seq("chunk", "key"), "id")
+    // candidates via the SIZE-ROUTED exact generator, not the capped
+    // one: the pigeonhole decomposition carries a COMPLETENESS
+    // guarantee (every pair at hamming ≤ d shares an identical chunk),
+    // and a bucket cap silently voids it exactly when it matters — on
+    // heavily self-similar corpora whose chunk groups outgrow the cap.
+    // Found by the r16 sf1 oracle sweep: the capped form lost 2.48M of
+    // 14.79M true pairs at 50k docs (sf0.01/sf0.1 stayed under the
+    // cap, so the driver gates never saw it). Degenerate chunk keys
+    // block-salt and STREAM through pairsInBucketsExact instead.
+    pairsInBucketsExact(chunks, Seq("chunk", "key"), "id")
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -1040,6 +1053,49 @@ object Dedup {
         coalesce(col("component").isNull || col(idCol) === col("_keeper"),
           lit(false)))
       .drop("_keeper")
+  }
+
+  /** Exact Jaccard-similarity HISTOGRAM of every shingle-sharing pair —
+    * the empirical companion of [[minhashPlan]]: the planner's S-curve
+    * says what a (k, bands) choice would catch AT each similarity; this
+    * says where this corpus' pair mass actually SITS, which is what
+    * picks the threshold in the first place (a corpus whose near-dup
+    * mass is all ≥ 0.9 needs no recall heroics at 0.5). One row per
+    * bucket bound: exact pair count in [b_i, b_{i+1}) and the
+    * cumulative count ≥ b_i — all integer-exact; the bucket gate reads
+    * the ROUND-4 jaccard [[jaccardPairs]] emits, the same exact value
+    * on any engine.
+    *
+    * Scale: the truth pass is [[jaccardPairs]] — exact candidates from
+    * the size-routed bucket generator, verify on candidates only. That
+    * is inherently the expensive exact pass (measuring ground truth
+    * always is); at corpus scale run it on an md5-sampled slice
+    * ([[Sampling.byKeyMd5]] — deterministic, so the histogram is
+    * reproducible) exactly as recall estimation is sampled everywhere
+    * else. The report itself is a |buckets|-row grid; the cumulative
+    * fold is a bounded window on that grid. */
+  def jaccardHistogram(docs: DataFrame, n: Int, buckets: Seq[Double],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(buckets.nonEmpty && buckets == buckets.sorted &&
+      buckets.size == buckets.distinct.size,
+      s"buckets must be distinct ascending bounds: $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = jaccardPairs(docs, n, buckets.min, idCol, textCol)
+    // largest bound <= the round-4 jaccard (descending when-chain)
+    val lo = buckets.tail.foldLeft(lit(buckets.head)) { (acc, b) =>
+      when(col("jaccard") >= b, lit(b)).otherwise(acc)
+    }
+    val counts = pairs.select(lo.as("bucket_lo"))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val cum = Window.orderBy(col("bucket_lo").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets.toDF("bucket_lo")
+      .join(counts, Seq("bucket_lo"), "left")
+      .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+      .withColumn("cum_pairs_ge", sum(col("n_pairs")).over(cum))
   }
 
   /** MinHash-LSH parameter planning report: the banding S-curve

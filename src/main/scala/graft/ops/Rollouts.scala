@@ -31,7 +31,10 @@ import org.apache.spark.sql.functions._
   *    draft model;
   *  - [[lengthBias]] — the reward-vs-length correlation screen
   *    (verbosity bias, a standard reward-hacking axis): per-prompt
-  *    Pearson r from exact conditional sums.
+  *    Pearson r from exact conditional sums;
+  *  - [[judgePositionBias]] — the LLM-as-judge position-bias screen
+  *    (Zheng et al. 2023): per-judge first-position win rate with a
+  *    Wilson interval against the unbiased 0.5.
   *
   * Scale shape: every operator is ONE prompt-keyed aggregate (partial
   * map-side combine on the shuffle; per-group state is O(samples per
@@ -359,5 +362,43 @@ object Rollouts {
         when(varX > 0 && varY > 0, round(r, 6)).as("corr_len_reward"))
       .withColumn("length_biased",
         coalesce(col("corr_len_reward") >= minR, lit(false)))
+  }
+
+  /** LLM-as-judge position-bias screen (Zheng et al. 2023, "Judging
+    * LLM-as-a-Judge" §3.2): with pair order RANDOMIZED, an unbiased
+    * judge picks the first-position candidate half the time — per
+    * judge this reports the first-position win rate with a Wilson
+    * interval ([[BradleyTerry.winMatrix]]'s exact arithmetic, z a plan
+    * literal) and flags judges whose interval excludes 0.5. The QA
+    * gate an eval pipeline runs BEFORE trusting pairwise judgments
+    * (the paper measures GPT-class judges at up to 75% first-position
+    * preference on ties).
+    *
+    * `firstWonCol`: boolean — the candidate shown FIRST won the pair.
+    * The flag gates on the ROUNDED interval bounds (round 6), so the
+    * verdict is the same exact value on any engine; counts are exact
+    * integers and p one IEEE division.
+    *
+    * Scale: ONE judge-keyed aggregate (two longs of state); the Wilson
+    * arithmetic runs on the |judges|-row grid. */
+  def judgePositionBias(judgments: DataFrame, judgeCol: String,
+      firstWonCol: String, z: Double = 1.96): DataFrame = {
+    val agg = judgments.groupBy(col(judgeCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col(firstWonCol).cast("boolean").cast("long"))
+          .as("n_first_wins"))
+    val n = col("n_pairs").cast("double")
+    val p = col("n_first_wins") / n
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / denom
+    val half = (lit(z) / denom) *
+      sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))
+    agg.select(col(judgeCol), col("n_pairs"), col("n_first_wins"),
+        round(p, 6).as("p_first"),
+        round(greatest(lit(0.0), center - half), 6).as("wilson_lo"),
+        round(least(lit(1.0), center + half), 6).as("wilson_hi"))
+      .withColumn("position_biased",
+        col("wilson_lo") > 0.5 || col("wilson_hi") < 0.5)
   }
 }

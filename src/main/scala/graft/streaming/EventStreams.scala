@@ -229,6 +229,41 @@ object EventStreams {
           .cast("double") / col("n_samples"), 6))
   }
 
+  /** Streaming twin of [[graft.ops.Rollouts.judgePositionBias]]: per
+    * event-time window and judge, the running pair/first-win counts,
+    * first-position win rate, Wilson bounds and the biased flag over
+    * an ARRIVING judgment stream (the eval-pipeline dashboard that
+    * catches a judge drifting into position bias mid-run). One
+    * watermark-bounded windowed aggregate; per-group state is two
+    * longs; the Wilson arithmetic is the identical literal order as
+    * the batch op, so completed windows equal the batch report exactly
+    * (parity spec). */
+  def judgeBiasStream(judgments: DataFrame, judgeCol: String,
+      firstWonCol: String, eventTimeCol: String = "event_time",
+      windowDur: String = "10 minutes",
+      watermark: String = "10 minutes", z: Double = 1.96): DataFrame = {
+    val agg = judgments
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), windowDur), col(judgeCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col(firstWonCol).cast("boolean").cast("long"))
+          .as("n_first_wins"))
+    val n = col("n_pairs").cast("double")
+    val p = col("n_first_wins") / n
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / denom
+    val half = (lit(z) / denom) *
+      sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))
+    agg.select(col("window"), col(judgeCol), col("n_pairs"),
+        col("n_first_wins"),
+        round(p, 6).as("p_first"),
+        round(greatest(lit(0.0), center - half), 6).as("wilson_lo"),
+        round(least(lit(1.0), center + half), 6).as("wilson_hi"))
+      .withColumn("position_biased",
+        col("wilson_lo") > 0.5 || col("wilson_hi") < 0.5)
+  }
+
   final case class Event(event_id: Long, user_id: Long, event_type: String,
       value: Double, epochMs: Long)
   final case class SessionAgg(user_id: Long, n_events: Int, total_value: Double,

@@ -659,4 +659,40 @@ class DedupSpec extends AnyFunSuite {
       Dedup.minhashPlan(spark2, k = 7, bands = 4, thresholds = Seq(0.5))
     }
   }
+
+  test("jaccardHistogram: planted pair masses land in their buckets; " +
+      "empty buckets emit zero rows") {
+    import spark.implicits._
+    // A==B exactly (J=1 -> bucket 0.9); A~C and B~C share 1 of 3
+    // trigrams (J=1/3 -> bucket 0.3); D is unrelated
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "a b c x"),
+      (4L, "p q r s t")).toDF("doc_id", "text")
+    val out = Dedup.jaccardHistogram(docs, n = 3,
+        buckets = Seq(0.3, 0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> r).toMap
+    assert(out(0.9).getAs[Long]("n_pairs") === 1L)
+    assert(out(0.5).getAs[Long]("n_pairs") === 0L,
+      "an empty bucket must still emit its zero row")
+    assert(out(0.3).getAs[Long]("n_pairs") === 2L)
+    assert(out(0.9).getAs[Long]("cum_pairs_ge") === 1L)
+    assert(out(0.5).getAs[Long]("cum_pairs_ge") === 1L)
+    assert(out(0.3).getAs[Long]("cum_pairs_ge") === 3L)
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardHistogram(docs, n = 3, buckets = Seq(0.5, 0.3))
+    }
+  }
+
+  test("hammingNearDups: completeness holds past the in-task bucket " +
+      "cap (the r16 sf1 lesson)") {
+    import spark.implicits._
+    // 1100 identical signatures share every chunk: one bucket of 1100
+    // ids, OVER the 1000-id in-task cap — the capped generator dropped
+    // such buckets wholesale. Expect all C(1100,2) pairs, streamed.
+    val sigs = ((1L to 1100L).map(i => (i, 0L)) :+ (9999L, -1L))
+      .toDF("id", "sig")
+    val n = Dedup.hammingNearDups(sigs, maxHamming = 2).count()
+    assert(n === 1100L * 1099 / 2,
+      "every within-budget pair must surface regardless of bucket size")
+  }
 }

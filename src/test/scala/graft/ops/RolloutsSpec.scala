@@ -233,6 +233,35 @@ class RolloutsSpec extends AnyFunSuite {
     assert(!out("C").getAs[Boolean]("length_biased"))
   }
 
+  test("judgePositionBias: hand Wilson interval, flag fires only on " +
+      "the planted bias") {
+    // biased judge: 9/10 first wins; fair judge: 5/10
+    val rows = (1 to 10).map(i => ("biased", i <= 9)) ++
+      (1 to 10).map(i => ("fair", i <= 5))
+    val out = Rollouts.judgePositionBias(rows.toDF("judge", "fw"),
+      "judge", "fw").collect().map(r => r.getString(0) -> r).toMap
+    val b = out("biased")
+    assert(b.getAs[Long]("n_first_wins") === 9L)
+    assert(b.getAs[Double]("p_first") === 0.9)
+    // reference Wilson in plain Scala, identical operation order
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (z, n, p) = (1.96, 10.0, 0.9)
+    val z2 = z * z
+    val denom = 1.0 + z2 / n
+    val center = (p + z2 / (2.0 * n)) / denom
+    val half = (z / denom) * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+    assert(b.getAs[Double]("wilson_lo") === r6(math.max(0.0, center - half)))
+    assert(b.getAs[Double]("wilson_hi") === r6(math.min(1.0, center + half)))
+    assert(b.getAs[Double]("wilson_lo") > 0.5)
+    assert(b.getAs[Boolean]("position_biased"), "lo > 0.5 must flag")
+    val f = out("fair")
+    assert(!f.getAs[Boolean]("position_biased"),
+      "an interval containing 0.5 must not flag")
+    assert(f.getAs[Double]("wilson_lo") < 0.5 &&
+      f.getAs[Double]("wilson_hi") > 0.5)
+  }
+
   test("raftAcceptance: per-tau gate counts, boundary inclusive") {
     val samples = Seq(
       ("P", 0.1), ("P", 0.5), ("P", 0.9),

@@ -1365,4 +1365,47 @@ class EventStreamsSpec extends AnyFunSuite {
         s"prompt $pid")
     }
   }
+
+  test("judgeBiasStream: completed windows equal the batch report exactly") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-sjb").toString
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    batchDocs.write.mode("overwrite").parquet(stageDir)
+    // judge 0 planted with a heavy first-position preference (the
+    // q_judge_bias construction), one hour-aligned window per judge
+    def judgments(df: org.apache.spark.sql.DataFrame) = df
+      .select(pmod($"doc_id", lit(6)).as("judge"),
+        (pmod($"doc_id" * 11, lit(97)) <
+          when(pmod($"doc_id", lit(6)) === 0, lit(78)).otherwise(lit(48)))
+          .as("fw"),
+        timestamp_seconds(pmod($"doc_id", lit(6)) * 7200 +
+          pmod($"doc_id", lit(50))).as("event_time"))
+    val incoming = judgments(
+      spark.readStream.schema(batchDocs.schema).parquet(stageDir))
+    val out = EventStreams.judgeBiasStream(incoming, "judge", "fw",
+      windowDur = "1 hour", watermark = "1 hour")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sjb")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sjb")
+      .collect().map(r => r.getAs[Long]("judge") -> r).toMap
+    val expected = graft.ops.Rollouts.judgePositionBias(
+        judgments(batchDocs).drop("event_time"), "judge", "fw")
+      .collect().map(r => r.getAs[Long]("judge") -> r).toMap
+    assert(streamed.nonEmpty, "stream emitted no closed windows")
+    assert(streamed.keySet.subsetOf(expected.keySet))
+    assert(streamed.size >= expected.size - 2,
+      "only the watermark-open tail windows may be withheld")
+    streamed.foreach { case (j, r) =>
+      val e = expected(j)
+      assert(r.getAs[Long]("n_pairs") === e.getAs[Long]("n_pairs"))
+      assert(r.getAs[Long]("n_first_wins") === e.getAs[Long]("n_first_wins"))
+      assert(r.getAs[Double]("wilson_lo") === e.getAs[Double]("wilson_lo"))
+      assert(r.getAs[Double]("wilson_hi") === e.getAs[Double]("wilson_hi"))
+      assert(r.getAs[Boolean]("position_biased") ===
+        e.getAs[Boolean]("position_biased"), s"judge $j")
+    }
+    assert(streamed.get(0L).forall(_.getAs[Boolean]("position_biased")),
+      "the planted judge must flag in the stream view too")
+  }
 }

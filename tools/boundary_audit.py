@@ -46,6 +46,9 @@ AUTO = [
     # boolean gate reads the SAME rounded corr the float column
     # carries, so its flake margin is the corr column's distance.
     'q_ece_calibration', 'q_length_bias', 'q_spec_decode',
+    # r16: Wilson bounds round in the final projection; the biased gate
+    # reads the same rounded bounds the float columns carry
+    'q_judge_bias',
 ]
 
 con = duckdb.connect()
