@@ -123,7 +123,8 @@ object Bench {
     // round-16 additions: tightened cluster SemDeDup, speculative-
     // decoding acceptance, ECE calibration, the verbosity-bias screen
     "q_semdedup_tight", "q_spec_decode", "q_ece_calibration",
-    "q_length_bias", "q_judge_bias", "q_jaccard_histogram")
+    "q_length_bias", "q_judge_bias", "q_jaccard_histogram",
+    "q_dedup_savings")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -10288,6 +10288,29 @@ object PipelineQueries {
       graft.ops.Dedup.jaccardHistogram(t(s, dir, "documents"), n = 3,
           buckets = Seq(0.3, 0.5, 0.7, 0.9))
         .orderBy(col("bucket_lo"))
+    },
+
+    // Exact-dedup savings forecast: copy-count class frame priced in
+    // redundant docs and tokens. DuckDB groups by the TEXT itself (its
+    // exact twin of the 8-byte fingerprint grouping — identical
+    // classes barring the documented collision odds); every figure is
+    // an integer.
+    q("q_dedup_savings",
+      """WITH g AS (SELECT text,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS t
+        |  FROM documents GROUP BY text)
+        |SELECT n AS n_copies,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(sum(n - 1) AS BIGINT) AS n_redundant_docs,
+        |  CAST(sum((n - 1) * t) AS BIGINT) AS redundant_tokens
+        |FROM g GROUP BY n ORDER BY n""".stripMargin) { (s, dir) =>
+      graft.ops.Dedup.exactDupSavings(t(s, dir, "documents"),
+          size(filter(split(trim(col("text")), "\\s+"),
+            x => length(x) > 0)))
+        .orderBy(col("n_copies"))
     }
   )
 

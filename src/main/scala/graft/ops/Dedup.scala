@@ -1055,6 +1055,40 @@ object Dedup {
       .drop("_keeper")
   }
 
+  /** Exact-duplicate SAVINGS forecast — the report a data team reads
+    * before running the dedup itself: group documents by content
+    * fingerprint, roll the copy-count distribution up into a
+    * count-class frame (one row per distinct copy count), and price
+    * each class in redundant documents and redundant TOKENS (what
+    * keeping one representative per group deletes from the training
+    * budget). Everything is integer-exact; `tokensCol` is evaluated
+    * once per row inside the scan.
+    *
+    * Fingerprint stance: groups key on
+    * [[org.apache.spark.sql.graft.Fingerprint64]] of the text — the
+    * corpus-wide exact-dedup convention (8 bytes ride the shuffle,
+    * never text; documented collision odds). Copies of the same text
+    * carry identical token counts, so the per-group token figure is
+    * exact, not an average.
+    *
+    * Scale: ONE fingerprint-keyed aggregate (the [[exact]] shuffle
+    * class) re-aggregated onto the copy-count class frame (≪ corpus —
+    * the aucReport count-class argument). */
+  def exactDupSavings(docs: DataFrame, tokensCol: Column,
+      textCol: String = "text"): DataFrame = {
+    val groups = docs
+      .select(GraftFunctions.fingerprint64(col(textCol)).as("_fp"),
+        tokensCol.cast("long").as("_tok"))
+      .groupBy(col("_fp"))
+      .agg(count(lit(1)).as("_n"), first(col("_tok")).as("_t"))
+    groups
+      .groupBy(col("_n").as("n_copies"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("_n")).as("n_docs"),
+        sum(col("_n") - 1).as("n_redundant_docs"),
+        sum((col("_n") - 1) * col("_t")).as("redundant_tokens"))
+  }
+
   /** Exact Jaccard-similarity HISTOGRAM of every shingle-sharing pair —
     * the empirical companion of [[minhashPlan]]: the planner's S-curve
     * says what a (k, bands) choice would catch AT each similarity; this

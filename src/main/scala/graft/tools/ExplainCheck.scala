@@ -34,7 +34,8 @@ object ExplainCheck {
         "q_prm_pipeline","q_phased_mixture",
         // round-16
         "q_semdedup_tight","q_spec_decode","q_ece_calibration",
-        "q_length_bias","q_judge_bias","q_jaccard_histogram")) {
+        "q_length_bias","q_judge_bias","q_jaccard_histogram",
+        "q_dedup_savings")) {
       println(s"########## $q")
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -683,6 +683,26 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("exactDupSavings: copy-count classes priced in redundant docs " +
+      "and tokens") {
+    import spark.implicits._
+    // "a b" x3 (2 tokens), "c" x2 (1 token), two singletons
+    val docs = Seq("a b", "a b", "a b", "c", "c", "x y z", "q")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val ntok = size(filter(split(trim(col("text")), "\\s+"),
+      x => length(x) > 0))
+    val out = Dedup.exactDupSavings(docs, ntok)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(3L).getAs[Long]("n_groups") === 1L)
+    assert(out(3L).getAs[Long]("n_redundant_docs") === 2L)
+    assert(out(3L).getAs[Long]("redundant_tokens") === 4L, "2 copies x 2 tokens")
+    assert(out(2L).getAs[Long]("redundant_tokens") === 1L)
+    assert(out(1L).getAs[Long]("n_groups") === 2L)
+    assert(out(1L).getAs[Long]("n_redundant_docs") === 0L)
+    assert(out.values.map(_.getAs[Long]("n_docs")).sum === 7L)
+  }
+
   test("hammingNearDups: completeness holds past the in-task bucket " +
       "cap (the r16 sf1 lesson)") {
     import spark.implicits._
