@@ -10311,6 +10311,75 @@ object PipelineQueries {
           size(filter(split(trim(col("text")), "\\s+"),
             x => length(x) > 0)))
         .orderBy(col("n_copies"))
+    },
+
+    // pass^k consistency (the G-Pass shape): same 16-rollout
+    // construction as q_pass_at_k, the all-k-correct hypergeometric
+    // product C(c,k)/C(n,k) in index order; c < k short-circuits to
+    // exactly 0.0. The oracle's list_reduce seeds with the first term
+    // (Spark's fold seeds 1.0 — 1.0·x is bit-identical to x).
+    q("q_pass_hat_k",
+      """WITH s AS (SELECT doc_id, unnest(range(1, 17)) AS i
+        |           FROM documents),
+        |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |        CAST(sum(CASE WHEN (doc_id * 31 + i * 7) % 5 = 0
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |      FROM s GROUP BY doc_id)
+        |SELECT doc_id, n_samples, n_correct,
+        |  round(CASE WHEN n_correct < 1 THEN 0.0
+        |    ELSE list_reduce(list_transform(range(0, 1),
+        |      i -> CAST(n_correct - i AS DOUBLE) / (n_samples - i)),
+        |      (a, b) -> a * b) END, 6) AS pass_hat_1,
+        |  round(CASE WHEN n_correct < 4 THEN 0.0
+        |    ELSE list_reduce(list_transform(range(0, 4),
+        |      i -> CAST(n_correct - i AS DOUBLE) / (n_samples - i)),
+        |      (a, b) -> a * b) END, 6) AS pass_hat_4,
+        |  round(CASE WHEN n_correct < 8 THEN 0.0
+        |    ELSE list_reduce(list_transform(range(0, 8),
+        |      i -> CAST(n_correct - i AS DOUBLE) / (n_samples - i)),
+        |      (a, b) -> a * b) END, 6) AS pass_hat_8
+        |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val samples = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("i", explode(sequence(lit(1), lit(16))))
+        .withColumn("correct",
+          pmod(col("doc_id") * 31 + col("i") * 7, lit(5)) === 0)
+      graft.ops.Rollouts.passHatK(samples, "doc_id", "correct",
+          ks = Seq(1, 4, 8))
+        .select(col("doc_id"), col("n_samples"), col("n_correct"),
+          col("pass_hat_1"), col("pass_hat_4"), col("pass_hat_8"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality-tempered (QuRating-shape) mixture plan: softmax of the
+    // per-source mean n_chars at tau = 200 over a 1M-token budget. The
+    // mean is an exact integer rational quantized at 9 before libm
+    // exp; the normalizer folds in SOURCE order on both engines
+    // (DuckDB's list_reduce seeds with the first element — 0.0 + x is
+    // bit-identical to x); every output float rounds in the final
+    // projection with the margin measured (AUTO).
+    q("q_quality_mixture",
+      """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    round(avg(CAST(n_chars AS DOUBLE)), 9) AS q,
+        |    CAST(sum(len(list_filter(string_split_regex(trim(text),
+        |      '\s+'), x -> len(x) > 0))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT *, exp(q / CAST(200 AS DOUBLE)) AS wv FROM g),
+        |z AS (SELECT list_reduce(list(wv ORDER BY source),
+        |        (a, b) -> a + b) AS zz FROM w)
+        |SELECT source, n_docs, n_tokens,
+        |  round(q, 6) AS mean_score,
+        |  round(wv / zz, 6) AS share,
+        |  round(CAST(1000000 AS DOUBLE) * (wv / zz), 4) AS draw_tokens,
+        |  round(CASE WHEN n_tokens > 0
+        |    THEN CAST(1000000 AS DOUBLE) * (wv / zz) / n_tokens END, 6)
+        |    AS epochs_needed
+        |FROM w CROSS JOIN z ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.ops.Sampling.qualityMixturePlan(t(s, dir, "documents"),
+          col("n_chars"), "source",
+          size(filter(split(trim(col("text")), "\\s+"),
+            x => length(x) > 0)),
+          temperature = 200.0, budgetTokens = 1000000)
+        .orderBy(col("source"))
     }
   )
 

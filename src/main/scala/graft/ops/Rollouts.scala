@@ -272,6 +272,39 @@ object Rollouts {
         round(col("n_accepted").cast("double") / col("n_samples"), 6))
   }
 
+  /** pass^k — the CONSISTENCY counterpart of [[passAtK]] (the "G-Pass"
+    * family of reasoning-stability metrics): the probability that ALL
+    * k drawn samples are correct, `C(c,k)/C(n,k)` computed in the same
+    * numerically stable product form `Π_{i=0}^{k−1} (c−i)/(n−i)`,
+    * short-circuited to exactly 0.0 when c < k. pass@k asks "can the
+    * model get it at least once in k"; pass^k asks "does it get it
+    * EVERY time" — the gap between them is the flakiness a
+    * best-of-k serving strategy hides and a greedy deployment eats.
+    * Same eager pinned-grid validation (k ≤ min group size, non-empty
+    * input) and the same index-order fold — bit-exact cross-engine.
+    * Emits (promptCol, n_samples, n_correct, pass_hat_<k>…). */
+  def passHatK(samples: DataFrame, promptCol: String, correctCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks=$ks")
+    val g = Guards.pin(samples.groupBy(col(promptCol))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col(correctCol).cast("int")).cast("bigint").as("n_correct")))
+    val minRow = g.agg(min(col("n_samples"))).collect()(0)
+    require(!minRow.isNullAt(0),
+      "pass^k undefined on an empty samples frame (no prompt groups)")
+    val minN = minRow.getLong(0)
+    require(ks.forall(_ <= minN),
+      s"pass^k undefined for k > n: min group size $minN, ks=$ks")
+    ks.foldLeft(g) { (df, k) =>
+      val n = col("n_samples")
+      val c = col("n_correct")
+      val prod = aggregate(sequence(lit(0), lit(k - 1)), lit(1.0),
+        (acc, i) => acc * ((c - i).cast("double") / (n - i)))
+      df.withColumn(s"pass_hat_$k",
+        round(when(c < k, lit(0.0)).otherwise(prod), 6))
+    }
+  }
+
   /** Speculative-decoding acceptance analytics (Leviathan et al. 2023,
     * "Fast Inference from Transformers via Speculative Decoding"): per
     * sample, the longest agreed token PREFIX between a draft model's

@@ -300,6 +300,49 @@ object Sampling {
         (epochs - floor(epochs)).as("frac_rate"))
   }
 
+  /** Quality-tempered mixture plan (the QuRating/DataComp-LM recipe
+    * shape — Wettig et al. 2024 sample by `softmax(quality / τ)`):
+    * per-source mean quality score → softmax at temperature τ →
+    * budget shares, draws, and epochs vs the exact token inventory.
+    * τ → ∞ flattens to uniform; small τ concentrates the budget on
+    * the best-scoring sources. The planner sibling of [[mixturePlan]]
+    * with the weights LEARNED from a quality signal instead of given.
+    *
+    * Determinism (the [[doremiReweight]] discipline, applied twice):
+    * the per-source mean score quantizes at round 9 BEFORE exp (avg
+    * partial-merge order noise ~1e-13 is absorbed by the grid), exp is
+    * each engine's libm so every downstream float rounds only in the
+    * FINAL projection with the margin MEASURED (AUTO boundary entry),
+    * and the softmax normalizer folds the |sources| terms in SOURCE
+    * ORDER (sorted fold — no grid-sum order contract).
+    *
+    * Scale: ONE source-keyed aggregate (mean score + exact token
+    * inventory in the same pass); everything else is the |sources|-row
+    * plan grid. */
+  def qualityMixturePlan(docs: DataFrame, scoreCol: Column,
+      sourceCol: String, tokensCol: Column, temperature: Double,
+      budgetTokens: Long): DataFrame = {
+    require(temperature > 0, s"temperature=$temperature")
+    require(budgetTokens >= 1, s"budgetTokens=$budgetTokens")
+    val grid = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(scoreCol.cast("double")), 9).as("_q"),
+        sum(tokensCol.cast("long")).cast("long").as("n_tokens"))
+      .withColumn("_w", exp(col("_q") / lit(temperature)))
+    val z = grid.agg(aggregate(array_sort(collect_list(struct(
+        col(sourceCol).as("_s"), col("_w").as("_v")))), lit(0.0),
+        (a, x) => a + x("_v")).as("_z"))
+    val share = col("_w") / col("_z")
+    val draw = lit(budgetTokens.toDouble) * share
+    grid.crossJoin(broadcast(z))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        round(col("_q"), 6).as("mean_score"),
+        round(share, 6).as("share"),
+        round(draw, 4).as("draw_tokens"),
+        round(when(col("n_tokens") > 0, draw / col("n_tokens")), 6)
+          .as("epochs_needed"))
+  }
+
   /** Compute-optimal training plan (Hoffmann et al. 2022 "Chinchilla"
     * reduced to its operational core): given the corpus's per-source
     * token inventory and a FLOPs budget C, size the model at

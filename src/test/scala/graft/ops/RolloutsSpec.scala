@@ -233,6 +233,32 @@ class RolloutsSpec extends AnyFunSuite {
     assert(!out("C").getAs[Boolean]("length_biased"))
   }
 
+  test("passHatK: hand hypergeometric values; c < k short-circuits " +
+      "to exactly 0.0") {
+    // P: n=4, c=3 -> pass^1 = 3/4; pass^2 = (3/4)(2/3) = 0.5
+    // Q: n=4, c=1 -> pass^2 = 0 (short-circuit), pass^1 = 0.25
+    val samples = Seq(
+      ("P", true), ("P", true), ("P", true), ("P", false),
+      ("Q", true), ("Q", false), ("Q", false), ("Q", false)
+    ).toDF("prompt", "correct")
+    val out = Rollouts.passHatK(samples, "prompt", "correct", Seq(1, 2))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("P").getAs[Double]("pass_hat_1") === 0.75)
+    assert(out("P").getAs[Double]("pass_hat_2") === 0.5)
+    assert(out("Q").getAs[Double]("pass_hat_1") === 0.25)
+    assert(out("Q").getAs[Double]("pass_hat_2") === 0.0)
+    // pass^k <= pass@k always (consistency is harder than coverage)
+    val both = Rollouts.passAtK(samples, "prompt", "correct", Seq(2))
+      .join(Rollouts.passHatK(samples, "prompt", "correct", Seq(2)),
+        Seq("prompt", "n_samples", "n_correct"))
+      .collect()
+    both.foreach(r => assert(r.getAs[Double]("pass_hat_2") <=
+      r.getAs[Double]("pass_at_2"), r.toString))
+    intercept[IllegalArgumentException] {
+      Rollouts.passHatK(samples, "prompt", "correct", Seq(5))
+    }
+  }
+
   test("judgePositionBias: hand Wilson interval, flag fires only on " +
       "the planted bias") {
     // biased judge: 9/10 first wins; fair judge: 5/10

@@ -605,4 +605,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(out2("c") === rr(1.0 / (wa + 2.0 + 1.0)),
       "a domain absent from the loss frame keeps its prior at excess 0")
   }
+
+  test("qualityMixturePlan: hand softmax shares, temperature flattens, " +
+      "epochs vs inventory") {
+    import spark.implicits._
+    // source a: scores {2, 4} (mean 3), 10 tokens; b: score {1}, 40
+    val docs = Seq(
+      ("a", 2.0, 4L), ("a", 4.0, 6L), ("b", 1.0, 40L)
+    ).toDF("source", "score", "ntok")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = Sampling.qualityMixturePlan(docs, col("score"), "source",
+        col("ntok"), temperature = 1.0, budgetTokens = 100)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val (wa, wb) = (math.exp(3.0), math.exp(1.0))
+    val shareA = wa / (wa + wb)
+    assert(out("a").getAs[Double]("share") === r6(shareA))
+    assert(out("b").getAs[Double]("share") === r6(wb / (wa + wb)))
+    assert(out("a").getAs[Long]("n_tokens") === 10L)
+    assert(out("a").getAs[Double]("epochs_needed") ===
+      r6(100.0 * shareA / 10L), "the high-quality source must epoch")
+    // high temperature flattens toward uniform
+    val flat = Sampling.qualityMixturePlan(docs, col("score"), "source",
+        col("ntok"), temperature = 1e9, budgetTokens = 100)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("share")).toMap
+    assert(math.abs(flat("a") - 0.5) < 1e-6 &&
+      math.abs(flat("b") - 0.5) < 1e-6)
+    intercept[IllegalArgumentException] {
+      Sampling.qualityMixturePlan(docs, col("score"), "source",
+        col("ntok"), temperature = 0.0, budgetTokens = 100)
+    }
+  }
 }

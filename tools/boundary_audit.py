@@ -49,6 +49,11 @@ AUTO = [
     # r16: Wilson bounds round in the final projection; the biased gate
     # reads the same rounded bounds the float columns carry
     'q_judge_bias',
+    # r16: index-order hypergeometric product, rounds final-projection
+    'q_pass_hat_k',
+    # r16: the data_constrained stance — libm exp in the softmax, so
+    # the final-projection round margins are MEASURED, not assumed
+    'q_quality_mixture',
 ]
 
 con = duckdb.connect()
