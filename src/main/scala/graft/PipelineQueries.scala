@@ -10179,8 +10179,8 @@ object PipelineQueries {
         |        sum(reward * reward) AS syy
         |      FROM s GROUP BY prompt)
         |SELECT prompt, CAST(n AS BIGINT) AS n_samples,
-        |  round(sx / n, 6) AS mean_len,
-        |  round(sy / n, 6) AS mean_reward,
+        |  sx / n AS mean_len,
+        |  sy / n AS mean_reward,
         |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
         |    THEN round((n * sxy - sx * sy) /
         |      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)

@@ -389,9 +389,17 @@ object Rollouts {
     val varY = col("_n") * col("_syy") - col("_sy") * col("_sy")
     val r = (col("_n") * col("_sxy") - col("_sx") * col("_sy")) /
       sqrt(varX * varY)
+    // means emit UNROUNDED: each is ONE division of exact sums — the
+    // identical double on any engine — where a display round(6) would
+    // ADD risk, not remove it (a dyadic mean can land exactly on a
+    // decimal midpoint, and engines disagree there: Spark rounds
+    // HALF_UP, DuckDB half-to-even — found by the r16 sf1 sweep at
+    // n=500, mean 8001/16000 = 0.5000625). corr keeps round 6: it
+    // passes through sqrt, so it is never an exactly-representable
+    // decimal midpoint and its boundary margins are MEASURED (AUTO).
     g.select(col(promptCol), col("_n").cast("bigint").as("n_samples"),
-        round(col("_sx") / col("_n"), 6).as("mean_len"),
-        round(col("_sy") / col("_n"), 6).as("mean_reward"),
+        (col("_sx") / col("_n")).as("mean_len"),
+        (col("_sy") / col("_n")).as("mean_reward"),
         when(varX > 0 && varY > 0, round(r, 6)).as("corr_len_reward"))
       .withColumn("length_biased",
         coalesce(col("corr_len_reward") >= minR, lit(false)))
