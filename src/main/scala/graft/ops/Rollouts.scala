@@ -34,7 +34,10 @@ import org.apache.spark.sql.functions._
   *    Pearson r from exact conditional sums;
   *  - [[judgePositionBias]] — the LLM-as-judge position-bias screen
   *    (Zheng et al. 2023): per-judge first-position win rate with a
-  *    Wilson interval against the unbiased 0.5.
+  *    Wilson interval against the unbiased 0.5;
+  *  - [[passHatK]] — pass^k, the all-k-correct consistency
+  *    counterpart of [[passAtK]]: the flakiness gap a best-of-k
+  *    serving strategy hides.
   *
   * Scale shape: every operator is ONE prompt-keyed aggregate (partial
   * map-side combine on the shuffle; per-group state is O(samples per
