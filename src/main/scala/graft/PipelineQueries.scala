@@ -10387,6 +10387,57 @@ object PipelineQueries {
             x => length(x) > 0)),
           temperature = 200.0, budgetTokens = 1000000)
         .orderBy(col("source"))
+    },
+
+    // Swap-averaged pairwise win rates (the judgePositionBias
+    // correction): pairs judged in both orders, A genuinely stronger
+    // (7/10) for most pairs but purely position-following for pairs
+    // % 7 = 0 — exactly those must flip and debias to 0.5. All counts
+    // integer; rates are exact one-division rationals shipped
+    // UNROUNDED (the r16 midpoint lesson).
+    q("q_debiased_winrate",
+      """WITH j AS (SELECT doc_id % 120 AS pair,
+        |    (doc_id % 2 = 0) AS a_first,
+        |    CASE WHEN (doc_id % 120) % 7 = 0 THEN (doc_id % 2 = 0)
+        |         ELSE ((doc_id * 13) % 10) < 7 END AS a_won
+        |  FROM documents),
+        |g AS (SELECT pair,
+        |    CAST(sum(CASE WHEN a_first THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a_first,
+        |    CAST(sum(CASE WHEN a_first AND a_won THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a_wins_first,
+        |    CAST(sum(CASE WHEN NOT a_first THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a_second,
+        |    CAST(sum(CASE WHEN NOT a_first AND a_won THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a_wins_second
+        |  FROM j GROUP BY pair)
+        |SELECT pair, n_a_first, a_wins_first, n_a_second, a_wins_second,
+        |  CASE WHEN n_a_first > 0
+        |    THEN CAST(a_wins_first AS DOUBLE) / n_a_first END
+        |    AS a_winrate_first,
+        |  CASE WHEN n_a_second > 0
+        |    THEN CAST(a_wins_second AS DOUBLE) / n_a_second END
+        |    AS a_winrate_second,
+        |  CASE WHEN n_a_first > 0 AND n_a_second > 0
+        |    THEN (CAST(a_wins_first AS DOUBLE) / n_a_first
+        |        + CAST(a_wins_second AS DOUBLE) / n_a_second) / 2 END
+        |    AS a_winrate_debiased,
+        |  COALESCE(CASE WHEN n_a_first > 0 AND n_a_second > 0
+        |    THEN ((a_wins_first * 2 > n_a_first)
+        |            AND (a_wins_second * 2 < n_a_second))
+        |      OR ((a_wins_first * 2 < n_a_first)
+        |            AND (a_wins_second * 2 > n_a_second)) END, false)
+        |    AS position_flipped
+        |FROM g ORDER BY pair""".stripMargin) { (s, dir) =>
+      val judgments = t(s, dir, "documents").select(
+        pmod(col("doc_id"), lit(120)).as("pair"),
+        (pmod(col("doc_id"), lit(2)) === 0).as("a_first"),
+        when(pmod(pmod(col("doc_id"), lit(120)), lit(7)) === 0,
+          pmod(col("doc_id"), lit(2)) === 0)
+          .otherwise(pmod(col("doc_id") * 13, lit(10)) < 7).as("a_won"))
+      graft.ops.Rollouts.debiasedWinRate(judgments, "pair",
+          "a_first", "a_won")
+        .orderBy(col("pair"))
     }
   )
 

@@ -275,6 +275,56 @@ object Rollouts {
         round(col("n_accepted").cast("double") / col("n_samples"), 6))
   }
 
+  /** Swap-averaged (position-debiased) pairwise win rates — the
+    * CORRECTION [[judgePositionBias]]'s screen motivates (Zheng et
+    * al. 2023 §3.2 evaluate every pair in BOTH orders and call it
+    * consistent only when the verdicts agree): per pair, A's win rate
+    * within each presentation order and the debiased rate
+    * `(p_first + p_second) / 2`, which cancels any additive
+    * first-position preference. `position_flipped` marks pairs where
+    * the orders reach OPPOSITE strict-majority verdicts (a strict win
+    * one way and a strict loss the other; a tied order is
+    * inconclusive, not a flip) — the judgments a reward-model training
+    * set should drop or re-query.
+    *
+    * Determinism: counts are exact integers; each order's rate is one
+    * IEEE division and the debiased rate one add + one halving of
+    * identical doubles — shipped UNROUNDED (exact rationals can sit on
+    * decimal rounding midpoints where engines' half-rules differ; the
+    * r16 lesson). Pairs judged in only one order emit NULL debiased
+    * rate and a false flip flag (insufficient evidence, not a
+    * verdict).
+    *
+    * Scale: ONE pair-keyed aggregate carrying four longs of state;
+    * everything else is narrow arithmetic on the |pairs|-row grid. */
+  def debiasedWinRate(judgments: DataFrame, pairCol: String,
+      aFirstCol: String, aWonCol: String): DataFrame = {
+    val aFirst = col(aFirstCol).cast("boolean")
+    val aWon = col(aWonCol).cast("boolean").cast("long")
+    val g = judgments.groupBy(col(pairCol))
+      .agg(sum(when(aFirst, 1L).otherwise(0L)).as("n_a_first"),
+        sum(when(aFirst, aWon).otherwise(0L)).as("a_wins_first"),
+        sum(when(!aFirst, 1L).otherwise(0L)).as("n_a_second"),
+        sum(when(!aFirst, aWon).otherwise(0L)).as("a_wins_second"))
+    val pFirst = col("a_wins_first").cast("double") / col("n_a_first")
+    val pSecond = col("a_wins_second").cast("double") / col("n_a_second")
+    val both = col("n_a_first") > 0 && col("n_a_second") > 0
+    // strict-majority verdicts on exact integers; a tied order is
+    // inconclusive and can never flip
+    val winFirst = col("a_wins_first") * 2 > col("n_a_first")
+    val lossFirst = col("a_wins_first") * 2 < col("n_a_first")
+    val winSecond = col("a_wins_second") * 2 > col("n_a_second")
+    val lossSecond = col("a_wins_second") * 2 < col("n_a_second")
+    g.select(col(pairCol), col("n_a_first"), col("a_wins_first"),
+        col("n_a_second"), col("a_wins_second"),
+        when(col("n_a_first") > 0, pFirst).as("a_winrate_first"),
+        when(col("n_a_second") > 0, pSecond).as("a_winrate_second"),
+        when(both, (pFirst + pSecond) / 2).as("a_winrate_debiased"),
+        coalesce(when(both, (winFirst && lossSecond) ||
+          (lossFirst && winSecond)), lit(false))
+          .as("position_flipped"))
+  }
+
   /** pass^k — the CONSISTENCY counterpart of [[passAtK]] (the "G-Pass"
     * family of reasoning-stability metrics): the probability that ALL
     * k drawn samples are correct, `C(c,k)/C(n,k)` computed in the same

@@ -259,6 +259,32 @@ class RolloutsSpec extends AnyFunSuite {
     }
   }
 
+  test("debiasedWinRate: swap averaging cancels position preference; " +
+      "flips flagged; one-order pairs yield NULL") {
+    val rows = Seq(
+      // pair X: A wins ALWAYS when shown first, never when second —
+      // pure position-following: debiased 0.5, majority flips
+      ("X", true, true), ("X", true, true),
+      ("X", false, false), ("X", false, false),
+      // pair Y: A wins 2/2 first and 1/2 second — a TIED second order
+      // is inconclusive, not a flip: debiased (1.0 + 0.5)/2 = 0.75
+      ("Y", true, true), ("Y", true, true),
+      ("Y", false, true), ("Y", false, false),
+      // pair Z: judged in one order only
+      ("Z", true, true)
+    ).toDF("pair", "a_first", "a_won")
+    val out = Rollouts.debiasedWinRate(rows, "pair", "a_first", "a_won")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("X").getAs[Double]("a_winrate_debiased") === 0.5)
+    assert(out("X").getAs[Boolean]("position_flipped"))
+    assert(out("Y").getAs[Double]("a_winrate_debiased") === 0.75)
+    assert(!out("Y").getAs[Boolean]("position_flipped"))
+    assert(out("Z").isNullAt(out("Z").fieldIndex("a_winrate_debiased")),
+      "one-order pairs carry no debiased verdict")
+    assert(!out("Z").getAs[Boolean]("position_flipped"))
+    assert(out("Z").getAs[Double]("a_winrate_first") === 1.0)
+  }
+
   test("judgePositionBias: hand Wilson interval, flag fires only on " +
       "the planted bias") {
     // biased judge: 9/10 first wins; fair judge: 5/10
