@@ -125,7 +125,7 @@ object Bench {
     "q_semdedup_tight", "q_spec_decode", "q_ece_calibration",
     "q_length_bias", "q_judge_bias", "q_jaccard_histogram",
     "q_dedup_savings", "q_pass_hat_k", "q_quality_mixture",
-    "q_debiased_winrate")
+    "q_debiased_winrate", "q_intransitivity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

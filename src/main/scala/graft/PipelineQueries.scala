@@ -10438,6 +10438,61 @@ object PipelineQueries {
       graft.ops.Rollouts.debiasedWinRate(judgments, "pair",
           "a_first", "a_won")
         .orderBy(col("pair"))
+    },
+
+    // Intransitivity screen: an 8-player arena with a planted
+    // rock-paper-scissors RING (each player beats its successor mod 8;
+    // every non-adjacent pair resolves to the lower id) — the ring
+    // guarantees directed 3-cycles the Bradley-Terry scale cannot
+    // represent. Counts exact; the rate is a pure rational, shipped
+    // unrounded.
+    q("q_intransitivity",
+      """WITH m AS (SELECT doc_id % 8 AS a, (doc_id // 8) % 8 AS b
+        |           FROM documents),
+        |mm AS (SELECT a, b,
+        |        CASE WHEN (b - a + 8) % 8 = 1 THEN a
+        |             WHEN (a - b + 8) % 8 = 1 THEN b
+        |             ELSE least(a, b) END AS w
+        |      FROM m WHERE a <> b),
+        |o AS (SELECT w AS winner,
+        |        CASE WHEN w = a THEN b ELSE a END AS loser FROM mm),
+        |p AS (SELECT least(winner, loser) AS a,
+        |        greatest(winner, loser) AS b,
+        |        CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN winner < loser THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS wa
+        |      FROM o GROUP BY 1, 2),
+        |e AS (SELECT CASE WHEN wa * 2 > n THEN a ELSE b END AS w,
+        |             CASE WHEN wa * 2 > n THEN b ELSE a END AS l
+        |      FROM p WHERE wa * 2 <> n),
+        |u AS (SELECT least(w, l) AS a, greatest(w, l) AS b FROM e),
+        |tri AS (SELECT count(*) AS t FROM u e1
+        |        JOIN u e2 ON e1.b = e2.a
+        |        JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |cyc AS (SELECT count(*) AS c FROM e c1
+        |        JOIN e c2 ON c1.l = c2.w
+        |        JOIN e c3 ON c2.l = c3.w AND c3.l = c1.w
+        |        WHERE c1.w < c2.w AND c1.w < c3.w),
+        |np AS (SELECT CAST(count(DISTINCT pp) AS BIGINT) AS np FROM
+        |       (SELECT winner AS pp FROM o
+        |        UNION ALL SELECT loser FROM o)),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) AS ne FROM e)
+        |SELECT np.np AS n_players, ne.ne AS n_decided_pairs,
+        |  CAST(tri.t AS BIGINT) AS n_decided_triangles,
+        |  CAST(cyc.c AS BIGINT) AS n_intransitive,
+        |  CASE WHEN tri.t > 0 THEN CAST(cyc.c AS DOUBLE) / tri.t END
+        |    AS cycle_rate
+        |FROM np, ne, tri, cyc""".stripMargin) { (s, dir) =>
+      val a = pmod(col("doc_id"), lit(8))
+      val b = pmod(shiftright(col("doc_id"), 3), lit(8))
+      val winner = when(pmod(b - a, lit(8)) === 1, a)
+        .when(pmod(a - b, lit(8)) === 1, b)
+        .otherwise(least(a, b))
+      val matches = t(s, dir, "documents")
+        .filter(a =!= b)
+        .select(winner.as("w"),
+          when(winner === a, b).otherwise(a).as("l"))
+      graft.ops.BradleyTerry.intransitiveTriples(matches, "w", "l")
     }
   )
 

@@ -125,4 +125,63 @@ object BradleyTerry {
       round(greatest(lit(0.0), center - half), 6).as("wilson_lo"),
       round(least(lit(1.0), center + half), 6).as("wilson_hi"))
   }
+
+  /** Intransitivity screen over an arena log — the preference-data QA
+    * check run BEFORE trusting a Bradley–Terry fit (the model assumes
+    * a single strength scale; rock-paper-scissors structure in the
+    * majority graph means no scale exists and the fit quietly averages
+    * it away). Per the standard protocol: reduce every unordered pair
+    * to its STRICT-majority verdict (tied pairs are undecided), then
+    * count directed 3-cycles `x→y→z→x` among the decided edges —
+    * each cycle once (canonicalized at its minimum vertex). One row
+    * out: players, decided pairs, triangles with all three pairs
+    * decided, intransitive cycles among them, and the exact
+    * cycle rate (UNROUNDED — a pure rational of two counts).
+    *
+    * Scale: the outcome log aggregates ONCE to the |players|²-bounded
+    * pair grid (the [[winMatrix]] shape — usually ≪ games); the cycle
+    * count is a 3-way self-join of the DECIDED-edge frame, bounded by
+    * |players|³ worst case on metadata-sized frames, never the log. */
+  def intransitiveTriples(outcomes: DataFrame, winnerCol: String,
+      loserCol: String): DataFrame = {
+    val w = col(winnerCol)
+    val l = col(loserCol)
+    val pairs = outcomes
+      .select(least(w, l).as("a"), greatest(w, l).as("b"),
+        (w < l).cast("long").as("_aw"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n"), sum("_aw").as("wa"))
+    // strict-majority directed edges; ties drop (undecided)
+    val edges = pairs.select(
+        when(col("wa") * 2 > col("n"), col("a")).otherwise(col("b"))
+          .as("w"),
+        when(col("wa") * 2 > col("n"), col("b")).otherwise(col("a"))
+          .as("l"))
+      .where(col("wa") * 2 =!= col("n"))
+    // undirected decided pairs for the triangle denominator
+    val und = edges.select(least(col("w"), col("l")).as("a"),
+      greatest(col("w"), col("l")).as("b"))
+    val triDecided = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"), col("e2.b") === col("e3.b") &&
+        col("e1.a") === col("e3.a"))
+      .select(col("e1.a"))
+    // directed 3-cycles, counted once at the minimum vertex
+    val cyc = edges.as("c1")
+      .join(edges.as("c2"), col("c1.l") === col("c2.w"))
+      .join(edges.as("c3"), col("c2.l") === col("c3.w") &&
+        col("c3.l") === col("c1.w"))
+      .where(col("c1.w") < col("c2.w") && col("c1.w") < col("c3.w"))
+      .select(col("c1.w"))
+    val nPlayers = outcomes.select(w.as("p"))
+      .unionByName(outcomes.select(l.as("p"))).distinct().count()
+    val nEdges = edges.count()
+    val nTri = triDecided.count()
+    val nCyc = cyc.count()
+    import outcomes.sparkSession.implicits._
+    Seq((nPlayers, nEdges, nTri, nCyc,
+      if (nTri > 0) Some(nCyc.toDouble / nTri) else None))
+      .toDF("n_players", "n_decided_pairs", "n_decided_triangles",
+        "n_intransitive", "cycle_rate")
+  }
 }

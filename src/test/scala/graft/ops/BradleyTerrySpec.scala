@@ -100,4 +100,32 @@ class BradleyTerrySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       BradleyTerry.winMatrix(o, "winner", "loser"))
   }
+
+  test("intransitiveTriples: planted RPS ring counted once; ties " +
+      "undecided; transitive log has rate 0") {
+    import spark.implicits._
+    // pure rock-paper-scissors on 3 players: 1 decided triangle,
+    // 1 directed cycle
+    val rps = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("w", "l")
+    val r1 = BradleyTerry.intransitiveTriples(rps, "w", "l").collect().head
+    assert(r1.getAs[Long]("n_players") === 3L)
+    assert(r1.getAs[Long]("n_decided_pairs") === 3L)
+    assert(r1.getAs[Long]("n_decided_triangles") === 1L)
+    assert(r1.getAs[Long]("n_intransitive") === 1L)
+    assert(r1.getAs[Double]("cycle_rate") === 1.0)
+    // fully transitive 0 > 1 > 2: one triangle, zero cycles
+    val lin = Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("w", "l")
+    val r2 = BradleyTerry.intransitiveTriples(lin, "w", "l").collect().head
+    assert(r2.getAs[Long]("n_decided_triangles") === 1L)
+    assert(r2.getAs[Long]("n_intransitive") === 0L)
+    assert(r2.getAs[Double]("cycle_rate") === 0.0)
+    // a TIED pair is undecided: it breaks the triangle and the cycle
+    val tied = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 0L)).toDF("w", "l")
+    val r3 = BradleyTerry.intransitiveTriples(tied, "w", "l").collect().head
+    assert(r3.getAs[Long]("n_decided_pairs") === 2L)
+    assert(r3.getAs[Long]("n_decided_triangles") === 0L)
+    assert(r3.getAs[Long]("n_intransitive") === 0L)
+    assert(r3.isNullAt(r3.fieldIndex("cycle_rate")),
+      "no decided triangle -> NULL rate, not a division error")
+  }
 }
