@@ -10493,6 +10493,207 @@ object PipelineQueries {
         .select(winner.as("w"),
           when(winner === a, b).otherwise(a).as("l"))
       graft.ops.BradleyTerry.intransitiveTriples(matches, "w", "l")
+    },
+
+    // Prefix-cache (RadixAttention) sharing report over the document
+    // store as a prompt set: per probe depth, distinct depth-d prefixes
+    // vs eligible prompts -> warm-cache token savings. Spark groups by
+    // xxhash64(prefix) (text never shuffles); the oracle groups by the
+    // prefix STRING — equal counts under the Dedup.exact collision
+    // stance. Counts exact; hit_rate one exact-integer division shipped
+    // UNROUNDED.
+    q("q_prefix_cache",
+      """WITH d AS (SELECT list_filter(string_split_regex(trim(text),
+        |    '\s+'), x -> len(x) > 0) AS t FROM documents),
+        |e AS (SELECT dep, array_to_string(list_slice(t, 1, dep), ' ')
+        |        AS p
+        |      FROM d CROSS JOIN (SELECT unnest([2, 4, 8]) AS dep) u
+        |      WHERE len(t) >= dep),
+        |g AS (SELECT dep, p, count(*) AS n FROM e GROUP BY 1, 2)
+        |SELECT dep AS depth,
+        |  CAST(sum(n) AS BIGINT) AS n_eligible,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_prefixes,
+        |  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_prompts_sharing,
+        |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared_prefixes,
+        |  CAST((sum(n) - count(*)) * dep AS BIGINT)
+        |    AS cached_tokens_saved,
+        |  CAST(sum(n) - count(*) AS DOUBLE) / sum(n) AS hit_rate
+        |FROM g GROUP BY dep ORDER BY dep""".stripMargin) { (s, dir) =>
+      graft.ops.Serving.prefixCacheStats(t(s, dir, "documents"), "text",
+          Seq(2, 4, 8))
+        .orderBy(col("depth"))
+    },
+
+    // Empirical scaling-law fit over a synthesized 24-run catalog:
+    // compute/loss are exact rationals built identically on both
+    // engines (no libm in the INPUTS); the OLS runs on ln/ln with
+    // sorted-fold sums (the mlOrderedMean discipline) and every output
+    // rounds in the final projection (libm-ln margins MEASURED — the
+    // dataConstrainedPlan stance).
+    q("q_scaling_fit",
+      """WITH r AS (SELECT DISTINCT doc_id % 24 AS r FROM documents),
+        |runs AS (SELECT CAST((r + 1) * (r + 1) AS DOUBLE) * 1e9 AS c,
+        |    4.0 / CAST(r + 2 AS DOUBLE)
+        |      + 0.25 * CAST((r * 7) % 5 AS DOUBLE) AS l
+        |  FROM r),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_runs,
+        |    list(struct_pack(c := c, l := l) ORDER BY c, l) AS p
+        |  FROM runs WHERE c > 0 AND l > 0),
+        |s AS (SELECT n_runs, CAST(n_runs AS DOUBLE) AS n,
+        |    list_reduce(list_transform(p, q -> ln(q.c)),
+        |      (a, b) -> a + b) AS sx,
+        |    list_reduce(list_transform(p, q -> ln(q.l)),
+        |      (a, b) -> a + b) AS sy,
+        |    list_reduce(list_transform(p, q -> ln(q.c) * ln(q.l)),
+        |      (a, b) -> a + b) AS sxy,
+        |    list_reduce(list_transform(p, q -> ln(q.c) * ln(q.c)),
+        |      (a, b) -> a + b) AS sxx,
+        |    list_reduce(list_transform(p, q -> ln(q.l) * ln(q.l)),
+        |      (a, b) -> a + b) AS syy
+        |  FROM f)
+        |SELECT n_runs,
+        |  round(CASE WHEN n * sxx - sx * sx > 0
+        |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+        |    AS exponent,
+        |  round(CASE WHEN n * sxx - sx * sx > 0
+        |    THEN exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        |      * sx) / n) END, 6) AS coefficient,
+        |  round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
+        |    AS r2
+        |FROM s""".stripMargin) { (s, dir) =>
+      val runs = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(24)).as("r")).distinct()
+        .select(
+          (((col("r") + 1) * (col("r") + 1)).cast("double") * 1e9)
+            .as("compute"),
+          (lit(4.0) / (col("r") + 2).cast("double")
+            + lit(0.25) * pmod(col("r") * 7, lit(5)).cast("double"))
+            .as("loss"))
+      graft.ops.Sampling.scalingLawFit(runs, col("compute"), col("loss"))
+    },
+
+    // Response-truncation screen: answers synthesized with a clean
+    // terminal (doc_id%3=0: '.', %3=2: '!"'), or none (%3=1), plus the
+    // 90-token decode cap the longest synthetic docs trip. Counts
+    // exact; the rate is one exact-integer division shipped UNROUNDED.
+    q("q_truncation_screen",
+      """WITH a AS (SELECT doc_id % 40 AS prompt,
+        |    CASE WHEN doc_id % 3 = 0 THEN trim(text) || '.'
+        |         WHEN doc_id % 3 = 1 THEN trim(text)
+        |         ELSE trim(text) || '!"' END AS ans
+        |  FROM documents),
+        |f AS (SELECT prompt,
+        |    NOT regexp_matches(ans, '[.!?…]["''”’)\]]*$') AS no_term,
+        |    len(list_filter(string_split_regex(trim(ans), '\s+'),
+        |      x -> len(x) > 0)) >= 90 AS at_cap
+        |  FROM a)
+        |SELECT prompt, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(CASE WHEN no_term THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_no_terminal,
+        |  CAST(sum(CASE WHEN at_cap THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_at_cap,
+        |  CAST(sum(CASE WHEN no_term OR at_cap THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_truncated,
+        |  CAST(sum(CASE WHEN no_term OR at_cap THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*) AS truncation_rate
+        |FROM f GROUP BY prompt ORDER BY prompt""".stripMargin) { (s, dir) =>
+      val samples = t(s, dir, "documents").select(
+        pmod(col("doc_id"), lit(40)).as("prompt"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(trim(col("text")), lit(".")))
+          .when(pmod(col("doc_id"), lit(3)) === 1, trim(col("text")))
+          .otherwise(concat(trim(col("text")), lit("!\""))).as("answer"))
+      graft.ops.Rollouts.truncationScreen(samples, "prompt", "answer",
+          maxTokens = Some(90))
+        .orderBy(col("prompt"))
+    },
+
+    // Refusal-rate screen by source: every 7th doc answers with a
+    // refusal phrase, every 7th+1 opens with one mid-sentence — the
+    // per-source rate + Wilson interval. The combined alternation
+    // regex is IDENTICAL on both engines (inline (?i) groups, RE2- and
+    // Java-compatible). Counts exact; the rate one division UNROUNDED;
+    // Wilson bounds round 6 (sqrt keeps them off midpoints).
+    q("q_refusal_screen",
+      """WITH a AS (SELECT source,
+        |    CASE WHEN doc_id % 7 = 0
+        |           THEN 'I cannot help with that request.'
+        |         WHEN doc_id % 7 = 1
+        |           THEN 'As an AI, ' || trim(text)
+        |         ELSE trim(text) END AS ans
+        |  FROM documents),
+        |f AS (SELECT source, regexp_matches(ans,
+        |    '((?i)\bi cannot\b)|((?i)\bas an ai\b)|((?i)\bunable to comply\b)')
+        |    AS refused FROM a),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(sum(CASE WHEN refused THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_refusals
+        |  FROM f GROUP BY source)
+        |SELECT source, n_samples, n_refusals,
+        |  CAST(n_refusals AS DOUBLE) / n_samples AS refusal_rate,
+        |  round(greatest(0.0,
+        |    ((CAST(n_refusals AS DOUBLE) / n_samples)
+        |      + (1.96 * 1.96) / (2.0 * n_samples))
+        |      / (1.0 + (1.96 * 1.96) / n_samples)
+        |    - (1.96 / (1.0 + (1.96 * 1.96) / n_samples))
+        |      * sqrt((CAST(n_refusals AS DOUBLE) / n_samples)
+        |          * (1.0 - CAST(n_refusals AS DOUBLE) / n_samples)
+        |          / n_samples
+        |        + (1.96 * 1.96) / (4.0 * n_samples * n_samples))), 6)
+        |    AS wilson_lo,
+        |  round(least(1.0,
+        |    ((CAST(n_refusals AS DOUBLE) / n_samples)
+        |      + (1.96 * 1.96) / (2.0 * n_samples))
+        |      / (1.0 + (1.96 * 1.96) / n_samples)
+        |    + (1.96 / (1.0 + (1.96 * 1.96) / n_samples))
+        |      * sqrt((CAST(n_refusals AS DOUBLE) / n_samples)
+        |          * (1.0 - CAST(n_refusals AS DOUBLE) / n_samples)
+        |          / n_samples
+        |        + (1.96 * 1.96) / (4.0 * n_samples * n_samples))), 6)
+        |    AS wilson_hi
+        |FROM g ORDER BY source""".stripMargin) { (s, dir) =>
+      val samples = t(s, dir, "documents").select(col("source"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+            lit("I cannot help with that request."))
+          .when(pmod(col("doc_id"), lit(7)) === 1,
+            concat(lit("As an AI, "), trim(col("text"))))
+          .otherwise(trim(col("text"))).as("answer"))
+      graft.ops.Rollouts.refusalScreen(samples, "source", "answer",
+          Seq("(?i)\\bi cannot\\b", "(?i)\\bas an ai\\b",
+            "(?i)\\bunable to comply\\b"))
+        .orderBy(col("source"))
+    },
+
+    // MATTR lexical diversity (w=20) per document: the oracle re-walks
+    // every sliding window with list_distinct/list_slice. ttr and
+    // mattr are single divisions of exact integers — UNROUNDED.
+    q("q_mattr",
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(
+        |    trim(text), '\s+'), x -> len(x) > 0) AS t FROM documents),
+        |b AS (SELECT doc_id, t, len(t) AS L, len(list_distinct(t)) AS ty
+        |      FROM d),
+        |w AS (SELECT doc_id, unnest(range(1, L - 20 + 2)) AS s, t
+        |      FROM b WHERE L >= 20),
+        |wc AS (SELECT doc_id,
+        |        len(list_distinct(list_slice(t, s, s + 19))) AS dw
+        |       FROM w),
+        |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |        CAST(sum(dw) AS BIGINT) AS sumw
+        |      FROM wc GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(L AS BIGINT) AS n_tokens,
+        |  CASE WHEN L > 0 THEN CAST(ty AS DOUBLE) / L END AS ttr,
+        |  COALESCE(a.n_windows, 0) AS n_windows,
+        |  CASE WHEN a.n_windows > 0
+        |    THEN CAST(sumw AS DOUBLE) / (20 * a.n_windows) END AS mattr
+        |FROM b LEFT JOIN a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Quality.mattr(t(s, dir, "documents"), "doc_id", "text",
+          window = 20)
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -458,6 +458,86 @@ object Rollouts {
         coalesce(col("corr_len_reward") >= minR, lit(false)))
   }
 
+  /** Response-truncation screen — the completeness QA pass over a
+    * rollout/SFT store before it trains anything (a max_tokens cut or a
+    * server timeout leaves answers that end mid-sentence; training on
+    * them teaches the model to stop mid-thought). Per sample, two exact
+    * detectors:
+    *
+    *  - `no terminal punctuation` — the trimmed answer does not end in
+    *    `. ! ? …` optionally followed by closing quotes/brackets (an
+    *    empty answer counts as truncated);
+    *  - `at the length cap` — token count ≥ `maxTokens` when a cap is
+    *    given (the decode-budget cut is invisible to punctuation when
+    *    it lands on a period).
+    *
+    * Rolled up per prompt: `n_samples`, `n_no_terminal`, `n_at_cap`,
+    * `n_truncated` (either detector), and `truncation_rate` — one
+    * exact-integer division shipped UNROUNDED (the debiasedWinRate
+    * midpoint rationale). Whitespace tokens, zero-length tokens dropped
+    * (the [[distinctNgrams]] stance).
+    *
+    * Scale: both detectors are narrow regex/size tests fused into the
+    * scan; ONE prompt-keyed partial+final aggregate (three longs of
+    * state). */
+  def truncationScreen(samples: DataFrame, promptCol: String,
+      answerCol: String, maxTokens: Option[Int] = None): DataFrame = {
+    maxTokens.foreach(m => require(m >= 1, s"maxTokens=$m"))
+    val trimmed = trim(col(answerCol))
+    val nToks = size(filter(split(trimmed, "\\s+"), t => length(t) > 0))
+    val noTerminal = !trimmed.rlike("[.!?…][\"'”’)\\]]*$")
+    val atCap = maxTokens match {
+      case Some(m) => nToks >= m
+      case None => lit(false)
+    }
+    samples.groupBy(col(promptCol))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(noTerminal.cast("long")).as("n_no_terminal"),
+        sum(atCap.cast("long")).as("n_at_cap"),
+        sum((noTerminal || atCap).cast("long")).as("n_truncated"))
+      .withColumn("truncation_rate",
+        col("n_truncated").cast("double") / col("n_samples"))
+  }
+
+  /** Refusal-rate screen — per group (prompt category, source, model
+    * version…), how often sampled answers match a refusal-phrase
+    * pattern set: the safety/over-refusal balance check an RLHF or
+    * distillation pipeline runs before training on model outputs (a
+    * spike in one category means the prompts are unsafe or the model
+    * over-refuses — either way those rows need review, not training).
+    * Emits `n_samples`, `n_refusals`, the exact-rational
+    * `refusal_rate` (UNROUNDED — one division), and a Wilson interval
+    * on the rate ([[judgePositionBias]]'s exact arithmetic, z a plan
+    * literal, round 6 — sqrt keeps it off decimal midpoints) so small
+    * groups aren't over-read.
+    *
+    * `patterns` are Java-regex alternatives OR-ed into one scan-side
+    * `rlike` (compile once per task, one pass per answer).
+    *
+    * Scale: the match is a narrow regex test fused into the scan; ONE
+    * group-keyed aggregate (two longs of state); Wilson arithmetic on
+    * the |groups|-row grid. */
+  def refusalScreen(samples: DataFrame, groupCol: String,
+      answerCol: String, patterns: Seq[String],
+      z: Double = 1.96): DataFrame = {
+    require(patterns.nonEmpty, "refusalScreen needs >= 1 pattern")
+    val refused = col(answerCol).rlike(patterns.mkString("(", ")|(", ")"))
+    val agg = samples.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(refused.cast("long")).as("n_refusals"))
+    val n = col("n_samples").cast("double")
+    val p = col("n_refusals") / n
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / denom
+    val half = (lit(z) / denom) *
+      sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))
+    agg.select(col(groupCol), col("n_samples"), col("n_refusals"),
+      p.as("refusal_rate"),
+      round(greatest(lit(0.0), center - half), 6).as("wilson_lo"),
+      round(least(lit(1.0), center + half), 6).as("wilson_hi"))
+  }
+
   /** LLM-as-judge position-bias screen (Zheng et al. 2023, "Judging
     * LLM-as-a-Judge" §3.2): with pair order RANDOMIZED, an unbiased
     * judge picks the first-position candidate half the time — per

@@ -802,4 +802,57 @@ object Sampling {
           col("_cum") / col("n_tokens").cast("double")), 6)
           .as("cum_epochs_needed"))
   }
+
+  /** Empirical scaling-law fit — ordinary least squares on the log-log
+    * cloud of observed `(compute, loss)` training runs (the measurement
+    * side of [[chinchillaPlan]]: Chinchilla PRESCRIBES an allocation
+    * from published constants; this FITS the constants from your own
+    * runs, Hoffmann et al. 2022 "Approach 1", Kaplan et al. 2020 §3's
+    * `L = A·C^b`). One row out: `n_runs`, the fitted `exponent` b,
+    * `coefficient` A = e^intercept, and `r2` — the sanity number that
+    * says whether a power law describes the runs at all before anyone
+    * extrapolates it.
+    *
+    * Determinism: the per-run (ln C, ln L) points fold in SORTED
+    * (compute, loss) order over the collected run list (the
+    * mlOrderedMean discipline — a training-run catalog is model-sized
+    * by contract: tens to hundreds of rows, ONE group), the five OLS
+    * sums reuse that single pinned order, and `ln`/`exp` are libm
+    * (not correctly rounded cross-engine), so every output rounds in
+    * the FINAL projection with the margin measured by
+    * tools/boundary_audit.py (AUTO), the [[dataConstrainedPlan]]
+    * stance. Runs with non-positive compute or loss are out of the
+    * law's domain and filter out (counted by comparing `n_runs` to the
+    * input).
+    *
+    * Scale: ONE global aggregate collecting the |runs|-row catalog —
+    * intentionally NOT a corpus op (fitting reads the experiment log,
+    * never training data); the folds run on the driver-bounded list. */
+  def scalingLawFit(runs: DataFrame, computeCol: Column,
+      lossCol: Column): DataFrame = {
+    val c = computeCol.cast("double")
+    val l = lossCol.cast("double")
+    val pts = array_sort(collect_list(struct(c.as("c"), l.as("l"))))
+    val g = runs.filter(c > 0 && l > 0)
+      .agg(count(lit(1)).as("n_runs"), pts.as("_p"))
+      .withColumn("_x", transform(col("_p"), p => log(p.getField("c"))))
+      .withColumn("_y", transform(col("_p"), p => log(p.getField("l"))))
+    def fold(xs: Column): Column = aggregate(xs, lit(0.0), (a, v) => a + v)
+    val n = col("n_runs").cast("double")
+    val sx = fold(col("_x"))
+    val sy = fold(col("_y"))
+    val sxy = fold(zip_with(col("_x"), col("_y"), (a, b) => a * b))
+    val sxx = fold(zip_with(col("_x"), col("_x"), (a, b) => a * b))
+    val syy = fold(zip_with(col("_y"), col("_y"), (a, b) => a * b))
+    val varX = n * sxx - sx * sx
+    val varY = n * syy - sy * sy
+    val cov = n * sxy - sx * sy
+    val slope = cov / varX
+    val intercept = (sy - slope * sx) / n
+    g.select(col("n_runs"),
+      round(when(varX > 0, slope), 6).as("exponent"),
+      round(when(varX > 0, exp(intercept)), 6).as("coefficient"),
+      round(when(varX > 0 && varY > 0, cov * cov / (varX * varY)), 6)
+        .as("r2"))
+  }
 }

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Serving-side corpus analytics — the offline what-ifs an inference
+  * team runs over a prompt store before turning on a serving feature.
+  * Companion to the rollout-side what-ifs in [[Rollouts]] (e.g.
+  * speculative-decoding acceptance).
+  */
+object Serving {
+
+  /** Prefix-cache (RadixAttention / automatic-prefix-caching) sharing
+    * report: for each probe depth d, how much of the prompt store
+    * shares its first d tokens — the offline estimate of what a radix
+    * prefix cache would save at serving time (SGLang's RadixAttention,
+    * Zheng et al. 2024 §3; vLLM automatic prefix caching). Per depth:
+    *
+    *  - `n_eligible` — prompts with ≥ d tokens (only those can hit a
+    *    depth-d cache node);
+    *  - `n_distinct_prefixes` — distinct depth-d prefixes = cache nodes
+    *    a warm pass over the store would materialize;
+    *  - `n_prompts_sharing` — prompts whose prefix is shared with at
+    *    least one other prompt;
+    *  - `n_shared_prefixes` — cache nodes serving ≥ 2 prompts;
+    *  - `cached_tokens_saved = (n_eligible − n_distinct) · d` — prefill
+    *    tokens a warm cache skips (first occurrence computes, every
+    *    repeat hits);
+    *  - `hit_rate` — the repeat fraction, one exact-integer division
+    *    shipped UNROUNDED (the debiasedWinRate rationale: exact
+    *    rationals can sit on decimal rounding midpoints).
+    *
+    * Whitespace tokens with zero-length tokens dropped (the
+    * [[Rollouts.distinctNgrams]] empty-text stance).
+    *
+    * Scale: prefixes shuffle as 8-byte xxhash64 FINGERPRINTS, never
+    * prefix text (the Dedup.exact collision stance — a 64-bit collision
+    * perturbs one count in a report, nothing downstream re-reads the
+    * prefix), through ONE (depth, fp)-keyed partial+final aggregate
+    * re-aggregated onto the |depths|-row grid. Shuffle rows are
+    * |prompts| · |depths| with 12-byte keys — a prompt store of 10⁹
+    * rows probes 3 depths in one pass with no text movement. */
+  def prefixCacheStats(prompts: DataFrame, textCol: String,
+      depths: Seq[Int]): DataFrame = {
+    require(depths.nonEmpty && depths.forall(_ >= 1), s"depths=$depths")
+    require(depths.distinct.size == depths.size, s"duplicate depths=$depths")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    prompts
+      .select(toks.as("_t"),
+        explode(array(depths.map(lit(_)): _*)).as("depth"))
+      .filter(size(col("_t")) >= col("depth"))
+      // fingerprint the depth-d prefix INSIDE the scan — prefix text
+      // never rides the shuffle
+      .select(col("depth"),
+        xxhash64(array_join(slice(col("_t"), lit(1), col("depth")), " "))
+          .as("_fp"))
+      .groupBy(col("depth"), col("_fp"))
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(col("depth"))
+      .agg(sum(col("_n")).cast("bigint").as("n_eligible"),
+        count(lit(1)).as("n_distinct_prefixes"),
+        sum(when(col("_n") > 1, col("_n")).otherwise(0L)).cast("bigint")
+          .as("n_prompts_sharing"),
+        sum(when(col("_n") > 1, 1L).otherwise(0L)).cast("bigint")
+          .as("n_shared_prefixes"))
+      .select(col("depth"), col("n_eligible"), col("n_distinct_prefixes"),
+        col("n_prompts_sharing"), col("n_shared_prefixes"),
+        ((col("n_eligible") - col("n_distinct_prefixes"))
+          * col("depth")).cast("bigint").as("cached_tokens_saved"),
+        ((col("n_eligible") - col("n_distinct_prefixes")).cast("double")
+          / col("n_eligible")).as("hit_rate"))
+  }
+}

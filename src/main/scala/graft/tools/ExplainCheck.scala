@@ -36,7 +36,10 @@ object ExplainCheck {
         "q_semdedup_tight","q_spec_decode","q_ece_calibration",
         "q_length_bias","q_judge_bias","q_jaccard_histogram",
         "q_dedup_savings","q_pass_hat_k","q_quality_mixture",
-        "q_debiased_winrate","q_intransitivity")) {
+        "q_debiased_winrate","q_intransitivity",
+        // round-16 continuation
+        "q_prefix_cache","q_scaling_fit","q_truncation_screen",
+        "q_refusal_screen","q_mattr")) {
       println(s"########## $q")
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

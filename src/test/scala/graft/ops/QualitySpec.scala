@@ -587,4 +587,38 @@ class QualitySpec extends AnyFunSuite {
     assert(out(5L).last === "latin", "exact tie must break latin-first")
     assert(out(6L) === Seq(0, 0, 0, 0, 0, 0, 0, "none"))
   }
+
+  test("mattr: hand-computed windows, short-doc fallback, empty doc") {
+    val docs = Seq(
+      (1L, "a b a c a b"), // w=3 windows: 2,3,2,3 -> mattr 10/12
+      (2L, "x y"),         // shorter than the window: TTR only
+      (3L, "")             // empty: both NULL
+    ).toDF("doc_id", "text")
+    val out = Quality.mattr(docs, window = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_tokens") === 6)
+    assert(d1.getAs[Double]("ttr") === 0.5)
+    assert(d1.getAs[Long]("n_windows") === 4)
+    assert(d1.getAs[Double]("mattr") === 10.0 / 12.0)
+    val d2 = out(2L)
+    assert(d2.getAs[Long]("n_tokens") === 2)
+    assert(d2.getAs[Double]("ttr") === 1.0)
+    assert(d2.getAs[Long]("n_windows") === 0)
+    assert(d2.isNullAt(d2.fieldIndex("mattr")))
+    val d3 = out(3L)
+    assert(d3.getAs[Long]("n_tokens") === 0)
+    assert(d3.isNullAt(d3.fieldIndex("ttr")))
+    assert(d3.getAs[Long]("n_windows") === 0)
+    assert(d3.isNullAt(d3.fieldIndex("mattr")))
+  }
+
+  test("mattr equals plain TTR on a window-sized doc and is repartition-stable") {
+    val docs = Seq((1L, "p q r p")).toDF("doc_id", "text")
+    val r = Quality.mattr(docs, window = 4).collect()(0)
+    assert(r.getAs[Long]("n_windows") === 1)
+    assert(r.getAs[Double]("mattr") === r.getAs[Double]("ttr"))
+    val r13 = Quality.mattr(docs.repartition(13), window = 4).collect()(0)
+    assert(r13.getAs[Double]("mattr") === r.getAs[Double]("mattr"))
+  }
 }

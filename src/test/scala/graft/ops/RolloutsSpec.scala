@@ -31,6 +31,66 @@ class RolloutsSpec extends AnyFunSuite {
     assert(out("A").getAs[Long]("n_correct") === 2)
   }
 
+  test("truncationScreen: punctuation + cap detectors, hand-computed") {
+    val samples = Seq(
+      ("A", "This is done."),
+      ("A", "cut off mid"),
+      ("A", ""),
+      ("B", "Really? Yes!"),
+      ("B", "w1 w2 w3 w4 w5"),
+      ("C", "He said \"stop.\"")
+    ).toDF("prompt", "answer")
+    val out = Rollouts.truncationScreen(samples, "prompt", "answer",
+        maxTokens = Some(5))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getAs[Long]("n_samples") === 3)
+    assert(out("A").getAs[Long]("n_no_terminal") === 2) // mid-cut + empty
+    assert(out("A").getAs[Long]("n_at_cap") === 0)
+    assert(out("A").getAs[Long]("n_truncated") === 2)
+    assert(out("A").getAs[Double]("truncation_rate") === 2.0 / 3.0)
+    assert(out("B").getAs[Long]("n_no_terminal") === 1)
+    assert(out("B").getAs[Long]("n_at_cap") === 1) // 5 tokens >= cap 5
+    assert(out("B").getAs[Long]("n_truncated") === 1) // same sample
+    // terminal punctuation inside closing quotes is a clean ending
+    assert(out("C").getAs[Long]("n_truncated") === 0)
+  }
+
+  test("truncationScreen without a cap only runs the punctuation detector") {
+    val samples = Seq(("A", "w1 w2 w3 w4 w5 w6 w7 w8."))
+      .toDF("prompt", "answer")
+    val r = Rollouts.truncationScreen(samples, "prompt", "answer")
+      .collect()(0)
+    assert(r.getAs[Long]("n_at_cap") === 0)
+    assert(r.getAs[Long]("n_truncated") === 0)
+  }
+
+  test("refusalScreen: rates + Wilson interval ordering") {
+    val samples = Seq(
+      ("s1", "I cannot help with that."),
+      ("s1", "Sure, here you go."),
+      ("s2", "As an AI, I must decline."),
+      ("s2", "AS AN AI model I refuse."),
+      ("s3", "The answer is 42.")
+    ).toDF("source", "answer")
+    val out = Rollouts.refusalScreen(samples, "source", "answer",
+        Seq("(?i)\\bi cannot\\b", "(?i)\\bas an ai\\b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("s1").getAs[Long]("n_refusals") === 1)
+    assert(out("s1").getAs[Double]("refusal_rate") === 0.5)
+    assert(out("s2").getAs[Long]("n_refusals") === 2) // case-insensitive
+    assert(out("s2").getAs[Double]("refusal_rate") === 1.0)
+    assert(out("s3").getAs[Long]("n_refusals") === 0)
+    out.values.foreach { r =>
+      val (lo, p, hi) = (r.getAs[Double]("wilson_lo"),
+        r.getAs[Double]("refusal_rate"), r.getAs[Double]("wilson_hi"))
+      assert(lo <= p && p <= hi, s"wilson must bracket the rate: $r")
+      assert(lo >= 0.0 && hi <= 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Rollouts.refusalScreen(samples, "source", "answer", Seq.empty)
+    }
+  }
+
   test("passAtK rejects k beyond the smallest group") {
     val samples = Seq(("A", true), ("A", false), ("B", true))
       .toDF("prompt", "correct")

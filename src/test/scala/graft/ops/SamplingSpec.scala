@@ -636,4 +636,34 @@ class SamplingSpec extends AnyFunSuite {
         col("ntok"), temperature = 0.0, budgetTokens = 100)
     }
   }
+
+  test("scalingLawFit: recovers an exact power law and filters bad rows") {
+    import spark.implicits._
+    // loss = 2 * C^-0.5 exactly at C in {1, 4, 16}; plus two
+    // out-of-domain rows the fit must drop
+    val runs = Seq((1.0, 2.0), (4.0, 1.0), (16.0, 0.5),
+      (0.0, 5.0), (-3.0, 1.0)).toDF("compute", "loss")
+    val r = Sampling.scalingLawFit(runs, col("compute"), col("loss"))
+      .collect()(0)
+    assert(r.getAs[Long]("n_runs") === 3)
+    assert(r.getAs[Double]("exponent") === -0.5)
+    assert(r.getAs[Double]("coefficient") === 2.0)
+    assert(r.getAs[Double]("r2") === 1.0)
+  }
+
+  test("scalingLawFit: degenerate inputs emit NULL fit, never a crash") {
+    import spark.implicits._
+    // single run: no slope; constant compute: varX = 0
+    val one = Seq((8.0, 1.5)).toDF("compute", "loss")
+    val r1 = Sampling.scalingLawFit(one, col("compute"), col("loss"))
+      .collect()(0)
+    assert(r1.getAs[Long]("n_runs") === 1)
+    assert(r1.isNullAt(r1.fieldIndex("exponent")))
+    assert(r1.isNullAt(r1.fieldIndex("coefficient")))
+    assert(r1.isNullAt(r1.fieldIndex("r2")))
+    val const = Seq((8.0, 1.5), (8.0, 2.5)).toDF("compute", "loss")
+    val r2 = Sampling.scalingLawFit(const, col("compute"), col("loss"))
+      .collect()(0)
+    assert(r2.isNullAt(r2.fieldIndex("exponent")))
+  }
 }

@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.scalatest.funsuite.AnyFunSuite
+
+class ServingSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("prefixCacheStats: hand-computed sharing report per depth") {
+    val prompts = Seq(
+      "a b c d", "a b c e", "a b c d", "x y", "", "   "
+    ).toDF("text")
+    val out = Serving.prefixCacheStats(prompts, "text", Seq(2, 3))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val d2 = out(2)
+    assert(d2.getAs[Long]("n_eligible") === 4)
+    assert(d2.getAs[Long]("n_distinct_prefixes") === 2) // "a b", "x y"
+    assert(d2.getAs[Long]("n_prompts_sharing") === 3)
+    assert(d2.getAs[Long]("n_shared_prefixes") === 1)
+    assert(d2.getAs[Long]("cached_tokens_saved") === 4) // (4-2)*2
+    assert(d2.getAs[Double]("hit_rate") === 0.5)
+    val d3 = out(3)
+    assert(d3.getAs[Long]("n_eligible") === 3)
+    assert(d3.getAs[Long]("n_distinct_prefixes") === 1)
+    assert(d3.getAs[Long]("n_prompts_sharing") === 3)
+    assert(d3.getAs[Long]("n_shared_prefixes") === 1)
+    assert(d3.getAs[Long]("cached_tokens_saved") === 6) // (3-1)*3
+    assert(d3.getAs[Double]("hit_rate") === 2.0 / 3.0)
+  }
+
+  test("prefixCacheStats: a depth past every prompt emits no row") {
+    val prompts = Seq("a b", "c d").toDF("text")
+    val out = Serving.prefixCacheStats(prompts, "text", Seq(2, 9))
+    assert(out.count() === 1)
+    assert(out.collect()(0).getInt(0) === 2)
+  }
+
+  test("prefixCacheStats rejects bad depth grids") {
+    val prompts = Seq("a b").toDF("text")
+    intercept[IllegalArgumentException] {
+      Serving.prefixCacheStats(prompts, "text", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Serving.prefixCacheStats(prompts, "text", Seq(0))
+    }
+    intercept[IllegalArgumentException] {
+      Serving.prefixCacheStats(prompts, "text", Seq(2, 2))
+    }
+  }
+}

@@ -54,6 +54,15 @@ AUTO = [
     # r16: the data_constrained stance — libm exp in the softmax, so
     # the final-projection round margins are MEASURED, not assumed
     'q_quality_mixture',
+    # r16 continuation: every round() in the final projection. The OLS
+    # fit runs libm ln/exp on sorted-fold sums — margins MEASURED, the
+    # data_constrained stance (unrounded n_runs is an int, ignored).
+    'q_scaling_fit',
+    # r16 continuation: Wilson bounds round in the final projection
+    # (the judge_bias class); refusal_rate is an UNROUNDED exact
+    # rational ≥ ~0.2 per source by construction, so its raw value
+    # never reads as a false boundary hit
+    'q_refusal_screen',
 ]
 
 con = duckdb.connect()
