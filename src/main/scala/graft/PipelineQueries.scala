@@ -10694,6 +10694,149 @@ object PipelineQueries {
       graft.ops.Quality.mattr(t(s, dir, "documents"), "doc_id", "text",
           window = 20)
         .orderBy(col("doc_id"))
+    },
+
+    // Pareto-frontier (skyline) selection on (n_chars, distinct token
+    // types): the oracle is DEFINITIONAL — the not-exists domination
+    // test over all pairs — so the class-frame window implementation
+    // is pinned to the textbook semantics row for row. Exact integer
+    // comparisons; no float contract at all.
+    q("q_pareto_select",
+      """WITH f AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    CAST(len(list_distinct(list_filter(string_split_regex(
+        |      trim(text), '\s+'), x -> len(x) > 0))) AS BIGINT) AS n_types
+        |  FROM documents)
+        |SELECT a.doc_id, a.n_chars, a.n_types,
+        |  NOT EXISTS (SELECT 1 FROM f b
+        |    WHERE b.n_chars >= a.n_chars AND b.n_types >= a.n_types
+        |      AND (b.n_chars > a.n_chars OR b.n_types > a.n_types))
+        |    AS pareto
+        |FROM f a ORDER BY a.doc_id""".stripMargin) { (s, dir) =>
+      val nTypes = size(array_distinct(filter(
+        split(trim(col("text")), "\\s+"), t => length(t) > 0)))
+      val pts = t(s, dir, "documents").select(col("doc_id"),
+        col("n_chars"), nTypes.cast("bigint").as("n_types"))
+      graft.ops.Sampling.paretoFrontier(pts, col("n_chars"),
+          col("n_types"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Vocabulary-growth curve over nested doc_id prefixes: exact token
+    // and distinct-type counts per threshold. Spark counts distinct
+    // xxhash64 fingerprints, the oracle distinct token STRINGS — the
+    // Dedup.exact collision stance. Pure integers.
+    q("q_vocab_growth",
+      """WITH tk AS (SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> len(x) > 0))
+        |    AS tok FROM documents),
+        |t AS (SELECT unnest([16, 64, 256, 1024, 4096]) AS threshold)
+        |SELECT CAST(t.threshold AS BIGINT) AS threshold,
+        |  CAST(count(CASE WHEN tk.doc_id < t.threshold THEN 1 END)
+        |    AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT CASE WHEN tk.doc_id < t.threshold
+        |    THEN tk.tok END) AS BIGINT) AS vocab
+        |FROM t CROSS JOIN tk GROUP BY t.threshold
+        |ORDER BY threshold""".stripMargin) { (s, dir) =>
+      graft.ops.LangModel.vocabGrowth(t(s, dir, "documents"),
+          thresholds = Seq(16L, 64L, 256L, 1024L, 4096L))
+        .orderBy(col("threshold"))
+    },
+
+    // Heaps'-law fit: scalingLawFit composed over the BIGRAM
+    // vocabGrowth curve (V = K·n^β — the unigram vocabulary of the
+    // 31-word synthetic corpus saturates instantly; bigram types keep
+    // growing, so the fit measures a real curve) — the oracle
+    // re-derives the curve AND the sorted-fold OLS; libm ln/exp
+    // margins MEASURED (AUTO).
+    q("q_heaps_fit",
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(
+        |    trim(text), '\s+'), x -> len(x) > 0) AS t FROM documents),
+        |tk AS (SELECT doc_id, t[s] || ' ' || t[s + 1] AS tok
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS s
+        |        FROM d WHERE len(t) >= 2)),
+        |t AS (SELECT unnest([16, 64, 256, 1024, 4096]) AS threshold),
+        |v AS (SELECT CAST(count(CASE WHEN tk.doc_id < t.threshold
+        |      THEN 1 END) AS DOUBLE) AS c,
+        |    CAST(count(DISTINCT CASE WHEN tk.doc_id < t.threshold
+        |      THEN tk.tok END) AS DOUBLE) AS l
+        |  FROM t CROSS JOIN tk GROUP BY t.threshold),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_runs,
+        |    list(struct_pack(c := c, l := l) ORDER BY c, l) AS p
+        |  FROM v WHERE c > 0 AND l > 0),
+        |s AS (SELECT n_runs, CAST(n_runs AS DOUBLE) AS n,
+        |    list_reduce(list_transform(p, q -> ln(q.c)),
+        |      (a, b) -> a + b) AS sx,
+        |    list_reduce(list_transform(p, q -> ln(q.l)),
+        |      (a, b) -> a + b) AS sy,
+        |    list_reduce(list_transform(p, q -> ln(q.c) * ln(q.l)),
+        |      (a, b) -> a + b) AS sxy,
+        |    list_reduce(list_transform(p, q -> ln(q.c) * ln(q.c)),
+        |      (a, b) -> a + b) AS sxx,
+        |    list_reduce(list_transform(p, q -> ln(q.l) * ln(q.l)),
+        |      (a, b) -> a + b) AS syy
+        |  FROM f)
+        |SELECT n_runs,
+        |  round(CASE WHEN n * sxx - sx * sx > 0
+        |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+        |    AS exponent,
+        |  round(CASE WHEN n * sxx - sx * sx > 0
+        |    THEN exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        |      * sx) / n) END, 6) AS coefficient,
+        |  round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
+        |    AS r2
+        |FROM s""".stripMargin) { (s, dir) =>
+      val curve = graft.ops.LangModel.vocabGrowth(t(s, dir, "documents"),
+        thresholds = Seq(16L, 64L, 256L, 1024L, 4096L), n = 2)
+      graft.ops.Sampling.scalingLawFit(curve, col("n_tokens"),
+        col("vocab"))
+    },
+
+    // Off-policy (counterfactual) serving eval: IPS / SNIPS / ESS over
+    // a logged-propensity rollout log synthesized on DYADIC grids
+    // (rewards in eighths, propensities in {1/2, 1/4, 1/8}) — every
+    // sum is EXACT in IEEE double regardless of order, so all outputs
+    // ship UNROUNDED with no fold contract.
+    q("q_offpolicy_eval",
+      """WITH l AS (SELECT source,
+        |    CAST(doc_id % 8 AS DOUBLE) / 8 AS r,
+        |    CASE WHEN doc_id % 3 = 0 THEN CAST(0.5 AS DOUBLE)
+        |         WHEN doc_id % 3 = 1 THEN CAST(0.25 AS DOUBLE)
+        |         ELSE CAST(0.125 AS DOUBLE) END AS p,
+        |    CASE WHEN (doc_id + 1) % 3 = 0 THEN CAST(0.5 AS DOUBLE)
+        |         WHEN (doc_id + 1) % 3 = 1 THEN CAST(0.25 AS DOUBLE)
+        |         ELSE CAST(0.125 AS DOUBLE) END AS q
+        |  FROM documents),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_samples,
+        |    sum(r) AS sr,
+        |    sum(r * least(q / p, CAST(3.0 AS DOUBLE))) AS srw,
+        |    sum(least(q / p, CAST(3.0 AS DOUBLE))) AS sw,
+        |    sum(least(q / p, CAST(3.0 AS DOUBLE))
+        |      * least(q / p, CAST(3.0 AS DOUBLE))) AS sww,
+        |    CAST(sum(CASE WHEN q / p > CAST(3.0 AS DOUBLE)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS clipped
+        |  FROM l GROUP BY source)
+        |SELECT source, n_samples,
+        |  sr / n_samples AS mean_logged_reward,
+        |  srw / n_samples AS ips_value,
+        |  CASE WHEN sw > 0 THEN srw / sw END AS snips_value,
+        |  CASE WHEN sww > 0 THEN sw * sw / sww END AS ess,
+        |  CASE WHEN sww > 0 THEN sw * sw / sww / n_samples END
+        |    AS ess_frac,
+        |  CAST(clipped AS DOUBLE) / n_samples AS clip_frac
+        |FROM g ORDER BY source""".stripMargin) { (s, dir) =>
+      def prob(idExpr: Column) =
+        when(pmod(idExpr, lit(3)) === 0, lit(0.5))
+          .when(pmod(idExpr, lit(3)) === 1, lit(0.25))
+          .otherwise(lit(0.125))
+      val logs = t(s, dir, "documents").select(col("source"),
+        (pmod(col("doc_id"), lit(8)).cast("double") / 8).as("reward"),
+        prob(col("doc_id")).as("p"),
+        prob(col("doc_id") + 1).as("q"))
+      graft.ops.Serving.offPolicyEval(logs, "source", "reward", "p",
+          "q", clip = 3.0)
+        .orderBy(col("source"))
     }
   )
 

@@ -591,4 +591,65 @@ object LangModel {
         element_at(col("_ts"), col("_i")).as("prev") :+
         element_at(col("_ts"), col("_i") + 1).as("cur"): _*)
   }
+
+  /** Vocabulary-growth curve — distinct vocabulary and token totals
+    * over nested id-ordered corpus prefixes (Heaps'/Herdan's law
+    * measurement: `V(n) ≈ K·n^β`): per threshold T, how many tokens
+    * and how many DISTINCT token types the docs with `id < T` contain.
+    * Feed the (n_tokens, vocab) columns into
+    * [[Sampling.scalingLawFit]] to estimate K and β — the planning
+    * number that says how much NEW vocabulary the next 10× of corpus
+    * buys (tokenizer sizing, OOV forecasting).
+    *
+    * Nested prefixes make this ONE pass, not |T| scans: tokens
+    * fingerprint inside the scan (xxhash64 — the Dedup.exact collision
+    * stance; token text never shuffles), one fp-keyed aggregate takes
+    * each type's FIRST id (min), and both curves fall out as |T|
+    * conditional sums — token counts on the token rows, type counts on
+    * the |vocab|-row fp frame (`V(T) = #{fp: minId < T}`). Counts are
+    * exact integers; no float anywhere.
+    *
+    * Scale: one corpus explode into two partial+final aggregates
+    * (per-group state O(|T|) longs); the fp frame is vocabulary-sized.
+    * Thresholds must be strictly increasing (nested prefixes are the
+    * semantics; an unsorted grid is a caller bug). `n` > 1 measures
+    * n-GRAM type growth instead (a unigram vocabulary saturates fast;
+    * the n-gram curve is what keeps growing — grams build lambda-free
+    * via the position-explode construction, the distinctNgrams
+    * lesson). */
+  def vocabGrowth(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", thresholds: Seq[Long],
+      n: Int = 1): DataFrame = {
+    require(thresholds.nonEmpty, "vocabGrowth needs >= 1 threshold")
+    require(thresholds.zip(thresholds.tail).forall(p => p._1 < p._2),
+      s"thresholds must be strictly increasing: $thresholds")
+    require(n >= 1, s"n=$n")
+    val tokArr = filter(split(trim(col(textCol)), "\\s+"),
+      t => length(t) > 0)
+    val gram = concat_ws(" ",
+      (0 until n).map(j => element_at(col("_t"), col("_i") + j)): _*)
+    val toks = docs
+      .select(col(idCol).cast("long").as("_d"), tokArr.as("_t"))
+      .filter(size(col("_t")) >= n)
+      .select(col("_d"), col("_t"),
+        explode(sequence(lit(1), size(col("_t")) - (n - 1))).as("_i"))
+      .select(col("_d"), xxhash64(gram).as("_fp"))
+    val tokenSums = thresholds.zipWithIndex.map { case (t, i) =>
+      sum(when(col("_d") < t, 1L).otherwise(0L)).as(s"_n_$i")
+    }
+    val nTok = toks.agg(tokenSums.head, tokenSums.tail: _*)
+    val typeSums = thresholds.zipWithIndex.map { case (t, i) =>
+      sum(when(col("_md") < t, 1L).otherwise(0L)).as(s"_v_$i")
+    }
+    val nTyp = toks.groupBy(col("_fp")).agg(min(col("_d")).as("_md"))
+      .agg(typeSums.head, typeSums.tail: _*)
+    val grid = thresholds.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("threshold"), col(s"_n_$i").as("n_tokens"),
+        col(s"_v_$i").as("vocab"))
+    }
+    nTok.crossJoin(broadcast(nTyp))
+      .select(explode(array(grid: _*)).as("_g"))
+      .select(col("_g.threshold").as("threshold"),
+        col("_g.n_tokens").as("n_tokens"), col("_g.vocab").as("vocab"))
+  }
 }

@@ -803,6 +803,44 @@ object Sampling {
           .as("cum_epochs_needed"))
   }
 
+  /** Pareto-frontier (skyline) selection — flag the rows no other row
+    * strictly dominates on two maximized criteria (e.g. quality score
+    * vs lexical diversity): the multi-objective counterpart of a
+    * single-score top-k, for data-selection recipes that refuse to
+    * collapse axes into one weighted number. A row is dominated iff
+    * some other row is ≥ on BOTH axes and > on at least one; ties are
+    * kept symmetrically (two identical points do not dominate each
+    * other). Rows with a NULL criterion are never on the frontier.
+    *
+    * Shape: the corpus reduces to the |distinct x| CLASS frame
+    * (per-x max y), the strict-suffix max runs as ONE global-order
+    * window over that class frame (the [[Drift.ks]] CDF discipline —
+    * bounded by value classes, never corpus rows), and the verdict
+    * joins back on the 8-byte x key: keep iff y = ymax(x) AND
+    * y > max ymax over x' > x. Exact comparisons on doubles cast from
+    * the caller's columns — no rounding contract.
+    *
+    * Scale: one partial+final aggregate onto the class frame + one
+    * class-frame window + one key join back; corpus text never moves.
+    * Caller obligation: x must be a bounded-cardinality axis (scores,
+    * counts, buckets — the ks/aucReport stance); a continuous x should
+    * quantize first, which a selection recipe does anyway. */
+  def paretoFrontier(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val cls = df.groupBy(x.cast("double").as("_px"))
+      .agg(max(y.cast("double")).as("_ymax"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_px").desc)
+      .rowsBetween(Long.MinValue, -1)
+    val withM = cls.withColumn("_m", max(col("_ymax")).over(w))
+    df.withColumn("_px", x.cast("double"))
+      .withColumn("_py", y.cast("double"))
+      .join(withM, Seq("_px"), "left")
+      .withColumn("pareto", coalesce(
+        col("_py") === col("_ymax") &&
+          (col("_m").isNull || col("_py") > col("_m")), lit(false)))
+      .drop("_px", "_py", "_ymax", "_m")
+  }
+
   /** Empirical scaling-law fit — ordinary least squares on the log-log
     * cloud of observed `(compute, loss)` training runs (the measurement
     * side of [[chinchillaPlan]]: Chinchilla PRESCRIBES an allocation

@@ -70,4 +70,75 @@ object Serving {
         ((col("n_eligible") - col("n_distinct_prefixes")).cast("double")
           / col("n_eligible")).as("hit_rate"))
   }
+
+  /** Off-policy evaluation of a candidate serving policy from logged
+    * rollouts (counterfactual A/B without serving the candidate):
+    * inverse-propensity scoring over `(reward, logged propensity p,
+    * target propensity q)` rows, per group. Emits the three standard
+    * estimators (Horvitz–Thompson IPS; the weight-clipped variant is
+    * what `clip` makes of it; SNIPS, the self-normalized estimator of
+    * Swaminathan & Joachims 2015 that trades a small bias for bounded
+    * variance) plus the diagnostics that say whether to TRUST them:
+    *
+    *  - `n_samples`, `mean_logged_reward` — the on-policy baseline;
+    *  - `ips_value = Σ r·min(q/p, clip) / n`;
+    *  - `snips_value = Σ r·min(q/p, clip) / Σ min(q/p, clip)`;
+    *  - `ess` — Kish effective sample size `(Σw)²/Σw²` of the clipped
+    *    weights, and `ess_frac = ess/n` (an ESS collapse means the
+    *    logged policy barely covers the candidate — the estimate is
+    *    extrapolation, not measurement);
+    *  - `clip_frac` — fraction of weights the clip touched (exact
+    *    rational).
+    *
+    * Determinism: every output is arithmetic over group sums. On
+    * DYADIC propensity/reward grids (the recommended logging practice
+    * — powers of two make q/p and every product exact in IEEE double)
+    * all sums are EXACT regardless of accumulation order and the
+    * outputs ship UNROUNDED; arbitrary floats leave the usual last-ulp
+    * sum-order exposure (the [[Rollouts.lengthBias]] caveat — quantize
+    * first if cross-engine hash equality matters). Rows with p ≤ 0 are
+    * out of the estimator's support and REJECTED by a validated
+    * count (IPS is undefined there; silently dropping them would bias
+    * the estimate invisibly).
+    *
+    * Scale: ONE group-keyed partial+final aggregate (five doubles +
+    * two longs of state); everything else is narrow arithmetic on the
+    * |groups|-row grid. */
+  def offPolicyEval(logs: DataFrame, groupCol: String,
+      rewardCol: String, loggedProbCol: String, targetProbCol: String,
+      clip: Double = 100.0): DataFrame = {
+    require(clip > 0, s"clip=$clip")
+    val p = col(loggedProbCol).cast("double")
+    val q = col(targetProbCol).cast("double")
+    val r = col(rewardCol).cast("double")
+    val w = least(q / p, lit(clip))
+    // pinned |groups|-row grid + eager support validation (the
+    // Rollouts.passAtK constructor contract: the aggregation runs at
+    // call time; validation reads the pinned grid, never a second
+    // corpus pass)
+    val g = Guards.pin(logs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(when(p <= 0, 1L).otherwise(0L)).as("_bad"),
+        sum(r).as("_sr"),
+        sum(r * w).as("_srw"),
+        sum(w).as("_sw"),
+        sum(w * w).as("_sww"),
+        sum(when(q / p > clip, 1L).otherwise(0L)).as("_clipped")))
+    val badRow = g.agg(sum(col("_bad"))).collect()(0)
+    val bad = if (badRow.isNullAt(0)) 0L else badRow.getLong(0)
+    require(bad == 0,
+      s"offPolicyEval: $bad rows with logged propensity <= 0 — IPS is " +
+        "undefined outside the logging policy's support; filter or fix " +
+        "the log first")
+    val n = col("n_samples").cast("double")
+    g.select(col(groupCol), col("n_samples"),
+      (col("_sr") / n).as("mean_logged_reward"),
+      (col("_srw") / n).as("ips_value"),
+      when(col("_sw") > 0, col("_srw") / col("_sw")).as("snips_value"),
+      when(col("_sww") > 0, col("_sw") * col("_sw") / col("_sww"))
+        .as("ess"),
+      when(col("_sww") > 0, col("_sw") * col("_sw") / col("_sww") / n)
+        .as("ess_frac"),
+      (col("_clipped").cast("double") / n).as("clip_frac"))
+  }
 }

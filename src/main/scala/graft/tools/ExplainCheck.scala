@@ -39,7 +39,8 @@ object ExplainCheck {
         "q_debiased_winrate","q_intransitivity",
         // round-16 continuation
         "q_prefix_cache","q_scaling_fit","q_truncation_screen",
-        "q_refusal_screen","q_mattr")) {
+        "q_refusal_screen","q_mattr","q_pareto_select","q_vocab_growth",
+        "q_heaps_fit","q_offpolicy_eval")) {
       println(s"########## $q")
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

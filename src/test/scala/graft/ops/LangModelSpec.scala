@@ -300,4 +300,31 @@ class LangModelSpec extends AnyFunSuite {
     // values, so the production path must assign identically here
     assert(run(exact = true) === run(exact = false))
   }
+
+  test("vocabGrowth: nested prefixes, exact token/type counts") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b"), (1L, "b c c"), (2L, "d"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = LangModel.vocabGrowth(docs, thresholds = Seq(1L, 2L, 4L))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out === Map(1L -> (2L, 2L), 2L -> (5L, 3L), 4L -> (6L, 4L)))
+    intercept[IllegalArgumentException] {
+      LangModel.vocabGrowth(docs, thresholds = Seq(2L, 2L))
+    }
+    intercept[IllegalArgumentException] {
+      LangModel.vocabGrowth(docs, thresholds = Seq.empty)
+    }
+  }
+
+  test("vocabGrowth at n=2 counts bigram types; short docs drop out") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b a"), (1L, "b a"), (2L, "x"))
+      .toDF("doc_id", "text")
+    // doc0 bigrams: "a b", "b a"; doc1: "b a"; doc2: none (L < 2)
+    val out = LangModel.vocabGrowth(docs, thresholds = Seq(1L, 3L), n = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out === Map(1L -> (2L, 2L), 3L -> (3L, 2L)))
+  }
 }

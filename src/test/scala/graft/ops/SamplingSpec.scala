@@ -666,4 +666,35 @@ class SamplingSpec extends AnyFunSuite {
       .collect()(0)
     assert(r2.isNullAt(r2.fieldIndex("exponent")))
   }
+
+  test("paretoFrontier: hand-computed skyline with ties, duplicates, nulls") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, Some(5), Some(1)), (2L, Some(3), Some(4)), (3L, Some(5), Some(3)),
+      (4L, Some(2), Some(4)), (5L, Some(1), Some(5)), (6L, Some(3), Some(2)),
+      (7L, Some(5), Some(3)), (8L, None, Some(9))
+    ).toDF("id", "x", "y")
+    val out = Sampling.paretoFrontier(pts, col("x"), col("y"))
+      .collect().map(r => r.getLong(r.fieldIndex("id")) ->
+        r.getBoolean(r.fieldIndex("pareto"))).toMap
+    // frontier: (5,3) twice [dup kept], (3,4), (1,5); (2,4) dominated
+    // by (3,4); (5,1) by (5,3); (3,2) by (3,4); null x never flagged
+    assert(out === Map(1L -> false, 2L -> true, 3L -> true, 4L -> false,
+      5L -> true, 6L -> false, 7L -> true, 8L -> false))
+  }
+
+  test("paretoFrontier matches the definitional not-exists on synthetic docs") {
+    import spark.implicits._
+    val pts = (0 until 200).map { i =>
+      (i.toLong, (i * 7) % 23, (i * 13) % 19)
+    }.toDF("id", "x", "y")
+    val got = Sampling.paretoFrontier(pts, col("x"), col("y"))
+      .filter(col("pareto")).select("id").collect().map(_.getLong(0)).toSet
+    val rows = (0 until 200).map(i => (i.toLong, (i * 7) % 23, (i * 13) % 19))
+    val want = rows.filter { case (_, x, y) =>
+      !rows.exists { case (_, qx, qy) =>
+        qx >= x && qy >= y && (qx > x || qy > y) }
+    }.map(_._1).toSet
+    assert(got === want)
+  }
 }

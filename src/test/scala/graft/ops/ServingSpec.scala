@@ -47,4 +47,44 @@ class ServingSpec extends AnyFunSuite {
       Serving.prefixCacheStats(prompts, "text", Seq(2, 2))
     }
   }
+
+  test("offPolicyEval: hand-computed IPS/SNIPS/ESS on a dyadic grid") {
+    val logs = Seq(
+      ("g", 1.0, 0.5, 0.25), // w = 0.5
+      ("g", 0.0, 0.5, 1.0),  // w = 2
+      ("g", 1.0, 0.25, 0.5), // w = 2
+      ("g", 0.0, 1.0, 0.5)   // w = 0.5
+    ).toDF("grp", "reward", "p", "q")
+    val r = Serving.offPolicyEval(logs, "grp", "reward", "p", "q")
+      .collect()(0)
+    assert(r.getAs[Long]("n_samples") === 4)
+    assert(r.getAs[Double]("mean_logged_reward") === 0.5)
+    assert(r.getAs[Double]("ips_value") === 0.625) // (0.5 + 2) / 4
+    assert(r.getAs[Double]("snips_value") === 0.5) // 2.5 / 5
+    assert(r.getAs[Double]("ess") === 25.0 / 8.5)
+    assert(r.getAs[Double]("ess_frac") === 25.0 / 8.5 / 4.0)
+    assert(r.getAs[Double]("clip_frac") === 0.0)
+  }
+
+  test("offPolicyEval: clipping changes the estimate and is counted") {
+    val logs = Seq(
+      ("g", 1.0, 0.5, 0.25), // w = 0.5
+      ("g", 0.0, 0.5, 1.0),  // w = 2 -> clipped to 1.5
+      ("g", 1.0, 0.25, 0.5), // w = 2 -> clipped to 1.5
+      ("g", 0.0, 1.0, 0.5)   // w = 0.5
+    ).toDF("grp", "reward", "p", "q")
+    val r = Serving.offPolicyEval(logs, "grp", "reward", "p", "q",
+      clip = 1.5).collect()(0)
+    assert(r.getAs[Double]("ips_value") === 0.5) // (0.5 + 1.5) / 4
+    assert(r.getAs[Double]("clip_frac") === 0.5)
+  }
+
+  test("offPolicyEval rejects rows outside the logging policy's support") {
+    val logs = Seq(("g", 1.0, 0.0, 0.5), ("g", 0.0, 0.5, 0.5))
+      .toDF("grp", "reward", "p", "q")
+    val e = intercept[IllegalArgumentException] {
+      Serving.offPolicyEval(logs, "grp", "reward", "p", "q")
+    }
+    assert(e.getMessage.contains("support"))
+  }
 }

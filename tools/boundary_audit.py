@@ -58,6 +58,10 @@ AUTO = [
     # fit runs libm ln/exp on sorted-fold sums — margins MEASURED, the
     # data_constrained stance (unrounded n_runs is an int, ignored).
     'q_scaling_fit',
+    # r16 continuation: the scaling_fit OLS composed over the
+    # vocab-growth curve — same final-projection rounds, same libm
+    # ln/exp measured-margin stance
+    'q_heaps_fit',
     # r16 continuation: Wilson bounds round in the final projection
     # (the judge_bias class); refusal_rate is an UNROUNDED exact
     # rational ≥ ~0.2 per source by construction, so its raw value
