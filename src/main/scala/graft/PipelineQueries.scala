@@ -10837,6 +10837,53 @@ object PipelineQueries {
       graft.ops.Serving.offPolicyEval(logs, "source", "reward", "p",
           "q", clip = 3.0)
         .orderBy(col("source"))
+    },
+
+    // Brier-score Murphy decomposition over a dyadic score grid
+    // (scores in 32nds, labels int-comparison correlated with the
+    // score): brier/base_rate/uncertainty are exact-rational chains
+    // shipped UNROUNDED; reliability/resolution fold the ≤10-row bin
+    // grid in SORTED bin order on both engines and round 6 (AUTO).
+    q("q_brier_decomp",
+      """WITH r AS (SELECT
+        |    CAST(doc_id % 16 AS DOUBLE) / 16 + CAST(0.03125 AS DOUBLE)
+        |      AS s,
+        |    ((doc_id * 7) % 16) < (doc_id % 16) AS y FROM documents),
+        |b AS (SELECT least(CAST(floor(s * 10) AS INT), 9) AS bin, s,
+        |    CASE WHEN y THEN 1 ELSE 0 END AS yy FROM r),
+        |g AS (SELECT bin, count(*) AS n, sum(s) AS ss,
+        |    CAST(sum(yy) AS BIGINT) AS sy,
+        |    sum((s - yy) * (s - yy)) AS sq FROM b GROUP BY bin),
+        |o AS (SELECT CAST(sum(n) AS BIGINT) AS n_samples,
+        |    CAST(sum(sy) AS BIGINT) AS toty, sum(sq) AS totsq,
+        |    list(struct_pack(n := CAST(n AS DOUBLE), ss := ss,
+        |      sy := CAST(sy AS DOUBLE)) ORDER BY bin) AS gg FROM g),
+        |f AS (SELECT n_samples,
+        |    CAST(toty AS DOUBLE) / n_samples AS ybar,
+        |    totsq / n_samples AS brier,
+        |    list_reduce(list_transform(gg, e ->
+        |        e.n * (e.ss / e.n - e.sy / e.n)
+        |          * (e.ss / e.n - e.sy / e.n)),
+        |      (a, b) -> a + b) / n_samples AS rel,
+        |    list_reduce(list_transform(gg, e ->
+        |        e.n * (e.sy / e.n - CAST(toty AS DOUBLE) / n_samples)
+        |          * (e.sy / e.n - CAST(toty AS DOUBLE) / n_samples)),
+        |      (a, b) -> a + b) / n_samples AS res
+        |  FROM o)
+        |SELECT n_samples, ybar AS base_rate, brier,
+        |  round(rel, 6) AS reliability,
+        |  round(res, 6) AS resolution,
+        |  ybar * (1.0 - ybar) AS uncertainty,
+        |  round(brier - (rel - res + ybar * (1.0 - ybar)), 6)
+        |    AS decomp_gap
+        |FROM f""".stripMargin) { (s, dir) =>
+      val score = (pmod(col("doc_id"), lit(16)).cast("double") / 16) +
+        lit(0.03125)
+      val label = pmod(col("doc_id") * 7, lit(16)) <
+        pmod(col("doc_id"), lit(16))
+      graft.ops.Classifier.brierDecomposition(
+        t(s, dir, "documents").select(score.as("s"), label.as("y")),
+        col("s"), col("y"), nBins = 10)
     }
   )
 

@@ -404,4 +404,69 @@ object Classifier {
         round(col("_acc"), 6).as("acc"), round(col("_gap"), 6).as("gap"),
         col("ece"))
   }
+
+  /** Brier-score Murphy decomposition — the one-row companion to
+    * [[eceReport]] (Murphy 1973; the standard forecast-quality
+    * breakdown): over the same equal-width confidence bins,
+    *
+    *  - `brier` — the exact mean squared error (1/N)·Σ(s−y)², computed
+    *    from per-bin partial sums of EXACT dyadic terms (order-free on
+    *    a dyadic score grid), one final division, UNROUNDED;
+    *  - `reliability` — (1/N)·Σ_b n_b·(conf_b − acc_b)²: calibration
+    *    error weight (what [[eceReport]] measures in L1);
+    *  - `resolution` — (1/N)·Σ_b n_b·(acc_b − ȳ)²: how much the bins
+    *    separate outcomes (subtracts from the score — a calibrated but
+    *    unresolving model is just the base rate);
+    *  - `uncertainty` — ȳ(1−ȳ), the irreducible term;
+    *  - `decomp_gap` — brier − (rel − res + unc) ≥ 0: the within-bin
+    *    forecast variance the binned decomposition can't see (0 when
+    *    forecasts are constant within bins).
+    *
+    * Determinism: per-bin conf/acc are single divisions of exact sums
+    * (bit-identical cross-engine); the rel/res grid folds run in
+    * SORTED bin order over the collected ≤nBins-row grid (the
+    * mlOrderedMean discipline — a window sum's internal order is an
+    * engine implementation detail, a sorted fold is not); rel, res and
+    * the gap round 6 in the final projection (margins measured);
+    * brier, base_rate, uncertainty are single-op chains from exact
+    * rationals, shipped UNROUNDED.
+    *
+    * Scale: the [[eceReport]] shape — ONE keyed aggregate onto the
+    * ≤nBins grid, then a one-row fold over that grid. */
+  def brierDecomposition(df: DataFrame, score: Column, label: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"nBins=$nBins")
+    val s = score.cast("double")
+    val y = label.cast("boolean").cast("long")
+    val bin = least(floor(s * nBins).cast("int"), lit(nBins - 1))
+    val g = df.select(bin.as("_b"), s.as("_s"), y.as("_y"))
+      .groupBy(col("_b"))
+      .agg(count(lit(1)).as("_n"), sum(col("_s")).as("_ss"),
+        sum(col("_y")).as("_sy"),
+        sum((col("_s") - col("_y")) * (col("_s") - col("_y"))).as("_sq"))
+    val one = g.agg(
+      sum(col("_n")).cast("bigint").as("n_samples"),
+      sum(col("_sy")).cast("bigint").as("_totY"),
+      sum(col("_sq")).as("_totSq"),
+      array_sort(collect_list(struct(col("_b").as("b"),
+        col("_n").cast("double").as("n"), col("_ss").as("ss"),
+        col("_sy").cast("double").as("sy")))).as("_g"))
+    val nD = col("n_samples").cast("double")
+    val yBar = col("_totY").cast("double") / nD
+    def term(f: (Column, Column, Column) => Column): Column =
+      aggregate(col("_g"), lit(0.0), (acc, e) =>
+        acc + f(e.getField("n"), e.getField("ss"), e.getField("sy")))
+    val rel = term((n, ss, sy) =>
+      n * (ss / n - sy / n) * (ss / n - sy / n)) / nD
+    val res = term((n, _, sy) =>
+      n * (sy / n - yBar) * (sy / n - yBar)) / nD
+    val unc = yBar * (lit(1.0) - yBar)
+    val brier = col("_totSq") / nD
+    one.select(col("n_samples"), yBar.as("base_rate"),
+      brier.as("brier"),
+      round(rel, 6).as("reliability"),
+      round(res, 6).as("resolution"),
+      unc.as("uncertainty"),
+      round(brier - (rel - res + unc), 6).as("decomp_gap"))
+  }
 }

@@ -264,6 +264,39 @@ object EventStreams {
         col("wilson_lo") > 0.5 || col("wilson_hi") < 0.5)
   }
 
+  /** Streaming twin of [[graft.ops.Rollouts.refusalScreen]] — online
+    * refusal-rate monitoring over an arriving rollout stream: per
+    * (event-time window, group), sample/refusal counts with the same
+    * scan-fused OR-ed regex, the UNROUNDED exact-rational rate, and
+    * the Wilson interval (identical literal arithmetic — parity-spec'd
+    * against the batch screen on the same rows). ONE watermark-bounded
+    * windowed aggregate; two longs of state per (window, group). */
+  def refusalStream(samples: DataFrame, groupCol: String,
+      answerCol: String, patterns: Seq[String],
+      eventTimeCol: String = "event_time",
+      windowDur: String = "10 minutes",
+      watermark: String = "10 minutes", z: Double = 1.96): DataFrame = {
+    require(patterns.nonEmpty, "refusalStream needs >= 1 pattern")
+    val refused = col(answerCol).rlike(patterns.mkString("(", ")|(", ")"))
+    val agg = samples
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), windowDur), col(groupCol))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(refused.cast("long")).as("n_refusals"))
+    val n = col("n_samples").cast("double")
+    val p = col("n_refusals") / n
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / denom
+    val half = (lit(z) / denom) *
+      sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))
+    agg.select(col("window"), col(groupCol), col("n_samples"),
+      col("n_refusals"),
+      p.as("refusal_rate"),
+      round(greatest(lit(0.0), center - half), 6).as("wilson_lo"),
+      round(least(lit(1.0), center + half), 6).as("wilson_hi"))
+  }
+
   final case class Event(event_id: Long, user_id: Long, event_type: String,
       value: Double, epochMs: Long)
   final case class SessionAgg(user_id: Long, n_events: Int, total_value: Double,

@@ -324,4 +324,40 @@ class ClassifierSpec extends AnyFunSuite {
       nBins = 4).collect()
     out.foreach(r => assert(r.getAs[Double]("ece") === 0.0, r.toString))
   }
+
+  test("brierDecomposition: hand-computed decomposition and identities") {
+    import spark.implicits._
+    // two bins at nBins = 2: scores {0.25 x4, 0.75 x4}; labels: 1 of 4
+    // true in the low bin, 3 of 4 in the high bin
+    val rows = Seq(
+      (0.25, true), (0.25, false), (0.25, false), (0.25, false),
+      (0.75, true), (0.75, true), (0.75, true), (0.75, false)
+    ).toDF("s", "y")
+    val r = Classifier.brierDecomposition(rows, col("s"), col("y"),
+      nBins = 2).collect()(0)
+    assert(r.getAs[Long]("n_samples") === 8)
+    assert(r.getAs[Double]("base_rate") === 0.5)
+    // brier = (1/8)(sum low: (0.25-1)^2 + 3*(0.25)^2 ; high: 3*(0.25)^2 + (0.75)^2)
+    val brier = ((0.5625 + 3 * 0.0625) + (3 * 0.0625 + 0.5625)) / 8
+    assert(r.getAs[Double]("brier") === brier)
+    // conf_low = 0.25, acc_low = 0.25 -> rel term 0; conf_high = 0.75,
+    // acc_high = 0.75 -> rel = 0; res = (1/8)(4*(0.25)^2 + 4*(0.25)^2)
+    assert(r.getAs[Double]("reliability") === 0.0)
+    assert(r.getAs[Double]("resolution") === 0.0625)
+    assert(r.getAs[Double]("uncertainty") === 0.25)
+    // murphy identity: brier = rel - res + unc + within-bin gap
+    assert(r.getAs[Double]("decomp_gap") ===
+      math.rint((brier - (0.0 - 0.0625 + 0.25)) * 1e6) / 1e6)
+    assert(r.getAs[Double]("decomp_gap") >= 0.0)
+  }
+
+  test("brierDecomposition: constant-within-bin forecasts give zero gap") {
+    import spark.implicits._
+    // nBins = 4, every score sits alone mid-bin -> gap must be exactly 0
+    val rows = Seq((0.125, false), (0.375, true), (0.625, false),
+      (0.875, true)).toDF("s", "y")
+    val r = Classifier.brierDecomposition(rows, col("s"), col("y"),
+      nBins = 4).collect()(0)
+    assert(r.getAs[Double]("decomp_gap") === 0.0)
+  }
 }

@@ -1408,4 +1408,49 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.get(0L).forall(_.getAs[Boolean]("position_biased")),
       "the planted judge must flag in the stream view too")
   }
+
+  test("refusalStream: completed windows equal the batch screen exactly") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-srf").toString
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    batchDocs.write.mode("overwrite").parquet(stageDir)
+    // the q_refusal_screen construction, one hour-aligned window per
+    // source-group (group = doc_id % 5 so windows align with groups)
+    def samples(df: org.apache.spark.sql.DataFrame) = df
+      .select(pmod($"doc_id", lit(5)).as("grp"),
+        when(pmod($"doc_id", lit(7)) === 0,
+            lit("I cannot help with that request."))
+          .when(pmod($"doc_id", lit(7)) === 1,
+            concat(lit("As an AI, "), trim($"text")))
+          .otherwise(trim($"text")).as("answer"),
+        timestamp_seconds(pmod($"doc_id", lit(5)) * 7200 +
+          pmod($"doc_id", lit(50))).as("event_time"))
+    val pats = Seq("(?i)\\bi cannot\\b", "(?i)\\bas an ai\\b")
+    val incoming = samples(
+      spark.readStream.schema(batchDocs.schema).parquet(stageDir))
+    val out = EventStreams.refusalStream(incoming, "grp", "answer", pats,
+      windowDur = "1 hour", watermark = "1 hour")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("srf")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("srf")
+      .collect().map(r => r.getAs[Long]("grp") -> r).toMap
+    val expected = graft.ops.Rollouts.refusalScreen(
+        samples(batchDocs).drop("event_time"), "grp", "answer", pats)
+      .collect().map(r => r.getAs[Long]("grp") -> r).toMap
+    assert(streamed.nonEmpty, "stream emitted no closed windows")
+    assert(streamed.keySet.subsetOf(expected.keySet))
+    assert(streamed.size >= expected.size - 2,
+      "only the watermark-open tail windows may be withheld")
+    streamed.foreach { case (g, r) =>
+      val e = expected(g)
+      assert(r.getAs[Long]("n_samples") === e.getAs[Long]("n_samples"))
+      assert(r.getAs[Long]("n_refusals") === e.getAs[Long]("n_refusals"))
+      assert(r.getAs[Double]("refusal_rate") ===
+        e.getAs[Double]("refusal_rate"))
+      assert(r.getAs[Double]("wilson_lo") === e.getAs[Double]("wilson_lo"))
+      assert(r.getAs[Double]("wilson_hi") === e.getAs[Double]("wilson_hi"),
+        s"group $g")
+    }
+  }
 }

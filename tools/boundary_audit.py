@@ -67,6 +67,10 @@ AUTO = [
     # rational ≥ ~0.2 per source by construction, so its raw value
     # never reads as a false boundary hit
     'q_refusal_screen',
+    # r16 continuation: reliability/resolution/decomp_gap round in the
+    # final projection over sorted-fold grid sums; the unrounded floats
+    # (base_rate ~0.47, brier ~0.2, uncertainty ~0.25) sit far from 0
+    'q_brier_decomp',
 ]
 
 con = duckdb.connect()
