@@ -10884,6 +10884,107 @@ object PipelineQueries {
       graft.ops.Classifier.brierDecomposition(
         t(s, dir, "documents").select(score.as("s"), label.as("y")),
         col("s"), col("y"), nBins = 10)
+    },
+
+    // Unbiased best-of-n reward curve over dyadic rewards: the oracle
+    // re-derives the ascending index per prompt (tie order is
+    // irrelevant — tied rewards carry equal values, so the (index,
+    // weight) sequence is determined), the exact integer-product
+    // hypergeometric weights, and the index-order list fold. Rounds in
+    // the final projection (AUTO).
+    q("q_bon_curve",
+      """WITH s AS (SELECT doc_id % 40 AS prompt,
+        |    CAST((doc_id * 3) % 16 AS DOUBLE) / 16 AS r
+        |  FROM documents),
+        |w AS (SELECT prompt, r,
+        |    CAST(row_number() OVER (PARTITION BY prompt ORDER BY r)
+        |      AS DOUBLE) AS i,
+        |    CAST(count(*) OVER (PARTITION BY prompt) AS DOUBLE) AS N
+        |  FROM s),
+        |t AS (SELECT prompt, i, N,
+        |    r * (1.0 / N) AS t1,
+        |    r * (2.0 * (i - 1) / (N * (N - 1))) AS t2,
+        |    r * (4.0 * (i - 1) * (i - 2) * (i - 3)
+        |      / (N * (N - 1) * (N - 2) * (N - 3))) AS t4,
+        |    r * (8.0 * (i - 1) * (i - 2) * (i - 3) * (i - 4) * (i - 5)
+        |        * (i - 6) * (i - 7)
+        |      / (N * (N - 1) * (N - 2) * (N - 3) * (N - 4) * (N - 5)
+        |        * (N - 6) * (N - 7))) AS t8
+        |  FROM w),
+        |g AS (SELECT prompt, CAST(max(N) AS BIGINT) AS n_samples,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(t1 ORDER BY i)), (a, b) -> a + b) AS e1,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(t2 ORDER BY i)), (a, b) -> a + b) AS e2,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(t4 ORDER BY i)), (a, b) -> a + b) AS e4,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(t8 ORDER BY i)), (a, b) -> a + b) AS e8
+        |  FROM t GROUP BY prompt)
+        |SELECT prompt, n_samples, round(e1, 6) AS bon_1,
+        |  round(e2, 6) AS bon_2, round(e4, 6) AS bon_4,
+        |  round(e8, 6) AS bon_8
+        |FROM g ORDER BY prompt""".stripMargin) { (s, dir) =>
+      val samples = t(s, dir, "documents").select(
+        pmod(col("doc_id"), lit(40)).as("prompt"),
+        (pmod(col("doc_id") * 3, lit(16)).cast("double") / 16)
+          .as("reward"))
+      graft.ops.Rollouts.bonCurve(samples, "prompt", "reward",
+          Seq(1, 2, 4, 8))
+        .orderBy(col("prompt"))
+    },
+
+    // Length-controlled win rate over a synthesized arena log whose
+    // wins are deliberately length-confounded (longer answers win
+    // more, plus a per-model strength term): direct standardization
+    // under the pooled length-diff bucket distribution. Counts exact;
+    // raw rate / covered weight UNROUNDED single divisions; the LC
+    // fold is bucket-order pinned on both engines and rounds 6 (AUTO).
+    q("q_lc_winrate",
+      """WITH d AS (SELECT 'm' || CAST(doc_id % 3 AS VARCHAR) AS model,
+        |    ((doc_id * 7) % 200) <
+        |      (60 + 20 * (doc_id % 3) + (doc_id % 160) // 2) AS won,
+        |    CAST(doc_id % 160 AS BIGINT) - 80 AS len_diff
+        |  FROM documents),
+        |g AS (SELECT model,
+        |    greatest(-2, least(2, CAST(floor(CAST(len_diff AS DOUBLE)
+        |      / 32) AS INT))) AS b,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN won THEN 1 ELSE 0 END) AS BIGINT) AS w
+        |  FROM d GROUP BY 1, 2),
+        |p AS (SELECT b, CAST(sum(n) AS BIGINT) AS nb FROM g GROUP BY b),
+        |tt AS (SELECT CAST(sum(nb) AS BIGINT) AS nt FROM p),
+        |m AS (SELECT model, CAST(sum(n) AS BIGINT) AS n_duels,
+        |    CAST(sum(w) AS BIGINT) AS tw,
+        |    CAST(count(*) AS BIGINT) AS n_buckets_covered,
+        |    list(struct_pack(b := g.b, n := CAST(n AS DOUBLE),
+        |      w := CAST(w AS DOUBLE), nb := CAST(nb AS DOUBLE))
+        |      ORDER BY g.b) AS gg
+        |  FROM g JOIN p USING (b) GROUP BY model)
+        |SELECT model, n_duels,
+        |  CAST(tw AS DOUBLE) / n_duels AS raw_win_rate,
+        |  n_buckets_covered,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(gg, e -> e.nb)), (a, b) -> a + b) / nt
+        |    AS covered_weight,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(gg, e -> e.nb * (e.w / e.n))),
+        |      (a, b) -> a + b)
+        |    / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(gg, e -> e.nb)), (a, b) -> a + b), 6)
+        |    AS lc_win_rate
+        |FROM m CROSS JOIN tt ORDER BY model""".stripMargin) { (s, dir) =>
+      val duels = t(s, dir, "documents").select(
+        concat(lit("m"), pmod(col("doc_id"), lit(3)).cast("string"))
+          .as("model"),
+        (pmod(col("doc_id") * 7, lit(200)) <
+          (lit(60) + lit(20) * pmod(col("doc_id"), lit(3)) +
+            shiftright(pmod(col("doc_id"), lit(160)), 1))).as("won"),
+        (pmod(col("doc_id"), lit(160)).cast("bigint") - 80)
+          .as("len_diff"))
+      graft.ops.Rollouts.lengthControlledWinRate(duels, "model", "won",
+          "len_diff", bucketWidth = 32, maxBucket = 2)
+        .orderBy(col("model"))
     }
   )
 

@@ -409,4 +409,77 @@ class RolloutsSpec extends AnyFunSuite {
       "equal scores must fall back to vec_id ASC")
     assert(out(30L) === ((1L, r6(1.0 / 62.0), 3)))
   }
+
+  test("bonCurve: hand-computed hypergeometric expectations") {
+    val samples = Seq(("A", 1.0), ("A", 2.0), ("A", 4.0),
+      ("B", 3.0), ("B", 3.0), ("B", 3.0)).toDF("prompt", "reward")
+    val out = Rollouts.bonCurve(samples, "prompt", "reward", Seq(1, 2, 3))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // A: Bo1 = 7/3; Bo2 = 2*(1/3) + 4*(2/3) = 10/3; Bo3 = max = 4
+    assert(out("A").getAs[Double]("bon_1") === 2.333333)
+    assert(out("A").getAs[Double]("bon_2") === 3.333333)
+    assert(out("A").getAs[Double]("bon_3") === 4.0)
+    // constant rewards: every curve point is the constant
+    Seq(1, 2, 3).foreach { n =>
+      assert(out("B").getAs[Double](s"bon_$n") === 3.0, s"B bon_$n")
+    }
+  }
+
+  test("bonCurve is monotone in n and guards n > N / empty frames") {
+    val samples = Seq(("A", 0.25), ("A", 0.5), ("A", 0.125),
+      ("A", 0.875)).toDF("prompt", "reward")
+    val r = Rollouts.bonCurve(samples, "prompt", "reward", Seq(1, 2, 3, 4))
+      .collect()(0)
+    val curve = Seq(1, 2, 3, 4).map(n => r.getAs[Double](s"bon_$n"))
+    assert(curve === curve.sorted, s"BoN must be nondecreasing: $curve")
+    assert(curve.last === 0.875) // Bo-N = the max
+    intercept[IllegalArgumentException] {
+      Rollouts.bonCurve(samples, "prompt", "reward", Seq(5))
+    }
+    intercept[IllegalArgumentException] {
+      Rollouts.bonCurve(samples.filter(col("prompt") === "zz"),
+        "prompt", "reward", Seq(1))
+    }
+  }
+
+  test("lengthControlledWinRate: hand-computed direct standardization") {
+    // width 10, maxBucket 1 -> buckets -1/0/1; pooled mass 3/4/3
+    val duels = Seq(
+      ("A", true, -15), ("A", true, -12), ("A", false, 5), ("A", true, 5),
+      ("A", true, 15), ("A", true, 12),
+      ("B", false, -15), ("B", true, 0), ("B", false, 18),
+      ("C", true, 0)
+    ).toDF("model", "won", "len_diff")
+    val out = Rollouts.lengthControlledWinRate(duels, "model", "won",
+        "len_diff", bucketWidth = 10, maxBucket = 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // A: rates 1, 0.5, 1 -> lc = (3*1 + 4*0.5 + 3*1) / 10 = 0.8
+    assert(out("A").getAs[Long]("n_duels") === 6)
+    assert(out("A").getAs[Double]("raw_win_rate") === 5.0 / 6.0)
+    assert(out("A").getAs[Double]("lc_win_rate") === 0.8)
+    assert(out("A").getAs[Double]("covered_weight") === 1.0)
+    // B: rates 0, 1, 0 -> lc = 4/10
+    assert(out("B").getAs[Double]("lc_win_rate") === 0.4)
+    // C covers only the middle bucket: lc renormalizes to its rate
+    assert(out("C").getAs[Long]("n_buckets_covered") === 1)
+    assert(out("C").getAs[Double]("covered_weight") === 0.4)
+    assert(out("C").getAs[Double]("lc_win_rate") === 1.0)
+  }
+
+  test("lengthControlledWinRate strips a pure length confound") {
+    // two models with IDENTICAL within-bucket rates but opposite
+    // length-diff distributions: raw rates differ, LC rates are equal
+    val duels =
+      (Seq.fill(8)(("L", true, 40)) ++ Seq.fill(2)(("L", false, -40)) ++
+       Seq.fill(2)(("S", true, 40)) ++ Seq.fill(8)(("S", false, -40)))
+        .toDF("model", "won", "len_diff")
+    val out = Rollouts.lengthControlledWinRate(duels, "model", "won",
+        "len_diff", bucketWidth = 32, maxBucket = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("L").getAs[Double]("raw_win_rate") === 0.8)
+    assert(out("S").getAs[Double]("raw_win_rate") === 0.2)
+    // within-bucket: +40 bucket all-win, -40 bucket all-loss for BOTH
+    assert(out("L").getAs[Double]("lc_win_rate") ===
+      out("S").getAs[Double]("lc_win_rate"))
+  }
 }

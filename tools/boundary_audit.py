@@ -71,6 +71,12 @@ AUTO = [
     # final projection over sorted-fold grid sums; the unrounded floats
     # (base_rate ~0.47, brier ~0.2, uncertainty ~0.25) sit far from 0
     'q_brier_decomp',
+    # r16 continuation: hypergeometric index-order folds round in the
+    # final projection (the pass_hat_k class)
+    'q_bon_curve',
+    # r16 continuation: the LC fold rounds in the final projection;
+    # unrounded raw_win_rate/covered_weight sit at ~0.3-1.0, far from 0
+    'q_lc_winrate',
 ]
 
 con = duckdb.connect()
