@@ -125,7 +125,12 @@ object Bench {
     "q_semdedup_tight", "q_spec_decode", "q_ece_calibration",
     "q_length_bias", "q_judge_bias", "q_jaccard_histogram",
     "q_dedup_savings", "q_pass_hat_k", "q_quality_mixture",
-    "q_debiased_winrate", "q_intransitivity")
+    "q_debiased_winrate", "q_intransitivity",
+    // round-16 continuation
+    "q_prefix_cache", "q_scaling_fit", "q_truncation_screen",
+    "q_refusal_screen", "q_mattr", "q_pareto_select", "q_vocab_growth",
+    "q_heaps_fit", "q_offpolicy_eval", "q_brier_decomp", "q_bon_curve",
+    "q_lc_winrate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
