@@ -10985,6 +10985,113 @@ object PipelineQueries {
       graft.ops.Rollouts.lengthControlledWinRate(duels, "model", "won",
           "len_diff", bucketWidth = 32, maxBucket = 2)
         .orderBy(col("model"))
+    },
+
+    // Truncated rank-biased overlap between two deterministic top-10
+    // rankings per query: p = 0.5 makes every depth weight an exact
+    // power of two — the oracle reconstructs them as 1/(1 << d) (no
+    // libm pow on either engine) and folds in depth order. Overlaps
+    // exact integers; agreement an UNROUNDED rational; rbo rounds 6
+    // (AUTO).
+    q("q_rbo",
+      """WITH d AS (SELECT doc_id % 20 AS q, doc_id FROM documents),
+        |r AS (SELECT q,
+        |    list_slice(list(doc_id ORDER BY (doc_id * 7) % 101,
+        |      doc_id), 1, 10) AS a,
+        |    list_slice(list(doc_id ORDER BY (doc_id * 11) % 101,
+        |      doc_id), 1, 10) AS b
+        |  FROM d GROUP BY q),
+        |k AS (SELECT q, a, b,
+        |    CAST(least(len(a), len(b), 10) AS INT) AS k FROM r),
+        |t AS (SELECT q, s,
+        |    (CAST(1.0 AS DOUBLE) / (1 << s))
+        |      * (CAST(len(list_intersect(list_slice(a, 1, s),
+        |          list_slice(b, 1, s))) AS DOUBLE) / s) AS term
+        |  FROM (SELECT q, a, b, k, unnest(range(1, k + 1)) AS s
+        |        FROM k)),
+        |f AS (SELECT q,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(term ORDER BY s)), (x, y) -> x + y) AS rbo
+        |  FROM t GROUP BY q)
+        |SELECT k.q, k.k AS depth_evaluated,
+        |  CAST(len(list_intersect(list_slice(a, 1, k),
+        |    list_slice(b, 1, k))) AS BIGINT) AS overlap_at_k,
+        |  CASE WHEN k > 0 THEN CAST(len(list_intersect(
+        |      list_slice(a, 1, k), list_slice(b, 1, k))) AS DOUBLE) / k
+        |    END AS agreement_at_k,
+        |  CASE WHEN k > 0 THEN round(f.rbo, 6) END AS rbo_trunc
+        |FROM k LEFT JOIN f USING (q) ORDER BY q""".stripMargin) { (s, dir) =>
+      def ranking(m: Int) = slice(transform(array_sort(collect_list(
+        struct(pmod(col("doc_id") * m, lit(101)).as("k"),
+          col("doc_id").as("id")))), e => e.getField("id")), 1, 10)
+      val ranked = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(20)).as("q"), col("doc_id"))
+        .groupBy(col("q"))
+        .agg(ranking(7).as("a"), ranking(11).as("b"))
+      graft.ops.RetrievalEval.rbo(ranked, "a", "b", p = 0.5,
+          maxDepth = 10)
+        .select(col("q"), col("depth_evaluated"), col("overlap_at_k"),
+          col("agreement_at_k"), col("rbo_trunc"))
+        .orderBy(col("q"))
+    },
+
+    // Bigram vocabulary richness: Good-Turing unseen mass + Chao1 from
+    // the frequency-of-frequencies (Spark counts xxhash64 fingerprints,
+    // the oracle counts gram STRINGS — the collision stance). Every
+    // output an exact integer or a single division — UNROUNDED.
+    q("q_vocab_richness",
+      """WITH d AS (SELECT list_filter(string_split_regex(trim(text),
+        |    '\s+'), x -> len(x) > 0) AS t FROM documents),
+        |tk AS (SELECT t[s] || ' ' || t[s + 1] AS tok
+        |  FROM (SELECT t, unnest(range(1, len(t))) AS s
+        |        FROM d WHERE len(t) >= 2)),
+        |c AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+        |g AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS vocab,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hapax,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_doubleton
+        |  FROM c)
+        |SELECT n_tokens, vocab, n_hapax, n_doubleton,
+        |  CASE WHEN n_tokens > 0 THEN CAST(n_hapax AS DOUBLE)
+        |    / CAST(n_tokens AS DOUBLE) END AS unseen_mass,
+        |  CASE WHEN n_doubleton > 0 THEN CAST(vocab AS DOUBLE)
+        |      + CAST(n_hapax AS DOUBLE) * CAST(n_hapax AS DOUBLE)
+        |        / (2.0 * CAST(n_doubleton AS DOUBLE))
+        |    ELSE CAST(vocab AS DOUBLE) + CAST(n_hapax AS DOUBLE)
+        |      * (CAST(n_hapax AS DOUBLE) - 1) / 2.0 END AS chao1
+        |FROM g""".stripMargin) { (s, dir) =>
+      graft.ops.LangModel.vocabRichness(t(s, dir, "documents"), n = 2)
+    },
+
+    // Spiegelhalter calibration z on the q_brier_decomp frame (dyadic
+    // 32nd-grid scores -> both sums EXACT and order-free); z rounds 6
+    // through the sqrt (AUTO) and the verdict gates on the ROUNDED z.
+    q("q_spiegelhalter",
+      """WITH r AS (SELECT
+        |    CAST(doc_id % 16 AS DOUBLE) / 16 + CAST(0.03125 AS DOUBLE)
+        |      AS s,
+        |    CASE WHEN ((doc_id * 7) % 16) < (doc_id % 16)
+        |      THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+        |  FROM documents),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_samples,
+        |    sum((y - s) * (1.0 - 2.0 * s)) AS num,
+        |    sum(s * (1.0 - s) * (1.0 - 2.0 * s) * (1.0 - 2.0 * s))
+        |      AS var FROM r)
+        |SELECT n_samples,
+        |  CASE WHEN var > 0 THEN round(num / sqrt(var), 6) END AS z,
+        |  COALESCE(CASE WHEN var > 0
+        |    THEN abs(round(num / sqrt(var), 6)) > 1.96 END, false)
+        |    AS miscalibrated
+        |FROM g""".stripMargin) { (s, dir) =>
+      val score = (pmod(col("doc_id"), lit(16)).cast("double") / 16) +
+        lit(0.03125)
+      val label = pmod(col("doc_id") * 7, lit(16)) <
+        pmod(col("doc_id"), lit(16))
+      graft.ops.Classifier.spiegelhalterZ(
+        t(s, dir, "documents").select(score.as("s"), label.as("y")),
+        col("s"), col("y"))
     }
   )
 

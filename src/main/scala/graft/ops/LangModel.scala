@@ -652,4 +652,50 @@ object LangModel {
       .select(col("_g.threshold").as("threshold"),
         col("_g.n_tokens").as("n_tokens"), col("_g.vocab").as("vocab"))
   }
+
+  /** Vocabulary-richness estimators — what the corpus has NOT shown
+    * yet, from the frequency-of-frequencies: the Good–Turing unseen
+    * mass `n₁/N` (the probability the next token is a NEW type —
+    * Good 1953) and the Chao1 richness estimate
+    * `V + n₁²/(2·n₂)` (Chao 1984; the bias-corrected
+    * `V + n₁(n₁−1)/2` form when no doubletons exist) — the one-row
+    * answer to "how much vocabulary is left to collect", the
+    * companion decision number to [[vocabGrowth]]'s curve. Emits
+    * `n_tokens`, `vocab`, `n_hapax` (types seen once), `n_doubleton`,
+    * `unseen_mass` and `chao1`, all exact integers or single
+    * divisions of exact integers — UNROUNDED, no float contract.
+    *
+    * Scale: the [[vocabGrowth]] shape — types fingerprint in-scan
+    * (the Dedup.exact collision stance), ONE fp-keyed count aggregate,
+    * then one aggregate over the vocabulary-sized fp frame. */
+  def vocabRichness(docs: DataFrame, textCol: String = "text",
+      n: Int = 1): DataFrame = {
+    require(n >= 1, s"n=$n")
+    val gram = concat_ws(" ",
+      (0 until n).map(j => element_at(col("_t"), col("_i") + j)): _*)
+    val counts = docs
+      .select(filter(split(trim(col(textCol)), "\\s+"),
+        t => length(t) > 0).as("_t"))
+      .filter(size(col("_t")) >= n)
+      .select(col("_t"),
+        explode(sequence(lit(1), size(col("_t")) - (n - 1))).as("_i"))
+      .select(xxhash64(gram).as("_fp"))
+      .groupBy(col("_fp")).agg(count(lit(1)).as("_c"))
+    val g = counts.agg(
+      sum(col("_c")).cast("bigint").as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      sum(when(col("_c") === 1, 1L).otherwise(0L)).cast("bigint")
+        .as("n_hapax"),
+      sum(when(col("_c") === 2, 1L).otherwise(0L)).cast("bigint")
+        .as("n_doubleton"))
+    val n1 = col("n_hapax").cast("double")
+    val n2 = col("n_doubleton").cast("double")
+    val v = col("vocab").cast("double")
+    g.select(col("n_tokens"), col("vocab"), col("n_hapax"),
+      col("n_doubleton"),
+      when(col("n_tokens") > 0,
+        n1 / col("n_tokens").cast("double")).as("unseen_mass"),
+      when(col("n_doubleton") > 0, v + n1 * n1 / (lit(2.0) * n2))
+        .otherwise(v + n1 * (n1 - 1) / 2.0).as("chao1"))
+  }
 }

@@ -154,4 +154,60 @@ object RetrievalEval {
       "qa_recall" -> round(qa.getField("qa_recall"), 6),
       "qa_f1" -> round(qa.getField("qa_f1"), 6)))
   }
+
+  /** Rank-biased overlap, truncated (Webber et al., TOIS 2010 §4.2):
+    * the top-weighted similarity of two rankings —
+    * `RBO@k = (1−p) Σ_{d=1}^{k} p^{d−1} · |A_{:d} ∩ B_{:d}|/d` with
+    * `k = min(|A|, |B|, maxDepth)` — the standard way to compare a
+    * candidate ranker against production (MRR/nDCG need relevance
+    * labels; RBO needs only the two rankings, and unlike Kendall's τ
+    * it weights the TOP, where users look). Emits per row:
+    * `depth_evaluated`, `overlap_at_k` (exact int),
+    * `agreement_at_k = overlap/k` (UNROUNDED rational), and
+    * `rbo_trunc` (round 6 — its terms divide by d). Identical
+    * rankings at depth k give `rbo_trunc` = the full prefix mass
+    * `(1−p)Σp^{d−1}` (1 − p^k exactly), not 1 — the truncation is
+    * explicit, not hidden in an extrapolation term.
+    *
+    * Determinism: the depth weights `(1−p)·p^{d−1}` are computed ONCE
+    * at plan-build time by iterated multiplication (no libm pow — the
+    * minhashPlan stance; for dyadic p they are exact powers of two)
+    * and enter both engines as identical literals; overlaps are exact
+    * integers via array_intersect on duplicate-free rankings; the Σ
+    * folds in depth order per row.
+    *
+    * Scale: pure per-row narrow work — no shuffle at all. Cost
+    * O(maxDepth²) per row with maxDepth a small constant (10–50).
+    * Exported [[rboWeights]] lets twins/oracles embed the exact same
+    * literals. */
+  def rboWeights(p: Double, maxDepth: Int): Seq[Double] = {
+    require(p > 0 && p < 1, s"p=$p")
+    require(maxDepth >= 1, s"maxDepth=$maxDepth")
+    val w = Array.ofDim[Double](maxDepth)
+    var pw = 1.0
+    for (d <- 0 until maxDepth) { w(d) = (1.0 - p) * pw; pw = pw * p }
+    w.toSeq
+  }
+
+  def rbo(runs: DataFrame, rankingACol: String, rankingBCol: String,
+      p: Double = 0.5, maxDepth: Int = 10): DataFrame = {
+    val weights = rboWeights(p, maxDepth)
+    val a = col(rankingACol)
+    val b = col(rankingBCol)
+    val k = least(size(a), size(b), lit(maxDepth))
+    val wLit = array(weights.map(lit(_)): _*)
+    val overlapAt = (d: Column) =>
+      size(array_intersect(slice(a, lit(1), d), slice(b, lit(1), d)))
+    val terms = transform(sequence(lit(1), k), d =>
+      element_at(wLit, d) * (overlapAt(d).cast("double") / d))
+    runs
+      .withColumn("depth_evaluated", k)
+      .withColumn("overlap_at_k",
+        when(k > 0, overlapAt(k)).otherwise(lit(0)).cast("bigint"))
+      .withColumn("agreement_at_k",
+        when(k > 0, col("overlap_at_k").cast("double") / k))
+      .withColumn("rbo_trunc",
+        when(k > 0,
+          round(aggregate(terms, lit(0.0), (acc, x) => acc + x), 6)))
+  }
 }

@@ -360,4 +360,27 @@ class ClassifierSpec extends AnyFunSuite {
       nBins = 4).collect()(0)
     assert(r.getAs[Double]("decomp_gap") === 0.0)
   }
+
+  test("spiegelhalterZ: hand-computed statistic, calibrated zero, degenerate") {
+    import spark.implicits._
+    // two rows: (0.25, n) and (0.75, y) -> num = -0.25, var = 0.09375
+    val rows = Seq((0.25, false), (0.75, true)).toDF("s", "y")
+    val r = Classifier.spiegelhalterZ(rows, col("s"), col("y"))
+      .collect()(0)
+    assert(r.getAs[Long]("n_samples") === 2)
+    assert(r.getAs[Double]("z") === -0.816497) // -0.25/sqrt(0.09375)
+    assert(!r.getAs[Boolean]("miscalibrated"))
+    // perfectly calibrated quarter-scores: z exactly 0
+    val cal = (Seq((0.25, true)) ++ Seq.fill(3)((0.25, false)))
+      .toDF("s", "y")
+    val rc = Classifier.spiegelhalterZ(cal, col("s"), col("y"))
+      .collect()(0)
+    assert(rc.getAs[Double]("z") === 0.0)
+    // certain forecasts that are right: zero variance -> NULL z
+    val cert = Seq((1.0, true), (0.0, false)).toDF("s", "y")
+    val rz = Classifier.spiegelhalterZ(cert, col("s"), col("y"))
+      .collect()(0)
+    assert(rz.isNullAt(rz.fieldIndex("z")))
+    assert(!rz.getAs[Boolean]("miscalibrated"))
+  }
 }

@@ -327,4 +327,25 @@ class LangModelSpec extends AnyFunSuite {
       .toMap
     assert(out === Map(1L -> (2L, 2L), 3L -> (3L, 2L)))
   }
+
+  test("vocabRichness: Good-Turing mass + Chao1 incl. the no-doubleton branch") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b b c c c")).toDF("doc_id", "text")
+    val r = LangModel.vocabRichness(docs).collect()(0)
+    assert(r.getAs[Long]("n_tokens") === 6)
+    assert(r.getAs[Long]("vocab") === 3)
+    assert(r.getAs[Long]("n_hapax") === 1)
+    assert(r.getAs[Long]("n_doubleton") === 1)
+    assert(r.getAs[Double]("unseen_mass") === 1.0 / 6.0)
+    assert(r.getAs[Double]("chao1") === 3.5) // 3 + 1/(2*1)
+    val noDb = Seq((1L, "a b b b")).toDF("doc_id", "text")
+    val r2 = LangModel.vocabRichness(noDb).collect()(0)
+    assert(r2.getAs[Long]("n_doubleton") === 0)
+    assert(r2.getAs[Double]("chao1") === 2.0) // 2 + 1*0/2 (bias-corrected)
+    // bigram mode: "a b a" -> "a b", "b a" (both hapax)
+    val r3 = LangModel.vocabRichness(
+      Seq((1L, "a b a")).toDF("doc_id", "text"), n = 2).collect()(0)
+    assert(r3.getAs[Long]("vocab") === 2)
+    assert(r3.getAs[Double]("chao1") === 3.0) // 2 + 2*1/2
+  }
 }

@@ -129,4 +129,33 @@ class RetrievalEvalSpec extends AnyFunSuite {
           s"doc $id $c must be NULL on a NULL side"))
     }
   }
+
+  test("rbo: identical, disjoint and hand-computed partial rankings") {
+    import spark.implicits._
+    val runs = Seq(
+      ("same", Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 3L, 4L)),
+      ("disj", Seq(1L, 2L), Seq(3L, 4L)),
+      ("part", Seq(1L, 2L, 3L), Seq(2L, 1L, 4L)),
+      ("empty", Seq.empty[Long], Seq(1L, 2L))
+    ).toDF("q", "a", "b")
+    val out = RetrievalEval.rbo(runs, "a", "b", p = 0.5, maxDepth = 4)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val same = out("same")
+    assert(same.getAs[Int]("depth_evaluated") === 4)
+    assert(same.getAs[Double]("agreement_at_k") === 1.0)
+    assert(same.getAs[Double]("rbo_trunc") === 0.9375) // 1 - 0.5^4
+    assert(out("disj").getAs[Double]("rbo_trunc") === 0.0)
+    // part: d1 0, d2 2/2, d3 2/3 -> 0.25 + 0.125*(2/3) = 0.333333
+    val part = out("part")
+    assert(part.getAs[Int]("depth_evaluated") === 3)
+    assert(part.getAs[Long]("overlap_at_k") === 2)
+    assert(part.getAs[Double]("rbo_trunc") === 0.333333)
+    val empty = out("empty")
+    assert(empty.getAs[Int]("depth_evaluated") === 0)
+    assert(empty.getAs[Long]("overlap_at_k") === 0)
+    assert(empty.isNullAt(empty.fieldIndex("rbo_trunc")))
+    intercept[IllegalArgumentException] {
+      RetrievalEval.rboWeights(1.0, 4)
+    }
+  }
 }

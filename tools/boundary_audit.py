@@ -77,6 +77,16 @@ AUTO = [
     # r16 continuation: the LC fold rounds in the final projection;
     # unrounded raw_win_rate/covered_weight sit at ~0.3-1.0, far from 0
     'q_lc_winrate',
+    # r16 continuation: rbo rounds through the depth fold in the final
+    # projection; agreement_at_k is an unrounded rational >= 0 (a zero
+    # overlap reads as distance 0.0 only if some query's top-10s are
+    # fully disjoint AND agree at k... it is a plain 0.0 raw value —
+    # excluded by construction: the modular rankings always share
+    # members in 25-doc groups)
+    'q_rbo',
+    # r16 continuation: z rounds through the sqrt (the judge_bias
+    # class); n_samples is an int, ignored
+    'q_spiegelhalter',
 ]
 
 con = duckdb.connect()
