@@ -130,7 +130,8 @@ object Bench {
     "q_prefix_cache", "q_scaling_fit", "q_truncation_screen",
     "q_refusal_screen", "q_mattr", "q_pareto_select", "q_vocab_growth",
     "q_heaps_fit", "q_offpolicy_eval", "q_brier_decomp", "q_bon_curve",
-    "q_lc_winrate", "q_rbo", "q_vocab_richness", "q_spiegelhalter")
+    "q_lc_winrate", "q_rbo", "q_vocab_richness", "q_spiegelhalter",
+    "q_mcnemar", "q_cusum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -11092,6 +11092,82 @@ object PipelineQueries {
       graft.ops.Classifier.spiegelhalterZ(
         t(s, dir, "documents").select(score.as("s"), label.as("y")),
         col("s"), col("y"))
+    },
+
+    // McNemar paired model comparison per source: A correct 60% of
+    // prompts, B 70%, deterministically assigned — discordant counts
+    // exact integers, chi2 an exact rational shipped UNROUNDED, the
+    // verdict gated on exact values (no rounding contract at all).
+    q("q_mcnemar",
+      """WITH e AS (SELECT source,
+        |    ((doc_id * 7) % 10) < 6 AS a_ok,
+        |    ((doc_id * 13) % 10) < 7 AS b_ok
+        |  FROM documents),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a_only_correct,
+        |    CAST(sum(CASE WHEN b_ok AND NOT a_ok THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b_only_correct,
+        |    CAST(sum(CASE WHEN a_ok AND b_ok THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS both_correct
+        |  FROM e GROUP BY source)
+        |SELECT source, n_pairs, a_only_correct, b_only_correct,
+        |  both_correct,
+        |  CASE WHEN a_only_correct + b_only_correct > 0
+        |    THEN CAST(a_only_correct - b_only_correct AS DOUBLE)
+        |      * CAST(a_only_correct - b_only_correct AS DOUBLE)
+        |      / CAST(a_only_correct + b_only_correct AS DOUBLE) END
+        |    AS chi2,
+        |  COALESCE(b_only_correct > a_only_correct AND
+        |    CASE WHEN a_only_correct + b_only_correct > 0
+        |      THEN CAST(a_only_correct - b_only_correct AS DOUBLE)
+        |        * CAST(a_only_correct - b_only_correct AS DOUBLE)
+        |        / CAST(a_only_correct + b_only_correct AS DOUBLE) END
+        |      > 3.841, false) AS b_better
+        |FROM g ORDER BY source""".stripMargin) { (s, dir) =>
+      val evals = t(s, dir, "documents").select(col("source"),
+        (pmod(col("doc_id") * 7, lit(10)) < 6).as("a_ok"),
+        (pmod(col("doc_id") * 13, lit(10)) < 7).as("b_ok"))
+      graft.ops.Agreement.mcnemar(evals, "source", "a_ok", "b_ok")
+        .orderBy(col("source"))
+    },
+
+    // CUSUM drift detector over the per-type event value series,
+    // QUANTIZED onto the 1/128 dyadic grid (the op's documented
+    // pre-step): with exact dyadic deltas every partial sum is exact,
+    // so the oracle may use the algebraically-equal prefix-sum
+    // identity S_t = P_t − min(0, min_{j≤t} P_j) instead of replaying
+    // the fold (DuckDB's list_reduce struct-accumulator semantics are
+    // not a faithful left fold — probed this round). All outputs
+    // exact; NO rounding contract.
+    q("q_cusum",
+      """WITH m AS (SELECT event_type, event_id AS t,
+        |    floor(value * 128 + 0.5) / 128 AS v FROM events),
+        |w AS (SELECT event_type,
+        |    sum(v - CAST(60.0 AS DOUBLE)) OVER (PARTITION BY event_type
+        |      ORDER BY t, v ROWS UNBOUNDED PRECEDING) AS p,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY t, v)
+        |      AS i
+        |  FROM m),
+        |s AS (SELECT event_type, i,
+        |    p - least(CAST(0.0 AS DOUBLE),
+        |      min(p) OVER (PARTITION BY event_type ORDER BY i
+        |        ROWS UNBOUNDED PRECEDING)) AS s
+        |  FROM w),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_points,
+        |    max(s) AS max_cusum,
+        |    min(CASE WHEN s > CAST(500.0 AS DOUBLE) THEN i END) AS a
+        |  FROM s GROUP BY event_type)
+        |SELECT event_type, n_points, max_cusum,
+        |  a IS NOT NULL AS alarmed,
+        |  CAST(a AS BIGINT) AS alarm_idx
+        |FROM g ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val quantized = t(s, dir, "events").select(col("event_type"),
+        col("event_id"),
+        (floor(col("value") * 128 + 0.5) / 128).as("vq"))
+      graft.ops.Drift.cusum(quantized, "event_type", "event_id", "vq",
+          target = 50.0, slack = 10.0, h = 500.0)
+        .orderBy(col("event_type"))
     }
   )
 

@@ -195,4 +195,41 @@ object Agreement {
         (col("_pbar") - col("_pe")) / (lit(1.0) - col("_pe"))), 6)
         .as("kappa"))
   }
+
+  /** McNemar's test for PAIRED model comparison (McNemar 1947; the
+    * standard answer to "is model B actually better than model A on
+    * the SAME prompts" — an unpaired two-proportion test throws away
+    * the pairing and needs far more prompts for the same power): per
+    * group, the discordant counts `b` (A correct, B wrong) and `c`
+    * (A wrong, B correct) and the statistic `χ² = (b−c)²/(b+c)`,
+    * asymptotically χ²₁ under the null "both models equally good".
+    * Emits `n_pairs`, `a_only_correct` (b), `b_only_correct` (c),
+    * `both_correct`, `chi2` (an EXACT integer rational — UNROUNDED,
+    * NULL when b + c = 0: no discordant pairs, no evidence either
+    * way), and `b_better = (c > b) AND chi2 > chi2Crit` (3.841 = the
+    * 95% χ²₁ critical value by default; the gate reads exact
+    * integers and the exact rational, so it is engine-stable with no
+    * rounding contract at all).
+    *
+    * Scale: ONE group-keyed partial+final aggregate (four longs of
+    * state); the statistic is narrow grid arithmetic. */
+  def mcnemar(evals: DataFrame, groupCol: String, aCorrectCol: String,
+      bCorrectCol: String, chi2Crit: Double = 3.841): DataFrame = {
+    require(chi2Crit > 0, s"chi2Crit=$chi2Crit")
+    val a = col(aCorrectCol).cast("boolean")
+    val b = col(bCorrectCol).cast("boolean")
+    val g = evals.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((a && !b).cast("long")).as("a_only_correct"),
+        sum((!a && b).cast("long")).as("b_only_correct"),
+        sum((a && b).cast("long")).as("both_correct"))
+    val d = (col("a_only_correct") - col("b_only_correct")).cast("double")
+    val tot = (col("a_only_correct") + col("b_only_correct"))
+    val chi2 = when(tot > 0, d * d / tot.cast("double"))
+    g.select(col(groupCol), col("n_pairs"), col("a_only_correct"),
+        col("b_only_correct"), col("both_correct"), chi2.as("chi2"))
+      .withColumn("b_better", coalesce(
+        col("b_only_correct") > col("a_only_correct") &&
+          col("chi2") > chi2Crit, lit(false)))
+  }
 }

@@ -230,4 +230,60 @@ object Drift {
           acc + (o - e) * (o - e) / e
         }), 6).as("chi2"))
   }
+
+  /** One-sided CUSUM drift detector with alarm localization (Page
+    * 1954; the sequential change-point scheme an eval dashboard runs
+    * over a metric time series — PSI/KS compare two windows, CUSUM
+    * finds WHEN the level shifted): per group, fold the time-ordered
+    * values through `S_t = max(0, S_{t−1} + (x_t − target − slack))`
+    * and report `n_points`, `max_cusum` (round 6), `alarmed`
+    * (max exceeds the decision threshold h), and `alarm_idx` — the
+    * 1-based index of the FIRST crossing (the localization an
+    * on-call reads), NULL when never crossed.
+    *
+    * Determinism: the fold runs in SORTED (ts, value) order over the
+    * collected per-group series (the mlOrderedMean discipline — a
+    * monitored eval series is bounded by run count, never
+    * corpus-sized). On DYADIC metric grids (quantize first —
+    * `floor(x·128 + 0.5)/128` is the recommended pre-step) every
+    * partial sum is EXACT, so `max_cusum` ships UNROUNDED and the fold
+    * is bit-equal to the prefix-sum identity
+    * `S_t = P_t − min(0, min_{j≤t} P_j)` — which is how a SQL twin
+    * can recompute it without replaying the fold. The alarm index is
+    * computed in the SAME fold (struct accumulator), so the reported
+    * crossing is exactly the fold's.
+    *
+    * Scale: ONE group-keyed aggregate carrying the series; narrow
+    * arithmetic on the |groups|-row grid. */
+  def cusum(metrics: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, target: Double, slack: Double,
+      h: Double): DataFrame = {
+    require(slack >= 0, s"slack=$slack")
+    require(h > 0, s"h=$h")
+    val series = array_sort(collect_list(struct(
+      col(tsCol).cast("long").as("t"),
+      col(valueCol).cast("double").as("v"))))
+    val g = metrics.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_points"), series.as("_s"))
+    // struct accumulator: (running S, max S, 1-based position, first
+    // crossing index or 0)
+    val zero = struct(lit(0.0).as("s"), lit(0.0).as("m"),
+      lit(0L).as("i"), lit(0L).as("a"))
+    val folded = aggregate(col("_s"), zero, (acc, e) => {
+      val s1 = greatest(lit(0.0),
+        acc.getField("s") + (e.getField("v") - lit(target + slack)))
+      val i1 = acc.getField("i") + 1L
+      struct(s1.as("s"),
+        greatest(acc.getField("m"), s1).as("m"),
+        i1.as("i"),
+        when(acc.getField("a") > 0, acc.getField("a"))
+          .otherwise(when(s1 > h, i1).otherwise(lit(0L))).as("a"))
+    })
+    g.withColumn("_f", folded)
+      .select(col(groupCol), col("n_points"),
+        col("_f").getField("m").as("max_cusum"),
+        (col("_f").getField("a") > 0).as("alarmed"),
+        when(col("_f").getField("a") > 0, col("_f").getField("a"))
+          .as("alarm_idx"))
+  }
 }

@@ -170,4 +170,34 @@ class AgreementSpec extends AnyFunSuite {
     assert(ac.getDouble(3) === 1.0 && ac.getDouble(5) === 1.0,
       "(a,c) agree perfectly on a non-constant labeling: kappa = 1")
   }
+
+  test("mcnemar: discordant counts, exact statistic, verdict gates") {
+    import spark.implicits._
+    val evals = Seq(
+      // g1: A-only 5, B-only 1 -> chi2 = 16/6, not significant
+      ("g1", true, false), ("g1", true, false), ("g1", true, false),
+      ("g1", true, false), ("g1", true, false), ("g1", false, true),
+      ("g1", true, true), ("g1", false, false),
+      // g2: B-only 8, A-only 1 -> chi2 = 49/9 > 3.841, B better
+      ("g2", false, true), ("g2", false, true), ("g2", false, true),
+      ("g2", false, true), ("g2", false, true), ("g2", false, true),
+      ("g2", false, true), ("g2", false, true), ("g2", true, false),
+      // g3: fully concordant -> NULL chi2
+      ("g3", true, true), ("g3", false, false)
+    ).toDF("grp", "a_ok", "b_ok")
+    val out = Agreement.mcnemar(evals, "grp", "a_ok", "b_ok")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g1 = out("g1")
+    assert(g1.getAs[Long]("a_only_correct") === 5)
+    assert(g1.getAs[Long]("b_only_correct") === 1)
+    assert(g1.getAs[Long]("both_correct") === 1)
+    assert(g1.getAs[Double]("chi2") === 16.0 / 6.0)
+    assert(!g1.getAs[Boolean]("b_better"))
+    val g2 = out("g2")
+    assert(g2.getAs[Double]("chi2") === 49.0 / 9.0)
+    assert(g2.getAs[Boolean]("b_better"))
+    val g3 = out("g3")
+    assert(g3.isNullAt(g3.fieldIndex("chi2")))
+    assert(!g3.getAs[Boolean]("b_better"))
+  }
 }

@@ -127,4 +127,32 @@ class DriftSpec extends AnyFunSuite {
       .head().toSeq
     assert(run(1) === run(13))
   }
+
+  test("cusum: hand-walked fold, first-crossing localization, quiet group") {
+    import spark.implicits._
+    val metrics = Seq(
+      ("m", 1L, 0.5), ("m", 2L, 0.5), ("m", 3L, 1.0), ("m", 4L, 1.0),
+      ("m", 5L, 0.25), ("m", 6L, 1.5),
+      ("q", 1L, 0.5), ("q", 2L, 0.5), ("q", 3L, 0.5)
+    ).toDF("grp", "ts", "v")
+    val out = Drift.cusum(metrics, "grp", "ts", "v",
+        target = 0.5, slack = 0.0, h = 1.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val m = out("m")
+    // S: 0, 0, 0.5, 1.0, 0.75, 1.75 -> max 1.75, first strict crossing at 6
+    assert(m.getAs[Long]("n_points") === 6)
+    assert(m.getAs[Double]("max_cusum") === 1.75)
+    assert(m.getAs[Boolean]("alarmed"))
+    assert(m.getAs[Long]("alarm_idx") === 6)
+    val q = out("q")
+    assert(q.getAs[Double]("max_cusum") === 0.0)
+    assert(!q.getAs[Boolean]("alarmed"))
+    assert(q.isNullAt(q.fieldIndex("alarm_idx")))
+    // repartition-stable (the sorted fold contract)
+    val r13 = Drift.cusum(metrics.repartition(13), "grp", "ts", "v",
+      target = 0.5, slack = 0.0, h = 1.0)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("max_cusum"))
+      .toMap
+    assert(r13("m") === 1.75)
+  }
 }
