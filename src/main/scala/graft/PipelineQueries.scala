@@ -117,6 +117,17 @@ object PipelineQueries {
   private val idcgPrefix: IndexedSeq[Double] =
     dcgGains.scanLeft(0.0)(_ + _).tail
 
+  /** SPRT oracle constants — the SAME doubles the plan uses
+    * (p0 = 0.5, p1 = 0.6, α = β = 0.05), serialized at 17 significant
+    * digits so DuckDB parses bit-identical values. Declared BEFORE
+    * `defs` — the oracle strings interpolate them at object init. */
+  private val (sprtC1d, sprtC0d, sprtAd, sprtBd) =
+    graft.ops.Experiments.sprtConstants(0.5, 0.6, 0.05, 0.05)
+  private def SprtC1: String = f"$sprtC1d%.17g"
+  private def SprtC0: String = f"($sprtC0d%.17g)"
+  private def SprtA: String = f"$sprtAd%.17g"
+  private def SprtB: String = f"($sprtBd%.17g)"
+
   val defs: Seq[QDef] = Seq(
 
     // ------------------------------------------------ deduplication
@@ -11168,8 +11179,336 @@ object PipelineQueries {
       graft.ops.Drift.cusum(quantized, "event_type", "event_id", "vq",
           target = 50.0, slack = 10.0, h = 500.0)
         .orderBy(col("event_type"))
+    },
+
+    // Cochran's Q over a 3-model complete block per source — the
+    // pre-test before pairwise McNemars. All partials exact longs;
+    // q_stat one exact-integer division, UNROUNDED. Synthetic
+    // correctness uses moduli COPRIME to 20: source = doc_id%20, so a
+    // mod sharing a factor with 20 (e.g. %10) is CONSTANT within a
+    // source — items would all carry identical correct-vectors.
+    q("q_cochran_q",
+      """WITH e AS (
+        |  SELECT source, doc_id, 'm0' AS model,
+        |    (doc_id*2)%7 < 4 AS ok FROM documents
+        |  UNION ALL SELECT source, doc_id, 'm1',
+        |    (doc_id*3)%7 < 5 FROM documents
+        |  UNION ALL SELECT source, doc_id, 'm2',
+        |    (doc_id*5)%11 < 5 FROM documents),
+        |i AS (SELECT source, doc_id,
+        |    CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS li,
+        |    CAST(count(*) AS BIGINT) AS ki
+        |  FROM e GROUP BY source, doc_id),
+        |ig AS (SELECT source, CAST(count(*) AS BIGINT) AS n_items,
+        |    max(ki) AS k, CAST(sum(li) AS BIGINT) AS sl,
+        |    CAST(sum(li*li) AS BIGINT) AS sl2
+        |  FROM i GROUP BY source),
+        |m AS (SELECT source, model,
+        |    CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS gj
+        |  FROM e GROUP BY source, model),
+        |mg AS (SELECT source, CAST(sum(gj*gj) AS BIGINT) AS sg2,
+        |    CAST(sum(gj) AS BIGINT) AS sg
+        |  FROM m GROUP BY source)
+        |SELECT ig.source, k, n_items,
+        |  CASE WHEN k*sl - sl2 > 0
+        |    THEN CAST((k-1)*(k*sg2 - sg*sg) AS DOUBLE)
+        |      / CAST(k*sl - sl2 AS DOUBLE) END AS q_stat,
+        |  k-1 AS df,
+        |  COALESCE(CASE WHEN k*sl - sl2 > 0
+        |    THEN CAST((k-1)*(k*sg2 - sg*sg) AS DOUBLE)
+        |      / CAST(k*sl - sl2 AS DOUBLE) END > 5.991, false)
+        |    AS rejected
+        |FROM ig JOIN mg USING (source) ORDER BY source""".stripMargin) {
+      (s, dir) =>
+      val d = t(s, dir, "documents")
+      val evals = d.selectExpr("source", "doc_id",
+        """stack(3, 'm0', (doc_id*2)%7 < 4,
+          |         'm1', (doc_id*3)%7 < 5,
+          |         'm2', (doc_id*5)%11 < 5) AS (model, ok)""".stripMargin)
+      graft.ops.Agreement.cochranQ(evals, "source", "doc_id", "model",
+        "ok").orderBy(col("source"))
+    },
+
+    // Wilcoxon signed-rank per source over paired dyadic scores
+    // (sixteenths — diffs exact, midranks dyadic, rank sums exact and
+    // order-free); z is a libm-free IEEE chain, shipped UNROUNDED.
+    q("q_wilcoxon",
+      """WITH s AS (SELECT source,
+        |    CAST((doc_id*5)%17 AS DOUBLE)/16
+        |      - CAST((doc_id*3)%17 AS DOUBLE)/16 AS d
+        |  FROM documents),
+        |nz AS (SELECT source, d, abs(d) AS ad FROM s WHERE d <> 0),
+        |r AS (SELECT source, d,
+        |    rank() OVER (PARTITION BY source ORDER BY ad) AS rk,
+        |    count(*) OVER (PARTITION BY source, ad) AS tc
+        |  FROM nz),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    sum(CASE WHEN d > 0 THEN CAST(rk AS DOUBLE)
+        |      + CAST(tc - 1 AS DOUBLE)/2 ELSE CAST(0.0 AS DOUBLE) END)
+        |      AS w_plus
+        |  FROM r GROUP BY source),
+        |t AS (SELECT source, CAST(sum(tc*tc*tc - tc) AS BIGINT) AS tsum
+        |  FROM (SELECT source, ad, CAST(count(*) AS BIGINT) AS tc
+        |    FROM nz GROUP BY source, ad) GROUP BY source),
+        |f AS (SELECT g.source, n_pairs, w_plus,
+        |    CAST(n_pairs*(n_pairs+1) AS DOUBLE)/4 AS mu,
+        |    n_pairs*(n_pairs+1)*(n_pairs*2+1)*2 - tsum AS varnum
+        |  FROM g JOIN t USING (source))
+        |SELECT source, n_pairs, w_plus,
+        |  CASE WHEN varnum > 0 THEN (w_plus - mu)
+        |    / sqrt(CAST(varnum AS DOUBLE)/48) END AS z,
+        |  COALESCE(CASE WHEN varnum > 0 THEN (w_plus - mu)
+        |    / sqrt(CAST(varnum AS DOUBLE)/48) END > 1.959964, false)
+        |    AS b_better
+        |FROM f ORDER BY source""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val scores = d.select(col("source"),
+        ((col("doc_id") * 3 % 17).cast("double") / 16).as("a"),
+        ((col("doc_id") * 5 % 17).cast("double") / 16).as("b"))
+      graft.ops.RankTests.wilcoxonSignedRank(scores, "source", "a", "b")
+        .orderBy(col("source"))
+    },
+
+    // Mann-Whitney U per source: even doc_ids are sample A, odd are
+    // sample B, integer-valued scores with heavy cross-sample ties —
+    // the tie-corrected z mirrored association-exact.
+    q("q_mannwhitney",
+      """WITH s AS (SELECT source, (doc_id % 2) = 1 AS b,
+        |    CAST(CASE WHEN (doc_id % 2) = 1 THEN (doc_id*11)%16 + 1
+        |      ELSE (doc_id*7)%16 END AS DOUBLE) AS v
+        |  FROM documents),
+        |r AS (SELECT source, b,
+        |    rank() OVER (PARTITION BY source ORDER BY v) AS rk,
+        |    count(*) OVER (PARTITION BY source, v) AS tc
+        |  FROM s),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    sum(CASE WHEN b THEN CAST(rk AS DOUBLE)
+        |      + CAST(tc - 1 AS DOUBLE)/2 ELSE CAST(0.0 AS DOUBLE) END)
+        |      AS rb
+        |  FROM r GROUP BY source),
+        |t AS (SELECT source, CAST(sum(tc*tc*tc - tc) AS BIGINT) AS tsum
+        |  FROM (SELECT source, v, CAST(count(*) AS BIGINT) AS tc
+        |    FROM s GROUP BY source, v) GROUP BY source),
+        |f AS (SELECT g.source, n - n_b AS n_a, n_b, n, tsum,
+        |    rb - CAST(n_b*(n_b+1) AS DOUBLE)/2 AS u_b
+        |  FROM g JOIN t USING (source)),
+        |z AS (SELECT source, n_a, n_b, u_b,
+        |    CAST(n_a*n_b AS DOUBLE)/2 AS mu,
+        |    CAST(n_a*n_b AS DOUBLE)/12 * (CAST(n+1 AS DOUBLE)
+        |      - CAST(tsum AS DOUBLE)/CAST(n*(n-1) AS DOUBLE)) AS sig2,
+        |    n FROM f)
+        |SELECT source, n_a, n_b, u_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND n > 1 AND sig2 > 0
+        |    THEN (u_b - mu)/sqrt(sig2) END AS z,
+        |  COALESCE(CASE WHEN n_a > 0 AND n_b > 0 AND n > 1 AND sig2 > 0
+        |    THEN (u_b - mu)/sqrt(sig2) END > 1.959964, false)
+        |    AS b_higher
+        |FROM z ORDER BY source""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val scores = d.select(col("source"),
+        (col("doc_id") % 2 === 1).as("side"),
+        when(col("doc_id") % 2 === 1, col("doc_id") * 11 % 16 + 1)
+          .otherwise(col("doc_id") * 7 % 16).cast("double").as("v"))
+      graft.ops.RankTests.mannWhitneyU(scores, "source", "side", "v")
+        .orderBy(col("source"))
+    },
+
+    // Kendall τ-b per source between two deterministic scorers over a
+    // ranking-depth-sized item slice (doc_id ≡ 0 mod 37 — the stated
+    // caller obligation for the O(d²) pair join). Exact pair counts;
+    // τ one division by sqrt of exact-integer products.
+    q("q_kendall_tau",
+      """WITH it AS (SELECT source, doc_id,
+        |    CAST((doc_id*3)%16 AS DOUBLE) AS a,
+        |    CAST((doc_id*7)%16 AS DOUBLE) AS b
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |p AS (SELECT l.source, sign(l.a - r.a) AS sa,
+        |    sign(l.b - r.b) AS sb
+        |  FROM it l JOIN it r
+        |    ON l.source = r.source AND l.doc_id < r.doc_id),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN sa*sb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS concordant,
+        |    CAST(sum(CASE WHEN sa*sb < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS discordant,
+        |    CAST(sum(CASE WHEN sa = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tied_a,
+        |    CAST(sum(CASE WHEN sb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tied_b
+        |  FROM p GROUP BY source)
+        |SELECT source, n_pairs, concordant, discordant, tied_a, tied_b,
+        |  CASE WHEN n_pairs > tied_a AND n_pairs > tied_b
+        |    THEN CAST(concordant - discordant AS DOUBLE)
+        |      / sqrt(CAST(n_pairs - tied_a AS DOUBLE)
+        |        * CAST(n_pairs - tied_b AS DOUBLE)) END AS tau_b
+        |FROM g ORDER BY source""".stripMargin) { (s, dir) =>
+      val items = t(s, dir, "documents")
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("source"), col("doc_id"),
+          (col("doc_id") * 3 % 16).cast("double").as("a"),
+          (col("doc_id") * 7 % 16).cast("double").as("b"))
+      graft.ops.RankTests.kendallTauB(items, "source", "doc_id", "a",
+        "b").orderBy(col("source"))
+    },
+
+    // Benjamini-Hochberg step-up over a per-(source, lang) test
+    // catalog with exact dyadic p-values; adjusted p is a suffix-min
+    // of one-mult-one-div candidates, shipped UNROUNDED.
+    q("q_bh_fdr",
+      """WITH c AS (SELECT source, lang,
+        |    CAST(CAST(sum(doc_id) AS BIGINT) % 256 AS DOUBLE)/256 AS p
+        |  FROM documents GROUP BY source, lang),
+        |r AS (SELECT source, lang, p,
+        |    row_number() OVER (PARTITION BY source ORDER BY p, lang)
+        |      AS i,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS m
+        |  FROM c),
+        |a AS (SELECT source, lang, p, i, m,
+        |    min(CAST(m AS DOUBLE) * p / CAST(i AS DOUBLE))
+        |      OVER (PARTITION BY source ORDER BY p, lang
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS sufmin,
+        |    max(CASE WHEN p <= CAST(i AS DOUBLE) * CAST(0.1 AS DOUBLE)
+        |        / CAST(m AS DOUBLE) THEN i END)
+        |      OVER (PARTITION BY source) AS kstar
+        |  FROM r)
+        |SELECT source, lang, p AS p_value, CAST(i AS BIGINT) AS rank,
+        |  m AS n_tests, least(CAST(1.0 AS DOUBLE), sufmin) AS p_adj,
+        |  COALESCE(i <= kstar, false) AS rejected
+        |FROM a ORDER BY source, rank""".stripMargin) { (s, dir) =>
+      val tests = t(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(((sum(col("doc_id")) % 256).cast("double") / 256).as("p"))
+      graft.ops.Experiments.bhFdr(tests, "source", "lang", "p",
+        qLevel = 0.1).orderBy(col("source"), col("rank"))
+    },
+
+    // Two-proportion power sizing off each source's observed base rate
+    // (an exact rational) over a literal delta grid — z quantiles are
+    // plan literals, sqrt/mult/div the only float ops, mirrored
+    // association-exact; sizes NULL when p1 ≥ 1.
+    q("q_power_2prop",
+      """WITH b AS (SELECT source,
+        |    CAST(CAST(sum(CASE WHEN (doc_id*3)%7 < 4 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS p0
+        |  FROM documents GROUP BY source),
+        |e AS (SELECT source, p0, d.delta FROM b,
+        |    (VALUES (CAST(0.02 AS DOUBLE)), (CAST(0.05 AS DOUBLE)),
+        |      (CAST(0.1 AS DOUBLE))) AS d(delta)),
+        |x AS (SELECT source, p0, delta, p0 + delta AS p1,
+        |    (p0 + (p0 + delta))/2 AS pbar FROM e),
+        |n AS (SELECT source, p0, delta, p1,
+        |    CASE WHEN p1 < 1 THEN
+        |      CAST(1.959964 AS DOUBLE)
+        |        * sqrt(CAST(2.0 AS DOUBLE) * pbar
+        |          * (CAST(1.0 AS DOUBLE) - pbar))
+        |      + CAST(0.841621 AS DOUBLE)
+        |        * sqrt(p0 * (CAST(1.0 AS DOUBLE) - p0)
+        |          + p1 * (CAST(1.0 AS DOUBLE) - p1)) END AS num
+        |  FROM x)
+        |SELECT source, p0, delta,
+        |  CASE WHEN p1 < 1 THEN CAST(ceil(num * num / (delta * delta))
+        |    AS BIGINT) END AS n_per_arm,
+        |  CASE WHEN p1 < 1 THEN CAST(ceil(num * num / (delta * delta))
+        |    AS BIGINT) * 2 END AS n_total
+        |FROM n ORDER BY source, delta""".stripMargin) { (s, dir) =>
+      val baselines = t(s, dir, "documents").groupBy(col("source"))
+        .agg((sum((col("doc_id") * 3 % 7 < 4).cast("long"))
+          .cast("double") / count(lit(1)).cast("double")).as("p0"))
+      graft.ops.Experiments.powerTwoProportion(baselines, "source",
+        "p0", deltas = Seq(0.02, 0.05, 0.1))
+        .orderBy(col("source"), col("delta"))
+    },
+
+    // Wald SPRT per event_type over the event stream (win = value
+    // above 60): the four ln constants are computed ONCE driver-side
+    // and enter both engines as identical 17-digit literals, so every
+    // LLR is exact-integer counts times shared literals.
+    q("q_sprt",
+      s"""WITH d AS (SELECT event_type, event_id,
+         |    CASE WHEN value > 60.0 THEN 1 ELSE 0 END AS w
+         |  FROM events),
+         |s AS (SELECT event_type,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY event_id) AS i,
+         |    CAST(sum(w) OVER (PARTITION BY event_type
+         |      ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |      AS cw
+         |  FROM d),
+         |l AS (SELECT event_type, i, cw,
+         |    CAST(cw AS DOUBLE) * $SprtC1
+         |      + CAST(i - cw AS DOUBLE) * $SprtC0 AS llr
+         |  FROM s),
+         |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+         |    max(cw) AS wins,
+         |    min(CASE WHEN llr >= $SprtA OR llr <= $SprtB THEN i END)
+         |      AS dec_i,
+         |    min(CASE WHEN llr >= $SprtA THEN i END) AS hi_i
+         |  FROM l GROUP BY event_type)
+         |SELECT event_type, n_total, wins,
+         |  CAST(wins AS DOUBLE) * $SprtC1
+         |    + CAST(n_total - wins AS DOUBLE) * $SprtC0 AS llr_final,
+         |  dec_i IS NOT NULL AS decided,
+         |  CASE WHEN dec_i IS NULL THEN 'continue'
+         |    WHEN hi_i = dec_i THEN 'accept_h1'
+         |    ELSE 'accept_h0' END AS decision,
+         |  CAST(dec_i AS BIGINT) AS n_at_decision
+         |FROM g ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val duels = t(s, dir, "events").select(col("event_type"),
+        col("event_id"), (col("value") > 60.0).as("win"))
+      graft.ops.Experiments.sprt(duels, "event_type", "event_id",
+        "win", p0 = 0.5, p1 = 0.6, alpha = 0.05, beta = 0.05)
+        .orderBy(col("event_type"))
+    },
+
+    // Repetition/degeneration screen over documents with injected
+    // trailing loops (every 7th doc gains " end end end end") — loop
+    // detection is bounded array-slice equality, stutter rides the
+    // position-explode idiom; pct is ONE exact-long division.
+    q("q_repetition_loop",
+      """WITH d0 AS (SELECT source, doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' end end end end'
+        |      ELSE text END AS ans
+        |  FROM documents),
+        |tk AS (SELECT source, doc_id,
+        |    list_filter(string_split_regex(trim(ans), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM d0),
+        |pd AS (SELECT source, doc_id, len(t) AS n,
+        |    CASE
+        |      WHEN len(t) >= 2 AND t[len(t):len(t)]
+        |        = t[len(t)-1:len(t)-1] THEN 1
+        |      WHEN len(t) >= 4 AND t[len(t)-1:len(t)]
+        |        = t[len(t)-3:len(t)-2] THEN 2
+        |      WHEN len(t) >= 6 AND t[len(t)-2:len(t)]
+        |        = t[len(t)-5:len(t)-3] THEN 3
+        |      WHEN len(t) >= 8 AND t[len(t)-3:len(t)]
+        |        = t[len(t)-7:len(t)-4] THEN 4
+        |    END AS mp,
+        |    len(list_filter(range(2, len(t)+1), i -> t[i] = t[i-1]))
+        |      AS dups
+        |  FROM tk)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN mp IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_looped,
+        |  CAST(sum(CASE WHEN n > 0 AND dups*8 >= n THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_stuttery,
+        |  CAST(sum(CASE WHEN mp IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pct_looped
+        |FROM pd GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("source"),
+        col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" end end end end")))
+          .otherwise(col("text")).as("ans"))
+      graft.ops.Rollouts.repetitionScreen(docs, "source", "doc_id",
+        "ans", maxPeriod = 4).orderBy(col("source"))
     }
   )
+
 
   /** The shared demo taxonomy for q_topic_tag / q_topic_mixture — seed
     * keywords over the synthetic vocabulary, priority order = list

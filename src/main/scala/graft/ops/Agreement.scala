@@ -232,4 +232,54 @@ object Agreement {
         col("b_only_correct") > col("a_only_correct") &&
           col("chi2") > chi2Crit, lit(false)))
   }
+
+  /** Cochran's Q — the k-model extension of [[mcnemar]]: per group,
+    * over a LONG-format eval log (item, model, correct) with a
+    * complete block design (every model judged on every item), the
+    * statistic `Q = (k−1)·(k·ΣG_j² − (ΣG_j)²) / (k·ΣL_i − ΣL_i²)`
+    * with G_j = per-model correct totals and L_i = per-item correct
+    * counts — asymptotically χ²_{k−1} under "all k models equally
+    * good" (Cochran 1950). The standard pre-test before k·(k−1)/2
+    * pairwise McNemars: run those only when Q rejects (and push them
+    * through [[Experiments.bhFdr]]).
+    *
+    * Emits `k`, `n_items`, `q_stat` (an exact integer rational —
+    * UNROUNDED, NULL when the denominator is 0: every item has the
+    * same correct count, no discrimination signal), `df = k−1`, and
+    * `rejected = q_stat > chi2Crit` (caller supplies the χ²_{k−1}
+    * critical value — df varies with k; default 5.991 = 95% χ²₂ for
+    * the common 3-model screen).
+    *
+    * Scale: TWO partial+final aggregates over the eval log — one
+    * item-keyed (L_i), one model-keyed (G_j) — then grid arithmetic;
+    * the item frame re-aggregates to one row per group before the
+    * k-sized model frame joins on the group key. Integer partials
+    * stay exact: ΣG² ≤ k·n² needs n ≲ 2³¹ per group at k ≤ 100 —
+    * stated contract, far above any eval-set size. */
+  def cochranQ(evals: DataFrame, groupCol: String, itemCol: String,
+      modelCol: String, correctCol: String,
+      chi2Crit: Double = 5.991): DataFrame = {
+    require(chi2Crit > 0, s"chi2Crit=$chi2Crit")
+    val ok = col(correctCol).cast("boolean").cast("long")
+    val items = evals.groupBy(col(groupCol).as("_g"), col(itemCol))
+      .agg(sum(ok).as("_li"), count(lit(1)).as("_ki"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_items"), max(col("_ki")).as("k"),
+        sum(col("_li")).as("_sl"),
+        sum(col("_li") * col("_li")).as("_sl2"))
+    val models = evals.groupBy(col(groupCol).as("_g"), col(modelCol))
+      .agg(sum(ok).as("_gj"))
+      .groupBy(col("_g"))
+      .agg(sum(col("_gj") * col("_gj")).as("_sg2"),
+        sum(col("_gj")).as("_sg"))
+    val k = col("k")
+    val num = (k - 1) * (k * col("_sg2") - col("_sg") * col("_sg"))
+    val den = k * col("_sl") - col("_sl2")
+    val q = when(den > 0, num.cast("double") / den.cast("double"))
+    items.join(models, Seq("_g"))
+      .select(col("_g").as(groupCol), col("k"), col("n_items"),
+        q.as("q_stat"), (k - 1).as("df"))
+      .withColumn("rejected",
+        coalesce(col("q_stat") > chi2Crit, lit(false)))
+  }
 }

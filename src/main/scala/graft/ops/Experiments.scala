@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Experiment-decision tooling for eval pipelines: Benjamini-Hochberg
+  * FDR control (an eval dashboard runs HUNDREDS of metric comparisons
+  * per release — uncorrected p < 0.05 guarantees false "regressions"),
+  * two-proportion power sizing (how many prompts an A/B eval needs
+  * before anyone runs it), and Wald's SPRT (stop a pairwise-duel eval
+  * early, with guaranteed error rates, instead of burning the full
+  * prompt budget). Benjamini & Hochberg 1995; Wald 1945.
+  *
+  * Determinism / cross-engine: p-value thresholds and adjusted values
+  * are fixed chains of correctly-rounded IEEE mult/div mirrored
+  * association-exact in the oracles; SPRT log-likelihood constants are
+  * computed ONCE driver-side and enter BOTH engines as identical
+  * 17-significant-digit literals (a round-trip-exact double), so the
+  * per-step LLR `w·C1 + (n−w)·C0` — exact integer counts times shared
+  * literals — is bit-reproducible with no libm call in either plan.
+  *
+  * Scale: BH is one sort-shuffle of the TEST-CATALOG frame (metrics ×
+  * slices — metadata-sized, never corpus rows) plus two windows on it;
+  * power sizing is grid arithmetic on |groups|·|deltas| rows; SPRT is
+  * one window over the duel log (narrow rows: pair key + bool) and one
+  * pair-keyed aggregate. */
+object Experiments {
+
+  /** Benjamini-Hochberg FDR correction per family over a frame of
+    * (family, test, p): ascending-p rank i (ties broken by `testCol`
+    * for a total order), the step-up rule `reject rank ≤ k* = max{i :
+    * p_i ≤ i·q/m}`, and the standard monotone adjusted p-value
+    * `p_adj(i) = min(1, min_{j≥i} m·p_j/j)`. Emits every test with
+    * `rank`, `p_adj` (UNROUNDED — one mult + one div per candidate,
+    * suffix-min selects among them exactly), and `rejected`. */
+  def bhFdr(tests: DataFrame, familyCol: String, testCol: String,
+      pCol: String, qLevel: Double = 0.05): DataFrame = {
+    require(qLevel > 0 && qLevel < 1, s"qLevel=$qLevel")
+    val ordered = Window.partitionBy(col("_f"))
+      .orderBy(col("_p"), col("_t"))
+    val whole = Window.partitionBy(col("_f"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val suffix = Window.partitionBy(col("_f")).orderBy(col("_p"), col("_t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    tests.select(col(familyCol).as("_f"), col(testCol).as("_t"),
+        col(pCol).cast("double").as("_p"))
+      .withColumn("_i", row_number().over(ordered))
+      .withColumn("_m", count(lit(1)).over(whole))
+      .withColumn("_cand",
+        col("_m").cast("double") * col("_p") / col("_i").cast("double"))
+      .withColumn("p_adj", least(lit(1.0), min(col("_cand")).over(suffix)))
+      .withColumn("_kstar", max(when(
+          col("_p") <= col("_i").cast("double") * qLevel /
+            col("_m").cast("double"), col("_i"))).over(whole))
+      .select(col("_f").as(familyCol), col("_t").as(testCol),
+        col("_p").as("p_value"), col("_i").cast("long").as("rank"),
+        col("_m").as("n_tests"), col("p_adj"),
+        coalesce(col("_i") <= col("_kstar"), lit(false)).as("rejected"))
+  }
+
+  /** Two-proportion power sizing: per baseline row (a group with an
+    * observed rate p₀) and per detectable lift Δ in `deltas`, the
+    * per-arm sample size for a two-sided level-α z-test at the given
+    * power: `n = (z_α·sqrt(2p̄q̄) + z_β·sqrt(p₀q₀ + p₁q₁))² / Δ²`,
+    * ceil'd. z values enter as literals (defaults: α = 0.05 two-sided
+    * → 1.959964, power 0.80 → 0.841621 — quantiles are CONSTANTS of
+    * the test recipe, not data-dependent, so no libm in the plan).
+    * Rows where p₁ = p₀ + Δ ≥ 1 emit NULL sizes (undetectable lift).
+    * `baselines` carries one row per group: (groupCol, pCol). */
+  def powerTwoProportion(baselines: DataFrame, groupCol: String,
+      pCol: String, deltas: Seq[Double], zAlpha: Double = 1.959964,
+      zPower: Double = 0.841621): DataFrame = {
+    require(deltas.nonEmpty && deltas.forall(d => d > 0 && d < 1),
+      s"deltas=$deltas")
+    val p0 = col("_p0")
+    val p1 = p0 + col("delta")
+    val pbar = (p0 + p1) / 2
+    val num = lit(zAlpha) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
+      lit(zPower) * sqrt(p0 * (lit(1.0) - p0) + p1 * (lit(1.0) - p1))
+    val nArm = when(p1 < 1,
+      ceil(num * num / (col("delta") * col("delta"))).cast("long"))
+    baselines.select(col(groupCol).as("_g"),
+        col(pCol).cast("double").as("_p0"))
+      .withColumn("delta", explode(array(deltas.map(lit(_)): _*)))
+      .select(col("_g").as(groupCol), col("_p0").as("p0"), col("delta"),
+        nArm.as("n_per_arm"))
+      .withColumn("n_total", col("n_per_arm") * 2)
+  }
+
+  /** Wald SPRT over an ordered pairwise-duel log: per pair, the
+    * cumulative log-likelihood ratio for H1: P(win) = p1 vs H0:
+    * P(win) = p0 — `LLR_i = w_i·ln(p1/p0) + (i−w_i)·ln((1−p1)/(1−p0))`
+    * with w_i the exact cumulative win count — against the Wald
+    * boundaries `A = ln((1−β)/α)`, `B = ln(β/(1−α))`. Emits per pair:
+    * `n_total`, `wins`, `llr_final` (UNROUNDED — integer counts times
+    * shared literals), `decided`, `decision`
+    * (accept_h1 / accept_h0 / continue), and `n_at_decision` (the
+    * FIRST crossing — the early-stopping point the test exists for).
+    *
+    * The four ln constants are computed once here (driver-side Scala)
+    * and must reach any re-deriving engine as the same
+    * 17-significant-digit literals — [[sprtConstants]] exposes them
+    * for oracle construction. */
+  def sprt(duels: DataFrame, pairCol: String, orderCol: String,
+      winCol: String, p0: Double = 0.5, p1: Double = 0.6,
+      alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+    val (c1, c0, a, b) = sprtConstants(p0, p1, alpha, beta)
+    val w = Window.partitionBy(col("_pair")).orderBy(col("_ord"))
+    val stepped = duels.select(col(pairCol).as("_pair"),
+        col(orderCol).as("_ord"),
+        col(winCol).cast("boolean").cast("long").as("_w"))
+      .withColumn("_i", row_number().over(w))
+      .withColumn("_cw", sum(col("_w")).over(w))
+      .withColumn("_llr", col("_cw").cast("double") * lit(c1) +
+        (col("_i") - col("_cw")).cast("double") * lit(c0))
+    val agg = stepped.groupBy(col("_pair"))
+      .agg(count(lit(1)).as("n_total"), sum(col("_w")).as("wins"),
+        min(when(col("_llr") >= a || col("_llr") <= b, col("_i")))
+          .as("_dec_i"),
+        min(when(col("_llr") >= a, col("_i"))).as("_hi_i"))
+    val llrFinal = col("wins").cast("double") * lit(c1) +
+      (col("n_total") - col("wins")).cast("double") * lit(c0)
+    agg.select(col("_pair").as(pairCol), col("n_total"), col("wins"),
+      llrFinal.as("llr_final"),
+      col("_dec_i").isNotNull.as("decided"),
+      when(col("_dec_i").isNull, "continue")
+        .when(col("_hi_i") === col("_dec_i"), "accept_h1")
+        .otherwise("accept_h0").as("decision"),
+      col("_dec_i").cast("long").as("n_at_decision"))
+  }
+
+  /** The SPRT's four log constants (C1, C0, A, B) — computed once
+    * driver-side so both the plan and any oracle share bit-identical
+    * doubles (serialize with %.17g: 17 significant digits round-trip
+    * a double exactly). */
+  def sprtConstants(p0: Double, p1: Double, alpha: Double,
+      beta: Double): (Double, Double, Double, Double) = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p1 != p0,
+      s"p0=$p0 p1=$p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"alpha=$alpha beta=$beta")
+    (math.log(p1 / p0), math.log((1 - p1) / (1 - p0)),
+      math.log((1 - beta) / alpha), math.log(beta / (1 - alpha)))
+  }
+}

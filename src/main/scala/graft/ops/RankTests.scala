@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rank-based eval statistics — the distribution-free companions to
+  * the paired tests in [[Bootstrap]] and [[Agreement]]: Wilcoxon
+  * signed-rank (paired scores, no normality assumption), Mann-Whitney
+  * U (unpaired two-sample), and Kendall τ-b (ranker agreement with
+  * tie correction). These are the standard nonparametric answers to
+  * "is model B better" when eval scores are bounded/skewed rubric
+  * values where a t-test's normality assumption is indefensible
+  * (Wilcoxon 1945; Mann & Whitney 1947; Kendall 1945 for τ-b).
+  *
+  * Determinism / cross-engine: midranks are dyadic (minpos + (t−1)/2
+  * — integer plus halves), so rank SUMS are exact and order-free;
+  * tie corrections Σ(t³−t) are exact integers; every z/τ statistic is
+  * then a fixed chain of correctly-rounded IEEE ops (subtract, mult,
+  * div, sqrt — NO libm transcendentals), mirrored association-exact
+  * in the oracles, so outputs ship UNROUNDED.
+  *
+  * Scale: rank assignment is the honest cost — one sort-shuffle of
+  * narrow (group, value) rows per test; tie masses re-aggregate on
+  * the (group, value) CLASS frame (≪ rows); all statistics are grid
+  * arithmetic on the |groups|-row frame. Kendall τ-b is O(d²) pairs
+  * per group BY DESIGN (pair counting); the caller obligation is
+  * ranking-depth-sized groups (top-k lists, d ≲ 10⁴), the regime the
+  * published estimator targets. */
+object RankTests {
+
+  /** Wilcoxon signed-rank test per group over paired scores: ranks of
+    * |b−a| (zero differences EXCLUDED, the standard treatment;
+    * midranks for ties), `w_plus` = rank sum over positive
+    * differences, and the tie-corrected normal approximation
+    * `z = (W⁺ − n(n+1)/4) / sqrt((2n(n+1)(2n+1) − Σ(t³−t)) / 48)`.
+    * Emits `n_pairs` (non-zero diffs), `w_plus` (exact dyadic),
+    * `z` (UNROUNDED — sqrt/div are correctly-rounded IEEE, no libm),
+    * and `b_better = d̄ direction ∧ |z| > zCrit` (NULL-safe false when
+    * the variance is 0: all diffs tied at one magnitude with n < 2).
+    * No continuity correction — exactness over convention, stated. */
+  def wilcoxonSignedRank(scores: DataFrame, groupCol: String,
+      aCol: String, bCol: String, zCrit: Double = 1.959964): DataFrame = {
+    require(zCrit > 0, s"zCrit=$zCrit")
+    val d = col(bCol).cast("double") - col(aCol).cast("double")
+    val nz = scores.select(col(groupCol).as("_g"), d.as("_d"))
+      .filter(col("_d") =!= 0.0)
+      .withColumn("_ad", abs(col("_d")))
+    // midrank = min position + (ties−1)/2 — dyadic, so the rank sum
+    // below is exact and order-free
+    val ranked = nz
+      .withColumn("_r",
+        rank().over(Window.partitionBy("_g").orderBy(col("_ad"))))
+      .withColumn("_t", count(lit(1))
+        .over(Window.partitionBy(col("_g"), col("_ad"))))
+      .withColumn("_mr", col("_r").cast("double") +
+        (col("_t") - 1).cast("double") / 2)
+    val perGroup = ranked.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("_d") > 0, col("_mr")).otherwise(0.0)).as("w_plus"),
+        sum(when(col("_d") > 0, 1L).otherwise(0L)).as("_npos"))
+    // tie masses on the (group, |d|) class frame — exact longs
+    val ties = nz.groupBy(col("_g"), col("_ad"))
+      .agg(count(lit(1)).as("_tc"))
+      .groupBy(col("_g"))
+      .agg(sum(col("_tc") * col("_tc") * col("_tc") - col("_tc"))
+        .as("_tsum"))
+    val n = col("n_pairs")
+    val mu = (n * (n + 1)).cast("double") / 4
+    val varNum = (n * (n + 1) * (n * 2 + 1) * 2 - col("_tsum"))
+    val sig2 = varNum.cast("double") / 48
+    val z = when(varNum > 0,
+      (col("w_plus") - mu) / sqrt(sig2))
+    perGroup.join(ties, Seq("_g"))
+      .select(col("_g").as(groupCol), col("n_pairs"), col("w_plus"),
+        z.as("z"))
+      .withColumn("b_better",
+        coalesce(col("z") > zCrit, lit(false)))
+  }
+
+  /** Mann-Whitney U test per group over UNPAIRED two-sample scores
+    * (`sideCol` boolean: true = sample B): combined midranks,
+    * `u_b = R_B − n_B(n_B+1)/2`, and the tie-corrected normal
+    * approximation `z = (U_B − n_A·n_B/2) / sqrt(σ²)` with
+    * `σ² = (n_A·n_B/12)·((N+1) − Σ(t³−t)/(N(N−1)))`. Emits exact
+    * `n_a`/`n_b`/`u_b` (dyadic rank sums) and UNROUNDED `z` (NULL when
+    * either sample is empty or σ² = 0 — e.g. all values tied). */
+  def mannWhitneyU(scores: DataFrame, groupCol: String,
+      sideCol: String, valueCol: String,
+      zCrit: Double = 1.959964): DataFrame = {
+    require(zCrit > 0, s"zCrit=$zCrit")
+    val base = scores.select(col(groupCol).as("_g"),
+      col(sideCol).cast("boolean").as("_b"),
+      col(valueCol).cast("double").as("_v"))
+    val ranked = base
+      .withColumn("_r",
+        rank().over(Window.partitionBy("_g").orderBy(col("_v"))))
+      .withColumn("_t", count(lit(1))
+        .over(Window.partitionBy(col("_g"), col("_v"))))
+      .withColumn("_mr", col("_r").cast("double") +
+        (col("_t") - 1).cast("double") / 2)
+    val perGroup = ranked.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col("_b"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("_b"), col("_mr")).otherwise(0.0)).as("_rb"))
+      .withColumn("n_a", col("_n") - col("n_b"))
+    val ties = base.groupBy(col("_g"), col("_v"))
+      .agg(count(lit(1)).as("_tc"))
+      .groupBy(col("_g"))
+      .agg(sum(col("_tc") * col("_tc") * col("_tc") - col("_tc"))
+        .as("_tsum"))
+    val nA = col("n_a"); val nB = col("n_b"); val nn = col("_n")
+    val uB = col("_rb") - (nB * (nB + 1)).cast("double") / 2
+    val mu = (nA * nB).cast("double") / 2
+    val sig2 = (nA * nB).cast("double") / 12 *
+      ((nn + 1).cast("double") -
+        col("_tsum").cast("double") / (nn * (nn - 1)).cast("double"))
+    val z = when(nA > 0 && nB > 0 && nn > 1 && sig2 > 0,
+      (uB - mu) / sqrt(sig2))
+    perGroup.join(ties, Seq("_g"))
+      .select(col("_g").as(groupCol), col("n_a"), col("n_b"),
+        uB.as("u_b"), z.as("z"))
+      .withColumn("b_higher",
+        coalesce(col("z") > zCrit, lit(false)))
+  }
+
+  /** Kendall τ-b per group between two scoring functions over the
+    * same items — the tie-corrected rank-agreement coefficient
+    * `τ_b = (C − D) / sqrt((n₀ − t_a)(n₀ − t_b))` with n₀ = n(n−1)/2,
+    * t_a/t_b = pairs tied in a/b (pair-counting identity). Emits
+    * exact pair counts and UNROUNDED `tau_b` (NULL when either factor
+    * is 0 — a constant ranking has no defined τ).
+    *
+    * Scale: the self-join is group-keyed (Catalyst sort-merges on the
+    * group) and emits exactly the n(n−1)/2 within-group pairs — O(d²)
+    * per group by DESIGN; the caller obligation is ranking-depth-sized
+    * groups (d ≲ 10⁴), and n₀ products stay far inside the double's
+    * 2⁵³ integer range there. */
+  def kendallTauB(rankings: DataFrame, groupCol: String,
+      itemCol: String, aCol: String, bCol: String): DataFrame = {
+    val l = rankings.select(col(groupCol).as("_g"),
+      col(itemCol).as("_i"), col(aCol).cast("double").as("_a"),
+      col(bCol).cast("double").as("_b"))
+    val r = rankings.select(col(groupCol).as("_g2"),
+      col(itemCol).as("_i2"), col(aCol).cast("double").as("_a2"),
+      col(bCol).cast("double").as("_b2"))
+    val pairs = l.join(r, col("_g") === col("_g2") &&
+      col("_i") < col("_i2"))
+    val sa = signum(col("_a") - col("_a2"))
+    val sb = signum(col("_b") - col("_b2"))
+    val agg = pairs.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(sa * sb > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(sa * sb < 0, 1L).otherwise(0L)).as("discordant"),
+        sum(when(sa === 0, 1L).otherwise(0L)).as("tied_a"),
+        sum(when(sb === 0, 1L).otherwise(0L)).as("tied_b"))
+    val fa = (col("n_pairs") - col("tied_a")).cast("double")
+    val fb = (col("n_pairs") - col("tied_b")).cast("double")
+    val tau = when(col("n_pairs") > col("tied_a") &&
+        col("n_pairs") > col("tied_b"),
+      (col("concordant") - col("discordant")).cast("double") /
+        sqrt(fa * fb))
+    agg.select(col("_g").as(groupCol), col("n_pairs"),
+      col("concordant"), col("discordant"), col("tied_a"),
+      col("tied_b"), tau.as("tau_b"))
+  }
+}

@@ -696,4 +696,63 @@ object Rollouts {
       .withColumn("position_biased",
         col("wilson_lo") > 0.5 || col("wilson_hi") < 0.5)
   }
+
+  /** Repetition/degeneration screen — the rollout-QA pass that
+    * catches the two classic failure modes of greedy-ish decoding
+    * (Holtzman 2020, "neural text degeneration"): (a) TRAILING LOOPS —
+    * the answer ends by repeating a block of ≤ `maxPeriod` tokens
+    * (detected exactly: the last p tokens equal the p before them;
+    * `min_period` = smallest such p), and (b) STUTTER — adjacent
+    * duplicate tokens anywhere (flagged when ≥ 1/8 of tokens repeat
+    * their predecessor — an exact integer gate `8·dups ≥ n_tokens`,
+    * no float ratio in the decision). Emits per group: `n_docs`,
+    * `n_looped`, `n_stuttery`, and `pct_looped` (ONE division of
+    * exact longs — UNROUNDED, the exact-rational stance).
+    *
+    * Scale: loop detection is per-row narrow work (2·maxPeriod
+    * bounded array slices, plan literals — no HOF, no shuffle);
+    * stutter counts ride the [[distinctNgrams]] position-explode
+    * idiom (token-rows exist map-side only, collapsing into the
+    * (group, id)-keyed partial agg in the SAME stage), then ONE
+    * group-keyed aggregate of three longs. Text never shuffles —
+    * only (group, id, two ints) rows do. */
+  def repetitionScreen(samples: DataFrame, groupCol: String,
+      idCol: String, textCol: String, maxPeriod: Int = 4): DataFrame = {
+    require(maxPeriod >= 1, s"maxPeriod=$maxPeriod")
+    val toks = filter(split(trim(col(textCol)), "\\s+"),
+      t => length(t) > 0)
+    val L = size(col("_t"))
+    // smallest trailing period: slice(t, L−2p+1, p) == slice(t, L−p+1, p)
+    val minPeriod = (1 to maxPeriod).foldRight(lit(null)
+        .cast("int")) { (p, rest) =>
+      when(L >= 2 * p &&
+        slice(col("_t"), L - (2 * p - 1), lit(p)) ===
+          slice(col("_t"), L - (p - 1), lit(p)), lit(p)).otherwise(rest)
+    }
+    val perDoc = samples
+      .select(col(groupCol).as("_g"), col(idCol).as("_id"), toks.as("_t"))
+      .select(col("_g"), col("_id"), col("_t"), L.as("_n"),
+        minPeriod.as("_mp"))
+      // every doc keeps ≥1 position row (sequence(2, max(n,2)) — the
+      // i ≤ n guard zeroes the padding), so short docs stay counted
+      .select(col("_g"), col("_id"), col("_n"), col("_mp"),
+        explode(sequence(lit(2), greatest(col("_n"), lit(2)))).as("_i"),
+        col("_t"))
+      .select(col("_g"), col("_id"), col("_n"), col("_mp"),
+        when(col("_i") <= col("_n") &&
+          element_at(col("_t"), col("_i")) ===
+            element_at(col("_t"), col("_i") - 1), 1L)
+          .otherwise(0L).as("_dup"))
+      .groupBy(col("_g"), col("_id"), col("_n"), col("_mp"))
+      .agg(sum(col("_dup")).as("_dups"))
+    perDoc.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_mp").isNotNull.cast("long")).as("n_looped"),
+        sum((col("_n") > 0 && col("_dups") * 8 >= col("_n"))
+          .cast("long")).as("n_stuttery"))
+      .select(col("_g").as(groupCol), col("n_docs"), col("n_looped"),
+        col("n_stuttery"),
+        (col("n_looped").cast("double") / col("n_docs").cast("double"))
+          .as("pct_looped"))
+  }
 }

@@ -41,7 +41,10 @@ object ExplainCheck {
         "q_prefix_cache","q_scaling_fit","q_truncation_screen",
         "q_refusal_screen","q_mattr","q_pareto_select","q_vocab_growth",
         "q_heaps_fit","q_offpolicy_eval","q_brier_decomp","q_bon_curve","q_lc_winrate","q_rbo",
-        "q_vocab_richness","q_spiegelhalter","q_mcnemar","q_cusum")) {
+        "q_vocab_richness","q_spiegelhalter","q_mcnemar","q_cusum",
+        // round-16 batch 5: rank/experiment statistics
+        "q_cochran_q","q_wilcoxon","q_mannwhitney","q_kendall_tau",
+        "q_bh_fdr","q_power_2prop","q_sprt","q_repetition_loop")) {
       println(s"########## $q")
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -200,4 +200,46 @@ class AgreementSpec extends AnyFunSuite {
     assert(g3.isNullAt(g3.fieldIndex("chi2")))
     assert(!g3.getAs[Boolean]("b_better"))
   }
+
+  test("cochranQ: hand-computed 3-model block") {
+    // items × models (m1,m2,m3): (1,1,0) (1,0,0) (1,1,1) (0,0,0)
+    // L = 2,1,3,0; G = 3,2,1 → ΣG² = 14, ΣG = 6, ΣL² = 14
+    // Q = 2·(3·14 − 36)/(3·6 − 14) = 12/4 = 3
+    val rows = for {
+      (ok, item) <- Seq(Seq(1, 1, 0), Seq(1, 0, 0), Seq(1, 1, 1),
+        Seq(0, 0, 0)).zipWithIndex
+      (v, m) <- ok.zipWithIndex
+    } yield ("g", item.toLong, s"m$m", v == 1)
+    val out = Agreement.cochranQ(rows.toDF("grp", "item", "model", "ok"),
+      "grp", "item", "model", "ok").head()
+    assert(out.getAs[Long]("k") === 3L)
+    assert(out.getAs[Long]("n_items") === 4L)
+    assert(out.getAs[Double]("q_stat") === 3.0)
+    assert(out.getAs[Long]("df") === 2L)
+    assert(!out.getAs[Boolean]("rejected"))
+  }
+
+  test("cochranQ: zero denominator (all models agree on every item) → NULL") {
+    val rows = for {
+      item <- 1 to 3; m <- Seq("m0", "m1")
+    } yield ("g", item.toLong, m, item % 2 == 0)
+    val out = Agreement.cochranQ(rows.toDF("grp", "item", "model", "ok"),
+      "grp", "item", "model", "ok").head()
+    // L_i ∈ {0, k} everywhere → k·ΣL = ΣL² → denominator 0
+    assert(out.isNullAt(out.fieldIndex("q_stat")))
+    assert(!out.getAs[Boolean]("rejected"))
+  }
+
+  test("cochranQ: rejects when one model dominates") {
+    // 8 items: m0 always right, m1/m2 always wrong → maximal spread
+    // L_i = 1 ∀i; G = (8,0,0) → Q = 2·(3·64 − 64)/(3·8 − 8) = 16
+    val rows = for {
+      item <- 1 to 8; (m, ok) <- Seq(("m0", true), ("m1", false),
+        ("m2", false))
+    } yield ("g", item.toLong, m, ok)
+    val out = Agreement.cochranQ(rows.toDF("grp", "item", "model", "ok"),
+      "grp", "item", "model", "ok").head()
+    assert(out.getAs[Double]("q_stat") === 16.0)
+    assert(out.getAs[Boolean]("rejected"))
+  }
 }

@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExperimentsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("bhFdr: step-up rule rejects the largest passing prefix") {
+    // m = 4, q = 0.1 → thresholds 0.025/0.05/0.075/0.1
+    // p = .01 .02 .03 .5 → all of the first three pass → k* = 3
+    val df = Seq(("f", "t1", 0.01), ("f", "t2", 0.02),
+      ("f", "t3", 0.03), ("f", "t4", 0.5))
+      .toDF("family", "test", "p")
+    val out = Experiments.bhFdr(df, "family", "test", "p", qLevel = 0.1)
+      .orderBy("rank").collect()
+    assert(out.map(_.getBoolean(6)).toSeq ===
+      Seq(true, true, true, false))
+    // adjusted p: suffix-min of m·p/i, capped at 1
+    val cand = Seq(4.0 * 0.01 / 1, 4.0 * 0.02 / 2, 4.0 * 0.03 / 3,
+      4.0 * 0.5 / 4)
+    val adj = cand.indices.map(i => cand.drop(i).min)
+    assert(out.map(_.getDouble(5)).toSeq === adj)
+  }
+
+  test("bhFdr: the non-monotone case BH exists for — a later small p rescues earlier ones") {
+    // p = .04 .049 — at q=.05, i=1: .04 > .025 FAILS alone, but i=2:
+    // .049 ≤ .05 passes → k* = 2 rejects BOTH (the step-up property)
+    val df = Seq(("f", "t1", 0.04), ("f", "t2", 0.049))
+      .toDF("family", "test", "p")
+    val out = Experiments.bhFdr(df, "family", "test", "p", qLevel = 0.05)
+      .orderBy("rank").collect()
+    assert(out.map(_.getBoolean(6)).toSeq === Seq(true, true))
+  }
+
+  test("bhFdr: nothing passes → k* NULL → rejected all false; families independent") {
+    val df = Seq(("f1", "t1", 0.9), ("f1", "t2", 0.8),
+      ("f2", "t1", 0.001)).toDF("family", "test", "p")
+    val out = Experiments.bhFdr(df, "family", "test", "p", qLevel = 0.05)
+      .orderBy("family", "rank").collect()
+    assert(out.filter(_.getString(0) == "f1").forall(!_.getBoolean(6)))
+    assert(out.filter(_.getString(0) == "f2").forall(_.getBoolean(6)))
+  }
+
+  test("powerTwoProportion: closed-form hand check and the p1 ≥ 1 NULL") {
+    val df = Seq(("g", 0.5), ("h", 0.95)).toDF("grp", "p0")
+    val out = Experiments.powerTwoProportion(df, "grp", "p0",
+      deltas = Seq(0.1)).orderBy("grp").collect()
+    val (za, zb) = (1.959964, 0.841621)
+    val (p0, p1) = (0.5, 0.6); val pbar = (p0 + p1) / 2
+    val num = za * math.sqrt(2.0 * pbar * (1.0 - pbar)) +
+      zb * math.sqrt(p0 * (1.0 - p0) + p1 * (1.0 - p1))
+    val expected = math.ceil(num * num / (0.1 * 0.1)).toLong
+    assert(out(0).getLong(3) === expected)
+    assert(out(0).getLong(4) === expected * 2)
+    assert(out(1).isNullAt(3), "p1 = 1.05 is undetectable → NULL")
+  }
+
+  test("sprt: first crossings and the continue verdict") {
+    val (c1, c0, a, b) = Experiments.sprtConstants(0.5, 0.6, 0.3, 0.3)
+    // all-wins: llr_i = i·c1 crosses A at ceil(a/c1); all-losses at
+    // ceil(a/|c0|) (symmetric alpha=beta → B = −A)
+    val winCross = math.ceil(a / c1).toInt
+    val lossCross = math.ceil(a / -c0).toInt
+    val wins = (1 to winCross + 1).map(i => ("p1", i.toLong, true))
+    val losses = (1 to lossCross + 1).map(i => ("p2", i.toLong, false))
+    val undecided = Seq(("p3", 1L, true), ("p3", 2L, false))
+    val df = (wins ++ losses ++ undecided).toDF("pair", "ord", "win")
+    val out = Experiments.sprt(df, "pair", "ord", "win",
+        p0 = 0.5, p1 = 0.6, alpha = 0.3, beta = 0.3)
+      .orderBy("pair").collect()
+    assert(out(0).getString(5) === "accept_h1")
+    assert(out(0).getLong(6) === winCross.toLong)
+    assert(out(0).getBoolean(4) === true)
+    assert(out(1).getString(5) === "accept_h0")
+    assert(out(1).getLong(6) === lossCross.toLong)
+    assert(out(2).getString(5) === "continue")
+    assert(out(2).isNullAt(6) && !out(2).getBoolean(4))
+    // llr_final is the exact count-weighted literal combination
+    assert(out(2).getDouble(3) === 1.0 * c1 + 1.0 * c0)
+  }
+
+  test("sprt: the first crossing wins even if the other boundary is crossed later") {
+    val (c1, _, a, _) = Experiments.sprtConstants(0.5, 0.6, 0.3, 0.3)
+    val n = math.ceil(a / c1).toInt
+    // cross H1 first, then lose forever — decision stays accept_h1
+    val rows = (1 to n).map(i => ("p", i.toLong, true)) ++
+      (n + 1 to n + 40).map(i => ("p", i.toLong, false))
+    val out = Experiments.sprt(rows.toDF("pair", "ord", "win"),
+      "pair", "ord", "win", 0.5, 0.6, 0.3, 0.3).head()
+    assert(out.getString(5) === "accept_h1")
+    assert(out.getLong(6) === n.toLong)
+  }
+
+  test("sprtConstants: rejects degenerate hypotheses") {
+    intercept[IllegalArgumentException] {
+      Experiments.sprtConstants(0.5, 0.5, 0.05, 0.05)
+    }
+    intercept[IllegalArgumentException] {
+      Experiments.sprtConstants(0.5, 0.6, 0.0, 0.05)
+    }
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.scalatest.funsuite.AnyFunSuite
+
+class RankTestsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("wilcoxonSignedRank: distinct ranks, zeros excluded") {
+    // diffs (b−a): +1 −2 +3 −4 +5 (plus one zero pair, excluded)
+    // ranks of |d| = 1..5; W+ = 1+3+5 = 9; μ = 5·6/4 = 7.5
+    // σ² = (2·5·6·11 − 0)/48 = 660/48; z = 1.5/sqrt(13.75)
+    val df = Seq(
+      ("g", 0.0, 1.0), ("g", 2.0, 0.0), ("g", 0.0, 3.0),
+      ("g", 4.0, 0.0), ("g", 0.0, 5.0), ("g", 7.0, 7.0))
+      .toDF("grp", "a", "b")
+    val out = RankTests.wilcoxonSignedRank(df, "grp", "a", "b").head()
+    assert(out.getLong(1) === 5L)
+    assert(out.getDouble(2) === 9.0)
+    assert(out.getDouble(3) === 1.5 / math.sqrt(660.0 / 48))
+    assert(out.getBoolean(4) === false)
+  }
+
+  test("wilcoxonSignedRank: all-tied magnitudes use midranks and the tie correction") {
+    // diffs +1 +1 −1: midranks all (1+2+3)/3 = 2 → W+ = 4; μ = 3
+    // T = 3³−3 = 24 → σ² = (2·3·4·7 − 24)/48 = 144/48 = 3
+    val df = Seq(("g", 0.0, 1.0), ("g", 0.0, 1.0), ("g", 1.0, 0.0))
+      .toDF("grp", "a", "b")
+    val out = RankTests.wilcoxonSignedRank(df, "grp", "a", "b").head()
+    assert(out.getLong(1) === 3L)
+    assert(out.getDouble(2) === 4.0)
+    assert(out.getDouble(3) === 1.0 / math.sqrt(3.0))
+  }
+
+  test("wilcoxonSignedRank: single pair has zero variance → NULL z") {
+    // n = 1: varNum = 2·1·2·3 − (1³−1 = 0)... = 12 > 0 — NOT degenerate;
+    // the true zero-variance case is n=1 WITH the tie mass of itself:
+    // T = 0, so use the all-zero-diff frame instead → no rows at all.
+    val allZero = Seq(("g", 1.0, 1.0)).toDF("grp", "a", "b")
+    assert(RankTests.wilcoxonSignedRank(allZero, "grp", "a", "b")
+      .count() === 0L)
+  }
+
+  test("mannWhitneyU: textbook tie-corrected case") {
+    // A = 1,2,3  B = 2,3,4 → midranks 1, 2.5, 2.5, 4.5, 4.5, 6
+    // R_B = 2.5+4.5+6 = 13 → U_B = 13 − 6 = 7; μ = 4.5
+    // T = 6+6 = 12 → σ² = (9/12)·(7 − 12/30)
+    val df = Seq(
+      ("g", false, 1.0), ("g", false, 2.0), ("g", false, 3.0),
+      ("g", true, 2.0), ("g", true, 3.0), ("g", true, 4.0))
+      .toDF("grp", "side", "v")
+    val out = RankTests.mannWhitneyU(df, "grp", "side", "v").head()
+    assert(out.getLong(1) === 3L && out.getLong(2) === 3L)
+    assert(out.getDouble(3) === 7.0)
+    val sig2 = 9.0 / 12 * (7.0 - 12.0 / 30)
+    assert(out.getDouble(4) === 2.5 / math.sqrt(sig2))
+    assert(out.getBoolean(5) === false)
+  }
+
+  test("mannWhitneyU: one-sided sample and all-tied values → NULL z") {
+    val oneSide = Seq(("g", true, 1.0), ("g", true, 2.0))
+      .toDF("grp", "side", "v")
+    assert(RankTests.mannWhitneyU(oneSide, "grp", "side", "v")
+      .head().isNullAt(4))
+    val allTied = Seq(("g", true, 1.0), ("g", false, 1.0))
+      .toDF("grp", "side", "v")
+    assert(RankTests.mannWhitneyU(allTied, "grp", "side", "v")
+      .head().isNullAt(4))
+  }
+
+  test("kendallTauB: one swap, no ties") {
+    // a = 1,2,3,4  b = 1,3,2,4 → C = 5, D = 1, τ = 4/6
+    val df = Seq(("q", 1L, 1.0, 1.0), ("q", 2L, 2.0, 3.0),
+      ("q", 3L, 3.0, 2.0), ("q", 4L, 4.0, 4.0))
+      .toDF("qid", "item", "a", "b")
+    val out = RankTests.kendallTauB(df, "qid", "item", "a", "b").head()
+    assert(out.getLong(1) === 6L)
+    assert(out.getLong(2) === 5L && out.getLong(3) === 1L)
+    assert(out.getDouble(6) === 4.0 / 6.0)
+  }
+
+  test("kendallTauB: tie correction and the constant-ranking NULL") {
+    // a = 1,1,2  b = 1,2,2 → C=1 D=0 tA=1 tB=1 → τ = 1/sqrt(2·2) = 0.5
+    val df = Seq(("q", 1L, 1.0, 1.0), ("q", 2L, 1.0, 2.0),
+      ("q", 3L, 2.0, 2.0)).toDF("qid", "item", "a", "b")
+    val out = RankTests.kendallTauB(df, "qid", "item", "a", "b").head()
+    assert(out.getLong(4) === 1L && out.getLong(5) === 1L)
+    assert(out.getDouble(6) === 0.5)
+    val const = Seq(("q", 1L, 1.0, 1.0), ("q", 2L, 1.0, 2.0))
+      .toDF("qid", "item", "a", "b")
+    assert(RankTests.kendallTauB(const, "qid", "item", "a", "b")
+      .head().isNullAt(6), "constant a-ranking has undefined tau")
+  }
+}

@@ -482,4 +482,41 @@ class RolloutsSpec extends AnyFunSuite {
     assert(out("L").getAs[Double]("lc_win_rate") ===
       out("S").getAs[Double]("lc_win_rate"))
   }
+
+  test("repetitionScreen: trailing loops, stutter, and clean docs") {
+    val docs = Seq(
+      ("g", 1L, "a b c d"),          // clean
+      ("g", 2L, "p q x y x y"),      // trailing period-2 loop
+      ("g", 3L, "a a a b"),          // stutter (2 dups / 4 ≥ 1/8), no loop
+      ("g", 4L, "w w"),              // period-1 loop AND stutter
+      ("g", 5L, ""),                 // empty: counted, unflagged
+      ("h", 6L, "x z x z q"))        // loop pattern NOT at the tail
+      .toDF("grp", "id", "answer")
+    val out = Rollouts.repetitionScreen(docs, "grp", "id", "answer")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert(g.getAs[Long]("n_docs") === 5L)
+    assert(g.getAs[Long]("n_looped") === 2L)
+    assert(g.getAs[Long]("n_stuttery") === 2L)
+    assert(g.getAs[Double]("pct_looped") === 2.0 / 5.0)
+    val h = out("h")
+    assert(h.getAs[Long]("n_looped") === 0L,
+      "mid-text repetition that stops before the tail is not a trailing loop")
+    assert(h.getAs[Long]("n_stuttery") === 0L)
+  }
+
+  test("repetitionScreen: min period prefers the smallest p") {
+    // "x x x x": p=1 matches (last x == prev x) → the p=2 match must
+    // not shadow it; verified through the loop count with maxPeriod=1
+    // vs a doc that ONLY matches at p=2
+    val docs = Seq(("g", 1L, "a x x x x"), ("g", 2L, "a b c b c"))
+      .toDF("grp", "id", "answer")
+    val p1 = Rollouts.repetitionScreen(docs, "grp", "id", "answer",
+      maxPeriod = 1).head()
+    assert(p1.getAs[Long]("n_looped") === 1L,
+      "at maxPeriod=1 only the period-1 doc flags")
+    val p2 = Rollouts.repetitionScreen(docs, "grp", "id", "answer",
+      maxPeriod = 2).head()
+    assert(p2.getAs[Long]("n_looped") === 2L)
+  }
 }
