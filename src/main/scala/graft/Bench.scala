@@ -131,7 +131,9 @@ object Bench {
     "q_refusal_screen", "q_mattr", "q_pareto_select", "q_vocab_growth",
     "q_heaps_fit", "q_offpolicy_eval", "q_brier_decomp", "q_bon_curve",
     "q_lc_winrate", "q_rbo", "q_vocab_richness", "q_spiegelhalter",
-    "q_mcnemar", "q_cusum")
+    "q_mcnemar", "q_cusum",
+    "q_cochran_q", "q_wilcoxon", "q_mannwhitney", "q_kendall_tau",
+    "q_bh_fdr", "q_power_2prop", "q_sprt", "q_repetition_loop")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
