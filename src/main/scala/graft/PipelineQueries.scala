@@ -11506,6 +11506,166 @@ object PipelineQueries {
           .otherwise(col("text")).as("ans"))
       graft.ops.Rollouts.repetitionScreen(docs, "source", "doc_id",
         "ans", maxPeriod = 4).orderBy(col("source"))
+    },
+
+    // Split conformal threshold + coverage per source: k from EXACT
+    // ceil-division (the numerator in longs, one floor of a float
+    // division — mirrored literally in DuckDB, whose int `/` is also
+    // float division); qhat the k-th smallest dyadic score.
+    q("q_conformal",
+      """WITH b AS (SELECT source,
+        |    CAST((doc_id*5)%64 AS DOUBLE)/64 AS s,
+        |    doc_id%3 < 2 AS is_cal FROM documents),
+        |c AS (SELECT source, s,
+        |    row_number() OVER (PARTITION BY source ORDER BY s) AS r,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM b WHERE is_cal),
+        |cc AS (SELECT source, CAST(max(n) AS BIGINT) AS n_cal
+        |  FROM c GROUP BY source),
+        |qh AS (SELECT source, s AS qhat FROM c
+        |  WHERE r = CAST(floor(CAST((n+1)*3 + 3 AS DOUBLE)
+        |    / CAST(4 AS DOUBLE)) AS BIGINT)),
+        |e AS (SELECT b.source, CAST(count(*) AS BIGINT) AS n_eval,
+        |    CAST(sum(CASE WHEN s <= qhat THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cov,
+        |    max(CASE WHEN qhat IS NOT NULL THEN 1 ELSE 0 END) AS hasq
+        |  FROM b LEFT JOIN qh ON b.source = qh.source
+        |  WHERE NOT is_cal GROUP BY b.source)
+        |SELECT cc.source, n_cal,
+        |  CAST(floor(CAST((n_cal+1)*3 + 3 AS DOUBLE)
+        |    / CAST(4 AS DOUBLE)) AS BIGINT) AS k_rank,
+        |  qhat, COALESCE(n_eval, 0) AS n_eval,
+        |  CASE WHEN hasq = 1 THEN cov END AS n_covered,
+        |  CAST(CASE WHEN hasq = 1 THEN cov END AS DOUBLE)
+        |    / CAST(n_eval AS DOUBLE) AS coverage
+        |FROM cc LEFT JOIN qh ON cc.source = qh.source
+        |  LEFT JOIN e ON cc.source = e.source
+        |ORDER BY cc.source""".stripMargin) { (s, dir) =>
+      val b = t(s, dir, "documents").select(col("source"),
+        ((col("doc_id") * 5 % 64).cast("double") / 64).as("s"),
+        (col("doc_id") % 3 < 2).as("is_cal"))
+      graft.ops.Classifier.conformalCalibration(b, "source", "s",
+        "is_cal", alphaNum = 1, alphaDen = 4).orderBy(col("source"))
+    },
+
+    // IFEval verifiable-instruction checks over synthesized answers:
+    // all four checks exact splits/substrings, pass counts exact
+    // longs, strict_rate ONE division UNROUNDED. Variant selector %3
+    // (coprime to 20) so every source sees all three answer shapes.
+    q("q_ifeval",
+      """WITH a AS (SELECT source,
+        |    CASE doc_id%3
+        |      WHEN 0 THEN '- ' || substr(text, 1, 40) || chr(10)
+        |        || '- done.'
+        |      WHEN 1 THEN substr(text, 1, 25)
+        |      ELSE 'As an AI model: ' || substr(text, 1, 30) || '!'
+        |    END AS ans FROM documents),
+        |ck AS (SELECT source,
+        |    len(list_filter(regexp_split_to_array(trim(ans), '\s+'),
+        |      x -> x <> '')) BETWEEN 3 AND 60 AS c_words,
+        |    len(list_filter(string_split(ans, chr(10)),
+        |      x -> x LIKE '- %' OR x LIKE '* %')) >= 2 AS c_bullets,
+        |    right(trim(ans), 1) IN ('.', '!', '?') AS c_punct,
+        |    position('as an ai' IN lower(ans)) = 0 AS c_clean
+        |  FROM a)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(CASE WHEN c_words THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_word_count,
+        |  CAST(sum(CASE WHEN c_bullets THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bullets,
+        |  CAST(sum(CASE WHEN c_punct THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_ends_punct,
+        |  CAST(sum(CASE WHEN c_clean THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_no_forbidden,
+        |  CAST(sum(CASE WHEN c_words AND c_bullets AND c_punct
+        |    AND c_clean THEN 1 ELSE 0 END) AS BIGINT) AS n_strict,
+        |  CAST(sum(CASE WHEN c_words AND c_bullets AND c_punct
+        |    AND c_clean THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS strict_rate
+        |FROM ck GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+      val a = t(s, dir, "documents").select(col("source"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("- "), substring(col("text"), 1, 40), lit("\n"),
+            lit("- done.")))
+          .when(col("doc_id") % 3 === 1, substring(col("text"), 1, 25))
+          .otherwise(concat(lit("As an AI model: "),
+            substring(col("text"), 1, 30), lit("!"))).as("ans"))
+      graft.ops.InstructionEval.ifevalReport(a, "source", "ans",
+        minWords = 3, maxWords = 60, bulletMin = 2,
+        forbidden = Seq("as an ai")).orderBy(col("source"))
+    },
+
+    // Confident-learning label-noise joint over a 3-class dyadic prob
+    // synthesis: thresholds are means of /16-grid doubles (exact and
+    // order-free), gates and the (p, index) argmax exact comparisons,
+    // class_share one long division UNROUNDED.
+    q("q_label_noise",
+      """WITH r AS (SELECT doc_id, doc_id%3 AS given,
+        |    CAST((doc_id*5)%9 AS DOUBLE)/16 AS p0,
+        |    CAST((doc_id*7)%9 AS DOUBLE)/16 AS p1
+        |  FROM documents),
+        |x AS (SELECT doc_id, given, 0 AS j, p0 AS p FROM r
+        |  UNION ALL SELECT doc_id, given, 1, p1 FROM r
+        |  UNION ALL SELECT doc_id, given, 2,
+        |    CAST(1.0 AS DOUBLE) - p0 - p1 FROM r),
+        |th AS (SELECT j, avg(p) AS t FROM x WHERE given = j GROUP BY j),
+        |cand AS (SELECT doc_id, given, x.j, p,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY p DESC, x.j ASC) AS rn
+        |  FROM x JOIN th ON x.j = th.j WHERE p >= t),
+        |joint AS (SELECT given AS given_label, j AS suggested_label,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM cand WHERE rn = 1 GROUP BY given, j),
+        |ct AS (SELECT given_label, CAST(sum(n_rows) AS BIGINT) AS c
+        |  FROM joint GROUP BY given_label)
+        |SELECT joint.given_label, suggested_label, n_rows,
+        |  given_label <> suggested_label AS suspect,
+        |  CAST(n_rows AS DOUBLE) / CAST(c AS DOUBLE) AS class_share
+        |FROM joint JOIN ct USING (given_label)
+        |ORDER BY given_label, suggested_label""".stripMargin) {
+      (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 3).as("given"),
+        ((col("doc_id") * 5 % 9).cast("double") / 16).as("p0"),
+        ((col("doc_id") * 7 % 9).cast("double") / 16).as("p1"))
+        .select(col("doc_id"), col("given"), array(col("p0"), col("p1"),
+          lit(1.0) - col("p0") - col("p1")).as("probs"))
+      graft.ops.Classifier.labelNoiseEstimate(d, "doc_id", "given",
+        "probs").orderBy(col("given_label"), col("suggested_label"))
+    },
+
+    // Mixture-concentration report per lang, char-mass weighted:
+    // Simpson needs NO libm (why it beats entropy here); the fold is
+    // source-sorted; rounds are final-projection (boundary-audited).
+    q("q_concentration",
+      """WITH c AS (SELECT lang, source,
+        |    CAST(sum(n_chars) AS BIGINT) AS c
+        |  FROM documents GROUP BY lang, source),
+        |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tw
+        |  FROM c GROUP BY lang),
+        |g AS (SELECT c.lang, max(tw) AS total_weight,
+        |    CAST(count(*) AS BIGINT) AS n_sources,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list((CAST(c AS DOUBLE)/CAST(tw AS DOUBLE))
+        |          * (CAST(c AS DOUBLE)/CAST(tw AS DOUBLE))
+        |        ORDER BY source)), (a, b) -> a + b) AS simpson_raw
+        |  FROM c JOIN tot ON c.lang = tot.lang GROUP BY c.lang),
+        |tp AS (SELECT lang, source AS top_source, c AS top_c,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY c DESC, source ASC) AS rn FROM c)
+        |SELECT g.lang, total_weight, n_sources,
+        |  round(simpson_raw, 6) AS simpson,
+        |  round(CAST(1.0 AS DOUBLE) / simpson_raw, 6)
+        |    AS effective_sources,
+        |  top_source,
+        |  round(CAST(top_c AS DOUBLE) / CAST(total_weight AS DOUBLE), 6)
+        |    AS top_share
+        |FROM g JOIN tp ON g.lang = tp.lang AND rn = 1
+        |ORDER BY g.lang""".stripMargin) { (s, dir) =>
+      graft.ops.Sampling.concentrationReport(t(s, dir, "documents"),
+        "lang", "source", weight = col("n_chars"))
+        .orderBy(col("lang"))
     }
   )
 

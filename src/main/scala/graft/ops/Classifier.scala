@@ -504,4 +504,114 @@ object Classifier {
       .withColumn("miscalibrated",
         coalesce(abs(col("z")) > zCrit, lit(false)))
   }
+
+  /** Split conformal prediction threshold + coverage check (Vovk 2005;
+    * Angelopoulos & Bates 2021 §1): per group, the conformal quantile
+    * `q̂` = the k-th SMALLEST calibration nonconformity score with
+    * `k = ⌈(n+1)·(1−α)⌉` — the finite-sample-correct rank that makes
+    * `score ≤ q̂` a marginal ≥(1−α) coverage guarantee on exchangeable
+    * data — plus the empirical coverage of a held-out eval split
+    * against that q̂ (the sanity check a conformal deployment runs).
+    * `isCalCol` (boolean) routes rows: true = calibration, false =
+    * eval. When k > n (calibration set too small for the target level,
+    * n < (1−α)/α at the extreme) q̂ is NULL and eval coverage is the
+    * honest NULL, not a pretend-∞ pass.
+    *
+    * Determinism: k comes from EXACT integer arithmetic on a rational
+    * miscoverage α = alphaNum/alphaDen — `k = ⌈(n+1)·(den−num)/den⌉ =
+    * (den−num + (n+1)·(den−num) − 1) div den`-style ceil-division of
+    * longs — because the float route `ceil((n+1)·(1−α))` lands ON an
+    * integer whenever (n+1)·α is whole and the IEEE product's rounding
+    * direction (not math) would decide k. The k-th smallest VALUE is
+    * tie-order-free (any row_number tie-break at rank k carries the
+    * same score). Coverage is one division of exact longs, UNROUNDED.
+    *
+    * Scale: the honest cost is ONE sort-shuffle of the calibration
+    * rows (group-partitioned row_number — narrow (group, score)
+    * pairs); counts ride the same window; the (group, q̂) frame is
+    * group-count-sized and broadcast-joins the eval aggregate. */
+  def conformalCalibration(df: DataFrame, groupCol: String,
+      scoreCol: String, isCalCol: String, alphaNum: Int,
+      alphaDen: Int): DataFrame = {
+    require(alphaNum > 0 && alphaDen > alphaNum,
+      s"need 0 < alpha = $alphaNum/$alphaDen < 1")
+    val keep = lit(alphaDen.toLong - alphaNum.toLong)
+    val base = df.select(col(groupCol).as("_g"),
+      col(scoreCol).cast("double").as("_s"),
+      col(isCalCol).cast("boolean").as("_cal"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_s"))
+    // exact ceil-division k = ceil((n+1)(den-num)/den): the numerator
+    // is long arithmetic; Spark's `/` is float division, so the final
+    // step is floor() of a double — exact while (n+1)·den < 2⁵³
+    // (n ≲ 9·10¹³ at den=100; any real calibration set)
+    def kOf(n: Column) = floor(
+      ((n + 1) * keep + lit(alphaDen.toLong) - 1).cast("double") /
+        lit(alphaDen.toDouble)).cast("long")
+    val calCounts = base.filter(col("_cal")).groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_cal"))
+    val qhat = base.filter(col("_cal"))
+      .withColumn("_r", row_number().over(w))
+      .join(broadcast(calCounts), Seq("_g"))
+      .filter(col("_r") === kOf(col("n_cal")))
+      .select(col("_g"), col("_s").as("qhat"))
+    val evals = base.filter(!col("_cal"))
+      .join(broadcast(qhat), Seq("_g"), "left")
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("_s") <= col("qhat"), 1L).otherwise(0L)).as("_cov"),
+        max(col("qhat").isNotNull.cast("int")).as("_hasq"))
+    calCounts.join(qhat, Seq("_g"), "left").join(evals, Seq("_g"), "left")
+      .select(col("_g").as(groupCol), col("n_cal"),
+        kOf(col("n_cal")).as("k_rank"), col("qhat"),
+        coalesce(col("n_eval"), lit(0L)).as("n_eval"),
+        when(col("_hasq") === 1, col("_cov")).as("n_covered"))
+      .withColumn("coverage",
+        col("n_covered").cast("double") / col("n_eval").cast("double"))
+  }
+
+  /** Confident-learning label-noise estimate (Northcutt, Jiang & Chuang
+    * 2021, "Confident Learning", §3): per-class confidence thresholds
+    * `t_j = mean p_j over rows GIVEN-labeled j`, then each row with
+    * given label i counts into the confident joint `C[i][j]` at
+    * `j* = argmax_j { p_j : p_j ≥ t_j }` (no qualifying class → the
+    * row abstains; ties → smallest class index, stated). Off-diagonal
+    * mass is the estimated label-error set the CL recipe prunes or
+    * reweights. Emits one row per (given_label, suggested_label) with
+    * `n_rows`, `suspect = given ≠ suggested`, and the share of the
+    * given class (one exact-long division, UNROUNDED).
+    *
+    * Determinism: thresholds are means of doubles — exact and
+    * order-free ONLY on dyadic probability grids (the repo's stated
+    * synthesis stance); the `≥ t_j` gate and the (p, index) argmax are
+    * then exact comparisons. Scale: one posexplode of the k-wide prob
+    * array (k rows per doc, map-side), one class-keyed threshold
+    * aggregate (k-row frame, broadcast back), one per-row argmax via
+    * lexicographic struct-max, ONE (given, suggested) grid aggregate —
+    * probs shuffle once as (id, class, p) triples; k is
+    * class-cardinality, never corpus-sized. */
+  def labelNoiseEstimate(df: DataFrame, idCol: String,
+      labelCol: String, probsCol: String): DataFrame = {
+    val rows = df.select(col(idCol).as("_id"),
+        col(labelCol).cast("int").as("_given"),
+        posexplode(col(probsCol)).as(Seq("_j", "_p")))
+    val thresholds = rows.filter(col("_given") === col("_j"))
+      .groupBy(col("_j"))
+      .agg((sum(col("_p")) / count(lit(1))).as("_t"))
+    val chosen = rows.join(broadcast(thresholds), Seq("_j"))
+      .filter(col("_p") >= col("_t"))
+      .groupBy(col("_id"), col("_given"))
+      .agg(max(struct(col("_p"), (-col("_j")).as("_nj"), col("_j")))
+        .as("_best"))
+      .select(col("_given"), col("_best._j").as("_suggested"))
+    val joint = chosen.groupBy(col("_given"), col("_suggested"))
+      .agg(count(lit(1)).as("n_rows"))
+    val classTotals = joint.groupBy(col("_given"))
+      .agg(sum(col("n_rows")).as("_ct"))
+    joint.join(classTotals, Seq("_given"))
+      .select(col("_given").as("given_label"),
+        col("_suggested").as("suggested_label"), col("n_rows"),
+        (col("_given") =!= col("_suggested")).as("suspect"),
+        (col("n_rows").cast("double") / col("_ct").cast("double"))
+          .as("class_share"))
+  }
 }

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Verifiable-instruction-following checks (Zhou et al. 2023,
+  * "Instruction-Following Evaluation for Large Language Models" —
+  * IFEval): the eval family where every instruction is checkable by
+  * CODE, not by a judge model — word-count bounds, bullet-list
+  * minimums, terminal punctuation, forbidden-word avoidance. This is
+  * the standard leakage-free complement to judge-based arena evals
+  * (a judge can be gamed; `len(split(...))` cannot).
+  *
+  * Determinism / cross-engine: every check is exact integer/boolean
+  * arithmetic on whitespace/newline splits and case-folded substring
+  * containment — no regex engine semantics to mismatch, no floats
+  * anywhere except the final pass-rate (ONE division of exact longs,
+  * UNROUNDED). The `split(trim(x), "\\s+")` empty-text phantom
+  * ([[Rollouts.distinctNgrams]]' stance) is filtered.
+  *
+  * Scale: all checks fuse into the scan as narrow per-row work; ONE
+  * group-keyed partial+final aggregate (five longs of state) follows.
+  * Answer text never shuffles — only (group, five booleans) rows do.
+  */
+object InstructionEval {
+
+  /** Per-group IFEval report over sampled answers: `n_samples`,
+    * per-check pass counts (`n_word_count` within
+    * [minWords, maxWords]; `n_bullets` with ≥ bulletMin lines opening
+    * "- " or "* "; `n_ends_punct` trimmed-terminal '.', '!' or '?';
+    * `n_no_forbidden` containing NONE of the case-folded forbidden
+    * phrases), `n_strict` = all four at once (IFEval's strict
+    * accuracy), and `strict_rate`. */
+  def ifevalReport(samples: DataFrame, groupCol: String,
+      answerCol: String, minWords: Int, maxWords: Int, bulletMin: Int,
+      forbidden: Seq[String]): DataFrame = {
+    require(minWords >= 0 && maxWords >= minWords,
+      s"bad word bounds [$minWords, $maxWords]")
+    require(bulletMin >= 0, s"bulletMin=$bulletMin")
+    require(forbidden.nonEmpty, "need >= 1 forbidden phrase")
+    require(forbidden.forall(_.nonEmpty), "empty forbidden phrase")
+    val text = col(answerCol)
+    val words = size(filter(split(trim(text), "\\s+"),
+      t => length(t) > 0))
+    val cWords = words >= minWords && words <= maxWords
+    val bullets = size(filter(split(text, "\n"),
+      l => l.startsWith("- ") || l.startsWith("* ")))
+    val cBullets = bullets >= bulletMin
+    val last = substring(trim(text), -1, 1)
+    val cPunct = last === "." || last === "!" || last === "?"
+    val cForbidden = forbidden.map(p =>
+      !lower(text).contains(lit(p.toLowerCase))).reduce(_ && _)
+    def n(c: Column) = sum(c.cast("long"))
+    samples.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_samples"),
+        n(cWords).as("n_word_count"),
+        n(cBullets).as("n_bullets"),
+        n(cPunct).as("n_ends_punct"),
+        n(cForbidden).as("n_no_forbidden"),
+        n(cWords && cBullets && cPunct && cForbidden).as("n_strict"))
+      .withColumn("strict_rate",
+        col("n_strict").cast("double") / col("n_samples").cast("double"))
+  }
+}

@@ -893,4 +893,52 @@ object Sampling {
       round(when(varX > 0 && varY > 0, cov * cov / (varX * varY)), 6)
         .as("r2"))
   }
+
+  /** Mixture-concentration report — the "is this corpus secretly one
+    * domain" check a mixture plan runs BEFORE trusting its source
+    * shares: per stratum the Simpson concentration `Σ p_s²` (the
+    * probability two independently drawn tokens share a source — the
+    * ecology literature's diversity index, Simpson 1949), its inverse
+    * `1/Σp²` = the EFFECTIVE number of equally-sized sources (the
+    * "effective domains" a DoReMi/quality-mixing run actually has to
+    * work with), and the Berger–Parker dominance `max p_s`. A corpus
+    * with 100 sources but effective_sources ≈ 3 is the imbalance
+    * failure these planners mis-weight on.
+    *
+    * Determinism: shares are exact integer-count rationals; Σp² folds
+    * in SOURCE-SORTED order (the [[Export.shardMixReport]] /
+    * mlOrderedMean discipline — collect the ≤|sources| count grid,
+    * sort, strict left fold), so the rounded outputs can't flip with
+    * aggregation order; dominance picks by (count desc, source asc)
+    * via one lexicographic struct-min — exact. No libm anywhere
+    * (unlike Shannon entropy, Simpson needs no log — that is WHY this
+    * op prefers it).
+    *
+    * Scale: ONE (stratum, source) count aggregate over narrow rows;
+    * everything after runs on the ≤ strata×|sources| grid. `weight`
+    * defaults to rows; pass a token count for token-mass shares. */
+  def concentrationReport(df: DataFrame, stratumCol: String,
+      sourceCol: String, weight: Column = lit(1L)): DataFrame = {
+    val counts = df.groupBy(col(stratumCol), col(sourceCol))
+      .agg(sum(weight.cast("long")).as("_c"))
+    counts.groupBy(col(stratumCol))
+      .agg(sum(col("_c")).as("total_weight"),
+        count(lit(1)).as("n_sources"),
+        collect_list(struct(col(sourceCol).as("_s"), col("_c")))
+          .as("_cs"),
+        min(struct((-col("_c")).as("_nc"), col(sourceCol).as("_s"),
+          col("_c").as("_c"))).as("_top"))
+      .withColumn("_simpson",
+        aggregate(array_sort(col("_cs")), lit(0.0d), (acc, sc) => {
+          val p = sc.getField("_c").cast("double") /
+            col("total_weight").cast("double")
+          acc + p * p
+        }))
+      .select(col(stratumCol), col("total_weight"), col("n_sources"),
+        round(col("_simpson"), 6).as("simpson"),
+        round(lit(1.0d) / col("_simpson"), 6).as("effective_sources"),
+        col("_top._s").as("top_source"),
+        round(col("_top._c").cast("double") /
+          col("total_weight").cast("double"), 6).as("top_share"))
+  }
 }

@@ -44,7 +44,9 @@ object ExplainCheck {
         "q_vocab_richness","q_spiegelhalter","q_mcnemar","q_cusum",
         // round-16 batch 5: rank/experiment statistics
         "q_cochran_q","q_wilcoxon","q_mannwhitney","q_kendall_tau",
-        "q_bh_fdr","q_power_2prop","q_sprt","q_repetition_loop")) {
+        "q_bh_fdr","q_power_2prop","q_sprt","q_repetition_loop",
+        // round-16 batch 6: eval-governance operators
+        "q_conformal","q_ifeval","q_label_noise","q_concentration")) {
       println(s"########## $q")
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

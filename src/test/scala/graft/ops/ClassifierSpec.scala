@@ -383,4 +383,74 @@ class ClassifierSpec extends AnyFunSuite {
     assert(rz.isNullAt(rz.fieldIndex("z")))
     assert(!rz.getAs[Boolean]("miscalibrated"))
   }
+
+  test("conformalCalibration: exact rank, boundary k, small-n NULL") {
+    import spark.implicits._
+    // g: 9 calibration scores 0.1..0.9; alpha = 1/10 → k = ⌈10·9/10⌉
+    // = 9 EXACTLY (the integer-boundary case the exact ceil-division
+    // exists for) → qhat = the 9th smallest = 0.9
+    val cal = (1 to 9).map(i => ("g", i / 10.0, true))
+    val ev = Seq(("g", 0.05, false), ("g", 0.85, false),
+      ("g", 0.95, false))
+    // h: one calibration score → k = ⌈2·9/10⌉ = 2 > n → NULL qhat,
+    // NULL coverage, but counts still reported
+    val h = Seq(("h", 0.5, true), ("h", 0.3, false))
+    val df = (cal ++ ev ++ h).toDF("grp", "s", "is_cal")
+    val out = Classifier.conformalCalibration(df, "grp", "s", "is_cal",
+      alphaNum = 1, alphaDen = 10).orderBy("grp").collect()
+    val g = out(0)
+    assert(g.getLong(1) === 9L && g.getLong(2) === 9L)
+    assert(g.getDouble(3) === 0.9)
+    assert(g.getLong(4) === 3L && g.getLong(5) === 2L)
+    assert(g.getDouble(6) === 2.0 / 3.0)
+    val hh = out(1)
+    assert(hh.getLong(1) === 1L && hh.getLong(2) === 2L)
+    assert(hh.isNullAt(3) && hh.getLong(4) === 1L)
+    assert(hh.isNullAt(5) && hh.isNullAt(6))
+  }
+
+  test("conformalCalibration: tied scores at the cut rank are order-free") {
+    import spark.implicits._
+    // 4 cal scores [1, 2, 2, 2], alpha=1/4 → k = ⌈5·3/4⌉ = 4 → qhat=2
+    // (any tie-break at rank 4 carries the same value)
+    val df = Seq(("g", 1.0, true), ("g", 2.0, true), ("g", 2.0, true),
+      ("g", 2.0, true), ("g", 2.0, false), ("g", 2.5, false))
+      .toDF("grp", "s", "is_cal")
+    val out = Classifier.conformalCalibration(df, "grp", "s", "is_cal",
+      1, 4).head()
+    assert(out.getLong(2) === 4L && out.getDouble(3) === 2.0)
+    assert(out.getLong(5) === 1L, "eval 2.0 ≤ qhat covered, 2.5 not")
+  }
+
+  test("labelNoiseEstimate: hand thresholds, abstention, suspect cell") {
+    import spark.implicits._
+    // dyadic sixteenth probs → exact means: t0 = (14+10)/32 = 0.75,
+    // t1 = (12+3)/32 = 0.46875, t2 = 1.0
+    val df = Seq(
+      (1L, 0, Seq(0.875, 0.125, 0.0)),   // → (0,0)
+      (2L, 0, Seq(0.625, 0.375, 0.0)),   // below both → abstains
+      (3L, 1, Seq(0.25, 0.75, 0.0)),     // → (1,1)
+      (4L, 1, Seq(0.8125, 0.1875, 0.0)), // p0 ≥ t0 → (1,0) SUSPECT
+      (5L, 2, Seq(0.0, 0.0, 1.0))        // → (2,2)
+    ).toDF("id", "label", "probs")
+    val out = Classifier.labelNoiseEstimate(df, "id", "label", "probs")
+      .orderBy("given_label", "suggested_label").collect()
+    assert(out.length === 4)
+    val cells = out.map(r => ((r.getInt(0), r.getInt(1)),
+      (r.getLong(2), r.getBoolean(3), r.getDouble(4)))).toMap
+    assert(cells((0, 0)) === ((1L, false, 1.0)))
+    assert(cells((1, 0)) === ((1L, true, 0.5)))
+    assert(cells((1, 1)) === ((1L, false, 0.5)))
+    assert(cells((2, 2)) === ((1L, false, 1.0)))
+  }
+
+  test("labelNoiseEstimate: argmax tie picks the smallest class index") {
+    import spark.implicits._
+    val df = Seq((1L, 0, Seq(0.5, 0.5)), (2L, 1, Seq(0.5, 0.5)))
+      .toDF("id", "label", "probs")
+    val out = Classifier.labelNoiseEstimate(df, "id", "label", "probs")
+      .orderBy("given_label").collect()
+    assert(out.map(r => (r.getInt(0), r.getInt(1))).toSeq ===
+      Seq((0, 0), (1, 0)), "both thresholds 0.5, tie → class 0")
+  }
 }

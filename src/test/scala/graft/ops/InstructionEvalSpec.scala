@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.scalatest.funsuite.AnyFunSuite
+
+class InstructionEvalSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("ifevalReport: each check fires independently; strict needs all four") {
+    val df = Seq(
+      // passes everything: 4 words, 2 bullets, ends '.', clean
+      ("g", "- a b\n- c d."),
+      // word count fails (1 word; bullets fail too), punct/clean pass
+      ("g", "hi."),
+      // bullets fail (none), rest pass
+      ("g", "three clean words."),
+      // punctuation fails
+      ("g", "- a b\n- c d"),
+      // forbidden phrase fails (case-insensitive)
+      ("g", "- a b\n- c As An AI model.")
+    ).toDF("grp", "answer")
+    val out = InstructionEval.ifevalReport(df, "grp", "answer",
+      minWords = 2, maxWords = 10, bulletMin = 2,
+      forbidden = Seq("as an ai")).head()
+    assert(out.getLong(1) === 5L)       // n_samples
+    assert(out.getLong(2) === 4L)       // word count (one 1-word fail)
+    assert(out.getLong(3) === 3L)       // bullets (two non-bulleted)
+    assert(out.getLong(4) === 4L)       // ends punct (one bare 'd')
+    assert(out.getLong(5) === 4L)       // no forbidden (one AI-phrase)
+    assert(out.getLong(6) === 1L)       // strict: only the first
+    assert(out.getDouble(7) === 1.0 / 5.0)
+  }
+
+  test("ifevalReport: empty/whitespace answers count zero words, '* ' bullets count") {
+    val df = Seq(("g", "   "), ("g", "* one\n* two!")).toDF("grp", "a")
+    val out = InstructionEval.ifevalReport(df, "grp", "a",
+      minWords = 1, maxWords = 99, bulletMin = 2,
+      forbidden = Seq("zzz")).head()
+    assert(out.getLong(2) === 1L, "whitespace-only = 0 words")
+    assert(out.getLong(3) === 1L, "star bullets count")
+    assert(out.getLong(6) === 1L)
+  }
+
+  test("ifevalReport: guards") {
+    val df = Seq(("g", "x")).toDF("grp", "a")
+    intercept[IllegalArgumentException] {
+      InstructionEval.ifevalReport(df, "grp", "a", 5, 2, 0, Seq("x"))
+    }
+    intercept[IllegalArgumentException] {
+      InstructionEval.ifevalReport(df, "grp", "a", 0, 2, 0, Seq.empty)
+    }
+  }
+}

@@ -697,4 +697,36 @@ class SamplingSpec extends AnyFunSuite {
     }.map(_._1).toSet
     assert(got === want)
   }
+
+  test("concentrationReport: hand Simpson, effective sources, dominance tie") {
+    import spark.implicits._
+    // s: counts a=4 b=2 c=2 of 8 → Σp² = (16+4+4)/64 = 0.375,
+    // effective = 8/3, top = a at 1/2
+    val rows = Seq.fill(4)(("s", "a")) ++ Seq.fill(2)(("s", "b")) ++
+      Seq.fill(2)(("s", "c")) ++
+      // u: dominance tie x=y=2 → top picks "x" (count desc, source asc)
+      Seq.fill(2)(("u", "x")) ++ Seq.fill(2)(("u", "y"))
+    val out = Sampling.concentrationReport(rows.toDF("st", "src"),
+      "st", "src").orderBy("st").collect()
+    val s = out(0)
+    assert(s.getLong(1) === 8L && s.getLong(2) === 3L)
+    assert(s.getDouble(3) === 0.375)
+    assert(s.getDouble(4) === math.rint(8.0 / 3.0 * 1e6) / 1e6)
+    assert(s.getString(5) === "a" && s.getDouble(6) === 0.5)
+    val u = out(1)
+    assert(u.getDouble(3) === 0.5 && u.getDouble(4) === 2.0)
+    assert(u.getString(5) === "x" && u.getDouble(6) === 0.5)
+  }
+
+  test("concentrationReport: weight column shifts the mass") {
+    import spark.implicits._
+    // token-weighted: a carries 6 of 8 tokens over 2 rows
+    val df = Seq(("s", "a", 3L), ("s", "a", 3L), ("s", "b", 2L))
+      .toDF("st", "src", "toks")
+    val out = Sampling.concentrationReport(df, "st", "src",
+      weight = col("toks")).head()
+    assert(out.getLong(1) === 8L && out.getLong(2) === 2L)
+    assert(out.getDouble(3) === (36.0 + 4.0) / 64.0)
+    assert(out.getString(5) === "a" && out.getDouble(6) === 0.75)
+  }
 }

@@ -87,6 +87,10 @@ AUTO = [
     # r16 continuation: z rounds through the sqrt (the judge_bias
     # class); n_samples is an int, ignored
     'q_spiegelhalter',
+    # r16 batch 6: simpson/effective/top_share round in the final
+    # projection (the Simpson fold is sorted, but p = c/total is an
+    # arbitrary rational — margins measured, not assumed)
+    'q_concentration',
 ]
 
 con = duckdb.connect()
