@@ -11666,6 +11666,108 @@ object PipelineQueries {
       graft.ops.Sampling.concentrationReport(t(s, dir, "documents"),
         "lang", "source", weight = col("n_chars"))
         .orderBy(col("lang"))
+    },
+
+    // Dataset cartography over a 5-checkpoint synthetic training log:
+    // dyadic /16 probs → exact order-free sums; variability is ONE
+    // sqrt of an identically-associated chain, shipped UNROUNDED.
+    q("q_cartography",
+      """WITH l AS (SELECT doc_id, ck,
+        |    CAST((doc_id*3 + ck*5)%17 AS DOUBLE)/16 AS p,
+        |    (doc_id*7 + ck*3)%11 < 6 AS ok
+        |  FROM documents, (VALUES (1),(2),(3),(4),(5)) AS c(ck)),
+        |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ckpts,
+        |    sum(p)/count(*) AS confidence,
+        |    sum(p*p)/count(*) AS m2,
+        |    CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS nc
+        |  FROM l GROUP BY doc_id)
+        |SELECT doc_id, n_ckpts, confidence,
+        |  sqrt(greatest(m2 - confidence*confidence,
+        |    CAST(0.0 AS DOUBLE))) AS variability,
+        |  CAST(nc AS DOUBLE)/CAST(n_ckpts AS DOUBLE) AS correctness,
+        |  CASE WHEN confidence >= 0.7 THEN 'easy'
+        |    WHEN confidence <= 0.3 THEN 'hard'
+        |    ELSE 'ambiguous' END AS region
+        |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val log = t(s, dir, "documents").select(col("doc_id"),
+          explode(sequence(lit(1), lit(5))).as("ck"))
+        .select(col("doc_id"),
+          ((col("doc_id") * 3 + col("ck") * 5) % 17).cast("double")
+            .divide(lit(16)).as("p"),
+          ((col("doc_id") * 7 + col("ck") * 3) % 11 < 6).as("ok"))
+      graft.ops.TrainingDynamics.cartography(log, "doc_id", "p", "ok")
+        .orderBy(col("doc_id"))
+    },
+
+    // Forgetting events over a 6-checkpoint ordered log — exact
+    // integer lag transitions, first-learned localization.
+    q("q_forgetting",
+      """WITH l AS (SELECT doc_id, ck,
+        |    (doc_id*5 + ck*7)%13 < 5 AS ok
+        |  FROM documents,
+        |    (VALUES (1),(2),(3),(4),(5),(6)) AS c(ck)),
+        |s AS (SELECT doc_id, ck, ok,
+        |    lag(ok) OVER (PARTITION BY doc_id ORDER BY ck) AS prev
+        |  FROM l),
+        |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ckpts,
+        |    CAST(sum(CASE WHEN COALESCE(prev, false) AND NOT ok
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_forgets,
+        |    min(CASE WHEN ok THEN ck END) AS first_learned
+        |  FROM s GROUP BY doc_id)
+        |SELECT doc_id, n_ckpts, n_forgets, first_learned,
+        |  first_learned IS NOT NULL AS ever_learned,
+        |  first_learned IS NOT NULL AND n_forgets = 0 AS unforgettable
+        |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val log = t(s, dir, "documents").select(col("doc_id"),
+          explode(sequence(lit(1), lit(6))).as("ck"))
+        .select(col("doc_id"), col("ck"),
+          ((col("doc_id") * 5 + col("ck") * 7) % 13 < 5).as("ok"))
+      graft.ops.TrainingDynamics.forgettingEvents(log, "doc_id", "ck",
+        "ok").orderBy(col("doc_id"))
+    },
+
+    // Item analysis over a 20-item synthetic response log: corrected
+    // point-biserial from five EXACT long moments; the reversed-key
+    // screen an eval suite runs before trusting its accuracy deltas.
+    q("q_item_analysis",
+      """WITH r AS (SELECT j AS item, doc_id AS taker,
+        |    CASE WHEN (doc_id*3 + j*j)%23 < 11 THEN 1 ELSE 0 END AS x
+        |  FROM documents, (VALUES (1),(2),(3),(4),(5),(6),(7),(8),
+        |    (9),(10),(11),(12),(13),(14),(15),(16),(17),(18),(19),
+        |    (20)) AS it(j)),
+        |tot AS (SELECT taker, CAST(sum(x) AS BIGINT) AS t
+        |  FROM r GROUP BY taker),
+        |g AS (SELECT item, CAST(count(*) AS BIGINT) AS n_takers,
+        |    CAST(sum(x) AS BIGINT) AS n_correct,
+        |    CAST(sum(t - x) AS BIGINT) AS sy,
+        |    CAST(sum(x*(t - x)) AS BIGINT) AS sxy,
+        |    CAST(sum((t - x)*(t - x)) AS BIGINT) AS syy
+        |  FROM r JOIN tot USING (taker) GROUP BY item)
+        |SELECT item, n_takers, n_correct,
+        |  CAST(n_correct AS DOUBLE)/CAST(n_takers AS DOUBLE)
+        |    AS difficulty,
+        |  CASE WHEN n_takers*n_correct - n_correct*n_correct > 0
+        |      AND n_takers*syy - sy*sy > 0
+        |    THEN CAST(n_takers*sxy - n_correct*sy AS DOUBLE)
+        |      / sqrt(CAST(n_takers*n_correct - n_correct*n_correct
+        |          AS DOUBLE)
+        |        * CAST(n_takers*syy - sy*sy AS DOUBLE)) END AS r_pb,
+        |  COALESCE(CASE WHEN n_takers*n_correct - n_correct*n_correct
+        |      > 0 AND n_takers*syy - sy*sy > 0
+        |    THEN CAST(n_takers*sxy - n_correct*sy AS DOUBLE)
+        |      / sqrt(CAST(n_takers*n_correct - n_correct*n_correct
+        |          AS DOUBLE)
+        |        * CAST(n_takers*syy - sy*sy AS DOUBLE)) END
+        |    < CAST(0.0 AS DOUBLE), false) AS flagged
+        |FROM g ORDER BY item""".stripMargin) { (s, dir) =>
+      val responses = t(s, dir, "documents").select(
+          col("doc_id").as("taker"),
+          explode(sequence(lit(1), lit(20))).as("item"))
+        .select(col("item"), col("taker"),
+          ((col("taker") * 3 + col("item") * col("item")) % 23 < 11)
+            .as("ok"))
+      graft.ops.Experiments.itemAnalysis(responses, "item", "taker",
+        "ok").orderBy(col("item"))
     }
   )
 

@@ -130,6 +130,57 @@ object Experiments {
       col("_dec_i").cast("long").as("n_at_decision"))
   }
 
+  /** Classical item analysis over an eval response log (item, taker,
+    * correct) — the eval-set QA pass psychometrics has run since Lord
+    * & Novick 1968: per item the difficulty `p` (share correct) and
+    * the CORRECTED point-biserial discrimination — the Pearson
+    * correlation between the item's 0/1 correctness and each taker's
+    * total score EXCLUDING the item (the exclusion removes the
+    * item's own contribution, the standard bias fix). A negative or
+    * near-zero discrimination means strong models get the item WRONG
+    * more than weak ones — the signature of a mislabeled answer key
+    * or an ambiguous question; `flagged` marks `r_pb < rCrit`.
+    *
+    * Determinism: with x ∈ {0,1} and integer corrected totals, every
+    * moment (Σx, Σy, Σxy, Σy², n — and Σx² = Σx) is an EXACT long, so
+    * difficulty is an exact rational and r_pb is one fixed IEEE
+    * chain (mult/sub/div/sqrt, no libm) — both ship UNROUNDED. NULL
+    * r when either variance is 0 (all-correct/all-wrong item, or
+    * constant totals).
+    *
+    * Scale: one taker-keyed total aggregate, joined back on the taker
+    * key (narrow (taker, item, bool) rows — the corpus-sized shuffle,
+    * paid once), then ONE item-keyed partial+final aggregate carrying
+    * five longs of state. Item count never matters; taker totals are
+    * taker-cardinality-sized. Integer moments stay exact while
+    * n·Σy² ≤ (takers·maxTotal)² < 2⁶³ — takers·items ≲ 3·10⁹
+    * (a 10⁶-taker, 1000-item eval sits 10× inside) — stated
+    * contract. */
+  def itemAnalysis(responses: DataFrame, itemCol: String,
+      takerCol: String, correctCol: String,
+      rCrit: Double = 0.0): DataFrame = {
+    val x = col(correctCol).cast("boolean").cast("long")
+    val rows = responses.select(col(itemCol).as("_i"),
+      col(takerCol).as("_t"), x.as("_x"))
+    val totals = rows.groupBy(col("_t")).agg(sum(col("_x")).as("_tot"))
+    val joined = rows.join(totals, Seq("_t"))
+      .withColumn("_y", col("_tot") - col("_x"))
+    val g = joined.groupBy(col("_i"))
+      .agg(count(lit(1)).as("n_takers"), sum(col("_x")).as("n_correct"),
+        sum(col("_y")).as("_sy"), sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_y") * col("_y")).as("_syy"))
+    val n = col("n_takers"); val sx = col("n_correct")
+    val varX = n * sx - sx * sx // Σx² = Σx for 0/1 x
+    val varY = n * col("_syy") - col("_sy") * col("_sy")
+    val cov = n * col("_sxy") - sx * col("_sy")
+    val r = when(varX > 0 && varY > 0, cov.cast("double") /
+      sqrt(varX.cast("double") * varY.cast("double")))
+    g.select(col("_i").as(itemCol), col("n_takers"), col("n_correct"),
+        (sx.cast("double") / n.cast("double")).as("difficulty"),
+        r.as("r_pb"))
+      .withColumn("flagged", coalesce(col("r_pb") < rCrit, lit(false)))
+  }
+
   /** The SPRT's four log constants (C1, C0, A, B) — computed once
     * driver-side so both the plan and any oracle share bit-identical
     * doubles (serialize with %.17g: 17 significant digits round-trip

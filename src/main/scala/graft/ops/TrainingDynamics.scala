@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-dynamics data maps — the "which examples are worth
+  * training on" layer that reads a per-checkpoint eval log (example ×
+  * checkpoint × gold-probability/correctness) instead of the corpus
+  * itself: dataset cartography (Swayamdipta et al. 2020, "Dataset
+  * Cartography": confidence/variability/correctness regions) and
+  * forgetting events (Toneva et al. 2019, "An Empirical Study of
+  * Example Forgetting": learned→forgotten transitions; unforgettable
+  * examples prune safely). Both are the standard pre-curation pass on
+  * an SFT/classification set: easy-to-learn mass trims, ambiguous
+  * mass is where the label errors and the useful gradient live.
+  *
+  * Determinism / cross-engine: confidence and correctness are means —
+  * exact and order-free on dyadic probability grids (the repo's
+  * synthesis stance); variability is `sqrt(mean(p²) − mean(p)²)` of
+  * exact dyadic terms — ONE correctly-rounded IEEE sqrt, shipped
+  * UNROUNDED; forgetting counts are exact integers from ordered
+  * lag comparisons.
+  *
+  * Scale: cartography is ONE example-keyed partial+final aggregate
+  * (four doubles/longs of state) over the log — checkpoints×examples
+  * narrow rows, nothing corpus-text-sized; forgetting pays the honest
+  * ONE sort-shuffle (example-partitioned, checkpoint-ordered lag
+  * window over (example, ckpt, bool) rows) then one example-keyed
+  * aggregate in the same stage. */
+object TrainingDynamics {
+
+  /** Per-example cartography map: `n_ckpts`, `confidence` (mean gold
+    * prob), `variability` (population std, UNROUNDED), `correctness`
+    * (exact rational), and the region label — `easy` (confidence ≥
+    * hiConf), `hard` (confidence ≤ loConf), else `ambiguous`
+    * (threshold params; the paper draws region boundaries on the
+    * corpus-relative thirds, a presentation choice — fixed thresholds
+    * keep the map engine-reproducible and let the caller sweep them). */
+  def cartography(log: DataFrame, exampleCol: String, probCol: String,
+      correctCol: String, hiConf: Double = 0.7,
+      loConf: Double = 0.3): DataFrame = {
+    require(loConf < hiConf, s"loConf=$loConf must be < hiConf=$hiConf")
+    val p = col(probCol).cast("double")
+    val g = log.groupBy(col(exampleCol))
+      .agg(count(lit(1)).as("n_ckpts"),
+        (sum(p) / count(lit(1))).as("confidence"),
+        (sum(p * p) / count(lit(1))).as("_m2"),
+        sum(col(correctCol).cast("boolean").cast("long")).as("_nc"))
+    g.select(col(exampleCol), col("n_ckpts"), col("confidence"),
+        sqrt(greatest(col("_m2") -
+          col("confidence") * col("confidence"), lit(0.0d)))
+          .as("variability"),
+        (col("_nc").cast("double") / col("n_ckpts").cast("double"))
+          .as("correctness"))
+      .withColumn("region",
+        when(col("confidence") >= hiConf, "easy")
+          .when(col("confidence") <= loConf, "hard")
+          .otherwise("ambiguous"))
+  }
+
+  /** Per-example forgetting report over a checkpoint-ordered log:
+    * `n_forgets` = correct→incorrect transitions (a Toneva forgetting
+    * event), `first_learned` = the earliest checkpoint order with a
+    * correct prediction (NULL = never learned), `ever_learned`, and
+    * `unforgettable` = learned at least once and never forgotten —
+    * the class the paper shows prunes with no accuracy cost. */
+  def forgettingEvents(log: DataFrame, exampleCol: String,
+      orderCol: String, correctCol: String): DataFrame = {
+    val w = Window.partitionBy(col("_e")).orderBy(col("_o"))
+    val stepped = log.select(col(exampleCol).as("_e"),
+        col(orderCol).as("_o"),
+        col(correctCol).cast("boolean").as("_c"))
+      .withColumn("_prev", lag(col("_c"), 1).over(w))
+      .withColumn("_forgot",
+        (coalesce(col("_prev"), lit(false)) && !col("_c")).cast("long"))
+    stepped.groupBy(col("_e"))
+      .agg(count(lit(1)).as("n_ckpts"),
+        sum(col("_forgot")).as("n_forgets"),
+        min(when(col("_c"), col("_o"))).as("first_learned"))
+      .select(col("_e").as(exampleCol), col("n_ckpts"),
+        col("n_forgets"), col("first_learned"),
+        col("first_learned").isNotNull.as("ever_learned"))
+      .withColumn("unforgettable",
+        col("ever_learned") && col("n_forgets") === 0)
+  }
+}

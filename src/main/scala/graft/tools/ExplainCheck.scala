@@ -46,7 +46,9 @@ object ExplainCheck {
         "q_cochran_q","q_wilcoxon","q_mannwhitney","q_kendall_tau",
         "q_bh_fdr","q_power_2prop","q_sprt","q_repetition_loop",
         // round-16 batch 6: eval-governance operators
-        "q_conformal","q_ifeval","q_label_noise","q_concentration")) {
+        "q_conformal","q_ifeval","q_label_noise","q_concentration",
+        // round-16 batch 7: training-dynamics / item QA
+        "q_cartography","q_forgetting","q_item_analysis")) {
       println(s"########## $q")
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -92,6 +92,33 @@ class ExperimentsSpec extends AnyFunSuite {
     assert(out.getLong(6) === n.toLong)
   }
 
+  test("itemAnalysis: reversed key flagged, aligned item positive, all-correct NULL") {
+    // takers t1..t5 with monotone ability; aligned items i1..i4
+    // (t_j correct iff j ≥ k), i5 REVERSED (only the two weakest
+    // takers get it right). Totals: 2,3,3,4,4.
+    val rows = (for {
+      j <- 1 to 5
+      k <- 1 to 4
+    } yield (s"i$k", s"t$j", j >= k)) ++
+      (1 to 5).map(j => ("i5", s"t$j", j <= 2))
+    val out = Experiments.itemAnalysis(rows.toDF("item", "taker", "ok"),
+      "item", "taker", "ok").orderBy("item").collect()
+    // i2 hand moments: x = 0,1,1,1,1; y = tot−x = 2,2,2,3,3 →
+    // n=5 Σx=4 Σy=12 Σxy=10 Σy²=30 → cov=2 varX=4 varY=6
+    val i2 = out(1)
+    assert(i2.getLong(1) === 5L && i2.getLong(2) === 4L)
+    assert(i2.getDouble(3) === 0.8)
+    assert(i2.getDouble(4) === 2.0 / math.sqrt(24.0))
+    assert(!i2.getBoolean(5))
+    // i5 hand moments: x = 1,1,0,0,0; y = 1,2,3,4,4 →
+    // cov = 15−28 = −13; varX=6 varY=34 → r = −13/√204, flagged
+    val i5 = out(4)
+    assert(i5.getDouble(4) === -13.0 / math.sqrt(204.0))
+    assert(i5.getBoolean(5), "reversed key → r_pb < 0 → flagged")
+    // i1 is all-correct: zero item variance → NULL r, not flagged
+    assert(out(0).isNullAt(4) && !out(0).getBoolean(5))
+  }
+
   test("sprtConstants: rejects degenerate hypotheses") {
     intercept[IllegalArgumentException] {
       Experiments.sprtConstants(0.5, 0.5, 0.05, 0.05)

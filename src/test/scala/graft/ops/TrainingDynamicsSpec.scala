@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.TestSpark.spark
+import org.scalatest.funsuite.AnyFunSuite
+
+class TrainingDynamicsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("cartography: hand moments on a dyadic grid, region labels") {
+    // e1: probs 12/16, 14/16, 10/16 → conf = 36/48 = 0.75 ≥ 0.7 easy;
+    //     var = sqrt(mean(p²) − conf²) with exact dyadic terms
+    // e2: probs 2/16, 4/16 → conf = 3/16 = 0.1875 ≤ 0.3 hard
+    // e3: probs 8/16, 8/16 → conf 0.5 ambiguous, variability exactly 0
+    val log = Seq(
+      ("e1", 0.75, true), ("e1", 0.875, true), ("e1", 0.625, false),
+      ("e2", 0.125, false), ("e2", 0.25, false),
+      ("e3", 0.5, true), ("e3", 0.5, false)
+    ).toDF("ex", "p", "ok")
+    val out = TrainingDynamics.cartography(log, "ex", "p", "ok")
+      .orderBy("ex").collect()
+    val e1 = out(0)
+    assert(e1.getLong(1) === 3L && e1.getDouble(2) === 0.75)
+    val m2 = (0.75 * 0.75 + 0.875 * 0.875 + 0.625 * 0.625) / 3
+    assert(e1.getDouble(3) === math.sqrt(m2 - 0.75 * 0.75))
+    assert(e1.getDouble(4) === 2.0 / 3.0)
+    assert(e1.getString(5) === "easy")
+    assert(out(1).getString(5) === "hard")
+    val e3 = out(2)
+    assert(e3.getDouble(3) === 0.0 && e3.getString(5) === "ambiguous")
+  }
+
+  test("cartography: guards loConf < hiConf") {
+    val log = Seq(("e", 0.5, true)).toDF("ex", "p", "ok")
+    intercept[IllegalArgumentException] {
+      TrainingDynamics.cartography(log, "ex", "p", "ok", 0.3, 0.7)
+    }
+  }
+
+  test("forgettingEvents: transitions, first-learned, unforgettable") {
+    val log = Seq(
+      // a: F T T F T → learned at 2, forgotten once (3→4)
+      ("a", 1L, false), ("a", 2L, true), ("a", 3L, true),
+      ("a", 4L, false), ("a", 5L, true),
+      // b: T T T → unforgettable, first_learned 1
+      ("b", 1L, true), ("b", 2L, true), ("b", 3L, true),
+      // c: F F → never learned
+      ("c", 1L, false), ("c", 2L, false)
+    ).toDF("ex", "ckpt", "ok")
+    val out = TrainingDynamics.forgettingEvents(log, "ex", "ckpt", "ok")
+      .orderBy("ex").collect()
+    val a = out(0)
+    assert(a.getLong(2) === 1L && a.getLong(3) === 2L)
+    assert(a.getBoolean(4) && !a.getBoolean(5))
+    val b = out(1)
+    assert(b.getLong(2) === 0L && b.getLong(3) === 1L)
+    assert(b.getBoolean(5), "learned and never forgotten")
+    val c = out(2)
+    assert(c.getLong(2) === 0L && c.isNullAt(3))
+    assert(!c.getBoolean(4) && !c.getBoolean(5),
+      "never-learned is not unforgettable")
+  }
+
+  test("forgettingEvents: an initial wrong answer is not a forget") {
+    val log = Seq(("a", 1L, false), ("a", 2L, false), ("a", 3L, true))
+      .toDF("ex", "ckpt", "ok")
+    val out = TrainingDynamics.forgettingEvents(log, "ex", "ckpt", "ok")
+      .head()
+    assert(out.getLong(2) === 0L && out.getLong(3) === 3L)
+    assert(out.getBoolean(5))
+  }
+}
