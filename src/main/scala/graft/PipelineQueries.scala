@@ -11768,6 +11768,98 @@ object PipelineQueries {
             .as("ok"))
       graft.ops.Experiments.itemAnalysis(responses, "item", "taker",
         "ok").orderBy(col("item"))
+    },
+
+    // Memorization screen: corpus = ALL documents, "generations"
+    // synthesized per doc (raw text → fully memorized / truncation +
+    // novel tail → partial / pure-novel words). Fingerprint-vs-string
+    // membership is the Dedup.exact collision stance; share one exact
+    // division UNROUNDED.
+    q("q_memorization",
+      """WITH ans AS (SELECT source, doc_id,
+        |    CASE WHEN doc_id%7 = 0 THEN text
+        |      WHEN doc_id%7 < 4 THEN substr(text, 1, 30)
+        |        || ' novelx novely novelz'
+        |      ELSE 'nv1 nv2 nv3 nv4' END AS a
+        |  FROM documents WHERE doc_id%3 = 0),
+        |ct AS (SELECT doc_id,
+        |    unnest(generate_series(0,
+        |      len(string_split_regex(text, '\s+')) - 1)) AS pos,
+        |    unnest(string_split_regex(text, '\s+')) AS w
+        |  FROM documents),
+        |cg AS (SELECT DISTINCT w || ' ' || lead(w) OVER win || ' '
+        |      || lead(w, 2) OVER win AS g
+        |  FROM ct WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |st AS (SELECT source, doc_id,
+        |    unnest(generate_series(0,
+        |      len(string_split_regex(a, '\s+')) - 1)) AS pos,
+        |    unnest(string_split_regex(a, '\s+')) AS w
+        |  FROM ans),
+        |sg AS (SELECT DISTINCT source, doc_id,
+        |    w || ' ' || lead(w) OVER win || ' ' || lead(w, 2) OVER win
+        |      AS g
+        |  FROM st WINDOW win AS (PARTITION BY source, doc_id
+        |    ORDER BY pos)),
+        |ps AS (SELECT sg.source, sg.doc_id,
+        |    CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(CASE WHEN cg.g IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nm
+        |  FROM sg LEFT JOIN cg ON sg.g = cg.g
+        |  WHERE sg.g IS NOT NULL GROUP BY sg.source, sg.doc_id),
+        |f AS (SELECT ans.source,
+        |    CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(sum(COALESCE(ng, 0)) AS BIGINT) AS n_grams,
+        |    CAST(sum(COALESCE(nm, 0)) AS BIGINT) AS n_memorized,
+        |    CAST(sum(CASE WHEN ng IS NOT NULL AND ng = nm
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_verbatim
+        |  FROM ans LEFT JOIN ps ON ans.source = ps.source
+        |    AND ans.doc_id = ps.doc_id
+        |  GROUP BY ans.source)
+        |SELECT source, n_samples, n_grams, n_memorized, n_verbatim,
+        |  CASE WHEN n_grams > 0 THEN CAST(n_memorized AS DOUBLE)
+        |    / CAST(n_grams AS DOUBLE) END AS memorized_share
+        |FROM f ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val samples = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("source"), col("doc_id"),
+          when(col("doc_id") % 7 === 0, col("text"))
+            .when(col("doc_id") % 7 < 4,
+              concat(substring(col("text"), 1, 30),
+                lit(" novelx novely novelz")))
+            .otherwise(lit("nv1 nv2 nv3 nv4")).as("a"))
+      graft.ops.Decontam.memorizationScreen(samples, docs, n = 3,
+        "source", "doc_id", textCol = "a").orderBy(col("source"))
+    },
+
+    // Tokenizer fertility per lang — exact char/token inventories,
+    // the two rates single divisions UNROUNDED.
+    q("q_fertility",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'), x -> x <> '')))
+        |    AS BIGINT) AS ws_tokens,
+        |  CAST(sum(len(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> ''))) AS BIGINT) AS re_tokens,
+        |  CASE WHEN sum(len(list_filter(
+        |      regexp_split_to_array(trim(text), '\s+'), x -> x <> '')))
+        |      > 0
+        |    THEN CAST(sum(length(text)) AS DOUBLE)
+        |      / CAST(sum(len(list_filter(
+        |        regexp_split_to_array(trim(text), '\s+'),
+        |        x -> x <> ''))) AS DOUBLE) END AS chars_per_ws_token,
+        |  CASE WHEN sum(len(list_filter(
+        |      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> ''))) > 0
+        |    THEN CAST(sum(length(text)) AS DOUBLE)
+        |      / CAST(sum(len(list_filter(
+        |        regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |        x -> x <> ''))) AS DOUBLE) END AS chars_per_re_token
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, dir) =>
+      graft.ops.Quality.fertilityReport(t(s, dir, "documents"), "lang")
+        .orderBy(col("lang"))
     }
   )
 

@@ -200,4 +200,59 @@ object Decontam {
         .otherwise(lit(null).cast("string")),
       "template_free" -> (alpaca + chatml + llama + turns + roleJson === 0)))
   }
+
+  /** Generation memorization screen — decontamination's mirror image
+    * (Carlini et al. 2021 "Extracting Training Data"; McCoy et al.
+    * 2021 novelty analysis): instead of scrubbing eval grams OUT of
+    * the training corpus, measure how much of a model's GENERATED
+    * text already appears verbatim in it. Per group: `n_samples`,
+    * `n_grams` (per-sample DISTINCT n-grams, the shingle dedup),
+    * `n_memorized` (grams present anywhere in the corpus),
+    * `memorized_share` (ONE division of exact longs, UNROUNDED), and
+    * `n_verbatim` — samples whose EVERY n-gram is corpus-known, the
+    * fully-regurgitated class an extraction audit exists to find.
+    *
+    * Scale: this direction flips decontamination's size asymmetry —
+    * the CORPUS gram set is the huge side, so nothing broadcasts:
+    * corpus grams fingerprint in-scan (xxhash64 — the Dedup.exact
+    * collision stance; gram text never shuffles) into one distinct
+    * pass, sample grams fingerprint likewise, and membership is a
+    * fp-keyed sort-merge left join. The token-scale corpus shuffle is
+    * the honest price of an EXACT screen — the approximate tier is
+    * [[BloomIndex]] over the same fingerprints (the admissionStream
+    * path) when a false-positive rate is acceptable. */
+  def memorizationScreen(samples: DataFrame, corpus: DataFrame, n: Int,
+      groupCol: String, idCol: String, textCol: String = "text",
+      corpusTextCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n=$n")
+    val corpusFps = corpus.select(
+        explode(GraftFunctions.shingles(
+          split(col(corpusTextCol), "\\s+"), n)).as("gram"))
+      .select(xxhash64(col("gram")).as("_fp")).distinct()
+      .withColumn("_hit", lit(1))
+    val sampleGrams = samples.select(col(groupCol).as("_g"),
+        col(idCol).as("_id"),
+        explode(GraftFunctions.shingles(
+          split(col(textCol), "\\s+"), n)).as("gram"))
+      .select(col("_g"), col("_id"), xxhash64(col("gram")).as("_fp"))
+    val perSample = sampleGrams
+      .join(corpusFps, Seq("_fp"), "left")
+      .groupBy(col("_g"), col("_id"))
+      .agg(count(lit(1)).as("_ng"),
+        sum(col("_hit").isNotNull.cast("long")).as("_nm"))
+    // sub-n samples emit no grams — re-attach so they stay counted
+    samples.select(col(groupCol).as("_g"), col(idCol).as("_id"))
+      .join(perSample, Seq("_g", "_id"), "left")
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(coalesce(col("_ng"), lit(0L))).as("n_grams"),
+        sum(coalesce(col("_nm"), lit(0L))).as("n_memorized"),
+        sum((col("_ng").isNotNull && col("_ng") === col("_nm"))
+          .cast("long")).as("n_verbatim"))
+      .select(col("_g").as(groupCol), col("n_samples"), col("n_grams"),
+        col("n_memorized"), col("n_verbatim"))
+      .withColumn("memorized_share",
+        when(col("n_grams") > 0, col("n_memorized").cast("double") /
+          col("n_grams").cast("double")))
+  }
 }

@@ -297,6 +297,39 @@ object EventStreams {
       round(least(lit(1.0), center + half), 6).as("wilson_hi"))
   }
 
+  /** Streaming conformal-coverage monitor — the deployment half of
+    * [[graft.ops.Classifier.conformalCalibration]]: the batch op fits
+    * q̂ per group on a calibration set; THIS op watches an arriving
+    * score stream and reports, per (event-time window, group), how
+    * many live scores actually fall under the fitted threshold. A
+    * window whose coverage drops below 1−α is the distribution-shift
+    * alarm conformal deployments monitor for (exchangeability broke —
+    * refit). `thresholds` is the batch op's (group, qhat) output —
+    * group-cardinality-sized, a stream-static join. Coverage is the
+    * exact-rational division, UNROUNDED (the batch op's contract).
+    * ONE watermark-bounded windowed aggregate; two longs of state per
+    * (window, group); parity-spec'd against the batch conditional
+    * count on the same rows. */
+  def conformalCoverageStream(scores: DataFrame, thresholds: DataFrame,
+      groupCol: String, scoreCol: String,
+      eventTimeCol: String = "event_time",
+      windowDur: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val agg = scores
+      .withWatermark(eventTimeCol, watermark)
+      .join(thresholds.select(col(groupCol), col("qhat")), Seq(groupCol),
+        "left")
+      .groupBy(window(col(eventTimeCol), windowDur), col(groupCol))
+      .agg(count(lit(1)).as("n_scores"),
+        sum(when(col(scoreCol).cast("double") <= col("qhat"), 1L)
+          .otherwise(0L)).as("_cov"),
+        max(col("qhat").isNotNull.cast("int")).as("_hasq"))
+    agg.select(col("window"), col(groupCol), col("n_scores"),
+        when(col("_hasq") === 1, col("_cov")).as("n_covered"))
+      .withColumn("coverage",
+        col("n_covered").cast("double") / col("n_scores").cast("double"))
+  }
+
   final case class Event(event_id: Long, user_id: Long, event_type: String,
       value: Double, epochMs: Long)
   final case class SessionAgg(user_id: Long, n_events: Int, total_value: Double,

@@ -48,7 +48,9 @@ object ExplainCheck {
         // round-16 batch 6: eval-governance operators
         "q_conformal","q_ifeval","q_label_noise","q_concentration",
         // round-16 batch 7: training-dynamics / item QA
-        "q_cartography","q_forgetting","q_item_analysis")) {
+        "q_cartography","q_forgetting","q_item_analysis",
+        // round-16 batch 8: memorization / fertility
+        "q_memorization","q_fertility")) {
       println(s"########## $q")
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

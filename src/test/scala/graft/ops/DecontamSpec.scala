@@ -149,4 +149,34 @@ class DecontamSpec extends AnyFunSuite {
     assert(out(7L)._6 === Some("alpaca"),
       "count ties resolve to the alphabetically-first family")
   }
+
+  test("memorizationScreen: per-sample distinct grams, verbatim flag, sub-n samples") {
+    import spark.implicits._
+    val corpus = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val samples = Seq(
+      ("g", 1L, "a b c d"),     // grams {a b c, b c d} — both known → verbatim
+      ("g", 2L, "a b c x y"),   // {a b c, b c x, c x y} — 1 of 3
+      ("g", 3L, "z z"),         // sub-n: 0 grams, still counted
+      ("g", 4L, "a b c a b c")  // dedups to {a b c, b c a, c a b} — 1 of 3
+    ).toDF("grp", "sid", "text")
+    val out = Decontam.memorizationScreen(samples, corpus, n = 3,
+      "grp", "sid").head()
+    assert(out.getLong(1) === 4L)
+    assert(out.getLong(2) === 8L, "2 + 3 + 0 + 3 distinct grams")
+    assert(out.getLong(3) === 4L)
+    assert(out.getLong(4) === 1L, "only s1 is fully corpus-known")
+    assert(out.getDouble(5) === 4.0 / 8.0)
+  }
+
+  test("memorizationScreen: fully novel group has share 0; all-sub-n NULL") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val samples = Seq(("g", 1L, "p q r s"), ("h", 2L, "x"))
+      .toDF("grp", "sid", "text")
+    val out = Decontam.memorizationScreen(samples, corpus, 3, "grp", "sid")
+      .orderBy("grp").collect()
+    assert(out(0).getLong(3) === 0L && out(0).getDouble(5) === 0.0)
+    assert(out(1).getLong(2) === 0L && out(1).isNullAt(5),
+      "no grams at all → share NULL, not 0/0")
+  }
 }

@@ -621,4 +621,22 @@ class QualitySpec extends AnyFunSuite {
     val r13 = Quality.mattr(docs.repartition(13), window = 4).collect()(0)
     assert(r13.getAs[Double]("mattr") === r.getAs[Double]("mattr"))
   }
+
+  test("fertilityReport: hand char/token rates; punctuation splits the regex tokens") {
+    import spark.implicits._
+    val docs = Seq(("s", "ab cd"), ("s", "x,y z")).toDF("st", "text")
+    val out = Quality.fertilityReport(docs, "st").head()
+    assert(out.getLong(1) === 2L && out.getLong(2) === 10L)
+    assert(out.getLong(3) === 4L, "whitespace words: ab/cd + x,y/z")
+    assert(out.getLong(4) === 5L, "alnum runs: ab/cd + x/y/z")
+    assert(out.getDouble(5) === 2.5 && out.getDouble(6) === 2.0)
+  }
+
+  test("fertilityReport: empty stratum text → zero tokens, NULL rates") {
+    import spark.implicits._
+    val docs = Seq(("s", "   ")).toDF("st", "text")
+    val out = Quality.fertilityReport(docs, "st").head()
+    assert(out.getLong(3) === 0L && out.getLong(4) === 0L)
+    assert(out.isNullAt(5) && out.isNullAt(6))
+  }
 }

@@ -1453,4 +1453,49 @@ class EventStreamsSpec extends AnyFunSuite {
         s"group $g")
     }
   }
+
+  test("conformalCoverageStream: completed windows equal the batch conditional count") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-scc").toString
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    batchDocs.write.mode("overwrite").parquet(stageDir)
+    def scores(df: org.apache.spark.sql.DataFrame) = df
+      .select(pmod($"doc_id", lit(5)).as("grp"),
+        (pmod($"doc_id" * 5, lit(64)).cast("double") / 64).as("s"),
+        timestamp_seconds(pmod($"doc_id", lit(5)) * 7200 +
+          pmod($"doc_id", lit(50))).as("event_time"))
+    // thresholds for groups 0..3 only — group 4 exercises the
+    // no-threshold NULL branch
+    val thresholds = Seq((0L, 0.5), (1L, 0.25), (2L, 0.75), (3L, 0.5))
+      .toDF("grp", "qhat")
+    val incoming = scores(
+      spark.readStream.schema(batchDocs.schema).parquet(stageDir))
+    val out = EventStreams.conformalCoverageStream(incoming, thresholds,
+      "grp", "s", windowDur = "1 hour", watermark = "1 hour")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("scc")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("scc")
+      .collect().map(r => r.getAs[Long]("grp") -> r).toMap
+    val expected = scores(batchDocs)
+      .join(thresholds, Seq("grp"), "left")
+      .groupBy($"grp")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"s" <= $"qhat", 1L).otherwise(0L)).as("cov"),
+        max($"qhat".isNotNull.cast("int")).as("hasq"))
+      .collect().map(r => r.getAs[Long]("grp") -> r).toMap
+    assert(streamed.nonEmpty, "stream emitted no closed windows")
+    streamed.foreach { case (g, r) =>
+      val e = expected(g)
+      assert(r.getAs[Long]("n_scores") === e.getAs[Long]("n"))
+      if (e.getAs[Int]("hasq") === 1) {
+        assert(r.getAs[Long]("n_covered") === e.getAs[Long]("cov"))
+        assert(r.getAs[Double]("coverage") ===
+          e.getAs[Long]("cov").toDouble / e.getAs[Long]("n").toDouble)
+      } else {
+        assert(r.isNullAt(r.fieldIndex("n_covered")), s"group $g")
+        assert(r.isNullAt(r.fieldIndex("coverage")))
+      }
+    }
+  }
 }
