@@ -136,7 +136,8 @@ object Bench {
     "q_bh_fdr", "q_power_2prop", "q_sprt", "q_repetition_loop",
     "q_conformal", "q_ifeval", "q_label_noise", "q_concentration",
     "q_cartography", "q_forgetting", "q_item_analysis",
-    "q_memorization", "q_fertility")
+    "q_memorization", "q_fertility",
+    "q_eval_anova", "q_scaling_by", "q_halving")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

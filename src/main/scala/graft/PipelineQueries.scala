@@ -11860,6 +11860,145 @@ object PipelineQueries {
       (s, dir) =>
       graft.ops.Quality.fertilityReport(t(s, dir, "documents"), "lang")
         .orderBy(col("lang"))
+    },
+
+    // One-way eval ANOVA per source (seed = doc_id%3, coprime to 20):
+    // cell moments exact dyadic, cross-seed folds SEED-SORTED as three
+    // scalar list_reduce folds (NOT a struct fold — the CUSUM probe
+    // showed DuckDB's struct list_reduce is not a faithful left fold).
+    q("q_eval_anova",
+      """WITH sc AS (SELECT source, doc_id%3 AS seed,
+        |    CAST((doc_id*7)%17 AS DOUBLE)/16 AS x FROM documents),
+        |cells AS (SELECT source, seed,
+        |    CAST(count(*) AS BIGINT) AS n, sum(x) AS s,
+        |    sum(x*x) AS ss
+        |  FROM sc GROUP BY source, seed),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS k_seeds,
+        |    CAST(sum(n) AS BIGINT) AS n_scores,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(s ORDER BY seed)), (a, b) -> a + b) AS bs,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(ss ORDER BY seed)), (a, b) -> a + b) AS bss,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(s*s/CAST(n AS DOUBLE) ORDER BY seed)),
+        |      (a, b) -> a + b) AS sb
+        |  FROM cells GROUP BY source),
+        |d AS (SELECT source, k_seeds, n_scores,
+        |    sb - bs*bs/CAST(n_scores AS DOUBLE) AS ssb,
+        |    bss - sb AS ssw,
+        |    bss - bs*bs/CAST(n_scores AS DOUBLE) AS sst
+        |  FROM g)
+        |SELECT source, k_seeds, n_scores, ssb AS ss_between,
+        |  ssw AS ss_within,
+        |  CASE WHEN k_seeds >= 2 AND n_scores > k_seeds AND ssw > 0
+        |    THEN (ssb/CAST(k_seeds - 1 AS DOUBLE))
+        |      / (ssw/CAST(n_scores - k_seeds AS DOUBLE)) END AS f_stat,
+        |  CASE WHEN sst > 0 THEN ssb/sst END AS seed_share,
+        |  COALESCE(CASE WHEN k_seeds >= 2 AND n_scores > k_seeds
+        |      AND ssw > 0
+        |    THEN (ssb/CAST(k_seeds - 1 AS DOUBLE))
+        |      / (ssw/CAST(n_scores - k_seeds AS DOUBLE)) END
+        |    > CAST(4.0 AS DOUBLE), false) AS seed_sensitive
+        |FROM d ORDER BY source""".stripMargin) { (s, dir) =>
+      val sc = t(s, dir, "documents").select(col("source"),
+        (col("doc_id") % 3).as("seed"),
+        ((col("doc_id") * 7 % 17).cast("double") / 16).as("x"))
+      graft.ops.Experiments.evalAnova(sc, "source", "seed", "x")
+        .orderBy(col("source"))
+    },
+
+    // Per-domain scaling-law fits: three synthetic domains, each an
+    // exact-ish power law with its own exponent family.
+    q("q_scaling_by",
+      """WITH r AS (SELECT DISTINCT doc_id % 3 AS g, doc_id % 8 AS r
+        |  FROM documents),
+        |runs AS (SELECT g,
+        |    CAST((r + 1) * (r + 1) AS DOUBLE) * 1e9 AS c,
+        |    (4.0 + CAST(g AS DOUBLE)) / CAST(r + 2 AS DOUBLE)
+        |      + 0.25 * CAST((r * 7 + g) % 5 AS DOUBLE) AS l
+        |  FROM r),
+        |f AS (SELECT g, CAST(count(*) AS BIGINT) AS n_runs,
+        |    list(struct_pack(c := c, l := l) ORDER BY c, l) AS p
+        |  FROM runs WHERE c > 0 AND l > 0 GROUP BY g),
+        |s AS (SELECT g, n_runs, CAST(n_runs AS DOUBLE) AS n,
+        |    list_reduce(list_transform(p, q -> ln(q.c)),
+        |      (a, b) -> a + b) AS sx,
+        |    list_reduce(list_transform(p, q -> ln(q.l)),
+        |      (a, b) -> a + b) AS sy,
+        |    list_reduce(list_transform(p, q -> ln(q.c) * ln(q.l)),
+        |      (a, b) -> a + b) AS sxy,
+        |    list_reduce(list_transform(p, q -> ln(q.c) * ln(q.c)),
+        |      (a, b) -> a + b) AS sxx,
+        |    list_reduce(list_transform(p, q -> ln(q.l) * ln(q.l)),
+        |      (a, b) -> a + b) AS syy
+        |  FROM f)
+        |SELECT g, n_runs,
+        |  round(CASE WHEN n * sxx - sx * sx > 0
+        |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+        |    AS exponent,
+        |  round(CASE WHEN n * sxx - sx * sx > 0
+        |    THEN exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        |      * sx) / n) END, 6) AS coefficient,
+        |  round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
+        |    AS r2
+        |FROM s ORDER BY g""".stripMargin) { (s, dir) =>
+      val runs = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(3)).as("g"),
+          pmod(col("doc_id"), lit(8)).as("r")).distinct()
+        .select(col("g"),
+          (((col("r") + 1) * (col("r") + 1)).cast("double") * 1e9)
+            .as("compute"),
+          ((lit(4.0) + col("g").cast("double"))
+            / (col("r") + 2).cast("double")
+            + lit(0.25) * pmod(col("r") * 7 + col("g"), lit(5))
+              .cast("double")).as("loss"))
+      graft.ops.Sampling.scalingLawFitBy(runs, "g", col("compute"),
+        col("loss")).orderBy(col("g"))
+    },
+
+    // Successive halving over an 8-arm pull log (rounds = 3, b = 5):
+    // prefix means exact dyadic rationals; the oracle unrolls the
+    // three elimination stages explicitly (k is fixed by synthesis).
+    q("q_halving",
+      """WITH p AS (SELECT doc_id % 8 AS arm, doc_id AS ord,
+        |    CAST((doc_id*11 + (doc_id%8)*3)%16 AS DOUBLE)/16 AS rw
+        |  FROM documents),
+        |g AS (SELECT arm, CAST(rn/5 AS INTEGER) AS rnd, cum/rn AS m
+        |  FROM (SELECT arm,
+        |      row_number() OVER (PARTITION BY arm ORDER BY ord) AS rn,
+        |      CAST(sum(rw) OVER (PARTITION BY arm ORDER BY ord
+        |        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum
+        |    FROM p)
+        |  WHERE rn % 5 = 0 AND rn <= 15),
+        |k1 AS (SELECT arm, m, row_number() OVER
+        |    (ORDER BY m DESC NULLS LAST, arm) AS rk
+        |  FROM g WHERE rnd = 1),
+        |k2 AS (SELECT g.arm, g.m, row_number() OVER
+        |    (ORDER BY g.m DESC NULLS LAST, g.arm) AS rk
+        |  FROM g JOIN k1 ON g.arm = k1.arm
+        |  WHERE g.rnd = 2 AND k1.rk <= 4),
+        |k3 AS (SELECT g.arm, g.m, row_number() OVER
+        |    (ORDER BY g.m DESC NULLS LAST, g.arm) AS rk
+        |  FROM g JOIN k2 ON g.arm = k2.arm
+        |  WHERE g.rnd = 3 AND k2.rk <= 2),
+        |res AS (
+        |  SELECT arm, 1 AS eliminated_round, m AS last_mean
+        |    FROM k1 WHERE rk > 4
+        |  UNION ALL SELECT arm, 2, m FROM k2 WHERE rk > 2
+        |  UNION ALL SELECT arm, 3, m FROM k3 WHERE rk > 1
+        |  UNION ALL SELECT arm, CAST(NULL AS INTEGER), m
+        |    FROM k3 WHERE rk = 1)
+        |SELECT arm, eliminated_round, last_mean,
+        |  eliminated_round IS NULL AS survived
+        |FROM res ORDER BY arm""".stripMargin) { (s, dir) =>
+      val pulls = t(s, dir, "documents").select(
+        (col("doc_id") % 8).as("arm"), col("doc_id").as("ord"),
+        ((col("doc_id") * 11 + (col("doc_id") % 8) * 3) % 16)
+          .cast("double").divide(lit(16)).as("rw"))
+      graft.ops.Experiments.successiveHalving(pulls, "arm", "ord",
+        "rw", pullsPerRound = 5).orderBy(col("arm"))
     }
   )
 

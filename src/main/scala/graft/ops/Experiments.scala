@@ -181,6 +181,127 @@ object Experiments {
       .withColumn("flagged", coalesce(col("r_pb") < rCrit, lit(false)))
   }
 
+  /** Eval-noise decomposition — one-way ANOVA of eval scores by seed
+    * (or any nuisance factor): per group (a model, or model×task),
+    * how much of the score variance is BETWEEN seeds vs within —
+    * `SSB = Σ s_j²/n_j − S²/N`, `SSW = Σx² − Σ s_j²/n_j`,
+    * `F = (SSB/(k−1))/(SSW/(N−k))`, and `seed_share = SSB/SS_total`,
+    * the headline "this leaderboard delta is seed noise" number a
+    * release decision needs before trusting a 0.3-point gap
+    * (the classical decomposition, Fisher 1925).
+    *
+    * Determinism: per-seed sums (n_j, s_j, Σx²) are exact on dyadic
+    * score grids; the cross-seed folds Σ s_j²/n_j run SEED-SORTED
+    * (collect the ≤|seeds| cell grid, sort, strict left fold — the
+    * shardMixReport discipline), so F and seed_share are fixed IEEE
+    * chains shipped UNROUNDED. NULL F when k < 2, N ≤ k, or SSW = 0.
+    *
+    * Scale: ONE (group, seed) cell aggregate over the eval log
+    * (three partials), then a group rollup carrying the |seeds|-sized
+    * cell list — seeds are single digits by design; everything after
+    * is grid arithmetic. */
+  def evalAnova(scores: DataFrame, groupCol: String, seedCol: String,
+      scoreCol: String, fCrit: Double = 4.0): DataFrame = {
+    require(fCrit > 0, s"fCrit=$fCrit")
+    val x = col(scoreCol).cast("double")
+    val cells = scores.groupBy(col(groupCol).as("_g"), col(seedCol))
+      .agg(count(lit(1)).as("_n"), sum(x).as("_s"),
+        sum(x * x).as("_ss"))
+    val g = cells.groupBy(col("_g"))
+      .agg(count(lit(1)).as("k_seeds"), sum(col("_n")).as("n_scores"),
+        collect_list(struct(col(seedCol).as("_seed"), col("_n"),
+          col("_s"), col("_ss"))).as("_cells"))
+    val sorted = array_sort(col("_cells"))
+    def fold(f: Column => Column): Column =
+      aggregate(sorted, lit(0.0d), (acc, c) => acc + f(c))
+    val bigS = fold(_.getField("_s"))
+    val bigSS = fold(_.getField("_ss"))
+    val sB = fold(c => c.getField("_s") * c.getField("_s") /
+      c.getField("_n").cast("double"))
+    val nD = col("n_scores").cast("double")
+    val ssb = sB - bigS * bigS / nD
+    val ssw = bigSS - sB
+    val sst = bigSS - bigS * bigS / nD
+    val k = col("k_seeds")
+    val f = when(k >= 2 && col("n_scores") > k && ssw > 0,
+      (ssb / (k - 1).cast("double")) /
+        (ssw / (col("n_scores") - k).cast("double")))
+    g.select(col("_g").as(groupCol), col("k_seeds"), col("n_scores"),
+        ssb.as("ss_between"), ssw.as("ss_within"), f.as("f_stat"),
+        when(sst > 0, ssb / sst).as("seed_share"))
+      .withColumn("seed_sensitive",
+        coalesce(col("f_stat") > fCrit, lit(false)))
+  }
+
+  /** Successive halving over an ordered pull log (Karnin et al. 2013;
+    * Jamieson & Talwalkar 2016) — the eval-budget router: k arms
+    * (models/configs), R = ⌈log₂k⌉ rounds; at round r every surviving
+    * arm is scored by the mean of its FIRST r·pullsPerRound rewards
+    * (prefix reuse — the budget-doubling that makes the total cost
+    * O(k·b·2) instead of k·b·R), the bottom half is eliminated
+    * (ties → arm-id ascending keeps; arms missing the round-r prefix
+    * rank LAST — an arm that stopped logging is eliminated, not
+    * carried). Emits per arm: `eliminated_round` (NULL = winner),
+    * `last_mean` (its score when last ranked), `survived`.
+    *
+    * Determinism: prefix means are single divisions of exact dyadic
+    * prefix sums; ranking is total (mean desc NULLS LAST, arm asc).
+    * The arm count is read EAGERLY (one distinct-count metadata job —
+    * the passAtK pinned-grid contract) because the round count shapes
+    * the plan; the per-round ranking runs on the ≤k-row survivor grid
+    * (bounded SinglePartition — the mixturePlan metadata class).
+    *
+    * Scale: ONE arm-partitioned ordered window over the pull log
+    * (prefix sums + row_number in one pass), filtered to the
+    * k·R-row round grid; R ≤ log₂k tiny ranking stages follow on
+    * grids. The pull log shuffles once. */
+  def successiveHalving(pulls: DataFrame, armCol: String,
+      orderCol: String, rewardCol: String,
+      pullsPerRound: Int): DataFrame = {
+    require(pullsPerRound >= 1, s"pullsPerRound=$pullsPerRound")
+    val base = pulls.select(col(armCol).as("_a"),
+      col(orderCol).as("_o"), col(rewardCol).cast("double").as("_r"))
+    val k = base.select(col("_a")).distinct().count()
+    require(k >= 1, "successiveHalving needs >= 1 arm")
+    val rounds = math.max(1,
+      math.ceil(math.log(k.toDouble) / math.log(2.0)).toInt)
+    val w = Window.partitionBy(col("_a")).orderBy(col("_o"))
+    val grid = base.withColumn("_rn", row_number().over(w))
+      .withColumn("_cum", sum(col("_r")).over(w))
+      .filter(col("_rn") % pullsPerRound === 0 &&
+        col("_rn") <= rounds * pullsPerRound)
+      .select(col("_a"),
+        (col("_rn") / pullsPerRound).cast("int").as("_round"),
+        (col("_cum") / col("_rn").cast("double")).as("_mean"))
+    var surv = base.select(col("_a")).distinct()
+    var sCount = k
+    var lastR = 0
+    var out: DataFrame = null
+    for (r <- 1 to rounds if sCount > 1) {
+      val means = surv.join(grid.filter(col("_round") === r),
+        Seq("_a"), "left")
+      val keepN = (sCount + 1) / 2
+      val ranked = means.withColumn("_rk", row_number().over(
+        Window.orderBy(col("_mean").desc_nulls_last, col("_a"))))
+      val elim = ranked.filter(col("_rk") > keepN)
+        .select(col("_a"), lit(r).as("eliminated_round"),
+          col("_mean").as("last_mean"))
+      out = if (out == null) elim else out.unionByName(elim)
+      surv = ranked.filter(col("_rk") <= keepN).select(col("_a"))
+      sCount = keepN.toInt
+      lastR = r
+    }
+    val winners = surv.join(
+        grid.filter(col("_round") === math.max(lastR, 1)),
+        Seq("_a"), "left")
+      .select(col("_a"), lit(null).cast("int").as("eliminated_round"),
+        col("_mean").as("last_mean"))
+    val all = if (out == null) winners else out.unionByName(winners)
+    all.select(col("_a").as(armCol), col("eliminated_round"),
+        col("last_mean"))
+      .withColumn("survived", col("eliminated_round").isNull)
+  }
+
   /** The SPRT's four log constants (C1, C0, A, B) — computed once
     * driver-side so both the plan and any oracle share bit-identical
     * doubles (serialize with %.17g: 17 significant digits round-trip

@@ -867,12 +867,30 @@ object Sampling {
     * intentionally NOT a corpus op (fitting reads the experiment log,
     * never training data); the folds run on the driver-bounded list. */
   def scalingLawFit(runs: DataFrame, computeCol: Column,
-      lossCol: Column): DataFrame = {
+      lossCol: Column): DataFrame =
+    scalingFitCore(runs, computeCol, lossCol, groupCols = Seq.empty)
+
+  /** Per-group scaling-law fits — the same log-log OLS run once per
+    * domain/source/task, the comparison a mixture decision reads
+    * ("code loss falls faster with compute than web loss" — different
+    * exponents mean different marginal value of data). Identical
+    * determinism and driver-bounded-list contract per group. */
+  def scalingLawFitBy(runs: DataFrame, groupCol: String,
+      computeCol: Column, lossCol: Column): DataFrame =
+    scalingFitCore(runs, computeCol, lossCol, Seq(groupCol))
+
+  private def scalingFitCore(runs: DataFrame, computeCol: Column,
+      lossCol: Column, groupCols: Seq[String]): DataFrame = {
     val c = computeCol.cast("double")
     val l = lossCol.cast("double")
     val pts = array_sort(collect_list(struct(c.as("c"), l.as("l"))))
-    val g = runs.filter(c > 0 && l > 0)
-      .agg(count(lit(1)).as("n_runs"), pts.as("_p"))
+    val filtered = runs.filter(c > 0 && l > 0)
+    val aggs = Seq(count(lit(1)).as("n_runs"), pts.as("_p"))
+    val g0 =
+      if (groupCols.isEmpty) filtered.agg(aggs.head, aggs.tail: _*)
+      else filtered.groupBy(groupCols.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+    val g = g0
       .withColumn("_x", transform(col("_p"), p => log(p.getField("c"))))
       .withColumn("_y", transform(col("_p"), p => log(p.getField("l"))))
     def fold(xs: Column): Column = aggregate(xs, lit(0.0), (a, v) => a + v)
@@ -887,11 +905,11 @@ object Sampling {
     val cov = n * sxy - sx * sy
     val slope = cov / varX
     val intercept = (sy - slope * sx) / n
-    g.select(col("n_runs"),
+    g.select(groupCols.map(col) ++ Seq(col("n_runs"),
       round(when(varX > 0, slope), 6).as("exponent"),
       round(when(varX > 0, exp(intercept)), 6).as("coefficient"),
       round(when(varX > 0 && varY > 0, cov * cov / (varX * varY)), 6)
-        .as("r2"))
+        .as("r2")): _*)
   }
 
   /** Mixture-concentration report — the "is this corpus secretly one

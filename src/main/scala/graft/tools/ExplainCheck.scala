@@ -50,7 +50,9 @@ object ExplainCheck {
         // round-16 batch 7: training-dynamics / item QA
         "q_cartography","q_forgetting","q_item_analysis",
         // round-16 batch 8: memorization / fertility
-        "q_memorization","q_fertility")) {
+        "q_memorization","q_fertility",
+        // round-16 batch 9: eval-budget statistics
+        "q_eval_anova","q_scaling_by","q_halving")) {
       println(s"########## $q")
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -119,6 +119,67 @@ class ExperimentsSpec extends AnyFunSuite {
     assert(out(0).isNullAt(4) && !out(0).getBoolean(5))
   }
 
+  test("evalAnova: hand one-way decomposition on dyadic scores") {
+    // m: seed s1 = {0.25, 0.75}, s2 = {0.5, 1.0} →
+    // S=2.5 SS=1.875 ΣS_j²/n_j=1.625 → SSB=0.0625 SSW=0.25 SST=0.3125
+    // F = 0.0625/0.125 = 0.5; seed_share = 0.2
+    val df = Seq(("m", "s1", 0.25), ("m", "s1", 0.75),
+      ("m", "s2", 0.5), ("m", "s2", 1.0)).toDF("model", "seed", "x")
+    val out = Experiments.evalAnova(df, "model", "seed", "x").head()
+    assert(out.getLong(1) === 2L && out.getLong(2) === 4L)
+    assert(out.getDouble(3) === 0.0625)
+    assert(out.getDouble(4) === 0.25)
+    assert(out.getDouble(5) === 0.5)
+    assert(out.getDouble(6) === 0.2)
+    assert(!out.getBoolean(7))
+  }
+
+  test("evalAnova: single seed and constant scores → NULL F") {
+    val one = Seq(("m", "s1", 0.5), ("m", "s1", 1.0))
+      .toDF("model", "seed", "x")
+    val r1 = Experiments.evalAnova(one, "model", "seed", "x").head()
+    assert(r1.isNullAt(5) && !r1.getBoolean(7))
+    val const = Seq(("m", "s1", 0.5), ("m", "s2", 0.5))
+      .toDF("model", "seed", "x")
+    val r2 = Experiments.evalAnova(const, "model", "seed", "x").head()
+    assert(r2.isNullAt(5) && r2.isNullAt(6), "SST = 0 → NULL share")
+  }
+
+  test("successiveHalving: hand 4-arm tournament with prefix reuse") {
+    // b = 2, rounds = 2. a always 1.0; b strong early then collapses;
+    // c/d weak round 1 → eliminated there. Round 2 re-reads a/b's
+    // FIRST FOUR pulls: a 1.0 vs b (0.75+0.75+0+0)/4 = 0.375.
+    val pulls = Seq(
+      ("a", 1.0, 1.0, 1.0, 1.0), ("b", 0.75, 0.75, 0.0, 0.0),
+      ("c", 0.5, 0.5, 1.0, 1.0), ("d", 0.25, 0.25, 0.0, 0.0)
+    ).flatMap { case (a, r1, r2, r3, r4) =>
+      Seq((a, 1L, r1), (a, 2L, r2), (a, 3L, r3), (a, 4L, r4))
+    }.toDF("arm", "ord", "reward")
+    val out = Experiments.successiveHalving(pulls, "arm", "ord",
+      "reward", pullsPerRound = 2)
+      .orderBy("arm").collect()
+    val byArm = out.map(r => r.getString(0) -> r).toMap
+    assert(byArm("a").isNullAt(1) && byArm("a").getBoolean(3))
+    assert(byArm("a").getDouble(2) === 1.0, "winner scored at round 2")
+    assert(byArm("b").getInt(1) === 2 && byArm("b").getDouble(2) === 0.375)
+    assert(byArm("c").getInt(1) === 1 && byArm("c").getDouble(2) === 0.5)
+    assert(byArm("d").getInt(1) === 1 && byArm("d").getDouble(2) === 0.25)
+  }
+
+  test("successiveHalving: short-logged arms rank last; ties keep the smaller arm id") {
+    // x logs ONE pull (sub-b) → no round-1 prefix → eliminated with
+    // NULL mean; y/z tie at 0.5 → z eliminated (y keeps by id)
+    val pulls = Seq(("x", 1L, 1.0),
+      ("y", 1L, 0.5), ("y", 2L, 0.5), ("y", 3L, 0.5), ("y", 4L, 0.5),
+      ("z", 1L, 0.5), ("z", 2L, 0.5), ("z", 3L, 0.5), ("z", 4L, 0.5))
+      .toDF("arm", "ord", "reward")
+    val out = Experiments.successiveHalving(pulls, "arm", "ord",
+      "reward", 2).collect().map(r => r.getString(0) -> r).toMap
+    assert(out("x").getInt(1) === 1 && out("x").isNullAt(2))
+    assert(out("y").isNullAt(1), "tie keeps the smaller arm id")
+    assert(out("z").getInt(1) === 2)
+  }
+
   test("sprtConstants: rejects degenerate hypotheses") {
     intercept[IllegalArgumentException] {
       Experiments.sprtConstants(0.5, 0.5, 0.05, 0.05)

@@ -698,6 +698,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("scalingLawFitBy: independent per-group fits, group column carried") {
+    import spark.implicits._
+    val runs = Seq(("web", 1.0, 2.0), ("web", 4.0, 1.0),
+      ("web", 16.0, 0.5),
+      ("code", 1.0, 3.0), ("code", 2.0, 1.5), ("code", 4.0, 0.75))
+      .toDF("domain", "compute", "loss")
+    val out = Sampling.scalingLawFitBy(runs, "domain", col("compute"),
+      col("loss")).orderBy("domain").collect()
+    val codeFit = out(0)
+    assert(codeFit.getString(0) === "code")
+    assert(codeFit.getAs[Double]("exponent") === -1.0)
+    assert(codeFit.getAs[Double]("coefficient") === 3.0)
+    val webFit = out(1)
+    assert(webFit.getAs[Double]("exponent") === -0.5)
+    assert(webFit.getAs[Double]("coefficient") === 2.0)
+    assert(webFit.getAs[Double]("r2") === 1.0)
+  }
+
   test("concentrationReport: hand Simpson, effective sources, dominance tie") {
     import spark.implicits._
     // s: counts a=4 b=2 c=2 of 8 → Σp² = (16+4+4)/64 = 0.375,

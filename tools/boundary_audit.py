@@ -91,6 +91,9 @@ AUTO = [
     # projection (the Simpson fold is sorted, but p = c/total is an
     # arbitrary rational — margins measured, not assumed)
     'q_concentration',
+    # r16 batch 9: the grouped scaling fit rounds through libm ln/exp
+    # like its global twin (q_scaling_fit) — margins measured per group
+    'q_scaling_by',
 ]
 
 con = duckdb.connect()
