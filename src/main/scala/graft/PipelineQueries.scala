@@ -11999,6 +11999,117 @@ object PipelineQueries {
           .cast("double").divide(lit(16)).as("rw"))
       graft.ops.Experiments.successiveHalving(pulls, "arm", "ord",
         "rw", pullsPerRound = 5).orderBy(col("arm"))
+    },
+
+    // Wasserstein-1 between two dyadic score slices — the ks CDF grid
+    // with a lead() gap integral, folded VALUE-SORTED in both engines.
+    q("q_wasserstein",
+      """WITH rs AS (SELECT CAST((doc_id*3)%16 AS DOUBLE)/16 AS v
+        |  FROM documents WHERE doc_id%2 = 0),
+        |cs AS (SELECT CAST((doc_id*7)%16 AS DOUBLE)/16
+        |    + CAST(1.0 AS DOUBLE)/32 AS v
+        |  FROM documents WHERE doc_id%2 = 1),
+        |rc AS (SELECT v, CAST(count(*) AS DOUBLE) AS n1
+        |  FROM rs GROUP BY v),
+        |cc AS (SELECT v, CAST(count(*) AS DOUBLE) AS n2
+        |  FROM cs GROUP BY v),
+        |u AS (SELECT COALESCE(rc.v, cc.v) AS v,
+        |    COALESCE(n1, CAST(0.0 AS DOUBLE)) AS n1,
+        |    COALESCE(n2, CAST(0.0 AS DOUBLE)) AS n2
+        |  FROM rc FULL OUTER JOIN cc ON rc.v = cc.v),
+        |t AS (SELECT sum(n1) AS t1, sum(n2) AS t2,
+        |    CAST(sum(n1) AS BIGINT) AS n_ref,
+        |    CAST(sum(n2) AS BIGINT) AS n_cur FROM u),
+        |w AS (SELECT v,
+        |    abs(sum(n1) OVER cw / t1 - sum(n2) OVER cw / t2) AS gap,
+        |    lead(v) OVER (ORDER BY v) - v AS dv
+        |  FROM u, t
+        |  WINDOW cw AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+        |f AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(CASE WHEN dv IS NOT NULL THEN gap * dv
+        |      ELSE CAST(0.0 AS DOUBLE) END ORDER BY v)),
+        |    (a, b) -> a + b) AS w1 FROM w)
+        |SELECT n_ref, n_cur, round(w1, 6) AS w1 FROM t, f""".stripMargin) {
+      (s, dir) =>
+      val d = t(s, dir, "documents")
+      val ref = d.filter(col("doc_id") % 2 === 0)
+        .select(((col("doc_id") * 3 % 16).cast("double") / 16).as("v"))
+      val cur = d.filter(col("doc_id") % 2 === 1)
+        .select(((col("doc_id") * 7 % 16).cast("double") / 16
+          + lit(1.0) / 32).as("v"))
+      graft.ops.Drift.wasserstein1(ref, cur, "v")
+    },
+
+    // Per-source trimmed mean at a 1/10 rational trim — the cut count
+    // from exact long arithmetic, kept-sum order-free dyadic.
+    q("q_trimmed_mean",
+      """WITH sc AS (SELECT source,
+        |    CAST((doc_id*7)%17 AS DOUBLE)/16 AS x FROM documents),
+        |r AS (SELECT source, x,
+        |    row_number() OVER (PARTITION BY source ORDER BY x) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM sc),
+        |d AS (SELECT source, x, rk, n,
+        |    CAST(CAST(n - (n % 10) AS DOUBLE) / CAST(10 AS DOUBLE)
+        |      AS BIGINT) AS t
+        |  FROM r),
+        |g AS (SELECT source, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(max(t) AS BIGINT) AS n_trimmed_each,
+        |    CAST(sum(CASE WHEN rk > t AND rk <= n - t THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n_used,
+        |    sum(CASE WHEN rk > t AND rk <= n - t THEN x
+        |      ELSE CAST(0.0 AS DOUBLE) END) AS s,
+        |    min(CASE WHEN rk > t AND rk <= n - t THEN x END)
+        |      AS kept_min,
+        |    max(CASE WHEN rk > t AND rk <= n - t THEN x END)
+        |      AS kept_max
+        |  FROM d GROUP BY source)
+        |SELECT source, n, n_trimmed_each, n_used,
+        |  CASE WHEN n_used > 0 THEN s / CAST(n_used AS DOUBLE) END
+        |    AS trimmed_mean,
+        |  kept_min, kept_max
+        |FROM g ORDER BY source""".stripMargin) { (s, dir) =>
+      val sc = t(s, dir, "documents").select(col("source"),
+        ((col("doc_id") * 7 % 17).cast("double") / 16).as("x"))
+      graft.ops.Bootstrap.trimmedMean(sc, "source", "x", 1, 10)
+        .orderBy(col("source"))
+    },
+
+    // Subgroup disparity per lang over source slices: exact-rational
+    // rates, deterministic (rate, id) extremes, support floor minN=5.
+    q("q_disparity",
+      """WITH cells AS (SELECT lang AS m, source AS sg,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN (doc_id*3)%7 < 4 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS p
+        |  FROM documents GROUP BY lang, source),
+        |rated AS (SELECT m, sg, n,
+        |    CAST(p AS DOUBLE)/CAST(n AS DOUBLE) AS rate FROM cells),
+        |sup AS (SELECT * FROM rated WHERE n >= 5),
+        |hi AS (SELECT m, sg AS top_subgroup, rate AS top_rate FROM
+        |  (SELECT m, sg, rate, row_number() OVER (PARTITION BY m
+        |    ORDER BY rate DESC, sg ASC) AS rk FROM sup) WHERE rk = 1),
+        |lo AS (SELECT m, sg AS bottom_subgroup, rate AS bottom_rate
+        |  FROM (SELECT m, sg, rate, row_number() OVER (PARTITION BY m
+        |    ORDER BY rate ASC, sg ASC) AS rk FROM sup) WHERE rk = 1),
+        |cnt AS (SELECT m, CAST(count(*) AS BIGINT) AS n_subgroups,
+        |    CAST(sum(CASE WHEN n >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_supported
+        |  FROM rated GROUP BY m)
+        |SELECT cnt.m AS lang, n_subgroups, n_supported, top_subgroup,
+        |  top_rate, bottom_subgroup, bottom_rate,
+        |  CASE WHEN n_supported >= 2 THEN top_rate - bottom_rate END
+        |    AS gap,
+        |  COALESCE(CASE WHEN n_supported >= 2
+        |    THEN top_rate - bottom_rate END > CAST(0.1 AS DOUBLE),
+        |    false) AS flagged
+        |FROM cnt LEFT JOIN hi ON cnt.m = hi.m
+        |  LEFT JOIN lo ON cnt.m = lo.m
+        |ORDER BY cnt.m""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("lang"), col("source"),
+        ((col("doc_id") * 3) % 7 < 4).as("ok"))
+      graft.ops.Agreement.disparityReport(d, "lang", "source", "ok",
+        minN = 5L, gapCrit = 0.1).orderBy(col("lang"))
     }
   )
 

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Inter-annotator agreement — the label-QA step of a human-feedback
@@ -281,5 +282,55 @@ object Agreement {
         q.as("q_stat"), (k - 1).as("df"))
       .withColumn("rejected",
         coalesce(col("q_stat") > chi2Crit, lit(false)))
+  }
+
+  /** Subgroup disparity report — the per-metric fairness gap screen an
+    * eval release runs over demographic/domain slices (the "max-min
+    * difference" in the fairness-metrics literature, e.g. Barocas,
+    * Hardt & Narayanan 2019 ch. 2): per metric, the highest- and
+    * lowest-rate subgroups among those with `n ≥ minN` (small slices
+    * are noise, not findings — the standard support floor), the gap
+    * between them, and a flag at `gap > gapCrit`. Rates are exact
+    * long rationals; extremes pick by (rate, subgroup-asc tiebreak)
+    * via lexicographic struct min/max — a total order, so the named
+    * subgroups are deterministic; `gap` is one IEEE subtraction of
+    * two exact rationals, UNROUNDED.
+    *
+    * Scale: ONE (metric, subgroup) count aggregate over the eval log;
+    * extremes re-aggregate the subgroup GRID. */
+  def disparityReport(df: DataFrame, metricCol: String,
+      subgroupCol: String, positiveCol: String, minN: Long = 30L,
+      gapCrit: Double = 0.1): DataFrame = {
+    require(minN >= 1, s"minN=$minN")
+    require(gapCrit >= 0, s"gapCrit=$gapCrit")
+    val cells = df.groupBy(col(metricCol).as("_m"),
+        col(subgroupCol).as("_sg"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col(positiveCol).cast("boolean").cast("long")).as("_p"))
+    val rated = cells.withColumn("_rate",
+      col("_p").cast("double") / col("_n").cast("double"))
+    val supported = rated.filter(col("_n") >= minN)
+    def extreme(w: org.apache.spark.sql.expressions.WindowSpec,
+        sg: String, rt: String) = supported
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("_m"), col("_sg").as(sg), col("_rate").as(rt))
+    val hi = extreme(Window.partitionBy(col("_m"))
+      .orderBy(col("_rate").desc, col("_sg").asc),
+      "top_subgroup", "top_rate")
+    val lo = extreme(Window.partitionBy(col("_m"))
+      .orderBy(col("_rate").asc, col("_sg").asc),
+      "bottom_subgroup", "bottom_rate")
+    val counts = rated.groupBy(col("_m"))
+      .agg(count(lit(1)).as("n_subgroups"),
+        sum((col("_n") >= minN).cast("long")).as("n_supported"))
+    counts.join(hi, Seq("_m"), "left").join(lo, Seq("_m"), "left")
+      .select(col("_m").as(metricCol), col("n_subgroups"),
+        col("n_supported"), col("top_subgroup"), col("top_rate"),
+        col("bottom_subgroup"), col("bottom_rate"),
+        when(col("n_supported") >= 2,
+          col("top_rate") - col("bottom_rate")).as("gap"))
+      .withColumn("flagged",
+        coalesce(col("gap") > gapCrit, lit(false)))
   }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Poisson-bootstrap confidence intervals — error bars for corpus
@@ -136,5 +137,54 @@ object Bootstrap {
         round(col("_m"), 6).as("mean"),
         round(col("_q").getItem(0), 6).as("ci_lo"),
         round(col("_q").getItem(1), 6).as("ci_hi"))
+  }
+
+  /** Per-group trimmed mean — the robust leaderboard aggregate for
+    * judge-scored evals (a handful of 0-score judge failures or
+    * 1-score sycophancy spikes move a mean; the trimmed mean ignores
+    * both tails symmetrically; Tukey's classic robust location): per
+    * group, drop the lowest and highest `⌊n·trimNum/trimDen⌋` values
+    * (EXACT integer arithmetic on a rational trim fraction — the
+    * conformalCalibration discipline: a float ⌊n·0.1⌋ can land on the
+    * wrong side of an exact integer), average the rest. Emits `n`,
+    * `n_trimmed_each`, `n_used`, `trimmed_mean` (UNROUNDED — exact on
+    * dyadic score grids: the kept-sum is order-free, ONE division),
+    * and the kept range. Ties at a cut rank are value-interchangeable,
+    * so the kept SUM is tie-order-free.
+    *
+    * Scale: ONE group-partitioned rank window over narrow
+    * (group, value) rows (the Wilcoxon sort-shuffle class) + one
+    * group aggregate in the same stage. */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+      trimNum: Int, trimDen: Int): DataFrame = {
+    require(trimNum >= 0 && trimDen > 0 && 2 * trimNum < trimDen,
+      s"trim fraction $trimNum/$trimDen must sit in [0, 1/2)")
+    val w = Window.partitionBy(col("_g")).orderBy(col("_x"))
+    val whole = Window.partitionBy(col("_g"))
+    val ranked = df.select(col(groupCol).as("_g"),
+        col(valueCol).cast("double").as("_x"))
+      .withColumn("_r", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(whole))
+    // exact ⌊n·num/den⌋: long modulo subtraction, then a division
+    // that is exact because the numerator is divisible
+    val tNum = col("_n") * trimNum
+    val t = ((tNum - pmod(tNum, lit(trimDen.toLong)))
+      .cast("double") / lit(trimDen.toDouble)).cast("long")
+    ranked.withColumn("_t", t)
+      .groupBy(col("_g"))
+      .agg(max(col("_n")).as("n"), max(col("_t")).as("n_trimmed_each"),
+        sum(when(col("_r") > col("_t") && col("_r") <= col("_n") - col("_t"),
+          col("_x")).otherwise(0.0d)).as("_s"),
+        sum((col("_r") > col("_t") && col("_r") <= col("_n") - col("_t"))
+          .cast("long")).as("n_used"),
+        min(when(col("_r") > col("_t") && col("_r") <= col("_n") - col("_t"),
+          col("_x"))).as("kept_min"),
+        max(when(col("_r") > col("_t") && col("_r") <= col("_n") - col("_t"),
+          col("_x"))).as("kept_max"))
+      .select(col("_g").as(groupCol), col("n"), col("n_trimmed_each"),
+        col("n_used"),
+        when(col("n_used") > 0, col("_s") / col("n_used").cast("double"))
+          .as("trimmed_mean"),
+        col("kept_min"), col("kept_max"))
   }
 }

@@ -177,6 +177,52 @@ object Drift {
         col("n_ref"), col("n_cur"))
   }
 
+  /** Wasserstein-1 (earth-mover) distance between two score
+    * distributions — the MAGNITUDE companion to [[ks]] (KS reports
+    * the worst single CDF gap; W₁ integrates |F_ref − F_cur| over the
+    * value axis, so a small-but-everywhere shift and a large-local
+    * shift separate). The monitoring pair a score-drift dashboard
+    * wants: KS for "is it shifted", W₁ for "by how much, in score
+    * units" (Ramdas et al. 2017 on univariate Wasserstein tests).
+    *
+    * Determinism: the CDF grid is the [[ks]] class-frame shape
+    * (exact counts, one division per class); the integral
+    * Σ |F₁−F₂|·Δv is an order-sensitive float sum, so it folds
+    * VALUE-SORTED (collect the class grid, sort, strict left fold —
+    * the mlOrderedMean discipline) and rounds at 6 in the final
+    * projection. Scale: two class-frame aggregates (≪ rows for
+    * bounded-grid scores — the stated PSI-class obligation; quantize
+    * continuous scores first), one bounded-SinglePartition window
+    * over the merged grid, one fold. */
+  def wasserstein1(ref: DataFrame, cur: DataFrame,
+      scoreCol: String): DataFrame = {
+    def classes(df: DataFrame, as: String) = df
+      .groupBy(col(scoreCol).cast("double").as("_v"))
+      .agg(count(lit(1)).cast("double").as(as))
+    val u = classes(ref, "_n1")
+      .join(classes(cur, "_n2"), Seq("_v"), "full_outer")
+      .na.fill(0.0, Seq("_n1", "_n2"))
+    val totals = u.agg(sum("_n1").as("_t1"), sum("_n2").as("_t2"),
+      sum("_n1").cast("long").as("n_ref"),
+      sum("_n2").cast("long").as("n_cur"))
+    val cum = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nxt = Window.orderBy(col("_v"))
+    val terms = u.crossJoin(broadcast(totals))
+      .withColumn("_gap", abs(
+        sum("_n1").over(cum) / col("_t1") -
+        sum("_n2").over(cum) / col("_t2")))
+      .withColumn("_dv", lead(col("_v"), 1).over(nxt) - col("_v"))
+      .withColumn("_term",
+        when(col("_dv").isNotNull, col("_gap") * col("_dv"))
+          .otherwise(lit(0.0d)))
+    terms.groupBy(col("n_ref"), col("n_cur"))
+      .agg(collect_list(struct(col("_v"), col("_term"))).as("_ts"))
+      .select(col("n_ref"), col("n_cur"),
+        round(aggregate(array_sort(col("_ts")), lit(0.0d),
+          (acc, t) => acc + t.getField("_term")), 6).as("w1"))
+  }
+
   /** TOKEN-distribution drift — the text twin of [[psi]]/[[ks]]
     * (which watch numeric columns): Pearson's χ² between the two
     * slices' token frequencies over the top-`topK` REF tokens plus an

@@ -52,7 +52,9 @@ object ExplainCheck {
         // round-16 batch 8: memorization / fertility
         "q_memorization","q_fertility",
         // round-16 batch 9: eval-budget statistics
-        "q_eval_anova","q_scaling_by","q_halving")) {
+        "q_eval_anova","q_scaling_by","q_halving",
+        // round-16 batch 10: robust drift / aggregation / fairness
+        "q_wasserstein","q_trimmed_mean","q_disparity")) {
       println(s"########## $q")
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

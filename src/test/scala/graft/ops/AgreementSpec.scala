@@ -242,4 +242,35 @@ class AgreementSpec extends AnyFunSuite {
     assert(out.getAs[Double]("q_stat") === 16.0)
     assert(out.getAs[Boolean]("rejected"))
   }
+
+  test("disparityReport: gap over supported slices only; small slices excluded") {
+    import spark.implicits._
+    val rows =
+      (1 to 50).map(i => ("acc", "a", i <= 40)) ++   // 0.8, n=50
+      (1 to 50).map(i => ("acc", "b", i <= 10)) ++   // 0.2, n=50
+      (1 to 10).map(i => ("acc", "c", true))         // n=10 < minN
+    val out = Agreement.disparityReport(rows.toDF("m", "sg", "ok"),
+      "m", "sg", "ok", minN = 30L, gapCrit = 0.1).head()
+    assert(out.getLong(1) === 3L && out.getLong(2) === 2L)
+    assert(out.getString(3) === "a" && out.getDouble(4) === 0.8)
+    assert(out.getString(5) === "b" && out.getDouble(6) === 0.2)
+    assert(out.getDouble(7) === 0.8 - 0.2, "one IEEE subtraction (0.6000…01)")
+    assert(out.getBoolean(8))
+  }
+
+  test("disparityReport: rate ties break by subgroup id; lone slice has NULL gap") {
+    import spark.implicits._
+    val tied =
+      (1 to 30).map(i => ("m", "x", i <= 15)) ++
+      (1 to 30).map(i => ("m", "y", i <= 15))
+    val t = Agreement.disparityReport(tied.toDF("m", "sg", "ok"),
+      "m", "sg", "ok", minN = 30L).head()
+    assert(t.getString(3) === "x" && t.getString(5) === "x",
+      "both extremes tie → the ascending id wins both")
+    assert(t.getDouble(7) === 0.0 && !t.getBoolean(8))
+    val lone = (1 to 30).map(i => ("m", "only", i <= 10))
+    val l = Agreement.disparityReport(lone.toDF("m", "sg", "ok"),
+      "m", "sg", "ok", minN = 30L).head()
+    assert(l.isNullAt(7) && !l.getBoolean(8))
+  }
 }

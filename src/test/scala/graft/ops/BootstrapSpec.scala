@@ -97,4 +97,28 @@ class BootstrapSpec extends AnyFunSuite {
     assert(ci.getDouble(3) === 10.0 && ci.getDouble(4) === 10.0,
       "every non-empty resample of one row has its value as mean")
   }
+
+  test("trimmedMean: drops exact tail counts; outlier immunity") {
+    import spark.implicits._
+    val df = Seq(("g", 0.0), ("g", 1.0), ("g", 2.0), ("g", 3.0),
+      ("g", 100.0)).toDF("grp", "x")
+    val out = Bootstrap.trimmedMean(df, "grp", "x", 1, 5).head()
+    assert(out.getLong(1) === 5L && out.getLong(2) === 1L)
+    assert(out.getLong(3) === 3L)
+    assert(out.getDouble(4) === 2.0, "the 100.0 outlier is gone")
+    assert(out.getDouble(5) === 1.0 && out.getDouble(6) === 3.0)
+  }
+
+  test("trimmedMean: ties at the cut are value-interchangeable; zero trim = mean") {
+    import spark.implicits._
+    val ties = Seq(("g", 1.0), ("g", 1.0), ("g", 1.0), ("g", 5.0))
+      .toDF("grp", "x")
+    val t = Bootstrap.trimmedMean(ties, "grp", "x", 1, 4).head()
+    assert(t.getLong(2) === 1L && t.getDouble(4) === 1.0)
+    val plain = Bootstrap.trimmedMean(ties, "grp", "x", 0, 4).head()
+    assert(plain.getDouble(4) === 2.0)
+    intercept[IllegalArgumentException] {
+      Bootstrap.trimmedMean(ties, "grp", "x", 2, 4)
+    }
+  }
 }

@@ -155,4 +155,29 @@ class DriftSpec extends AnyFunSuite {
       .toMap
     assert(r13("m") === 1.75)
   }
+
+  test("wasserstein1: hand EMD values — half-mass move, pure shift, identity") {
+    import spark.implicits._
+    val ref = Seq(0.0, 1.0).toDF("s")
+    val cur1 = Seq(1.0).toDF("s")
+    val r1 = Drift.wasserstein1(ref, cur1, "s").head()
+    assert(r1.getLong(0) === 2L && r1.getLong(1) === 1L)
+    assert(r1.getDouble(2) === 0.5, "moving half the mass 0→1 costs 0.5")
+    val cur2 = Seq(2.0, 3.0).toDF("s")
+    assert(Drift.wasserstein1(ref, cur2, "s").head().getDouble(2)
+      === 2.0, "a pure +2 shift costs exactly 2")
+    assert(Drift.wasserstein1(ref, ref, "s").head().getDouble(2)
+      === 0.0)
+  }
+
+  test("wasserstein1: is partition-order stable (sorted fold)") {
+    import spark.implicits._
+    val ref = (0 until 64).map(i => (i % 16) / 16.0).toDF("s")
+    val cur = (0 until 64).map(i => ((i * 3) % 16) / 16.0 + 0.03125)
+      .toDF("s")
+    val a = Drift.wasserstein1(ref, cur, "s").head().getDouble(2)
+    val b = Drift.wasserstein1(ref.repartition(13), cur.repartition(7),
+      "s").head().getDouble(2)
+    assert(a === b)
+  }
 }

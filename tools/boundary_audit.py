@@ -94,6 +94,9 @@ AUTO = [
     # r16 batch 9: the grouped scaling fit rounds through libm ln/exp
     # like its global twin (q_scaling_fit) — margins measured per group
     'q_scaling_by',
+    # r16 batch 10: w1 rounds the sorted gap-integral fold in the
+    # final projection — margin measured
+    'q_wasserstein',
 ]
 
 con = duckdb.connect()
