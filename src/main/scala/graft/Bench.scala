@@ -138,7 +138,8 @@ object Bench {
     "q_cartography", "q_forgetting", "q_item_analysis",
     "q_memorization", "q_fertility",
     "q_eval_anova", "q_scaling_by", "q_halving",
-    "q_wasserstein", "q_trimmed_mean", "q_disparity")
+    "q_wasserstein", "q_trimmed_mean", "q_disparity",
+    "q_confusion", "q_pr_curve", "q_effect_size")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -12110,6 +12110,138 @@ object PipelineQueries {
         ((col("doc_id") * 3) % 7 < 4).as("ok"))
       graft.ops.Agreement.disparityReport(d, "lang", "source", "ok",
         minN = 5L, gapCrit = 0.1).orderBy(col("lang"))
+    },
+
+    // Multi-class confusion report over a synthesized router: gold =
+    // lang, predictions biased toward 'en' — exact integer-form F1.
+    q("q_confusion",
+      """WITH log AS (SELECT lang AS g,
+        |    CASE WHEN (doc_id*3)%11 < 8 THEN lang ELSE 'en' END AS p
+        |  FROM documents),
+        |joint AS (SELECT g, p, CAST(count(*) AS BIGINT) AS n
+        |  FROM log GROUP BY g, p),
+        |gold AS (SELECT g AS c, CAST(sum(n) AS BIGINT) AS n_gold
+        |  FROM joint GROUP BY g),
+        |pred AS (SELECT p AS c, CAST(sum(n) AS BIGINT) AS n_pred
+        |  FROM joint GROUP BY p),
+        |tp AS (SELECT g AS c, n AS tp FROM joint WHERE g = p),
+        |m AS (SELECT COALESCE(gold.c, pred.c) AS c,
+        |    COALESCE(n_gold, 0) AS n_gold, COALESCE(n_pred, 0) AS n_pred
+        |  FROM gold FULL OUTER JOIN pred ON gold.c = pred.c)
+        |SELECT m.c AS class, n_gold, n_pred,
+        |  COALESCE(tp, 0) AS tp,
+        |  CASE WHEN n_pred > 0 THEN CAST(COALESCE(tp, 0) AS DOUBLE)
+        |    / CAST(n_pred AS DOUBLE) END AS precision,
+        |  CASE WHEN n_gold > 0 THEN CAST(COALESCE(tp, 0) AS DOUBLE)
+        |    / CAST(n_gold AS DOUBLE) END AS recall,
+        |  CASE WHEN n_pred + n_gold > 0
+        |    THEN CAST(COALESCE(tp, 0) * 2 AS DOUBLE)
+        |      / CAST(n_pred + n_gold AS DOUBLE) END AS f1
+        |FROM m LEFT JOIN tp ON m.c = tp.c
+        |ORDER BY class""".stripMargin) { (s, dir) =>
+      val log = t(s, dir, "documents").select(col("lang").as("g"),
+        when((col("doc_id") * 3) % 11 < 8, col("lang"))
+          .otherwise(lit("en")).as("p"))
+      graft.ops.Classifier.confusionReport(log, "g", "p")
+        .orderBy(col("class"))
+    },
+
+    // PR threshold sweep — one aggregate with per-tau conditional
+    // sums; thresholds are RAW literals (the raftAcceptance lesson).
+    q("q_pr_curve",
+      """WITH d AS (SELECT CAST((doc_id*5)%32 AS DOUBLE)/32 AS s,
+        |    (doc_id*3)%7 < 3 AS y FROM documents),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(sum(CASE WHEN s >= CAST(0.25 AS DOUBLE) AND y
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tp0,
+        |    CAST(sum(CASE WHEN s >= CAST(0.25 AS DOUBLE) AND NOT y
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fp0,
+        |    CAST(sum(CASE WHEN s >= CAST(0.5 AS DOUBLE) AND y
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tp1,
+        |    CAST(sum(CASE WHEN s >= CAST(0.5 AS DOUBLE) AND NOT y
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fp1,
+        |    CAST(sum(CASE WHEN s >= CAST(0.75 AS DOUBLE) AND y
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tp2,
+        |    CAST(sum(CASE WHEN s >= CAST(0.75 AS DOUBLE) AND NOT y
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fp2
+        |  FROM d),
+        |rows AS (
+        |  SELECT n_samples, pos, CAST(0.25 AS DOUBLE) AS threshold,
+        |    tp0 AS tp, fp0 AS fp FROM g
+        |  UNION ALL SELECT n_samples, pos, CAST(0.5 AS DOUBLE),
+        |    tp1, fp1 FROM g
+        |  UNION ALL SELECT n_samples, pos, CAST(0.75 AS DOUBLE),
+        |    tp2, fp2 FROM g)
+        |SELECT n_samples, pos AS n_pos, threshold, tp, fp,
+        |  pos - tp AS fn,
+        |  CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE)
+        |    / CAST(tp + fp AS DOUBLE) END AS precision,
+        |  CASE WHEN pos > 0 THEN CAST(tp AS DOUBLE)
+        |    / CAST(pos AS DOUBLE) END AS recall,
+        |  CASE WHEN tp*2 + fp + (pos - tp) > 0
+        |    THEN CAST(tp*2 AS DOUBLE)
+        |      / CAST(tp*2 + fp + (pos - tp) AS DOUBLE) END AS f1
+        |FROM rows ORDER BY threshold""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents").select(
+        ((col("doc_id") * 5 % 32).cast("double") / 32).as("s"),
+        ((col("doc_id") * 3) % 7 < 3).as("y"))
+      graft.ops.Classifier.prCurve(d, "s", "y", Seq(0.25, 0.5, 0.75))
+        .orderBy(col("threshold"))
+    },
+
+    // Cohen's d / Hedges' g per source (side %3 — coprime to 20; a %2
+    // side would be CONSTANT within source): exact dyadic moments,
+    // UNROUNDED effect sizes.
+    q("q_effect_size",
+      """WITH d AS (SELECT source, doc_id%3 < 1 AS b,
+        |    CAST((doc_id*7)%17 AS DOUBLE)/16 AS x FROM documents),
+        |g AS (SELECT source,
+        |    CAST(sum(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    sum(CASE WHEN NOT b THEN x ELSE CAST(0.0 AS DOUBLE) END)
+        |      AS sa,
+        |    sum(CASE WHEN NOT b THEN x*x ELSE CAST(0.0 AS DOUBLE) END)
+        |      AS ssa,
+        |    CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    sum(CASE WHEN b THEN x ELSE CAST(0.0 AS DOUBLE) END) AS sb,
+        |    sum(CASE WHEN b THEN x*x ELSE CAST(0.0 AS DOUBLE) END)
+        |      AS ssb
+        |  FROM d GROUP BY source),
+        |e AS (SELECT source, n_a, n_b,
+        |    sa/CAST(n_a AS DOUBLE) AS ma, sb/CAST(n_b AS DOUBLE) AS mb,
+        |    (ssa - sa*sa/CAST(n_a AS DOUBLE)
+        |      + (ssb - sb*sb/CAST(n_b AS DOUBLE)))
+        |      / CAST(n_a + n_b - 2 AS DOUBLE) AS pooled
+        |  FROM g)
+        |SELECT source, n_a, n_b,
+        |  CASE WHEN n_a >= 1 THEN ma END AS mean_a,
+        |  CASE WHEN n_b >= 1 THEN mb END AS mean_b,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 AND n_a + n_b >= 3
+        |      AND pooled > 0
+        |    THEN (mb - ma) / sqrt(pooled) END AS cohens_d,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 AND n_a + n_b >= 3
+        |      AND pooled > 0
+        |    THEN (mb - ma) / sqrt(pooled)
+        |      * (CAST(1.0 AS DOUBLE) - CAST(3.0 AS DOUBLE)
+        |        / (CAST(4.0 AS DOUBLE)
+        |          * CAST(n_a + n_b AS DOUBLE) - CAST(9.0 AS DOUBLE)))
+        |    END AS hedges_g,
+        |  CASE WHEN NOT (n_a >= 1 AND n_b >= 1 AND n_a + n_b >= 3
+        |      AND pooled > 0) THEN CAST(NULL AS VARCHAR)
+        |    WHEN abs((mb - ma) / sqrt(pooled)) < CAST(0.2 AS DOUBLE)
+        |      THEN 'negligible'
+        |    WHEN abs((mb - ma) / sqrt(pooled)) < CAST(0.5 AS DOUBLE)
+        |      THEN 'small'
+        |    WHEN abs((mb - ma) / sqrt(pooled)) < CAST(0.8 AS DOUBLE)
+        |      THEN 'medium'
+        |    ELSE 'large' END AS magnitude
+        |FROM e ORDER BY source""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("source"),
+        (col("doc_id") % 3 < 1).as("b"),
+        ((col("doc_id") * 7 % 17).cast("double") / 16).as("x"))
+      graft.ops.Experiments.effectSize(d, "source", "b", "x")
+        .orderBy(col("source"))
     }
   )
 

@@ -505,6 +505,87 @@ object Classifier {
         coalesce(abs(col("z")) > zCrit, lit(false)))
   }
 
+  /** Multi-class confusion report — the per-class diagnostic a
+    * routing/language/quality classifier ships with (Sokolova &
+    * Lapalme 2009's standard per-class measures): per class,
+    * `n_gold` (support), `n_pred`, `tp`, and precision / recall / F1.
+    * F1 uses the INTEGER form `2·tp / (2·tp + fp + fn)` — one exact
+    * division instead of the 2pr/(p+r) float chain, so all three
+    * metrics are exact long rationals shipped UNROUNDED (NULL where
+    * the denominator is 0: a class never predicted has no precision,
+    * a class never gold has no recall). Classes appearing only as
+    * predictions (or only as gold) still get a row.
+    *
+    * Scale: ONE (gold, pred) joint aggregate over the eval log; the
+    * per-class sums re-aggregate the ≤k² matrix GRID. */
+  def confusionReport(df: DataFrame, goldCol: String,
+      predCol: String): DataFrame = {
+    val joint = df.groupBy(col(goldCol).cast("string").as("_g"),
+        col(predCol).cast("string").as("_p"))
+      .agg(count(lit(1)).as("_n"))
+    val gold = joint.groupBy(col("_g").as("_c"))
+      .agg(sum(col("_n")).as("n_gold"))
+    val pred = joint.groupBy(col("_p").as("_c"))
+      .agg(sum(col("_n")).as("n_pred"))
+    val tp = joint.filter(col("_g") === col("_p"))
+      .select(col("_g").as("_c"), col("_n").as("tp"))
+    gold.join(pred, Seq("_c"), "full_outer")
+      .join(tp, Seq("_c"), "left")
+      .select(col("_c").as("class"),
+        coalesce(col("n_gold"), lit(0L)).as("n_gold"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision", when(col("n_pred") > 0,
+        col("tp").cast("double") / col("n_pred").cast("double")))
+      .withColumn("recall", when(col("n_gold") > 0,
+        col("tp").cast("double") / col("n_gold").cast("double")))
+      .withColumn("f1", when(col("n_pred") + col("n_gold") > 0,
+        (col("tp") * 2).cast("double") /
+          (col("n_pred") + col("n_gold")).cast("double")))
+  }
+
+  /** Precision-recall threshold sweep — the table a filter-deployment
+    * decision reads ("at which score cut does precision hit 95%, and
+    * what recall is left"): per threshold τ (each entering the plan as
+    * a RAW literal — the raftAcceptance de-keying lesson), predicted
+    * positives are `score ≥ τ`; emits exact tp/fp/fn counts and
+    * precision / recall / F1 as exact long rationals, UNROUNDED
+    * (F1 in the integer form `2tp/(2tp+fp+fn)`).
+    *
+    * Scale: ONE global aggregate carrying 2·|thresholds|+2 longs of
+    * state (the raftAcceptance conditional-sum shape); the curve is a
+    * |thresholds|-row grid fan-out. */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "prCurve needs >= 1 threshold")
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("boolean")
+    val aggs = Seq(count(lit(1)).as("_n"),
+      sum(y.cast("long")).as("_pos")) ++
+      thresholds.zipWithIndex.flatMap { case (t, i) =>
+        Seq(sum((s >= t && y).cast("long")).as(s"_tp_$i"),
+          sum((s >= t && !y).cast("long")).as(s"_fp_$i"))
+      }
+    val g = df.agg(aggs.head, aggs.tail: _*)
+    val rows = thresholds.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("threshold"), col(s"_tp_$i").as("tp"),
+        col(s"_fp_$i").as("fp"))
+    }
+    g.select(col("_n").as("n_samples"), col("_pos").as("n_pos"),
+        explode(array(rows: _*)).as("_t"))
+      .select(col("n_samples"), col("n_pos"),
+        col("_t.threshold").as("threshold"), col("_t.tp").as("tp"),
+        col("_t.fp").as("fp"),
+        (col("n_pos") - col("_t.tp")).as("fn"))
+      .withColumn("precision", when(col("tp") + col("fp") > 0,
+        col("tp").cast("double") / (col("tp") + col("fp")).cast("double")))
+      .withColumn("recall", when(col("n_pos") > 0,
+        col("tp").cast("double") / col("n_pos").cast("double")))
+      .withColumn("f1", when(col("tp") * 2 + col("fp") + col("fn") > 0,
+        (col("tp") * 2).cast("double") /
+          (col("tp") * 2 + col("fp") + col("fn")).cast("double")))
+  }
+
   /** Split conformal prediction threshold + coverage check (Vovk 2005;
     * Angelopoulos & Bates 2021 §1): per group, the conformal quantile
     * `q̂` = the k-th SMALLEST calibration nonconformity score with

@@ -233,6 +233,56 @@ object Experiments {
         coalesce(col("f_stat") > fCrit, lit(false)))
   }
 
+  /** Cohen's d / Hedges' g effect size per group — the PRACTICAL
+    * significance companion to the significance tests in this module
+    * and [[RankTests]] (with 10⁶ eval rows everything is
+    * statistically significant; d says whether the gap MATTERS):
+    * two-sample standardized mean difference
+    * `d = (m_B − m_A)/s_pooled` with
+    * `s² = ((n_A−1)s_A² + (n_B−1)s_B²)/(n_A+n_B−2)`, and Hedges'
+    * small-sample correction `g = d·(1 − 3/(4N−9))` (the standard
+    * rational approximation to the exact gamma factor). `magnitude`
+    * labels |d| on Cohen's 0.2/0.5/0.8 benchmarks.
+    *
+    * Determinism: per-side moments (n, Σx, Σx²) are exact on dyadic
+    * grids; d/g are fixed IEEE chains (sub/mult/div/sqrt, no libm),
+    * shipped UNROUNDED; NULL when either side has n < 1, N < 3, or
+    * the pooled variance is 0. Scale: ONE group-keyed partial+final
+    * aggregate carrying six numbers of state. */
+  def effectSize(scores: DataFrame, groupCol: String, sideCol: String,
+      valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val b = col(sideCol).cast("boolean")
+    def side(pred: Column, tag: String) = Seq(
+      sum(pred.cast("long")).as(s"n_$tag"),
+      sum(when(pred, x).otherwise(0.0d)).as(s"_s$tag"),
+      sum(when(pred, x * x).otherwise(0.0d)).as(s"_ss$tag"))
+    val aggs = side(!b, "a") ++ side(b, "b")
+    val g = scores.groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+    val nA = col("n_a"); val nB = col("n_b")
+    val mA = col("_sa") / nA.cast("double")
+    val mB = col("_sb") / nB.cast("double")
+    val ssA = col("_ssa") - col("_sa") * col("_sa") / nA.cast("double")
+    val ssB = col("_ssb") - col("_sb") * col("_sb") / nB.cast("double")
+    val bigN = nA + nB
+    val pooled = (ssA + ssB) / (bigN - 2).cast("double")
+    val d = when(nA >= 1 && nB >= 1 && bigN >= 3 && pooled > 0,
+      (mB - mA) / sqrt(pooled))
+    val gCorr = d * (lit(1.0) -
+      lit(3.0) / (lit(4.0) * bigN.cast("double") - lit(9.0)))
+    g.select(col(groupCol), nA, nB,
+        when(nA >= 1, mA).as("mean_a"),
+        when(nB >= 1, mB).as("mean_b"), d.as("cohens_d"),
+        gCorr.as("hedges_g"))
+      .withColumn("magnitude",
+        when(col("cohens_d").isNull, lit(null).cast("string"))
+          .when(abs(col("cohens_d")) < 0.2, "negligible")
+          .when(abs(col("cohens_d")) < 0.5, "small")
+          .when(abs(col("cohens_d")) < 0.8, "medium")
+          .otherwise("large"))
+  }
+
   /** Successive halving over an ordered pull log (Karnin et al. 2013;
     * Jamieson & Talwalkar 2016) — the eval-budget router: k arms
     * (models/configs), R = ⌈log₂k⌉ rounds; at round r every surviving

@@ -54,7 +54,9 @@ object ExplainCheck {
         // round-16 batch 9: eval-budget statistics
         "q_eval_anova","q_scaling_by","q_halving",
         // round-16 batch 10: robust drift / aggregation / fairness
-        "q_wasserstein","q_trimmed_mean","q_disparity")) {
+        "q_wasserstein","q_trimmed_mean","q_disparity",
+        // round-16 batch 11: classifier diagnostics
+        "q_confusion","q_pr_curve","q_effect_size")) {
       println(s"########## $q")
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -444,6 +444,43 @@ class ClassifierSpec extends AnyFunSuite {
     assert(cells((2, 2)) === ((1L, false, 1.0)))
   }
 
+  test("confusionReport: per-class exact rationals incl. never-predicted and pred-only classes") {
+    import spark.implicits._
+    val log = Seq(("a","a"),("a","a"),("a","a"),("a","b"),
+      ("b","b"),("b","b"),("b","d"),("c","a"))
+      .toDF("gold", "pred")
+    val out = Classifier.confusionReport(log, "gold", "pred")
+      .orderBy("class").collect()
+    val m = out.map(r => r.getString(0) -> r).toMap
+    assert(m("a").getLong(1) === 4L && m("a").getLong(2) === 4L)
+    assert(m("a").getLong(3) === 3L && m("a").getDouble(4) === 0.75)
+    assert(m("a").getDouble(6) === 6.0 / 8.0)
+    assert(m("b").getDouble(4) === 2.0 / 3.0 &&
+      m("b").getDouble(5) === 2.0 / 3.0)
+    assert(m("c").isNullAt(4), "never predicted → NULL precision")
+    assert(m("c").getDouble(5) === 0.0 && m("c").getDouble(6) === 0.0)
+    assert(m("d").isNullAt(5), "never gold → NULL recall")
+    assert(m("d").getDouble(4) === 0.0)
+  }
+
+  test("prCurve: threshold table with exact counts; raw threshold literals") {
+    import spark.implicits._
+    val df = Seq((0.9, true), (0.7, true), (0.6, false), (0.4, true),
+      (0.2, false)).toDF("s", "y")
+    val out = Classifier.prCurve(df, "s", "y", Seq(0.5, 0.8))
+      .orderBy("threshold").collect()
+    val t5 = out(0)
+    assert(t5.getDouble(2) === 0.5, "the RAW literal, never rounded")
+    assert(t5.getLong(3) === 2L && t5.getLong(4) === 1L &&
+      t5.getLong(5) === 1L)
+    assert(t5.getDouble(6) === 2.0 / 3.0 &&
+      t5.getDouble(7) === 2.0 / 3.0)
+    val t8 = out(1)
+    assert(t8.getLong(3) === 1L && t8.getLong(4) === 0L)
+    assert(t8.getDouble(6) === 1.0 && t8.getDouble(7) === 1.0 / 3.0)
+    assert(t8.getDouble(8) === 0.5, "integer-form F1 = 2/(2+0+2)")
+  }
+
   test("labelNoiseEstimate: argmax tie picks the smallest class index") {
     import spark.implicits._
     val df = Seq((1L, 0, Seq(0.5, 0.5)), (2L, 1, Seq(0.5, 0.5)))

@@ -180,6 +180,32 @@ class ExperimentsSpec extends AnyFunSuite {
     assert(out("z").getInt(1) === 2)
   }
 
+  test("effectSize: hand pooled-SD d and the Hedges correction") {
+    // A = {0,1} (ss 0.5), B = {2,3} (ss 0.5) → pooled 0.5,
+    // d = 2/√0.5 = 2√2, g = d·(1 − 3/7) = d·4/7
+    val df = Seq(("g", false, 0.0), ("g", false, 1.0),
+      ("g", true, 2.0), ("g", true, 3.0)).toDF("grp", "side", "x")
+    val out = Experiments.effectSize(df, "grp", "side", "x").head()
+    assert(out.getLong(1) === 2L && out.getLong(2) === 2L)
+    assert(out.getDouble(3) === 0.5 && out.getDouble(4) === 2.5)
+    val d = 2.0 / math.sqrt(0.5)
+    assert(out.getDouble(5) === d)
+    assert(out.getDouble(6) === d * (1.0 - 3.0 / 7.0))
+    assert(out.getString(7) === "large")
+  }
+
+  test("effectSize: zero pooled variance and one-sided groups → NULL") {
+    val const = Seq(("g", false, 1.0), ("g", false, 1.0),
+      ("g", true, 1.0), ("g", true, 1.0)).toDF("grp", "side", "x")
+    val r1 = Experiments.effectSize(const, "grp", "side", "x").head()
+    assert(r1.isNullAt(5) && r1.isNullAt(7))
+    val oneSide = Seq(("g", true, 1.0), ("g", true, 2.0))
+      .toDF("grp", "side", "x")
+    val r2 = Experiments.effectSize(oneSide, "grp", "side", "x").head()
+    assert(r2.getLong(1) === 0L && r2.isNullAt(5))
+    assert(r2.isNullAt(3), "empty side has no mean")
+  }
+
   test("sprtConstants: rejects degenerate hypotheses") {
     intercept[IllegalArgumentException] {
       Experiments.sprtConstants(0.5, 0.5, 0.05, 0.05)
