@@ -12242,6 +12242,84 @@ object PipelineQueries {
         ((col("doc_id") * 7 % 17).cast("double") / 16).as("x"))
       graft.ops.Experiments.effectSize(d, "source", "b", "x")
         .orderBy(col("source"))
+    },
+
+    // Isotonic calibration — PAVA driver-solved on the 33-class dyadic
+    // grid; the oracle re-derives every fitted value through the
+    // minimax identity max_{j<=i} min_{k>=i} avg(j..k), which selects
+    // the SAME pooled block and hence the SAME single division.
+    q("q_isotonic",
+      """WITH d AS (SELECT CAST((doc_id*5)%33 AS DOUBLE)/32 AS s,
+        |    (doc_id*3)%7 < 3 AS y FROM documents),
+        |c AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM d GROUP BY s),
+        |i AS (SELECT s, n, p, row_number() OVER (ORDER BY s) AS i,
+        |    CAST(sum(n) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cn,
+        |    CAST(sum(p) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cp
+        |  FROM c),
+        |blk AS (SELECT j.i AS j, k.i AS k,
+        |    CAST(k.cp - j.cp + j.p AS DOUBLE)
+        |      / CAST(k.cn - j.cn + j.n AS DOUBLE) AS a
+        |  FROM i j JOIN i k ON j.i <= k.i),
+        |mn AS (SELECT x.i AS i, blk.j, min(a) AS ma
+        |  FROM i x JOIN blk ON blk.j <= x.i AND blk.k >= x.i
+        |  GROUP BY x.i, blk.j),
+        |f AS (SELECT i, max(ma) AS calibrated FROM mn GROUP BY i)
+        |SELECT s AS score, n, p AS n_pos, calibrated
+        |FROM i JOIN f USING (i) ORDER BY score""".stripMargin) {
+      (s, dir) =>
+      val d = t(s, dir, "documents").select(
+        ((col("doc_id") * 5 % 33).cast("double") / 32).as("s"),
+        ((col("doc_id") * 3) % 7 < 3).as("y"))
+      graft.ops.Classifier.isotonicCalibration(d, "s", "y")
+        .orderBy(col("score"))
+    },
+
+    // Neyman allocation of a 100-unit eval budget across sources —
+    // exact moments, stratum-sorted normalizer fold, largest-remainder
+    // integerization summing EXACTLY to budget.
+    q("q_neyman",
+      """WITH d AS (SELECT source,
+        |    CAST((doc_id*7)%17 AS DOUBLE)/16 AS x FROM documents),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |    sum(x) AS s, sum(x*x) AS ss
+        |  FROM d GROUP BY source),
+        |v AS (SELECT source, n_rows,
+        |    greatest(ss/CAST(n_rows AS DOUBLE)
+        |      - (s/CAST(n_rows AS DOUBLE))*(s/CAST(n_rows AS DOUBLE)),
+        |      CAST(0.0 AS DOUBLE)) AS var
+        |  FROM g),
+        |w AS (SELECT source, n_rows, sqrt(var) AS stratum_std,
+        |    CAST(n_rows AS DOUBLE) * sqrt(var) AS weight FROM v),
+        |tot AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(weight ORDER BY source)), (a, b) -> a + b) AS bigw
+        |  FROM w),
+        |r AS (SELECT source, n_rows, stratum_std, weight,
+        |    CASE WHEN bigw > 0
+        |      THEN CAST(100 AS DOUBLE) * weight / bigw END AS raw,
+        |    bigw
+        |  FROM w, tot),
+        |b AS (SELECT source, n_rows, stratum_std, weight, bigw,
+        |    raw, CAST(floor(raw) AS BIGINT) AS base,
+        |    raw - CAST(CAST(floor(raw) AS BIGINT) AS DOUBLE) AS frac
+        |  FROM r),
+        |rem AS (SELECT 100 - CAST(sum(COALESCE(base, 0)) AS BIGINT)
+        |    AS rm FROM b),
+        |rk AS (SELECT b.*, rm, row_number() OVER
+        |    (ORDER BY frac DESC NULLS LAST, source ASC) AS rk
+        |  FROM b, rem)
+        |SELECT source, n_rows, stratum_std, weight,
+        |  CASE WHEN bigw > 0
+        |    THEN base + (CASE WHEN rk <= rm THEN 1 ELSE 0 END) END
+        |    AS allocation
+        |FROM rk ORDER BY source""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("source"),
+        ((col("doc_id") * 7 % 17).cast("double") / 16).as("x"))
+      graft.ops.Sampling.neymanAllocation(d, "source", "x", 100L)
+        .orderBy(col("source"))
     }
   )
 

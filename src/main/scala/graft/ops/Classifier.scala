@@ -586,6 +586,68 @@ object Classifier {
           (col("tp") * 2 + col("fp") + col("fn")).cast("double")))
   }
 
+  /** Isotonic calibration (PAVA — pool-adjacent-violators; Zadrozny &
+    * Elkan 2002 brought it to classifier calibration): fit the
+    * monotone-non-decreasing map score → P(label) that minimizes
+    * squared error, per distinct score class. The non-parametric
+    * alternative to [[plattPerGroup]] when the miscalibration isn't
+    * sigmoid-shaped. Returns one row per score class:
+    * (score, n, n_pos, calibrated).
+    *
+    * Determinism / cross-engine: the fit runs on the DISTINCT-SCORE
+    * class frame (the [[aucReport]] obligation — bucket continuous
+    * scores first), collected and solved driver-side (the
+    * [[trainLogistic]] driver-fold class; class counts are exact
+    * longs). Every fitted value is ONE division of two exact longs —
+    * the pooled block's (Σpos, Σn) — so an oracle can re-derive it
+    * bit-exactly through the PAVA minimax identity
+    * `ŷ_i = max_{j≤i} min_{k≥i} avg(y_j..y_k)` (the selected block is
+    * the same, hence the same division; the identity is O(k³) but k =
+    * score classes, grid-sized). Output ships UNROUNDED.
+    *
+    * Scale: ONE class-frame aggregate over the corpus (the only
+    * corpus-sized work); PAVA itself is a linear driver pass over the
+    * ≤k-row grid. */
+  def isotonicCalibration(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val classes = df.groupBy(col(scoreCol).cast("double").as("score"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("boolean").cast("long")).as("n_pos"))
+      .orderBy(col("score"))
+      .collect()
+    // PAVA: pools carry (sumPos, sumN, memberCount); merge while the
+    // previous pool's average exceeds the new one's (a violation)
+    final case class Pool(pos: Long, n: Long, members: Int) {
+      def avg: Double = pos.toDouble / n.toDouble
+    }
+    val pools = scala.collection.mutable.ArrayBuffer.empty[Pool]
+    classes.foreach { r =>
+      var cur = Pool(r.getLong(2), r.getLong(1), 1)
+      while (pools.nonEmpty && pools.last.avg > cur.avg) {
+        val p = pools.remove(pools.length - 1)
+        cur = Pool(p.pos + cur.pos, p.n + cur.n, p.members + cur.members)
+      }
+      pools += cur
+    }
+    val fitted = pools.flatMap(p => Seq.fill(p.members)(p.avg))
+    import scala.jdk.CollectionConverters._
+    val out = classes.zip(fitted).map { case (r, cal) =>
+      org.apache.spark.sql.Row(r.getDouble(0), r.getLong(1),
+        r.getLong(2), cal)
+    }
+    spark.createDataFrame(out.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_pos",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("calibrated",
+          org.apache.spark.sql.types.DoubleType))))
+  }
+
   /** Split conformal prediction threshold + coverage check (Vovk 2005;
     * Angelopoulos & Bates 2021 §1): per group, the conformal quantile
     * `q̂` = the k-th SMALLEST calibration nonconformity score with

@@ -912,6 +912,56 @@ object Sampling {
         .as("r2")): _*)
   }
 
+  /** Neyman (variance-optimal) sample allocation — how to split an
+    * eval/annotation budget across strata so the stratified mean has
+    * minimum variance (Neyman 1934): `n_h ∝ N_h·S_h` (stratum size ×
+    * stratum std), against [[quota sampling]]'s proportional `∝ N_h`.
+    * The integerization is LARGEST-REMAINDER (floor every share, hand
+    * the leftover units to the largest fractional parts, ties → stratum
+    * ascending) so allocations are integers that sum EXACTLY to the
+    * budget — a deterministic apportionment, not a rounding hope.
+    * Zero-variance strata get weight 0 (one measurement there says it
+    * all — the Neyman point). `allocation` may exceed `n_rows` for a
+    * small high-variance stratum; the report carries both so the
+    * caller sees saturation (capping is a POLICY, left to them).
+    *
+    * Determinism: stratum moments are exact on dyadic grids; S_h is
+    * one sqrt; the weight normalizer folds STRATUM-SORTED; floors and
+    * remainder ranks are exact/total-ordered. Scale: ONE stratum
+    * aggregate over the corpus; two one-row grid aggregates + a
+    * broadcast back (the mixturePlan metadata class). */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+      valueCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget=$budget")
+    val x = col(valueCol).cast("double")
+    val g = df.groupBy(col(stratumCol).as("_h"))
+      .agg(count(lit(1)).as("n_rows"), sum(x).as("_s"),
+        sum(x * x).as("_ss"))
+      .withColumn("_var", greatest(
+        col("_ss") / col("n_rows").cast("double") -
+          (col("_s") / col("n_rows").cast("double")) *
+          (col("_s") / col("n_rows").cast("double")), lit(0.0d)))
+      .withColumn("_w", col("n_rows").cast("double") * sqrt(col("_var")))
+    val tot = g.agg(collect_list(struct(col("_h"), col("_w"))).as("_ws"))
+      .select(aggregate(array_sort(col("_ws")), lit(0.0d),
+        (acc, s) => acc + s.getField("_w")).as("_bigw"))
+    val raw = g.crossJoin(broadcast(tot))
+      .withColumn("_raw", when(col("_bigw") > 0,
+        lit(budget.toDouble) * col("_w") / col("_bigw")))
+      .withColumn("_base", floor(col("_raw")).cast("long"))
+      .withColumn("_frac", col("_raw") - col("_base").cast("double"))
+    val rem = raw.agg((lit(budget) -
+      sum(coalesce(col("_base"), lit(0L)))).as("_rem"))
+    val rk = Window.orderBy(col("_frac").desc_nulls_last, col("_h").asc)
+    raw.crossJoin(broadcast(rem))
+      .withColumn("_rk", row_number().over(rk))
+      .select(col("_h").as(stratumCol), col("n_rows"),
+        sqrt(col("_var")).as("stratum_std"), col("_w").as("weight"),
+        when(col("_bigw") > 0,
+          col("_base") + (col("_rk") <= col("_rem")).cast("long"))
+          .as("allocation"))
+  }
+
   /** Mixture-concentration report — the "is this corpus secretly one
     * domain" check a mixture plan runs BEFORE trusting its source
     * shares: per stratum the Simpson concentration `Σ p_s²` (the

@@ -56,7 +56,9 @@ object ExplainCheck {
         // round-16 batch 10: robust drift / aggregation / fairness
         "q_wasserstein","q_trimmed_mean","q_disparity",
         // round-16 batch 11: classifier diagnostics
-        "q_confusion","q_pr_curve","q_effect_size")) {
+        "q_confusion","q_pr_curve","q_effect_size",
+        // round-16 batch 12: calibration / allocation planners
+        "q_isotonic","q_neyman")) {
       println(s"########## $q")
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

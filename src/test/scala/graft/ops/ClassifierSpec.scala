@@ -481,6 +481,33 @@ class ClassifierSpec extends AnyFunSuite {
     assert(t8.getDouble(8) === 0.5, "integer-form F1 = 2/(2+0+2)")
   }
 
+  test("isotonicCalibration: PAVA pools the violator, preserves block means") {
+    import spark.implicits._
+    // class rates 0, 1, 0.5, 1 → the middle violation pools to 3/4
+    val rows =
+      Seq((0.1, false), (0.1, false), (0.2, true), (0.2, true),
+        (0.3, true), (0.3, false), (0.4, true), (0.4, true))
+    val out = Classifier.isotonicCalibration(rows.toDF("s", "y"),
+      "s", "y").orderBy("score").collect()
+    assert(out.map(_.getDouble(3)).toSeq === Seq(0.0, 0.75, 0.75, 1.0))
+    assert(out.map(_.getLong(1)).toSeq === Seq(2L, 2L, 2L, 2L))
+  }
+
+  test("isotonicCalibration: cascading merges collapse a decreasing run") {
+    import spark.implicits._
+    val rows = Seq((0.1, true), (0.1, true), (0.2, true), (0.2, false),
+      (0.3, false), (0.3, false))
+    val out = Classifier.isotonicCalibration(rows.toDF("s", "y"),
+      "s", "y").orderBy("score").collect()
+    assert(out.map(_.getDouble(3)).toSeq === Seq(0.5, 0.5, 0.5),
+      "a fully decreasing run pools to the global mean")
+    // monotone + already-isotonic inputs are untouched
+    val iso = Seq((0.1, false), (0.2, true)).toDF("s", "y")
+    assert(Classifier.isotonicCalibration(iso, "s", "y")
+      .orderBy("score").collect().map(_.getDouble(3)).toSeq ===
+      Seq(0.0, 1.0))
+  }
+
   test("labelNoiseEstimate: argmax tie picks the smallest class index") {
     import spark.implicits._
     val df = Seq((1L, 0, Seq(0.5, 0.5)), (2L, 1, Seq(0.5, 0.5)))

@@ -716,6 +716,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(webFit.getAs[Double]("r2") === 1.0)
   }
 
+  test("neymanAllocation: variance-weighted shares, largest-remainder exactness") {
+    import spark.implicits._
+    // a: var .25 n 4 → w 2; b: constant → w 0; c: var 1 n 2 → w 2
+    val df = Seq(("a", 0.0), ("a", 1.0), ("a", 0.0), ("a", 1.0),
+      ("b", 0.0), ("b", 0.0), ("b", 0.0), ("b", 0.0),
+      ("c", 0.0), ("c", 2.0)).toDF("h", "x")
+    val out = Sampling.neymanAllocation(df, "h", "x", budget = 5L)
+      .orderBy("h").collect()
+    val m = out.map(r => r.getString(0) -> r).toMap
+    assert(m("a").getDouble(3) === 2.0 && m("b").getDouble(3) === 0.0)
+    assert(m("a").getLong(4) === 3L,
+      "the remainder unit goes to the tie-lowest stratum id")
+    assert(m("b").getLong(4) === 0L && m("c").getLong(4) === 2L)
+    assert(out.map(_.getLong(4)).sum === 5L, "allocations sum EXACTLY")
+  }
+
+  test("neymanAllocation: all-constant strata → NULL allocations") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0))
+      .toDF("h", "x")
+    val out = Sampling.neymanAllocation(df, "h", "x", 10L).collect()
+    assert(out.forall(_.isNullAt(4)), "no variance signal → no plan")
+  }
+
   test("concentrationReport: hand Simpson, effective sources, dominance tie") {
     import spark.implicits._
     // s: counts a=4 b=2 c=2 of 8 → Σp² = (16+4+4)/64 = 0.375,
