@@ -297,6 +297,57 @@ object EventStreams {
       round(least(lit(1.0), center + half), 6).as("wilson_hi"))
   }
 
+  /** Streaming PSI drift monitor — the deployment half of
+    * [[graft.ops.Drift.psi]]: the batch op fits bin bounds (reference
+    * quantiles) and reference shares offline; THIS op watches an
+    * arriving score stream and reports, per event-time window, the
+    * population-stability index of that window against the pinned
+    * digest, with the published verdict bands (stable < 0.1 ≤
+    * moderate < 0.25 ≤ major). `bounds` (b−1 ascending quantile
+    * edges) and `refShares` (b reference shares) enter as PLAN
+    * LITERALS — the digest is model-sized and pinned at deploy time,
+    * the point of a monitoring reference. Bucketing is the batch op's
+    * identical `1 + count(edges < s)` expression; per-window shares
+    * are eps-floored exactly like the batch op; the PSI fold is a
+    * fixed left-associated chain over the b literal terms, rounded at
+    * 6 (the psiTotal contract). ONE watermark-bounded windowed
+    * aggregate; b+1 longs of state per window; parity-spec'd against
+    * the batch formula on the same rows. */
+  def psiStream(scores: DataFrame, bounds: Seq[Double],
+      refShares: Seq[Double], scoreCol: String,
+      eventTimeCol: String = "event_time",
+      windowDur: String = "10 minutes",
+      watermark: String = "10 minutes", eps: Double = 1e-6): DataFrame = {
+    require(bounds.nonEmpty && bounds == bounds.sorted,
+      "bounds must be non-empty ascending quantile edges")
+    require(refShares.size == bounds.size + 1,
+      s"need ${bounds.size + 1} reference shares, got ${refShares.size}")
+    require(eps > 0, s"eps=$eps")
+    val bins = refShares.size
+    val s = col(scoreCol).cast("double")
+    val bucket = bounds.foldLeft(lit(1)) { (acc, b) =>
+      acc + (s > b).cast("int")
+    }
+    val aggs = count(lit(1)).as("n_scores") +:
+      (1 to bins).map(i => sum((bucket === i).cast("long")).as(s"_b$i"))
+    val agg = scores
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), windowDur))
+      .agg(aggs.head, aggs.tail: _*)
+    val terms = (1 to bins).map { i =>
+      val p = lit(math.max(refShares(i - 1), eps))
+      val q = greatest(col(s"_b$i").cast("double") /
+        col("n_scores").cast("double"), lit(eps))
+      (p - q) * log(p / q)
+    }
+    agg.select(col("window"), col("n_scores"),
+        round(terms.reduce(_ + _), 6).as("psi"))
+      .withColumn("verdict",
+        when(col("psi") < 0.1, lit("stable"))
+          .when(col("psi") < 0.25, lit("moderate"))
+          .otherwise(lit("major")))
+  }
+
   /** Streaming conformal-coverage monitor — the deployment half of
     * [[graft.ops.Classifier.conformalCalibration]]: the batch op fits
     * q̂ per group on a calibration set; THIS op watches an arriving

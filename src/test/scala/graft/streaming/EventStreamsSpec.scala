@@ -1454,6 +1454,57 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("psiStream: completed windows equal the batch PSI formula on the same rows") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-sps").toString
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    batchDocs.write.mode("overwrite").parquet(stageDir)
+    // scores drift by hour-group: group g's scores shift by g/10
+    def scores(df: org.apache.spark.sql.DataFrame) = df
+      .select((pmod($"doc_id" * 5, lit(16)).cast("double") / 16 +
+          pmod($"doc_id", lit(3)).cast("double") / 10).as("s"),
+        timestamp_seconds(pmod($"doc_id", lit(3)) * 7200 +
+          pmod($"doc_id", lit(50))).as("event_time"))
+    val bounds = Seq(0.25, 0.5, 0.75)
+    val refShares = Seq(0.25, 0.25, 0.25, 0.25)
+    val incoming = scores(
+      spark.readStream.schema(batchDocs.schema).parquet(stageDir))
+    val out = EventStreams.psiStream(incoming, bounds, refShares, "s",
+      windowDur = "1 hour", watermark = "1 hour")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sps")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sps").collect()
+      .map(r => r.getAs[org.apache.spark.sql.Row]("window")
+        .getAs[java.sql.Timestamp]("start") -> r).toMap
+    assert(streamed.nonEmpty, "stream emitted no closed windows")
+    // batch twin: identical bucketing + eps-floored fold per window
+    val eps = 1e-6
+    val b = scores(batchDocs)
+      .withColumn("w", floor(unix_timestamp($"event_time") / 3600))
+      .withColumn("bucket", lit(1) + ($"s" > 0.25).cast("int") +
+        ($"s" > 0.5).cast("int") + ($"s" > 0.75).cast("int"))
+      .groupBy($"w")
+      .agg(count(lit(1)).as("n"),
+        (1 to 4).map(i =>
+          sum(($"bucket" === i).cast("long")).as(s"b$i")): _*)
+      .collect()
+    b.foreach { r =>
+      val n = r.getAs[Long]("n").toDouble
+      val psi = (1 to 4).map { i =>
+        val p = math.max(0.25, eps)
+        val qq = math.max(r.getAs[Long](s"b$i").toDouble / n, eps)
+        (p - qq) * math.log(p / qq)
+      }.reduce(_ + _)
+      val expected = BigDecimal(psi)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val ts = new java.sql.Timestamp(r.getAs[Long]("w") * 3600 * 1000)
+      val got = streamed(ts)
+      assert(got.getAs[Long]("n_scores") === r.getAs[Long]("n"))
+      assert(got.getAs[Double]("psi") === expected, s"window $ts")
+    }
+  }
+
   test("conformalCoverageStream: completed windows equal the batch conditional count") {
     val stageDir = java.nio.file.Files.createTempDirectory("graft-scc").toString
     val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
