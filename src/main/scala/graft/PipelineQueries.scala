@@ -12320,6 +12320,43 @@ object PipelineQueries {
         ((col("doc_id") * 7 % 17).cast("double") / 16).as("x"))
       graft.ops.Sampling.neymanAllocation(d, "source", "x", 100L)
         .orderBy(col("source"))
+    },
+
+    // k-center greedy coreset (k = 4) over the embeddings table: the
+    // oracle unrolls the three farthest-first stages with the sqL2
+    // fold mirrored term-for-term (list_prepend(0.0) + index-order
+    // lambda), so every running-min and argmax compares bit-identical
+    // doubles — no rounding anywhere.
+    q("q_kcenter", {
+      def sq(a: String, b: String) =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(generate_series(1, 64),
+           |        i -> ($a[i]-$b[i])*($a[i]-$b[i]))),
+           |      (x,y) -> x+y)""".stripMargin
+      s"""WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e
+         |  FROM embeddings),
+         |s1 AS (SELECT id, e FROM base ORDER BY id LIMIT 1),
+         |d1 AS (SELECT b.id, b.e, ${sq("b.e", "s1.e")} AS md
+         |  FROM base b, s1),
+         |s2 AS (SELECT id, e, md FROM d1 WHERE md > 0
+         |  ORDER BY md DESC, id LIMIT 1),
+         |d2 AS (SELECT d1.id, d1.e,
+         |    least(d1.md, ${sq("d1.e", "s2.e")}) AS md FROM d1, s2),
+         |s3 AS (SELECT id, e, md FROM d2 WHERE md > 0
+         |  ORDER BY md DESC, id LIMIT 1),
+         |d3 AS (SELECT d2.id, d2.e,
+         |    least(d2.md, ${sq("d2.e", "s3.e")}) AS md FROM d2, s3),
+         |s4 AS (SELECT id, e, md FROM d3 WHERE md > 0
+         |  ORDER BY md DESC, id LIMIT 1)
+         |SELECT id AS vec_id, 1 AS selection_order,
+         |  CAST(NULL AS DOUBLE) AS dist_sq FROM s1
+         |UNION ALL SELECT id, 2, md FROM s2
+         |UNION ALL SELECT id, 3, md FROM s3
+         |UNION ALL SELECT id, 4, md FROM s4
+         |ORDER BY selection_order""".stripMargin
+    }) { (s, dir) =>
+      graft.ops.Similarity.kCenterGreedy(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 4).orderBy(col("selection_order"))
     }
   )
 

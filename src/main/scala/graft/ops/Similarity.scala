@@ -674,4 +674,69 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id"), col("sim"), col("rk"))
   }
+
+  /** k-center greedy (farthest-first) coreset selection — the
+    * active-learning / data-selection batch picker (Sener & Savarese
+    * 2018; Gonzalez 1985's 2-approximation): start from the
+    * smallest-id point (the standard arbitrary seed made
+    * reproducible), then k−1 times pick the point FARTHEST from the
+    * selected set (max over points of min over centers of squared L2;
+    * ties → smallest id). Returns the k selected rows with
+    * `selection_order` and `dist_sq` — the point's min-distance to
+    * the prior centers when chosen (the k-th value is the coreset's
+    * covering radius; seed NULL). Fewer distinct points than k →
+    * fewer rows, not an error.
+    *
+    * Determinism: every distance is the fused [[sqL2]] kernel — an
+    * index-order left fold, mirrored term-for-term by an oracle's
+    * list fold — so the running min and the (dist desc, id asc)
+    * argmax are exact comparisons of bit-identical doubles; no
+    * rounding anywhere.
+    *
+    * Scale: k−1 iterations × (ONE narrow kernel scan + ONE
+    * argmax-of-one-row aggregate) — each iteration adds one
+    * `least(md, sqL2(e, lit(center)))` layer over the running-min
+    * column (centers ride as plan literals, the Kmeans model-state
+    * convention); nothing corpus-sized ever collects. The stated
+    * caller obligation is k ≲ 10² (a labeling batch, not a
+    * clustering) — beyond that, [[Kmeans.fit]] + per-cell picks is
+    * the right tool. */
+  def kCenterGreedy(points: DataFrame, idCol: String, embCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val spark = points.sparkSession
+    val base = points.select(col(idCol).as("_id"),
+      asDouble(col(embCol)).as("_e"))
+    val seed = base.orderBy(col("_id")).limit(1).collect()
+    val sel = scala.collection.mutable.ArrayBuffer
+      .empty[(Any, Int, Option[Double])]
+    if (seed.nonEmpty) {
+      var lastEmb = seed(0).getSeq[Double](1)
+      sel += ((seed(0).get(0), 1, None))
+      var cur = base.withColumn("_md",
+        sqL2(col("_e"), typedLit(lastEmb)))
+      var step = 2
+      var exhausted = false
+      while (step <= k && !exhausted) {
+        val next = cur.filter(col("_md") > 0)
+          .orderBy(col("_md").desc, col("_id").asc).limit(1).collect()
+        if (next.isEmpty) exhausted = true
+        else {
+          sel += ((next(0).get(0), step, Some(next(0).getDouble(2))))
+          lastEmb = next(0).getSeq[Double](1)
+          cur = cur.withColumn("_md",
+            least(col("_md"), sqL2(col("_e"), typedLit(lastEmb))))
+          step += 1
+        }
+      }
+    }
+    import spark.implicits._
+    val idType = base.schema("_id").dataType
+    val out = sel.toSeq.map { case (id, ord, d) => (id.toString, ord, d) }
+      .toDF("_ids", "selection_order", "dist_sq")
+    // ids round-trip through string only for frame construction; cast
+    // back to the input id type
+    out.select(col("_ids").cast(idType).as(idCol),
+      col("selection_order"), col("dist_sq").cast("double"))
+  }
 }

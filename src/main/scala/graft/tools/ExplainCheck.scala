@@ -58,7 +58,9 @@ object ExplainCheck {
         // round-16 batch 11: classifier diagnostics
         "q_confusion","q_pr_curve","q_effect_size",
         // round-16 batch 12: calibration / allocation planners
-        "q_isotonic","q_neyman")) {
+        "q_isotonic","q_neyman",
+        // round-16 batch 13: coreset selection
+        "q_kcenter")) {
       println(s"########## $q")
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -518,4 +518,25 @@ class SimilaritySpec extends AnyFunSuite {
       "tightening may only drop candidates, never add drops")
     assert(tight.size === rows.size)
   }
+
+  test("kCenterGreedy: farthest-first order, dup exclusion, exhaustion") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(0.1, 0.0)), (3L, Seq(10.0, 0.0)),
+      (4L, Seq(10.0, 10.0)), (5L, Seq(0.0, 0.0)) // exact dup of 1
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kCenterGreedy(pts, "vec_id", "embedding", 4)
+      .orderBy("selection_order").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 4L, 3L, 2L),
+      "seed = min id, then farthest-first")
+    assert(out(0).isNullAt(2))
+    assert(out(1).getDouble(2) === 200.0)
+    assert(out(2).getDouble(2) === 100.0)
+    assert(math.abs(out(3).getDouble(2) - 0.01) < 1e-12)
+    // k beyond the distinct-point count stops cleanly (the dup of id 1
+    // is never selectable)
+    val more = Similarity.kCenterGreedy(pts, "vec_id", "embedding", 6)
+      .collect()
+    assert(more.length === 4)
+  }
 }
