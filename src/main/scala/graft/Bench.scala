@@ -140,7 +140,8 @@ object Bench {
     "q_eval_anova", "q_scaling_by", "q_halving",
     "q_wasserstein", "q_trimmed_mean", "q_disparity",
     "q_confusion", "q_pr_curve", "q_effect_size",
-    "q_isotonic", "q_neyman", "q_kcenter")
+    "q_isotonic", "q_neyman", "q_kcenter",
+    "q_self_overlap", "q_source_sim")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -12357,6 +12357,89 @@ object PipelineQueries {
     }) { (s, dir) =>
       graft.ops.Similarity.kCenterGreedy(t(s, dir, "embeddings"),
         "vec_id", "embedding", k = 4).orderBy(col("selection_order"))
+    },
+
+    // Cross-sample overlap per source over answers with a PLANTED
+    // shared prefix — the self-BLEU mass ratio, exact longs, string
+    // grams in the oracle vs fingerprints in the op (the collision
+    // stance).
+    q("q_self_overlap",
+      """WITH ans AS (SELECT source, doc_id,
+        |    'common alpha beta gamma ' || substr(text, 1, 12) AS a
+        |  FROM documents),
+        |st AS (SELECT source, doc_id,
+        |    unnest(generate_series(0,
+        |      len(string_split_regex(a, '\s+')) - 1)) AS pos,
+        |    unnest(string_split_regex(a, '\s+')) AS w
+        |  FROM ans),
+        |sg AS (SELECT DISTINCT source, doc_id,
+        |    w || ' ' || lead(w) OVER win AS g
+        |  FROM st WINDOW win AS (PARTITION BY source, doc_id
+        |    ORDER BY pos)),
+        |df AS (SELECT source, g, CAST(count(*) AS BIGINT) AS df
+        |  FROM sg WHERE g IS NOT NULL GROUP BY source, g),
+        |sc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_samples
+        |  FROM ans GROUP BY source),
+        |ru AS (SELECT source, CAST(sum(df) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN df >= 2 THEN df ELSE 0 END) AS BIGINT)
+        |      AS n_shared
+        |  FROM df GROUP BY source)
+        |SELECT sc.source, n_samples,
+        |  COALESCE(n_grams, 0) AS n_grams,
+        |  COALESCE(n_shared, 0) AS n_shared,
+        |  CASE WHEN COALESCE(n_grams, 0) > 0
+        |    THEN CAST(n_shared AS DOUBLE)/CAST(n_grams AS DOUBLE) END
+        |    AS self_overlap
+        |FROM sc LEFT JOIN ru ON sc.source = ru.source
+        |ORDER BY sc.source""".stripMargin) { (s, dir) =>
+      val samples = t(s, dir, "documents").select(col("source"),
+        col("doc_id"),
+        concat(lit("common alpha beta gamma "),
+          substring(col("text"), 1, 12)).as("a"))
+      graft.ops.Rollouts.selfOverlap(samples, "source", "doc_id", "a",
+        n = 2).orderBy(col("source"))
+    },
+
+    // Pairwise lang-distribution JSD matrix — wordcount shares, union
+    // vocabulary per pair, token-sorted fold; ln margins AUTO-audited.
+    q("q_source_sim",
+      """WITH tok AS (SELECT lang,
+        |    unnest(list_filter(regexp_split_to_array(lower(text),
+        |      '[^a-z0-9]+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY lang, token),
+        |tt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t
+        |  FROM c GROUP BY lang),
+        |sh AS (SELECT c.lang, token,
+        |    CAST(c AS DOUBLE)/CAST(t AS DOUBLE) AS p
+        |  FROM c JOIN tt ON c.lang = tt.lang),
+        |pr AS (SELECT a.lang AS la, b.lang AS lb
+        |  FROM tt a, tt b WHERE a.lang < b.lang),
+        |sa AS (SELECT la, lb, token, p AS pa
+        |  FROM pr JOIN sh ON sh.lang = pr.la),
+        |sb AS (SELECT la, lb, token, p AS pb
+        |  FROM pr JOIN sh ON sh.lang = pr.lb),
+        |g AS (SELECT COALESCE(sa.la, sb.la) AS la,
+        |    COALESCE(sa.lb, sb.lb) AS lb,
+        |    COALESCE(sa.token, sb.token) AS token,
+        |    COALESCE(pa, CAST(0.0 AS DOUBLE)) AS p,
+        |    COALESCE(pb, CAST(0.0 AS DOUBLE)) AS q
+        |  FROM sa FULL OUTER JOIN sb ON sa.la = sb.la
+        |    AND sa.lb = sb.lb AND sa.token = sb.token),
+        |tm AS (SELECT la, lb, token,
+        |    (CASE WHEN p > 0 THEN p * ln(p/((p+q)/2))/2
+        |      ELSE CAST(0.0 AS DOUBLE) END)
+        |    + (CASE WHEN q > 0 THEN q * ln(q/((p+q)/2))/2
+        |      ELSE CAST(0.0 AS DOUBLE) END) AS term
+        |  FROM g)
+        |SELECT la AS stratum_a, lb AS stratum_b,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(term ORDER BY token)), (x, y) -> x + y), 6) AS jsd
+        |FROM tm GROUP BY la, lb
+        |ORDER BY stratum_a, stratum_b""".stripMargin) { (s, dir) =>
+      graft.ops.Drift.sourceSimilarity(t(s, dir, "documents"), "lang")
+        .orderBy(col("stratum_a"), col("stratum_b"))
     }
   )
 

@@ -177,6 +177,60 @@ object Drift {
         col("n_ref"), col("n_cur"))
   }
 
+  /** Pairwise source-similarity matrix — Jensen-Shannon divergence
+    * between every two strata's token distributions (Lin 1991): the
+    * "which sources are redundant" input a mixture design reads
+    * before weighting 100 domains as if they were independent. JSD =
+    * ½·KL(p‖m) + ½·KL(q‖m) with m the midpoint — symmetric, bounded
+    * by ln 2, zero iff identical. Emits one row per unordered stratum
+    * pair (a < b) with both token masses and `jsd` (round 6 — the
+    * libm-ln stats contract, boundary-audited).
+    *
+    * Determinism: per-(stratum, token) counts are exact; each pair's
+    * JSD folds over the union vocabulary TOKEN-SORTED (the
+    * mlOrderedMean discipline). Scale: ONE (stratum, token) wordcount
+    * over the corpus (the only corpus-sized work); the pair matrix is
+    * a self-join of the |strata|·|vocab| GRID on the token key —
+    * strata are mixture-design-sized (≲10²) by contract, vocab is the
+    * wordcount frame. */
+  def sourceSimilarity(docs: DataFrame, stratumCol: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val counts = Relevance.tokens(docs, idCol, textCol)
+      .join(docs.select(col(idCol).as("doc_id"),
+        col(stratumCol).as("_st")), Seq("doc_id"))
+      .groupBy(col("_st"), col("token"))
+      .agg(count(lit(1)).as("_c"))
+    val totals = counts.groupBy(col("_st"))
+      .agg(sum(col("_c")).as("_t"))
+    val shares = counts.join(totals, Seq("_st"))
+      .select(col("_st"), col("token"),
+        (col("_c").cast("double") / col("_t").cast("double")).as("_p"))
+    val pairs = totals.select(col("_st").as("_a"))
+      .crossJoin(broadcast(totals.select(col("_st").as("_b"))))
+      .filter(col("_a") < col("_b"))
+    // per pair, the UNION vocabulary: fan each side out over its
+    // pairs, then full-outer on (pair, token) — tokens held by only
+    // one side keep the pair keys from their own row
+    val sideA = pairs.join(shares.withColumnRenamed("_st", "_a"),
+      Seq("_a")).select(col("_a"), col("_b"), col("token"),
+      col("_p").as("_pa"))
+    val sideB = pairs.join(shares.withColumnRenamed("_st", "_b"),
+      Seq("_b")).select(col("_a"), col("_b"), col("token"),
+      col("_p").as("_pb"))
+    val grid = sideA.join(sideB, Seq("_a", "_b", "token"), "full_outer")
+    val p = coalesce(col("_pa"), lit(0.0d))
+    val q = coalesce(col("_pb"), lit(0.0d))
+    val m = (p + q) / 2
+    val term = when(p > 0, p * log(p / m) / 2).otherwise(lit(0.0d)) +
+      when(q > 0, q * log(q / m) / 2).otherwise(lit(0.0d))
+    grid.groupBy(col("_a"), col("_b"))
+      .agg(collect_list(struct(col("token"), term.as("_term")))
+        .as("_ts"))
+      .select(col("_a").as("stratum_a"), col("_b").as("stratum_b"),
+        round(aggregate(array_sort(col("_ts")), lit(0.0d),
+          (acc, t) => acc + t.getField("_term")), 6).as("jsd"))
+  }
+
   /** Wasserstein-1 (earth-mover) distance between two score
     * distributions — the MAGNITUDE companion to [[ks]] (KS reports
     * the worst single CDF gap; W₁ integrates |F_ref − F_cur| over the

@@ -697,6 +697,50 @@ object Rollouts {
         col("wilson_lo") > 0.5 || col("wilson_hi") < 0.5)
   }
 
+  /** Cross-sample overlap (the self-BLEU direction; Zhu et al. 2018
+    * "Texygen" §4.3): per prompt, what share of each sample's DISTINCT
+    * n-grams also appears in at least one OTHER sample of the same
+    * prompt — [[distinctNgrams]] counts how much of the pool is
+    * unique; THIS counts how much of each answer is redundant with its
+    * siblings (the mode-collapse signature distinct-n can miss when a
+    * few long answers dominate the pool). Emits per prompt:
+    * `n_samples`, `n_grams` (Σ per-sample distinct grams), `n_shared`
+    * (those with another-sample twin), and `self_overlap` — the
+    * total-mass ratio (ONE division of exact longs, UNROUNDED — a
+    * mean-of-per-sample-ratios would be an order-sensitive float
+    * fold; the mass ratio is the exact-rational formulation).
+    *
+    * Scale: grams fingerprint in-scan (xxhash64, the Dedup.exact
+    * stance — answer text never shuffles); ONE (prompt, gram)
+    * doc-frequency aggregate + ONE prompt rollup; everything bounded
+    * by rollout size by contract. */
+  def selfOverlap(samples: DataFrame, promptCol: String, idCol: String,
+      answerCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n=$n")
+    val grams = samples.select(col(promptCol).as("_p"),
+        col(idCol).as("_id"),
+        explode(graft.functions.GraftFunctions.shingles(
+          split(col(answerCol), "\\s+"), n)).as("_g"))
+      .select(col("_p"), col("_id"), xxhash64(col("_g")).as("_fp"))
+    // shingles() dedups per sample, so count(*) per (prompt, fp) is
+    // the gram's sample-frequency; ≥ 2 ⇒ every holder has a twin
+    val df = grams.groupBy(col("_p"), col("_fp"))
+      .agg(count(lit(1)).as("_df"))
+    val sampleCounts = samples.groupBy(col(promptCol).as("_p"))
+      .agg(count(lit(1)).as("n_samples"))
+    val rollup = df.groupBy(col("_p"))
+      .agg(sum(col("_df")).as("n_grams"),
+        sum(when(col("_df") >= 2, col("_df")).otherwise(0L))
+          .as("n_shared"))
+    sampleCounts.join(rollup, Seq("_p"), "left")
+      .select(col("_p").as(promptCol), col("n_samples"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("self_overlap",
+        when(col("n_grams") > 0, col("n_shared").cast("double") /
+          col("n_grams").cast("double")))
+  }
+
   /** Repetition/degeneration screen — the rollout-QA pass that
     * catches the two classic failure modes of greedy-ish decoding
     * (Holtzman 2020, "neural text degeneration"): (a) TRAILING LOOPS —

@@ -60,7 +60,9 @@ object ExplainCheck {
         // round-16 batch 12: calibration / allocation planners
         "q_isotonic","q_neyman",
         // round-16 batch 13: coreset selection
-        "q_kcenter")) {
+        "q_kcenter",
+        // round-16 batch 14: redundancy analytics
+        "q_self_overlap","q_source_sim")) {
       println(s"########## $q")
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -156,6 +156,32 @@ class DriftSpec extends AnyFunSuite {
     assert(r13("m") === 1.75)
   }
 
+  test("sourceSimilarity: hand JSD, identity zero, disjoint ln 2") {
+    import spark.implicits._
+    val docs = Seq((1L, "A", "x x y"), (2L, "B", "x y y y"),
+      (3L, "C", "x x y")).toDF("doc_id", "src", "text")
+    val out = Drift.sourceSimilarity(docs, "src", "doc_id", "text")
+      .orderBy("stratum_a", "stratum_b").collect()
+    // A vs B: p = (2/3, 1/3), q = (1/4, 3/4) — mirror the fold
+    def half(p: Double, m: Double) =
+      if (p > 0) p * math.log(p / m) / 2 else 0.0
+    val mX = (2.0 / 3 + 1.0 / 4) / 2; val mY = (1.0 / 3 + 3.0 / 4) / 2
+    val termX = half(2.0 / 3, mX) + half(1.0 / 4, mX)
+    val termY = half(1.0 / 3, mY) + half(3.0 / 4, mY)
+    val want = BigDecimal(0.0 + termX + termY)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val m = out.map(r => (r.getString(0), r.getString(1)) ->
+      r.getDouble(2)).toMap
+    assert(m(("A", "B")) === want)
+    assert(m(("A", "C")) === 0.0, "identical distributions → 0")
+    assert(m(("B", "C")) === want, "C duplicates A")
+    val disjoint = Seq((1L, "A", "x x"), (2L, "B", "y"))
+      .toDF("doc_id", "src", "text")
+    val d = Drift.sourceSimilarity(disjoint, "src", "doc_id", "text")
+      .head()
+    assert(d.getDouble(2) === 0.693147, "disjoint vocab → ln 2")
+  }
+
   test("wasserstein1: hand EMD values — half-mass move, pure shift, identity") {
     import spark.implicits._
     val ref = Seq(0.0, 1.0).toDF("s")

@@ -483,6 +483,24 @@ class RolloutsSpec extends AnyFunSuite {
       out("S").getAs[Double]("lc_win_rate"))
   }
 
+  test("selfOverlap: shared-gram mass ratio; sub-n and lone samples") {
+    val samples = Seq(
+      ("p", 1L, "a b c"),   // {a b, b c}
+      ("p", 2L, "a b x"),   // {a b, b x}
+      ("p", 3L, "z z z"),   // dedups to {z z}
+      ("q", 4L, "hi")       // sub-n: no grams
+    ).toDF("prompt", "sid", "ans")
+    val out = Rollouts.selfOverlap(samples, "prompt", "sid", "ans", 2)
+      .orderBy("prompt").collect()
+    val p = out(0)
+    assert(p.getLong(1) === 3L && p.getLong(2) === 5L)
+    assert(p.getLong(3) === 2L, "only the two 'a b' instances twin")
+    assert(p.getDouble(4) === 2.0 / 5.0)
+    val q = out(1)
+    assert(q.getLong(2) === 0L && q.isNullAt(4),
+      "no grams → NULL overlap, and the prompt still reports")
+  }
+
   test("repetitionScreen: trailing loops, stutter, and clean docs") {
     val docs = Seq(
       ("g", 1L, "a b c d"),          // clean

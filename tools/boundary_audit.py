@@ -97,6 +97,9 @@ AUTO = [
     # r16 batch 10: w1 rounds the sorted gap-integral fold in the
     # final projection — margin measured
     'q_wasserstein',
+    # r16 batch 14: the JSD matrix rounds a token-sorted libm-ln fold
+    # in the final projection — margins measured
+    'q_source_sim',
 ]
 
 con = duckdb.connect()
